@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory with the scale-oriented defaults every graft entry point
+  * uses. The reference configures nothing beyond appName/master
+  * (/root/reference/src/preprocessing_pipeline.py:244-247) and leans on
+  * Catalyst defaults; we pin the knobs that matter for a large cluster and
+  * keep them consistent between Verify, Bench, and tests.
+  */
+object GraftSession {
+
+  /** Applies graft defaults to an existing builder (so callers can still
+    * override master/memory), then creates the session.
+    *
+    * - AQE on: runtime coalescing of shuffle partitions + skew-join
+    *   splitting, the main defense at 100 TB where static partition counts
+    *   are always wrong somewhere.
+    * - nanosAsLong: the events fixture carries nanosecond timestamps
+    *   (pandas-written parquet); Spark's vectorized reader has no nanos
+    *   type, so we read them as long and convert once in Tables.events.
+    * - UTC session timezone: oracle (DuckDB) parity for all time bucketing.
+    */
+  def builder(name: String): SparkSession.Builder = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", Runtime.getRuntime.availableProcessors().toString)
+    SparkSession.builder()
+      .appName(name)
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.filterPushdown", "true")
+      .config("spark.ui.enabled", "false")
+  }
+
+  def local(name: String, threads: String = "*"): SparkSession = {
+    val s = builder(name).master(s"local[$threads]").getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Fixture-table access (schemas: /root/repo/FIXTURES.md §B).
+  *
+  * Every loader is a plain distributed parquet scan — the reference's
+  * driver-side `pd.read_csv` + `createDataFrame` ingest
+  * (/root/reference/src/preprocessing_pipeline.py:258-264) caps input at
+  * driver memory; here the scan is executor-side, so column pruning and
+  * predicate pushdown reach the parquet reader and the pattern holds at
+  * 100 TB unchanged.
+  */
+object Tables {
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(spark: SparkSession, dir: String): DataFrame   = table(spark, dir, "region")
+  def nation(spark: SparkSession, dir: String): DataFrame   = table(spark, dir, "nation")
+  def customer(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame     = table(spark, dir, "part")
+  def orders(spark: SparkSession, dir: String): DataFrame   = table(spark, dir, "orders")
+  def lineitem(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "lineitem")
+  def documents(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
+
+  /** The events fixture stores `ts` as parquet nanosecond timestamps, which
+    * Spark reads as LongType under spark.sql.legacy.parquet.nanosAsLong
+    * (set in GraftSession). Normalize to a microsecond TimestampType here so
+    * every downstream operator sees a plain timestamp. Floor-division by
+    * 1000 matches DuckDB's nanos→micros truncation, keeping oracle parity.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    val raw = table(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", timestamp_micros(floor(col("ts") / 1000L).cast(LongType)))
+      case _        => raw
+    }
+  }
+}

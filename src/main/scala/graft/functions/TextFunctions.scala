@@ -1,0 +1,99 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis building blocks for the documents pipeline: tokenization,
+  * shingling, fingerprints, quality metrics, language ID. All pure built-in
+  * expressions (codegen'd, no UDFs), so Catalyst can prune/push as usual
+  * and every function has an exact ANSI-SQL twin for the DuckDB oracle.
+  *
+  * Reference analog: the reference's string surface is concat/split/replace
+  * (/root/reference/src/preprocessing_pipeline.py:145,265-268,
+  * /root/reference/src/federated_learning_pipeline.py:31); these extend the
+  * same expression family to the LLM-pipeline operators (SURVEY §2.2 P10).
+  */
+object TextFunctions {
+
+  /** Whitespace tokenization. Spark `split` keeps trailing empty strings
+    * (limit -1), matching DuckDB's string_split. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** BPE-ish subword segmentation: runs of letters, runs of digits, or a
+    * single non-alphanumeric character — the standard pre-tokenizer shape.
+    */
+  def subwordTokens(text: Column): Column =
+    regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), lit(0))
+
+  /** Word n-gram shingles, each a space-joined string; empty array when the
+    * document has fewer than n tokens. */
+  def shingles(text: Column, n: Int): Column = {
+    val t = tokens(text)
+    when(size(t) < n, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(0), size(t) - n),
+        i => concat_ws(" ", slice(t, i + 1, lit(n)))))
+  }
+
+  /** Canonical (order-insensitive) document fingerprint: md5 over the
+    * sorted distinct token set. Two bag-of-words-equal documents collide,
+    * which is exactly the dedup semantics wanted for shuffled near-dups. */
+  def canonicalFingerprint(text: Column): Column =
+    md5(concat_ws(" ", array_sort(array_distinct(tokens(text)))))
+
+  /** Exact content hash (sha-256 hex, lowercase — identical in DuckDB). */
+  def contentHash(text: Column): Column = sha2(text, 256)
+
+  // --- quality metrics (per-row arithmetic: deterministic, oracle-exact) ---
+
+  def nTokens(text: Column): Column = size(tokens(text))
+
+  def meanTokenLen(text: Column): Column =
+    (length(text) - nTokens(text) + 1).cast("double") / nTokens(text).cast("double")
+
+  private val enStopwords = Seq("the", "a", "of", "and", "in", "to", "is")
+
+  def stopwordRatio(text: Column): Column =
+    size(filter(tokens(text), t => t.isInCollection(enStopwords))).cast("double") /
+      nTokens(text).cast("double")
+
+  def alphaRatio(text: Column): Column =
+    (length(regexp_replace(text, "[^A-Za-z]", "")).cast("double") /
+      length(text).cast("double"))
+
+  /** Composite quality score in [0,1]: long-enough, word-like, not
+    * stopword-soup. The formula is arbitrary but fixed — the point is the
+    * shape (cheap per-row scoring that a 100 TB filter can push down). */
+  def qualityScore(text: Column): Column =
+    round(
+      least(nTokens(text).cast("double") / 50.0, lit(1.0)) * 0.4
+        + alphaRatio(text) * 0.4
+        + (lit(1.0) - least(stopwordRatio(text) * 2.0, lit(1.0))) * 0.2,
+      6)
+
+  // --- language ID (marker-token heuristic) ---
+
+  /** Marker tokens per language. Deliberately tiny: the operator contract
+    * is a deterministic, SQL-expressible n-gram/keyword heuristic, not a
+    * trained model. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "es" -> Seq("el", "la", "de", "que", "y"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "fr" -> Seq("le", "la", "de", "et", "est"),
+    "zh" -> Seq("de5", "shi4", "le5"))
+
+  def langScore(text: Column, markers: Seq[String]): Column =
+    size(filter(tokens(text), t => t.isInCollection(markers)))
+
+  /** argmax over langScore with first-wins tie-break in declaration order
+    * (en > es > de > fr > zh), mirrored exactly by a CASE chain in the
+    * oracle SQL. */
+  def langId(text: Column): Column = {
+    val scores = langMarkers.map { case (l, m) => l -> langScore(text, m) }
+    val maxAll = greatest(scores.map(_._2): _*)
+    scores.foldRight(lit("und")) { case ((l, s), acc) =>
+      when(s === maxAll && maxAll > 0, lit(l)).otherwise(acc)
+    }
+  }
+}

@@ -1,0 +1,71 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector math over `array<float>` embedding columns, built from codegen'd
+  * built-in higher-order functions (`zip_with`/`aggregate`/`transform`) —
+  * no UDFs, so the expressions stay inside WholeStageCodegen and work on
+  * any cluster size without serializing closures.
+  *
+  * All arithmetic is widened to double and folded left-to-right
+  * (`aggregate` is a sequential fold), so results are bit-deterministic
+  * for a given array — the property the DuckDB oracle comparison relies on.
+  *
+  * Reference analog: the closest thing the reference has to vector math is
+  * the per-pixel numpy arithmetic inside its UDFs
+  * (/root/reference/src/preprocessing_pipeline.py:77-98); here it is
+  * declarative and distributed.
+  */
+object VectorOps {
+
+  /** Σ a_i * b_i as double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (acc, v) => acc + v)
+
+  /** Σ a_i^2 as double. */
+  def normSq(a: Column): Column =
+    aggregate(a, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double"))
+
+  def norm(a: Column): Column = sqrt(normSq(a))
+
+  /** Cosine similarity in [-1, 1]; null-safe only to the extent the inputs are. */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Euclidean (L2) distance. */
+  def l2(a: Column, b: Column): Column =
+    sqrt(aggregate(
+      zip_with(a, b, (x, y) => {
+        val d = x.cast("double") - y.cast("double"); d * d
+      }),
+      lit(0.0),
+      (acc, v) => acc + v))
+
+  /** Element-wise scale: v * s as array<double>. */
+  def scale(a: Column, s: Column): Column =
+    transform(a, x => x.cast("double") * s.cast("double"))
+
+  /** Random-hyperplane signature for cosine-LSH bucketing: `nBits` sign
+    * bits packed into a long. The "hyperplanes" are pseudo-random but
+    * deterministic: plane b weights dimension i with a hash-derived value
+    * in [-0.5, 0.5), so every executor (and every round) derives the same
+    * planes with zero driver-side state to broadcast.
+    */
+  def hyperplaneSignature(vec: Column, nBits: Int): Column = {
+    // weight(b, i) ~ U[-0.5, 0.5) from xxhash64(b, i): deterministic, no RNG state
+    def planeDot(b: Int): Column =
+      aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1), (x, i) => {
+          val h = xxhash64(lit(b), i)
+          val w = (pmod(h, lit(1000000L)).cast("double") / 1000000.0) - 0.5
+          x.cast("double") * w
+        }),
+        lit(0.0), (acc, v) => acc + v)
+    (0 until nBits).map { b =>
+      when(planeDot(b) >= 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+  }
+}

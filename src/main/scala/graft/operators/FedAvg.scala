@@ -1,0 +1,61 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.WeightedMeanAgg
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** FedAvg-style weighted model averaging (SURVEY §2.4 A5; reference: TFF
+  * `build_weighted_fed_avg`,
+  * /root/reference/src/federated_learning_pipeline.py:128-132,147-151).
+  *
+  * A "round" in relational form: a table of (client, weight, weight-vector)
+  * rows → one weighted element-wise mean per group → broadcast back. On the
+  * fixtures, `embeddings` plays the per-client model table: `label` is the
+  * client id, `vec_id % 10 + 1` the example-count weight.
+  */
+object FedAvg {
+
+  val Dim = 64
+
+  /** Per-client weighted mean vectors via the custom WeightedMeanAgg
+    * Aggregator (map-side combined: the shuffle carries one 64-wide buffer
+    * per client per partition).
+    */
+  def clientMeans(spark: SparkSession, dir: String): DataFrame = {
+    val wmean = udaf(new WeightedMeanAgg(Dim))
+    Tables.embeddings(spark, dir)
+      .select(col("label").as("client_id"),
+        (col("vec_id") % 10 + 1).cast("double").as("w"),
+        col("embedding"))
+      .groupBy(col("client_id"))
+      .agg(wmean(struct(col("w"), col("embedding"))).as("mean_vec"))
+  }
+
+  /** Oracle-comparable exploded form: (client_id, dim, wmean) with the
+    * order-dependent double sum rounded. */
+  def clientMeansExploded(spark: SparkSession, dir: String): DataFrame =
+    clientMeans(spark, dir)
+      .select(col("client_id"), posexplode(col("mean_vec")))
+      .toDF("client_id", "dim", "v")
+      .select(col("client_id"), col("dim").cast("long").as("dim"),
+        round(col("v"), 6).as("wmean"))
+
+  /** One global FedAvg round: client means re-averaged into a single
+    * global vector weighted by per-client total weight — the two-level
+    * (client → global) combine of the federated loop. Returns (dim,
+    * global_wmean) rows.
+    */
+  def globalRound(spark: SparkSession, dir: String): DataFrame = {
+    val perClient = Tables.embeddings(spark, dir)
+      .select(col("label").as("client_id"),
+        (col("vec_id") % 10 + 1).cast("double").as("w"),
+        col("embedding"))
+    // Σ_c Σ_i w·v / Σ w computed in one pass — associativity of the
+    // weighted sum means client-then-global equals flat-global.
+    perClient
+      .select(posexplode(col("embedding")).as(Seq("dim", "x")), col("w"))
+      .groupBy(col("dim").cast("long").as("dim"))
+      .agg(round(sum(col("w") * col("x").cast("double")) / sum(col("w")), 6).as("global_wmean"))
+  }
+}

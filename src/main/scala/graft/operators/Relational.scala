@@ -1,0 +1,180 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Core relational surface (SURVEY §2.2 P1–P8, §2.3 J*, §2.4 A1–A4, §2.8):
+  * projections, filters, scalar functions, joins, aggregations, set ops,
+  * sorts/limits/top-k. Everything is built-in Catalyst expressions so
+  * predicate pushdown / column pruning / partial aggregation / broadcast
+  * selection all come for free (SURVEY §4.3).
+  */
+object Relational {
+
+  /** A1+P5+A3 — the reference's duplicate gate
+    * (/root/reference/src/preprocessing_pipeline.py:280): keys occurring
+    * more than once. Hash-aggregate with map-side partials; the only
+    * shuffle is on the group key.
+    */
+  def dupGate(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 1)
+
+  /** A1–A3 + stats over doubles — pricing summary (shape of TPC-H Q1).
+    * Double sums/avgs are rounded in-query: aggregation order is partition-
+    * dependent, so the stable comparable value is the rounded one.
+    */
+  def aggPricing(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") <= to_timestamp_ntz(lit("1998-09-01 00:00:00")))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity")).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(avg(col("l_quantity")), 6).as("avg_qty"),
+        round(avg(col("l_discount")), 6).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+
+  /** J-family — multiway join with broadcast dims (shape of TPC-H Q5):
+    * region ⋈ nation ⋈ customer ⋈ orders ⋈ lineitem, revenue per nation.
+    * region/nation/customer are broadcast (small dims); the only shuffle
+    * joins are orders⋈lineitem on orderkey — at 100 TB those two are the
+    * big tables and co-partition on the join key.
+    */
+  def joinRevenueByNation(spark: SparkSession, dir: String): DataFrame = {
+    val region = Tables.region(spark, dir).filter(col("r_name") =!= "EUROPE")
+    val nation = Tables.nation(spark, dir)
+    val cust = Tables.customer(spark, dir)
+    val orders = Tables.orders(spark, dir).filter(col("o_orderstatus") =!= "P")
+    val li = Tables.lineitem(spark, dir)
+    li.join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** Left-semi join (EXISTS; SURVEY §2.3 J1's engine form). */
+  def semiJoinCustomersWithOrders(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+    val fOrders = Tables.orders(spark, dir).filter(col("o_orderstatus") === "F")
+    cust.join(fOrders, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_mktsegment"))
+  }
+
+  /** Left-anti join (NOT EXISTS). */
+  def antiJoinCustomersNoOrders(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+    val orders = Tables.orders(spark, dir)
+    cust.join(orders, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_acctbal"))
+  }
+
+  /** S2 — shard-union ingest (reference: glob + pd.concat,
+    * /root/reference/src/federated_learning_pipeline.py:57-59 → UNION ALL
+    * semantics, SURVEY §2.8). Two disjoint scans unioned by name then
+    * re-aggregated.
+    */
+  def unionShards(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val a = o.filter(col("o_orderstatus") === "O")
+    val b = o.filter(col("o_orderstatus") =!= "O")
+    a.unionByName(b)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("cnt"), round(sum(col("o_totalprice")), 2).as("total"))
+  }
+
+  /** INTERSECT — engine form of the reference's Python set.intersection
+    * disjointness check (/root/reference/utils/preprocessing_testing_utils.py:69).
+    */
+  def intersectCustkeys(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    o.filter(col("o_orderstatus") === "O").select(col("o_custkey"))
+      .intersect(o.filter(col("o_orderstatus") === "F").select(col("o_custkey")))
+  }
+
+  /** EXCEPT (set difference). */
+  def exceptCustkeys(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    o.filter(col("o_orderstatus") === "O").select(col("o_custkey"))
+      .except(o.filter(col("o_orderstatus") === "F").select(col("o_custkey")))
+  }
+
+  /** A4 — distinct values (reference:
+    * /root/reference/src/preprocessing_pipeline.py:174,226). */
+  def distinctFlagStatus(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), col("l_linestatus"))
+      .distinct()
+
+  /** A6 — approx + exact distinct side by side. approx_count_distinct is
+    * HLL++ (engine-specific) so the oracle checks only the exact columns;
+    * the approx column is range-checked in the ScalaTest spec instead.
+    */
+  def distinctStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_orderkey")).as("exact_orders"),
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        count(lit(1)).as("cnt"))
+
+  /** §2.8 top-k per group — row_number window with a total order
+    * (totalprice desc, orderkey tiebreak → deterministic under ties).
+    */
+  def topOrdersPerPriority(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("o_orderpriority"), col("rn"), col("o_orderkey"), col("o_totalprice"))
+  }
+
+  /** Global sort + limit with total order. */
+  def topOrdersGlobal(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(10)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+
+  /** P1/P5/P8 + scalar math — per-row projection with casts; pushdown-
+    * friendly (filter + pruned columns reach the parquet scan).
+    */
+  def projectScalar(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_quantity") >= 30.0 && col("l_returnflag") === "R")
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").cast("int").as("qty_int"),
+        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax")), 2)
+          .as("charged"),
+        (col("l_discount") > 0.05).as("high_discount"))
+
+  /** P2/P3/P6/P7 — string surface on documents: concat path-prefix
+    * (reference /root/reference/src/preprocessing_pipeline.py:265-268),
+    * literal replace (/root/reference/src/federated_learning_pipeline.py:31),
+    * split+size (/root/reference/src/preprocessing_pipeline.py:145),
+    * name-flattening regexp_replace (SURVEY §7.4 item 2).
+    */
+  def projectStrings(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        concat(lit("corpus/"), col("source"), lit("/"), col("doc_id").cast("string"), lit(".txt"))
+          .as("path"),
+        regexp_replace(
+          concat(lit("corpus/"), col("source"), lit("/"), col("doc_id").cast("string"), lit(".txt")),
+          "/", "_").as("flat_name"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        length(col("text")).cast("long").as("n_chars_computed"),
+        upper(col("lang")).as("lang_uc"))
+}

@@ -1,0 +1,90 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Sampling & partitioning (SURVEY §2.5 D2–D5) — the reference's signature
+  * operators: stratified sampleBy, seeded randomSplit, hash repartition,
+  * partition introspection.
+  *
+  * The RNG-dependent row sets are Spark-internal, so these queries expose
+  * *invariants* with constant oracles (SURVEY §5.2 item 2 / §7.4 item 1)
+  * rather than row-level results: violation counts that must be zero, and
+  * structural facts (partition counts) that must be exact.
+  */
+object Sampling {
+
+  /** D2 — stratified sample (reference
+    * /root/reference/src/preprocessing_pipeline.py:173-176: sampleBy on the
+    * stratification key with per-label fractions, seed 42). Stratification
+    * key here: l_returnflag.
+    */
+  def stratifiedSample(spark: SparkSession, dir: String,
+                       fractions: Map[String, Double] = Map("A" -> 0.1, "N" -> 0.2, "R" -> 0.3),
+                       seed: Long = 42L): DataFrame =
+    Tables.lineitem(spark, dir).stat.sampleBy("l_returnflag", fractions, seed)
+
+  /** D2 invariant — per-stratum observed/expected fraction within ±20%
+    * (binomial tolerance; expected counts are thousands at sf0.01).
+    * Output: one row, violations = 0.
+    */
+  def sampleByInvariant(spark: SparkSession, dir: String): DataFrame = {
+    val fractions = Map("A" -> 0.1, "N" -> 0.2, "R" -> 0.3)
+    val li = Tables.lineitem(spark, dir)
+    val totals = li.groupBy(col("l_returnflag")).agg(count(lit(1)).as("total"))
+    val sampled = stratifiedSample(spark, dir, fractions)
+      .groupBy(col("l_returnflag")).agg(count(lit(1)).as("got"))
+    val fracCol = fractions.foldLeft(lit(0.0)) { case (acc, (k, v)) =>
+      when(col("l_returnflag") === k, lit(v)).otherwise(acc)
+    }
+    totals.join(sampled, Seq("l_returnflag"), "left")
+      .withColumn("expected", col("total") * fracCol)
+      .withColumn("violation",
+        when(abs(coalesce(col("got"), lit(0L)) - col("expected")) > col("expected") * 0.2, 1)
+          .otherwise(0))
+      .agg(sum(col("violation")).cast("long").as("violations"))
+  }
+
+  /** D3 — seeded random split into n disjoint clients (reference
+    * /root/reference/src/preprocessing_pipeline.py:197-199). Spark sorts
+    * within partitions before assigning, so the split is deterministic for
+    * a given seed + input.
+    */
+  def randomClientSplit(df: DataFrame, n: Int, seed: Long = 42L): Array[DataFrame] =
+    df.randomSplit(Array.fill(n)(1.0 / n), seed)
+
+  /** D3 invariant — engine form of the reference's verify_unique_split
+    * (/root/reference/utils/preprocessing_testing_utils.py:60-80, executed
+    * there as driver-side Python set intersection; here as distributed
+    * semi-join/intersect counts, SURVEY §2.3 J1):
+    * pairwise overlap rows = 0 and Σ split sizes − parent size = 0.
+    */
+  def randomSplitInvariant(spark: SparkSession, dir: String): DataFrame = {
+    val keyed = Tables.orders(spark, dir).select(col("o_orderkey"))
+    val splits = randomClientSplit(keyed, 4)
+    val overlap = splits.indices.flatMap { i =>
+      (i + 1 until splits.length).map { j =>
+        splits(i).intersect(splits(j)).count()
+      }
+    }.sum
+    val diff = splits.map(_.count()).sum - keyed.count()
+    import spark.implicits._
+    Seq((overlap, diff)).toDF("overlap_rows", "count_diff")
+  }
+
+  /** D4+D5 — hash repartition (reference
+    * /root/reference/src/preprocessing_pipeline.py:273: repartition(16, Path))
+    * + partition introspection kept inside SQL via spark_partition_id()
+    * (no rdd.glom round-trip). Output: exact partition count and the
+    * min/max rows per partition sanity bounds folded to one row.
+    */
+  def repartitionIntrospect(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .repartition(16, col("l_orderkey"))
+      .groupBy(spark_partition_id().as("pid"))
+      .agg(count(lit(1)).as("rows"))
+      .agg(
+        countDistinct(col("pid")).as("n_partitions"),
+        (max(col("rows")) > 0).as("all_nonempty"))
+}

@@ -1,0 +1,72 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.VectorOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the embeddings fixture (SURVEY §2.3 J3, §2.8
+  * top-k [EXT]): brute-force cosine top-k as the exact baseline, and a
+  * hyperplane-LSH bucketed variant as the scale path.
+  */
+object Similarity {
+
+  /** Exact top-k: queries × corpus scored with the codegen'd cosine
+    * expression, ranked per query by a window with a total order (rounded
+    * score desc, then vec_id — the rounding makes rank assignment
+    * bit-stable across engines).
+    *
+    * Scale shape: the query side is small and broadcast; the corpus scan
+    * is embarrassingly parallel; per-query top-k is a window over a
+    * shuffle keyed by query_id. For large k·|queries| a per-partition
+    * top-k (mapPartitions heap) before the shuffle would cut the exchange,
+    * but the window form keeps the whole plan in Catalyst.
+    */
+  def cosineTopK(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val queries = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val corpus = e.select(col("vec_id").as("cand_id"), col("embedding").as("cv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("cand_id"))
+    corpus.join(broadcast(queries), col("query_id") =!= col("cand_id"))
+      .withColumn("score", round(VectorOps.cosine(col("qv"), col("cv")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("cand_id"), col("score"))
+  }
+
+  /** Approximate NN via random-hyperplane LSH: both sides get an nBits
+    * sign-signature; candidates are pairs agreeing on ≥1 of the 4-bit
+    * bands (equi-join on band value — never a cross join), then exact
+    * cosine re-ranks the candidates. Recall < 1 by construction; the spec
+    * checks recall against cosineTopK rather than an oracle.
+    */
+  def annCosineTopK(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5,
+                    nBits: Int = 16, bandBits: Int = 4): DataFrame = {
+    val nBands = nBits / bandBits
+    val mask = (1L << bandBits) - 1
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"),
+        VectorOps.hyperplaneSignature(col("embedding"), nBits).as("sig"))
+    val banded = e.select(col("vec_id"), col("embedding"),
+      posexplode(transform(sequence(lit(0), lit(nBands - 1)),
+        b => call_function("shiftright", col("sig"), b.cast("int") * bandBits)
+          .bitwiseAND(lit(mask)))))
+      .toDF("vec_id", "embedding", "band_id", "band_val")
+    val qb = banded.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("band_id"), col("band_val"))
+    val cand = banded.join(broadcast(qb), Seq("band_id", "band_val"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("qv"), col("vec_id").as("cand_id"), col("embedding").as("cv"))
+      .distinct()
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("cand_id"))
+    cand.withColumn("score", round(VectorOps.cosine(col("qv"), col("cv")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("cand_id"), col("score"))
+  }
+}

@@ -1,0 +1,66 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.{TextFunctions => TF}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over the documents fixture (SURVEY §2.2 P10
+  * [EXT]): token counting, quality scoring, language ID, fingerprinting,
+  * explode-based token stats. All per-row or single-shuffle aggregations —
+  * the shapes that stream through a 100 TB corpus scan.
+  */
+object TextAnalysis {
+
+  /** Per-document metrics: whitespace tokens, BPE-ish subword tokens,
+    * quality score, stopword/alpha ratios. Pure per-row expressions (one
+    * scan, no shuffle). */
+  def docMetrics(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      TF.nTokens(col("text")).cast("long").as("n_tokens"),
+      size(TF.subwordTokens(col("text"))).cast("long").as("n_subwords"),
+      length(col("text")).cast("long").as("n_chars_c"),
+      round(TF.stopwordRatio(col("text")), 6).as("stopword_ratio"),
+      round(TF.alphaRatio(col("text")), 6).as("alpha_ratio"),
+      TF.qualityScore(col("text")).as("quality"))
+
+  /** Language ID vs the labeled lang column; also reports agreement so the
+    * heuristic's hit-rate is visible in the result. */
+  def langId(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      col("lang").as("labeled_lang"),
+      TF.langId(col("text")).as("predicted_lang"))
+
+  /** Content fingerprints: exact hash, canonical (order-insensitive)
+    * fingerprint, and a 64-bit doc signature from the canonical md5. */
+  def fingerprints(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      TF.contentHash(col("text")).as("content_sha256"),
+      TF.canonicalFingerprint(col("text")).as("canonical_md5"))
+
+  /** G1/P3 — split → explode → re-aggregate (reference shape:
+    * /root/reference/src/preprocessing_pipeline.py:145-151). Global token
+    * frequency: the explode fans out ~n_tokens× rows, then a hash agg on
+    * the token collapses them; partial aggregation keeps the shuffle at
+    * |vocab| per partition.
+    */
+  def tokenFrequency(spark: SparkSession, dir: String, minCount: Long = 100): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(TF.tokens(col("text"))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+
+  /** Per-language rollup joining metrics: lang → docs, tokens, mean
+    * quality. One scan + one shuffle on the (tiny) lang key. */
+  def langRollup(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(TF.nTokens(col("text")).cast("long")).as("n_tokens"),
+        round(avg(length(col("text"))), 6).as("avg_chars"))
+}

@@ -1,0 +1,94 @@
+package graft.streaming
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Time-window operators over the events fixture (SURVEY §2.10 [EXT]).
+  * The reference has no streaming at all; the capability contract is
+  * tumbling/sliding/session windows + dedup-within-watermark, each with a
+  * batch twin (oracle-checkable by DuckDB time-bucket SQL) and a Structured
+  * Streaming builder (exercised in the spec with a memory sink).
+  *
+  * Window starts are emitted as epoch milliseconds (unix_millis) rather
+  * than raw timestamps so the oracle comparison never depends on parquet
+  * timestamp-zone encoding.
+  */
+object EventWindows {
+
+  /** Tumbling 1-hour windows: count + value sum per (window, event_type). */
+  def tumblingCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
+      .select(unix_millis(col("w.start")).as("window_start_ms"), col("event_type"),
+        col("cnt"), col("sum_value"))
+
+  /** Sliding windows: 1-hour length, 30-minute hop — each event lands in
+    * exactly 2 windows. */
+  def slidingCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(unix_millis(col("w.start")).as("window_start_ms"), col("event_type"), col("cnt"))
+
+  /** Session windows per user: events merge while the gap to the previous
+    * event is < gap (Spark session_window semantics: session end = last
+    * event + gap). */
+  def sessionCounts(spark: SparkSession, dir: String, gap: String = "1 hour"): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+      .select(col("user_id"), unix_millis(col("w.start")).as("session_start_ms"),
+        col("n_events"), col("sum_value"))
+
+  /** Dedup-within-watermark, batch twin: the stream form is
+    * withWatermark + dropDuplicates(event_id); in batch (union-doubled to
+    * plant duplicates) that is exact distinct-by-key. */
+  def dedupByEventId(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(col("event_id"), col("event_type"))
+    ev.unionByName(ev)
+      .dropDuplicates(Seq("event_id", "event_type"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_unique"))
+  }
+
+  // --- Structured Streaming twins (spec-exercised with memory sinks) ---
+
+  /** Streaming tumbling aggregation with a 1-hour watermark over a
+    * file-driven stream of the same parquet. The plan is identical to
+    * tumblingCounts modulo the watermark node, which is the point: batch
+    * and stream share operator semantics.
+    */
+  def streamingTumblingCounts(spark: SparkSession, dir: String): DataFrame = {
+    val batchSchema = Tables.table(spark, dir, "events").schema
+    val raw = spark.readStream.schema(batchSchema)
+      .parquet(s"$dir/events.parquet")
+    val ev =
+      if (batchSchema("ts").dataType == org.apache.spark.sql.types.LongType)
+        raw.withColumn("ts",
+          timestamp_micros(floor(col("ts") / 1000L).cast("long")))
+      else raw
+    ev.withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(unix_millis(col("window.start")).as("window_start_ms"),
+        col("event_type"), col("cnt"))
+  }
+
+  /** Streaming dedup within a watermark: state holds event_ids only as
+    * long as the watermark allows — bounded state at any scale. */
+  def streamingDedup(spark: SparkSession, dir: String): DataFrame = {
+    val batchSchema = Tables.table(spark, dir, "events").schema
+    val raw = spark.readStream.schema(batchSchema)
+      .parquet(s"$dir/events.parquet")
+    val ev =
+      if (batchSchema("ts").dataType == org.apache.spark.sql.types.LongType)
+        raw.withColumn("ts",
+          timestamp_micros(floor(col("ts") / 1000L).cast("long")))
+      else raw
+    ev.withWatermark("ts", "1 hour")
+      .dropDuplicates(Seq("event_id"))
+      .select(col("event_id"), col("event_type"), col("value"))
+  }
+}

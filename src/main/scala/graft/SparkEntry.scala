@@ -145,7 +145,8 @@ object SparkEntry {
       "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
     "q10_distinct_stats" ->
       """SELECT l_returnflag, count(DISTINCT l_orderkey) AS exact_orders,
-        | count(DISTINCT l_partkey) AS exact_parts, count(*) AS cnt
+        | count(DISTINCT l_partkey) AS exact_parts, count(*) AS cnt,
+        | true AS approx_within_tol
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "q11_topk_window" ->
       """SELECT o_orderpriority, rn, o_orderkey, o_totalprice FROM (
@@ -159,7 +160,9 @@ object SparkEntry {
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
     "q13_project_scalar" ->
       """SELECT l_orderkey, l_linenumber, CAST(l_quantity AS INTEGER) AS qty_int,
-        | round(l_extendedprice * (1 - l_discount) * (1 + l_tax), 2) AS charged,
+        | CAST(round(CAST(l_extendedprice AS DECIMAL(12,2))
+        |   * (1 - CAST(l_discount AS DECIMAL(12,2)))
+        |   * (1 + CAST(l_tax AS DECIMAL(12,2))), 2) AS DOUBLE) AS charged,
         | (l_discount > 0.05) AS high_discount
         |FROM lineitem WHERE l_quantity >= 30.0 AND l_returnflag = 'R'""".stripMargin,
     "q14_project_strings" ->

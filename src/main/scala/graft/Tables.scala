@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -31,13 +31,21 @@ object Tables {
   /** The events fixture stores `ts` as parquet nanosecond timestamps, which
     * Spark reads as LongType under spark.sql.legacy.parquet.nanosAsLong
     * (set in GraftSession). Normalize to a microsecond TimestampType here so
-    * every downstream operator sees a plain timestamp. Floor-division by
-    * 1000 matches DuckDB's nanos→micros truncation, keeping oracle parity.
+    * every downstream operator sees a plain timestamp.
+    *
+    * The nanos→micros step MUST be integer division (`div`): `/` promotes
+    * to double, whose 53-bit mantissa cannot hold an epoch-nanos value, so
+    * values within ~100 ns of a microsecond boundary round UP and drift off
+    * DuckDB's truncation by 1 µs (observed: …731999935 ns → …732000 µs).
     */
+  /** Integer-exact nanos→TimestampType(µs) conversion (`div`, not `/`). */
+  def nanosToTimestamp(ns: Column): Column =
+    timestamp_micros(call_function("div", ns, lit(1000L)))
+
   def events(spark: SparkSession, dir: String): DataFrame = {
     val raw = table(spark, dir, "events")
     raw.schema("ts").dataType match {
-      case LongType => raw.withColumn("ts", timestamp_micros(floor(col("ts") / 1000L).cast(LongType)))
+      case LongType => raw.withColumn("ts", nanosToTimestamp(col("ts")))
       case _        => raw
     }
   }

@@ -48,19 +48,45 @@ object Dedup {
     docs.select(col("doc_id"), explode(TF.shingles(col("text"), n)).as("shingle"))
       .distinct()
 
-  /** Pair Jaccard from a shingle equi-join: candidates are only the pairs
-    * that share ≥1 shingle (inverted-index join, not a cross join).
-    * |A∩B| from the join; |A| and |B| from a per-doc count; Jaccard =
-    * inter / (na + nb - inter) — all-integer until the final division, so
-    * the value is oracle-exact.
+  /** Candidate (doc_a, doc_b) pairs sharing ≥1 non-hot shingle — the
+    * inverted-index equi-join, never a cross join. `dfCap` drops shingles
+    * whose document frequency exceeds the cap from CANDIDATE GENERATION
+    * only (exact Jaccard is still computed over full shingle sets by
+    * [[jaccardForCandidates]]): one stop-shingle bucket ("of the and") is
+    * quadratic in its df, so at 100 TB the cap bounds every bucket at
+    * O(cap²) while near-dup pairs above any useful threshold keep their
+    * candidacy through rarer shared shingles. The default cap (1000) is a
+    * no-op at fixture scale (max observed df: 25 at sf0.1) so the oracle
+    * comparison stays exact.
     */
-  def ngramJaccardPairs(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
-    val sh = docShingles(Tables.documents(spark, dir))
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
-    val a = sh.select(col("doc_id").as("doc_a"), col("shingle"))
-    val b = sh.select(col("doc_id").as("doc_b"), col("shingle"))
-    val inter = a.join(b, Seq("shingle"))
+  def candidatePairs(sh: DataFrame, dfCap: Int = 1000): DataFrame = {
+    val rare =
+      if (dfCap > 0) {
+        val hot = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+          .filter(col("df") > dfCap).select(col("shingle"))
+        // hot set is tiny by construction (few shingles exceed the cap)
+        sh.join(broadcast(hot), Seq("shingle"), "left_anti")
+      } else sh
+    rare.select(col("doc_id").as("doc_a"), col("shingle"))
+      .join(rare.select(col("doc_id").as("doc_b"), col("shingle")), Seq("shingle"))
       .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+  }
+
+  /** Exact Jaccard restricted to the given candidate pairs: join the pair
+    * list back to per-doc shingle sets — |A∩B| counts the shingles shared
+    * along each candidate pair, |A|/|B| come from per-doc sizes. Cost is
+    * O(|candidates| × avg shingles/doc), linear in the candidate set, so
+    * whatever generated the candidates (inverted index, MinHash bands)
+    * bounds the whole verification. All-integer until the final division —
+    * oracle-exact.
+    */
+  def jaccardForCandidates(cand: DataFrame, sh: DataFrame, threshold: Double): DataFrame = {
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+    val inter = cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), Seq("doc_b", "shingle"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("inter"))
     inter
@@ -70,6 +96,13 @@ object Dedup {
         (col("na") + col("nb") - col("inter")).cast("double"), 4))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** Brute-force n-gram Jaccard near-dup: inverted-index candidates (with
+    * the hot-shingle cap) + exact verification. */
+  def ngramJaccardPairs(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
+    val sh = docShingles(Tables.documents(spark, dir))
+    jaccardForCandidates(candidatePairs(sh), sh, threshold)
   }
 
   /** k pseudo-independent hash values per shingle: xxhash64 seeded by the
@@ -91,16 +124,22 @@ object Dedup {
 
   /** D6/J3 — full MinHash-LSH near-dup pipeline:
     * shingle → minhash(k=128) → band (32 bands × 4 rows) → band-hash
-    * equi-join → exact-Jaccard verification of the candidates.
+    * equi-join → exact-Jaccard verification of ONLY the candidate pairs
+    * (via [[jaccardForCandidates]] — the brute-force all-pairs Jaccard is
+    * never computed, which is the entire point of LSH).
     *
-    * Banding: P(pair lands in ≥1 band) = 1-(1-s⁴)³² — ≈1 for s≥0.9, ≈0.03
-    * for s≤0.5, so with verification the output matches the exact-Jaccard
-    * oracle for well-separated corpora while the join stays near-linear.
+    * Banding: P(pair lands in ≥1 band) = 1-(1-s⁴)³² — ≈1 for s≥0.8
+    * (miss ≈ 1e-9 at s=0.8), ≈0.03 for s≤0.5, so the output matches the
+    * exact-Jaccard oracle for well-separated corpora (the fixture's
+    * near-dups all have s≥0.8) while candidate generation stays
+    * near-linear: the shuffle carries one 128-long signature per doc, and
+    * the band self-join only explodes within equal-band buckets.
     */
   def minhashLshPairs(spark: SparkSession, dir: String,
                       k: Int = 128, bands: Int = 32, threshold: Double = 0.5): DataFrame = {
     val rows = k / bands
     val docs = Tables.documents(spark, dir)
+    val sh = docShingles(docs)
     val sigs = minhashSignatures(docs, k)
     val banded = sigs.select(
       col("doc_id"),
@@ -111,9 +150,7 @@ object Dedup {
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    // exact verification of candidates only
-    ngramJaccardPairs(spark, dir, threshold)
-      .join(cand, Seq("doc_a", "doc_b"), "left_semi")
+    jaccardForCandidates(cand, sh, threshold)
   }
 
   /** SimHash near-dup: 64-bit signature = sign of the per-bit ±weight vote
@@ -155,12 +192,21 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
-  /** Embedding-cosine near-dup: candidate pairs from hyperplane-LSH
-    * buckets would be the 100 TB path (see Similarity.annCosine); at
-    * fixture scale the corpus side is broadcastable, so Catalyst plans a
-    * broadcast nested-loop which is fine for n≈500. Threshold set to 0.4:
-    * the fixture's vectors are random (max cos ≈ 0.51), so this returns
-    * the genuinely-closest pairs rather than nothing.
+  /** Embedding-cosine near-dup — EXACT all-pairs with the codegen'd cosine
+    * kernel (graft.functions.CosineSimilarityExpr).
+    *
+    * Why not LSH here: this operator's contract is exact (every pair with
+    * cos ≥ threshold), and at threshold 0.4 over random-ish embeddings
+    * hyperplane-LSH cannot simultaneously prune and keep recall ≈ 1 —
+    * P(bit agree) at cos 0.4 is ≈ 0.63, so any banding tight enough to
+    * prune drops a material fraction of true pairs. The scale story is
+    * therefore: (a) the exact pass is compute-bound and the native
+    * expression makes it ~1000× cheaper per pair than the interpreted HOF
+    * form (87 s → sub-second at sf0.1); (b) when approximate recall is
+    * acceptable, use Similarity.annCosineTopK's banded path, whose recall
+    * is spec-measured. An O(n²) pair enumeration is inherent to exact
+    * all-pairs; what must scale is the per-pair cost and the broadcast
+    * (one side stays small / is blocked at 100 TB).
     */
   def embeddingNearDupPairs(spark: SparkSession, dir: String, threshold: Double = 0.4): DataFrame = {
     import graft.functions.VectorOps
@@ -168,7 +214,7 @@ object Dedup {
     val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"))
     val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
     a.join(b, col("id_a") < col("id_b"))
-      .withColumn("cos", round(VectorOps.cosine(col("va"), col("vb")), 6))
+      .withColumn("cos", round(VectorOps.cosineFast(col("va"), col("vb")), 6))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), col("cos"))
   }

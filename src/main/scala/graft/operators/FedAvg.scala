@@ -29,7 +29,9 @@ object FedAvg {
         (col("vec_id") % 10 + 1).cast("double").as("w"),
         col("embedding"))
       .groupBy(col("client_id"))
-      .agg(wmean(struct(col("w"), col("embedding"))).as("mean_vec"))
+      // the Aggregator's input type is (Double, Seq[Float]), so the udaf
+      // takes two argument columns — one per tuple element
+      .agg(wmean(col("w"), col("embedding")).as("mean_vec"))
   }
 
   /** Oracle-comparable exploded form: (client_id, dim, wmean) with the

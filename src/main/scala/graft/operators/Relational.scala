@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -116,8 +116,12 @@ object Relational {
       .distinct()
 
   /** A6 — approx + exact distinct side by side. approx_count_distinct is
-    * HLL++ (engine-specific) so the oracle checks only the exact columns;
-    * the approx column is range-checked in the ScalaTest spec instead.
+    * HLL++ whose raw estimate is engine-specific, so the comparable output
+    * is the relative-error bound (deterministic for a fixed input set): the
+    * oracle expects `approx_within_tol = true`, and the ScalaTest spec
+    * additionally range-checks the raw estimate. At 100 TB the approx
+    * column is the one you'd actually run — one pass, fixed-size sketch per
+    * group, vs countDistinct's expand+two-phase shuffle.
     */
   def distinctStats(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
@@ -125,7 +129,12 @@ object Relational {
       .agg(
         countDistinct(col("l_orderkey")).as("exact_orders"),
         countDistinct(col("l_partkey")).as("exact_parts"),
+        approx_count_distinct(col("l_orderkey"), rsd = 0.02).as("approx_orders"),
         count(lit(1)).as("cnt"))
+      .withColumn("approx_within_tol",
+        abs(col("approx_orders") - col("exact_orders")).cast("double")
+          <= col("exact_orders") * 0.1)
+      .drop("approx_orders")
 
   /** §2.8 top-k per group — row_number window with a total order
     * (totalprice desc, orderkey tiebreak → deterministic under ties).
@@ -148,16 +157,25 @@ object Relational {
 
   /** P1/P5/P8 + scalar math — per-row projection with casts; pushdown-
     * friendly (filter + pruned columns reach the parquet scan).
+    *
+    * Money arithmetic runs on DECIMAL: the source doubles carry ≤2 decimal
+    * digits, so casting each operand to DECIMAL(12,2) recovers the exact
+    * decimal value in every engine, the products are exact, and round(_, 2)
+    * is engine-independent — double-rounding half-cent values is not
+    * (Spark rounds the shortest decimal rendering, DuckDB the binary value).
     */
-  def projectScalar(spark: SparkSession, dir: String): DataFrame =
+  def projectScalar(spark: SparkSession, dir: String): DataFrame = {
+    def money(c: Column): Column = c.cast("decimal(12,2)")
     Tables.lineitem(spark, dir)
       .filter(col("l_quantity") >= 30.0 && col("l_returnflag") === "R")
       .select(
         col("l_orderkey"), col("l_linenumber"),
         col("l_quantity").cast("int").as("qty_int"),
-        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax")), 2)
-          .as("charged"),
+        round(money(col("l_extendedprice")) * (lit(1) - money(col("l_discount")))
+          * (lit(1) + money(col("l_tax"))), 2)
+          .cast("double").as("charged"),
         (col("l_discount") > 0.05).as("high_discount"))
+  }
 
   /** P2/P3/P6/P7 — string surface on documents: concat path-prefix
     * (reference /root/reference/src/preprocessing_pipeline.py:265-268),

@@ -61,16 +61,26 @@ object Sampling {
     * pairwise overlap rows = 0 and Σ split sizes − parent size = 0.
     */
   def randomSplitInvariant(spark: SparkSession, dir: String): DataFrame = {
-    val keyed = Tables.orders(spark, dir).select(col("o_orderkey"))
-    val splits = randomClientSplit(keyed, 4)
-    val overlap = splits.indices.flatMap { i =>
-      (i + 1 until splits.length).map { j =>
-        splits(i).intersect(splits(j)).count()
-      }
-    }.sum
-    val diff = splits.map(_.count()).sum - keyed.count()
-    import spark.implicits._
-    Seq((overlap, diff)).toDF("overlap_rows", "count_diff")
+    // o_orderkey is unique in orders, so a key appearing in two splits is
+    // exactly a pairwise overlap. Tag each split branch with its id, union,
+    // and check both invariants in ONE aggregation over the cached input —
+    // vs the naive n²/2 intersect jobs + n count jobs, each of which would
+    // rescan (and at 100 TB, re-shuffle) the parent.
+    // The cache is materialized by the parent count and reused by all four
+    // split branches when the returned (lazy) plan executes; it is left
+    // registered because the result must stay lazy — a few MB of keys per
+    // session, reclaimed at session stop.
+    val keyed = Tables.orders(spark, dir).select(col("o_orderkey")).cache()
+    val parentCount = keyed.count()
+    val tagged = randomClientSplit(keyed, 4).zipWithIndex
+      .map { case (df, i) => df.withColumn("split_id", lit(i)) }
+      .reduce(_.unionByName(_))
+    tagged
+      .groupBy(col("o_orderkey"))
+      .agg(count(lit(1)).as("n_assignments"))
+      .agg(
+        sum(when(col("n_assignments") > 1, 1L).otherwise(0L)).cast("long").as("overlap_rows"),
+        (sum(col("n_assignments")) - parentCount).cast("long").as("count_diff"))
   }
 
   /** D4+D5 — hash repartition (reference

@@ -31,7 +31,7 @@ object Similarity {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("cand_id"))
     corpus.join(broadcast(queries), col("query_id") =!= col("cand_id"))
-      .withColumn("score", round(VectorOps.cosine(col("qv"), col("cv")), 6))
+      .withColumn("score", round(VectorOps.cosineFast(col("qv"), col("cv")), 6))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("cand_id"), col("score"))
@@ -47,24 +47,32 @@ object Similarity {
                     nBits: Int = 16, bandBits: Int = 4): DataFrame = {
     val nBands = nBits / bandBits
     val mask = (1L << bandBits) - 1
-    val e = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("embedding"),
-        VectorOps.hyperplaneSignature(col("embedding"), nBits).as("sig"))
-    val banded = e.select(col("vec_id"), col("embedding"),
-      posexplode(transform(sequence(lit(0), lit(nBands - 1)),
-        b => call_function("shiftright", col("sig"), b.cast("int") * bandBits)
-          .bitwiseAND(lit(mask)))))
-      .toDF("vec_id", "embedding", "band_id", "band_val")
+    val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    // band table carries ids only — the candidate distinct below must never
+    // shuffle full embedding arrays as grouping keys
+    val banded = e
+      .select(col("vec_id"), VectorOps.hyperplaneSignature(col("embedding"), nBits).as("sig"))
+      .select(col("vec_id"),
+        posexplode(transform(sequence(lit(0), lit(nBands - 1)),
+          b => call_function("shiftright", col("sig"), b.cast("int") * bandBits)
+            .bitwiseAND(lit(mask)))))
+      .toDF("vec_id", "band_id", "band_val")
     val qb = banded.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
-        col("band_id"), col("band_val"))
+      .select(col("vec_id").as("query_id"), col("band_id"), col("band_val"))
     val cand = banded.join(broadcast(qb), Seq("band_id", "band_val"))
       .filter(col("query_id") =!= col("vec_id"))
-      .select(col("query_id"), col("qv"), col("vec_id").as("cand_id"), col("embedding").as("cv"))
+      .select(col("query_id"), col("vec_id").as("cand_id"))
       .distinct()
+    // re-attach vectors after the id-level dedup: corpus side by equi-join,
+    // query side broadcast (it is nQueries rows by construction)
+    val queries = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("cand_id"))
-    cand.withColumn("score", round(VectorOps.cosine(col("qv"), col("cv")), 6))
+    cand
+      .join(e.select(col("vec_id").as("cand_id"), col("embedding").as("cv")), "cand_id")
+      .join(broadcast(queries), "query_id")
+      .withColumn("score", round(VectorOps.cosineFast(col("qv"), col("cv")), 6))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("cand_id"), col("score"))

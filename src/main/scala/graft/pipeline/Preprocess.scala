@@ -112,8 +112,10 @@ object Preprocess {
     */
   def augmentPlan(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
+      // generators must be top-level select expressions (not nested in a
+      // Cast), so emit the long sequence directly and explode it bare
       .select(col("doc_id"), col("source"),
-        explode(sequence(lit(0), lit(8))).cast("long").as("variant"))
+        explode(sequence(lit(0L), lit(8L))).as("variant"))
       .select(
         col("doc_id"),
         col("variant"),

@@ -66,8 +66,7 @@ object EventWindows {
       .parquet(s"$dir/events.parquet")
     val ev =
       if (batchSchema("ts").dataType == org.apache.spark.sql.types.LongType)
-        raw.withColumn("ts",
-          timestamp_micros(floor(col("ts") / 1000L).cast("long")))
+        raw.withColumn("ts", Tables.nanosToTimestamp(col("ts")))
       else raw
     ev.withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
@@ -84,8 +83,7 @@ object EventWindows {
       .parquet(s"$dir/events.parquet")
     val ev =
       if (batchSchema("ts").dataType == org.apache.spark.sql.types.LongType)
-        raw.withColumn("ts",
-          timestamp_micros(floor(col("ts") / 1000L).cast("long")))
+        raw.withColumn("ts", Tables.nanosToTimestamp(col("ts")))
       else raw
     ev.withWatermark("ts", "1 hour")
       .dropDuplicates(Seq("event_id"))

@@ -136,9 +136,12 @@ object Dedup {
     * the band self-join only explodes within equal-band buckets.
     */
   def minhashLshPairs(spark: SparkSession, dir: String,
-                      k: Int = 128, bands: Int = 32, threshold: Double = 0.5): DataFrame = {
+                      k: Int = 128, bands: Int = 32, threshold: Double = 0.5): DataFrame =
+    minhashLshPairsFor(Tables.documents(spark, dir), k, bands, threshold)
+
+  def minhashLshPairsFor(docs: DataFrame,
+                         k: Int = 128, bands: Int = 32, threshold: Double = 0.5): DataFrame = {
     val rows = k / bands
-    val docs = Tables.documents(spark, dir)
     val sh = docShingles(docs)
     val sigs = minhashSignatures(docs, k)
     val banded = sigs.select(
@@ -177,8 +180,13 @@ object Dedup {
       .select(col("doc_id"), col("simhash"))
   }
 
-  def simhashPairs(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
-    val sigs = simhashSignatures(Tables.documents(spark, dir))
+  def simhashPairs(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame =
+    simhashPairsFor(Tables.documents(spark, dir), maxHamming)
+
+  /** SimHash near-dup over an arbitrary (doc_id, text) frame — the form the
+    * planted-near-dup recall spec drives. */
+  def simhashPairsFor(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val sigs = simhashSignatures(docs)
     val banded = sigs.select(col("doc_id"), col("simhash"),
       posexplode(transform(sequence(lit(0), lit(3)),
         b => call_function("shiftright", col("simhash"), b.cast("int") * 16)

@@ -62,8 +62,11 @@ object EventWindows {
     */
   def streamingTumblingCounts(spark: SparkSession, dir: String): DataFrame = {
     val batchSchema = Tables.table(spark, dir, "events").schema
+    // the fixture is a single parquet FILE; the file stream source needs a
+    // directory basePath, so stream the parent dir filtered to that file
     val raw = spark.readStream.schema(batchSchema)
-      .parquet(s"$dir/events.parquet")
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
     val ev =
       if (batchSchema("ts").dataType == org.apache.spark.sql.types.LongType)
         raw.withColumn("ts", Tables.nanosToTimestamp(col("ts")))
@@ -79,8 +82,11 @@ object EventWindows {
     * long as the watermark allows — bounded state at any scale. */
   def streamingDedup(spark: SparkSession, dir: String): DataFrame = {
     val batchSchema = Tables.table(spark, dir, "events").schema
+    // the fixture is a single parquet FILE; the file stream source needs a
+    // directory basePath, so stream the parent dir filtered to that file
     val raw = spark.readStream.schema(batchSchema)
-      .parquet(s"$dir/events.parquet")
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
     val ev =
       if (batchSchema("ts").dataType == org.apache.spark.sql.types.LongType)
         raw.withColumn("ts", Tables.nanosToTimestamp(col("ts")))

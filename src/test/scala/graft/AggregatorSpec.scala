@@ -1,0 +1,69 @@
+package graft
+
+import graft.functions.{ArrayMinAgg, ArraySumAgg, WeightedMeanAgg}
+import graft.operators.FedAvg
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Direct execution of the custom typed Aggregators — including the FedAvg
+  * weighted mean, the engine's flagship custom aggregate (SURVEY §2.4 A5).
+  */
+class AggregatorSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("WeightedMeanAgg computes the weighted element-wise mean") {
+    val wmean = udaf(new WeightedMeanAgg(2))
+    val df = Seq(
+      ("a", 1.0, Seq(1.0f, 10.0f)),
+      ("a", 3.0, Seq(5.0f, 2.0f)),
+      ("b", 2.0, Seq(4.0f, 4.0f))
+    ).toDF("client", "w", "vec")
+    val got = df.groupBy($"client").agg(wmean($"w", $"vec").as("m"))
+      .as[(String, Seq[Double])].collect().toMap
+    // a: (1*1 + 3*5)/4 = 4.0 ; (1*10 + 3*2)/4 = 4.0
+    assert(got("a") == Seq(4.0, 4.0))
+    assert(got("b") == Seq(4.0, 4.0))
+  }
+
+  test("WeightedMeanAgg zero-weight group returns the zero vector, not NaN") {
+    val wmean = udaf(new WeightedMeanAgg(2))
+    val df = Seq(("a", 0.0, Seq(3.0f, 4.0f))).toDF("client", "w", "vec")
+    val got = df.groupBy($"client").agg(wmean($"w", $"vec").as("m"))
+      .as[(String, Seq[Double])].head()
+    assert(got._2 == Seq(0.0, 0.0))
+  }
+
+  test("ArrayMinAgg is the element-wise min across rows") {
+    val minAgg = udaf(new ArrayMinAgg(3))
+    val df = Seq(
+      ("g", Seq(5L, 1L, 9L)),
+      ("g", Seq(3L, 7L, 2L))
+    ).toDF("k", "v")
+    val got = df.groupBy($"k").agg(minAgg($"v").as("m")).as[(String, Seq[Long])].head()
+    assert(got._2 == Seq(3L, 1L, 2L))
+  }
+
+  test("ArraySumAgg is the element-wise sum across rows") {
+    val sumAgg = udaf(new ArraySumAgg(3))
+    val df = Seq(
+      ("g", Seq(1L, -2L, 3L)),
+      ("g", Seq(10L, 20L, 30L))
+    ).toDF("k", "v")
+    val got = df.groupBy($"k").agg(sumAgg($"v").as("m")).as[(String, Seq[Long])].head()
+    assert(got._2 == Seq(11L, 18L, 33L))
+  }
+
+  test("clientMeans (q23 plan) executes and agrees with the flat SQL aggregation") {
+    // associativity: client-then-dim explode equals the direct per-dim agg
+    val viaAgg = FedAvg.clientMeansExploded(spark, TestSpark.Sf0001)
+    val viaSql = Tables.embeddings(spark, TestSpark.Sf0001)
+      .select(col("label").as("client_id"),
+        (col("vec_id") % 10 + 1).cast("double").as("w"),
+        posexplode(col("embedding")).as(Seq("dim", "x")))
+      .groupBy(col("client_id"), col("dim").cast("long").as("dim"))
+      .agg(round(sum(col("w") * col("x").cast("double")) / sum(col("w")), 6).as("wmean"))
+    assert(viaAgg.exceptAll(viaSql).count() == 0)
+    assert(viaSql.exceptAll(viaAgg).count() == 0)
+  }
+}

@@ -1,0 +1,77 @@
+package graft
+
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Planted-near-dup recall for the hash-family dedup operators (the specs
+  * the q18/q19 operators are verified by, alongside / instead of the
+  * DuckDB oracle — SimHash is keyed on Spark's xxhash64, which the oracle
+  * cannot reproduce).
+  */
+class DedupSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** 40 base docs of 60 pseudo-words + a near-dup of each (one token
+    * swapped → Jaccard ≈ 0.9, SimHash hamming small) + 10 exact copies.
+    * Pair (i, i+1000) is the planted near-dup of base doc i.
+    */
+  private lazy val planted = {
+    val rnd = new scala.util.Random(42)
+    def word() = (0 until 5).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val vocab = Vector.fill(400)(word())
+    val base = (0L until 40L).map { i =>
+      i -> (0 until 60).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    }
+    val nearDups = base.map { case (i, text) =>
+      val toks = text.split(" ")
+      toks(30) = "zzzzz" // one swapped token mid-document
+      (i + 1000L) -> toks.mkString(" ")
+    }
+    val exactCopies = base.take(10).map { case (i, text) => (i + 2000L) -> text }
+    (base ++ nearDups ++ exactCopies).toDF("doc_id", "text")
+  }
+
+  test("minhash-LSH finds every planted near-dup pair and matches brute force exactly") {
+    val got = Dedup.minhashLshPairsFor(planted, threshold = 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val wanted = (0L until 40L).map(i => (i, i + 1000L)).toSet ++
+      (0L until 10L).map(i => (i, i + 2000L)).toSet
+    assert(wanted.subsetOf(got), s"missed: ${wanted -- got}")
+    // LSH + exact verification ≡ brute force on a well-separated corpus
+    val sh = Dedup.docShingles(planted)
+    val brute = Dedup.jaccardForCandidates(Dedup.candidatePairs(sh), sh, 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(got == brute)
+  }
+
+  test("simhash finds planted near-dups with high recall and all exact copies") {
+    val got = Dedup.simhashPairsFor(planted, maxHamming = 3)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val exactPairs = (0L until 10L).map(i => (i, i + 2000L)).toSet
+    assert(exactPairs.subsetOf(got), s"missed exact-copy pairs: ${exactPairs -- got}")
+    // One token swapped in 60 gives E[hamming] ≈ 3 at 64 bits, right at the
+    // maxHamming=3 boundary, so per-pair recall is ~0.7-0.8 by design; the
+    // corpus/seed is fixed so the observed value (0.75) is deterministic.
+    // The floor catches regressions (a broken band join or vote transform
+    // collapses recall to ~0), not hash drift.
+    val nearPairs = (0L until 40L).map(i => (i, i + 1000L)).toSet
+    val recall = (nearPairs & got).size.toDouble / nearPairs.size
+    assert(recall >= 0.7, s"near-dup recall $recall < 0.7 (found ${(nearPairs & got).size}/40)")
+  }
+
+  test("hot-shingle cap only affects candidate generation, not exactness, below the cap") {
+    val sh = Dedup.docShingles(planted)
+    val capped = Dedup.jaccardForCandidates(Dedup.candidatePairs(sh, dfCap = 1000), sh, 0.5)
+    val uncapped = Dedup.jaccardForCandidates(Dedup.candidatePairs(sh, dfCap = 0), sh, 0.5)
+    assert(capped.collect().toSet == uncapped.collect().toSet)
+  }
+
+  test("exact content dedup reports each doubled doc exactly once") {
+    val df = Dedup.exactContentDedup(spark, TestSpark.Sf0001)
+    val nDocs = Tables.documents(spark, TestSpark.Sf0001).count()
+    assert(df.count() == nDocs) // every doc is planted twice by the union
+    assert(df.filter(col("cnt") =!= 2).count() == 0)
+  }
+}

@@ -1,0 +1,48 @@
+package graft
+
+import graft.operators.Relational
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class RelationalSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("A6: approx_count_distinct within tolerance of the exact count") {
+    // the raw estimate, range-checked (the query itself only exposes the
+    // boolean; this pins the underlying HLL++ accuracy)
+    val rows = Tables.lineitem(spark, TestSpark.Sf0001)
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_orderkey")).as("exact"),
+        approx_count_distinct(col("l_orderkey"), rsd = 0.02).as("approx"))
+      .as[(String, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (flag, exact, approx) =>
+      val err = math.abs(approx - exact).toDouble / exact
+      assert(err <= 0.1, s"flag $flag: approx $approx vs exact $exact (err $err)")
+    }
+    val flags = Relational.distinctStats(spark, TestSpark.Sf0001)
+      .filter(!col("approx_within_tol")).count()
+    assert(flags == 0L)
+  }
+
+  test("q13 money rounding is exact decimal (half-cent case)") {
+    // 19570.815 stored as a double is 19570.81499…; decimal-operand
+    // arithmetic must land on .82 via exact decimal rounding, matching any
+    // engine that does money math in decimal
+    val df = Seq((170.181, 0.05, 0.01)).toDF("l_extendedprice", "l_discount", "l_tax")
+    val charged = df.select(
+      round(col("l_extendedprice").cast("decimal(12,2)")
+        * (lit(1) - col("l_discount").cast("decimal(12,2)"))
+        * (lit(1) + col("l_tax").cast("decimal(12,2)")), 2)
+        .cast("double").as("charged")).as[Double].head()
+    // 170.18 * 0.95 * 1.01 = 163.294171 → 163.29
+    assert(charged == 163.29)
+  }
+
+  test("dupGate finds only keys with multiple lineitems") {
+    val df = Relational.dupGate(spark, TestSpark.Sf0001)
+    assert(df.filter(col("cnt") <= 1).count() == 0)
+    assert(df.count() > 0)
+  }
+}

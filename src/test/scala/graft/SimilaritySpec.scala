@@ -1,0 +1,56 @@
+package graft
+
+import graft.functions.VectorOps
+import graft.operators.Similarity
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SimilaritySpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("codegen'd cosine expression is numerically identical to the HOF form") {
+    val e = Tables.embeddings(spark, TestSpark.Sf0001).limit(30)
+    val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+    val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+    val diffs = a.join(b, col("id_a") < col("id_b"))
+      .select(abs(VectorOps.cosineFast(col("va"), col("vb"))
+        - VectorOps.cosine(col("va"), col("vb"))).as("d"))
+      .agg(max(col("d"))).as[Double].head()
+    assert(diffs == 0.0, s"max |cosineFast - cosine| = $diffs")
+  }
+
+  test("cosine expression survives interpreted (non-codegen) evaluation too") {
+    // identical vectors → cosine exactly 1 (also exercises nullSafeEval via
+    // a literal-only projection the optimizer constant-folds)
+    val v = Array(1.0f, 2.0f, 3.0f)
+    val d = Seq((v, v)).toDF("a", "b")
+      .select(VectorOps.cosineFast(col("a"), col("b")).as("c")).as[Double].head()
+    assert(math.abs(d - 1.0) < 1e-15)
+  }
+
+  /** ANN recall against the exact top-k — the spec q22 is verified by
+    * (banded hyperplane LSH is unreproducible in the DuckDB oracle). The
+    * floor is deliberate: 16-bit/4-band LSH trades recall for pruning; the
+    * spec pins the trade-off so a regression (e.g. a broken band join)
+    * fails loudly while normal hash drift does not.
+    */
+  test("ANN top-k recall vs exact cosine top-k") {
+    val exact = Similarity.cosineTopK(spark, TestSpark.Sf0001)
+      .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
+    val ann = Similarity.annCosineTopK(spark, TestSpark.Sf0001)
+      .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & ann).size.toDouble / exact.size
+    assert(recall >= 0.3, s"ANN recall $recall below floor 0.3 (|exact|=${exact.size})")
+  }
+
+  test("ANN candidate scores match exact scores for returned pairs") {
+    val exact = Similarity.cosineTopK(spark, TestSpark.Sf0001, nQueries = 5, k = 10)
+      .select(col("query_id"), col("cand_id"), col("score"))
+      .withColumnRenamed("score", "exact_score")
+    val ann = Similarity.annCosineTopK(spark, TestSpark.Sf0001, nQueries = 5, k = 10)
+    val bad = ann.join(exact, Seq("query_id", "cand_id"))
+      .filter(col("score") =!= col("exact_score")).count()
+    assert(bad == 0)
+  }
+}

@@ -1,0 +1,41 @@
+package graft
+
+import graft.streaming.EventWindows
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Executes the Structured Streaming twins against a memory sink and checks
+  * they agree with their batch counterparts — batch and stream share
+  * operator semantics by construction (same plan modulo the watermark).
+  */
+class StreamingSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+
+  private def runToCompletion(q: org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row]): Unit = {
+    val query = q.trigger(Trigger.AvailableNow()).start()
+    query.awaitTermination(120000)
+    assert(!query.isActive, "stream did not drain within 120s")
+  }
+
+  test("streaming tumbling counts equal the batch twin") {
+    runToCompletion(
+      EventWindows.streamingTumblingCounts(spark, TestSpark.Sf0001)
+        .writeStream.format("memory").queryName("stream_tumbling").outputMode("complete"))
+    val streamed = spark.sql("SELECT window_start_ms, event_type, cnt FROM stream_tumbling")
+    val batch = EventWindows.tumblingCounts(spark, TestSpark.Sf0001)
+      .select(col("window_start_ms"), col("event_type"), col("cnt"))
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+  }
+
+  test("streaming dedup-within-watermark passes every unique event exactly once") {
+    runToCompletion(
+      EventWindows.streamingDedup(spark, TestSpark.Sf0001)
+        .writeStream.format("memory").queryName("stream_dedup").outputMode("append"))
+    val streamed = spark.sql("SELECT event_id FROM stream_dedup")
+    val nEvents = Tables.events(spark, TestSpark.Sf0001).count()
+    assert(streamed.count() == nEvents) // fixture event_ids are unique
+    assert(streamed.distinct().count() == nEvents)
+  }
+}

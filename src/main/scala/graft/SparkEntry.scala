@@ -72,7 +72,12 @@ object SparkEntry {
     "q36_repartition_introspect" -> Sampling.repartitionIntrospect _,
     // multimodal + reference-pipeline plan (SURVEY §2.6-2.7)
     "q37_media_bytes" -> Multimodal.byteStats _,
-    "q38_augment_plan" -> Preprocess.augmentPlan _
+    "q38_augment_plan" -> Preprocess.augmentPlan _,
+    // sources exercised end-to-end (SURVEY §2.1 S1-S3, §2.9 W1)
+    "q39_csv_roundtrip" -> graft.sources.Sources.csvRoundTrip _,
+    "q40_binary_source" -> graft.sources.Sources.binarySourceStats _,
+    // the pixel pipeline itself (SURVEY §2.6-2.7 U1/U2/G2)
+    "q41_preprocess_pipeline" -> Preprocess.pipelineInvariant _
   )
 
   /** Shared CTE for the n-gram Jaccard oracle (q17 + q18: the LSH output
@@ -306,6 +311,20 @@ object SparkEntry {
         | (doc_id * 2654435761 + i * 40503) % 1000 AS param,
         | 'aug' || CAST(i AS VARCHAR) || '_' ||
         |   replace('corpus/' || source || '/' || CAST(doc_id AS VARCHAR) || '.img', '/', '_') AS aug_name
-        |FROM documents, (SELECT unnest(generate_series(0, 8)) AS i) t""".stripMargin
+        |FROM documents, (SELECT unnest(generate_series(0, 8)) AS i) t""".stripMargin,
+    "q39_csv_roundtrip" ->
+      """SELECT o_orderstatus, count(*) AS cnt, round(sum(o_totalprice), 2) AS total
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
+    // correctness runs are pinned at sf0.01 (driver contract), so the
+    // read_blob path is the sf0.01 fixture the Spark side reads at verify
+    // time; the check covers the exact file bytes end to end
+    "q40_binary_source" ->
+      """SELECT 'documents.parquet' AS file_name, CAST(size AS BIGINT) AS n_bytes
+        |FROM read_blob('/root/testdata/sf0.01/documents.parquet')""".stripMargin,
+    "q41_preprocess_pipeline" ->
+      """SELECT CAST(count(*) * 9 AS BIGINT) AS n_rows,
+        | CAST(count(*) * 9 AS BIGINT) AS n_distinct_aug_paths,
+        | CAST(9 AS BIGINT) AS n_variants, true AS px_ok
+        |FROM documents""".stripMargin
   )
 }

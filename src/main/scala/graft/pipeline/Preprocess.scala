@@ -128,6 +128,22 @@ object Preprocess {
             concat(lit("corpus/"), col("source"), lit("/"), col("doc_id").cast("string"), lit(".img")),
             "/", "_")).as("aug_name"))
 
+  /** q41 — the pixel pipeline (U1 equalize + U2 augment, typed flatMaps)
+    * executed end-to-end as an oracle-checkable invariant query: the 9×
+    * fan-out of the reference's rows-vs-files check
+    * (/root/reference/src/preprocessing_pipeline.py:296-303), augmented-name
+    * uniqueness, the variant universe, and pixel-buffer integrity. This is
+    * the harness path that actually runs the image math every round.
+    */
+  def pipelineInvariant(spark: SparkSession, dir: String): DataFrame = {
+    val aug = augment(normalize(spark, dedupGate(manifest(spark, dir))))
+    aug.toDF().agg(
+      count(lit(1)).as("n_rows"),
+      countDistinct(col("aug_path")).as("n_distinct_aug_paths"),
+      countDistinct(col("variant")).as("n_variants"),
+      (min(length(col("px"))) === 1024 && max(length(col("px"))) === 1024).as("px_ok"))
+  }
+
   /** Full chain, returning the per-client counts the reference prints. */
   def run(spark: SparkSession, dir: String, outDir: String, nClients: Int = 4): Seq[(Int, Long)] =
     splitAndSink(augment(normalize(spark, dedupGate(manifest(spark, dir)))), nClients, outDir)

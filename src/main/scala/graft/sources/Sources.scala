@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Source surface (SURVEY §2.1): explicit-schema CSV scan (S1 — replacing
@@ -48,4 +49,38 @@ object Sources {
     spark.read.format("binaryFile")
       .option("pathGlobFilter", glob)
       .load(dir)
+
+  /** q39 — S1+S2+W1 exercised end-to-end: project orders, sink it as a
+    * headered multi-shard CSV directory, re-read the directory with an
+    * explicit schema (no inference pass), and aggregate. The aggregate is
+    * identical to aggregating the source table directly, which is exactly
+    * what the oracle checks — proving the CSV round-trip is lossless
+    * (Spark writes doubles in shortest-round-trip form).
+    */
+  def csvRoundTrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = sys.props("java.io.tmpdir") + "/graft_csv_roundtrip"
+    parquet(spark, s"$dir/orders.parquet")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      .repartition(4) // a real shard directory, not a single file
+      .write.mode("overwrite").option("header", "true").csv(out)
+    val schema = StructType(Seq(
+      StructField("o_orderkey", LongType, nullable = false),
+      StructField("o_orderstatus", StringType),
+      StructField("o_totalprice", DoubleType)))
+    csvShards(spark, out, schema)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("cnt"), round(sum(col("o_totalprice")), 2).as("total"))
+  }
+
+  /** q40 — S3 exercised: the fixture parquet itself read as opaque binary.
+    * The oracle re-reads the same file with DuckDB's read_blob and checks
+    * name + byte length; exact byte-content equality (sha-256 vs a direct
+    * filesystem read) is asserted in SourcesSpec — DuckDB 1.0's sha256()
+    * only accepts VARCHAR, so the hash is not oracle-expressible.
+    */
+  def binarySourceStats(spark: SparkSession, dir: String): DataFrame =
+    binaryFiles(spark, dir, glob = "documents.parquet")
+      .select(
+        substring_index(col("path"), "/", -1).as("file_name"),
+        col("length").as("n_bytes"))
 }

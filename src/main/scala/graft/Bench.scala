@@ -14,6 +14,14 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.local("graft-bench", cpus)
+    // Steady-state warmup: JIT/codegen compilation and parquet footer reads
+    // otherwise land entirely on whichever query happens to run first,
+    // skewing per-query attribution by seconds.
+    for (t <- Seq("region", "nation", "customer", "supplier", "part",
+                  "orders", "lineitem", "events", "documents", "embeddings"))
+      spark.read.parquet(s"$sfDir/$t.parquet").write.format("noop").mode("overwrite").save()
+    spark.range(1000000).groupBy((org.apache.spark.sql.functions.col("id") % 7).as("k"))
+      .count().write.format("noop").mode("overwrite").save()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
@@ -24,6 +32,9 @@ object Bench {
           false
         }
       val dt = (System.nanoTime() - t0) / 1e9
+      // drop caches a query registered for its own multi-branch plans so
+      // the next measurement starts from the same cold-cache state
+      spark.catalog.clearCache()
       name -> (if (ok) dt else -dt)
     }
     def esc(s: String): String =

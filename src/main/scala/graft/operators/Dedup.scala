@@ -98,11 +98,56 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
-  /** Brute-force n-gram Jaccard near-dup: inverted-index candidates (with
-    * the hot-shingle cap) + exact verification. */
-  def ngramJaccardPairs(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
-    val sh = docShingles(Tables.documents(spark, dir))
-    jaccardForCandidates(candidatePairs(sh), sh, threshold)
+  /** Brute-force n-gram Jaccard near-dup, computed in ONE pass over the
+    * inverted-index self-join: |A∩B| per pair falls directly out of
+    * groupBy(pair).count() on the co-occurrence rows — no candidate
+    * materialization and no re-join against per-doc shingle sets (at sf0.1
+    * the corpus has 1.13M candidate pairs sharing ≥1 shingle; routing them
+    * through [[jaccardForCandidates]] would build a ~59M-row verification
+    * join for pairs that overwhelmingly share exactly one shingle).
+    *
+    * The hot-shingle cap excludes shingles with df > dfCap from the
+    * self-join (the skew guard: one stop-shingle bucket is df²-quadratic);
+    * their contribution to |A∩B| is then restored EXACTLY by a correction
+    * join of the surviving pairs against only the hot rows — cheap because
+    * few shingles are hot by definition. Net semantics: a pair must share
+    * ≥1 non-hot shingle to be found (documented cap trade-off; a no-op at
+    * fixture scale where max df = 25), and every found pair's Jaccard is
+    * exact over the FULL shingle sets.
+    *
+    * The shingle table feeds four plan branches — cached; at 100 TB this
+    * is where you checkpoint the shingle index to a sink instead.
+    */
+  def ngramJaccardPairs(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame =
+    ngramJaccardPairsFor(Tables.documents(spark, dir), threshold)
+
+  def ngramJaccardPairsFor(docs: DataFrame, threshold: Double = 0.5,
+                           dfCap: Int = 1000): DataFrame = {
+    val sh = docShingles(docs).cache()
+    val hot = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > dfCap).select(col("shingle"))
+    val rare = sh.join(broadcast(hot), Seq("shingle"), "left_anti")
+    val interRare = rare.select(col("doc_id").as("doc_a"), col("shingle"))
+      .join(rare.select(col("doc_id").as("doc_b"), col("shingle")), Seq("shingle"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("inter_rare"))
+    val hotSh = sh.join(broadcast(hot), Seq("shingle"), "left_semi")
+    val interHot = interRare.select(col("doc_a"), col("doc_b"))
+      .join(hotSh.select(col("doc_id").as("doc_a"), col("shingle")), "doc_a")
+      .join(hotSh.select(col("doc_id").as("doc_b"), col("shingle")), Seq("doc_b", "shingle"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("inter_hot"))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+    interRare
+      .join(interHot, Seq("doc_a", "doc_b"), "left")
+      .withColumn("inter", col("inter_rare") + coalesce(col("inter_hot"), lit(0L)))
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_shingles", "na"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_shingles", "nb"), "doc_b")
+      .withColumn("jaccard", round(col("inter").cast("double") /
+        (col("na") + col("nb") - col("inter")).cast("double"), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
   /** k pseudo-independent hash values per shingle: xxhash64 seeded by the
@@ -114,10 +159,12 @@ object Dedup {
     * values of its shingles (custom `ArrayMinAgg` Aggregator → map-side
     * combine; the shuffle carries one k-long array per doc per partition).
     */
-  def minhashSignatures(docs: DataFrame, k: Int = 128): DataFrame = {
+  def minhashSignatures(docs: DataFrame, k: Int = 128): DataFrame =
+    minhashSignaturesFromShingles(docShingles(docs), k)
+
+  def minhashSignaturesFromShingles(sh: DataFrame, k: Int): DataFrame = {
     val minAgg = udaf(new ArrayMinAgg(k))
-    docShingles(docs)
-      .select(col("doc_id"), hashVector(col("shingle"), k).as("hv"))
+    sh.select(col("doc_id"), hashVector(col("shingle"), k).as("hv"))
       .groupBy(col("doc_id"))
       .agg(minAgg(col("hv")).as("signature"))
   }
@@ -142,8 +189,10 @@ object Dedup {
   def minhashLshPairsFor(docs: DataFrame,
                          k: Int = 128, bands: Int = 32, threshold: Double = 0.5): DataFrame = {
     val rows = k / bands
-    val sh = docShingles(docs)
-    val sigs = minhashSignatures(docs, k)
+    // shared by the signature path and both verification sides (see
+    // ngramJaccardPairs for the caching rationale)
+    val sh = docShingles(docs).cache()
+    val sigs = minhashSignaturesFromShingles(sh, k)
     val banded = sigs.select(
       col("doc_id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),

@@ -1,22 +1,18 @@
 package graft.tools
 
-import graft.{GraftSession, Tables}
-import org.apache.spark.sql.functions._
+import graft.{GraftSession, SparkEntry}
 
 /** Scratch diagnostics main — not part of the engine surface. */
 object Probe {
   def main(args: Array[String]): Unit = {
-    val spark = GraftSession.local("probe", "4")
-    val raw = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
-    raw.printSchema()
-    raw.filter(col("user_id") === 145)
-      .select(col("ts"))
-      .filter(col("ts").cast("string").startsWith("17057606177"))
-      .show(5, false)
-    val ev = Tables.events(spark, "/root/testdata/sf0.01")
-    ev.filter(col("user_id") === 145 && unix_millis(col("ts")).between(1705760617000L, 1705760618000L))
-      .select(col("ts"), unix_micros(col("ts")).as("us"), unix_millis(col("ts")).as("ms"))
-      .show(5, false)
+    val spark = GraftSession.local("probe", "32")
+    val dir = "/root/testdata/sf0.1"
+    for (i <- 1 to 4) {
+      val t0 = System.nanoTime()
+      SparkEntry.queries("q14_project_strings")(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+      println(f"q14 run $i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
     spark.stop()
   }
 }

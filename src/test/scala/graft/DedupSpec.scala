@@ -40,8 +40,7 @@ class DedupSpec extends AnyFunSuite {
       (0L until 10L).map(i => (i, i + 2000L)).toSet
     assert(wanted.subsetOf(got), s"missed: ${wanted -- got}")
     // LSH + exact verification ≡ brute force on a well-separated corpus
-    val sh = Dedup.docShingles(planted)
-    val brute = Dedup.jaccardForCandidates(Dedup.candidatePairs(sh), sh, 0.5)
+    val brute = Dedup.ngramJaccardPairsFor(planted)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
     assert(got == brute)
   }
@@ -61,11 +60,23 @@ class DedupSpec extends AnyFunSuite {
     assert(recall >= 0.7, s"near-dup recall $recall < 0.7 (found ${(nearPairs & got).size}/40)")
   }
 
-  test("hot-shingle cap only affects candidate generation, not exactness, below the cap") {
-    val sh = Dedup.docShingles(planted)
-    val capped = Dedup.jaccardForCandidates(Dedup.candidatePairs(sh, dfCap = 1000), sh, 0.5)
-    val uncapped = Dedup.jaccardForCandidates(Dedup.candidatePairs(sh, dfCap = 0), sh, 0.5)
-    assert(capped.collect().toSet == uncapped.collect().toSet)
+  test("hot-shingle cap: correction join restores exact Jaccard through hot shingles") {
+    // a template block shared by many docs (high df → hot under dfCap=5)
+    // plus one near-dup pair that shares the block AND rare shingles: the
+    // pair must survive via its rare shingles, and its Jaccard must still
+    // count the hot shingles in the intersection
+    val common = "alpha beta gamma delta epsilon zeta"
+    val filler = (0L until 10L).map(i => i -> s"$common filler$i pad$i tail$i more$i")
+    val pair = Seq(
+      100L -> s"$common shared one two three four x",
+      101L -> s"$common shared one two three four y")
+    val docs = (filler ++ pair).toDF("doc_id", "text")
+    val capped = Dedup.ngramJaccardPairsFor(docs, threshold = 0.5, dfCap = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val uncapped = Dedup.ngramJaccardPairsFor(docs, threshold = 0.5, dfCap = 1000000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(capped.exists { case (a, b, _) => a == 100L && b == 101L })
+    assert(capped == uncapped, "cap must not change values for pairs sharing rare shingles")
   }
 
   test("exact content dedup reports each doubled doc exactly once") {

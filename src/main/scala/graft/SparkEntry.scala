@@ -77,7 +77,14 @@ object SparkEntry {
     "q39_csv_roundtrip" -> graft.sources.Sources.csvRoundTrip _,
     "q40_binary_source" -> graft.sources.Sources.binarySourceStats _,
     // the pixel pipeline itself (SURVEY §2.6-2.7 U1/U2/G2)
-    "q41_preprocess_pipeline" -> Preprocess.pipelineInvariant _
+    "q41_preprocess_pipeline" -> Preprocess.pipelineInvariant _,
+    // multimodal frame sampling (SURVEY §2.7 U4 [EXT])
+    "q42_frame_sample" -> Multimodal.frameSampleStats _,
+    // IVF approximate NN (SURVEY §2.3 J3 [EXT]; spec-verified like q22)
+    "q43_ivf_topk" -> ((s: SparkSession, d: String) => Similarity.ivfCosineTopK(s, d)),
+    // composed curation pipeline + label-vector assembly (SURVEY §2.2 P10, §2.3 J2)
+    "q44_corpus_curation" -> ((s: SparkSession, d: String) => TextAnalysis.corpusCuration(s, d)),
+    "q45_label_vectors" -> TextAnalysis.labelVectors _
   )
 
   /** Shared CTE for the n-gram Jaccard oracle (q17 + q18: the LSH output
@@ -101,11 +108,21 @@ object SparkEntry {
     "SELECT vec_id, label, generate_subscripts(embedding, 1) - 1 AS dim, " +
       "CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings"
 
+  /** DuckDB twin of TextFunctions.qualityScore (shared by q25/q44/q45). */
+  private val qualitySql: String =
+    """round(least(len(string_split(text, ' ')) / 50.0, 1.0) * 0.4
+      |   + (CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / length(text)) * 0.4
+      |   + (1.0 - least(CAST(len(list_filter(string_split(text, ' '),
+      |       t -> t IN ('the','a','of','and','in','to','is'))) AS DOUBLE)
+      |       / len(string_split(text, ' ')) * 2.0, 1.0)) * 0.2, 6)""".stripMargin
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted (→ driver rows-only check):
-    * q19_simhash, q22_ann_topk — both keyed on Spark's xxhash64, which
-    * DuckDB cannot reproduce; their semantics are covered by ScalaTest
-    * (planted near-dup recall / recall-vs-exact-topk).
+    * q19_simhash and q22_ann_topk are keyed on Spark's xxhash64, and
+    * q43_ivf_topk is approximate by construction — none reproducible in
+    * DuckDB; each is covered by a ScalaTest spec instead (DedupSpec planted
+    * near-dup recall; SimilaritySpec recall-vs-exact-topk for both ANN
+    * variants plus IVF partition-exactness).
     */
   def oracleSql: Map[String, String] = Map(
     "q01_dup_gate" ->
@@ -219,7 +236,7 @@ object SparkEntry {
          |SELECT dim, round(sum((vec_id % 10 + 1) * x) / sum(vec_id % 10 + 1), 6) AS global_wmean
          |FROM ex GROUP BY dim""".stripMargin,
     "q25_doc_metrics" ->
-      """SELECT doc_id,
+      s"""SELECT doc_id,
         | CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
         | CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS n_subwords,
         | CAST(length(text) AS BIGINT) AS n_chars_c,
@@ -228,11 +245,7 @@ object SparkEntry {
         |   / len(string_split(text, ' ')), 6) AS stopword_ratio,
         | round(CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
         |   / length(text), 6) AS alpha_ratio,
-        | round(least(len(string_split(text, ' ')) / 50.0, 1.0) * 0.4
-        |   + (CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / length(text)) * 0.4
-        |   + (1.0 - least(CAST(len(list_filter(string_split(text, ' '),
-        |       t -> t IN ('the','a','of','and','in','to','is'))) AS DOUBLE)
-        |       / len(string_split(text, ' ')) * 2.0, 1.0)) * 0.2, 6) AS quality
+        | $qualitySql AS quality
         |FROM documents""".stripMargin,
     "q26_langid" ->
       """WITH s AS (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
@@ -325,6 +338,30 @@ object SparkEntry {
       """SELECT CAST(count(*) * 9 AS BIGINT) AS n_rows,
         | CAST(count(*) * 9 AS BIGINT) AS n_distinct_aug_paths,
         | CAST(9 AS BIGINT) AS n_variants, true AS px_ok
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+    // every 4th 256-byte frame: counts/bytes from pure length arithmetic
+    "q42_frame_sample" ->
+      """SELECT doc_id AS media_id,
+        | CAST((F - 1) // 4 + 1 AS BIGINT) AS n_sampled,
+        | CAST(CASE WHEN (F - 1) % 4 = 0
+        |       THEN 256 * ((F - 1) // 4) + (L - 256 * (F - 1))
+        |       ELSE 256 * ((F - 1) // 4 + 1) END AS BIGINT) AS sampled_bytes
+        |FROM (SELECT doc_id, octet_length(encode(text)) AS L,
+        |        (octet_length(encode(text)) + 255) // 256 AS F
+        |      FROM documents WHERE doc_id % 3 = 2) t""".stripMargin,
+    "q44_corpus_curation" ->
+      s"""WITH q AS (SELECT doc_id, lang, sha256(text) AS h FROM documents
+         |           WHERE $qualitySql >= 0.5)
+         |SELECT lang, count(*) AS n_kept
+         |FROM (SELECT min_by(lang, doc_id) AS lang FROM q GROUP BY h) t
+         |GROUP BY lang""".stripMargin,
+    "q45_label_vectors" ->
+      s"""SELECT doc_id, CAST(generate_subscripts(l, 1) - 1 AS BIGINT) AS dim,
+         | unnest(l) AS label
+         |FROM (SELECT doc_id, [CAST(lang = 'en' AS DOUBLE), CAST(source = 'web' AS DOUBLE),
+         |        CAST(len(string_split(text, ' ')) > 100 AS DOUBLE),
+         |        CAST($qualitySql >= 0.5 AS DOUBLE),
+         |        CAST(doc_id % 2 = 0 AS DOUBLE)] AS l
+         |      FROM documents) t""".stripMargin
   )
 }

@@ -102,4 +102,16 @@ object Multimodal {
       .select(col("media_id"), col("media_type"), col("n_bytes"),
         col("n_frames").cast("long").as("n_frames"))
   }
+
+  /** q42 — frame sampling exercised end-to-end: every 4th 256-byte frame
+    * of each "video" payload, re-aggregated to (n_sampled, sampled_bytes)
+    * per media so the oracle can recompute both from pure byte-length
+    * arithmetic. The flatMap is the real 1→N frame generator; only the
+    * codec is stubbed.
+    */
+  def frameSampleStats(spark: SparkSession, dir: String): DataFrame =
+    sampleFrames(ingest(spark, dir))
+      .groupBy(col("media_id"))
+      .agg(count(lit(1)).as("n_sampled"),
+        sum(col("frame_bytes")).cast("long").as("sampled_bytes"))
 }

@@ -77,4 +77,48 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("cand_id"), col("score"))
   }
+
+  /** IVF (inverted-file) approximate NN — the second scale path next to
+    * hyperplane LSH, and the one real vector stores default to:
+    *
+    *   1. coarse quantizer: nLists centroid vectors (here: the first
+    *      nLists corpus vectors — deterministic, no trained k-means state
+    *      to ship; a trained codebook drops in as a parquet table without
+    *      touching the plan);
+    *   2. assignment: one linear pass scoring every vector against the
+    *      broadcast centroids — O(n · nLists) with the codegen'd cosine;
+    *   3. probe: each query searches only its nProbe nearest lists via an
+    *      equi-join on list_id — ~nProbe/nLists of the corpus per query
+    *      instead of all of it, which is the entire IVF trade.
+    *
+    * Recall < 1 by construction (a true neighbor may live in an unprobed
+    * list); spec-measured against cosineTopK like the LSH variant.
+    */
+  def ivfCosineTopK(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5,
+                    nLists: Int = 16, nProbe: Int = 4): DataFrame = {
+    val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val centroids = e.filter(col("vec_id") < nLists)
+      .select(col("vec_id").as("list_id"), col("embedding").as("centroid"))
+    val assignW = Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("list_id"))
+    val assigned = e.crossJoin(broadcast(centroids))
+      .withColumn("sim", VectorOps.cosineFast(col("embedding"), col("centroid")))
+      .withColumn("rn", row_number().over(assignW))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("list_id"))
+    val probeW = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("list_id"))
+    val probes = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("sim", VectorOps.cosineFast(col("qv"), col("centroid")))
+      .withColumn("rn", row_number().over(probeW))
+      .filter(col("rn") <= nProbe)
+      .select(col("query_id"), col("qv"), col("list_id"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("vec_id"))
+    assigned.join(probes, Seq("list_id"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumn("score", round(VectorOps.cosineFast(col("qv"), col("embedding")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id").as("cand_id"), col("score"))
+  }
 }

@@ -63,4 +63,39 @@ object TextAnalysis {
         count(lit(1)).as("n_docs"),
         sum(TF.nTokens(col("text")).cast("long")).as("n_tokens"),
         round(avg(length(col("text"))), 6).as("avg_chars"))
+
+  /** q44 — the composed training-data curation pass every LLM corpus goes
+    * through: per-row quality score → threshold filter → exact content
+    * dedup (keep lowest doc_id) → per-language survivor counts. Pure
+    * expressions + two hash aggregations: quality filtering streams through
+    * the scan (pushdown-friendly), dedup shuffles once on the content hash,
+    * the rollup once on the tiny lang key — the whole pass is one linear
+    * pipeline at 100 TB.
+    */
+  def corpusCuration(spark: SparkSession, dir: String, minQuality: Double = 0.5): DataFrame =
+    Tables.documents(spark, dir)
+      .filter(TF.qualityScore(col("text")) >= minQuality)
+      .select(col("doc_id"), col("lang"), TF.contentHash(col("text")).as("h"))
+      .groupBy(col("h"))
+      .agg(min_by(col("lang"), col("doc_id")).as("lang"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_kept"))
+
+  /** q45 — J2 label-vector assembly (reference: the 5-column label matrix
+    * bolted onto image paths, /root/reference/src/federated_learning_pipeline.py:29-33,
+    * 61-68): an in-row array() projection, no join needed, emitted in
+    * exploded (doc_id, dim, label) form so the oracle comparison is
+    * layout-independent.
+    */
+  def labelVectors(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        posexplode(array(
+          (col("lang") === "en").cast("double"),
+          (col("source") === "web").cast("double"),
+          (TF.nTokens(col("text")) > 100).cast("double"),
+          (TF.qualityScore(col("text")) >= 0.5).cast("double"),
+          (col("doc_id") % 2 === 0).cast("double"))))
+      .toDF("doc_id", "dim", "label")
+      .select(col("doc_id"), col("dim").cast("long").as("dim"), col("label"))
 }

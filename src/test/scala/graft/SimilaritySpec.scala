@@ -44,6 +44,26 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.3, s"ANN recall $recall below floor 0.3 (|exact|=${exact.size})")
   }
 
+  test("IVF top-k recall vs exact cosine top-k") {
+    val exact = Similarity.cosineTopK(spark, TestSpark.Sf0001)
+      .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfCosineTopK(spark, TestSpark.Sf0001)
+      .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall >= 0.3, s"IVF recall $recall below floor 0.3 (|exact|=${exact.size})")
+  }
+
+  test("IVF partitions the corpus: every vector lands in exactly one list") {
+    // k > corpus size forces every probed vector to surface, so a vector
+    // assigned to 0 or 2 lists would show up as a missing/duplicate cand
+    val full = Similarity.ivfCosineTopK(spark, TestSpark.Sf0001,
+      nQueries = 1, k = Int.MaxValue, nLists = 8, nProbe = 8)
+    val cands = full.select("cand_id").as[Long].collect()
+    assert(cands.length == cands.distinct.length)
+    val n = Tables.embeddings(spark, TestSpark.Sf0001).count()
+    assert(cands.length == n - 1) // everything except the query itself
+  }
+
   test("ANN candidate scores match exact scores for returned pairs") {
     val exact = Similarity.cosineTopK(spark, TestSpark.Sf0001, nQueries = 5, k = 10)
       .select(col("query_id"), col("cand_id"), col("score"))

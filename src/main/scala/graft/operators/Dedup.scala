@@ -150,10 +150,8 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
-  /** k pseudo-independent hash values per shingle: xxhash64 seeded by the
-    * hash index through an extra literal child. */
-  private def hashVector(shingle: Column, k: Int): Column =
-    array((0 until k).map(i => xxhash64(lit(i), shingle)): _*)
+  // (k pseudo-independent hashes are derived from two base hashes inside
+  // minhashSignaturesFromShingles — see the Kirsch-Mitzenmacher note there)
 
   /** D6 — MinHash signatures: per-doc element-wise min over the k hash
     * values of its shingles (custom `ArrayMinAgg` Aggregator → map-side
@@ -162,9 +160,20 @@ object Dedup {
   def minhashSignatures(docs: DataFrame, k: Int = 128): DataFrame =
     minhashSignaturesFromShingles(docShingles(docs), k)
 
+  /** Per-shingle hash family: the variable-length shingle string is hashed
+    * ONCE to a 64-bit base value, and the k family members are xxhash64
+    * over the fixed-width (seed_i, base) pair — k cheap 12-byte hashes
+    * instead of k full string hashes over the hottest column in the dedup
+    * family. (The h1 + i·h2 linear construction would be cheaper still but
+    * wraps 64-bit arithmetic, which ANSI mode — on by default in Spark 4 —
+    * rejects as overflow.) The project boundary materializes the base hash
+    * once so codegen cannot re-derive it per array element.
+    */
   def minhashSignaturesFromShingles(sh: DataFrame, k: Int): DataFrame = {
     val minAgg = udaf(new ArrayMinAgg(k))
-    sh.select(col("doc_id"), hashVector(col("shingle"), k).as("hv"))
+    sh.select(col("doc_id"), xxhash64(col("shingle")).as("h1"))
+      .select(col("doc_id"),
+        array((0 until k).map(i => xxhash64(lit(i), col("h1"))): _*).as("hv"))
       .groupBy(col("doc_id"))
       .agg(minAgg(col("hv")).as("signature"))
   }

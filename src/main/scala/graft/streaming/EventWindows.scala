@@ -78,6 +78,25 @@ object EventWindows {
         col("event_type"), col("cnt"))
   }
 
+  /** Streaming session windows: gap-merged per-user sessions with a
+    * watermark bounding state; closed sessions (end < watermark) emit in
+    * append mode. Plan is sessionCounts modulo the watermark node. */
+  def streamingSessionCounts(spark: SparkSession, dir: String, gap: String = "1 hour"): DataFrame = {
+    val batchSchema = Tables.table(spark, dir, "events").schema
+    val raw = spark.readStream.schema(batchSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+    val ev =
+      if (batchSchema("ts").dataType == org.apache.spark.sql.types.LongType)
+        raw.withColumn("ts", Tables.nanosToTimestamp(col("ts")))
+      else raw
+    ev.withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+      .select(col("user_id"), unix_millis(col("w.start")).as("session_start_ms"),
+        col("n_events"), col("sum_value"))
+  }
+
   /** Streaming dedup within a watermark: state holds event_ids only as
     * long as the watermark allows — bounded state at any scale. */
   def streamingDedup(spark: SparkSession, dir: String): DataFrame = {

@@ -5,13 +5,11 @@ import graft.{GraftSession, SparkEntry}
 /** Scratch diagnostics main — not part of the engine surface. */
 object Probe {
   def main(args: Array[String]): Unit = {
-    val spark = GraftSession.local("probe", "32")
-    val dir = "/root/testdata/sf0.1"
-    for (i <- 1 to 4) {
-      val t0 = System.nanoTime()
-      SparkEntry.queries("q14_project_strings")(spark, dir)
-        .write.format("noop").mode("overwrite").save()
-      println(f"q14 run $i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    val spark = GraftSession.local("probe", "8")
+    val dir = "/root/testdata/sf0.01"
+    for (q <- args) {
+      println(s"===== $q =====")
+      SparkEntry.queries(q)(spark, dir).explain("formatted")
     }
     spark.stop()
   }

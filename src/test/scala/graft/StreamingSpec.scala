@@ -29,6 +29,22 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.exceptAll(streamed).count() == 0)
   }
 
+  test("streaming session windows emit exactly the closed sessions of the batch twin") {
+    runToCompletion(
+      EventWindows.streamingSessionCounts(spark, TestSpark.Sf0001)
+        .writeStream.format("memory").queryName("stream_sessions").outputMode("append"))
+    val streamed = spark.sql(
+      "SELECT user_id, session_start_ms, n_events, sum_value FROM stream_sessions")
+    val batch = EventWindows.sessionCounts(spark, TestSpark.Sf0001)
+      .select(col("user_id"), col("session_start_ms"), col("n_events"), col("sum_value"))
+    // append mode withholds sessions still open at the final watermark
+    // (max event time − 1 h), so streamed ⊆ batch with only the tail missing
+    assert(streamed.exceptAll(batch).count() == 0, "streamed sessions must all exist in batch")
+    val sCount = streamed.count().toDouble
+    val bCount = batch.count().toDouble
+    assert(sCount >= 0.9 * bCount, s"only $sCount of $bCount sessions emitted")
+  }
+
   test("streaming dedup-within-watermark passes every unique event exactly once") {
     runToCompletion(
       EventWindows.streamingDedup(spark, TestSpark.Sf0001)

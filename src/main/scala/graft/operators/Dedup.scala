@@ -215,27 +215,32 @@ object Dedup {
   }
 
   /** SimHash near-dup: 64-bit signature = sign of the per-bit ±weight vote
-    * over token hashes (ArraySumAgg combiner); candidates from 4×16-bit
-    * band buckets — pigeonhole guarantees exact recall for hamming ≤ 3 —
-    * then verified by bit_count(xor) ≤ maxHamming.
+    * over token hashes; candidates from 4×16-bit band buckets — pigeonhole
+    * guarantees exact recall for hamming ≤ 3 — then verified by
+    * bit_count(xor) ≤ maxHamming.
+    *
+    * The per-bit votes are 64 plain `sum(when(bit, w).otherwise(-w))`
+    * aggregate columns rather than a 64-element array built per token row:
+    * scalar aggregates stay inside whole-stage codegen with map-side
+    * partial aggregation and no per-row array allocation — on the token
+    * table (the largest intermediate in this family) that is the
+    * difference between a codegen'd pipeline and an interpreted one.
+    * (ArraySumAgg remains the general element-wise combiner for genuinely
+    * array-shaped data; here the width is a compile-time constant.)
     */
   def simhashSignatures(docs: DataFrame): DataFrame = {
-    val sumAgg = udaf(new ArraySumAgg(64))
     val toks = docs.select(col("doc_id"), explode(TF.tokens(col("text"))).as("tok"))
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("w"))
       .withColumn("h", xxhash64(col("tok")))
-    val votes = toks.select(
-      col("doc_id"),
-      transform(sequence(lit(0), lit(63)),
-        j => when(call_function("shiftright", col("h"), j).bitwiseAND(lit(1L)) === 1L, col("w"))
-          .otherwise(-col("w"))).as("vote"))
-    votes.groupBy(col("doc_id")).agg(sumAgg(col("vote")).as("votes"))
-      .withColumn("simhash",
-        aggregate(
-          filter(sequence(lit(0), lit(63)), j => element_at(col("votes"), j + 1) > 0),
-          lit(0L),
-          (acc, j) => acc.bitwiseOR(call_function("shiftleft", lit(1L), j.cast("int")))))
-      .select(col("doc_id"), col("simhash"))
+    val voteCols = (0 until 64).map { j =>
+      sum(when(call_function("shiftright", col("h"), lit(j)).bitwiseAND(lit(1L)) === 1L,
+        col("w")).otherwise(-col("w"))).as(s"v$j")
+    }
+    val signBits = (0 until 64).map { j =>
+      when(col(s"v$j") > 0, lit(1L << j)).otherwise(lit(0L))
+    }
+    toks.groupBy(col("doc_id")).agg(voteCols.head, voteCols.tail: _*)
+      .select(col("doc_id"), signBits.reduce(_.bitwiseOR(_)).as("simhash"))
   }
 
   def simhashPairs(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame =

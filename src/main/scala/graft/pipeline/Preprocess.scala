@@ -91,6 +91,7 @@ object Preprocess {
     */
   def splitAndSink(aug: Dataset[AugRow], nClients: Int, outDir: String,
                    seed: Long = 42L): Seq[(Int, Long)] = {
+    val spark = aug.sparkSession
     val cached = aug.toDF().cache()
     try {
       val splits = cached.randomSplit(Array.fill(nClients)(1.0 / nClients), seed)
@@ -100,7 +101,15 @@ object Preprocess {
       withClient
         .drop("px") // payload stays for real sinks; dropped here to keep test output small
         .write.mode("overwrite").partitionBy("client_id").parquet(outDir)
-      splits.indices.map(i => i -> splits(i).count())
+      // per-client counts come from ONE scan of the written (partition-
+      // pruned) sink, not one count() job per split branch — the same
+      // rows-vs-files cross-check the reference does by listing the dir
+      // (/root/reference/src/preprocessing_pipeline.py:296-303)
+      spark.read.parquet(outDir)
+        .groupBy(col("client_id")).count()
+        .collect()
+        .map(r => r.getInt(0) -> r.getLong(1))
+        .sortBy(_._1).toSeq
     } finally cached.unpersist()
   }
 

@@ -44,6 +44,14 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.3, s"ANN recall $recall below floor 0.3 (|exact|=${exact.size})")
   }
 
+  test("cosine_f32 is registered as a SQL function via GraftExtensions") {
+    Tables.embeddings(spark, TestSpark.Sf0001).createOrReplaceTempView("emb_ext_test")
+    val d = spark.sql(
+      "SELECT cosine_f32(embedding, embedding) AS c FROM emb_ext_test ORDER BY vec_id LIMIT 1")
+      .as[Double].head()
+    assert(math.abs(d - 1.0) < 1e-12)
+  }
+
   test("IVF top-k recall vs exact cosine top-k") {
     val exact = Similarity.cosineTopK(spark, TestSpark.Sf0001)
       .select("query_id", "cand_id").as[(Long, Long)].collect().toSet

@@ -43,10 +43,28 @@ object Dedup {
 
   /** Distinct (doc_id, shingle) pairs — the shared leaf of the near-dup
     * operators. Cached by callers when fanned out.
+    *
+    * Built with a typed flatMap rather than the expression-level
+    * `explode(TF.shingles(...))`: the shingle lambda (slice + concat_ws
+    * per element) evaluates through Catalyst's interpreted higher-order
+    * path at ~11 µs per shingle, which made this leaf alone cost ~6 s at
+    * sf0.1; the compiled sliding-window closure is ~100× cheaper and
+    * byte-identical in output (split keeps trailing empties, exactly like
+    * Spark's `split(text, " ", -1)` and DuckDB's string_split).
+    * TF.shingles remains the expression-level API for SQL composition.
     */
-  def docShingles(docs: DataFrame, n: Int = 3): DataFrame =
-    docs.select(col("doc_id"), explode(TF.shingles(col("text"), n)).as("shingle"))
+  def docShingles(docs: DataFrame, n: Int = 3): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val toks = text.split(" ", -1)
+        if (toks.length < n) Iterator.empty
+        else toks.sliding(n).map(w => (id, w.mkString(" ")))
+      }
+      .toDF("doc_id", "shingle")
       .distinct()
+  }
 
   /** Candidate (doc_a, doc_b) pairs sharing ≥1 non-hot shingle — the
     * inverted-index equi-join, never a cross join. `dfCap` drops shingles
@@ -91,7 +109,9 @@ object Dedup {
       .agg(count(lit(1)).as("inter"))
     inter
       .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_shingles", "na"), "doc_a")
+      .filter(col("inter").cast("double") >= col("na") * threshold) // J ≥ t ⟹ inter ≥ t·na
       .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_shingles", "nb"), "doc_b")
+      .filter(col("inter").cast("double") >= col("nb") * threshold)
       .withColumn("jaccard", round(col("inter").cast("double") /
         (col("na") + col("nb") - col("inter")).cast("double"), 4))
       .filter(col("jaccard") >= threshold)
@@ -139,11 +159,18 @@ object Dedup {
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("inter_hot"))
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+    // J ≥ t ⟹ inter ≥ t·na (and ≥ t·nb, since |A∩B| ≤ |B| bounds the
+    // union below by |A|): filtering right after the first size join
+    // discards the dominant inter=1 mass — 1.13M candidate pairs at sf0.1
+    // collapse to the few hundred that can possibly clear the threshold —
+    // before the second join runs
     interRare
       .join(interHot, Seq("doc_a", "doc_b"), "left")
       .withColumn("inter", col("inter_rare") + coalesce(col("inter_hot"), lit(0L)))
       .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_shingles", "na"), "doc_a")
+      .filter(col("inter").cast("double") >= col("na") * threshold)
       .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_shingles", "nb"), "doc_b")
+      .filter(col("inter").cast("double") >= col("nb") * threshold)
       .withColumn("jaccard", round(col("inter").cast("double") /
         (col("na") + col("nb") - col("inter")).cast("double"), 4))
       .filter(col("jaccard") >= threshold)
@@ -166,16 +193,22 @@ object Dedup {
     * instead of k full string hashes over the hottest column in the dedup
     * family. (The h1 + i·h2 linear construction would be cheaper still but
     * wraps 64-bit arithmetic, which ANSI mode — on by default in Spark 4 —
-    * rejects as overflow.) The project boundary materializes the base hash
-    * once so codegen cannot re-derive it per array element.
+    * rejects as overflow.)
+    *
+    * The k-wide element-wise min runs as k scalar `min` aggregates — fully
+    * inside whole-stage codegen with map-side partials, no per-row array
+    * allocation — and the signature array is assembled once per GROUP
+    * afterwards. Shuffle volume is identical to the ArrayMinAgg form (one
+    * k-wide buffer per doc per partition); the saving is the per-ROW cost
+    * on the 50×-larger input side. ArrayMinAgg remains the general
+    * combiner for data whose width is not a compile-time constant.
     */
   def minhashSignaturesFromShingles(sh: DataFrame, k: Int): DataFrame = {
-    val minAgg = udaf(new ArrayMinAgg(k))
-    sh.select(col("doc_id"), xxhash64(col("shingle")).as("h1"))
-      .select(col("doc_id"),
-        array((0 until k).map(i => xxhash64(lit(i), col("h1"))): _*).as("hv"))
-      .groupBy(col("doc_id"))
-      .agg(minAgg(col("hv")).as("signature"))
+    val base = sh.select(col("doc_id"), xxhash64(col("shingle")).as("h1"))
+    val minCols = (0 until k).map(i => min(xxhash64(lit(i), col("h1"))).as(s"m$i"))
+    base.groupBy(col("doc_id"))
+      .agg(minCols.head, minCols.tail: _*)
+      .select(col("doc_id"), array((0 until k).map(i => col(s"m$i")): _*).as("signature"))
   }
 
   /** D6/J3 — full MinHash-LSH near-dup pipeline:

@@ -78,6 +78,23 @@ object EventWindows {
         col("event_type"), col("cnt"))
   }
 
+  /** Streaming sliding windows: 1-hour length, 30-minute hop, watermarked.
+    * Plan is slidingCounts modulo the watermark node. */
+  def streamingSlidingCounts(spark: SparkSession, dir: String): DataFrame = {
+    val batchSchema = Tables.table(spark, dir, "events").schema
+    val raw = spark.readStream.schema(batchSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+    val ev =
+      if (batchSchema("ts").dataType == org.apache.spark.sql.types.LongType)
+        raw.withColumn("ts", Tables.nanosToTimestamp(col("ts")))
+      else raw
+    ev.withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(unix_millis(col("w.start")).as("window_start_ms"), col("event_type"), col("cnt"))
+  }
+
   /** Streaming session windows: gap-merged per-user sessions with a
     * watermark bounding state; closed sessions (end < watermark) emit in
     * append mode. Plan is sessionCounts modulo the watermark node. */

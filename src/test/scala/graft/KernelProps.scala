@@ -1,0 +1,56 @@
+package graft
+
+import graft.functions.ImageOps
+import graft.functions.ImageOps.Gray
+import org.scalacheck.{Gen, Prop, Properties}
+
+/** ScalaCheck properties for the pure kernels (SURVEY §5.2 item 3) —
+  * runs under sbt's native ScalaCheck integration, no Spark session.
+  */
+object KernelProps extends Properties("graft.kernels") {
+
+  private val imgGen: Gen[Gray] = for {
+    bytes <- Gen.containerOfN[Array, Byte](256, Gen.choose(Byte.MinValue, Byte.MaxValue))
+  } yield Gray(16, 16, bytes)
+
+  property("equalizeHist preserves pixel count and byte range") =
+    Prop.forAll(imgGen) { img =>
+      val out = ImageOps.equalizeHist(img)
+      out.px.length == img.px.length
+    }
+
+  property("equalizeHist spans [0,255] when >=2 levels occupied") =
+    Prop.forAll(imgGen) { img =>
+      val levels = img.px.map(_ & 0xff).distinct
+      val out = ImageOps.equalizeHist(img).px.map(_ & 0xff)
+      levels.length < 2 || (out.min == 0 && out.max == 255)
+    }
+
+  property("equalizeHist is idempotent on its own output's extremes") =
+    Prop.forAll(imgGen) { img =>
+      // equalizing twice still spans the full range (stability, not drift)
+      val once = ImageOps.equalizeHist(img)
+      val twice = ImageOps.equalizeHist(once)
+      val l1 = once.px.map(_ & 0xff); val l2 = twice.px.map(_ & 0xff)
+      l1.distinct.length < 2 || (l2.min == 0 && l2.max == 255)
+    }
+
+  property("augmentVariants: deterministic per seed, 9 indexed variants") =
+    Prop.forAll(imgGen, Gen.long) { (img, seed) =>
+      val a = ImageOps.augmentVariants(img, seed)
+      val b = ImageOps.augmentVariants(img, seed)
+      a.map(_._1) == (0 until 9) &&
+        a.zip(b).forall { case ((_, x), (_, y)) => java.util.Arrays.equals(x.px, y.px) }
+    }
+
+  property("warpAffine output size equals input size for any params") =
+    Prop.forAll(imgGen, Gen.choose(-45.0, 45.0), Gen.choose(0.5, 2.0)) { (img, deg, scale) =>
+      ImageOps.warpAffine(img, deg, scale, 0, 0).px.length == img.px.length
+    }
+
+  property("flattenName never contains '/' after the prefix") =
+    Prop.forAll(Gen.listOf(Gen.alphaNumStr), Gen.alphaNumStr) { (segs, prefix) =>
+      val path = segs.mkString("/")
+      !ImageOps.flattenName(path, prefix).drop(prefix.length + 1).contains('/')
+    }
+}

@@ -29,6 +29,17 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.exceptAll(streamed).count() == 0)
   }
 
+  test("streaming sliding counts equal the batch twin") {
+    runToCompletion(
+      EventWindows.streamingSlidingCounts(spark, TestSpark.Sf0001)
+        .writeStream.format("memory").queryName("stream_sliding").outputMode("complete"))
+    val streamed = spark.sql("SELECT window_start_ms, event_type, cnt FROM stream_sliding")
+    val batch = EventWindows.slidingCounts(spark, TestSpark.Sf0001)
+      .select(col("window_start_ms"), col("event_type"), col("cnt"))
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+  }
+
   test("streaming session windows emit exactly the closed sessions of the batch twin") {
     runToCompletion(
       EventWindows.streamingSessionCounts(spark, TestSpark.Sf0001)

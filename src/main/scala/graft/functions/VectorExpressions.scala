@@ -88,3 +88,63 @@ case class CosineSimilarityExpr(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): CosineSimilarityExpr =
     copy(left = newLeft, right = newRight)
 }
+
+/** Random-hyperplane sign signature for cosine LSH, as a native codegen'd
+  * expression: `nBits` sign bits of hash-derived hyperplane dot products,
+  * packed into a long.
+  *
+  * Hyperplane b weights dimension i with
+  * `floorMod(xxh64(b·1000003 + i), 1e6)/1e6 − 0.5` — deterministic on
+  * every executor with zero driver state to broadcast (the property the
+  * HOF predecessor also had). As an Expression the nBits×dim loop runs
+  * compiled with one hash per (bit, dim) and no per-element boxing; the
+  * equivalent `aggregate(zip_with(...))` composition evaluated the lambda
+  * interpreter nBits·dim times per row.
+  */
+case class HyperplaneSignatureExpr(child: Expression, nBits: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) if nBits >= 1 && nBits <= 64 => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float> and 1 <= nBits <= 64, " +
+        s"got ${child.dataType.simpleString}, nBits=$nBits")
+  }
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "hyperplane_sig"
+
+  override protected def nullSafeEval(input: Any): Any =
+    HyperplaneSignatureExpr.signature(input.asInstanceOf[ArrayData], nBits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, v =>
+      s"graft.functions.HyperplaneSignatureExpr.signature($v, $nBits)")
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneSignatureExpr =
+    copy(child = newChild)
+}
+
+object HyperplaneSignatureExpr {
+  /** w(b, i) ~ U[-0.5, 0.5) from xxh64 — shared by eval and codegen. */
+  def weight(b: Int, i: Int): Double = {
+    val h = org.apache.spark.sql.catalyst.expressions.XXH64
+      .hashLong(b.toLong * 1000003L + i, 42L)
+    java.lang.Math.floorMod(h, 1000000L).toDouble / 1000000.0 - 0.5
+  }
+
+  /** Codegen entry point: the full signature loop as one static call. */
+  def signature(v: ArrayData, nBits: Int): Long = {
+    val n = v.numElements()
+    var sig = 0L
+    var b = 0
+    while (b < nBits) {
+      var dot = 0.0
+      var i = 0
+      while (i < n) { dot += v.getFloat(i).toDouble * weight(b, i); i += 1 }
+      if (dot >= 0) sig |= 1L << b
+      b += 1
+    }
+    sig
+  }
+}

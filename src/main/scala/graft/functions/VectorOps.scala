@@ -61,23 +61,13 @@ object VectorOps {
     transform(a, x => x.cast("double") * s.cast("double"))
 
   /** Random-hyperplane signature for cosine-LSH bucketing: `nBits` sign
-    * bits packed into a long. The "hyperplanes" are pseudo-random but
+    * bits packed into a long, computed by the native codegen'd
+    * [[HyperplaneSignatureExpr]]. The "hyperplanes" are pseudo-random but
     * deterministic: plane b weights dimension i with a hash-derived value
     * in [-0.5, 0.5), so every executor (and every round) derives the same
     * planes with zero driver-side state to broadcast.
     */
-  def hyperplaneSignature(vec: Column, nBits: Int): Column = {
-    // weight(b, i) ~ U[-0.5, 0.5) from xxhash64(b, i): deterministic, no RNG state
-    def planeDot(b: Int): Column =
-      aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1), (x, i) => {
-          val h = xxhash64(lit(b), i)
-          val w = (pmod(h, lit(1000000L)).cast("double") / 1000000.0) - 0.5
-          x.cast("double") * w
-        }),
-        lit(0.0), (acc, v) => acc + v)
-    (0 until nBits).map { b =>
-      when(planeDot(b) >= 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
-    }.reduce(_.bitwiseOR(_))
-  }
+  def hyperplaneSignature(vec: Column, nBits: Int): Column =
+    org.apache.spark.sql.GraftSql.column(
+      HyperplaneSignatureExpr(org.apache.spark.sql.GraftSql.expression(vec), nBits))
 }

@@ -43,6 +43,15 @@ class DedupSpec extends AnyFunSuite {
     val brute = Dedup.ngramJaccardPairsFor(planted)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
     assert(got == brute)
+    // the inverted-index candidate generator must cover every true pair
+    // (it is the recall-1 superset both exact paths rely on)
+    val sh = Dedup.docShingles(planted)
+    val cand = Dedup.candidatePairs(sh)
+      .as[(Long, Long)].collect().toSet
+    assert(brute.subsetOf(cand))
+    val verified = Dedup.jaccardForCandidates(cand.toSeq.toDF("doc_a", "doc_b"), sh, 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(verified == brute)
   }
 
   test("simhash finds planted near-dups with high recall and all exact copies") {

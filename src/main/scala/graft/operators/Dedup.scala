@@ -317,9 +317,13 @@ object Dedup {
     val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
     val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"))
     val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
-    a.join(b, col("id_a") < col("id_b"))
-      .withColumn("cos", round(VectorOps.cosineFast(col("va"), col("vb")), 6))
-      .filter(col("cos") >= threshold)
-      .select(col("id_a"), col("id_b"), col("cos"))
+    // the cosine threshold lives IN the join condition: the nested-loop
+    // join then emits only passing pairs (~0.01% here) instead of
+    // materializing n²/2 rows carrying two embedding arrays each — the
+    // surviving pairs re-score once, which is negligible
+    a.join(b, col("id_a") < col("id_b")
+        && round(VectorOps.cosineFast(col("va"), col("vb")), 6) >= threshold)
+      .select(col("id_a"), col("id_b"),
+        round(VectorOps.cosineFast(col("va"), col("vb")), 6).as("cos"))
   }
 }

@@ -1,20 +1,19 @@
 package graft.tools
 
-import graft.GraftSession
-import graft.streaming.EventWindows
-import org.apache.spark.sql.streaming.Trigger
+import graft.{GraftSession, SparkEntry}
 
 /** Scratch diagnostics main — not part of the engine surface. */
 object Probe {
   def main(args: Array[String]): Unit = {
-    val spark = GraftSession.local("probe", "8")
-    val dir = "/root/testdata/sf0.001"
-    val q = EventWindows.streamingSlidingCounts(spark, dir)
-      .writeStream.format("memory").queryName("probe_sliding").outputMode("complete")
-      .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(120000)
-    println("stream active after drain: " + q.isActive)
-    spark.sql("SELECT count(*) AS n, sum(cnt) AS total_events FROM probe_sliding").show()
+    val spark = GraftSession.local("probe", "32")
+    val dir = "/root/testdata/sf0.1"
+    spark.read.parquet(s"$dir/embeddings.parquet").write.format("noop").mode("overwrite").save()
+    for (i <- 1 to 3) {
+      val t0 = System.nanoTime()
+      SparkEntry.queries("q20_embed_neardup")(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+      println(f"q20 run $i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
     spark.stop()
   }
 }

@@ -123,18 +123,26 @@ object Relational {
     * column is the one you'd actually run — one pass, fixed-size sketch per
     * group, vs countDistinct's expand+two-phase shuffle.
     */
-  def distinctStats(spark: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(spark, dir)
-      .groupBy(col("l_returnflag"))
-      .agg(
-        countDistinct(col("l_orderkey")).as("exact_orders"),
-        countDistinct(col("l_partkey")).as("exact_parts"),
-        approx_count_distinct(col("l_orderkey"), rsd = 0.02).as("approx_orders"),
+  def distinctStats(spark: SparkSession, dir: String): DataFrame = {
+    // Two exact distincts on DIFFERENT columns in one groupBy would plan
+    // an Expand (row count × n_distinct_aggs before the shuffle); two
+    // pre-deduplicated partial aggregations joined on the 3-row group key
+    // shuffle strictly less and keep every stage map-side combined.
+    val li = Tables.lineitem(spark, dir)
+    def exactDistinct(c: String, as: String) =
+      li.select(col("l_returnflag"), col(c)).distinct()
+        .groupBy(col("l_returnflag")).agg(count(lit(1)).as(as))
+    li.groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_orderkey"), rsd = 0.02).as("approx_orders"),
         count(lit(1)).as("cnt"))
+      .join(exactDistinct("l_orderkey", "exact_orders"), "l_returnflag")
+      .join(exactDistinct("l_partkey", "exact_parts"), "l_returnflag")
       .withColumn("approx_within_tol",
         abs(col("approx_orders") - col("exact_orders")).cast("double")
           <= col("exact_orders") * 0.1)
-      .drop("approx_orders")
+      .select(col("l_returnflag"), col("exact_orders"), col("exact_parts"),
+        col("cnt"), col("approx_within_tol"))
+  }
 
   /** §2.8 top-k per group — row_number window with a total order
     * (totalprice desc, orderkey tiebreak → deterministic under ties).

@@ -247,33 +247,42 @@ object Dedup {
     jaccardForCandidates(cand, sh, threshold)
   }
 
-  /** SimHash near-dup: 64-bit signature = sign of the per-bit ±weight vote
-    * over token hashes; candidates from 4×16-bit band buckets — pigeonhole
-    * guarantees exact recall for hamming ≤ 3 — then verified by
-    * bit_count(xor) ≤ maxHamming.
-    *
-    * The per-bit votes are 64 plain `sum(when(bit, w).otherwise(-w))`
-    * aggregate columns rather than a 64-element array built per token row:
-    * scalar aggregates stay inside whole-stage codegen with map-side
-    * partial aggregation and no per-row array allocation — on the token
-    * table (the largest intermediate in this family) that is the
-    * difference between a codegen'd pipeline and an interpreted one.
-    * (ArraySumAgg remains the general element-wise combiner for genuinely
-    * array-shaped data; here the width is a compile-time constant.)
+  /** The 64-bit SimHash of one document: token-frequency-weighted ±1 votes
+    * per bit of each token's xxhash64 (seed 42, byte-identical to Spark's
+    * `xxhash64(tok)`), sign-packed. Pure per-document function — SimHash
+    * needs no cross-row state, so computing it inside the row is the
+    * scale-optimal form: ZERO shuffle until the (tiny) band join.
+    */
+  def simhash64(text: String): Long = {
+    val counts = scala.collection.mutable.HashMap.empty[String, Int]
+    text.split(" ", -1).foreach(t => counts.update(t, counts.getOrElse(t, 0) + 1))
+    val votes = new Array[Long](64)
+    counts.foreach { case (tok, w) =>
+      val u = org.apache.spark.unsafe.types.UTF8String.fromString(tok)
+      val h = org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, 42L)
+      var j = 0
+      while (j < 64) { if (((h >>> j) & 1L) == 1L) votes(j) += w else votes(j) -= w; j += 1 }
+    }
+    var sig = 0L
+    var j = 0
+    while (j < 64) { if (votes(j) > 0) sig |= 1L << j; j += 1 }
+    sig
+  }
+
+  /** SimHash near-dup signatures: one typed map over the corpus (see
+    * [[simhash64]]) — the earlier explode → groupBy(doc, tok) → 64-vote
+    * aggregation form shuffled the full token table for a quantity that is
+    * per-document by definition. Candidates come from 4×16-bit band
+    * buckets — pigeonhole guarantees exact recall for hamming ≤ 3 — then
+    * verified by bit_count(xor) ≤ maxHamming.
     */
   def simhashSignatures(docs: DataFrame): DataFrame = {
-    val toks = docs.select(col("doc_id"), explode(TF.tokens(col("text"))).as("tok"))
-      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("w"))
-      .withColumn("h", xxhash64(col("tok")))
-    val voteCols = (0 until 64).map { j =>
-      sum(when(call_function("shiftright", col("h"), lit(j)).bitwiseAND(lit(1L)) === 1L,
-        col("w")).otherwise(-col("w"))).as(s"v$j")
-    }
-    val signBits = (0 until 64).map { j =>
-      when(col(s"v$j") > 0, lit(1L << j)).otherwise(lit(0L))
-    }
-    toks.groupBy(col("doc_id")).agg(voteCols.head, voteCols.tail: _*)
-      .select(col("doc_id"), signBits.reduce(_.bitwiseOR(_)).as("simhash"))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) => (id, simhash64(text)) }
+      .toDF("doc_id", "simhash")
   }
 
   def simhashPairs(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame =

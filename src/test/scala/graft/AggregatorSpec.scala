@@ -54,6 +54,16 @@ class AggregatorSpec extends AnyFunSuite {
     assert(got._2 == Seq(11L, 18L, 33L))
   }
 
+  test("W4 model save: global weights round-trip through a parquet sink losslessly") {
+    val outDir = "target/test-output/global-model"
+    val weights = FedAvg.globalRound(spark, TestSpark.Sf0001)
+    weights.write.mode("overwrite").parquet(outDir)
+    val back = spark.read.parquet(outDir)
+    assert(back.count() == FedAvg.Dim)
+    assert(back.exceptAll(weights).count() == 0)
+    assert(weights.exceptAll(back).count() == 0)
+  }
+
   test("clientMeans (q23 plan) executes and agrees with the flat SQL aggregation") {
     // associativity: client-then-dim explode equals the direct per-dim agg
     val viaAgg = FedAvg.clientMeansExploded(spark, TestSpark.Sf0001)

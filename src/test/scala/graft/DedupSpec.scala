@@ -88,6 +88,20 @@ class DedupSpec extends AnyFunSuite {
     assert(capped == uncapped, "cap must not change values for pairs sharing rare shingles")
   }
 
+  test("degenerate corpora: empty and too-short docs produce empty results, no crash") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Dedup.ngramJaccardPairsFor(empty).count() == 0)
+    assert(Dedup.minhashLshPairsFor(empty).count() == 0)
+    assert(Dedup.simhashPairsFor(empty).count() == 0)
+    // docs shorter than the shingle width contribute no shingles
+    val short = Seq((1L, "only two"), (2L, "only two"), (3L, "a")).toDF("doc_id", "text")
+    assert(Dedup.ngramJaccardPairsFor(short).count() == 0)
+    // ...but identical short docs are still exact-dup detectable by simhash
+    val shortPairs = Dedup.simhashPairsFor(short)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(shortPairs.contains((1L, 2L)))
+  }
+
   test("exact content dedup reports each doubled doc exactly once") {
     val df = Dedup.exactContentDedup(spark, TestSpark.Sf0001)
     val nDocs = Tables.documents(spark, TestSpark.Sf0001).count()

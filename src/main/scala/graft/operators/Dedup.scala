@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import graft.functions.{ArrayMinAgg, ArraySumAgg, TextFunctions => TF}
+import graft.functions.{TextFunctions => TF}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -177,12 +177,9 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
-  // (k pseudo-independent hashes are derived from two base hashes inside
-  // minhashSignaturesFromShingles — see the Kirsch-Mitzenmacher note there)
-
   /** D6 — MinHash signatures: per-doc element-wise min over the k hash
-    * values of its shingles (custom `ArrayMinAgg` Aggregator → map-side
-    * combine; the shuffle carries one k-long array per doc per partition).
+    * values of its shingles (map-side-combined scalar min aggregates; the
+    * shuffle carries one k-long buffer per doc per partition).
     */
   def minhashSignatures(docs: DataFrame, k: Int = 128): DataFrame =
     minhashSignaturesFromShingles(docShingles(docs), k)

@@ -88,6 +88,16 @@ class DedupSpec extends AnyFunSuite {
     assert(capped == uncapped, "cap must not change values for pairs sharing rare shingles")
   }
 
+  test("docShingles (compiled flatMap) is byte-identical to the TF.shingles expression form") {
+    import graft.functions.{TextFunctions => TF}
+    val viaFlatMap = Dedup.docShingles(planted)
+    val viaExpr = planted
+      .select(col("doc_id"), explode(TF.shingles(col("text"), 3)).as("shingle"))
+      .distinct()
+    assert(viaFlatMap.exceptAll(viaExpr).count() == 0)
+    assert(viaExpr.exceptAll(viaFlatMap).count() == 0)
+  }
+
   test("degenerate corpora: empty and too-short docs produce empty results, no crash") {
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
     assert(Dedup.ngramJaccardPairsFor(empty).count() == 0)

@@ -60,10 +60,19 @@ object Dedup {
       .flatMap { case (id, text) =>
         val toks = text.split(" ", -1)
         if (toks.length < n) Iterator.empty
-        else toks.sliding(n).map(w => (id, w.mkString(" ")))
+        else {
+          // "distinct (doc_id, shingle)" is per-document by construction,
+          // so dedup inside the row with a doc-bounded HashSet — a
+          // DataFrame-level distinct() would shuffle the full shingle
+          // table to deduplicate what never crosses rows
+          val seen = scala.collection.mutable.HashSet.empty[String]
+          toks.sliding(n).flatMap { w =>
+            val s = w.mkString(" ")
+            if (seen.add(s)) Iterator.single((id, s)) else Iterator.empty
+          }
+        }
       }
       .toDF("doc_id", "shingle")
-      .distinct()
   }
 
   /** Candidate (doc_a, doc_b) pairs sharing ≥1 non-hot shingle — the

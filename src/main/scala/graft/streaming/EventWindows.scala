@@ -114,6 +114,38 @@ object EventWindows {
         col("n_events"), col("sum_value"))
   }
 
+  /** Custom-state streaming aggregation (mapGroupsWithState): per-user
+    * running event count and value total held in explicit
+    * `GroupState[UserTotals]`. This is the escape hatch for stateful
+    * semantics the built-in windows can't express; state is one fixed-size
+    * record per user — bounded, partitioned by the group key, and
+    * checkpointable, which is what keeps it viable on an unbounded stream.
+    */
+  case class UserTotals(n: Long, total: Double)
+
+  def streamingUserTotals(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val batchSchema = Tables.table(spark, dir, "events").schema
+    val raw = spark.readStream.schema(batchSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+    val ev =
+      if (batchSchema("ts").dataType == org.apache.spark.sql.types.LongType)
+        raw.withColumn("ts", Tables.nanosToTimestamp(col("ts")))
+      else raw
+    ev.select(col("user_id"), col("value")).as[(Long, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[UserTotals, (Long, Long, Double)](
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
+        case (uid, rows, state) =>
+          var s = state.getOption.getOrElse(UserTotals(0L, 0.0))
+          rows.foreach { case (_, v) => s = UserTotals(s.n + 1, s.total + v) }
+          state.update(s)
+          (uid, s.n, s.total)
+      }
+      .toDF("user_id", "n_events", "total_value")
+  }
+
   /** Streaming dedup within a watermark: state holds event_ids only as
     * long as the watermark allows — bounded state at any scale. */
   def streamingDedup(spark: SparkSession, dir: String): DataFrame = {

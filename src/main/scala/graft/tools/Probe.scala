@@ -1,19 +1,19 @@
 package graft.tools
 
-import graft.{GraftSession, SparkEntry}
+import graft.GraftSession
+import graft.streaming.EventWindows
+import org.apache.spark.sql.streaming.Trigger
 
 /** Scratch diagnostics main — not part of the engine surface. */
 object Probe {
   def main(args: Array[String]): Unit = {
-    val spark = GraftSession.local("probe", "32")
-    val dir = "/root/testdata/sf0.1"
-    spark.read.parquet(s"$dir/lineitem.parquet").write.format("noop").mode("overwrite").save()
-    for (i <- 1 to 3) {
-      val t0 = System.nanoTime()
-      SparkEntry.queries("q10_distinct_stats")(spark, dir)
-        .write.format("noop").mode("overwrite").save()
-      println(f"q10 run $i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
-    }
+    val spark = GraftSession.local("probe", "8")
+    val q = EventWindows.streamingUserTotals(spark, "/root/testdata/sf0.001")
+      .writeStream.format("memory").queryName("probe_totals").outputMode("update")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    println("active after drain: " + q.isActive)
+    spark.sql("SELECT count(*) AS n_users, sum(n_events) AS n_events FROM probe_totals").show()
     spark.stop()
   }
 }

@@ -56,6 +56,23 @@ class StreamingSpec extends AnyFunSuite {
     assert(sCount >= 0.9 * bCount, s"only $sCount of $bCount sessions emitted")
   }
 
+  test("mapGroupsWithState per-user totals match the batch aggregation") {
+    runToCompletion(
+      EventWindows.streamingUserTotals(spark, TestSpark.Sf0001)
+        .writeStream.format("memory").queryName("stream_user_totals").outputMode("update"))
+    val streamed = spark.sql(
+      "SELECT user_id, n_events, total_value FROM stream_user_totals")
+    val batch = Tables.events(spark, TestSpark.Sf0001)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events_b"), sum(col("value")).as("total_b"))
+    // double accumulation order differs between the stateful stream and the
+    // batch hash aggregate, so totals compare with an fp tolerance
+    val joined = streamed.join(batch, "user_id")
+    assert(joined.count() == batch.count(), "every user must appear exactly once")
+    assert(joined.filter(col("n_events") =!= col("n_events_b")).count() == 0)
+    assert(joined.filter(abs(col("total_value") - col("total_b")) > 1e-6).count() == 0)
+  }
+
   test("streaming dedup-within-watermark passes every unique event exactly once") {
     runToCompletion(
       EventWindows.streamingDedup(spark, TestSpark.Sf0001)

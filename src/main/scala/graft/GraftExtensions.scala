@@ -1,9 +1,9 @@
 package graft
 
-import graft.functions.CosineSimilarityExpr
+import graft.functions.{CosineSimilarityExpr, HyperplaneSignatureExpr}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
 /** Engine extension point (`spark.sql.extensions=graft.GraftExtensions`,
   * set by GraftSession): registers the engine's native expressions with the
@@ -19,6 +19,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.length == 2, s"cosine_f32 takes 2 arguments, got ${children.length}")
         CosineSimilarityExpr(children.head, children(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("hyperplane_sig"),
+      new ExpressionInfo(classOf[HyperplaneSignatureExpr].getName, "hyperplane_sig"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          s"hyperplane_sig takes (vector, nBits) arguments, got ${children.length}")
+        val nBits = children(1) match {
+          case Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"hyperplane_sig nBits must be an integer literal, got $other")
+        }
+        HyperplaneSignatureExpr(children.head, nBits)
       }))
   }
 }

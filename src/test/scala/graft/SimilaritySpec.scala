@@ -44,12 +44,18 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.3, s"ANN recall $recall below floor 0.3 (|exact|=${exact.size})")
   }
 
-  test("cosine_f32 is registered as a SQL function via GraftExtensions") {
+  test("cosine_f32 and hyperplane_sig are registered as SQL functions via GraftExtensions") {
     Tables.embeddings(spark, TestSpark.Sf0001).createOrReplaceTempView("emb_ext_test")
     val d = spark.sql(
       "SELECT cosine_f32(embedding, embedding) AS c FROM emb_ext_test ORDER BY vec_id LIMIT 1")
       .as[Double].head()
     assert(math.abs(d - 1.0) < 1e-12)
+    val (sqlSig, dfSig) = spark.sql(
+      "SELECT hyperplane_sig(embedding, 16) AS s FROM emb_ext_test ORDER BY vec_id LIMIT 1")
+      .as[Long].head() ->
+      Tables.embeddings(spark, TestSpark.Sf0001).orderBy(col("vec_id")).limit(1)
+        .select(VectorOps.hyperplaneSignature(col("embedding"), 16)).as[Long].head()
+    assert(sqlSig == dfSig, "SQL and DataFrame front doors must share one implementation")
   }
 
   test("IVF top-k recall vs exact cosine top-k") {

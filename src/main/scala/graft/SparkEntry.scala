@@ -84,7 +84,9 @@ object SparkEntry {
     "q43_ivf_topk" -> ((s: SparkSession, d: String) => Similarity.ivfCosineTopK(s, d)),
     // composed curation pipeline + label-vector assembly (SURVEY §2.2 P10, §2.3 J2)
     "q44_corpus_curation" -> ((s: SparkSession, d: String) => TextAnalysis.corpusCuration(s, d)),
-    "q45_label_vectors" -> TextAnalysis.labelVectors _
+    "q45_label_vectors" -> TextAnalysis.labelVectors _,
+    // bucketed co-located join (SURVEY §4.3; shuffle-free fact join)
+    "q46_bucketed_join" -> ((s: SparkSession, d: String) => Relational.bucketedJoinRevenue(s, d))
   )
 
   /** Shared CTE for the n-gram Jaccard oracle (q17 + q18: the LSH output
@@ -362,6 +364,12 @@ object SparkEntry {
          |        CAST(len(string_split(text, ' ')) > 100 AS DOUBLE),
          |        CAST($qualitySql >= 0.5 AS DOUBLE),
          |        CAST(doc_id % 2 = 0 AS DOUBLE)] AS l
-         |      FROM documents) t""".stripMargin
+         |      FROM documents) t""".stripMargin,
+    "q46_bucketed_join" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderstatus <> 'P'
+        |GROUP BY o_orderpriority""".stripMargin
   )
 }

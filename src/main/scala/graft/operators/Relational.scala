@@ -185,6 +185,43 @@ object Relational {
         (col("l_discount") > 0.05).as("high_discount"))
   }
 
+  /** Bucketed co-located join (SURVEY §4.3 partitioning row; the 100 TB
+    * fact-⋈-fact answer): both sides are written bucketed AND sorted by
+    * the join key, so the sort-merge join reads co-located buckets with
+    * ZERO exchange — the only shuffle left in the query is the final
+    * aggregation's. At scale this is the difference between re-shuffling
+    * two multi-TB tables per query and paying the layout cost once at
+    * ingest; the spec asserts the executed plan contains exactly one
+    * Exchange. Bucket count is 8 here (fixture-sized); at 100 TB you size
+    * buckets to ~128-256 MB each.
+    */
+  def bucketedJoinRevenue(spark: SparkSession, dir: String, nBuckets: Int = 8): DataFrame = {
+    // the in-memory catalog forgets tables across sessions while their
+    // warehouse directories persist; clear both so overwrite is idempotent
+    def reset(name: String): Unit = {
+      spark.sql(s"DROP TABLE IF EXISTS $name")
+      val wh = new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir"), name)
+      wh.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(wh, true)
+    }
+    reset("graft_orders_bucketed")
+    reset("graft_lineitem_bucketed")
+    Tables.orders(spark, dir)
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(nBuckets, "o_orderkey").sortBy("o_orderkey")
+      .saveAsTable("graft_orders_bucketed")
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(nBuckets, "l_orderkey").sortBy("l_orderkey")
+      .saveAsTable("graft_lineitem_bucketed")
+    spark.table("graft_lineitem_bucketed")
+      .join(spark.table("graft_orders_bucketed").filter(col("o_orderstatus") =!= "P"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+  }
+
   /** P2/P3/P6/P7 — string surface on documents: concat path-prefix
     * (reference /root/reference/src/preprocessing_pipeline.py:265-268),
     * literal replace (/root/reference/src/federated_learning_pipeline.py:31),

@@ -40,6 +40,28 @@ class RelationalSpec extends AnyFunSuite {
     assert(charged == 163.29)
   }
 
+  test("bucketed join plans with exactly one Exchange (the aggregation's, not the join's)") {
+    // disable auto-broadcast: at fixture scale AQE would broadcast the
+    // orders side, which is the right call for small dims but hides the
+    // property under test — that two co-bucketed fact tables sort-merge
+    // join with no shuffle on either input
+    val prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = Relational.bucketedJoinRevenue(spark, TestSpark.Sf0001)
+      df.collect() // materialize so AQE finalizes the executed plan
+      val exec = df.queryExecution.executedPlan
+      val finalPlan = exec match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan.toString
+        case p => p.toString
+      }
+      val exchanges = "(?m)Exchange hashpartitioning".r.findAllIn(finalPlan).length
+      assert(exchanges == 1, s"expected 1 exchange (final agg), got $exchanges in:\n$finalPlan")
+      assert(finalPlan.contains("SortMergeJoin"), "bucketed join should be a sort-merge join")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+  }
+
   test("dupGate finds only keys with multiple lineitems") {
     val df = Relational.dupGate(spark, TestSpark.Sf0001)
     assert(df.filter(col("cnt") <= 1).count() == 0)

@@ -86,7 +86,9 @@ object SparkEntry {
     "q44_corpus_curation" -> ((s: SparkSession, d: String) => TextAnalysis.corpusCuration(s, d)),
     "q45_label_vectors" -> TextAnalysis.labelVectors _,
     // bucketed co-located join (SURVEY §4.3; shuffle-free fact join)
-    "q46_bucketed_join" -> ((s: SparkSession, d: String) => Relational.bucketedJoinRevenue(s, d))
+    "q46_bucketed_join" -> ((s: SparkSession, d: String) => Relational.bucketedJoinRevenue(s, d)),
+    // salted skew join (SURVEY §4.3; hot-key spreading, semantics-preserving)
+    "q47_salted_join" -> ((s: SparkSession, d: String) => Relational.saltedSkewJoin(s, d))
   )
 
   /** Shared CTE for the n-gram Jaccard oracle (q17 + q18: the LSH output
@@ -370,6 +372,11 @@ object SparkEntry {
         | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE o_orderstatus <> 'P'
-        |GROUP BY o_orderpriority""".stripMargin
+        |GROUP BY o_orderpriority""".stripMargin,
+    // salting is semantics-preserving: the oracle is the UNSALTED join
+    "q47_salted_join" ->
+      """SELECT CAST(user_id % 3 AS BIGINT) AS tier, count(*) AS n_events,
+        | round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1""".stripMargin
   )
 }

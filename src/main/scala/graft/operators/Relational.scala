@@ -222,6 +222,28 @@ object Relational {
         round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
   }
 
+  /** Salted skew join (SURVEY §4.3 / the "hot key" answer when AQE's
+    * runtime skew-split can't apply, e.g. for non-sort-merge joins or
+    * pre-AQE planning): the events fixture concentrates millions of rows
+    * on ~15 user_ids, so a plain shuffle join puts whole keys on single
+    * tasks. The fact side gets a deterministic salt (event_id mod nSalt),
+    * the dim side is exploded ×nSalt, and the join key becomes
+    * (user_id, salt) — spreading each hot key over nSalt tasks. Salting is
+    * a pure plan transform: the oracle checks the result equals the
+    * unsalted join's.
+    */
+  def saltedSkewJoin(spark: SparkSession, dir: String, nSalt: Int = 8): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("value"))
+      .withColumn("salt", pmod(col("event_id"), lit(nSalt.toLong)))
+    val dim = Tables.events(spark, dir).select(col("user_id")).distinct()
+      .withColumn("tier", (col("user_id") % 3).cast("long"))
+    val saltedDim = dim.withColumn("salt", explode(sequence(lit(0L), lit(nSalt - 1L))))
+    ev.join(saltedDim, Seq("user_id", "salt"))
+      .groupBy(col("tier"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+  }
+
   /** P2/P3/P6/P7 — string surface on documents: concat path-prefix
     * (reference /root/reference/src/preprocessing_pipeline.py:265-268),
     * literal replace (/root/reference/src/federated_learning_pipeline.py:31),

@@ -1,0 +1,43 @@
+package graft
+
+import graft.operators.{Relational, Similarity}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan regression guards: the scale posture depends on specific
+  * optimizer outcomes (pushdown, pruning, broadcast, codegen), and a
+  * refactor can silently lose them while staying value-correct. These
+  * specs pin the plan properties, not the values.
+  */
+class PlanSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q13 projection: filters reach the parquet scan and columns are pruned") {
+    val plan = planOf(Relational.projectScalar(spark, TestSpark.Sf0001))
+    assert(plan.contains("PushedFilters: [IsNotNull(l_quantity)"),
+      s"filter not pushed to scan:\n$plan")
+    assert(!plan.contains("l_shipdate"), "untouched columns must be pruned from the scan")
+    assert(plan.contains("WholeStageCodegen") || plan.contains("*(1)"),
+      "projection should run inside whole-stage codegen")
+  }
+
+  test("q03 join: all three dimension sides broadcast") {
+    val plan = planOf(Relational.joinRevenueByNation(spark, TestSpark.Sf0001))
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(plan).length
+    assert(broadcasts >= 3, s"expected >=3 broadcast joins, got $broadcasts:\n$plan")
+  }
+
+  test("cosine top-k: query side broadcast, cosine inside codegen") {
+    val plan = planOf(Similarity.cosineTopK(spark, TestSpark.Sf0001))
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"query side should broadcast:\n$plan")
+    assert(plan.contains("cosine_f32"), "native cosine expression should appear in the plan")
+  }
+
+  test("ANN banding: candidate generation is an equi-join, never a cross join") {
+    val plan = planOf(Similarity.annCosineTopK(spark, TestSpark.Sf0001))
+    assert(!plan.contains("CartesianProduct"), s"cross join in ANN plan:\n$plan")
+  }
+}

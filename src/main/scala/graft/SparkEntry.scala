@@ -88,7 +88,9 @@ object SparkEntry {
     // bucketed co-located join (SURVEY §4.3; shuffle-free fact join)
     "q46_bucketed_join" -> ((s: SparkSession, d: String) => Relational.bucketedJoinRevenue(s, d)),
     // salted skew join (SURVEY §4.3; hot-key spreading, semantics-preserving)
-    "q47_salted_join" -> ((s: SparkSession, d: String) => Relational.saltedSkewJoin(s, d))
+    "q47_salted_join" -> ((s: SparkSession, d: String) => Relational.saltedSkewJoin(s, d)),
+    // JSONL corpus round-trip (SURVEY §2.1 S1/S2 [EXT]; LLM interchange format)
+    "q48_jsonl_roundtrip" -> graft.sources.Sources.jsonlRoundTrip _
   )
 
   /** Shared CTE for the n-gram Jaccard oracle (q17 + q18: the LSH output
@@ -377,6 +379,11 @@ object SparkEntry {
     "q47_salted_join" ->
       """SELECT CAST(user_id % 3 AS BIGINT) AS tier, count(*) AS n_events,
         | round(sum(value), 2) AS sum_value
-        |FROM events GROUP BY 1""".stripMargin
+        |FROM events GROUP BY 1""".stripMargin,
+    // JSONL round-trip is lossless: the oracle aggregates the source table
+    "q48_jsonl_roundtrip" ->
+      """SELECT lang, count(*) AS n_docs,
+        | CAST(sum(length(text)) AS BIGINT) AS n_chars, min(doc_id) AS min_doc_id
+        |FROM documents GROUP BY lang""".stripMargin
   )
 }

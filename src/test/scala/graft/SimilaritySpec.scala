@@ -41,7 +41,7 @@ class SimilaritySpec extends AnyFunSuite {
     val ann = Similarity.annCosineTopK(spark, TestSpark.Sf0001)
       .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
     val recall = (exact & ann).size.toDouble / exact.size
-    assert(recall >= 0.3, s"ANN recall $recall below floor 0.3 (|exact|=${exact.size})")
+    assert(recall >= 0.7, s"ANN recall $recall below floor 0.7 (|exact|=${exact.size})")
   }
 
   test("cosine_f32 and hyperplane_sig are registered as SQL functions via GraftExtensions") {

@@ -10,12 +10,12 @@ object Probe {
     for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
       val exact = Similarity.cosineTopK(spark, dir)
         .select("query_id", "cand_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-      for ((bits, bandBits) <- Seq((16, 4), (32, 4), (48, 4), (64, 4), (64, 8))) {
+      for ((lists, probe) <- Seq((16, 4), (16, 6), (16, 8), (32, 8))) {
         val t0 = System.nanoTime()
-        val ann = Similarity.annCosineTopK(spark, dir, nBits = bits, bandBits = bandBits)
+        val ivf = Similarity.ivfCosineTopK(spark, dir, nLists = lists, nProbe = probe)
           .select("query_id", "cand_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
         val dt = (System.nanoTime() - t0) / 1e9
-        println(f"$dir bits=$bits band=$bandBits recall=${(exact & ann).size.toDouble / exact.size}%.2f time=$dt%.1f")
+        println(f"$dir lists=$lists probe=$probe recall=${(exact & ivf).size.toDouble / exact.size}%.2f time=$dt%.1f")
       }
     }
     spark.stop()

@@ -64,7 +64,9 @@ class SimilaritySpec extends AnyFunSuite {
     val ivf = Similarity.ivfCosineTopK(spark, TestSpark.Sf0001)
       .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
     val recall = (exact & ivf).size.toDouble / exact.size
-    assert(recall >= 0.3, s"IVF recall $recall below floor 0.3 (|exact|=${exact.size})")
+    // measured 0.92-0.94 at both fixture scales with the default
+    // 16-list/4-probe config; the floor leaves headroom for hash drift
+    assert(recall >= 0.8, s"IVF recall $recall below floor 0.8 (|exact|=${exact.size})")
   }
 
   test("IVF partitions the corpus: every vector lands in exactly one list") {

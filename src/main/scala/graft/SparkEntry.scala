@@ -90,7 +90,9 @@ object SparkEntry {
     // salted skew join (SURVEY §4.3; hot-key spreading, semantics-preserving)
     "q47_salted_join" -> ((s: SparkSession, d: String) => Relational.saltedSkewJoin(s, d)),
     // JSONL corpus round-trip (SURVEY §2.1 S1/S2 [EXT]; LLM interchange format)
-    "q48_jsonl_roundtrip" -> graft.sources.Sources.jsonlRoundTrip _
+    "q48_jsonl_roundtrip" -> graft.sources.Sources.jsonlRoundTrip _,
+    // non-IID skewed client partitioning (SURVEY §2.5 D2 skew variant)
+    "q49_skewed_split_invariant" -> Sampling.skewedSplitInvariant _
   )
 
   /** Shared CTE for the n-gram Jaccard oracle (q17 + q18: the LSH output
@@ -384,6 +386,7 @@ object SparkEntry {
     "q48_jsonl_roundtrip" ->
       """SELECT lang, count(*) AS n_docs,
         | CAST(sum(length(text)) AS BIGINT) AS n_chars, min(doc_id) AS min_doc_id
-        |FROM documents GROUP BY lang""".stripMargin
+        |FROM documents GROUP BY lang""".stripMargin,
+    "q49_skewed_split_invariant" -> "SELECT CAST(0 AS BIGINT) AS violations"
   )
 }

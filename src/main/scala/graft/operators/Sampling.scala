@@ -46,6 +46,51 @@ object Sampling {
       .agg(sum(col("violation")).cast("long").as("violations"))
   }
 
+  /** D2-skew — the reference's non-IID client partitioning
+    * (/root/reference/src/preprocessing_pipeline.py:209-240,
+    * partition_data_with_skew / partition_data_spark): each client draws
+    * an independent stratified sample from the SAME parent with its own
+    * per-label fractions (overlap between clients is part of the
+    * reference's semantics; the same seed makes the draws nested). The
+    * reference recomputes the label universe with distinct().collect()
+    * inside the client loop (SURVEY §4.2 item 3); here fractions are
+    * declared per client and Spark's sampleBy treats absent labels as 0,
+    * so no driver round-trip is needed at all.
+    */
+  def skewedClientPartitions(df: DataFrame, labelCol: String,
+                             clientFractions: Seq[Map[String, Double]],
+                             seed: Long = 42L): Seq[DataFrame] =
+    clientFractions.map(f => df.stat.sampleBy(labelCol, f, seed))
+
+  /** D2-skew invariant — per (client, label) observed counts within ±20%
+    * of fraction × label total. Output: one row, violations = 0. */
+  def skewedSplitInvariant(spark: SparkSession, dir: String): DataFrame = {
+    val clientFractions = Seq(
+      Map("A" -> 0.6, "N" -> 0.1, "R" -> 0.1),
+      Map("A" -> 0.1, "N" -> 0.6, "R" -> 0.1),
+      Map("A" -> 0.1, "N" -> 0.1, "R" -> 0.6))
+    val keyed = Tables.lineitem(spark, dir).select(col("l_returnflag")).cache()
+    val totals = keyed.groupBy(col("l_returnflag")).agg(count(lit(1)).as("total"))
+    val observed = skewedClientPartitions(keyed, "l_returnflag", clientFractions)
+      .zipWithIndex
+      .map { case (df, i) =>
+        df.groupBy(col("l_returnflag")).agg(count(lit(1)).as("got"))
+          .withColumn("client", lit(i))
+      }
+      .reduce(_.unionByName(_))
+    val fracCol = clientFractions.zipWithIndex.foldLeft(lit(0.0)) {
+      case (acc, (fracs, i)) =>
+        fracs.foldLeft(acc) { case (a, (label, f)) =>
+          when(col("client") === i && col("l_returnflag") === label, lit(f)).otherwise(a)
+        }
+    }
+    observed.join(totals, "l_returnflag")
+      .withColumn("expected", col("total") * fracCol)
+      .withColumn("violation",
+        when(abs(col("got") - col("expected")) > col("expected") * 0.2, 1).otherwise(0))
+      .agg(sum(col("violation")).cast("long").as("violations"))
+  }
+
   /** D3 — seeded random split into n disjoint clients (reference
     * /root/reference/src/preprocessing_pipeline.py:197-199). Spark sorts
     * within partitions before assigning, so the split is deterministic for

@@ -30,6 +30,21 @@ class SamplingSpec extends AnyFunSuite {
     assert(violations == 0L)
   }
 
+  test("random split preserves per-client label distribution (reference test_partitioning)") {
+    val li = Tables.lineitem(spark, TestSpark.Sf0001).select(col("l_returnflag"))
+    val globalFrac = li.filter(col("l_returnflag") === "R").count().toDouble / li.count()
+    Sampling.randomClientSplit(li, 4).zipWithIndex.foreach { case (client, i) =>
+      val frac = client.filter(col("l_returnflag") === "R").count().toDouble / client.count()
+      assert(math.abs(frac - globalFrac) < 0.05,
+        s"client $i label fraction $frac drifts from global $globalFrac")
+    }
+  }
+
+  test("skewed client partitioning hits its per-client label fractions") {
+    val violations = Sampling.skewedSplitInvariant(spark, TestSpark.Sf0001).as[Long].head()
+    assert(violations == 0L)
+  }
+
   test("repartition introspection reports the requested partition count") {
     val (n, nonEmpty) = Sampling.repartitionIntrospect(spark, TestSpark.Sf0001)
       .as[(Long, Boolean)].head()

@@ -7,8 +7,15 @@ import org.apache.spark.sql.expressions.Aggregator
 /** Element-wise array aggregators (typed `Aggregator`s, registered through
   * `functions.udaf`). Spark performs partial aggregation (map-side combine)
   * for UDAFs automatically, so these shuffle one fixed-width array per
-  * group per partition — the property that keeps MinHash/SimHash/FedAvg
-  * linear at 100 TB instead of shuffling every row.
+  * group per partition.
+  *
+  * WeightedMeanAgg is the FedAvg production path (q23/q24). ArrayMinAgg /
+  * ArraySumAgg are the general element-wise combiners for data whose width
+  * is NOT a compile-time constant; the MinHash/SimHash operators moved to
+  * compile-time-width scalar-aggregate / per-row forms for codegen
+  * (see Dedup.minhashSignaturesFromShingles / Dedup.simhash64), and these
+  * remain the API for dynamic-width vectors, spec-covered in
+  * AggregatorSpec.
   */
 object ArrayAggregators {
   // ExpressionEncoder is the Catalyst-native encoder; resolvable without a

@@ -206,6 +206,7 @@ object Relational {
     reset("graft_orders_bucketed")
     reset("graft_lineitem_bucketed")
     Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_orderpriority"))
       .write.mode("overwrite").format("parquet")
       .bucketBy(nBuckets, "o_orderkey").sortBy("o_orderkey")
       .saveAsTable("graft_orders_bucketed")

@@ -92,7 +92,9 @@ object SparkEntry {
     // JSONL corpus round-trip (SURVEY §2.1 S1/S2 [EXT]; LLM interchange format)
     "q48_jsonl_roundtrip" -> graft.sources.Sources.jsonlRoundTrip _,
     // non-IID skewed client partitioning (SURVEY §2.5 D2 skew variant)
-    "q49_skewed_split_invariant" -> Sampling.skewedSplitInvariant _
+    "q49_skewed_split_invariant" -> Sampling.skewedSplitInvariant _,
+    // ORC round-trip (SURVEY §2.1 S5 family; third columnar format)
+    "q50_orc_roundtrip" -> graft.sources.Sources.orcRoundTrip _
   )
 
   /** Shared CTE for the n-gram Jaccard oracle (q17 + q18: the LSH output
@@ -387,6 +389,10 @@ object SparkEntry {
       """SELECT lang, count(*) AS n_docs,
         | CAST(sum(length(text)) AS BIGINT) AS n_chars, min(doc_id) AS min_doc_id
         |FROM documents GROUP BY lang""".stripMargin,
-    "q49_skewed_split_invariant" -> "SELECT CAST(0 AS BIGINT) AS violations"
+    "q49_skewed_split_invariant" -> "SELECT CAST(0 AS BIGINT) AS violations",
+    "q50_orc_roundtrip" ->
+      """SELECT l_returnflag, count(*) AS cnt, round(sum(l_quantity), 2) AS sum_qty,
+        | count(DISTINCT l_orderkey) AS n_orders
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin
   )
 }

@@ -95,6 +95,28 @@ object Sources {
         min(col("doc_id")).as("min_doc_id"))
   }
 
+  /** q50 — ORC round-trip: the third columnar interchange format next to
+    * parquet and JSONL. Same explicit-schema discipline; the aggregate
+    * matches the source table, proving losslessness (ORC carries its own
+    * schema, but declaring ours pins the types the engine expects).
+    */
+  def orcRoundTrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = sys.props("java.io.tmpdir") + "/graft_orc_roundtrip"
+    parquet(spark, s"$dir/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"))
+      .repartition(4)
+      .write.mode("overwrite").orc(out)
+    val schema = StructType(Seq(
+      StructField("l_orderkey", LongType, nullable = false),
+      StructField("l_returnflag", StringType),
+      StructField("l_quantity", DoubleType)))
+    spark.read.schema(schema).orc(out)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("cnt"),
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        countDistinct(col("l_orderkey")).as("n_orders"))
+  }
+
   /** q40 — S3 exercised: the fixture parquet itself read as opaque binary.
     * The oracle re-reads the same file with DuckDB's read_blob and checks
     * name + byte length; exact byte-content equality (sha-256 vs a direct

@@ -94,7 +94,10 @@ object SparkEntry {
     // non-IID skewed client partitioning (SURVEY §2.5 D2 skew variant)
     "q49_skewed_split_invariant" -> Sampling.skewedSplitInvariant _,
     // ORC round-trip (SURVEY §2.1 S5 family; third columnar format)
-    "q50_orc_roundtrip" -> graft.sources.Sources.orcRoundTrip _
+    "q50_orc_roundtrip" -> graft.sources.Sources.orcRoundTrip _,
+    // per-partition-reduced exact top-k (same oracle as q21 by construction)
+    "q51_cosine_topk_partitioned" ->
+      ((s: SparkSession, d: String) => Similarity.cosineTopKPartitioned(s, d))
   )
 
   /** Shared CTE for the n-gram Jaccard oracle (q17 + q18: the LSH output
@@ -117,6 +120,22 @@ object SparkEntry {
   private val embedExplode: String =
     "SELECT vec_id, label, generate_subscripts(embedding, 1) - 1 AS dim, " +
       "CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings"
+
+  /** Exact cosine top-k oracle (shared by q21 and its per-partition-reduced
+    * twin q51 — same result by construction). */
+  private lazy val cosineTopKSql: String =
+    s"""WITH ex AS ($embedExplode),
+       |dots AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id, sum(q.x * c.x) AS dot
+       |         FROM ex q JOIN ex c ON q.dim = c.dim AND q.vec_id < 10 AND q.vec_id <> c.vec_id
+       |         GROUP BY 1, 2),
+       |norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM ex GROUP BY vec_id),
+       |scored AS (SELECT query_id, cand_id, round(dot / (nq.nrm * nc.nrm), 6) AS score
+       |           FROM dots JOIN norms nq ON nq.vec_id = query_id
+       |                     JOIN norms nc ON nc.vec_id = cand_id),
+       |ranked AS (SELECT query_id, cand_id, score,
+       |            row_number() OVER (PARTITION BY query_id ORDER BY score DESC, cand_id) AS rank
+       |           FROM scored)
+       |SELECT query_id, rank, cand_id, score FROM ranked WHERE rank <= 5""".stripMargin
 
   /** DuckDB twin of TextFunctions.qualityScore (shared by q25/q44/q45). */
   private val qualitySql: String =
@@ -223,19 +242,10 @@ object SparkEntry {
          |SELECT id_a, id_b, round(dot / (na.nrm * nb.nrm), 6) AS cos
          |FROM dots JOIN norms na ON na.vec_id = id_a JOIN norms nb ON nb.vec_id = id_b
          |WHERE round(dot / (na.nrm * nb.nrm), 6) >= 0.4""".stripMargin,
-    "q21_cosine_topk" ->
-      s"""WITH ex AS ($embedExplode),
-         |dots AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id, sum(q.x * c.x) AS dot
-         |         FROM ex q JOIN ex c ON q.dim = c.dim AND q.vec_id < 10 AND q.vec_id <> c.vec_id
-         |         GROUP BY 1, 2),
-         |norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM ex GROUP BY vec_id),
-         |scored AS (SELECT query_id, cand_id, round(dot / (nq.nrm * nc.nrm), 6) AS score
-         |           FROM dots JOIN norms nq ON nq.vec_id = query_id
-         |                     JOIN norms nc ON nc.vec_id = cand_id),
-         |ranked AS (SELECT query_id, cand_id, score,
-         |            row_number() OVER (PARTITION BY query_id ORDER BY score DESC, cand_id) AS rank
-         |           FROM scored)
-         |SELECT query_id, rank, cand_id, score FROM ranked WHERE rank <= 5""".stripMargin,
+    "q21_cosine_topk" -> cosineTopKSql,
+    // identical by construction: per-partition reduction changes the plan,
+    // not the result
+    "q51_cosine_topk_partitioned" -> cosineTopKSql,
     "q23_fedavg_client_means" ->
       s"""WITH ex AS ($embedExplode)
          |SELECT label AS client_id, dim,

@@ -37,6 +37,53 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("cand_id"), col("score"))
   }
 
+  /** Exact top-k with per-partition reduction — the 100 TB form of
+    * [[cosineTopK]]: each partition keeps only its k best candidates per
+    * query (a bounded nQueries×k buffer) BEFORE the shuffle, so the
+    * exchange carries ≤ partitions×queries×k rows instead of every scored
+    * (query, candidate) pair. Top-k of per-partition top-ks is exactly the
+    * global top-k (same total order: score desc, cand_id asc), so the
+    * result is identical to the window form and shares its DuckDB oracle.
+    */
+  def cosineTopKPartitioned(spark: SparkSession, dir: String,
+                            nQueries: Int = 10, k: Int = 5): DataFrame = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, dir)
+    val queries = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val corpus = e.select(col("vec_id").as("cand_id"), col("embedding").as("cv"))
+    val scored = corpus.join(broadcast(queries), col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"),
+        round(VectorOps.cosineFast(col("qv"), col("cv")), 6).as("score"))
+      .as[(Long, Long, Double)]
+    // "a beats b" in the final ranking: higher score, then smaller cand_id
+    def beats(a: (Long, Long, Double), b: (Long, Long, Double)): Boolean =
+      a._3 > b._3 || (a._3 == b._3 && a._2 < b._2)
+    val reduced = scored.mapPartitions { it =>
+      val heaps = scala.collection.mutable.HashMap.empty[Long,
+        scala.collection.mutable.PriorityQueue[(Long, Long, Double)]]
+      // reversed best-first ordering puts the WORST element on top of the
+      // queue, so exceeding k pops the loser
+      val bestFirst = new Ordering[(Long, Long, Double)] {
+        def compare(a: (Long, Long, Double), b: (Long, Long, Double)): Int =
+          if (beats(a, b)) 1 else if (beats(b, a)) -1 else 0
+      }
+      it.foreach { r =>
+        val h = heaps.getOrElseUpdate(r._1,
+          scala.collection.mutable.PriorityQueue.empty(bestFirst.reverse))
+        h.enqueue(r)
+        if (h.size > k) h.dequeue()
+      }
+      heaps.valuesIterator.flatMap(_.iterator)
+    }
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("cand_id"))
+    reduced.toDF("query_id", "cand_id", "score")
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("cand_id"), col("score"))
+  }
+
   /** Approximate NN via random-hyperplane LSH: both sides get an nBits
     * sign-signature; candidates are pairs agreeing on ≥1 of the bandBits-
     * wide bands (equi-join on band value — never a cross join), then exact

@@ -82,6 +82,7 @@ object Multimodal {
   /** Frame sampling for "video" payloads: every k-th 256-byte frame —
     * real chunking logic; with a codec this is keyframe extraction. */
   def sampleFrames(media: Dataset[MediaRow], every: Int = 4): DataFrame = {
+    require(every > 0, s"frame sampling stride must be positive, got $every")
     import media.sparkSession.implicits._
     media.filter(_.media_type == "video")
       .flatMap { r =>

@@ -236,6 +236,8 @@ object Dedup {
 
   def minhashLshPairsFor(docs: DataFrame,
                          k: Int = 128, bands: Int = 32, threshold: Double = 0.5): DataFrame = {
+    require(bands > 0 && k % bands == 0,
+      s"signature width k=$k must be a positive multiple of bands=$bands")
     val rows = k / bands
     // shared by the signature path and both verification sides (see
     // ngramJaccardPairs for the caching rationale)

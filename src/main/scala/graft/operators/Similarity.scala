@@ -98,6 +98,8 @@ object Similarity {
     */
   def annCosineTopK(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5,
                     nBits: Int = 64, bandBits: Int = 4): DataFrame = {
+    require(nBits >= 1 && nBits <= 64 && bandBits > 0 && nBits % bandBits == 0,
+      s"need 1 <= nBits <= 64 (long-packed) and nBits=$nBits divisible by bandBits=$bandBits")
     val nBands = nBits / bandBits
     val mask = (1L << bandBits) - 1
     val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
@@ -151,6 +153,8 @@ object Similarity {
     */
   def ivfCosineTopK(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5,
                     nLists: Int = 16, nProbe: Int = 4): DataFrame = {
+    require(nLists > 0 && nProbe > 0 && nProbe <= nLists,
+      s"need 0 < nProbe=$nProbe <= nLists=$nLists")
     val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
     val centroids = e.filter(col("vec_id") < nLists)
       .select(col("vec_id").as("list_id"), col("embedding").as("centroid"))

@@ -58,6 +58,22 @@ class SimilaritySpec extends AnyFunSuite {
     assert(sqlSig == dfSig, "SQL and DataFrame front doors must share one implementation")
   }
 
+  test("invalid LSH/IVF parameters fail fast with a clear message") {
+    val e1 = intercept[IllegalArgumentException] {
+      Similarity.annCosineTopK(spark, TestSpark.Sf0001, nBits = 65)
+    }
+    assert(e1.getMessage.contains("nBits"))
+    val e2 = intercept[IllegalArgumentException] {
+      Similarity.ivfCosineTopK(spark, TestSpark.Sf0001, nLists = 4, nProbe = 8)
+    }
+    assert(e2.getMessage.contains("nProbe"))
+    val e3 = intercept[IllegalArgumentException] {
+      graft.operators.Dedup.minhashLshPairsFor(
+        Tables.documents(spark, TestSpark.Sf0001), k = 100, bands = 32)
+    }
+    assert(e3.getMessage.contains("bands"))
+  }
+
   test("IVF top-k recall vs exact cosine top-k") {
     val exact = Similarity.cosineTopK(spark, TestSpark.Sf0001)
       .select("query_id", "cand_id").as[(Long, Long)].collect().toSet

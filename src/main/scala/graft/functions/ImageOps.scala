@@ -108,6 +108,29 @@ object ImageOps {
     Gray(img.w, img.h, out)
   }
 
+  /** Bilinear resize to (newW × newH) — the thumbnail/downsample step of a
+    * media pipeline (pairs with the frame sampler and feature extractor in
+    * graft.multimodal). Pure and deterministic like every kernel here.
+    */
+  def resize(img: Gray, newW: Int, newH: Int): Gray = {
+    require(newW > 0 && newH > 0, s"resize target must be positive, got ${newW}x$newH")
+    val out = new Array[Byte](newW * newH)
+    val sx = img.w.toDouble / newW
+    val sy = img.h.toDouble / newH
+    var y = 0
+    while (y < newH) {
+      var x = 0
+      while (x < newW) {
+        // sample at the source-space center of each target pixel
+        val px = sampleBilinear(img, (x + 0.5) * sx - 0.5, (y + 0.5) * sy - 0.5)
+        out(y * newW + x) = px.max(0).min(255).toByte
+        x += 1
+      }
+      y += 1
+    }
+    Gray(newW, newH, out)
+  }
+
   /** U2 — the reference's 9-variant augmentation
     * (/root/reference/src/preprocessing_pipeline.py:77-98): 3 rotations
     * ±5°, 3 scale-0.9..1.1 + translate-±3px, 3 gaussian-noise adds — but

@@ -137,6 +137,17 @@ object Preprocess {
             concat(lit("corpus/"), col("source"), lit("/"), col("doc_id").cast("string"), lit(".img")),
             "/", "_")).as("aug_name"))
 
+  /** Thumbnail stage — the media pipeline's resize verb (decode →
+    * feature-extract → RESIZE → frame-sample): every normalized image
+    * downsampled to thumbW×thumbH with the pure bilinear kernel. */
+  def thumbnails(images: Dataset[ImageRow], thumbW: Int = 8, thumbH: Int = 8): Dataset[ImageRow] = {
+    import images.sparkSession.implicits._
+    images.map { r =>
+      val t = ImageOps.resize(Gray(r.w, r.h, r.px), thumbW, thumbH)
+      ImageRow(r.path, r.label, t.w, t.h, t.px)
+    }
+  }
+
   /** q41 — the pixel pipeline (U1 equalize + U2 augment, typed flatMaps)
     * executed end-to-end as an oracle-checkable invariant query: the 9×
     * fan-out of the reference's rows-vs-files check

@@ -1,29 +1,17 @@
 package graft.tools
 
-import graft.{GraftSession, SparkEntry}
+import graft.GraftSession
+import graft.pipeline.Preprocess
 
 /** Scratch diagnostics main — not part of the engine surface. */
 object Probe {
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local("probe", "8")
-    val dir = "/root/testdata/sf0.01"
-    val headline = Seq("q13_project_scalar", "q03_join_revenue", "q17_ngram_jaccard",
-      "q18_minhash_lsh", "q20_embed_neardup", "q21_cosine_topk", "q46_bucketed_join")
-    val sb = new StringBuilder
-    sb.append("# PLANS — formatted physical plans of the headline queries (sf0.01)\n\n")
-    sb.append("Generated by `graft.tools.Probe`; regenerate after plan-affecting changes.\n")
-    sb.append("What to look for: `PushedFilters` + pruned `ReadSchema` on scans,\n")
-    sb.append("`BroadcastHashJoin` on dimension sides, `cosine_f32` (native expression)\n")
-    sb.append("in similarity projections, `Bucketed: true` scans joining without a\n")
-    sb.append("shuffle, and codegen stage markers (`*(n)`).\n")
-    for (q <- headline) {
-      val df = SparkEntry.queries(q)(spark, dir)
-      sb.append(s"\n## $q\n\n```\n")
-      sb.append(df.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode))
-      sb.append("```\n")
-    }
-    java.nio.file.Files.writeString(java.nio.file.Paths.get("PLANS.md"), sb.toString)
-    println("wrote PLANS.md " + sb.length)
+    import spark.implicits._
+    val thumbs = Preprocess.thumbnails(
+      Preprocess.normalize(spark, Preprocess.manifest(spark, "/root/testdata/sf0.001")), 8, 8)
+    val stats = thumbs.map(r => (r.w, r.h, r.px.length)).distinct().collect().toSeq
+    println(s"thumbs: count=${thumbs.count()} planes=$stats")
     spark.stop()
   }
 }

@@ -48,6 +48,20 @@ object KernelProps extends Properties("graft.kernels") {
       ImageOps.warpAffine(img, deg, scale, 0, 0).px.length == img.px.length
     }
 
+  property("resize yields exactly newW*newH pixels for any target size") =
+    Prop.forAll(imgGen, Gen.choose(1, 48), Gen.choose(1, 48)) { (img, w, h) =>
+      val out = ImageOps.resize(img, w, h)
+      out.w == w && out.h == h && out.px.length == w * h
+    }
+
+  property("identity resize of a constant image preserves every pixel") =
+    Prop.forAll(Gen.choose(Byte.MinValue, Byte.MaxValue)) { v =>
+      val img = Gray(16, 16, Array.fill(256)(v))
+      // away from borders the bilinear sample of a constant plane is exact
+      val out = ImageOps.resize(img, 16, 16)
+      (1 until 15).forall(y => (1 until 15).forall(x => out.px(y * 16 + x) == v))
+    }
+
   property("flattenName never contains '/' after the prefix") =
     Prop.forAll(Gen.listOf(Gen.alphaNumStr), Gen.alphaNumStr) { (segs, prefix) =>
       val path = segs.mkString("/")

@@ -31,6 +31,17 @@ class PreprocessSpec extends AnyFunSuite {
     assert(written.select(col("client_id")).distinct().count() == 4)
   }
 
+  test("thumbnail stage resizes every normalized image to the target plane") {
+    import spark.implicits._
+    val thumbs = Preprocess.thumbnails(
+      Preprocess.normalize(spark, Preprocess.manifest(spark, TestSpark.Sf0001)), 8, 8)
+    val bad = thumbs.map(r => if (r.w == 8 && r.h == 8 && r.px.length == 64) 0 else 1)
+      .reduce(_ + _)
+    assert(bad == 0)
+    assert(thumbs.count() ==
+      Preprocess.manifest(spark, TestSpark.Sf0001).count())
+  }
+
   test("normalize drops nothing on a clean manifest and equalizes every image") {
     val imgs = Preprocess.normalize(spark, Preprocess.manifest(spark, TestSpark.Sf0001))
     val nInput = Preprocess.manifest(spark, TestSpark.Sf0001).count()

@@ -153,7 +153,15 @@ object SparkEntry {
     * near-dup recall; SimilaritySpec recall-vs-exact-topk for both ANN
     * variants plus IVF partition-exactness).
     */
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = oracleSqlFor("/root/testdata/sf0.01")
+
+  /** Oracle SQL templated on the fixture dir the Spark side reads: the one
+    * path-dependent oracle (q40's read_blob) then always points at the same
+    * file as the Spark query, whatever sf the driver verifies at. Verify
+    * emits oracleSqlFor(its sfDir); the no-arg `oracleSql` keeps the driver
+    * contract with the documented sf0.01 default.
+    */
+  def oracleSqlFor(sfDir: String): Map[String, String] = Map(
     "q01_dup_gate" ->
       "SELECT l_orderkey, count(*) AS cnt FROM lineitem GROUP BY l_orderkey HAVING count(*) > 1",
     "q02_agg_pricing" ->
@@ -348,18 +356,19 @@ object SparkEntry {
     "q39_csv_roundtrip" ->
       """SELECT o_orderstatus, count(*) AS cnt, round(sum(o_totalprice), 2) AS total
         |FROM orders GROUP BY o_orderstatus""".stripMargin,
-    // correctness runs are pinned at sf0.01 (driver contract), so the
-    // read_blob path is the sf0.01 fixture the Spark side reads at verify
-    // time; the check covers the exact file bytes end to end
+    // read_blob points at the same fixture file the Spark side reads (the
+    // map is templated on sfDir); the check covers the exact file bytes
     "q40_binary_source" ->
-      """SELECT 'documents.parquet' AS file_name, CAST(size AS BIGINT) AS n_bytes
-        |FROM read_blob('/root/testdata/sf0.01/documents.parquet')""".stripMargin,
+      s"""SELECT 'documents.parquet' AS file_name, CAST(size AS BIGINT) AS n_bytes
+         |FROM read_blob('$sfDir/documents.parquet')""".stripMargin,
     "q41_preprocess_pipeline" ->
       """SELECT CAST(count(*) * 9 AS BIGINT) AS n_rows,
         | CAST(count(*) * 9 AS BIGINT) AS n_distinct_aug_paths,
         | CAST(9 AS BIGINT) AS n_variants, true AS px_ok
         |FROM documents""".stripMargin,
-    // every 4th 256-byte frame: counts/bytes from pure length arithmetic
+    // every 4th 256-byte frame: counts/bytes from pure length arithmetic.
+    // L > 0 matches the Spark side, which emits no row for an empty payload
+    // (grouped(256) over zero bytes yields zero frames)
     "q42_frame_sample" ->
       """SELECT doc_id AS media_id,
         | CAST((F - 1) // 4 + 1 AS BIGINT) AS n_sampled,
@@ -368,7 +377,8 @@ object SparkEntry {
         |       ELSE 256 * ((F - 1) // 4 + 1) END AS BIGINT) AS sampled_bytes
         |FROM (SELECT doc_id, octet_length(encode(text)) AS L,
         |        (octet_length(encode(text)) + 255) // 256 AS F
-        |      FROM documents WHERE doc_id % 3 = 2) t""".stripMargin,
+        |      FROM documents WHERE doc_id % 3 = 2) t
+        |WHERE L > 0""".stripMargin,
     "q44_corpus_curation" ->
       s"""WITH q AS (SELECT doc_id, lang, sha256(text) AS h FROM documents
          |           WHERE $qualitySql >= 0.5)

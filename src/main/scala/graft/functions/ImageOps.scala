@@ -59,12 +59,19 @@ object ImageOps {
     (s, (v >>> 11).toDouble / (1L << 53).toDouble)
   }
 
+  /** Bilinear sample with constant-0 border for points OUTSIDE the image
+    * (cv2 BORDER_CONSTANT — what warpAffine's rotation voids need) and
+    * edge-clamped corner fetches for points ON it: a sample anywhere in
+    * [0, w-1]×[0, h-1] — including the last row/column — interpolates real
+    * pixels and never reads the synthetic 0 border.
+    */
   private def sampleBilinear(img: Gray, x: Double, y: Double): Int = {
-    val xi = math.floor(x).toInt; val yi = math.floor(y).toInt
-    if (xi < 0 || yi < 0 || xi >= img.w - 1 || yi >= img.h - 1) 0
+    if (x < 0 || y < 0 || x > img.w - 1 || y > img.h - 1) 0
     else {
+      val xi = math.floor(x).toInt; val yi = math.floor(y).toInt
       val fx = x - xi; val fy = y - yi
-      def p(cx: Int, cy: Int): Int = img.px(cy * img.w + cx) & 0xff
+      def p(cx: Int, cy: Int): Int =
+        img.px(math.min(cy, img.h - 1) * img.w + math.min(cx, img.w - 1)) & 0xff
       math.round(
         p(xi, yi) * (1 - fx) * (1 - fy) + p(xi + 1, yi) * fx * (1 - fy) +
           p(xi, yi + 1) * (1 - fx) * fy + p(xi + 1, yi + 1) * fx * fy).toInt
@@ -121,8 +128,13 @@ object ImageOps {
     while (y < newH) {
       var x = 0
       while (x < newW) {
-        // sample at the source-space center of each target pixel
-        val px = sampleBilinear(img, (x + 0.5) * sx - 0.5, (y + 0.5) * sy - 0.5)
+        // sample at the source-space center of each target pixel, clamped
+        // into the image: the half-pixel mapping puts border-pixel centers
+        // slightly outside [0, w-1], where resize semantics (cv2) replicate
+        // the edge rather than blend with a constant border
+        val gx = math.min(math.max((x + 0.5) * sx - 0.5, 0.0), img.w - 1.0)
+        val gy = math.min(math.max((y + 0.5) * sy - 0.5, 0.0), img.h - 1.0)
+        val px = sampleBilinear(img, gx, gy)
         out(y * newW + x) = px.max(0).min(255).toByte
         x += 1
       }

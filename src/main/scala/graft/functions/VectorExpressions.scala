@@ -22,9 +22,16 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * Numerics are identical to the HOF version and to the DuckDB oracle:
   * each float widened to double, products accumulated left-to-right in
   * index order, final value dot / (‖a‖·‖b‖).
+  *
+  * Null semantics also match [[VectorOps.cosine]]: mismatched lengths and
+  * null array elements yield NULL (zip_with pads the shorter side with
+  * null, which nulls the whole fold), never a silently-wrong number.
   */
 case class CosineSimilarityExpr(left: Expression, right: Expression)
     extends BinaryExpression {
+
+  // mismatched lengths / null elements produce null from non-null inputs
+  override def nullable: Boolean = true
 
   // ExpectsInputTypes is private[sql] surface in Spark 4; an explicit type
   // check keeps the analysis-time error without touching internals
@@ -45,16 +52,19 @@ case class CosineSimilarityExpr(left: Expression, right: Expression)
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var dot = 0.0
-    var i = 0
-    while (i < n) { dot += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
     var na = 0.0
-    i = 0
-    while (i < x.numElements()) { val v = x.getFloat(i).toDouble; na += v * v; i += 1 }
     var nb = 0.0
-    i = 0
-    while (i < y.numElements()) { val v = y.getFloat(i).toDouble; nb += v * v; i += 1 }
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      val u = x.getFloat(i).toDouble
+      val v = y.getFloat(i).toDouble
+      dot += u * v; na += u * u; nb += v * v
+      i += 1
+    }
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
@@ -65,22 +75,24 @@ case class CosineSimilarityExpr(left: Expression, right: Expression)
       val dot = ctx.freshName("dot")
       val na = ctx.freshName("na")
       val nb = ctx.freshName("nb")
+      val u = ctx.freshName("u")
       val v = ctx.freshName("v")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $dot = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $dot += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    double $u = (double) $a.getFloat($i);
+         |    double $v = (double) $b.getFloat($i);
+         |    $dot += $u * $v; $na += $u * $u; $nb += $v * $v;
+         |  }
+         |  if (!${ev.isNull}) {
+         |    ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |  }
          |}
-         |double $na = 0.0;
-         |for (int $i = 0; $i < $a.numElements(); $i++) {
-         |  double $v = (double) $a.getFloat($i); $na += $v * $v;
-         |}
-         |double $nb = 0.0;
-         |for (int $i = 0; $i < $b.numElements(); $i++) {
-         |  double $v = (double) $b.getFloat($i); $nb += $v * $v;
-         |}
-         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
        """.stripMargin
     })
 

@@ -15,6 +15,20 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
+  /** Eagerly compute a tiny (invariant-style) result so the caller can
+    * unpersist its caches before returning: the invariant queries cache a
+    * key projection that feeds several sample branches, and handing back a
+    * lazy plan would leak that cache into long-lived library sessions
+    * (bench clears caches between queries; a user's session doesn't).
+    * Only ever used on ≤-a-few-rows aggregates — never a data-sized
+    * collect.
+    */
+  private def materialized(df: DataFrame): DataFrame = {
+    val rows = df.collect()
+    df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*), df.schema)
+  }
+
   /** D2 — stratified sample (reference
     * /root/reference/src/preprocessing_pipeline.py:173-176: sampleBy on the
     * stratification key with per-label fractions, seed 42). Stratification
@@ -84,11 +98,12 @@ object Sampling {
           when(col("client") === i && col("l_returnflag") === label, lit(f)).otherwise(a)
         }
     }
-    observed.join(totals, "l_returnflag")
+    val result = observed.join(totals, "l_returnflag")
       .withColumn("expected", col("total") * fracCol)
       .withColumn("violation",
         when(abs(col("got") - col("expected")) > col("expected") * 0.2, 1).otherwise(0))
       .agg(sum(col("violation")).cast("long").as("violations"))
+    try materialized(result) finally keyed.unpersist()
   }
 
   /** D3 — seeded random split into n disjoint clients (reference
@@ -111,21 +126,18 @@ object Sampling {
     // and check both invariants in ONE aggregation over the cached input —
     // vs the naive n²/2 intersect jobs + n count jobs, each of which would
     // rescan (and at 100 TB, re-shuffle) the parent.
-    // The cache is materialized by the parent count and reused by all four
-    // split branches when the returned (lazy) plan executes; it is left
-    // registered because the result must stay lazy — a few MB of keys per
-    // session, reclaimed at session stop.
     val keyed = Tables.orders(spark, dir).select(col("o_orderkey")).cache()
     val parentCount = keyed.count()
     val tagged = randomClientSplit(keyed, 4).zipWithIndex
       .map { case (df, i) => df.withColumn("split_id", lit(i)) }
       .reduce(_.unionByName(_))
-    tagged
+    val result = tagged
       .groupBy(col("o_orderkey"))
       .agg(count(lit(1)).as("n_assignments"))
       .agg(
         sum(when(col("n_assignments") > 1, 1L).otherwise(0L)).cast("long").as("overlap_rows"),
         (sum(col("n_assignments")) - parentCount).cast("long").as("count_diff"))
+    try materialized(result) finally keyed.unpersist()
   }
 
   /** D4+D5 — hash repartition (reference

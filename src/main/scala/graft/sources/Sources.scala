@@ -17,6 +17,18 @@ import org.apache.spark.sql.types._
   */
 object Sources {
 
+  /** Session-unique tag (applicationId ⊕ session identity): two concurrent
+    * sessions on one host — bench + verify, parallel test JVMs — must never
+    * race on one scratch path or warehouse table dir.
+    */
+  private[graft] def sessionTag(spark: SparkSession): String =
+    spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_") +
+      "_" + java.lang.Integer.toHexString(System.identityHashCode(spark))
+
+  /** Session-isolated scratch dir for round-trip sinks. */
+  private[graft] def scratchDir(spark: SparkSession, name: String): String =
+    sys.props("java.io.tmpdir") + s"/graft_${name}_${sessionTag(spark)}"
+
   /** The reference's label-CSV schema (FIXTURES.md §A1): path key + 5-label
     * vector. */
   val labelCsvSchema: StructType = StructType(Seq(
@@ -58,7 +70,7 @@ object Sources {
     * (Spark writes doubles in shortest-round-trip form).
     */
   def csvRoundTrip(spark: SparkSession, dir: String): DataFrame = {
-    val out = sys.props("java.io.tmpdir") + "/graft_csv_roundtrip"
+    val out = scratchDir(spark, "csv_roundtrip")
     parquet(spark, s"$dir/orders.parquet")
       .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
       .repartition(4) // a real shard directory, not a single file
@@ -79,7 +91,7 @@ object Sources {
     * table, proving the round-trip is lossless.
     */
   def jsonlRoundTrip(spark: SparkSession, dir: String): DataFrame = {
-    val out = sys.props("java.io.tmpdir") + "/graft_jsonl_roundtrip"
+    val out = scratchDir(spark, "jsonl_roundtrip")
     parquet(spark, s"$dir/documents.parquet")
       .select(col("doc_id"), col("lang"), col("text"))
       .repartition(4)
@@ -101,7 +113,7 @@ object Sources {
     * schema, but declaring ours pins the types the engine expects).
     */
   def orcRoundTrip(spark: SparkSession, dir: String): DataFrame = {
-    val out = sys.props("java.io.tmpdir") + "/graft_orc_roundtrip"
+    val out = scratchDir(spark, "orc_roundtrip")
     parquet(spark, s"$dir/lineitem.parquet")
       .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"))
       .repartition(4)

@@ -54,12 +54,18 @@ object KernelProps extends Properties("graft.kernels") {
       out.w == w && out.h == h && out.px.length == w * h
     }
 
-  property("identity resize of a constant image preserves every pixel") =
-    Prop.forAll(Gen.choose(Byte.MinValue, Byte.MaxValue)) { v =>
+  property("identity resize preserves EVERY pixel, borders included") =
+    Prop.forAll(imgGen) { img =>
+      // the half-pixel mapping at scale 1 lands exactly on source pixels,
+      // and edge clamping means border pixels are fetched, not zero-filled
+      ImageOps.resize(img, 16, 16).px.sameElements(img.px)
+    }
+
+  property("upscale of a constant image is constant everywhere, borders included") =
+    Prop.forAll(Gen.choose(Byte.MinValue, Byte.MaxValue),
+      Gen.choose(17, 48), Gen.choose(17, 48)) { (v, w, h) =>
       val img = Gray(16, 16, Array.fill(256)(v))
-      // away from borders the bilinear sample of a constant plane is exact
-      val out = ImageOps.resize(img, 16, 16)
-      (1 until 15).forall(y => (1 until 15).forall(x => out.px(y * 16 + x) == v))
+      ImageOps.resize(img, w, h).px.forall(_ == v)
     }
 
   property("flattenName never contains '/' after the prefix") =

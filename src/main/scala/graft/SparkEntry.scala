@@ -97,24 +97,32 @@ object SparkEntry {
     "q50_orc_roundtrip" -> graft.sources.Sources.orcRoundTrip _,
     // per-partition-reduced exact top-k (same oracle as q21 by construction)
     "q51_cosine_topk_partitioned" ->
-      ((s: SparkSession, d: String) => Similarity.cosineTopKPartitioned(s, d))
+      ((s: SparkSession, d: String) => Similarity.cosineTopKPartitioned(s, d)),
+    // near-dup cluster resolution: pairs → connected components → keep rule
+    // (the dedup verb a pipeline actually runs; SURVEY §2.5 D6 closure)
+    "q52_neardup_clusters" -> ((s: SparkSession, d: String) => Dedup.nearDupClusters(s, d))
   )
 
-  /** Shared CTE for the n-gram Jaccard oracle (q17 + q18: the LSH output
-    * is verification-exact, so both match the brute-force SQL). */
-  private val jaccardSql: String =
-    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+  /** Shared CTE chain ending in `pairs` = the exact-Jaccard near-dup pairs
+    * at threshold 0.5 (q17 + q18 + the q52 edge set: the LSH output is
+    * verification-exact, so all three build on the brute-force SQL). */
+  private val jaccardPairCtes: String =
+    """toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
       |sh AS (SELECT DISTINCT doc_id,
       |         unnest([array_to_string(t[i:i+2], ' ') for i in generate_series(1, len(t)-2)]) AS shingle
       |       FROM toks WHERE len(t) >= 3),
       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
       |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
       |          FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id
-      |          GROUP BY 1, 2)
-      |SELECT doc_a, doc_b,
-      |       round(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 4) AS jaccard
-      |FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
-      |WHERE round(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 4) >= 0.5""".stripMargin
+      |          GROUP BY 1, 2),
+      |pairs AS (SELECT doc_a, doc_b,
+      |            round(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 4) AS jaccard
+      |          FROM inter JOIN sizes sa ON sa.doc_id = doc_a
+      |                     JOIN sizes sb ON sb.doc_id = doc_b
+      |          WHERE round(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 4) >= 0.5)""".stripMargin
+
+  private val jaccardSql: String =
+    s"WITH $jaccardPairCtes\nSELECT doc_a, doc_b, jaccard FROM pairs"
 
   /** Embedding unnest CTE: (vec_id, 0-based dim, double value). */
   private val embedExplode: String =
@@ -413,6 +421,19 @@ object SparkEntry {
     "q50_orc_roundtrip" ->
       """SELECT l_returnflag, count(*) AS cnt, round(sum(l_quantity), 2) AS sum_qty,
         | count(DISTINCT l_orderkey) AS n_orders
-        |FROM lineitem GROUP BY l_returnflag""".stripMargin
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    // transitive closure over the exact-Jaccard pair set: reach computes
+    // every label reachable from each doc; min(reachable) = component
+    // minimum = the engine's cluster_id, and keep ⟺ the doc IS that min
+    "q52_neardup_clusters" ->
+      s"""WITH RECURSIVE $jaccardPairCtes,
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |          UNION SELECT doc_b, doc_a FROM pairs),
+         |reach(id, lbl) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id)
+         |SELECT id AS doc_id, min(lbl) AS cluster_id, (min(lbl) = id) AS keep
+         |FROM reach GROUP BY id""".stripMargin
   )
 }

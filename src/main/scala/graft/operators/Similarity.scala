@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.Tables
 import graft.functions.VectorOps
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -133,45 +133,106 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("cand_id"), col("score"))
   }
 
+  /** Per-row similarity of `vec` against every centroid, as one array
+    * column of nLists codegen'd cosine kernels over LITERAL centroid
+    * arrays. The codebook lives in the plan itself — each executor holds it
+    * exactly like a broadcast, but the argmax/top-nProbe over it never
+    * leaves the row, so assignment needs no join, no window, no Exchange.
+    */
+  private def listSims(vec: Column, cents: Array[Array[Float]]): Column =
+    array(cents.map(c => VectorOps.cosineFast(vec, typedLit(c.toSeq))): _*)
+
+  /** In-row argmax over the codebook: first index of the max similarity —
+    * ties break to the smaller list_id, same total order as (sim desc,
+    * list_id asc). */
+  def nearestListId(vec: Column, cents: Array[Array[Float]]): Column = {
+    val sims = listSims(vec, cents)
+    (array_position(sims, array_max(sims)) - 1).cast("long")
+  }
+
+  /** In-row top-nProbe list ids (sim desc, list_id asc): sort the
+    * (sim, list_id) pairs with an array_sort comparator and slice. Only
+    * ever evaluated on the nQueries-bounded probe side. */
+  private def probeListIds(vec: Column, cents: Array[Array[Float]], nProbe: Int): Column = {
+    val sims = listSims(vec, cents)
+    val pairs = transform(sequence(lit(0), lit(cents.length - 1)),
+      i => struct(get(sims, i).as("sim"), i.as("lid")))
+    val sorted = array_sort(pairs, (l, r) =>
+      when(l.getField("sim") > r.getField("sim"), -1)
+        .when(l.getField("sim") < r.getField("sim"), 1)
+        .otherwise(when(l.getField("lid") < r.getField("lid"), -1).otherwise(1)))
+    transform(slice(sorted, 1, nProbe), p => p.getField("lid").cast("long"))
+  }
+
+  /** Coarse-quantizer assignment: one narrow projection over the corpus —
+    * scan → in-row argmax → (vec_id, embedding, list_id). ZERO Exchange
+    * (pinned by PlanSpec); the earlier form shuffled every full embedding
+    * through a per-vec_id window for an argmax that was computable inside
+    * the row. */
+  def ivfAssign(e: DataFrame, cents: Array[Array[Float]]): DataFrame =
+    e.select(col("vec_id"), col("embedding"),
+      nearestListId(col("embedding"), cents).as("list_id"))
+
+  /** Lloyd's-trained IVF codebook, DataFrames only. Seeded deterministically
+    * with the first nLists corpus vectors, then `iters` rounds of:
+    * assign every vector in-row (no shuffle) → per-(list, dim) mean via a
+    * map-side-combined aggregation (the shuffle carries ≤ nLists×dim
+    * partials per partition, not embeddings) → collect the nLists×dim
+    * codebook to the driver — the same bounded state any IVF trainer must
+    * hold, and all an executor needs shipped back as literals. Means are
+    * rounded so partition-order float drift can't wobble the codebook
+    * between runs; empty lists keep their previous centroid.
+    */
+  def trainCentroids(e: DataFrame, nLists: Int, iters: Int): Array[Array[Float]] = {
+    var cents: Array[Array[Float]] = e.filter(col("vec_id") < nLists)
+      .orderBy(col("vec_id")).select(col("embedding"))
+      .collect().map(_.getSeq[Float](0).toArray)
+    for (_ <- 0 until iters) {
+      val means = ivfAssign(e, cents)
+        .select(col("list_id"), posexplode(col("embedding")))
+        .toDF("list_id", "dim", "x")
+        .groupBy(col("list_id"), col("dim"))
+        .agg(round(avg(col("x")), 4).as("m"))
+        .collect()
+      val next = cents.map(_.clone)
+      means.foreach(r => next(r.getLong(0).toInt)(r.getInt(1)) = r.getDouble(2).toFloat)
+      cents = next
+    }
+    cents
+  }
+
   /** IVF (inverted-file) approximate NN — the second scale path next to
     * hyperplane LSH, and the one real vector stores default to:
     *
-    *   1. coarse quantizer: nLists centroid vectors (here: the first
-    *      nLists corpus vectors — deterministic, no trained k-means state
-    *      to ship; a trained codebook drops in as a parquet table without
-    *      touching the plan);
-    *   2. assignment: one linear pass scoring every vector against the
-    *      broadcast centroids — O(n · nLists) with the codegen'd cosine;
+    *   1. coarse quantizer: an nLists-centroid codebook, Lloyd's-trained by
+    *      [[trainCentroids]] (trainIters = 0 degrades to the deterministic
+    *      first-nLists-vectors seed);
+    *   2. assignment: one linear in-row pass — O(n · nLists) codegen'd
+    *      cosines, no shuffle at all ([[ivfAssign]]);
     *   3. probe: each query searches only its nProbe nearest lists via an
     *      equi-join on list_id — ~nProbe/nLists of the corpus per query
     *      instead of all of it, which is the entire IVF trade.
     *
     * Recall < 1 by construction (a true neighbor may live in an unprobed
     * list); spec-measured against cosineTopK like the LSH variant —
-    * 0.92-0.94 top-5 recall at both fixture scales with the defaults,
-    * touching nProbe/nLists = 1/4 of the corpus per query.
+    * 0.90-0.94 top-5 recall at both fixture scales with the defaults.
+    * Honest finding on the fixtures: their embeddings are near-uniform, so
+    * training balances list occupancy (max/mean 1.34 → 1.18 after one
+    * iteration — bounded probe cost) but leaves recall flat; the recall win
+    * of a trained codebook only materializes on corpora with real cluster
+    * structure. Default is therefore one cheap iteration.
     */
   def ivfCosineTopK(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5,
-                    nLists: Int = 16, nProbe: Int = 4): DataFrame = {
+                    nLists: Int = 16, nProbe: Int = 4, trainIters: Int = 1): DataFrame = {
     require(nLists > 0 && nProbe > 0 && nProbe <= nLists,
       s"need 0 < nProbe=$nProbe <= nLists=$nLists")
+    require(trainIters >= 0, s"need trainIters=$trainIters >= 0")
     val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
-    val centroids = e.filter(col("vec_id") < nLists)
-      .select(col("vec_id").as("list_id"), col("embedding").as("centroid"))
-    val assignW = Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("list_id"))
-    val assigned = e.crossJoin(broadcast(centroids))
-      .withColumn("sim", VectorOps.cosineFast(col("embedding"), col("centroid")))
-      .withColumn("rn", row_number().over(assignW))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("embedding"), col("list_id"))
-    val probeW = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("list_id"))
+    val cents = trainCentroids(e, nLists, trainIters)
+    val assigned = ivfAssign(e, cents)
     val probes = e.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-      .crossJoin(broadcast(centroids))
-      .withColumn("sim", VectorOps.cosineFast(col("qv"), col("centroid")))
-      .withColumn("rn", row_number().over(probeW))
-      .filter(col("rn") <= nProbe)
-      .select(col("query_id"), col("qv"), col("list_id"))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        explode(probeListIds(col("embedding"), cents, nProbe)).as("list_id"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("vec_id"))
     assigned.join(probes, Seq("list_id"))
       .filter(col("query_id") =!= col("vec_id"))

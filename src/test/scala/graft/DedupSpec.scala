@@ -118,4 +118,74 @@ class DedupSpec extends AnyFunSuite {
     assert(df.count() == nDocs) // every doc is planted twice by the union
     assert(df.filter(col("cnt") =!= 2).count() == 0)
   }
+
+  test("connectedComponents: labels propagate transitively along chains") {
+    // path 1-2-3-4 (no direct 1-4 edge) + isolated vertex 5: min-label
+    // propagation must carry 1 across three hops, and leave 5 alone
+    val vertices = Seq(1L, 2L, 3L, 4L, 5L).toDF("id")
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val got = Dedup.connectedComponents(vertices, edges)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 5L))
+  }
+
+  test("near-dup clusters: transitive closure over pairs, keep-lowest per cluster") {
+    // planted corpus: base i (i<40), near-dup i+1000, exact copy i+2000
+    // (i<10) — docs i, i+1000, i+2000 must form ONE cluster labeled i even
+    // where a pairwise edge is missing (connectivity via the base doc)
+    val clusters = Dedup.nearDupClustersFor(planted)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(clusters.size == 90)
+    (0L until 40L).foreach { i =>
+      assert(clusters(i) == (i, true), s"base doc $i must keep itself")
+      assert(clusters(i + 1000L) == (i, false), s"near-dup of $i must join cluster $i")
+    }
+    (0L until 10L).foreach { i =>
+      assert(clusters(i + 2000L) == (i, false), s"exact copy of $i must join cluster $i")
+    }
+    // the deduplicated corpus is exactly the 40 cluster representatives
+    val kept = Dedup.dedupCorpusFor(planted).select("doc_id").as[Long].collect().toSet
+    assert(kept == (0L until 40L).toSet)
+  }
+
+  /** 50 deterministic random 64-dim vectors + 20 planted near-identical
+    * copies (tiny perturbation → cos ≈ 0.9999). Random 64-dim pairs
+    * concentrate around cos 0 (σ ≈ 1/8), so at threshold 0.7 the true
+    * pair set is exactly the planted one.
+    */
+  private lazy val plantedVecs = {
+    val rnd = new scala.util.Random(7)
+    def vec() = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val base = (0L until 50L).map(i => i -> vec())
+    val dups = base.take(20).map { case (i, v) =>
+      (i + 1000L) -> v.map(x => x + 0.01f * rnd.nextGaussian().toFloat)
+    }
+    (base ++ dups).toDF("vec_id", "embedding")
+  }
+
+  test("embedding near-dup: banded path equals the exact path at threshold >= 0.7") {
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val exact = rows(Dedup.embeddingNearDupPairsExactFor(plantedVecs, 0.7))
+    val banded = rows(Dedup.embeddingNearDupPairsBandedFor(plantedVecs, 0.7))
+    val wanted = (0L until 20L).map(i => (i, i + 1000L)).toSet
+    assert(wanted == exact.map(t => (t._1, t._2)),
+      s"exact path should find exactly the planted pairs, got ${exact.size}")
+    assert(banded == exact, // same pairs AND same cos values
+      s"banded≠exact: only-banded=${banded -- exact}, only-exact=${exact -- banded}")
+  }
+
+  test("embedding near-dup router: small corpus exact, large corpus banded") {
+    // fixture-sized → exact path (same rows as calling the exact form)
+    val routed = Dedup.embeddingNearDupPairs(spark, TestSpark.Sf0001)
+    val e = Tables.embeddings(spark, TestSpark.Sf0001)
+      .select(col("vec_id"), col("embedding"))
+    assert(routed.exceptAll(Dedup.embeddingNearDupPairsExactFor(e, 0.4)).count() == 0)
+    // forced over the threshold → banded plan: no nested-loop/cartesian join
+    val bandedPlan = Dedup.embeddingNearDupPairs(spark, TestSpark.Sf0001,
+      threshold = 0.7, maxExactRows = 0L)
+      .queryExecution.executedPlan.toString
+    assert(!bandedPlan.contains("NestedLoop") && !bandedPlan.contains("CartesianProduct"),
+      s"router above maxExactRows must take the banded path:\n$bandedPlan")
+  }
 }

@@ -40,4 +40,14 @@ class PlanSpec extends AnyFunSuite {
     val plan = planOf(Similarity.annCosineTopK(spark, TestSpark.Sf0001))
     assert(!plan.contains("CartesianProduct"), s"cross join in ANN plan:\n$plan")
   }
+
+  test("IVF assignment is a single shuffle-free projection (no Exchange)") {
+    val e = Tables.embeddings(spark, TestSpark.Sf0001)
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.col("embedding"))
+    val cents = Similarity.trainCentroids(e, nLists = 8, iters = 1)
+    val plan = planOf(Similarity.ivfAssign(e, cents))
+    assert(!plan.contains("Exchange"),
+      s"coarse-quantizer assignment must not shuffle:\n$plan")
+  }
 }

@@ -80,9 +80,26 @@ class SimilaritySpec extends AnyFunSuite {
     val ivf = Similarity.ivfCosineTopK(spark, TestSpark.Sf0001)
       .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
     val recall = (exact & ivf).size.toDouble / exact.size
-    // measured 0.92-0.94 at both fixture scales with the default
-    // 16-list/4-probe config; the floor leaves headroom for hash drift
+    // measured 0.90-0.94 at both fixture scales with the default
+    // 16-list/4-probe/1-train-iter config; the floor leaves headroom for
+    // centroid drift
     assert(recall >= 0.8, s"IVF recall $recall below floor 0.8 (|exact|=${exact.size})")
+  }
+
+  test("Lloyd's training keeps every list nonempty and bounds occupancy skew") {
+    val e = Tables.embeddings(spark, TestSpark.Sf0001)
+      .select(col("vec_id"), col("embedding"))
+    val cents = Similarity.trainCentroids(e, nLists = 16, iters = 1)
+    assert(cents.length == 16 && cents.forall(_.nonEmpty))
+    val sizes = Similarity.ivfAssign(e, cents)
+      .groupBy(col("list_id")).count()
+      .select(col("count")).as[Long].collect()
+    assert(sizes.length == 16, s"expected 16 nonempty lists, got ${sizes.length}")
+    val meanSz = sizes.sum.toDouble / sizes.length
+    // trained codebook on the fixtures measures max/mean ≈ 1.18-1.28; the
+    // bound catches a broken trainer (collapsed lists → unbounded probes)
+    assert(sizes.max / meanSz <= 2.0,
+      s"list occupancy skew ${sizes.max / meanSz} exceeds 2.0 (sizes=${sizes.sorted.mkString(",")})")
   }
 
   test("IVF partitions the corpus: every vector lands in exactly one list") {

@@ -100,7 +100,11 @@ object SparkEntry {
       ((s: SparkSession, d: String) => Similarity.cosineTopKPartitioned(s, d)),
     // near-dup cluster resolution: pairs → connected components → keep rule
     // (the dedup verb a pipeline actually runs; SURVEY §2.5 D6 closure)
-    "q52_neardup_clusters" -> ((s: SparkSession, d: String) => Dedup.nearDupClusters(s, d))
+    "q52_neardup_clusters" -> ((s: SparkSession, d: String) => Dedup.nearDupClusters(s, d)),
+    // struct-of-tensors parquet ingest (SURVEY §2.1 S4's engine form)
+    "q53_struct_roundtrip" -> graft.sources.Sources.structParquetRoundTrip _,
+    // the reference's CheXpert label-CSV schema read as CSV + J2 vector assembly
+    "q54_label_csv" -> graft.sources.Sources.labelCsvRoundTrip _
   )
 
   /** Shared CTE chain ending in `pairs` = the exact-Jaccard near-dup pairs
@@ -434,6 +438,20 @@ object SparkEntry {
          |  UNION
          |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id)
          |SELECT id AS doc_id, min(lbl) AS cluster_id, (min(lbl) = id) AS keep
-         |FROM reach GROUP BY id""".stripMargin
+         |FROM reach GROUP BY id""".stripMargin,
+    // tensors are whole 0..99 floats by construction → sums are exact
+    "q53_struct_roundtrip" ->
+      """SELECT doc_id,
+        | CAST(list_sum([(doc_id * 13 + i * 7) % 100 for i in generate_series(0, 7)]) AS BIGINT) AS saliency_sum,
+        | CAST(list_sum([(doc_id * 29 + i * 11) % 100 for i in generate_series(0, 7)]) AS BIGINT) AS attention_sum
+        |FROM documents""".stripMargin,
+    "q54_label_csv" ->
+      """SELECT 'corpus/' || source || '/' || CAST(doc_id AS VARCHAR) || '.jpg' AS path,
+        | CAST(generate_subscripts(l, 1) - 1 AS BIGINT) AS dim, unnest(l) AS label
+        |FROM (SELECT doc_id, source,
+        |        [CAST(doc_id % 2 AS DOUBLE), CAST(doc_id % 3 = 0 AS DOUBLE),
+        |         CAST(doc_id % 5 = 0 AS DOUBLE), CAST(doc_id % 7 = 0 AS DOUBLE),
+        |         0.0] AS l
+        |      FROM documents) t""".stripMargin
   )
 }

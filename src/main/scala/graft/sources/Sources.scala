@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -127,6 +127,68 @@ object Sources {
       .agg(count(lit(1)).as("cnt"),
         round(sum(col("l_quantity")), 2).as("sum_qty"),
         countDistinct(col("l_orderkey")).as("n_orders"))
+  }
+
+  /** q53 — S4's engine form: nested struct-of-tensors parquet ingest. The
+    * reference ships dicts of tensors as pickles
+    * (/root/reference/utils/pkl_to_png_converter.py:12-16, a saliency-map
+    * dict); the engine's interchange for that shape is a parquet struct of
+    * array<float> fields — columnar, splittable, schema-checked, readable
+    * by every engine, none of which pickle is. A saliency-dict-shaped
+    * table is derived deterministically from documents (values are whole
+    * 0..99 floats, so sums are float-exact and oracle-comparable), sunk as
+    * parquet, re-read with an explicit NESTED schema, and the tensors
+    * aggregated in-row.
+    */
+  def structParquetRoundTrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = scratchDir(spark, "struct_roundtrip")
+    def tensor(mulA: Int, mulB: Int) =
+      transform(sequence(lit(0), lit(7)),
+        i => pmod(col("doc_id") * mulA + i * mulB, lit(100)).cast("float"))
+    parquet(spark, s"$dir/documents.parquet")
+      .select(col("doc_id"),
+        struct(tensor(13, 7).as("saliency"), tensor(29, 11).as("attention")).as("maps"))
+      .write.mode("overwrite").parquet(out)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("maps", StructType(Seq(
+        StructField("saliency", ArrayType(FloatType)),
+        StructField("attention", ArrayType(FloatType)))))))
+    def sumT(c: Column) =
+      aggregate(c, lit(0.0), (a, x) => a + x.cast("double")).cast("long")
+    spark.read.schema(schema).parquet(out)
+      .select(col("doc_id"),
+        sumT(col("maps.saliency")).as("saliency_sum"),
+        sumT(col("maps.attention")).as("attention_sum"))
+  }
+
+  /** q54 — S1 exercised on the reference's OWN label schema
+    * ([[labelCsvSchema]]; /root/reference/src/federated_learning_pipeline.py:29-33):
+    * a deterministic CheXpert-shaped 5-label frame derived from documents
+    * is sunk as headered CSV shards, re-read through the declared schema
+    * (no inference pass), and assembled into the per-row label VECTOR the
+    * training pipeline consumes (J2 — the q45 form on the reference's real
+    * ingest shape).
+    */
+  def labelCsvRoundTrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = scratchDir(spark, "label_csv")
+    parquet(spark, s"$dir/documents.parquet")
+      .select(
+        concat(lit("corpus/"), col("source"), lit("/"),
+          col("doc_id").cast("string"), lit(".jpg")).as("Path"),
+        (col("doc_id") % 2).cast("double").as("Cardiomegaly"),
+        (col("doc_id") % 3 === 0).cast("double").as("Pneumonia"),
+        (col("doc_id") % 5 === 0).cast("double").as("Lung Opacity"),
+        (col("doc_id") % 7 === 0).cast("double").as("Edema"),
+        lit(0.0).as("Consolidation"))
+      .repartition(4)
+      .write.mode("overwrite").option("header", "true").csv(out)
+    csv(spark, out, labelCsvSchema)
+      .select(col("Path").as("path"),
+        posexplode(array(col("Cardiomegaly"), col("Pneumonia"),
+          col("Lung Opacity"), col("Edema"), col("Consolidation"))))
+      .toDF("path", "dim", "label")
+      .select(col("path"), col("dim").cast("long").as("dim"), col("label"))
   }
 
   /** q40 — S3 exercised: the fixture parquet itself read as opaque binary.

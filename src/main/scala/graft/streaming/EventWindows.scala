@@ -3,6 +3,7 @@ package graft.streaming
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
 
 /** Time-window operators over the events fixture (SURVEY §2.10 [EXT]).
   * The reference has no streaming at all; the capability contract is
@@ -13,6 +14,11 @@ import org.apache.spark.sql.functions._
   * Window starts are emitted as epoch milliseconds (unix_millis) rather
   * than raw timestamps so the oracle comparison never depends on parquet
   * timestamp-zone encoding.
+  *
+  * Every stateful operator bounds its state: the built-in windows by
+  * watermark, the custom GroupState operators by event-time timeouts
+  * (idle keys are EVICTED once the watermark passes their TTL — the only
+  * form that survives an unbounded keyspace).
   */
 object EventWindows {
 
@@ -55,162 +61,173 @@ object EventWindows {
 
   // --- Structured Streaming twins (spec-exercised with memory sinks) ---
 
-  /** Streaming tumbling aggregation with a 1-hour watermark over a
-    * file-driven stream of the same parquet. The plan is identical to
-    * tumblingCounts modulo the watermark node, which is the point: batch
-    * and stream share operator semantics.
-    */
-  def streamingTumblingCounts(spark: SparkSession, dir: String): DataFrame = {
+  /** File-driven stream over the events fixture. The fixture is a single
+    * parquet FILE; the file stream source needs a directory basePath, so
+    * stream the parent dir glob-filtered to that file, and normalize the
+    * nanosecond ts like the batch loader does. */
+  private def eventStream(spark: SparkSession, dir: String): DataFrame = {
     val batchSchema = Tables.table(spark, dir, "events").schema
-    // the fixture is a single parquet FILE; the file stream source needs a
-    // directory basePath, so stream the parent dir filtered to that file
     val raw = spark.readStream.schema(batchSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-    val ev =
-      if (batchSchema("ts").dataType == org.apache.spark.sql.types.LongType)
-        raw.withColumn("ts", Tables.nanosToTimestamp(col("ts")))
-      else raw
-    ev.withWatermark("ts", "1 hour")
+    if (batchSchema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts", Tables.nanosToTimestamp(col("ts")))
+    else raw
+  }
+
+  /** Streaming tumbling aggregation with a 1-hour watermark. The plan is
+    * identical to tumblingCounts modulo the watermark node, which is the
+    * point: batch and stream share operator semantics. */
+  def streamingTumblingCounts(spark: SparkSession, dir: String): DataFrame =
+    eventStream(spark, dir)
+      .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("cnt"))
       .select(unix_millis(col("window.start")).as("window_start_ms"),
         col("event_type"), col("cnt"))
-  }
 
-  /** Streaming sliding windows: 1-hour length, 30-minute hop, watermarked.
-    * Plan is slidingCounts modulo the watermark node. */
-  def streamingSlidingCounts(spark: SparkSession, dir: String): DataFrame = {
-    val batchSchema = Tables.table(spark, dir, "events").schema
-    val raw = spark.readStream.schema(batchSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-    val ev =
-      if (batchSchema("ts").dataType == org.apache.spark.sql.types.LongType)
-        raw.withColumn("ts", Tables.nanosToTimestamp(col("ts")))
-      else raw
-    ev.withWatermark("ts", "1 hour")
+  /** Streaming sliding windows: 1-hour length, 30-minute hop, watermarked. */
+  def streamingSlidingCounts(spark: SparkSession, dir: String): DataFrame =
+    eventStream(spark, dir)
+      .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"), col("event_type"))
       .agg(count(lit(1)).as("cnt"))
       .select(unix_millis(col("w.start")).as("window_start_ms"), col("event_type"), col("cnt"))
-  }
 
   /** Streaming session windows: gap-merged per-user sessions with a
     * watermark bounding state; closed sessions (end < watermark) emit in
-    * append mode. Plan is sessionCounts modulo the watermark node. */
-  def streamingSessionCounts(spark: SparkSession, dir: String, gap: String = "1 hour"): DataFrame = {
-    val batchSchema = Tables.table(spark, dir, "events").schema
-    val raw = spark.readStream.schema(batchSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-    val ev =
-      if (batchSchema("ts").dataType == org.apache.spark.sql.types.LongType)
-        raw.withColumn("ts", Tables.nanosToTimestamp(col("ts")))
-      else raw
-    ev.withWatermark("ts", "1 hour")
+    * append mode. */
+  def streamingSessionCounts(spark: SparkSession, dir: String, gap: String = "1 hour"): DataFrame =
+    eventStream(spark, dir)
+      .withWatermark("ts", "1 hour")
       .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
       .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
       .select(col("user_id"), unix_millis(col("w.start")).as("session_start_ms"),
         col("n_events"), col("sum_value"))
-  }
 
   /** Custom-state streaming aggregation (mapGroupsWithState): per-user
     * running event count and value total held in explicit
     * `GroupState[UserTotals]`. This is the escape hatch for stateful
     * semantics the built-in windows can't express; state is one fixed-size
-    * record per user — bounded, partitioned by the group key, and
-    * checkpointable, which is what keeps it viable on an unbounded stream.
+    * record per user, partitioned by the group key and checkpointable.
     */
   case class UserTotals(n: Long, total: Double)
 
-  def streamingUserTotals(spark: SparkSession, dir: String): DataFrame = {
+  /** Core of [[streamingUserTotals]] over any streaming frame with
+    * (user_id, ts: timestamp, value): running totals per user with
+    * EVENT-TIME EVICTION. A key idle past ttlMs — by watermark, not wall
+    * clock — emits its final totals once and is removed, so state stays
+    * bounded on an unbounded keyspace; a key seen again afterwards
+    * re-initializes from zero (spec-pinned). The watermark guarantees the
+    * timeout timestamp (last event + ttl) is always ahead of the clock
+    * that fires it.
+    */
+  def userTotalsWithEviction(ev: DataFrame, watermarkDelay: String = "1 hour",
+                             ttlMs: Long = 7200000L): DataFrame = {
+    val spark = ev.sparkSession
     import spark.implicits._
-    val batchSchema = Tables.table(spark, dir, "events").schema
-    val raw = spark.readStream.schema(batchSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-    val ev =
-      if (batchSchema("ts").dataType == org.apache.spark.sql.types.LongType)
-        raw.withColumn("ts", Tables.nanosToTimestamp(col("ts")))
-      else raw
-    ev.select(col("user_id"), col("value")).as[(Long, Double)]
+    // the watermarked `ts` attribute itself must reach the stateful
+    // operator's input (projecting it to a long strips the watermark tag
+    // and the analyzer rejects the event-time timeout); millis conversion
+    // happens inside the lambda
+    ev.withWatermark("ts", watermarkDelay)
+      .select(col("user_id"), col("ts"), col("value"))
+      .as[(Long, java.sql.Timestamp, Double)]
       .groupByKey(_._1)
       .mapGroupsWithState[UserTotals, (Long, Long, Double)](
-        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
+        GroupStateTimeout.EventTimeTimeout) {
         case (uid, rows, state) =>
-          var s = state.getOption.getOrElse(UserTotals(0L, 0.0))
-          rows.foreach { case (_, v) => s = UserTotals(s.n + 1, s.total + v) }
-          state.update(s)
-          (uid, s.n, s.total)
+          if (state.hasTimedOut) {
+            // watermark passed last event + ttl: emit final totals, evict
+            val s = state.get
+            state.remove()
+            (uid, s.n, s.total)
+          } else {
+            var s = state.getOption.getOrElse(UserTotals(0L, 0.0))
+            var maxTs = Long.MinValue
+            rows.foreach { case (_, t, v) =>
+              s = UserTotals(s.n + 1, s.total + v)
+              maxTs = math.max(maxTs, t.getTime)
+            }
+            state.update(s)
+            state.setTimeoutTimestamp(maxTs + ttlMs)
+            (uid, s.n, s.total)
+          }
       }
       .toDF("user_id", "n_events", "total_value")
   }
+
+  def streamingUserTotals(spark: SparkSession, dir: String): DataFrame =
+    userTotalsWithEviction(eventStream(spark, dir))
 
   /** Open-session state for the custom sessionizer. */
   case class OpenSession(start_ms: Long, last_ms: Long, n: Long, total: Double)
   case class ClosedSession(user_id: Long, session_start_ms: Long, n_events: Long, sum_value: Double)
 
-  /** Custom sessionizer via flatMapGroupsWithState — the 0..n-rows-per-key
-    * stateful escape hatch (mapGroupsWithState emits exactly one). Events
-    * are sessionized with the same gap semantics as `session_window`
-    * (merge while gap < threshold): sessions CLOSED by a later in-batch
-    * event emit immediately; the trailing open session per user stays in
-    * state (one fixed-size record per key) awaiting future batches. The
-    * per-group in-batch sort is bounded by a micro-batch's per-key volume,
-    * not history — state never grows with time.
+  /** Core of [[streamingCustomSessionize]]: flatMapGroupsWithState — the
+    * 0..n-rows-per-key stateful escape hatch (mapGroupsWithState emits
+    * exactly one). Events sessionize with the same gap semantics as
+    * `session_window` (merge while gap < threshold): sessions CLOSED by a
+    * later in-batch event emit immediately; the trailing open session per
+    * user stays in state with an event-time timeout at last event + gap —
+    * once the watermark passes that point no event can ever bridge the gap
+    * (later-than-watermark arrivals are dropped), so the session closes,
+    * EMITS, and its state is evicted. State is one fixed-size record per
+    * ACTIVE key, and idle keys leave; the per-group in-batch sort is
+    * bounded by a micro-batch's per-key volume, not history.
     */
-  def streamingCustomSessionize(spark: SparkSession, dir: String,
-                                gapMs: Long = 3600000L): DataFrame = {
+  def customSessionizeWithEviction(ev: DataFrame, gapMs: Long = 3600000L,
+                                   watermarkDelay: String = "1 hour"): DataFrame = {
+    val spark = ev.sparkSession
     import spark.implicits._
-    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
-    val batchSchema = Tables.table(spark, dir, "events").schema
-    val raw = spark.readStream.schema(batchSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-    val ev =
-      if (batchSchema("ts").dataType == org.apache.spark.sql.types.LongType)
-        raw.withColumn("ts", Tables.nanosToTimestamp(col("ts")))
-      else raw
-    ev.select(col("user_id"), unix_millis(col("ts")).as("ts_ms"), col("value"))
-      .as[(Long, Long, Double)]
+    // keep the watermarked `ts` attribute itself (see userTotalsWithEviction)
+    ev.withWatermark("ts", watermarkDelay)
+      .select(col("user_id"), col("ts"), col("value"))
+      .as[(Long, java.sql.Timestamp, Double)]
       .groupByKey(_._1)
       .flatMapGroupsWithState[OpenSession, ClosedSession](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout) {
         case (uid, rows, state) =>
-          val closed = scala.collection.mutable.Buffer.empty[ClosedSession]
-          var open = state.getOption
-          rows.toSeq.sortBy(_._2).foreach { case (_, t, v) =>
-            open match {
-              case Some(s) if t - s.last_ms < gapMs =>
-                open = Some(s.copy(last_ms = t, n = s.n + 1, total = s.total + v))
-              case Some(s) =>
-                closed += ClosedSession(uid, s.start_ms, s.n, s.total)
-                open = Some(OpenSession(t, t, 1L, v))
-              case None =>
-                open = Some(OpenSession(t, t, 1L, v))
+          if (state.hasTimedOut) {
+            // the gap can no longer be bridged: close, emit, evict
+            val out = state.getOption
+              .map(s => ClosedSession(uid, s.start_ms, s.n, s.total))
+            state.remove()
+            out.iterator
+          } else {
+            val closed = scala.collection.mutable.Buffer.empty[ClosedSession]
+            var open = state.getOption
+            rows.toSeq.sortBy(_._2.getTime).foreach { case (_, tt, v) =>
+              val t = tt.getTime
+              open match {
+                case Some(s) if t - s.last_ms < gapMs =>
+                  open = Some(s.copy(last_ms = t, n = s.n + 1, total = s.total + v))
+                case Some(s) =>
+                  closed += ClosedSession(uid, s.start_ms, s.n, s.total)
+                  open = Some(OpenSession(t, t, 1L, v))
+                case None =>
+                  open = Some(OpenSession(t, t, 1L, v))
+              }
             }
+            open.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last_ms + gapMs)
+            }
+            closed.iterator
           }
-          open.foreach(state.update)
-          closed.iterator
       }
       .toDF()
   }
 
+  def streamingCustomSessionize(spark: SparkSession, dir: String,
+                                gapMs: Long = 3600000L): DataFrame =
+    customSessionizeWithEviction(eventStream(spark, dir), gapMs)
+
   /** Streaming dedup within a watermark: state holds event_ids only as
     * long as the watermark allows — bounded state at any scale. */
-  def streamingDedup(spark: SparkSession, dir: String): DataFrame = {
-    val batchSchema = Tables.table(spark, dir, "events").schema
-    // the fixture is a single parquet FILE; the file stream source needs a
-    // directory basePath, so stream the parent dir filtered to that file
-    val raw = spark.readStream.schema(batchSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-    val ev =
-      if (batchSchema("ts").dataType == org.apache.spark.sql.types.LongType)
-        raw.withColumn("ts", Tables.nanosToTimestamp(col("ts")))
-      else raw
-    ev.withWatermark("ts", "1 hour")
+  def streamingDedup(spark: SparkSession, dir: String): DataFrame =
+    eventStream(spark, dir)
+      .withWatermark("ts", "1 hour")
       .dropDuplicates(Seq("event_id"))
       .select(col("event_id"), col("event_type"), col("value"))
-  }
 }

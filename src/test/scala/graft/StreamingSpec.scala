@@ -61,15 +61,20 @@ class StreamingSpec extends AnyFunSuite {
     runToCompletion(
       EventWindows.streamingUserTotals(spark, TestSpark.Sf0001)
         .writeStream.format("memory").queryName("stream_user_totals").outputMode("update"))
+    // update mode emits a row per key per batch, and the event-time-timeout
+    // machinery runs an extra batch that re-emits final totals for keys it
+    // evicts — all emissions for a key carry the same final values here
+    // (one data batch), so distinct rows = one per user
     val streamed = spark.sql(
-      "SELECT user_id, n_events, total_value FROM stream_user_totals")
+      "SELECT user_id, n_events, total_value FROM stream_user_totals").distinct()
     val batch = Tables.events(spark, TestSpark.Sf0001)
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_events_b"), sum(col("value")).as("total_b"))
     // double accumulation order differs between the stateful stream and the
     // batch hash aggregate, so totals compare with an fp tolerance
     val joined = streamed.join(batch, "user_id")
-    assert(joined.count() == batch.count(), "every user must appear exactly once")
+    assert(joined.count() == batch.count(),
+      "every user must appear with exactly one distinct totals row")
     assert(joined.filter(col("n_events") =!= col("n_events_b")).count() == 0)
     assert(joined.filter(abs(col("total_value") - col("total_b")) > 1e-6).count() == 0)
   }
@@ -81,20 +86,90 @@ class StreamingSpec extends AnyFunSuite {
     val streamed = spark.sql(
       "SELECT user_id, session_start_ms, n_events, sum_value FROM stream_custom_sessions")
     val batch = EventWindows.sessionCounts(spark, TestSpark.Sf0001)
-    // all events arrive in one micro-batch, so everything but each user's
-    // trailing (still-open) session must emit with identical boundaries
+    // every in-batch-closed session (all but each user's trailing one) must
+    // emit with boundaries identical to the batch twin; the event-time
+    // timeout may then ALSO close-and-emit trailing sessions the final
+    // watermark passed, so streamed sits between "all but tails" and "all"
+    // — and never outside the batch session set
     val batchW = Window.partitionBy(col("user_id")).orderBy(col("session_start_ms").desc)
-    val expected = batch
+    val allButTails = batch
       .withColumn("rn", row_number().over(batchW))
-      .filter(col("rn") > 1) // drop the open tail session per user
+      .filter(col("rn") > 1)
       .select(col("user_id"), col("session_start_ms"), col("n_events"))
     val got = streamed.select(col("user_id"), col("session_start_ms"), col("n_events"))
-    assert(got.exceptAll(expected).count() == 0)
-    assert(expected.exceptAll(got).count() == 0)
+    val batchKeys = batch.select(col("user_id"), col("session_start_ms"), col("n_events"))
+    assert(got.exceptAll(batchKeys).count() == 0,
+      "streamed sessions must all exist in batch with identical boundaries")
+    assert(allButTails.exceptAll(got).count() == 0,
+      "every in-batch-closed session must emit")
     // values: fp-tolerant against the batch twin's rounded sums
     val joined = streamed.join(batch, Seq("user_id", "session_start_ms"))
     assert(joined.filter(
       abs(streamed("sum_value") - batch("sum_value")) > 0.011).count() == 0)
+  }
+
+  // --- event-time eviction of custom GroupState (multi-batch, MemoryStream) ---
+
+  import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+  /** (user_id, ts_ms, value) memory stream → the (user_id, ts, value)
+    * frame the eviction operators consume. */
+  private def memoryEvents(): (MemoryStream[(Long, Long, Double)], org.apache.spark.sql.DataFrame) = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, Long, Double)]
+    val ev = input.toDF().toDF("user_id", "ts_ms", "value")
+      .select(col("user_id"), timestamp_millis(col("ts_ms")).as("ts"), col("value"))
+    (input, ev)
+  }
+
+  private val T0 = 1700000000000L // fixed epoch anchor for the planted batches
+  private val Hour = 3600000L
+
+  test("user totals: a watermark-evicted key re-initializes instead of resuming") {
+    import spark.implicits._
+    val (input, ev) = memoryEvents()
+    val q = EventWindows.userTotalsWithEviction(ev, watermarkDelay = "1 hour",
+        ttlMs = 2 * Hour)
+      .writeStream.format("memory").queryName("evict_totals").outputMode("update").start()
+    try {
+      input.addData((1L, T0, 1.0), (1L, T0 + 1000L, 2.0)) // user 1: n=2, total=3
+      q.processAllAvailable()
+      input.addData((2L, T0 + 10 * Hour, 1.0)) // advances watermark to T0+9h
+      q.processAllAvailable()
+      input.addData((2L, T0 + 12 * Hour, 1.0)) // batch 3: user 1 (timeout T0+2h) fires
+      q.processAllAvailable()
+      input.addData((1L, T0 + 12 * Hour, 5.0)) // user 1 returns AFTER eviction
+      q.processAllAvailable()
+    } finally q.stop()
+    val u1 = spark.sql("SELECT n_events, total_value FROM evict_totals WHERE user_id = 1")
+      .as[(Long, Double)].collect().toSet
+    assert(u1.contains((1L, 5.0)),
+      s"user 1 must re-initialize from zero after eviction, got $u1")
+    assert(!u1.contains((3L, 8.0)),
+      s"user 1 state resumed across eviction (n=3 seen): $u1")
+  }
+
+  test("sessionizer: the watermark closes, emits, and evicts an idle open session") {
+    import spark.implicits._
+    val (input, ev) = memoryEvents()
+    val q = EventWindows.customSessionizeWithEviction(ev, gapMs = Hour)
+      .writeStream.format("memory").queryName("evict_sessions").outputMode("append").start()
+    try {
+      input.addData((1L, T0, 1.5)) // user 1 opens a session, then goes idle
+      q.processAllAvailable()
+      input.addData((2L, T0 + 10 * Hour, 1.0)) // advances watermark past T0+gap
+      q.processAllAvailable()
+      input.addData((2L, T0 + 12 * Hour, 1.0)) // timeout fires for user 1
+      q.processAllAvailable()
+    } finally q.stop()
+    val sessions = spark.sql(
+      "SELECT user_id, session_start_ms, n_events, sum_value FROM evict_sessions")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    // user 1's session was never closed by a later event of its own — only
+    // the event-time timeout can have emitted it
+    assert(sessions.contains((1L, T0, 1L, 1.5)),
+      s"idle open session must close via watermark eviction, got $sessions")
   }
 
   test("streaming dedup-within-watermark passes every unique event exactly once") {

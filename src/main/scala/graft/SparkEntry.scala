@@ -104,14 +104,17 @@ object SparkEntry {
     // struct-of-tensors parquet ingest (SURVEY §2.1 S4's engine form)
     "q53_struct_roundtrip" -> graft.sources.Sources.structParquetRoundTrip _,
     // the reference's CheXpert label-CSV schema read as CSV + J2 vector assembly
-    "q54_label_csv" -> graft.sources.Sources.labelCsvRoundTrip _
+    "q54_label_csv" -> graft.sources.Sources.labelCsvRoundTrip _,
+    // composed end-to-end curation: quality gate → near-dup cluster dedup → rollup
+    "q55_curation_neardup" -> ((s: SparkSession, d: String) => TextAnalysis.corpusCurationNearDup(s, d))
   )
 
   /** Shared CTE chain ending in `pairs` = the exact-Jaccard near-dup pairs
-    * at threshold 0.5 (q17 + q18 + the q52 edge set: the LSH output is
-    * verification-exact, so all three build on the brute-force SQL). */
-  private val jaccardPairCtes: String =
-    """toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    * at threshold 0.5 over relation `src` (q17 + q18 + the q52/q55 edge
+    * sets: the LSH output is verification-exact, so all build on the
+    * brute-force SQL). */
+  private def jaccardPairCtesFrom(src: String): String =
+    s"""toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM $src),
       |sh AS (SELECT DISTINCT doc_id,
       |         unnest([array_to_string(t[i:i+2], ' ') for i in generate_series(1, len(t)-2)]) AS shingle
       |       FROM toks WHERE len(t) >= 3),
@@ -124,6 +127,8 @@ object SparkEntry {
       |          FROM inter JOIN sizes sa ON sa.doc_id = doc_a
       |                     JOIN sizes sb ON sb.doc_id = doc_b
       |          WHERE round(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 4) >= 0.5)""".stripMargin
+
+  private val jaccardPairCtes: String = jaccardPairCtesFrom("documents")
 
   private val jaccardSql: String =
     s"WITH $jaccardPairCtes\nSELECT doc_a, doc_b, jaccard FROM pairs"
@@ -452,6 +457,21 @@ object SparkEntry {
         |        [CAST(doc_id % 2 AS DOUBLE), CAST(doc_id % 3 = 0 AS DOUBLE),
         |         CAST(doc_id % 5 = 0 AS DOUBLE), CAST(doc_id % 7 = 0 AS DOUBLE),
         |         0.0] AS l
-        |      FROM documents) t""".stripMargin
+        |      FROM documents) t""".stripMargin,
+    // q52's transitive closure, restricted to the quality-gated corpus
+    "q55_curation_neardup" ->
+      s"""WITH RECURSIVE qdocs AS (SELECT doc_id, lang, text FROM documents
+         |                         WHERE $qualitySql >= 0.5),
+         |${jaccardPairCtesFrom("qdocs")},
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |          UNION SELECT doc_b, doc_a FROM pairs),
+         |reach(id, lbl) AS (
+         |  SELECT doc_id, doc_id FROM qdocs
+         |  UNION
+         |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
+         |keep AS (SELECT id FROM reach GROUP BY id HAVING min(lbl) = id)
+         |SELECT lang, count(*) AS n_kept
+         |FROM qdocs JOIN keep ON keep.id = qdocs.doc_id
+         |GROUP BY lang""".stripMargin
   )
 }

@@ -424,6 +424,14 @@ object Dedup {
     val sym = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().localCheckpoint(true)
     var labels = vertices.select(col("id"), col("id").as("lbl")).localCheckpoint(true)
+    // fixpoint detector: per-vertex labels are non-increasing, so the label
+    // sum strictly decreases until fixpoint — one cheap aggregate per round
+    // instead of a prev-vs-next join (decimal sum: overflow-proof under
+    // ANSI at any vertex count)
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      Option(df.agg(sum(col("lbl").cast("decimal(38,0)"))).head.getDecimal(0))
+        .getOrElse(java.math.BigDecimal.ZERO) // empty vertex set: sum is null
+    var prevSum = labelSum(labels)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -432,10 +440,10 @@ object Dedup {
       val next = labels.union(prop)
         .groupBy(col("id")).agg(min(col("lbl")).as("lbl"))
         .localCheckpoint(true)
-      val changed = next.join(labels.withColumnRenamed("lbl", "prev"), "id")
-        .filter(col("lbl") =!= col("prev")).count()
+      val nextSum = labelSum(next)
       labels = next
-      converged = changed == 0
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
       iter += 1
     }
     if (!converged)

@@ -81,6 +81,23 @@ object TextAnalysis {
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_kept"))
 
+  /** q55 — the full curation pipeline with NEAR-dup (not just exact-hash)
+    * dedup: quality-gate the corpus, resolve near-duplicate clusters over
+    * the survivors ([[Dedup.dedupCorpusFor]]: MinHash-LSH pairs →
+    * connected components → keep-lowest), and roll up what remains per
+    * language. This is the composed operation a training-data pipeline
+    * runs end to end; every stage is the oracle-checked operator it reuses
+    * (q44's quality gate, q52's cluster resolution, q29's rollup shape).
+    */
+  def corpusCurationNearDup(spark: SparkSession, dir: String,
+                            minQuality: Double = 0.5, threshold: Double = 0.5): DataFrame = {
+    val qualityDocs = Tables.documents(spark, dir)
+      .filter(TF.qualityScore(col("text")) >= minQuality)
+    Dedup.dedupCorpusFor(qualityDocs, threshold)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_kept"))
+  }
+
   /** q45 — J2 label-vector assembly (reference: the 5-column label matrix
     * bolted onto image paths, /root/reference/src/federated_learning_pipeline.py:29-33,
     * 61-68): an in-row array() projection, no join needed, emitted in

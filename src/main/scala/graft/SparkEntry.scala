@@ -106,7 +106,9 @@ object SparkEntry {
     // the reference's CheXpert label-CSV schema read as CSV + J2 vector assembly
     "q54_label_csv" -> graft.sources.Sources.labelCsvRoundTrip _,
     // composed end-to-end curation: quality gate → near-dup cluster dedup → rollup
-    "q55_curation_neardup" -> ((s: SparkSession, d: String) => TextAnalysis.corpusCurationNearDup(s, d))
+    "q55_curation_neardup" -> ((s: SparkSession, d: String) => TextAnalysis.corpusCurationNearDup(s, d)),
+    // interval/range join as a bucketed equi-join (the as-of/attribution form)
+    "q56_interval_join" -> ((s: SparkSession, d: String) => Relational.intervalJoinCounts(s, d))
   )
 
   /** Shared CTE chain ending in `pairs` = the exact-Jaccard near-dup pairs
@@ -472,6 +474,17 @@ object SparkEntry {
          |keep AS (SELECT id FROM reach GROUP BY id HAVING min(lbl) = id)
          |SELECT lang, count(*) AS n_kept
          |FROM qdocs JOIN keep ON keep.id = qdocs.doc_id
-         |GROUP BY lang""".stripMargin
+         |GROUP BY lang""".stripMargin,
+    // the bucketing is a pure plan transform: the oracle is the plain
+    // inequality range join
+    "q56_interval_join" ->
+      """SELECT c.user_id, count(*) AS n_pairs
+        |FROM (SELECT user_id, CAST(epoch_ms(CAST(ts AS TIMESTAMP)) AS BIGINT) AS ms
+        |      FROM events WHERE event_type = 'click') c
+        |JOIN (SELECT user_id, CAST(epoch_ms(CAST(ts AS TIMESTAMP)) AS BIGINT) AS ms
+        |      FROM events WHERE event_type = 'view') v
+        |  ON c.user_id = v.user_id
+        | AND v.ms >= c.ms - 1800000 AND v.ms < c.ms
+        |GROUP BY c.user_id""".stripMargin
   )
 }

@@ -235,7 +235,16 @@ object Dedup {
     minhashLshPairsFor(Tables.documents(spark, dir), k, bands, threshold)
 
   def minhashLshPairsFor(docs: DataFrame,
-                         k: Int = 128, bands: Int = 32, threshold: Double = 0.5): DataFrame = {
+                         k: Int = 128, bands: Int = 32, threshold: Double = 0.5): DataFrame =
+    minhashLshPairsCached(docs, k, bands, threshold)._1
+
+  /** [[minhashLshPairsFor]] plus a handle on the cached shingle table it
+    * registered, for callers that materialize the pairs eagerly (the
+    * cluster-resolution path) and can therefore unpersist the cache
+    * instead of leaking it into a long-lived session. */
+  private[graft] def minhashLshPairsCached(docs: DataFrame,
+                                           k: Int = 128, bands: Int = 32,
+                                           threshold: Double = 0.5): (DataFrame, DataFrame) = {
     require(bands > 0 && k % bands == 0,
       s"signature width k=$k must be a positive multiple of bands=$bands")
     val rows = k / bands
@@ -252,7 +261,7 @@ object Dedup {
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    jaccardForCandidates(cand, sh, threshold)
+    (jaccardForCandidates(cand, sh, threshold), sh)
   }
 
   /** The 64-bit SimHash of one document: token-frequency-weighted ±1 votes
@@ -466,12 +475,17 @@ object Dedup {
     * clusters.
     */
   def nearDupClustersFor(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
-    val pairs = minhashLshPairsFor(docs, threshold = threshold)
+    val (pairs, sh) = minhashLshPairsCached(docs, threshold = threshold)
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
     val vertices = docs.select(col("doc_id").as("id"))
-    connectedComponents(vertices, edges)
-      .select(col("id").as("doc_id"), col("lbl").as("cluster_id"),
-        (col("lbl") === col("id")).as("keep"))
+    // connectedComponents checkpoints the edge set up front, so after it
+    // returns nothing references the shingle cache — release it rather
+    // than leak it into the session (bench clears caches; users don't)
+    val labels =
+      try connectedComponents(vertices, edges)
+      finally sh.unpersist()
+    labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"),
+      (col("lbl") === col("id")).as("keep"))
   }
 
   def nearDupClusters(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame =

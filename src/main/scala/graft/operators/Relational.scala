@@ -268,6 +268,41 @@ object Relational {
       .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
   }
 
+  /** Interval (range) join, bucketed-equi-join form (SURVEY §2.3 J3's
+    * "range join" word; the attribution join every event pipeline runs):
+    * for each `click`, count the same user's `view` events in the
+    * preceding `windowMs`. A naive inequality join plans as a nested-loop
+    * over the user's full history — quadratic per user and un-pushable.
+    * The scale form quantizes time into windowMs buckets and turns the
+    * range predicate into an EQUI-join on (user_id, bucket): each view
+    * lands in its own bucket, each click probes its bucket and the
+    * previous one (two rows — any interval of length windowMs spans at
+    * most 2 buckets), and the exact range filter then prunes within the
+    * ≤2-bucket candidates. The quadratic blowup is bounded per
+    * (user, bucket) instead of per user, shuffles hash-partition on the
+    * composite key, and the same pattern handles any as-of/interval join
+    * at 100 TB. Bucket arithmetic is integer `div` — `/` promotes to
+    * double, whose rounding can misplace boundary timestamps.
+    */
+  def intervalJoinCounts(spark: SparkSession, dir: String,
+                         windowMs: Long = 1800000L): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), unix_millis(col("ts")).as("ms"))
+    def bucket(c: Column): Column = call_function("div", c, lit(windowMs))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ms").as("click_ms"))
+      .withColumn("bucket",
+        explode(array(bucket(col("click_ms")), bucket(col("click_ms")) - 1)))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ms").as("view_ms"),
+        bucket(col("ms")).as("bucket"))
+    clicks.join(views, Seq("user_id", "bucket"))
+      .filter(col("view_ms") >= col("click_ms") - windowMs
+        && col("view_ms") < col("click_ms"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   /** P2/P3/P6/P7 — string surface on documents: concat path-prefix
     * (reference /root/reference/src/preprocessing_pipeline.py:265-268),
     * literal replace (/root/reference/src/federated_learning_pipeline.py:31),

@@ -41,6 +41,15 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), s"cross join in ANN plan:\n$plan")
   }
 
+  test("interval join: bucketing turns the range predicate into an equi-join") {
+    val plan = planOf(Relational.intervalJoinCounts(spark, TestSpark.Sf0001))
+    assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"),
+      s"range join must not plan as a nested loop:\n$plan")
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin")
+      || plan.contains("BroadcastHashJoin"),
+      s"expected an equi-join on (user_id, bucket):\n$plan")
+  }
+
   test("IVF assignment is a single shuffle-free projection (no Exchange)") {
     val e = Tables.embeddings(spark, TestSpark.Sf0001)
       .select(org.apache.spark.sql.functions.col("vec_id"),

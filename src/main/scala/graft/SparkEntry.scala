@@ -108,7 +108,9 @@ object SparkEntry {
     // composed end-to-end curation: quality gate → near-dup cluster dedup → rollup
     "q55_curation_neardup" -> ((s: SparkSession, d: String) => TextAnalysis.corpusCurationNearDup(s, d)),
     // interval/range join as a bucketed equi-join (the as-of/attribution form)
-    "q56_interval_join" -> ((s: SparkSession, d: String) => Relational.intervalJoinCounts(s, d))
+    "q56_interval_join" -> ((s: SparkSession, d: String) => Relational.intervalJoinCounts(s, d)),
+    // rank-exact quantiles + percentile_approx sketch over the quality score
+    "q57_quality_quantiles" -> ((s: SparkSession, d: String) => TextAnalysis.qualityQuantiles(s, d))
   )
 
   /** Shared CTE chain ending in `pairs` = the exact-Jaccard near-dup pairs
@@ -485,6 +487,18 @@ object SparkEntry {
         |      FROM events WHERE event_type = 'view') v
         |  ON c.user_id = v.user_id
         | AND v.ms >= c.ms - 1800000 AND v.ms < c.ms
-        |GROUP BY c.user_id""".stripMargin
+        |GROUP BY c.user_id""".stripMargin,
+    // rank-defined quantiles are engine-exact (no interpolation arithmetic);
+    // the approx column's contract is the tolerance boolean, as in q10
+    "q57_quality_quantiles" ->
+      s"""WITH q AS (SELECT lang, doc_id, $qualitySql AS quality FROM documents),
+         |r AS (SELECT lang, quality,
+         |        row_number() OVER (PARTITION BY lang ORDER BY quality, doc_id) AS rn,
+         |        count(*) OVER (PARTITION BY lang) AS n
+         |      FROM q)
+         |SELECT lang, p, value, true AS approx_within_tol FROM (
+         |  SELECT lang, 0.5 AS p, quality AS value FROM r WHERE rn = ceil(n * 0.5)
+         |  UNION ALL
+         |  SELECT lang, 0.9 AS p, quality AS value FROM r WHERE rn = ceil(n * 0.9)) t""".stripMargin
   )
 }

@@ -98,6 +98,41 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_kept"))
   }
 
+  /** q57 — order statistics over the quality score, exact + approx side by
+    * side (the q10 pattern for quantiles): the exact quantile is defined
+    * by RANK — the value at row ceil(p·n) under the total order
+    * (quality, doc_id) — which both engines reproduce bit-exactly, unlike
+    * interpolated percentiles whose `(1-f)a + fb` arithmetic differs in
+    * the last ulp across engines. percentile_approx (the one-pass
+    * KLL-style sketch you'd actually run at 100 TB, where the exact form
+    * costs a per-group sort) rides along with a within-tolerance boolean.
+    * This is the operator that picks a corpus quality threshold ("keep the
+    * top decile") from the score distribution.
+    */
+  def qualityQuantiles(spark: SparkSession, dir: String,
+                       ps: Seq[Double] = Seq(0.5, 0.9)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = Tables.documents(spark, dir)
+      .select(col("lang"), col("doc_id"), TF.qualityScore(col("text")).as("quality"))
+    val ranked = q
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("lang")).orderBy(col("quality"), col("doc_id"))))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("lang"))))
+    val exact = ps.map { p =>
+      ranked.filter(col("rn") === ceil(col("n") * p))
+        .select(col("lang"), lit(p).as("p"), col("quality").as("value"))
+    }.reduce(_.unionByName(_))
+    val approx = q.groupBy(col("lang"))
+      .agg(percentile_approx(col("quality"),
+        array(ps.map(lit): _*), lit(10000)).as("ap"))
+      .select(col("lang"), posexplode(col("ap")))
+      .select(col("lang"), element_at(array(ps.map(lit): _*), col("pos") + 1).as("p"),
+        col("col").as("approx_value"))
+    exact.join(approx, Seq("lang", "p"))
+      .withColumn("approx_within_tol", abs(col("approx_value") - col("value")) <= 0.05)
+      .select(col("lang"), col("p"), col("value"), col("approx_within_tol"))
+  }
+
   /** q45 — J2 label-vector assembly (reference: the 5-column label matrix
     * bolted onto image paths, /root/reference/src/federated_learning_pipeline.py:29-33,
     * 61-68): an in-row array() projection, no join needed, emitted in

@@ -65,7 +65,7 @@ object EventWindows {
     * parquet FILE; the file stream source needs a directory basePath, so
     * stream the parent dir glob-filtered to that file, and normalize the
     * nanosecond ts like the batch loader does. */
-  private def eventStream(spark: SparkSession, dir: String): DataFrame = {
+  private[streaming] def eventStream(spark: SparkSession, dir: String): DataFrame = {
     val batchSchema = Tables.table(spark, dir, "events").schema
     val raw = spark.readStream.schema(batchSchema)
       .option("pathGlobFilter", "events.parquet")
@@ -222,6 +222,37 @@ object EventWindows {
   def streamingCustomSessionize(spark: SparkSession, dir: String,
                                 gapMs: Long = 3600000L): DataFrame =
     customSessionizeWithEviction(eventStream(spark, dir), gapMs)
+
+  /** Stream-stream interval join — the streaming twin of
+    * Relational.intervalJoinCounts' range join: each `click` matches the
+    * same user's `view` events in the preceding windowMs. Structured
+    * Streaming's symmetric hash join keys on the equi-part (user_id) and
+    * uses the event-time range constraint + both watermarks to EVICT
+    * buffered rows that can no longer match — the state-bounding
+    * requirement without which a stream-stream join grows forever. Emits
+    * the matched pairs in append mode; the spec checks them against the
+    * batch inequality join.
+    */
+  def streamingIntervalJoin(spark: SparkSession, dir: String,
+                            windowMs: Long = 1800000L): DataFrame = {
+    // two independent source instances: each side of a stream-stream join
+    // is its own stream
+    val clicks = eventStream(spark, dir)
+      .filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    val views = eventStream(spark, dir)
+      .filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("view_ts"))
+      .withWatermark("view_ts", "1 hour")
+    clicks.join(views,
+      col("c_user") === col("v_user")
+        && col("view_ts") >= col("click_ts") - expr(s"INTERVAL ${windowMs / 1000} seconds")
+        && col("view_ts") < col("click_ts"))
+      .select(col("c_user").as("user_id"),
+        unix_millis(col("click_ts")).as("click_ms"),
+        unix_millis(col("view_ts")).as("view_ms"))
+  }
 
   /** Streaming dedup within a watermark: state holds event_ids only as
     * long as the watermark allows — bounded state at any scale. */

@@ -172,6 +172,28 @@ class StreamingSpec extends AnyFunSuite {
       s"idle open session must close via watermark eviction, got $sessions")
   }
 
+  test("stream-stream interval join emits exactly the batch range-join pairs") {
+    import spark.implicits._
+    runToCompletion(
+      EventWindows.streamingIntervalJoin(spark, TestSpark.Sf0001)
+        .writeStream.format("memory").queryName("stream_interval").outputMode("append"))
+    val streamed = spark.sql("SELECT user_id, click_ms, view_ms FROM stream_interval")
+      .as[(Long, Long, Long)].collect().toSet
+    val ev = Tables.events(spark, TestSpark.Sf0001)
+      .select(col("user_id"), col("event_type"), unix_millis(col("ts")).as("ms"))
+    val batch = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ms").as("click_ms"))
+      .join(ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ms").as("view_ms")), "user_id")
+      .filter(col("view_ms") >= col("click_ms") - 1800000L
+        && col("view_ms") < col("click_ms"))
+      .select(col("user_id"), col("click_ms"), col("view_ms"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(streamed == batch,
+      s"stream-stream join diverged: only-streamed=${(streamed -- batch).size}, " +
+        s"only-batch=${(batch -- streamed).size} of ${batch.size}")
+  }
+
   test("streaming dedup-within-watermark passes every unique event exactly once") {
     runToCompletion(
       EventWindows.streamingDedup(spark, TestSpark.Sf0001)

@@ -49,6 +49,9 @@ object Bench {
       val best =
         if (r1 > 0 && r2 > 0) math.min(r1, r2)
         else math.max(r1, r2) // at least one failed: keep a success if any
+      // a kept success must not also sit in the errors map (run-2 flake):
+      // the contract is positive time XOR an errors entry
+      if (best > 0) errors.remove(name)
       name -> best
     }
     def esc(s: String): String =

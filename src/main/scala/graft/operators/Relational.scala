@@ -208,8 +208,11 @@ object Relational {
   def ensureBucketedLayout(spark: SparkSession, dir: String, nBuckets: Int = 8): (String, String) =
     synchronized {
       val sfx = graft.sources.Sources.sessionTag(spark)
-      val oName = s"graft_orders_bucketed_$sfx"
-      val lName = s"graft_lineitem_bucketed_$sfx"
+      // nBuckets is part of the table NAME, not just the memo key: two
+      // bucket counts in one session must never overwrite each other's
+      // tables while their memo entries both claim to be built
+      val oName = s"graft_orders_b${nBuckets}_$sfx"
+      val lName = s"graft_lineitem_b${nBuckets}_$sfx"
       val key = s"$sfx|$nBuckets"
       if (!bucketedLayoutFor.get(key).contains(dir)) {
         // the in-memory catalog forgets tables across sessions while their

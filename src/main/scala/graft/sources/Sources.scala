@@ -25,9 +25,29 @@ object Sources {
     spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_") +
       "_" + java.lang.Integer.toHexString(System.identityHashCode(spark))
 
-  /** Session-isolated scratch dir for round-trip sinks. */
-  private[graft] def scratchDir(spark: SparkSession, name: String): String =
-    sys.props("java.io.tmpdir") + s"/graft_${name}_${sessionTag(spark)}"
+  /** Scratch dirs this JVM created, reaped by one shutdown hook:
+    * per-session paths don't self-overwrite like the old fixed names did,
+    * so without cleanup every session would leak its round-trip datasets
+    * into tmpdir. */
+  private val scratchPaths = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private lazy val reaper: Unit = sys.addShutdownHook {
+    scratchPaths.forEach { p =>
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      rm(new java.io.File(p))
+    }
+  }
+
+  /** Session-isolated scratch dir for round-trip sinks; deleted at JVM
+    * exit. */
+  private[graft] def scratchDir(spark: SparkSession, name: String): String = {
+    reaper
+    val p = sys.props("java.io.tmpdir") + s"/graft_${name}_${sessionTag(spark)}"
+    scratchPaths.add(p)
+    p
+  }
 
   /** The reference's label-CSV schema (FIXTURES.md §A1): path key + 5-label
     * vector. */

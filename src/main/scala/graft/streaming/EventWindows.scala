@@ -201,7 +201,13 @@ object EventWindows {
               val t = tt.getTime
               open match {
                 case Some(s) if t - s.last_ms < gapMs =>
-                  open = Some(s.copy(last_ms = t, n = s.n + 1, total = s.total + v))
+                  // a late cross-batch event (above watermark, older than
+                  // last_ms) must EXTEND the session bounds, never rewind
+                  // them — shrinking last_ms would pull the event-time
+                  // timeout earlier and prematurely evict a live session
+                  open = Some(s.copy(start_ms = math.min(s.start_ms, t),
+                    last_ms = math.max(s.last_ms, t),
+                    n = s.n + 1, total = s.total + v))
                 case Some(s) =>
                   closed += ClosedSession(uid, s.start_ms, s.n, s.total)
                   open = Some(OpenSession(t, t, 1L, v))
@@ -247,7 +253,7 @@ object EventWindows {
       .withWatermark("view_ts", "1 hour")
     clicks.join(views,
       col("c_user") === col("v_user")
-        && col("view_ts") >= col("click_ts") - expr(s"INTERVAL ${windowMs / 1000} seconds")
+        && col("view_ts") >= col("click_ts") - expr(s"INTERVAL $windowMs milliseconds")
         && col("view_ts") < col("click_ts"))
       .select(col("c_user").as("user_id"),
         unix_millis(col("click_ts")).as("click_ms"),

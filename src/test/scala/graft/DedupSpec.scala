@@ -176,11 +176,14 @@ class DedupSpec extends AnyFunSuite {
   }
 
   test("embedding near-dup router: small corpus exact, large corpus banded") {
-    // fixture-sized → exact path (same rows as calling the exact form)
+    // fixture-sized → exact path (same rows as calling the exact form,
+    // checked BOTH ways so an empty/truncated routed result fails)
     val routed = Dedup.embeddingNearDupPairs(spark, TestSpark.Sf0001)
     val e = Tables.embeddings(spark, TestSpark.Sf0001)
       .select(col("vec_id"), col("embedding"))
-    assert(routed.exceptAll(Dedup.embeddingNearDupPairsExactFor(e, 0.4)).count() == 0)
+    val exact = Dedup.embeddingNearDupPairsExactFor(e, 0.4)
+    assert(routed.exceptAll(exact).count() == 0)
+    assert(exact.exceptAll(routed).count() == 0)
     // forced over the threshold → banded plan: no nested-loop/cartesian join
     val bandedPlan = Dedup.embeddingNearDupPairs(spark, TestSpark.Sf0001,
       threshold = 0.7, maxExactRows = 0L)

@@ -172,6 +172,29 @@ class StreamingSpec extends AnyFunSuite {
       s"idle open session must close via watermark eviction, got $sessions")
   }
 
+  test("streaming parquet sink: append-mode windows land as readable files") {
+    // the real sink a pipeline runs (memory sinks are test scaffolding):
+    // watermarked tumbling counts → parquet + checkpoint; append mode
+    // emits only watermark-finalized windows, so the files hold a subset
+    // of the batch twin's rows with identical values, missing at most the
+    // final (unfinalized) watermark's worth of windows
+    val out = graft.sources.Sources.scratchDir(spark, "stream_sink")
+    val ckpt = graft.sources.Sources.scratchDir(spark, "stream_sink_ckpt")
+    runToCompletion(
+      EventWindows.streamingTumblingCounts(spark, TestSpark.Sf0001)
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode("append"))
+    val sunk = spark.read.parquet(out)
+      .select(col("window_start_ms"), col("event_type"), col("cnt"))
+    val batch = EventWindows.tumblingCounts(spark, TestSpark.Sf0001)
+      .select(col("window_start_ms"), col("event_type"), col("cnt"))
+    assert(sunk.exceptAll(batch).count() == 0,
+      "every sunk row must match the batch twin exactly")
+    val (s, b) = (sunk.count().toDouble, batch.count().toDouble)
+    assert(s >= 0.9 * b, s"only $s of $b finalized windows reached the sink")
+  }
+
   test("stream-stream interval join emits exactly the batch range-join pairs") {
     import spark.implicits._
     runToCompletion(

@@ -110,7 +110,9 @@ object SparkEntry {
     // interval/range join as a bucketed equi-join (the as-of/attribution form)
     "q56_interval_join" -> ((s: SparkSession, d: String) => Relational.intervalJoinCounts(s, d)),
     // rank-exact quantiles + percentile_approx sketch over the quality score
-    "q57_quality_quantiles" -> ((s: SparkSession, d: String) => TextAnalysis.qualityQuantiles(s, d))
+    "q57_quality_quantiles" -> ((s: SparkSession, d: String) => TextAnalysis.qualityQuantiles(s, d)),
+    // semantic near-dup clusters: cosine pair edges → connected components
+    "q58_embed_clusters" -> ((s: SparkSession, d: String) => Dedup.embeddingNearDupClusters(s, d))
   )
 
   /** Shared CTE chain ending in `pairs` = the exact-Jaccard near-dup pairs
@@ -499,6 +501,25 @@ object SparkEntry {
          |SELECT lang, p, value, true AS approx_within_tol FROM (
          |  SELECT lang, 0.5 AS p, quality AS value FROM r WHERE rn = ceil(n * 0.5)
          |  UNION ALL
-         |  SELECT lang, 0.9 AS p, quality AS value FROM r WHERE rn = ceil(n * 0.9)) t""".stripMargin
+         |  SELECT lang, 0.9 AS p, quality AS value FROM r WHERE rn = ceil(n * 0.9)) t""".stripMargin,
+    // q20's exact cosine pairs closed transitively (the q52 closure shape
+    // on the embeddings table)
+    "q58_embed_clusters" ->
+      s"""WITH RECURSIVE ex AS ($embedExplode),
+         |dots AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, sum(a.x * b.x) AS dot
+         |         FROM ex a JOIN ex b ON a.dim = b.dim AND a.vec_id < b.vec_id
+         |         GROUP BY 1, 2),
+         |norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM ex GROUP BY vec_id),
+         |cpairs AS (SELECT id_a, id_b FROM dots
+         |           JOIN norms na ON na.vec_id = id_a JOIN norms nb ON nb.vec_id = id_b
+         |           WHERE round(dot / (na.nrm * nb.nrm), 6) >= 0.4),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM cpairs
+         |          UNION SELECT id_b, id_a FROM cpairs),
+         |reach(id, lbl) AS (
+         |  SELECT vec_id, vec_id FROM embeddings
+         |  UNION
+         |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id)
+         |SELECT id AS vec_id, min(lbl) AS cluster_id, (min(lbl) = id) AS keep
+         |FROM reach GROUP BY id""".stripMargin
   )
 }

@@ -497,4 +497,22 @@ object Dedup {
     docs.join(
       nearDupClustersFor(docs, threshold).filter(col("keep")).select(col("doc_id")),
       Seq("doc_id"), "left_semi")
+
+  /** Semantic (embedding-space) near-dup cluster resolution — the same
+    * pairs → connected components → keep rule as [[nearDupClusters]], with
+    * cosine pairs as the edge set instead of Jaccard pairs. This is the
+    * dedup modern LLM curation runs on embedding similarity (SemDeDup-
+    * style): text-level hashing misses paraphrases that embed together.
+    * Edges come from the size-routed [[embeddingNearDupPairs]], so the
+    * operator inherits its exact-under-200k / banded-above contract.
+    */
+  def embeddingNearDupClusters(spark: SparkSession, dir: String,
+                               threshold: Double = 0.4): DataFrame = {
+    val pairs = embeddingNearDupPairs(spark, dir, threshold)
+    val vertices = Tables.embeddings(spark, dir).select(col("vec_id").as("id"))
+    connectedComponents(vertices,
+      pairs.select(col("id_a").as("src"), col("id_b").as("dst")))
+      .select(col("id").as("vec_id"), col("lbl").as("cluster_id"),
+        (col("lbl") === col("id")).as("keep"))
+  }
 }

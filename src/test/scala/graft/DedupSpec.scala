@@ -119,6 +119,18 @@ class DedupSpec extends AnyFunSuite {
     assert(df.filter(col("cnt") =!= 2).count() == 0)
   }
 
+  test("connectedComponents refuses to return unconverged labels") {
+    // a 6-hop path needs ~5 rounds; maxIter=2 must throw, not silently
+    // mislabel — an unconverged label table shipped to a dedup pipeline
+    // would drop the wrong documents
+    val vertices = (1L to 7L).toDF("id")
+    val edges = (1L to 6L).map(i => (i, i + 1)).toDF("src", "dst")
+    val e = intercept[IllegalStateException] {
+      Dedup.connectedComponents(vertices, edges, maxIter = 2)
+    }
+    assert(e.getMessage.contains("converge"))
+  }
+
   test("connectedComponents: labels propagate transitively along chains") {
     // path 1-2-3-4 (no direct 1-4 edge) + isolated vertex 5: min-label
     // propagation must carry 1 across three hops, and leave 5 alone

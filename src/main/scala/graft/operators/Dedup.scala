@@ -380,29 +380,62 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("cos"))
   }
 
+  /** Cosine threshold at and above which the banded path's recall is
+    * spec-pinned equal to the exact path's (P(miss) < 1e-12 for
+    * near-identical pairs at the default 16×4-bit bands). Below it,
+    * banding loses pairs by construction — P(bit agree) = 1 − acos(cos)/π
+    * is ≈ 0.63 at cos 0.4 — so the router refuses to swap contracts
+    * silently.
+    */
+  val BandedSafeThreshold: Double = 0.7
+
+  /** Routing counts memoized per (session, dir): the count is one
+    * metadata-cheap action (parquet footer row counts), but queries that
+    * share a session — q20 and q58 both route — shouldn't re-pay it. */
+  private val routingCounts = scala.collection.mutable.Map.empty[(String, String), Long]
+
+  private def corpusRowCount(spark: SparkSession, dir: String, e: DataFrame): Long =
+    routingCounts.synchronized {
+      routingCounts.getOrElseUpdate(
+        (graft.sources.Sources.sessionTag(spark), dir), e.count())
+    }
+
   /** Embedding-cosine near-dup with an explicit scale router:
     *
     *   - n ≤ maxExactRows → the exact all-pairs kernel (every pair with
     *     cos ≥ threshold, the operator's strongest contract) — O(n²) pairs
     *     is affordable and the broadcast side fits;
-    *   - n > maxExactRows → banded candidates + exact re-score
-    *     ([[embeddingNearDupPairsBandedFor]]) — near-linear candidate
-    *     generation; recall ≈ 1 for near-identical pairs (the ones dedup
-    *     cares about) and spec-pinned equal to the exact path at
-    *     threshold ≥ 0.7.
+    *   - n > maxExactRows AND threshold ≥ [[BandedSafeThreshold]] → banded
+    *     candidates + exact re-score ([[embeddingNearDupPairsBandedFor]])
+    *     — near-linear candidate generation, spec-pinned equal to the
+    *     exact path in this threshold regime;
+    *   - n > maxExactRows at a LOOSER threshold → refuse: the only scale
+    *     path would silently under-recall (and a clustering built on it
+    *     would under-merge), so the caller must either raise the
+    *     threshold, raise maxExactRows, or opt into the lossy path
+    *     explicitly via [[embeddingNearDupPairsBandedFor]].
     *
-    * The routing count is one metadata-cheap action against the scan. At
-    * the default 200k rows the exact path enumerates ≤ 2·10¹⁰ candidate
-    * comparisons (minutes on a small cluster with the codegen'd kernel,
-    * and the broadcast side is ~50 MB at 64 dims); past that the pair
-    * count grows quadratically while banded stays near-linear — at 100 TB
-    * the router always takes the banded path.
+    * The routing count is one metadata-cheap action against the scan,
+    * memoized per (session, dir). At the default 200k rows the exact path
+    * enumerates ≤ 2·10¹⁰ candidate comparisons (minutes on a small
+    * cluster with the codegen'd kernel, and the broadcast side is ~50 MB
+    * at 64 dims); past that the pair count grows quadratically while
+    * banded stays near-linear — at 100 TB the router always takes the
+    * banded path.
     */
   def embeddingNearDupPairs(spark: SparkSession, dir: String, threshold: Double = 0.4,
                             maxExactRows: Long = 200000L): DataFrame = {
     val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
-    if (e.count() <= maxExactRows) embeddingNearDupPairsExactFor(e, threshold)
-    else embeddingNearDupPairsBandedFor(e, threshold)
+    if (corpusRowCount(spark, dir, e) <= maxExactRows)
+      embeddingNearDupPairsExactFor(e, threshold)
+    else if (threshold >= BandedSafeThreshold)
+      embeddingNearDupPairsBandedFor(e, threshold)
+    else
+      throw new IllegalArgumentException(
+        s"corpus exceeds maxExactRows=$maxExactRows and threshold=$threshold < " +
+          s"$BandedSafeThreshold: the banded path under-recalls at loose thresholds " +
+          "(P(bit agree) ~= 1 - acos(cos)/pi). Raise the threshold, raise " +
+          "maxExactRows, or call embeddingNearDupPairsBandedFor explicitly.")
   }
 
   /** Connected components over an undirected edge set by iterative
@@ -503,8 +536,10 @@ object Dedup {
     * cosine pairs as the edge set instead of Jaccard pairs. This is the
     * dedup modern LLM curation runs on embedding similarity (SemDeDup-
     * style): text-level hashing misses paraphrases that embed together.
-    * Edges come from the size-routed [[embeddingNearDupPairs]], so the
-    * operator inherits its exact-under-200k / banded-above contract.
+    * Edges come from the routed [[embeddingNearDupPairs]], so the operator
+    * inherits its contract: exact under maxExactRows, banded above only at
+    * thresholds where banding is recall-safe — never silently lossy (a
+    * lossy edge set would under-merge clusters).
     */
   def embeddingNearDupClusters(spark: SparkSession, dir: String,
                                threshold: Double = 0.4): DataFrame = {

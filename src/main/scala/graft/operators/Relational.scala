@@ -216,11 +216,16 @@ object Relational {
       val key = s"$sfx|$nBuckets"
       if (!bucketedLayoutFor.get(key).contains(dir)) {
         // the in-memory catalog forgets tables across sessions while their
-        // warehouse dirs persist; clear both so overwrite is idempotent
+        // warehouse dirs persist; clear both so overwrite is idempotent,
+        // and register the dirs with the shutdown reaper — session-unique
+        // names mean no later run ever overwrites them, so without the
+        // reaper every JVM would permanently leak two bucketed tables
+        // into the warehouse dir
         def reset(name: String): Unit = {
           spark.sql(s"DROP TABLE IF EXISTS $name")
           val wh = new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir"), name)
           wh.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(wh, true)
+          graft.sources.Sources.registerForCleanup(wh.toUri.getPath)
         }
         reset(oName)
         reset(lName)

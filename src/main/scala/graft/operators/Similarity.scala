@@ -184,9 +184,15 @@ object Similarity {
     * between runs; empty lists keep their previous centroid.
     */
   def trainCentroids(e: DataFrame, nLists: Int, iters: Int): Array[Array[Float]] = {
-    var cents: Array[Array[Float]] = e.filter(col("vec_id") < nLists)
-      .orderBy(col("vec_id")).select(col("embedding"))
+    // seed = the nLists lowest-id vectors (orderBy+limit plans as a
+    // TakeOrdered, no full sort) — NOT `vec_id < nLists`, which assumes
+    // dense 0-based ids and under-fills the codebook on sparse/offset id
+    // spaces, silently corrupting every downstream assignment
+    var cents: Array[Array[Float]] = e.orderBy(col("vec_id")).limit(nLists)
+      .select(col("embedding"))
       .collect().map(_.getSeq[Float](0).toArray)
+    require(cents.length == nLists,
+      s"corpus has only ${cents.length} vectors; cannot seed nLists=$nLists centroids")
     for (_ <- 0 until iters) {
       val means = ivfAssign(e, cents)
         .select(col("list_id"), posexplode(col("embedding")))

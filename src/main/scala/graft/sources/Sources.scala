@@ -49,6 +49,14 @@ object Sources {
     p
   }
 
+  /** Register an externally-created local path (e.g. a bucketed table's
+    * warehouse dir, whose session-unique name would otherwise outlive the
+    * JVM that can drop it) with the shutdown reaper. */
+  private[graft] def registerForCleanup(path: String): Unit = {
+    reaper
+    scratchPaths.add(path): Unit
+  }
+
   /** The reference's label-CSV schema (FIXTURES.md §A1): path key + 5-label
     * vector. */
   val labelCsvSchema: StructType = StructType(Seq(

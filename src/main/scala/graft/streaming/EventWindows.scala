@@ -200,14 +200,26 @@ object EventWindows {
             rows.toSeq.sortBy(_._2.getTime).foreach { case (_, tt, v) =>
               val t = tt.getTime
               open match {
-                case Some(s) if t - s.last_ms < gapMs =>
-                  // a late cross-batch event (above watermark, older than
-                  // last_ms) must EXTEND the session bounds, never rewind
-                  // them — shrinking last_ms would pull the event-time
-                  // timeout earlier and prematurely evict a live session
+                case Some(s) if t - s.last_ms < gapMs && t > s.start_ms - gapMs =>
+                  // merge only when the event's [t, t+gap) interval
+                  // overlaps the session's [start, last+gap) — the batch
+                  // session_window merge rule. A late cross-batch event
+                  // inside the interval EXTENDS the bounds, never rewinds
+                  // them past what the overlap allows (shrinking last_ms
+                  // would pull the event-time timeout earlier and
+                  // prematurely evict a live session)
                   open = Some(s.copy(start_ms = math.min(s.start_ms, t),
                     last_ms = math.max(s.last_ms, t),
                     n = s.n + 1, total = s.total + v))
+                case Some(s) if t <= s.start_ms - gapMs =>
+                  // a late cross-batch event wholly BEFORE the open
+                  // session's interval: batch semantics put it in its own
+                  // earlier session, so emit it as one immediately rather
+                  // than folding it in and rewinding start_ms (which would
+                  // diverge from session_window). Best-effort: an even
+                  // later straggler that would have merged with THIS event
+                  // can no longer — the documented cost of bounded state
+                  closed += ClosedSession(uid, t, 1L, v)
                 case Some(s) =>
                   closed += ClosedSession(uid, s.start_ms, s.n, s.total)
                   open = Some(OpenSession(t, t, 1L, v))

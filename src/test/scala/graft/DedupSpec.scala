@@ -203,4 +203,17 @@ class DedupSpec extends AnyFunSuite {
     assert(!bandedPlan.contains("NestedLoop") && !bandedPlan.contains("CartesianProduct"),
       s"router above maxExactRows must take the banded path:\n$bandedPlan")
   }
+
+  test("embedding near-dup router refuses the lossy banded path at loose thresholds") {
+    // above maxExactRows with threshold < BandedSafeThreshold the banded
+    // path under-recalls (P(bit agree) ≈ 0.63 at cos 0.4) — swapping the
+    // exact contract for it silently would under-merge downstream clusters,
+    // so the router must throw instead
+    val err = intercept[IllegalArgumentException] {
+      Dedup.embeddingNearDupPairs(spark, TestSpark.Sf0001,
+        threshold = 0.4, maxExactRows = 0L)
+    }
+    assert(err.getMessage.contains("threshold") &&
+      err.getMessage.contains("embeddingNearDupPairsBandedFor"))
+  }
 }

@@ -102,6 +102,26 @@ class SimilaritySpec extends AnyFunSuite {
       s"list occupancy skew ${sizes.max / meanSz} exceeds 2.0 (sizes=${sizes.sorted.mkString(",")})")
   }
 
+  test("trainCentroids seeds deterministically on sparse/offset id spaces") {
+    val dense = Tables.embeddings(spark, TestSpark.Sf0001)
+      .select(col("vec_id"), col("embedding"))
+    // same vectors under a sparse, offset id space (order-preserving map):
+    // the seed contract is "the nLists lowest-id vectors", not "ids 0..n"
+    val sparse = Tables.embeddings(spark, TestSpark.Sf0001)
+      .select((col("vec_id") * 1000 + 5000).as("vec_id"), col("embedding"))
+    val fromDense = Similarity.trainCentroids(dense, nLists = 8, iters = 0)
+    val fromSparse = Similarity.trainCentroids(sparse, nLists = 8, iters = 0)
+    assert(fromSparse.length == 8)
+    assert(fromSparse.map(_.toVector).toVector == fromDense.map(_.toVector).toVector,
+      "offset ids must seed the same codebook as dense ids")
+    // a corpus smaller than nLists must fail fast, not yield a short
+    // codebook that corrupts every downstream assignment
+    val err = intercept[IllegalArgumentException] {
+      Similarity.trainCentroids(dense.limit(3), nLists = 8, iters = 0)
+    }
+    assert(err.getMessage.contains("nLists"))
+  }
+
   test("IVF partitions the corpus: every vector lands in exactly one list") {
     // k > corpus size forces every probed vector to surface, so a vector
     // assigned to 0 or 2 lists would show up as a missing/duplicate cand

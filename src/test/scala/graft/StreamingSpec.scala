@@ -172,6 +172,31 @@ class StreamingSpec extends AnyFunSuite {
       s"idle open session must close via watermark eviction, got $sessions")
   }
 
+  test("sessionizer: a late event wholly before the open session emits as its own session") {
+    import spark.implicits._
+    val (input, ev) = memoryEvents()
+    // huge watermark delay keeps the 5h-late event above the watermark
+    val q = EventWindows.customSessionizeWithEviction(ev, gapMs = Hour,
+        watermarkDelay = "48 hours")
+      .writeStream.format("memory").queryName("late_own_session").outputMode("append").start()
+    try {
+      input.addData((1L, T0 + 10 * Hour, 1.0)) // open session at T0+10h
+      q.processAllAvailable()
+      // late cross-batch event 5h BEFORE the open session's interval:
+      // batch session_window puts it in its own session — it must emit as
+      // one, never merge into (and rewind) the live session
+      input.addData((1L, T0 + 5 * Hour, 2.5))
+      q.processAllAvailable()
+    } finally q.stop()
+    val sessions = spark.sql(
+      "SELECT user_id, session_start_ms, n_events, sum_value FROM late_own_session")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(sessions.contains((1L, T0 + 5 * Hour, 1L, 2.5)),
+      s"too-old late event must emit as its own closed session, got $sessions")
+    assert(!sessions.exists(s => s._2 == T0 + 5 * Hour && s._3 > 1L),
+      s"live session must not rewind to the late event's start: $sessions")
+  }
+
   test("streaming parquet sink: append-mode windows land as readable files") {
     // the real sink a pipeline runs (memory sinks are test scaffolding):
     // watermarked tumbling counts → parquet + checkpoint; append mode

@@ -380,117 +380,216 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("cos"))
   }
 
-  /** Cosine threshold at and above which the banded path's recall is
-    * spec-pinned equal to the exact path's (P(miss) < 1e-12 for
-    * near-identical pairs at the default 16×4-bit bands). Below it,
-    * banding loses pairs by construction — P(bit agree) = 1 − acos(cos)/π
-    * is ≈ 0.63 at cos 0.4 — so the router refuses to swap contracts
-    * silently.
+  /** Grid-blocked exact all-pairs cosine near-dup — the distributed exact
+    * path for corpora too large to broadcast. The corpus is hashed into
+    * nBlocks blocks; a circulant block-pair grid (cell (i, (i+d) mod B) for
+    * d ≤ B/2, de-duplicated at d = B/2) covers every unordered block pair
+    * exactly once, so each side is replicated ~B/2+1 times evenly — no
+    * block is hotter than another — and each grid cell compares two
+    * ~n/B-row blocks inside one task. The cosine threshold lives in the
+    * join condition, so only passing pairs materialize.
+    *
+    * This keeps the exact contract (every pair with cos ≥ threshold) at
+    * ANY corpus size: shuffle is O(B·n) rows, per-task memory is two
+    * blocks, and the O(n²) kernel work — unavoidable for exact all-pairs —
+    * distributes over B(B/2+1) independent cells instead of hitting a
+    * broadcast/driver wall. Quadratic compute is the documented cost of
+    * exactness at loose thresholds, where banding cannot prune without
+    * losing recall (P(bit agree) = 1 − acos(cos)/π ≈ 0.63 at cos 0.4).
+    */
+  def embeddingNearDupPairsBlockedFor(e: DataFrame, threshold: Double,
+                                      nBlocks: Int = 16): DataFrame = {
+    import graft.functions.VectorOps
+    require(nBlocks >= 2, s"need nBlocks=$nBlocks >= 2")
+    val spark = e.sparkSession
+    import spark.implicits._
+    val B = nBlocks
+    val grid = (for {
+      i <- 0 until B
+      d <- 0 to B / 2
+      if !(B % 2 == 0 && d == B / 2 && i >= B / 2) // d=B/2 cells appear twice; keep one
+    } yield (i, (i + d) % B)).toDF("gi", "gj")
+    val blocked = e.select(col("vec_id"), col("embedding"),
+      pmod(xxhash64(col("vec_id")), lit(B.toLong)).cast("int").as("blk"))
+    val a = blocked.select(col("vec_id").as("id_a"), col("embedding").as("va"),
+      col("blk").as("ba"))
+    val b = blocked.select(col("vec_id").as("id_b"), col("embedding").as("vb"),
+      col("blk").as("bb"))
+    a.join(broadcast(grid), col("ba") === col("gi"))
+      .join(b, col("bb") === col("gj")
+        && (col("gi") =!= col("gj") || col("id_a") < col("id_b"))
+        && col("id_a") =!= col("id_b")
+        && round(VectorOps.cosineFast(col("va"), col("vb")), 6) >= threshold)
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"),
+        round(VectorOps.cosineFast(col("va"), col("vb")), 6).as("cos"))
+  }
+
+  /** Cosine threshold at and above which the router may swap the exact
+    * contract for banded candidates. The swap is NOT exactly lossless:
+    * with the default 16×4-bit bands the per-pair miss probability is
+    * (1 − p⁴)¹⁶ at bit-agreement p = 1 − acos(cos)/π — ≈ 2.6e-3 for a pair
+    * sitting exactly at cos 0.7, falling to ≈ 4.4e-8 at cos 0.95 — so
+    * pairs just above the threshold can still be dropped at scale. The
+    * spec pins banded ≡ exact for near-identical planted pairs; callers
+    * needing the full exact contract above maxExactRows use
+    * [[embeddingNearDupPairsBlockedFor]], which the router takes below
+    * this threshold (where banding's miss rate becomes order-1 and the
+    * trade stops being a trade).
     */
   val BandedSafeThreshold: Double = 0.7
 
   /** Routing counts memoized per (session, dir): the count is one
     * metadata-cheap action (parquet footer row counts), but queries that
-    * share a session — q20 and q58 both route — shouldn't re-pay it. */
-  private val routingCounts = scala.collection.mutable.Map.empty[(String, String), Long]
+    * share a session — q20 and q58 both route — shouldn't re-pay it.
+    * ASSUMES fixture dirs are immutable for the life of the session (true
+    * for the test/bench harnesses); a rewritten dir needs
+    * [[clearRoutingCache]] or the route goes stale. The count runs outside
+    * any lock so concurrent routers don't serialize on it (worst case two
+    * threads both count and one insert wins — same value either way).
+    */
+  private val routingCounts =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), java.lang.Long]()
 
-  private def corpusRowCount(spark: SparkSession, dir: String, e: DataFrame): Long =
-    routingCounts.synchronized {
-      routingCounts.getOrElseUpdate(
-        (graft.sources.Sources.sessionTag(spark), dir), e.count())
+  private[graft] def clearRoutingCache(): Unit = routingCounts.clear()
+
+  private def corpusRowCount(spark: SparkSession, dir: String, e: DataFrame): Long = {
+    val key = (graft.sources.Sources.sessionTag(spark), dir)
+    val cached = routingCounts.get(key)
+    if (cached != null) cached.longValue()
+    else {
+      val n = e.count()
+      val prior = routingCounts.putIfAbsent(key, n)
+      if (prior != null) prior.longValue() else n
     }
+  }
 
   /** Embedding-cosine near-dup with an explicit scale router:
     *
-    *   - n ≤ maxExactRows → the exact all-pairs kernel (every pair with
-    *     cos ≥ threshold, the operator's strongest contract) — O(n²) pairs
-    *     is affordable and the broadcast side fits;
+    *   - n ≤ maxExactRows → the exact all-pairs kernel with one side
+    *     broadcast (every pair with cos ≥ threshold, the operator's
+    *     strongest contract) — O(n²) pairs is affordable and the
+    *     broadcast side fits;
     *   - n > maxExactRows AND threshold ≥ [[BandedSafeThreshold]] → banded
     *     candidates + exact re-score ([[embeddingNearDupPairsBandedFor]])
-    *     — near-linear candidate generation, spec-pinned equal to the
-    *     exact path in this threshold regime;
-    *   - n > maxExactRows at a LOOSER threshold → refuse: the only scale
-    *     path would silently under-recall (and a clustering built on it
-    *     would under-merge), so the caller must either raise the
-    *     threshold, raise maxExactRows, or opt into the lossy path
-    *     explicitly via [[embeddingNearDupPairsBandedFor]].
+    *     — near-linear candidate generation, recall bounded as documented
+    *     at [[BandedSafeThreshold]];
+    *   - n > maxExactRows at a LOOSER threshold → the grid-blocked exact
+    *     path ([[embeddingNearDupPairsBlockedFor]]): banding at loose
+    *     thresholds under-recalls by construction, so the router keeps the
+    *     exact contract and pays the (distributed, memory-bounded)
+    *     quadratic compute instead — never a silent recall downgrade. The
+    *     block count scales with n so each cell stays ~100k×100k.
     *
     * The routing count is one metadata-cheap action against the scan,
     * memoized per (session, dir). At the default 200k rows the exact path
     * enumerates ≤ 2·10¹⁰ candidate comparisons (minutes on a small
     * cluster with the codegen'd kernel, and the broadcast side is ~50 MB
-    * at 64 dims); past that the pair count grows quadratically while
-    * banded stays near-linear — at 100 TB the router always takes the
-    * banded path.
+    * at 64 dims).
     */
   def embeddingNearDupPairs(spark: SparkSession, dir: String, threshold: Double = 0.4,
                             maxExactRows: Long = 200000L): DataFrame = {
     val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
-    if (corpusRowCount(spark, dir, e) <= maxExactRows)
+    val n = corpusRowCount(spark, dir, e)
+    if (n <= maxExactRows)
       embeddingNearDupPairsExactFor(e, threshold)
     else if (threshold >= BandedSafeThreshold)
       embeddingNearDupPairsBandedFor(e, threshold)
     else
-      throw new IllegalArgumentException(
-        s"corpus exceeds maxExactRows=$maxExactRows and threshold=$threshold < " +
-          s"$BandedSafeThreshold: the banded path under-recalls at loose thresholds " +
-          "(P(bit agree) ~= 1 - acos(cos)/pi). Raise the threshold, raise " +
-          "maxExactRows, or call embeddingNearDupPairsBandedFor explicitly.")
+      embeddingNearDupPairsBlockedFor(e, threshold,
+        nBlocks = math.min(1024L, n / 100000L + 2L).toInt)
   }
 
-  /** Connected components over an undirected edge set by iterative
-    * min-label propagation: every vertex starts labeled with itself; each
-    * round, labels flow across edges and each vertex keeps the minimum it
-    * has seen; at fixpoint a component's label is its minimum vertex id.
+  /** Connected components over an undirected edge set by the
+    * large-star/small-star alternation (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC'14) — the O(log² n)-round
+    * algorithm, vs graph-diameter rounds for plain min-label propagation.
+    * Near-dup graphs are usually unions of near-cliques (diameter 1-2,
+    * where either algorithm takes a couple of rounds), but chain-shaped dup
+    * graphs — template drift, quote chains — have O(n) diameter, and label
+    * propagation on them either runs n rounds or gives up; the alternation
+    * converges in a handful of rounds regardless of shape.
     *
-    * Scale shape: each round is one equi-join + one min-aggregate — all
-    * shuffles are on the vertex id, with map-side combine — and rounds
-    * needed = graph diameter. Near-dup graphs are unions of near-cliques
-    * (diameter 1-2; observed fixpoint in ≤ 3 rounds on the fixtures), so
-    * this converges in a handful of linear passes; for adversarial
-    * long-chain graphs the large-star/small-star alternation (Kiveris et
-    * al., "Connected Components in MapReduce") bounds rounds at
-    * O(log² n) and drops in here without changing the contract. Each
-    * round's labels are localCheckpoint'ed: lineage stays flat (no
-    * exponentially growing plan) and no cache registration leaks past the
-    * call — on a real cluster this becomes a checkpoint to durable
-    * storage.
+    * Each alternation is two equi-joins + two min-aggregates, all shuffled
+    * on a vertex id with map-side combine — the same per-round shape and
+    * cost class as one propagation round. Edges keep the canonical
+    * orientation (hi > lo):
     *
-    * Throws if maxIter rounds don't reach the fixpoint — an unconverged
-    * label table silently mislabels clusters, which a dedup pipeline must
-    * never ship.
+    *   - large-star: every vertex v > u in u's neighborhood attaches to
+    *     m = min(N(u) ∪ {u});
+    *   - small-star: u and all its smaller neighbors attach to the minimum
+    *     of u's closed smaller-neighborhood.
+    *
+    * At the fixpoint the edge set is a disjoint union of stars whose
+    * centers are the component minima, so labels read off as
+    * min-lo-per-hi. Convergence is detected by stable (count, Σhi, Σlo)
+    * across one full alternation — a cheap aggregate, and decimal sums are
+    * overflow-proof under ANSI; because sum-equality is in principle a
+    * heuristic, the returned labeling is then VALIDATED soundly: every
+    * original edge must connect identically-labeled vertices, else throw.
+    * An unconverged or inconsistent label table silently mislabels
+    * clusters, which a dedup pipeline must never ship. Per-round
+    * localCheckpoints keep lineage flat; on a real cluster these become
+    * checkpoints to durable storage.
     */
   def connectedComponents(vertices: DataFrame, edges: DataFrame,
                           maxIter: Int = 25): DataFrame = {
-    val e0 = edges.select(col("src"), col("dst")).localCheckpoint(true)
-    val sym = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+    val e0 = edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst"))
+      .select(greatest(col("src"), col("dst")).as("hi"),
+        least(col("src"), col("dst")).as("lo"))
       .distinct().localCheckpoint(true)
-    var labels = vertices.select(col("id"), col("id").as("lbl")).localCheckpoint(true)
-    // fixpoint detector: per-vertex labels are non-increasing, so the label
-    // sum strictly decreases until fixpoint — one cheap aggregate per round
-    // instead of a prev-vs-next join (decimal sum: overflow-proof under
-    // ANSI at any vertex count)
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      Option(df.agg(sum(col("lbl").cast("decimal(38,0)"))).head.getDecimal(0))
-        .getOrElse(java.math.BigDecimal.ZERO) // empty vertex set: sum is null
-    var prevSum = labelSum(labels)
+    def stats(df: DataFrame): (Long, java.math.BigDecimal, java.math.BigDecimal) = {
+      val r = df.agg(count(lit(1)),
+        sum(col("hi").cast("decimal(38,0)")), sum(col("lo").cast("decimal(38,0)"))).head
+      (r.getLong(0),
+        Option(r.getDecimal(1)).getOrElse(java.math.BigDecimal.ZERO),
+        Option(r.getDecimal(2)).getOrElse(java.math.BigDecimal.ZERO))
+    }
+    var e = e0
+    var prev = stats(e)
+    var converged = prev._1 == 0L // no edges: every vertex is its own star
     var iter = 0
-    var converged = false
     while (!converged && iter < maxIter) {
-      val prop = sym.join(labels, sym("src") === labels("id"))
-        .select(sym("dst").as("id"), labels("lbl"))
-      val next = labels.union(prop)
-        .groupBy(col("id")).agg(min(col("lbl")).as("lbl"))
-        .localCheckpoint(true)
-      val nextSum = labelSum(next)
-      labels = next
-      converged = nextSum.compareTo(prevSum) == 0
-      prevSum = nextSum
+      // large-star: attach each larger neighbor to the neighborhood min
+      val sym = e.select(col("hi").as("u"), col("lo").as("v"))
+        .union(e.select(col("lo").as("u"), col("hi").as("v")))
+      val mins = sym.groupBy(col("u")).agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("m"))
+      val ls = sym.join(mins, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("hi"), col("m").as("lo"))
+        .distinct().localCheckpoint(true)
+      // small-star: attach u and its smaller neighbors to their minimum
+      val sMins = ls.groupBy(col("hi")).agg(min(col("lo")).as("m"))
+      val ss = ls.join(sMins, "hi")
+        .filter(col("lo") =!= col("m"))
+        .select(col("lo").as("hi"), col("m").as("lo"))
+        .union(sMins.select(col("hi"), col("m").as("lo")))
+        .distinct().localCheckpoint(true)
+      e = ss
+      val cur = stats(e)
+      converged = cur == prev
+      prev = cur
       iter += 1
     }
     if (!converged)
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter rounds")
+    val starLabels = e.groupBy(col("hi").as("id")).agg(min(col("lo")).as("lbl"))
+    val labels = vertices.select(col("id"))
+      .join(starLabels, Seq("id"), "left")
+      .select(col("id"), coalesce(col("lbl"), col("id")).as("lbl"))
+      .localCheckpoint(true)
+    // soundness gate for the sum-based convergence test: a split component
+    // always leaves some original edge crossing two labels
+    val la = labels.select(col("id").as("hi"), col("lbl").as("la"))
+    val lb = labels.select(col("id").as("lo"), col("lbl").as("lb"))
+    val inconsistent = e0.join(la, "hi").join(lb, "lo")
+      .filter(col("la") =!= col("lb")).count()
+    if (inconsistent > 0)
+      throw new IllegalStateException(
+        s"connectedComponents converged to an inconsistent labeling ($inconsistent crossing edges)")
     labels
   }
 
@@ -538,8 +637,9 @@ object Dedup {
     * style): text-level hashing misses paraphrases that embed together.
     * Edges come from the routed [[embeddingNearDupPairs]], so the operator
     * inherits its contract: exact under maxExactRows, banded above only at
-    * thresholds where banding is recall-safe — never silently lossy (a
-    * lossy edge set would under-merge clusters).
+    * thresholds where banding's miss bound is documented-tight, and
+    * grid-blocked exact at loose thresholds — never a silent recall
+    * downgrade (a lossy edge set would under-merge clusters).
     */
   def embeddingNearDupClusters(spark: SparkSession, dir: String,
                                threshold: Double = 0.4): DataFrame = {

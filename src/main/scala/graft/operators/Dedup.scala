@@ -345,12 +345,15 @@ object Dedup {
   /** Embedding-cosine near-dup via hyperplane-LSH banded candidates + exact
     * re-score — the 100 TB form: signatures are one codegen'd expression
     * per row, candidate generation is a band equi-join (never a cross
-    * join), and only candidate pairs pay the exact kernel. Identical to
-    * the exact path wherever banding recall ≈ 1 (near-identical pairs:
-    * P(miss) < 1e-12 at cos 0.95 with 16×4-bit bands; spec-pinned);
-    * recall < 1 at loose thresholds — P(bit agree) = 1 − acos(cos)/π is
-    * ≈ 0.63 at cos 0.4, so no banding both prunes and keeps every such
-    * pair. That trade is inherent to LSH, not to this implementation.
+    * join), and only candidate pairs pay the exact kernel. Per-pair miss
+    * probability with the default 16×4-bit bands is (1 − p⁴)¹⁶ at
+    * bit-agreement p = 1 − acos(cos)/π: ≈ 4e-8 at cos 0.95, < 1e-12 only
+    * past cos ≈ 0.99 — the spec pins banded ≡ exact for planted
+    * near-identical pairs (cos ≈ 0.9999, miss < 1e-20), NOT for pairs
+    * sitting just above the threshold, which can still drop at scale.
+    * Recall < 1 is structural at loose thresholds — P(bit agree) ≈ 0.63
+    * at cos 0.4, so no banding both prunes and keeps every such pair.
+    * That trade is inherent to LSH, not to this implementation.
     */
   def embeddingNearDupPairsBandedFor(e: DataFrame, threshold: Double,
                                      nBits: Int = 64, bandBits: Int = 4): DataFrame = {
@@ -384,18 +387,23 @@ object Dedup {
     * path for corpora too large to broadcast. The corpus is hashed into
     * nBlocks blocks; a circulant block-pair grid (cell (i, (i+d) mod B) for
     * d ≤ B/2, de-duplicated at d = B/2) covers every unordered block pair
-    * exactly once, so each side is replicated ~B/2+1 times evenly — no
-    * block is hotter than another — and each grid cell compares two
-    * ~n/B-row blocks inside one task. The cosine threshold lives in the
+    * exactly once. BOTH sides replicate through the (broadcast) grid — a
+    * rows into every cell of grid row gi = blk, b rows into every cell of
+    * grid column gj = blk, ~B/2+1 copies each, no block hotter than another
+    * — and the pair join keys on the COMPOSITE cell coordinate (gi, gj):
+    * B(B/2+1) distinct keys, so each cell is an independent task buffering
+    * two ~n/B-row blocks. (Keying on gj alone would collapse parallelism to
+    * B panel-tasks of n²/2B work each.) The cosine threshold lives in the
     * join condition, so only passing pairs materialize.
     *
     * This keeps the exact contract (every pair with cos ≥ threshold) at
     * ANY corpus size: shuffle is O(B·n) rows, per-task memory is two
-    * blocks, and the O(n²) kernel work — unavoidable for exact all-pairs —
-    * distributes over B(B/2+1) independent cells instead of hitting a
-    * broadcast/driver wall. Quadratic compute is the documented cost of
-    * exactness at loose thresholds, where banding cannot prune without
-    * losing recall (P(bit agree) = 1 − acos(cos)/π ≈ 0.63 at cos 0.4).
+    * ~n/B-row blocks, and the O(n²) kernel work — unavoidable for exact
+    * all-pairs — distributes over B(B/2+1) independent cells instead of
+    * hitting a broadcast/driver wall. Quadratic compute is the documented
+    * cost of exactness at loose thresholds, where banding cannot prune
+    * without losing recall (P(bit agree) = 1 − acos(cos)/π ≈ 0.63 at
+    * cos 0.4).
     */
   def embeddingNearDupPairsBlockedFor(e: DataFrame, threshold: Double,
                                       nBlocks: Int = 16): DataFrame = {
@@ -411,12 +419,14 @@ object Dedup {
     } yield (i, (i + d) % B)).toDF("gi", "gj")
     val blocked = e.select(col("vec_id"), col("embedding"),
       pmod(xxhash64(col("vec_id")), lit(B.toLong)).cast("int").as("blk"))
-    val a = blocked.select(col("vec_id").as("id_a"), col("embedding").as("va"),
-      col("blk").as("ba"))
-    val b = blocked.select(col("vec_id").as("id_b"), col("embedding").as("vb"),
-      col("blk").as("bb"))
-    a.join(broadcast(grid), col("ba") === col("gi"))
-      .join(b, col("bb") === col("gj")
+    val a = blocked
+      .join(broadcast(grid), col("blk") === col("gi"))
+      .select(col("gi"), col("gj"), col("vec_id").as("id_a"), col("embedding").as("va"))
+    val b = blocked
+      .join(broadcast(grid), col("blk") === col("gj"))
+      .select(col("gi").as("hi"), col("gj").as("hj"),
+        col("vec_id").as("id_b"), col("embedding").as("vb"))
+    a.join(b, col("gi") === col("hi") && col("gj") === col("hj")
         && (col("gi") =!= col("gj") || col("id_a") < col("id_b"))
         && col("id_a") =!= col("id_b")
         && round(VectorOps.cosineFast(col("va"), col("vb")), 6) >= threshold)
@@ -459,6 +469,10 @@ object Dedup {
     if (cached != null) cached.longValue()
     else {
       val n = e.count()
+      // bound the memo in a long-lived JVM serving many sessions/dirs: the
+      // entries are one Long each, so a rare full reset (re-pay one count
+      // per live (session, dir)) beats tracking session lifecycles
+      if (routingCounts.size > 64) routingCounts.clear()
       val prior = routingCounts.putIfAbsent(key, n)
       if (prior != null) prior.longValue() else n
     }
@@ -522,11 +536,12 @@ object Dedup {
     *
     * At the fixpoint the edge set is a disjoint union of stars whose
     * centers are the component minima, so labels read off as
-    * min-lo-per-hi. Convergence is detected by stable (count, Σhi, Σlo)
-    * across one full alternation — a cheap aggregate, and decimal sums are
-    * overflow-proof under ANSI; because sum-equality is in principle a
-    * heuristic, the returned labeling is then VALIDATED soundly: every
-    * original edge must connect identically-labeled vertices, else throw.
+    * min-lo-per-hi. Convergence is detected by EXACT set equality across
+    * one full alternation (count gate + one-direction containment on the
+    * checkpointed, distinct edge relations — sound, and the same cost
+    * class as a stats compare); the returned labeling is additionally
+    * VALIDATED: every original edge must connect identically-labeled
+    * vertices, else throw.
     * An unconverged or inconsistent label table silently mislabels
     * clusters, which a dedup pipeline must never ship. Per-round
     * localCheckpoints keep lineage flat; on a real cluster these become
@@ -539,16 +554,14 @@ object Dedup {
       .select(greatest(col("src"), col("dst")).as("hi"),
         least(col("src"), col("dst")).as("lo"))
       .distinct().localCheckpoint(true)
-    def stats(df: DataFrame): (Long, java.math.BigDecimal, java.math.BigDecimal) = {
-      val r = df.agg(count(lit(1)),
-        sum(col("hi").cast("decimal(38,0)")), sum(col("lo").cast("decimal(38,0)"))).head
-      (r.getLong(0),
-        Option(r.getDecimal(1)).getOrElse(java.math.BigDecimal.ZERO),
-        Option(r.getDecimal(2)).getOrElse(java.math.BigDecimal.ZERO))
-    }
+    // exact fixpoint test: both edge sets are distinct, localCheckpointed
+    // relations, so a count gate + one-direction containment decides set
+    // equality soundly — same cost class as the former (count, Σhi, Σlo)
+    // stats compare, without its theoretical stats-collision false positive
+    def sameEdges(prev: DataFrame, cur: DataFrame): Boolean =
+      prev.count() == cur.count() && cur.exceptAll(prev).isEmpty
     var e = e0
-    var prev = stats(e)
-    var converged = prev._1 == 0L // no edges: every vertex is its own star
+    var converged = e0.isEmpty // no edges: every vertex is its own star
     var iter = 0
     while (!converged && iter < maxIter) {
       // large-star: attach each larger neighbor to the neighborhood min
@@ -567,10 +580,8 @@ object Dedup {
         .select(col("lo").as("hi"), col("m").as("lo"))
         .union(sMins.select(col("hi"), col("m").as("lo")))
         .distinct().localCheckpoint(true)
+      converged = sameEdges(e, ss)
       e = ss
-      val cur = stats(e)
-      converged = cur == prev
-      prev = cur
       iter += 1
     }
     if (!converged)

@@ -204,16 +204,62 @@ class DedupSpec extends AnyFunSuite {
       s"router above maxExactRows must take the banded path:\n$bandedPlan")
   }
 
-  test("embedding near-dup router refuses the lossy banded path at loose thresholds") {
-    // above maxExactRows with threshold < BandedSafeThreshold the banded
-    // path under-recalls (P(bit agree) ≈ 0.63 at cos 0.4) — swapping the
-    // exact contract for it silently would under-merge downstream clusters,
-    // so the router must throw instead
-    val err = intercept[IllegalArgumentException] {
-      Dedup.embeddingNearDupPairs(spark, TestSpark.Sf0001,
-        threshold = 0.4, maxExactRows = 0L)
+  test("embedding near-dup: grid-blocked exact path equals the broadcast exact path") {
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val exact = rows(Dedup.embeddingNearDupPairsExactFor(plantedVecs, 0.4))
+    assert(exact.nonEmpty, "fixture must plant pairs above the loose threshold")
+    // odd/even block counts exercise both circulant-grid dedup branches,
+    // and B > nRows exercises cells holding 0-1 rows
+    for (b <- Seq(2, 3, 16, 17, 128)) {
+      val blocked = rows(Dedup.embeddingNearDupPairsBlockedFor(plantedVecs, 0.4, nBlocks = b))
+      assert(blocked == exact,
+        s"nBlocks=$b: only-blocked=${blocked -- exact}, only-exact=${exact -- blocked}")
     }
-    assert(err.getMessage.contains("threshold") &&
-      err.getMessage.contains("embeddingNearDupPairsBandedFor"))
+    // routed form: past maxExactRows at a loose threshold the router must
+    // take the blocked path and STILL honor the exact contract (both-ways
+    // exceptAll so an empty/truncated routed result fails)
+    val routed = Dedup.embeddingNearDupPairs(spark, TestSpark.Sf0001,
+      threshold = 0.4, maxExactRows = 0L)
+    val e = Tables.embeddings(spark, TestSpark.Sf0001)
+      .select(col("vec_id"), col("embedding"))
+    val exactFixture = Dedup.embeddingNearDupPairsExactFor(e, 0.4)
+    assert(routed.exceptAll(exactFixture).count() == 0)
+    assert(exactFixture.exceptAll(routed).count() == 0)
+  }
+
+  test("blocked path plan: cell-parallel equi-join on BOTH grid coordinates, corpus never broadcast") {
+    // disable auto-broadcast so the fixture-sized corpus can't collapse the
+    // shape this spec pins — at 100 TB the corpus side could never
+    // broadcast, and the whole point of the blocked path is surviving that
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = Dedup.embeddingNearDupPairsBlockedFor(plantedVecs, 0.4, nBlocks = 4)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+        s"blocked path must never cross-join:\n$plan")
+      // the pair join must key on the composite (gi, gj) cell — B(B/2+1)
+      // distinct keys (cell-level parallelism), not gj alone (B keys)
+      val cellJoin = plan.linesIterator.exists(l =>
+        (l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin"))
+          && l.contains("gi#") && l.contains("gj#"))
+      assert(cellJoin, s"pair join must be an equi-join on both grid coordinates:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("connectedComponents: 200-vertex path graph converges (chain-shaped dup graphs)") {
+    // the shape that breaks min-label propagation: a single path has O(n)
+    // diameter, so propagation needs ~n rounds; the large-star/small-star
+    // alternation must converge in O(log² n) — well under the default
+    // maxIter=25 — and still label every vertex with the path's minimum
+    val n = 200L
+    val vertices = (1L to n).toDF("id")
+    val edges = (1L until n).map(i => (i, i + 1)).toDF("src", "dst")
+    val got = Dedup.connectedComponents(vertices, edges)
+      .as[(Long, Long)].collect().toMap
+    assert(got.size == n)
+    assert(got.values.forall(_ == 1L),
+      s"all path vertices must label 1, got ${got.filter(_._2 != 1L).take(5)}")
   }
 }

@@ -112,7 +112,23 @@ object SparkEntry {
     // rank-exact quantiles + percentile_approx sketch over the quality score
     "q57_quality_quantiles" -> ((s: SparkSession, d: String) => TextAnalysis.qualityQuantiles(s, d)),
     // semantic near-dup clusters: cosine pair edges → connected components
-    "q58_embed_clusters" -> ((s: SparkSession, d: String) => Dedup.embeddingNearDupClusters(s, d))
+    "q58_embed_clusters" -> ((s: SparkSession, d: String) => Dedup.embeddingNearDupClusters(s, d)),
+    // benchmark decontamination: train docs overlapping the eval split
+    // (cross-split fuzzy Jaccard + exact-hash hits; J1 promoted to fuzzy)
+    "q59_decontamination" -> ((s: SparkSession, d: String) => Dedup.decontaminationReport(s, d)),
+    // iterated FedAvg: R=3 global rounds, round-t state deterministic from
+    // round t-1 (the reference's 3-round federated loop in closed form)
+    "q60_fedavg_rounds" -> ((s: SparkSession, d: String) => FedAvg.iteratedGlobalRounds(s, d)),
+    // the grid-blocked exact near-dup path FORCED (the loose-threshold
+    // 100 TB route), value-checked against the same oracle as q20 — the
+    // fixture corpus never exceeds maxExactRows, so without this entry the
+    // harness would never execute the blocked path
+    "q61_embed_neardup_blocked" -> ((s: SparkSession, d: String) =>
+      Dedup.embeddingNearDupPairsBlockedFor(
+        graft.Tables.embeddings(s, d).select(
+          org.apache.spark.sql.functions.col("vec_id"),
+          org.apache.spark.sql.functions.col("embedding")),
+        threshold = 0.4, nBlocks = 4))
   )
 
   /** Shared CTE chain ending in `pairs` = the exact-Jaccard near-dup pairs
@@ -143,6 +159,20 @@ object SparkEntry {
   private val embedExplode: String =
     "SELECT vec_id, label, generate_subscripts(embedding, 1) - 1 AS dim, " +
       "CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings"
+
+  /** Exact all-pairs cosine near-dup oracle at threshold 0.4 (shared by q20
+    * — the router's fixture-scale exact route — and q61, the grid-blocked
+    * distributed exact path forced at the same threshold: both implement
+    * the identical exact contract). */
+  private lazy val embedNearDupSql: String =
+    s"""WITH ex AS ($embedExplode),
+       |dots AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, sum(a.x * b.x) AS dot
+       |         FROM ex a JOIN ex b ON a.dim = b.dim AND a.vec_id < b.vec_id
+       |         GROUP BY 1, 2),
+       |norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM ex GROUP BY vec_id)
+       |SELECT id_a, id_b, round(dot / (na.nrm * nb.nrm), 6) AS cos
+       |FROM dots JOIN norms na ON na.vec_id = id_a JOIN norms nb ON nb.vec_id = id_b
+       |WHERE round(dot / (na.nrm * nb.nrm), 6) >= 0.4""".stripMargin
 
   /** Exact cosine top-k oracle (shared by q21 and its per-partition-reduced
     * twin q51 — same result by construction). */
@@ -264,15 +294,7 @@ object SparkEntry {
         |GROUP BY content_hash HAVING count(*) > 1""".stripMargin,
     "q17_ngram_jaccard" -> jaccardSql,
     "q18_minhash_lsh" -> jaccardSql,
-    "q20_embed_neardup" ->
-      s"""WITH ex AS ($embedExplode),
-         |dots AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, sum(a.x * b.x) AS dot
-         |         FROM ex a JOIN ex b ON a.dim = b.dim AND a.vec_id < b.vec_id
-         |         GROUP BY 1, 2),
-         |norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM ex GROUP BY vec_id)
-         |SELECT id_a, id_b, round(dot / (na.nrm * nb.nrm), 6) AS cos
-         |FROM dots JOIN norms na ON na.vec_id = id_a JOIN norms nb ON nb.vec_id = id_b
-         |WHERE round(dot / (na.nrm * nb.nrm), 6) >= 0.4""".stripMargin,
+    "q20_embed_neardup" -> embedNearDupSql,
     "q21_cosine_topk" -> cosineTopKSql,
     // identical by construction: per-partition reduction changes the plan,
     // not the result
@@ -520,6 +542,42 @@ object SparkEntry {
          |  UNION
          |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id)
          |SELECT id AS vec_id, min(lbl) AS cluster_id, (min(lbl) = id) AS keep
-         |FROM reach GROUP BY id""".stripMargin
+         |FROM reach GROUP BY id""".stripMargin,
+    // the q17 pair CTE chain restricted to CROSS-SPLIT pairs (train =
+    // doc_id % 10 <> 0, eval = doc_id % 10 = 0), plus exact-hash hits —
+    // identical text has Jaccard 1 by definition, so hash-only hits
+    // (sub-shingle-width docs) report max_jaccard 1.0
+    "q59_decontamination" ->
+      s"""WITH $jaccardPairCtes,
+         |cross_pairs AS (
+         |  SELECT CASE WHEN doc_a % 10 = 0 THEN doc_b ELSE doc_a END AS doc_id, jaccard
+         |  FROM pairs WHERE (doc_a % 10 = 0) <> (doc_b % 10 = 0)),
+         |fuzzy AS (SELECT doc_id, max(jaccard) AS mj FROM cross_pairs GROUP BY doc_id),
+         |exact AS (SELECT DISTINCT t.doc_id FROM documents t JOIN documents e
+         |            ON sha256(t.text) = sha256(e.text)
+         |          WHERE t.doc_id % 10 <> 0 AND e.doc_id % 10 = 0)
+         |SELECT COALESCE(f.doc_id, x.doc_id) AS doc_id,
+         |       COALESCE(f.mj, 1.0) AS max_jaccard,
+         |       (x.doc_id IS NOT NULL) AS exact_hit
+         |FROM fuzzy f FULL OUTER JOIN exact x ON f.doc_id = x.doc_id""".stripMargin,
+    // the 3-round FedAvg chain replayed as stacked CTEs. gbar's 6dp
+    // rounding pins the order-dependent parallel sum; the recurrence
+    // itself is identical IEEE double arithmetic in both engines and is
+    // deliberately NOT re-rounded (0.5*gb lands on 7th-decimal
+    // half-boundaries where Spark and DuckDB rounding disagree)
+    "q60_fedavg_rounds" ->
+      s"""WITH ex AS ($embedExplode),
+         |gbar AS (SELECT dim, round(sum((vec_id % 10 + 1) * x) / sum(vec_id % 10 + 1), 6) AS gb
+         |         FROM ex GROUP BY dim),
+         |r1 AS (SELECT dim, 0.5 * gb + 0.5 * 0.0 AS g FROM gbar),
+         |r2 AS (SELECT r1.dim AS dim, 0.5 * gb + 0.5 * g AS g
+         |       FROM r1 JOIN gbar ON gbar.dim = r1.dim),
+         |r3 AS (SELECT r2.dim AS dim, 0.5 * gb + 0.5 * g AS g
+         |       FROM r2 JOIN gbar ON gbar.dim = r2.dim)
+         |SELECT CAST(1 AS BIGINT) AS fed_round, dim, g AS global_wmean FROM r1
+         |UNION ALL SELECT CAST(2 AS BIGINT), dim, g FROM r2
+         |UNION ALL SELECT CAST(3 AS BIGINT), dim, g FROM r3""".stripMargin,
+    // identical contract to q20: the blocked path is exact by construction
+    "q61_embed_neardup_blocked" -> embedNearDupSql
   )
 }

@@ -186,6 +186,84 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** Benchmark decontamination (q59) — the curation verb that purges train
+    * documents overlapping an eval split: the reference's J1 set-
+    * disjointness check (/root/reference/utils/preprocessing_testing_utils.py:60-80,
+    * intersection at :69) promoted from exact key equality to the fuzzy
+    * domain. A train doc is CONTAMINATED iff its text exactly hash-matches
+    * ANY eval doc, or its shingle-Jaccard against SOME eval doc reaches
+    * the threshold. Output: one row per contaminated train doc with the
+    * max cross-split Jaccard and the exact-hit flag; anti-joining the
+    * train split against these doc_ids IS the decontaminated corpus.
+    *
+    * Scale shape: candidate generation is the CROSS-SPLIT inverted-index
+    * equi-join only (train shingles ⋈ eval shingles on the shingle key) —
+    * strictly cheaper than full near-dup: the dominant train×train
+    * quadrant is never enumerated, and the eval split is typically orders
+    * of magnitude smaller than train, so the join's build side is small.
+    * The hot-shingle df-cap + exact correction join and the
+    * threshold-before-second-size-join pushdown from
+    * [[ngramJaccardPairsFor]] apply unchanged; the exact-hash arm is one
+    * hash + a broadcast-able semi-join on the (tiny) eval hash set.
+    */
+  def decontaminationReportFor(docs: DataFrame, isEval: Column,
+                               threshold: Double = 0.5, dfCap: Int = 1000): DataFrame = {
+    val train = docs.filter(!isEval)
+    val eval_ = docs.filter(isEval)
+    val shT = docShingles(train).cache()
+    val shE = docShingles(eval_).cache()
+    // df (and so hotness) is a corpus-wide property: a template shingle is
+    // quadratic in the cross join whichever split its occurrences fall in
+    val hot = shT.unionByName(shE)
+      .groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > dfCap).select(col("shingle"))
+    val rareT = shT.join(broadcast(hot), Seq("shingle"), "left_anti")
+    val rareE = shE.join(broadcast(hot), Seq("shingle"), "left_anti")
+    val interRare = rareT.select(col("doc_id").as("train_id"), col("shingle"))
+      .join(rareE.select(col("doc_id").as("eval_id"), col("shingle")), Seq("shingle"))
+      .groupBy(col("train_id"), col("eval_id"))
+      .agg(count(lit(1)).as("inter_rare"))
+    val hotT = shT.join(broadcast(hot), Seq("shingle"), "left_semi")
+    val hotE = shE.join(broadcast(hot), Seq("shingle"), "left_semi")
+    val interHot = interRare.select(col("train_id"), col("eval_id"))
+      .join(hotT.select(col("doc_id").as("train_id"), col("shingle")), "train_id")
+      .join(hotE.select(col("doc_id").as("eval_id"), col("shingle")), Seq("eval_id", "shingle"))
+      .groupBy(col("train_id"), col("eval_id"))
+      .agg(count(lit(1)).as("inter_hot"))
+    val sizesT = shT.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+    val sizesE = shE.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+    val fuzzyPairs = interRare
+      .join(interHot, Seq("train_id", "eval_id"), "left")
+      .withColumn("inter", col("inter_rare") + coalesce(col("inter_hot"), lit(0L)))
+      .join(sizesT.withColumnRenamed("doc_id", "train_id").withColumnRenamed("n_shingles", "na"), "train_id")
+      .filter(col("inter").cast("double") >= col("na") * threshold)
+      .join(sizesE.withColumnRenamed("doc_id", "eval_id").withColumnRenamed("n_shingles", "nb"), "eval_id")
+      .filter(col("inter").cast("double") >= col("nb") * threshold)
+      .withColumn("jaccard", round(col("inter").cast("double") /
+        (col("na") + col("nb") - col("inter")).cast("double"), 4))
+      .filter(col("jaccard") >= threshold)
+    val fuzzy = fuzzyPairs.groupBy(col("train_id").as("doc_id"))
+      .agg(max(col("jaccard")).as("mj"))
+    // exact-hash arm catches what shingling can't see (docs shorter than
+    // the shingle width); identical text has Jaccard 1 by definition
+    val exactHits = train
+      .select(col("doc_id"), TF.contentHash(col("text")).as("h"))
+      .join(broadcast(eval_.select(TF.contentHash(col("text")).as("h")).distinct()),
+        Seq("h"), "left_semi")
+      .select(col("doc_id"), lit(true).as("eh"))
+    fuzzy.join(exactHits, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        coalesce(col("mj"), lit(1.0)).as("max_jaccard"),
+        coalesce(col("eh"), lit(false)).as("exact_hit"))
+  }
+
+  /** q59 over the documents fixture: eval split = doc_id % 10 == 0 (a 10%
+    * held-out slice), train = the rest. */
+  def decontaminationReport(spark: SparkSession, dir: String,
+                            threshold: Double = 0.5): DataFrame =
+    decontaminationReportFor(Tables.documents(spark, dir),
+      col("doc_id") % 10 === 0, threshold)
+
   /** D6 — MinHash signatures: per-doc element-wise min over the k hash
     * values of its shingles (map-side-combined scalar min aggregates; the
     * shuffle carries one k-long buffer per doc per partition).

@@ -60,4 +60,37 @@ object FedAvg {
       .groupBy(col("dim").cast("long").as("dim"))
       .agg(round(sum(col("w") * col("x").cast("double")) / sum(col("w")), 6).as("global_wmean"))
   }
+
+  /** q60 — ITERATED FedAvg (the reference loops 3 training rounds:
+    * /root/reference/src/federated_learning_pipeline.py:147-151): round t
+    * blends the weighted client average into the previous global model
+    * with server learning rate lr, from g₀ = 0:
+    *
+    *   g_t[dim] = lr·ḡ[dim] + (1−lr)·g_{t−1}[dim]
+    *
+    * where ḡ is [[globalRound]]'s 6dp-rounded weighted mean. Scale shape:
+    * the corpus is scanned ONCE (the cached ḡ aggregate); per-round state
+    * is the 64-row global vector — broadcast-sized by construction,
+    * exactly the server state a real FedAvg loop holds — so R rounds cost
+    * R tiny broadcast joins, not R corpus scans. The chain itself is NOT
+    * re-rounded per round: ḡ's 6dp rounding already pins the only
+    * order-dependent quantity (the parallel sum), and the recurrence is
+    * then identical IEEE double arithmetic in any engine — bit-exact for
+    * the DuckDB oracle, which replays it as R stacked CTEs. (Re-rounding
+    * each round would land 0.5·ḡ exactly on 7th-decimal half-boundaries,
+    * where Spark's shortest-decimal HALF_UP and DuckDB's binary rounding
+    * disagree.) Emits (fed_round, dim, global_wmean) for every round.
+    */
+  def iteratedGlobalRounds(spark: SparkSession, dir: String,
+                           rounds: Int = 3, lr: Double = 0.5): DataFrame = {
+    require(rounds >= 1, s"need rounds=$rounds >= 1")
+    val gbar = globalRound(spark, dir).withColumnRenamed("global_wmean", "gb").cache()
+    var g = gbar.select(col("dim"), lit(0.0).as("g"))
+    val perRound = (1 to rounds).map { t =>
+      g = gbar.join(g, "dim")
+        .select(col("dim"), (lit(lr) * col("gb") + lit(1.0 - lr) * col("g")).as("g"))
+      g.select(lit(t.toLong).as("fed_round"), col("dim"), col("g").as("global_wmean"))
+    }
+    perRound.reduce(_.unionByName(_))
+  }
 }

@@ -64,6 +64,23 @@ class AggregatorSpec extends AnyFunSuite {
     assert(weights.exceptAll(back).count() == 0)
   }
 
+  test("iterated FedAvg (q60): per-round chain matches the closed-form recurrence") {
+    val gbar = FedAvg.globalRound(spark, TestSpark.Sf0001)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val rounds = FedAvg.iteratedGlobalRounds(spark, TestSpark.Sf0001, rounds = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(rounds.size == 3 * gbar.size, "one row per (round, dim)")
+    // the chain is un-rounded IEEE arithmetic over the 6dp-rounded gbar,
+    // so replaying it here must be BIT-exact
+    gbar.foreach { case (d, gb) =>
+      var g = 0.0
+      (1 to 3).foreach { t =>
+        g = 0.5 * gb + 0.5 * g
+        assert(rounds((t.toLong, d)) == g, s"dim $d round $t: got ${rounds((t.toLong, d))}, want $g")
+      }
+    }
+  }
+
   test("clientMeans (q23 plan) executes and agrees with the flat SQL aggregation") {
     // associativity: client-then-dim explode equals the direct per-dim agg
     val viaAgg = FedAvg.clientMeansExploded(spark, TestSpark.Sf0001)

@@ -248,6 +248,25 @@ class DedupSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("decontamination flags planted cross-split overlap and ignores train-only dups") {
+    val tmpl = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"
+    val docs = Seq(
+      20L -> tmpl,                                  // eval
+      13L -> tmpl.replace("foxtrot", "zulu"),       // train near-dup of eval 20
+      30L -> "mike november oscar papa quebec romeo sierra tango uniform victor", // eval
+      7L  -> "mike november oscar papa quebec romeo sierra tango uniform victor", // train EXACT copy of eval 30
+      1L  -> "one two three four five six seven eight nine ten",
+      2L  -> "one two three four five six seven eight nine eleven", // train-train near-dup: NOT contamination
+      40L -> "whiskey xray yankee zebra apple banana cherry"        // unrelated eval
+    ).toDF("doc_id", "text")
+    val report = Dedup.decontaminationReportFor(docs, col("doc_id") % 10 === 0, threshold = 0.5)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getBoolean(2))).toMap
+    // one token swapped in 12: 7 of 10 shingles shared each side,
+    // J = 7/13 = 0.5385; the exact copy reports J = 1.0 with the hash flag
+    assert(report == Map(13L -> (0.5385, false), 7L -> (1.0, true)),
+      s"report must flag exactly the planted cross-split hits, got $report")
+  }
+
   test("connectedComponents: 200-vertex path graph converges (chain-shaped dup graphs)") {
     // the shape that breaks min-label propagation: a single path has O(n)
     // diameter, so propagation needs ~n rounds; the large-star/small-star

@@ -104,23 +104,36 @@ object TextAnalysis {
     * (quality, doc_id) — which both engines reproduce bit-exactly, unlike
     * interpolated percentiles whose `(1-f)a + fb` arithmetic differs in
     * the last ulp across engines. percentile_approx (the one-pass
-    * KLL-style sketch you'd actually run at 100 TB, where the exact form
-    * costs a per-group sort) rides along with a within-tolerance boolean.
-    * This is the operator that picks a corpus quality threshold ("keep the
-    * top decile") from the score distribution.
+    * KLL-style sketch) rides along with a within-tolerance boolean. This
+    * is the operator that picks a corpus quality threshold ("keep the top
+    * decile") from the score distribution.
+    *
+    * The exact side is DISTRIBUTED SELECTION, not a sort: the rank-r
+    * value under (quality, doc_id) depends only on the quality marginal —
+    * value(r) = min{v : #rows with quality ≤ v ≥ r}, doc_id ties can
+    * never change which VALUE sits at a rank — so it reads off a
+    * per-(lang, quality) histogram (one map-side-combined shuffle on the
+    * well-spread composite key) with a cumulative sum over the HISTOGRAM.
+    * The window's partition is bounded by the distinct rounded quality
+    * values per language (≤ 1e6 + 1 at 6dp), independent of corpus size;
+    * the earlier row_number form shuffled every corpus row into one task
+    * per language — ~5 tasks sorting ~20 TB each at the 100 TB target.
     */
   def qualityQuantiles(spark: SparkSession, dir: String,
                        ps: Seq[Double] = Seq(0.5, 0.9)): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val q = Tables.documents(spark, dir)
       .select(col("lang"), col("doc_id"), TF.qualityScore(col("text")).as("quality"))
-    val ranked = q
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("lang")).orderBy(col("quality"), col("doc_id"))))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("lang"))))
+    val hist = q.groupBy(col("lang"), col("quality")).agg(count(lit(1)).as("cnt"))
+    val cum = hist
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy(col("lang"))))
+      .withColumn("cum", sum(col("cnt")).over(
+        Window.partitionBy(col("lang")).orderBy(col("quality"))))
     val exact = ps.map { p =>
-      ranked.filter(col("rn") === ceil(col("n") * p))
-        .select(col("lang"), lit(p).as("p"), col("quality").as("value"))
+      cum.filter(col("cum") >= ceil(col("n") * p))
+        .groupBy(col("lang"))
+        .agg(min(col("quality")).as("value"))
+        .select(col("lang"), lit(p).as("p"), col("value"))
     }.reduce(_.unionByName(_))
     val approx = q.groupBy(col("lang"))
       .agg(percentile_approx(col("quality"),

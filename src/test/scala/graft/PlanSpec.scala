@@ -50,6 +50,28 @@ class PlanSpec extends AnyFunSuite {
       s"expected an equi-join on (user_id, bucket):\n$plan")
   }
 
+  test("q57 exact quantiles: selection over the histogram, never a per-language corpus sort") {
+    val plan = planOf(graft.operators.TextAnalysis.qualityQuantiles(spark, TestSpark.Sf0001))
+    assert(!plan.contains("row_number"),
+      s"no rank window over raw corpus rows (5-value lang key = per-language total sort):\n$plan")
+    // the cumulative window must consume the (lang, quality) HISTOGRAM —
+    // a hash aggregate keyed on both columns — whose per-lang partitions
+    // are bounded by distinct 6dp quality values, not corpus rows
+    val histAgg = "HashAggregate\\(keys=\\[lang#\\d+, quality#\\d+".r.findFirstIn(plan)
+    assert(histAgg.isDefined, s"expected a (lang, quality) histogram aggregate:\n$plan")
+  }
+
+  test("partitioned sink re-read: a client filter prunes partitions at the file index") {
+    val out = graft.sources.Sources.scratchDir(spark, "plan_partition_prune")
+    graft.pipeline.Preprocess.run(spark, TestSpark.Sf0001, out, nClients = 4)
+    val plan = planOf(spark.read.parquet(out)
+      .filter(org.apache.spark.sql.functions.col("client_id") === 1))
+    val pruned = "PartitionFilters: \\[[^\\]]*client_id".r.findFirstIn(plan)
+    assert(pruned.isDefined,
+      s"client_id filter must land in PartitionFilters (pruned at the file index, " +
+        s"before any bytes move), not in the row-level scan:\n$plan")
+  }
+
   test("IVF assignment is a single shuffle-free projection (no Exchange)") {
     val e = Tables.embeddings(spark, TestSpark.Sf0001)
       .select(org.apache.spark.sql.functions.col("vec_id"),

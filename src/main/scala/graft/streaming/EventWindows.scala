@@ -197,6 +197,20 @@ object EventWindows {
           } else {
             val closed = scala.collection.mutable.Buffer.empty[ClosedSession]
             var open = state.getOption
+            // late cross-batch events wholly BEFORE the open session's
+            // interval accumulate in an "earlier pending session": within
+            // one batch they merge with EACH OTHER under the ordinary gap
+            // rule (the rows are sorted, so batch session_window would
+            // merge them too), and the pending session emits when the
+            // chain breaks or the batch ends. Only a straggler arriving in
+            // a LATER batch that would have merged with an already-emitted
+            // pending session remains best-effort — the documented cost of
+            // bounded state.
+            var pending: Option[OpenSession] = None
+            def flushPending(): Unit = {
+              pending.foreach(p => closed += ClosedSession(uid, p.start_ms, p.n, p.total))
+              pending = None
+            }
             rows.toSeq.sortBy(_._2.getTime).foreach { case (_, tt, v) =>
               val t = tt.getTime
               open match {
@@ -212,14 +226,19 @@ object EventWindows {
                     last_ms = math.max(s.last_ms, t),
                     n = s.n + 1, total = s.total + v))
                 case Some(s) if t <= s.start_ms - gapMs =>
-                  // a late cross-batch event wholly BEFORE the open
-                  // session's interval: batch semantics put it in its own
-                  // earlier session, so emit it as one immediately rather
-                  // than folding it in and rewinding start_ms (which would
-                  // diverge from session_window). Best-effort: an even
-                  // later straggler that would have merged with THIS event
-                  // can no longer — the documented cost of bounded state
-                  closed += ClosedSession(uid, t, 1L, v)
+                  // wholly before the open session: fold into the pending
+                  // earlier session while within its gap (rows ascend, so
+                  // only the forward distance needs checking), else emit
+                  // the pending chain and start a new one. Never merged
+                  // into the open session — that would rewind start_ms and
+                  // diverge from session_window
+                  pending match {
+                    case Some(p) if t - p.last_ms < gapMs =>
+                      pending = Some(p.copy(last_ms = t, n = p.n + 1, total = p.total + v))
+                    case _ =>
+                      flushPending()
+                      pending = Some(OpenSession(t, t, 1L, v))
+                  }
                 case Some(s) =>
                   closed += ClosedSession(uid, s.start_ms, s.n, s.total)
                   open = Some(OpenSession(t, t, 1L, v))
@@ -227,6 +246,7 @@ object EventWindows {
                   open = Some(OpenSession(t, t, 1L, v))
               }
             }
+            flushPending()
             open.foreach { s =>
               state.update(s)
               state.setTimeoutTimestamp(s.last_ms + gapMs)

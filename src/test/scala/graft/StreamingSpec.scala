@@ -197,6 +197,70 @@ class StreamingSpec extends AnyFunSuite {
       s"live session must not rewind to the late event's start: $sessions")
   }
 
+  test("sessionizer: same-batch late events within the gap merge into ONE earlier session") {
+    import spark.implicits._
+    val (input, ev) = memoryEvents()
+    val q = EventWindows.customSessionizeWithEviction(ev, gapMs = Hour,
+        watermarkDelay = "48 hours")
+      .writeStream.format("memory").queryName("late_merged_session").outputMode("append").start()
+    try {
+      input.addData((1L, T0 + 10 * Hour, 1.0)) // open session at T0+10h
+      q.processAllAvailable()
+      // two late events 30 min apart, both wholly before the open session,
+      // in the SAME batch: batch session_window merges them — so must we
+      input.addData((1L, T0 + 5 * Hour, 2.0), (1L, T0 + 5 * Hour + 30 * 60000L, 3.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val sessions = spark.sql(
+      "SELECT user_id, session_start_ms, n_events, sum_value FROM late_merged_session")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(sessions.contains((1L, T0 + 5 * Hour, 2L, 5.0)),
+      s"same-batch mergeable late events must emit as one session, got $sessions")
+    assert(!sessions.exists(s => s._2 == T0 + 5 * Hour && s._3 == 1L),
+      s"late events must not emit as singletons when they merge in batch semantics: $sessions")
+  }
+
+  test("checkpoint recovery: stateful totals resume across a stop/restart and eviction still fires") {
+    // the property a production pipeline actually relies on: kill the
+    // query, restart from the durable checkpoint, and the per-key state
+    // (counts, totals, timeout clocks) continues as if never stopped.
+    // foreachBatch is the restart-capable sink (memory sinks aren't).
+    val (input, ev) = memoryEvents()
+    val ckpt = graft.sources.Sources.scratchDir(spark, "recovery_ckpt")
+    val got = java.util.concurrent.ConcurrentHashMap.newKeySet[(Long, Long, Double)]()
+    def start() = EventWindows.userTotalsWithEviction(ev, watermarkDelay = "1 hour",
+        ttlMs = 2 * Hour)
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.collect().foreach(r => got.add((r.getLong(0), r.getLong(1), r.getDouble(2)))): Unit
+      }
+      .option("checkpointLocation", ckpt)
+      .outputMode("update").start()
+    val q1 = start()
+    try {
+      input.addData((1L, T0, 1.0), (1L, T0 + 1000L, 2.0)) // user 1: n=2, total=3
+      q1.processAllAvailable()
+    } finally q1.stop()
+    assert(got.contains((1L, 2L, 3.0)), s"pre-restart totals missing: $got")
+    input.addData((1L, T0 + 2000L, 4.0)) // arrives while the query is DOWN
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      assert(got.contains((1L, 3L, 7.0)),
+        s"state must recover from the checkpoint (n=3, total=7 = continue, not restart): $got")
+      input.addData((2L, T0 + 10 * Hour, 1.0)) // advances watermark to T0+9h
+      q2.processAllAvailable()
+      input.addData((2L, T0 + 12 * Hour, 1.0)) // user 1 (timeout T0+2h2s) fires
+      q2.processAllAvailable()
+      input.addData((1L, T0 + 12 * Hour, 5.0)) // user 1 returns AFTER eviction
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(got.contains((1L, 1L, 5.0)),
+      s"recovered state must still evict on event-time timeout and re-initialize: $got")
+    assert(!got.contains((1L, 4L, 12.0)),
+      s"user 1 state resumed across eviction (n=4 seen): $got")
+  }
+
   test("streaming parquet sink: append-mode windows land as readable files") {
     // the real sink a pipeline runs (memory sinks are test scaffolding):
     // watermarked tumbling counts → parquet + checkpoint; append mode

@@ -224,8 +224,16 @@ object Relational {
         def reset(name: String): Unit = {
           spark.sql(s"DROP TABLE IF EXISTS $name")
           val wh = new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir"), name)
-          wh.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(wh, true)
-          graft.sources.Sources.registerForCleanup(wh.toUri.getPath)
+          val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          fs.delete(wh, true): Unit
+          // the shutdown reaper deletes via java.io.File, so only LOCAL
+          // warehouse dirs are registered — and as absolute paths, so the
+          // delete never depends on shutdown-time CWD. A remote warehouse
+          // (hdfs/s3a) is the cluster operator's lifecycle to manage; a
+          // java.io.File "delete" of its path would silently no-op anyway.
+          val qualified = fs.makeQualified(wh).toUri
+          if (qualified.getScheme == "file")
+            graft.sources.Sources.registerForCleanup(new java.io.File(qualified).getAbsolutePath)
         }
         reset(oName)
         reset(lName)

@@ -230,11 +230,50 @@ object Similarity {
     */
   def ivfCosineTopK(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5,
                     nLists: Int = 16, nProbe: Int = 4, trainIters: Int = 1): DataFrame = {
-    require(nLists > 0 && nProbe > 0 && nProbe <= nLists,
-      s"need 0 < nProbe=$nProbe <= nLists=$nLists")
+    require(nLists > 0, s"need nLists=$nLists > 0")
     require(trainIters >= 0, s"need trainIters=$trainIters >= 0")
     val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
     val cents = trainCentroids(e, nLists, trainIters)
+    ivfCosineTopKWith(spark, dir, cents, nQueries, k, nProbe)
+  }
+
+  /** Codebook persistence — train once, query many (the lifecycle a real
+    * vector store runs): the trained centroids land in a plain parquet
+    * table (list_id, centroid), columnar, engine-neutral, and versionable
+    * next to the corpus it quantizes. A query session [[loadCentroids]]
+    * and probes via [[ivfCosineTopKWith]] without re-paying the `iters`
+    * corpus scans of Lloyd's training — at 100 TB the difference between
+    * an ingest-time cost and a per-query cost.
+    */
+  def saveCentroids(spark: SparkSession, cents: Array[Array[Float]], path: String): Unit = {
+    import spark.implicits._
+    cents.zipWithIndex.toSeq.map { case (c, i) => (i.toLong, c.toSeq) }
+      .toDF("list_id", "centroid")
+      .coalesce(1) // a codebook is nLists×dim floats — one footer, not 32
+      .write.mode("overwrite").parquet(path)
+  }
+
+  def loadCentroids(spark: SparkSession, path: String): Array[Array[Float]] = {
+    val rows = spark.read.parquet(path).select(col("list_id"), col("centroid")).collect()
+    require(rows.nonEmpty, s"empty codebook at $path")
+    val cents = new Array[Array[Float]](rows.length)
+    rows.foreach { r =>
+      val i = r.getLong(0).toInt
+      require(i >= 0 && i < cents.length && cents(i) == null,
+        s"codebook at $path has gaps or duplicates in list_id")
+      cents(i) = r.getSeq[Float](1).toArray
+    }
+    cents
+  }
+
+  /** IVF probe against an externally supplied codebook (trained this
+    * session or [[loadCentroids]]-ed from a persisted one). */
+  def ivfCosineTopKWith(spark: SparkSession, dir: String, cents: Array[Array[Float]],
+                        nQueries: Int = 10, k: Int = 5, nProbe: Int = 4): DataFrame = {
+    val nLists = cents.length
+    require(nLists > 0 && nProbe > 0 && nProbe <= nLists,
+      s"need 0 < nProbe=$nProbe <= nLists=$nLists")
+    val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
     val assigned = ivfAssign(e, cents)
     val probes = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"),

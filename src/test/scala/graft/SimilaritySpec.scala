@@ -122,6 +122,25 @@ class SimilaritySpec extends AnyFunSuite {
     assert(err.getMessage.contains("nLists"))
   }
 
+  test("IVF codebook persists: save/load round-trips exactly and serves queries unretrained") {
+    val e = Tables.embeddings(spark, TestSpark.Sf0001)
+      .select(col("vec_id"), col("embedding"))
+    val cents = Similarity.trainCentroids(e, nLists = 16, iters = 1)
+    val path = graft.sources.Sources.scratchDir(spark, "ivf_codebook")
+    Similarity.saveCentroids(spark, cents, path)
+    val loaded = Similarity.loadCentroids(spark, path)
+    assert(loaded.length == cents.length
+      && loaded.zip(cents).forall { case (a, b) => a.sameElements(b) },
+      "centroids must round-trip bit-exactly (float parquet is lossless)")
+    // a query session holding only the persisted codebook must produce the
+    // same ranking as one that trained it (training is deterministic, so
+    // ivfCosineTopK's own codebook is the same one)
+    val viaLoaded = Similarity.ivfCosineTopKWith(spark, TestSpark.Sf0001, loaded)
+    val viaTrained = Similarity.ivfCosineTopK(spark, TestSpark.Sf0001)
+    assert(viaLoaded.exceptAll(viaTrained).count() == 0)
+    assert(viaTrained.exceptAll(viaLoaded).count() == 0)
+  }
+
   test("IVF partitions the corpus: every vector lands in exactly one list") {
     // k > corpus size forces every probed vector to surface, so a vector
     // assigned to 0 or 2 lists would show up as a missing/duplicate cand

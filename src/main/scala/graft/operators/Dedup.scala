@@ -264,6 +264,15 @@ object Dedup {
     decontaminationReportFor(Tables.documents(spark, dir),
       col("doc_id") % 10 === 0, threshold)
 
+  /** The decontaminated train corpus itself: the train split anti-joined
+    * against the contamination report — what a pipeline actually ships to
+    * training after the purge. */
+  def decontaminatedCorpusFor(docs: DataFrame, isEval: Column,
+                              threshold: Double = 0.5): DataFrame =
+    docs.filter(!isEval).join(
+      decontaminationReportFor(docs, isEval, threshold).select(col("doc_id")),
+      Seq("doc_id"), "left_anti")
+
   /** D6 — MinHash signatures: per-doc element-wise min over the k hash
     * values of its shingles (map-side-combined scalar min aggregates; the
     * shuffle carries one k-long buffer per doc per partition).

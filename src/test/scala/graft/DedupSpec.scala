@@ -265,6 +265,10 @@ class DedupSpec extends AnyFunSuite {
     // J = 7/13 = 0.5385; the exact copy reports J = 1.0 with the hash flag
     assert(report == Map(13L -> (0.5385, false), 7L -> (1.0, true)),
       s"report must flag exactly the planted cross-split hits, got $report")
+    // the decontaminated corpus = train minus the flagged docs, eval untouched
+    val kept = Dedup.decontaminatedCorpusFor(docs, col("doc_id") % 10 === 0)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L), s"purged corpus must keep the clean train docs only, got $kept")
   }
 
   test("connectedComponents: 200-vertex path graph converges (chain-shaped dup graphs)") {

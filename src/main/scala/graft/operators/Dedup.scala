@@ -642,13 +642,13 @@ object Dedup {
         least(col("src"), col("dst")).as("lo"))
       .distinct().localCheckpoint(true)
     // exact fixpoint test: both edge sets are distinct, localCheckpointed
-    // relations, so a count gate + one-direction containment decides set
-    // equality soundly — same cost class as the former (count, Σhi, Σlo)
-    // stats compare, without its theoretical stats-collision false positive
-    def sameEdges(prev: DataFrame, cur: DataFrame): Boolean =
-      prev.count() == cur.count() && cur.exceptAll(prev).isEmpty
+    // relations, so a count gate (previous round's count is remembered,
+    // not recomputed) + one-direction containment decides set equality
+    // soundly — same cost class as the former (count, Σhi, Σlo) stats
+    // compare, without its theoretical stats-collision false positive
     var e = e0
-    var converged = e0.isEmpty // no edges: every vertex is its own star
+    var eCount = e0.count()
+    var converged = eCount == 0L // no edges: every vertex is its own star
     var iter = 0
     while (!converged && iter < maxIter) {
       // large-star: attach each larger neighbor to the neighborhood min
@@ -667,8 +667,10 @@ object Dedup {
         .select(col("lo").as("hi"), col("m").as("lo"))
         .union(sMins.select(col("hi"), col("m").as("lo")))
         .distinct().localCheckpoint(true)
-      converged = sameEdges(e, ss)
+      val ssCount = ss.count()
+      converged = ssCount == eCount && ss.exceptAll(e).isEmpty
       e = ss
+      eCount = ssCount
       iter += 1
     }
     if (!converged)

@@ -72,6 +72,12 @@ class PlanSpec extends AnyFunSuite {
         s"before any bytes move), not in the row-level scan:\n$plan")
   }
 
+  test("q59 decontamination: candidate generation is a shingle equi-join, never a cross join") {
+    val plan = planOf(graft.operators.Dedup.decontaminationReport(spark, TestSpark.Sf0001))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"cross-split candidates must come from the inverted index:\n$plan")
+  }
+
   test("IVF assignment is a single shuffle-free projection (no Exchange)") {
     val e = Tables.embeddings(spark, TestSpark.Sf0001)
       .select(org.apache.spark.sql.functions.col("vec_id"),

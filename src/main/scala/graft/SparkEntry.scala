@@ -128,7 +128,12 @@ object SparkEntry {
         graft.Tables.embeddings(s, d).select(
           org.apache.spark.sql.functions.col("vec_id"),
           org.apache.spark.sql.functions.col("embedding")),
-        threshold = 0.4, nBlocks = 4))
+        threshold = 0.4, nBlocks = 4)),
+    // embedding-space decontamination (SemDeDup-style): train vectors too
+    // close to ANY eval vector — the paraphrase contamination text
+    // shingles can't see
+    "q62_embed_decontamination" -> ((s: SparkSession, d: String) =>
+      Dedup.embeddingDecontamination(s, d))
   )
 
   /** Shared CTE chain ending in `pairs` = the exact-Jaccard near-dup pairs
@@ -578,6 +583,20 @@ object SparkEntry {
          |UNION ALL SELECT CAST(2 AS BIGINT), dim, g FROM r2
          |UNION ALL SELECT CAST(3 AS BIGINT), dim, g FROM r3""".stripMargin,
     // identical contract to q20: the blocked path is exact by construction
-    "q61_embed_neardup_blocked" -> embedNearDupSql
+    "q61_embed_neardup_blocked" -> embedNearDupSql,
+    // cross-split cosine contamination: max cos per train vector over the
+    // eval split, at q20's loose threshold
+    "q62_embed_decontamination" ->
+      s"""WITH ex AS ($embedExplode),
+         |dots AS (SELECT t.vec_id AS train_id, e.vec_id AS eval_id, sum(t.x * e.x) AS dot
+         |         FROM ex t JOIN ex e ON t.dim = e.dim
+         |          AND t.vec_id % 10 <> 0 AND e.vec_id % 10 = 0
+         |         GROUP BY 1, 2),
+         |norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM ex GROUP BY vec_id),
+         |scored AS (SELECT train_id, round(dot / (nt.nrm * ne.nrm), 6) AS cos
+         |           FROM dots JOIN norms nt ON nt.vec_id = train_id
+         |                     JOIN norms ne ON ne.vec_id = eval_id)
+         |SELECT train_id AS vec_id, max(cos) AS max_cos
+         |FROM scored WHERE cos >= 0.4 GROUP BY train_id""".stripMargin
   )
 }

@@ -273,6 +273,39 @@ object Dedup {
       decontaminationReportFor(docs, isEval, threshold).select(col("doc_id")),
       Seq("doc_id"), "left_anti")
 
+  /** q62 — the EMBEDDING-space twin of [[decontaminationReportFor]]
+    * (SemDeDup-style): flag train vectors whose cosine against ANY eval
+    * vector reaches the threshold — paraphrase contamination that text
+    * shingles can't see. The eval split is small by construction (it's a
+    * benchmark), so the scale shape is a broadcast of the eval side with
+    * the threshold in the join condition: each train row streams through
+    * the scan once, only passing pairs materialize, and nothing shuffles.
+    * An eval side too large to broadcast would reuse the circulant grid of
+    * [[embeddingNearDupPairsBlockedFor]] restricted to train×eval cells.
+    */
+  def embeddingDecontaminationFor(e: DataFrame, isEval: Column,
+                                  threshold: Double): DataFrame = {
+    import graft.functions.VectorOps
+    val train = e.filter(!isEval)
+      .select(col("vec_id").as("train_id"), col("embedding").as("tv"))
+    val eval_ = e.filter(isEval)
+      .select(col("vec_id").as("eval_id"), col("embedding").as("ev"))
+    train.join(broadcast(eval_),
+        round(VectorOps.cosineFast(col("tv"), col("ev")), 6) >= threshold)
+      .select(col("train_id"),
+        round(VectorOps.cosineFast(col("tv"), col("ev")), 6).as("cos"))
+      .groupBy(col("train_id").as("vec_id"))
+      .agg(max(col("cos")).as("max_cos"))
+  }
+
+  /** q62 over the embeddings fixture: eval = vec_id % 10 == 0, threshold
+    * matching q20's loose default. */
+  def embeddingDecontamination(spark: SparkSession, dir: String,
+                               threshold: Double = 0.4): DataFrame =
+    embeddingDecontaminationFor(
+      Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")),
+      col("vec_id") % 10 === 0, threshold)
+
   /** D6 — MinHash signatures: per-doc element-wise min over the k hash
     * values of its shingles (map-side-combined scalar min aggregates; the
     * shuffle carries one k-long buffer per doc per partition).

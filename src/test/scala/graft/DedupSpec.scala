@@ -271,6 +271,21 @@ class DedupSpec extends AnyFunSuite {
     assert(kept == Set(1L, 2L), s"purged corpus must keep the clean train docs only, got $kept")
   }
 
+  test("embedding decontamination equals the exact pair set restricted to cross-split pairs") {
+    val isEval = col("vec_id") >= 1000L // the planted dups play the eval split
+    val report = Dedup.embeddingDecontaminationFor(plantedVecs, isEval, threshold = 0.7)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // ground truth from the all-pairs exact path: keep only cross-split
+    // pairs, take max cos per train vector
+    val wanted = Dedup.embeddingNearDupPairsExactFor(plantedVecs, 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter { case (a, b, _) => (a >= 1000L) != (b >= 1000L) }
+      .groupBy { case (a, b, _) => if (a >= 1000L) b else a }
+      .map { case (id, ps) => id -> ps.map(_._3).max }
+    assert(report == wanted, s"got $report, want $wanted")
+    assert(report.size == 20, "every planted base vector is contaminated by its eval copy")
+  }
+
   test("connectedComponents: 200-vertex path graph converges (chain-shaped dup graphs)") {
     // the shape that breaks min-label propagation: a single path has O(n)
     // diameter, so propagation needs ~n rounds; the large-star/small-star

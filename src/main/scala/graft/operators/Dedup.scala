@@ -155,30 +155,44 @@ object Dedup {
     val sh = docShingles(docs).cache()
     val hot = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
       .filter(col("df") > dfCap).select(col("shingle"))
-    val rare = sh.join(broadcast(hot), Seq("shingle"), "left_anti")
-    val interRare = rare.select(col("doc_id").as("doc_a"), col("shingle"))
-      .join(rare.select(col("doc_id").as("doc_b"), col("shingle")), Seq("shingle"))
-      .filter(col("doc_a") < col("doc_b"))
+    jaccardPairsAcross(sh, sh, hot, col("doc_a") < col("doc_b"), threshold)
+  }
+
+  /** The shared exact-Jaccard core over two shingle relations: inverted-
+    * index equi-join of the rare (df ≤ cap) shingles with `pairFilter`
+    * pruning the candidate space (a < b for the self-join; cross-split
+    * sides need no filter), the EXACT hot-shingle correction join, and the
+    * "J ≥ t ⟹ inter ≥ t·n" pushdown right after the FIRST size join —
+    * the dominant inter=1 mass (1.13M candidate pairs at sf0.1) collapses
+    * to the few hundred that can clear the threshold before the second
+    * size join runs. `hot` is caller-supplied because hotness is a
+    * property of the caller's corpus (whole corpus for the self-join,
+    * train ∪ eval for decontamination), not of either side alone.
+    */
+  private def jaccardPairsAcross(shA: DataFrame, shB: DataFrame, hot: DataFrame,
+                                 pairFilter: Column, threshold: Double): DataFrame = {
+    val rareA = shA.join(broadcast(hot), Seq("shingle"), "left_anti")
+    val rareB = shB.join(broadcast(hot), Seq("shingle"), "left_anti")
+    val interRare = rareA.select(col("doc_id").as("doc_a"), col("shingle"))
+      .join(rareB.select(col("doc_id").as("doc_b"), col("shingle")), Seq("shingle"))
+      .filter(pairFilter)
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("inter_rare"))
-    val hotSh = sh.join(broadcast(hot), Seq("shingle"), "left_semi")
+    val hotA = shA.join(broadcast(hot), Seq("shingle"), "left_semi")
+    val hotB = shB.join(broadcast(hot), Seq("shingle"), "left_semi")
     val interHot = interRare.select(col("doc_a"), col("doc_b"))
-      .join(hotSh.select(col("doc_id").as("doc_a"), col("shingle")), "doc_a")
-      .join(hotSh.select(col("doc_id").as("doc_b"), col("shingle")), Seq("doc_b", "shingle"))
+      .join(hotA.select(col("doc_id").as("doc_a"), col("shingle")), "doc_a")
+      .join(hotB.select(col("doc_id").as("doc_b"), col("shingle")), Seq("doc_b", "shingle"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("inter_hot"))
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
-    // J ≥ t ⟹ inter ≥ t·na (and ≥ t·nb, since |A∩B| ≤ |B| bounds the
-    // union below by |A|): filtering right after the first size join
-    // discards the dominant inter=1 mass — 1.13M candidate pairs at sf0.1
-    // collapse to the few hundred that can possibly clear the threshold —
-    // before the second join runs
+    val sizesA = shA.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+    val sizesB = shB.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
     interRare
       .join(interHot, Seq("doc_a", "doc_b"), "left")
       .withColumn("inter", col("inter_rare") + coalesce(col("inter_hot"), lit(0L)))
-      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_shingles", "na"), "doc_a")
+      .join(sizesA.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_shingles", "na"), "doc_a")
       .filter(col("inter").cast("double") >= col("na") * threshold)
-      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_shingles", "nb"), "doc_b")
+      .join(sizesB.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_shingles", "nb"), "doc_b")
       .filter(col("inter").cast("double") >= col("nb") * threshold)
       .withColumn("jaccard", round(col("inter").cast("double") /
         (col("na") + col("nb") - col("inter")).cast("double"), 4))
@@ -210,6 +224,8 @@ object Dedup {
                                threshold: Double = 0.5, dfCap: Int = 1000): DataFrame = {
     val train = docs.filter(!isEval)
     val eval_ = docs.filter(isEval)
+    // cached like ngramJaccardPairsFor's shingle leaf (multi-branch plan);
+    // at 100 TB this is where you checkpoint the shingle index to a sink
     val shT = docShingles(train).cache()
     val shE = docShingles(eval_).cache()
     // df (and so hotness) is a corpus-wide property: a template shingle is
@@ -217,32 +233,10 @@ object Dedup {
     val hot = shT.unionByName(shE)
       .groupBy(col("shingle")).agg(count(lit(1)).as("df"))
       .filter(col("df") > dfCap).select(col("shingle"))
-    val rareT = shT.join(broadcast(hot), Seq("shingle"), "left_anti")
-    val rareE = shE.join(broadcast(hot), Seq("shingle"), "left_anti")
-    val interRare = rareT.select(col("doc_id").as("train_id"), col("shingle"))
-      .join(rareE.select(col("doc_id").as("eval_id"), col("shingle")), Seq("shingle"))
-      .groupBy(col("train_id"), col("eval_id"))
-      .agg(count(lit(1)).as("inter_rare"))
-    val hotT = shT.join(broadcast(hot), Seq("shingle"), "left_semi")
-    val hotE = shE.join(broadcast(hot), Seq("shingle"), "left_semi")
-    val interHot = interRare.select(col("train_id"), col("eval_id"))
-      .join(hotT.select(col("doc_id").as("train_id"), col("shingle")), "train_id")
-      .join(hotE.select(col("doc_id").as("eval_id"), col("shingle")), Seq("eval_id", "shingle"))
-      .groupBy(col("train_id"), col("eval_id"))
-      .agg(count(lit(1)).as("inter_hot"))
-    val sizesT = shT.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
-    val sizesE = shE.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
-    val fuzzyPairs = interRare
-      .join(interHot, Seq("train_id", "eval_id"), "left")
-      .withColumn("inter", col("inter_rare") + coalesce(col("inter_hot"), lit(0L)))
-      .join(sizesT.withColumnRenamed("doc_id", "train_id").withColumnRenamed("n_shingles", "na"), "train_id")
-      .filter(col("inter").cast("double") >= col("na") * threshold)
-      .join(sizesE.withColumnRenamed("doc_id", "eval_id").withColumnRenamed("n_shingles", "nb"), "eval_id")
-      .filter(col("inter").cast("double") >= col("nb") * threshold)
-      .withColumn("jaccard", round(col("inter").cast("double") /
-        (col("na") + col("nb") - col("inter")).cast("double"), 4))
-      .filter(col("jaccard") >= threshold)
-    val fuzzy = fuzzyPairs.groupBy(col("train_id").as("doc_id"))
+    // the shared Jaccard core with train on the a side, eval on the b
+    // side, and no pair filter (the sides are disjoint by construction)
+    val fuzzy = jaccardPairsAcross(shT, shE, hot, lit(true), threshold)
+      .groupBy(col("doc_a").as("doc_id"))
       .agg(max(col("jaccard")).as("mj"))
     // exact-hash arm catches what shingling can't see (docs shorter than
     // the shingle width); identical text has Jaccard 1 by definition

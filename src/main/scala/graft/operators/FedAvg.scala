@@ -84,7 +84,11 @@ object FedAvg {
   def iteratedGlobalRounds(spark: SparkSession, dir: String,
                            rounds: Int = 3, lr: Double = 0.5): DataFrame = {
     require(rounds >= 1, s"need rounds=$rounds >= 1")
-    val gbar = globalRound(spark, dir).withColumnRenamed("global_wmean", "gb").cache()
+    // localCheckpoint, not cache: the 64-row aggregate is materialized once
+    // and its blocks are ContextCleaner-reclaimed when unreferenced — a
+    // catalog cache entry would outlive the call in a long-lived session
+    val gbar = globalRound(spark, dir).withColumnRenamed("global_wmean", "gb")
+      .localCheckpoint(true)
     var g = gbar.select(col("dim"), lit(0.0).as("g"))
     val perRound = (1 to rounds).map { t =>
       g = gbar.join(g, "dim")

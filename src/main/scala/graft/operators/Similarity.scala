@@ -230,7 +230,10 @@ object Similarity {
     */
   def ivfCosineTopK(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5,
                     nLists: Int = 16, nProbe: Int = 4, trainIters: Int = 1): DataFrame = {
-    require(nLists > 0, s"need nLists=$nLists > 0")
+    // validate BEFORE training: an argument error decidable from two ints
+    // must never cost `trainIters` corpus scans first
+    require(nLists > 0 && nProbe > 0 && nProbe <= nLists,
+      s"need 0 < nProbe=$nProbe <= nLists=$nLists")
     require(trainIters >= 0, s"need trainIters=$trainIters >= 0")
     val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
     val cents = trainCentroids(e, nLists, trainIters)

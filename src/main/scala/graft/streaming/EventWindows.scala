@@ -222,9 +222,21 @@ object EventWindows {
                   // them past what the overlap allows (shrinking last_ms
                   // would pull the event-time timeout earlier and
                   // prematurely evict a live session)
-                  open = Some(s.copy(start_ms = math.min(s.start_ms, t),
+                  var merged = s.copy(start_ms = math.min(s.start_ms, t),
                     last_ms = math.max(s.last_ms, t),
-                    n = s.n + 1, total = s.total + v))
+                    n = s.n + 1, total = s.total + v)
+                  // a rewound start can bring the pending earlier session
+                  // within gap reach: batch session_window would then
+                  // merge the whole chain, so fold pending in instead of
+                  // letting it flush as a spuriously separate session
+                  pending match {
+                    case Some(p) if merged.start_ms - p.last_ms < gapMs =>
+                      merged = merged.copy(start_ms = math.min(p.start_ms, merged.start_ms),
+                        n = merged.n + p.n, total = merged.total + p.total)
+                      pending = None
+                    case _ => ()
+                  }
+                  open = Some(merged)
                 case Some(s) if t <= s.start_ms - gapMs =>
                   // wholly before the open session: fold into the pending
                   // earlier session while within its gap (rows ascend, so

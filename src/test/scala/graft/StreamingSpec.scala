@@ -220,6 +220,37 @@ class StreamingSpec extends AnyFunSuite {
       s"late events must not emit as singletons when they merge in batch semantics: $sessions")
   }
 
+  test("sessionizer: a late chain that bridges into the open session merges completely") {
+    import spark.implicits._
+    val (input, ev) = memoryEvents()
+    val q = EventWindows.customSessionizeWithEviction(ev, gapMs = Hour,
+        watermarkDelay = "48 hours")
+      .writeStream.format("memory").queryName("late_bridged_session").outputMode("append").start()
+    try {
+      input.addData((1L, T0 + 10 * Hour, 1.0)) // open session at T0+10h
+      q.processAllAvailable()
+      // same batch: 8:30 is wholly before the open interval (pending), but
+      // 9:15 merges into the open session and REWINDS its start to 9:15 —
+      // bringing 8:30 within gap reach. Batch session_window merges all
+      // three into one session; the pending chain must fold in, not flush
+      // as a separate singleton.
+      input.addData((1L, T0 + 8 * Hour + 30 * 60000L, 2.0),
+        (1L, T0 + 9 * Hour + 15 * 60000L, 3.0))
+      q.processAllAvailable()
+      input.addData((2L, T0 + 60 * Hour, 1.0)) // watermark → T0+12h
+      q.processAllAvailable()
+      input.addData((2L, T0 + 61 * Hour, 1.0)) // user 1 timeout fires
+      q.processAllAvailable()
+    } finally q.stop()
+    val sessions = spark.sql(
+      "SELECT user_id, session_start_ms, n_events, sum_value FROM late_bridged_session")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(sessions.contains((1L, T0 + 8 * Hour + 30 * 60000L, 3L, 6.0)),
+      s"bridged chain must merge into one [8:30, 10:00] session, got $sessions")
+    assert(!sessions.exists(s => s._1 == 1L && s._3 < 3L),
+      s"no fragment of the bridged chain may emit separately: $sessions")
+  }
+
   test("checkpoint recovery: stateful totals resume across a stop/restart and eviction still fires") {
     // the property a production pipeline actually relies on: kill the
     // query, restart from the durable checkpoint, and the per-key state

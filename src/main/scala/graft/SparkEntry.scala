@@ -133,7 +133,11 @@ object SparkEntry {
     // close to ANY eval vector — the paraphrase contamination text
     // shingles can't see
     "q62_embed_decontamination" -> ((s: SparkSession, d: String) =>
-      Dedup.embeddingDecontamination(s, d))
+      Dedup.embeddingDecontamination(s, d)),
+    // winnowed (rolling-hash) fingerprint overlap — the MOSS-style scan;
+    // engine-specific hashes → spec-gated like q19/q22/q43, no oracle
+    "q63_winnowing_pairs" -> ((s: SparkSession, d: String) =>
+      Dedup.winnowingPairs(s, d))
   )
 
   /** Shared CTE chain ending in `pairs` = the exact-Jaccard near-dup pairs
@@ -205,11 +209,13 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted (→ driver rows-only check):
-    * q19_simhash and q22_ann_topk are keyed on Spark's xxhash64, and
-    * q43_ivf_topk is approximate by construction — none reproducible in
-    * DuckDB; each is covered by a ScalaTest spec instead (DedupSpec planted
-    * near-dup recall; SimilaritySpec recall-vs-exact-topk for both ANN
-    * variants plus IVF partition-exactness).
+    * q19_simhash and q22_ann_topk are keyed on Spark's xxhash64,
+    * q43_ivf_topk is approximate by construction, and
+    * q63_winnowing_pairs is keyed on the engine's rolling polynomial
+    * hash — none reproducible in DuckDB; each is covered by a ScalaTest
+    * spec instead (DedupSpec planted near-dup recall + winnowing
+    * detection/density pins; SimilaritySpec recall-vs-exact-topk for both
+    * ANN variants plus IVF partition-exactness).
     */
   def oracleSql: Map[String, String] = oracleSqlFor("/root/testdata/sf0.01")
 

@@ -300,6 +300,97 @@ object Dedup {
       Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")),
       col("vec_id") % 10 === 0, threshold)
 
+  /** Winnowed fingerprint set of one document (Schleimer/Wilkerson/Aiken,
+    * "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD'03
+    * — the MOSS fingerprint): a rolling polynomial hash over character
+    * k-grams, then the minimum hash of every window of w consecutive
+    * k-gram hashes, rightmost minimum on ties (the canonical rule, §4 of
+    * the paper; implemented with the O(n) sliding-minimum recurrence —
+    * a still-valid minimum index survives the window shift, so only the
+    * entering element is compared). Guarantee: any shared substring of
+    * length ≥ k + w − 1 characters yields ≥ 1 shared fingerprint;
+    * expected density is 2/(w+1) of the k-gram count, so the fingerprint
+    * index is ~(w+1)/2× smaller than a full shingle index at the same
+    * detection floor.
+    */
+  def winnow(text: String, k: Int = 8, w: Int = 4): Array[Long] = {
+    require(k >= 2 && w >= 1, s"need k=$k >= 2 and w=$w >= 1")
+    val n = text.length - k + 1
+    if (n <= 0) return Array.empty
+    val B = 1000003L
+    var bk = 1L // B^(k-1), wrapping 64-bit arithmetic (deterministic)
+    var i = 1
+    while (i < k) { bk *= B; i += 1 }
+    val hs = new Array[Long](n)
+    var h = 0L
+    i = 0
+    while (i < k) { h = h * B + text.charAt(i); i += 1 }
+    hs(0) = h
+    i = 1
+    while (i < n) {
+      h = (h - text.charAt(i - 1) * bk) * B + text.charAt(i + k - 1)
+      hs(i) = h
+      i += 1
+    }
+    val out = scala.collection.mutable.LinkedHashSet.empty[Long]
+    if (n <= w) { out += hs.min }
+    else {
+      var j = 0
+      var minIdx = -1
+      while (j + w <= n) {
+        if (minIdx < j) {
+          minIdx = j
+          var m = j + 1
+          while (m < j + w) { if (hs(m) <= hs(minIdx)) minIdx = m; m += 1 }
+          out += hs(minIdx)
+        } else {
+          val entering = j + w - 1
+          if (hs(entering) <= hs(minIdx)) { minIdx = entering; out += hs(entering) }
+        }
+        j += 1
+      }
+    }
+    out.toArray
+  }
+
+  /** Distinct (doc_id, fingerprint) pairs — the winnowed analog of
+    * [[docShingles]]. Pure per-row compute, zero shuffle. */
+  def winnowingFingerprints(docs: DataFrame, k: Int = 8, w: Int = 4): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) => winnow(text, k, w).map(fp => (id, fp)) }
+      .toDF("doc_id", "fp")
+  }
+
+  /** MOSS-style fingerprint-Jaccard pairs: near-dup candidates scored by
+    * exact Jaccard over the WINNOWED fingerprint sets — the same
+    * inverted-index → hot-correction → threshold-pushdown core as the
+    * shingle pipeline ([[jaccardPairsAcross]]), but run over the
+    * 2/(w+1)-density fingerprint sample instead of the full shingle
+    * table, so index and join are ~(w+1)/2× smaller at the same
+    * detection floor (any shared run ≥ k+w−1 chars fingerprints). A raw
+    * shared-count contract is useless on a common-vocabulary corpus —
+    * every doc pair shares boilerplate k-grams — which is why the score
+    * is Jaccard over fingerprint sets, thresholded like the shingle
+    * form. Engine-specific rolling hashes → no DuckDB oracle; the
+    * planted spec pins detection, exact-copy containment, the density
+    * band, and the sliding-min recurrence (q63).
+    */
+  def winnowingPairsFor(docs: DataFrame, k: Int = 8, w: Int = 4,
+                        threshold: Double = 0.5, dfCap: Int = 1000): DataFrame = {
+    val sh = winnowingFingerprints(docs, k, w)
+      .withColumnRenamed("fp", "shingle").cache()
+    val hot = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > dfCap).select(col("shingle"))
+    jaccardPairsAcross(sh, sh, hot, col("doc_a") < col("doc_b"), threshold)
+      .withColumnRenamed("jaccard", "fp_jaccard")
+  }
+
+  def winnowingPairs(spark: SparkSession, dir: String,
+                     threshold: Double = 0.5): DataFrame =
+    winnowingPairsFor(Tables.documents(spark, dir), threshold = threshold)
+
   /** D6 — MinHash signatures: per-doc element-wise min over the k hash
     * values of its shingles (map-side-combined scalar min aggregates; the
     * shuffle carries one k-long buffer per doc per partition).

@@ -248,6 +248,50 @@ class DedupSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("winnowing: detection guarantee, exact-copy containment, density band, sliding-min correctness") {
+    // the O(n) sliding-minimum recurrence must equal the brute-force
+    // "min of every window" definition (rightmost tie-break irrelevant to
+    // the fingerprint SET)
+    val rnd = new scala.util.Random(11)
+    (0 until 20).foreach { _ =>
+      val s = (0 until (12 + rnd.nextInt(60))).map(_ => ('a' + rnd.nextInt(4)).toChar).mkString
+      val k = 4; val w = 3
+      val n = s.length - k + 1
+      val hs = (0 until n).map(i => Dedup.winnow(s.substring(i, i + k), k, 1).head)
+      val brute = (0 to n - w).map(j => (j until j + w).map(hs).min).toSet
+      assert(Dedup.winnow(s, k, w).toSet == brute, s"sliding-min diverges on '$s'")
+    }
+    // planted corpus: every near-dup/exact-copy pair shares nearly all
+    // fingerprints (one swapped token perturbs a ~45-char window of a
+    // ~360-char doc) → fp-Jaccard well above 0.5; random-vocab pairs
+    // share only boilerplate k-grams → far below. Found pairs must be
+    // exactly within the planted families (a ≡ b mod 1000).
+    val pairs = Dedup.winnowingPairsFor(planted)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    (0L until 40L).foreach { i =>
+      assert(pairs.contains((i, i + 1000L)), s"near-dup pair ($i, ${i + 1000L}) undetected")
+    }
+    (0L until 10L).foreach { i =>
+      assert(pairs.get((i, i + 2000L)).contains(1.0),
+        s"exact-copy pair ($i, ${i + 2000L}) must score fp-Jaccard 1.0")
+    }
+    assert(pairs.keys.forall { case (a, b) => a % 1000L == b % 1000L },
+      s"spurious cross-family pair: ${pairs.keys.filter { case (a, b) => a % 1000L != b % 1000L }}")
+    // an exact copy shares EVERY fingerprint of its original
+    val fps = Dedup.winnowingFingerprints(planted)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+      .groupBy(_._1).map { case (id, xs) => id -> xs.map(_._2).toSet }
+    (0L until 10L).foreach { i =>
+      assert(fps(i) == fps(i + 2000L), s"exact copy ${i + 2000L} must fingerprint identically")
+    }
+    // density: expected 2/(w+1) = 0.4 of the k-gram count at w=4; pin a
+    // generous band so a broken window (w=1 → 1.0, w→n → ~0) fails loudly
+    val doc0 = planted.filter(col("doc_id") === 0L).select("text").as[String].head()
+    val kgrams = doc0.length - 8 + 1
+    val density = fps(0L).size.toDouble / kgrams
+    assert(density > 0.2 && density < 0.6, s"winnowing density $density outside [0.2, 0.6]")
+  }
+
   test("decontamination flags planted cross-split overlap and ignores train-only dups") {
     val tmpl = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"
     val docs = Seq(

@@ -313,7 +313,7 @@ object Dedup {
     * index is ~(w+1)/2× smaller than a full shingle index at the same
     * detection floor.
     */
-  def winnow(text: String, k: Int = 8, w: Int = 4): Array[Long] = {
+  def winnow(text: String, k: Int = 16, w: Int = 8): Array[Long] = {
     require(k >= 2 && w >= 1, s"need k=$k >= 2 and w=$w >= 1")
     val n = text.length - k + 1
     if (n <= 0) return Array.empty
@@ -355,7 +355,7 @@ object Dedup {
 
   /** Distinct (doc_id, fingerprint) pairs — the winnowed analog of
     * [[docShingles]]. Pure per-row compute, zero shuffle. */
-  def winnowingFingerprints(docs: DataFrame, k: Int = 8, w: Int = 4): DataFrame = {
+  def winnowingFingerprints(docs: DataFrame, k: Int = 16, w: Int = 8): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.select(col("doc_id"), col("text")).as[(Long, String)]
@@ -377,7 +377,7 @@ object Dedup {
     * planted spec pins detection, exact-copy containment, the density
     * band, and the sliding-min recurrence (q63).
     */
-  def winnowingPairsFor(docs: DataFrame, k: Int = 8, w: Int = 4,
+  def winnowingPairsFor(docs: DataFrame, k: Int = 16, w: Int = 8,
                         threshold: Double = 0.5, dfCap: Int = 1000): DataFrame = {
     val sh = winnowingFingerprints(docs, k, w)
       .withColumnRenamed("fp", "shingle").cache()

@@ -262,8 +262,9 @@ class DedupSpec extends AnyFunSuite {
       assert(Dedup.winnow(s, k, w).toSet == brute, s"sliding-min diverges on '$s'")
     }
     // planted corpus: every near-dup/exact-copy pair shares nearly all
-    // fingerprints (one swapped token perturbs a ~45-char window of a
-    // ~360-char doc) → fp-Jaccard well above 0.5; random-vocab pairs
+    // fingerprints (one swapped token perturbs a ~(k+w)·2-char region of
+    // a ~360-char doc, and both intact halves dwarf the k+w-1 = 23-char
+    // detection floor) → fp-Jaccard well above 0.5; random-vocab pairs
     // share only boilerplate k-grams → far below. Found pairs must be
     // exactly within the planted families (a ≡ b mod 1000).
     val pairs = Dedup.winnowingPairsFor(planted)
@@ -284,12 +285,13 @@ class DedupSpec extends AnyFunSuite {
     (0L until 10L).foreach { i =>
       assert(fps(i) == fps(i + 2000L), s"exact copy ${i + 2000L} must fingerprint identically")
     }
-    // density: expected 2/(w+1) = 0.4 of the k-gram count at w=4; pin a
-    // generous band so a broken window (w=1 → 1.0, w→n → ~0) fails loudly
+    // density: expected 2/(w+1) = 2/9 ≈ 0.22 of the k-gram count at the
+    // default w=8; pin a generous band so a broken window (w=1 → 1.0,
+    // w→n → ~0) fails loudly
     val doc0 = planted.filter(col("doc_id") === 0L).select("text").as[String].head()
-    val kgrams = doc0.length - 8 + 1
+    val kgrams = doc0.length - 16 + 1
     val density = fps(0L).size.toDouble / kgrams
-    assert(density > 0.2 && density < 0.6, s"winnowing density $density outside [0.2, 0.6]")
+    assert(density > 0.1 && density < 0.4, s"winnowing density $density outside [0.1, 0.4]")
   }
 
   test("decontamination flags planted cross-split overlap and ignores train-only dups") {

@@ -248,6 +248,43 @@ class DedupSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("Jaccard core equals driver-side brute force on random dense-overlap corpora") {
+    // guards the shared jaccardPairsAcross core (q17/q18/q52/q55/q59/q63
+    // all route through it): a tiny vocabulary forces heavy shingle
+    // sharing, exercising the hot/rare split, correction join, and
+    // pushdown filters against a plain Scala mirror — including the
+    // post-rounding threshold semantics
+    val rnd = new scala.util.Random(5)
+    def rnd4(x: Double) =
+      BigDecimal.decimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    (0 until 3).foreach { trial =>
+      val vocab = Vector.fill(12)((0 until 4).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString)
+      val docs = (0L until 25L).map(i =>
+        i -> (0 until (5 + rnd.nextInt(20))).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      val got = Dedup.ngramJaccardPairsFor(docs.toDF("doc_id", "text"),
+          threshold = 0.3, dfCap = 7) // low cap so the correction join has real work
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      def shingles(t: String) = {
+        val toks = t.split(" ", -1)
+        if (toks.length < 3) Set.empty[String] else toks.sliding(3).map(_.mkString(" ")).toSet
+      }
+      val sets = docs.map { case (i, t) => i -> shingles(t) }.toMap
+      val hotSh = sets.values.flatten.groupBy(identity)
+        .collect { case (s, os) if os.size > 7 => s }.toSet
+      val want = (for {
+        a <- docs.map(_._1); b <- docs.map(_._1) if a < b
+        sa = sets(a); sb = sets(b)
+        if ((sa & sb) -- hotSh).nonEmpty // candidacy needs >=1 non-hot shared shingle
+        inter = (sa & sb).size // Jaccard itself counts hot shingles too
+        if inter >= 0.3 * sa.size && inter >= 0.3 * sb.size
+        j = rnd4(inter.toDouble / (sa.size + sb.size - inter)) if j >= 0.3
+      } yield (a, b) -> j).toMap
+      assert(got == want, s"trial $trial: only-got=${got.keySet -- want.keySet}, " +
+        s"only-want=${want.keySet -- got.keySet}, " +
+        s"value-diffs=${want.keySet.intersect(got.keySet).filter(k => got(k) != want(k))}")
+    }
+  }
+
   test("winnowing: detection guarantee, exact-copy containment, density band, sliding-min correctness") {
     // the O(n) sliding-minimum recurrence must equal the brute-force
     // "min of every window" definition (rightmost tie-break irrelevant to

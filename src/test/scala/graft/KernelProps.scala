@@ -68,6 +68,26 @@ object KernelProps extends Properties("graft.kernels") {
       ImageOps.resize(img, w, h).px.forall(_ == v)
     }
 
+  private val fragGen: Gen[String] =
+    Gen.choose(30, 120).flatMap(n => Gen.stringOfN(n, Gen.alphaChar))
+
+  property("winnow: a shared run of k+w-1 chars guarantees a shared fingerprint") =
+    Prop.forAll(fragGen, fragGen, fragGen, fragGen,
+      Gen.stringOfN(16 + 8 - 1, Gen.alphaChar)) { (a, b, c, d, shared) =>
+      // SIGMOD'03 detection guarantee: the shared run holds w consecutive
+      // identical k-gram hashes — one full window — whose minimum both
+      // documents must select, wherever the run sits
+      val f1 = graft.operators.Dedup.winnow(a + shared + b).toSet
+      val f2 = graft.operators.Dedup.winnow(c + shared + d).toSet
+      (f1 & f2).nonEmpty
+    }
+
+  property("winnow: deterministic, and empty below one k-gram") =
+    Prop.forAll(fragGen) { s =>
+      graft.operators.Dedup.winnow(s).sameElements(graft.operators.Dedup.winnow(s)) &&
+        graft.operators.Dedup.winnow(s.take(15)).isEmpty
+    }
+
   property("flattenName never contains '/' after the prefix") =
     Prop.forAll(Gen.listOf(Gen.alphaNumStr), Gen.alphaNumStr) { (segs, prefix) =>
       val path = segs.mkString("/")

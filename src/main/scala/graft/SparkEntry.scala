@@ -137,7 +137,13 @@ object SparkEntry {
     // winnowed (rolling-hash) fingerprint overlap — the MOSS-style scan;
     // engine-specific hashes → spec-gated like q19/q22/q43, no oracle
     "q63_winnowing_pairs" -> ((s: SparkSession, d: String) =>
-      Dedup.winnowingPairs(s, d))
+      Dedup.winnowingPairs(s, d)),
+    // persisted shingle index + incremental shard dedup: the settled
+    // corpus (doc_id % 7 != 0) is shingled ONCE into a parquet sink; the
+    // arriving shard dedups against the SINK, never the corpus text — the
+    // verb a continuously-ingesting pipeline runs per shard
+    "q64_incremental_dedup" -> ((s: SparkSession, d: String) =>
+      graft.operators.IncrementalDedup.incrementalDedupReport(s, d))
   )
 
   /** Shared CTE chain ending in `pairs` = the exact-Jaccard near-dup pairs
@@ -603,6 +609,17 @@ object SparkEntry {
          |           FROM dots JOIN norms nt ON nt.vec_id = train_id
          |                     JOIN norms ne ON ne.vec_id = eval_id)
          |SELECT train_id AS vec_id, max(cos) AS max_cos
-         |FROM scored WHERE cos >= 0.4 GROUP BY train_id""".stripMargin
+         |FROM scored WHERE cos >= 0.4 GROUP BY train_id""".stripMargin,
+    // the q17 pair CTE chain restricted to CROSS-SPLIT pairs under the
+    // ingest split (shard = doc_id % 7 = 0, settled corpus = the rest),
+    // aggregated per shard doc — the batch equivalent of deduping the
+    // shard against the persisted shingle index
+    "q64_incremental_dedup" ->
+      s"""WITH $jaccardPairCtes,
+         |cross_pairs AS (
+         |  SELECT CASE WHEN doc_a % 7 = 0 THEN doc_a ELSE doc_b END AS doc_id, jaccard
+         |  FROM pairs WHERE (doc_a % 7 = 0) <> (doc_b % 7 = 0))
+         |SELECT doc_id, max(jaccard) AS max_jaccard, count(*) AS n_matches
+         |FROM cross_pairs GROUP BY doc_id""".stripMargin
   )
 }

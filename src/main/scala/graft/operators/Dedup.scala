@@ -144,15 +144,21 @@ object Dedup {
     * fixture scale where max df = 25), and every found pair's Jaccard is
     * exact over the FULL shingle sets.
     *
-    * The shingle table feeds four plan branches — cached; at 100 TB this
-    * is where you checkpoint the shingle index to a sink instead.
+    * The shingle table feeds four plan branches — eagerly
+    * localCheckpointed: computed once, blocks reclaimed by the
+    * ContextCleaner when the plan is garbage-collected, and NO
+    * session-lifetime cacheManager entry for the caller to forget to
+    * unpersist (a `.cache()` here outlives the query in a long-lived
+    * session — CacheSpec pins the post-query emptiness). At 100 TB this is
+    * where you checkpoint the shingle index to a durable sink instead —
+    * [[writeShingleIndex]] is that verb.
     */
   def ngramJaccardPairs(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame =
     ngramJaccardPairsFor(Tables.documents(spark, dir), threshold)
 
   def ngramJaccardPairsFor(docs: DataFrame, threshold: Double = 0.5,
                            dfCap: Int = 1000): DataFrame = {
-    val sh = docShingles(docs).cache()
+    val sh = docShingles(docs).localCheckpoint(true)
     val hot = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
       .filter(col("df") > dfCap).select(col("shingle"))
     jaccardPairsAcross(sh, sh, hot, col("doc_a") < col("doc_b"), threshold)
@@ -169,8 +175,8 @@ object Dedup {
     * property of the caller's corpus (whole corpus for the self-join,
     * train ∪ eval for decontamination), not of either side alone.
     */
-  private def jaccardPairsAcross(shA: DataFrame, shB: DataFrame, hot: DataFrame,
-                                 pairFilter: Column, threshold: Double): DataFrame = {
+  private[operators] def jaccardPairsAcross(shA: DataFrame, shB: DataFrame, hot: DataFrame,
+                                            pairFilter: Column, threshold: Double): DataFrame = {
     val rareA = shA.join(broadcast(hot), Seq("shingle"), "left_anti")
     val rareB = shB.join(broadcast(hot), Seq("shingle"), "left_anti")
     val interRare = rareA.select(col("doc_id").as("doc_a"), col("shingle"))
@@ -224,10 +230,11 @@ object Dedup {
                                threshold: Double = 0.5, dfCap: Int = 1000): DataFrame = {
     val train = docs.filter(!isEval)
     val eval_ = docs.filter(isEval)
-    // cached like ngramJaccardPairsFor's shingle leaf (multi-branch plan);
-    // at 100 TB this is where you checkpoint the shingle index to a sink
-    val shT = docShingles(train).cache()
-    val shE = docShingles(eval_).cache()
+    // eagerly localCheckpointed like ngramJaccardPairsFor's shingle leaf
+    // (multi-branch plan, no session-lifetime cache entry); at 100 TB this
+    // is where you checkpoint the shingle index to a sink instead
+    val shT = docShingles(train).localCheckpoint(true)
+    val shE = docShingles(eval_).localCheckpoint(true)
     // df (and so hotness) is a corpus-wide property: a template shingle is
     // quadratic in the cross join whichever split its occurrences fall in
     val hot = shT.unionByName(shE)
@@ -245,9 +252,15 @@ object Dedup {
       .join(broadcast(eval_.select(TF.contentHash(col("text")).as("h")).distinct()),
         Seq("h"), "left_semi")
       .select(col("doc_id"), lit(true).as("eh"))
+    // identical text has Jaccard 1 by definition, UNCONDITIONALLY: an exact
+    // hit whose only shared shingles are hot (df > dfCap) is invisible to
+    // the capped fuzzy arm, which could then surface a smaller mj from some
+    // other ≥-threshold pair — so the exact-hit flag forces 1.0 rather than
+    // trusting the fuzzy maximum (the uncapped oracle always reports 1.0)
     fuzzy.join(exactHits, Seq("doc_id"), "full_outer")
       .select(col("doc_id"),
-        coalesce(col("mj"), lit(1.0)).as("max_jaccard"),
+        when(coalesce(col("eh"), lit(false)), lit(1.0))
+          .otherwise(coalesce(col("mj"), lit(1.0))).as("max_jaccard"),
         coalesce(col("eh"), lit(false)).as("exact_hit"))
   }
 
@@ -284,10 +297,14 @@ object Dedup {
       .select(col("vec_id").as("train_id"), col("embedding").as("tv"))
     val eval_ = e.filter(isEval)
       .select(col("vec_id").as("eval_id"), col("embedding").as("ev"))
-    train.join(broadcast(eval_),
-        round(VectorOps.cosineFast(col("tv"), col("ev")), 6) >= threshold)
+    // the threshold is stated once, as a filter on the projected score;
+    // Catalyst pushes it back into the (broadcast) cross join's condition,
+    // so only passing pairs leave the join and the duplicate kernel call
+    // applies to those survivors alone — see embeddingNearDupPairsExactFor
+    train.crossJoin(broadcast(eval_))
       .select(col("train_id"),
         round(VectorOps.cosineFast(col("tv"), col("ev")), 6).as("cos"))
+      .filter(col("cos") >= threshold)
       .groupBy(col("train_id").as("vec_id"))
       .agg(max(col("cos")).as("max_cos"))
   }
@@ -380,7 +397,7 @@ object Dedup {
   def winnowingPairsFor(docs: DataFrame, k: Int = 16, w: Int = 8,
                         threshold: Double = 0.5, dfCap: Int = 1000): DataFrame = {
     val sh = winnowingFingerprints(docs, k, w)
-      .withColumnRenamed("fp", "shingle").cache()
+      .withColumnRenamed("fp", "shingle").localCheckpoint(true)
     val hot = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
       .filter(col("df") > dfCap).select(col("shingle"))
     jaccardPairsAcross(sh, sh, hot, col("doc_a") < col("doc_b"), threshold)
@@ -440,22 +457,15 @@ object Dedup {
     minhashLshPairsFor(Tables.documents(spark, dir), k, bands, threshold)
 
   def minhashLshPairsFor(docs: DataFrame,
-                         k: Int = 128, bands: Int = 32, threshold: Double = 0.5): DataFrame =
-    minhashLshPairsCached(docs, k, bands, threshold)._1
-
-  /** [[minhashLshPairsFor]] plus a handle on the cached shingle table it
-    * registered, for callers that materialize the pairs eagerly (the
-    * cluster-resolution path) and can therefore unpersist the cache
-    * instead of leaking it into a long-lived session. */
-  private[graft] def minhashLshPairsCached(docs: DataFrame,
-                                           k: Int = 128, bands: Int = 32,
-                                           threshold: Double = 0.5): (DataFrame, DataFrame) = {
+                         k: Int = 128, bands: Int = 32, threshold: Double = 0.5): DataFrame = {
     require(bands > 0 && k % bands == 0,
       s"signature width k=$k must be a positive multiple of bands=$bands")
     val rows = k / bands
-    // shared by the signature path and both verification sides (see
-    // ngramJaccardPairs for the caching rationale)
-    val sh = docShingles(docs).cache()
+    // shared by the signature path and both verification sides — eagerly
+    // localCheckpointed (see ngramJaccardPairs for the rationale); the
+    // former `.cache()` here needed a side-channel handle so the cluster
+    // path could unpersist it, and still leaked from the plain-pairs form
+    val sh = docShingles(docs).localCheckpoint(true)
     val sigs = minhashSignaturesFromShingles(sh, k)
     val banded = sigs.select(
       col("doc_id"),
@@ -466,7 +476,7 @@ object Dedup {
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    (jaccardForCandidates(cand, sh, threshold), sh)
+    jaccardForCandidates(cand, sh, threshold)
   }
 
   /** The 64-bit SimHash of one document: token-frequency-weighted ±1 votes
@@ -537,14 +547,19 @@ object Dedup {
     import graft.functions.VectorOps
     val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"))
     val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
-    // the cosine threshold lives IN the join condition: the nested-loop
-    // join then emits only passing pairs (~0.01% here) instead of
-    // materializing n²/2 rows carrying two embedding arrays each — the
-    // surviving pairs re-score once, which is negligible
-    a.join(b, col("id_a") < col("id_b")
-        && round(VectorOps.cosineFast(col("va"), col("vb")), 6) >= threshold)
+    // the threshold is stated ONCE, as a filter on the projected score.
+    // Catalyst then pushes the predicate (alias-substituted) back into the
+    // join condition — the plan you want: the nested-loop join emits only
+    // passing pairs (~0.01% here) instead of materializing n²/2 rows
+    // carrying two embedding arrays each. The optimized plan therefore
+    // still evaluates the kernel in the condition plus once more per
+    // SURVIVING pair; that duplicate is proportional to the pass rate
+    // (noise), and suppressing it would need a pushdown barrier that
+    // forfeits the early prune — measured and documented, not an oversight
+    a.join(b, col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         round(VectorOps.cosineFast(col("va"), col("vb")), 6).as("cos"))
+      .filter(col("cos") >= threshold)
   }
 
   /** Embedding-cosine near-dup via hyperplane-LSH banded candidates + exact
@@ -631,13 +646,17 @@ object Dedup {
       .join(broadcast(grid), col("blk") === col("gj"))
       .select(col("gi").as("hi"), col("gj").as("hj"),
         col("vec_id").as("id_b"), col("embedding").as("vb"))
+    // cell equi-keys + id-order pruning in the join condition; the cosine
+    // threshold is stated once as a filter on the projected score, which
+    // Catalyst pushes back into the SMJ's post-match condition — see
+    // embeddingNearDupPairsExactFor for the single-statement rationale
     a.join(b, col("gi") === col("hi") && col("gj") === col("hj")
         && (col("gi") =!= col("gj") || col("id_a") < col("id_b"))
-        && col("id_a") =!= col("id_b")
-        && round(VectorOps.cosineFast(col("va"), col("vb")), 6) >= threshold)
+        && col("id_a") =!= col("id_b"))
       .select(least(col("id_a"), col("id_b")).as("id_a"),
         greatest(col("id_a"), col("id_b")).as("id_b"),
         round(VectorOps.cosineFast(col("va"), col("vb")), 6).as("cos"))
+      .filter(col("cos") >= threshold)
   }
 
   /** Cosine threshold at and above which the router may swap the exact
@@ -825,17 +844,16 @@ object Dedup {
     * clusters.
     */
   def nearDupClustersFor(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
-    val (pairs, sh) = minhashLshPairsCached(docs, threshold = threshold)
+    val pairs = minhashLshPairsFor(docs, threshold = threshold)
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
     val vertices = docs.select(col("doc_id").as("id"))
-    // connectedComponents checkpoints the edge set up front, so after it
-    // returns nothing references the shingle cache — release it rather
-    // than leak it into the session (bench clears caches; users don't)
-    val labels =
-      try connectedComponents(vertices, edges)
-      finally sh.unpersist()
-    labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"),
-      (col("lbl") === col("id")).as("keep"))
+    // the shingle leaf is localCheckpointed inside minhashLshPairsFor, so
+    // nothing here needs an unpersist hand-off: connectedComponents
+    // checkpoints the edge set up front and the shingle blocks are
+    // reclaimed once the pair plan is garbage-collected
+    connectedComponents(vertices, edges)
+      .select(col("id").as("doc_id"), col("lbl").as("cluster_id"),
+        (col("lbl") === col("id")).as("keep"))
   }
 
   def nearDupClusters(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame =

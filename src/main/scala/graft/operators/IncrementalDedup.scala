@@ -1,0 +1,120 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incremental dedup against a PERSISTED index — the dedup family
+  * (SURVEY §2.5 D6/D8) promoted to the loop a continuously-ingesting
+  * pipeline actually runs. Production curation is not a one-shot batch: new
+  * shards arrive every hour and must dedup against the EXISTING corpus.
+  * Re-shingling 100 TB of settled text per arriving shard is the wrong
+  * plan; the right one keeps the (doc_id, shingle) index in a durable
+  * parquet sink and joins each shard against the SINK. The reference's
+  * incremental set-disjointness intent
+  * (/root/reference/utils/preprocessing_testing_utils.py:60-80) is this
+  * check run per-ingest instead of per-experiment.
+  *
+  * Scale shape:
+  *   - the index sink IS the materialization: every plan branch that needs
+  *     it (candidate join, hot-shingle df, per-doc sizes) re-reads the
+  *     compact columnar parquet — column-pruned, splittable, and orders of
+  *     magnitude smaller than re-tokenizing raw text — so the settled
+  *     corpus is never re-shingled;
+  *   - only the arriving shard (tiny by comparison) pays shingling, and
+  *     its fingerprints are localCheckpointed once for the multi-branch
+  *     plan;
+  *   - candidate generation is the same cross-side inverted-index
+  *     equi-join as the batch core ([[Dedup.jaccardPairsAcross]]) — the
+  *     settled×settled quadrant is never enumerated, exactly as
+  *     decontamination never enumerates train×train;
+  *   - admitted docs APPEND their shingles to the sink (parquet append =
+  *     new files, no rewrite), so the index stays current at the cost of
+  *     the shard, not the corpus.
+  */
+object IncrementalDedup {
+
+  /** Build and persist the shingle index of `docs` (overwrite). Run once
+    * at corpus bootstrap; thereafter [[appendShingleIndex]] keeps it
+    * current. */
+  def writeShingleIndex(docs: DataFrame, path: String): Unit =
+    Dedup.docShingles(docs).write.mode("overwrite").parquet(path)
+
+  /** Append `docs`' shingles to an existing index sink — the per-ingest
+    * index maintenance step (parquet append writes new files only). */
+  def appendShingleIndex(docs: DataFrame, path: String): Unit =
+    Dedup.docShingles(docs).write.mode("append").parquet(path)
+
+  def readShingleIndex(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** Near-dup pairs of an already-shingled new side against the persisted
+    * index: (doc_a = new doc, doc_b = indexed doc, jaccard ≥ threshold).
+    * Hotness (the df cap that bounds the one quadratic bucket) is
+    * corpus-wide — df over index ∪ shard — computed as one map-side-
+    * combined aggregate over the single pruned `shingle` column of the
+    * sink; at a scale where even that is too hot per-ingest, the df table
+    * becomes its own maintained sidecar sink. Exposed shingled (rather
+    * than as raw docs) so the same verb serves a winnowed-fingerprint
+    * index: [[Dedup.jaccardPairsAcross]] keys on the `shingle` column
+    * whatever its type.
+    */
+  def pairsAgainstIndex(shNew: DataFrame, index: DataFrame,
+                        threshold: Double = 0.5, dfCap: Int = 1000): DataFrame = {
+    val hot = shNew.unionByName(index)
+      .groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > dfCap).select(col("shingle"))
+    Dedup.jaccardPairsAcross(shNew, index, hot, lit(true), threshold)
+  }
+
+  /** The per-shard dedup report: one row per NEW doc that near-duplicates
+    * ANY indexed doc — its max Jaccard and how many settled docs it
+    * collides with. Anti-joining the shard against these doc_ids is the
+    * admission decision ([[admitFor]]). */
+  def reportFor(newDocs: DataFrame, index: DataFrame,
+                threshold: Double = 0.5, dfCap: Int = 1000): DataFrame =
+    pairsAgainstIndex(Dedup.docShingles(newDocs).localCheckpoint(true),
+        index, threshold, dfCap)
+      .groupBy(col("doc_a").as("doc_id"))
+      .agg(max(col("jaccard")).as("max_jaccard"),
+        count(lit(1)).as("n_matches"))
+
+  /** The admitted slice of an arriving shard: docs NOT near-duplicating
+    * the settled corpus — what the pipeline appends to training data. */
+  def admitFor(newDocs: DataFrame, index: DataFrame,
+               threshold: Double = 0.5): DataFrame =
+    newDocs.join(reportFor(newDocs, index, threshold).select(col("doc_id")),
+      Seq("doc_id"), "left_anti")
+
+  /** One full ingest tick: dedup the shard against the index, admit the
+    * survivors, append their shingles to the index, return the admitted
+    * docs. The admitted set is eagerly pinned (localCheckpoint) BEFORE the
+    * append so the lazy plan cannot observe the index files it is about to
+    * write — and intra-shard duplicates of an admitted doc are caught on
+    * the NEXT tick's index, matching the settled-corpus-first contract.
+    */
+  def ingestShard(newDocs: DataFrame, indexPath: String,
+                  threshold: Double = 0.5): DataFrame = {
+    val spark = newDocs.sparkSession
+    val admitted =
+      admitFor(newDocs, readShingleIndex(spark, indexPath), threshold)
+        .localCheckpoint(true)
+    appendShingleIndex(admitted, indexPath)
+    admitted
+  }
+
+  /** q64 fixture entry: settled corpus = doc_id % 7 ≠ 0, arriving shard =
+    * the rest (~14%). The index is written once to a session scratch sink
+    * and the shard dedups against the SINK — the settled corpus text is
+    * shingled exactly once, at index-build time (IndexSpec pins that the
+    * report's only file scans read the index path). */
+  def incrementalDedupReport(spark: SparkSession, dir: String,
+                             threshold: Double = 0.5): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val isNew = col("doc_id") % 7 === 0
+    val path = graft.sources.Sources.scratchDir(spark,
+      "shingle_index_" + java.lang.Integer.toHexString(dir.hashCode))
+    writeShingleIndex(docs.filter(!isNew), path)
+    reportFor(docs.filter(isNew), readShingleIndex(spark, path), threshold)
+  }
+}

@@ -83,7 +83,11 @@ object Sampling {
       Map("A" -> 0.6, "N" -> 0.1, "R" -> 0.1),
       Map("A" -> 0.1, "N" -> 0.6, "R" -> 0.1),
       Map("A" -> 0.1, "N" -> 0.1, "R" -> 0.6))
-    val keyed = Tables.lineitem(spark, dir).select(col("l_returnflag")).cache()
+    // eagerly localCheckpointed, not cache()d: the branches must all read
+    // the SAME materialized rows (sampleBy re-evaluates its source), and a
+    // cache entry would outlive the query in a long-lived session
+    val keyed = Tables.lineitem(spark, dir).select(col("l_returnflag"))
+      .localCheckpoint(true)
     val totals = keyed.groupBy(col("l_returnflag")).agg(count(lit(1)).as("total"))
     val observed = skewedClientPartitions(keyed, "l_returnflag", clientFractions)
       .zipWithIndex
@@ -126,7 +130,11 @@ object Sampling {
     // and check both invariants in ONE aggregation over the cached input —
     // vs the naive n²/2 intersect jobs + n count jobs, each of which would
     // rescan (and at 100 TB, re-shuffle) the parent.
-    val keyed = Tables.orders(spark, dir).select(col("o_orderkey")).cache()
+    // localCheckpoint(true), not cache(): pins one materialization for all
+    // split branches (randomSplit determinism) without a session-lifetime
+    // cacheManager entry
+    val keyed = Tables.orders(spark, dir).select(col("o_orderkey"))
+      .localCheckpoint(true)
     val parentCount = keyed.count()
     val tagged = randomClientSplit(keyed, 4).zipWithIndex
       .map { case (df, i) => df.withColumn("split_id", lit(i)) }

@@ -1,0 +1,118 @@
+package graft
+
+import graft.operators.{Dedup, IncrementalDedup}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The continuous-ingest contract (q64): a persisted shingle index dedups
+  * arriving shards without re-shingling the settled corpus, gives the same
+  * answer as the from-scratch batch computation, extends itself with each
+  * admitted shard, and serves winnowed-fingerprint indexes through the
+  * same verb.
+  */
+class IncrementalDedupSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** 30 settled docs of 60 pseudo-words; an arriving shard holding one
+    * near-dup (single mid-document token swap, Jaccard ≈ 0.9) of each of
+    * the first 10 settled docs plus 10 fresh docs drawn from a disjoint
+    * vocabulary (cross-Jaccard ≈ 0). Shard ids are offset so every
+    * (settled, shard) pair orders as (doc_a, doc_b) in the batch form.
+    */
+  private lazy val (settled, shard, freshTexts) = {
+    val rnd = new scala.util.Random(7)
+    def word() = (0 until 5).map(_ => ('a' + rnd.nextInt(13)).toChar).mkString
+    def freshWord() = (0 until 5).map(_ => ('n' + rnd.nextInt(13)).toChar).mkString
+    val vocab = Vector.fill(300)(word())
+    val freshVocab = Vector.fill(300)(freshWord())
+    val base = (0L until 30L).map { i =>
+      i -> (0 until 60).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    }
+    val dups = base.take(10).map { case (i, text) =>
+      val toks = text.split(" ")
+      toks(30) = "zzzzz"
+      (i + 1000L) -> toks.mkString(" ")
+    }
+    val fresh = (0L until 10L).map { i =>
+      (i + 2000L) -> (0 until 60).map(_ => freshVocab(rnd.nextInt(freshVocab.size))).mkString(" ")
+    }
+    (base.toDF("doc_id", "text"), (dups ++ fresh).toDF("doc_id", "text"),
+      fresh.toMap)
+  }
+
+  private def tmpIndex(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_$tag").toString + "/idx"
+
+  test("incremental report against the persisted index == batch cross-split dedup") {
+    val path = tmpIndex("idx_eq")
+    IncrementalDedup.writeShingleIndex(settled, path)
+    val got = IncrementalDedup
+      .reportFor(shard, IncrementalDedup.readShingleIndex(spark, path))
+      .select("doc_id", "max_jaccard", "n_matches")
+      .as[(Long, Double, Long)].collect().toSet
+    // from-scratch batch equivalent: all-pairs Jaccard over the full
+    // corpus, restricted to (settled, shard) cross pairs — settled ids all
+    // sort below shard ids, so doc_a is the settled side
+    val batch = Dedup.ngramJaccardPairsFor(settled.unionByName(shard))
+      .filter(col("doc_a") < 1000L && col("doc_b") >= 1000L)
+      .groupBy(col("doc_b").as("doc_id"))
+      .agg(max(col("jaccard")).as("max_jaccard"), count(lit(1)).as("n_matches"))
+      .as[(Long, Double, Long)].collect().toSet
+    assert(got == batch)
+    assert(got.map(_._1) == (0L until 10L).map(_ + 1000L).toSet,
+      "exactly the planted near-dups must be flagged")
+  }
+
+  test("the report's file scans read ONLY the index sink, never settled text") {
+    val path = tmpIndex("idx_plan")
+    IncrementalDedup.writeShingleIndex(settled, path)
+    val report = IncrementalDedup
+      .reportFor(shard, IncrementalDedup.readShingleIndex(spark, path))
+    val plan = report.queryExecution.executedPlan.toString
+    val locLines = plan.linesIterator.filter(_.contains("Location")).toSeq
+    val idxName = new java.io.File(path).getName
+    assert(locLines.nonEmpty, "expected parquet scans of the index sink")
+    assert(locLines.forall(_.contains(idxName)),
+      s"file scan outside the index sink:\n${locLines.mkString("\n")}")
+  }
+
+  test("ingest loop: admitted docs extend the index for the next tick") {
+    val path = tmpIndex("idx_loop")
+    IncrementalDedup.writeShingleIndex(settled, path)
+    // tick 1: near-dups of settled docs rejected, fresh docs admitted
+    val admitted1 = IncrementalDedup.ingestShard(shard, path)
+    assert(admitted1.select("doc_id").as[Long].collect().toSet ==
+      (0L until 10L).map(_ + 2000L).toSet)
+    // tick 2: near-dups of tick-1 ADMITTED docs must now be rejected —
+    // proof the append extended the index — while a genuinely new doc
+    // (third disjoint vocabulary) still passes
+    val rnd = new scala.util.Random(11)
+    def newWord() = (0 until 5).map(_ => ('A' + rnd.nextInt(13)).toChar).mkString
+    val dupsOfAdmitted = (0L until 5L).map { i =>
+      val toks = freshTexts(i + 2000L).split(" ")
+      toks(30) = "qqqqq"
+      (i + 3000L) -> toks.mkString(" ")
+    }
+    val genuinelyNew =
+      Seq(4000L -> (0 until 60).map(_ => newWord()).mkString(" "))
+    val admitted2 = IncrementalDedup
+      .ingestShard((dupsOfAdmitted ++ genuinelyNew).toDF("doc_id", "text"), path)
+    assert(admitted2.select("doc_id").as[Long].collect().toSet == Set(4000L))
+  }
+
+  test("the same verb serves a winnowed-fingerprint index") {
+    val path = tmpIndex("idx_winnow")
+    Dedup.winnowingFingerprints(settled).withColumnRenamed("fp", "shingle")
+      .write.mode("overwrite").parquet(path)
+    val shNew = Dedup.winnowingFingerprints(shard)
+      .withColumnRenamed("fp", "shingle").localCheckpoint(true)
+    val pairs = IncrementalDedup
+      .pairsAgainstIndex(shNew, IncrementalDedup.readShingleIndex(spark, path))
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    // every planted near-dup (one token swapped mid-document) shares long
+    // unchanged runs >= k+w-1 chars, so the winnowed sets overlap heavily
+    val wanted = (0L until 10L).map(i => (i + 1000L, i)).toSet
+    assert(wanted.subsetOf(pairs), s"missed: ${wanted -- pairs}")
+  }
+}

@@ -143,7 +143,14 @@ object SparkEntry {
     // arriving shard dedups against the SINK, never the corpus text — the
     // verb a continuously-ingesting pipeline runs per shard
     "q64_incremental_dedup" -> ((s: SparkSession, d: String) =>
-      graft.operators.IncrementalDedup.incrementalDedupReport(s, d))
+      graft.operators.IncrementalDedup.incrementalDedupReport(s, d)),
+    // the winnowed-candidate cluster route FORCED (what the router picks
+    // past 1M docs, where the full shingle index gets expensive): same
+    // exact-Jaccard scoring + CC tail as q52 and checked against the SAME
+    // transitive-closure oracle — candidate recall of the ~4.5×-smaller
+    // fingerprint index is re-proven on every harness run, not assumed
+    "q65_neardup_clusters_winnowed" -> ((s: SparkSession, d: String) =>
+      Dedup.nearDupClustersWinnowedFor(graft.Tables.documents(s, d)))
   )
 
   /** Shared CTE chain ending in `pairs` = the exact-Jaccard near-dup pairs
@@ -166,6 +173,21 @@ object SparkEntry {
       |          WHERE round(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 4) >= 0.5)""".stripMargin
 
   private val jaccardPairCtes: String = jaccardPairCtesFrom("documents")
+
+  /** Transitive closure over the exact-Jaccard pair set (shared by q52 —
+    * the LSH candidate route — and q65, the forced winnowed-candidate
+    * route: both score exact full-shingle Jaccard, so the cluster
+    * contract is identical). */
+  private lazy val neardupClustersSql: String =
+    s"""WITH RECURSIVE $jaccardPairCtes,
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |          UNION SELECT doc_b, doc_a FROM pairs),
+       |reach(id, lbl) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id)
+       |SELECT id AS doc_id, min(lbl) AS cluster_id, (min(lbl) = id) AS keep
+       |FROM reach GROUP BY id""".stripMargin
 
   private val jaccardSql: String =
     s"WITH $jaccardPairCtes\nSELECT doc_a, doc_b, jaccard FROM pairs"
@@ -479,16 +501,7 @@ object SparkEntry {
     // transitive closure over the exact-Jaccard pair set: reach computes
     // every label reachable from each doc; min(reachable) = component
     // minimum = the engine's cluster_id, and keep ⟺ the doc IS that min
-    "q52_neardup_clusters" ->
-      s"""WITH RECURSIVE $jaccardPairCtes,
-         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
-         |          UNION SELECT doc_b, doc_a FROM pairs),
-         |reach(id, lbl) AS (
-         |  SELECT doc_id, doc_id FROM documents
-         |  UNION
-         |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id)
-         |SELECT id AS doc_id, min(lbl) AS cluster_id, (min(lbl) = id) AS keep
-         |FROM reach GROUP BY id""".stripMargin,
+    "q52_neardup_clusters" -> neardupClustersSql,
     // tensors are whole 0..99 floats by construction → sums are exact
     "q53_struct_roundtrip" ->
       """SELECT doc_id,
@@ -620,6 +633,9 @@ object SparkEntry {
          |  SELECT CASE WHEN doc_a % 7 = 0 THEN doc_a ELSE doc_b END AS doc_id, jaccard
          |  FROM pairs WHERE (doc_a % 7 = 0) <> (doc_b % 7 = 0))
          |SELECT doc_id, max(jaccard) AS max_jaccard, count(*) AS n_matches
-         |FROM cross_pairs GROUP BY doc_id""".stripMargin
+         |FROM cross_pairs GROUP BY doc_id""".stripMargin,
+    // identical contract to q52: the winnowed route only changes candidate
+    // generation; scoring and clustering are the same exact computation
+    "q65_neardup_clusters_winnowed" -> neardupClustersSql
   )
 }

@@ -408,6 +408,29 @@ object Dedup {
                      threshold: Double = 0.5): DataFrame =
     winnowingPairsFor(Tables.documents(spark, dir), threshold = threshold)
 
+  /** Exact near-dup pairs with WINNOWED candidate generation — the
+    * >[[MaxFullIndexDocs]] route: candidates share ≥ 1 non-hot winnowed
+    * fingerprint (the 2/(w+1)-density index, measured ~4.5× smaller than
+    * the full shingle table at k=16/w=8), and the score is the SAME exact
+    * Jaccard over FULL shingle sets as the LSH route
+    * ([[jaccardForCandidates]]) — only candidate generation differs, so
+    * every emitted pair keeps the exact contract. Candidate recall rests
+    * on the winnowing guarantee (a shared run ≥ k+w−1 chars ⟹ a shared
+    * fingerprint): near-dup pairs above a useful Jaccard threshold share
+    * most of their shingles and with them long unchanged token runs.
+    * That is a property of real near-dups, not a theorem about all pair
+    * sets — which is why the forced q65 row re-proves candidate recall
+    * against the exact transitive-closure oracle on every harness run
+    * instead of assuming it.
+    */
+  def winnowCandidateJaccardPairsFor(docs: DataFrame, threshold: Double = 0.5,
+                                     k: Int = 16, w: Int = 8,
+                                     dfCap: Int = 1000): DataFrame = {
+    val sh = docShingles(docs).localCheckpoint(true)
+    val fps = winnowingFingerprints(docs, k, w).withColumnRenamed("fp", "shingle")
+    jaccardForCandidates(candidatePairs(fps, dfCap), sh, threshold)
+  }
+
   /** D6 — MinHash signatures: per-doc element-wise min over the k hash
     * values of its shingles (map-side-combined scalar min aggregates; the
     * shuffle carries one k-long buffer per doc per partition).
@@ -683,12 +706,16 @@ object Dedup {
     * threads both count and one insert wins — same value either way).
     */
   private val routingCounts =
-    new java.util.concurrent.ConcurrentHashMap[(String, String), java.lang.Long]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String, String), java.lang.Long]()
 
   private[graft] def clearRoutingCache(): Unit = routingCounts.clear()
 
-  private def corpusRowCount(spark: SparkSession, dir: String, e: DataFrame): Long = {
-    val key = (graft.sources.Sources.sessionTag(spark), dir)
+  private def corpusRowCount(spark: SparkSession, dir: String, table: String,
+                             e: DataFrame): Long = {
+    // the table name is part of the key: documents and embeddings share a
+    // fixture dir, and a memoized embeddings count must never route a
+    // documents query (or vice versa)
+    val key = (graft.sources.Sources.sessionTag(spark), dir, table)
     val cached = routingCounts.get(key)
     if (cached != null) cached.longValue()
     else {
@@ -728,7 +755,7 @@ object Dedup {
   def embeddingNearDupPairs(spark: SparkSession, dir: String, threshold: Double = 0.4,
                             maxExactRows: Long = 200000L): DataFrame = {
     val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
-    val n = corpusRowCount(spark, dir, e)
+    val n = corpusRowCount(spark, dir, "embeddings", e)
     if (n <= maxExactRows)
       embeddingNearDupPairsExactFor(e, threshold)
     else if (threshold >= BandedSafeThreshold)
@@ -843,21 +870,52 @@ object Dedup {
     * operation generalized from exact-key equality to near-duplicate
     * clusters.
     */
-  def nearDupClustersFor(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
-    val pairs = minhashLshPairsFor(docs, threshold = threshold)
+  def nearDupClustersFor(docs: DataFrame, threshold: Double = 0.5): DataFrame =
+    clustersFromPairs(docs, minhashLshPairsFor(docs, threshold = threshold))
+
+  /** Cluster resolution with the winnowed candidate route
+    * ([[winnowCandidateJaccardPairsFor]]) — what [[nearDupClusters]] picks
+    * above [[MaxFullIndexDocs]], exposed directly so the forced q65 row
+    * exercises it at fixture scale. */
+  def nearDupClustersWinnowedFor(docs: DataFrame, threshold: Double = 0.5): DataFrame =
+    clustersFromPairs(docs, winnowCandidateJaccardPairsFor(docs, threshold))
+
+  /** Shared pairs → connected components → keep-rule tail. The shingle
+    * leaf is localCheckpointed inside the pair verbs, so nothing here
+    * needs an unpersist hand-off: connectedComponents checkpoints the edge
+    * set up front and the shingle blocks are reclaimed once the pair plan
+    * is garbage-collected. */
+  private def clustersFromPairs(docs: DataFrame, pairs: DataFrame): DataFrame = {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
     val vertices = docs.select(col("doc_id").as("id"))
-    // the shingle leaf is localCheckpointed inside minhashLshPairsFor, so
-    // nothing here needs an unpersist hand-off: connectedComponents
-    // checkpoints the edge set up front and the shingle blocks are
-    // reclaimed once the pair plan is garbage-collected
     connectedComponents(vertices, edges)
       .select(col("id").as("doc_id"), col("lbl").as("cluster_id"),
         (col("lbl") === col("id")).as("keep"))
   }
 
-  def nearDupClusters(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame =
-    nearDupClustersFor(Tables.documents(spark, dir), threshold)
+  /** Doc count at and below which [[nearDupClusters]] keeps the
+    * full-shingle MinHash-LSH candidate route. Above it the corpus pays
+    * for its index size, and candidate generation moves to the winnowed
+    * fingerprint index — ~(w+1)/2× smaller at the same detection floor —
+    * while scoring stays exact full-shingle Jaccard either way. At the
+    * default the fixture corpora (≤ ~60k docs) always take the LSH route,
+    * so q52/q55 pin it while the forced q65 row pins the winnowed one.
+    */
+  val MaxFullIndexDocs: Long = 1000000L
+
+  /** Text near-dup cluster resolution with a corpus-size router over the
+    * candidate generator (the [[embeddingNearDupPairs]] pattern brought to
+    * the text side): same exact-Jaccard scoring and CC tail on both
+    * routes, so the contract never weakens — only the candidate index
+    * shrinks. The routing count is one metadata-cheap action, memoized
+    * per (session, dir, table). */
+  def nearDupClusters(spark: SparkSession, dir: String, threshold: Double = 0.5,
+                      maxFullIndexDocs: Long = MaxFullIndexDocs): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val n = corpusRowCount(spark, dir, "documents", docs)
+    if (n <= maxFullIndexDocs) nearDupClustersFor(docs, threshold)
+    else nearDupClustersWinnowedFor(docs, threshold)
+  }
 
   /** The deduplicated corpus itself: keep one representative (lowest
     * doc_id) per near-dup cluster, drop the rest. */

@@ -369,6 +369,23 @@ class DedupSpec extends AnyFunSuite {
     assert(report.size == 20, "every planted base vector is contaminated by its eval copy")
   }
 
+  test("winnowed-candidate route == brute force: pairs, scores, and clusters") {
+    // the >MaxFullIndexDocs candidate generator must lose nothing the
+    // exact oracle finds: same pair set, same (exact, full-shingle)
+    // Jaccard scores, and therefore identical cluster resolution
+    val winnowed = Dedup.winnowCandidateJaccardPairsFor(planted)
+      .as[(Long, Long, Double)].collect().toSet
+    val brute = Dedup.ngramJaccardPairsFor(planted)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(winnowed == brute,
+      s"only-winnowed: ${winnowed -- brute}; missed: ${brute -- winnowed}")
+    val viaLsh = Dedup.nearDupClustersFor(planted)
+      .as[(Long, Long, Boolean)].collect().toSet
+    val viaWinnow = Dedup.nearDupClustersWinnowedFor(planted)
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(viaLsh == viaWinnow)
+  }
+
   test("connectedComponents: 200-vertex path graph converges (chain-shaped dup graphs)") {
     // the shape that breaks min-label propagation: a single path has O(n)
     // diameter, so propagation needs ~n rounds; the large-star/small-star

@@ -164,14 +164,82 @@ object Similarity {
     transform(slice(sorted, 1, nProbe), p => p.getField("lid").cast("long"))
   }
 
+  /** Codebook size at and below which assignment embeds the centroids as
+    * plan LITERALS ([[listSims]]: zero join, fully codegen'd — the
+    * fastest form). Above it the literal plan hits a real wall — nLists ×
+    * dim literals blow up analysis time and split codegen past JVM method
+    * limits at the 4k–64k lists a production vector store runs — so
+    * assignment switches to [[ivfAssignBroadcast]]: the codebook becomes
+    * DATA on the build side of a broadcast join and the plan stays O(1).
+    */
+  val LiteralCodebookMaxLists: Int = 256
+
+  /** The codebook as a DataFrame — the persisted-codebook schema
+    * ([[saveCentroids]]) built in memory. */
+  def centroidsToDF(spark: SparkSession, cents: Array[Array[Float]]): DataFrame = {
+    import spark.implicits._
+    cents.zipWithIndex.toSeq.map { case (c, i) => (i.toLong, c.toSeq) }
+      .toDF("list_id", "centroid")
+  }
+
+  /** One-row relation holding the whole codebook as an array of
+    * (list_id, centroid) structs — the broadcast build side of the
+    * large-codebook path. */
+  private def packedCodebook(cents: DataFrame): DataFrame =
+    cents.agg(collect_list(struct(col("list_id"), col("centroid"))).as("codebook"))
+
+  /** (sim, lid) structs of `vec` against every codebook entry. The cosine
+    * runs ONCE per entry via the kernel's compiled nullSafeEval — only the
+    * per-entry dispatch is interpreted (higher-order functions don't
+    * codegen), which is the documented price of keeping the codebook out
+    * of the plan text. */
+  private def scoredLists(vec: Column, codebook: Column): Column =
+    transform(codebook, c =>
+      struct(VectorOps.cosineFast(vec, c.getField("centroid")).as("sim"),
+        c.getField("list_id").cast("long").as("lid")))
+
+  /** In-row argmax over the scored structs — same total order as the
+    * literal path's array_position(max) (sim desc, list_id asc). */
+  private def bestOfScored(scored: Column): Column =
+    aggregate(scored,
+      struct(lit(Double.NegativeInfinity).as("sim"), lit(Long.MaxValue).as("lid")),
+      (acc, s) => when(s.getField("sim") > acc.getField("sim")
+          || (s.getField("sim") === acc.getField("sim")
+            && s.getField("lid") < acc.getField("lid")), s)
+        .otherwise(acc))
+      .getField("lid")
+
+  /** In-row top-nProbe of the scored structs (sim desc, lid asc) — the
+    * broadcast twin of [[probeListIds]]. */
+  private def probeOfScored(scored: Column, nProbe: Int): Column =
+    transform(slice(array_sort(scored, (l, r) =>
+      when(l.getField("sim") > r.getField("sim"), -1)
+        .when(l.getField("sim") < r.getField("sim"), 1)
+        .otherwise(when(l.getField("lid") < r.getField("lid"), -1).otherwise(1))),
+      1, nProbe), p => p.getField("lid"))
+
+  /** Large-codebook assignment: the packed codebook rides a broadcast
+    * (single-row build side) join onto every partition and the argmax
+    * stays in-row — the corpus still never shuffles, and the codebook can
+    * come straight from the persisted parquet ([[saveCentroids]]) without
+    * ever collecting to the driver. */
+  def ivfAssignBroadcast(e: DataFrame, cents: DataFrame): DataFrame =
+    e.crossJoin(broadcast(packedCodebook(cents)))
+      .select(col("vec_id"), col("embedding"),
+        bestOfScored(scoredLists(col("embedding"), col("codebook"))).as("list_id"))
+
   /** Coarse-quantizer assignment: one narrow projection over the corpus —
     * scan → in-row argmax → (vec_id, embedding, list_id). ZERO Exchange
     * (pinned by PlanSpec); the earlier form shuffled every full embedding
     * through a per-vec_id window for an argmax that was computable inside
-    * the row. */
+    * the row. Routes to the broadcast-codebook form past
+    * [[LiteralCodebookMaxLists]]. */
   def ivfAssign(e: DataFrame, cents: Array[Array[Float]]): DataFrame =
-    e.select(col("vec_id"), col("embedding"),
-      nearestListId(col("embedding"), cents).as("list_id"))
+    if (cents.length <= LiteralCodebookMaxLists)
+      e.select(col("vec_id"), col("embedding"),
+        nearestListId(col("embedding"), cents).as("list_id"))
+    else
+      ivfAssignBroadcast(e, centroidsToDF(e.sparkSession, cents))
 
   /** Lloyd's-trained IVF codebook, DataFrames only. Seeded deterministically
     * with the first nLists corpus vectors, then `iters` rounds of:
@@ -248,13 +316,10 @@ object Similarity {
     * corpus scans of Lloyd's training — at 100 TB the difference between
     * an ingest-time cost and a per-query cost.
     */
-  def saveCentroids(spark: SparkSession, cents: Array[Array[Float]], path: String): Unit = {
-    import spark.implicits._
-    cents.zipWithIndex.toSeq.map { case (c, i) => (i.toLong, c.toSeq) }
-      .toDF("list_id", "centroid")
+  def saveCentroids(spark: SparkSession, cents: Array[Array[Float]], path: String): Unit =
+    centroidsToDF(spark, cents)
       .coalesce(1) // a codebook is nLists×dim floats — one footer, not 32
       .write.mode("overwrite").parquet(path)
-  }
 
   def loadCentroids(spark: SparkSession, path: String): Array[Array[Float]] = {
     val rows = spark.read.parquet(path).select(col("list_id"), col("centroid")).collect()
@@ -270,17 +335,40 @@ object Similarity {
   }
 
   /** IVF probe against an externally supplied codebook (trained this
-    * session or [[loadCentroids]]-ed from a persisted one). */
+    * session or [[loadCentroids]]-ed from a persisted one). Assignment and
+    * probe both route on the codebook size: literals below
+    * [[LiteralCodebookMaxLists]], the broadcast-codebook form above. */
   def ivfCosineTopKWith(spark: SparkSession, dir: String, cents: Array[Array[Float]],
-                        nQueries: Int = 10, k: Int = 5, nProbe: Int = 4): DataFrame = {
+                        nQueries: Int = 10, k: Int = 5, nProbe: Int = 4): DataFrame =
+    ivfCosineTopKOver(
+      Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")),
+      cents, nQueries, k, nProbe,
+      broadcastCodebook = cents.length > LiteralCodebookMaxLists)
+
+  /** The probe pipeline with the codebook form made explicit — the spec
+    * drives both forms on one corpus and pins their equality. */
+  private[graft] def ivfCosineTopKOver(e: DataFrame, cents: Array[Array[Float]],
+                                       nQueries: Int, k: Int, nProbe: Int,
+                                       broadcastCodebook: Boolean): DataFrame = {
     val nLists = cents.length
     require(nLists > 0 && nProbe > 0 && nProbe <= nLists,
       s"need 0 < nProbe=$nProbe <= nLists=$nLists")
-    val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
-    val assigned = ivfAssign(e, cents)
-    val probes = e.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
-        explode(probeListIds(col("embedding"), cents, nProbe)).as("list_id"))
+    val (assigned, probes) =
+      if (!broadcastCodebook) (
+        e.select(col("vec_id"), col("embedding"),
+          nearestListId(col("embedding"), cents).as("list_id")),
+        e.filter(col("vec_id") < nQueries)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+            explode(probeListIds(col("embedding"), cents, nProbe)).as("list_id")))
+      else {
+        val centsDf = centroidsToDF(e.sparkSession, cents)
+        (ivfAssignBroadcast(e, centsDf),
+          e.filter(col("vec_id") < nQueries)
+            .crossJoin(broadcast(packedCodebook(centsDf)))
+            .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+              explode(probeOfScored(
+                scoredLists(col("embedding"), col("codebook")), nProbe)).as("list_id")))
+      }
     val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("vec_id"))
     assigned.join(probes, Seq("list_id"))
       .filter(col("query_id") =!= col("vec_id"))

@@ -152,6 +152,41 @@ class SimilaritySpec extends AnyFunSuite {
     assert(cands.length == n - 1) // everything except the query itself
   }
 
+  test("broadcast-codebook IVF equals the literal form and routes past the threshold") {
+    val rnd = new scala.util.Random(5)
+    val dim = 8
+    def vec() = Array.fill(dim)(rnd.nextFloat() * 2f - 1f)
+    val e = (0L until 200L).map(i => (i, vec().toSeq)).toDF("vec_id", "embedding")
+    val big = Array.fill(300)(vec()) // past LiteralCodebookMaxLists
+    val small = big.take(40)
+    // the two assignment forms agree exactly (same kernel, same argmax
+    // total order) on a codebook both can express
+    val viaLiteral = Similarity.ivfAssign(e, small)
+      .select("vec_id", "list_id").as[(Long, Long)].collect().toMap
+    val viaBroadcast = Similarity
+      .ivfAssignBroadcast(e, Similarity.centroidsToDF(spark, small))
+      .select("vec_id", "list_id").as[(Long, Long)].collect().toMap
+    assert(viaBroadcast == viaLiteral)
+    // ...and so does the full probe pipeline, forced into either form
+    val topLit = Similarity
+      .ivfCosineTopKOver(e, small, nQueries = 10, k = 5, nProbe = 4,
+        broadcastCodebook = false).collect().toSet
+    val topBc = Similarity
+      .ivfCosineTopKOver(e, small, nQueries = 10, k = 5, nProbe = 4,
+        broadcastCodebook = true).collect().toSet
+    assert(topBc == topLit)
+    // route pin: past the threshold the codebook is DATA behind a
+    // broadcast join; at or below it the plan is a joinless projection
+    val bigPlan = Similarity.ivfAssign(e, big)
+      .queryExecution.executedPlan.toString
+    assert(bigPlan.contains("BroadcastNestedLoopJoin"), bigPlan.take(500))
+    val smallPlan = Similarity.ivfAssign(e, small)
+      .queryExecution.executedPlan.toString
+    assert(!smallPlan.contains("Join"), smallPlan.take(500))
+    // the routed large-codebook path executes end to end
+    assert(Similarity.ivfAssign(e, big).count() == 200)
+  }
+
   test("ANN candidate scores match exact scores for returned pairs") {
     val exact = Similarity.cosineTopK(spark, TestSpark.Sf0001, nQueries = 5, k = 10)
       .select(col("query_id"), col("cand_id"), col("score"))

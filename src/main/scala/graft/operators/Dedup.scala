@@ -57,22 +57,27 @@ object Dedup {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.select(col("doc_id"), col("text")).as[(Long, String)]
-      .flatMap { case (id, text) =>
-        val toks = text.split(" ", -1)
-        if (toks.length < n) Iterator.empty
-        else {
-          // "distinct (doc_id, shingle)" is per-document by construction,
-          // so dedup inside the row with a doc-bounded HashSet — a
-          // DataFrame-level distinct() would shuffle the full shingle
-          // table to deduplicate what never crosses rows
-          val seen = scala.collection.mutable.HashSet.empty[String]
-          toks.sliding(n).flatMap { w =>
-            val s = w.mkString(" ")
-            if (seen.add(s)) Iterator.single((id, s)) else Iterator.empty
-          }
-        }
-      }
+      .flatMap { case (id, text) => shingleSetOf(text, n).map(s => (id, s)) }
       .toDF("doc_id", "shingle")
+  }
+
+  /** One document's distinct shingle iterator — the SINGLE tokenization
+    * shared by the distributed leaf above and the driver-built eval index
+    * of [[streamingDecontaminationFor]], so the two paths cannot drift.
+    * "distinct (doc_id, shingle)" is per-document by construction, so the
+    * dedup is a doc-bounded HashSet inside the row — a DataFrame-level
+    * distinct() would shuffle the full shingle table to deduplicate what
+    * never crosses rows. */
+  private[operators] def shingleSetOf(text: String, n: Int = 3): Iterator[String] = {
+    val toks = text.split(" ", -1)
+    if (toks.length < n) Iterator.empty
+    else {
+      val seen = scala.collection.mutable.HashSet.empty[String]
+      toks.sliding(n).flatMap { w =>
+        val s = w.mkString(" ")
+        if (seen.add(s)) Iterator.single(s) else Iterator.empty
+      }
+    }
   }
 
   /** Candidate (doc_a, doc_b) pairs sharing ≥1 non-hot shingle — the
@@ -279,6 +284,83 @@ object Dedup {
     docs.filter(!isEval).join(
       decontaminationReportFor(docs, isEval, threshold).select(col("doc_id")),
       Seq("doc_id"), "left_anti")
+
+  /** [[decontaminationReportFor]] as an ONLINE ingest filter — the
+    * streaming twin: arriving train docs stream in; the eval split (small
+    * by construction — it is a benchmark) is built into an in-memory
+    * inverted index ONCE, driver-side, and shipped as one broadcast — the
+    * static side. Each streaming doc computes its own exact max-Jaccard
+    * and exact-text hit IN-ROW against the broadcast (stateless
+    * mapPartitions → filter), so the query carries no streaming
+    * aggregation, no watermark, and ZERO state: contaminated ids emit in
+    * append mode as fast as shards arrive. The per-row compute is the
+    * same inverted-index lookup the batch join performs, just evaluated
+    * against a broadcast copy — and the tokenization is [[shingleSetOf]],
+    * shared with [[docShingles]], so the two paths cannot drift. An eval
+    * split too large for one broadcast runs the batch report per
+    * micro-batch via foreachBatch instead (same contract, join shape).
+    */
+  def streamingDecontaminationFor(trainStream: DataFrame, evalDocs: DataFrame,
+                                  threshold: Double = 0.5): DataFrame = {
+    val spark = evalDocs.sparkSession
+    import spark.implicits._
+    val evalRows = evalDocs.select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect()
+    val sizes = scala.collection.mutable.HashMap.empty[Long, Int]
+    val inverted =
+      scala.collection.mutable.HashMap.empty[String, scala.collection.mutable.ArrayBuffer[Long]]
+    val texts = scala.collection.mutable.HashSet.empty[String]
+    evalRows.foreach { case (id, text) =>
+      texts += text
+      var n = 0
+      shingleSetOf(text).foreach { sh =>
+        n += 1
+        inverted.getOrElseUpdate(sh, scala.collection.mutable.ArrayBuffer.empty[Long]) += id
+      }
+      sizes(id) = n
+    }
+    val index = spark.sparkContext.broadcast(
+      (inverted.map { case (k, v) => (k, v.toArray) }.toMap, sizes.toMap, texts.toSet))
+    trainStream.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val (inv, szs, txts) = index.value
+        it.flatMap { case (id, text) =>
+          val exact = txts.contains(text)
+          val mine = shingleSetOf(text).toArray
+          val inter = scala.collection.mutable.HashMap.empty[Long, Int]
+          mine.foreach(sh => inv.get(sh)
+            .foreach(_.foreach(e => inter.update(e, inter.getOrElse(e, 0) + 1))))
+          var mj = 0.0
+          inter.foreach { case (e, i) =>
+            val j = i.toDouble / (mine.length + szs(e) - i)
+            if (j > mj) mj = j
+          }
+          // HALF_UP to 4dp like the batch core's round(j, 4); rounding is
+          // monotone, so round(max) == max(round) and the threshold test
+          // agrees with the batch pair-level filter
+          val mjR = BigDecimal(mj).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+          if (exact) Iterator.single((id, 1.0, true))
+          else if (mjR >= threshold) Iterator.single((id, mjR, false))
+          else Iterator.empty
+        }
+      }
+      .toDF("doc_id", "max_jaccard", "exact_hit")
+  }
+
+  /** The streaming twin over the fixture, same split as
+    * [[decontaminationReport]] (eval = doc_id % 10 == 0): the documents
+    * file streamed as the arriving train side, the eval slice read as the
+    * static batch side. */
+  def streamingDecontamination(spark: SparkSession, dir: String,
+                               threshold: Double = 0.5): DataFrame = {
+    val schema = Tables.documents(spark, dir).schema
+    val isEval = col("doc_id") % 10 === 0
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      .filter(!isEval)
+    streamingDecontaminationFor(stream,
+      Tables.documents(spark, dir).filter(isEval), threshold)
+  }
 
   /** q62 — the EMBEDDING-space twin of [[decontaminationReportFor]]
     * (SemDeDup-style): flag train vectors whose cosine against ANY eval

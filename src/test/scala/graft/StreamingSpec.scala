@@ -346,4 +346,20 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.count() == nEvents) // fixture event_ids are unique
     assert(streamed.distinct().count() == nEvents)
   }
+
+  test("streaming decontamination emits exactly the batch report") {
+    // the online ingest filter is stateless (broadcast eval index, in-row
+    // scoring, no watermark), so append mode withholds nothing and the
+    // drained stream must equal the batch report row-for-row
+    runToCompletion(
+      graft.operators.Dedup.streamingDecontamination(spark, TestSpark.Sf0001)
+        .writeStream.format("memory").queryName("stream_decontam").outputMode("append"))
+    val streamed = spark.sql(
+      "SELECT doc_id, max_jaccard, exact_hit FROM stream_decontam")
+    val batch = graft.operators.Dedup.decontaminationReport(spark, TestSpark.Sf0001)
+    assert(streamed.exceptAll(batch).count() == 0,
+      "streamed rows missing from the batch report")
+    assert(batch.exceptAll(streamed).count() == 0,
+      "batch rows missing from the stream")
+  }
 }

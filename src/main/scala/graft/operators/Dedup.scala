@@ -91,7 +91,7 @@ object Dedup {
     * no-op at fixture scale (max observed df: 25 at sf0.1) so the oracle
     * comparison stays exact.
     */
-  def candidatePairs(sh: DataFrame, dfCap: Int = 1000): DataFrame = {
+  def candidatePairs(sh: DataFrame, dfCap: Int = 1000, minShared: Int = 1): DataFrame = {
     val rare =
       if (dfCap > 0) {
         val hot = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
@@ -99,11 +99,17 @@ object Dedup {
         // hot set is tiny by construction (few shingles exceed the cap)
         sh.join(broadcast(hot), Seq("shingle"), "left_anti")
       } else sh
-    rare.select(col("doc_id").as("doc_a"), col("shingle"))
+    val co = rare.select(col("doc_id").as("doc_a"), col("shingle"))
       .join(rare.select(col("doc_id").as("doc_b"), col("shingle")), Seq("shingle"))
       .filter(col("doc_a") < col("doc_b"))
+    // minShared > 1 trades the count aggregate (same shuffle as distinct)
+    // for a candidate set free of single-coincidence pairs — the dominant
+    // mass when the key is a dense sample like winnowed fingerprints
+    if (minShared <= 1) co.select(col("doc_a"), col("doc_b")).distinct()
+    else co.groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
       .select(col("doc_a"), col("doc_b"))
-      .distinct()
   }
 
   /** Exact Jaccard restricted to the given candidate pairs: join the pair
@@ -506,11 +512,19 @@ object Dedup {
     * instead of assuming it.
     */
   def winnowCandidateJaccardPairsFor(docs: DataFrame, threshold: Double = 0.5,
-                                     k: Int = 16, w: Int = 8,
+                                     k: Int = 16, w: Int = 8, minSharedFp: Int = 2,
                                      dfCap: Int = 1000): DataFrame = {
     val sh = docShingles(docs).localCheckpoint(true)
     val fps = winnowingFingerprints(docs, k, w).withColumnRenamed("fp", "shingle")
-    jaccardForCandidates(candidatePairs(fps, dfCap), sh, threshold)
+    // ≥ 2 shared fingerprints: one shared 16-char gram between unrelated
+    // docs is common vocabulary, and those single-coincidence pairs are
+    // the bulk of the ≥1 candidate set, flooding the exact verification
+    // join (measured 8.7s → the dominant q65 cost at sf0.1). Two shared
+    // fingerprints raise the detection floor from one ≥ k+w−1 = 23-char
+    // shared run to ≥ k+2w−1 = 31 chars (or two separate runs) — still
+    // far below the shared-run mass of any pair at J ≥ 0.5 over 3-token
+    // shingles; the forced q65 oracle row re-proves recall per run.
+    jaccardForCandidates(candidatePairs(fps, dfCap, minSharedFp), sh, threshold)
   }
 
   /** D6 — MinHash signatures: per-doc element-wise min over the k hash

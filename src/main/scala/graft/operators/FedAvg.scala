@@ -82,8 +82,10 @@ object FedAvg {
     * disagree.) Emits (fed_round, dim, global_wmean) for every round.
     */
   def iteratedGlobalRounds(spark: SparkSession, dir: String,
-                           rounds: Int = 3, lr: Double = 0.5): DataFrame = {
+                           rounds: Int = 3, lr: Double = 0.5,
+                           checkpointEvery: Int = 8): DataFrame = {
     require(rounds >= 1, s"need rounds=$rounds >= 1")
+    require(checkpointEvery >= 1, s"need checkpointEvery=$checkpointEvery >= 1")
     // localCheckpoint, not cache: the 64-row aggregate is materialized once
     // and its blocks are ContextCleaner-reclaimed when unreferenced — a
     // catalog cache entry would outlive the call in a long-lived session
@@ -93,6 +95,14 @@ object FedAvg {
     val perRound = (1 to rounds).map { t =>
       g = gbar.join(g, "dim")
         .select(col("dim"), (lit(lr) * col("gb") + lit(1.0 - lr) * col("g")).as("g"))
+      // flatten lineage every few rounds: round t otherwise carries a
+      // t-join chain (O(R²) plan nodes across the union — an analyzer
+      // wall at R in the hundreds), while the per-round state is 64
+      // materialized rows, so a checkpoint is one tiny job. Values are
+      // unchanged (checkpointing stores the same doubles), so the
+      // recurrence stays bit-exact for the oracle; at the default R=3 no
+      // checkpoint fires and q60's plan is untouched.
+      if (t % checkpointEvery == 0 && t < rounds) g = g.localCheckpoint(true)
       g.select(lit(t.toLong).as("fed_round"), col("dim"), col("g").as("global_wmean"))
     }
     perRound.reduce(_.unionByName(_))

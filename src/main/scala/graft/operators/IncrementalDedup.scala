@@ -1,8 +1,9 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.DataStreamWriter
 
 /** Incremental dedup against a PERSISTED index — the dedup family
   * (SURVEY §2.5 D6/D8) promoted to the loop a continuously-ingesting
@@ -64,7 +65,13 @@ object IncrementalDedup {
     val hot = shNew.unionByName(index)
       .groupBy(col("shingle")).agg(count(lit(1)).as("df"))
       .filter(col("df") > dfCap).select(col("shingle"))
-    Dedup.jaccardPairsAcross(shNew, index, hot, lit(true), threshold)
+    // shard and settled id spaces are disjoint in normal operation, so the
+    // same-id exclusion is a no-op — it exists for at-least-once REPLAY
+    // ([[streamingIngest]]): a re-delivered batch whose shingles were
+    // already appended must not reject every doc against its own index
+    // entry
+    Dedup.jaccardPairsAcross(shNew, index, hot,
+      col("doc_a") =!= col("doc_b"), threshold)
   }
 
   /** The per-shard dedup report: one row per NEW doc that near-duplicates
@@ -102,6 +109,27 @@ object IncrementalDedup {
     appendShingleIndex(admitted, indexPath)
     admitted
   }
+
+  /** The ingest loop as a STREAM — the complete online curation pipeline:
+    * each arriving micro-batch dedups against the persisted index
+    * ([[ingestShard]]: report → admit → append), and the admitted docs
+    * land in their own parquet sink. foreachBatch is the right harness:
+    * the per-batch verbs are bounded batch computations, and the index
+    * must RE-LIST its files per batch so batch t sees the fingerprints
+    * batch t−1 admitted — a stream-static join would pin the listing at
+    * query start. The stream carries ZERO Spark state (all state is the
+    * durable index), so checkpointing makes the loop restartable; the
+    * at-least-once caveat of plain parquet appends is a replayed batch
+    * duplicating admitted rows — the same-id exclusion in
+    * [[pairsAgainstIndex]] keeps the replay's admission DECISIONS
+    * unchanged, and an exactly-once sink would close the gap.
+    */
+  def streamingIngest(docsStream: DataFrame, indexPath: String, admittedPath: String,
+                      threshold: Double = 0.5): DataStreamWriter[Row] =
+    docsStream.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      ingestShard(batch, indexPath, threshold)
+        .write.mode("append").parquet(admittedPath): Unit
+    }
 
   /** q64 fixture entry: settled corpus = doc_id % 7 ≠ 0, arriving shard =
     * the rest (~14%). The index is written once to a session scratch sink

@@ -81,6 +81,26 @@ class AggregatorSpec extends AnyFunSuite {
     }
   }
 
+  test("iterated FedAvg at large R: periodic checkpoints keep the chain bit-exact") {
+    // the R-in-the-hundreds regime the default R=3 never exercises: the
+    // per-round state checkpoints every 8 rounds (flat lineage, O(R) plan
+    // work total instead of O(R²)), and checkpointing must not move a
+    // single bit of the recurrence
+    val gbar = FedAvg.globalRound(spark, TestSpark.Sf0001)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val rounds = FedAvg.iteratedGlobalRounds(spark, TestSpark.Sf0001, rounds = 40)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(rounds.size == 40 * gbar.size, "one row per (round, dim)")
+    gbar.foreach { case (d, gb) =>
+      var g = 0.0
+      (1 to 40).foreach { t =>
+        g = 0.5 * gb + 0.5 * g
+        assert(rounds((t.toLong, d)) == g,
+          s"dim $d round $t: got ${rounds((t.toLong, d))}, want $g")
+      }
+    }
+  }
+
   test("clientMeans (q23 plan) executes and agrees with the flat SQL aggregation") {
     // associativity: client-then-dim explode equals the direct per-dim agg
     val viaAgg = FedAvg.clientMeansExploded(spark, TestSpark.Sf0001)

@@ -101,6 +101,55 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(admitted2.select("doc_id").as[Long].collect().toSet == Set(4000L))
   }
 
+  test("streaming ingest: each micro-batch dedups against the index grown by the last") {
+    val path = tmpIndex("idx_stream")
+    IncrementalDedup.writeShingleIndex(settled, path)
+    val admittedPath = tmpIndex("admitted_sink")
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_ingest_src").toString
+    // stage each shard as ONE parquet file with a controlled mtime so the
+    // file source delivers them as ordered micro-batches
+    def addFile(df: org.apache.spark.sql.DataFrame, name: String, mtime: Long): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_stage").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_")).get
+      val dst = new java.io.File(srcDir, name)
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      assert(dst.setLastModified(mtime))
+    }
+    val rnd = new scala.util.Random(13)
+    def newWord() = (0 until 5).map(_ => ('A' + rnd.nextInt(13)).toChar).mkString
+    val dupsOfAdmitted = (0L until 5L).map { i =>
+      val toks = freshTexts(i + 2000L).split(" ")
+      toks(30) = "qqqqq"
+      (i + 3000L) -> toks.mkString(" ")
+    }
+    val genuinelyNew =
+      Seq(4000L -> (0 until 60).map(_ => newWord()).mkString(" "))
+    val t0 = System.currentTimeMillis() - 60000
+    addFile(shard, "b1.parquet", t0)
+    addFile((dupsOfAdmitted ++ genuinelyNew).toDF("doc_id", "text"), "b2.parquet", t0 + 10000)
+    val stream = spark.readStream.schema(settled.schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+    val q = IncrementalDedup.streamingIngest(stream, path, admittedPath)
+      .option("checkpointLocation",
+        graft.sources.Sources.scratchDir(spark, "ingest_ckpt"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    assert(!q.isActive, "ingest stream did not drain within 120s")
+    // batch 1 admits the fresh docs (near-dups of settled rejected);
+    // batch 2's near-dups of those admissions are rejected BY THE GROWN
+    // INDEX, and only the genuinely new doc passes
+    val admitted = spark.read.parquet(admittedPath)
+      .select("doc_id").as[Long].collect().toSet
+    assert(admitted == (0L until 10L).map(_ + 2000L).toSet + 4000L,
+      s"got $admitted")
+    // the index now carries exactly settled + admitted fingerprint owners
+    val indexed = IncrementalDedup.readShingleIndex(spark, path)
+      .select("doc_id").distinct().as[Long].collect().toSet
+    assert(indexed == (0L until 30L).toSet ++ admitted)
+  }
+
   test("the same verb serves a winnowed-fingerprint index") {
     val path = tmpIndex("idx_winnow")
     Dedup.winnowingFingerprints(settled).withColumnRenamed("fp", "shingle")

@@ -150,6 +150,49 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(indexed == (0L until 30L).toSet ++ admitted)
   }
 
+  test("incremental report equals a driver-side mirror on random dense-overlap corpora") {
+    // randomized guard for pairsAgainstIndex (corpus-wide hotness over
+    // index ∪ shard, cross-side core, per-doc aggregation) against a
+    // plain Scala mirror — the DedupSpec random-corpus pattern pointed at
+    // the persisted-index path
+    val rnd = new scala.util.Random(17)
+    def rnd4(x: Double) =
+      BigDecimal.decimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    (0 until 3).foreach { trial =>
+      val vocab = Vector.fill(12)((0 until 4).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString)
+      val docs = (0L until 30L).map(i =>
+        i -> (0 until (5 + rnd.nextInt(20))).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      val (settledRows, shardRows) = docs.partition(_._1 % 3 != 0)
+      val path = tmpIndex(s"idx_prop$trial")
+      IncrementalDedup.writeShingleIndex(settledRows.toDF("doc_id", "text"), path)
+      val got = IncrementalDedup.reportFor(shardRows.toDF("doc_id", "text"),
+          IncrementalDedup.readShingleIndex(spark, path), threshold = 0.3, dfCap = 7)
+        .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+      def shingles(t: String) = {
+        val toks = t.split(" ", -1)
+        if (toks.length < 3) Set.empty[String] else toks.sliding(3).map(_.mkString(" ")).toSet
+      }
+      val sets = docs.map { case (i, t) => i -> shingles(t) }.toMap
+      val hotSh = sets.values.flatten.groupBy(identity)
+        .collect { case (s, os) if os.size > 7 => s }.toSet
+      val pairs = for {
+        (a, _) <- shardRows
+        (b, _) <- settledRows
+        sa = sets(a); sb = sets(b)
+        if ((sa & sb) -- hotSh).nonEmpty // candidacy: >=1 non-hot shared shingle
+        inter = (sa & sb).size // Jaccard counts hot shingles too
+        if inter >= 0.3 * sa.size && inter >= 0.3 * sb.size
+        j = rnd4(inter.toDouble / (sa.size + sb.size - inter)) if j >= 0.3
+      } yield a -> j
+      val want = pairs.groupBy(_._1)
+        .map { case (a, js) => a -> ((js.map(_._2).max, js.size.toLong)) }
+      assert(got == want,
+        s"trial $trial: only-got=${got.keySet -- want.keySet}, " +
+          s"only-want=${want.keySet -- got.keySet}, " +
+          s"value-diffs=${want.keySet.intersect(got.keySet).filter(k => got(k) != want(k))}")
+    }
+  }
+
   test("the same verb serves a winnowed-fingerprint index") {
     val path = tmpIndex("idx_winnow")
     Dedup.winnowingFingerprints(settled).withColumnRenamed("fp", "shingle")

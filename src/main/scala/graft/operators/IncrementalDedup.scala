@@ -118,11 +118,15 @@ object IncrementalDedup {
     * must RE-LIST its files per batch so batch t sees the fingerprints
     * batch t−1 admitted — a stream-static join would pin the listing at
     * query start. The stream carries ZERO Spark state (all state is the
-    * durable index), so checkpointing makes the loop restartable; the
-    * at-least-once caveat of plain parquet appends is a replayed batch
-    * duplicating admitted rows — the same-id exclusion in
-    * [[pairsAgainstIndex]] keeps the replay's admission DECISIONS
-    * unchanged, and an exactly-once sink would close the gap.
+    * durable index), so checkpointing makes the loop restartable. The
+    * at-least-once caveat of plain parquet appends: a replayed batch can
+    * duplicate admitted rows, and a doc admitted ALONGSIDE an intra-batch
+    * near-dup can flip to rejected on replay (its twin is now in the
+    * index — semantically consistent with settled-corpus-first, but not a
+    * byte-identical replay). The same-id exclusion in
+    * [[pairsAgainstIndex]] removes the worst artifact — a replayed doc
+    * rejecting against its OWN index entry; an exactly-once sink would
+    * close the rest.
     */
   def streamingIngest(docsStream: DataFrame, indexPath: String, admittedPath: String,
                       threshold: Double = 0.5): DataStreamWriter[Row] =
@@ -134,8 +138,8 @@ object IncrementalDedup {
   /** q64 fixture entry: settled corpus = doc_id % 7 ≠ 0, arriving shard =
     * the rest (~14%). The index is written once to a session scratch sink
     * and the shard dedups against the SINK — the settled corpus text is
-    * shingled exactly once, at index-build time (IndexSpec pins that the
-    * report's only file scans read the index path). */
+    * shingled exactly once, at index-build time (IncrementalDedupSpec
+    * pins that the report's only file scans read the index path). */
   def incrementalDedupReport(spark: SparkSession, dir: String,
                              threshold: Double = 0.5): DataFrame = {
     val docs = Tables.documents(spark, dir)

@@ -150,7 +150,12 @@ object SparkEntry {
     // transitive-closure oracle — candidate recall of the ~4.5×-smaller
     // fingerprint index is re-proven on every harness run, not assumed
     "q65_neardup_clusters_winnowed" -> ((s: SparkSession, d: String) =>
-      Dedup.nearDupClustersWinnowedFor(graft.Tables.documents(s, d)))
+      Dedup.nearDupClustersWinnowedFor(graft.Tables.documents(s, d))),
+    // q64 forced through the BUCKETED index (bucketBy shingle + sizes
+    // sidecar): per-ingest shuffle is O(shard) — the index streams
+    // bucket-aligned with no Exchange — same report, same oracle
+    "q66_incremental_dedup_bucketed" -> ((s: SparkSession, d: String) =>
+      graft.operators.IncrementalDedup.incrementalDedupReportBucketed(s, d))
   )
 
   /** Shared CTE chain ending in `pairs` = the exact-Jaccard near-dup pairs
@@ -173,6 +178,17 @@ object SparkEntry {
       |          WHERE round(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 4) >= 0.5)""".stripMargin
 
   private val jaccardPairCtes: String = jaccardPairCtesFrom("documents")
+
+  /** Cross-split incremental-dedup report under the ingest split (shared
+    * by q64 — plain parquet index — and q66, the bucketed index: the
+    * layout changes the shuffle, not the rows). */
+  private lazy val incrementalDedupSql: String =
+    s"""WITH $jaccardPairCtes,
+       |cross_pairs AS (
+       |  SELECT CASE WHEN doc_a % 7 = 0 THEN doc_a ELSE doc_b END AS doc_id, jaccard
+       |  FROM pairs WHERE (doc_a % 7 = 0) <> (doc_b % 7 = 0))
+       |SELECT doc_id, max(jaccard) AS max_jaccard, count(*) AS n_matches
+       |FROM cross_pairs GROUP BY doc_id""".stripMargin
 
   /** Transitive closure over the exact-Jaccard pair set (shared by q52 —
     * the LSH candidate route — and q65, the forced winnowed-candidate
@@ -627,15 +643,11 @@ object SparkEntry {
     // ingest split (shard = doc_id % 7 = 0, settled corpus = the rest),
     // aggregated per shard doc — the batch equivalent of deduping the
     // shard against the persisted shingle index
-    "q64_incremental_dedup" ->
-      s"""WITH $jaccardPairCtes,
-         |cross_pairs AS (
-         |  SELECT CASE WHEN doc_a % 7 = 0 THEN doc_a ELSE doc_b END AS doc_id, jaccard
-         |  FROM pairs WHERE (doc_a % 7 = 0) <> (doc_b % 7 = 0))
-         |SELECT doc_id, max(jaccard) AS max_jaccard, count(*) AS n_matches
-         |FROM cross_pairs GROUP BY doc_id""".stripMargin,
+    "q64_incremental_dedup" -> incrementalDedupSql,
     // identical contract to q52: the winnowed route only changes candidate
     // generation; scoring and clustering are the same exact computation
-    "q65_neardup_clusters_winnowed" -> neardupClustersSql
+    "q65_neardup_clusters_winnowed" -> neardupClustersSql,
+    // identical contract to q64: bucketing changes the shuffle, not the rows
+    "q66_incremental_dedup_bucketed" -> incrementalDedupSql
   )
 }

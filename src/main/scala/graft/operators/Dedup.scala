@@ -185,9 +185,13 @@ object Dedup {
     * size join runs. `hot` is caller-supplied because hotness is a
     * property of the caller's corpus (whole corpus for the self-join,
     * train ∪ eval for decontamination), not of either side alone.
+    * `sizesBOpt` lets a persisted-index caller supply the b side's
+    * per-doc sizes from a maintained sidecar instead of re-aggregating
+    * the (possibly corpus-sized) shingle relation.
     */
   private[operators] def jaccardPairsAcross(shA: DataFrame, shB: DataFrame, hot: DataFrame,
-                                            pairFilter: Column, threshold: Double): DataFrame = {
+                                            pairFilter: Column, threshold: Double,
+                                            sizesBOpt: Option[DataFrame] = None): DataFrame = {
     val rareA = shA.join(broadcast(hot), Seq("shingle"), "left_anti")
     val rareB = shB.join(broadcast(hot), Seq("shingle"), "left_anti")
     val interRare = rareA.select(col("doc_id").as("doc_a"), col("shingle"))
@@ -203,7 +207,8 @@ object Dedup {
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("inter_hot"))
     val sizesA = shA.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
-    val sizesB = shB.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+    val sizesB = sizesBOpt.getOrElse(
+      shB.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles")))
     interRare
       .join(interHot, Seq("doc_a", "doc_b"), "left")
       .withColumn("inter", col("inter_rare") + coalesce(col("inter_hot"), lit(0L)))

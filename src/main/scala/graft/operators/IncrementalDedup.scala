@@ -135,6 +135,91 @@ object IncrementalDedup {
         .write.mode("append").parquet(admittedPath): Unit
     }
 
+  // --- Bucketed index: the 100 TB form of the sink ---------------------
+  //
+  // The plain parquet index makes every per-ingest join on `shingle`
+  // shuffle the INDEX side — the settled corpus — into the join's
+  // partitioning, so ingest cost grows with the corpus, not the shard.
+  // Writing the index BUCKETED (and sorted) by `shingle` inverts that:
+  // the shard side shuffles into the index's bucketing and the index
+  // streams bucket-aligned from disk — per-ingest shuffle is O(shard),
+  // never O(corpus). A (doc_id, n_shingles) sizes sidecar is maintained
+  // alongside so the report's size join reads one row per settled doc
+  // instead of re-aggregating the shingle relation; the hot-shingle df is
+  // likewise a bucket-local aggregate on the index side. (q46's bucketed
+  // fact-fact join is the same layout argument applied to a query; this
+  // is it applied to a MAINTAINED index.)
+
+  private def shinglesTable(table: String) = table + "_shingles"
+  private def sizesTable(table: String) = table + "_sizes"
+
+  /** Build and persist the bucketed index + sizes sidecar (overwrite). */
+  def writeShingleIndexBucketed(docs: DataFrame, table: String,
+                                nBuckets: Int = 32): Unit = {
+    val spark = docs.sparkSession
+    val sh = Dedup.docShingles(docs).localCheckpoint(true)
+    graft.sources.Sources.resetWarehouseTable(spark, shinglesTable(table))
+    graft.sources.Sources.resetWarehouseTable(spark, sizesTable(table))
+    sh.write.mode("overwrite").format("parquet")
+      .bucketBy(nBuckets, "shingle").sortBy("shingle")
+      .saveAsTable(shinglesTable(table))
+    sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+      .write.mode("overwrite").format("parquet").saveAsTable(sizesTable(table))
+  }
+
+  /** Append a shard's shingles + sizes to the bucketed index. The append
+    * must restate the bucket spec (Spark validates it against the table);
+    * each append adds one file set per bucket — compaction cadence is the
+    * operator's call, the join stays bucket-aligned regardless. */
+  def appendShingleIndexBucketed(docs: DataFrame, table: String,
+                                 nBuckets: Int = 32): Unit = {
+    val sh = Dedup.docShingles(docs).localCheckpoint(true)
+    sh.write.mode("append").format("parquet")
+      .bucketBy(nBuckets, "shingle").sortBy("shingle")
+      .saveAsTable(shinglesTable(table))
+    sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+      .write.mode("append").format("parquet").saveAsTable(sizesTable(table))
+  }
+
+  /** The per-shard report against the BUCKETED index — identical contract
+    * to [[reportFor]], different physics: candidate generation sort-merge
+    * joins against the bucketed shingle table with no index-side
+    * Exchange; per-doc sizes come from the sidecar; corpus-wide hotness
+    * is the sum of a bucket-local index aggregate and the shard's own df
+    * (doc ids are disjoint across sides, so the two counts add exactly
+    * like the union-aggregate of the plain path). */
+  def reportForBucketed(newDocs: DataFrame, table: String,
+                        threshold: Double = 0.5, dfCap: Int = 1000): DataFrame = {
+    val spark = newDocs.sparkSession
+    val index = spark.table(shinglesTable(table))
+    val shN = Dedup.docShingles(newDocs).localCheckpoint(true)
+    val dfI = index.groupBy(col("shingle")).agg(count(lit(1)).as("dfi"))
+    val dfN = shN.groupBy(col("shingle")).agg(count(lit(1)).as("dfn"))
+    val hot = dfI.join(dfN, Seq("shingle"), "full_outer")
+      .filter(coalesce(col("dfi"), lit(0L)) + coalesce(col("dfn"), lit(0L)) > dfCap)
+      .select(col("shingle"))
+    Dedup.jaccardPairsAcross(shN, index, hot,
+        col("doc_a") =!= col("doc_b"), threshold,
+        sizesBOpt = Some(spark.table(sizesTable(table))))
+      .groupBy(col("doc_a").as("doc_id"))
+      .agg(max(col("jaccard")).as("max_jaccard"),
+        count(lit(1)).as("n_matches"))
+  }
+
+  /** q66 fixture entry: q64's split and oracle, forced through the
+    * bucketed index — the layout's shuffle inversion is re-proven against
+    * the same batch oracle every harness run. */
+  def incrementalDedupReportBucketed(spark: SparkSession, dir: String,
+                                     threshold: Double = 0.5): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val isNew = col("doc_id") % 7 === 0
+    val table = "graft_shidx_" +
+      java.lang.Integer.toHexString(dir.hashCode) + "_" +
+      graft.sources.Sources.sessionTag(spark)
+    writeShingleIndexBucketed(docs.filter(!isNew), table)
+    reportForBucketed(docs.filter(isNew), table, threshold)
+  }
+
   /** q64 fixture entry: settled corpus = doc_id % 7 ≠ 0, arriving shard =
     * the rest (~14%). The index is written once to a session scratch sink
     * and the shard dedups against the SINK — the settled corpus text is

@@ -215,28 +215,8 @@ object Relational {
       val lName = s"graft_lineitem_b${nBuckets}_$sfx"
       val key = s"$sfx|$nBuckets"
       if (!bucketedLayoutFor.get(key).contains(dir)) {
-        // the in-memory catalog forgets tables across sessions while their
-        // warehouse dirs persist; clear both so overwrite is idempotent,
-        // and register the dirs with the shutdown reaper — session-unique
-        // names mean no later run ever overwrites them, so without the
-        // reaper every JVM would permanently leak two bucketed tables
-        // into the warehouse dir
-        def reset(name: String): Unit = {
-          spark.sql(s"DROP TABLE IF EXISTS $name")
-          val wh = new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir"), name)
-          val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
-          fs.delete(wh, true): Unit
-          // the shutdown reaper deletes via java.io.File, so only LOCAL
-          // warehouse dirs are registered — and as absolute paths, so the
-          // delete never depends on shutdown-time CWD. A remote warehouse
-          // (hdfs/s3a) is the cluster operator's lifecycle to manage; a
-          // java.io.File "delete" of its path would silently no-op anyway.
-          val qualified = fs.makeQualified(wh).toUri
-          if (qualified.getScheme == "file")
-            graft.sources.Sources.registerForCleanup(new java.io.File(qualified).getAbsolutePath)
-        }
-        reset(oName)
-        reset(lName)
+        graft.sources.Sources.resetWarehouseTable(spark, oName)
+        graft.sources.Sources.resetWarehouseTable(spark, lName)
         Tables.orders(spark, dir)
           .select(col("o_orderkey"), col("o_orderstatus"), col("o_orderpriority"))
           .write.mode("overwrite").format("parquet")

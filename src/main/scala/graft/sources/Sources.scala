@@ -57,6 +57,26 @@ object Sources {
     scratchPaths.add(path): Unit
   }
 
+  /** Drop-and-delete a warehouse table so an overwrite is idempotent even
+    * though the in-memory catalog forgets tables across sessions while
+    * their warehouse dirs persist; LOCAL warehouse dirs also register with
+    * the shutdown reaper (session-unique names mean no later run ever
+    * overwrites them — without the reaper every JVM would leak its tables
+    * into the warehouse dir). Shared by every bucketed-layout builder. */
+  private[graft] def resetWarehouseTable(spark: SparkSession, name: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    val wh = new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir"), name)
+    val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(wh, true): Unit
+    // the reaper deletes via java.io.File, so only LOCAL warehouse dirs
+    // are registered — and as absolute paths, so the delete never depends
+    // on shutdown-time CWD. A remote warehouse (hdfs/s3a) is the cluster
+    // operator's lifecycle to manage.
+    val qualified = fs.makeQualified(wh).toUri
+    if (qualified.getScheme == "file")
+      registerForCleanup(new java.io.File(qualified).getAbsolutePath)
+  }
+
   /** The reference's label-CSV schema (FIXTURES.md §A1): path key + 5-label
     * vector. */
   val labelCsvSchema: StructType = StructType(Seq(

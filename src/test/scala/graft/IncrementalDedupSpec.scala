@@ -193,6 +193,78 @@ class IncrementalDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("bucketed index: same report, no index-side Exchange in the candidate join") {
+    val table = "graft_shidx_spec"
+    IncrementalDedup.writeShingleIndexBucketed(settled, table, nBuckets = 4)
+    val viaBucketed = IncrementalDedup.reportForBucketed(shard, table)
+      .select("doc_id", "max_jaccard", "n_matches")
+      .as[(Long, Double, Long)].collect().toSet
+    val path = tmpIndex("idx_vs_bucketed")
+    IncrementalDedup.writeShingleIndex(settled, path)
+    val viaPlain = IncrementalDedup
+      .reportFor(shard, IncrementalDedup.readShingleIndex(spark, path))
+      .select("doc_id", "max_jaccard", "n_matches")
+      .as[(Long, Double, Long)].collect().toSet
+    assert(viaBucketed == viaPlain)
+    // append maintenance: a second shard against the grown bucketed index
+    // must collide with the first shard's docs
+    IncrementalDedup.appendShingleIndexBucketed(
+      shard.filter(col("doc_id") >= 2000L), table, nBuckets = 4)
+    val dupOfAppended = Seq(5000L -> freshTexts(2001L))
+      .toDF("doc_id", "text")
+    val hit = IncrementalDedup.reportForBucketed(dupOfAppended, table)
+      .select("doc_id").as[Long].collect().toSet
+    assert(hit == Set(5000L), "appended docs must be visible to the next report")
+    // the layout pin: the candidate sort-merge join on `shingle` reads
+    // the bucketed index with NO Exchange under its index side (the shard
+    // side shuffles into the index's bucketing)
+    val prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = IncrementalDedup.reportForBucketed(shard, table)
+      df.collect()
+      val exec = df.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case p => p
+      }
+      // descend through AQE stage wrappers (collect() stops at
+      // QueryStageExec leaves) and reused exchanges
+      import org.apache.spark.sql.execution.SparkPlan
+      def kids(p: SparkPlan): Seq[SparkPlan] = p match {
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
+        case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => Seq(r.child)
+        case _ => p.children
+      }
+      def all(p: SparkPlan): Iterator[SparkPlan] =
+        Iterator.single(p) ++ kids(p).iterator.flatMap(all)
+      def subtree(p: SparkPlan, pred: SparkPlan => Boolean): Boolean =
+        all(p).exists(pred)
+      def isIndexScan(p: SparkPlan): Boolean = p match {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.relation.location.rootPaths.exists(_.toString.contains("_shingles"))
+        case _ => false
+      }
+      def isShuffle(p: SparkPlan): Boolean =
+        p.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeLike] ||
+          p.isInstanceOf[org.apache.spark.sql.execution.adaptive.ShuffleQueryStageExec]
+      val candidateJoins = all(exec).collect {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec
+            if j.leftKeys.size == 1 && subtree(j.right, isIndexScan) => j
+      }.toSeq
+      assert(candidateJoins.nonEmpty,
+        s"expected a single-key SMJ over the bucketed index:\n$exec")
+      val shuffled = candidateJoins.filter(j => subtree(j.right, isShuffle))
+      assert(shuffled.isEmpty,
+        s"index side of the candidate join must not shuffle:\n${shuffled.headOption}")
+      assert(subtree(exec, {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          isIndexScan(f) && f.bucketedScan
+        case _ => false
+      }), "the index scan must be a bucketed scan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+  }
+
   test("the same verb serves a winnowed-fingerprint index") {
     val path = tmpIndex("idx_winnow")
     Dedup.winnowingFingerprints(settled).withColumnRenamed("fp", "shingle")

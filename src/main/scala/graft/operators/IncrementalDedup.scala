@@ -206,6 +206,19 @@ object IncrementalDedup {
         count(lit(1)).as("n_matches"))
   }
 
+  /** One full ingest tick against the BUCKETED index — [[ingestShard]]
+    * with the O(shard) shuffle profile; the [[streamingIngest]]
+    * foreachBatch shape applies to this verb unchanged. */
+  def ingestShardBucketed(newDocs: DataFrame, table: String,
+                          threshold: Double = 0.5, nBuckets: Int = 32): DataFrame = {
+    val admitted = newDocs.join(
+        reportForBucketed(newDocs, table, threshold).select(col("doc_id")),
+        Seq("doc_id"), "left_anti")
+      .localCheckpoint(true)
+    appendShingleIndexBucketed(admitted, table, nBuckets)
+    admitted
+  }
+
   /** q66 fixture entry: q64's split and oracle, forced through the
     * bucketed index — the layout's shuffle inversion is re-proven against
     * the same batch oracle every harness run. */

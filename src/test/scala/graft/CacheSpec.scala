@@ -19,7 +19,8 @@ class CacheSpec extends AnyFunSuite {
   private val formerlyLeaky = Seq(
     "q17_ngram_jaccard", "q18_minhash_lsh", "q35_randomsplit_invariant",
     "q49_skewed_split_invariant", "q52_neardup_clusters",
-    "q59_decontamination", "q63_winnowing_pairs", "q64_incremental_dedup")
+    "q59_decontamination", "q63_winnowing_pairs", "q64_incremental_dedup",
+    "q65_neardup_clusters_winnowed", "q66_incremental_dedup_bucketed")
 
   test("no cached relation outlives its query") {
     spark.catalog.clearCache() // isolate from whatever another suite cached

@@ -265,6 +265,22 @@ class IncrementalDedupSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
   }
 
+  test("bucketed ingest loop: admitted docs extend the bucketed index for the next tick") {
+    val table = "graft_shidx_loop_spec"
+    IncrementalDedup.writeShingleIndexBucketed(settled, table, nBuckets = 4)
+    val admitted1 = IncrementalDedup.ingestShardBucketed(shard, table, nBuckets = 4)
+    assert(admitted1.select("doc_id").as[Long].collect().toSet ==
+      (0L until 10L).map(_ + 2000L).toSet)
+    val dupOfAdmitted = {
+      val toks = freshTexts(2003L).split(" ")
+      toks(30) = "qqqqq"
+      Seq(6000L -> toks.mkString(" "))
+    }.toDF("doc_id", "text")
+    val admitted2 = IncrementalDedup.ingestShardBucketed(dupOfAdmitted, table, nBuckets = 4)
+    assert(admitted2.count() == 0,
+      "a near-dup of a tick-1 admission must be rejected by the grown bucketed index")
+  }
+
   test("the same verb serves a winnowed-fingerprint index") {
     val path = tmpIndex("idx_winnow")
     Dedup.winnowingFingerprints(settled).withColumnRenamed("fp", "shingle")

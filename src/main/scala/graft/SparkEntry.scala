@@ -155,7 +155,23 @@ object SparkEntry {
     // sidecar): per-ingest shuffle is O(shard) — the index streams
     // bucket-aligned with no Exchange — same report, same oracle
     "q66_incremental_dedup_bucketed" -> ((s: SparkSession, d: String) =>
-      graft.operators.IncrementalDedup.incrementalDedupReportBucketed(s, d))
+      graft.operators.IncrementalDedup.incrementalDedupReportBucketed(s, d)),
+    // q64 forced through the WINNOWED fingerprint index (the D9×D10
+    // composition — the persisted sink the incremental loop keeps past 1M
+    // docs): candidates from the ~4.5×-smaller fp index, scoring exact
+    // full-shingle Jaccard over ONLY the candidate slice of the corpus
+    // store — same report, same oracle
+    "q67_incremental_dedup_winnowed" -> ((s: SparkSession, d: String) =>
+      graft.operators.IncrementalDedup.incrementalDedupReportWinnowed(s, d)),
+    // analytic window functions (§2.8): per-user lag/lead event gaps +
+    // rank/dense_rank by value — one user_id exchange, two in-partition
+    // sorts
+    "q68_analytic_windows" -> Relational.analyticEventWindows _,
+    // THREE cumulative ingest ticks under the oracle: each tick's
+    // admissions extend the index the next tick dedups against — the
+    // oracle replays the same loop in SQL, proving the append feeds t+1
+    "q69_incremental_dedup_multitick" -> ((s: SparkSession, d: String) =>
+      graft.operators.IncrementalDedup.incrementalDedupMultiTick(s, d))
   )
 
   /** Shared CTE chain ending in `pairs` = the exact-Jaccard near-dup pairs
@@ -189,6 +205,29 @@ object SparkEntry {
        |  FROM pairs WHERE (doc_a % 7 = 0) <> (doc_b % 7 = 0))
        |SELECT doc_id, max(jaccard) AS max_jaccard, count(*) AS n_matches
        |FROM cross_pairs GROUP BY doc_id""".stripMargin
+
+  /** DuckDB replay of q69's cumulative ingest loop: tick t reports shard
+    * doc_id % 7 = t against idx_t (settled ∪ admissions of ticks < t),
+    * and idx_{t+1} adds the tick-t docs that matched nothing — the exact
+    * SQL restatement of report-then-append. Built on the same `pairs` CTE
+    * as every Jaccard oracle. */
+  private lazy val incrementalMultiTickSql: String = {
+    def rep(t: Int) =
+      s"""rep$t AS (SELECT a AS doc_id, max(jaccard) AS max_jaccard, count(*) AS n_matches
+         |  FROM sym JOIN idx$t ON b = idx$t.doc_id WHERE a % 7 = $t GROUP BY a)""".stripMargin
+    def idx(t: Int) =
+      s"""idx$t AS (SELECT doc_id FROM idx${t - 1}
+         |  UNION ALL SELECT doc_id FROM documents WHERE doc_id % 7 = ${t - 1}
+         |    AND doc_id NOT IN (SELECT doc_id FROM rep${t - 1}))""".stripMargin
+    s"""WITH $jaccardPairCtes,
+       |sym AS (SELECT doc_a AS a, doc_b AS b, jaccard FROM pairs
+       |        UNION ALL SELECT doc_b, doc_a, jaccard FROM pairs),
+       |idx0 AS (SELECT doc_id FROM documents WHERE doc_id % 7 >= 3),
+       |${rep(0)}, ${idx(1)}, ${rep(1)}, ${idx(2)}, ${rep(2)}
+       |SELECT doc_id, max_jaccard, n_matches, CAST(0 AS INTEGER) AS tick FROM rep0
+       |UNION ALL SELECT doc_id, max_jaccard, n_matches, 1 FROM rep1
+       |UNION ALL SELECT doc_id, max_jaccard, n_matches, 2 FROM rep2""".stripMargin
+  }
 
   /** Transitive closure over the exact-Jaccard pair set (shared by q52 —
     * the LSH candidate route — and q65, the forced winnowed-candidate
@@ -648,6 +687,19 @@ object SparkEntry {
     // generation; scoring and clustering are the same exact computation
     "q65_neardup_clusters_winnowed" -> neardupClustersSql,
     // identical contract to q64: bucketing changes the shuffle, not the rows
-    "q66_incremental_dedup_bucketed" -> incrementalDedupSql
+    "q66_incremental_dedup_bucketed" -> incrementalDedupSql,
+    // identical contract to q64: the fingerprint index only changes
+    // candidate generation; scoring is the same exact full-shingle Jaccard
+    "q67_incremental_dedup_winnowed" -> incrementalDedupSql,
+    "q68_analytic_windows" ->
+      """SELECT user_id, event_id,
+        | CAST(epoch_ms(ts) - epoch_ms(lag(ts) OVER w) AS BIGINT) AS gap_ms,
+        | CAST(epoch_ms(lead(ts) OVER w) - epoch_ms(ts) AS BIGINT) AS next_gap_ms,
+        | rank() OVER v AS value_rank,
+        | dense_rank() OVER v AS value_dense_rank
+        |FROM (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events) e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+        |       v AS (PARTITION BY user_id ORDER BY value DESC)""".stripMargin,
+    "q69_incremental_dedup_multitick" -> incrementalMultiTickSql
   )
 }

@@ -64,22 +64,47 @@ class ArraySumAgg(dim: Int) extends Aggregator[Seq[Long], Array[Long], Seq[Long]
   * `build_weighted_fed_avg`). Input rows are (weight, vector); the result
   * is Σ w·v / Σ w as array<double>.
   *
+  * Model width is RUNTIME state, taken from each group's first row — a
+  * real model table's width is a property of the data, not a compile-time
+  * constant. Rows of differing widths in one group are a corrupt model
+  * table and fail fast (an element-wise mean over them has no meaning);
+  * `expectDim >= 0` additionally pins the width to a declared value.
+  * The zero buffer is the empty array (width not yet known): it is
+  * width-polymorphic in `merge`, exactly like the scalar 0 in a sum.
+  *
   * The buffer is one (sums, totalWeight) pair of model width — partial
   * aggregation makes the shuffle O(groups × width), independent of row
   * count, which is the `treeAggregate`-style two-level combine SURVEY §7.4
   * calls for.
   */
-class WeightedMeanAgg(dim: Int)
+class WeightedMeanAgg(expectDim: Int = -1)
     extends Aggregator[(Double, Seq[Float]), (Array[Double], Double), Seq[Double]] {
-  override def zero: (Array[Double], Double) = (Array.fill(dim)(0.0), 0.0)
+  private def checked(width: Int): Int = {
+    require(expectDim < 0 || width == expectDim,
+      s"model width $width != declared width $expectDim")
+    width
+  }
+  override def zero: (Array[Double], Double) = (Array.emptyDoubleArray, 0.0)
   override def reduce(b: (Array[Double], Double), r: (Double, Seq[Float])): (Array[Double], Double) = {
-    val (sums, w0) = b; val (w, v) = r
-    var i = 0; while (i < dim) { sums(i) += w * v(i); i += 1 }
+    val (sums0, w0) = b; val (w, v) = r
+    // zero-width rows are rejected outright so the empty array stays an
+    // unambiguous not-yet-initialized sentinel
+    require(v.nonEmpty, "zero-width model vector")
+    val sums = if (sums0.isEmpty) new Array[Double](checked(v.length)) else sums0
+    require(v.length == sums.length,
+      s"model width ${v.length} != group width ${sums.length}")
+    var i = 0; while (i < sums.length) { sums(i) += w * v(i); i += 1 }
     (sums, w0 + w)
   }
   override def merge(a: (Array[Double], Double), b: (Array[Double], Double)): (Array[Double], Double) = {
-    var i = 0; while (i < dim) { a._1(i) += b._1(i); i += 1 }
-    (a._1, a._2 + b._2)
+    if (a._1.isEmpty) (b._1, a._2 + b._2)
+    else if (b._1.isEmpty) (a._1, a._2 + b._2)
+    else {
+      require(a._1.length == b._1.length,
+        s"model width ${b._1.length} != group width ${a._1.length}")
+      var i = 0; while (i < a._1.length) { a._1(i) += b._1(i); i += 1 }
+      (a._1, a._2 + b._2)
+    }
   }
   override def finish(b: (Array[Double], Double)): Seq[Double] = {
     val (sums, w) = b

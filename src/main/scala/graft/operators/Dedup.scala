@@ -419,9 +419,17 @@ object Dedup {
     * a still-valid minimum index survives the window shift, so only the
     * entering element is compared). Guarantee: any shared substring of
     * length ≥ k + w − 1 characters yields ≥ 1 shared fingerprint;
-    * expected density is 2/(w+1) of the k-gram count, so the fingerprint
-    * index is ~(w+1)/2× smaller than a full shingle index at the same
-    * detection floor.
+    * expected density is 2/(w+1) of the CHARACTER k-gram count — the
+    * (w+1)/2× size reduction winnowing guarantees is vs the full k-gram
+    * index it samples. Vs the 3-TOKEN shingle index the ratio is
+    * ~2·c̄/(w+1) rows per shingle row (c̄ = chars per token incl.
+    * separator): measured 1.19× MORE rows at k=16/w=8 on the ~5.5-char-
+    * token fixture (309k fp vs 260k shingle rows at sf0.1) — the earlier
+    * "~4.5× smaller than the shingle table" claim here was wrong. The
+    * fp key is a fixed 8-byte long vs a ~16-char string, so join hashing
+    * is cheaper and per-row shuffle width ~2× narrower; a genuinely
+    * smaller index needs larger w (rows ∝ 1/(w+1)) at a proportionally
+    * higher detection floor k+w−1.
     */
   def winnow(text: String, k: Int = 16, w: Int = 8): Array[Long] = {
     require(k >= 2 && w >= 1, s"need k=$k >= 2 and w=$w >= 1")
@@ -477,9 +485,12 @@ object Dedup {
     * exact Jaccard over the WINNOWED fingerprint sets — the same
     * inverted-index → hot-correction → threshold-pushdown core as the
     * shingle pipeline ([[jaccardPairsAcross]]), but run over the
-    * 2/(w+1)-density fingerprint sample instead of the full shingle
-    * table, so index and join are ~(w+1)/2× smaller at the same
-    * detection floor (any shared run ≥ k+w−1 chars fingerprints). A raw
+    * 2/(w+1)-density fingerprint sample of the character k-grams instead
+    * of the full shingle table — fixed-width 8-byte keys, ~2× narrower
+    * shuffle rows, row count ~2·c̄/(w+1) per shingle row (see [[winnow]];
+    * ≈ 1.2× at k=16/w=8 on this fixture, shrinking ∝ 1/(w+1)) at
+    * detection floor k+w−1 chars (any shared run that long fingerprints).
+    * A raw
     * shared-count contract is useless on a common-vocabulary corpus —
     * every doc pair shares boilerplate k-grams — which is why the score
     * is Jaccard over fingerprint sets, thresholded like the shingle
@@ -502,10 +513,12 @@ object Dedup {
     winnowingPairsFor(Tables.documents(spark, dir), threshold = threshold)
 
   /** Exact near-dup pairs with WINNOWED candidate generation — the
-    * >[[MaxFullIndexDocs]] route: candidates share ≥ 1 non-hot winnowed
-    * fingerprint (the 2/(w+1)-density index, measured ~4.5× smaller than
-    * the full shingle table at k=16/w=8), and the score is the SAME exact
-    * Jaccard over FULL shingle sets as the LSH route
+    * >[[MaxFullIndexDocs]] route: candidates share ≥ `minSharedFp` non-hot
+    * winnowed fingerprints (the 2/(w+1)-density sample of character
+    * k-grams: fixed 8-byte keys and ~2× narrower rows than shingle
+    * strings, though ~1.2× MORE rows at k=16/w=8 on this fixture — see
+    * [[winnow]] for the honest size relation), and the score is the SAME
+    * exact Jaccard over FULL shingle sets as the LSH route
     * ([[jaccardForCandidates]]) — only candidate generation differs, so
     * every emitted pair keeps the exact contract. Candidate recall rests
     * on the winnowing guarantee (a shared run ≥ k+w−1 chars ⟹ a shared
@@ -997,8 +1010,9 @@ object Dedup {
   /** Doc count at and below which [[nearDupClusters]] keeps the
     * full-shingle MinHash-LSH candidate route. Above it the corpus pays
     * for its index size, and candidate generation moves to the winnowed
-    * fingerprint index — ~(w+1)/2× smaller at the same detection floor —
-    * while scoring stays exact full-shingle Jaccard either way. At the
+    * fingerprint index — fixed 8-byte keys, ~2× narrower rows, count
+    * tunable ∝ 1/(w+1) (see [[winnow]]) — while scoring stays exact
+    * full-shingle Jaccard either way. At the
     * default the fixture corpora (≤ ~60k docs) always take the LSH route,
     * so q52/q55 pin it while the forced q65 row pins the winnowed one.
     */

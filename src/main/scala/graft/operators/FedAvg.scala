@@ -19,11 +19,13 @@ object FedAvg {
   val Dim = 64
 
   /** Per-client weighted mean vectors via the custom WeightedMeanAgg
-    * Aggregator (map-side combined: the shuffle carries one 64-wide buffer
-    * per client per partition).
+    * Aggregator (map-side combined: the shuffle carries one model-width
+    * buffer per client per partition). Width comes from the data — the
+    * aggregator reads it off each group's first row and rejects mixed
+    * widths, so the verb accepts any model table as-is.
     */
   def clientMeans(spark: SparkSession, dir: String): DataFrame = {
-    val wmean = udaf(new WeightedMeanAgg(Dim))
+    val wmean = udaf(new WeightedMeanAgg())
     Tables.embeddings(spark, dir)
       .select(col("label").as("client_id"),
         (col("vec_id") % 10 + 1).cast("double").as("w"),

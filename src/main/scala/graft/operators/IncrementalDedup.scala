@@ -181,6 +181,63 @@ object IncrementalDedup {
       .write.mode("append").format("parquet").saveAsTable(sizesTable(table))
   }
 
+  /** Compact the bucketed index in place: rewrite the shingle table with
+    * ONE file per bucket and re-derive the sizes sidecar from the rewritten
+    * relation. [[appendShingleIndexBucketed]] adds a file set per bucket
+    * per ingest, so after K ticks every candidate SMJ opens K files per
+    * bucket and small-file overhead compounds — a continuously-ingesting
+    * pipeline hits this within days; this is the maintenance verb that
+    * resets it. Row-preserving by contract: compaction changes LAYOUT
+    * (file count, intra-bucket sort), never content, so the next report is
+    * bit-identical (the spec pins it).
+    *
+    * Mechanics: the explicit `repartition(nBuckets, shingle)` uses the
+    * SAME murmur3-pmod hash family as the bucketBy writer, so each output
+    * task holds exactly one bucket's rows and writes exactly one file —
+    * without it every task writes a sliver of every bucket and the rewrite
+    * re-creates the small-file problem it exists to fix. The compacted
+    * relation is staged under a scratch table name, then swapped in by
+    * catalog rename (the staged table keeps its bucket spec through the
+    * rename, so the Exchange-free join shape survives — pinned by spec).
+    * The swap is drop-then-rename, not atomic: a concurrent reader between
+    * the two statements sees a missing table, the visible failure — never
+    * a half-compacted one. A transactional metastore would close that
+    * window; the single-session fixture scope doesn't have one.
+    */
+  def compactShingleIndexBucketed(spark: SparkSession, table: String,
+                                  nBuckets: Int = 32): Unit = {
+    val shT = shinglesTable(table)
+    val szT = sizesTable(table)
+    val stagedSh = shT + "_compacting"
+    val stagedSz = szT + "_compacting"
+    graft.sources.Sources.resetWarehouseTable(spark, stagedSh)
+    graft.sources.Sources.resetWarehouseTable(spark, stagedSz)
+    // read the table's FILES, not the table: the catalog's bucket metadata
+    // makes the planner treat repartition-by-shingle as already satisfied
+    // and drop the shuffle, while the actual scan packs small files into
+    // partitions that MIX buckets — the rewrite would then re-emit one
+    // file set per task per bucket (measured: 4 tasks × 4 buckets from a
+    // 4-bucket source). A plain parquet scan carries no partitioning
+    // claim, so the aligning shuffle stays in the plan.
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(shT))
+    spark.read.schema(spark.table(shT).schema).parquet(meta.location.toString)
+      .repartition(nBuckets, col("shingle"))
+      .write.format("parquet")
+      .bucketBy(nBuckets, "shingle").sortBy("shingle")
+      .saveAsTable(stagedSh)
+    // sizes re-derived from the staged relation (not merged from the K
+    // per-tick appends): count-per-doc over what was ACTUALLY rewritten,
+    // so the sidecar can never drift from the table it describes
+    spark.table(stagedSh)
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+      .write.format("parquet").saveAsTable(stagedSz)
+    for ((staged, dst) <- Seq(stagedSh -> shT, stagedSz -> szT)) {
+      graft.sources.Sources.resetWarehouseTable(spark, dst)
+      spark.sql(s"ALTER TABLE $staged RENAME TO $dst")
+    }
+  }
+
   /** The per-shard report against the BUCKETED index — identical contract
     * to [[reportFor]], different physics: candidate generation sort-merge
     * joins against the bucketed shingle table with no index-side
@@ -219,6 +276,162 @@ object IncrementalDedup {
     admitted
   }
 
+  // --- Winnowed fingerprint index: the >1M-doc form of the sink ---------
+  //
+  // D9 persists full shingles; past [[Dedup.MaxFullIndexDocs]] the router
+  // (D10) generates candidates from winnowed fingerprints instead — so the
+  // INCREMENTAL index at that scale should be the fingerprint index: the
+  // same 8-byte-key inverted index the batch route builds per run, kept
+  // in a durable sink — fixed-width long keys (cheaper join hashing, ~2×
+  // narrower rows than shingle strings), row count ∝ 1/(w+1) and tunable
+  // by w, candidate sets bounded by the ≥2-shared-fp rule (Dedup.winnow
+  // documents the honest size relation vs the token-shingle index).
+  // Scoring stays EXACT full-shingle Jaccard: fingerprints
+  // nominate candidates, then the few candidate settled docs are looked up
+  // in the corpus store and re-shingled — the corpus-sized shingle
+  // relation is never materialized, only the candidate slice.
+
+  /** Build and persist the fingerprint index of `docs` (overwrite). */
+  def writeFpIndex(docs: DataFrame, path: String,
+                   k: Int = 16, w: Int = 8): Unit =
+    Dedup.winnowingFingerprints(docs, k, w).write.mode("overwrite").parquet(path)
+
+  /** Append a shard's fingerprints to the index sink. */
+  def appendFpIndex(docs: DataFrame, path: String,
+                    k: Int = 16, w: Int = 8): Unit =
+    Dedup.winnowingFingerprints(docs, k, w).write.mode("append").parquet(path)
+
+  /** Cross-side candidate pairs from the fingerprint index: (doc_a = new
+    * doc, doc_b = indexed doc) sharing ≥ `minShared` non-hot fingerprints.
+    * Hotness is corpus-wide (index ∪ shard df), mirroring
+    * [[pairsAgainstIndex]]; `minShared` = 2 rejects single-coincidence
+    * pairs — the dominant candidate mass on a common-vocabulary corpus —
+    * exactly as the batch route does (Dedup.winnowCandidateJaccardPairsFor).
+    */
+  private[operators] def fpCandidatesAgainstIndex(
+      fpNew: DataFrame, fpIndex: DataFrame,
+      dfCap: Int = 1000, minShared: Int = 2): DataFrame = {
+    val hot = fpNew.unionByName(fpIndex)
+      .groupBy(col("fp")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > dfCap).select(col("fp"))
+    val rareN = fpNew.join(broadcast(hot), Seq("fp"), "left_anti")
+    val rareI = fpIndex.join(broadcast(hot), Seq("fp"), "left_anti")
+    rareN.select(col("doc_id").as("doc_a"), col("fp"))
+      .join(rareI.select(col("doc_id").as("doc_b"), col("fp")), Seq("fp"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .select(col("doc_a"), col("doc_b"))
+  }
+
+  /** The per-shard report against the FINGERPRINT index — [[reportFor]]'s
+    * contract with D10's candidate generation: fingerprints nominate, the
+    * candidate settled docs are fetched from `settledDocs` (the corpus
+    * store — in a real pipeline, the training-data sink itself) by
+    * semi-join, and ONLY those docs are re-shingled for the exact Jaccard.
+    * The corpus store is read but never corpus-shingled: per ingest the
+    * shingling cost is O(shard + candidates), the join cost O(shard-fp ×
+    * index-fp on shared keys) — both independent of corpus text volume.
+    */
+  def reportForFpIndex(newDocs: DataFrame, fpIndex: DataFrame,
+                       settledDocs: DataFrame, threshold: Double = 0.5,
+                       k: Int = 16, w: Int = 8, minSharedFp: Int = 2,
+                       dfCap: Int = 1000): DataFrame = {
+    val fpN = Dedup.winnowingFingerprints(newDocs, k, w).localCheckpoint(true)
+    // eagerly pinned: the candidate set feeds both the corpus semi-join
+    // and the scoring join
+    val cand = fpCandidatesAgainstIndex(fpN, fpIndex, dfCap, minSharedFp)
+      .localCheckpoint(true)
+    val candIds = cand.select(col("doc_b").as("doc_id")).distinct()
+    val shCand = Dedup.docShingles(
+      settledDocs.join(candIds, Seq("doc_id"), "left_semi"))
+    Dedup.jaccardForCandidates(
+        cand, Dedup.docShingles(newDocs).unionByName(shCand), threshold)
+      .groupBy(col("doc_a").as("doc_id"))
+      .agg(max(col("jaccard")).as("max_jaccard"),
+        count(lit(1)).as("n_matches"))
+  }
+
+  /** One ingest tick against the fingerprint index: report → admit →
+    * append fingerprints to the index AND text to the corpus store (the
+    * same sink [[reportForFpIndex]] re-scores from — admitted docs must
+    * land there or the next tick's candidates have nothing to score
+    * against). */
+  def ingestShardWinnowed(newDocs: DataFrame, fpIndexPath: String,
+                          corpusPath: String, threshold: Double = 0.5,
+                          k: Int = 16, w: Int = 8): DataFrame = {
+    val spark = newDocs.sparkSession
+    val rep = reportForFpIndex(newDocs, readShingleIndex(spark, fpIndexPath),
+      spark.read.parquet(corpusPath), threshold, k, w)
+    val admitted = newDocs
+      .join(rep.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .localCheckpoint(true)
+    appendFpIndex(admitted, fpIndexPath, k, w)
+    admitted.write.mode("append").parquet(corpusPath)
+    admitted
+  }
+
+  // --- Exactly-once ingest: idempotent replay --------------------------
+  //
+  // [[streamingIngest]]'s plain appends are at-least-once: a replayed
+  // batch duplicates admitted rows, and a doc admitted alongside an
+  // intra-batch near-dup flips to rejected on replay (its twin is now
+  // indexed). The exactly-once form removes both by construction:
+  //   - both sinks are PARTITIONED by ingest_batch, and each batch
+  //     OVERWRITES its own partition (dynamic partition overwrite) — a
+  //     replay rewrites the same files instead of appending beside them;
+  //   - the index read EXCLUDES the current batch's own partition, so the
+  //     report is computed against exactly the pre-batch index whether or
+  //     not a prior attempt got as far as appending — the recompute is
+  //     deterministic, hence the overwrite is byte-identical.
+  // No manifest is needed: idempotence comes from deterministic recompute
+  // + self-partition overwrite, the same idea as Spark's own
+  // FileStreamSink log but expressed in the table layout.
+
+  /** Bootstrap the batch-partitioned shingle index (batch −1 = the settled
+    * corpus). */
+  def writeShingleIndexPartitioned(docs: DataFrame, path: String): Unit =
+    Dedup.docShingles(docs).withColumn("ingest_batch", lit(-1L))
+      .write.partitionBy("ingest_batch").mode("overwrite").parquet(path)
+
+  /** One idempotent ingest tick: report against every OTHER batch's index
+    * partitions, admit, overwrite this batch's own partition in both
+    * sinks. Safe to re-run with the same `batchId` any number of times —
+    * each run recomputes the same admitted set and rewrites the same
+    * partition directories. */
+  def ingestShardIdempotent(batch: DataFrame, batchId: Long, indexPath: String,
+                            admittedPath: String, threshold: Double = 0.5): DataFrame = {
+    val spark = batch.sparkSession
+    val index = spark.read.parquet(indexPath)
+      .filter(col("ingest_batch") =!= batchId)
+      .select(col("doc_id"), col("shingle"))
+    val admitted = batch
+      .join(reportFor(batch, index, threshold).select(col("doc_id")),
+        Seq("doc_id"), "left_anti")
+      .localCheckpoint(true) // pinned BEFORE the writes below
+    def overwriteOwnPartition(df: DataFrame, path: String): Unit =
+      df.withColumn("ingest_batch", lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("ingest_batch").parquet(path)
+    overwriteOwnPartition(Dedup.docShingles(admitted), indexPath)
+    overwriteOwnPartition(admitted, admittedPath)
+    admitted
+  }
+
+  /** [[streamingIngest]] with exactly-once replay semantics: the
+    * foreachBatch body is [[ingestShardIdempotent]] keyed by Spark's own
+    * batchId, so a batch replayed after a crash — whatever it managed to
+    * persist before dying — reproduces the no-failure sinks byte for
+    * byte (kill-and-replay pinned by spec). */
+  def streamingIngestExactlyOnce(docsStream: DataFrame, indexPath: String,
+                                 admittedPath: String,
+                                 threshold: Double = 0.5): DataStreamWriter[Row] =
+    docsStream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      ingestShardIdempotent(batch, batchId, indexPath, admittedPath, threshold): Unit
+    }
+
   /** q66 fixture entry: q64's split and oracle, forced through the
     * bucketed index — the layout's shuffle inversion is re-proven against
     * the same batch oracle every harness run. */
@@ -247,4 +460,57 @@ object IncrementalDedup {
     writeShingleIndex(docs.filter(!isNew), path)
     reportFor(docs.filter(isNew), readShingleIndex(spark, path), threshold)
   }
+
+  /** q67 fixture entry: q64's split and oracle, with the FINGERPRINT index
+    * as the persisted sink (the D9×D10 composition — what the incremental
+    * loop runs past [[Dedup.MaxFullIndexDocs]] docs). Candidate recall of
+    * the winnowed index is re-proven against the exact cross-split oracle
+    * on every harness run, exactly as q65 re-proves the batch route. */
+  def incrementalDedupReportWinnowed(spark: SparkSession, dir: String,
+                                     threshold: Double = 0.5): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val isNew = col("doc_id") % 7 === 0
+    val path = graft.sources.Sources.scratchDir(spark,
+      "fp_index_" + java.lang.Integer.toHexString(dir.hashCode))
+    writeFpIndex(docs.filter(!isNew), path)
+    reportForFpIndex(docs.filter(isNew), readShingleIndex(spark, path),
+      docs.filter(!isNew), threshold)
+  }
+
+  /** q69 fixture entry: THREE ingest ticks under the oracle — shards
+    * doc_id % 7 ∈ {0, 1, 2} arrive in order against a settled corpus of
+    * the rest, each tick's report is computed BEFORE its admissions extend
+    * the index, and the union of per-tick reports is checked against a
+    * DuckDB replay of the same cumulative loop. q64 proves one tick;
+    * this row proves the APPEND feeds tick t+1 (a doc near-duplicating a
+    * tick-0 admission must be flagged at tick 1 with the oracle agreeing).
+    */
+  def incrementalDedupMultiTick(spark: SparkSession, dir: String,
+                                threshold: Double = 0.5): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val mod = col("doc_id") % 7
+    val path = graft.sources.Sources.scratchDir(spark,
+      "shingle_index_mt_" + java.lang.Integer.toHexString(dir.hashCode))
+    writeShingleIndex(docs.filter(mod >= 3), path)
+    multiTickReport((0 to 2).map(t => docs.filter(mod === t)), path, threshold)
+  }
+
+  /** The cumulative ingest loop over an ordered shard sequence: per tick,
+    * report against the CURRENT index, admit the unflagged docs, append
+    * their shingles — so tick t+1's index carries tick t's admissions.
+    * Returns the union of per-tick reports with a `tick` column. Each
+    * tick's report and admitted set are eagerly pinned before the append:
+    * their lazy plans read the very index files the append extends. */
+  def multiTickReport(shards: Seq[DataFrame], indexPath: String,
+                      threshold: Double = 0.5, dfCap: Int = 1000): DataFrame =
+    shards.zipWithIndex.map { case (shard, t) =>
+      val spark = shard.sparkSession
+      val rep = reportFor(shard, readShingleIndex(spark, indexPath),
+        threshold, dfCap).localCheckpoint(true)
+      val admitted = shard
+        .join(rep.select(col("doc_id")), Seq("doc_id"), "left_anti")
+        .localCheckpoint(true)
+      appendShingleIndex(admitted, indexPath)
+      rep.withColumn("tick", lit(t))
+    }.reduce(_.unionByName(_))
 }

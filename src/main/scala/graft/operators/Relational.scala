@@ -156,6 +156,32 @@ object Relational {
       .select(col("o_orderpriority"), col("rn"), col("o_orderkey"), col("o_totalprice"))
   }
 
+  /** §2.8 analytic window functions — lag/lead/rank/dense_rank over the
+    * event log: per-user inter-event gaps (lag/lead over the event-time
+    * order, event_id tiebreak → deterministic under equal timestamps) and
+    * per-user value ranking (rank/dense_rank over value alone, so ties
+    * share a rank — adding a tiebreak would collapse rank to row_number).
+    *
+    * Scale shape: ONE hash partition on user_id feeds both window specs —
+    * the second Window re-sorts within partitions (value desc vs ts) but
+    * never re-shuffles, since partitioning is identical; at 100 TB the
+    * cost is two in-partition sorts over one exchange. Ranks are cast to
+    * long so the engine-independent contract (DuckDB emits BIGINT) is the
+    * declared schema, not an accident of Spark's int ranks.
+    */
+  def analyticEventWindows(spark: SparkSession, dir: String): DataFrame = {
+    val byTime  = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val byValue = Window.partitionBy(col("user_id")).orderBy(col("value").desc)
+    Tables.events(spark, dir).select(
+      col("user_id"), col("event_id"),
+      (unix_millis(col("ts")) - unix_millis(lag(col("ts"), 1).over(byTime)))
+        .as("gap_ms"),
+      (unix_millis(lead(col("ts"), 1).over(byTime)) - unix_millis(col("ts")))
+        .as("next_gap_ms"),
+      rank().over(byValue).cast("long").as("value_rank"),
+      dense_rank().over(byValue).cast("long").as("value_dense_rank"))
+  }
+
   /** Global sort + limit with total order. */
   def topOrdersGlobal(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)

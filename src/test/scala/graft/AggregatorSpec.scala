@@ -34,6 +34,47 @@ class AggregatorSpec extends AnyFunSuite {
     assert(got._2 == Seq(0.0, 0.0))
   }
 
+  test("WeightedMeanAgg takes model width from the data (no declared width)") {
+    val wmean = udaf(new WeightedMeanAgg())
+    val df = Seq(
+      ("a", 1.0, Seq(2.0f, 4.0f, 6.0f)),
+      ("a", 1.0, Seq(4.0f, 6.0f, 8.0f)),
+      ("b", 2.0, Seq(1.0f))
+    ).toDF("client", "w", "vec")
+    val got = df.groupBy($"client").agg(wmean($"w", $"vec").as("m"))
+      .as[(String, Seq[Double])].collect().toMap
+    // widths differ ACROSS groups (3 vs 1) — each group takes its own
+    assert(got("a") == Seq(3.0, 5.0, 7.0))
+    assert(got("b") == Seq(1.0))
+  }
+
+  test("WeightedMeanAgg rejects mixed widths within a group") {
+    val wmean = udaf(new WeightedMeanAgg())
+    val df = Seq(
+      ("a", 1.0, Seq(1.0f, 2.0f)),
+      ("a", 1.0, Seq(1.0f, 2.0f, 3.0f))
+    ).toDF("client", "w", "vec")
+    val e = intercept[org.apache.spark.SparkException] {
+      df.groupBy($"client").agg(wmean($"w", $"vec").as("m")).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("width")),
+      s"expected a model-width error, got: ${messages(e)}")
+  }
+
+  test("WeightedMeanAgg with a declared width rejects other widths") {
+    val wmean = udaf(new WeightedMeanAgg(4))
+    val df = Seq(("a", 1.0, Seq(1.0f, 2.0f))).toDF("client", "w", "vec")
+    val e = intercept[org.apache.spark.SparkException] {
+      df.groupBy($"client").agg(wmean($"w", $"vec").as("m")).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("declared width")),
+      s"expected a declared-width error, got: ${messages(e)}")
+  }
+
   test("ArrayMinAgg is the element-wise min across rows") {
     val minAgg = udaf(new ArrayMinAgg(3))
     val df = Seq(

@@ -218,6 +218,15 @@ class IncrementalDedupSpec extends AnyFunSuite {
     // the layout pin: the candidate sort-merge join on `shingle` reads
     // the bucketed index with NO Exchange under its index side (the shard
     // side shuffles into the index's bucketing)
+    assertBucketedJoinShape(table)
+  }
+
+  /** Runs the bucketed report with broadcast disabled and pins the layout
+    * contract: a single-key SMJ whose index side reads the bucketed
+    * `_shingles` table with NO Exchange (the shard side shuffles into the
+    * index's bucketing). Shared by the fresh-index and post-compaction
+    * tests. */
+  private def assertBucketedJoinShape(table: String): Unit = {
     val prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
@@ -279,6 +288,239 @@ class IncrementalDedupSpec extends AnyFunSuite {
     val admitted2 = IncrementalDedup.ingestShardBucketed(dupOfAdmitted, table, nBuckets = 4)
     assert(admitted2.count() == 0,
       "a near-dup of a tick-1 admission must be rejected by the grown bucketed index")
+  }
+
+  /** A shard of `n` fresh docs over a disjoint vocabulary drawn from
+    * [charBase, charBase+13); returns the rows so tests can plant
+    * near-dups of them. */
+  private def freshDocs(seed: Int, charBase: Char, idBase: Long,
+                        n: Int = 8): Seq[(Long, String)] = {
+    val rnd = new scala.util.Random(seed)
+    def word() = (0 until 5).map(_ => (charBase + rnd.nextInt(13)).toChar).mkString
+    val vocab = Vector.fill(200)(word())
+    (0L until n.toLong).map(i =>
+      (idBase + i) -> (0 until 60).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
+  }
+
+  private def swapped(text: String, token: String = "wwwww"): String = {
+    val toks = text.split(" ")
+    toks(30) = token
+    toks.mkString(" ")
+  }
+
+  test("compaction: one file per bucket, identical report, join shape intact") {
+    val table = "graft_shidx_compact_spec"
+    IncrementalDedup.writeShingleIndexBucketed(settled, table, nBuckets = 4)
+    val tick2 = freshDocs(31, 'A', 7000L)
+    val tick3 = freshDocs(37, 'N', 8000L)
+    IncrementalDedup.ingestShardBucketed(shard, table, nBuckets = 4)
+    IncrementalDedup.ingestShardBucketed(tick2.toDF("doc_id", "text"), table, nBuckets = 4)
+    IncrementalDedup.ingestShardBucketed(tick3.toDF("doc_id", "text"), table, nBuckets = 4)
+    // probe near-duplicates one doc from the settled corpus and one from
+    // each tick's admissions: the report must see ALL of them, before and
+    // after compaction
+    val probe = Seq(
+      9000L -> swapped(settled.filter(col("doc_id") === 0L)
+        .select("text").as[String].head()),
+      9001L -> swapped(freshTexts(2004L)),
+      9002L -> swapped(tick2(1)._2),
+      9003L -> swapped(tick3(2)._2)).toDF("doc_id", "text")
+    def report() = IncrementalDedup.reportForBucketed(probe, table)
+      .select("doc_id", "max_jaccard", "n_matches")
+      .as[(Long, Double, Long)].collect().toSet
+    def dataFiles(name: String): Int = {
+      val wh = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), name)
+      val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(wh).count(f => !f.getPath.getName.startsWith("_"))
+    }
+    val before = report()
+    assert(before.map(_._1) == Set(9000L, 9001L, 9002L, 9003L),
+      s"probe must hit settled + every tick's admissions: $before")
+    val filesBefore = dataFiles(table + "_shingles")
+    IncrementalDedup.compactShingleIndexBucketed(spark, table, nBuckets = 4)
+    val filesAfter = dataFiles(table + "_shingles")
+    // bootstrap + 3 appends each wrote a file set per bucket; the rewrite
+    // repartitions onto the bucket hash so each bucket is exactly one file
+    assert(filesAfter < filesBefore && filesAfter <= 4,
+      s"expected <= 4 files after compaction, had $filesBefore, got $filesAfter")
+    assert(report() == before, "compaction must not change the report")
+    // the merged sizes sidecar stays one row per doc
+    val dupSizes = spark.table(table + "_sizes")
+      .groupBy(col("doc_id")).count().filter(col("count") > 1).count()
+    assert(dupSizes == 0)
+    // and the Exchange-free candidate-join layout survives the rename
+    assertBucketedJoinShape(table)
+  }
+
+  test("fingerprint-index report == plain-shingle-index report on the planted corpus") {
+    val fpPath = tmpIndex("fp_eq")
+    IncrementalDedup.writeFpIndex(settled, fpPath)
+    val viaFp = IncrementalDedup.reportForFpIndex(shard,
+        IncrementalDedup.readShingleIndex(spark, fpPath), settled)
+      .select("doc_id", "max_jaccard", "n_matches")
+      .as[(Long, Double, Long)].collect().toSet
+    val shPath = tmpIndex("sh_vs_fp")
+    IncrementalDedup.writeShingleIndex(settled, shPath)
+    val viaSh = IncrementalDedup.reportFor(shard,
+        IncrementalDedup.readShingleIndex(spark, shPath))
+      .select("doc_id", "max_jaccard", "n_matches")
+      .as[(Long, Double, Long)].collect().toSet
+    assert(viaFp == viaSh,
+      s"only-fp=${viaFp -- viaSh}, only-sh=${viaSh -- viaFp}")
+  }
+
+  test("winnowed ingest loop: admissions extend the fp index AND the corpus store") {
+    val fpPath = tmpIndex("fp_loop")
+    val corpusPath = tmpIndex("fp_corpus")
+    settled.write.mode("overwrite").parquet(corpusPath)
+    IncrementalDedup.writeFpIndex(settled, fpPath)
+    val admitted1 = IncrementalDedup.ingestShardWinnowed(shard, fpPath, corpusPath)
+    assert(admitted1.select("doc_id").as[Long].collect().toSet ==
+      (0L until 10L).map(_ + 2000L).toSet)
+    // tick 2: a near-dup of a tick-1 admission must be rejected — its
+    // fingerprints are in the index and its TEXT is in the corpus store
+    // for the exact re-score; a genuinely new doc still passes
+    val tick2 = (freshDocs(41, 'A', 9100L, n = 1) :+
+      (9200L -> swapped(freshTexts(2002L), "qqqqq"))).toDF("doc_id", "text")
+    val admitted2 = IncrementalDedup.ingestShardWinnowed(tick2, fpPath, corpusPath)
+    assert(admitted2.select("doc_id").as[Long].collect().toSet == Set(9100L))
+  }
+
+  test("winnowed index density: ~2/(w+1) of the k-gram count; rows tunable by w") {
+    val nKgrams = settled.select(sum(greatest(length(col("text")) - 15, lit(0))))
+      .as[Long].head()
+    val nFp8 = Dedup.winnowingFingerprints(settled, k = 16, w = 8).count()
+    val nFp32 = Dedup.winnowingFingerprints(settled, k = 16, w = 32).count()
+    val nSh = Dedup.docShingles(settled).count()
+    // winnowing theory: expected density 2/(w+1) of k-gram positions
+    // (distinct-set dedup shaves a little)
+    val d8 = nFp8.toDouble / nKgrams
+    assert(d8 > 1.4 / 9 && d8 < 2.6 / 9, s"w=8 density $d8 outside band")
+    // the honest size relation this index REPLACES the shingle index
+    // under: at k=16/w=8 on ~6-char tokens there are MORE fp rows than
+    // 3-token-shingle rows (density is per CHARACTER k-gram); the row
+    // count shrinks ∝ 1/(w+1), so w=32 is genuinely smaller
+    assert(nFp8 > nSh, s"expected fp rows ($nFp8) > shingle rows ($nSh) at w=8")
+    assert(nFp32 < nSh, s"expected fp rows ($nFp32) < shingle rows ($nSh) at w=32")
+    assert(nFp32 < nFp8 / 2.5, s"w=32 must cut w=8's rows ~3.7x: $nFp32 vs $nFp8")
+  }
+
+  test("multi-tick report equals a cumulative driver-side mirror on random corpora") {
+    val rnd = new scala.util.Random(29)
+    def rnd4(x: Double) =
+      BigDecimal.decimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    (0 until 2).foreach { trial =>
+      val vocab = Vector.fill(12)((0 until 4).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString)
+      val docs = (0L until 36L).map(i =>
+        i -> (0 until (5 + rnd.nextInt(20))).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      val settledRows = docs.filter(_._1 % 4 == 3)
+      val shardRows = (0 to 2).map(t => docs.filter(_._1 % 4 == t))
+      val path = tmpIndex(s"idx_mt$trial")
+      IncrementalDedup.writeShingleIndex(settledRows.toDF("doc_id", "text"), path)
+      val got = IncrementalDedup.multiTickReport(
+          shardRows.map(_.toDF("doc_id", "text")), path, threshold = 0.3, dfCap = 7)
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(3)) -> ((r.getDouble(1), r.getLong(2))))
+        .toMap
+      def shingles(t: String) = {
+        val toks = t.split(" ", -1)
+        if (toks.length < 3) Set.empty[String] else toks.sliding(3).map(_.mkString(" ")).toSet
+      }
+      val sets = docs.map { case (i, t) => i -> shingles(t) }.toMap
+      var idx = settledRows.map(_._1).toSet
+      val want = scala.collection.mutable.Map.empty[(Long, Int), (Double, Long)]
+      for (t <- 0 to 2) {
+        val shardIds = shardRows(t).map(_._1)
+        // hotness is per-tick corpus-wide: df over index ∪ THIS shard
+        val hotSh = (idx ++ shardIds).toSeq.flatMap(sets)
+          .groupBy(identity).collect { case (s, os) if os.size > 7 => s }.toSet
+        val js = for {
+          a <- shardIds
+          b <- idx.toSeq
+          sa = sets(a); sb = sets(b)
+          if ((sa & sb) -- hotSh).nonEmpty
+          inter = (sa & sb).size
+          if inter >= 0.3 * sa.size && inter >= 0.3 * sb.size
+          j = rnd4(inter.toDouble / (sa.size + sb.size - inter)) if j >= 0.3
+        } yield a -> j
+        js.groupBy(_._1).foreach { case (a, hits) =>
+          want((a, t)) = (hits.map(_._2).max, hits.size.toLong)
+        }
+        idx ++= shardIds.filterNot(js.map(_._1).toSet)
+      }
+      assert(got == want.toMap,
+        s"trial $trial: only-got=${got.keySet -- want.keySet}, " +
+          s"only-want=${want.keySet -- got.keySet}, " +
+          s"diffs=${want.keySet.intersect(got.keySet).filter(k => got(k) != want(k))}")
+    }
+  }
+
+  test("exactly-once ingest: a replayed batch reproduces both sinks byte for byte") {
+    val idxPath = tmpIndex("xo_idx")
+    val admPath = tmpIndex("xo_adm")
+    IncrementalDedup.writeShingleIndexPartitioned(settled, idxPath)
+    val admitted0 = IncrementalDedup.ingestShardIdempotent(shard, 0L, idxPath, admPath)
+    assert(admitted0.select("doc_id").as[Long].collect().toSet ==
+      (0L until 10L).map(_ + 2000L).toSet)
+    // batch 1: an intra-batch near-dup pair (BOTH admitted — the settled-
+    // corpus-first contract never checks a shard against itself), a
+    // near-dup of a batch-0 admission (rejected), and a fresh doc
+    val fresh1 = freshDocs(43, 'A', 5000L, n = 2)
+    val b1 = (fresh1 :+ (5100L -> swapped(fresh1.head._2, "qqqqq")) :+
+      (5200L -> swapped(freshTexts(2003L), "qqqqq"))).toDF("doc_id", "text")
+    val admitted1 = IncrementalDedup.ingestShardIdempotent(b1, 1L, idxPath, admPath)
+    assert(admitted1.select("doc_id").as[Long].collect().toSet ==
+      Set(5000L, 5001L, 5100L))
+    def admSnap() = spark.read.parquet(admPath)
+      .select("doc_id", "ingest_batch").as[(Long, Int)].collect().toSeq.sorted
+    def idxSnap() = spark.read.parquet(idxPath)
+      .select("doc_id", "shingle", "ingest_batch").as[(Long, String, Int)]
+      .collect().toSeq.sorted
+    val adm1 = admSnap()
+    val idx1 = idxSnap()
+    // worst-case replay: the first attempt persisted EVERYTHING (index
+    // partition + admitted partition) before the checkpoint commit was
+    // lost. The at-least-once loop would now reject 5100 (its twin 5000
+    // is indexed) and duplicate every admitted row; the idempotent form
+    // must reproduce the no-failure state exactly.
+    IncrementalDedup.ingestShardIdempotent(b1, 1L, idxPath, admPath)
+    assert(admSnap() == adm1, "admitted sink changed under replay")
+    assert(idxSnap() == idx1, "index changed under replay")
+  }
+
+  test("exactly-once streaming ingest drains like the batch loop") {
+    val idxPath = tmpIndex("xo_stream_idx")
+    val admPath = tmpIndex("xo_stream_adm")
+    IncrementalDedup.writeShingleIndexPartitioned(settled, idxPath)
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_xo_src").toString
+    def addFile(df: org.apache.spark.sql.DataFrame, name: String, mtime: Long): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_xo_stage").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_")).get
+      val dst = new java.io.File(srcDir, name)
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      assert(dst.setLastModified(mtime))
+    }
+    val dupOfAdmitted = (0L until 3L).map { i =>
+      (i + 6000L) -> swapped(freshTexts(i + 2000L), "qqqqq")
+    }
+    val genuinelyNew = freshDocs(47, 'N', 6500L, n = 1)
+    val t0 = System.currentTimeMillis() - 60000
+    addFile(shard, "b1.parquet", t0)
+    addFile((dupOfAdmitted ++ genuinelyNew).toDF("doc_id", "text"), "b2.parquet", t0 + 10000)
+    val stream = spark.readStream.schema(settled.schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+    val q = IncrementalDedup.streamingIngestExactlyOnce(stream, idxPath, admPath)
+      .option("checkpointLocation",
+        graft.sources.Sources.scratchDir(spark, "xo_ingest_ckpt"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    assert(!q.isActive, "exactly-once ingest stream did not drain within 120s")
+    val admitted = spark.read.parquet(admPath)
+      .select("doc_id").as[Long].collect().toSet
+    assert(admitted == (0L until 10L).map(_ + 2000L).toSet + 6500L, s"got $admitted")
   }
 
   test("the same verb serves a winnowed-fingerprint index") {

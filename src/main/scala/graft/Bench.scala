@@ -13,11 +13,28 @@ package graft
   * layout work like q46's bucketed ingest to ingest, not to the join being
   * measured). Failures are reported explicitly (negative time + an
   * `errors` map), never recorded as fake sub-second successes.
+  *
+  * Host-load evidence: this host carries a variable background load that
+  * has produced 2–9× single-query swings on untouched code in past rounds
+  * (BENCH_NOTES.md). Each timed run samples /proc/loadavg immediately
+  * before it starts, and the JSON carries a `loads` map (per-query list of
+  * 1-minute load averages, one per run) so a regressed number can be
+  * attributed to contention — or not — from the artifact itself instead of
+  * a follow-up session. SPARK_GRAFT_BENCH_RUNS overrides the per-query
+  * run count (default 2; best-of-3 for attribution runs).
   */
 object Bench {
+  /** 1-minute load average sampled from /proc/loadavg (−1 if unreadable). */
+  private def load1(): Double =
+    try {
+      val src = scala.io.Source.fromFile("/proc/loadavg")
+      try src.mkString.split(" ")(0).toDouble finally src.close()
+    } catch { case _: Throwable => -1.0 }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val nRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt.max(1)
     val spark = GraftSession.local("graft-bench", cpus)
     // Steady-state warmup: JIT/codegen compilation and parquet footer reads
     // otherwise land entirely on whichever query happens to run first,
@@ -28,8 +45,10 @@ object Bench {
     spark.range(1000000).groupBy((org.apache.spark.sql.functions.col("id") % 7).as("k"))
       .count().write.format("noop").mode("overwrite").save()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    val loads = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
     val results = SparkEntry.queries.map { case (name, fn) =>
       def once(): Double = {
+        loads(name) = loads.getOrElse(name, Seq.empty) :+ load1()
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
@@ -43,14 +62,13 @@ object Bench {
         spark.catalog.clearCache()
         if (ok) dt else -dt
       }
-      val r1 = once()
       // a failing query is not retried: its first error is the report
-      val r2 = if (r1 > 0) once() else r1
-      val best =
-        if (r1 > 0 && r2 > 0) math.min(r1, r2)
-        else math.max(r1, r2) // at least one failed: keep a success if any
-      // a kept success must not also sit in the errors map (run-2 flake):
-      // the contract is positive time XOR an errors entry
+      val runs = scala.collection.mutable.ArrayBuffer.empty[Double]
+      while (runs.size < nRuns && runs.forall(_ > 0)) runs += once()
+      val ok = runs.filter(_ > 0)
+      val best = if (ok.nonEmpty) ok.min else runs.max
+      // a kept success must not also sit in the errors map (late-run
+      // flake): the contract is positive time XOR an errors entry
       if (best > 0) errors.remove(name)
       name -> best
     }
@@ -59,8 +77,10 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => "\"" + esc(k) + "\":\"" + esc(v) + "\"" }
       .mkString("{", ",", "}")
+    val loadJson = loads.map { case (k, vs) => "\"" + k + "\":" + vs.mkString("[", ",", "]") }
+      .mkString("{", ",", "}")
     val total = results.values.filter(_ > 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"n_failed":${errors.size},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"n_failed":${errors.size},"loads":$loadJson,"n_runs":$nRuns,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -902,9 +902,11 @@ object Dedup {
     * At the fixpoint the edge set is a disjoint union of stars whose
     * centers are the component minima, so labels read off as
     * min-lo-per-hi. Convergence is detected by EXACT set equality across
-    * one full alternation (count gate + one-direction containment on the
-    * checkpointed, distinct edge relations — sound, and the same cost
-    * class as a stats compare); the returned labeling is additionally
+    * one full alternation, decided by ONE action per round (a left-join
+    * aggregate over the checkpointed, distinct edge relations yields
+    * |new| and |new ∖ old| together; with the previous count remembered,
+    * both equality conditions read off one row); the returned labeling is
+    * additionally
     * VALIDATED: every original edge must connect identically-labeled
     * vertices, else throw.
     * An unconverged or inconsistent label table silently mislabels
@@ -945,8 +947,19 @@ object Dedup {
         .select(col("lo").as("hi"), col("m").as("lo"))
         .union(sMins.select(col("hi"), col("m").as("lo")))
         .distinct().localCheckpoint(true)
-      val ssCount = ss.count()
-      converged = ssCount == eCount && ss.exceptAll(e).isEmpty
+      // ONE action decides set equality (was count + exceptAll, two): ss
+      // and e are distinct checkpointed relations, so |ss| = |e| together
+      // with ss ∖ e = ∅ is equality, and both quantities fall out of a
+      // single left-join aggregate over the checkpointed blocks
+      val row = ss
+        .join(e.select(col("hi"), col("lo"), lit(1).as("in_prev")),
+          Seq("hi", "lo"), "left")
+        .agg(count(lit(1)).as("n"),
+          coalesce(sum(when(col("in_prev").isNull, 1L).otherwise(0L)), lit(0L))
+            .as("novel"))
+        .head()
+      val ssCount = row.getLong(0)
+      converged = ssCount == eCount && row.getLong(1) == 0L
       e = ss
       eCount = ssCount
       iter += 1

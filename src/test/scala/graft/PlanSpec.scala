@@ -50,6 +50,16 @@ class PlanSpec extends AnyFunSuite {
       s"expected an equi-join on (user_id, bucket):\n$plan")
   }
 
+  test("q68 analytic windows: one exchange feeds both window specs") {
+    val df = Relational.analyticEventWindows(spark, TestSpark.Sf0001)
+    val plan = planOf(df)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1,
+      s"both window specs share user_id partitioning — expected exactly 1 exchange, got $exchanges:\n$plan")
+    val windows = "Window".r.findAllIn(plan).length
+    assert(windows >= 2, s"expected two Window operators:\n$plan")
+  }
+
   test("q57 exact quantiles: selection over the histogram, never a per-language corpus sort") {
     val plan = planOf(graft.operators.TextAnalysis.qualityQuantiles(spark, TestSpark.Sf0001))
     assert(!plan.contains("row_number"),

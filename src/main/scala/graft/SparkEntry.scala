@@ -171,7 +171,13 @@ object SparkEntry {
     // admissions extend the index the next tick dedups against — the
     // oracle replays the same loop in SQL, proving the append feeds t+1
     "q69_incremental_dedup_multitick" -> ((s: SparkSession, d: String) =>
-      graft.operators.IncrementalDedup.incrementalDedupMultiTick(s, d))
+      graft.operators.IncrementalDedup.incrementalDedupMultiTick(s, d)),
+    // the bucketed EXACTLY-ONCE tick replayed (attempt + replay, same
+    // batch id) with the admitted sink as the result: the oracle's exact
+    // row-set compare proves idempotent replay — a duplicated or flipped
+    // admission fails the harness itself
+    "q70_incremental_dedup_xo_replay" -> ((s: SparkSession, d: String) =>
+      graft.operators.IncrementalDedup.incrementalDedupXOReplay(s, d))
   )
 
   /** Shared CTE chain ending in `pairs` = the exact-Jaccard near-dup pairs
@@ -700,6 +706,15 @@ object SparkEntry {
         |FROM (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events) e
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
         |       v AS (PARTITION BY user_id ORDER BY value DESC)""".stripMargin,
-    "q69_incremental_dedup_multitick" -> incrementalMultiTickSql
+    "q69_incremental_dedup_multitick" -> incrementalMultiTickSql,
+    // the admitted complement of q64's report: shard docs flagged by NO
+    // settled doc — replayed ingestion must reproduce exactly this set
+    "q70_incremental_dedup_xo_replay" ->
+      s"""WITH $jaccardPairCtes,
+         |flagged AS (
+         |  SELECT DISTINCT CASE WHEN doc_a % 7 = 0 THEN doc_a ELSE doc_b END AS doc_id
+         |  FROM pairs WHERE (doc_a % 7 = 0) <> (doc_b % 7 = 0))
+         |SELECT doc_id FROM documents
+         |WHERE doc_id % 7 = 0 AND doc_id NOT IN (SELECT doc_id FROM flagged)""".stripMargin
   )
 }

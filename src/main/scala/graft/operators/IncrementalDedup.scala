@@ -432,6 +432,94 @@ object IncrementalDedup {
       ingestShardIdempotent(batch, batchId, indexPath, admittedPath, threshold): Unit
     }
 
+  // --- Exactly-once × bucketed: the 100 TB ingest loop ------------------
+  //
+  // The two scale properties composed: the index table is PARTITIONED by
+  // ingest_batch AND BUCKETED by shingle, so per-ingest the candidate SMJ
+  // still streams the index bucket-aligned (O(shard) shuffle), and replay
+  // is idempotent by COMPENSATION — each attempt first deletes its own
+  // batch's partition directories (deterministically named by batch id),
+  // so however far a crashed attempt got, the recompute runs against
+  // exactly the pre-batch index and the re-append rebuilds the same
+  // partition. The admitted sink overwrites its own partition as in
+  // [[ingestShardIdempotent]]. Unlike the plain exactly-once form (which
+  // filters its own partition out at read), the bucketed form compensates
+  // up front because a bucketed table append cannot be partition-
+  // overwritten through the writer API — deleting the deterministic
+  // partition dir is the transactionally-equivalent move.
+
+  /** Bootstrap the batch-partitioned bucketed index (+sizes sidecar);
+    * batch −1 = the settled corpus. */
+  def writeShingleIndexBucketedXO(docs: DataFrame, table: String,
+                                  nBuckets: Int = 32): Unit = {
+    val spark = docs.sparkSession
+    val sh = Dedup.docShingles(docs).localCheckpoint(true)
+    graft.sources.Sources.resetWarehouseTable(spark, shinglesTable(table))
+    graft.sources.Sources.resetWarehouseTable(spark, sizesTable(table))
+    sh.withColumn("ingest_batch", lit(-1L))
+      .write.format("parquet").partitionBy("ingest_batch")
+      .bucketBy(nBuckets, "shingle").sortBy("shingle")
+      .saveAsTable(shinglesTable(table))
+    sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+      .withColumn("ingest_batch", lit(-1L))
+      .write.format("parquet").partitionBy("ingest_batch")
+      .saveAsTable(sizesTable(table))
+  }
+
+  /** Delete one batch's partition directory of a managed table and refresh
+    * the table's file listing — the compensation step of the bucketed
+    * exactly-once tick. */
+  private def dropBatchPartition(spark: SparkSession, tableName: String,
+                                 batchId: Long): Unit = {
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(tableName)).location)
+    val dir = new org.apache.hadoop.fs.Path(loc, s"ingest_batch=$batchId")
+    dir.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(dir, true)
+    spark.catalog.refreshTable(tableName)
+  }
+
+  /** One idempotent ingest tick against the BUCKETED index: compensate
+    * (drop own partitions) → report (bucket-aligned SMJ, O(shard)
+    * shuffle) → admit → append own partition to index + sizes → overwrite
+    * own partition of the admitted sink. Safe to re-run with the same
+    * `batchId` any number of times. */
+  def ingestShardBucketedXO(batch: DataFrame, batchId: Long, table: String,
+                            admittedPath: String, threshold: Double = 0.5,
+                            nBuckets: Int = 32): DataFrame = {
+    val spark = batch.sparkSession
+    for (t <- Seq(shinglesTable(table), sizesTable(table)))
+      dropBatchPartition(spark, t, batchId)
+    val rep = reportForBucketed(batch, table, threshold)
+    val admitted = batch
+      .join(rep.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .localCheckpoint(true) // pinned BEFORE the writes below
+    val sh = Dedup.docShingles(admitted).localCheckpoint(true)
+    sh.withColumn("ingest_batch", lit(batchId))
+      .write.mode("append").format("parquet").partitionBy("ingest_batch")
+      .bucketBy(nBuckets, "shingle").sortBy("shingle")
+      .saveAsTable(shinglesTable(table))
+    sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+      .withColumn("ingest_batch", lit(batchId))
+      .write.mode("append").format("parquet").partitionBy("ingest_batch")
+      .saveAsTable(sizesTable(table))
+    admitted.withColumn("ingest_batch", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("ingest_batch").parquet(admittedPath)
+    admitted
+  }
+
+  /** The streaming form: [[streamingIngestExactlyOnce]]'s replay contract
+    * at [[ingestShardBucketedXO]]'s shuffle profile. */
+  def streamingIngestBucketedXO(docsStream: DataFrame, table: String,
+                                admittedPath: String, threshold: Double = 0.5,
+                                nBuckets: Int = 32): DataStreamWriter[Row] =
+    docsStream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      ingestShardBucketedXO(batch, batchId, table, admittedPath,
+        threshold, nBuckets): Unit
+    }
+
   /** q66 fixture entry: q64's split and oracle, forced through the
     * bucketed index — the layout's shuffle inversion is re-proven against
     * the same batch oracle every harness run. */
@@ -475,6 +563,27 @@ object IncrementalDedup {
     writeFpIndex(docs.filter(!isNew), path)
     reportForFpIndex(docs.filter(isNew), readShingleIndex(spark, path),
       docs.filter(!isNew), threshold)
+  }
+
+  /** q70 fixture entry: the bucketed exactly-once tick REPLAYED under the
+    * oracle. The shard is ingested twice with the same batch id — attempt
+    * then replay — and the ADMITTED SINK is returned: the oracle (shard
+    * docs minus the cross-split report's flagged ids) is an exact row-set
+    * compare, so a duplicated admitted row or a replay-flipped admission
+    * fails the harness, not just a spec. */
+  def incrementalDedupXOReplay(spark: SparkSession, dir: String,
+                               threshold: Double = 0.5): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val isNew = col("doc_id") % 7 === 0
+    val hex = java.lang.Integer.toHexString(dir.hashCode)
+    val table = "graft_shidx_xo_" + hex + "_" +
+      graft.sources.Sources.sessionTag(spark)
+    val admPath = graft.sources.Sources.scratchDir(spark, "xo_admitted_" + hex)
+    writeShingleIndexBucketedXO(docs.filter(!isNew), table)
+    val shard = docs.filter(isNew)
+    ingestShardBucketedXO(shard, 0L, table, admPath, threshold)
+    ingestShardBucketedXO(shard, 0L, table, admPath, threshold) // replay
+    spark.read.parquet(admPath).select(col("doc_id"))
   }
 
   /** q69 fixture entry: THREE ingest ticks under the oracle — shards

@@ -523,6 +523,57 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(admitted == (0L until 10L).map(_ + 2000L).toSet + 6500L, s"got $admitted")
   }
 
+  test("bucketed exactly-once: replay reproduces sinks, join stays bucket-aligned") {
+    val table = "graft_shidx_xo_spec"
+    val admPath = tmpIndex("xo_bk_adm")
+    IncrementalDedup.writeShingleIndexBucketedXO(settled, table, nBuckets = 4)
+    val admitted0 = IncrementalDedup
+      .ingestShardBucketedXO(shard, 0L, table, admPath, nBuckets = 4)
+    assert(admitted0.select("doc_id").as[Long].collect().toSet ==
+      (0L until 10L).map(_ + 2000L).toSet)
+    // batch 1: intra-batch near-dup pair (both admitted), a near-dup of a
+    // batch-0 admission (rejected), and a fresh doc — same plant as the
+    // plain exactly-once test
+    val fresh1 = freshDocs(53, 'A', 5300L, n = 2)
+    val b1 = (fresh1 :+ (5400L -> swapped(fresh1.head._2, "qqqqq")) :+
+      (5500L -> swapped(freshTexts(2005L), "qqqqq"))).toDF("doc_id", "text")
+    val admitted1 = IncrementalDedup
+      .ingestShardBucketedXO(b1, 1L, table, admPath, nBuckets = 4)
+    assert(admitted1.select("doc_id").as[Long].collect().toSet ==
+      Set(5300L, 5301L, 5400L))
+    def admSnap() = spark.read.parquet(admPath)
+      .select("doc_id", "ingest_batch").as[(Long, Int)].collect().toSeq.sorted
+    def idxSnap() = spark.table(table + "_shingles")
+      .select("doc_id", "shingle", "ingest_batch").as[(Long, String, Long)]
+      .collect().toSeq.sorted
+    val adm1 = admSnap(); val idx1 = idxSnap()
+    // worst-case replay of batch 1: everything already persisted
+    IncrementalDedup.ingestShardBucketedXO(b1, 1L, table, admPath, nBuckets = 4)
+    assert(admSnap() == adm1, "admitted sink changed under replay")
+    assert(idxSnap() == idx1, "bucketed index changed under replay")
+    // partial-failure compensation: plant garbage in batch 2's partition
+    // (as a crashed attempt would leave) — the tick must sweep it and
+    // produce exactly what a clean batch-2 run produces
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(table + "_shingles")).location)
+    val orphanDir = new org.apache.hadoop.fs.Path(loc, "ingest_batch=2")
+    val fs = orphanDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq(999999L -> "orphan shingle row from a crashed attempt")
+      .toDF("doc_id", "shingle").coalesce(1)
+      .write.mode("overwrite").parquet(orphanDir.toString)
+    spark.catalog.refreshTable(table + "_shingles")
+    val b2 = freshDocs(59, 'N', 5600L, n = 1).toDF("doc_id", "text")
+    val admitted2 = IncrementalDedup
+      .ingestShardBucketedXO(b2, 2L, table, admPath, nBuckets = 4)
+    assert(admitted2.select("doc_id").as[Long].collect().toSet == Set(5600L))
+    assert(spark.table(table + "_shingles")
+      .filter(col("doc_id") === 999999L).count() == 0,
+      "compensation must sweep a crashed attempt's partition")
+    // and the composed layout keeps the bucket-aligned candidate join
+    assertBucketedJoinShape(table)
+  }
+
   test("the same verb serves a winnowed-fingerprint index") {
     val path = tmpIndex("idx_winnow")
     Dedup.winnowingFingerprints(settled).withColumnRenamed("fp", "shingle")

@@ -177,7 +177,11 @@ object SparkEntry {
     // row-set compare proves idempotent replay — a duplicated or flipped
     // admission fails the harness itself
     "q70_incremental_dedup_xo_replay" -> ((s: SparkSession, d: String) =>
-      graft.operators.IncrementalDedup.incrementalDedupXOReplay(s, d))
+      graft.operators.IncrementalDedup.incrementalDedupXOReplay(s, d)),
+    // frame-based window aggregates (§2.8): ROWS BETWEEN moving average +
+    // running sum/count — both frames share one partitioning and order,
+    // so they fold into ONE Window operator (one exchange, one sort)
+    "q71_frame_windows" -> Relational.frameEventWindows _
   )
 
   /** Shared CTE chain ending in `pairs` = the exact-Jaccard near-dup pairs
@@ -715,6 +719,16 @@ object SparkEntry {
          |  SELECT DISTINCT CASE WHEN doc_a % 7 = 0 THEN doc_a ELSE doc_b END AS doc_id
          |  FROM pairs WHERE (doc_a % 7 = 0) <> (doc_b % 7 = 0))
          |SELECT doc_id FROM documents
-         |WHERE doc_id % 7 = 0 AND doc_id NOT IN (SELECT doc_id FROM flagged)""".stripMargin
+         |WHERE doc_id % 7 = 0 AND doc_id NOT IN (SELECT doc_id FROM flagged)""".stripMargin,
+    "q71_frame_windows" ->
+      """SELECT user_id, event_id,
+        | round(avg(value) OVER wa, 4) AS moving_avg3,
+        | round(sum(value) OVER wc, 2) AS running_sum,
+        | count(*) OVER wc AS running_n
+        |FROM (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events) e
+        |WINDOW wa AS (PARTITION BY user_id ORDER BY ts, event_id
+        |              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+        |       wc AS (PARTITION BY user_id ORDER BY ts, event_id
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin
   )
 }

@@ -182,6 +182,27 @@ object Relational {
       dense_rank().over(byValue).cast("long").as("value_dense_rank"))
   }
 
+  /** §2.8 frame-based window aggregates — ROWS BETWEEN frames over the
+    * event log: per-user 3-event moving average and running sum/count,
+    * the sessionless trend/cumulation shapes of event analytics. Both
+    * frames share one partitioning AND one ordering (ts, event_id total
+    * order), so Catalyst folds them into a single Window operator: one
+    * exchange, one sort, both aggregates in one pass (PlanSpec-pinned).
+    * Sums are rounded at 2dp (running sums reach ~5e4; IEEE association
+    * differences sit at ~1e-11, far inside the rounding), the 3-row
+    * moving average at 4dp — the q30 parity discipline applied to frames.
+    */
+  def frameEventWindows(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val last3 = w.rowsBetween(-2, Window.currentRow)
+    val toHere = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir).select(
+      col("user_id"), col("event_id"),
+      round(avg(col("value")).over(last3), 4).as("moving_avg3"),
+      round(sum(col("value")).over(toHere), 2).as("running_sum"),
+      count(lit(1)).over(toHere).as("running_n"))
+  }
+
   /** Global sort + limit with total order. */
   def topOrdersGlobal(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)

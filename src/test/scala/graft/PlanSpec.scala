@@ -60,6 +60,17 @@ class PlanSpec extends AnyFunSuite {
     assert(windows >= 2, s"expected two Window operators:\n$plan")
   }
 
+  test("q71 frame windows: both frames fold into one Window, one exchange, one sort") {
+    val df = Relational.frameEventWindows(spark, TestSpark.Sf0001)
+    val plan = planOf(df)
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1,
+      s"expected exactly 1 exchange:\n$plan")
+    assert("Window".r.findAllIn(plan).length == 1,
+      s"same partitioning+ordering must fold into ONE Window operator:\n$plan")
+    assert("Sort ".r.findAllIn(plan).length == 1,
+      s"expected exactly 1 sort:\n$plan")
+  }
+
   test("q57 exact quantiles: selection over the histogram, never a per-language corpus sort") {
     val plan = planOf(graft.operators.TextAnalysis.qualityQuantiles(spark, TestSpark.Sf0001))
     assert(!plan.contains("row_number"),

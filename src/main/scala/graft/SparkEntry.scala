@@ -181,7 +181,13 @@ object SparkEntry {
     // frame-based window aggregates (§2.8): ROWS BETWEEN moving average +
     // running sum/count — both frames share one partitioning and order,
     // so they fold into ONE Window operator (one exchange, one sort)
-    "q71_frame_windows" -> Relational.frameEventWindows _
+    "q71_frame_windows" -> Relational.frameEventWindows _,
+    // hierarchical aggregation (§2.4): ROLLUP subtotal levels in ONE
+    // Expand + one hash agg — one pass over the fact table
+    "q72_rollup_pricing" -> Relational.rollupPricing _,
+    // long-to-wide pivot with DECLARED values (no distinct-values job —
+    // the 100 TB-safe form); missing combos are 0 per the SQL semantics
+    "q73_pivot_events" -> Relational.pivotEventCounts _
   )
 
   /** Shared CTE chain ending in `pairs` = the exact-Jaccard near-dup pairs
@@ -729,6 +735,20 @@ object SparkEntry {
         |WINDOW wa AS (PARTITION BY user_id ORDER BY ts, event_id
         |              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
         |       wc AS (PARTITION BY user_id ORDER BY ts, event_id
-        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
+    "q72_rollup_pricing" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        | round(sum(l_quantity), 2) AS sum_qty,
+        | CAST(grouping(l_returnflag) AS INTEGER) AS g_flag,
+        | CAST(grouping(l_linestatus) AS INTEGER) AS g_status
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    "q73_pivot_events" ->
+      """SELECT user_id,
+        | count(*) FILTER (WHERE event_type = 'click') AS click,
+        | count(*) FILTER (WHERE event_type = 'error') AS error,
+        | count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        | count(*) FILTER (WHERE event_type = 'signup') AS signup,
+        | count(*) FILTER (WHERE event_type = 'view') AS view
+        |FROM events GROUP BY user_id""".stripMargin
   )
 }

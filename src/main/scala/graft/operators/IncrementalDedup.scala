@@ -203,6 +203,17 @@ object IncrementalDedup {
     * the two statements sees a missing table, the visible failure — never
     * a half-compacted one. A transactional metastore would close that
     * window; the single-session fixture scope doesn't have one.
+    *
+    * Scope: this verb targets the UNPARTITIONED bucketed index
+    * ([[writeShingleIndexBucketed]]). The exactly-once table
+    * ([[writeShingleIndexBucketedXO]]) additionally partitions by
+    * ingest_batch, and compacting it correctly must fold only batches the
+    * streaming checkpoint has COMMITTED into the settled partition
+    * (batch −1) while leaving later partitions intact — a replayable
+    * in-flight batch whose partition was folded away would re-admit
+    * against a corpus that silently absorbed it. That fold needs the
+    * checkpoint's committed-offset knowledge, which lives with the
+    * operator of the stream, not this library verb.
     */
   def compactShingleIndexBucketed(spark: SparkSession, table: String,
                                   nBuckets: Int = 32): Unit = {

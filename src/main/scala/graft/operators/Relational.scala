@@ -203,6 +203,38 @@ object Relational {
       count(lit(1)).over(toHere).as("running_n"))
   }
 
+  /** §2.4 hierarchical aggregation — ROLLUP over (returnflag, linestatus)
+    * with grouping() flags disambiguating genuine NULL keys from subtotal
+    * rows. Spark plans rollup (and cube — same machinery) as ONE Expand +
+    * one hash aggregate: each input row fans out to its grouping sets
+    * before the single shuffle, so the subtotal levels cost one pass over
+    * the fact table, not one scan per level.
+    */
+  def rollupPricing(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        grouping(col("l_returnflag")).cast("int").as("g_flag"),
+        grouping(col("l_linestatus")).cast("int").as("g_status"))
+
+  /** §2.4 pivot — long-to-wide conditional aggregation: per-user event
+    * counts, one column per event type. The pivot values are DECLARED
+    * (the fixture's closed event-type vocabulary), which skips the
+    * extra distinct-values job Spark otherwise runs before planning —
+    * at 100 TB an unbounded pivot is a driver-side cardinality hazard,
+    * a declared one is a single groupBy. Missing combinations are 0, not
+    * null (na.fill), matching the conditional-count SQL semantics.
+    */
+  def pivotEventCounts(spark: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+      .na.fill(0L, types)
+  }
+
   /** Global sort + limit with total order. */
   def topOrdersGlobal(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)

@@ -187,7 +187,10 @@ object SparkEntry {
     "q72_rollup_pricing" -> Relational.rollupPricing _,
     // long-to-wide pivot with DECLARED values (no distinct-values job —
     // the 100 TB-safe form); missing combos are 0 per the SQL semantics
-    "q73_pivot_events" -> Relational.pivotEventCounts _
+    "q73_pivot_events" -> Relational.pivotEventCounts _,
+    // AS-OF join (§2.3 J5): purchase→latest-prior-view attribution as a
+    // union-tag + one-exchange window scan — no inequality nested loop
+    "q74_asof_join" -> Relational.asOfPurchaseViews _
   )
 
   /** Shared CTE chain ending in `pairs` = the exact-Jaccard near-dup pairs
@@ -749,6 +752,22 @@ object SparkEntry {
         | count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
         | count(*) FILTER (WHERE event_type = 'signup') AS signup,
         | count(*) FILTER (WHERE event_type = 'view') AS view
-        |FROM events GROUP BY user_id""".stripMargin
+        |FROM events GROUP BY user_id""".stripMargin,
+    // independent formulation on purpose: the oracle states the match as
+    // a correlated top-1 lookup (LATERAL ... ORDER BY ... LIMIT 1), not a
+    // replay of the engine's union+window algorithm
+    "q74_asof_join" ->
+      """WITH ev AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events),
+        | l AS (SELECT * FROM ev WHERE event_type = 'purchase'),
+        | r AS (SELECT * FROM ev WHERE event_type = 'view')
+        |SELECT l.event_id AS purchase_id, l.user_id, l.value AS purchase_value,
+        | m.view_id, m.view_value, m.gap_ms
+        |FROM l LEFT JOIN LATERAL (
+        |  SELECT r.event_id AS view_id, r.value AS view_value,
+        |    CAST(epoch_ms(l.ts) - epoch_ms(r.ts) AS BIGINT) AS gap_ms
+        |  FROM r
+        |  WHERE r.user_id = l.user_id
+        |    AND (r.ts < l.ts OR (r.ts = l.ts AND r.event_id < l.event_id))
+        |  ORDER BY r.ts DESC, r.event_id DESC LIMIT 1) m ON TRUE""".stripMargin
   )
 }

@@ -378,6 +378,70 @@ object Relational {
       .agg(count(lit(1)).as("n_pairs"))
   }
 
+  /** [EXT] AS-OF join (SURVEY §2.3 J5; the "latest state at time t" join
+    * every event/attribution pipeline runs): for each left row, attach the
+    * payload of the LATEST right row with the same key strictly before it
+    * in (time, tie) order; left rows with no prior right row keep a null
+    * payload. `tie` must be unique across both inputs (the fixture's
+    * event_id is) so the order — and therefore the match — is total and
+    * deterministic even under equal timestamps.
+    *
+    * Scale shape: the naive plan is an inequality join — a per-key
+    * nested loop, quadratic in the key's history and un-pushable. This
+    * form instead UNION-tags the two inputs, hash-partitions ONCE on the
+    * key, sorts each partition by (time, tie), and takes
+    * `last(payload, ignoreNulls)` over the rows-preceding frame: one
+    * Exchange + one sort + one Window regardless of how many right rows
+    * precede each left row. Spark evaluates `last` over the growing
+    * frame incrementally (DeclarativeAggregate), so a partition costs
+    * O(rows), not O(rows²). Skew is bounded by the hottest key's history
+    * — the same exposure as any per-key window, salt-able if a key is
+    * genuinely pathological.
+    */
+  def asOfJoin(left: DataFrame, right: DataFrame,
+               key: String, time: String, tie: String,
+               leftPayload: Seq[String], rightPayload: Seq[String]): DataFrame = {
+    val coord = Seq(key, time, tie)
+    // payload columns that are coordinates already ride in the prefix
+    val lStruct = struct((coord ++ leftPayload.filterNot(coord.contains)).map(col): _*)
+    val rStruct = struct((coord ++ rightPayload.filterNot(coord.contains)).map(col): _*)
+    val l = left.select(col(key), col(time), col(tie), lit(1).as("__side"),
+      lStruct.as("__l"), lit(null).cast(right.select(rStruct).schema.head.dataType).as("__r"))
+    val r = right.select(col(key), col(time), col(tie), lit(0).as("__side"),
+      lit(null).cast(left.select(lStruct).schema.head.dataType).as("__l"), rStruct.as("__r"))
+    // frame ends at -1: the match must be STRICTLY before the left row,
+    // and right rows tie-ranked below a left row at equal time are still
+    // admitted because `tie` uniqueness makes (time, tie) a total order
+    val w = Window.partitionBy(col(key)).orderBy(col(time), col(tie))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    l.unionByName(r)
+      .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(col("__l"), col("__m"))
+  }
+
+  /** q74 — purchase→view attribution via [[asOfJoin]]: each purchase event
+    * matched to the same user's latest strictly-preceding view, with the
+    * elapsed gap in ms (null when the user never viewed before buying).
+    * Values pass through unrounded — they are stored doubles, not
+    * recomputed floats, so both engines emit the identical bits.
+    */
+  def asOfPurchaseViews(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val joined = asOfJoin(
+      ev.filter(col("event_type") === "purchase"),
+      ev.filter(col("event_type") === "view"),
+      key = "user_id", time = "ts", tie = "event_id",
+      leftPayload = Seq("value"), rightPayload = Seq("event_id", "value"))
+    joined.select(
+      col("__l.event_id").as("purchase_id"),
+      col("__l.user_id").as("user_id"),
+      col("__l.value").as("purchase_value"),
+      col("__m.event_id").as("view_id"),
+      col("__m.value").as("view_value"),
+      (unix_millis(col("__l.ts")) - unix_millis(col("__m.ts"))).as("gap_ms"))
+  }
+
   /** P2/P3/P6/P7 — string surface on documents: concat path-prefix
     * (reference /root/reference/src/preprocessing_pipeline.py:265-268),
     * literal replace (/root/reference/src/federated_learning_pipeline.py:31),

@@ -71,6 +71,16 @@ class PlanSpec extends AnyFunSuite {
       s"expected exactly 1 sort:\n$plan")
   }
 
+  test("q74 as-of join: one exchange + one window, never an inequality nested loop") {
+    val plan = planOf(Relational.asOfPurchaseViews(spark, TestSpark.Sf0001))
+    assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"),
+      s"as-of must not plan as an inequality join:\n$plan")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1,
+      s"union-tag form needs exactly 1 exchange (user_id):\n$plan")
+    assert("Window".r.findAllIn(plan).length == 1,
+      s"expected exactly one Window operator:\n$plan")
+  }
+
   test("q57 exact quantiles: selection over the histogram, never a per-language corpus sort") {
     val plan = planOf(graft.operators.TextAnalysis.qualityQuantiles(spark, TestSpark.Sf0001))
     assert(!plan.contains("row_number"),

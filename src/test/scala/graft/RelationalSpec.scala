@@ -62,6 +62,29 @@ class RelationalSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
   }
 
+  test("q74 as-of join matches the brute-force latest-prior match") {
+    val ev = Tables.events(spark, TestSpark.Sf0001)
+      .select(col("event_id"), col("user_id"), unix_millis(col("ts")).as("ms"),
+        col("event_type"), col("value"))
+      .as[(Long, Long, Long, String, Double)].collect()
+    val views = ev.filter(_._4 == "view")
+    val expected = ev.filter(_._4 == "purchase").map { case (pid, uid, pms, _, pv) =>
+      // latest view strictly before the purchase in (ts, event_id) order
+      val prior = views.filter(v => v._2 == uid
+        && (v._3 < pms || (v._3 == pms && v._1 < pid)))
+      val m = if (prior.isEmpty) None
+        else Some(prior.maxBy(v => (v._3, v._1)))
+      (pid, uid, pv, m.map(_._1), m.map(_._5), m.map(pms - _._3))
+    }.toSet
+    val got = Relational.asOfPurchaseViews(spark, TestSpark.Sf0001)
+      .as[(Long, Long, Double, Option[Long], Option[Double], Option[Long])]
+      .collect().toSet
+    assert(got == expected)
+    // the no-prior-view case must be present and carried as nulls, or the
+    // fixture isn't exercising the left-outer arm
+    assert(expected.exists(_._4.isEmpty), "fixture has no null-match purchase")
+  }
+
   test("dupGate finds only keys with multiple lineitems") {
     val df = Relational.dupGate(spark, TestSpark.Sf0001)
     assert(df.filter(col("cnt") <= 1).count() == 0)

@@ -190,7 +190,13 @@ object SparkEntry {
     "q73_pivot_events" -> Relational.pivotEventCounts _,
     // AS-OF join (§2.3 J5): purchase→latest-prior-view attribution as a
     // union-tag + one-exchange window scan — no inequality nested loop
-    "q74_asof_join" -> Relational.asOfPurchaseViews _
+    "q74_asof_join" -> Relational.asOfPurchaseViews _,
+    // XO-index COMPACTION inside the ingest loop: tick 0 folded into the
+    // settled partition (watermark 0), the folded tick replayed (no-op by
+    // the watermark guard), tick 1 against the compacted index — the
+    // cumulative oracle proves fold + no-op replay change nothing
+    "q75_incremental_dedup_xo_compacted" -> ((s: SparkSession, d: String) =>
+      graft.operators.IncrementalDedup.incrementalDedupXOCompacted(s, d))
   )
 
   /** Shared CTE chain ending in `pairs` = the exact-Jaccard near-dup pairs
@@ -768,6 +774,25 @@ object SparkEntry {
         |  FROM r
         |  WHERE r.user_id = l.user_id
         |    AND (r.ts < l.ts OR (r.ts = l.ts AND r.event_id < l.event_id))
-        |  ORDER BY r.ts DESC, r.event_id DESC LIMIT 1) m ON TRUE""".stripMargin
+        |  ORDER BY r.ts DESC, r.event_id DESC LIMIT 1) m ON TRUE""".stripMargin,
+    // the cumulative 2-tick admitted set: tick 0 vs the settled corpus,
+    // tick 1 vs settled + tick-0 admissions — compaction and the folded-
+    // batch replay in the Spark loop must leave exactly this row set
+    "q75_incremental_dedup_xo_compacted" ->
+      s"""WITH $jaccardPairCtes,
+         |sym AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+         |        UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |idx0 AS (SELECT doc_id FROM documents WHERE doc_id % 7 >= 2),
+         |rep0 AS (SELECT DISTINCT a AS doc_id FROM sym
+         |         JOIN idx0 ON b = idx0.doc_id WHERE a % 7 = 0),
+         |adm0 AS (SELECT doc_id FROM documents WHERE doc_id % 7 = 0
+         |         AND doc_id NOT IN (SELECT doc_id FROM rep0)),
+         |idx1 AS (SELECT doc_id FROM idx0 UNION ALL SELECT doc_id FROM adm0),
+         |rep1 AS (SELECT DISTINCT a AS doc_id FROM sym
+         |         JOIN idx1 ON b = idx1.doc_id WHERE a % 7 = 1)
+         |SELECT doc_id FROM adm0
+         |UNION ALL
+         |SELECT doc_id FROM documents WHERE doc_id % 7 = 1
+         |  AND doc_id NOT IN (SELECT doc_id FROM rep1)""".stripMargin
   )
 }

@@ -499,6 +499,17 @@ object IncrementalDedup {
                             admittedPath: String, threshold: Double = 0.5,
                             nBuckets: Int = 32): DataFrame = {
     val spark = batch.sparkSession
+    if (batchId <= settledWatermark(spark, table)) {
+      // replay of a batch already FOLDED into the settled partition: its
+      // partition dirs no longer exist to compensate, and recomputing
+      // would score the batch against its own now-settled rows — flagging
+      // intra-batch near-dup co-admissions against each other — then
+      // append a duplicate row set. The watermark is the caller's promise
+      // the batch was committed, so the no-failure outcome already stands:
+      // return the persisted admitted partition unchanged.
+      return spark.read.parquet(admittedPath)
+        .filter(col("ingest_batch") === batchId).drop("ingest_batch")
+    }
     for (t <- Seq(shinglesTable(table), sizesTable(table)))
       dropBatchPartition(spark, t, batchId)
     val rep = reportForBucketed(batch, table, threshold)
@@ -519,6 +530,82 @@ object IncrementalDedup {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("ingest_batch").parquet(admittedPath)
     admitted
+  }
+
+  private def watermarkTable(table: String) = table + "_watermark"
+
+  /** Highest batch id folded into the settled partition by
+    * [[compactShingleIndexBucketedXO]]; −1 until a compaction has run
+    * (the bootstrap partition is batch −1 by construction). */
+  def settledWatermark(spark: SparkSession, table: String): Long =
+    if (spark.catalog.tableExists(watermarkTable(table)))
+      spark.table(watermarkTable(table))
+        .agg(max(col("settled_through"))).head().getLong(0)
+    else -1L
+
+  /** Compact the exactly-once bucketed index: fold every batch partition
+    * with `ingest_batch <= settledThrough` into the settled partition
+    * (batch −1) at one file per bucket, leave later partitions intact, and
+    * record `settledThrough` in a watermark sidecar. The caller supplies
+    * the watermark because COMMITTED-ness is checkpoint knowledge the
+    * library doesn't hold (see [[compactShingleIndexBucketed]]'s scope
+    * note): fold only batches the streaming checkpoint has committed —
+    * [[ingestShardBucketedXO]] then treats a replay at or below the
+    * watermark as a no-op, because its partition dirs no longer exist to
+    * compensate and its rows already stand as settled corpus. Folding an
+    * UNcommitted batch would therefore freeze a possibly-partial attempt
+    * into the corpus — the watermark is the caller's promise that can't
+    * happen. Content contract matches the plain compaction: layout and
+    * batch attribution change, the (doc_id, shingle) row set doesn't, so
+    * the next report is bit-identical (spec-pinned).
+    */
+  def compactShingleIndexBucketedXO(spark: SparkSession, table: String,
+                                    settledThrough: Long,
+                                    nBuckets: Int = 32): Unit = {
+    val prior = settledWatermark(spark, table)
+    require(settledThrough >= prior,
+      s"watermark must be monotonic: $settledThrough < committed $prior")
+    val shT = shinglesTable(table)
+    val szT = sizesTable(table)
+    val stagedSh = shT + "_compacting"
+    val stagedSz = szT + "_compacting"
+    graft.sources.Sources.resetWarehouseTable(spark, stagedSh)
+    graft.sources.Sources.resetWarehouseTable(spark, stagedSz)
+    // file-level read for the same reason as the plain compaction: the
+    // catalog's bucket claim would elide the aligning shuffle. Partition
+    // discovery re-derives ingest_batch from the dir names; the explicit
+    // schema keeps its type LONG (discovery would infer int).
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(shT))
+    val folded = spark.read.schema(spark.table(shT).schema)
+      .parquet(meta.location.toString)
+      .withColumn("ingest_batch",
+        when(col("ingest_batch") <= settledThrough, lit(-1L))
+          .otherwise(col("ingest_batch")))
+    folded.repartition(nBuckets, col("shingle"))
+      .write.format("parquet").partitionBy("ingest_batch")
+      .bucketBy(nBuckets, "shingle").sortBy("shingle")
+      .saveAsTable(stagedSh)
+    // sizes re-derived from the staged relation: every shingle row of one
+    // doc carries one batch, so (doc_id, ingest_batch) grouping restates
+    // the per-batch sidecar without trusting the K per-tick appends
+    spark.table(stagedSh)
+      .groupBy(col("doc_id"), col("ingest_batch"))
+      .agg(count(lit(1)).as("n_shingles"))
+      .select(col("doc_id"), col("n_shingles"), col("ingest_batch"))
+      .write.format("parquet").partitionBy("ingest_batch")
+      .saveAsTable(stagedSz)
+    for ((staged, dst) <- Seq(stagedSh -> shT, stagedSz -> szT)) {
+      graft.sources.Sources.resetWarehouseTable(spark, dst)
+      spark.sql(s"ALTER TABLE $staged RENAME TO $dst")
+      // the rename moves the DIRECTORY but the catalog's partition
+      // entries still point at the staged location — recover them from
+      // the moved dir or the table reads as empty
+      spark.catalog.recoverPartitions(dst)
+    }
+    graft.sources.Sources.resetWarehouseTable(spark, watermarkTable(table))
+    spark.range(1).select(lit(settledThrough).as("settled_through"))
+      .write.format("parquet").saveAsTable(watermarkTable(table))
   }
 
   /** The streaming form: [[streamingIngestExactlyOnce]]'s replay contract
@@ -594,6 +681,33 @@ object IncrementalDedup {
     val shard = docs.filter(isNew)
     ingestShardBucketedXO(shard, 0L, table, admPath, threshold)
     ingestShardBucketedXO(shard, 0L, table, admPath, threshold) // replay
+    spark.read.parquet(admPath).select(col("doc_id"))
+  }
+
+  /** q75 fixture entry: the exactly-once bucketed loop with a COMPACTION
+    * folding tick 0 into the settled partition before tick 1, plus a
+    * replay of the folded tick (a watermark-guard no-op). Settled corpus
+    * = doc_id % 7 ≥ 2; tick 0 = doc_id % 7 = 0; tick 1 = doc_id % 7 = 1.
+    * Returns the admitted sink across both ticks. The oracle replays the
+    * cumulative loop in SQL, so a fold that changed a report, a replay
+    * that re-admitted against its own folded rows, or a duplicate append
+    * each fail the exact row-set compare — the compaction's "layout, not
+    * content" contract is re-proven against the oracle every harness run.
+    */
+  def incrementalDedupXOCompacted(spark: SparkSession, dir: String,
+                                  threshold: Double = 0.5): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val mod = col("doc_id") % 7
+    val hex = java.lang.Integer.toHexString(dir.hashCode)
+    val table = "graft_shidx_xoc_" + hex + "_" +
+      graft.sources.Sources.sessionTag(spark)
+    val admPath = graft.sources.Sources.scratchDir(spark, "xoc_admitted_" + hex)
+    writeShingleIndexBucketedXO(docs.filter(mod >= 2), table)
+    ingestShardBucketedXO(docs.filter(mod === 0), 0L, table, admPath, threshold)
+    compactShingleIndexBucketedXO(spark, table, settledThrough = 0L)
+    // replay of the now-folded tick: the watermark guard makes it a no-op
+    ingestShardBucketedXO(docs.filter(mod === 0), 0L, table, admPath, threshold)
+    ingestShardBucketedXO(docs.filter(mod === 1), 1L, table, admPath, threshold)
     spark.read.parquet(admPath).select(col("doc_id"))
   }
 

@@ -353,6 +353,84 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assertBucketedJoinShape(table)
   }
 
+  test("XO compaction: folds committed batches; replay of a folded batch is a no-op") {
+    val table = "graft_shidx_xoc_spec"
+    val admPath = tmpIndex("xoc_adm")
+    IncrementalDedup.writeShingleIndexBucketedXO(settled, table, nBuckets = 4)
+    val adm0 = IncrementalDedup
+      .ingestShardBucketedXO(shard, 0L, table, admPath, nBuckets = 4)
+      .select("doc_id").as[Long].collect().toSet
+    // batch 1 carries an intra-batch near-dup pair: both sides are
+    // admitted (reports are shard-vs-index only), and the fold must not
+    // turn them into mutual flags on replay
+    val fresh1 = freshDocs(67, 'A', 7700L, n = 2)
+    val b1 = (fresh1 :+ (7800L -> swapped(fresh1.head._2, "qqqqq")))
+      .toDF("doc_id", "text")
+    IncrementalDedup.ingestShardBucketedXO(b1, 1L, table, admPath, nBuckets = 4)
+    def admSnap() = spark.read.parquet(admPath)
+      .select("doc_id", "ingest_batch").as[(Long, Int)].collect().toSeq.sorted
+    def idxContent() = spark.table(table + "_shingles")
+      .select("doc_id", "shingle").as[(Long, String)].collect().toSeq.sorted
+    def szContent() = spark.table(table + "_sizes")
+      .select("doc_id", "n_shingles").as[(Long, Long)].collect().toSeq.sorted
+    val probe = Seq(
+      9100L -> swapped(settled.filter(col("doc_id") === 1L)
+        .select("text").as[String].head()),
+      9101L -> swapped(freshTexts(2006L)),
+      9102L -> swapped(fresh1(1)._2)).toDF("doc_id", "text")
+    def report() = IncrementalDedup.reportForBucketed(probe, table)
+      .select("doc_id", "max_jaccard", "n_matches")
+      .as[(Long, Double, Long)].collect().toSet
+    val admBefore = admSnap(); val idxBefore = idxContent()
+    val szBefore = szContent(); val repBefore = report()
+    assert(repBefore.map(_._1) == Set(9100L, 9101L, 9102L))
+    IncrementalDedup.compactShingleIndexBucketedXO(spark, table, 1L, nBuckets = 4)
+    assert(IncrementalDedup.settledWatermark(spark, table) == 1L)
+    // content identical; layout folded to ONE partition at one file/bucket
+    assert(idxContent() == idxBefore, "fold must not change the row set")
+    assert(szContent() == szBefore, "fold must not change the sizes sidecar")
+    assert(report() == repBefore, "fold must not change the report")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(table + "_shingles")).location)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts = fs.listStatus(loc).map(_.getPath.getName)
+      .filter(_.startsWith("ingest_batch=")).toSet
+    assert(parts == Set("ingest_batch=-1"),
+      s"batches <= watermark must fold into the settled partition: $parts")
+    val settledFiles = fs.listStatus(
+      new org.apache.hadoop.fs.Path(loc, "ingest_batch=-1"))
+      .count(f => !f.getPath.getName.startsWith("_"))
+    assert(settledFiles <= 4, s"expected one file per bucket, got $settledFiles")
+    // replay of the FOLDED batches: watermark-guard no-ops returning the
+    // persisted admissions — nothing recomputed, nothing re-appended
+    val replay0 = IncrementalDedup
+      .ingestShardBucketedXO(shard, 0L, table, admPath, nBuckets = 4)
+      .select("doc_id").as[Long].collect().toSet
+    assert(replay0 == adm0, "folded-batch replay must return the persisted admissions")
+    val replay1 = IncrementalDedup
+      .ingestShardBucketedXO(b1, 1L, table, admPath, nBuckets = 4)
+      .select("doc_id").as[Long].collect().toSet
+    assert(replay1 == Set(7700L, 7701L, 7800L),
+      "intra-batch co-admissions must survive a folded-batch replay")
+    assert(admSnap() == admBefore && idxContent() == idxBefore,
+      "folded-batch replay must not touch either sink")
+    // a LATER batch still ingests normally against the folded index: a
+    // near-dup of a folded batch-1 admission is rejected, fresh passes
+    val b2 = (freshDocs(71, 'N', 7900L, n = 1) :+
+      (7950L -> swapped(fresh1(1)._2, "rrrrr"))).toDF("doc_id", "text")
+    val adm2 = IncrementalDedup
+      .ingestShardBucketedXO(b2, 2L, table, admPath, nBuckets = 4)
+      .select("doc_id").as[Long].collect().toSet
+    assert(adm2 == Set(7900L), s"expected only the fresh doc admitted: $adm2")
+    // the watermark is monotonic
+    intercept[IllegalArgumentException] {
+      IncrementalDedup.compactShingleIndexBucketedXO(spark, table, 0L, nBuckets = 4)
+    }
+    // and the bucket-aligned candidate join survives the fold
+    assertBucketedJoinShape(table)
+  }
+
   test("fingerprint-index report == plain-shingle-index report on the planted corpus") {
     val fpPath = tmpIndex("fp_eq")
     IncrementalDedup.writeFpIndex(settled, fpPath)

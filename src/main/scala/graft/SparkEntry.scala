@@ -196,7 +196,13 @@ object SparkEntry {
     // the watermark guard), tick 1 against the compacted index — the
     // cumulative oracle proves fold + no-op replay change nothing
     "q75_incremental_dedup_xo_compacted" -> ((s: SparkSession, d: String) =>
-      graft.operators.IncrementalDedup.incrementalDedupXOCompacted(s, d))
+      graft.operators.IncrementalDedup.incrementalDedupXOCompacted(s, d)),
+    // CUBE: all four grouping levels from ONE Expand + one hash agg —
+    // same single-pass machinery as q72's rollup
+    "q76_cube_orders" -> Relational.cubeOrderStats _,
+    // GROUPING SETS: the general form — exactly the declared set list,
+    // fanning out 2 copies per row where the cube would fan 4
+    "q77_grouping_sets" -> Relational.groupingSetsOrderStats _
   )
 
   /** Shared CTE chain ending in `pairs` = the exact-Jaccard near-dup pairs
@@ -793,6 +799,18 @@ object SparkEntry {
          |SELECT doc_id FROM adm0
          |UNION ALL
          |SELECT doc_id FROM documents WHERE doc_id % 7 = 1
-         |  AND doc_id NOT IN (SELECT doc_id FROM rep1)""".stripMargin
+         |  AND doc_id NOT IN (SELECT doc_id FROM rep1)""".stripMargin,
+    "q76_cube_orders" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price,
+        | CAST(grouping(o_orderstatus) AS INTEGER) AS g_status,
+        | CAST(grouping(o_orderpriority) AS INTEGER) AS g_priority
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
+    "q77_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price,
+        | CAST(grouping(o_orderstatus) AS INTEGER) AS g_status,
+        | CAST(grouping(o_orderpriority) AS INTEGER) AS g_priority
+        |FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))""".stripMargin
   )
 }

@@ -218,6 +218,39 @@ object Relational {
         grouping(col("l_returnflag")).cast("int").as("g_flag"),
         grouping(col("l_linestatus")).cast("int").as("g_status"))
 
+  /** §2.4 CUBE over (orderstatus, orderpriority) — all four grouping
+    * levels (both, each alone, grand total) from the same single Expand +
+    * hash aggregate as [[rollupPricing]]'s rollup; the fact table is
+    * scanned once however many subtotal levels the cube adds. Money sums
+    * run on DECIMAL per the q13 discipline (binary double sums of 2dp
+    * values round differently per engine; decimal sums are exact in
+    * both), then surface as double.
+    */
+  def cubeOrderStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(12,2)")).cast("double").as("sum_price"),
+        grouping(col("o_orderstatus")).cast("int").as("g_status"),
+        grouping(col("o_orderpriority")).cast("int").as("g_priority"))
+
+  /** §2.4 GROUPING SETS — the general form rollup/cube are sugar for:
+    * exactly the declared set list ((status), (priority)) — each
+    * dimension's marginal WITHOUT the combined or grand-total levels a
+    * cube would force. Same one-Expand machinery: input rows fan out to
+    * 2 copies instead of the cube's 4, so a set list is CHEAPER than the
+    * cube it prunes, not just smaller output.
+    */
+  def groupingSetsOrderStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority"))),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(12,2)")).cast("double").as("sum_price"),
+        grouping(col("o_orderstatus")).cast("int").as("g_status"),
+        grouping(col("o_orderpriority")).cast("int").as("g_priority"))
+
   /** §2.4 pivot — long-to-wide conditional aggregation: per-user event
     * counts, one column per event type. The pivot values are DECLARED
     * (the fixture's closed event-type vocabulary), which skips the

@@ -81,6 +81,17 @@ class PlanSpec extends AnyFunSuite {
       s"expected exactly one Window operator:\n$plan")
   }
 
+  test("q76/q77 cube + grouping sets: one Expand, one aggregation exchange") {
+    for (df <- Seq(Relational.cubeOrderStats(spark, TestSpark.Sf0001),
+        Relational.groupingSetsOrderStats(spark, TestSpark.Sf0001))) {
+      val plan = planOf(df)
+      assert("Expand".r.findAllIn(plan).length == 1,
+        s"all grouping levels must come from ONE Expand:\n$plan")
+      assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1,
+        s"expected the single aggregation exchange:\n$plan")
+    }
+  }
+
   test("q57 exact quantiles: selection over the histogram, never a per-language corpus sort") {
     val plan = planOf(graft.operators.TextAnalysis.qualityQuantiles(spark, TestSpark.Sf0001))
     assert(!plan.contains("row_number"),

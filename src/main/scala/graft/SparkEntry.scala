@@ -202,7 +202,11 @@ object SparkEntry {
     "q76_cube_orders" -> Relational.cubeOrderStats _,
     // GROUPING SETS: the general form — exactly the declared set list,
     // fanning out 2 copies per row where the cube would fan 4
-    "q77_grouping_sets" -> Relational.groupingSetsOrderStats _
+    "q77_grouping_sets" -> Relational.groupingSetsOrderStats _,
+    // the BUCKETED fingerprint index (D9×D10, both scale paths composed:
+    // >1M-doc fp keyspace + Exchange-free index side) under q64's oracle
+    "q78_incremental_dedup_winnowed_bucketed" -> ((s: SparkSession, d: String) =>
+      graft.operators.IncrementalDedup.incrementalDedupReportWinnowedBucketed(s, d))
   )
 
   /** Shared CTE chain ending in `pairs` = the exact-Jaccard near-dup pairs
@@ -722,6 +726,9 @@ object SparkEntry {
     // identical contract to q64: the fingerprint index only changes
     // candidate generation; scoring is the same exact full-shingle Jaccard
     "q67_incremental_dedup_winnowed" -> incrementalDedupSql,
+    // identical contract again: the bucketed fp table changes candidate-
+    // generation PHYSICS (shuffle + file layout), never the row contract
+    "q78_incremental_dedup_winnowed_bucketed" -> incrementalDedupSql,
     "q68_analytic_windows" ->
       """SELECT user_id, event_id,
         | CAST(epoch_ms(ts) - epoch_ms(lag(ts) OVER w) AS BIGINT) AS gap_ms,

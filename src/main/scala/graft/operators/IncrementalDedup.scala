@@ -312,6 +312,100 @@ object IncrementalDedup {
                     k: Int = 16, w: Int = 8): Unit =
     Dedup.winnowingFingerprints(docs, k, w).write.mode("append").parquet(path)
 
+  private def fpsTable(table: String) = table + "_fps"
+
+  /** Bootstrap the BUCKETED fingerprint index — the >1M-doc sink at the
+    * O(shard) shuffle profile: bucketed + sorted by `fp`, so the candidate
+    * equi-join streams the index side with no Exchange and the corpus-wide
+    * hotness df aggregates bucket-locally, exactly the
+    * [[writeShingleIndexBucketed]] layout argument applied to the
+    * fingerprint keyspace (8-byte fixed-width keys make the bucket hash
+    * and the SMJ compare cheaper still). */
+  def writeFpIndexBucketed(docs: DataFrame, table: String,
+                           nBuckets: Int = 32, k: Int = 16, w: Int = 8): Unit = {
+    val spark = docs.sparkSession
+    graft.sources.Sources.resetWarehouseTable(spark, fpsTable(table))
+    Dedup.winnowingFingerprints(docs, k, w)
+      .write.format("parquet").bucketBy(nBuckets, "fp").sortBy("fp")
+      .saveAsTable(fpsTable(table))
+  }
+
+  /** Append a shard's fingerprints to the bucketed index (one file set per
+    * bucket per ingest — [[compactFpIndexBucketed]] is the reset). */
+  def appendFpIndexBucketed(docs: DataFrame, table: String,
+                            nBuckets: Int = 32, k: Int = 16, w: Int = 8): Unit =
+    Dedup.winnowingFingerprints(docs, k, w)
+      .write.mode("append").format("parquet")
+      .bucketBy(nBuckets, "fp").sortBy("fp")
+      .saveAsTable(fpsTable(table))
+
+  /** [[compactShingleIndexBucketed]] for the fingerprint table: rewrite to
+    * one file per bucket, content-preserving (no sizes sidecar here — the
+    * fp report derives sizes from the corpus store's candidate slice). */
+  def compactFpIndexBucketed(spark: SparkSession, table: String,
+                             nBuckets: Int = 32): Unit = {
+    val fpT = fpsTable(table)
+    val staged = fpT + "_compacting"
+    graft.sources.Sources.resetWarehouseTable(spark, staged)
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(fpT))
+    spark.read.schema(spark.table(fpT).schema).parquet(meta.location.toString)
+      .repartition(nBuckets, col("fp"))
+      .write.format("parquet").bucketBy(nBuckets, "fp").sortBy("fp")
+      .saveAsTable(staged)
+    graft.sources.Sources.resetWarehouseTable(spark, fpT)
+    spark.sql(s"ALTER TABLE $staged RENAME TO $fpT")
+  }
+
+  /** [[reportForFpIndex]] against the BUCKETED fingerprint table: same
+    * contract, O(shard) shuffle — the index-side df aggregate and the
+    * candidate join both run bucket-aligned (plan-pinned by spec), and
+    * hotness is the sum of the bucket-local index df and the shard's own
+    * df (doc ids are disjoint across sides, as in [[reportForBucketed]]).
+    */
+  def reportForFpIndexBucketed(newDocs: DataFrame, table: String,
+                               settledDocs: DataFrame, threshold: Double = 0.5,
+                               k: Int = 16, w: Int = 8, minSharedFp: Int = 2,
+                               dfCap: Int = 1000): DataFrame =
+    fpScoreCandidates(newDocs,
+      fpCandidatesBucketed(newDocs, table, k, w, minSharedFp, dfCap)
+        .localCheckpoint(true),
+      settledDocs, threshold)
+
+  /** The bucketed report's candidate stage, visible pre-checkpoint so the
+    * layout spec can pin its plan (the report eagerly materializes it —
+    * the executed report plan only shows the scoring tail). */
+  private[graft] def fpCandidatesBucketed(newDocs: DataFrame, table: String,
+                                          k: Int = 16, w: Int = 8,
+                                          minSharedFp: Int = 2,
+                                          dfCap: Int = 1000): DataFrame = {
+    val spark = newDocs.sparkSession
+    val fpIndex = spark.table(fpsTable(table))
+    val fpN = Dedup.winnowingFingerprints(newDocs, k, w).localCheckpoint(true)
+    val dfI = fpIndex.groupBy(col("fp")).agg(count(lit(1)).as("dfi"))
+    val dfN = fpN.groupBy(col("fp")).agg(count(lit(1)).as("dfn"))
+    val hot = dfI.join(dfN, Seq("fp"), "full_outer")
+      .filter(coalesce(col("dfi"), lit(0L)) + coalesce(col("dfn"), lit(0L)) > dfCap)
+      .select(col("fp"))
+    fpCandidatesWithHot(fpN, fpIndex, hot, minSharedFp)
+  }
+
+  /** One ingest tick against the bucketed fingerprint index —
+    * [[ingestShardWinnowed]] at the O(shard) shuffle profile. */
+  def ingestShardWinnowedBucketed(newDocs: DataFrame, table: String,
+                                  corpusPath: String, threshold: Double = 0.5,
+                                  nBuckets: Int = 32,
+                                  k: Int = 16, w: Int = 8): DataFrame = {
+    val rep = reportForFpIndexBucketed(newDocs, table,
+      newDocs.sparkSession.read.parquet(corpusPath), threshold, k, w)
+    val admitted = newDocs
+      .join(rep.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .localCheckpoint(true)
+    appendFpIndexBucketed(admitted, table, nBuckets, k, w)
+    admitted.write.mode("append").parquet(corpusPath)
+    admitted
+  }
+
   /** Cross-side candidate pairs from the fingerprint index: (doc_a = new
     * doc, doc_b = indexed doc) sharing ≥ `minShared` non-hot fingerprints.
     * Hotness is corpus-wide (index ∪ shard df), mirroring
@@ -325,6 +419,15 @@ object IncrementalDedup {
     val hot = fpNew.unionByName(fpIndex)
       .groupBy(col("fp")).agg(count(lit(1)).as("df"))
       .filter(col("df") > dfCap).select(col("fp"))
+    fpCandidatesWithHot(fpNew, fpIndex, hot, minShared)
+  }
+
+  /** Candidate core shared by the plain and bucketed fp reports; `hot`
+    * computation differs (the union-aggregate above would shuffle a
+    * bucketed index — the bucketed report sums two side-local dfs
+    * instead, exactly as [[reportForBucketed]] does for shingles). */
+  private def fpCandidatesWithHot(fpNew: DataFrame, fpIndex: DataFrame,
+                                  hot: DataFrame, minShared: Int): DataFrame = {
     val rareN = fpNew.join(broadcast(hot), Seq("fp"), "left_anti")
     val rareI = fpIndex.join(broadcast(hot), Seq("fp"), "left_anti")
     rareN.select(col("doc_id").as("doc_a"), col("fp"))
@@ -354,6 +457,15 @@ object IncrementalDedup {
     // and the scoring join
     val cand = fpCandidatesAgainstIndex(fpN, fpIndex, dfCap, minSharedFp)
       .localCheckpoint(true)
+    fpScoreCandidates(newDocs, cand, settledDocs, threshold)
+  }
+
+  /** Exact-scoring tail shared by the plain and bucketed fp reports: fetch
+    * ONLY the candidate settled docs from the corpus store, re-shingle
+    * that slice, score exact full-shingle Jaccard. */
+  private def fpScoreCandidates(newDocs: DataFrame, cand: DataFrame,
+                                settledDocs: DataFrame,
+                                threshold: Double): DataFrame = {
     val candIds = cand.select(col("doc_b").as("doc_id")).distinct()
     val shCand = Dedup.docShingles(
       settledDocs.join(candIds, Seq("doc_id"), "left_semi"))
@@ -682,6 +794,23 @@ object IncrementalDedup {
     ingestShardBucketedXO(shard, 0L, table, admPath, threshold)
     ingestShardBucketedXO(shard, 0L, table, admPath, threshold) // replay
     spark.read.parquet(admPath).select(col("doc_id"))
+  }
+
+  /** q78 fixture entry: q64's split and oracle through the BUCKETED
+    * fingerprint index — D9×D10 with BOTH scale paths composed: the
+    * >1M-doc fingerprint keyspace and the Exchange-free bucketed index
+    * side. Same report contract, re-proven against the exact cross-split
+    * oracle every harness run. */
+  def incrementalDedupReportWinnowedBucketed(spark: SparkSession, dir: String,
+                                             threshold: Double = 0.5): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val isNew = col("doc_id") % 7 === 0
+    val table = "graft_fpidx_" +
+      java.lang.Integer.toHexString(dir.hashCode) + "_" +
+      graft.sources.Sources.sessionTag(spark)
+    writeFpIndexBucketed(docs.filter(!isNew), table)
+    reportForFpIndexBucketed(docs.filter(isNew), table, docs.filter(!isNew),
+      threshold)
   }
 
   /** q75 fixture entry: the exactly-once bucketed loop with a COMPACTION

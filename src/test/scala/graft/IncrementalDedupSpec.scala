@@ -226,11 +226,19 @@ class IncrementalDedupSpec extends AnyFunSuite {
     * `_shingles` table with NO Exchange (the shard side shuffles into the
     * index's bucketing). Shared by the fresh-index and post-compaction
     * tests. */
-  private def assertBucketedJoinShape(table: String): Unit = {
+  private def assertBucketedJoinShape(table: String): Unit =
+    assertIndexJoinShape(IncrementalDedup.reportForBucketed(shard, table),
+      "_shingles")
+
+  /** The generalized layout pin: any report whose candidate SMJ streams a
+    * bucketed index table (path containing `marker`) with NO Exchange
+    * under the index side. */
+  private def assertIndexJoinShape(build: => org.apache.spark.sql.DataFrame,
+                                   marker: String): Unit = {
     val prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
-      val df = IncrementalDedup.reportForBucketed(shard, table)
+      val df = build
       df.collect()
       val exec = df.queryExecution.executedPlan match {
         case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
@@ -251,7 +259,7 @@ class IncrementalDedupSpec extends AnyFunSuite {
         all(p).exists(pred)
       def isIndexScan(p: SparkPlan): Boolean = p match {
         case f: org.apache.spark.sql.execution.FileSourceScanExec =>
-          f.relation.location.rootPaths.exists(_.toString.contains("_shingles"))
+          f.relation.location.rootPaths.exists(_.toString.contains(marker))
         case _ => false
       }
       def isShuffle(p: SparkPlan): Boolean =
@@ -463,6 +471,71 @@ class IncrementalDedupSpec extends AnyFunSuite {
       (9200L -> swapped(freshTexts(2002L), "qqqqq"))).toDF("doc_id", "text")
     val admitted2 = IncrementalDedup.ingestShardWinnowed(tick2, fpPath, corpusPath)
     assert(admitted2.select("doc_id").as[Long].collect().toSet == Set(9100L))
+  }
+
+  test("bucketed fp index: same report as the plain fp index, join bucket-aligned") {
+    val table = "graft_fpidx_spec"
+    IncrementalDedup.writeFpIndexBucketed(settled, table, nBuckets = 4)
+    val viaBucketed = IncrementalDedup
+      .reportForFpIndexBucketed(shard, table, settled)
+      .select("doc_id", "max_jaccard", "n_matches")
+      .as[(Long, Double, Long)].collect().toSet
+    val fpPath = tmpIndex("fp_vs_bucketed")
+    IncrementalDedup.writeFpIndex(settled, fpPath)
+    val viaPlain = IncrementalDedup.reportForFpIndex(shard,
+        IncrementalDedup.readShingleIndex(spark, fpPath), settled)
+      .select("doc_id", "max_jaccard", "n_matches")
+      .as[(Long, Double, Long)].collect().toSet
+    assert(viaBucketed == viaPlain,
+      s"only-bk=${viaBucketed -- viaPlain}, only-plain=${viaPlain -- viaBucketed}")
+    assertIndexJoinShape(
+      IncrementalDedup.fpCandidatesBucketed(shard, table), "_fps")
+  }
+
+  test("bucketed winnowed loop: admissions extend index+corpus; compaction shrinks files only") {
+    val table = "graft_fpidx_loop_spec"
+    val corpusPath = tmpIndex("fp_bk_corpus")
+    settled.write.mode("overwrite").parquet(corpusPath)
+    IncrementalDedup.writeFpIndexBucketed(settled, table, nBuckets = 4)
+    val admitted1 = IncrementalDedup
+      .ingestShardWinnowedBucketed(shard, table, corpusPath, nBuckets = 4)
+    assert(admitted1.select("doc_id").as[Long].collect().toSet ==
+      (0L until 10L).map(_ + 2000L).toSet)
+    // tick 2: near-dup of a tick-1 admission rejected (its fps are in the
+    // bucketed index, its text in the corpus store); a fresh doc passes
+    val tick2 = (freshDocs(43, 'A', 9300L, n = 1) :+
+      (9400L -> swapped(freshTexts(2007L), "qqqqq"))).toDF("doc_id", "text")
+    val admitted2 = IncrementalDedup
+      .ingestShardWinnowedBucketed(tick2, table, corpusPath, nBuckets = 4)
+    assert(admitted2.select("doc_id").as[Long].collect().toSet == Set(9300L))
+    // compaction: fewer files, identical report, layout pin intact
+    def dataFiles(): Int = {
+      val wh = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), table + "_fps")
+      val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(wh).count(f => !f.getPath.getName.startsWith("_"))
+    }
+    val probe = Seq(
+      9500L -> swapped(settled.filter(col("doc_id") === 2L)
+        .select("text").as[String].head()),
+      9501L -> swapped(freshTexts(2008L)),
+      9502L -> swapped(tick2.filter(col("doc_id") === 9300L)
+        .select("text").as[String].head())).toDF("doc_id", "text")
+    def report() = IncrementalDedup
+      .reportForFpIndexBucketed(probe, table, spark.read.parquet(corpusPath))
+      .select("doc_id", "max_jaccard", "n_matches")
+      .as[(Long, Double, Long)].collect().toSet
+    val before = report()
+    assert(before.map(_._1) == Set(9500L, 9501L, 9502L),
+      s"probe must hit settled + both ticks' admissions: $before")
+    val filesBefore = dataFiles()
+    IncrementalDedup.compactFpIndexBucketed(spark, table, nBuckets = 4)
+    val filesAfter = dataFiles()
+    assert(filesAfter < filesBefore && filesAfter <= 4,
+      s"expected <= 4 files after compaction, had $filesBefore, got $filesAfter")
+    assert(report() == before, "compaction must not change the report")
+    assertIndexJoinShape(
+      IncrementalDedup.fpCandidatesBucketed(probe, table), "_fps")
   }
 
   test("winnowed index density: ~2/(w+1) of the k-gram count; rows tunable by w") {

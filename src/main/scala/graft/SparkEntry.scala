@@ -206,7 +206,12 @@ object SparkEntry {
     // the BUCKETED fingerprint index (D9×D10, both scale paths composed:
     // >1M-doc fp keyspace + Exchange-free index side) under q64's oracle
     "q78_incremental_dedup_winnowed_bucketed" -> ((s: SparkSession, d: String) =>
-      graft.operators.IncrementalDedup.incrementalDedupReportWinnowedBucketed(s, d))
+      graft.operators.IncrementalDedup.incrementalDedupReportWinnowedBucketed(s, d)),
+    // the SQL front door: q21 re-expressed as spark.sql text over the
+    // GraftExtensions-registered cosine_f32 — one implementation, both
+    // surfaces, same oracle
+    "q79_sql_cosine_topk" -> ((s: SparkSession, d: String) =>
+      Similarity.cosineTopKViaSql(s, d))
   )
 
   /** Shared CTE chain ending in `pairs` = the exact-Jaccard near-dup pairs
@@ -428,6 +433,9 @@ object SparkEntry {
     // identical by construction: per-partition reduction changes the plan,
     // not the result
     "q51_cosine_topk_partitioned" -> cosineTopKSql,
+    // same result contract as q21 by construction (one implementation,
+    // two front doors)
+    "q79_sql_cosine_topk" -> cosineTopKSql,
     "q23_fedavg_client_means" ->
       s"""WITH ex AS ($embedExplode)
          |SELECT label AS client_id, dim,

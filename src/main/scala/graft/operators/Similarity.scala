@@ -37,6 +37,35 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("cand_id"), col("score"))
   }
 
+  /** q79 — [[cosineTopK]] expressed entirely through the SQL front door:
+    * a registered temp view, the `cosine_f32` native expression injected
+    * by GraftExtensions, the broadcast hint as a SQL hint, and the window
+    * in SQL text. Same single implementation serving both surfaces — the
+    * expression codegen, the plan class, and q21's oracle are all shared,
+    * so this row proves `spark.sql(...)` is a first-class front door of
+    * the engine, not a parallel code path.
+    */
+  def cosineTopKViaSql(spark: SparkSession, dir: String,
+                       nQueries: Int = 10, k: Int = 5): DataFrame = {
+    Tables.embeddings(spark, dir).createOrReplaceTempView("graft_embeddings")
+    spark.sql(
+      s"""WITH queries AS (
+         |  SELECT vec_id AS query_id, embedding AS qv
+         |  FROM graft_embeddings WHERE vec_id < $nQueries),
+         |corpus AS (SELECT vec_id AS cand_id, embedding AS cv
+         |           FROM graft_embeddings),
+         |scored AS (
+         |  SELECT /*+ BROADCAST(queries) */ query_id, cand_id,
+         |         round(cosine_f32(qv, cv), 6) AS score
+         |  FROM corpus JOIN queries ON query_id <> cand_id),
+         |ranked AS (
+         |  SELECT query_id, cand_id, score, row_number() OVER
+         |    (PARTITION BY query_id ORDER BY score DESC, cand_id) AS rank
+         |  FROM scored)
+         |SELECT query_id, rank, cand_id, score FROM ranked
+         |WHERE rank <= $k""".stripMargin)
+  }
+
   /** Exact top-k with per-partition reduction — the 100 TB form of
     * [[cosineTopK]]: each partition keeps only its k best candidates per
     * query (a bounded nQueries×k buffer) BEFORE the shuffle, so the

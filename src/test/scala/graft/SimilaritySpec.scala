@@ -58,6 +58,29 @@ class SimilaritySpec extends AnyFunSuite {
     assert(sqlSig == dfSig, "SQL and DataFrame front doors must share one implementation")
   }
 
+  test("q79 SQL-expressed top-k equals the Column form row for row") {
+    val viaSql = Similarity.cosineTopKViaSql(spark, TestSpark.Sf0001)
+      .as[(Long, Int, Long, Double)].collect().toSet
+    val viaCols = Similarity.cosineTopK(spark, TestSpark.Sf0001)
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(viaSql == viaCols)
+    // the SQL text must reach the same native kernel, not a fallback —
+    // read the FINAL adaptive plan (pre-materialization the join subtree
+    // hides inside unresolved AQE stages)
+    val df = Similarity.cosineTopKViaSql(spark, TestSpark.Sf0001)
+    df.collect()
+    val plan = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan.toString
+      case p => p.toString
+    }
+    assert(plan.contains("cosine_f32"), s"native expression missing:\n$plan")
+    // the <> condition is non-equi, so the broadcast is a BNLJ — the same
+    // shape as the Column form's broadcast(queries)
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"SQL hint must broadcast the query side:\n$plan")
+  }
+
   test("invalid LSH/IVF parameters fail fast with a clear message") {
     val e1 = intercept[IllegalArgumentException] {
       Similarity.annCosineTopK(spark, TestSpark.Sf0001, nBits = 65)

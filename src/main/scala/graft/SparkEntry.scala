@@ -211,7 +211,12 @@ object SparkEntry {
     // GraftExtensions-registered cosine_f32 — one implementation, both
     // surfaces, same oracle
     "q79_sql_cosine_topk" -> ((s: SparkSession, d: String) =>
-      Similarity.cosineTopKViaSql(s, d))
+      Similarity.cosineTopKViaSql(s, d)),
+    // q44 with observe(): pipeline metrics (rows scanned/kept, langs,
+    // mean survivor quality) ride the ONE pass the query already makes —
+    // no second scan per counter at 100 TB; rows unchanged, same oracle
+    "q80_observed_curation" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.corpusCurationObserved(s, d)._1)
   )
 
   /** Shared CTE chain ending in `pairs` = the exact-Jaccard near-dup pairs
@@ -321,6 +326,15 @@ object SparkEntry {
        |            row_number() OVER (PARTITION BY query_id ORDER BY score DESC, cand_id) AS rank
        |           FROM scored)
        |SELECT query_id, rank, cand_id, score FROM ranked WHERE rank <= 5""".stripMargin
+
+  /** The curation rollup oracle (shared by q44 and its observed twin
+    * q80 — observe() never changes the rows). */
+  private lazy val curationSql: String =
+    s"""WITH q AS (SELECT doc_id, lang, sha256(text) AS h FROM documents
+       |           WHERE $qualitySql >= 0.5)
+       |SELECT lang, count(*) AS n_kept
+       |FROM (SELECT min_by(lang, doc_id) AS lang FROM q GROUP BY h) t
+       |GROUP BY lang""".stripMargin
 
   /** DuckDB twin of TextFunctions.qualityScore (shared by q25/q44/q45). */
   private val qualitySql: String =
@@ -561,12 +575,10 @@ object SparkEntry {
         |        (octet_length(encode(text)) + 255) // 256 AS F
         |      FROM documents WHERE doc_id % 3 = 2) t
         |WHERE L > 0""".stripMargin,
-    "q44_corpus_curation" ->
-      s"""WITH q AS (SELECT doc_id, lang, sha256(text) AS h FROM documents
-         |           WHERE $qualitySql >= 0.5)
-         |SELECT lang, count(*) AS n_kept
-         |FROM (SELECT min_by(lang, doc_id) AS lang FROM q GROUP BY h) t
-         |GROUP BY lang""".stripMargin,
+    "q44_corpus_curation" -> curationSql,
+    // identical row contract to q44: observe() attaches metrics to the
+    // flowing rows without changing them
+    "q80_observed_curation" -> curationSql,
     "q45_label_vectors" ->
       s"""SELECT doc_id, CAST(generate_subscripts(l, 1) - 1 AS BIGINT) AS dim,
          | unnest(l) AS label

@@ -81,6 +81,39 @@ object TextAnalysis {
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_kept"))
 
+  /** [[corpusCuration]] with OBSERVED pipeline metrics: `observe()`
+    * attaches `CollectMetrics` aggregates to the flowing rows, so the
+    * counters a production curation job reports — rows scanned, rows past
+    * the quality gate, distinct languages, mean quality of survivors —
+    * are computed DURING the one pass the query already makes. At 100 TB
+    * the alternative is a second full scan per counter; observe costs one
+    * accumulator merge per task. Returns (result, observation handle);
+    * metrics materialize when the result is acted on (spec-pinned equal
+    * to independently-computed values).
+    */
+  def corpusCurationObserved(spark: SparkSession, dir: String,
+                             minQuality: Double = 0.5)
+      : (DataFrame, org.apache.spark.sql.Observation) = {
+    val obs = org.apache.spark.sql.Observation("curation_metrics")
+    val gated = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("text"),
+        TF.qualityScore(col("text")).as("quality"))
+      .observe(obs,
+        count(lit(1)).as("rows_scanned"),
+        sum((col("quality") >= minQuality).cast("long")).as("rows_kept"),
+        approx_count_distinct(col("lang")).as("langs_seen"),
+        round(avg(when(col("quality") >= minQuality, col("quality"))), 6)
+          .as("mean_kept_quality"))
+      .filter(col("quality") >= minQuality)
+    val result = gated
+      .select(col("doc_id"), col("lang"), TF.contentHash(col("text")).as("h"))
+      .groupBy(col("h"))
+      .agg(min_by(col("lang"), col("doc_id")).as("lang"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_kept"))
+    (result, obs)
+  }
+
   /** q55 — the full curation pipeline with NEAR-dup (not just exact-hash)
     * dedup: quality-gate the corpus, resolve near-duplicate clusters over
     * the survivors ([[Dedup.dedupCorpusFor]]: MinHash-LSH pairs →

@@ -216,7 +216,12 @@ object SparkEntry {
     // mean survivor quality) ride the ONE pass the query already makes —
     // no second scan per counter at 100 TB; rows unchanged, same oracle
     "q80_observed_curation" -> ((s: SparkSession, d: String) =>
-      TextAnalysis.corpusCurationObserved(s, d)._1)
+      TextAnalysis.corpusCurationObserved(s, d)._1),
+    // schema evolution across shard generations: later shards added a
+    // column, the read declares the explicit superset (nulls where a file
+    // predates it, no footer-merge pass) — the steady state of a
+    // long-lived ingest dir
+    "q81_schema_evolution" -> graft.sources.Sources.schemaEvolutionRead _
   )
 
   /** Shared CTE chain ending in `pairs` = the exact-Jaccard near-dup pairs
@@ -827,6 +832,15 @@ object SparkEntry {
          |UNION ALL
          |SELECT doc_id FROM documents WHERE doc_id % 7 = 1
          |  AND doc_id NOT IN (SELECT doc_id FROM rep1)""".stripMargin,
+    // the evolved sink re-derived from the source table: gen-0 shards
+    // (doc_id % 3 = 0) predate `source`, so their rows coalesce into the
+    // pre-evolution bucket
+    "q81_schema_evolution" ->
+      """SELECT coalesce(CASE WHEN doc_id % 3 = 0 THEN NULL ELSE source END,
+        |                'pre-evolution') AS src,
+        | count(*) AS n_docs, min(doc_id) AS min_doc_id,
+        | CAST(sum(length(text)) AS BIGINT) AS n_chars
+        |FROM documents GROUP BY 1""".stripMargin,
     "q76_cube_orders" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
         | CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price,

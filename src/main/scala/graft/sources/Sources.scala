@@ -155,6 +155,40 @@ object Sources {
         min(col("doc_id")).as("min_doc_id"))
   }
 
+  /** q81 — SCHEMA EVOLUTION across shard generations: a long-lived corpus
+    * sink whose later shards carry a column (`source`) the early shards
+    * predate — the steady state of any ingest directory that outlives one
+    * schema. The read declares the EXPLICIT superset schema: parquet
+    * fills the column with nulls where a file lacks it, and no footer-
+    * merge pass runs — the 100 TB-safe form (`mergeSchema=true` gives the
+    * same relation by reconciling every file footer instead, validated
+    * equal by spec; declaring the superset skips that metadata pass and
+    * pins the types besides). Downstream the null IS the signal: rows
+    * from pre-evolution shards roll up under their own bucket.
+    */
+  def schemaEvolutionRead(spark: SparkSession, dir: String): DataFrame = {
+    val out = scratchDir(spark, "schema_evolution")
+    val docs = parquet(spark, s"$dir/documents.parquet")
+    docs.filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id"), col("lang"), col("text"))
+      .repartition(2)
+      .write.mode("overwrite").parquet(s"$out/gen0")
+    docs.filter(col("doc_id") % 3 =!= 0)
+      .select(col("doc_id"), col("lang"), col("text"), col("source"))
+      .repartition(2)
+      .write.mode("overwrite").parquet(s"$out/gen1")
+    val superset = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("lang", StringType),
+      StructField("text", StringType),
+      StructField("source", StringType)))
+    spark.read.schema(superset).parquet(s"$out/gen0", s"$out/gen1")
+      .groupBy(coalesce(col("source"), lit("pre-evolution")).as("src"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("doc_id")).as("min_doc_id"),
+        sum(length(col("text"))).cast("long").as("n_chars"))
+  }
+
   /** q50 — ORC round-trip: the third columnar interchange format next to
     * parquet and JSONL. Same explicit-schema discipline; the aggregate
     * matches the source table, proving losslessness (ORC carries its own

@@ -34,4 +34,26 @@ class SourcesSpec extends AnyFunSuite {
     assert(schema("cnt").dataType.typeName == "long")
     assert(schema("total").dataType.typeName == "double")
   }
+
+  test("q81 schema evolution: explicit superset == mergeSchema reconciliation") {
+    // the verb writes the two shard generations and reads via the
+    // declared superset; re-read the same dirs with mergeSchema (the
+    // footer-reconciling form) and pin relation equality
+    val viaSuperset = Sources.schemaEvolutionRead(spark, TestSpark.Sf0001)
+      .as[(String, Long, Long, Long)].collect().toSet
+    val out = Sources.scratchDir(spark, "schema_evolution")
+    val merged = spark.read.option("mergeSchema", "true")
+      .parquet(s"$out/gen0", s"$out/gen1")
+    assert(merged.schema.fieldNames.contains("source"),
+      "mergeSchema must surface the evolved column")
+    val viaMerge = merged
+      .groupBy(coalesce(col("source"), lit("pre-evolution")).as("src"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc_id"),
+        sum(length(col("text"))).cast("long").as("n_chars"))
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(viaSuperset == viaMerge)
+    // pre-evolution rows exist and carry nulls, not fabricated values
+    assert(viaSuperset.exists(_._1 == "pre-evolution"),
+      "gen-0 rows must land in the pre-evolution bucket")
+  }
 }

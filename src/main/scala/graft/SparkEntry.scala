@@ -221,7 +221,11 @@ object SparkEntry {
     // column, the read declares the explicit superset (nulls where a file
     // predates it, no footer-merge pass) — the steady state of a
     // long-lived ingest dir
-    "q81_schema_evolution" -> graft.sources.Sources.schemaEvolutionRead _
+    "q81_schema_evolution" -> graft.sources.Sources.schemaEvolutionRead _,
+    // corrupt-record JSONL ingest: malformed lines quarantined into a
+    // counted _corrupt_ bucket (PERMISSIVE + columnNameOfCorruptRecord),
+    // good rows flow — a 100 TB ingest can't abort on damaged lines
+    "q82_corrupt_jsonl" -> graft.sources.Sources.corruptJsonlIngest _
   )
 
   /** Shared CTE chain ending in `pairs` = the exact-Jaccard near-dup pairs
@@ -840,6 +844,12 @@ object SparkEntry {
         |                'pre-evolution') AS src,
         | count(*) AS n_docs, min(doc_id) AS min_doc_id,
         | CAST(sum(length(text)) AS BIGINT) AS n_chars
+        |FROM documents GROUP BY 1""".stripMargin,
+    // the planted damage re-derived from the source table: doc_id % 13 = 0
+    // lines were truncated, so they roll up as the quarantine bucket
+    "q82_corrupt_jsonl" ->
+      """SELECT CASE WHEN doc_id % 13 = 0 THEN '_corrupt_' ELSE lang END AS bucket,
+        | count(*) AS n
         |FROM documents GROUP BY 1""".stripMargin,
     "q76_cube_orders" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n,

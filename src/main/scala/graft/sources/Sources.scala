@@ -189,6 +189,44 @@ object Sources {
         sum(length(col("text"))).cast("long").as("n_chars"))
   }
 
+  /** q82 — CORRUPT-RECORD JSONL ingest: real corpus dumps carry malformed
+    * lines (truncated writes, encoding damage, concatenated objects), and
+    * a 100 TB ingest cannot abort on them — it must KEEP them, counted
+    * and quarantined, while the good rows flow. The fixture plants
+    * truncated JSON on doc_id % 13 = 0 at the TEXT layer (the corruption
+    * a reader actually sees), then reads PERMISSIVE with
+    * `columnNameOfCorruptRecord`: parseable lines populate the declared
+    * schema, damaged lines land whole in the quarantine column with nulls
+    * elsewhere. The rollup counts good docs per language plus one
+    * `_corrupt_` bucket — the ingest-health report. FAILFAST is the same
+    * reader aborting instead (spec-pinned); DROPMALFORMED would discard
+    * the evidence silently.
+    */
+  def corruptJsonlIngest(spark: SparkSession, dir: String): DataFrame = {
+    val out = scratchDir(spark, "corrupt_jsonl")
+    val docs = parquet(spark, s"$dir/documents.parquet")
+      .select(col("doc_id"), col("lang"), col("text"))
+    val line = to_json(struct(col("doc_id"), col("lang"), col("text")))
+    // damage: drop the closing quote + brace, unparseable by any reader
+    docs.select(col("doc_id"), line.as("l"))
+      .select(
+        when(col("doc_id") % 13 === 0,
+          expr("substring(l, 1, length(l) - 2)")).otherwise(col("l")).as("value"))
+      .write.mode("overwrite").text(out)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("lang", StringType),
+      StructField("text", StringType),
+      StructField("_damaged", StringType)))
+    spark.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_damaged")
+      .json(out)
+      .groupBy(when(col("_damaged").isNotNull, lit("_corrupt_"))
+        .otherwise(col("lang")).as("bucket"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** q50 — ORC round-trip: the third columnar interchange format next to
     * parquet and JSONL. Same explicit-schema discipline; the aggregate
     * matches the source table, proving losslessness (ORC carries its own

@@ -56,4 +56,27 @@ class SourcesSpec extends AnyFunSuite {
     assert(viaSuperset.exists(_._1 == "pre-evolution"),
       "gen-0 rows must land in the pre-evolution bucket")
   }
+
+  test("q82 corrupt JSONL: PERMISSIVE quarantines and counts; FAILFAST aborts") {
+    val agg = Sources.corruptJsonlIngest(spark, TestSpark.Sf0001)
+      .as[(String, Long)].collect().toMap
+    val docs = Tables.documents(spark, TestSpark.Sf0001)
+    assert(agg("_corrupt_") ==
+      docs.filter(col("doc_id") % 13 === 0).count(),
+      "every damaged line must land in the quarantine bucket")
+    assert(agg.values.sum == docs.count(), "no line may be dropped silently")
+    // the same shards under FAILFAST: the reader aborts instead of
+    // quarantining — proving the damage is real at the text layer
+    val out = Sources.scratchDir(spark, "corrupt_jsonl")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("lang",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    intercept[org.apache.spark.SparkException] {
+      spark.read.schema(schema).option("mode", "FAILFAST").json(out).collect()
+    }
+  }
 }

@@ -225,7 +225,12 @@ object SparkEntry {
     // corrupt-record JSONL ingest: malformed lines quarantined into a
     // counted _corrupt_ bucket (PERMISSIVE + columnNameOfCorruptRecord),
     // good rows flow — a 100 TB ingest can't abort on damaged lines
-    "q82_corrupt_jsonl" -> graft.sources.Sources.corruptJsonlIngest _
+    "q82_corrupt_jsonl" -> graft.sources.Sources.corruptJsonlIngest _,
+    // heavy hitters: Misra-Gries sketch prefilter (fixed memory, no
+    // false negatives) + exact verification of the bounded candidate
+    // set — exact rows without the full-vocabulary aggregation state
+    "q83_heavy_hitter_tokens" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.heavyHitterTokens(s, d))
   )
 
   /** Shared CTE chain ending in `pairs` = the exact-Jaccard near-dup pairs
@@ -845,6 +850,14 @@ object SparkEntry {
         | count(*) AS n_docs, min(doc_id) AS min_doc_id,
         | CAST(sum(length(text)) AS BIGINT) AS n_chars
         |FROM documents GROUP BY 1""".stripMargin,
+    // the sketch+verify composition is exact, so the oracle is the plain
+    // HAVING form; the floor of support*N matches the engine's toLong
+    // truncation (both compute the same IEEE double product)
+    "q83_heavy_hitter_tokens" ->
+      """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+        | n AS (SELECT count(*) AS total FROM toks)
+        |SELECT token, count(*) AS cnt FROM toks GROUP BY token
+        |HAVING count(*) > (SELECT CAST(floor(0.001 * total) AS BIGINT) FROM n)""".stripMargin,
     // the planted damage re-derived from the source table: doc_id % 13 = 0
     // lines were truncated, so they roll up as the quarantine bucket
     "q82_corrupt_jsonl" ->

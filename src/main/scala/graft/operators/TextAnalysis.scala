@@ -54,6 +54,37 @@ object TextAnalysis {
       .agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= minCount)
 
+  /** q83 — heavy-hitter tokens via SKETCH PREFILTER + EXACT VERIFY: the
+    * fixed-memory alternative to [[tokenFrequency]]'s full vocabulary
+    * aggregate. Pass 1 runs Misra–Gries (`stat.freqItems`) over the
+    * exploded tokens — per-partition state is a bounded 1/support-entry
+    * map regardless of vocabulary size, and the guarantee is one-sided:
+    * every token with relative frequency > support IS in the candidate
+    * set (false positives possible, false negatives not). Pass 2 counts
+    * ONLY the ≤1/support candidates exactly (a broadcast semi-filter
+    * before the aggregate, so the shuffle carries candidate tokens, not
+    * the vocabulary) and keeps those truly above the threshold. The
+    * composition is therefore EXACT — deterministic rows under a plain
+    * HAVING oracle — while the full-vocab hash agg it replaces carries
+    * |vocab| state per partition, the thing that breaks first on a
+    * 100 TB corpus with billion-token vocabularies.
+    */
+  def heavyHitterTokens(spark: SparkSession, dir: String,
+                        support: Double = 0.001): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(explode(TF.tokens(col("text"))).as("token"))
+      .localCheckpoint(true) // feeds the sketch pass, the count, and the verify pass
+    val n = toks.count()
+    // Misra-Gries candidates: bounded driver result (≤ ~1/support items)
+    val candidates = toks.stat.freqItems(Seq("token"), support)
+      .head().getSeq[String](0)
+    val threshold = (support * n).toLong // keep tokens with cnt > support·N
+    toks.filter(col("token").isin(candidates: _*))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > threshold)
+  }
+
   /** Per-language rollup joining metrics: lang → docs, tokens, mean
     * quality. One scan + one shuffle on the (tiny) lang key. */
   def langRollup(spark: SparkSession, dir: String): DataFrame =

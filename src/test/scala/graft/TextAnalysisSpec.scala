@@ -33,4 +33,21 @@ class TextAnalysisSpec extends AnyFunSuite {
       .as[(String, Long)].collect().toSet
     assert(rows == plain)
   }
+
+  test("q83 heavy hitters: sketch prefilter + exact verify == full-vocab aggregate") {
+    val support = 0.002
+    val got = TextAnalysis.heavyHitterTokens(spark, TestSpark.Sf0001, support)
+      .as[(String, Long)].collect().toSet
+    // brute force: the full vocabulary aggregate the sketch form replaces
+    val toks = Tables.documents(spark, TestSpark.Sf0001)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .localCheckpoint(true)
+    val threshold = (support * toks.count()).toLong
+    val want = toks.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > threshold)
+      .as[(String, Long)].collect().toSet
+    assert(got == want,
+      s"only-got=${got -- want}, missed=${want -- got}")
+    assert(want.nonEmpty, "fixture must have heavy hitters above support")
+  }
 }

@@ -230,7 +230,45 @@ object SparkEntry {
     // false negatives) + exact verification of the bounded candidate
     // set — exact rows without the full-vocabulary aggregation state
     "q83_heavy_hitter_tokens" -> ((s: SparkSession, d: String) =>
-      TextAnalysis.heavyHitterTokens(s, d))
+      TextAnalysis.heavyHitterTokens(s, d)),
+    // sequence packing (concat-and-chunk): per-doc chunk spans from a
+    // DISTRIBUTED two-level prefix sum — the only unpartitioned window
+    // runs over the tiny per-block table, never the corpus
+    "q84_sequence_packing" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.sequencePacking(s, d)),
+    // PII redaction: count + replace emails/phones (planted from doc_id,
+    // the q82 fixture discipline), emit the redacted content hash
+    "q85_pii_redaction" -> TextAnalysis.piiRedaction _,
+    // Gopher-style repetition metrics: duplicate-shingle fraction +
+    // top-token dominance + the keep verdict a curation gate applies
+    "q89_repetition_metrics" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.repetitionMetrics(s, d)),
+    // temperature-scaled source mixture weights (n^alpha / sum) — the
+    // data-mixing step that decides per-source sampling rates
+    "q92_mixture_weights" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.mixtureWeights(s, d)),
+    // deterministic global training shuffle: md5(doc_id:seed) order with
+    // the global position computed as a DISTRIBUTED rank (bucket counts +
+    // tiny prefix + in-bucket row_number), never a one-partition sort
+    "q86_global_shuffle" -> ((s: SparkSession, d: String) =>
+      Sampling.globalShuffleRank(s, d)),
+    // bloom-prefiltered semi-join: probe rows gate through a bounded
+    // sketch BEFORE the shuffle, the exact semi-join removes the ≤1%
+    // false positives — result ≡ the plain semi-join (the oracle)
+    "q87_bloom_semi_join" -> ((s: SparkSession, d: String) =>
+      Relational.bloomSemiJoin(s, d)),
+    // tf-idf cosine pairs: the sparse-vector near-dup twin — inverted-
+    // index candidates, max_df pruning as both semantic knob and skew
+    // guard, norms over the pruned space
+    "q88_tfidf_similarity" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.tfidfSimilarityPairs(s, d)),
+    // hive-partitioned corpus layout: partitionBy(lang) write, read-back
+    // filter prunes at the FILE INDEX (PartitionFilters, spec-pinned)
+    "q90_partition_pruned" -> ((s: SparkSession, d: String) =>
+      graft.sources.Sources.partitionedPrunedRead(s, d)),
+    // MERGE INTO on plain parquet: full-outer on the key, update/insert/
+    // carry-over all exercised, next immutable snapshot written
+    "q91_merge_upsert" -> graft.sources.Sources.mergeUpsertSnapshot _
   )
 
   /** Shared CTE chain ending in `pairs` = the exact-Jaccard near-dup pairs
@@ -875,6 +913,127 @@ object SparkEntry {
         | CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price,
         | CAST(grouping(o_orderstatus) AS INTEGER) AS g_status,
         | CAST(grouping(o_orderpriority) AS INTEGER) AS g_priority
-        |FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))""".stripMargin
+        |FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))""".stripMargin,
+    // the oracle is the SINGLE global window the engine deliberately
+    // avoids — token offsets in doc_id order, chunked by integer division
+    "q84_sequence_packing" ->
+      """WITH toks AS (SELECT doc_id,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n FROM documents),
+        | off AS (SELECT doc_id, n,
+        |          CAST(coalesce(sum(n) OVER (ORDER BY doc_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS o
+        |         FROM toks)
+        |SELECT doc_id, n AS n_tokens,
+        | o // 256 AS first_chunk,
+        | (o + n - 1) // 256 AS last_chunk,
+        | (o + n - 1) // 256 - o // 256 + 1 AS n_chunks
+        |FROM off""".stripMargin,
+    // same planted PII (derived from doc_id), same RE2-safe patterns;
+    // DuckDB regexp_replace needs the 'g' flag to match Spark's
+    // replace-all semantics
+    "q85_pii_redaction" ->
+      """WITH planted AS (SELECT doc_id,
+        |  text ||
+        |  CASE WHEN doc_id % 7 = 0
+        |       THEN ' reach me at user' || CAST(doc_id AS VARCHAR) || '@example.com'
+        |       ELSE '' END ||
+        |  CASE WHEN doc_id % 11 = 0
+        |       THEN ' or call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |       ELSE '' END AS t
+        | FROM documents)
+        |SELECT doc_id,
+        | CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        | CAST(len(regexp_extract_all(t, '555-[0-9]{4}')) AS BIGINT) AS n_phones,
+        | sha256(regexp_replace(regexp_replace(t,
+        |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |   '555-[0-9]{4}', '<PHONE>', 'g')) AS redacted_sha256
+        |FROM planted""".stripMargin,
+    // dup-shingle fraction from list arithmetic (total 3-grams = len-2),
+    // top-token fraction from the exact per-(doc, token) counts
+    "q89_repetition_metrics" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        | dup AS (SELECT doc_id,
+        |   CASE WHEN len(t) >= 3 THEN round(
+        |     (CAST(len(t) - 2 AS DOUBLE)
+        |       - len(list_distinct([array_to_string(t[i:i+2], ' ')
+        |                            for i in generate_series(1, len(t)-2)])))
+        |     / (len(t) - 2), 6) ELSE 0.0 END AS dup_shingle_frac
+        |  FROM toks),
+        | tok AS (SELECT doc_id, unnest(t) AS token, len(t) AS n FROM toks),
+        | top AS (SELECT doc_id, max(cnt) AS top_cnt, any_value(n) AS n
+        |         FROM (SELECT doc_id, token, any_value(n) AS n, count(*) AS cnt
+        |               FROM tok GROUP BY doc_id, token)
+        |         GROUP BY doc_id)
+        |SELECT doc_id, dup_shingle_frac,
+        | round(CAST(top_cnt AS DOUBLE) / n, 6) AS top_token_frac,
+        | (dup_shingle_frac <= 0.1
+        |   AND round(CAST(top_cnt AS DOUBLE) / n, 6) <= 0.1) AS keep
+        |FROM dup JOIN top USING (doc_id)""".stripMargin,
+    // expected_docs floors the ROUNDED 6dp probability — both engines
+    // truncate the same decimal, not a last-ulp binary value
+    "q92_mixture_weights" ->
+      """WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+        | t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total_docs,
+        |         sum(pow(CAST(n_docs AS DOUBLE), 0.7)) AS total_w FROM c)
+        |SELECT lang, n_docs,
+        | round(CAST(n_docs AS DOUBLE) / total_docs, 6) AS p_raw,
+        | round(pow(CAST(n_docs AS DOUBLE), 0.7) / total_w, 6) AS p_temp,
+        | CAST(floor(round(pow(CAST(n_docs AS DOUBLE), 0.7) / total_w, 6) * 100000)
+        |      AS BIGINT) AS expected_docs
+        |FROM c, t""".stripMargin,
+    // the single global window the engine's two-level rank avoids; both
+    // engines emit md5 as lowercase hex so the order and key agree
+    "q86_global_shuffle" ->
+      """WITH keyed AS (SELECT doc_id,
+        |         md5(CAST(doc_id AS VARCHAR) || ':42') AS shuffle_key
+        |       FROM documents)
+        |SELECT CAST(row_number() OVER (ORDER BY shuffle_key, doc_id) - 1 AS BIGINT)
+        |         AS pos,
+        | doc_id, shuffle_key
+        |FROM keyed""".stripMargin,
+    // the bloom prefilter is semantics-free (false positives removed by
+    // the exact join), so the oracle is the plain semi-join
+    "q87_bloom_semi_join" ->
+      """SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey
+        |                AND o_orderpriority = '1-URGENT')""".stripMargin,
+    // identical max_df pruning, idf formula, and 4dp rounded threshold
+    "q88_tfidf_similarity" ->
+      """WITH n AS (SELECT count(*) AS n_docs FROM documents),
+        | tf AS (SELECT doc_id, token, count(*) AS tf
+        |        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |              FROM documents)
+        |        GROUP BY doc_id, token),
+        | df AS (SELECT token, count(*) AS df FROM tf GROUP BY token
+        |        HAVING count(*) <= 100),
+        | w AS (SELECT doc_id, token,
+        |         tf * ln(CAST(n_docs AS DOUBLE) / df) AS w
+        |       FROM tf JOIN df USING (token), n),
+        | nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY doc_id),
+        | dot AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, sum(a.w * b.w) AS dot
+        |         FROM w a JOIN w b USING (token) WHERE a.doc_id < b.doc_id
+        |         GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, round(dot / (na.nrm * nb.nrm), 4) AS cosine
+        |FROM dot JOIN nrm na ON na.doc_id = doc_a
+        |         JOIN nrm nb ON nb.doc_id = doc_b
+        |WHERE round(dot / (na.nrm * nb.nrm), 4) >= 0.3""".stripMargin,
+    // partition pruning is layout, not semantics: the oracle is the same
+    // aggregate over the source restricted to the partition value
+    "q90_partition_pruned" ->
+      """SELECT source, count(*) AS n_docs,
+        | CAST(sum(length(text)) AS BIGINT) AS n_chars,
+        | min(doc_id) AS min_doc_id
+        |FROM documents WHERE lang = 'en' GROUP BY source""".stripMargin,
+    // the merge's three row fates replayed as a FULL OUTER + coalesce
+    "q91_merge_upsert" ->
+      """WITH base AS (SELECT doc_id, text, 1 AS version FROM documents
+        |              WHERE doc_id % 3 <> 0),
+        | upd AS (SELECT doc_id, text || ' [rev2]' AS text, 2 AS version
+        |         FROM documents WHERE doc_id % 2 = 0)
+        |SELECT coalesce(u.doc_id, b.doc_id) AS doc_id,
+        | CAST(coalesce(u.version, b.version) AS BIGINT) AS version,
+        | CAST(length(coalesce(u.text, b.text)) AS BIGINT) AS n_chars
+        |FROM base b FULL OUTER JOIN upd u ON b.doc_id = u.doc_id""".stripMargin
   )
 }

@@ -78,6 +78,36 @@ object Relational {
       .select(col("c_custkey"), col("c_acctbal"))
   }
 
+  /** q87 — BLOOM-PREFILTERED SEMI-JOIN: the explicit form of the runtime
+    * filter that makes big semi-joins cheap at 100 TB. The build side's
+    * keys go into a driver-built Bloom sketch (bits bounded by
+    * expectedItems/fpp — ~120 KB here — regardless of build-side rows);
+    * the probe side filters through the sketch BEFORE the shuffle, so only
+    * probable matches and the sketch's ≤1% false positives pay exchange
+    * cost; the exact semi-join then removes the false positives. Result ≡
+    * the plain semi-join (the oracle), the shuffle shrinks from |probe| to
+    * |matches|·(1+fpp).
+    *
+    * Spark's AQE injects this pattern automatically for eligible
+    * shuffle joins; the verb exists for the places it can't reach —
+    * pruning ABOVE an expensive upstream op, or a probe side that feeds
+    * several consumers. The probe is a Scala UDF by necessity (the public
+    * sketch's mightContain has no Column form); it costs two hash
+    * evaluations per row and gates rows before every downstream operator.
+    */
+  def bloomSemiJoin(spark: SparkSession, dir: String,
+                    expectedItems: Long = 100000L, fpp: Double = 0.01): DataFrame = {
+    val urgent = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey"))
+    val bloom = urgent.stat.bloomFilter("o_custkey", expectedItems, fpp)
+    val mightContain = udf((k: Long) => bloom.mightContain(k))
+    Tables.customer(spark, dir)
+      .filter(mightContain(col("c_custkey")))
+      .join(urgent, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+  }
+
   /** S2 — shard-union ingest (reference: glob + pd.concat,
     * /root/reference/src/federated_learning_pipeline.py:57-59 → UNION ALL
     * semantics, SURVEY §2.8). Two disjoint scans unioned by name then

@@ -148,6 +148,44 @@ object Sampling {
     try materialized(result) finally keyed.unpersist()
   }
 
+  /** q86 — DETERMINISTIC GLOBAL SHUFFLE: the "shuffle the corpus before
+    * training" step, reproducible from a seed. Each doc's shuffle key is
+    * md5(doc_id:seed) — uniform, engine-independent, and stable across
+    * runs — and the output is the doc's POSITION in that order (the record
+    * a training loader seeks by).
+    *
+    * A single `row_number over (order by key)` is a one-partition sort at
+    * 100 TB, so the rank is computed distributed (the q84 two-level shape):
+    * the first two hex chars of the key split the corpus into 256 uniform
+    * buckets, per-bucket counts prefix-sum over a 256-row relation (the
+    * only unpartitioned window — bounded by construction), and each doc's
+    * position is its bucket's prefix plus an in-bucket row_number. Every
+    * corpus-sized stage hash-partitions; this is exactly how a range
+    * partitioner assigns global ranks, spelled out so the bucket→prefix
+    * mechanics are testable against the single-window oracle.
+    */
+  def globalShuffleRank(spark: SparkSession, dir: String, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keyed = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        md5(concat(col("doc_id").cast("string"), lit(s":$seed"))).as("shuffle_key"))
+      .withColumn("bucket", substring(col("shuffle_key"), 1, 2))
+    val bucketPrefix = keyed.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("bucket_prefix",
+        coalesce(sum(col("n")).over(
+          Window.orderBy(col("bucket")).rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col("bucket"), col("bucket_prefix"))
+    val inBucket = Window.partitionBy(col("bucket"))
+      .orderBy(col("shuffle_key"), col("doc_id"))
+    keyed
+      .withColumn("rn", row_number().over(inBucket).cast("long"))
+      .join(broadcast(bucketPrefix), "bucket")
+      .select((col("bucket_prefix") + col("rn") - 1).as("pos"),
+        col("doc_id"), col("shuffle_key"))
+  }
+
   /** D4+D5 — hash repartition (reference
     * /root/reference/src/preprocessing_pipeline.py:273: repartition(16, Path))
     * + partition introspection kept inside SQL via spark_partition_id()

@@ -210,6 +210,198 @@ object TextAnalysis {
       .select(col("lang"), col("p"), col("value"), col("approx_within_tol"))
   }
 
+  /** q84 — SEQUENCE PACKING (concat-and-chunk): the step that turns a
+    * curated corpus into fixed-length training contexts. Every document's
+    * tokens are laid end to end in doc_id order and the stream is cut into
+    * contexts of `contextLen` tokens; each doc reports the chunk span it
+    * lands in — (first_chunk, last_chunk, n_chunks) — which is exactly the
+    * shard manifest a training loader consumes.
+    *
+    * The global token offset is a prefix sum, and a single
+    * `sum over (order by doc_id)` window is a ONE-PARTITION sort at 100 TB.
+    * This runs the distributed two-level form instead: docs group into
+    * blocks (doc_id div blockSize), per-block token totals aggregate to a
+    * table with corpus/blockSize rows, the exclusive cumulative over THAT
+    * tiny relation is the only unpartitioned window (bounded rows by
+    * construction — ~1e5 at 100 TB), and each doc's offset is its block's
+    * prefix plus an in-block window partitioned by block — every heavy
+    * stage hash-partitions. Chunk arithmetic is integer `div` (`/`
+    * promotes to double and misplaces boundary offsets).
+    */
+  def sequencePacking(spark: SparkSession, dir: String,
+                      contextLen: Long = 256L, blockSize: Long = 64L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def idiv(c: org.apache.spark.sql.Column, d: Long) =
+      call_function("div", c, lit(d))
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), TF.nTokens(col("text")).cast("long").as("n_tokens"))
+      .withColumn("block", idiv(col("doc_id"), blockSize))
+    // tiny relation: one row per block; the unpartitioned window is bounded
+    val blockPrefix = docs.groupBy(col("block"))
+      .agg(sum(col("n_tokens")).as("block_total"))
+      .withColumn("block_prefix",
+        coalesce(sum(col("block_total")).over(
+          Window.orderBy(col("block")).rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col("block"), col("block_prefix"))
+    val inBlock = Window.partitionBy(col("block")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs
+      .withColumn("within", coalesce(sum(col("n_tokens")).over(inBlock), lit(0L)))
+      .join(broadcast(blockPrefix), "block")
+      .withColumn("offset", col("block_prefix") + col("within"))
+      .select(col("doc_id"), col("n_tokens"),
+        idiv(col("offset"), contextLen).as("first_chunk"),
+        idiv(col("offset") + col("n_tokens") - 1, contextLen).as("last_chunk"),
+        (idiv(col("offset") + col("n_tokens") - 1, contextLen)
+          - idiv(col("offset"), contextLen) + 1).as("n_chunks"))
+  }
+
+  /** Email/phone patterns shared by the redaction verb and its spec; RE2-
+    * compatible (no backrefs/lookaround) so the DuckDB oracle runs the
+    * SAME pattern text. */
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val phonePattern = "555-[0-9]{4}"
+
+  /** q85 — PII REDACTION: the scrubbing pass a training corpus makes before
+    * anything else sees it — match emails/phones, count them, replace with
+    * typed placeholder tokens, and emit the redacted content hash (the
+    * downstream exact-dedup key). Pure per-row regexp expressions: one
+    * scan, no shuffle, pushdown-safe at 100 TB.
+    *
+    * The fixture corpus is synthetic and contains no PII, so the PII is
+    * PLANTED deterministically from doc_id (the q82 fixture discipline:
+    * damage derived from the source table so the oracle can re-derive it):
+    * every 7th doc gains an email, every 11th a 555 phone number —
+    * doc_id % 77 hits both.
+    */
+  def piiRedaction(spark: SparkSession, dir: String): DataFrame = {
+    val planted = concat(col("text"),
+      when(col("doc_id") % 7 === 0,
+        concat(lit(" reach me at user"), col("doc_id").cast("string"),
+          lit("@example.com"))).otherwise(lit("")),
+      when(col("doc_id") % 11 === 0,
+        concat(lit(" or call 555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0"))).otherwise(lit("")))
+    val redacted = regexp_replace(
+      regexp_replace(planted, emailPattern, "<EMAIL>"),
+      phonePattern, "<PHONE>")
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      size(regexp_extract_all(planted, lit(emailPattern), lit(0))).cast("long")
+        .as("n_emails"),
+      size(regexp_extract_all(planted, lit(phonePattern), lit(0))).cast("long")
+        .as("n_phones"),
+      sha2(redacted, 256).as("redacted_sha256"))
+  }
+
+  /** q89 — REPETITION QUALITY METRICS (the Gopher-rule family): per-doc
+    * duplicate-shingle fraction (how much of the doc is self-repeated
+    * 3-gram mass) and top-token fraction (how much a single token
+    * dominates), plus the keep verdict a curation pass would gate on.
+    *
+    * dup_frac is per-row array arithmetic (no shuffle). top_frac is the
+    * max per-(doc, token) count — computed by explode + two hash
+    * aggregations, LINEAR in document length; the per-row alternative
+    * (`transform` + `filter` over the token array per distinct token) is
+    * quadratic in doc length and blows up exactly on the pathological
+    * repetitive documents this operator exists to catch.
+    */
+  def repetitionMetrics(spark: SparkSession, dir: String,
+                        maxDupFrac: Double = 0.1, maxTopFrac: Double = 0.1): DataFrame = {
+    val sh = TF.shingles(col("text"), 3)
+    val perRow = Tables.documents(spark, dir).select(
+      col("doc_id"),
+      when(size(sh) > 0,
+        round((size(sh) - size(array_distinct(sh))).cast("double")
+          / size(sh).cast("double"), 6)).otherwise(lit(0.0)).as("dup_shingle_frac"),
+      TF.nTokens(col("text")).cast("long").as("n_tokens"))
+    val topTok = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(TF.tokens(col("text"))).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("cnt")).as("top_cnt"))
+    perRow.join(topTok, "doc_id")
+      .withColumn("top_token_frac",
+        round(col("top_cnt").cast("double") / col("n_tokens").cast("double"), 6))
+      .withColumn("keep",
+        col("dup_shingle_frac") <= maxDupFrac && col("top_token_frac") <= maxTopFrac)
+      .select(col("doc_id"), col("dup_shingle_frac"), col("top_token_frac"), col("keep"))
+  }
+
+  /** q88 — TF-IDF COSINE SIMILARITY PAIRS: the sparse-vector twin of the
+    * dense embedding near-dup (q20) — document pairs whose tf-idf weighted
+    * token vectors exceed a cosine threshold. Candidate generation is the
+    * inverted-index equi-join on the token (never all-pairs): only docs
+    * sharing a surviving token ever meet, the same skeleton as q17's
+    * shingle join.
+    *
+    * `maxDf` is sklearn-style max_df pruning — tokens in more than maxDf
+    * docs are dropped from every vector (they carry the lowest idf AND
+    * create the largest join buckets, so the semantic knob is also the
+    * skew guard: each token's bucket is ≤ maxDf² pairs). Norms are
+    * computed over the PRUNED vectors, so the cosine is exact for the
+    * declared vector space — the oracle replays the identical pruning.
+    * Scores round at 4dp and the threshold compares the rounded value
+    * (both engines gate the same decimal).
+    */
+  def tfidfSimilarityPairs(spark: SparkSession, dir: String,
+                           threshold: Double = 0.3, maxDf: Long = 100L): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val nDocs = docs.count() // one scalar for the idf; bounded driver state
+    val tf = docs
+      .select(col("doc_id"), explode(TF.tokens(col("text"))).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+    val w = tf.join(df, "token")
+      .select(col("doc_id"), col("token"),
+        (col("tf").cast("double") * log(lit(nDocs.toDouble) / col("df"))).as("w"))
+      // feeds the norm aggregate AND both sides of the pair join
+      .localCheckpoint(true)
+    val norms = w.groupBy(col("doc_id")).agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
+    val a = w.select(col("doc_id").as("doc_a"), col("token"), col("w").as("wa"))
+    val b = w.select(col("doc_id").as("doc_b"), col("token"), col("w").as("wb"))
+    a.join(b, "token")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(sum(col("wa") * col("wb")).as("dot"))
+      .join(norms.select(col("doc_id").as("doc_a"), col("nrm").as("na")), "doc_a")
+      .join(norms.select(col("doc_id").as("doc_b"), col("nrm").as("nb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        round(col("dot") / (col("na") * col("nb")), 4).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
+  /** q92 — TEMPERATURE-SCALED MIXTURE WEIGHTS: the data-mixing computation
+    * that decides how much of each source a training epoch samples.
+    * Per-source doc counts n_s are temperature-adjusted — w_s = n_s^alpha,
+    * p_s = w_s / Σw — so low-resource sources are upsampled relative to
+    * their raw share (alpha < 1 flattens the distribution; the standard
+    * multilingual-corpus trick — and the fixture's lang marginal IS skewed,
+    * en ≈ 3× fr, so the flattening is visible, not vacuous). One hash
+    * aggregate on the tiny lang key plus a broadcast of the 1-row totals;
+    * expected_docs floors the ROUNDED probability so both engines truncate
+    * the same 6dp decimal.
+    */
+  def mixtureWeights(spark: SparkSession, dir: String,
+                     alpha: Double = 0.7, epochBudget: Long = 100000L): DataFrame = {
+    val counts = Tables.documents(spark, dir)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("w", pow(col("n_docs").cast("double"), alpha))
+    val totals = counts.agg(
+      sum(col("n_docs")).as("total_docs"), sum(col("w")).as("total_w"))
+    counts.crossJoin(broadcast(totals))
+      .select(col("lang"), col("n_docs"),
+        round(col("n_docs").cast("double") / col("total_docs"), 6).as("p_raw"),
+        round(col("w") / col("total_w"), 6).as("p_temp"),
+        floor(round(col("w") / col("total_w"), 6) * epochBudget).cast("long")
+          .as("expected_docs"))
+  }
+
   /** q45 — J2 label-vector assembly (reference: the 5-column label matrix
     * bolted onto image paths, /root/reference/src/federated_learning_pipeline.py:29-33,
     * 61-68): an in-row array() projection, no join needed, emitted in

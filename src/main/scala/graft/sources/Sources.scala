@@ -311,6 +311,70 @@ object Sources {
       .select(col("path"), col("dim").cast("long").as("dim"), col("label"))
   }
 
+  /** q90 — HIVE-PARTITIONED WRITE + PARTITION-PRUNED READ: the layout
+    * decision that makes per-language (or per-source, per-date) corpus
+    * queries cheap at 100 TB. The sink writes `partitionBy(lang)` — one
+    * directory per language, the partition key carried by the PATH, not
+    * the data files — and the read-back filter on lang becomes a
+    * PartitionFilter: pruned at the file index, so non-matching
+    * partitions' files are never opened, listed row-groups never read.
+    * (The plan-shape spec pins PartitionFilters non-empty and the scan
+    * reading only the `lang=en` directory.) The aggregate equals the same
+    * aggregate over the source table restricted to the language — the
+    * oracle — proving the partitioned round-trip loses nothing.
+    */
+  def partitionedPrunedRead(spark: SparkSession, dir: String,
+                            lang: String = "en"): DataFrame = {
+    val out = scratchDir(spark, "partitioned_lang")
+    parquet(spark, s"$dir/documents.parquet")
+      .select(col("doc_id"), col("source"), col("text"), col("lang"))
+      .write.mode("overwrite").partitionBy("lang").parquet(out)
+    spark.read.parquet(out)
+      .filter(col("lang") === lang)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text"))).cast("long").as("n_chars"),
+        min(col("doc_id")).as("min_doc_id"))
+  }
+
+  /** q91 — MERGE/UPSERT SNAPSHOT: the metadata-table maintenance verb
+    * (dedup registries, document stores, label tables all need it) spelled
+    * out on plain parquet — MERGE INTO without a table format: base
+    * snapshot ⟕⟖ updates on the key, matched rows take the update's
+    * payload, unmatched updates insert, untouched base rows carry over,
+    * and the result is written as the NEXT immutable snapshot (readers of
+    * v1 are never disturbed — the atomicity story table formats wrap in a
+    * manifest swap). One full-outer sort-merge join on the key is the
+    * whole cost; at 100 TB both sides bucket by the key (the q66
+    * discipline) and the join is exchange-free.
+    *
+    * Fixture: base = docs with doc_id % 3 != 0 at version 1; updates =
+    * even docs with revised text at version 2 — so the merge exercises
+    * all three row fates (update, insert, carry-over).
+    */
+  def mergeUpsertSnapshot(spark: SparkSession, dir: String): DataFrame = {
+    val out = scratchDir(spark, "merge_snapshot")
+    val docs = parquet(spark, s"$dir/documents.parquet")
+    docs.filter(col("doc_id") % 3 =!= 0)
+      .select(col("doc_id"), col("text"), lit(1L).as("version"))
+      .write.mode("overwrite").parquet(s"$out/v1")
+    val base = spark.read.parquet(s"$out/v1")
+    val updates = docs.filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id"), concat(col("text"), lit(" [rev2]")).as("text"),
+        lit(2L).as("version"))
+    base.select(col("doc_id").as("b_id"), col("text").as("b_text"),
+        col("version").as("b_version"))
+      .join(updates.select(col("doc_id").as("u_id"), col("text").as("u_text"),
+        col("version").as("u_version")), col("b_id") === col("u_id"), "full_outer")
+      .select(coalesce(col("u_id"), col("b_id")).as("doc_id"),
+        coalesce(col("u_text"), col("b_text")).as("text"),
+        coalesce(col("u_version"), col("b_version")).as("version"))
+      .write.mode("overwrite").parquet(s"$out/v2")
+    spark.read.parquet(s"$out/v2")
+      .select(col("doc_id"), col("version"),
+        length(col("text")).cast("long").as("n_chars"))
+  }
+
   /** q40 — S3 exercised: the fixture parquet itself read as opaque binary.
     * The oracle re-reads the same file with DuckDB's read_blob and checks
     * name + byte length; exact byte-content equality (sha-256 vs a direct

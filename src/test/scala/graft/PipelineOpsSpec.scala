@@ -1,0 +1,178 @@
+package graft
+
+import graft.operators.{Relational, Sampling, TextAnalysis}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Specs for the round-8 training-pipeline batch: sequence packing (q84),
+  * PII redaction (q85), global shuffle rank (q86), bloom semi-join (q87),
+  * tf-idf pairs (q88), repetition metrics (q89), mixture weights (q92).
+  * q90/q91 (layout + merge) live in SourcesSpec.
+  */
+class PipelineOpsSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("q84 packing: two-level offsets == single-window oracle; token mass conserved") {
+    val got = TextAnalysis.sequencePacking(spark, TestSpark.Sf0001)
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    // the single global window the distributed form avoids
+    val naive = Tables.documents(spark, TestSpark.Sf0001)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n"))
+      .withColumn("o", coalesce(sum(col("n")).over(
+        Window.orderBy(col("doc_id")).rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.length == naive.length)
+    got.zip(naive).foreach { case ((id, n, first, last, k), (nid, nn, o)) =>
+      assert(id == nid && n == nn)
+      assert(first == o / 256, s"doc $id first_chunk")
+      assert(last == (o + n - 1) / 256, s"doc $id last_chunk")
+      assert(k == last - first + 1)
+    }
+    // chunk spans tile the token stream: doc i+1 starts in doc i's last
+    // chunk or the next one (concat-and-chunk leaves no gaps)
+    got.sliding(2).foreach {
+      case Array((_, _, _, lastA, _), (_, _, firstB, _, _)) =>
+        assert(firstB == lastA || firstB == lastA + 1)
+      case _ =>
+    }
+  }
+
+  test("q85 redaction: planted PII is counted and fully scrubbed") {
+    val rows = TextAnalysis.piiRedaction(spark, TestSpark.Sf0001)
+      .as[(Long, Long, Long, String)].collect()
+    rows.foreach { case (id, emails, phones, _) =>
+      assert((emails >= 1) == (id % 7 == 0), s"doc $id emails=$emails")
+      assert((phones >= 1) == (id % 11 == 0), s"doc $id phones=$phones")
+    }
+    // rebuild the redacted text with the verb's own expressions and assert
+    // no pattern survives and the placeholders landed
+    val planted = concat(col("text"),
+      when(col("doc_id") % 7 === 0,
+        concat(lit(" reach me at user"), col("doc_id").cast("string"),
+          lit("@example.com"))).otherwise(lit("")),
+      when(col("doc_id") % 11 === 0,
+        concat(lit(" or call 555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0"))).otherwise(lit("")))
+    val redacted = regexp_replace(
+      regexp_replace(planted, TextAnalysis.emailPattern, "<EMAIL>"),
+      TextAnalysis.phonePattern, "<PHONE>")
+    val leftovers = Tables.documents(spark, TestSpark.Sf0001)
+      .select(col("doc_id"), redacted.as("r"))
+      .filter(
+        size(regexp_extract_all(col("r"), lit(TextAnalysis.emailPattern), lit(0))) > 0
+          || size(regexp_extract_all(col("r"), lit(TextAnalysis.phonePattern), lit(0))) > 0)
+      .count()
+    assert(leftovers == 0L)
+    val placeholders = Tables.documents(spark, TestSpark.Sf0001)
+      .select(col("doc_id"), redacted.as("r"))
+      .filter(col("doc_id") % 7 === 0 && !col("r").contains("<EMAIL>"))
+      .count()
+    assert(placeholders == 0L)
+  }
+
+  test("q86 shuffle rank: distributed rank == single-window rank, a 0..N-1 permutation") {
+    val got = Sampling.globalShuffleRank(spark, TestSpark.Sf0001)
+      .as[(Long, Long, String)].collect()
+    val n = got.length
+    assert(got.map(_._1).sorted.toSeq == (0L until n.toLong))
+    val naive = Tables.documents(spark, TestSpark.Sf0001)
+      .select(col("doc_id"),
+        md5(concat(col("doc_id").cast("string"), lit(":42"))).as("k"))
+      .withColumn("pos", row_number().over(
+        Window.orderBy(col("k"), col("doc_id"))).cast("long") - 1)
+      .select(col("pos"), col("doc_id"))
+      .as[(Long, Long)].collect().toSet
+    assert(got.map(t => (t._1, t._2)).toSet == naive)
+  }
+
+  test("q87 bloom semi-join: equals the plain semi-join; prefilter never drops a match") {
+    val got = Relational.bloomSemiJoin(spark, TestSpark.Sf0001)
+      .as[(Long, String, Double)].collect().toSet
+    val urgent = Tables.orders(spark, TestSpark.Sf0001)
+      .filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey"))
+    val want = Tables.customer(spark, TestSpark.Sf0001)
+      .join(urgent, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+      .as[(Long, String, Double)].collect().toSet
+    assert(got == want)
+  }
+
+  test("q88 tf-idf: engine pairs == brute-force cosine over the pruned vectors") {
+    val maxDf = 40L
+    val threshold = 0.2
+    val got = TextAnalysis.tfidfSimilarityPairs(spark, TestSpark.Sf0001, threshold, maxDf)
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, c) => (a, b) -> c }.toMap
+    // brute force in Scala over collected token bags (500 docs)
+    val docs = Tables.documents(spark, TestSpark.Sf0001)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .as[(Long, Seq[String])].collect()
+    val nDocs = docs.length.toDouble
+    val tf = docs.map { case (id, ts) =>
+      id -> ts.groupBy(identity).map { case (t, xs) => t -> xs.length }
+    }
+    val df = tf.flatMap(_._2.keys).groupBy(identity).map { case (t, xs) => t -> xs.length }
+      .filter(_._2 <= maxDf)
+    val vecs = tf.map { case (id, m) =>
+      id -> m.collect { case (t, c) if df.contains(t) =>
+        t -> c * math.log(nDocs / df(t))
+      }.toMap
+    }.toMap
+    def cos(a: Map[String, Double], b: Map[String, Double]): Double = {
+      val dot = a.collect { case (t, w) if b.contains(t) => w * b(t) }.sum
+      val na = math.sqrt(a.values.map(w => w * w).sum)
+      val nb = math.sqrt(b.values.map(w => w * w).sum)
+      if (na == 0 || nb == 0) 0.0
+      else BigDecimal(dot / (na * nb)).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val ids = vecs.keys.toSeq.sorted
+    val want = (for {
+      i <- ids.indices.iterator
+      j <- (i + 1) until ids.size
+      c = cos(vecs(ids(i)), vecs(ids(j)))
+      if c >= threshold
+    } yield (ids(i), ids(j)) -> c).toMap
+    assert(got.keySet == want.keySet,
+      s"only-got=${got.keySet -- want.keySet}, missed=${want.keySet -- got.keySet}")
+    got.foreach { case (k, c) => assert(math.abs(c - want(k)) <= 1e-4, s"pair $k") }
+    assert(got.nonEmpty, "fixture should produce at least one pair at 0.2")
+  }
+
+  test("q89 repetition metrics: fractions match a direct recomputation") {
+    val got = TextAnalysis.repetitionMetrics(spark, TestSpark.Sf0001)
+      .as[(Long, Double, Double, Boolean)].collect()
+    val docs = Tables.documents(spark, TestSpark.Sf0001)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(got.length == docs.size)
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    got.foreach { case (id, dupFrac, topFrac, keep) =>
+      val ts = docs(id)
+      val sh = ts.sliding(3).filter(_.size == 3).map(_.mkString(" ")).toSeq
+      val wantDup = if (sh.isEmpty) 0.0 else r6((sh.size - sh.distinct.size).toDouble / sh.size)
+      val wantTop = r6(ts.groupBy(identity).values.map(_.size).max.toDouble / ts.size)
+      assert(dupFrac == wantDup, s"doc $id dup_frac")
+      assert(topFrac == wantTop, s"doc $id top_frac")
+      assert(keep == (dupFrac <= 0.1 && topFrac <= 0.1), s"doc $id keep")
+    }
+  }
+
+  test("q92 mixture weights: probabilities sum to 1, temperature flattens the mix") {
+    val rows = TextAnalysis.mixtureWeights(spark, TestSpark.Sf0001)
+      .as[(String, Long, Double, Double, Long)].collect()
+    assert(rows.length > 1)
+    assert(math.abs(rows.map(_._4).sum - 1.0) <= 1e-4)
+    assert(math.abs(rows.map(_._3).sum - 1.0) <= 1e-4)
+    // alpha < 1 flattens, and the lang marginal is genuinely skewed
+    // (en ≈ 3× fr), so the movement is strict, not vacuous
+    val byRaw = rows.sortBy(_._3)
+    assert(byRaw.last._4 < byRaw.last._3, "max lang should strictly shrink")
+    assert(byRaw.head._4 > byRaw.head._3, "min lang should strictly grow")
+    rows.foreach { case (_, _, _, pTemp, exp) =>
+      assert(exp == math.floor(pTemp * 100000).toLong)
+    }
+  }
+}

@@ -57,6 +57,56 @@ class SourcesSpec extends AnyFunSuite {
       "gen-0 rows must land in the pre-evolution bucket")
   }
 
+  test("q90 partitioned layout: filter prunes at the file index, result is lossless") {
+    val got = Sources.partitionedPrunedRead(spark, TestSpark.Sf0001)
+      .as[(String, Long, Long, Long)].collect().toSet
+    val want = Tables.documents(spark, TestSpark.Sf0001)
+      .filter(col("lang") === "en")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text"))).cast("long").as("n_chars"),
+        min(col("doc_id")).as("min_doc_id"))
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(got == want)
+    // plan pin: the lang predicate must be a PartitionFilter on the scan
+    // (pruned at the file index), not a post-scan Filter
+    val out = Sources.scratchDir(spark, "partitioned_lang")
+    val scan = spark.read.parquet(out).filter(col("lang") === "en")
+    val formatted = scan.queryExecution.executedPlan.toString
+    assert(formatted.contains("PartitionFilters") &&
+      formatted.replaceAll("\\s", "").contains("PartitionFilters:[isnotnull(lang"),
+      s"lang filter must prune partitions:\n$formatted")
+    // and only the en partition's files are touched
+    val files = scan.select(input_file_name()).distinct().as[String].collect()
+    assert(files.nonEmpty && files.forall(_.contains("lang=en")), files.mkString(", "))
+  }
+
+  test("q91 merge upsert: update, insert, and carry-over fates all present and correct") {
+    val rows = Sources.mergeUpsertSnapshot(spark, TestSpark.Sf0001)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val src = Tables.documents(spark, TestSpark.Sf0001)
+      .select(col("doc_id"), length(col("text")).cast("long"))
+      .as[(Long, Long)].collect().toMap
+    src.keys.foreach { id =>
+      val inBase = id % 3 != 0
+      val inUpd = id % 2 == 0
+      (inBase, inUpd) match {
+        case (true, true) => // UPDATE: version 2, revised text (+7 chars)
+          assert(rows(id) == (2L, src(id) + 7), s"doc $id update fate")
+        case (true, false) => // CARRY-OVER: untouched v1 row
+          assert(rows(id) == (1L, src(id)), s"doc $id carry-over fate")
+        case (false, true) => // INSERT: update-only row lands at v2
+          assert(rows(id) == (2L, src(id) + 7), s"doc $id insert fate")
+        case (false, false) => // in neither input: absent from the snapshot
+          assert(!rows.contains(id), s"doc $id should be absent")
+      }
+    }
+    // v1 snapshot remains readable and untouched (immutable-snapshot story)
+    val out = Sources.scratchDir(spark, "merge_snapshot")
+    val v1 = spark.read.parquet(s"$out/v1")
+    assert(v1.filter(col("version") =!= 1L).count() == 0)
+  }
+
   test("q82 corrupt JSONL: PERMISSIVE quarantines and counts; FAILFAST aborts") {
     val agg = Sources.corruptJsonlIngest(spark, TestSpark.Sf0001)
       .as[(String, Long)].collect().toMap

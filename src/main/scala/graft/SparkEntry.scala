@@ -236,8 +236,9 @@ object SparkEntry {
     // runs over the tiny per-block table, never the corpus
     "q84_sequence_packing" -> ((s: SparkSession, d: String) =>
       TextAnalysis.sequencePacking(s, d)),
-    // PII redaction: count + replace emails/phones (planted from doc_id,
-    // the q82 fixture discipline), emit the redacted content hash
+    // PII redaction: a pattern TABLE (email/card/ssn/ip/phone) drives
+    // per-class counts + the placeholder replacement chain (plants derived
+    // from doc_id, the q82 fixture discipline); emits the redacted hash
     "q85_pii_redaction" -> TextAnalysis.piiRedaction _,
     // Gopher-style repetition metrics: duplicate-shingle fraction +
     // top-token dominance + the keep verdict a curation gate applies
@@ -928,24 +929,41 @@ object SparkEntry {
         | (o + n - 1) // 256 AS last_chunk,
         | (o + n - 1) // 256 - o // 256 + 1 AS n_chunks
         |FROM off""".stripMargin,
-    // same planted PII (derived from doc_id), same RE2-safe patterns;
-    // DuckDB regexp_replace needs the 'g' flag to match Spark's
-    // replace-all semantics
+    // same planted PII (one snippet per class, derived from doc_id), same
+    // RE2-safe pattern table in the same chain order; DuckDB regexp_replace
+    // needs the 'g' flag to match Spark's replace-all semantics
     "q85_pii_redaction" ->
       """WITH planted AS (SELECT doc_id,
         |  text ||
+        |  CASE WHEN doc_id % 5 = 0
+        |       THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1'
+        |       ELSE '' END ||
         |  CASE WHEN doc_id % 7 = 0
         |       THEN ' reach me at user' || CAST(doc_id AS VARCHAR) || '@example.com'
         |       ELSE '' END ||
         |  CASE WHEN doc_id % 11 = 0
         |       THEN ' or call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |       ELSE '' END ||
+        |  CASE WHEN doc_id % 13 = 0
+        |       THEN ' ssn ' || CAST(doc_id % 400 + 100 AS VARCHAR) || '-'
+        |            || CAST(doc_id % 89 + 10 AS VARCHAR) || '-'
+        |            || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |       ELSE '' END ||
+        |  CASE WHEN doc_id % 17 = 0
+        |       THEN ' card 4111-1111-1111-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
         |       ELSE '' END AS t
         | FROM documents)
         |SELECT doc_id,
         | CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        | CAST(len(regexp_extract_all(t, '[0-9]{4}-[0-9]{4}-[0-9]{4}-[0-9]{4}')) AS BIGINT) AS n_cards,
+        | CAST(len(regexp_extract_all(t, '[0-9]{3}-[0-9]{2}-[0-9]{4}')) AS BIGINT) AS n_ssns,
+        | CAST(len(regexp_extract_all(t, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS BIGINT) AS n_ips,
         | CAST(len(regexp_extract_all(t, '555-[0-9]{4}')) AS BIGINT) AS n_phones,
-        | sha256(regexp_replace(regexp_replace(t,
+        | sha256(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
         |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |   '[0-9]{4}-[0-9]{4}-[0-9]{4}-[0-9]{4}', '<CARD>', 'g'),
+        |   '[0-9]{3}-[0-9]{2}-[0-9]{4}', '<SSN>', 'g'),
+        |   '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g'),
         |   '555-[0-9]{4}', '<PHONE>', 'g')) AS redacted_sha256
         |FROM planted""".stripMargin,
     // dup-shingle fraction from list arithmetic (total 3-grams = len-2),

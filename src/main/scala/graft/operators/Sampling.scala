@@ -156,20 +156,30 @@ object Sampling {
     *
     * A single `row_number over (order by key)` is a one-partition sort at
     * 100 TB, so the rank is computed distributed (the q84 two-level shape):
-    * the first two hex chars of the key split the corpus into 256 uniform
-    * buckets, per-bucket counts prefix-sum over a 256-row relation (the
-    * only unpartitioned window — bounded by construction), and each doc's
-    * position is its bucket's prefix plus an in-bucket row_number. Every
-    * corpus-sized stage hash-partitions; this is exactly how a range
-    * partitioner assigns global ranks, spelled out so the bucket→prefix
-    * mechanics are testable against the single-window oracle.
+    * the first `prefixChars` hex chars of the key split the corpus into
+    * 16^prefixChars uniform buckets, per-bucket counts prefix-sum over a
+    * bucket-count-sized relation (the only unpartitioned window — bounded
+    * by construction), and each doc's position is its bucket's prefix plus
+    * an in-bucket row_number. Every corpus-sized stage hash-partitions;
+    * this is exactly how a range partitioner assigns global ranks, spelled
+    * out so the bucket→prefix mechanics are testable against the
+    * single-window oracle.
+    *
+    * `prefixChars` sizes the fan-out to the corpus: 2 (256 buckets) for
+    * fixture scale, 3–4 (4k–64k buckets) at the 100 TB target so each
+    * in-bucket sort task holds GBs, not hundreds of GBs. The permutation is
+    * IDENTICAL at every width — buckets are key prefixes, so concatenating
+    * buckets in bucket order IS the total key order — which the spec pins
+    * by running two widths against the same oracle.
     */
-  def globalShuffleRank(spark: SparkSession, dir: String, seed: Long = 42L): DataFrame = {
+  def globalShuffleRank(spark: SparkSession, dir: String, seed: Long = 42L,
+                        prefixChars: Int = 2): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    require(prefixChars >= 1 && prefixChars <= 8, s"prefixChars out of range: $prefixChars")
     val keyed = Tables.documents(spark, dir)
       .select(col("doc_id"),
         md5(concat(col("doc_id").cast("string"), lit(s":$seed"))).as("shuffle_key"))
-      .withColumn("bucket", substring(col("shuffle_key"), 1, 2))
+      .withColumn("bucket", substring(col("shuffle_key"), 1, prefixChars))
     val bucketPrefix = keyed.groupBy(col("bucket"))
       .agg(count(lit(1)).as("n"))
       .withColumn("bucket_prefix",

@@ -68,12 +68,19 @@ object TextAnalysis {
     * HAVING oracle — while the full-vocab hash agg it replaces carries
     * |vocab| state per partition, the thing that breaks first on a
     * 100 TB corpus with billion-token vocabularies.
+    *
+    * Each pass RE-SCANS the documents table rather than materializing the
+    * exploded token relation: tokenize is a cheap per-row expression and
+    * the scan prunes to the one `text` column, while a checkpoint of the
+    * corpus × tokens rows (the round-8 form) was a multi-hundred-TB
+    * executor-disk footprint at the 100 TB target — the opposite of the
+    * fixed-memory pitch. Three column-pruned scans beat one corpus-sized
+    * spill; PlanSpec pins the no-checkpoint shape.
     */
   def heavyHitterTokens(spark: SparkSession, dir: String,
                         support: Double = 0.001): DataFrame = {
-    val toks = Tables.documents(spark, dir)
+    def toks = Tables.documents(spark, dir)
       .select(explode(TF.tokens(col("text"))).as("token"))
-      .localCheckpoint(true) // feeds the sketch pass, the count, and the verify pass
     val n = toks.count()
     // Misra-Gries candidates: bounded driver result (≤ ~1/support items)
     val candidates = toks.stat.freqItems(Seq("token"), support)
@@ -257,42 +264,77 @@ object TextAnalysis {
           - idiv(col("offset"), contextLen) + 1).as("n_chunks"))
   }
 
-  /** Email/phone patterns shared by the redaction verb and its spec; RE2-
-    * compatible (no backrefs/lookaround) so the DuckDB oracle runs the
-    * SAME pattern text. */
-  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-  val phonePattern = "555-[0-9]{4}"
+  /** PII pattern table: (class, placeholder, regex) drives BOTH the
+    * per-class counts and the replacement chain, in table order. Adding a
+    * class is one row here (+ its fixture plant + oracle clause) — the
+    * reference's single literal replace
+    * (/root/reference/src/federated_learning_pipeline.py:31) promoted to a
+    * declarative table. Patterns are RE2-compatible (no backrefs or
+    * lookaround) so the DuckDB oracle runs the SAME pattern text. Order
+    * matters for the chain: card before ssn/phone so the longest digit
+    * shapes are consumed first.
+    */
+  val piiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "<EMAIL>", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"),
+    ("card",  "<CARD>",  "[0-9]{4}-[0-9]{4}-[0-9]{4}-[0-9]{4}"),
+    ("ssn",   "<SSN>",   "[0-9]{3}-[0-9]{2}-[0-9]{4}"),
+    ("ip",    "<IP>",    "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"),
+    ("phone", "<PHONE>", "555-[0-9]{4}"))
+  val emailPattern: String = piiPatterns.head._3
+  val phonePattern: String = piiPatterns.last._3
 
   /** q85 — PII REDACTION: the scrubbing pass a training corpus makes before
-    * anything else sees it — match emails/phones, count them, replace with
-    * typed placeholder tokens, and emit the redacted content hash (the
-    * downstream exact-dedup key). Pure per-row regexp expressions: one
-    * scan, no shuffle, pushdown-safe at 100 TB.
+    * anything else sees it — match each [[piiPatterns]] class, count it,
+    * replace with its typed placeholder token, and emit the redacted
+    * content hash (the downstream exact-dedup key). Pure per-row regexp
+    * expressions: one scan, no shuffle, pushdown-safe at 100 TB.
     *
-    * The fixture corpus is synthetic and contains no PII, so the PII is
-    * PLANTED deterministically from doc_id (the q82 fixture discipline:
-    * damage derived from the source table so the oracle can re-derive it):
-    * every 7th doc gains an email, every 11th a 555 phone number —
-    * doc_id % 77 hits both.
+    * The fixture corpus is synthetic and contains no PII, so one planted
+    * snippet per class is derived deterministically from doc_id (the q82
+    * fixture discipline: damage derived from the source table so the
+    * oracle can re-derive it): ip every 5th doc, email every 7th, phone
+    * every 11th, ssn every 13th, card every 17th. Planted values are
+    * chosen so no class's snippet matches another class's pattern (ssn
+    * area 100–499 ≠ 555; card groups never end in 555; dash classes are
+    * disjoint from the dotted ip).
     */
+  /** The fixture plant: one snippet per [[piiPatterns]] class appended to
+    * `text`, each derived from doc_id so spec and oracle re-derive it. */
+  private[graft] def plantedPiiText: org.apache.spark.sql.Column = {
+    val id = col("doc_id")
+    concat(col("text"),
+      when(id % 5 === 0,
+        concat(lit(" from 10.0."), (id % 256).cast("string"), lit(".1")))
+        .otherwise(lit("")),
+      when(id % 7 === 0,
+        concat(lit(" reach me at user"), id.cast("string"), lit("@example.com")))
+        .otherwise(lit("")),
+      when(id % 11 === 0,
+        concat(lit(" or call 555-"), lpad((id % 10000).cast("string"), 4, "0")))
+        .otherwise(lit("")),
+      when(id % 13 === 0,
+        concat(lit(" ssn "), ((id % 400) + 100).cast("string"), lit("-"),
+          ((id % 89) + 10).cast("string"), lit("-"),
+          lpad((id % 10000).cast("string"), 4, "0"))).otherwise(lit("")),
+      when(id % 17 === 0,
+        concat(lit(" card 4111-1111-1111-"), lpad((id % 10000).cast("string"), 4, "0")))
+        .otherwise(lit("")))
+  }
+
+  /** The redaction chain: [[piiPatterns]] applied in table order. */
+  private[graft] def redactPii(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    piiPatterns.foldLeft(c) {
+      case (acc, (_, placeholder, pattern)) => regexp_replace(acc, pattern, placeholder)
+    }
+
   def piiRedaction(spark: SparkSession, dir: String): DataFrame = {
-    val planted = concat(col("text"),
-      when(col("doc_id") % 7 === 0,
-        concat(lit(" reach me at user"), col("doc_id").cast("string"),
-          lit("@example.com"))).otherwise(lit("")),
-      when(col("doc_id") % 11 === 0,
-        concat(lit(" or call 555-"),
-          lpad((col("doc_id") % 10000).cast("string"), 4, "0"))).otherwise(lit("")))
-    val redacted = regexp_replace(
-      regexp_replace(planted, emailPattern, "<EMAIL>"),
-      phonePattern, "<PHONE>")
+    val planted = plantedPiiText
+    val countCols = piiPatterns.map { case (cls, _, pattern) =>
+      size(regexp_extract_all(planted, lit(pattern), lit(0))).cast("long")
+        .as(s"n_${cls}s")
+    }
     Tables.documents(spark, dir).select(
-      col("doc_id"),
-      size(regexp_extract_all(planted, lit(emailPattern), lit(0))).cast("long")
-        .as("n_emails"),
-      size(regexp_extract_all(planted, lit(phonePattern), lit(0))).cast("long")
-        .as("n_phones"),
-      sha2(redacted, 256).as("redacted_sha256"))
+      col("doc_id") +: countCols :+ sha2(redactPii(planted), 256).as("redacted_sha256"): _*)
   }
 
   /** q89 — REPETITION QUALITY METRICS (the Gopher-rule family): per-doc

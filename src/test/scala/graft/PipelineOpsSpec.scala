@@ -40,37 +40,37 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
-  test("q85 redaction: planted PII is counted and fully scrubbed") {
+  test("q85 redaction: every planted class is counted, scrubbed, and placeholder-typed") {
+    // modulus that plants each class, keyed by the pattern-table class name
+    val plantMod = Map("ip" -> 5L, "email" -> 7L, "phone" -> 11L,
+      "ssn" -> 13L, "card" -> 17L)
+    assert(TextAnalysis.piiPatterns.map(_._1).toSet == plantMod.keySet,
+      "pattern table and plant table must cover the same classes")
     val rows = TextAnalysis.piiRedaction(spark, TestSpark.Sf0001)
-      .as[(Long, Long, Long, String)].collect()
-    rows.foreach { case (id, emails, phones, _) =>
-      assert((emails >= 1) == (id % 7 == 0), s"doc $id emails=$emails")
-      assert((phones >= 1) == (id % 11 == 0), s"doc $id phones=$phones")
+      .as[(Long, Long, Long, Long, Long, Long, String)].collect()
+    // base fixture text matches none of the patterns (verified against the
+    // corpus), so counts are exactly the planted occurrences — both sides
+    rows.foreach { case (id, emails, cards, ssns, ips, phones, _) =>
+      val got = Map("email" -> emails, "card" -> cards, "ssn" -> ssns,
+        "ip" -> ips, "phone" -> phones)
+      plantMod.foreach { case (cls, m) =>
+        assert((got(cls) >= 1) == (id % m == 0), s"doc $id $cls=${got(cls)}")
+      }
     }
-    // rebuild the redacted text with the verb's own expressions and assert
-    // no pattern survives and the placeholders landed
-    val planted = concat(col("text"),
-      when(col("doc_id") % 7 === 0,
-        concat(lit(" reach me at user"), col("doc_id").cast("string"),
-          lit("@example.com"))).otherwise(lit("")),
-      when(col("doc_id") % 11 === 0,
-        concat(lit(" or call 555-"),
-          lpad((col("doc_id") % 10000).cast("string"), 4, "0"))).otherwise(lit("")))
-    val redacted = regexp_replace(
-      regexp_replace(planted, TextAnalysis.emailPattern, "<EMAIL>"),
-      TextAnalysis.phonePattern, "<PHONE>")
-    val leftovers = Tables.documents(spark, TestSpark.Sf0001)
-      .select(col("doc_id"), redacted.as("r"))
-      .filter(
-        size(regexp_extract_all(col("r"), lit(TextAnalysis.emailPattern), lit(0))) > 0
-          || size(regexp_extract_all(col("r"), lit(TextAnalysis.phonePattern), lit(0))) > 0)
-      .count()
-    assert(leftovers == 0L)
-    val placeholders = Tables.documents(spark, TestSpark.Sf0001)
-      .select(col("doc_id"), redacted.as("r"))
-      .filter(col("doc_id") % 7 === 0 && !col("r").contains("<EMAIL>"))
-      .count()
-    assert(placeholders == 0L)
+    // rebuild the redacted text with the verb's own expressions: no class's
+    // pattern survives, and every planted doc carries its typed placeholder
+    val redacted = Tables.documents(spark, TestSpark.Sf0001)
+      .select(col("doc_id"), TextAnalysis.redactPii(TextAnalysis.plantedPiiText).as("r"))
+    val leftover = TextAnalysis.piiPatterns.map { case (_, _, p) =>
+      size(regexp_extract_all(col("r"), lit(p), lit(0))) > 0
+    }.reduce(_ || _)
+    assert(redacted.filter(leftover).count() == 0L)
+    TextAnalysis.piiPatterns.foreach { case (cls, placeholder, _) =>
+      val missing = redacted
+        .filter(col("doc_id") % plantMod(cls) === 0 && !col("r").contains(placeholder))
+        .count()
+      assert(missing == 0L, s"$cls docs missing $placeholder")
+    }
   }
 
   test("q86 shuffle rank: distributed rank == single-window rank, a 0..N-1 permutation") {
@@ -86,6 +86,12 @@ class PipelineOpsSpec extends AnyFunSuite {
       .select(col("pos"), col("doc_id"))
       .as[(Long, Long)].collect().toSet
     assert(got.map(t => (t._1, t._2)).toSet == naive)
+    // bucket width is a fan-out knob, not a semantics knob: a 3-hex-char
+    // (4096-bucket) split must yield the IDENTICAL permutation, because
+    // concatenating prefix buckets in bucket order IS the total key order
+    val wide = Sampling.globalShuffleRank(spark, TestSpark.Sf0001, prefixChars = 3)
+      .as[(Long, Long, String)].collect()
+    assert(wide.map(t => (t._1, t._2)).toSet == naive)
   }
 
   test("q87 bloom semi-join: equals the plain semi-join; prefilter never drops a match") {

@@ -120,6 +120,14 @@ class PlanSpec extends AnyFunSuite {
       s"cross-split candidates must come from the inverted index:\n$plan")
   }
 
+  test("q83 heavy hitters: the verify pass re-scans parquet, never a corpus-sized checkpoint") {
+    val plan = planOf(graft.operators.TextAnalysis.heavyHitterTokens(spark, TestSpark.Sf0001, 0.002))
+    assert(!plan.contains("ExistingRDD"),
+      s"no materialized exploded-token relation may feed the verify pass:\n$plan")
+    assert(plan.contains("Scan parquet") || plan.contains("FileScan"),
+      s"verify pass should read the column-pruned documents scan directly:\n$plan")
+  }
+
   test("IVF assignment is a single shuffle-free projection (no Exchange)") {
     val e = Tables.embeddings(spark, TestSpark.Sf0001)
       .select(org.apache.spark.sql.functions.col("vec_id"),

@@ -269,7 +269,13 @@ object SparkEntry {
       graft.sources.Sources.partitionedPrunedRead(s, d)),
     // MERGE INTO on plain parquet: full-outer on the key, update/insert/
     // carry-over all exercised, next immutable snapshot written
-    "q91_merge_upsert" -> graft.sources.Sources.mergeUpsertSnapshot _
+    "q91_merge_upsert" -> graft.sources.Sources.mergeUpsertSnapshot _,
+    // STREAMING sequence packing: three doc_id-range ingest ticks (tick 1
+    // replayed — idempotence under the oracle), chunk offsets carried
+    // across batches by one running-total scalar; arrival order = doc_id
+    // order, so the manifest must equal q84's single-pass manifest
+    "q93_streaming_packing" -> ((s: SparkSession, d: String) =>
+      graft.streaming.SequencePackingStream.sequencePackingMultiTick(s, d))
   )
 
   /** Shared CTE chain ending in `pairs` = the exact-Jaccard near-dup pairs
@@ -292,6 +298,23 @@ object SparkEntry {
       |          WHERE round(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 4) >= 0.5)""".stripMargin
 
   private val jaccardPairCtes: String = jaccardPairCtesFrom("documents")
+
+  /** The packing manifest as DuckDB sees it: ONE global prefix-sum window
+    * in doc_id order (the plan the engine's two-level form avoids). Shared
+    * by q84 (batch) and q93 (streaming multi-tick) — the same oracle is
+    * what proves the two forms equivalent. */
+  private lazy val packingManifestSql: String =
+    """WITH toks AS (SELECT doc_id,
+      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n FROM documents),
+      | off AS (SELECT doc_id, n,
+      |          CAST(coalesce(sum(n) OVER (ORDER BY doc_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS o
+      |         FROM toks)
+      |SELECT doc_id, n AS n_tokens,
+      | o // 256 AS first_chunk,
+      | (o + n - 1) // 256 AS last_chunk,
+      | (o + n - 1) // 256 - o // 256 + 1 AS n_chunks
+      |FROM off""".stripMargin
 
   /** Cross-split incremental-dedup report under the ingest split (shared
     * by q64 — plain parquet index — and q66, the bucketed index: the
@@ -917,18 +940,12 @@ object SparkEntry {
         |FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))""".stripMargin,
     // the oracle is the SINGLE global window the engine deliberately
     // avoids — token offsets in doc_id order, chunked by integer division
-    "q84_sequence_packing" ->
-      """WITH toks AS (SELECT doc_id,
-        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n FROM documents),
-        | off AS (SELECT doc_id, n,
-        |          CAST(coalesce(sum(n) OVER (ORDER BY doc_id
-        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS o
-        |         FROM toks)
-        |SELECT doc_id, n AS n_tokens,
-        | o // 256 AS first_chunk,
-        | (o + n - 1) // 256 AS last_chunk,
-        | (o + n - 1) // 256 - o // 256 + 1 AS n_chunks
-        |FROM off""".stripMargin,
+    "q84_sequence_packing" -> packingManifestSql,
+    // q93 ingests the same corpus in doc_id-ordered ticks (tick 1
+    // replayed), so its cross-batch manifest must equal q84's single-pass
+    // manifest — one oracle proves batch/stream equivalence AND replay
+    // idempotence (a duplicated or offset-shifted partition breaks it)
+    "q93_streaming_packing" -> packingManifestSql,
     // same planted PII (one snippet per class, derived from doc_id), same
     // RE2-safe pattern table in the same chain order; DuckDB regexp_replace
     // needs the 'g' flag to match Spark's replace-all semantics

@@ -236,13 +236,23 @@ object TextAnalysis {
     * promotes to double and misplaces boundary offsets).
     */
   def sequencePacking(spark: SparkSession, dir: String,
-                      contextLen: Long = 256L, blockSize: Long = 64L): DataFrame = {
+                      contextLen: Long = 256L, blockSize: Long = 64L): DataFrame =
+    packManifest(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), TF.nTokens(col("text")).cast("long").as("n_tokens")),
+      contextLen, blockSize)
+
+  /** The packing core over any (doc_id, n_tokens) slice: two-level prefix
+    * sum in doc_id order starting from `baseOffset` (the running token
+    * total of everything already packed — 0 for a whole-corpus batch pass;
+    * the cross-batch state of the q93 streaming form). */
+  private[graft] def packManifest(docs0: DataFrame, contextLen: Long = 256L,
+                                  blockSize: Long = 64L,
+                                  baseOffset: Long = 0L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     def idiv(c: org.apache.spark.sql.Column, d: Long) =
       call_function("div", c, lit(d))
-    val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"), TF.nTokens(col("text")).cast("long").as("n_tokens"))
-      .withColumn("block", idiv(col("doc_id"), blockSize))
+    val docs = docs0.withColumn("block", idiv(col("doc_id"), blockSize))
     // tiny relation: one row per block; the unpartitioned window is bounded
     val blockPrefix = docs.groupBy(col("block"))
       .agg(sum(col("n_tokens")).as("block_total"))
@@ -256,7 +266,7 @@ object TextAnalysis {
     docs
       .withColumn("within", coalesce(sum(col("n_tokens")).over(inBlock), lit(0L)))
       .join(broadcast(blockPrefix), "block")
-      .withColumn("offset", col("block_prefix") + col("within"))
+      .withColumn("offset", lit(baseOffset) + col("block_prefix") + col("within"))
       .select(col("doc_id"), col("n_tokens"),
         idiv(col("offset"), contextLen).as("first_chunk"),
         idiv(col("offset") + col("n_tokens") - 1, contextLen).as("last_chunk"),

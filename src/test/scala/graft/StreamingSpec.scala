@@ -57,6 +57,46 @@ class StreamingSpec extends AnyFunSuite {
     assert(sCount >= 0.9 * bCount, s"only $sCount of $bCount sessions emitted")
   }
 
+  test("q93 streaming packing: MemoryStream micro-batches reproduce the batch manifest; replay is a no-op") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.SequencePackingStream
+    import spark.implicits._
+    val mPath = graft.sources.Sources.scratchDir(spark, "spec_pack_manifest")
+    val tPath = graft.sources.Sources.scratchDir(spark, "spec_pack_totals")
+    for (p <- Seq(mPath, tPath)) {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(hp, true)
+    }
+    val docs = Tables.documents(spark, TestSpark.Sf0001)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect().sortBy(_._1)
+    // three genuine micro-batches in arrival (= doc_id) order
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val stream = input.toDF().toDF("doc_id", "text")
+    val q = SequencePackingStream
+      .streamingSequencePacking(stream, mPath, tPath)
+      .start()
+    try {
+      docs.grouped((docs.length + 2) / 3).foreach { g =>
+        input.addData(g.toIndexedSeq)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    def manifest() = spark.read.parquet(mPath)
+      .select(col("doc_id"), col("n_tokens"), col("first_chunk"),
+        col("last_chunk"), col("n_chunks"))
+    val batchTwin = graft.operators.TextAnalysis.sequencePacking(spark, TestSpark.Sf0001)
+    assert(manifest().exceptAll(batchTwin).count() == 0)
+    assert(batchTwin.exceptAll(manifest()).count() == 0)
+    // replay the MIDDLE tick out of band (same batch id 1): the XO layout
+    // must rewrite identical content, not shift offsets or duplicate rows
+    val before = manifest().collect().map(_.toSeq).toSet
+    val tick1 = docs.grouped((docs.length + 2) / 3).toSeq(1)
+    SequencePackingStream.packShardXO(
+      spark.createDataset(tick1.toIndexedSeq).toDF("doc_id", "text"), 1L, mPath, tPath)
+    assert(manifest().collect().map(_.toSeq).toSet == before)
+  }
+
   test("mapGroupsWithState per-user totals match the batch aggregation") {
     runToCompletion(
       EventWindows.streamingUserTotals(spark, TestSpark.Sf0001)

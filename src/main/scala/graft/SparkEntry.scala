@@ -275,7 +275,14 @@ object SparkEntry {
     // across batches by one running-total scalar; arrival order = doc_id
     // order, so the manifest must equal q84's single-pass manifest
     "q93_streaming_packing" -> ((s: SparkSession, d: String) =>
-      graft.streaming.SequencePackingStream.sequencePackingMultiTick(s, d))
+      graft.streaming.SequencePackingStream.sequencePackingMultiTick(s, d)),
+    // persisted IVF index + incremental assignment: settled corpus trains
+    // and persists codebook + list_id-partitioned assignments, the new
+    // tick assigns against the PERSISTED codebook, probes read only the
+    // probed list partitions; invariant row (incremental == single-pass
+    // assignment, index probe == in-memory probe, both exact)
+    "q94_ivf_incremental" -> ((s: SparkSession, d: String) =>
+      Similarity.ivfIncrementalInvariant(s, d))
   )
 
   /** Shared CTE chain ending in `pairs` = the exact-Jaccard near-dup pairs
@@ -946,6 +953,16 @@ object SparkEntry {
     // manifest — one oracle proves batch/stream equivalence AND replay
     // idempotence (a duplicated or offset-shifted partition breaks it)
     "q93_streaming_packing" -> packingManifestSql,
+    // the q34 invariant discipline: DuckDB recounts the split sizes; the
+    // two mismatch counters (incremental vs single-pass assignment, index
+    // probe vs in-memory probe — both exact row-set compares computed
+    // distributed on the Spark side) must be zero
+    "q94_ivf_incremental" ->
+      """SELECT
+        | CAST((SELECT count(*) FROM embeddings WHERE vec_id % 5 <> 0) AS BIGINT) AS n_settled,
+        | CAST((SELECT count(*) FROM embeddings WHERE vec_id % 5 = 0) AS BIGINT) AS n_new,
+        | CAST(0 AS BIGINT) AS assign_mismatches,
+        | CAST(0 AS BIGINT) AS probe_mismatches""".stripMargin,
     // same planted PII (one snippet per class, derived from doc_id), same
     // RE2-safe pattern table in the same chain order; DuckDB regexp_replace
     // needs the 'g' flag to match Spark's replace-all semantics

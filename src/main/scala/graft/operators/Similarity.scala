@@ -374,6 +374,35 @@ object Similarity {
       cents, nQueries, k, nProbe,
       broadcastCodebook = cents.length > LiteralCodebookMaxLists)
 
+  /** The probe side — each query's top-nProbe list ids — routed on codebook
+    * size like assignment (literals vs broadcast). `queries` carries
+    * (vec_id, embedding); nQueries-bounded by the caller. */
+  private[graft] def probesFor(queries: DataFrame, cents: Array[Array[Float]],
+                               nProbe: Int, broadcastCodebook: Boolean): DataFrame =
+    if (!broadcastCodebook)
+      queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        explode(probeListIds(col("embedding"), cents, nProbe)).as("list_id"))
+    else {
+      val centsDf = centroidsToDF(queries.sparkSession, cents)
+      queries.crossJoin(broadcast(packedCodebook(centsDf)))
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+          explode(probeOfScored(
+            scoredLists(col("embedding"), col("codebook")), nProbe)).as("list_id"))
+    }
+
+  /** The probe tail shared by the in-memory and persisted-index paths:
+    * equi-join candidates to probed lists, exact cosine, per-query top-k
+    * under the (score desc, vec_id) total order. */
+  private def probeTail(assigned: DataFrame, probes: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("vec_id"))
+    assigned.join(probes, Seq("list_id"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumn("score", round(VectorOps.cosineFast(col("qv"), col("embedding")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id").as("cand_id"), col("score"))
+  }
+
   /** The probe pipeline with the codebook form made explicit — the spec
     * drives both forms on one corpus and pins their equality. */
   private[graft] def ivfCosineTopKOver(e: DataFrame, cents: Array[Array[Float]],
@@ -382,28 +411,103 @@ object Similarity {
     val nLists = cents.length
     require(nLists > 0 && nProbe > 0 && nProbe <= nLists,
       s"need 0 < nProbe=$nProbe <= nLists=$nLists")
-    val (assigned, probes) =
-      if (!broadcastCodebook) (
+    val assigned =
+      if (!broadcastCodebook)
         e.select(col("vec_id"), col("embedding"),
-          nearestListId(col("embedding"), cents).as("list_id")),
-        e.filter(col("vec_id") < nQueries)
-          .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
-            explode(probeListIds(col("embedding"), cents, nProbe)).as("list_id")))
-      else {
-        val centsDf = centroidsToDF(e.sparkSession, cents)
-        (ivfAssignBroadcast(e, centsDf),
-          e.filter(col("vec_id") < nQueries)
-            .crossJoin(broadcast(packedCodebook(centsDf)))
-            .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
-              explode(probeOfScored(
-                scoredLists(col("embedding"), col("codebook")), nProbe)).as("list_id")))
-      }
-    val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("vec_id"))
-    assigned.join(probes, Seq("list_id"))
-      .filter(col("query_id") =!= col("vec_id"))
-      .withColumn("score", round(VectorOps.cosineFast(col("qv"), col("embedding")), 6))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("vec_id").as("cand_id"), col("score"))
+          nearestListId(col("embedding"), cents).as("list_id"))
+      else ivfAssignBroadcast(e, centroidsToDF(e.sparkSession, cents))
+    probeTail(assigned,
+      probesFor(e.filter(col("vec_id") < nQueries), cents, nProbe, broadcastCodebook), k)
+  }
+
+  // --- Persisted IVF index + incremental assignment (q94) ---------------
+  //
+  // The vector-store lifecycle the in-memory forms above skip: train ONCE
+  // on the settled corpus, persist codebook + assignments, then let every
+  // later ingest tick assign ONLY its new vectors against the persisted
+  // codebook — O(shard · nLists) per tick, the settled rows never touched,
+  // never re-scored, never shuffled (the q64 incremental-dedup discipline
+  // applied to the similarity index). Queries probe the persisted layout:
+  // assignments are PARTITIONED by list_id, so a probe reads the nProbe
+  // probed lists' files and skips the rest — at 100 TB the difference
+  // between scanning ~nProbe/nLists of the corpus and all of it, enforced
+  // by the file index rather than a filter.
+
+  /** Bootstrap: train on the settled corpus, persist the codebook
+    * ([[saveCentroids]]) and the list_id-partitioned assignment table. */
+  def writeIvfIndex(e: DataFrame, codebookPath: String, indexPath: String,
+                    nLists: Int = 16, trainIters: Int = 1): Unit = {
+    val spark = e.sparkSession
+    val cents = trainCentroids(e, nLists, trainIters)
+    saveCentroids(spark, cents, codebookPath)
+    ivfAssign(e, cents)
+      .write.mode("overwrite").partitionBy("list_id").parquet(indexPath)
+  }
+
+  /** One ingest tick: assign the new vectors against the PERSISTED
+    * codebook and append them under their list partitions. No retraining —
+    * the codebook is the index's frozen coordinate system; drift is a
+    * rebuild decision, not an ingest side effect. */
+  def ivfIngestTick(newVecs: DataFrame, codebookPath: String,
+                    indexPath: String): DataFrame = {
+    val spark = newVecs.sparkSession
+    val assigned = ivfAssign(newVecs, loadCentroids(spark, codebookPath))
+    assigned.write.mode("append").partitionBy("list_id").parquet(indexPath)
+    assigned
+  }
+
+  /** Probe the persisted index: load the codebook, pick each query's
+    * nProbe lists, and join against the partitioned assignment table —
+    * only the probed list partitions are read. */
+  def ivfProbeIndex(spark: SparkSession, codebookPath: String, indexPath: String,
+                    queries: DataFrame, k: Int = 5, nProbe: Int = 4): DataFrame = {
+    val cents = loadCentroids(spark, codebookPath)
+    require(nProbe > 0 && nProbe <= cents.length,
+      s"need 0 < nProbe=$nProbe <= nLists=${cents.length}")
+    probeTail(spark.read.parquet(indexPath),
+      probesFor(queries, cents, nProbe, cents.length > LiteralCodebookMaxLists), k)
+  }
+
+  /** q94 fixture entry — the invariant row (q34 discipline: the RNG-free
+    * facts DuckDB can recount plus violation counters that must be zero):
+    * settled corpus (vec_id % 5 ≠ 0) bootstraps the persisted index, the
+    * new tick (vec_id % 5 = 0) ingests against the persisted codebook, and
+    * the query asserts (a) the persisted assignments equal a single-pass
+    * assignment of the union under the same codebook — incremental ==
+    * batch — and (b) probing the persisted layout returns exactly the
+    * in-memory probe of the union. Both comparisons are exact row-set
+    * equality; the spec separately re-runs the q43 recall bar over the
+    * union. */
+  def ivfIncrementalInvariant(spark: SparkSession, dir: String,
+                              nLists: Int = 16, nProbe: Int = 4,
+                              nQueries: Int = 10, k: Int = 5): DataFrame = {
+    val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val isNew = col("vec_id") % 5 === 0
+    val hex = java.lang.Integer.toHexString(dir.hashCode)
+    val cbPath = graft.sources.Sources.scratchDir(spark, "ivf_codebook_" + hex)
+    val idxPath = graft.sources.Sources.scratchDir(spark, "ivf_index_" + hex)
+    // bootstrap overwrites the whole index dir, so a re-run (bench
+    // best-of-N) starts clean; the tick then appends exactly once
+    writeIvfIndex(e.filter(!isNew), cbPath, idxPath, nLists)
+    ivfIngestTick(e.filter(isNew), cbPath, idxPath)
+    val cents = loadCentroids(spark, cbPath)
+    val persisted = spark.read.parquet(idxPath)
+      .select(col("vec_id"), col("list_id"))
+    val full = ivfAssign(e, cents).select(col("vec_id"), col("list_id"))
+    val assignMismatches =
+      persisted.exceptAll(full).count() + full.exceptAll(persisted).count()
+    val fromIndex = ivfProbeIndex(spark, cbPath, idxPath,
+      e.filter(col("vec_id") < nQueries), k, nProbe)
+    val inMemory = ivfCosineTopKOver(e, cents, nQueries, k, nProbe,
+      cents.length > LiteralCodebookMaxLists)
+    val probeMismatches =
+      fromIndex.exceptAll(inMemory).count() + inMemory.exceptAll(fromIndex).count()
+    import spark.implicits._
+    Seq((assignMismatches, probeMismatches)).toDF(
+      "assign_mismatches", "probe_mismatches")
+      .select(
+        lit(e.filter(!isNew).count()).as("n_settled"),
+        lit(e.filter(isNew).count()).as("n_new"),
+        col("assign_mismatches"), col("probe_mismatches"))
   }
 }

@@ -164,6 +164,31 @@ class SimilaritySpec extends AnyFunSuite {
     assert(viaTrained.exceptAll(viaLoaded).count() == 0)
   }
 
+  test("q94 incremental IVF: persisted-index probe over the union keeps the q43 recall bar") {
+    val e = Tables.embeddings(spark, TestSpark.Sf0001)
+      .select(col("vec_id"), col("embedding"))
+    val isNew = col("vec_id") % 5 === 0
+    val cbPath = graft.sources.Sources.scratchDir(spark, "spec_ivf_cb")
+    val idxPath = graft.sources.Sources.scratchDir(spark, "spec_ivf_idx")
+    Similarity.writeIvfIndex(e.filter(!isNew), cbPath, idxPath, nLists = 16)
+    Similarity.ivfIngestTick(e.filter(isNew), cbPath, idxPath)
+    // the persisted index now covers the UNION; its probe must keep the
+    // same recall bar the in-memory form is held to (q43's spec), even
+    // though the codebook saw only the settled 80% at training time
+    val exact = Similarity.cosineTopK(spark, TestSpark.Sf0001)
+      .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
+    val fromIndex = Similarity.ivfProbeIndex(spark, cbPath, idxPath,
+      e.filter(col("vec_id") < 10), k = 5, nProbe = 4)
+      .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & fromIndex).size.toDouble / exact.size
+    assert(recall >= 0.8, s"persisted-index recall $recall below floor 0.8")
+    // the tick appended exactly the new vectors, each to exactly one list
+    val counts = spark.read.parquet(idxPath).groupBy(col("vec_id")).count()
+      .select(col("count")).as[Long].collect()
+    assert(counts.length == e.count() && counts.forall(_ == 1L),
+      "every union vector must sit in exactly one list partition")
+  }
+
   test("IVF partitions the corpus: every vector lands in exactly one list") {
     // k > corpus size forces every probed vector to surface, so a vector
     // assigned to 0 or 2 lists would show up as a missing/duplicate cand

@@ -282,7 +282,19 @@ object SparkEntry {
     // probed list partitions; invariant row (incremental == single-pass
     // assignment, index probe == in-memory probe, both exact)
     "q94_ivf_incremental" -> ((s: SparkSession, d: String) =>
-      Similarity.ivfIncrementalInvariant(s, d))
+      Similarity.ivfIncrementalInvariant(s, d)),
+    // order-0 LM quality filter: corpus-trained unigram log-probs,
+    // tf-weighted per-doc mean, 6dp-rounded gate
+    "q95_unigram_lm_score" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.unigramLmScore(s, d)),
+    // Okapi BM25 retrieval: inverted-index candidates (q88 skeleton),
+    // max_df skew guard, saturating tf, per-query top-k
+    "q96_bm25_topk" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.bm25TopK(s, d)),
+    // seeded per-stratum cap-N downsample; per-lang rank via the q86
+    // two-level shape within each stratum (no per-stratum corpus sort)
+    "q97_stratum_cap" -> ((s: SparkSession, d: String) =>
+      Sampling.stratumCapSample(s, d))
   )
 
   /** Shared CTE chain ending in `pairs` = the exact-Jaccard near-dup pairs
@@ -963,6 +975,56 @@ object SparkEntry {
         | CAST((SELECT count(*) FROM embeddings WHERE vec_id % 5 = 0) AS BIGINT) AS n_new,
         | CAST(0 AS BIGINT) AS assign_mismatches,
         | CAST(0 AS BIGINT) AS probe_mismatches""".stripMargin,
+    // identical unigram model (corpus-trained), tf-weighted mean, 6dp gate
+    "q95_unigram_lm_score" ->
+      """WITH tf AS (SELECT doc_id, token, count(*) AS tf
+        |            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |                  FROM documents)
+        |            GROUP BY doc_id, token),
+        | vocab AS (SELECT token, CAST(sum(tf) AS BIGINT) AS cnt FROM tf GROUP BY token),
+        | tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM vocab),
+        | logp AS (SELECT token, ln(CAST(cnt AS DOUBLE) / total) AS lp FROM vocab, tot)
+        |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+        | round(sum(tf * lp) / sum(tf), 6) AS mean_logp,
+        | (round(sum(tf * lp) / sum(tf), 6) >= -3.402) AS keep
+        |FROM tf JOIN logp USING (token) GROUP BY doc_id""".stripMargin,
+    // same max_df pruning, idf form, tf saturation, 4dp-rounded rank order
+    "q96_bm25_topk" ->
+      """WITH n AS (SELECT count(*) AS n_docs FROM documents),
+        | tf AS (SELECT doc_id, token, count(*) AS tf
+        |        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |              FROM documents)
+        |        GROUP BY doc_id, token),
+        | lens AS (SELECT doc_id, sum(tf) AS len FROM tf GROUP BY doc_id),
+        | al AS (SELECT avg(len) AS avg_len FROM lens),
+        | idf AS (SELECT token,
+        |           ln(1.0 + (CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5)) AS idf
+        |         FROM (SELECT token, count(*) AS df FROM tf GROUP BY token
+        |               HAVING count(*) <= 1000000), n),
+        | cand AS (SELECT tf.doc_id AS cand_id, tf.token,
+        |            idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * len / avg_len)) AS w
+        |          FROM tf JOIN idf USING (token) JOIN lens USING (doc_id), al),
+        | scored AS (SELECT q.doc_id AS query_id, cand_id,
+        |              round(sum(w), 4) AS score
+        |            FROM cand JOIN (SELECT DISTINCT doc_id, token FROM tf
+        |                            WHERE doc_id < 5) q USING (token)
+        |            WHERE q.doc_id <> cand_id
+        |            GROUP BY 1, 2),
+        | ranked AS (SELECT query_id, cand_id, score,
+        |              CAST(row_number() OVER (PARTITION BY query_id
+        |                ORDER BY score DESC, cand_id) AS BIGINT) AS rank
+        |            FROM scored)
+        |SELECT query_id, rank, cand_id, score FROM ranked WHERE rank <= 10""".stripMargin,
+    // the single per-stratum rank window the engine's two-level form avoids
+    "q97_stratum_cap" ->
+      """WITH keyed AS (SELECT doc_id, lang,
+        |         md5(CAST(doc_id AS VARCHAR) || ':42') AS skey
+        |       FROM documents),
+        | ranked AS (SELECT doc_id, lang,
+        |              CAST(row_number() OVER (PARTITION BY lang
+        |                ORDER BY skey, doc_id) AS BIGINT) AS pos
+        |            FROM keyed)
+        |SELECT doc_id, lang, pos FROM ranked WHERE pos <= 50""".stripMargin,
     // same planted PII (one snippet per class, derived from doc_id), same
     // RE2-safe pattern table in the same chain order; DuckDB regexp_replace
     // needs the 'g' flag to match Spark's replace-all semantics

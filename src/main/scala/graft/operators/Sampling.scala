@@ -196,6 +196,50 @@ object Sampling {
         col("doc_id"), col("shuffle_key"))
   }
 
+  /** q97 — DETERMINISTIC PER-STRATUM CAP: keep at most `n` docs per
+    * language, selected by seeded-hash order (md5(doc_id:seed)) — the
+    * reproducible "cap every source at N" downsample that blunt-balances a
+    * mixture before q92's weighting refines it. Selection by hash order
+    * means the kept set is a uniform random sample, yet stable across runs
+    * and engines.
+    *
+    * The naive form is `row_number over (partition by lang order by key)`
+    * — with a 5-value stratum key that is 5 tasks each sorting a fifth of
+    * the corpus (the exact ceiling q57 and q86 avoid). So the per-stratum
+    * rank runs the q86 two-level shape WITHIN each stratum: hash-prefix
+    * buckets split every stratum 16^prefixChars ways, per-(stratum,
+    * bucket) counts prefix-sum over a tiny relation, and the in-bucket
+    * row_number runs on (stratum, bucket) partitions — corpus-sized stages
+    * all hash-partition on a well-spread composite key. Emits the per-lang
+    * position so the oracle pins the full permutation, not just
+    * membership.
+    */
+  def stratumCapSample(spark: SparkSession, dir: String, n: Long = 50L,
+                       seed: Long = 42L, prefixChars: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(prefixChars >= 1 && prefixChars <= 8, s"prefixChars out of range: $prefixChars")
+    val keyed = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        md5(concat(col("doc_id").cast("string"), lit(s":$seed"))).as("skey"))
+      .withColumn("bucket", substring(col("skey"), 1, prefixChars))
+    val bucketPrefix = keyed.groupBy(col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("bucket_prefix",
+        coalesce(sum(col("cnt")).over(
+          Window.partitionBy(col("lang")).orderBy(col("bucket"))
+            .rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col("lang"), col("bucket"), col("bucket_prefix"))
+    val inBucket = Window.partitionBy(col("lang"), col("bucket"))
+      .orderBy(col("skey"), col("doc_id"))
+    keyed
+      .withColumn("rn", row_number().over(inBucket).cast("long"))
+      .join(broadcast(bucketPrefix), Seq("lang", "bucket"))
+      .withColumn("pos", col("bucket_prefix") + col("rn"))
+      .filter(col("pos") <= n)
+      .select(col("doc_id"), col("lang"), col("pos"))
+  }
+
   /** D4+D5 — hash repartition (reference
     * /root/reference/src/preprocessing_pipeline.py:273: repartition(16, Path))
     * + partition introspection kept inside SQL via spark_partition_id()

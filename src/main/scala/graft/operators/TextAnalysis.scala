@@ -397,6 +397,15 @@ object TextAnalysis {
     * declared vector space — the oracle replays the identical pruning.
     * Scores round at 4dp and the threshold compares the rounded value
     * (both engines gate the same decimal).
+    *
+    * Cross-engine tolerance, stated honestly: the dot/norm sums are float
+    * accumulations whose order differs between engines, so the raw cosines
+    * can differ in the last ulp. The 4dp rounding absorbs that everywhere
+    * EXCEPT when a raw cosine lands within an ulp of a .00005 rounding
+    * boundary (or the rounded value exactly equals the threshold while the
+    * ulp crosses it) — a measure-zero knife edge the harness accepts
+    * rather than forcing both engines through a decimal pipeline that
+    * could not remove the sum-order drift anyway.
     */
   def tfidfSimilarityPairs(spark: SparkSession, dir: String,
                            threshold: Double = 0.3, maxDf: Long = 100L): DataFrame = {
@@ -437,6 +446,14 @@ object TextAnalysis {
     * aggregate on the tiny lang key plus a broadcast of the 1-row totals;
     * expected_docs floors the ROUNDED probability so both engines truncate
     * the same 6dp decimal.
+    *
+    * Cross-engine tolerance: pow() is a libm call whose last ulp can
+    * differ between engines, so p_temp's raw value may differ by an ulp
+    * before the 6dp round. The rounding absorbs that except when the raw
+    * value sits within an ulp of a .0000005 boundary (which would flip the
+    * floored expected_docs by 1) — the same measure-zero knife edge as
+    * q88's gate, accepted and documented rather than papered over with a
+    * decimal cast that cannot remove the libm drift.
     */
   def mixtureWeights(spark: SparkSession, dir: String,
                      alpha: Double = 0.7, epochBudget: Long = 100000L): DataFrame = {
@@ -452,6 +469,92 @@ object TextAnalysis {
         round(col("w") / col("total_w"), 6).as("p_temp"),
         floor(round(col("w") / col("total_w"), 6) * epochBudget).cast("long")
           .as("expected_docs"))
+  }
+
+  /** q95 — UNIGRAM LM QUALITY SCORE: the cheap LM-based quality filter
+    * (public pipelines run a KenLM pass; reduced here to its order-0 form
+    * so the oracle can replay it token for token). The corpus trains its
+    * own unigram model — token → ln(count/total) — and each doc scores as
+    * the tf-weighted mean log-prob of its tokens; the curation gate keeps
+    * docs above `minLogProb`. Gibberish and ultra-rare-token docs score
+    * low; boilerplate scores high — the two tails a quality pass trims.
+    *
+    * Scale shape: two linear passes. The vocab aggregate is map-side
+    * combined (shuffle carries |vocab| partials); scoring joins per-doc tf
+    * against the vocab ON TOKEN (inverted-index style, never a doc×vocab
+    * cross) and re-aggregates per doc. The 1-row totals broadcast. The
+    * keep gate compares the 6dp-ROUNDED score, so both engines gate the
+    * same decimal (ulp caveat as q88/q92, documented there).
+    */
+  def unigramLmScore(spark: SparkSession, dir: String,
+                     minLogProb: Double = -3.402): DataFrame = {
+    val tf = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(TF.tokens(col("text"))).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val vocab = tf.groupBy(col("token")).agg(sum(col("tf")).as("cnt"))
+    val totals = vocab.agg(sum(col("cnt")).as("total"))
+    val logp = vocab.crossJoin(broadcast(totals))
+      .select(col("token"),
+        log(col("cnt").cast("double") / col("total")).as("lp"))
+    tf.join(logp, "token")
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("tf")).as("n_tokens"),
+        round(sum(col("tf") * col("lp")) / sum(col("tf")), 6).as("mean_logp"))
+      .withColumn("keep", col("mean_logp") >= minLogProb)
+  }
+
+  /** q96 — BM25 RETRIEVAL TOP-K: the sparse-retrieval verb a training
+    * pipeline runs for decontamination lookups and hard-negative mining —
+    * score candidate docs against query docs with Okapi BM25 and keep each
+    * query's top k. Candidates come from the inverted-index equi-join on
+    * the token (docs sharing no surviving token never meet), the q88
+    * skeleton with BM25's saturating tf in place of tf-idf's linear one.
+    *
+    * `maxDf` prunes tokens in more than maxDf docs from BOTH sides — the
+    * skew guard (bounds every join bucket at maxDf · nQueries) that BM25's
+    * own idf discount makes nearly free semantically, since the dropped
+    * tokens carry the lowest idf. The default leaves it off: the fixture
+    * vocabulary is CLOSED (≈31 tokens, every one in most docs), so any
+    * meaningful cap would empty the query — at a real corpus's Zipfian
+    * vocabulary, set maxDf to the stopword knee exactly as q88 does.
+    * Scores round at 4dp; ranks break ties by cand_id — the bit-stable
+    * total order every top-k in the engine uses.
+    */
+  def bm25TopK(spark: SparkSession, dir: String, nQueries: Int = 5,
+               k: Int = 10, k1: Double = 1.2, b: Double = 0.75,
+               maxDf: Long = 1000000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    val nDocs = docs.count() // one scalar for the idf; bounded driver state
+    val tf = docs
+      .select(col("doc_id"), explode(TF.tokens(col("text"))).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val lens = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("len"))
+    val avgLen = lens.agg(avg(col("len")).as("avg_len"))
+    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+    val idf = df.select(col("token"),
+      log(lit(1.0) + (lit(nDocs.toDouble) - col("df") + 0.5) / (col("df") + 0.5)).as("idf"))
+    val cand = tf.join(idf, "token")
+      .join(lens, "doc_id").crossJoin(broadcast(avgLen))
+      .select(col("doc_id").as("cand_id"), col("token"),
+        (col("idf") * col("tf") * (lit(k1) + 1.0)
+          / (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("len") / col("avg_len"))))
+          .as("w"))
+    val qTokens = tf.filter(col("doc_id") < nQueries)
+      .select(col("doc_id").as("query_id"), col("token"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("cand_id"))
+    cand.join(qTokens, "token")
+      .filter(col("query_id") =!= col("cand_id"))
+      .groupBy(col("query_id"), col("cand_id"))
+      .agg(round(sum(col("w")), 4).as("score"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("cand_id"), col("score"))
   }
 
   /** q45 — J2 label-vector assembly (reference: the 5-column label matrix

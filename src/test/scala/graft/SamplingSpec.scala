@@ -24,6 +24,34 @@ class SamplingSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("q97 stratum cap: two-level rank == per-stratum window; widths agree; caps hold") {
+    import org.apache.spark.sql.expressions.Window
+    val got = Sampling.stratumCapSample(spark, TestSpark.Sf0001)
+      .as[(Long, String, Long)].collect().toSet
+    // the single per-stratum window the two-level form avoids
+    val naive = Tables.documents(spark, TestSpark.Sf0001)
+      .select(col("doc_id"), col("lang"),
+        md5(concat(col("doc_id").cast("string"), lit(":42"))).as("skey"))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("lang")).orderBy(col("skey"), col("doc_id"))).cast("long"))
+      .filter(col("pos") <= 50)
+      .select(col("doc_id"), col("lang"), col("pos"))
+      .as[(Long, String, Long)].collect().toSet
+    assert(got == naive)
+    // fan-out width is not a semantics knob (same argument as q86)
+    val wide = Sampling.stratumCapSample(spark, TestSpark.Sf0001, prefixChars = 3)
+      .as[(Long, String, Long)].collect().toSet
+    assert(wide == naive)
+    // every stratum capped at min(n, stratum size), positions are 1..cap
+    val langTotals = Tables.documents(spark, TestSpark.Sf0001)
+      .groupBy(col("lang")).count().as[(String, Long)].collect().toMap
+    got.groupBy(_._2).foreach { case (lang, rows) =>
+      val cap = math.min(50L, langTotals(lang))
+      assert(rows.size == cap, s"$lang kept ${rows.size}, want $cap")
+      assert(rows.map(_._3).toSeq.sorted == (1L to cap), s"$lang positions")
+    }
+  }
+
   test("sampleBy fractions within tolerance at sf0.001") {
     val violations = Sampling.sampleByInvariant(spark, TestSpark.Sf0001)
       .as[Long].head()

@@ -294,7 +294,18 @@ object SparkEntry {
     // seeded per-stratum cap-N downsample; per-lang rank via the q86
     // two-level shape within each stratum (no per-stratum corpus sort)
     "q97_stratum_cap" -> ((s: SparkSession, d: String) =>
-      Sampling.stratumCapSample(s, d))
+      Sampling.stratumCapSample(s, d)),
+    // near-dup pairs rolled up by unordered source pair — the
+    // cross-source contamination matrix a multi-source corpus reports
+    "q98_cross_source_dups" -> ((s: SparkSession, d: String) =>
+      Dedup.crossSourceDupMatrix(s, d)),
+    // one-row data card: doc/token/vocab counts + Shannon entropies of
+    // the token and language marginals (aggregates over tiny relations)
+    "q99_corpus_diversity" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.corpusDiversityStats(s, d)),
+    // snapshot-versioning diff: v1 vs v2 classified added/removed/
+    // changed/unchanged via one full-outer key join + hash compare
+    "q100_snapshot_diff" -> graft.sources.Sources.snapshotDiff _
   )
 
   /** Shared CTE chain ending in `pairs` = the exact-Jaccard near-dup pairs
@@ -1015,6 +1026,48 @@ object SparkEntry {
         |                ORDER BY score DESC, cand_id) AS BIGINT) AS rank
         |            FROM scored)
         |SELECT query_id, rank, cand_id, score FROM ranked WHERE rank <= 10""".stripMargin,
+    // the same exact-Jaccard pair CTE as q17, rolled up by unordered
+    // source pair
+    "q98_cross_source_dups" ->
+      s"""WITH $jaccardPairCtes,
+         |cells AS (
+         |  SELECT least(da.source, db.source) AS source_a,
+         |         greatest(da.source, db.source) AS source_b, jaccard
+         |  FROM pairs JOIN documents da ON da.doc_id = doc_a
+         |             JOIN documents db ON db.doc_id = doc_b)
+         |SELECT source_a, source_b, count(*) AS n_pairs,
+         | round(avg(jaccard), 4) AS avg_jaccard
+         |FROM cells GROUP BY 1, 2""".stripMargin,
+    // same marginals, same -sum(p ln p) arithmetic at 6dp
+    "q99_corpus_diversity" ->
+      """WITH vocab AS (SELECT token, count(*) AS cnt
+        |               FROM (SELECT unnest(string_split(text, ' ')) AS token
+        |                     FROM documents)
+        |               GROUP BY token),
+        | tt AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_tokens,
+        |          count(*) AS vocab_size FROM vocab),
+        | te AS (SELECT round(-sum(p * ln(p)), 6) AS token_entropy
+        |        FROM (SELECT CAST(cnt AS DOUBLE) / n_tokens AS p FROM vocab, tt)),
+        | langs AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+        | lt AS (SELECT CAST(sum(n) AS BIGINT) AS n_docs FROM langs),
+        | le AS (SELECT round(-sum(p * ln(p)), 6) AS lang_entropy
+        |        FROM (SELECT CAST(n AS DOUBLE) / n_docs AS p FROM langs, lt))
+        |SELECT n_docs, n_tokens, vocab_size, token_entropy, lang_entropy
+        |FROM lt, tt, te, le""".stripMargin,
+    // v1/v2 re-derived identically; the diff classifies by content hash
+    "q100_snapshot_diff" ->
+      """WITH v1 AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0),
+        | upd AS (SELECT doc_id, text || ' [rev2]' AS text FROM documents
+        |         WHERE doc_id % 2 = 0),
+        | v2 AS (SELECT coalesce(u.doc_id, b.doc_id) AS doc_id,
+        |          coalesce(u.text, b.text) AS text
+        |        FROM v1 b FULL OUTER JOIN upd u ON b.doc_id = u.doc_id),
+        | d AS (SELECT CASE WHEN a.doc_id IS NULL THEN 'added'
+        |                   WHEN c.doc_id IS NULL THEN 'removed'
+        |                   WHEN a.text <> c.text THEN 'changed'
+        |                   ELSE 'unchanged' END AS status
+        |       FROM v1 a FULL OUTER JOIN v2 c ON a.doc_id = c.doc_id)
+        |SELECT status, count(*) AS n_docs FROM d GROUP BY status""".stripMargin,
     // the single per-stratum rank window the engine's two-level form avoids
     "q97_stratum_cap" ->
       """WITH keyed AS (SELECT doc_id, lang,

@@ -1037,6 +1037,30 @@ object Dedup {
     * routes, so the contract never weakens — only the candidate index
     * shrinks. The routing count is one metadata-cheap action, memoized
     * per (session, dir, table). */
+  /** q98 — CROSS-SOURCE DUPLICATION MATRIX: where do the near-dups come
+    * from? The contamination report a multi-source corpus publishes —
+    * near-dup pairs (the q17 exact-Jaccard contract) rolled up by
+    * UNORDERED source pair, so web↔web self-duplication and web↔wiki
+    * cross-pollution land in distinct, directionless cells. Pair
+    * generation is the audited inverted-index machinery; the rollup adds
+    * two id-only joins to attach sources (the doc relation never rides
+    * the pair join) and one hash agg on the tiny (source, source) key.
+    */
+  def crossSourceDupMatrix(spark: SparkSession, dir: String,
+                           threshold: Double = 0.5): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val pairs = ngramJaccardPairsFor(docs, threshold)
+    val src = docs.select(col("doc_id"), col("source"))
+    pairs
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")), "doc_a")
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")), "doc_b")
+      .groupBy(
+        least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(avg(col("jaccard")), 4).as("avg_jaccard"))
+  }
+
   def nearDupClusters(spark: SparkSession, dir: String, threshold: Double = 0.5,
                       maxFullIndexDocs: Long = MaxFullIndexDocs): DataFrame = {
     val docs = Tables.documents(spark, dir)

@@ -557,6 +557,35 @@ object TextAnalysis {
       .select(col("query_id"), col("rank"), col("cand_id"), col("score"))
   }
 
+  /** q99 — CORPUS DIVERSITY STATS (the data card): one row summarizing
+    * what a dataset release publishes — doc/token/vocab counts plus the
+    * Shannon entropies of the token and language marginals (nats, 6dp).
+    * Token entropy is the corpus's unigram compressibility floor; language
+    * entropy is the mixture-balance number q92's weighting moves. The
+    * entropy aggregate runs over the vocab relation (|vocab| rows, never
+    * the corpus) and the lang marginal (a handful) — one explode pass,
+    * map-side-combined counts, then arithmetic over tiny relations.
+    */
+  def corpusDiversityStats(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val vocab = docs.select(explode(TF.tokens(col("text"))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    val tokTotals = vocab.agg(
+      sum(col("cnt")).as("n_tokens"), count(lit(1)).as("vocab_size"))
+    val tokEntropy = vocab.crossJoin(broadcast(tokTotals))
+      .select((col("cnt").cast("double") / col("n_tokens")).as("p"))
+      .agg(round(-sum(col("p") * log(col("p"))), 6).as("token_entropy"))
+    val langs = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+    val langTotals = langs.agg(sum(col("n")).as("n_docs"))
+    val langEntropy = langs.crossJoin(broadcast(langTotals))
+      .select((col("n").cast("double") / col("n_docs")).as("p"))
+      .agg(round(-sum(col("p") * log(col("p"))), 6).as("lang_entropy"))
+    langTotals.crossJoin(tokTotals)
+      .crossJoin(tokEntropy).crossJoin(langEntropy)
+      .select(col("n_docs"), col("n_tokens"), col("vocab_size"),
+        col("token_entropy"), col("lang_entropy"))
+  }
+
   /** q45 — J2 label-vector assembly (reference: the 5-column label matrix
     * bolted onto image paths, /root/reference/src/federated_learning_pipeline.py:29-33,
     * 61-68): an in-row array() projection, no join needed, emitted in

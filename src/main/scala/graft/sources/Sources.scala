@@ -375,6 +375,40 @@ object Sources {
         length(col("text")).cast("long").as("n_chars"))
   }
 
+  /** q100 — SNAPSHOT DIFF: the dataset-versioning report between two
+    * immutable snapshots (q91's v1/v2 lineage re-derived so the oracle can
+    * replay it): rows are classified added / removed / changed / unchanged
+    * by a full-outer join on the key comparing content hashes — the audit
+    * a data release publishes next to the new snapshot. One SMJ on the
+    * key (bucket both snapshots at 100 TB per the q46 discipline and it is
+    * exchange-free) + per-row hash compare + a hash agg on the 4-value
+    * status key; no snapshot ever collects.
+    */
+  def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val docs = parquet(spark, s"$dir/documents.parquet")
+    // v1/v2 per q91's merge lineage: v1 drops doc_id % 3 = 0; v2 = v1
+    // merged with the " [rev2]" updates of every even doc_id
+    val v1 = docs.filter(col("doc_id") % 3 =!= 0)
+      .select(col("doc_id"), col("text"))
+    val updates = docs.filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id"), concat(col("text"), lit(" [rev2]")).as("text"))
+    val v2 = v1.select(col("doc_id").as("b_id"), col("text").as("b_text"))
+      .join(updates.select(col("doc_id").as("u_id"), col("text").as("u_text")),
+        col("b_id") === col("u_id"), "full_outer")
+      .select(coalesce(col("u_id"), col("b_id")).as("doc_id"),
+        coalesce(col("u_text"), col("b_text")).as("text"))
+    v1.select(col("doc_id"), sha2(col("text"), 256).as("h1"))
+      .join(v2.select(col("doc_id"), sha2(col("text"), 256).as("h2")),
+        Seq("doc_id"), "full_outer")
+      .select(
+        when(col("h1").isNull, "added")
+          .when(col("h2").isNull, "removed")
+          .when(col("h1") =!= col("h2"), "changed")
+          .otherwise("unchanged").as("status"))
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
   /** q40 — S3 exercised: the fixture parquet itself read as opaque binary.
     * The oracle re-reads the same file with DuckDB's read_blob and checks
     * name + byte length; exact byte-content equality (sha-256 vs a direct

@@ -166,6 +166,58 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q98 cross-source matrix: cells are unordered and conserve the q17 pair mass") {
+    val cells = graft.operators.Dedup.crossSourceDupMatrix(spark, TestSpark.Sf0001)
+      .as[(String, String, Long, Double)].collect()
+    cells.foreach { case (a, b, n, j) =>
+      assert(a <= b, s"cell ($a,$b) must be unordered (least,greatest)")
+      assert(n > 0 && j >= 0.5, s"cell ($a,$b) n=$n avg=$j")
+    }
+    val nPairs = graft.operators.Dedup.ngramJaccardPairs(spark, TestSpark.Sf0001).count()
+    assert(cells.map(_._3).sum == nPairs, "matrix must conserve total pair count")
+    assert(nPairs > 0, "fixture must have near-dup pairs")
+  }
+
+  test("q99 diversity stats: entropies match a driver-side recomputation") {
+    val (nDocs, nTokens, vocabSize, tokEnt, langEnt) =
+      TextAnalysis.corpusDiversityStats(spark, TestSpark.Sf0001)
+        .as[(Long, Long, Long, Double, Double)].head()
+    val docs = Tables.documents(spark, TestSpark.Sf0001)
+      .select(col("lang"), split(col("text"), " ").as("toks"))
+      .as[(String, Seq[String])].collect()
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def entropy(counts: Iterable[Int]): Double = {
+      val total = counts.sum.toDouble
+      r6(-counts.map { c => val p = c / total; p * math.log(p) }.sum)
+    }
+    val vocab = docs.flatMap(_._2).groupBy(identity).map(_._2.length)
+    val langs = docs.map(_._1).groupBy(identity).map(_._2.length)
+    assert(nDocs == docs.length)
+    assert(nTokens == docs.map(_._2.size.toLong).sum)
+    assert(vocabSize == vocab.size)
+    assert(math.abs(tokEnt - entropy(vocab)) <= 1e-6, s"token entropy $tokEnt")
+    assert(math.abs(langEnt - entropy(langs)) <= 1e-6, s"lang entropy $langEnt")
+    // sanity: entropies are positive and bounded by ln(support size)
+    assert(tokEnt > 0 && tokEnt <= math.log(vocabSize.toDouble) + 1e-9)
+    assert(langEnt > 0 && langEnt <= math.log(langs.size.toDouble) + 1e-9)
+  }
+
+  test("q100 snapshot diff: counts follow the v1/v2 modular lineage exactly") {
+    val got = graft.sources.Sources.snapshotDiff(spark, TestSpark.Sf0001)
+      .as[(String, Long)].collect().toMap
+    val ids = Tables.documents(spark, TestSpark.Sf0001)
+      .select(col("doc_id")).as[Long].collect()
+    // v1 = %3!=0; v2 = v1 merged with " [rev2]" updates of every even id
+    val added = ids.count(id => id % 3 == 0 && id % 2 == 0).toLong
+    val changed = ids.count(id => id % 3 != 0 && id % 2 == 0).toLong
+    val unchanged = ids.count(id => id % 3 != 0 && id % 2 != 0).toLong
+    assert(got.getOrElse("added", 0L) == added)
+    assert(got.getOrElse("changed", 0L) == changed)
+    assert(got.getOrElse("unchanged", 0L) == unchanged)
+    assert(!got.contains("removed"), "v1 is a subset of v2 by construction")
+    assert(added > 0 && changed > 0 && unchanged > 0)
+  }
+
   test("q92 mixture weights: probabilities sum to 1, temperature flattens the mix") {
     val rows = TextAnalysis.mixtureWeights(spark, TestSpark.Sf0001)
       .as[(String, Long, Double, Double, Long)].collect()

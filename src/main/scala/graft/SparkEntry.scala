@@ -1038,22 +1038,21 @@ object SparkEntry {
          |SELECT source_a, source_b, count(*) AS n_pairs,
          | round(avg(jaccard), 4) AS avg_jaccard
          |FROM cells GROUP BY 1, 2""".stripMargin,
-    // same marginals, same -sum(p ln p) arithmetic at 6dp
+    // same marginals, same one-pass entropy identity
+    // ln T - (sum c*ln c)/T at 6dp
     "q99_corpus_diversity" ->
       """WITH vocab AS (SELECT token, count(*) AS cnt
         |               FROM (SELECT unnest(string_split(text, ' ')) AS token
         |                     FROM documents)
         |               GROUP BY token),
-        | tt AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_tokens,
-        |          count(*) AS vocab_size FROM vocab),
-        | te AS (SELECT round(-sum(p * ln(p)), 6) AS token_entropy
-        |        FROM (SELECT CAST(cnt AS DOUBLE) / n_tokens AS p FROM vocab, tt)),
-        | langs AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
-        | lt AS (SELECT CAST(sum(n) AS BIGINT) AS n_docs FROM langs),
-        | le AS (SELECT round(-sum(p * ln(p)), 6) AS lang_entropy
-        |        FROM (SELECT CAST(n AS DOUBLE) / n_docs AS p FROM langs, lt))
-        |SELECT n_docs, n_tokens, vocab_size, token_entropy, lang_entropy
-        |FROM lt, tt, te, le""".stripMargin,
+        | vs AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_tokens,
+        |          count(*) AS vocab_size, sum(cnt * ln(cnt)) AS s FROM vocab),
+        | ls AS (SELECT CAST(sum(n) AS BIGINT) AS n_docs, sum(n * ln(n)) AS s2
+        |        FROM (SELECT count(*) AS n FROM documents GROUP BY lang))
+        |SELECT n_docs, n_tokens, vocab_size,
+        | round(ln(CAST(n_tokens AS DOUBLE)) - s / n_tokens, 6) AS token_entropy,
+        | round(ln(CAST(n_docs AS DOUBLE)) - s2 / n_docs, 6) AS lang_entropy
+        |FROM ls, vs""".stripMargin,
     // v1/v2 re-derived identically; the diff classifies by content hash
     "q100_snapshot_diff" ->
       """WITH v1 AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0),

@@ -561,27 +561,30 @@ object TextAnalysis {
     * what a dataset release publishes — doc/token/vocab counts plus the
     * Shannon entropies of the token and language marginals (nats, 6dp).
     * Token entropy is the corpus's unigram compressibility floor; language
-    * entropy is the mixture-balance number q92's weighting moves. The
-    * entropy aggregate runs over the vocab relation (|vocab| rows, never
-    * the corpus) and the lang marginal (a handful) — one explode pass,
-    * map-side-combined counts, then arithmetic over tiny relations.
+    * entropy is the mixture-balance number q92's weighting moves.
+    *
+    * Entropy folds into ONE aggregate per marginal via the identity
+    * −Σ(c/T)·ln(c/T) = ln T − (Σ c·ln c)/T: the per-token c·ln c term
+    * rides the same pass that counts the vocabulary, so the whole data
+    * card is one corpus explode pass + one lang pass, each ending in a
+    * single-row aggregate — no second pass to divide by the total. The
+    * oracle computes the IDENTICAL formula (same float path, 6dp round).
     */
   def corpusDiversityStats(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val vocab = docs.select(explode(TF.tokens(col("text"))).as("token"))
+    val vocabStats = docs.select(explode(TF.tokens(col("text"))).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
-    val tokTotals = vocab.agg(
-      sum(col("cnt")).as("n_tokens"), count(lit(1)).as("vocab_size"))
-    val tokEntropy = vocab.crossJoin(broadcast(tokTotals))
-      .select((col("cnt").cast("double") / col("n_tokens")).as("p"))
-      .agg(round(-sum(col("p") * log(col("p"))), 6).as("token_entropy"))
-    val langs = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
-    val langTotals = langs.agg(sum(col("n")).as("n_docs"))
-    val langEntropy = langs.crossJoin(broadcast(langTotals))
-      .select((col("n").cast("double") / col("n_docs")).as("p"))
-      .agg(round(-sum(col("p") * log(col("p"))), 6).as("lang_entropy"))
-    langTotals.crossJoin(tokTotals)
-      .crossJoin(tokEntropy).crossJoin(langEntropy)
+      .agg(sum(col("cnt")).as("n_tokens"), count(lit(1)).as("vocab_size"),
+        sum(col("cnt") * log(col("cnt"))).as("s"))
+      .select(col("n_tokens"), col("vocab_size"),
+        round(log(col("n_tokens").cast("double")) - col("s") / col("n_tokens"), 6)
+          .as("token_entropy"))
+    val langStats = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      .agg(sum(col("n")).as("n_docs"), sum(col("n") * log(col("n"))).as("s2"))
+      .select(col("n_docs"),
+        round(log(col("n_docs").cast("double")) - col("s2") / col("n_docs"), 6)
+          .as("lang_entropy"))
+    langStats.crossJoin(vocabStats)
       .select(col("n_docs"), col("n_tokens"), col("vocab_size"),
         col("token_entropy"), col("lang_entropy"))
   }

@@ -305,7 +305,14 @@ object SparkEntry {
       TextAnalysis.corpusDiversityStats(s, d)),
     // snapshot-versioning diff: v1 vs v2 classified added/removed/
     // changed/unchanged via one full-outer key join + hash compare
-    "q100_snapshot_diff" -> graft.sources.Sources.snapshotDiff _
+    "q100_snapshot_diff" -> graft.sources.Sources.snapshotDiff _,
+    // per-user ordered action sequences with an order-sensitive md5
+    // fingerprint — in-row sort over the collected array, one shuffle
+    "q101_event_sequences" -> graft.streaming.EventWindows.eventSequences _,
+    // curriculum bucketing: per-lang exact quantile thresholds (q57
+    // machinery) broadcast against the corpus, docs tiered in-row
+    "q102_difficulty_binning" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.difficultyBinning(s, d))
   )
 
   /** Shared CTE chain ending in `pairs` = the exact-Jaccard near-dup pairs
@@ -1067,6 +1074,37 @@ object SparkEntry {
         |                   ELSE 'unchanged' END AS status
         |       FROM v1 a FULL OUTER JOIN v2 c ON a.doc_id = c.doc_id)
         |SELECT status, count(*) AS n_docs FROM d GROUP BY status""".stripMargin,
+    // same (ts, event_id) total order; first/last/fingerprint all derive
+    // from the one ordered string_agg, so order errors fail three ways
+    "q101_event_sequences" ->
+      """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+        |             event_type FROM events),
+        | s AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |         string_agg(event_type, ',' ORDER BY ts, event_id) AS seq
+        |       FROM e GROUP BY user_id)
+        |SELECT user_id, n_events,
+        | split_part(seq, ',', 1) AS first_type,
+        | list_extract(string_split(seq, ','), CAST(n_events AS INTEGER)) AS last_type,
+        | md5(seq) AS seq_md5
+        |FROM s""".stripMargin,
+    // thresholds re-derived by the q57 rank rule, tiers by the same
+    // strict compare on the 6dp-rounded quality
+    "q102_difficulty_binning" ->
+      s"""WITH q AS (SELECT lang, doc_id, $qualitySql AS quality FROM documents),
+         |r AS (SELECT lang, quality,
+         |        row_number() OVER (PARTITION BY lang ORDER BY quality, doc_id) AS rn,
+         |        count(*) OVER (PARTITION BY lang) AS n
+         |      FROM q),
+         |thr AS (
+         |  SELECT lang, quality AS value FROM r WHERE rn = ceil(n * 0.25)
+         |  UNION ALL
+         |  SELECT lang, quality FROM r WHERE rn = ceil(n * 0.5)
+         |  UNION ALL
+         |  SELECT lang, quality FROM r WHERE rn = ceil(n * 0.75)),
+         |tiers AS (SELECT q.lang, q.doc_id,
+         |            CAST(sum(CASE WHEN q.quality > t.value THEN 1 ELSE 0 END) AS BIGINT) AS tier
+         |          FROM q JOIN thr t ON q.lang = t.lang GROUP BY 1, 2)
+         |SELECT lang, tier, count(*) AS n_docs FROM tiers GROUP BY 1, 2""".stripMargin,
     // the single per-stratum rank window the engine's two-level form avoids
     "q97_stratum_cap" ->
       """WITH keyed AS (SELECT doc_id, lang,

@@ -190,22 +190,52 @@ object TextAnalysis {
     * the earlier row_number form shuffled every corpus row into one task
     * per language — ~5 tasks sorting ~20 TB each at the 100 TB target.
     */
-  def qualityQuantiles(spark: SparkSession, dir: String,
-                       ps: Seq[Double] = Seq(0.5, 0.9)): DataFrame = {
+  /** The exact-selection core shared by q57 and q102: rank-r quantile
+    * VALUES per language read off the (lang, quality) histogram — the
+    * bounded-window form documented on [[qualityQuantiles]]. Returns
+    * (lang, p, value), one row per language × requested quantile. */
+  private[graft] def exactQuantileThresholds(q: DataFrame,
+                                             ps: Seq[Double]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val q = Tables.documents(spark, dir)
-      .select(col("lang"), col("doc_id"), TF.qualityScore(col("text")).as("quality"))
     val hist = q.groupBy(col("lang"), col("quality")).agg(count(lit(1)).as("cnt"))
     val cum = hist
       .withColumn("n", sum(col("cnt")).over(Window.partitionBy(col("lang"))))
       .withColumn("cum", sum(col("cnt")).over(
         Window.partitionBy(col("lang")).orderBy(col("quality"))))
-    val exact = ps.map { p =>
+    ps.map { p =>
       cum.filter(col("cum") >= ceil(col("n") * p))
         .groupBy(col("lang"))
         .agg(min(col("quality")).as("value"))
         .select(col("lang"), lit(p).as("p"), col("value"))
     }.reduce(_.unionByName(_))
+  }
+
+  /** q102 — QUANTILE DIFFICULTY BINNING (curriculum bucketing): per-language
+    * quantile thresholds from the q57 exact-selection machinery, then every
+    * doc labeled with its tier — the count of its language's thresholds
+    * strictly below its quality score — and rolled up per (lang, tier).
+    * The thresholds relation is langs × |ps| rows (broadcast); docs compare
+    * against it in one fan-out join + two hash aggs — no global sort, no
+    * per-language corpus window, the same scale posture as q57. Quality is
+    * 6dp-rounded at the source, so the strict compare is engine-stable.
+    */
+  def difficultyBinning(spark: SparkSession, dir: String,
+                        ps: Seq[Double] = Seq(0.25, 0.5, 0.75)): DataFrame = {
+    val q = Tables.documents(spark, dir)
+      .select(col("lang"), col("doc_id"), TF.qualityScore(col("text")).as("quality"))
+    val thr = exactQuantileThresholds(q, ps)
+    q.join(broadcast(thr), Seq("lang"))
+      .groupBy(col("lang"), col("doc_id"))
+      .agg(sum((col("quality") > col("value")).cast("long")).as("tier"))
+      .groupBy(col("lang"), col("tier"))
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
+  def qualityQuantiles(spark: SparkSession, dir: String,
+                       ps: Seq[Double] = Seq(0.5, 0.9)): DataFrame = {
+    val q = Tables.documents(spark, dir)
+      .select(col("lang"), col("doc_id"), TF.qualityScore(col("text")).as("quality"))
+    val exact = exactQuantileThresholds(q, ps)
     val approx = q.groupBy(col("lang"))
       .agg(percentile_approx(col("quality"),
         array(ps.map(lit): _*), lit(10000)).as("ap"))

@@ -48,6 +48,32 @@ object EventWindows {
       .select(col("user_id"), unix_millis(col("w.start")).as("session_start_ms"),
         col("n_events"), col("sum_value"))
 
+  /** q101 — EVENT-SEQUENCE ASSEMBLY: per-user ordered action sequences,
+    * the behavioral-model twin of q84's token packing. Each user's events
+    * sort by (ts, event_id) — a total order, event_id is unique — and emit
+    * as a compact manifest: count, first/last action, and an
+    * ORDER-SENSITIVE sequence fingerprint (md5 of the comma-joined type
+    * sequence) a sequence-model loader dedups and shards by.
+    *
+    * The sort is IN-ROW over the collected array (one hash shuffle on
+    * user_id, never a global sort); per-user state is bounded by that
+    * user's activity — the batch analog of the streaming sessionizer's
+    * per-key state. A pathological single-user firehose would need the
+    * salt-and-merge treatment (q47); the fixture's per-user volumes are
+    * the normal case this verb is shaped for.
+    */
+  def eventSequences(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        array_sort(collect_list(struct(col("ts"), col("event_id"),
+          col("event_type")))).as("seq"))
+      .select(col("user_id"), col("n_events"),
+        element_at(col("seq"), 1).getField("event_type").as("first_type"),
+        element_at(col("seq"), -1).getField("event_type").as("last_type"),
+        md5(concat_ws(",",
+          transform(col("seq"), x => x.getField("event_type")))).as("seq_md5"))
+
   /** Dedup-within-watermark, batch twin: the stream form is
     * withWatermark + dropDuplicates(event_id); in batch (union-doubled to
     * plant duplicates) that is exact distinct-by-key. */

@@ -218,6 +218,51 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(added > 0 && changed > 0 && unchanged > 0)
   }
 
+  test("q101 event sequences: manifest matches a driver-side rebuild of each user's ordered actions") {
+    val got = graft.streaming.EventWindows.eventSequences(spark, TestSpark.Sf0001)
+      .as[(Long, Long, String, String, String)].collect()
+    val events = Tables.events(spark, TestSpark.Sf0001)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_type"))
+      .as[(Long, Long, Long, String)].collect()
+    val byUser = events.groupBy(_._1).view.mapValues(
+      _.sortBy(e => (e._3, e._2)).map(_._4).toSeq).toMap
+    assert(got.length == byUser.size)
+    got.foreach { case (uid, n, first, last, fp) =>
+      val seq = byUser(uid)
+      assert(n == seq.length, s"user $uid n_events")
+      assert(first == seq.head && last == seq.last, s"user $uid endpoints")
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(seq.mkString(",").getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      assert(fp == md, s"user $uid sequence fingerprint")
+    }
+  }
+
+  test("q102 difficulty binning: tiers partition each language and respect the q57 thresholds") {
+    val got = TextAnalysis.difficultyBinning(spark, TestSpark.Sf0001)
+      .as[(String, Long, Long)].collect()
+    val q = Tables.documents(spark, TestSpark.Sf0001)
+      .select(col("lang"), col("doc_id"),
+        graft.functions.TextFunctions.qualityScore(col("text")).as("quality"))
+    val thr = TextAnalysis.exactQuantileThresholds(q, Seq(0.25, 0.5, 0.75))
+      .as[(String, Double, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._3).sorted.toSeq).toMap
+    val docs = q.as[(String, Long, Double)].collect()
+    // driver-side re-tiering with the engine's own thresholds
+    val want = docs.map { case (lang, _, quality) =>
+      (lang, thr(lang).count(_ < quality).toLong)
+    }.groupBy(identity).map { case (k, xs) => (k._1, k._2, xs.length.toLong) }.toSet
+    assert(got.toSet == want)
+    // tiers partition: per-lang sums equal lang totals; tier ids in 0..3
+    val langTotals = docs.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    got.groupBy(_._1).foreach { case (lang, rows) =>
+      assert(rows.map(_._3).sum == langTotals(lang), s"$lang tier mass")
+    }
+    assert(got.forall(r => r._2 >= 0 && r._2 <= 3))
+    assert(got.map(_._2).distinct.length >= 3, "quartile thresholds must produce multiple tiers")
+  }
+
   test("q92 mixture weights: probabilities sum to 1, temperature flattens the mix") {
     val rows = TextAnalysis.mixtureWeights(spark, TestSpark.Sf0001)
       .as[(String, Long, Double, Double, Long)].collect()

@@ -312,7 +312,23 @@ object SparkEntry {
     // curriculum bucketing: per-lang exact quantile thresholds (q57
     // machinery) broadcast against the corpus, docs tiered in-row
     "q102_difficulty_binning" -> ((s: SparkSession, d: String) =>
-      TextAnalysis.difficultyBinning(s, d))
+      TextAnalysis.difficultyBinning(s, d)),
+    // attrition funnel: one scan computes every doc's first-failing gate,
+    // a tiny count relation fans out into the per-stage report
+    "q103_filter_cascade" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.filterCascade(s, d)),
+    // q92's mixture weights materialized as a per-doc copy manifest via
+    // the per-stratum hash rank (q97 machinery)
+    "q104_mixture_resample" -> ((s: SparkSession, d: String) =>
+      Sampling.mixtureResample(s, d)),
+    // view -> click -> purchase with strictly-increasing first-hit times;
+    // a fold of per-user conditional aggregations, all keyed on user_id
+    "q105_conversion_funnel" -> ((s: SparkSession, d: String) =>
+      graft.streaming.EventWindows.conversionFunnel(s, d)),
+    // adjacent-pair counts (BPE merge step) + PMI collocation score;
+    // top-k via TakeOrdered over the pair-vocab relation
+    "q106_bpe_merges" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.bpeMergeCandidates(s, d))
   )
 
   /** Shared CTE chain ending in `pairs` = the exact-Jaccard near-dup pairs
@@ -1105,6 +1121,109 @@ object SparkEntry {
          |            CAST(sum(CASE WHEN q.quality > t.value THEN 1 ELSE 0 END) AS BIGINT) AS tier
          |          FROM q JOIN thr t ON q.lang = t.lang GROUP BY 1, 2)
          |SELECT lang, tier, count(*) AS n_docs FROM tiers GROUP BY 1, 2""".stripMargin,
+    // same gate chain, same rounded compares; first-failing stage index
+    // per doc, then FILTER counts against the declared stage table
+    "q103_filter_cascade" ->
+      s"""WITH toks AS (SELECT doc_id, lang, text, string_split(text, ' ') AS t
+         |              FROM documents),
+         |sc AS (SELECT doc_id,
+         |  len(list_filter(t, x -> x IN ('the','a','of','and','is'))) AS s_en,
+         |  len(list_filter(t, x -> x IN ('el','la','de','que','y'))) AS s_es,
+         |  len(list_filter(t, x -> x IN ('der','die','und','das','ist'))) AS s_de,
+         |  len(list_filter(t, x -> x IN ('le','la','de','et','est'))) AS s_fr,
+         |  len(list_filter(t, x -> x IN ('de5','shi4','le5'))) AS s_zh
+         | FROM toks),
+         |pl AS (SELECT doc_id,
+         |  CASE WHEN greatest(s_en, s_es, s_de, s_fr, s_zh) = 0 THEN 'und'
+         |       WHEN s_en = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'en'
+         |       WHEN s_es = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'es'
+         |       WHEN s_de = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'de'
+         |       WHEN s_fr = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'fr'
+         |       ELSE 'zh' END AS plang
+         | FROM sc),
+         |dup AS (SELECT doc_id,
+         |  CASE WHEN len(t) >= 3 THEN round(
+         |    (CAST(len(t) - 2 AS DOUBLE)
+         |      - len(list_distinct([array_to_string(t[i:i+2], ' ')
+         |                           for i in generate_series(1, len(t)-2)])))
+         |    / (len(t) - 2), 6) ELSE 0.0 END AS dup_frac
+         | FROM toks),
+         |m AS (SELECT toks.doc_id,
+         |  len(t) >= 5 AS p0,
+         |  round(CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+         |    / length(text), 6) >= 0.5 AS p1,
+         |  $qualitySql >= 0.5 AS p2,
+         |  plang = lang AS p3,
+         |  dup_frac <= 0.2 AS p4
+         | FROM toks JOIN pl USING (doc_id) JOIN dup USING (doc_id)),
+         |ff AS (SELECT CASE WHEN NOT p0 THEN 0 WHEN NOT p1 THEN 1
+         |                   WHEN NOT p2 THEN 2 WHEN NOT p3 THEN 3
+         |                   WHEN NOT p4 THEN 4 ELSE 5 END AS ff FROM m),
+         |stages(stage_idx, stage) AS (
+         |  VALUES (0, 'min_tokens'), (1, 'alpha_ratio'), (2, 'quality'),
+         |         (3, 'lang_agree'), (4, 'repetition'))
+         |SELECT CAST(stage_idx AS BIGINT) AS stage_idx, stage,
+         |  count(*) FILTER (WHERE ff >= stage_idx) AS n_in,
+         |  count(*) FILTER (WHERE ff > stage_idx) AS n_kept,
+         |  count(*) FILTER (WHERE ff >= stage_idx)
+         |    - count(*) FILTER (WHERE ff > stage_idx) AS n_dropped
+         |FROM stages CROSS JOIN ff GROUP BY 1, 2""".stripMargin,
+    // q92's target arithmetic (6dp-rounded probability, floored), q97's
+    // seeded per-stratum order; copies = base + 1 for the first (target
+    // mod n) docs in hash order
+    "q104_mixture_resample" ->
+      """WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+        | t AS (SELECT sum(pow(CAST(n_docs AS DOUBLE), 0.7)) AS total_w FROM c),
+        | tg AS (SELECT lang, n_docs,
+        |          CAST(floor(round(pow(CAST(n_docs AS DOUBLE), 0.7) / total_w, 6)
+        |            * 1000) AS BIGINT) AS target
+        |        FROM c CROSS JOIN t),
+        | r AS (SELECT doc_id, lang,
+        |         CAST(row_number() OVER (PARTITION BY lang
+        |           ORDER BY md5(CAST(doc_id AS VARCHAR) || ':42'), doc_id) AS BIGINT) AS pos
+        |       FROM documents),
+        | m AS (SELECT r.doc_id, r.lang,
+        |         target // n_docs
+        |           + CASE WHEN pos <= target % n_docs THEN 1 ELSE 0 END AS n_copies
+        |       FROM r JOIN tg USING (lang))
+        |SELECT doc_id, lang, CAST(n_copies AS BIGINT) AS n_copies
+        |FROM m WHERE n_copies > 0""".stripMargin,
+    // each stage's min ts strictly after the previous stage's first hit
+    "q105_conversion_funnel" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+        |           FROM events),
+        | s0 AS (SELECT user_id, min(ts) AS t0 FROM e
+        |        WHERE event_type = 'view' GROUP BY 1),
+        | s1 AS (SELECT e.user_id, min(ts) AS t1 FROM e JOIN s0 USING (user_id)
+        |        WHERE event_type = 'click' AND ts > t0 GROUP BY 1),
+        | s2 AS (SELECT e.user_id, min(ts) AS t2 FROM e JOIN s1 USING (user_id)
+        |        WHERE event_type = 'purchase' AND ts > t1 GROUP BY 1)
+        |SELECT CAST(0 AS BIGINT) AS stage_idx, 'view' AS stage,
+        |       count(*) AS n_users FROM s0
+        |UNION ALL SELECT 1, 'click', count(*) FROM s1
+        |UNION ALL SELECT 2, 'purchase', count(*) FROM s2""".stripMargin,
+    // same pair/unigram marginals; rank pins the (cnt desc, pair) cut
+    "q106_bpe_merges" ->
+      """WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+        | ucnt AS (SELECT token, count(*) AS c
+        |          FROM (SELECT unnest(t) AS token FROM toks) GROUP BY 1),
+        | pr AS (SELECT unnest([t[i] || ' ' || t[i+1]
+        |                      for i in generate_series(1, len(t)-1)]) AS pair
+        |        FROM toks WHERE len(t) >= 2),
+        | pcnt AS (SELECT pair, count(*) AS cnt FROM pr GROUP BY 1),
+        | tot AS (SELECT (SELECT sum(c) FROM ucnt) AS n_tok,
+        |                (SELECT sum(cnt) FROM pcnt) AS n_pairs),
+        | top AS (SELECT pair, cnt,
+        |           row_number() OVER (ORDER BY cnt DESC, pair) AS rank
+        |         FROM pcnt)
+        |SELECT CAST(rank AS BIGINT) AS rank, pair, cnt,
+        | round(ln((CAST(cnt AS DOUBLE) / n_pairs)
+        |   / ((CAST(ca.c AS DOUBLE) / n_tok)
+        |     * (CAST(cb.c AS DOUBLE) / n_tok))), 6) AS pmi
+        |FROM top CROSS JOIN tot
+        |JOIN ucnt ca ON ca.token = split_part(pair, ' ', 1)
+        |JOIN ucnt cb ON cb.token = split_part(pair, ' ', 2)
+        |WHERE rank <= 20""".stripMargin,
     // the single per-stratum rank window the engine's two-level form avoids
     "q97_stratum_cap" ->
       """WITH keyed AS (SELECT doc_id, lang,

@@ -215,7 +215,19 @@ object Sampling {
     * membership.
     */
   def stratumCapSample(spark: SparkSession, dir: String, n: Long = 50L,
-                       seed: Long = 42L, prefixChars: Int = 2): DataFrame = {
+                       seed: Long = 42L, prefixChars: Int = 2): DataFrame =
+    stratumHashRank(spark, dir, seed, prefixChars)
+      .filter(col("pos") <= n)
+      .select(col("doc_id"), col("lang"), col("pos"))
+
+  /** The per-stratum seeded-hash rank shared by q97 and q104: every doc's
+    * 1-based position within its language under the md5(doc_id:seed) order,
+    * computed with the q86 two-level shape WITHIN each stratum (hash-prefix
+    * buckets, tiny per-(stratum, bucket) prefix-sum relation, in-bucket
+    * row_number on a well-spread composite key — never one task per
+    * stratum). Returns (doc_id, lang, pos), the full permutation. */
+  private[graft] def stratumHashRank(spark: SparkSession, dir: String,
+                                     seed: Long = 42L, prefixChars: Int = 2): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(prefixChars >= 1 && prefixChars <= 8, s"prefixChars out of range: $prefixChars")
     val keyed = Tables.documents(spark, dir)
@@ -236,8 +248,47 @@ object Sampling {
       .withColumn("rn", row_number().over(inBucket).cast("long"))
       .join(broadcast(bucketPrefix), Seq("lang", "bucket"))
       .withColumn("pos", col("bucket_prefix") + col("rn"))
-      .filter(col("pos") <= n)
       .select(col("doc_id"), col("lang"), col("pos"))
+  }
+
+  /** q104 — MIXTURE EPOCH RESAMPLING: materialize q92's temperature-scaled
+    * mixture as an explicit per-doc copy manifest — the step that turns
+    * "source s gets probability p_s" into the actual epoch a training
+    * loader reads. Each language's target doc count is
+    * floor(round(p_temp, 6) · epochBudget) (the q92 arithmetic, same
+    * 6dp-decimal truncation on both engines); within a language every doc
+    * gets target div n base copies and the first target mod n docs — in
+    * the seeded-hash order of [[stratumHashRank]] — one extra, so
+    * upsampled low-resource strata repeat uniformly (copy counts differ by
+    * at most one) and downsampled strata keep a uniform random subset.
+    * Deterministic: same seed → the same epoch, row for row.
+    *
+    * Scale shape: the targets relation is |langs| rows (broadcast); the
+    * rank is the two-level per-stratum form; the manifest emits one row
+    * per SOURCE doc (n_copies > 0), never target-many rows — the loader
+    * expands copies, the engine only plans them.
+    */
+  def mixtureResample(spark: SparkSession, dir: String, alpha: Double = 0.7,
+                      epochBudget: Long = 1000L, seed: Long = 42L,
+                      prefixChars: Int = 2): DataFrame = {
+    def idiv(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      call_function("div", a, b)
+    val ranked = stratumHashRank(spark, dir, seed, prefixChars)
+    val counts = Tables.documents(spark, dir)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("w", pow(col("n_docs").cast("double"), alpha))
+    val totals = counts.agg(sum(col("w")).as("total_w"))
+    val targets = counts.crossJoin(broadcast(totals))
+      .select(col("lang"), col("n_docs"),
+        floor(round(col("w") / col("total_w"), 6) * epochBudget).cast("long")
+          .as("target"))
+    ranked.join(broadcast(targets), "lang")
+      .withColumn("n_copies",
+        idiv(col("target"), col("n_docs"))
+          + when(col("pos") <= col("target") % col("n_docs"), 1L).otherwise(0L))
+      .filter(col("n_copies") > 0)
+      .select(col("doc_id"), col("lang"), col("n_copies"))
   }
 
   /** D4+D5 — hash repartition (reference

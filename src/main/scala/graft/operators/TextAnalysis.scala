@@ -625,6 +625,97 @@ object TextAnalysis {
         col("token_entropy"), col("lang_entropy"))
   }
 
+  /** The q103 cascade's stage names, in gate order (also the funnel's row
+    * order). Declared once so engine, oracle, and spec agree on the
+    * stage → index mapping. */
+  val cascadeStages: Seq[String] =
+    Seq("min_tokens", "alpha_ratio", "quality", "lang_agree", "repetition")
+
+  /** q103 — FILTER-CASCADE ATTRITION FUNNEL: the report every curation
+    * pipeline publishes — an ordered chain of quality gates, with per-stage
+    * docs-in / docs-kept / docs-dropped counts showing where the corpus
+    * attrites. Stages ([[cascadeStages]]): token-count floor, alpha-ratio
+    * floor, composite quality floor, language-ID agreement, repetition cap
+    * — each an oracle-proven per-row predicate (q25/q44/q26/q89 gates),
+    * each compared on the 6dp-ROUNDED value where floats are involved so
+    * both engines gate the same decimal.
+    *
+    * One corpus scan computes every doc's FIRST FAILING stage index (n if
+    * it survives all gates) — evaluating all predicates per row costs the
+    * same scan the first gate alone would — then a ≤(n+1)-row count
+    * relation fans out against the n-row stage table to produce the
+    * funnel. No second pass per stage: at 100 TB the naive
+    * "count after each filter" is n full scans; this is one.
+    */
+  def filterCascade(spark: SparkSession, dir: String): DataFrame = {
+    // shingle array materialized once (the q89 projection discipline)
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("text"),
+        TF.shingles(col("text"), 3).as("sh"))
+    val dupFrac = when(size(col("sh")) > 0,
+      round((size(col("sh")) - size(array_distinct(col("sh")))).cast("double")
+        / size(col("sh")).cast("double"), 6)).otherwise(lit(0.0))
+    val preds: Seq[(String, org.apache.spark.sql.Column)] = Seq(
+      "min_tokens" -> (TF.nTokens(col("text")) >= 5),
+      "alpha_ratio" -> (round(TF.alphaRatio(col("text")), 6) >= 0.5),
+      "quality" -> (TF.qualityScore(col("text")) >= 0.5),
+      "lang_agree" -> (TF.langId(col("text")) === col("lang")),
+      "repetition" -> (dupFrac <= 0.2))
+    require(preds.map(_._1) == cascadeStages, "stage table drifted from predicates")
+    val n = preds.size
+    val firstFail = preds.zipWithIndex.foldRight(lit(n)) {
+      case (((_, p), i), acc) => when(!p, lit(i)).otherwise(acc)
+    }
+    val ffCounts = base.select(firstFail.as("ff"))
+      .groupBy(col("ff")).agg(count(lit(1)).as("cnt"))
+    import spark.implicits._
+    val stages = cascadeStages.zipWithIndex
+      .map { case (s, i) => (i.toLong, s) }.toDF("stage_idx", "stage")
+    stages.crossJoin(ffCounts)
+      .groupBy(col("stage_idx"), col("stage"))
+      .agg(
+        sum(when(col("ff") >= col("stage_idx"), col("cnt")).otherwise(lit(0L))).as("n_in"),
+        sum(when(col("ff") > col("stage_idx"), col("cnt")).otherwise(lit(0L))).as("n_kept"))
+      .withColumn("n_dropped", col("n_in") - col("n_kept"))
+  }
+
+  /** q106 — BPE MERGE CANDIDATES: the first step of byte-pair-encoding
+    * tokenizer training — count every adjacent token pair in the corpus and
+    * rank the top merge candidates — plus each pair's PMI (pointwise mutual
+    * information, ln(p(ab) / p(a)p(b))), the collocation score that
+    * separates genuinely associated pairs from pairs that are frequent only
+    * because their parts are. Adjacent pairs are 2-shingles, so the
+    * candidate relation is the same explode + map-side-combined hash agg as
+    * q28, bounded by the PAIR vocabulary (≪ corpus size); the top-k cut is
+    * a TakeOrdered (k rows per partition, k at the driver — no global
+    * sort), and unigram counts join the k survivors by token. Counts are
+    * exact; PMI rounds at 6dp (ln is the q92 libm-ulp caveat).
+    */
+  def bpeMergeCandidates(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    val uni = docs.select(explode(TF.tokens(col("text"))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("c"))
+    val pairCnt = docs.select(explode(TF.shingles(col("text"), 2)).as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("cnt"))
+    val totals = uni.agg(sum(col("c")).as("n_tok"))
+      .crossJoin(pairCnt.agg(sum(col("cnt")).as("n_pairs")))
+    val top = pairCnt.orderBy(col("cnt").desc, col("pair")).limit(k)
+    top
+      // tokens are whitespace-split, so the pair splits back unambiguously
+      .withColumn("a", element_at(split(col("pair"), " "), 1))
+      .withColumn("b", element_at(split(col("pair"), " "), 2))
+      .join(uni.select(col("token").as("a"), col("c").as("ca")), "a")
+      .join(uni.select(col("token").as("b"), col("c").as("cb")), "b")
+      .crossJoin(broadcast(totals))
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("cnt").desc, col("pair"))).cast("long"))
+      .select(col("rank"), col("pair"), col("cnt"),
+        round(log((col("cnt").cast("double") / col("n_pairs"))
+          / ((col("ca").cast("double") / col("n_tok"))
+            * (col("cb").cast("double") / col("n_tok")))), 6).as("pmi"))
+  }
+
   /** q45 — J2 label-vector assembly (reference: the 5-column label matrix
     * bolted onto image paths, /root/reference/src/federated_learning_pipeline.py:29-33,
     * 61-68): an in-row array() projection, no join needed, emitted in

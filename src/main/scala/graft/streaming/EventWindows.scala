@@ -85,6 +85,40 @@ object EventWindows {
       .agg(count(lit(1)).as("n_unique"))
   }
 
+  /** q105 — EVENT CONVERSION FUNNEL: how many users progress through an
+    * ordered stage sequence (view → click → purchase), where each stage
+    * counts only if its first qualifying event is STRICTLY AFTER the
+    * user's previous-stage time — the standard product-analytics funnel,
+    * and the engagement-quality signal an interaction-data pipeline uses
+    * to pick training users. Computed as a fold of per-user conditional
+    * aggregations: stage 0 is min(ts) over its event type; stage i+1
+    * joins events of its type against the stage-i relation (both sides
+    * keyed on user_id, so AQE co-partitions the chain) and takes the
+    * min ts past the previous stage's. Each stage relation is ≤|users|
+    * rows; the event scans prune to one event_type each (pushdown).
+    * Output: one row per stage with the surviving user count.
+    */
+  def conversionFunnel(spark: SparkSession, dir: String,
+                       stages: Seq[String] = Seq("view", "click", "purchase")): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_type"))
+    val perStage = stages.tail.foldLeft(List(
+      e.filter(col("event_type") === stages.head)
+        .groupBy(col("user_id")).agg(min(col("ts")).as("stage_ts")))) {
+      case (acc, st) =>
+        val cur = e.filter(col("event_type") === st)
+          .join(acc.head.select(col("user_id"), col("stage_ts").as("prev_ts")), "user_id")
+          .filter(col("ts") > col("prev_ts"))
+          .groupBy(col("user_id")).agg(min(col("ts")).as("stage_ts"))
+        cur :: acc
+    }.reverse
+    stages.zip(perStage).zipWithIndex.map { case ((st, df), i) =>
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(i.toLong).as("stage_idx"), lit(st).as("stage"), col("n_users"))
+    }.reduce(_.unionByName(_))
+  }
+
   // --- Structured Streaming twins (spec-exercised with memory sinks) ---
 
   /** File-driven stream over the events fixture. The fixture is a single

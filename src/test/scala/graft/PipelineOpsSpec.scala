@@ -278,4 +278,117 @@ class PipelineOpsSpec extends AnyFunSuite {
       assert(exp == math.floor(pTemp * 100000).toLong)
     }
   }
+
+  test("q103 filter cascade: funnel equals the naive filter-by-filter chain") {
+    import graft.functions.{TextFunctions => TF}
+    val got = TextAnalysis.filterCascade(spark, TestSpark.Sf0001)
+      .as[(Long, String, Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.map(_._2).toSeq == TextAnalysis.cascadeStages)
+    // the semantically-obvious form: apply each gate cumulatively and
+    // count survivors after each — n stages, n passes (the shape the
+    // one-scan cascade replaces)
+    val sh = TF.shingles(col("text"), 3)
+    val dupFrac = when(size(sh) > 0,
+      round((size(sh) - size(array_distinct(sh))).cast("double")
+        / size(sh).cast("double"), 6)).otherwise(lit(0.0))
+    val gates = Seq(
+      TF.nTokens(col("text")) >= 5,
+      round(TF.alphaRatio(col("text")), 6) >= 0.5,
+      TF.qualityScore(col("text")) >= 0.5,
+      TF.langId(col("text")) === col("lang"),
+      dupFrac <= 0.2)
+    var dfCur = Tables.documents(spark, TestSpark.Sf0001)
+    var nIn = dfCur.count()
+    gates.zip(got).foreach { case (gate, (_, stage, gotIn, gotKept, gotDropped)) =>
+      dfCur = dfCur.filter(gate)
+      val kept = dfCur.count()
+      assert(gotIn == nIn, s"$stage n_in")
+      assert(gotKept == kept, s"$stage n_kept")
+      assert(gotDropped == nIn - kept, s"$stage n_dropped")
+      nIn = kept
+    }
+    // the funnel genuinely attrites at fixture scale
+    assert(got.head._3 > got.last._4)
+  }
+
+  test("q104 mixture resample: per-lang copy mass hits the target, copies differ by at most one") {
+    val got = Sampling.mixtureResample(spark, TestSpark.Sf0001)
+      .as[(Long, String, Long)].collect()
+    val counts = Tables.documents(spark, TestSpark.Sf0001)
+      .groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    val totalW = counts.values.map(n => math.pow(n.toDouble, 0.7)).sum
+    val targets = counts.map { case (lang, n) =>
+      val p = BigDecimal(math.pow(n.toDouble, 0.7) / totalW)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      lang -> math.floor(p * 1000).toLong
+    }
+    // per-lang mass: sum of copies == floor(round(p_temp,6) * budget)
+    val byLang = got.groupBy(_._2)
+    targets.foreach { case (lang, target) =>
+      val copies = byLang.getOrElse(lang, Array.empty).map(_._3)
+      assert(copies.sum == target, s"$lang copy mass")
+      if (copies.nonEmpty)
+        assert(copies.max - copies.min <= 1, s"$lang copy spread")
+    }
+    // fixture skew (en ≈ 3× fr) + alpha 0.7 upsamples every lang ≥ 1×
+    // except possibly the largest; no doc repeats more than ceil(t/n)+1
+    assert(got.map(_._3).max >= 2, "low-resource langs should be upsampled")
+    // deterministic: same seed reproduces the manifest row for row
+    val again = Sampling.mixtureResample(spark, TestSpark.Sf0001)
+      .as[(Long, String, Long)].collect()
+    assert(got.sortBy(_._1).sameElements(again.sortBy(_._1)))
+  }
+
+  test("q105 conversion funnel: counts match a driver-side per-user replay") {
+    val got = graft.streaming.EventWindows.conversionFunnel(spark, TestSpark.Sf0001)
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    assert(got.map(_._2).toSeq == Seq("view", "click", "purchase"))
+    val events = Tables.events(spark, TestSpark.Sf0001)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_type"))
+      .as[(Long, Long, String)].collect()
+    val byUser = events.groupBy(_._1)
+    var survivors = 0L
+    val want = Seq("view", "click", "purchase").foldLeft(
+      (Map.empty[Long, Long], Seq.empty[Long])) { case ((prev, acc), stage) =>
+      val cur = byUser.flatMap { case (uid, evs) =>
+        val after = if (acc.isEmpty) Some(Long.MinValue)
+                    else prev.get(uid)
+        after.flatMap { t0 =>
+          val hits = evs.filter(e => e._3 == stage && e._2 > t0)
+          if (hits.isEmpty) None else Some(uid -> hits.map(_._2).min)
+        }
+      }
+      (cur, acc :+ cur.size.toLong)
+    }._2
+    got.zip(want).foreach { case ((i, stage, n), w) =>
+      assert(n == w, s"stage $i $stage")
+    }
+    survivors = got.last._3
+    assert(got.head._3 >= got(1)._3 && got(1)._3 >= survivors, "funnel is monotone")
+    assert(got.head._3 > 0)
+  }
+
+  test("q106 bpe merges: top pairs and PMI match a driver-side corpus rebuild") {
+    val got = TextAnalysis.bpeMergeCandidates(spark, TestSpark.Sf0001)
+      .as[(Long, String, Long, Double)].collect().sortBy(_._1)
+    val texts = Tables.documents(spark, TestSpark.Sf0001)
+      .select(col("text")).as[String].collect()
+    val toks = texts.map(_.split(" ", -1).toSeq)
+    val uni = toks.flatten.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val pairs = toks.flatMap(t => t.sliding(2).filter(_.length == 2).map(_.mkString(" ")))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val nTok = uni.values.sum.toDouble
+    val nPairs = pairs.values.sum.toDouble
+    val want = pairs.toSeq.sortBy { case (p, c) => (-c, p) }.take(20)
+    assert(got.length == want.length)
+    got.zip(want).zipWithIndex.foreach { case (((rank, pair, cnt, pmi), (wPair, wCnt)), i) =>
+      assert(rank == i + 1)
+      assert(pair == wPair && cnt == wCnt, s"rank $rank")
+      val Array(a, b) = pair.split(" ", 2)
+      val wPmi = BigDecimal(math.log((cnt / nPairs) / ((uni(a) / nTok) * (uni(b) / nTok))))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(pmi - wPmi) <= 1e-6, s"rank $rank pmi")
+    }
+  }
 }

@@ -328,7 +328,21 @@ object SparkEntry {
     // adjacent-pair counts (BPE merge step) + PMI collocation score;
     // top-k via TakeOrdered over the pair-vocab relation
     "q106_bpe_merges" -> ((s: SparkSession, d: String) =>
-      TextAnalysis.bpeMergeCandidates(s, d))
+      TextAnalysis.bpeMergeCandidates(s, d)),
+    // overlapping token windows; sequence+posexplode, shuffle-free
+    "q107_doc_chunking" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.docChunking(s, d)),
+    // top-V vocab via TakeOrdered, broadcast back; per-lang OOV report
+    "q108_oov_rate" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.oovRate(s, d)),
+    // greedy best-docs-first cut under a token budget; value-blocked
+    // two-level prefix sum (no single-task global window)
+    "q109_token_budget" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.tokenBudgetSelection(s, d)),
+    // add-k bigram LM; pair-vocab log-prob relation joined to per-doc
+    // pair counts
+    "q110_bigram_lm_score" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.bigramLmScore(s, d))
   )
 
   /** Shared CTE chain ending in `pairs` = the exact-Jaccard near-dup pairs
@@ -1224,6 +1238,57 @@ object SparkEntry {
         |JOIN ucnt ca ON ca.token = split_part(pair, ' ', 1)
         |JOIN ucnt cb ON cb.token = split_part(pair, ' ', 2)
         |WHERE rank <= 20""".stripMargin,
+    // inclusive-slice chunk windows; chunk_idx re-derived from the start
+    "q107_doc_chunking" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        | s AS (SELECT doc_id, t, unnest(generate_series(1, len(t), 24)) AS start
+        |        FROM toks WHERE len(t) >= 1)
+        |SELECT doc_id, CAST((start - 1) // 24 AS BIGINT) AS chunk_idx,
+        |       array_to_string(t[start:start+31], ' ') AS chunk_text,
+        |       CAST(least(32, len(t) - start + 1) AS BIGINT) AS n_chunk_tokens
+        |FROM s""".stripMargin,
+    // same top-10 (count desc, token) vocabulary cut, per-lang rollup
+    "q108_oov_rate" ->
+      """WITH toks AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token
+        |              FROM documents),
+        | cnt AS (SELECT token, count(*) AS c FROM toks GROUP BY 1),
+        | voc AS (SELECT token FROM (SELECT token,
+        |             row_number() OVER (ORDER BY c DESC, token) AS r FROM cnt)
+        |         WHERE r <= 10),
+        | d AS (SELECT doc_id, lang, count(*) AS n,
+        |         count(*) FILTER (WHERE token NOT IN (SELECT token FROM voc)) AS oov
+        |       FROM toks GROUP BY 1, 2)
+        |SELECT lang, count(*) AS n_docs,
+        |  round(avg(CAST(oov AS DOUBLE) / n), 6) AS avg_doc_oov,
+        |  round(CAST(sum(oov) AS DOUBLE) / sum(n), 6) AS token_oov_rate
+        |FROM d GROUP BY 1""".stripMargin,
+    // the single global cumsum window the engine's value-blocked form avoids
+    "q109_token_budget" ->
+      s"""WITH q AS (SELECT doc_id, $qualitySql AS quality,
+         |             len(string_split(text, ' ')) AS n FROM documents),
+         | c AS (SELECT doc_id, quality, n,
+         |         sum(n) OVER (ORDER BY quality DESC, doc_id) AS cum FROM q)
+         |SELECT doc_id, quality, CAST(n AS BIGINT) AS n_tokens,
+         |       CAST(cum AS BIGINT) AS cum_tokens
+         |FROM c WHERE cum <= 8000""".stripMargin,
+    // same add-k bigram model; unigram context counts join on the first
+    // token of the pair
+    "q110_bigram_lm_score" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        | uni AS (SELECT token, count(*) AS ca
+        |         FROM (SELECT unnest(t) AS token FROM toks) GROUP BY 1),
+        | v AS (SELECT count(*) AS vs FROM uni),
+        | pr AS (SELECT doc_id, unnest([t[i] || ' ' || t[i+1]
+        |                               for i in generate_series(1, len(t)-1)]) AS pair
+        |        FROM toks WHERE len(t) >= 2),
+        | dpc AS (SELECT doc_id, pair, count(*) AS n FROM pr GROUP BY 1, 2),
+        | pc AS (SELECT pair, sum(n) AS cab FROM dpc GROUP BY 1),
+        | lp AS (SELECT pair, ln((cab + 0.5) / (ca + 0.5 * vs)) AS lp
+        |        FROM pc JOIN uni ON uni.token = split_part(pair, ' ', 1)
+        |        CROSS JOIN v)
+        |SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_pairs,
+        |       round(sum(n * lp) / sum(n), 6) AS mean_logp
+        |FROM dpc JOIN lp USING (pair) GROUP BY 1""".stripMargin,
     // the single per-stratum rank window the engine's two-level form avoids
     "q97_stratum_cap" ->
       """WITH keyed AS (SELECT doc_id, lang,

@@ -716,6 +716,138 @@ object TextAnalysis {
             * (col("cb").cast("double") / col("n_tok")))), 6).as("pmi"))
   }
 
+  /** q107 — DOCUMENT CHUNKING: split every document's token stream into
+    * overlapping fixed-width windows (size `window`, step `stride`) — the
+    * step that turns curated documents into model-ready training sequences
+    * when packing (q84) isn't wanted because each example must stay
+    * self-contained. Chunk starts are 0, stride, 2·stride, … while the
+    * start is inside the doc; the final chunk is allowed to be short.
+    *
+    * Pure map-side fan-out: one `sequence` + `posexplode` per row, the
+    * chunk text an in-row `slice`/`array_join` — no shuffle anywhere, so
+    * at 100 TB this streams through the corpus scan at I/O speed and the
+    * output partitioning inherits the input's.
+    */
+  def docChunking(spark: SparkSession, dir: String,
+                  window: Int = 32, stride: Int = 24): DataFrame = {
+    require(window >= 1 && stride >= 1, s"bad chunk geometry: $window/$stride")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), TF.tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 1)
+      .select(col("doc_id"), col("t"),
+        posexplode(sequence(lit(0), size(col("t")) - 1, lit(stride))))
+      .select(col("doc_id"), col("pos").cast("long").as("chunk_idx"),
+        array_join(slice(col("t"), col("col") + 1, lit(window)), " ")
+          .as("chunk_text"),
+        least(lit(window), size(col("t")) - col("col")).cast("long")
+          .as("n_chunk_tokens"))
+  }
+
+  /** q108 — VOCABULARY COVERAGE / OOV RATE: fix the tokenizer's
+    * vocabulary to the corpus's top-`vocabSize` tokens (count desc, token
+    * asc — the deterministic cut), then report, per language, how much of
+    * the text falls outside it: the per-doc average OOV fraction and the
+    * pooled token-level OOV rate. The coverage audit run before committing
+    * to a tokenizer.
+    *
+    * The vocab cut is a TakeOrdered (k per partition, k at the driver —
+    * no global sort) and joins back BROADCAST, so the corpus-side pass is
+    * one explode + two hash aggs; tokenize is recomputed rather than
+    * pinned (the q83 footprint discipline).
+    */
+  def oovRate(spark: SparkSession, dir: String, vocabSize: Int = 10): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), explode(TF.tokens(col("text"))).as("token"))
+    val vocab = toks.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token")).limit(vocabSize)
+      .select(col("token"), lit(1).as("in_vocab"))
+    toks.join(broadcast(vocab), Seq("token"), "left")
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("n_oov").cast("double") / col("n_tokens")), 6)
+          .as("avg_doc_oov"),
+        round(sum(col("n_oov")).cast("double") / sum(col("n_tokens")), 6)
+          .as("token_oov_rate"))
+  }
+
+  /** q109 — TOKEN-BUDGET CORPUS SELECTION: the greedy "best docs first"
+    * cut — order the corpus by (quality desc, doc_id), take documents
+    * while the running token total stays within `budget`. The selection
+    * verb behind "train on the best N-token subset of the crawl".
+    *
+    * The running total is the q84/q86 two-level prefix sum, but ordered
+    * by VALUE, so the blocks are value ranges: block = floor(quality·1e3)
+    * (quality is 6dp-rounded in [0,1], so ≤1001 blocks — a broadcast-able
+    * relation whose prefix sums give each block's starting offset), and
+    * the in-block window partitions by block. No single-task global
+    * window; the block key is a prefix of the sort key, so block-major +
+    * in-block order IS the global (quality desc, doc_id) order.
+    */
+  def tokenBudgetSelection(spark: SparkSession, dir: String,
+                           budget: Long = 8000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        TF.qualityScore(col("text")).as("quality"),
+        TF.nTokens(col("text")).cast("long").as("n_tokens"))
+      .withColumn("block", floor(col("quality") * 1000).cast("long"))
+    // tiny relation: ≤1001 rows, one per occupied quality block
+    val blockPrefix = docs.groupBy(col("block"))
+      .agg(sum(col("n_tokens")).as("block_total"))
+      .withColumn("block_prefix",
+        coalesce(sum(col("block_total")).over(
+          Window.orderBy(col("block").desc).rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col("block"), col("block_prefix"))
+    val inBlock = Window.partitionBy(col("block"))
+      .orderBy(col("quality").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    docs
+      .withColumn("within", sum(col("n_tokens")).over(inBlock))
+      .join(broadcast(blockPrefix), "block")
+      .withColumn("cum_tokens", col("block_prefix") + col("within"))
+      .filter(col("cum_tokens") <= budget)
+      .select(col("doc_id"), col("quality"), col("n_tokens"), col("cum_tokens"))
+  }
+
+  /** q110 — BIGRAM LM SCORING: per-document mean log conditional
+    * probability under an add-k-smoothed bigram model fit on the corpus
+    * itself — ln((c(ab)+k) / (c(a)+k·|V|)) averaged over the doc's
+    * adjacent pairs. The sequel to q95's unigram score: fluency rather
+    * than vocabulary typicality, the cheap stand-in for the perplexity
+    * filter a curation pipeline runs with a real LM.
+    *
+    * Pair counts are the q106 relation (explode + map-side-combined hash
+    * agg, bounded by the pair vocabulary); the per-pair log-prob relation
+    * is vocabulary-sized and joins the per-doc pair counts on the pair
+    * key. Docs with fewer than two tokens have no bigrams and drop out.
+    * 6dp round; ln carries the documented q92 libm-ulp caveat.
+    */
+  def bigramLmScore(spark: SparkSession, dir: String, k: Double = 0.5): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val docPairs = docs
+      .select(col("doc_id"), explode(TF.shingles(col("text"), 2)).as("pair"))
+      .groupBy(col("doc_id"), col("pair")).agg(count(lit(1)).as("n"))
+    val uni = docs.select(explode(TF.tokens(col("text"))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("ca"))
+    val pairCnt = docPairs.groupBy(col("pair")).agg(sum(col("n")).as("cab"))
+    val vSize = uni.agg(count(lit(1)).as("v"))
+    // tokens never contain spaces, so the pair splits back unambiguously
+    val logp = pairCnt
+      .withColumn("token", element_at(split(col("pair"), " "), 1))
+      .join(uni, "token")
+      .crossJoin(broadcast(vSize))
+      .select(col("pair"),
+        log((col("cab") + k) / (col("ca") + col("v") * k)).as("lp"))
+    docPairs.join(logp, "pair")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n")).as("n_pairs"),
+        round(sum(col("n") * col("lp")) / sum(col("n")), 6).as("mean_logp"))
+  }
+
   /** q45 — J2 label-vector assembly (reference: the 5-column label matrix
     * bolted onto image paths, /root/reference/src/federated_learning_pipeline.py:29-33,
     * 61-68): an in-row array() projection, no join needed, emitted in

@@ -391,4 +391,107 @@ class PipelineOpsSpec extends AnyFunSuite {
       assert(math.abs(pmi - wPmi) <= 1e-6, s"rank $rank pmi")
     }
   }
+
+  test("q107 chunking: chunks match a driver-side rebuild and cover every token") {
+    val got = TextAnalysis.docChunking(spark, TestSpark.Sf0001)
+      .as[(Long, Long, String, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    val texts = Tables.documents(spark, TestSpark.Sf0001)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    texts.foreach { case (id, text) =>
+      val t = text.split(" ", -1)
+      val want = (0 until t.length by 24).zipWithIndex.map { case (start, idx) =>
+        (idx.toLong, t.slice(start, start + 32).mkString(" "),
+          math.min(32, t.length - start).toLong)
+      }
+      val g = got.getOrElse(id, Array.empty).map { case (_, i, c, n) => (i, c, n) }
+      assert(g.toSeq == want, s"doc $id chunks")
+      // stride < window: consecutive chunks overlap, so the union covers
+      // the doc; rebuild the full token stream from stride-prefixes
+      val rebuilt = g.dropRight(1).map(_._2.split(" ", -1).take(24).mkString(" ")) :+
+        g.last._2
+      assert(rebuilt.mkString(" ") == text, s"doc $id coverage")
+    }
+  }
+
+  test("q108 oov: per-lang rates match a driver-side top-10 vocab rebuild") {
+    val got = TextAnalysis.oovRate(spark, TestSpark.Sf0001)
+      .as[(String, Long, Double, Double)].collect().map(r => r._1 -> r).toMap
+    val docs = Tables.documents(spark, TestSpark.Sf0001)
+      .select(col("doc_id"), col("lang"), col("text"))
+      .as[(Long, String, String)].collect()
+    val cnt = docs.flatMap(_._3.split(" ", -1)).groupBy(identity)
+      .view.mapValues(_.length.toLong).toMap
+    val vocab = cnt.toSeq.sortBy { case (t, c) => (-c, t) }.take(10).map(_._1).toSet
+    val perDoc = docs.map { case (_, lang, text) =>
+      val t = text.split(" ", -1)
+      (lang, t.length.toLong, t.count(!vocab.contains(_)).toLong)
+    }
+    perDoc.groupBy(_._1).foreach { case (lang, rows) =>
+      val (gn, gAvg, gTok) = (got(lang)._2, got(lang)._3, got(lang)._4)
+      assert(gn == rows.length.toLong, s"$lang n_docs")
+      val wAvg = BigDecimal(rows.map(r => r._3.toDouble / r._2).sum / rows.length)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val wTok = BigDecimal(rows.map(_._3).sum.toDouble / rows.map(_._2).sum)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(gAvg - wAvg) <= 1e-9, s"$lang avg_doc_oov")
+      assert(math.abs(gTok - wTok) <= 1e-9, s"$lang token_oov_rate")
+    }
+    // a 10-of-31 vocabulary must leave real OOV mass at fixture scale
+    assert(got.values.exists(_._4 > 0.0))
+  }
+
+  test("q109 budget selection: blocked cumsum == single global window; cut is tight") {
+    import graft.functions.{TextFunctions => TF}
+    val got = TextAnalysis.tokenBudgetSelection(spark, TestSpark.Sf0001)
+      .as[(Long, Double, Long, Long)].collect().sortBy(_._4)
+    // the single-task global window the value-blocked form avoids
+    val naive = Tables.documents(spark, TestSpark.Sf0001)
+      .select(col("doc_id"), TF.qualityScore(col("text")).as("q"),
+        TF.nTokens(col("text")).cast("long").as("n"))
+      .withColumn("cum", sum(col("n")).over(
+        Window.orderBy(col("q").desc, col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .as[(Long, Double, Long, Long)].collect().sortBy(_._4)
+    val wantKept = naive.filter(_._4 <= 8000L)
+    assert(got.toSeq == wantKept.toSeq)
+    // greedy tightness: the first excluded doc would overflow the budget
+    assert(got.nonEmpty && got.last._4 <= 8000L)
+    val firstOut = naive.find(_._4 > 8000L)
+    firstOut.foreach { o => assert(got.last._4 + o._3 > 8000L) }
+    // selection keeps the best: min kept quality >= max excluded quality
+    val excluded = naive.map(_._1).toSet -- got.map(_._1).toSet
+    if (excluded.nonEmpty) {
+      val minKept = got.map(_._2).min
+      val maxExcl = naive.filter(r => excluded.contains(r._1)).map(_._2).max
+      assert(minKept >= maxExcl)
+    }
+  }
+
+  test("q110 bigram lm: mean log-probs match a driver-side add-k model") {
+    val got = TextAnalysis.bigramLmScore(spark, TestSpark.Sf0001)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    val texts = Tables.documents(spark, TestSpark.Sf0001)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    val toks = texts.map { case (id, t) => id -> t.split(" ", -1).toSeq }
+    val uni = toks.flatMap(_._2).groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val v = uni.size.toLong
+    val pairCnt = toks.flatMap(_._2.sliding(2).filter(_.length == 2).map(_.mkString(" ")))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    toks.foreach { case (id, t) =>
+      if (t.length < 2) assert(!got.contains(id), s"doc $id should have no bigrams")
+      else {
+        val pairs = t.sliding(2).map(_.mkString(" ")).toSeq
+        val lps = pairs.map { p =>
+          val a = p.split(" ", 2)(0)
+          math.log((pairCnt(p) + 0.5) / (uni(a) + v * 0.5))
+        }
+        val want = BigDecimal(lps.sum / lps.length)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        val (_, nPairs, mean) = got(id)
+        assert(nPairs == pairs.length.toLong, s"doc $id n_pairs")
+        assert(math.abs(mean - want) <= 1e-6, s"doc $id mean_logp")
+      }
+    }
+  }
 }

@@ -342,7 +342,18 @@ object SparkEntry {
     // add-k bigram LM; pair-vocab log-prob relation joined to per-doc
     // pair counts
     "q110_bigram_lm_score" -> ((s: SparkSession, d: String) =>
-      TextAnalysis.bigramLmScore(s, d))
+      TextAnalysis.bigramLmScore(s, d)),
+    // leakage-safe split: split is a pure function of md5(source:seed)
+    // vs hex thresholds — per-row, shuffle-free
+    "q111_group_split" -> ((s: SparkSession, d: String) =>
+      Sampling.groupAwareSplit(s, d)),
+    // per-doc novelty vs the reference half via a distinct-shingle
+    // equi-join (reference set never broadcast)
+    "q112_ngram_novelty" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.ngramNovelty(s, d)),
+    // declared-schema from_json over the props payload, per-type rollup
+    "q113_event_props" -> ((s: SparkSession, d: String) =>
+      graft.streaming.EventWindows.eventPropsRollup(s, d))
   )
 
   /** Shared CTE chain ending in `pairs` = the exact-Jaccard near-dup pairs
@@ -1289,6 +1300,36 @@ object SparkEntry {
         |SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_pairs,
         |       round(sum(n * lp) / sum(n), 6) AS mean_logp
         |FROM dpc JOIN lp USING (pair) GROUP BY 1""".stripMargin,
+    // same hex-threshold compare on the same lowercase md5 text
+    "q111_group_split" ->
+      """SELECT doc_id, source,
+        |  CASE WHEN md5(source || ':42') < 'cccccccc' THEN 'train'
+        |       WHEN md5(source || ':42') < 'e6666666' THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents""".stripMargin,
+    // same even/odd reference cut, distinct-shingle left join
+    "q112_ngram_novelty" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        | sh AS (SELECT doc_id, unnest(list_distinct(
+        |          [array_to_string(t[i:i+2], ' ')
+        |           for i in generate_series(1, len(t)-2)])) AS sh
+        |        FROM toks WHERE len(t) >= 3),
+        | ref AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 2 = 0),
+        | cand AS (SELECT s.doc_id, s.sh,
+        |            CASE WHEN r.sh IS NULL THEN 0 ELSE 1 END AS seen
+        |          FROM sh s LEFT JOIN ref r USING (sh) WHERE s.doc_id % 2 = 1)
+        |SELECT doc_id, count(*) AS n_shingles,
+        |  CAST(sum(seen) AS BIGINT) AS n_seen,
+        |  round(1.0 - CAST(sum(seen) AS DOUBLE) / count(*), 6) AS novelty
+        |FROM cand GROUP BY 1""".stripMargin,
+    // json_extract under the same declared key; nulls fall out of the aggs
+    "q113_event_props" ->
+      """WITH e AS (SELECT event_type,
+        |             CAST(json_extract(props, '$.k') AS BIGINT) AS k
+        |           FROM events)
+        |SELECT event_type, count(*) AS n_events, count(k) AS n_with_k,
+        |  CAST(sum(k) AS BIGINT) AS sum_k, round(avg(k), 6) AS avg_k, max(k) AS max_k
+        |FROM e GROUP BY 1""".stripMargin,
     // the single per-stratum rank window the engine's two-level form avoids
     "q97_stratum_cap" ->
       """WITH keyed AS (SELECT doc_id, lang,

@@ -291,6 +291,27 @@ object Sampling {
       .select(col("doc_id"), col("lang"), col("n_copies"))
   }
 
+  /** q111 — GROUP-AWARE (LEAKAGE-SAFE) SPLIT: assign every document of a
+    * SOURCE to the same train/val/test split, so near-duplicates and
+    * shared boilerplate inside a source can never straddle the split
+    * boundary — the leakage guard a per-doc randomSplit (D3) cannot give.
+    * The split is a pure function of the group key: p = md5(source:seed),
+    * compared LEXICOGRAPHICALLY against hex thresholds ('cccccccc' =
+    * 0.8·16^8, 'e6666666' = 0.9·16^8) — both engines compare the same
+    * lowercase hex bytes, no float fraction anywhere. Per-row expression,
+    * no shuffle, no group materialization; deterministic: same seed →
+    * same assignment at any scale.
+    */
+  def groupAwareSplit(spark: SparkSession, dir: String, seed: Long = 42L,
+                      groupCol: String = "source"): DataFrame = {
+    val p = md5(concat(col(groupCol), lit(":" + seed)))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col(groupCol),
+        when(p < "cccccccc", "train")
+          .when(p < "e6666666", "val")
+          .otherwise("test").as("split"))
+  }
+
   /** D4+D5 — hash repartition (reference
     * /root/reference/src/preprocessing_pipeline.py:273: repartition(16, Path))
     * + partition introspection kept inside SQL via spark_partition_id()

@@ -848,6 +848,36 @@ object TextAnalysis {
         round(sum(col("n") * col("lp")) / sum(col("n")), 6).as("mean_logp"))
   }
 
+  /** q112 — N-GRAM NOVELTY SCORING: score each candidate document by how
+    * much of it is NOT already in a reference corpus — the per-doc
+    * continuous form of decontamination (D8 filters; this reports). The
+    * reference slice here is the even-doc_id half (a deterministic stand-in
+    * for "the previous crawl"); a candidate's novelty is the fraction of
+    * its DISTINCT n-gram shingles absent from the reference's shingle set.
+    *
+    * Candidates meet the reference through a shingle EQUI-JOIN against the
+    * distinct reference shingles (inverted-index style — the reference set
+    * is never broadcast or collected, so a 100 TB reference corpus works),
+    * then one hash agg per doc. Docs with fewer than n tokens have no
+    * shingles and drop out.
+    */
+  def ngramNovelty(spark: SparkSession, dir: String, n: Int = 3): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val ref = docs.filter(col("doc_id") % 2 === 0)
+      .select(explode(TF.shingles(col("text"), n)).as("sh"))
+      .distinct()
+      .withColumn("seen", lit(1))
+    val cand = docs.filter(col("doc_id") % 2 =!= 0)
+      .select(col("doc_id"), explode(TF.shingles(col("text"), n)).as("sh"))
+      .distinct()
+    cand.join(ref, Seq("sh"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("seen").isNull, 0L).otherwise(1L)).as("n_seen"))
+      .withColumn("novelty",
+        round(lit(1.0) - col("n_seen").cast("double") / col("n_shingles"), 6))
+  }
+
   /** q45 — J2 label-vector assembly (reference: the 5-column label matrix
     * bolted onto image paths, /root/reference/src/federated_learning_pipeline.py:29-33,
     * 61-68): an in-row array() projection, no join needed, emitted in

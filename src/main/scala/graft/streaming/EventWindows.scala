@@ -119,6 +119,28 @@ object EventWindows {
     }.reduce(_.unionByName(_))
   }
 
+  /** q113 — SEMI-STRUCTURED PROPS ROLLUP: the events table carries a JSON
+    * `props` column (the schemaless payload every event log has); parse it
+    * under a DECLARED schema with `from_json` — a codegen-friendly per-row
+    * expression, never a driver-side parse — and roll up the extracted
+    * field per event type. Malformed JSON or a missing key yields null
+    * (from_json's contract) and falls out of the aggregates; the declared
+    * schema means column pruning still reaches the parquet scan (only
+    * event_type + props read).
+    */
+  def eventPropsRollup(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"),
+        from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k BIGINT"))
+          .getField("k").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        count(col("k")).as("n_with_k"),
+        sum(col("k")).as("sum_k"),
+        round(avg(col("k")), 6).as("avg_k"),
+        max(col("k")).as("max_k"))
+
   // --- Structured Streaming twins (spec-exercised with memory sinks) ---
 
   /** File-driven stream over the events fixture. The fixture is a single
@@ -219,6 +241,77 @@ object EventWindows {
 
   def streamingUserTotals(spark: SparkSession, dir: String): DataFrame =
     userTotalsWithEviction(eventStream(spark, dir))
+
+  /** Per-user funnel state: events not yet finalized by the watermark
+    * (ts_ms, stage_idx), and each stage's first-hit time (MinValue =
+    * unreached). One fixed-size record + a watermark-bounded buffer per
+    * user. */
+  case class FunnelState(buffer: List[(Long, Int)], reached: List[Long])
+  /** A stage completion emitted by the streaming funnel (time in µs). */
+  case class FunnelHit(user_id: Long, stage_idx: Int, ts_us: Long)
+
+  /** Streaming twin of [[conversionFunnel]] (q105): flatMapGroupsWithState
+    * where correctness against the batch form is guaranteed by FINALIZING
+    * IN WATERMARK ORDER. The batch funnel's "first qualifying event
+    * strictly after the previous stage's first hit" is order-sensitive —
+    * a late-arriving early view can re-qualify an already-seen click — so
+    * events are buffered until the watermark passes them, then replayed
+    * through the monotone stage machine in (ts, stage) order, where the
+    * rule "stage i fires on the first event with t > t(i-1)" is exactly
+    * the batch fold. State per user: the fixed-size reached vector + a
+    * buffer bounded by watermark delay × arrival rate; an event-time
+    * timeout at the earliest buffered event guarantees the buffer drains
+    * even if the user never appears again. Emits one FunnelHit per
+    * (user, stage) ever; completed users keep only the reached vector.
+    */
+  def conversionFunnelStream(ev: DataFrame,
+                             stages: Seq[String] = Seq("view", "click", "purchase"),
+                             watermarkDelay: String = "1 hour"): DataFrame = {
+    val spark = ev.sparkSession
+    import spark.implicits._
+    val stageIdx = stages.zipWithIndex.toMap
+    val nStages = stages.size
+    ev.withWatermark("ts", watermarkDelay)
+      .select(col("user_id"), col("ts"), col("event_type"))
+      .as[(Long, java.sql.Timestamp, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[FunnelState, FunnelHit](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout) {
+        case (uid, rows, state) =>
+          val st = state.getOption.getOrElse(
+            FunnelState(Nil, List.fill(nStages)(Long.MinValue)))
+          // microseconds, not getTime's ms: the batch funnel compares full
+          // timestamp precision and same-ms distinct events must stay
+          // ordered (Spark timestamps are µs; getNanos carries them)
+          def micros(tt: java.sql.Timestamp): Long =
+            math.floorDiv(tt.getTime, 1000L) * 1000000L + tt.getNanos / 1000L
+          val incoming = rows
+            .flatMap { case (_, tt, et) => stageIdx.get(et).map(i => (micros(tt), i)) }
+            .toList
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val (ripe, hold) = (st.buffer ++ incoming).partition(_._1 <= wmUs)
+          val reached = st.reached.toArray
+          val out = scala.collection.mutable.Buffer.empty[FunnelHit]
+          // (ts, stage) order makes a same-instant view-then-click resolve
+          // the same way the batch's strict > does: the click is NOT after
+          // the view's time, so it waits for a later one
+          ripe.sorted.foreach { case (t, i) =>
+            if (reached(i) == Long.MinValue &&
+                (i == 0 || (reached(i - 1) != Long.MinValue && t > reached(i - 1)))) {
+              reached(i) = t
+              out += FunnelHit(uid, i, t)
+            }
+          }
+          state.update(FunnelState(hold, reached.toList))
+          // drain guarantee: fire when the watermark passes the earliest
+          // held event; ceil µs→ms so the timeout stays strictly above the
+          // current watermark (API requirement), at most 1 ms late
+          if (hold.nonEmpty)
+            state.setTimeoutTimestamp(math.floorDiv(hold.map(_._1).min, 1000L) + 1L)
+          out.iterator
+      }
+      .toDF()
+  }
 
   /** Open-session state for the custom sessionizer. */
   case class OpenSession(start_ms: Long, last_ms: Long, n: Long, total: Double)

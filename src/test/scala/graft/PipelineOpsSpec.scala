@@ -494,4 +494,73 @@ class PipelineOpsSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("q111 group split: every source lands wholly in one split; thresholds hold") {
+    val got = Sampling.groupAwareSplit(spark, TestSpark.Sf0001)
+      .as[(Long, String, String)].collect()
+    // leakage safety: a source never straddles a split boundary
+    got.groupBy(_._2).foreach { case (src, rows) =>
+      assert(rows.map(_._3).distinct.length == 1, s"source $src straddles splits")
+    }
+    // the split is the declared pure function of the group key
+    val md = java.security.MessageDigest.getInstance("MD5")
+    got.foreach { case (id, src, split) =>
+      val hex = md.digest(s"$src:42".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val want = if (hex < "cccccccc") "train"
+                 else if (hex < "e6666666") "val" else "test"
+      assert(split == want, s"doc $id source $src")
+    }
+    // every doc assigned; all three splits occupied at fixture scale
+    assert(got.length == Tables.documents(spark, TestSpark.Sf0001).count())
+    assert(got.map(_._3).distinct.sorted.toSeq == Seq("test", "train", "val"))
+  }
+
+  test("q112 novelty: scores match a driver-side shingle-set rebuild") {
+    val got = TextAnalysis.ngramNovelty(spark, TestSpark.Sf0001)
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    val docs = Tables.documents(spark, TestSpark.Sf0001)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    def sh(text: String): Set[String] = {
+      val t = text.split(" ", -1)
+      if (t.length < 3) Set.empty
+      else t.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val ref = docs.filter(_._1 % 2 == 0).flatMap(d => sh(d._2)).toSet
+    docs.filter(_._1 % 2 != 0).foreach { case (id, text) =>
+      val s = sh(text)
+      if (s.isEmpty) assert(!got.contains(id))
+      else {
+        val seen = s.count(ref.contains)
+        val (_, n, gSeen, nov) = got(id)
+        assert(n == s.size.toLong, s"doc $id n_shingles")
+        assert(gSeen == seen.toLong, s"doc $id n_seen")
+        val want = BigDecimal(1.0 - seen.toDouble / s.size)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(math.abs(nov - want) <= 1e-9, s"doc $id novelty")
+      }
+    }
+    // the fixture's generated texts overlap heavily but not totally
+    val scores = got.values.map(_._4)
+    assert(scores.exists(_ > 0.0) || scores.forall(_ == 0.0))
+  }
+
+  test("q113 props rollup: per-type stats match a driver-side JSON parse") {
+    val got = graft.streaming.EventWindows.eventPropsRollup(spark, TestSpark.Sf0001)
+      .as[(String, Long, Long, Long, Double, Long)].collect().map(r => r._1 -> r).toMap
+    val raw = Tables.events(spark, TestSpark.Sf0001)
+      .select(col("event_type"), col("props")).as[(String, String)].collect()
+    val K = """"k"\s*:\s*(-?\d+)""".r
+    raw.groupBy(_._1).foreach { case (et, rows) =>
+      val ks = rows.flatMap(r => K.findFirstMatchIn(r._2).map(_.group(1).toLong))
+      val (_, n, nk, sum, avg, mx) = got(et)
+      assert(n == rows.length.toLong, s"$et n_events")
+      assert(nk == ks.length.toLong, s"$et n_with_k")
+      assert(sum == ks.sum, s"$et sum_k")
+      assert(mx == ks.max, s"$et max_k")
+      val want = BigDecimal(ks.sum.toDouble / ks.length)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(avg - want) <= 1e-9, s"$et avg_k")
+    }
+  }
 }

@@ -402,4 +402,68 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.exceptAll(streamed).count() == 0,
       "batch rows missing from the stream")
   }
+
+  test("q105 streaming funnel: stage counts equal the batch funnel on the fixture") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val fixture = Tables.events(spark, TestSpark.Sf0001)
+      .select(col("user_id"), col("ts"), col("event_type"))
+      .as[(Long, java.sql.Timestamp, String)].collect()
+    val input = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val ev = input.toDF().toDF("user_id", "ts", "event_type")
+    // huge delay: cross-batch disorder must never be dropped as late
+    val q = EventWindows.conversionFunnelStream(ev, watermarkDelay = "3650 days")
+      .writeStream.format("memory").queryName("stream_funnel").outputMode("append").start()
+    try {
+      // adversarial arrival order: later half of event time arrives FIRST
+      val sorted = fixture.sortBy(_._2.getTime)
+      val (early, late) = sorted.splitAt(sorted.length / 2)
+      input.addData(late.toSeq); q.processAllAvailable()
+      input.addData(early.toSeq); q.processAllAvailable()
+      // sentinel advances the watermark past every fixture event
+      val maxTs = sorted.last._2.getTime
+      input.addData((-1L, new java.sql.Timestamp(maxTs + 4000L * 86400000L), "error"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.sql("SELECT user_id, stage_idx FROM stream_funnel")
+      .as[(Long, Int)].collect()
+    // one emission per (user, stage) ever
+    assert(streamed.distinct.length == streamed.length, "duplicate stage emissions")
+    val gotCounts = streamed.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val batch = EventWindows.conversionFunnel(spark, TestSpark.Sf0001)
+      .as[(Long, String, Long)].collect()
+    batch.foreach { case (idx, stage, n) =>
+      assert(gotCounts.getOrElse(idx.toInt, 0L) == n, s"stage $idx $stage")
+    }
+    assert(gotCounts.keySet == batch.map(_._1.toInt).toSet)
+  }
+
+  test("q105 streaming funnel: a late-arriving earlier view requalifies the click") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val ev = input.toDF().toDF("user_id", "ts", "event_type")
+    def ts(ms: Long) = new java.sql.Timestamp(ms)
+    val q = EventWindows.conversionFunnelStream(ev, watermarkDelay = "1 hour")
+      .writeStream.format("memory").queryName("stream_funnel_late").outputMode("append").start()
+    try {
+      // click arrives BEFORE the view exists in the stream; an eager state
+      // machine would discard it (no stage-0 time yet). The view then
+      // arrives in a later batch with an EARLIER event time, still above
+      // the watermark. Watermark-ordered finalization must count both.
+      input.addData((1L, ts(T0 + 2 * Hour), "click")); q.processAllAvailable()
+      input.addData((1L, ts(T0 + Hour + 30 * 60000L), "view")); q.processAllAvailable()
+      input.addData((1L, ts(T0 + 3 * Hour), "purchase")); q.processAllAvailable()
+      input.addData((2L, ts(T0 + 100 * Hour), "view")) // watermark sentinel
+      q.processAllAvailable()
+    } finally q.stop()
+    val hits = spark.sql("SELECT user_id, stage_idx, ts_us FROM stream_funnel_late WHERE user_id = 1")
+      .as[(Long, Int, Long)].collect().sortBy(_._2)
+    assert(hits.map(_._2).toSeq == Seq(0, 1, 2),
+      s"user 1 must complete all three stages, got ${hits.toSeq}")
+    assert(hits.map(_._3).toSeq == Seq(
+      (T0 + Hour + 30 * 60000L) * 1000L, (T0 + 2 * Hour) * 1000L, (T0 + 3 * Hour) * 1000L))
+  }
 }

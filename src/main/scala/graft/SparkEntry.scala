@@ -353,7 +353,15 @@ object SparkEntry {
       TextAnalysis.ngramNovelty(s, d)),
     // declared-schema from_json over the props payload, per-type rollup
     "q113_event_props" -> ((s: SparkSession, d: String) =>
-      graft.streaming.EventWindows.eventPropsRollup(s, d))
+      graft.streaming.EventWindows.eventPropsRollup(s, d)),
+    // within-source hot shingles; the rank window sees only qualifying
+    // shingles, doc counts ride a broadcast
+    "q114_boilerplate" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.boilerplateShingles(s, d)),
+    // per-label vector counts, dim agreement, L2-norm envelope; norms
+    // fold in double over the array in order
+    "q115_embedding_audit" -> ((s: SparkSession, d: String) =>
+      Similarity.embeddingAudit(s, d))
   )
 
   /** Shared CTE chain ending in `pairs` = the exact-Jaccard near-dup pairs
@@ -1329,6 +1337,39 @@ object SparkEntry {
         |           FROM events)
         |SELECT event_type, count(*) AS n_events, count(k) AS n_with_k,
         |  CAST(sum(k) AS BIGINT) AS sum_k, round(avg(k), 6) AS avg_k, max(k) AS max_k
+        |FROM e GROUP BY 1""".stripMargin,
+    // same distinct (source, doc, shingle) relation, same qualify-then-rank
+    "q114_boilerplate" ->
+      """WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS t
+        |              FROM documents),
+        | sh AS (SELECT DISTINCT doc_id, source,
+        |          unnest([array_to_string(t[i:i+2], ' ')
+        |                  for i in generate_series(1, len(t)-2)]) AS sh
+        |        FROM toks WHERE len(t) >= 3),
+        | nd AS (SELECT source, count(DISTINCT doc_id) AS n_docs FROM sh GROUP BY 1),
+        | df AS (SELECT source, sh, count(*) AS df FROM sh GROUP BY 1, 2),
+        | f AS (SELECT source, sh, df,
+        |         round(CAST(df AS DOUBLE) / n_docs, 6) AS df_frac
+        |       FROM df JOIN nd USING (source)
+        |       WHERE round(CAST(df AS DOUBLE) / n_docs, 6) >= 0.08 AND df >= 2),
+        | r AS (SELECT source, sh, df, df_frac,
+        |         row_number() OVER (PARTITION BY source ORDER BY df DESC, sh) AS rank
+        |       FROM f)
+        |SELECT source, CAST(rank AS BIGINT) AS rank, sh, df, df_frac
+        |FROM r WHERE rank <= 5""".stripMargin,
+    // same in-order double fold for the norm, same 4dp envelope
+    "q115_embedding_audit" ->
+      """WITH e AS (SELECT CAST(label AS BIGINT) AS label,
+        |             CAST(len(embedding) AS BIGINT) AS n_dims,
+        |             sqrt(list_sum(list_transform(embedding,
+        |               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS norm
+        |           FROM embeddings)
+        |SELECT label, count(*) AS n_vecs,
+        |  count(DISTINCT n_dims) AS n_distinct_dims,
+        |  min(n_dims) AS min_dims,
+        |  round(min(norm), 4) AS min_norm,
+        |  round(avg(norm), 4) AS avg_norm,
+        |  round(max(norm), 4) AS max_norm
         |FROM e GROUP BY 1""".stripMargin,
     // the single per-stratum rank window the engine's two-level form avoids
     "q97_stratum_cap" ->

@@ -510,4 +510,31 @@ object Similarity {
         lit(e.filter(isNew).count()).as("n_new"),
         col("assign_mismatches"), col("probe_mismatches"))
   }
+
+  /** q115 — EMBEDDING TABLE AUDIT: the data-quality report a vector
+    * pipeline runs before indexing — per label: vector count, dimension
+    * agreement (an ANN index dies on ragged dims), and the L2-norm
+    * envelope (min/avg/max) that tells you whether the table is
+    * unit-normalized, which decides cosine-vs-dot downstream.
+    *
+    * Norms accumulate in DOUBLE over the array IN ORDER (`aggregate` with
+    * a double accumulator — both engines fold the same 64 elements
+    * left-to-right, so the per-row norm is bit-identical); the per-label
+    * avg rounds at 4dp to absorb hash-agg accumulation order. One scan,
+    * one hash agg on the tiny label key.
+    */
+  def embeddingAudit(spark: SparkSession, dir: String): DataFrame = {
+    val norm = sqrt(aggregate(col("embedding"), lit(0.0),
+      (acc, x) => acc + x.cast("double") * x.cast("double")))
+    Tables.embeddings(spark, dir)
+      .select(col("label").cast("long").as("label"),
+        size(col("embedding")).cast("long").as("n_dims"), norm.as("norm"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        countDistinct(col("n_dims")).as("n_distinct_dims"),
+        min(col("n_dims")).as("min_dims"),
+        round(min(col("norm")), 4).as("min_norm"),
+        round(avg(col("norm")), 4).as("avg_norm"),
+        round(max(col("norm")), 4).as("max_norm"))
+  }
 }

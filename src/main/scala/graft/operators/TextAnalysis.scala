@@ -878,6 +878,39 @@ object TextAnalysis {
         round(lit(1.0) - col("n_seen").cast("double") / col("n_shingles"), 6))
   }
 
+  /** q114 — PER-SOURCE BOILERPLATE DETECTION: surface the shingles that
+    * repeat across many documents OF THE SAME SOURCE — navigation chrome,
+    * license headers, template text — the candidates a C4-style cleaning
+    * pass strips before near-dup analysis (cross-doc repetition inside a
+    * source is boilerplate; across sources it's just language). A shingle
+    * qualifies when its within-source document frequency fraction clears
+    * `minFrac`; each source reports its top-`k` by (df desc, shingle).
+    *
+    * One distinct (source, doc, shingle) explode → a (source, shingle)
+    * hash agg bounded by the per-source shingle vocabulary → broadcast of
+    * the |sources|-row doc-count relation → a window partitioned by
+    * source over only the QUALIFYING shingles (the minFrac filter runs
+    * before the rank, so the window never sees the full vocabulary).
+    */
+  def boilerplateShingles(spark: SparkSession, dir: String, n: Int = 3,
+                          minFrac: Double = 0.08, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        explode(TF.shingles(col("text"), n)).as("sh"))
+      .distinct()
+    val nd = sh.groupBy(col("source"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+    val df = sh.groupBy(col("source"), col("sh")).agg(count(lit(1)).as("df"))
+    df.join(broadcast(nd), "source")
+      .withColumn("df_frac", round(col("df").cast("double") / col("n_docs"), 6))
+      .filter(col("df_frac") >= minFrac && col("df") >= 2)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("df").desc, col("sh"))).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("source"), col("rank"), col("sh"), col("df"), col("df_frac"))
+  }
+
   /** q45 — J2 label-vector assembly (reference: the 5-column label matrix
     * bolted onto image paths, /root/reference/src/federated_learning_pipeline.py:29-33,
     * 61-68): an in-row array() projection, no join needed, emitted in

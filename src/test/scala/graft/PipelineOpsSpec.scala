@@ -563,4 +563,62 @@ class PipelineOpsSpec extends AnyFunSuite {
       assert(math.abs(avg - want) <= 1e-9, s"$et avg_k")
     }
   }
+
+  test("q114 boilerplate: per-source hot shingles match a driver-side rebuild") {
+    val got = TextAnalysis.boilerplateShingles(spark, TestSpark.Sf0001)
+      .as[(String, Long, String, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    val docs = Tables.documents(spark, TestSpark.Sf0001)
+      .select(col("doc_id"), col("source"), col("text"))
+      .as[(Long, String, String)].collect()
+    def sh(text: String): Set[String] = {
+      val t = text.split(" ", -1)
+      if (t.length < 3) Set.empty else t.sliding(3).map(_.mkString(" ")).toSet
+    }
+    docs.groupBy(_._2).foreach { case (src, rows) =>
+      val withSh = rows.map(r => (r._1, sh(r._3))).filter(_._2.nonEmpty)
+      val nDocs = withSh.length
+      val df = withSh.flatMap(_._2).groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val want = df.toSeq
+        .map { case (s, d) =>
+          (s, d, BigDecimal(d.toDouble / nDocs)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        }
+        .filter { case (_, d, frac) => frac >= 0.08 && d >= 2 }
+        .sortBy { case (s, d, _) => (-d, s) }
+        .take(5)
+      val g = got.getOrElse(src, Array.empty)
+        .map { case (_, rank, s, d, frac) => (rank, s, d, frac) }
+      assert(g.length == want.length, s"$src row count")
+      g.zip(want).zipWithIndex.foreach { case (((rank, s, d, frac), (ws, wd, wfrac)), i) =>
+        assert(rank == i + 1 && s == ws && d == wd, s"$src rank ${i + 1}")
+        assert(math.abs(frac - wfrac) <= 1e-9, s"$src $s df_frac")
+      }
+    }
+    // the fixture's generated texts genuinely repeat within sources
+    assert(got.nonEmpty)
+  }
+
+  test("q115 embedding audit: per-label envelope matches a driver-side fold") {
+    val got = graft.operators.Similarity.embeddingAudit(spark, TestSpark.Sf0001)
+      .as[(Long, Long, Long, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    val vecs = Tables.embeddings(spark, TestSpark.Sf0001)
+      .select(col("label").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])].collect()
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    vecs.groupBy(_._1).foreach { case (label, rows) =>
+      // the verb's contract: fold left-to-right in double
+      val norms = rows.map(_._2.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble))
+        .map(math.sqrt)
+      val (_, n, ndd, mind, mn, an, mx) = got(label)
+      assert(n == rows.length.toLong, s"label $label n_vecs")
+      assert(ndd == 1L && mind == 64L, s"label $label dims")
+      assert(mn == r4(norms.min) && mx == r4(norms.max), s"label $label min/max norm")
+      assert(math.abs(an - r4(norms.sum / norms.length)) <= 1e-4, s"label $label avg")
+      // the fixture table is unit-normalized; the audit must say so
+      assert(mn >= 0.9999 && mx <= 1.0001, s"label $label norm envelope")
+    }
+  }
 }

@@ -361,7 +361,12 @@ object SparkEntry {
     // per-label vector counts, dim agreement, L2-norm envelope; norms
     // fold in double over the array in order
     "q115_embedding_audit" -> ((s: SparkSession, d: String) =>
-      Similarity.embeddingAudit(s, d))
+      Similarity.embeddingAudit(s, d)),
+    // PQ-ADC approximate top-k: codes-only scoring via per-query lookup
+    // tables, bounded exact re-rank; spec-gated recall (no oracle —
+    // Lloyd's in SQL is impractical, the q43 precedent)
+    "q116_pq_topk" -> ((s: SparkSession, d: String) =>
+      Similarity.pqCosineTopK(s, d))
   )
 
   /** Shared CTE chain ending in `pairs` = the exact-Jaccard near-dup pairs

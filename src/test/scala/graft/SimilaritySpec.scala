@@ -244,4 +244,34 @@ class SimilaritySpec extends AnyFunSuite {
       .filter(col("score") =!= col("exact_score")).count()
     assert(bad == 0)
   }
+
+  test("q116 PQ-ADC top-k recall vs exact; codes are well-formed; scores exact") {
+    val exact = Similarity.cosineTopK(spark, TestSpark.Sf0001)
+      .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
+    val pqDf = Similarity.pqCosineTopK(spark, TestSpark.Sf0001)
+    val pq = pqDf.select("query_id", "cand_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & pq).size.toDouble / exact.size
+    assert(recall >= 0.8, s"PQ recall $recall below floor 0.8 (|exact|=${exact.size})")
+    // survivors' scores are the EXACT cosine (the re-rank contract): any
+    // returned (query, cand) pair agrees with the exact scorer to the digit
+    val exactScores = Similarity.cosineTopK(spark, TestSpark.Sf0001, k = 499)
+      .select(col("query_id"), col("cand_id"), col("score").as("exact_score"))
+    val bad = pqDf.join(exactScores, Seq("query_id", "cand_id"))
+      .filter(col("score") =!= col("exact_score")).count()
+    assert(bad == 0, "re-ranked scores must be exact cosines")
+    // encoding: m codes per vector, every code in [0, kSub)
+    val e = Tables.embeddings(spark, TestSpark.Sf0001)
+      .select(col("vec_id"), col("embedding"))
+    val books = Similarity.trainPqBooks(e, m = 8, kSub = 16, iters = 1)
+    assert(books.length == 8 && books.forall(_.length == 16)
+      && books.forall(_.forall(_.length == 8)))
+    val codes = e.select(Similarity.pqEncode(col("embedding"), books, 8).as("c"))
+      .as[Seq[Int]].collect()
+    assert(codes.forall(c => c.length == 8 && c.forall(x => x >= 0 && x < 16)))
+    // the compression claim: ≥2 distinct codes per subspace at fixture
+    // scale (a collapsed book would make ADC vacuous)
+    (0 until 8).foreach { mi =>
+      assert(codes.map(_(mi)).distinct.length >= 2, s"subspace $mi collapsed")
+    }
+  }
 }

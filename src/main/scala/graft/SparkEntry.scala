@@ -366,7 +366,11 @@ object SparkEntry {
     // tables, bounded exact re-rank; spec-gated recall (no oracle —
     // Lloyd's in SQL is impractical, the q43 precedent)
     "q116_pq_topk" -> ((s: SparkSession, d: String) =>
-      Similarity.pqCosineTopK(s, d))
+      Similarity.pqCosineTopK(s, d)),
+    // q112's novelty with the reference behind the persisted shingle
+    // index; the settled corpus is never re-shingled
+    "q117_incremental_novelty" -> ((s: SparkSession, d: String) =>
+      IncrementalDedup.incrementalNoveltyReport(s, d))
   )
 
   /** Shared CTE chain ending in `pairs` = the exact-Jaccard near-dup pairs
@@ -1376,6 +1380,21 @@ object SparkEntry {
         |  round(avg(norm), 4) AS avg_norm,
         |  round(max(norm), 4) AS max_norm
         |FROM e GROUP BY 1""".stripMargin,
+    // q112's chain with the persisted index replayed as the reference CTE
+    "q117_incremental_novelty" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        | sh AS (SELECT doc_id, unnest(list_distinct(
+        |          [array_to_string(t[i:i+2], ' ')
+        |           for i in generate_series(1, len(t)-2)])) AS sh
+        |        FROM toks WHERE len(t) >= 3),
+        | ref AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 7 <> 0),
+        | cand AS (SELECT s.doc_id, s.sh,
+        |            CASE WHEN r.sh IS NULL THEN 0 ELSE 1 END AS seen
+        |          FROM sh s LEFT JOIN ref r USING (sh) WHERE s.doc_id % 7 = 0)
+        |SELECT doc_id, count(*) AS n_shingles,
+        |  CAST(sum(seen) AS BIGINT) AS n_seen,
+        |  round(1.0 - CAST(sum(seen) AS DOUBLE) / count(*), 6) AS novelty
+        |FROM cand GROUP BY 1""".stripMargin,
     // the single per-stratum rank window the engine's two-level form avoids
     "q97_stratum_cap" ->
       """WITH keyed AS (SELECT doc_id, lang,

@@ -876,4 +876,33 @@ object IncrementalDedup {
       appendShingleIndex(admitted, indexPath)
       rep.withColumn("tick", lit(t))
     }.reduce(_.unionByName(_))
+
+  /** q117 — INCREMENTAL NOVELTY vs THE PERSISTED INDEX: q112's per-doc
+    * novelty score with the reference corpus behind the D9 persisted
+    * shingle index instead of an in-session relation — the "score the new
+    * crawl against the settled corpus" tick a curation pipeline runs
+    * before deciding what to keep. The settled docs persist ONCE
+    * ([[writeShingleIndex]]); the arriving shard's distinct shingles
+    * LEFT-join the index's pruned, distinct `shingle` column (the settled
+    * corpus is never re-shingled — the one-sided-scan discipline of q64),
+    * then one hash agg per shard doc. Novelty = fraction of the shard
+    * doc's distinct shingles absent from the index.
+    */
+  def incrementalNoveltyReport(spark: SparkSession, dir: String,
+                               n: Int = 3): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val isNew = col("doc_id") % 7 === 0
+    val path = graft.sources.Sources.scratchDir(spark,
+      "novelty_index_" + java.lang.Integer.toHexString(dir.hashCode))
+    writeShingleIndex(docs.filter(!isNew), path)
+    val ref = readShingleIndex(spark, path)
+      .select(col("shingle")).distinct().withColumn("seen", lit(1))
+    Dedup.docShingles(docs.filter(isNew), n)
+      .join(ref, Seq("shingle"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("seen").isNull, 0L).otherwise(1L)).as("n_seen"))
+      .withColumn("novelty",
+        round(lit(1.0) - col("n_seen").cast("double") / col("n_shingles"), 6))
+  }
 }

@@ -739,4 +739,30 @@ class IncrementalDedupSpec extends AnyFunSuite {
     val wanted = (0L until 10L).map(i => (i + 1000L, i)).toSet
     assert(wanted.subsetOf(pairs), s"missed: ${wanted -- pairs}")
   }
+
+  test("q117 incremental novelty: persisted-index scores == in-session shingle sets") {
+    val got = IncrementalDedup.incrementalNoveltyReport(spark, TestSpark.Sf0001)
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    val docs = Tables.documents(spark, TestSpark.Sf0001)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    def sh(text: String): Set[String] = {
+      val t = text.split(" ", -1)
+      if (t.length < 3) Set.empty else t.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val ref = docs.filter(_._1 % 7 != 0).flatMap(d => sh(d._2)).toSet
+    val shard = docs.filter(_._1 % 7 == 0)
+    assert(shard.nonEmpty)
+    shard.foreach { case (id, text) =>
+      val s = sh(text)
+      if (s.isEmpty) assert(!got.contains(id))
+      else {
+        val seen = s.count(ref.contains)
+        val (_, n, gSeen, nov) = got(id)
+        assert(n == s.size.toLong && gSeen == seen.toLong, s"doc $id counts")
+        val want = BigDecimal(1.0 - seen.toDouble / s.size)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(math.abs(nov - want) <= 1e-9, s"doc $id novelty")
+      }
+    }
+  }
 }

@@ -370,7 +370,11 @@ object SparkEntry {
     // q112's novelty with the reference behind the persisted shingle
     // index; the settled corpus is never re-shingled
     "q117_incremental_novelty" -> ((s: SparkSession, d: String) =>
-      IncrementalDedup.incrementalNoveltyReport(s, d))
+      IncrementalDedup.incrementalNoveltyReport(s, d)),
+    // persisted PQ index lifecycle: bootstrap + tick, then codes and
+    // probes checked against from-scratch (invariant row; q94 discipline)
+    "q118_pq_incremental" -> ((s: SparkSession, d: String) =>
+      Similarity.pqIncrementalInvariant(s, d))
   )
 
   /** Shared CTE chain ending in `pairs` = the exact-Jaccard near-dup pairs
@@ -518,12 +522,14 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted (→ driver rows-only check):
     * q19_simhash and q22_ann_topk are keyed on Spark's xxhash64,
-    * q43_ivf_topk is approximate by construction, and
-    * q63_winnowing_pairs is keyed on the engine's rolling polynomial
-    * hash — none reproducible in DuckDB; each is covered by a ScalaTest
-    * spec instead (DedupSpec planted near-dup recall + winnowing
-    * detection/density pins; SimilaritySpec recall-vs-exact-topk for both
-    * ANN variants plus IVF partition-exactness).
+    * q43_ivf_topk / q116_pq_topk / q118_pq_incremental are approximate by
+    * construction (Lloyd's-trained codebooks), and q63_winnowing_pairs is
+    * keyed on the engine's rolling polynomial hash — none reproducible in
+    * DuckDB; each is covered by a ScalaTest spec instead (DedupSpec
+    * planted near-dup recall + winnowing detection/density pins;
+    * SimilaritySpec recall-vs-exact-topk for the ANN variants, IVF
+    * partition-exactness, PQ recall + exact re-rank scores, and the
+    * persisted-index invariant rows of q94/q118).
     */
   def oracleSql: Map[String, String] = oracleSqlFor("/root/testdata/sf0.01")
 

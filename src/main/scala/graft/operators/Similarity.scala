@@ -605,13 +605,22 @@ object Similarity {
   def pqCosineTopK(spark: SparkSession, dir: String, nQueries: Int = 10,
                    k: Int = 5, m: Int = 8, kSub: Int = 16,
                    trainIters: Int = 2, rerank: Int = 100): DataFrame = {
-    require(rerank >= k, s"rerank=$rerank must cover k=$k")
     val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
     val dim = e.select(size(col("embedding"))).head().getInt(0)
     val subDim = dim / m
     val books = trainPqBooks(e, m, kSub, trainIters)
     val encoded = e.select(col("vec_id").as("cand_id"),
       pqEncode(col("embedding"), books, subDim).as("codes"))
+    pqTopKOver(e, encoded, books, subDim, nQueries, k, rerank)
+  }
+
+  /** The ADC probe tail over any (cand_id, codes) relation — in-session
+    * encode (q116) or the persisted codes table (q118) — against `e` for
+    * queries and the exact re-rank. */
+  private[graft] def pqTopKOver(e: DataFrame, encoded: DataFrame,
+                                books: Array[Array[Array[Float]]], subDim: Int,
+                                nQueries: Int, k: Int, rerank: Int): DataFrame = {
+    require(rerank >= k, s"rerank=$rerank must cover k=$k")
     val lut = array(books.zipWithIndex.map { case (book, mi) =>
       array(book.map(c =>
         sqDistTo(slice(col("embedding"), mi * subDim + 1, subDim), c)): _*)
@@ -636,6 +645,108 @@ object Similarity {
       .withColumn("rank", row_number().over(wExact).cast("long"))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("cand_id"), col("score"))
+  }
+
+  // --- Persisted PQ index + incremental encode (q118) -------------------
+  //
+  // The q94 lifecycle applied to the compressed store: train ONCE on the
+  // settled corpus, persist sub-codebooks + codes; every ingest tick
+  // encodes ONLY its new vectors against the persisted books (one
+  // shuffle-free projection over the shard) and appends their codes —
+  // settled vectors are never re-read, never re-encoded. Queries probe
+  // the persisted codes table without the original floats until re-rank.
+
+  /** Sub-codebooks as a plain parquet table (sub, code, centroid) —
+    * engine-neutral, versionable next to the codes it explains. */
+  def savePqBooks(spark: SparkSession, books: Array[Array[Array[Float]]],
+                  path: String): Unit = {
+    import spark.implicits._
+    books.zipWithIndex.flatMap { case (book, mi) =>
+      book.zipWithIndex.map { case (c, ki) => (mi, ki, c.toSeq) }
+    }.toSeq.toDF("sub", "code", "centroid")
+      .coalesce(1) // m·kSub·subDim floats — one footer
+      .write.mode("overwrite").parquet(path)
+  }
+
+  def loadPqBooks(spark: SparkSession, path: String): Array[Array[Array[Float]]] = {
+    val rows = spark.read.parquet(path)
+      .select(col("sub"), col("code"), col("centroid")).collect()
+    require(rows.nonEmpty, s"empty PQ codebook at $path")
+    val m = rows.map(_.getInt(0)).max + 1
+    val kSub = rows.map(_.getInt(1)).max + 1
+    val books = Array.ofDim[Array[Float]](m, kSub)
+    rows.foreach { r =>
+      val (mi, ki) = (r.getInt(0), r.getInt(1))
+      require(books(mi)(ki) == null, s"duplicate (sub=$mi, code=$ki) at $path")
+      books(mi)(ki) = r.getSeq[Float](2).toArray
+    }
+    require(books.forall(_.forall(_ != null)), s"PQ codebook at $path has gaps")
+    books
+  }
+
+  /** Bootstrap: train on the settled corpus, persist books + codes. */
+  def writePqIndex(e: DataFrame, booksPath: String, codesPath: String,
+                   m: Int = 8, kSub: Int = 16, trainIters: Int = 2): Unit = {
+    val spark = e.sparkSession
+    val dim = e.select(size(col("embedding"))).head().getInt(0)
+    val books = trainPqBooks(e, m, kSub, trainIters)
+    savePqBooks(spark, books, booksPath)
+    e.select(col("vec_id"), pqEncode(col("embedding"), books, dim / m).as("codes"))
+      .write.mode("overwrite").parquet(codesPath)
+  }
+
+  /** One ingest tick: encode the new vectors against the PERSISTED books
+    * and append their codes. No retraining, no settled rows touched. */
+  def pqIngestTick(newVecs: DataFrame, booksPath: String, codesPath: String): Unit = {
+    val spark = newVecs.sparkSession
+    val books = loadPqBooks(spark, booksPath)
+    val subDim = books(0)(0).length
+    newVecs.select(col("vec_id"),
+      pqEncode(col("embedding"), books, subDim).as("codes"))
+      .write.mode("append").parquet(codesPath)
+  }
+
+  /** q118 fixture entry — the invariant row (q94 discipline): settled
+    * vectors bootstrap the persisted index, vec_id % 5 == 0 arrives as
+    * the tick, then (a) the persisted codes must equal a from-scratch
+    * encode of the whole corpus under the persisted books, and (b) the
+    * ADC probe over the persisted codes must equal the in-memory probe
+    * with the same books. Zero mismatches = the compressed store's
+    * incremental path loses nothing.
+    */
+  def pqIncrementalInvariant(spark: SparkSession, dir: String,
+                             nQueries: Int = 10, k: Int = 5,
+                             rerank: Int = 100): DataFrame = {
+    val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val isNew = col("vec_id") % 5 === 0
+    val hex = java.lang.Integer.toHexString(dir.hashCode)
+    val booksPath = graft.sources.Sources.scratchDir(spark, "pq_books_" + hex)
+    val codesPath = graft.sources.Sources.scratchDir(spark, "pq_codes_" + hex)
+    // bootstrap overwrites the codes dir, so a re-run starts clean; the
+    // tick then appends exactly once
+    writePqIndex(e.filter(!isNew), booksPath, codesPath)
+    pqIngestTick(e.filter(isNew), booksPath, codesPath)
+    val books = loadPqBooks(spark, booksPath)
+    val subDim = books(0)(0).length
+    val persisted = spark.read.parquet(codesPath).select(col("vec_id"), col("codes"))
+    val full = e.select(col("vec_id"), pqEncode(col("embedding"), books, subDim).as("codes"))
+    val codeMismatches =
+      persisted.exceptAll(full).count() + full.exceptAll(persisted).count()
+    val fromIndex = pqTopKOver(e,
+      persisted.select(col("vec_id").as("cand_id"), col("codes")),
+      books, subDim, nQueries, k, rerank)
+    val inMemory = pqTopKOver(e,
+      full.select(col("vec_id").as("cand_id"), col("codes")),
+      books, subDim, nQueries, k, rerank)
+    val probeMismatches =
+      fromIndex.exceptAll(inMemory).count() + inMemory.exceptAll(fromIndex).count()
+    import spark.implicits._
+    Seq((codeMismatches, probeMismatches)).toDF(
+      "code_mismatches", "probe_mismatches")
+      .select(
+        lit(e.filter(!isNew).count()).as("n_settled"),
+        lit(e.filter(isNew).count()).as("n_new"),
+        col("code_mismatches"), col("probe_mismatches"))
   }
 
   /** q115 — EMBEDDING TABLE AUDIT: the data-quality report a vector

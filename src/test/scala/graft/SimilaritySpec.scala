@@ -274,4 +274,22 @@ class SimilaritySpec extends AnyFunSuite {
       assert(codes.map(_(mi)).distinct.length >= 2, s"subspace $mi collapsed")
     }
   }
+
+  test("q118 persisted PQ index: books round-trip; tick codes and probes lose nothing") {
+    val row = Similarity.pqIncrementalInvariant(spark, TestSpark.Sf0001)
+      .as[(Long, Long, Long, Long)].head()
+    val (nSettled, nNew, codeMm, probeMm) = row
+    assert(nSettled > 0 && nNew > 0, s"fixture split degenerate: $row")
+    assert(codeMm == 0, s"persisted codes diverge from from-scratch encode: $codeMm")
+    assert(probeMm == 0, s"persisted-codes probe diverges from in-memory: $probeMm")
+    // save/load round-trips the books bit for bit
+    val e = Tables.embeddings(spark, TestSpark.Sf0001)
+      .select(col("vec_id"), col("embedding"))
+    val books = Similarity.trainPqBooks(e, m = 8, kSub = 16, iters = 1)
+    val path = graft.sources.Sources.scratchDir(spark, "pq_books_roundtrip")
+    Similarity.savePqBooks(spark, books, path)
+    val loaded = Similarity.loadPqBooks(spark, path)
+    assert(loaded.map(_.map(_.toVector).toVector).toVector ==
+      books.map(_.map(_.toVector).toVector).toVector)
+  }
 }

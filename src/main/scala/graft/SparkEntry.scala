@@ -374,7 +374,11 @@ object SparkEntry {
     // persisted PQ index lifecycle: bootstrap + tick, then codes and
     // probes checked against from-scratch (invariant row; q94 discipline)
     "q118_pq_incremental" -> ((s: SparkSession, d: String) =>
-      Similarity.pqIncrementalInvariant(s, d))
+      Similarity.pqIncrementalInvariant(s, d)),
+    // curriculum manifest: q102 tiers x q86 two-level rank — tier-major,
+    // seeded shuffle within tier
+    "q119_curriculum_order" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.curriculumOrder(s, d))
   )
 
   /** Shared CTE chain ending in `pairs` = the exact-Jaccard near-dup pairs
@@ -1401,6 +1405,26 @@ object SparkEntry {
         |  CAST(sum(seen) AS BIGINT) AS n_seen,
         |  round(1.0 - CAST(sum(seen) AS DOUBLE) / count(*), 6) AS novelty
         |FROM cand GROUP BY 1""".stripMargin,
+    // q102's tier chain + the single global window the two-level form avoids
+    "q119_curriculum_order" ->
+      s"""WITH q AS (SELECT lang, doc_id, $qualitySql AS quality FROM documents),
+         |r AS (SELECT lang, quality,
+         |        row_number() OVER (PARTITION BY lang ORDER BY quality, doc_id) AS rn,
+         |        count(*) OVER (PARTITION BY lang) AS n
+         |      FROM q),
+         |thr AS (
+         |  SELECT lang, quality AS value FROM r WHERE rn = ceil(n * 0.25)
+         |  UNION ALL
+         |  SELECT lang, quality FROM r WHERE rn = ceil(n * 0.5)
+         |  UNION ALL
+         |  SELECT lang, quality FROM r WHERE rn = ceil(n * 0.75)),
+         |tiers AS (SELECT q.doc_id,
+         |            CAST(sum(CASE WHEN q.quality > t.value THEN 1 ELSE 0 END) AS BIGINT) AS tier
+         |          FROM q JOIN thr t ON q.lang = t.lang GROUP BY 1)
+         |SELECT doc_id, tier,
+         |  CAST(row_number() OVER (ORDER BY tier DESC,
+         |    md5(CAST(doc_id AS VARCHAR) || ':42'), doc_id) - 1 AS BIGINT) AS pos
+         |FROM tiers""".stripMargin,
     // the single per-stratum rank window the engine's two-level form avoids
     "q97_stratum_cap" ->
       """WITH keyed AS (SELECT doc_id, lang,

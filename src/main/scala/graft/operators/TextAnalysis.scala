@@ -220,15 +220,56 @@ object TextAnalysis {
     * 6dp-rounded at the source, so the strict compare is engine-stable.
     */
   def difficultyBinning(spark: SparkSession, dir: String,
-                        ps: Seq[Double] = Seq(0.25, 0.5, 0.75)): DataFrame = {
+                        ps: Seq[Double] = Seq(0.25, 0.5, 0.75)): DataFrame =
+    perDocTiers(spark, dir, ps)
+      .groupBy(col("lang"), col("tier"))
+      .agg(count(lit(1)).as("n_docs"))
+
+  /** The q102 intermediate, shared with q119: each doc's curriculum tier =
+    * number of its language's quantile thresholds strictly below its
+    * quality score. Thresholds broadcast; the count is an in-row-ish
+    * aggregation over |ps| joined rows per doc. */
+  private[graft] def perDocTiers(spark: SparkSession, dir: String,
+                                 ps: Seq[Double] = Seq(0.25, 0.5, 0.75)): DataFrame = {
     val q = Tables.documents(spark, dir)
       .select(col("lang"), col("doc_id"), TF.qualityScore(col("text")).as("quality"))
     val thr = exactQuantileThresholds(q, ps)
     q.join(broadcast(thr), Seq("lang"))
       .groupBy(col("lang"), col("doc_id"))
       .agg(sum((col("quality") > col("value")).cast("long")).as("tier"))
-      .groupBy(col("lang"), col("tier"))
-      .agg(count(lit(1)).as("n_docs"))
+  }
+
+  /** q119 — CURRICULUM ORDER MANIFEST: the global training order a
+    * curriculum-learning loader consumes — highest-quality tier first,
+    * uniform seeded shuffle WITHIN each tier (so an epoch is reproducible
+    * yet unordered inside a difficulty band). Composes q102's per-doc
+    * tiers with the q86 two-level rank: global position = tier-major
+    * prefix + in-(tier, bucket) row_number, where the (tier, bucket)
+    * count relation (|tiers|·16^prefixChars rows) broadcasts and the only
+    * unpartitioned window runs over it — never a one-partition global
+    * sort. The bucket is a prefix of the shuffle key, so bucket-major +
+    * in-bucket key order IS the per-tier key order.
+    */
+  def curriculumOrder(spark: SparkSession, dir: String,
+                      ps: Seq[Double] = Seq(0.25, 0.5, 0.75),
+                      seed: Long = 42L, prefixChars: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(prefixChars >= 1 && prefixChars <= 8, s"prefixChars out of range: $prefixChars")
+    val keyed = perDocTiers(spark, dir, ps)
+      .select(col("doc_id"), col("tier"))
+      .withColumn("key", md5(concat(col("doc_id").cast("string"), lit(":" + seed))))
+      .withColumn("bucket", substring(col("key"), 1, prefixChars))
+    val prefix = keyed.groupBy(col("tier"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("prefix", coalesce(sum(col("cnt")).over(
+        Window.orderBy(col("tier").desc, col("bucket"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("tier"), col("bucket"), col("prefix"))
+    val inBucket = Window.partitionBy(col("tier"), col("bucket"))
+      .orderBy(col("key"), col("doc_id"))
+    keyed.withColumn("rn", row_number().over(inBucket).cast("long"))
+      .join(broadcast(prefix), Seq("tier", "bucket"))
+      .select(col("doc_id"), col("tier"), (col("prefix") + col("rn") - 1).as("pos"))
   }
 
   def qualityQuantiles(spark: SparkSession, dir: String,

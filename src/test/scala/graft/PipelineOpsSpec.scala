@@ -621,4 +621,26 @@ class PipelineOpsSpec extends AnyFunSuite {
       assert(mn >= 0.9999 && mx <= 1.0001, s"label $label norm envelope")
     }
   }
+
+  test("q119 curriculum order: two-level rank == single window; tiers descend") {
+    val got = TextAnalysis.curriculumOrder(spark, TestSpark.Sf0001)
+      .as[(Long, Long, Long)].collect().sortBy(_._3)
+    // a 0..N-1 permutation
+    assert(got.map(_._3).toSeq == (0L until got.length.toLong))
+    // tier-major, highest first
+    assert(got.map(_._2).sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
+    // the single global window the two-level form avoids
+    val naive = TextAnalysis.perDocTiers(spark, TestSpark.Sf0001)
+      .select(col("doc_id"), col("tier"),
+        md5(concat(col("doc_id").cast("string"), lit(":42"))).as("key"))
+      .withColumn("pos", row_number().over(
+        Window.orderBy(col("tier").desc, col("key"), col("doc_id"))).cast("long") - 1)
+      .select(col("doc_id"), col("tier"), col("pos"))
+      .as[(Long, Long, Long)].collect().sortBy(_._3)
+    assert(got.toSeq == naive.toSeq)
+    // within a tier the order is the seeded shuffle, not doc_id order
+    val firstTier = got.filter(_._2 == got.head._2).map(_._1)
+    assert(firstTier.toSeq != firstTier.sorted.toSeq,
+      "in-tier order should be shuffled, not id order")
+  }
 }

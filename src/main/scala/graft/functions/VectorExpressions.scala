@@ -160,3 +160,79 @@ object HyperplaneSignatureExpr {
     sig
   }
 }
+
+/** In-row product-quantization encoder as a native codegen'd expression:
+  * for each of the m subspaces, the argmin squared-L2 code against that
+  * subspace's kSub literal sub-centroids (ties → lowest code), returned
+  * as an array<int> of m codes.
+  *
+  * Why an Expression and not a composed Column tree: the flat-arithmetic
+  * composition is m·kSub·subDim element_at/multiply nodes (~3–5k for the
+  * 8×16×8 default) — ANALYSIS and codegen of that tree cost seconds per
+  * action, which dominated q116/q118 (28 s of a 39 s query was planning,
+  * on 2k rows). As one expression node the plan is O(1) to analyze and
+  * the m×kSub×subDim loop runs as a single static call, with the books
+  * attached via a codegen reference object rather than plan literals.
+  *
+  * Numerics match the flat form: floats widened to double, squared diffs
+  * accumulated left-to-right in index order.
+  */
+case class PqEncodeExpr(child: Expression, books: Array[Array[Array[Float]]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) if books.nonEmpty && books.forall(_.nonEmpty) =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float> and nonempty codebooks, " +
+        s"got ${child.dataType.simpleString}")
+  }
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def prettyName: String = "pq_encode"
+
+  override protected def nullSafeEval(input: Any): Any =
+    PqEncodeExpr.encode(input.asInstanceOf[ArrayData], books)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqBooks", books, "float[][][]")
+    defineCodeGen(ctx, ev, v => s"graft.functions.PqEncodeExpr.encode($v, $ref)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqEncodeExpr =
+    copy(child = newChild)
+}
+
+object PqEncodeExpr {
+  /** Shared by eval and codegen: one tight loop over (sub, code, dim). */
+  def encode(v: ArrayData, books: Array[Array[Array[Float]]]): ArrayData = {
+    val m = books.length
+    val codes = new Array[Int](m)
+    var mi = 0
+    var offset = 0
+    while (mi < m) {
+      val book = books(mi)
+      val subDim = book(0).length
+      var best = 0
+      var bestDist = Double.MaxValue
+      var ki = 0
+      while (ki < book.length) {
+        val cent = book(ki)
+        var dist = 0.0
+        var i = 0
+        while (i < subDim) {
+          val d = v.getFloat(offset + i).toDouble - cent(i).toDouble
+          dist += d * d
+          i += 1
+        }
+        if (dist < bestDist) { bestDist = dist; best = ki }
+        ki += 1
+      }
+      codes(mi) = best
+      offset += subDim
+      mi += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(codes)
+  }
+}

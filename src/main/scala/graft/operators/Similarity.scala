@@ -521,27 +521,21 @@ object Similarity {
   // floats until a bounded exact re-rank. Jégou et al., "Product
   // Quantization for Nearest Neighbor Search", TPAMI 2011.
 
-  /** Squared L2 between a (sub)vector column and a literal centroid —
-    * folded in double, in order (the q115 discipline). */
-  private def sqDistTo(vec: Column, cent: Array[Float]): Column =
-    aggregate(zip_with(vec, array(cent.map(lit(_)): _*),
-      (a, b) => (a.cast("double") - b) * (a.cast("double") - b)),
-      lit(0.0), (acc, x) => acc + x)
-
-  /** In-row PQ code for one subspace: argmin squared L2 over the kSub
-    * literal sub-centroids (ties → lowest code). */
-  private def subCode(sub: Column, book: Array[Array[Float]]): Column = {
-    val dists = array(book.map(c => sqDistTo(sub, c)): _*)
-    (array_position(dists, array_min(dists)) - 1).cast("int")
+  /** In-row PQ encoding: the m-element code array, as ONE native
+    * expression node ([[graft.functions.PqEncodeExpr]], codegen'd tight
+    * loop, books attached as a codegen reference object). The composed
+    * Column-tree predecessors — HOF zip_with/aggregate, then flat
+    * element_at arithmetic — were m·kSub·subDim plan nodes whose ANALYSIS
+    * cost alone dominated the query (~28 s of planning per train pass at
+    * the 8×16×8 default); as a single node the plan is O(1) and encoding
+    * a 100 TB corpus is one shuffle-free projection pass. */
+  def pqEncode(vec: Column, books: Array[Array[Array[Float]]], subDim: Int): Column = {
+    require(books.forall(_.forall(_.length == subDim)),
+      s"codebook sub-dim mismatch: expected $subDim")
+    org.apache.spark.sql.GraftSql.column(
+      graft.functions.PqEncodeExpr(
+        org.apache.spark.sql.GraftSql.expression(vec), books))
   }
-
-  /** In-row PQ encoding: the m-element code array. Pure expression over
-    * literal codebooks — encoding a 100 TB corpus is one shuffle-free
-    * projection pass. */
-  def pqEncode(vec: Column, books: Array[Array[Array[Float]]], subDim: Int): Column =
-    array(books.zipWithIndex.map { case (book, mi) =>
-      subCode(slice(vec, mi * subDim + 1, subDim), book)
-    }: _*)
 
   /** FUSED Lloyd training of all m sub-codebooks: every iteration is ONE
     * corpus scan — in-row codes for all subspaces against the literal
@@ -621,12 +615,33 @@ object Similarity {
                                 books: Array[Array[Array[Float]]], subDim: Int,
                                 nQueries: Int, k: Int, rerank: Int): DataFrame = {
     require(rerank >= k, s"rerank=$rerank must cover k=$k")
-    val lut = array(books.zipWithIndex.map { case (book, mi) =>
-      array(book.map(c =>
-        sqDistTo(slice(col("embedding"), mi * subDim + 1, subDim), c)): _*)
-    }: _*)
-    val queries = e.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qv"), lut.as("lut"))
+    val spark = e.sparkSession
+    import spark.implicits._
+    // ADC lookup tables computed at the driver over the nQueries-bounded
+    // query slice (the codebook-collect discipline): m·kSub squared
+    // sub-distances per query, double accumulation in index order —
+    // identical numerics to an in-plan expression without shipping a
+    // thousand-node column tree through the analyzer
+    val lutRows = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id"), col("embedding"))
+      .collect().map { r =>
+        val qid = r.getLong(0)
+        val qv = r.getSeq[Float](1)
+        val lut = books.zipWithIndex.map { case (book, mi) =>
+          book.map { cent =>
+            var d = 0.0
+            var i = 0
+            while (i < subDim) {
+              val t = qv(mi * subDim + i).toDouble - cent(i).toDouble
+              d += t * t
+              i += 1
+            }
+            d
+          }.toSeq
+        }.toSeq
+        (qid, qv, lut)
+      }.toSeq
+    val queries = lutRows.toDF("query_id", "qv", "lut")
     val wAdc = Window.partitionBy(col("query_id"))
       .orderBy(col("adist"), col("cand_id"))
     val cand = encoded.join(broadcast(queries), col("query_id") =!= col("cand_id"))

@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CosineSimilarityExpr, HyperplaneSignatureExpr}
+import graft.functions.{CosineSimilarityExpr, HyperplaneSignatureExpr, NfcNormalizeExpr}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -32,6 +32,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"hyperplane_sig nBits must be an integer literal, got $other")
         }
         HyperplaneSignatureExpr(children.head, nBits)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[NfcNormalizeExpr].getName, "nfc_normalize"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1,
+          s"nfc_normalize takes 1 argument, got ${children.length}")
+        NfcNormalizeExpr(children.head)
       }))
   }
 }

@@ -378,7 +378,11 @@ object SparkEntry {
     // curriculum manifest: q102 tiers x q86 two-level rank — tier-major,
     // seeded shuffle within tier
     "q119_curriculum_order" -> ((s: SparkSession, d: String) =>
-      TextAnalysis.curriculumOrder(s, d))
+      TextAnalysis.curriculumOrder(s, d)),
+    // unicode NFC via the native expression; DuckDB's nfc_normalize
+    // replays it byte for byte over the planted decomposed forms
+    "q120_text_normalize" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.textNormalize(s, d))
   )
 
   /** Shared CTE chain ending in `pairs` = the exact-Jaccard near-dup pairs
@@ -1405,6 +1409,18 @@ object SparkEntry {
         |  CAST(sum(seen) AS BIGINT) AS n_seen,
         |  round(1.0 - CAST(sum(seen) AS DOUBLE) / count(*), 6) AS novelty
         |FROM cand GROUP BY 1""".stripMargin,
+    // chr(769)/chr(778) = the same combining marks the engine plants;
+    // nfc_normalize is DuckDB's own NFC
+    "q120_text_normalize" ->
+      """WITH raw AS (SELECT doc_id,
+        |  text || CASE WHEN doc_id % 3 = 0 THEN ' cafe' || chr(769) ELSE '' END
+        |       || CASE WHEN doc_id % 5 = 0 THEN ' A' || chr(778) ELSE '' END AS raw
+        |  FROM documents)
+        |SELECT doc_id, CAST(length(raw) AS BIGINT) AS n_chars_raw,
+        |  nfc_normalize(raw) AS text_nfc,
+        |  CAST(length(nfc_normalize(raw)) AS BIGINT) AS n_chars_nfc,
+        |  (nfc_normalize(raw) <> raw) AS changed
+        |FROM raw""".stripMargin,
     // q102's tier chain + the single global window the two-level form avoids
     "q119_curriculum_order" ->
       s"""WITH q AS (SELECT lang, doc_id, $qualitySql AS quality FROM documents),

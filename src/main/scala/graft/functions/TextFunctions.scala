@@ -19,6 +19,13 @@ object TextFunctions {
     * (limit -1), matching DuckDB's string_split. */
   def tokens(text: Column): Column = split(text, " ")
 
+  /** Unicode NFC normalization via the native [[NfcNormalizeExpr]] (Spark
+    * has no built-in; DuckDB's function of the same name is the oracle
+    * twin). */
+  def nfcNormalize(text: Column): Column =
+    org.apache.spark.sql.GraftSql.column(
+      NfcNormalizeExpr(org.apache.spark.sql.GraftSql.expression(text)))
+
   /** BPE-ish subword segmentation: runs of letters, runs of digits, or a
     * single non-alphanumeric character — the standard pre-tokenizer shape.
     */

@@ -952,6 +952,36 @@ object TextAnalysis {
       .select(col("source"), col("rank"), col("sh"), col("df"), col("df_frac"))
   }
 
+  /** The q120 fixture plant: the corpus is ASCII, so denormalized unicode
+    * is planted per doc_id (the q85 discipline — a deterministic
+    * expression both engines evaluate): NFD café (e + combining acute) on
+    * doc_id % 3, NFD Å (A + combining ring) on doc_id % 5. */
+  val plantedDenormText: org.apache.spark.sql.Column =
+    concat(col("text"),
+      when(col("doc_id") % 3 === 0, lit(" cafe\u0301")).otherwise(lit("")),
+      when(col("doc_id") % 5 === 0, lit(" A\u030A")).otherwise(lit("")))
+
+  /** q120 — UNICODE NFC NORMALIZATION: the first cleaning pass a
+    * multilingual pipeline runs — decomposed accents and compatibility
+    * forms collapse to one canonical byte sequence, so exact dedup
+    * (sha-256 of text) and shingle hashing see ONE representation of the
+    * same string. Runs through the native `nfc_normalize` expression
+    * (one codegen node, isNormalized fast path — an already-clean row
+    * costs a scan and zero allocation); DuckDB's function of the same
+    * name replays the identical computation, so the oracle compares the
+    * normalized TEXT byte for byte, not just counts. Emits per-doc
+    * before/after codepoint counts and the changed flag.
+    */
+  def textNormalize(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), plantedDenormText.as("raw"))
+      .select(col("doc_id"), col("raw"),
+        length(col("raw")).cast("long").as("n_chars_raw"),
+        TF.nfcNormalize(col("raw")).as("text_nfc"))
+      .select(col("doc_id"), col("n_chars_raw"), col("text_nfc"),
+        length(col("text_nfc")).cast("long").as("n_chars_nfc"),
+        (col("text_nfc") =!= col("raw")).as("changed"))
+
   /** q45 — J2 label-vector assembly (reference: the 5-column label matrix
     * bolted onto image paths, /root/reference/src/federated_learning_pipeline.py:29-33,
     * 61-68): an in-row array() projection, no join needed, emitted in

@@ -643,4 +643,26 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(firstTier.toSeq != firstTier.sorted.toSeq,
       "in-tier order should be shuffled, not id order")
   }
+
+  test("q120 nfc: planted decomposed forms compose; clean docs untouched; SQL door shared") {
+    val got = TextAnalysis.textNormalize(spark, TestSpark.Sf0001)
+      .as[(Long, Long, String, Long, Boolean)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (id, nRaw, nfc, nNfc, changed) =>
+      val planted = (if (id % 3 == 0) 1 else 0) + (if (id % 5 == 0) 1 else 0)
+      assert(changed == (planted > 0), s"doc $id changed flag")
+      // each combining mark merges into its base: one codepoint fewer
+      assert(nRaw - nNfc == planted, s"doc $id codepoint delta")
+      assert(!nfc.contains("\u0301") && !nfc.contains("\u030A"),
+        s"doc $id combining marks survived NFC")
+      if (id % 3 == 0) assert(nfc.contains("caf\u00e9"), s"doc $id missing composed e-acute")
+      if (id % 5 == 0) assert(nfc.contains("\u00c5"), s"doc $id missing composed A-ring")
+    }
+    // the SQL registry reaches the same expression (the q79 discipline)
+    Tables.documents(spark, TestSpark.Sf0001).limit(5)
+      .createOrReplaceTempView("nfc_docs")
+    val viaSql = spark.sql(
+      "SELECT nfc_normalize(text || ' café') AS s FROM nfc_docs").as[String].collect()
+    assert(viaSql.length == 5 && viaSql.forall(_.endsWith("caf\u00e9")))
+  }
 }

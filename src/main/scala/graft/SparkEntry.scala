@@ -382,7 +382,22 @@ object SparkEntry {
     // unicode NFC via the native expression; DuckDB's nfc_normalize
     // replays it byte for byte over the planted decomposed forms
     "q120_text_normalize" -> ((s: SparkSession, d: String) =>
-      TextAnalysis.textNormalize(s, d))
+      TextAnalysis.textNormalize(s, d)),
+    // passage-granularity dedup (q121) and its pair-finding companion (q126)
+    "q121_passage_dedup" -> ((s: SparkSession, d: String) =>
+      Dedup.passageDedup(s, d)),
+    "q126_containment_pairs" -> ((s: SparkSession, d: String) =>
+      Dedup.containmentPairs(s, d)),
+    // collocation mining and target-resemblance data selection
+    "q122_pmi_collocations" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.pmiCollocations(s, d)),
+    "q123_dsir_weights" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.dsirWeights(s, d)),
+    // semantic (embedding-space) dedup and weighted subsampling
+    "q124_semantic_dedup" -> ((s: SparkSession, d: String) =>
+      Dedup.semanticDedupSurvivors(s, d)),
+    "q125_weighted_sample" -> ((s: SparkSession, d: String) =>
+      Sampling.weightedSample(s, d))
   )
 
   /** Shared CTE chain ending in `pairs` = the exact-Jaccard near-dup pairs
@@ -1574,6 +1589,112 @@ object SparkEntry {
         |SELECT coalesce(u.doc_id, b.doc_id) AS doc_id,
         | CAST(coalesce(u.version, b.version) AS BIGINT) AS version,
         | CAST(length(coalesce(u.text, b.text)) AS BIGINT) AS n_chars
-        |FROM base b FULL OUTER JOIN upd u ON b.doc_id = u.doc_id""".stripMargin
+        |FROM base b FULL OUTER JOIN upd u ON b.doc_id = u.doc_id""".stripMargin,
+    // first-occurrence passage ownership as the window the engine's
+    // map-side-combinable min(struct) agg avoids
+    "q121_passage_dedup" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        | p AS (SELECT doc_id, CAST((start - 1) // 16 AS BIGINT) AS passage_idx,
+        |         array_to_string(t[start:start+15], ' ') AS passage_text,
+        |         CAST(least(16, len(t) - start + 1) AS BIGINT) AS n_tokens
+        |       FROM (SELECT doc_id, t, unnest(generate_series(1, len(t), 16)) AS start
+        |             FROM toks WHERE len(t) >= 1)),
+        | mk AS (SELECT *, row_number() OVER (PARTITION BY passage_text
+        |          ORDER BY doc_id, passage_idx) AS rn FROM p)
+        |SELECT doc_id, count(*) AS n_passages,
+        |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(sum(CASE WHEN rn = 1 THEN n_tokens ELSE 0 END) AS BIGINT) AS kept_tokens,
+        |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+        |FROM mk GROUP BY 1""".stripMargin,
+    // PMI over the bigram relation's own marginals; double numerator before
+    // the divide (the engine's long-overflow guard), ln ulp caveat as q92
+    "q122_pmi_collocations" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        | pr AS (SELECT unnest([t[i] || ' ' || t[i+1]
+        |                      for i in generate_series(1, len(t)-1)]) AS pair
+        |        FROM toks WHERE len(t) >= 2),
+        | pc AS (SELECT pair, count(*) AS cab FROM pr GROUP BY 1),
+        | lm AS (SELECT split_part(pair, ' ', 1) AS a, sum(cab) AS ca FROM pc GROUP BY 1),
+        | rm AS (SELECT split_part(pair, ' ', 2) AS b, sum(cab) AS cb FROM pc GROUP BY 1),
+        | nn AS (SELECT sum(cab) AS n FROM pc)
+        |SELECT split_part(pair, ' ', 1) AS a, split_part(pair, ' ', 2) AS b,
+        |  cab AS n_ab,
+        |  round(ln((CAST(cab AS DOUBLE) * n) / (CAST(ca AS DOUBLE) * cb)), 6) AS pmi
+        |FROM pc JOIN lm ON lm.a = split_part(pair, ' ', 1)
+        |        JOIN rm ON rm.b = split_part(pair, ' ', 2)
+        |        CROSS JOIN nn
+        |WHERE cab >= 5
+        |ORDER BY pmi DESC, a, b LIMIT 50""".stripMargin,
+    // same 256 md5-prefix buckets, same add-one smoothing, same quotient
+    // shape; ln ulp caveat as q92
+    "q123_dsir_weights" ->
+      """WITH toks AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token
+        |              FROM documents),
+        | db AS (SELECT doc_id, lang, substr(md5(token), 1, 2) AS bucket,
+        |          count(*) AS n
+        |        FROM toks GROUP BY 1, 2, 3),
+        | raw AS (SELECT bucket, sum(n) AS cr FROM db GROUP BY 1),
+        | tgt AS (SELECT bucket, sum(n) AS ct FROM db WHERE lang = 'en' GROUP BY 1),
+        | nrt AS (SELECT sum(cr) AS nr FROM raw),
+        | ntt AS (SELECT sum(ct) AS nt FROM tgt),
+        | ratio AS (SELECT raw.bucket,
+        |             ln((CAST(coalesce(ct, 0) + 1 AS DOUBLE) / (nt + 256)) /
+        |                (CAST(cr + 1 AS DOUBLE) / (nr + 256))) AS lr
+        |           FROM raw LEFT JOIN tgt USING (bucket)
+        |           CROSS JOIN nrt CROSS JOIN ntt)
+        |SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_tokens,
+        |  round(sum(n * lr), 6) AS weight
+        |FROM db JOIN ratio USING (bucket)
+        |GROUP BY 1 ORDER BY weight DESC, doc_id LIMIT 100""".stripMargin,
+    // 4-sign-bit hyperplane code, in-bucket dominance by any lower id at
+    // the q20 cosine gate
+    "q124_semantic_dedup" ->
+      """WITH ex AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+        |              CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+        | code AS (SELECT vec_id,
+        |            CAST(sum(CASE WHEN x > 0 THEN 1 << dim ELSE 0 END) AS BIGINT)
+        |              AS bucket
+        |          FROM ex WHERE dim < 4 GROUP BY 1),
+        | dots AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, sum(a.x * b.x) AS dot
+        |          FROM ex a JOIN ex b ON a.dim = b.dim AND a.vec_id < b.vec_id
+        |          JOIN code ca ON ca.vec_id = a.vec_id
+        |          JOIN code cb ON cb.vec_id = b.vec_id AND ca.bucket = cb.bucket
+        |          GROUP BY 1, 2),
+        | norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM ex GROUP BY 1),
+        | dom AS (SELECT id_a, id_b FROM dots
+        |         JOIN norms na ON na.vec_id = id_a
+        |         JOIN norms nb ON nb.vec_id = id_b
+        |         WHERE round(dot / (na.nrm * nb.nrm), 6) >= 0.4),
+        | drops AS (SELECT DISTINCT id_b AS vec_id FROM dom),
+        | domc AS (SELECT id_a AS vec_id, count(*) AS n_dominated FROM dom
+        |          WHERE id_a NOT IN (SELECT vec_id FROM drops) GROUP BY 1)
+        |SELECT c.vec_id, c.bucket,
+        |  CAST(coalesce(n_dominated, 0) AS BIGINT) AS n_dominated
+        |FROM code c LEFT JOIN domc USING (vec_id)
+        |WHERE c.vec_id NOT IN (SELECT vec_id FROM drops)""".stripMargin,
+    // mid-rank quantile u under the q86 md5 permutation, A-ES key, top-k
+    "q125_weighted_sample" ->
+      """WITH keyed AS (SELECT doc_id, n_chars,
+        |         md5(CAST(doc_id AS VARCHAR) || ':42') AS skey
+        |       FROM documents),
+        | ranked AS (SELECT doc_id, n_chars,
+        |              CAST(row_number() OVER (ORDER BY skey, doc_id) AS BIGINT) - 1
+        |                AS pos,
+        |              count(*) OVER () AS n_docs
+        |            FROM keyed)
+        |SELECT doc_id, n_chars,
+        |  round(-ln((CAST(pos AS DOUBLE) + 0.5) / n_docs) / n_chars, 6) AS es_key
+        |FROM ranked ORDER BY es_key, doc_id LIMIT 100""".stripMargin,
+    // the q17 candidate CTEs with a min-denominator gate (no one-sided
+    // pushdown exists for it — see the engine scaladoc)
+    "q126_containment_pairs" ->
+      s"""WITH $jaccardPairCtes
+         |SELECT doc_a, doc_b,
+         |  round(CAST(inter AS DOUBLE) / sa.n, 4) AS containment_a,
+         |  round(CAST(inter AS DOUBLE) / sb.n, 4) AS containment_b,
+         |  round(CAST(inter AS DOUBLE) / least(sa.n, sb.n), 4) AS containment
+         |FROM inter JOIN sizes sa ON sa.doc_id = doc_a
+         |           JOIN sizes sb ON sb.doc_id = doc_b
+         |WHERE round(CAST(inter AS DOUBLE) / least(sa.n, sb.n), 4) >= 0.8""".stripMargin
   )
 }

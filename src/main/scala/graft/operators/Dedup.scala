@@ -1096,4 +1096,157 @@ object Dedup {
       .select(col("id").as("vec_id"), col("lbl").as("cluster_id"),
         (col("lbl") === col("id")).as("keep"))
   }
+
+  /** q121 — PASSAGE-LEVEL DEDUP: deduplicate at sub-document granularity.
+    * Whole-document dedup (q15/q16) misses the dominant duplication mode in
+    * a web crawl — the same boilerplate passage pasted into thousands of
+    * otherwise-distinct pages — so production curation dedups PASSAGES:
+    * split every doc into consecutive `passage`-token blocks, keep each
+    * distinct passage text exactly once corpus-wide (first occurrence in
+    * (doc_id, passage_idx) order wins), and report per doc how much of it
+    * survived. The per-doc (kept, dropped) profile is the curation signal:
+    * a doc whose passages are all owned elsewhere is pure boilerplate.
+    *
+    * Scale shape: the passage split is the q107 map-side fan-out (no
+    * shuffle); ownership is ONE hash aggregation on passage text —
+    * `min(struct(doc_id, passage_idx))` is map-side combinable, so a
+    * passage repeated a billion times (hot boilerplate) still reduces to
+    * one row per partition before the shuffle, where a `row_number` window
+    * would sort the whole billion-row group in one task. The owner relation
+    * joins back on the same key (co-partitioned by the agg — no extra
+    * exchange), and AQE's skew-join split covers the join-side hot keys.
+    */
+  def passageDedup(spark: SparkSession, dir: String, passage: Int = 16): DataFrame = {
+    require(passage >= 1, s"bad passage width: $passage")
+    val p = Tables.documents(spark, dir)
+      .select(col("doc_id"), TF.tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 1)
+      .select(col("doc_id"), col("t"),
+        posexplode(sequence(lit(0), size(col("t")) - 1, lit(passage))))
+      .select(col("doc_id"), col("pos").cast("long").as("passage_idx"),
+        array_join(slice(col("t"), col("col") + 1, lit(passage)), " ")
+          .as("passage_text"),
+        least(lit(passage), size(col("t")) - col("col")).cast("long")
+          .as("n_tokens"))
+    val owners = p.groupBy(col("passage_text"))
+      .agg(min(struct(col("doc_id"), col("passage_idx"))).as("o"))
+      .select(col("passage_text"), col("o.doc_id").as("o_doc"),
+        col("o.passage_idx").as("o_idx"))
+    p.join(owners, "passage_text")
+      .withColumn("kept",
+        col("doc_id") === col("o_doc") && col("passage_idx") === col("o_idx"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_passages"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("kept"), col("n_tokens")).otherwise(0L)).as("kept_tokens"),
+        sum(col("n_tokens")).as("total_tokens"))
+  }
+
+  /** q124 — SEMANTIC DEDUP (SemDeDup shape): drop embeddings that are
+    * semantically redundant with an earlier-id neighbor INSIDE the same
+    * coarse semantic bucket — the Abbas et al. 2023 recipe (cluster, then
+    * prune within-cluster cosine-near pairs) with the cluster step made
+    * deterministic and engine-independent: the bucket is the sign pattern
+    * of the first `signBits` embedding dimensions (a fixed hyperplane-LSH
+    * code, no trained centroids). A vector is DROPPED iff some lower-id
+    * vector in its bucket has cosine ≥ `tau` with it (one-hop dominance by
+    * the stable minimum, NOT transitive chaining — the kept set is
+    * well-defined without iteration). Output: the survivors with their
+    * bucket and, for audit, how many bucket-mates each survivor dominated.
+    *
+    * Scale shape: the bucket code is one in-row projection; the quadratic
+    * step is confined to a bucket equi-join (the q20-family discipline —
+    * never a corpus cross join), and 2^signBits buckets at 100 TB are
+    * sized by raising signBits, which shrinks per-bucket pair counts
+    * geometrically while keeping near-identical pairs co-bucketed (their
+    * sign patterns agree with probability 1 − acos(cos)/π per bit).
+    */
+  def semanticDedupSurvivors(spark: SparkSession, dir: String,
+                             tau: Double = 0.4, signBits: Int = 4): DataFrame = {
+    import graft.functions.VectorOps
+    require(signBits >= 1 && signBits <= 16, s"signBits out of range: $signBits")
+    val code = (0 until signBits).map { i =>
+      when(element_at(col("embedding"), i + 1) > 0f, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"), code.as("bucket"))
+    val a = e.select(col("bucket"), col("vec_id").as("id_a"), col("embedding").as("va"))
+    val b = e.select(col("bucket"), col("vec_id").as("id_b"), col("embedding").as("vb"))
+    // q20 discipline: state the threshold once on the projected score and
+    // let Catalyst push it into the join condition.
+    val dominated = a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(VectorOps.cosineFast(col("va"), col("vb")), 6).as("cos"))
+      .filter(col("cos") >= tau)
+    val dropIds = dominated.select(col("id_b").as("vec_id")).distinct()
+    val domCounts = dominated
+      .join(dropIds.select(col("vec_id").as("id_a")), Seq("id_a"), "left_anti")
+      .groupBy(col("id_a")).agg(count(lit(1)).as("n_dominated"))
+      .withColumnRenamed("id_a", "vec_id")
+    e.select(col("vec_id"), col("bucket"))
+      .join(dropIds, Seq("vec_id"), "left_anti")
+      .join(domCounts, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("bucket"),
+        coalesce(col("n_dominated"), lit(0L)).as("n_dominated"))
+  }
+
+  /** q126 — CONTAINMENT PAIRS: find document pairs where the SMALLER
+    * document's shingle set is mostly inside the larger's — the
+    * sub-document duplication that Jaccard misses by construction (a 40-
+    * token doc fully pasted into a 400-token doc has J ≈ 0.1 but
+    * containment 1.0). Containment here is |A∩B| / min(|A|,|B|): the
+    * symmetric max over both directed containments, reported for pairs
+    * reaching `threshold`. The companion verb to q121: q121 removes the
+    * repeated passages, this one FINDS the doc pairs in a wrap/quote/
+    * boilerplate relationship.
+    *
+    * Scale shape: candidates come from the q17 inverted-index equi-join on
+    * rare shingles with the same df-cap + exact hot-correction join, so
+    * the candidate space is identical to near-dup's. The one structural
+    * difference: a min()-denominator threshold cannot push down after the
+    * FIRST size join (the min may be the other side), so the prune applies
+    * only after both sizes are known — the candidate bound, not the
+    * threshold, is what contains the pair count. Output keeps both
+    * directed containments so a consumer can distinguish "a inside b"
+    * from "b inside a".
+    */
+  def containmentPairs(spark: SparkSession, dir: String,
+                       threshold: Double = 0.8, dfCap: Int = 1000): DataFrame =
+    containmentPairsFor(Tables.documents(spark, dir), threshold, dfCap)
+
+  def containmentPairsFor(docs: DataFrame, threshold: Double = 0.8,
+                          dfCap: Int = 1000): DataFrame = {
+    val sh = docShingles(docs).localCheckpoint(true)
+    val hot = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > dfCap).select(col("shingle"))
+    val rare = sh.join(broadcast(hot), Seq("shingle"), "left_anti")
+    val interRare = rare.select(col("doc_id").as("doc_a"), col("shingle"))
+      .join(rare.select(col("doc_id").as("doc_b"), col("shingle")), Seq("shingle"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("inter_rare"))
+    val hotSh = sh.join(broadcast(hot), Seq("shingle"), "left_semi")
+    val interHot = interRare.select(col("doc_a"), col("doc_b"))
+      .join(hotSh.select(col("doc_id").as("doc_a"), col("shingle")), "doc_a")
+      .join(hotSh.select(col("doc_id").as("doc_b"), col("shingle")),
+        Seq("doc_b", "shingle"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("inter_hot"))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+    interRare
+      .join(interHot, Seq("doc_a", "doc_b"), "left")
+      .withColumn("inter", col("inter_rare") + coalesce(col("inter_hot"), lit(0L)))
+      .join(sizes.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("n_shingles", "na"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("n_shingles", "nb"), "doc_b")
+      .withColumn("containment",
+        round(col("inter").cast("double") / least(col("na"), col("nb")), 4))
+      .filter(col("containment") >= threshold)
+      .select(col("doc_a"), col("doc_b"),
+        round(col("inter").cast("double") / col("na"), 4).as("containment_a"),
+        round(col("inter").cast("double") / col("nb"), 4).as("containment_b"),
+        col("containment"))
+  }
 }

@@ -326,4 +326,36 @@ object Sampling {
       .agg(
         countDistinct(col("pid")).as("n_partitions"),
         (max(col("rows")) > 0).as("all_nonempty"))
+
+  /** q125 — WEIGHTED SAMPLING WITHOUT REPLACEMENT (Efraimidis–Spirakis
+    * A-ES): draw `k` docs where a doc's inclusion odds scale with its
+    * weight (here n_chars — "sample proportional to length" is how a
+    * token-budget subsample stays unbiased per token rather than per doc).
+    * A-ES turns the draw into a top-k: each doc gets key = −ln(u)/w for
+    * u ~ U(0,1), and the k SMALLEST keys are exactly a weighted sample
+    * without replacement — one corpus pass, no sequential draws.
+    *
+    * Determinism without an engine RNG: u is the doc's mid-rank quantile
+    * u = (pos + ½)/N under the q86 seeded-hash permutation — a uniform
+    * grid assigned in md5 order, independent of the weights, reproducible
+    * bit-for-bit on any engine. The rank reuses [[globalShuffleRank]]'s
+    * distributed two-level form (never a one-task window); the final cut
+    * is a TakeOrdered. ln carries the documented q92 libm-ulp caveat; ties
+    * on the 6dp-rounded key break by doc_id.
+    */
+  def weightedSample(spark: SparkSession, dir: String, k: Int = 100,
+                     seed: Long = 42L, prefixChars: Int = 2): DataFrame = {
+    val ranks = globalShuffleRank(spark, dir, seed, prefixChars)
+      .select(col("doc_id"), col("pos"))
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    docs.join(ranks, "doc_id")
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("n_chars"),
+        round(-log((col("pos").cast("double") + 0.5) / col("n_docs")) /
+          col("n_chars"), 6).as("es_key"))
+      .orderBy(col("es_key"), col("doc_id"))
+      .limit(k)
+  }
 }

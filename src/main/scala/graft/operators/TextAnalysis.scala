@@ -999,4 +999,93 @@ object TextAnalysis {
           (col("doc_id") % 2 === 0).cast("double"))))
       .toDF("doc_id", "dim", "label")
       .select(col("doc_id"), col("dim").cast("long").as("dim"), col("label"))
+
+  /** q122 — PMI COLLOCATIONS: the top-`topK` adjacent token pairs by
+    * pointwise mutual information, the classic collocation detector — the
+    * pairs that co-occur far above chance are the corpus's multi-word
+    * units ("new york"), and a PMI table is the standard first step of a
+    * phrase-merging tokenizer pass. PMI is computed over the bigram
+    * relation itself: p(a,b) = c(ab)/N against the bigram-table marginals
+    * c(a·) (a as left) and c(·b) (b as right), so
+    * pmi = ln(c(ab)·N / (c(a·)·c(·b))); pairs below `minCount` are noise
+    * and cut before scoring.
+    *
+    * Scale shape: ONE corpus pass builds the pair-count relation (the q106
+    * explode + map-side-combined hash agg, bounded by pair vocabulary);
+    * both marginals and N are re-aggregations of THAT relation, never a
+    * second corpus scan. The numerator product is computed in double —
+    * c(ab)·N overflows long at corpus scale (1e13 bigrams squared). The
+    * final cut is a TakeOrdered (k per partition, k at the driver), not a
+    * global sort; ln carries the documented q92 libm-ulp caveat.
+    */
+  def pmiCollocations(spark: SparkSession, dir: String,
+                      minCount: Long = 5L, topK: Int = 50): DataFrame = {
+    val pairs = Tables.documents(spark, dir)
+      .select(explode(TF.shingles(col("text"), 2)).as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("cab"))
+      .localCheckpoint(true)
+    // tokens never contain spaces (q110 precedent): the pair key splits
+    // back losslessly into its two tokens.
+    val left = pairs
+      .select(element_at(split(col("pair"), " "), 1).as("a"), col("cab"))
+      .groupBy(col("a")).agg(sum(col("cab")).as("ca"))
+    val right = pairs
+      .select(element_at(split(col("pair"), " "), 2).as("b"), col("cab"))
+      .groupBy(col("b")).agg(sum(col("cab")).as("cb"))
+    val n = pairs.agg(sum(col("cab")).as("n"))
+    pairs.filter(col("cab") >= minCount)
+      .withColumn("a", element_at(split(col("pair"), " "), 1))
+      .withColumn("b", element_at(split(col("pair"), " "), 2))
+      .join(left, "a").join(right, "b")
+      .crossJoin(broadcast(n))
+      .select(col("a"), col("b"), col("cab").as("n_ab"),
+        round(log((col("cab").cast("double") * col("n")) /
+          (col("ca").cast("double") * col("cb"))), 6).as("pmi"))
+      .orderBy(col("pmi").desc, col("a"), col("b"))
+      .limit(topK)
+  }
+
+  /** q123 — DSIR IMPORTANCE WEIGHTS (Xie et al. 2023 shape): score every
+    * document by how much its hashed-unigram profile looks like a TARGET
+    * distribution versus the RAW corpus — the importance-resampling signal
+    * behind "select pretraining data that resembles the high-quality
+    * target". Features are hashed n-gram buckets: bucket(token) = first
+    * two hex chars of md5 (256 buckets — engine-independent, no vocab to
+    * ship). Target = the `lang = 'en'` slice; both distributions are
+    * add-one smoothed, a doc's weight is Σ_tokens ln(p_t(b)/p_r(b)),
+    * and the output is the top-`topN` docs by (weight desc, doc_id).
+    *
+    * Scale shape: the corpus tokenizes ONCE into a per-(doc, bucket)
+    * count relation (map-side combinable, ≤256 rows per doc); both
+    * distributions are 256-row re-aggregations of that relation, and the
+    * log-ratio table joins back BROADCAST (256 rows at any corpus size —
+    * the entire "model" is smaller than a parquet footer). Per-doc
+    * weights sum ≤256 terms; the cut is a TakeOrdered, no global sort.
+    */
+  def dsirWeights(spark: SparkSession, dir: String, topN: Int = 100): DataFrame = {
+    val docBucket = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        explode(TF.tokens(col("text"))).as("token"))
+      .select(col("doc_id"), col("lang"),
+        substring(md5(col("token")), 1, 2).as("bucket"))
+      .groupBy(col("doc_id"), col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
+    val raw = docBucket.groupBy(col("bucket")).agg(sum(col("n")).as("cr"))
+    val tgt = docBucket.filter(col("lang") === "en")
+      .groupBy(col("bucket")).agg(sum(col("n")).as("ct"))
+    val ratio = raw.join(tgt, Seq("bucket"), "left")
+      .withColumn("ct", coalesce(col("ct"), lit(0L)))
+      .crossJoin(broadcast(raw.agg(sum(col("cr")).as("nr"))))
+      .crossJoin(broadcast(tgt.agg(sum(col("ct")).as("nt"))))
+      .select(col("bucket"),
+        log(((col("ct") + 1).cast("double") / (col("nt") + 256)) /
+            ((col("cr") + 1).cast("double") / (col("nr") + 256))).as("lr"))
+    docBucket.join(broadcast(ratio), "bucket")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n")).as("n_tokens"),
+        round(sum(col("n") * col("lr")), 6).as("weight"))
+      .orderBy(col("weight").desc, col("doc_id"))
+      .limit(topN)
+  }
 }

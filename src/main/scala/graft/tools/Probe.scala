@@ -46,6 +46,12 @@ object Probe {
       "q114_boilerplate" -> (() => q("q114_boilerplate")),
       "q116_pq_topk" -> (() => q("q116_pq_topk")),
       "q119_curriculum_order" -> (() => q("q119_curriculum_order")),
+      "q121_passage_dedup" -> (() => q("q121_passage_dedup")),
+      "q122_pmi_collocations" -> (() => q("q122_pmi_collocations")),
+      "q123_dsir_weights" -> (() => q("q123_dsir_weights")),
+      "q124_semantic_dedup" -> (() => q("q124_semantic_dedup")),
+      "q125_weighted_sample" -> (() => q("q125_weighted_sample")),
+      "q126_containment_pairs" -> (() => q("q126_containment_pairs")),
       "q78 candidate core (bucketed fp index: Exchange-free index side)" -> (() => {
         val table = "graft_probe_fpidx"
         val docs = graft.Tables.documents(spark, dir)

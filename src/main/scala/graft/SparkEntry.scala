@@ -1246,7 +1246,8 @@ object SparkEntry {
       """WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
         | t AS (SELECT sum(pow(CAST(n_docs AS DOUBLE), 0.7)) AS total_w FROM c),
         | tg AS (SELECT lang, n_docs,
-        |          CAST(floor(round(pow(CAST(n_docs AS DOUBLE), 0.7) / total_w, 6)
+        |          CAST(floor(round(CAST(pow(CAST(n_docs AS DOUBLE), 0.7) / total_w
+        |                                 AS DECIMAL(38,18)), 6)
         |            * 1000) AS BIGINT) AS target
         |        FROM c CROSS JOIN t),
         | r AS (SELECT doc_id, lang,
@@ -1531,9 +1532,12 @@ object SparkEntry {
         | t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total_docs,
         |         sum(pow(CAST(n_docs AS DOUBLE), 0.7)) AS total_w FROM c)
         |SELECT lang, n_docs,
-        | round(CAST(n_docs AS DOUBLE) / total_docs, 6) AS p_raw,
-        | round(pow(CAST(n_docs AS DOUBLE), 0.7) / total_w, 6) AS p_temp,
-        | CAST(floor(round(pow(CAST(n_docs AS DOUBLE), 0.7) / total_w, 6) * 100000)
+        | CAST(round(CAST(CAST(n_docs AS DOUBLE) / total_docs AS DECIMAL(38,18)), 6)
+        |      AS DOUBLE) AS p_raw,
+        | CAST(round(CAST(pow(CAST(n_docs AS DOUBLE), 0.7) / total_w AS DECIMAL(38,18)), 6)
+        |      AS DOUBLE) AS p_temp,
+        | CAST(floor(round(CAST(pow(CAST(n_docs AS DOUBLE), 0.7) / total_w
+        |                        AS DECIMAL(38,18)), 6) * 100000)
         |      AS BIGINT) AS expected_docs
         |FROM c, t""".stripMargin,
     // the single global window the engine's two-level rank avoids; both
@@ -1569,10 +1573,13 @@ object SparkEntry {
         | dot AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, sum(a.w * b.w) AS dot
         |         FROM w a JOIN w b USING (token) WHERE a.doc_id < b.doc_id
         |         GROUP BY 1, 2)
-        |SELECT doc_a, doc_b, round(dot / (na.nrm * nb.nrm), 4) AS cosine
+        |SELECT doc_a, doc_b,
+        | CAST(round(CAST(dot / (na.nrm * nb.nrm) AS DECIMAL(38,18)), 4) AS DOUBLE)
+        |   AS cosine
         |FROM dot JOIN nrm na ON na.doc_id = doc_a
         |         JOIN nrm nb ON nb.doc_id = doc_b
-        |WHERE round(dot / (na.nrm * nb.nrm), 4) >= 0.3""".stripMargin,
+        |WHERE CAST(round(CAST(dot / (na.nrm * nb.nrm) AS DECIMAL(38,18)), 4) AS DOUBLE)
+        |      >= 0.3""".stripMargin,
     // partition pruning is layout, not semantics: the oracle is the same
     // aggregate over the source restricted to the partition value
     "q90_partition_pruned" ->
@@ -1690,11 +1697,15 @@ object SparkEntry {
     "q126_containment_pairs" ->
       s"""WITH $jaccardPairCtes
          |SELECT doc_a, doc_b,
-         |  round(CAST(inter AS DOUBLE) / sa.n, 4) AS containment_a,
-         |  round(CAST(inter AS DOUBLE) / sb.n, 4) AS containment_b,
-         |  round(CAST(inter AS DOUBLE) / least(sa.n, sb.n), 4) AS containment
+         |  CAST(round(CAST(CAST(inter AS DOUBLE) / sa.n AS DECIMAL(38,18)), 4)
+         |       AS DOUBLE) AS containment_a,
+         |  CAST(round(CAST(CAST(inter AS DOUBLE) / sb.n AS DECIMAL(38,18)), 4)
+         |       AS DOUBLE) AS containment_b,
+         |  CAST(round(CAST(CAST(inter AS DOUBLE) / least(sa.n, sb.n) AS DECIMAL(38,18)), 4)
+         |       AS DOUBLE) AS containment
          |FROM inter JOIN sizes sa ON sa.doc_id = doc_a
          |           JOIN sizes sb ON sb.doc_id = doc_b
-         |WHERE round(CAST(inter AS DOUBLE) / least(sa.n, sb.n), 4) >= 0.8""".stripMargin
+         |WHERE CAST(round(CAST(CAST(inter AS DOUBLE) / least(sa.n, sb.n) AS DECIMAL(38,18)), 4)
+         |      AS DOUBLE) >= 0.8""".stripMargin
   )
 }

@@ -205,9 +205,20 @@ case class PqEncodeExpr(child: Expression, books: Array[Array[Array[Float]]])
 }
 
 object PqEncodeExpr {
-  /** Shared by eval and codegen: one tight loop over (sub, code, dim). */
+  /** Shared by eval and codegen: one tight loop over (sub, code, dim).
+    * The input length is validated against the codebooks' summed sub-dims:
+    * trainPqBooks only sights the first row's dimension, so a ragged or
+    * short embedding would otherwise read past the unsafe array buffer
+    * and yield silent garbage codes. */
   def encode(v: ArrayData, books: Array[Array[Array[Float]]]): ArrayData = {
     val m = books.length
+    var expected = 0
+    var bi = 0
+    while (bi < m) { expected += books(bi)(0).length; bi += 1 }
+    if (v.numElements() != expected)
+      throw new IllegalArgumentException(
+        s"pq_encode: embedding has ${v.numElements()} elements but the " +
+          s"codebooks cover $expected dims ($m subspaces); ragged input?")
     val codes = new Array[Int](m)
     var mi = 0
     var offset = 0

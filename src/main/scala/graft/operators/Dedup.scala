@@ -1165,11 +1165,17 @@ object Dedup {
                              tau: Double = 0.4, signBits: Int = 4): DataFrame = {
     import graft.functions.VectorOps
     require(signBits >= 1 && signBits <= 16, s"signBits out of range: $signBits")
+    val src = Tables.embeddings(spark, dir)
+    // non-ANSI element_at past the end yields null > 0f -> bit silently 0,
+    // which would quietly collapse buckets; sight the dim once (the
+    // trainPqBooks discipline — one-row action) and fail loudly instead.
+    val dim = src.select(size(col("embedding"))).head().getInt(0)
+    require(signBits <= dim,
+      s"signBits=$signBits exceeds embedding dimension $dim")
     val code = (0 until signBits).map { i =>
       when(element_at(col("embedding"), i + 1) > 0f, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
-    val e = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("embedding"), code.as("bucket"))
+    val e = src.select(col("vec_id"), col("embedding"), code.as("bucket"))
     val a = e.select(col("bucket"), col("vec_id").as("id_a"), col("embedding").as("va"))
     val b = e.select(col("bucket"), col("vec_id").as("id_b"), col("embedding").as("vb"))
     // q20 discipline: state the threshold once on the projected score and
@@ -1210,6 +1216,19 @@ object Dedup {
     * threshold, is what contains the pair count. Output keeps both
     * directed containments so a consumer can distinguish "a inside b"
     * from "b inside a".
+    *
+    * ORACLE CONTRACT / KNOWN CANDIDATE BOUND: a pair must share at least
+    * one RARE (df ≤ dfCap) shingle to be emitted — the q126 DuckDB oracle
+    * joins on ALL shingles, so a small doc composed ENTIRELY of hot
+    * boilerplate shingles (every shingle above dfCap) is invisible to the
+    * engine but visible to the oracle. The fixture's dfCap=1000 exceeds
+    * every shingle's df, so the two agree there; on data with genuinely
+    * hot shingles the engine's answer is the df-capped candidate set by
+    * design (the same bound every inverted-index dedup in this repo
+    * accepts — enumerating a df>dfCap posting list is the quadratic blowup
+    * the cap exists to prevent). Consumers needing the all-hot-doc case
+    * should route those docs (cheaply identifiable: max per-doc shingle
+    * df-floor) through [[passageDedup]]'s exact ownership instead.
     */
   def containmentPairs(spark: SparkSession, dir: String,
                        threshold: Double = 0.8, dfCap: Int = 1000): DataFrame =
@@ -1241,12 +1260,21 @@ object Dedup {
         .withColumnRenamed("n_shingles", "na"), "doc_a")
       .join(sizes.withColumnRenamed("doc_id", "doc_b")
         .withColumnRenamed("n_shingles", "nb"), "doc_b")
+      // the 4dp rounds run in DECIMAL on both engines (the q88 discipline):
+      // the long/long division is the only double step, identical bits on
+      // both sides, so the rounded gate can never diverge
       .withColumn("containment",
-        round(col("inter").cast("double") / least(col("na"), col("nb")), 4))
+        round((col("inter").cast("double") / least(col("na"), col("nb")))
+            .cast(org.apache.spark.sql.types.DecimalType(38, 18)), 4)
+          .cast("double"))
       .filter(col("containment") >= threshold)
       .select(col("doc_a"), col("doc_b"),
-        round(col("inter").cast("double") / col("na"), 4).as("containment_a"),
-        round(col("inter").cast("double") / col("nb"), 4).as("containment_b"),
+        round((col("inter").cast("double") / col("na"))
+            .cast(org.apache.spark.sql.types.DecimalType(38, 18)), 4)
+          .cast("double").as("containment_a"),
+        round((col("inter").cast("double") / col("nb"))
+            .cast(org.apache.spark.sql.types.DecimalType(38, 18)), 4)
+          .cast("double").as("containment_b"),
         col("containment"))
   }
 }

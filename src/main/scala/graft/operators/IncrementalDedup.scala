@@ -37,14 +37,20 @@ object IncrementalDedup {
 
   /** Build and persist the shingle index of `docs` (overwrite). Run once
     * at corpus bootstrap; thereafter [[appendShingleIndex]] keeps it
-    * current. */
-  def writeShingleIndex(docs: DataFrame, path: String): Unit =
-    Dedup.docShingles(docs).write.mode("overwrite").parquet(path)
+    * current. `n` is the shingle width the index is built at — every
+    * reader and appender of the same sink must use the same width (a
+    * 2-shingle probe against a 3-shingle index matches nothing and reads
+    * as near-100% novelty), so callers that parameterize the width must
+    * thread it through both verbs. */
+  def writeShingleIndex(docs: DataFrame, path: String, n: Int = 3): Unit =
+    Dedup.docShingles(docs, n).write.mode("overwrite").parquet(path)
 
   /** Append `docs`' shingles to an existing index sink — the per-ingest
-    * index maintenance step (parquet append writes new files only). */
-  def appendShingleIndex(docs: DataFrame, path: String): Unit =
-    Dedup.docShingles(docs).write.mode("append").parquet(path)
+    * index maintenance step (parquet append writes new files only).
+    * `n` must match the width the sink was written at (see
+    * [[writeShingleIndex]]). */
+  def appendShingleIndex(docs: DataFrame, path: String, n: Int = 3): Unit =
+    Dedup.docShingles(docs, n).write.mode("append").parquet(path)
 
   def readShingleIndex(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
@@ -738,7 +744,7 @@ object IncrementalDedup {
     val docs = Tables.documents(spark, dir)
     val isNew = col("doc_id") % 7 === 0
     val table = "graft_shidx_" +
-      java.lang.Integer.toHexString(dir.hashCode) + "_" +
+      graft.sources.Sources.dirTag(dir) + "_" +
       graft.sources.Sources.sessionTag(spark)
     writeShingleIndexBucketed(docs.filter(!isNew), table)
     reportForBucketed(docs.filter(isNew), table, threshold)
@@ -754,7 +760,7 @@ object IncrementalDedup {
     val docs = Tables.documents(spark, dir)
     val isNew = col("doc_id") % 7 === 0
     val path = graft.sources.Sources.scratchDir(spark,
-      "shingle_index_" + java.lang.Integer.toHexString(dir.hashCode))
+      "shingle_index_" + graft.sources.Sources.dirTag(dir))
     writeShingleIndex(docs.filter(!isNew), path)
     reportFor(docs.filter(isNew), readShingleIndex(spark, path), threshold)
   }
@@ -769,7 +775,7 @@ object IncrementalDedup {
     val docs = Tables.documents(spark, dir)
     val isNew = col("doc_id") % 7 === 0
     val path = graft.sources.Sources.scratchDir(spark,
-      "fp_index_" + java.lang.Integer.toHexString(dir.hashCode))
+      "fp_index_" + graft.sources.Sources.dirTag(dir))
     writeFpIndex(docs.filter(!isNew), path)
     reportForFpIndex(docs.filter(isNew), readShingleIndex(spark, path),
       docs.filter(!isNew), threshold)
@@ -785,7 +791,7 @@ object IncrementalDedup {
                                threshold: Double = 0.5): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val isNew = col("doc_id") % 7 === 0
-    val hex = java.lang.Integer.toHexString(dir.hashCode)
+    val hex = graft.sources.Sources.dirTag(dir)
     val table = "graft_shidx_xo_" + hex + "_" +
       graft.sources.Sources.sessionTag(spark)
     val admPath = graft.sources.Sources.scratchDir(spark, "xo_admitted_" + hex)
@@ -806,7 +812,7 @@ object IncrementalDedup {
     val docs = Tables.documents(spark, dir)
     val isNew = col("doc_id") % 7 === 0
     val table = "graft_fpidx_" +
-      java.lang.Integer.toHexString(dir.hashCode) + "_" +
+      graft.sources.Sources.dirTag(dir) + "_" +
       graft.sources.Sources.sessionTag(spark)
     writeFpIndexBucketed(docs.filter(!isNew), table)
     reportForFpIndexBucketed(docs.filter(isNew), table, docs.filter(!isNew),
@@ -827,7 +833,7 @@ object IncrementalDedup {
                                   threshold: Double = 0.5): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val mod = col("doc_id") % 7
-    val hex = java.lang.Integer.toHexString(dir.hashCode)
+    val hex = graft.sources.Sources.dirTag(dir)
     val table = "graft_shidx_xoc_" + hex + "_" +
       graft.sources.Sources.sessionTag(spark)
     val admPath = graft.sources.Sources.scratchDir(spark, "xoc_admitted_" + hex)
@@ -853,7 +859,7 @@ object IncrementalDedup {
     val docs = Tables.documents(spark, dir)
     val mod = col("doc_id") % 7
     val path = graft.sources.Sources.scratchDir(spark,
-      "shingle_index_mt_" + java.lang.Integer.toHexString(dir.hashCode))
+      "shingle_index_mt_" + graft.sources.Sources.dirTag(dir))
     writeShingleIndex(docs.filter(mod >= 3), path)
     multiTickReport((0 to 2).map(t => docs.filter(mod === t)), path, threshold)
   }
@@ -893,8 +899,8 @@ object IncrementalDedup {
     val docs = Tables.documents(spark, dir)
     val isNew = col("doc_id") % 7 === 0
     val path = graft.sources.Sources.scratchDir(spark,
-      "novelty_index_" + java.lang.Integer.toHexString(dir.hashCode))
-    writeShingleIndex(docs.filter(!isNew), path)
+      "novelty_index_" + graft.sources.Sources.dirTag(dir))
+    writeShingleIndex(docs.filter(!isNew), path, n)
     val ref = readShingleIndex(spark, path)
       .select(col("shingle")).distinct().withColumn("seen", lit(1))
     Dedup.docShingles(docs.filter(isNew), n)

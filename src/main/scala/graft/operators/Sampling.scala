@@ -279,10 +279,14 @@ object Sampling {
       .agg(count(lit(1)).as("n_docs"))
       .withColumn("w", pow(col("n_docs").cast("double"), alpha))
     val totals = counts.agg(sum(col("w")).as("total_w"))
+    // the q92 decimal discipline: round at 6dp in DECIMAL and floor the
+    // exact decimal product, so neither engine's double multiply can
+    // straddle an integer boundary
     val targets = counts.crossJoin(broadcast(totals))
       .select(col("lang"), col("n_docs"),
-        floor(round(col("w") / col("total_w"), 6) * epochBudget).cast("long")
-          .as("target"))
+        floor(round((col("w") / col("total_w"))
+            .cast(org.apache.spark.sql.types.DecimalType(38, 18)), 6)
+          * epochBudget).cast("long").as("target"))
     ranked.join(broadcast(targets), "lang")
       .withColumn("n_copies",
         idiv(col("target"), col("n_docs"))

@@ -434,25 +434,36 @@ object Similarity {
   // by the file index rather than a filter.
 
   /** Bootstrap: train on the settled corpus, persist the codebook
-    * ([[saveCentroids]]) and the list_id-partitioned assignment table. */
+    * ([[saveCentroids]]) and the assignment table partitioned by
+    * (ingest_batch, list_id) — the settled corpus under batch −1, each
+    * later tick under its own batch id, so replay is an overwrite of the
+    * tick's own partition (the q70/q93 exactly-once discipline) and
+    * list_id stays a partition column for probe-side file pruning. */
   def writeIvfIndex(e: DataFrame, codebookPath: String, indexPath: String,
                     nLists: Int = 16, trainIters: Int = 1): Unit = {
     val spark = e.sparkSession
     val cents = trainCentroids(e, nLists, trainIters)
     saveCentroids(spark, cents, codebookPath)
     ivfAssign(e, cents)
-      .write.mode("overwrite").partitionBy("list_id").parquet(indexPath)
+      .withColumn("ingest_batch", lit(-1L))
+      .write.mode("overwrite")
+      .partitionBy("ingest_batch", "list_id").parquet(indexPath)
   }
 
   /** One ingest tick: assign the new vectors against the PERSISTED
-    * codebook and append them under their list partitions. No retraining —
-    * the codebook is the index's frozen coordinate system; drift is a
-    * rebuild decision, not an ingest side effect. */
+    * codebook and OVERWRITE the tick's own ingest_batch partition — a
+    * replayed tick (stream restart, bench best-of-N) rewrites identical
+    * files instead of double-appending, the q93 replay discipline. No
+    * retraining — the codebook is the index's frozen coordinate system;
+    * drift is a rebuild decision, not an ingest side effect. */
   def ivfIngestTick(newVecs: DataFrame, codebookPath: String,
-                    indexPath: String): DataFrame = {
+                    indexPath: String, batchId: Long = 0L): DataFrame = {
     val spark = newVecs.sparkSession
     val assigned = ivfAssign(newVecs, loadCentroids(spark, codebookPath))
-    assigned.write.mode("append").partitionBy("list_id").parquet(indexPath)
+    assigned.withColumn("ingest_batch", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("ingest_batch", "list_id").parquet(indexPath)
     assigned
   }
 
@@ -483,11 +494,12 @@ object Similarity {
                               nQueries: Int = 10, k: Int = 5): DataFrame = {
     val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
     val isNew = col("vec_id") % 5 === 0
-    val hex = java.lang.Integer.toHexString(dir.hashCode)
+    val hex = graft.sources.Sources.dirTag(dir)
     val cbPath = graft.sources.Sources.scratchDir(spark, "ivf_codebook_" + hex)
     val idxPath = graft.sources.Sources.scratchDir(spark, "ivf_index_" + hex)
-    // bootstrap overwrites the whole index dir, so a re-run (bench
-    // best-of-N) starts clean; the tick then appends exactly once
+    // bootstrap overwrites the whole index dir; the tick owns its batch
+    // partition, so a re-run (bench best-of-N, crashed-attempt replay)
+    // rewrites the same files instead of double-appending
     writeIvfIndex(e.filter(!isNew), cbPath, idxPath, nLists)
     ivfIngestTick(e.filter(isNew), cbPath, idxPath)
     val cents = loadCentroids(spark, cbPath)
@@ -699,7 +711,9 @@ object Similarity {
     books
   }
 
-  /** Bootstrap: train on the settled corpus, persist books + codes. */
+  /** Bootstrap: train on the settled corpus, persist books + codes, the
+    * codes partitioned by ingest_batch (settled = batch −1) so each later
+    * tick owns a partition and replay is idempotent (q70/q93 discipline). */
   def writePqIndex(e: DataFrame, booksPath: String, codesPath: String,
                    m: Int = 8, kSub: Int = 16, trainIters: Int = 2): Unit = {
     val spark = e.sparkSession
@@ -707,18 +721,25 @@ object Similarity {
     val books = trainPqBooks(e, m, kSub, trainIters)
     savePqBooks(spark, books, booksPath)
     e.select(col("vec_id"), pqEncode(col("embedding"), books, dim / m).as("codes"))
-      .write.mode("overwrite").parquet(codesPath)
+      .withColumn("ingest_batch", lit(-1L))
+      .write.mode("overwrite").partitionBy("ingest_batch").parquet(codesPath)
   }
 
   /** One ingest tick: encode the new vectors against the PERSISTED books
-    * and append their codes. No retraining, no settled rows touched. */
-  def pqIngestTick(newVecs: DataFrame, booksPath: String, codesPath: String): Unit = {
+    * and OVERWRITE the tick's own ingest_batch partition — a replayed
+    * tick rewrites identical files instead of double-appending. No
+    * retraining, no settled rows touched. */
+  def pqIngestTick(newVecs: DataFrame, booksPath: String, codesPath: String,
+                   batchId: Long = 0L): Unit = {
     val spark = newVecs.sparkSession
     val books = loadPqBooks(spark, booksPath)
     val subDim = books(0)(0).length
     newVecs.select(col("vec_id"),
       pqEncode(col("embedding"), books, subDim).as("codes"))
-      .write.mode("append").parquet(codesPath)
+      .withColumn("ingest_batch", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("ingest_batch").parquet(codesPath)
   }
 
   /** q118 fixture entry — the invariant row (q94 discipline): settled
@@ -734,11 +755,11 @@ object Similarity {
                              rerank: Int = 100): DataFrame = {
     val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
     val isNew = col("vec_id") % 5 === 0
-    val hex = java.lang.Integer.toHexString(dir.hashCode)
+    val hex = graft.sources.Sources.dirTag(dir)
     val booksPath = graft.sources.Sources.scratchDir(spark, "pq_books_" + hex)
     val codesPath = graft.sources.Sources.scratchDir(spark, "pq_codes_" + hex)
-    // bootstrap overwrites the codes dir, so a re-run starts clean; the
-    // tick then appends exactly once
+    // bootstrap overwrites the codes dir; the tick owns its batch
+    // partition, so a replayed tick rewrites identical files
     writePqIndex(e.filter(!isNew), booksPath, codesPath)
     pqIngestTick(e.filter(isNew), booksPath, codesPath)
     val books = loadPqBooks(spark, booksPath)

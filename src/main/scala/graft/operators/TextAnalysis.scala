@@ -477,12 +477,13 @@ object TextAnalysis {
     *
     * Cross-engine tolerance, stated honestly: the dot/norm sums are float
     * accumulations whose order differs between engines, so the raw cosines
-    * can differ in the last ulp. The 4dp rounding absorbs that everywhere
-    * EXCEPT when a raw cosine lands within an ulp of a .00005 rounding
-    * boundary (or the rounded value exactly equals the threshold while the
-    * ulp crosses it) — a measure-zero knife edge the harness accepts
-    * rather than forcing both engines through a decimal pipeline that
-    * could not remove the sum-order drift anyway.
+    * can differ in the last ulp. The 4dp round runs in DECIMAL on both
+    * engines (cast the double to DECIMAL(38,18) — deterministic for
+    * identical bits — then decimal HALF_UP round, which DuckDB's decimal
+    * round matches), so the rounding step itself can never diverge for the
+    * same input double; the residual knife edge is only the sum-order ulp
+    * landing within an ulp of a .00005 boundary, which no decimal pipeline
+    * can remove and is declared here.
     */
   def tfidfSimilarityPairs(spark: SparkSession, dir: String,
                            threshold: Double = 0.3, maxDf: Long = 100L): DataFrame = {
@@ -494,11 +495,20 @@ object TextAnalysis {
       .agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf)
-    val w = tf.join(df, "token")
+    // The weight relation feeds the norm aggregate AND both sides of the
+    // pair join, but it is corpus-token-sized: pinning it in executor
+    // storage (localCheckpoint) is an executor-memory-shaped footprint
+    // with lost-executor recompute risk at 100 TB. The D9 discipline
+    // instead: spill it once to a scratch parquet sink and let all three
+    // consumers re-read the compact columnar spill — durable, splittable,
+    // and recoverable on executor loss.
+    val wPath = graft.sources.Sources.scratchDir(spark,
+      "tfidf_w_" + graft.sources.Sources.dirTag(dir))
+    tf.join(df, "token")
       .select(col("doc_id"), col("token"),
         (col("tf").cast("double") * log(lit(nDocs.toDouble) / col("df"))).as("w"))
-      // feeds the norm aggregate AND both sides of the pair join
-      .localCheckpoint(true)
+      .write.mode("overwrite").parquet(wPath)
+    val w = spark.read.parquet(wPath)
     val norms = w.groupBy(col("doc_id")).agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
     val a = w.select(col("doc_id").as("doc_a"), col("token"), col("w").as("wa"))
     val b = w.select(col("doc_id").as("doc_b"), col("token"), col("w").as("wb"))
@@ -509,7 +519,9 @@ object TextAnalysis {
       .join(norms.select(col("doc_id").as("doc_a"), col("nrm").as("na")), "doc_a")
       .join(norms.select(col("doc_id").as("doc_b"), col("nrm").as("nb")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
-        round(col("dot") / (col("na") * col("nb")), 4).as("cosine"))
+        round((col("dot") / (col("na") * col("nb")))
+            .cast(org.apache.spark.sql.types.DecimalType(38, 18)), 4)
+          .cast("double").as("cosine"))
       .filter(col("cosine") >= threshold)
   }
 
@@ -525,27 +537,32 @@ object TextAnalysis {
     * the same 6dp decimal.
     *
     * Cross-engine tolerance: pow() is a libm call whose last ulp can
-    * differ between engines, so p_temp's raw value may differ by an ulp
-    * before the 6dp round. The rounding absorbs that except when the raw
-    * value sits within an ulp of a .0000005 boundary (which would flip the
-    * floored expected_docs by 1) — the same measure-zero knife edge as
-    * q88's gate, accepted and documented rather than papered over with a
-    * decimal cast that cannot remove the libm drift.
+    * differ between engines, so p_temp's raw DOUBLE may differ by an ulp.
+    * Everything downstream of that double is DECIMAL on both engines:
+    * the double casts to DECIMAL(38,18) (deterministic nearest-decimal of
+    * the identical bits), the 6dp round is decimal HALF_UP on both (DuckDB
+    * decimal round verified half-up), and expected_docs floors the EXACT
+    * decimal product p6·budget — no double multiply whose last ulp could
+    * straddle an integer. The only residual divergence is the libm ulp
+    * itself landing within an ulp of a .0000005 boundary, which no cast
+    * can remove and the scaladoc declares.
     */
   def mixtureWeights(spark: SparkSession, dir: String,
                      alpha: Double = 0.7, epochBudget: Long = 100000L): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 18)
     val counts = Tables.documents(spark, dir)
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"))
       .withColumn("w", pow(col("n_docs").cast("double"), alpha))
     val totals = counts.agg(
       sum(col("n_docs")).as("total_docs"), sum(col("w")).as("total_w"))
+    val pTemp6 = round((col("w") / col("total_w")).cast(dec), 6)
     counts.crossJoin(broadcast(totals))
       .select(col("lang"), col("n_docs"),
-        round(col("n_docs").cast("double") / col("total_docs"), 6).as("p_raw"),
-        round(col("w") / col("total_w"), 6).as("p_temp"),
-        floor(round(col("w") / col("total_w"), 6) * epochBudget).cast("long")
-          .as("expected_docs"))
+        round((col("n_docs").cast("double") / col("total_docs")).cast(dec), 6)
+          .cast("double").as("p_raw"),
+        pTemp6.cast("double").as("p_temp"),
+        floor(pTemp6 * epochBudget).cast("long").as("expected_docs"))
   }
 
   /** q95 — UNIGRAM LM QUALITY SCORE: the cheap LM-based quality filter
@@ -1063,14 +1080,21 @@ object TextAnalysis {
     * weights sum ≤256 terms; the cut is a TakeOrdered, no global sort.
     */
   def dsirWeights(spark: SparkSession, dir: String, topN: Int = 100): DataFrame = {
-    val docBucket = Tables.documents(spark, dir)
+    // O(docs·256) rows feeding three consumers — the same executor-pin
+    // concern as q88's weight relation, resolved the same way: one scratch
+    // parquet spill re-read per consumer (the D9 discipline), never an
+    // executor-storage materialization of a corpus-shaped relation.
+    val dbPath = graft.sources.Sources.scratchDir(spark,
+      "dsir_docbucket_" + graft.sources.Sources.dirTag(dir))
+    Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"),
         explode(TF.tokens(col("text"))).as("token"))
       .select(col("doc_id"), col("lang"),
         substring(md5(col("token")), 1, 2).as("bucket"))
       .groupBy(col("doc_id"), col("lang"), col("bucket"))
       .agg(count(lit(1)).as("n"))
-      .localCheckpoint(true)
+      .write.mode("overwrite").parquet(dbPath)
+    val docBucket = spark.read.parquet(dbPath)
     val raw = docBucket.groupBy(col("bucket")).agg(sum(col("n")).as("cr"))
     val tgt = docBucket.filter(col("lang") === "en")
       .groupBy(col("bucket")).agg(sum(col("n")).as("ct"))

@@ -49,6 +49,18 @@ object Sources {
     p
   }
 
+  /** Collision-resistant tag for fixture-dir-keyed scratch paths and
+    * table names: the sanitized tail of the dir string (human-readable;
+    * distinguishes dirs whose hashCodes collide) plus the hashCode in
+    * hex. Alnum+underscore only, so it is valid inside SQL identifiers
+    * as well as filesystem paths. */
+  private[graft] def dirTag(dir: String): String = {
+    val sane = dir.replaceAll("[^A-Za-z0-9]+", "_")
+      .replaceAll("^_+|_+$", "")
+    val tail = if (sane.length > 24) sane.substring(sane.length - 24) else sane
+    tail + "_" + java.lang.Integer.toHexString(dir.hashCode)
+  }
+
   /** Register an externally-created local path (e.g. a bucketed table's
     * warehouse dir, whose session-unique name would otherwise outlive the
     * JVM that can drop it) with the shutdown reaper. */

@@ -89,7 +89,7 @@ object SequencePackingStream {
                                contextLen: Long = 256L,
                                blockSize: Long = 64L): DataFrame = {
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
-    val hex = java.lang.Integer.toHexString(dir.hashCode)
+    val hex = graft.sources.Sources.dirTag(dir)
     val mPath = graft.sources.Sources.scratchDir(spark, "pack_manifest_" + hex)
     val tPath = graft.sources.Sources.scratchDir(spark, "pack_totals_" + hex)
     // a prior invocation in this session (bench best-of-N) left partitions

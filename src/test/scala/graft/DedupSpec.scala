@@ -386,6 +386,44 @@ class DedupSpec extends AnyFunSuite {
     assert(viaLsh == viaWinnow)
   }
 
+  test("q124 semantic dedup: raising signBits only splits buckets — survivors grow monotonically") {
+    // the q86 two-width precedent applied to D18's fan-out knob: a pair
+    // co-bucketed at 6 sign bits agrees on its first 4 bits, so it is
+    // co-bucketed at 4 bits too — the width-6 dominated set is a subset of
+    // width-4's, hence width-4 survivors ⊆ width-6 survivors. This is the
+    // invariant that makes "raise signBits at scale" safe: a wider code
+    // never drops a vector the narrow code kept.
+    val s4 = Dedup.semanticDedupSurvivors(spark, TestSpark.Sf0001, signBits = 4)
+      .select("vec_id").as[Long].collect().toSet
+    val s6 = Dedup.semanticDedupSurvivors(spark, TestSpark.Sf0001, signBits = 6)
+      .select("vec_id").as[Long].collect().toSet
+    assert(s4.nonEmpty)
+    assert(s4.subsetOf(s6),
+      s"width-4 survivors must survive width-6; lost ${(s4 -- s6).take(5)}")
+    // and the split is real on this fixture, not vacuous
+    assert(s6.size >= s4.size)
+  }
+
+  test("q126 containment: an exact sub-document plant scores containment 1.0") {
+    // doc B = a verbatim 20-token slice of doc A wrapped in fresh tokens
+    // on one side only, so B's shingles ⊂ A's: directed containment of
+    // the smaller side is 1.0 while Jaccard stays far below the near-dup
+    // bar — the case the operator exists to catch
+    val rnd = new scala.util.Random(7)
+    def word() = (0 until 5).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val big = (0 until 80).map(_ => word())
+    val small = big.slice(20, 40)
+    val docs = Seq(
+      1L -> big.mkString(" "),
+      2L -> small.mkString(" "),
+      3L -> (0 until 60).map(_ => word()).mkString(" ")).toDF("doc_id", "text")
+    val got = Dedup.containmentPairsFor(docs, threshold = 0.8)
+      .select("doc_a", "doc_b", "containment")
+      .as[(Long, Long, Double)].collect()
+    assert(got.toSeq == Seq((1L, 2L, 1.0)),
+      s"expected exactly the planted (1,2) pair at 1.0, got ${got.toSeq}")
+  }
+
   test("connectedComponents: 200-vertex path graph converges (chain-shaped dup graphs)") {
     // the shape that breaks min-label propagation: a single path has O(n)
     // diameter, so propagation needs ~n rounds; the large-star/small-star

@@ -70,6 +70,12 @@ class PipelineOpsSpec extends AnyFunSuite {
         .filter(col("doc_id") % plantMod(cls) === 0 && !col("r").contains(placeholder))
         .count()
       assert(missing == 0L, s"$cls docs missing $placeholder")
+      // inverse: a placeholder may only appear where its class was planted,
+      // so a wrong-placeholder substitution cannot pass either direction
+      val spurious = redacted
+        .filter(col("doc_id") % plantMod(cls) =!= 0 && col("r").contains(placeholder))
+        .count()
+      assert(spurious == 0L, s"$cls placeholder in unplanted docs")
     }
   }
 

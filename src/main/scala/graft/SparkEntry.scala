@@ -397,7 +397,12 @@ object SparkEntry {
     "q124_semantic_dedup" -> ((s: SparkSession, d: String) =>
       Dedup.semanticDedupSurvivors(s, d)),
     "q125_weighted_sample" -> ((s: SparkSession, d: String) =>
-      Sampling.weightedSample(s, d))
+      Sampling.weightedSample(s, d)),
+    // the D10-style ANN router: one entry point choosing LSH/IVF/PQ from
+    // corpus size + store budget; spec-gated like its three routes
+    // (SimilaritySpec pins routing and the shared output contract)
+    "q127_ann_router" -> ((s: SparkSession, d: String) =>
+      Similarity.annTopK(s, d))
   )
 
   /** Shared CTE chain ending in `pairs` = the exact-Jaccard near-dup pairs

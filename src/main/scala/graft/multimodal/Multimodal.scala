@@ -10,11 +10,14 @@ import org.apache.spark.sql.functions._
   *
   * Real: the schema (binary payload + typed metadata struct), the
   * partitioning, the typed-Dataset batch shape, feature extraction and
-  * frame sampling over raw bytes.
-  * STUBBED: actual media codec decode — the container has no image/audio
-  * libraries, so `decodeStub` derives deterministic fake dims from the
-  * payload; it is clearly marked and isolated so a codec-backed
-  * implementation drops in without touching the Spark plumbing.
+  * frame sampling over raw bytes — AND baseline JPEG/PNG decode via
+  * `javax.imageio` (JDK stdlib: [[decodeMeta]]/[[decodeToGray]]/
+  * [[decodeResize]]), covering the reference's cv2.imread → resize
+  * tensor path with a public, dependency-free decoder.
+  * STUBBED: codecs the JDK cannot read (WAV/MP4/exotic images) —
+  * `decodeStub` derives deterministic fake dims from the payload; it is
+  * clearly marked and isolated so a codec-backed implementation drops in
+  * without touching the Spark plumbing.
   */
 object Multimodal {
 
@@ -42,13 +45,99 @@ object Multimodal {
         col("text").cast("binary").as("payload"))
       .as[(Long, String, Array[Byte])]
       .map { case (id, tpe, payload) =>
-        MediaRow(id, tpe, payload, decodeStub(tpe, payload))
+        MediaRow(id, tpe, payload, decodeMeta(tpe, payload))
       }
   }
 
-  /** STUB — media header decode. A real implementation parses the codec
-    * header (JPEG SOF / WAV fmt / MP4 moov); this deterministic fake keeps
-    * the schema and batch shape real so downstream operators are testable.
+  /** Media header decode: REAL for baseline JPEG and PNG via
+    * `javax.imageio` (JDK stdlib — public, headless-safe, no external
+    * codec dependency), matching the reference's cv2.imread behavior
+    * (/root/reference/src/preprocessing_pipeline.py:39); every other
+    * payload falls back to [[decodeStub]]. The fixture's text-byte
+    * payloads carry no JPEG/PNG signature, so the q37/q42 oracle
+    * contracts are untouched by the real path.
+    */
+  def decodeMeta(mediaType: String, payload: Array[Byte]): MediaMeta =
+    decodeImage(payload) match {
+      case Some(img) =>
+        MediaMeta(payload.length.toLong, sniffFormat(payload),
+          img.getWidth, img.getHeight)
+      case None => decodeStub(mediaType, payload)
+    }
+
+  /** Codec signature sniff: JPEG SOI / PNG magic, else empty. Cheap guard
+    * so non-image payloads never pay an ImageIO reader probe. */
+  def sniffFormat(payload: Array[Byte]): String =
+    if (payload.length >= 3 && (payload(0) & 0xff) == 0xff &&
+        (payload(1) & 0xff) == 0xd8 && (payload(2) & 0xff) == 0xff) "jpeg"
+    else if (payload.length >= 8 && (payload(0) & 0xff) == 0x89 &&
+        payload(1) == 'P' && payload(2) == 'N' && payload(3) == 'G') "png"
+    else ""
+
+  /** Decode a JPEG/PNG payload to a BufferedImage; None for unrecognized
+    * signatures or corrupt streams (ImageIO returns null / throws on
+    * truncation — both map to None, the reference's `None`-on-failure
+    * contract at preprocessing_pipeline.py:52-55). */
+  def decodeImage(payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    if (sniffFormat(payload).isEmpty) None
+    else
+      try Option(javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload)))
+      catch { case _: java.io.IOException => None }
+
+  /** Decode to the engine's grayscale plane: integer BT.601 luma
+    * (r·299 + g·587 + b·114) / 1000 — deterministic, no float path — so
+    * the decoded plane feeds [[graft.functions.ImageOps]] equalize /
+    * resize / augment directly. This is U1/U3's read step made real. */
+  def decodeToGray(payload: Array[Byte]): Option[graft.functions.ImageOps.Gray] =
+    decodeImage(payload).map { img =>
+      val w = img.getWidth
+      val h = img.getHeight
+      val px = new Array[Byte](w * h)
+      var y = 0
+      var i = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val r = (rgb >> 16) & 0xff
+          val g = (rgb >> 8) & 0xff
+          val b = rgb & 0xff
+          px(i) = ((r * 299 + g * 587 + b * 114) / 1000).toByte
+          i += 1
+          x += 1
+        }
+        y += 1
+      }
+      graft.functions.ImageOps.Gray(w, h, px)
+    }
+
+  case class DecodedTensor(media_id: Long, width: Int, height: Int,
+                           pixels: Array[Byte])
+
+  /** The reference's decode→resize tensor map (U3,
+    * /root/reference/src/federated_learning_pipeline.py:36-40: decode
+    * JPEG, resize 224×224) as a typed Dataset map over real codec bytes:
+    * rows whose payload decodes (JPEG/PNG) emit the resized grayscale
+    * plane; undecodable rows drop, the reference's None-filter semantics.
+    * Distributed decode: runs per-partition in executors, no driver
+    * round-trip, inherits the scan's partitioning. */
+  def decodeResize(media: Dataset[MediaRow], w: Int = 224, h: Int = 224): Dataset[DecodedTensor] = {
+    import media.sparkSession.implicits._
+    media.flatMap { r =>
+      decodeToGray(r.payload).map { g =>
+        val rs = graft.functions.ImageOps.resize(g, w, h)
+        DecodedTensor(r.media_id, rs.w, rs.h, rs.px)
+      }
+    }
+  }
+
+  /** STUB — fallback header decode for codecs the JDK cannot read (WAV /
+    * MP4 / exotic image formats): derives deterministic fake dims from
+    * the payload so the schema and batch shape stay real and testable;
+    * clearly isolated so a codec-backed implementation drops in without
+    * touching the Spark plumbing. Baseline JPEG/PNG no longer route here
+    * (see [[decodeMeta]]).
     */
   def decodeStub(mediaType: String, payload: Array[Byte]): MediaMeta = {
     val n = payload.length.toLong

@@ -811,4 +811,43 @@ object Similarity {
         round(avg(col("norm")), 4).as("avg_norm"),
         round(max(col("norm")), 4).as("max_norm"))
   }
+
+  // --- ANN router -------------------------------------------------------
+
+  /** Route decision, factored out pure so the spec can pin it without
+    * running an index build: a compressed store demands PQ regardless of
+    * size (it is the memory-budget lever, not a speed route); otherwise
+    * LSH banding up to `lshMaxRows` (zero training passes — the cheapest
+    * correct-recall path while the band join is comfortable) and IVF
+    * above it (one training pass buys a scored fraction of ~nProbe/
+    * nLists, which is what survives when the corpus outgrows banding). */
+  private[graft] def annRoute(nRows: Long, lshMaxRows: Long,
+                              compressedStore: Boolean): String =
+    if (compressedStore) "pq"
+    else if (nRows <= lshMaxRows) "lsh"
+    else "ivf"
+
+  /** ANN TOP-K ROUTER — the D10 routing discipline applied to similarity
+    * search: ONE entry point that picks the index family from what the
+    * caller can actually state — corpus size (counted here, one bounded
+    * scalar) and whether the store must be compressed — instead of
+    * forcing an algorithm choice. Routes to q22's hyperplane-LSH banding,
+    * q43's IVF probe, or q116's PQ-ADC with exact re-rank; every route
+    * returns the same (query_id, rank, cand_id, score) contract with
+    * rank as long, so a consumer swaps scale paths without a schema
+    * change — exactly how [[Dedup.nearDupClusters]] routes candidate
+    * generation while keeping one cluster contract.
+    */
+  def annTopK(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5,
+              lshMaxRows: Long = 1000000L,
+              compressedStore: Boolean = false): DataFrame = {
+    val nRows = Tables.embeddings(spark, dir).count()
+    val routed = annRoute(nRows, lshMaxRows, compressedStore) match {
+      case "pq"  => pqCosineTopK(spark, dir, nQueries, k)
+      case "lsh" => annCosineTopK(spark, dir, nQueries, k)
+      case _     => ivfCosineTopK(spark, dir, nQueries, k)
+    }
+    routed.select(col("query_id"), col("rank").cast("long").as("rank"),
+      col("cand_id"), col("score"))
+  }
 }

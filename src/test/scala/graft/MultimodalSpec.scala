@@ -36,4 +36,58 @@ class MultimodalSpec extends AnyFunSuite {
     val bad = media.map(r => if (r.meta.n_bytes == r.payload.length) 0 else 1).reduce(_ + _)
     assert(bad == 0)
   }
+
+  /** A real JPEG, generated in-memory with the same stdlib encoder a user
+    * would have produced files with: a 64×48 gradient image. */
+  private def realJpeg(w: Int = 64, h: Int = 48): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = (x * 255) / (w - 1)
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "jpg", out))
+    out.toByteArray
+  }
+
+  test("real JPEG decode: true dims in metadata, stub only for unrecognized payloads") {
+    val jpeg = realJpeg()
+    assert(Multimodal.sniffFormat(jpeg) == "jpeg")
+    val meta = Multimodal.decodeMeta("image", jpeg)
+    assert(meta == Multimodal.MediaMeta(jpeg.length.toLong, "jpeg", 64, 48))
+    // text bytes (the fixture payload shape) keep the declared stub route
+    val textPayload = "plain fixture text".getBytes("UTF-8")
+    assert(Multimodal.sniffFormat(textPayload).isEmpty)
+    assert(Multimodal.decodeMeta("image", textPayload) ==
+      Multimodal.decodeStub("image", textPayload))
+    // corrupt stream: signature ok, body truncated -> None, stub fallback
+    val truncated = jpeg.take(8)
+    assert(Multimodal.decodeImage(truncated).isEmpty)
+  }
+
+  test("decode→gray→resize runs distributed and feeds the ImageOps kernels") {
+    val jpeg = realJpeg()
+    // the gradient survives decode: left column darker than right
+    val g = Multimodal.decodeToGray(jpeg).get
+    assert(g.w == 64 && g.h == 48)
+    def px(gr: graft.functions.ImageOps.Gray, x: Int, y: Int): Int =
+      gr.px(y * gr.w + x) & 0xff
+    assert(px(g, 0, 24) < px(g, 63, 24),
+      s"gradient lost: ${px(g, 0, 24)} !< ${px(g, 63, 24)}")
+    // the typed-Dataset tensor map: real rows decode+resize to 224x224,
+    // non-media rows drop (the reference's None-filter semantics)
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "image", jpeg, Multimodal.decodeMeta("image", jpeg)),
+      Multimodal.MediaRow(2L, "image", "not an image".getBytes("UTF-8"),
+        Multimodal.decodeStub("image", Array[Byte](1, 2, 3))))
+    val decoded = Multimodal.decodeResize(rows.toDS()).collect()
+    assert(decoded.map(_.media_id).toSeq == Seq(1L))
+    assert(decoded.head.width == 224 && decoded.head.height == 224)
+    assert(decoded.head.pixels.length == 224 * 224)
+    // and the plane composes with the U1 kernel (equalize keeps dims)
+    val eq = graft.functions.ImageOps.equalizeHist(
+      graft.functions.ImageOps.Gray(224, 224, decoded.head.pixels))
+    assert(eq.w == 224 && eq.h == 224 && eq.px.length == 224 * 224)
+  }
 }

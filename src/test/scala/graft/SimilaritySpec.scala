@@ -292,4 +292,33 @@ class SimilaritySpec extends AnyFunSuite {
     assert(loaded.map(_.map(_.toVector).toVector).toVector ==
       books.map(_.map(_.toVector).toVector).toVector)
   }
+
+  test("ANN router: route choice is pinned and every route keeps one output contract") {
+    // the route decision, pinned pure (no index build): compressed store
+    // always wins; otherwise the size threshold splits lsh/ivf
+    assert(Similarity.annRoute(100L, 1000L, compressedStore = false) == "lsh")
+    assert(Similarity.annRoute(1000L, 1000L, compressedStore = false) == "lsh")
+    assert(Similarity.annRoute(1001L, 1000L, compressedStore = false) == "ivf")
+    assert(Similarity.annRoute(100L, 1000L, compressedStore = true) == "pq")
+    assert(Similarity.annRoute(1L << 40, 1000L, compressedStore = true) == "pq")
+    // drive all three routes on the fixture (forcing ivf via a tiny
+    // threshold) and pin the shared contract: same schema, k rows per
+    // query, rank a 1..k permutation, scores nonincreasing in rank
+    val routes = Seq(
+      Similarity.annTopK(spark, TestSpark.Sf0001),                      // lsh
+      Similarity.annTopK(spark, TestSpark.Sf0001, lshMaxRows = 1L),     // ivf
+      Similarity.annTopK(spark, TestSpark.Sf0001, compressedStore = true)) // pq
+    routes.foreach { df =>
+      assert(df.columns.toSeq == Seq("query_id", "rank", "cand_id", "score"))
+      val rows = df.as[(Long, Long, Long, Double)].collect()
+      val byQuery = rows.groupBy(_._1)
+      assert(byQuery.size == 10)
+      byQuery.foreach { case (q, rs) =>
+        assert(rs.map(_._2).sorted.toSeq == (1L to 5L), s"query $q ranks")
+        val inRank = rs.sortBy(_._2).map(_._4)
+        assert(inRank.zip(inRank.tail).forall { case (a, b) => a >= b },
+          s"query $q scores not nonincreasing in rank")
+      }
+    }
+  }
 }

@@ -227,28 +227,83 @@ object Sampling {
     * row_number on a well-spread composite key — never one task per
     * stratum). Returns (doc_id, lang, pos), the full permutation. */
   private[graft] def stratumHashRank(spark: SparkSession, dir: String,
-                                     seed: Long = 42L, prefixChars: Int = 2): DataFrame = {
+                                     seed: Long = 42L, prefixChars: Int = 2): DataFrame =
+    hashRankWithin(Tables.documents(spark, dir).select(col("doc_id"), col("lang")),
+      "lang", "doc_id", seed, prefixChars)
+
+  /** The generic two-level seeded-hash rank within an arbitrary stratum
+    * column — the q86 shape over any (id, stratum) relation: hash-prefix
+    * buckets, a tiny broadcast per-(stratum, bucket) prefix-sum relation,
+    * in-bucket row_number on a well-spread composite key. Never one task
+    * per stratum: the widest window partition is a (stratum, bucket)
+    * cell, 16^prefixChars times smaller than the stratum. Returns
+    * (idCol, stratumCol, pos) — pos is the doc's 1-based position within
+    * its stratum under the md5(id:seed) permutation. */
+  private[graft] def hashRankWithin(df: DataFrame, stratumCol: String,
+                                    idCol: String, seed: Long,
+                                    prefixChars: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(prefixChars >= 1 && prefixChars <= 8, s"prefixChars out of range: $prefixChars")
-    val keyed = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("lang"),
-        md5(concat(col("doc_id").cast("string"), lit(s":$seed"))).as("skey"))
+    val keyed = df
+      .select(col(idCol), col(stratumCol),
+        md5(concat(col(idCol).cast("string"), lit(s":$seed"))).as("skey"))
       .withColumn("bucket", substring(col("skey"), 1, prefixChars))
-    val bucketPrefix = keyed.groupBy(col("lang"), col("bucket"))
+    val bucketPrefix = keyed.groupBy(col(stratumCol), col("bucket"))
       .agg(count(lit(1)).as("cnt"))
       .withColumn("bucket_prefix",
         coalesce(sum(col("cnt")).over(
-          Window.partitionBy(col("lang")).orderBy(col("bucket"))
+          Window.partitionBy(col(stratumCol)).orderBy(col("bucket"))
             .rowsBetween(Window.unboundedPreceding, -1)),
           lit(0L)))
-      .select(col("lang"), col("bucket"), col("bucket_prefix"))
-    val inBucket = Window.partitionBy(col("lang"), col("bucket"))
-      .orderBy(col("skey"), col("doc_id"))
+      .select(col(stratumCol), col("bucket"), col("bucket_prefix"))
+    val inBucket = Window.partitionBy(col(stratumCol), col("bucket"))
+      .orderBy(col("skey"), col(idCol))
     keyed
       .withColumn("rn", row_number().over(inBucket).cast("long"))
-      .join(broadcast(bucketPrefix), Seq("lang", "bucket"))
+      .join(broadcast(bucketPrefix), Seq(stratumCol, "bucket"))
       .withColumn("pos", col("bucket_prefix") + col("rn"))
-      .select(col("doc_id"), col("lang"), col("pos"))
+      .select(col(idCol), col(stratumCol), col("pos"))
+  }
+
+  /** q129 — CLUSTER-BALANCED SAMPLE (invariant): diversity-preserving
+    * subsampling in embedding space — Lloyd's k-means over the embedding
+    * table (the q43 codebook machinery, bounded driver state of
+    * nClusters×dim), then a seeded per-CLUSTER cap-N downsample via the
+    * same two-level hash rank q97 applies per language. This is the
+    * "cluster then thin the dense regions" selection step of SemDeDup /
+    * DataComp-style curation: capping every cluster at `cap` flattens the
+    * density profile so over-represented semantic neighborhoods can't
+    * dominate the training mix.
+    *
+    * Invariant row (q34 discipline) because cluster ids are engine-float
+    * Lloyd's output DuckDB cannot replay: the oracle recounts n_vecs and
+    * pins the violation counters at zero — over_cap = total kept rows
+    * above cap across clusters (the cap actually binds), underfill =
+    * clusters keeping fewer than min(cap, size) rows (the rank is a
+    * complete permutation; nothing was lost).
+    *
+    * Scale shape: training and assignment are the audited q43 paths (no
+    * corpus shuffle); the rank is the two-level form, so the widest
+    * single task is a (cluster, hash-prefix) cell; the per-cluster
+    * rollup is a nClusters-row relation. */
+  def clusterBalancedSample(spark: SparkSession, dir: String,
+                            nClusters: Int = 8, cap: Long = 40L,
+                            iters: Int = 3, seed: Long = 42L,
+                            prefixChars: Int = 2): DataFrame = {
+    val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val cents = Similarity.trainCentroids(e, nClusters, iters)
+    val assigned = Similarity.ivfAssign(e, cents)
+      .select(col("vec_id"), col("list_id").as("cluster"))
+    val ranked = hashRankWithin(assigned, "cluster", "vec_id", seed, prefixChars)
+    val perCluster = ranked.groupBy(col("cluster")).agg(
+      count(lit(1)).as("size"),
+      sum(when(col("pos") <= cap, 1L).otherwise(0L)).as("kept"))
+    materialized(perCluster.agg(
+      sum(col("size")).cast("long").as("n_vecs"),
+      sum(when(col("kept") > cap, col("kept") - lit(cap)).otherwise(lit(0L)))
+        .cast("long").as("over_cap"),
+      sum(when(col("kept") < least(lit(cap), col("size")), 1L).otherwise(0L))
+        .cast("long").as("underfill")))
   }
 
   /** q104 — MIXTURE EPOCH RESAMPLING: materialize q92's temperature-scaled

@@ -850,4 +850,40 @@ object Similarity {
     routed.select(col("query_id"), col("rank").cast("long").as("rank"),
       col("cand_id"), col("score"))
   }
+
+  /** q128 — HYBRID RETRIEVAL: BM25 lexical ranks fused with exact dense-
+    * cosine ranks via Reciprocal Rank Fusion (Cormack, Clarke & Büttcher,
+    * SIGIR 2009: rrf(d) = Σ 1/(K + rank_i(d))). The standard first stage
+    * of a RAG / hard-negative-mining pipeline: lexical recall catches the
+    * rare-term matches dense misses, dense catches the paraphrases lexical
+    * misses, and RRF needs no score calibration because it consumes only
+    * RANKS — which is also what makes it oracle-able: both input rankings
+    * are already hash-pinned (q96, q21), so the fused ranking is a
+    * deterministic function of agreed integers.
+    *
+    * Scale shape: each side is its own audited top-`depth` retrieval
+    * (inverted-index BM25, broadcast-query cosine — at corpus scale the
+    * caller swaps in [[annTopK]] for the dense side, same rank contract);
+    * the fusion itself joins two (nQueries × depth)-row relations — query-
+    * bounded, corpus-independent, trivially broadcastable. Candidates
+    * found by only one retriever keep a null rank on the other side and
+    * contribute a single RRF term, the paper's union semantics. */
+  def hybridRrfTopK(spark: SparkSession, dir: String, nQueries: Int = 5,
+                    depth: Int = 20, k: Int = 10, rrfK: Int = 60): DataFrame = {
+    val lex = TextAnalysis.bm25TopK(spark, dir, nQueries, depth)
+      .select(col("query_id"), col("cand_id"), col("rank").as("lex_rank"))
+    val dense = cosineTopK(spark, dir, nQueries, depth)
+      .select(col("query_id"), col("cand_id"),
+        col("rank").cast("long").as("vec_rank"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf").desc, col("cand_id"))
+    lex.join(dense, Seq("query_id", "cand_id"), "full_outer")
+      .withColumn("rrf", round(
+        coalesce(lit(1.0) / (lit(rrfK) + col("lex_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(rrfK) + col("vec_rank")), lit(0.0)), 6))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("cand_id"), col("rrf"),
+        col("lex_rank"), col("vec_rank"))
+  }
 }

@@ -402,7 +402,17 @@ object SparkEntry {
     // corpus size + store budget; spec-gated like its three routes
     // (SimilaritySpec pins routing and the shared output contract)
     "q127_ann_router" -> ((s: SparkSession, d: String) =>
-      Similarity.annTopK(s, d))
+      Similarity.annTopK(s, d)),
+    // lexical+dense reciprocal-rank-fusion retrieval: both input rankings
+    // are already hash-pinned (q96, q21), so the fused ranking is a
+    // deterministic function of agreed integers and fully oracle-able
+    "q128_hybrid_rrf" -> ((s: SparkSession, d: String) =>
+      Similarity.hybridRrfTopK(s, d)),
+    // cluster-balanced diversity sample (invariant row: cluster ids are
+    // engine-float Lloyd's output DuckDB cannot replay; the oracle pins
+    // the total and the two violation counters at zero)
+    "q129_cluster_balanced_sample" -> ((s: SparkSession, d: String) =>
+      Sampling.clusterBalancedSample(s, d))
   )
 
   /** Shared CTE chain ending in `pairs` = the exact-Jaccard near-dup pairs
@@ -1711,6 +1721,75 @@ object SparkEntry {
          |FROM inter JOIN sizes sa ON sa.doc_id = doc_a
          |           JOIN sizes sb ON sb.doc_id = doc_b
          |WHERE CAST(round(CAST(CAST(inter AS DOUBLE) / least(sa.n, sb.n) AS DECIMAL(38,18)), 4)
-         |      AS DOUBLE) >= 0.8""".stripMargin
+         |      AS DOUBLE) >= 0.8""".stripMargin,
+    // q96's BM25 CTEs at depth 20 + q21's cosine CTEs at depth 20, fused
+    // by RRF (1/(60+rank) per side, union semantics via FULL OUTER JOIN);
+    // both input rank sets are the already-hash-pinned q96/q21 orders, so
+    // the fusion is integer arithmetic both engines agree on exactly
+    "q128_hybrid_rrf" ->
+      s"""WITH n AS (SELECT count(*) AS n_docs FROM documents),
+         | tf AS (SELECT doc_id, token, count(*) AS tf
+         |        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+         |              FROM documents)
+         |        GROUP BY doc_id, token),
+         | lens AS (SELECT doc_id, sum(tf) AS len FROM tf GROUP BY doc_id),
+         | al AS (SELECT avg(len) AS avg_len FROM lens),
+         | idf AS (SELECT token,
+         |           ln(1.0 + (CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5)) AS idf
+         |         FROM (SELECT token, count(*) AS df FROM tf GROUP BY token
+         |               HAVING count(*) <= 1000000), n),
+         | bw AS (SELECT tf.doc_id AS cand_id, tf.token,
+         |          idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * len / avg_len)) AS w
+         |        FROM tf JOIN idf USING (token) JOIN lens USING (doc_id), al),
+         | lscored AS (SELECT q.doc_id AS query_id, cand_id,
+         |               round(sum(w), 4) AS score
+         |             FROM bw JOIN (SELECT DISTINCT doc_id, token FROM tf
+         |                           WHERE doc_id < 5) q USING (token)
+         |             WHERE q.doc_id <> cand_id
+         |             GROUP BY 1, 2),
+         | lr AS (SELECT query_id, cand_id,
+         |          CAST(row_number() OVER (PARTITION BY query_id
+         |            ORDER BY score DESC, cand_id) AS BIGINT) AS lex_rank
+         |        FROM lscored),
+         | lex AS (SELECT * FROM lr WHERE lex_rank <= 20),
+         | ex AS ($embedExplode),
+         | dots AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         |            sum(q.x * c.x) AS dot
+         |          FROM ex q JOIN ex c ON q.dim = c.dim AND q.vec_id < 5
+         |            AND q.vec_id <> c.vec_id
+         |          GROUP BY 1, 2),
+         | norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM ex GROUP BY vec_id),
+         | vscored AS (SELECT query_id, cand_id,
+         |               round(dot / (nq.nrm * nc.nrm), 6) AS score
+         |             FROM dots JOIN norms nq ON nq.vec_id = query_id
+         |                       JOIN norms nc ON nc.vec_id = cand_id),
+         | vr AS (SELECT query_id, cand_id,
+         |          CAST(row_number() OVER (PARTITION BY query_id
+         |            ORDER BY score DESC, cand_id) AS BIGINT) AS vec_rank
+         |        FROM vscored),
+         | vec AS (SELECT * FROM vr WHERE vec_rank <= 20),
+         | fused AS (SELECT coalesce(l.query_id, v.query_id) AS query_id,
+         |             coalesce(l.cand_id, v.cand_id) AS cand_id,
+         |             l.lex_rank, v.vec_rank,
+         |             round(coalesce(1.0 / (60 + l.lex_rank), 0)
+         |                 + coalesce(1.0 / (60 + v.vec_rank), 0), 6) AS rrf
+         |           FROM lex l FULL OUTER JOIN vec v
+         |             ON l.query_id = v.query_id AND l.cand_id = v.cand_id),
+         | fr AS (SELECT query_id,
+         |          CAST(row_number() OVER (PARTITION BY query_id
+         |            ORDER BY rrf DESC, cand_id) AS BIGINT) AS rank,
+         |          cand_id, rrf, lex_rank, vec_rank
+         |        FROM fused)
+         |SELECT query_id, rank, cand_id, rrf, lex_rank, vec_rank
+         |FROM fr WHERE rank <= 10""".stripMargin,
+    // invariant row (q34 discipline): the oracle recounts the embedding
+    // table and pins both violation counters at zero — over_cap = the
+    // two-level rank produced duplicate positions, underfill = the rank
+    // is not a complete within-cluster permutation
+    "q129_cluster_balanced_sample" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_vecs,
+        | CAST(0 AS BIGINT) AS over_cap,
+        | CAST(0 AS BIGINT) AS underfill
+        |FROM embeddings""".stripMargin
   )
 }

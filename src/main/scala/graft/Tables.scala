@@ -28,10 +28,15 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
 
-  /** The events fixture stores `ts` as parquet nanosecond timestamps, which
-    * Spark reads as LongType under spark.sql.legacy.parquet.nanosAsLong
-    * (set in GraftSession). Normalize to a microsecond TimestampType here so
-    * every downstream operator sees a plain timestamp.
+  /** The events fixture has carried `ts` in three physical forms across
+    * driver testdata generations: parquet nanosecond timestamps (read as
+    * LongType under spark.sql.legacy.parquet.nanosAsLong, set in
+    * GraftSession), naive microsecond timestamps (read as TIMESTAMP_NTZ —
+    * no UTC-adjusted annotation), and plain TimestampType. Normalize all
+    * three to a microsecond TimestampType here so every downstream operator
+    * sees a plain timestamp. The NTZ cast reinterprets the naive wall-clock
+    * in the session timezone — pinned to UTC in GraftSession — which is
+    * byte-identical to how the DuckDB oracle reads the same column.
     *
     * The nanos→micros step MUST be integer division (`div`): `/` promotes
     * to double, whose 53-bit mantissa cannot hold an epoch-nanos value, so
@@ -45,8 +50,9 @@ object Tables {
   def events(spark: SparkSession, dir: String): DataFrame = {
     val raw = table(spark, dir, "events")
     raw.schema("ts").dataType match {
-      case LongType => raw.withColumn("ts", nanosToTimestamp(col("ts")))
-      case _        => raw
+      case LongType         => raw.withColumn("ts", nanosToTimestamp(col("ts")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => raw
     }
   }
 }

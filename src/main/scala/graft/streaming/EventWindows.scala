@@ -152,9 +152,14 @@ object EventWindows {
     val raw = spark.readStream.schema(batchSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-    if (batchSchema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", Tables.nanosToTimestamp(col("ts")))
-    else raw
+    batchSchema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", Tables.nanosToTimestamp(col("ts")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
   }
 
   /** Streaming tumbling aggregation with a 1-hour watermark. The plan is

@@ -52,6 +52,8 @@ object Probe {
       "q124_semantic_dedup" -> (() => q("q124_semantic_dedup")),
       "q125_weighted_sample" -> (() => q("q125_weighted_sample")),
       "q126_containment_pairs" -> (() => q("q126_containment_pairs")),
+      "q127_ann_router" -> (() => q("q127_ann_router")),
+      "q128_hybrid_rrf" -> (() => q("q128_hybrid_rrf")),
       "q78 candidate core (bucketed fp index: Exchange-free index side)" -> (() => {
         val table = "graft_probe_fpidx"
         val docs = graft.Tables.documents(spark, dir)

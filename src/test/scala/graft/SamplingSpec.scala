@@ -78,4 +78,38 @@ class SamplingSpec extends AnyFunSuite {
       .as[(Long, Boolean)].head()
     assert(n == 16L && nonEmpty)
   }
+
+  test("q129 cluster-balanced sample: cap binds, rank is a permutation, deterministic") {
+    import graft.operators.Similarity
+    val dir = TestSpark.Sf0001
+    val (nClusters, cap) = (8, 40L)
+    // the invariant row the oracle pins: full count, zero violations
+    val inv = Sampling.clusterBalancedSample(spark, dir, nClusters, cap)
+      .as[(Long, Long, Long)].head()
+    val nVecs = graft.Tables.embeddings(spark, dir).count()
+    assert(inv == ((nVecs, 0L, 0L)))
+    // the cap must actually bind on the fixture — at least one cluster
+    // larger than cap, else over_cap/underfill are vacuous
+    val e = graft.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    val cents = Similarity.trainCentroids(e, nClusters, 3)
+    val sizes = Similarity.ivfAssign(e, cents)
+      .groupBy(col("list_id")).count().as[(Long, Long)].collect()
+    assert(sizes.exists(_._2 > cap), "fixture should have a cluster over cap")
+    assert(sizes.map(_._2).sum == nVecs)
+    // the underlying rank is a complete 1..size permutation per cluster —
+    // the property the two violation counters summarize
+    val assigned = Similarity.ivfAssign(e, cents)
+      .select(col("vec_id"), col("list_id").as("cluster"))
+    val ranked = Sampling.hashRankWithin(assigned, "cluster", "vec_id", 42L, 2)
+    val bad = ranked.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("pos")).as("np"),
+        min(col("pos")).as("lo"), max(col("pos")).as("hi"))
+      .filter(col("np") =!= col("n") || col("lo") =!= 1L || col("hi") =!= col("n"))
+    assert(bad.count() == 0)
+    // seeded: a second run reproduces the same invariant row bit-for-bit
+    val inv2 = Sampling.clusterBalancedSample(spark, dir, nClusters, cap)
+      .as[(Long, Long, Long)].head()
+    assert(inv2 == inv)
+  }
 }

@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.VectorOps
-import graft.operators.Similarity
+import graft.operators.{Similarity, TextAnalysis}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -320,5 +320,39 @@ class SimilaritySpec extends AnyFunSuite {
           s"query $q scores not nonincreasing in rank")
       }
     }
+  }
+
+  test("q128 hybrid RRF equals a driver-side fusion of the two pinned rankings") {
+    val dir = TestSpark.Sf0001
+    val (nQ, depth, k, rrfK) = (5, 20, 10, 60)
+    val lex = TextAnalysis.bm25TopK(spark, dir, nQ, depth)
+      .select(col("query_id"), col("cand_id"), col("rank"))
+      .as[(Long, Long, Long)].collect()
+      .map { case (q, c, r) => (q, c) -> r }.toMap
+    val dense = Similarity.cosineTopK(spark, dir, nQ, depth)
+      .select(col("query_id"), col("cand_id"), col("rank").cast("long"))
+      .as[(Long, Long, Long)].collect()
+      .map { case (q, c, r) => (q, c) -> r }.toMap
+    assert(lex.nonEmpty && dense.nonEmpty)
+    // union semantics: every candidate either retriever surfaced, one RRF
+    // term per side it appears on, HALF_UP 6dp like the engine's round
+    val expected = (lex.keySet ++ dense.keySet).groupBy(_._1).flatMap {
+      case (q, keys) =>
+        keys.toSeq.map { key =>
+          val rrf = lex.get(key).map(r => 1.0 / (rrfK + r)).getOrElse(0.0) +
+            dense.get(key).map(r => 1.0 / (rrfK + r)).getOrElse(0.0)
+          (key._2, BigDecimal(rrf).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        }.sortBy { case (c, s) => (-s, c) }.take(k).zipWithIndex.map {
+          case ((c, s), i) => (q, (i + 1).toLong, c, s)
+        }
+    }.toSet
+    val got = Similarity.hybridRrfTopK(spark, dir, nQ, depth, k, rrfK)
+      .select(col("query_id"), col("rank"), col("cand_id"), col("rrf"))
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(got == expected)
+    // a candidate surfaced by both retrievers carries both source ranks
+    val both = Similarity.hybridRrfTopK(spark, dir, nQ, depth, k, rrfK)
+      .filter(col("lex_rank").isNotNull && col("vec_rank").isNotNull)
+    assert(both.count() > 0, "fixture should fuse at least one overlap")
   }
 }

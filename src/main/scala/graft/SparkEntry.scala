@@ -412,7 +412,37 @@ object SparkEntry {
     // engine-float Lloyd's output DuckDB cannot replay; the oracle pins
     // the total and the two violation counters at zero)
     "q129_cluster_balanced_sample" -> ((s: SparkSession, d: String) =>
-      Sampling.clusterBalancedSample(s, d))
+      Sampling.clusterBalancedSample(s, d)),
+    // hard-negative mining: q96's pinned BM25 ranks anti-joined against
+    // the near-dup/exact false-negative gate (q17 + q59 arithmetic), so
+    // the whole manifest is a deterministic function of agreed values
+    "q130_hard_negatives" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.hardNegatives(s, d)),
+    // SQ8 quantization audit: trainless per-dim affine grid, so every
+    // step (f32→double widening, IEEE arithmetic, floor) is bit-identical
+    // in DuckDB — fully oracle-able unlike the trained PQ/IVF routes
+    "q131_sq8_audit" -> ((s: SparkSession, d: String) =>
+      Similarity.sq8QuantizationAudit(s, d)),
+    // BPE apply (invariant row, q34 discipline): the greedy merge order is
+    // not SQL-expressible, but piece/token conservation is structural and
+    // the doc/token totals are DuckDB-recomputable exactly
+    "q132_bpe_apply" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.bpeApplyInvariant(s, d)),
+    // streaming deterministic reservoir: three ticks + a replayed tick,
+    // then the semilattice merge; shares q97's batch oracle verbatim —
+    // the one oracle proves stream == batch and replay idempotence
+    "q133_streaming_reservoir" -> ((s: SparkSession, d: String) =>
+      graft.streaming.ReservoirSampleStream.reservoirMultiTick(s, d)),
+    // content-defined chunking: the cut set is a pure function of token
+    // md5 prefixes (no RNG, no integer conversion), so the entire
+    // per-chunk relation — ids, sizes, content hashes — is oracle-exact
+    "q134_cdc_chunks" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.contentDefinedChunks(s, d)),
+    // distribution-level snapshot drift: JS divergence over the two token
+    // marginals + top-k delta contributors — deterministic double math,
+    // 6dp-rounded total order, fully oracle-able
+    "q135_token_drift" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.tokenDriftReport(s, d))
   )
 
   /** Shared CTE chain ending in `pairs` = the exact-Jaccard near-dup pairs
@@ -435,6 +465,20 @@ object SparkEntry {
       |          WHERE round(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 4) >= 0.5)""".stripMargin
 
   private val jaccardPairCtes: String = jaccardPairCtesFrom("documents")
+
+  /** Per-stratum seeded-hash bottom-k (q97's batch semantics) as ONE rank
+    * window — shared verbatim by q97 (batch) and q133 (streaming
+    * reservoir): the same oracle proving both forms equal is what pins
+    * stream ≡ batch. */
+  private lazy val stratumBottomKSql: String =
+    """WITH keyed AS (SELECT doc_id, lang,
+      |         md5(CAST(doc_id AS VARCHAR) || ':42') AS skey
+      |       FROM documents),
+      | ranked AS (SELECT doc_id, lang,
+      |              CAST(row_number() OVER (PARTITION BY lang
+      |                ORDER BY skey, doc_id) AS BIGINT) AS pos
+      |            FROM keyed)
+      |SELECT doc_id, lang, pos FROM ranked WHERE pos <= 50""".stripMargin
 
   /** The packing manifest as DuckDB sees it: ONE global prefix-sum window
     * in doc_id order (the plan the engine's two-level form avoids). Shared
@@ -1473,15 +1517,11 @@ object SparkEntry {
          |    md5(CAST(doc_id AS VARCHAR) || ':42'), doc_id) - 1 AS BIGINT) AS pos
          |FROM tiers""".stripMargin,
     // the single per-stratum rank window the engine's two-level form avoids
-    "q97_stratum_cap" ->
-      """WITH keyed AS (SELECT doc_id, lang,
-        |         md5(CAST(doc_id AS VARCHAR) || ':42') AS skey
-        |       FROM documents),
-        | ranked AS (SELECT doc_id, lang,
-        |              CAST(row_number() OVER (PARTITION BY lang
-        |                ORDER BY skey, doc_id) AS BIGINT) AS pos
-        |            FROM keyed)
-        |SELECT doc_id, lang, pos FROM ranked WHERE pos <= 50""".stripMargin,
+    "q97_stratum_cap" -> stratumBottomKSql,
+    // the SAME batch SQL is the streaming reservoir's oracle: the streamed
+    // multi-tick merge (with a replayed tick) must equal the batch
+    // per-stratum bottom-k row for row — stream ≡ batch ∧ replay-idempotent
+    "q133_streaming_reservoir" -> stratumBottomKSql,
     // same planted PII (one snippet per class, derived from doc_id), same
     // RE2-safe pattern table in the same chain order; DuckDB regexp_replace
     // needs the 'g' flag to match Spark's replace-all semantics
@@ -1790,6 +1830,137 @@ object SparkEntry {
       """SELECT CAST(count(*) AS BIGINT) AS n_vecs,
         | CAST(0 AS BIGINT) AS over_cap,
         | CAST(0 AS BIGINT) AS underfill
-        |FROM embeddings""".stripMargin
+        |FROM embeddings""".stripMargin,
+    // q96's BM25 chain at depth 20, anti-joined against the uncapped
+    // near-dup gate (q17 shingle CTEs at tau 0.8, both directions via the
+    // query-side join) plus the exact-text arm, re-ranked by BM25 rank;
+    // jaccardPairCtes contributes toks/sh/sizes (inter/pairs prune unused)
+    "q130_hard_negatives" ->
+      s"""WITH $jaccardPairCtes,
+         | n AS (SELECT count(*) AS n_docs FROM documents),
+         | tf AS (SELECT doc_id, token, count(*) AS tf
+         |        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+         |              FROM documents)
+         |        GROUP BY doc_id, token),
+         | lens AS (SELECT doc_id, sum(tf) AS len FROM tf GROUP BY doc_id),
+         | al AS (SELECT avg(len) AS avg_len FROM lens),
+         | idf AS (SELECT token,
+         |           ln(1.0 + (CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5)) AS idf
+         |         FROM (SELECT token, count(*) AS df FROM tf GROUP BY token
+         |               HAVING count(*) <= 1000000), n),
+         | bw AS (SELECT tf.doc_id AS cand_id, tf.token,
+         |          idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * len / avg_len)) AS w
+         |        FROM tf JOIN idf USING (token) JOIN lens USING (doc_id), al),
+         | scored AS (SELECT q.doc_id AS query_id, cand_id,
+         |              round(sum(w), 4) AS score
+         |            FROM bw JOIN (SELECT DISTINCT doc_id, token FROM tf
+         |                          WHERE doc_id < 5) q USING (token)
+         |            WHERE q.doc_id <> cand_id
+         |            GROUP BY 1, 2),
+         | branked AS (SELECT query_id, cand_id, score,
+         |               CAST(row_number() OVER (PARTITION BY query_id
+         |                 ORDER BY score DESC, cand_id) AS BIGINT) AS rank
+         |             FROM scored),
+         | bcand AS (SELECT * FROM branked WHERE rank <= 20),
+         | qinter AS (SELECT a.doc_id AS qid, b.doc_id AS cid, count(*) AS inter
+         |            FROM sh a JOIN sh b USING (shingle)
+         |            WHERE a.doc_id < 5 AND a.doc_id <> b.doc_id
+         |            GROUP BY 1, 2),
+         | fuzzy AS (SELECT qid, cid
+         |           FROM qinter JOIN sizes sa ON sa.doc_id = qid
+         |                       JOIN sizes sb ON sb.doc_id = cid
+         |           WHERE round(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 4)
+         |                 >= 0.8),
+         | exact AS (SELECT q.doc_id AS qid, c.doc_id AS cid
+         |           FROM documents q JOIN documents c ON q.text = c.text
+         |           WHERE q.doc_id < 5 AND q.doc_id <> c.doc_id),
+         | fneg AS (SELECT qid, cid FROM fuzzy UNION SELECT qid, cid FROM exact),
+         | kept AS (SELECT query_id, cand_id, score, rank
+         |          FROM bcand WHERE NOT EXISTS (SELECT 1 FROM fneg
+         |            WHERE qid = query_id AND cid = cand_id)),
+         | final AS (SELECT query_id,
+         |             CAST(row_number() OVER (PARTITION BY query_id
+         |               ORDER BY rank) AS BIGINT) AS neg_rank,
+         |             cand_id, rank AS bm25_rank, score
+         |           FROM kept)
+         |SELECT query_id, neg_rank, cand_id, bm25_rank, score
+         |FROM final WHERE neg_rank <= 10""".stripMargin,
+    // the identical affine-grid arithmetic: f32 widened to double, IEEE
+    // subtract/multiply/divide, floor, midpoint dequant — bit-for-bit
+    "q131_sq8_audit" ->
+      s"""WITH ex AS ($embedExplode),
+         | st AS (SELECT dim, min(x) AS lo, max(x) AS hi FROM ex GROUP BY dim),
+         | e2 AS (SELECT ex.dim, x, lo, hi,
+         |          CASE WHEN hi = lo THEN 0.0
+         |               ELSE least(255.0,
+         |                 floor((x - lo) * 255.0 / (hi - lo) + 0.5))
+         |          END AS code
+         |        FROM ex JOIN st USING (dim)),
+         | errs AS (SELECT dim, lo, hi,
+         |            abs(x - (lo + code * (hi - lo) / 255.0)) AS err
+         |          FROM e2)
+         |SELECT CAST(dim AS BIGINT) AS dim, round(lo, 6) AS lo,
+         | round(hi, 6) AS hi, round(avg(err), 6) AS mean_abs_err,
+         | round(max(err), 6) AS max_abs_err
+         |FROM errs GROUP BY dim, lo, hi""".stripMargin,
+    // invariant row: doc/token totals recomputed from the raw table; the
+    // conservation counter (pieces + merges = tokens) pinned at zero
+    "q132_bpe_apply" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+        | CAST(0 AS BIGINT) AS conservation_violations
+        |FROM documents""".stripMargin,
+    // the identical cut set from the token md5 hex band, chunk index via
+    // a per-doc prefix sum of cut flags, chunk hash over the space-joined
+    // token slice — every column compared exactly
+    "q134_cdc_chunks" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+        |              FROM documents WHERE len(string_split(text, ' ')) >= 1),
+        | tok AS (SELECT doc_id, generate_subscripts(t, 1) AS pos,
+        |           unnest(t) AS token FROM toks),
+        | flagged AS (SELECT doc_id, pos, token,
+        |               CASE WHEN substr(md5(token || ':42'), 1, 1) = '0'
+        |                    THEN 1 ELSE 0 END AS cut
+        |             FROM tok),
+        | idx AS (SELECT doc_id, pos, token,
+        |           coalesce(sum(cut) OVER (PARTITION BY doc_id ORDER BY pos
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |             AS chunk_idx
+        |         FROM flagged)
+        |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+        | CAST(count(*) AS BIGINT) AS n_tokens,
+        | md5(string_agg(token, ' ' ORDER BY pos)) AS chunk_hash
+        |FROM idx GROUP BY doc_id, chunk_idx""".stripMargin,
+    // the identical JS arithmetic over the same modulo snapshots: full
+    // outer marginal join with 0-mass convention, 6dp-rounded delta order
+    "q135_token_drift" ->
+      """WITH tf1 AS (SELECT token, count(*) AS c1
+        |        FROM (SELECT unnest(string_split(text, ' ')) AS token
+        |              FROM documents WHERE doc_id % 5 <> 0)
+        |        GROUP BY token),
+        | tf2 AS (SELECT token, count(*) AS c2
+        |        FROM (SELECT unnest(string_split(text, ' ')) AS token
+        |              FROM documents WHERE doc_id % 3 <> 0)
+        |        GROUP BY token),
+        | t1 AS (SELECT sum(c1) AS n1 FROM tf1),
+        | t2 AS (SELECT sum(c2) AS n2 FROM tf2),
+        | j AS (SELECT token,
+        |         CAST(coalesce(c1, 0) AS DOUBLE) / n1 AS p1,
+        |         CAST(coalesce(c2, 0) AS DOUBLE) / n2 AS p2
+        |       FROM tf1 FULL OUTER JOIN tf2 USING (token), t1, t2),
+        | wm AS (SELECT token, p1, p2, (p1 + p2) / 2.0 AS m FROM j),
+        | js AS (SELECT round((sum(CASE WHEN p1 > 0 THEN p1 * ln(p1 / m)
+        |                               ELSE 0 END)
+        |                    + sum(CASE WHEN p2 > 0 THEN p2 * ln(p2 / m)
+        |                               ELSE 0 END)) / 2.0, 6) AS js_divergence
+        |        FROM wm),
+        | ranked AS (SELECT CAST(row_number() OVER (
+        |                ORDER BY round(abs(p1 - p2), 6) DESC, token)
+        |              AS BIGINT) AS rank,
+        |              token, round(p1, 6) AS p1, round(p2, 6) AS p2,
+        |              round(abs(p1 - p2), 6) AS abs_delta
+        |            FROM wm)
+        |SELECT rank, token, p1, p2, abs_delta, js_divergence
+        |FROM ranked, js WHERE rank <= 10""".stripMargin
   )
 }

@@ -886,4 +886,49 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("cand_id"), col("rrf"),
         col("lex_rank"), col("vec_rank"))
   }
+
+  /** q131 — SQ8 SCALAR-QUANTIZATION AUDIT: the report a pipeline runs
+    * before committing an embedding table to int8 storage (the 4×-smaller
+    * store FAISS calls SQ8): per dimension, the corpus [min, max] range
+    * that defines the affine uint8 grid, and the mean/max absolute
+    * reconstruction error of midpoint dequantization over the actual
+    * data. code = floor((x − lo) · 255/(hi − lo) + ½) — round to the
+    * nearest of the 256 levels lo + c·(hi − lo)/255 — so max_abs_err is
+    * bounded by half a level step, and a dimension whose error approaches
+    * that bound is uniformly spread while one far under it is
+    * concentrated (quantization is nearly free there). Complements J9: PQ compresses
+    * by codebook (needs training), SQ8 by per-dim affine grid (needs only
+    * min/max) — the audit says whether the trainless route suffices.
+    *
+    * Fully oracle-able BECAUSE trainless: the grid is a deterministic
+    * function of per-dim min/max, and every arithmetic step (f32→double
+    * widening, IEEE subtract/multiply/divide, floor) is bit-identical in
+    * DuckDB — no engine RNG, no iterative training, no tie-breaking.
+    *
+    * Scale shape: one posexplode pass (rows × dim, map-side combined into
+    * the per-dim min/max agg — `dims`-row driver-free relation), then the
+    * same pass re-derived (q83 re-scan discipline) joins the broadcast
+    * stats to score errors — two corpus scans, zero corpus shuffles: both
+    * aggregations key on `dim` (64 groups), partial-agg'd to nothing
+    * before the exchange. Constant-size output (dims rows). */
+  def sq8QuantizationAudit(spark: SparkSession, dir: String): DataFrame = {
+    def ex = Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("dim").cast("long").as("dim"), col("x").cast("double").as("x"))
+    val stats = ex.groupBy(col("dim"))
+      .agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+    val code = when(col("hi") === col("lo"), lit(0.0))
+      .otherwise(least(lit(255.0),
+        floor((col("x") - col("lo")) * 255.0 / (col("hi") - col("lo")) + 0.5)))
+    val err = abs(col("x") -
+      (col("lo") + code * (col("hi") - col("lo")) / 255.0))
+    ex.join(broadcast(stats), "dim")
+      .groupBy(col("dim"))
+      .agg(min(col("x")).as("lo"), max(col("x")).as("hi"),
+        round(avg(err), 6).as("mean_abs_err"),
+        round(max(err), 6).as("max_abs_err"))
+      .select(col("dim"), round(col("lo"), 6).as("lo"),
+        round(col("hi"), 6).as("hi"), col("mean_abs_err"), col("max_abs_err"))
+  }
 }

@@ -651,6 +651,60 @@ object TextAnalysis {
       .select(col("query_id"), col("rank"), col("cand_id"), col("score"))
   }
 
+  /** q130 — HARD-NEGATIVE MINING with false-negative filtering: for each
+    * query doc, the top BM25 candidates that are NOT near-duplicates of
+    * the query — the manifest a contrastive/embedding training pipeline
+    * feeds as negatives. Mining negatives from a retriever's top ranks is
+    * standard (they are the "hard" part); the classic trap is that the
+    * very top of the ranking is contaminated with unlabeled POSITIVES —
+    * near-duplicates and exact copies of the query — which, trained on as
+    * negatives, poison the embedding space. The filter is the dedup
+    * surface re-used as a mining guard: a candidate is excluded iff its
+    * exact-Jaccard against the query reaches `falseNegTau` (4dp-rounded,
+    * the q17 arithmetic) or its text hash-matches exactly (the q59
+    * exact-arm discipline — shingle-blind short docs are still caught).
+    *
+    * Scale shape: the BM25 side is the audited q96 inverted-index
+    * retrieval; the fuzzy gate runs QUERY-side-vs-corpus through
+    * [[Dedup.jaccardPairsAcross]] (the q59 cross-sides discipline — the
+    * dominant corpus×corpus quadrant is never enumerated; candidates are
+    * bounded by the tiny query shingle side); the shingle relation is
+    * re-derived per consumer (the q83 re-scan discipline — scans are
+    * cheap, corpus-sized executor pins are not). The final anti-join and
+    * re-rank touch only the (nQueries × depth)-row candidate relation.
+    * Hot shingles (df > dfCap) are skipped in candidate generation with
+    * the exact correction join restoring their counts — at fixture scale
+    * (max df ≈ 25) a no-op, so the uncapped DuckDB oracle agrees exactly;
+    * the bound is the same declared divergence q126 documents.
+    */
+  def hardNegatives(spark: SparkSession, dir: String, nQueries: Int = 5,
+                    depth: Int = 20, kNeg: Int = 10,
+                    falseNegTau: Double = 0.8, dfCap: Int = 1000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    val isQ = col("doc_id") < nQueries
+    val cands = bm25TopK(spark, dir, nQueries, depth)
+    def shAll = Dedup.docShingles(docs)
+    val hot = shAll.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > dfCap).select(col("shingle"))
+    val fuzzy = Dedup.jaccardPairsAcross(shAll.filter(isQ), shAll, hot,
+        col("doc_a") =!= col("doc_b"), falseNegTau)
+      .select(col("doc_a").as("query_id"), col("doc_b").as("cand_id"))
+    val hashed = docs.select(col("doc_id"), TF.contentHash(col("text")).as("h"))
+    val exact = hashed.filter(isQ)
+      .select(col("doc_id").as("query_id"), col("h"))
+      .join(hashed.select(col("doc_id").as("cand_id"), col("h")), "h")
+      .filter(col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"))
+    val falseNegs = fuzzy.unionByName(exact).distinct()
+    val w = Window.partitionBy(col("query_id")).orderBy(col("rank"))
+    cands.join(falseNegs, Seq("query_id", "cand_id"), "left_anti")
+      .withColumn("neg_rank", row_number().over(w).cast("long"))
+      .filter(col("neg_rank") <= kNeg)
+      .select(col("query_id"), col("neg_rank"), col("cand_id"),
+        col("rank").as("bm25_rank"), col("score"))
+  }
+
   /** q99 — CORPUS DIVERSITY STATS (the data card): one row summarizing
     * what a dataset release publishes — doc/token/vocab counts plus the
     * Shannon entropies of the token and language marginals (nats, 6dp).
@@ -774,6 +828,74 @@ object TextAnalysis {
             * (col("cb").cast("double") / col("n_tok")))), 6).as("pmi"))
   }
 
+  /** q132 — BPE MERGE APPLICATION (segmentation): close q106's train→apply
+    * loop by applying the learned top-k merge table to the corpus — one
+    * greedy round in merge-rank order, the standard BPE-encode discipline
+    * at the trainer's own granularity (q106 ranks ADJACENT-TOKEN pairs, so
+    * application merges adjacent tokens into pieces): for each rank, every
+    * left-to-right adjacent occurrence of that pair whose BOTH positions
+    * are still unclaimed becomes one piece; lower rank wins overlaps
+    * ("a b" at rank 1 beats "b c" at rank 2 on "a b c" — the exact
+    * priority rule BPE encoders implement). Merged pieces cannot chain
+    * because the single-shot table keys only original-token pairs — the
+    * apply round mirrors what the trainer actually learned.
+    *
+    * Per-row imperative logic with no Catalyst equivalent, so this is the
+    * documented escape hatch (SURVEY §2 map: typed map > UDF): a typed
+    * Dataset map over (doc_id, text) with the k-row merge table collected
+    * once (bounded driver state, the J4 codebook discipline) and broadcast.
+    * Scale: one corpus scan, zero shuffles, output partitioning inherits
+    * the scan's; the greedy loop is O(k · tokens) per row with k fixed.
+    *
+    * Conservation is structural: every piece covers ≥1 token, every token
+    * lands in exactly one piece, so n_pieces + n_applied = n_tokens —
+    * the registered invariant aggregate (q34 discipline) pins it corpus-
+    * wide alongside DuckDB-recomputed doc/token totals; the spec pins the
+    * greedy semantics on planted overlap cases and a fixture recompute. */
+  def bpeApplySegments(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    val merges = bpeMergeCandidates(spark, dir, k)
+      .select(col("pair"), col("rank"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    bpeApplySegmentsFor(spark, Tables.documents(spark, dir), merges)
+  }
+
+  /** q132's registered invariant row (q34 discipline): DuckDB-recomputable
+    * doc/token totals plus the conservation counter pinned at zero. */
+  def bpeApplyInvariant(spark: SparkSession, dir: String, k: Int = 20): DataFrame =
+    bpeApplySegments(spark, dir, k).agg(
+      count(lit(1)).cast("long").as("n_docs"),
+      sum(col("n_tokens")).as("total_tokens"),
+      sum(when(col("n_pieces") + col("n_applied") =!= col("n_tokens"), 1L)
+        .otherwise(0L)).as("conservation_violations"))
+
+  /** The apply core against an explicit ranked merge table (rank 1 =
+    * highest priority). Returns (doc_id, n_tokens, n_pieces, n_applied). */
+  def bpeApplySegmentsFor(spark: SparkSession, docs: DataFrame,
+                          merges: Array[(String, Long)]): DataFrame = {
+    import spark.implicits._
+    val ranked = merges.sortBy(_._2).map { case (p, _) =>
+      val i = p.indexOf(' '); (p.substring(0, i), p.substring(i + 1))
+    }
+    val bc = spark.sparkContext.broadcast(ranked)
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val toks = text.split(" ", -1)
+        val claimed = new Array[Boolean](toks.length)
+        var applied = 0
+        for ((a, b) <- bc.value) {
+          var i = 0
+          while (i < toks.length - 1) {
+            if (!claimed(i) && !claimed(i + 1) && toks(i) == a && toks(i + 1) == b) {
+              claimed(i) = true; claimed(i + 1) = true; applied += 1
+              i += 2 // left-to-right, non-overlapping within the rank
+            } else i += 1
+          }
+        }
+        (id, toks.length.toLong, (toks.length - applied).toLong, applied.toLong)
+      }
+      .toDF("doc_id", "n_tokens", "n_pieces", "n_applied")
+  }
+
   /** q107 — DOCUMENT CHUNKING: split every document's token stream into
     * overlapping fixed-width windows (size `window`, step `stride`) — the
     * step that turns curated documents into model-ready training sequences
@@ -799,6 +921,116 @@ object TextAnalysis {
           .as("chunk_text"),
         least(lit(window), size(col("t")) - col("col")).cast("long")
           .as("n_chunk_tokens"))
+  }
+
+  /** q135 — TOKEN-DISTRIBUTION DRIFT between corpus snapshots: the
+    * distribution-level sibling of q100's row-level snapshot diff — when
+    * an ingest version lands, the question is not only WHICH docs changed
+    * but whether the TOKEN MARGINAL the model trains on moved. Reports
+    * the Jensen–Shannon divergence between the two snapshots' unigram
+    * distributions (symmetric, bounded by ln 2, defined even where one
+    * side has zero mass — the reason it, not KL, is the drift monitor's
+    * metric) and the top-k tokens by absolute probability delta: the
+    * "what drove the drift" list a pipeline alert attaches. Snapshot
+    * membership is the q91/q100 modulo discipline (v1 = doc_id % 5 ≠ 0,
+    * v2 = doc_id % 3 ≠ 0 — overlapping but different corpora).
+    *
+    * JS(p,q) = ½·Σ p·ln(p/m) + ½·Σ q·ln(q/m), m = (p+q)/2, with the
+    * 0·ln 0 = 0 convention carried by a full-outer join + coalesce(0) —
+    * every arithmetic step is deterministic double math both engines
+    * replicate; ranks order by the 6dp-ROUNDED delta then token (the
+    * bit-stable total order), so the oracle compares exactly.
+    *
+    * Scale shape: each marginal is one explode + map-side-combined hash
+    * agg into a vocab-sized relation; the join/divergence/top-k all run
+    * over vocab rows, never corpus rows; the two scalar totals broadcast.
+    * The JS scalar rides every output row (a 1-row cross join) so the
+    * report is one self-contained relation. */
+  def tokenDriftReport(spark: SparkSession, dir: String,
+                       k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    def marginal(pred: org.apache.spark.sql.Column) = docs.filter(pred)
+      .select(explode(TF.tokens(col("text"))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("c"))
+    val v1 = marginal(col("doc_id") % 5 =!= 0)
+    val v2 = marginal(col("doc_id") % 3 =!= 0)
+    val t1 = v1.agg(sum(col("c")).as("n1"))
+    val t2 = v2.agg(sum(col("c")).as("n2"))
+    val joined = v1.withColumnRenamed("c", "c1")
+      .join(v2.withColumnRenamed("c", "c2"), Seq("token"), "full_outer")
+      .crossJoin(broadcast(t1)).crossJoin(broadcast(t2))
+      .select(col("token"),
+        (coalesce(col("c1"), lit(0L)).cast("double") / col("n1")).as("p1"),
+        (coalesce(col("c2"), lit(0L)).cast("double") / col("n2")).as("p2"))
+      .withColumn("m", (col("p1") + col("p2")) / 2.0)
+    val js = joined.agg(
+      round(
+        (sum(when(col("p1") > 0.0, col("p1") * log(col("p1") / col("m")))
+          .otherwise(0.0))
+          + sum(when(col("p2") > 0.0, col("p2") * log(col("p2") / col("m")))
+            .otherwise(0.0))) / 2.0, 6).as("js_divergence"))
+    val w = Window.orderBy(col("abs_delta").desc, col("token"))
+    joined
+      .withColumn("abs_delta", round(abs(col("p1") - col("p2")), 6))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .crossJoin(broadcast(js))
+      .select(col("rank"), col("token"), round(col("p1"), 6).as("p1"),
+        round(col("p2"), 6).as("p2"), col("abs_delta"), col("js_divergence"))
+  }
+
+  /** q134 — CONTENT-DEFINED CHUNKING: split each doc at token positions
+    * chosen by the TOKEN CONTENT itself — a cut after every token whose
+    * seeded hash lands in a 1/16 band (first md5 hex digit '0'), giving
+    * ~16-token expected chunks — the Karp–Rabin/CDC discipline backup
+    * systems (LBFS, FastCDC) use for shift-robust dedup. q107's fixed
+    * windows misalign wholesale after one inserted token (every later
+    * chunk's content shifts by one), so chunk-level dedup misses every
+    * repeated passage that doesn't share the window phase; content-defined
+    * boundaries re-synchronize within one expected chunk length, so a
+    * passage pasted into a different position of a different doc yields
+    * IDENTICAL chunk hashes after the first resynchronizing cut — the
+    * property that makes chunk-hash dedup (D17's passage dedup at
+    * variable grain) work on edited text. Spec pins exactly this:
+    * prepending one token changes only the first chunk region's hashes.
+    *
+    * Entirely in-row (the q107 discipline): cut positions via a
+    * filter(sequence) over the token array, chunk geometry via zip_with,
+    * one posexplode — no shuffle, no window; the corpus streams through
+    * the scan at I/O speed and output partitioning inherits the input's.
+    * The hash band is compared on the md5 HEX PREFIX (no integer
+    * conversion), the same engine-independent trick the D11 rank uses —
+    * DuckDB computes the identical cut set, so the full per-chunk
+    * relation (ids, sizes, content hashes) is oracle-checked exactly. */
+  def contentDefinedChunks(spark: SparkSession, dir: String,
+                           seed: Long = 42L): DataFrame =
+    contentDefinedChunksFor(Tables.documents(spark, dir), seed)
+
+  /** The chunking core over any (doc_id, text) relation. */
+  def contentDefinedChunksFor(docs: DataFrame, seed: Long = 42L): DataFrame = {
+    val toks = TF.tokens(col("text"))
+    val isCut = (t: org.apache.spark.sql.Column) =>
+      substring(md5(concat(t, lit(s":$seed"))), 1, 1) === "0"
+    docs
+      .select(col("doc_id"), toks.as("t"))
+      .filter(size(col("t")) >= 1)
+      .withColumn("cuts",
+        filter(sequence(lit(1), size(col("t"))),
+          i => isCut(element_at(col("t"), i))))
+      .withColumn("geom",
+        filter(
+          zip_with(
+            concat(array(lit(1)), transform(col("cuts"), c => c + 1)),
+            concat(col("cuts"), array(size(col("t")))),
+            (s, e) => struct(s.as("s"), e.as("e"))),
+          p => p("s") <= p("e")))
+      .select(col("doc_id"), col("t"), posexplode(col("geom")))
+      .select(col("doc_id"), col("pos").cast("long").as("chunk_idx"),
+        (col("col")("e") - col("col")("s") + 1).cast("long").as("n_tokens"),
+        md5(array_join(
+          slice(col("t"), col("col")("s"), col("col")("e") - col("col")("s") + 1),
+          " ")).as("chunk_hash"))
   }
 
   /** q108 — VOCABULARY COVERAGE / OOV RATE: fix the tokenizer's

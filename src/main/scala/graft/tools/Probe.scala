@@ -54,6 +54,10 @@ object Probe {
       "q126_containment_pairs" -> (() => q("q126_containment_pairs")),
       "q127_ann_router" -> (() => q("q127_ann_router")),
       "q128_hybrid_rrf" -> (() => q("q128_hybrid_rrf")),
+      "q130_hard_negatives" -> (() => q("q130_hard_negatives")),
+      "q131_sq8_audit" -> (() => q("q131_sq8_audit")),
+      "q134_cdc_chunks" -> (() => q("q134_cdc_chunks")),
+      "q135_token_drift" -> (() => q("q135_token_drift")),
       "q78 candidate core (bucketed fp index: Exchange-free index side)" -> (() => {
         val table = "graft_probe_fpidx"
         val docs = graft.Tables.documents(spark, dir)

@@ -355,4 +355,36 @@ class SimilaritySpec extends AnyFunSuite {
       .filter(col("lex_rank").isNotNull && col("vec_rank").isNotNull)
     assert(both.count() > 0, "fixture should fuse at least one overlap")
   }
+
+  test("q131 SQ8 audit matches a driver-side quantizer; error bounded by half a step") {
+    val dir = TestSpark.Sf0001
+    val vecs = graft.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect()
+    val dims = vecs.head._2.length
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val want = (0 until dims).map { d =>
+      val xs = vecs.map(_._2(d).toDouble)
+      val (lo, hi) = (xs.min, xs.max)
+      val errs = xs.map { x =>
+        val code = if (hi == lo) 0.0
+          else math.min(255.0, math.floor((x - lo) * 255.0 / (hi - lo) + 0.5))
+        math.abs(x - (lo + code * (hi - lo) / 255.0))
+      }
+      (d.toLong, r6(lo), r6(hi), r6(errs.sum / errs.length), r6(errs.max))
+    }
+    val got = Similarity.sq8QuantizationAudit(spark, dir)
+      .as[(Long, Double, Double, Double, Double)].collect().sortBy(_._1)
+    assert(got.length == dims)
+    got.zip(want).foreach { case (g, w) =>
+      assert(g._1 == w._1 && g._2 == w._2 && g._3 == w._3, s"dim ${w._1} range")
+      // the means may differ by summation order at the last ulp
+      assert(math.abs(g._4 - w._4) <= 1e-6, s"dim ${w._1} mean err")
+      assert(g._5 == w._5, s"dim ${w._1} max err")
+      // round-to-nearest-level error is bounded by half a level step
+      val halfStep = (g._3 - g._2) / 255.0 / 2.0
+      assert(g._5 <= halfStep + 1e-6, s"dim ${w._1} bound")
+      assert(g._5 > 0.0, s"dim ${w._1} should quantize lossily on real data")
+    }
+  }
 }

@@ -466,4 +466,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(hits.map(_._3).toSeq == Seq(
       (T0 + Hour + 30 * 60000L) * 1000L, (T0 + 2 * Hour) * 1000L, (T0 + 3 * Hour) * 1000L))
   }
+
+  test("q133 streaming reservoir == batch bottom-k; sharding-independent; replay no-op") {
+    import graft.streaming.ReservoirSampleStream
+    import graft.operators.Sampling
+    import spark.implicits._
+    val dir = TestSpark.Sf0001
+    val got = ReservoirSampleStream.reservoirMultiTick(spark, dir)
+      .as[(Long, String, Long)].collect().toSet
+    val batch = Sampling.stratumCapSample(spark, dir)
+      .as[(Long, String, Long)].collect().toSet
+    assert(got == batch, "multi-tick merge must equal the batch bottom-k")
+    assert(got.nonEmpty)
+    // a completely different sharding (parity split, 2 ticks) converges to
+    // the same reservoir — arrival order/partitioning irrelevance
+    val docs = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"))
+    val path = java.nio.file.Files
+      .createTempDirectory("reservoir-spec").toString
+    ReservoirSampleStream.sampleTickXO(
+      docs.filter(col("doc_id") % 2 === 0), 0L, path)
+    ReservoirSampleStream.sampleTickXO(
+      docs.filter(col("doc_id") % 2 === 1), 1L, path)
+    val parity = ReservoirSampleStream.currentSample(spark, path)
+      .as[(Long, String, Long)].collect().toSet
+    assert(parity == batch, "sharding must not change the reservoir")
+    // replaying a tick rewrites its own partition: row set unchanged
+    ReservoirSampleStream.sampleTickXO(
+      docs.filter(col("doc_id") % 2 === 1), 1L, path)
+    val replayed = ReservoirSampleStream.currentSample(spark, path)
+      .as[(Long, String, Long)].collect().toSet
+    assert(replayed == batch, "replayed tick must be a no-op")
+  }
 }

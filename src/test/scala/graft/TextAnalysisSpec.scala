@@ -106,4 +106,170 @@ class TextAnalysisSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("q130 hard negatives: BM25 ranks minus the near-dup/exact gate, re-ranked") {
+    val dir = TestSpark.Sf0001
+    val (nQ, depth, kNeg) = (5, 20, 10)
+    // independent route: the SYMMETRIC self-join pair generator (the
+    // engine uses the query-vs-corpus cross form) plus exact text equality
+    def falseNegsAt(tau: Double): Set[(Long, Long)] = {
+      val nd = graft.operators.Dedup.ngramJaccardPairs(spark, dir, tau)
+        .select(col("doc_a"), col("doc_b")).as[(Long, Long)].collect()
+      val sym = nd.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      val byText = Tables.documents(spark, dir)
+        .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+        .groupBy(_._2).values.map(_.toSeq).filter(_.length > 1)
+        .flatMap(g => for (x <- g; y <- g if x._1 != y._1) yield (x._1, y._1))
+      (sym ++ byText).filter(_._1 < nQ).toSet
+    }
+    def expectedAt(tau: Double): Set[(Long, Long, Long, Long, Double)] = {
+      val gate = falseNegsAt(tau)
+      TextAnalysis.bm25TopK(spark, dir, nQ, depth)
+        .as[(Long, Long, Long, Double)].collect()
+        .filterNot { case (q, _, c, _) => gate((q, c)) }
+        .groupBy(_._1).toSeq.flatMap { case (q, rows) =>
+          rows.sortBy(_._2).take(kNeg).zipWithIndex.map {
+            case ((_, r, c, s), i) => (q, (i + 1).toLong, c, r, s)
+          }
+        }.toSet
+    }
+    for (tau <- Seq(0.5, 0.8)) {
+      val got = TextAnalysis.hardNegatives(spark, dir, nQ, depth, kNeg, tau)
+        .as[(Long, Long, Long, Long, Double)].collect().toSet
+      assert(got == expectedAt(tau), s"tau=$tau")
+    }
+    // the gate must actually bite on the fixture at the loose threshold,
+    // else the anti-join is untested
+    val excluded = TextAnalysis.bm25TopK(spark, dir, nQ, depth)
+      .select(col("query_id"), col("cand_id")).as[(Long, Long)].collect()
+      .toSet.intersect(falseNegsAt(0.5))
+    assert(excluded.nonEmpty, "fixture should surface a false negative at tau=0.5")
+  }
+
+  test("q132 BPE apply: rank priority on planted overlaps; fixture recompute; conservation") {
+    // rank decides overlaps: "a b" (rank 1) beats "b c" (rank 2) on "a b c"
+    val docs = Seq((1L, "a b c"), (2L, "a b a b"), (3L, "x"), (4L, "b c a b"))
+      .toDF("doc_id", "text")
+    val got1 = TextAnalysis
+      .bpeApplySegmentsFor(spark, docs, Array(("a b", 1L), ("b c", 2L)))
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got1 == Seq((1L, 3L, 2L, 1L), (2L, 4L, 2L, 2L),
+      (3L, 1L, 1L, 0L), (4L, 4L, 2L, 2L)))
+    // flipped priority: "b c" wins, "a" survives alone
+    val got2 = TextAnalysis
+      .bpeApplySegmentsFor(spark, docs, Array(("b c", 1L), ("a b", 2L)))
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got2.head == ((1L, 3L, 2L, 1L)))
+    // same-rank occurrences merge left-to-right non-overlapping: "a a a"
+    val tri = Seq((9L, "a a a")).toDF("doc_id", "text")
+    val got3 = TextAnalysis.bpeApplySegmentsFor(spark, tri, Array(("a a", 1L)))
+      .as[(Long, Long, Long, Long)].head()
+    assert(got3 == ((9L, 3L, 2L, 1L)))
+    // fixture: engine equals a driver-side greedy recompute and it bites
+    val dir = TestSpark.Sf0001
+    val merges = TextAnalysis.bpeMergeCandidates(spark, dir, 20)
+      .select(col("pair"), col("rank")).as[(String, Long)].collect()
+    val ranked = merges.sortBy(_._2).map { p =>
+      val i = p._1.indexOf(' '); (p._1.substring(0, i), p._1.substring(i + 1))
+    }
+    val corpus = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    val want = corpus.map { case (id, text) =>
+      val toks = text.split(" ", -1)
+      val claimed = new Array[Boolean](toks.length)
+      var applied = 0
+      for ((a, b) <- ranked) {
+        var i = 0
+        while (i < toks.length - 1) {
+          if (!claimed(i) && !claimed(i + 1) && toks(i) == a && toks(i + 1) == b) {
+            claimed(i) = true; claimed(i + 1) = true; applied += 1; i += 2
+          } else i += 1
+        }
+      }
+      (id, toks.length.toLong, (toks.length - applied).toLong, applied.toLong)
+    }.sortBy(_._1).toSeq
+    val got = TextAnalysis.bpeApplySegments(spark, dir, 20)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == want)
+    assert(got.map(_._4).sum > 0, "top-20 merges should apply somewhere in the fixture")
+    assert(got.forall(r => r._3 + r._4 == r._2), "piece/token conservation")
+  }
+
+  test("q134 content-defined chunks: driver recompute; one-token shift resynchronizes") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def chunksOf(text: String): Seq[(Long, Long, String)] = {
+      val t = text.split(" ", -1)
+      val cuts = (1 to t.length).filter(i => md5hex(t(i - 1) + ":42").startsWith("0"))
+      val starts = 1 +: cuts.map(_ + 1)
+      val ends = cuts :+ t.length
+      starts.zip(ends).filter { case (s, e) => s <= e }.zipWithIndex.map {
+        case ((s, e), i) =>
+          (i.toLong, (e - s + 1).toLong, md5hex(t.slice(s - 1, e).mkString(" ")))
+      }
+    }
+    // fixture: engine equals the driver-side recompute, and cuts bite
+    val dir = TestSpark.Sf0001
+    val corpus = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    val want = corpus.flatMap { case (id, text) =>
+      chunksOf(text).map { case (ci, n, h) => (id, ci, n, h) }
+    }.toSet
+    val got = TextAnalysis.contentDefinedChunks(spark, dir)
+      .as[(Long, Long, Long, String)].collect().toSet
+    assert(got == want)
+    assert(got.exists(_._2 > 0), "cuts should fire somewhere in the fixture")
+    // shift robustness: prepending one token perturbs only the region
+    // before the first re-synchronizing cut — tails are hash-identical
+    val base = corpus.maxBy(_._2.split(" ").length)._2
+    val shifted = "zzz " + base
+    val a = chunksOf(base).map(_._3)
+    val b = chunksOf(shifted).map(_._3)
+    assert(a.length >= 3, "need a multi-chunk doc for the tail compare")
+    assert(b.drop(b.length - (a.length - 1)) == a.drop(1),
+      "all chunks after the first cut must be identical")
+    // the same property through the engine path on a planted 2-doc table
+    val docs = Seq((1L, base), (2L, shifted)).toDF("doc_id", "text")
+    val eng = TextAnalysis.contentDefinedChunksFor(docs)
+      .as[(Long, Long, Long, String)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._4).toSeq).toMap
+    assert(eng(2L).drop(eng(2L).length - (eng(1L).length - 1)) == eng(1L).drop(1))
+  }
+
+  test("q135 token drift: driver-side JS + top-k recompute; divergence bounded") {
+    val dir = TestSpark.Sf0001
+    val corpus = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    def marginal(pred: Long => Boolean): Map[String, Double] = {
+      val counts = corpus.filter(c => pred(c._1))
+        .flatMap(_._2.split(" ", -1)).groupBy(identity)
+        .map { case (t, xs) => t -> xs.length.toDouble }
+      val n = counts.values.sum
+      counts.map { case (t, c) => t -> c / n }
+    }
+    val p = marginal(_ % 5 != 0)
+    val q = marginal(_ % 3 != 0)
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val vocab = p.keySet ++ q.keySet
+    val jsRaw = vocab.toSeq.map { t =>
+      val (pi, qi) = (p.getOrElse(t, 0.0), q.getOrElse(t, 0.0))
+      val m = (pi + qi) / 2.0
+      (if (pi > 0) pi * math.log(pi / m) else 0.0) +
+        (if (qi > 0) qi * math.log(qi / m) else 0.0)
+    }.sum / 2.0
+    val wantTop = vocab.toSeq
+      .map(t => (t, r6(math.abs(p.getOrElse(t, 0.0) - q.getOrElse(t, 0.0)))))
+      .sortBy { case (t, d) => (-d, t) }.take(10).zipWithIndex
+      .map { case ((t, d), i) => ((i + 1).toLong, t, d) }
+    val got = TextAnalysis.tokenDriftReport(spark, dir)
+      .as[(Long, String, Double, Double, Double, Double)].collect().sortBy(_._1)
+    assert(got.map(r => (r._1, r._2, r._5)).toSeq == wantTop)
+    got.foreach { r =>
+      assert(math.abs(r._3 - r6(p.getOrElse(r._2, 0.0))) <= 1e-6)
+      assert(math.abs(r._4 - r6(q.getOrElse(r._2, 0.0))) <= 1e-6)
+      assert(math.abs(r._6 - r6(jsRaw)) <= 1e-6, "js divergence")
+      assert(r._6 > 0.0 && r._6 <= math.log(2.0), "JS in (0, ln 2]")
+    }
+  }
 }

@@ -442,7 +442,11 @@ object SparkEntry {
     // marginals + top-k delta contributors — deterministic double math,
     // 6dp-rounded total order, fully oracle-able
     "q135_token_drift" -> ((s: SparkSession, d: String) =>
-      TextAnalysis.tokenDriftReport(s, d))
+      TextAnalysis.tokenDriftReport(s, d)),
+    // q121's ownership over q134's shift-robust chunks + the DECIMAL-
+    // rounded duplicated-token-fraction removal gate
+    "q136_cdc_dedup" -> ((s: SparkSession, d: String) =>
+      Dedup.cdcPassageDedup(s, d))
   )
 
   /** Shared CTE chain ending in `pairs` = the exact-Jaccard near-dup pairs
@@ -1961,6 +1965,40 @@ object SparkEntry {
         |              round(abs(p1 - p2), 6) AS abs_delta
         |            FROM wm)
         |SELECT rank, token, p1, p2, abs_delta, js_divergence
-        |FROM ranked, js WHERE rank <= 10""".stripMargin
+        |FROM ranked, js WHERE rank <= 10""".stripMargin,
+    // the q134 chunk CTEs, first-occurrence ownership (the q121 rn
+    // pattern), per-doc rollup, and the q126-style DECIMAL-rounded gate
+    "q136_cdc_dedup" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+        |              FROM documents WHERE len(string_split(text, ' ')) >= 1),
+        | tok AS (SELECT doc_id, generate_subscripts(t, 1) AS pos,
+        |           unnest(t) AS token FROM toks),
+        | flagged AS (SELECT doc_id, pos, token,
+        |               CASE WHEN substr(md5(token || ':42'), 1, 1) = '0'
+        |                    THEN 1 ELSE 0 END AS cut
+        |             FROM tok),
+        | idx AS (SELECT doc_id, pos, token,
+        |           coalesce(sum(cut) OVER (PARTITION BY doc_id ORDER BY pos
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |             AS chunk_idx
+        |         FROM flagged),
+        | chunks AS (SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+        |              CAST(count(*) AS BIGINT) AS n_tokens,
+        |              md5(string_agg(token, ' ' ORDER BY pos)) AS chunk_hash
+        |            FROM idx GROUP BY doc_id, chunk_idx),
+        | mk AS (SELECT *, row_number() OVER (PARTITION BY chunk_hash
+        |          ORDER BY doc_id, chunk_idx) AS rn FROM chunks),
+        | prof AS (SELECT doc_id, count(*) AS n_chunks,
+        |            CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |              AS n_kept,
+        |            CAST(sum(CASE WHEN rn = 1 THEN n_tokens ELSE 0 END)
+        |              AS BIGINT) AS kept_tokens,
+        |            CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+        |          FROM mk GROUP BY 1)
+        |SELECT doc_id, n_chunks, n_kept, kept_tokens, total_tokens,
+        | CAST(round(CAST(CAST(total_tokens - kept_tokens AS DOUBLE)
+        |        / total_tokens AS DECIMAL(38,18)), 6) AS DOUBLE) >= 0.5
+        |   AS dropped
+        |FROM prof""".stripMargin
   )
 }

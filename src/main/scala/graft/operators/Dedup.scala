@@ -1142,6 +1142,54 @@ object Dedup {
         sum(col("n_tokens")).as("total_tokens"))
   }
 
+  /** q136 — CDC-GRAIN PASSAGE DEDUP + boilerplate gate: q121's ownership
+    * discipline applied to CONTENT-DEFINED chunks (q134) instead of fixed
+    * 16-token blocks — the combination that actually catches edited
+    * boilerplate: fixed blocks lose alignment after one inserted token,
+    * CDC boundaries re-synchronize, so the same passage pasted at any
+    * offset of any doc still collides on its chunk hashes. Per doc, the
+    * survival profile (chunks kept/owned-elsewhere, token counts) plus
+    * the REMOVAL VERDICT: `dropped` iff the duplicated-token fraction
+    * reaches `tau` — the "this page is mostly someone else's text"
+    * curation gate. The fraction gate rounds through DECIMAL on both
+    * engines (the q92/q126 tie discipline).
+    *
+    * Scale shape: chunking is the q134 in-row pass (no shuffle);
+    * ownership is ONE hash agg keyed on the 32-byte chunk HASH —
+    * `min(struct(doc_id, chunk_idx))` map-side combines, so a
+    * billion-occurrence boilerplate chunk reduces to one row per
+    * partition before the exchange (never a row_number sort of the hot
+    * group); the owner relation joins back on the agg's own key
+    * (co-partitioned, AQE skew-split covers hot hashes); the rollup keys
+    * on doc_id. Joining on the fixed-width hash rather than passage TEXT
+    * also bounds shuffle row width — the q121 shape with a smaller key. */
+  def cdcPassageDedup(spark: SparkSession, dir: String, tau: Double = 0.5,
+                      seed: Long = 42L): DataFrame =
+    cdcPassageDedupFor(Tables.documents(spark, dir), tau, seed)
+
+  /** The CDC-dedup core over any (doc_id, text) relation. */
+  def cdcPassageDedupFor(docs: DataFrame, tau: Double = 0.5,
+                         seed: Long = 42L): DataFrame = {
+    val chunks = graft.operators.TextAnalysis.contentDefinedChunksFor(docs, seed)
+    val owners = chunks.groupBy(col("chunk_hash"))
+      .agg(min(struct(col("doc_id"), col("chunk_idx"))).as("o"))
+      .select(col("chunk_hash"), col("o.doc_id").as("o_doc"),
+        col("o.chunk_idx").as("o_idx"))
+    chunks.join(owners, "chunk_hash")
+      .withColumn("kept",
+        col("doc_id") === col("o_doc") && col("chunk_idx") === col("o_idx"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("kept"), col("n_tokens")).otherwise(0L)).as("kept_tokens"),
+        sum(col("n_tokens")).as("total_tokens"))
+      .withColumn("dropped",
+        round(((col("total_tokens") - col("kept_tokens")).cast("double")
+            / col("total_tokens"))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 18)), 6)
+          .cast("double") >= tau)
+  }
+
   /** q124 — SEMANTIC DEDUP (SemDeDup shape): drop embeddings that are
     * semantically redundant with an earlier-id neighbor INSIDE the same
     * coarse semantic bucket — the Abbas et al. 2023 recipe (cluster, then

@@ -58,6 +58,7 @@ object Probe {
       "q131_sq8_audit" -> (() => q("q131_sq8_audit")),
       "q134_cdc_chunks" -> (() => q("q134_cdc_chunks")),
       "q135_token_drift" -> (() => q("q135_token_drift")),
+      "q136_cdc_dedup" -> (() => q("q136_cdc_dedup")),
       "q78 candidate core (bucketed fp index: Exchange-free index side)" -> (() => {
         val table = "graft_probe_fpidx"
         val docs = graft.Tables.documents(spark, dir)

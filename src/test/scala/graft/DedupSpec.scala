@@ -438,4 +438,37 @@ class DedupSpec extends AnyFunSuite {
     assert(got.values.forall(_ == 1L),
       s"all path vertices must label 1, got ${got.filter(_._2 != 1L).take(5)}")
   }
+
+  test("q136 CDC dedup: unique ownership; exact AND shifted copies dropped") {
+    val base = graft.Tables.documents(spark, TestSpark.Sf0001)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+      .maxBy(_._2.split(" ").length)._2
+    val unique = (1 to 30).map(i => s"uniq$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, base), (3L, "zzz " + base), (4L, unique))
+      .toDF("doc_id", "text")
+    val prof = Dedup.cdcPassageDedupFor(docs)
+      .as[(Long, Long, Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    // doc 1 owns everything it has; doc 2 is an exact copy — fully owned
+    // elsewhere; doc 3 is the SHIFTED copy fixed windows would miss: CDC
+    // re-syncs, so all chunks after its head region are doc 1's
+    assert(prof(1L)._3 == prof(1L)._2 && !prof(1L)._6, "owner doc keeps all")
+    assert(prof(2L)._3 == 0L && prof(2L)._6, "exact copy fully deduped")
+    assert(prof(3L)._6, "shifted copy must be dropped (dup fraction >= tau)")
+    assert(prof(3L)._3 < prof(3L)._2, "shifted copy keeps only its head region")
+    assert(prof(4L)._3 == prof(4L)._2 && !prof(4L)._6, "unique doc untouched")
+    // corpus-wide conservation: each distinct chunk hash is kept exactly once
+    val distinctHashes = graft.operators.TextAnalysis.contentDefinedChunksFor(docs)
+      .select(col("chunk_hash")).distinct().count()
+    assert(prof.values.map(_._3).sum == distinctHashes)
+    // fixture smoke: token totals conserved, gate consistent with the profile
+    val fx = Dedup.cdcPassageDedup(spark, TestSpark.Sf0001)
+      .as[(Long, Long, Long, Long, Long, Boolean)].collect()
+    assert(fx.nonEmpty)
+    fx.foreach { r =>
+      val frac = BigDecimal((r._5 - r._4).toDouble / r._5)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r._6 == (frac >= 0.5), s"doc ${r._1} gate")
+    }
+  }
 }

@@ -446,7 +446,14 @@ object SparkEntry {
     // q121's ownership over q134's shift-robust chunks + the DECIMAL-
     // rounded duplicated-token-fraction removal gate
     "q136_cdc_dedup" -> ((s: SparkSession, d: String) =>
-      Dedup.cdcPassageDedup(s, d))
+      Dedup.cdcPassageDedup(s, d)),
+    // truncation fidelity over the q21 audited pair set: prefix-m cosine
+    // vs full cosine, deterministic double math per q131's precedent
+    "q137_matryoshka_audit" -> ((s: SparkSession, d: String) =>
+      Similarity.matryoshkaAudit(s, d)),
+    // per-source volume / corpus-wide dup exposure / lang-entropy table
+    "q138_source_scorecard" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.sourceScorecard(s, d))
   )
 
   /** Shared CTE chain ending in `pairs` = the exact-Jaccard near-dup pairs
@@ -1999,6 +2006,66 @@ object SparkEntry {
         | CAST(round(CAST(CAST(total_tokens - kept_tokens AS DOUBLE)
         |        / total_tokens AS DECIMAL(38,18)), 6) AS DOUBLE) >= 0.5
         |   AS dropped
-        |FROM prof""".stripMargin
+        |FROM prof""".stripMargin,
+    // q21's pair CTEs at depth 20, then per prefix width the dim-gated
+    // partial dot/norms rebuild the truncated cosine; zero-norm guard on
+    // both engines
+    "q137_matryoshka_audit" ->
+      s"""WITH ex AS ($embedExplode),
+         | dots AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         |            sum(q.x * c.x) AS dot
+         |          FROM ex q JOIN ex c ON q.dim = c.dim AND q.vec_id < 5
+         |            AND q.vec_id <> c.vec_id
+         |          GROUP BY 1, 2),
+         | norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM ex GROUP BY vec_id),
+         | vscored AS (SELECT query_id, cand_id,
+         |               dot / (nq.nrm * nc.nrm) AS cos_full,
+         |               round(dot / (nq.nrm * nc.nrm), 6) AS score
+         |             FROM dots JOIN norms nq ON nq.vec_id = query_id
+         |                       JOIN norms nc ON nc.vec_id = cand_id),
+         | pairs AS (SELECT query_id, cand_id, cos_full
+         |           FROM (SELECT query_id, cand_id, cos_full,
+         |                   row_number() OVER (PARTITION BY query_id
+         |                     ORDER BY score DESC, cand_id) AS rank
+         |                 FROM vscored)
+         |           WHERE rank <= 20),
+         | pm AS (SELECT query_id, cand_id, cos_full, m
+         |        FROM pairs, (VALUES (8), (16), (32)) v(m)),
+         | pre AS (SELECT pm.query_id, pm.cand_id, pm.m, pm.cos_full,
+         |           sum(CASE WHEN q.dim < pm.m THEN q.x * c.x ELSE 0 END) AS dp,
+         |           sqrt(sum(CASE WHEN q.dim < pm.m THEN q.x * q.x ELSE 0 END)) AS nqp,
+         |           sqrt(sum(CASE WHEN q.dim < pm.m THEN c.x * c.x ELSE 0 END)) AS ncp
+         |         FROM pm JOIN ex q ON q.vec_id = pm.query_id
+         |                 JOIN ex c ON c.vec_id = pm.cand_id AND c.dim = q.dim
+         |         GROUP BY 1, 2, 3, 4),
+         | deltas AS (SELECT m,
+         |              abs(cos_full - CASE WHEN nqp = 0 OR ncp = 0 THEN 0.0
+         |                                  ELSE dp / (nqp * ncp) END) AS d
+         |            FROM pre)
+         |SELECT CAST(m AS BIGINT) AS m, count(*) AS n_pairs,
+         | round(avg(d), 6) AS mean_abs_delta, round(max(d), 6) AS max_abs_delta
+         |FROM deltas GROUP BY m""".stripMargin,
+    // corpus-wide hash counts joined back (the q16 shape), per-source
+    // rollup, q99's one-pass entropy identity per source
+    "q138_source_scorecard" ->
+      """WITH d AS (SELECT doc_id, source, lang, sha256(text) AS h,
+        |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |           FROM documents),
+        | hc AS (SELECT h, count(*) AS hc FROM d GROUP BY h),
+        | f AS (SELECT d.*, CASE WHEN hc > 1 THEN 1 ELSE 0 END AS dup
+        |       FROM d JOIN hc USING (h)),
+        | vol AS (SELECT source, count(*) AS n_docs,
+        |           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        |           round(avg(n_tokens), 6) AS avg_tokens,
+        |           round(avg(CAST(dup AS DOUBLE)), 6) AS dup_frac
+        |         FROM f GROUP BY source),
+        | le AS (SELECT source,
+        |          round(ln(CAST(sum(c) AS DOUBLE))
+        |            - sum(c * ln(c)) / sum(c), 6) AS lang_entropy
+        |        FROM (SELECT source, lang, count(*) AS c FROM d
+        |              GROUP BY source, lang)
+        |        GROUP BY source)
+        |SELECT source, n_docs, total_tokens, avg_tokens, dup_frac, lang_entropy
+        |FROM vol JOIN le USING (source)""".stripMargin
   )
 }

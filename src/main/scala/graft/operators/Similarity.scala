@@ -887,6 +887,47 @@ object Similarity {
         col("lex_rank"), col("vec_rank"))
   }
 
+  /** q137 — MATRYOSHKA PREFIX-DIMENSION AUDIT: before serving truncated
+    * embeddings (the MRL deployment trick — store/search the first m dims
+    * as a cheap prefilter, Kusupati et al., NeurIPS 2022), measure what
+    * truncation does to the similarities that MATTER: over the exact
+    * top-`depth` retrieval pairs (q21's audited, hash-pinned set — not
+    * random pairs), the mean/max absolute cosine delta between the
+    * m-dim-prefix cosine and the full-dimension cosine, one row per
+    * candidate prefix width. A prefix whose max delta is far under the
+    * retrieval score gaps can serve as the first stage; one near the gaps
+    * cannot. Complements A17: SQ8 audits per-DIM quantization error,
+    * this audits per-PREFIX truncation error.
+    *
+    * Oracle-able like q131 (trainless, deterministic double arithmetic);
+    * zero-norm prefixes guard to cosine 0 in both engines. Scale: the
+    * pair set is (nQueries × depth) rows; the two embedding joins are
+    * id-keyed lookups; every per-m relation is pair-set-sized — corpus
+    * cost is q21's retrieval, already audited. */
+  def matryoshkaAudit(spark: SparkSession, dir: String, nQueries: Int = 5,
+                      depth: Int = 20,
+                      prefixes: Seq[Int] = Seq(8, 16, 32)): DataFrame = {
+    val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val joined = cosineTopK(spark, dir, nQueries, depth)
+      .select(col("query_id"), col("cand_id"))
+      .join(e.select(col("vec_id").as("query_id"), col("embedding").as("qv")),
+        "query_id")
+      .join(e.select(col("vec_id").as("cand_id"), col("embedding").as("cv")),
+        "cand_id")
+    val full = VectorOps.cosineFast(col("qv"), col("cv"))
+    prefixes.map { m =>
+      val qp = slice(col("qv"), 1, m)
+      val cp = slice(col("cv"), 1, m)
+      val cosM = when(VectorOps.norm(qp) === 0.0 || VectorOps.norm(cp) === 0.0,
+        lit(0.0)).otherwise(VectorOps.cosineFast(qp, cp))
+      joined.select(lit(m).cast("long").as("m"), abs(full - cosM).as("d"))
+    }.reduce(_ unionByName _)
+      .groupBy(col("m"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(avg(col("d")), 6).as("mean_abs_delta"),
+        round(max(col("d")), 6).as("max_abs_delta"))
+  }
+
   /** q131 — SQ8 SCALAR-QUANTIZATION AUDIT: the report a pipeline runs
     * before committing an embedding table to int8 storage (the 4×-smaller
     * store FAISS calls SQ8): per dimension, the corpus [min, max] range

@@ -923,6 +923,48 @@ object TextAnalysis {
           .as("n_chunk_tokens"))
   }
 
+  /** q138 — PER-SOURCE SCORECARD: the one-table answer to "which ingest
+    * source is hurting the corpus" — per source: volume (docs, tokens,
+    * mean tokens/doc), exact-duplication exposure (fraction of the
+    * source's docs whose text also appears elsewhere in the CORPUS — a
+    * corpus-wide hash count, not per-source, so a source that mirrors
+    * another's content scores high even if internally unique), and
+    * language balance (Shannon entropy of the source's lang marginal,
+    * the q99 identity per source). The artifact a curation run publishes
+    * next to the data card; sources rank by it for exclusion or
+    * re-weighting decisions.
+    *
+    * Scale shape: one corpus pass builds the (hash → count) relation
+    * (map-side-combined, joined back on its own key — the q16 exact-dedup
+    * shape); tokens come from one in-row size(); the lang-entropy agg
+    * runs over the |source × lang| relation; everything downstream of
+    * the scans keys on the tiny source key. Deterministic double math,
+    * 6dp rounds — fully oracle-checked. */
+  def sourceScorecard(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("lang"),
+        TF.contentHash(col("text")).as("h"),
+        size(TF.tokens(col("text"))).cast("long").as("n_tokens"))
+    val hashCounts = docs.groupBy(col("h")).agg(count(lit(1)).as("hc"))
+    val flagged = docs.join(hashCounts, "h")
+      .withColumn("dup", (col("hc") > 1L).cast("long"))
+    val volume = flagged.groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_tokens")).as("total_tokens"),
+      round(avg(col("n_tokens")), 6).as("avg_tokens"),
+      round(avg(col("dup").cast("double")), 6).as("dup_frac"))
+    // −Σ(c/T)·ln(c/T) = ln T − (Σ c·ln c)/T — the q99 one-pass identity,
+    // per source
+    val langEntropy = docs.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("source"))
+      .agg(round(log(sum(col("c")).cast("double"))
+        - sum(col("c") * log(col("c"))) / sum(col("c")), 6).as("lang_entropy"))
+    volume.join(langEntropy, "source")
+      .select(col("source"), col("n_docs"), col("total_tokens"),
+        col("avg_tokens"), col("dup_frac"), col("lang_entropy"))
+  }
+
   /** q135 — TOKEN-DISTRIBUTION DRIFT between corpus snapshots: the
     * distribution-level sibling of q100's row-level snapshot diff — when
     * an ingest version lands, the question is not only WHICH docs changed

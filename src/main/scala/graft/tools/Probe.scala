@@ -59,6 +59,8 @@ object Probe {
       "q134_cdc_chunks" -> (() => q("q134_cdc_chunks")),
       "q135_token_drift" -> (() => q("q135_token_drift")),
       "q136_cdc_dedup" -> (() => q("q136_cdc_dedup")),
+      "q137_matryoshka_audit" -> (() => q("q137_matryoshka_audit")),
+      "q138_source_scorecard" -> (() => q("q138_source_scorecard")),
       "q78 candidate core (bucketed fp index: Exchange-free index side)" -> (() => {
         val table = "graft_probe_fpidx"
         val docs = graft.Tables.documents(spark, dir)

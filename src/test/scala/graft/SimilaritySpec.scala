@@ -356,6 +356,39 @@ class SimilaritySpec extends AnyFunSuite {
     assert(both.count() > 0, "fixture should fuse at least one overlap")
   }
 
+  test("q137 matryoshka audit matches a driver-side truncated-cosine recompute") {
+    val dir = TestSpark.Sf0001
+    val (nQ, depth) = (5, 20)
+    val vecs = graft.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect()
+      .map { case (id, v) => id -> v.map(_.toDouble).toArray }.toMap
+    def cos(a: Array[Double], b: Array[Double], m: Int): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < m) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val pairs = Similarity.cosineTopK(spark, dir, nQ, depth)
+      .select(col("query_id"), col("cand_id")).as[(Long, Long)].collect()
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val dims = vecs.head._2.length
+    val want = Seq(8, 16, 32).map { m =>
+      val ds = pairs.map { case (q, c) =>
+        math.abs(cos(vecs(q), vecs(c), dims) - cos(vecs(q), vecs(c), m))
+      }
+      (m.toLong, pairs.length.toLong, r6(ds.sum / ds.length), r6(ds.max))
+    }
+    val got = Similarity.matryoshkaAudit(spark, dir, nQ, depth)
+      .as[(Long, Long, Double, Double)].collect().sortBy(_._1).toSeq
+    got.zip(want).foreach { case (g, w) =>
+      assert(g._1 == w._1 && g._2 == w._2, s"m=${w._1} shape")
+      assert(math.abs(g._3 - w._3) <= 1e-6, s"m=${w._1} mean")
+      assert(math.abs(g._4 - w._4) <= 1e-6, s"m=${w._1} max")
+      assert(g._4 > 0.0, s"m=${w._1} truncation must be lossy on real data")
+    }
+  }
+
   test("q131 SQ8 audit matches a driver-side quantizer; error bounded by half a step") {
     val dir = TestSpark.Sf0001
     val vecs = graft.Tables.embeddings(spark, dir)

@@ -237,6 +237,35 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(eng(2L).drop(eng(2L).length - (eng(1L).length - 1)) == eng(1L).drop(1))
   }
 
+  test("q138 source scorecard matches a driver-side recompute") {
+    val dir = TestSpark.Sf0001
+    val corpus = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("lang"), col("text"))
+      .as[(Long, String, String, String)].collect()
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val hashCount = corpus.groupBy(_._4).view.mapValues(_.length).toMap
+    val want = corpus.groupBy(_._2).map { case (src, rows) =>
+      val toks = rows.map(_._4.split(" ", -1).length.toLong)
+      val dup = rows.count(r => hashCount(r._4) > 1)
+      val langs = rows.groupBy(_._3).values.map(_.length.toDouble)
+      val n = langs.sum
+      val ent = math.log(n) - langs.map(c => c * math.log(c)).sum / n
+      (src, rows.length.toLong, toks.sum, r6(toks.sum.toDouble / toks.length),
+        r6(dup.toDouble / rows.length), r6(ent))
+    }.toSet
+    val got = TextAnalysis.sourceScorecard(spark, dir)
+      .as[(String, Long, Long, Double, Double, Double)].collect().toSet
+    assert(got.map(r => (r._1, r._2, r._3)) == want.map(r => (r._1, r._2, r._3)))
+    val wm = want.map(r => r._1 -> r).toMap
+    got.foreach { g =>
+      val w = wm(g._1)
+      assert(math.abs(g._4 - w._4) <= 1e-6 && math.abs(g._5 - w._5) <= 1e-6 &&
+        math.abs(g._6 - w._6) <= 1e-6, s"source ${g._1}")
+      assert(g._5 >= 0.0 && g._5 <= 1.0 && g._6 >= 0.0)
+    }
+    assert(got.size > 1, "fixture should carry multiple sources")
+  }
+
   test("q135 token drift: driver-side JS + top-k recompute; divergence bounded") {
     val dir = TestSpark.Sf0001
     val corpus = Tables.documents(spark, dir)

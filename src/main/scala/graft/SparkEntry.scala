@@ -453,7 +453,11 @@ object SparkEntry {
       Similarity.matryoshkaAudit(s, d)),
     // per-source volume / corpus-wide dup exposure / lang-entropy table
     "q138_source_scorecard" -> ((s: SparkSession, d: String) =>
-      TextAnalysis.sourceScorecard(s, d))
+      TextAnalysis.sourceScorecard(s, d)),
+    // IVF index compaction (invariant row): batches fold 4 -> 1 with the
+    // (vec_id, list_id) relation and probe results bit-identical
+    "q139_ivf_compaction" -> ((s: SparkSession, d: String) =>
+      Similarity.ivfCompactionInvariant(s, d))
   )
 
   /** Shared CTE chain ending in `pairs` = the exact-Jaccard near-dup pairs
@@ -2066,6 +2070,15 @@ object SparkEntry {
         |              GROUP BY source, lang)
         |        GROUP BY source)
         |SELECT source, n_docs, total_tokens, avg_tokens, dup_frac, lang_entropy
-        |FROM vol JOIN le USING (source)""".stripMargin
+        |FROM vol JOIN le USING (source)""".stripMargin,
+    // invariant row: DuckDB recounts the vector table; the layout fold
+    // (4 batches -> 1) and both zero-mismatch counters are pinned
+    "q139_ivf_compaction" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_vecs,
+        | CAST(4 AS BIGINT) AS batches_before,
+        | CAST(1 AS BIGINT) AS batches_after,
+        | CAST(0 AS BIGINT) AS assign_mismatches,
+        | CAST(0 AS BIGINT) AS probe_mismatches
+        |FROM embeddings""".stripMargin
   )
 }

@@ -479,6 +479,80 @@ object Similarity {
       probesFor(queries, cents, nProbe, cents.length > LiteralCodebookMaxLists), k)
   }
 
+  /** q139 — IVF INDEX COMPACTION: the maintenance verb the persisted IVF
+    * lifecycle (q94) was missing and the shingle/fp indexes already have
+    * (D9's compaction): after K ingest ticks the assignment table is
+    * K+1 ingest_batch partitions of tick-sized files, every probe pays a
+    * K+1-partition listing, and the small-file count grows without
+    * bound. Compaction folds ALL batches into the settled partition
+    * (ingest_batch = −1), aligned one-task-per-list so each list lands
+    * contiguous — row-preserving by contract: LAYOUT changes, the
+    * (vec_id, list_id) relation does not (q139's invariant pins both
+    * directions of that contract, plus probe-result identity).
+    *
+    * Staged-rewrite + swap, the D9 discipline on a path instead of a
+    * warehouse table: write the folded layout beside the index, then
+    * delete + rename. Same declared crash window as D9 (a failure
+    * between delete and rename leaves only the staged copy; a
+    * transactional metastore would close it — documented, not hidden). */
+  def ivfCompact(spark: SparkSession, indexPath: String,
+                 nLists: Int = 16): Unit = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val dst = new org.apache.hadoop.fs.Path(indexPath)
+    val staged = new org.apache.hadoop.fs.Path(indexPath + "_compacting")
+    val fs = dst.getFileSystem(hconf)
+    fs.delete(staged, true)
+    spark.read.parquet(indexPath)
+      .withColumn("ingest_batch", lit(-1L))
+      .repartition(nLists, col("list_id"))
+      .write.mode("overwrite")
+      .partitionBy("ingest_batch", "list_id")
+      .parquet(staged.toString)
+    fs.delete(dst, true)
+    require(fs.rename(staged, dst),
+      s"compaction swap failed: $staged -> $dst")
+  }
+
+  /** q139's invariant row (q34 discipline): settled bootstrap + three
+    * ingest ticks, then compaction; DuckDB recounts n_vecs and pins
+    * batches 4 → 1, persisted-vs-fresh assignment mismatches 0, and
+    * pre-vs-post-compaction probe mismatches 0. The pre-probe snapshot
+    * is query-bounded (nQueries × k rows), eagerly checkpointed so the
+    * compare survives the swap. */
+  def ivfCompactionInvariant(spark: SparkSession, dir: String,
+                             nLists: Int = 16, nProbe: Int = 4,
+                             nQueries: Int = 10, k: Int = 5): DataFrame = {
+    val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val hex = graft.sources.Sources.dirTag(dir)
+    val cbPath = graft.sources.Sources.scratchDir(spark, "ivfc_codebook_" + hex)
+    val idxPath = graft.sources.Sources.scratchDir(spark, "ivfc_index_" + hex)
+    writeIvfIndex(e.filter(col("vec_id") % 4 === 0), cbPath, idxPath, nLists)
+    ivfIngestTick(e.filter(col("vec_id") % 4 === 1), cbPath, idxPath, 0L)
+    ivfIngestTick(e.filter(col("vec_id") % 4 === 2), cbPath, idxPath, 1L)
+    ivfIngestTick(e.filter(col("vec_id") % 4 === 3), cbPath, idxPath, 2L)
+    val queries = e.filter(col("vec_id") < nQueries)
+    val batchesBefore = spark.read.parquet(idxPath)
+      .select(col("ingest_batch")).distinct().count()
+    val preProbe = ivfProbeIndex(spark, cbPath, idxPath, queries, k, nProbe)
+      .localCheckpoint(true) // nQueries·k rows — bounded
+    ivfCompact(spark, idxPath, nLists)
+    val batchesAfter = spark.read.parquet(idxPath)
+      .select(col("ingest_batch")).distinct().count()
+    val persisted = spark.read.parquet(idxPath).select(col("vec_id"), col("list_id"))
+    val full = ivfAssign(e, loadCentroids(spark, cbPath))
+      .select(col("vec_id"), col("list_id"))
+    val assignMismatches =
+      persisted.exceptAll(full).count() + full.exceptAll(persisted).count()
+    val postProbe = ivfProbeIndex(spark, cbPath, idxPath, queries, k, nProbe)
+    val probeMismatches =
+      preProbe.exceptAll(postProbe).count() + postProbe.exceptAll(preProbe).count()
+    import spark.implicits._
+    Seq((e.count(), batchesBefore, batchesAfter,
+      assignMismatches, probeMismatches)).toDF(
+      "n_vecs", "batches_before", "batches_after",
+      "assign_mismatches", "probe_mismatches")
+  }
+
   /** q94 fixture entry — the invariant row (q34 discipline: the RNG-free
     * facts DuckDB can recount plus violation counters that must be zero):
     * settled corpus (vec_id % 5 ≠ 0) bootstraps the persisted index, the

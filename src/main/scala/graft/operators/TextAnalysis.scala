@@ -874,7 +874,9 @@ object TextAnalysis {
                           merges: Array[(String, Long)]): DataFrame = {
     import spark.implicits._
     val ranked = merges.sortBy(_._2).map { case (p, _) =>
-      val i = p.indexOf(' '); (p.substring(0, i), p.substring(i + 1))
+      val i = p.indexOf(' ')
+      require(i > 0, s"merge pair must be space-joined tokens: '$p'")
+      (p.substring(0, i), p.substring(i + 1))
     }
     val bc = spark.sparkContext.broadcast(ranked)
     docs.select(col("doc_id"), col("text")).as[(Long, String)]

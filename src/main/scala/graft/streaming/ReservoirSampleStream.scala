@@ -67,7 +67,13 @@ object ReservoirSampleStream {
 
   /** The current reservoir: bottom-k of the accumulated candidates — the
     * semilattice merge, ranked over an index-sized relation only.
-    * Returns (doc_id, lang, pos), q97's exact output contract. */
+    * Returns (doc_id, lang, pos), q97's exact output contract.
+    *
+    * CONTRACT: `k` here must be ≤ the `k` the ticks were written with —
+    * bottom-k' of a bottom-k store is exact for k' ≤ k, but a LARGER k'
+    * would silently return an underfilled reservoir (candidates beyond
+    * each batch's bottom-k were never landed). The multi-tick entry
+    * point threads one k through both sides. */
   def currentSample(spark: SparkSession, path: String, k: Int = 50,
                     seed: Long = 42L, prefixChars: Int = 2): DataFrame =
     Sampling.hashRankWithin(

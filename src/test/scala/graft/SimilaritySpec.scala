@@ -356,6 +356,29 @@ class SimilaritySpec extends AnyFunSuite {
     assert(both.count() > 0, "fixture should fuse at least one overlap")
   }
 
+  test("q139 IVF compaction: invariant row green; one file per list after the fold") {
+    val dir = TestSpark.Sf0001
+    val inv = Similarity.ivfCompactionInvariant(spark, dir)
+      .as[(Long, Long, Long, Long, Long)].head()
+    val nVecs = graft.Tables.embeddings(spark, dir).count()
+    assert(inv == ((nVecs, 4L, 1L, 0L, 0L)))
+    // layout claim: the fold leaves one data file per list partition
+    val idxPath = new java.io.File(
+      graft.sources.Sources.scratchDir(spark,
+        "ivfc_index_" + graft.sources.Sources.dirTag(dir)))
+    val settled = new java.io.File(idxPath, "ingest_batch=-1")
+    assert(settled.isDirectory, "settled partition must exist after compaction")
+    val listDirs = settled.listFiles().filter(_.isDirectory)
+    assert(listDirs.nonEmpty)
+    listDirs.foreach { d =>
+      val files = d.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.length == 1, s"${d.getName} should hold one file, has ${files.length}")
+    }
+    // no stray per-tick partitions survive
+    assert(idxPath.listFiles().filter(_.isDirectory).map(_.getName).toSet
+      == Set("ingest_batch=-1"))
+  }
+
   test("q137 matryoshka audit matches a driver-side truncated-cosine recompute") {
     val dir = TestSpark.Sf0001
     val (nQ, depth) = (5, 20)

@@ -457,7 +457,11 @@ object SparkEntry {
     // IVF index compaction (invariant row): batches fold 4 -> 1 with the
     // (vec_id, list_id) relation and probe results bit-identical
     "q139_ivf_compaction" -> ((s: SparkSession, d: String) =>
-      Similarity.ivfCompactionInvariant(s, d))
+      Similarity.ivfCompactionInvariant(s, d)),
+    // q135 kept live: per-tick JS vs the frozen reference marginal, with
+    // a replayed tick; every tick's divergence is DuckDB-recomputable
+    "q140_streaming_drift" -> ((s: SparkSession, d: String) =>
+      graft.streaming.DriftMonitorStream.driftMultiTick(s, d))
   )
 
   /** Shared CTE chain ending in `pairs` = the exact-Jaccard near-dup pairs
@@ -2079,6 +2083,43 @@ object SparkEntry {
         | CAST(1 AS BIGINT) AS batches_after,
         | CAST(0 AS BIGINT) AS assign_mismatches,
         | CAST(0 AS BIGINT) AS probe_mismatches
-        |FROM embeddings""".stripMargin
+        |FROM embeddings""".stripMargin,
+    // the same thirds (integer-division cuts), the same frozen reference
+    // marginal, the same q135 JS arithmetic — per tick; the replayed
+    // tick must leave exactly one row per batch or the row set diverges
+    "q140_streaming_drift" ->
+      """WITH mx AS (SELECT max(doc_id) AS m FROM documents),
+        | shards AS (SELECT doc_id, text,
+        |              CASE WHEN doc_id <= m // 3 THEN 0
+        |                   WHEN doc_id <= 2 * m // 3 THEN 1 ELSE 2 END AS b
+        |            FROM documents, mx),
+        | ref AS (SELECT token, count(*) AS cr
+        |         FROM (SELECT unnest(string_split(text, ' ')) AS token
+        |               FROM documents WHERE doc_id % 5 <> 0)
+        |         GROUP BY token),
+        | rt AS (SELECT sum(cr) AS nr FROM ref),
+        | bt AS (SELECT b, token, count(*) AS cb
+        |        FROM (SELECT b, unnest(string_split(text, ' ')) AS token
+        |              FROM shards)
+        |        GROUP BY b, token),
+        | btot AS (SELECT b, sum(cb) AS nb FROM bt GROUP BY b),
+        | rb AS (SELECT bs.b, ref.token, ref.cr
+        |        FROM ref, (SELECT DISTINCT b FROM shards) bs),
+        | j AS (SELECT coalesce(bt.b, rb.b) AS b,
+        |         CAST(coalesce(cb, 0) AS DOUBLE) / nb AS p1,
+        |         CAST(coalesce(cr, 0) AS DOUBLE) / nr AS p2
+        |       FROM bt FULL OUTER JOIN rb
+        |         ON bt.b = rb.b AND bt.token = rb.token,
+        |         btot, rt
+        |       WHERE btot.b = coalesce(bt.b, rb.b)),
+        | wm AS (SELECT b, p1, p2, (p1 + p2) / 2.0 AS m FROM j),
+        | fin AS (SELECT b,
+        |           round((sum(CASE WHEN p1 > 0 THEN p1 * ln(p1 / m) ELSE 0 END)
+        |                + sum(CASE WHEN p2 > 0 THEN p2 * ln(p2 / m) ELSE 0 END))
+        |             / 2.0, 6) AS js_divergence
+        |         FROM wm GROUP BY b)
+        |SELECT CAST(b AS BIGINT) AS ingest_batch,
+        | CAST(nb AS BIGINT) AS n_tokens, js_divergence
+        |FROM fin JOIN btot USING (b)""".stripMargin
   )
 }

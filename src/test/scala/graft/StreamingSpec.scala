@@ -498,4 +498,54 @@ class StreamingSpec extends AnyFunSuite {
       .as[(Long, String, Long)].collect().toSet
     assert(replayed == batch, "replayed tick must be a no-op")
   }
+
+  test("q140 streaming drift: per-tick JS recompute; zero on identical marginal; replay") {
+    import graft.streaming.DriftMonitorStream
+    import spark.implicits._
+    val dir = TestSpark.Sf0001
+    val corpus = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    def counts(rows: Seq[(Long, String)]): Map[String, Long] =
+      rows.flatMap(_._2.split(" ", -1)).groupBy(identity)
+        .map { case (t, xs) => t -> xs.length.toLong }
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def js(a: Map[String, Long], b: Map[String, Long]): Double = {
+      val (na, nb) = (a.values.sum.toDouble, b.values.sum.toDouble)
+      (a.keySet ++ b.keySet).toSeq.map { t =>
+        val p = a.getOrElse(t, 0L) / na
+        val q = b.getOrElse(t, 0L) / nb
+        val m = (p + q) / 2.0
+        (if (p > 0) p * math.log(p / m) else 0.0) +
+          (if (q > 0) q * math.log(q / m) else 0.0)
+      }.sum / 2.0
+    }
+    val ref = counts(corpus.filter(_._1 % 5 != 0).toSeq)
+    val maxId = corpus.map(_._1).max
+    val (c1, c2) = (maxId / 3, 2 * maxId / 3)
+    val shards = Seq(
+      corpus.filter(_._1 <= c1).toSeq,
+      corpus.filter(r => r._1 > c1 && r._1 <= c2).toSeq,
+      corpus.filter(_._1 > c2).toSeq)
+    val want = shards.zipWithIndex.map { case (rows, i) =>
+      (i.toLong, rows.map(_._2.split(" ", -1).length.toLong).sum, r6(js(counts(rows), ref)))
+    }.toSet
+    // multi-tick (includes a replayed tick 1) equals the per-shard recompute
+    val got = DriftMonitorStream.driftMultiTick(spark, dir)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got.map(r => (r._1, r._2)) == want.map(r => (r._1, r._2)))
+    got.foreach { g =>
+      val w = want.find(_._1 == g._1).get
+      assert(math.abs(g._3 - w._3) <= 1e-6, s"tick ${g._1} js")
+      assert(g._3 > 0.0, s"tick ${g._1} should drift from the reference")
+    }
+    // a batch whose marginal IS the reference marginal has JS exactly 0
+    val path = java.nio.file.Files.createTempDirectory("drift-spec").toString
+    val refDocs = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).filter(col("doc_id") % 5 =!= 0)
+    DriftMonitorStream.driftTickXO(refDocs, 0L,
+      path, DriftMonitorStream.tokenCounts(refDocs))
+    val zero = spark.read.parquet(path).select(col("js_divergence"))
+      .as[Double].head()
+    assert(zero == 0.0)
+  }
 }

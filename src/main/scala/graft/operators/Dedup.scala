@@ -1165,12 +1165,27 @@ object Dedup {
     * also bounds shuffle row width — the q121 shape with a smaller key. */
   def cdcPassageDedup(spark: SparkSession, dir: String, tau: Double = 0.5,
                       seed: Long = 42L): DataFrame =
-    cdcPassageDedupFor(Tables.documents(spark, dir), tau, seed)
+    cdcPassageDedupFor(Tables.documents(spark, dir), tau, seed,
+      graft.sources.Sources.dirTag(dir))
 
-  /** The CDC-dedup core over any (doc_id, text) relation. */
+  /** The CDC-dedup core over any (doc_id, text) relation. `scratchTag`
+    * keys the chunk spill so concurrent inputs in one session cannot
+    * share a path. */
   def cdcPassageDedupFor(docs: DataFrame, tau: Double = 0.5,
-                         seed: Long = 42L): DataFrame = {
-    val chunks = graft.operators.TextAnalysis.contentDefinedChunksFor(docs, seed)
+                         seed: Long = 42L,
+                         scratchTag: String = "fixture"): DataFrame = {
+    val spark = docs.sparkSession
+    // The chunk relation feeds ownership AND the join-back side, and its
+    // dominant cost is the interpreted md5-per-token pass — recomputing
+    // it per consumer doubles that, and pinning it in executor storage
+    // (localCheckpoint) is the footprint q88/q123 were moved off. The
+    // D9 discipline: spill once to scratch parquet, let both consumers
+    // re-read the compact columnar spill.
+    val cPath = graft.sources.Sources.scratchDir(spark,
+      "cdc_chunks_" + scratchTag)
+    graft.operators.TextAnalysis.contentDefinedChunksFor(docs, seed)
+      .write.mode("overwrite").parquet(cPath)
+    val chunks = spark.read.parquet(cPath)
     val owners = chunks.groupBy(col("chunk_hash"))
       .agg(min(struct(col("doc_id"), col("chunk_idx"))).as("o"))
       .select(col("chunk_hash"), col("o.doc_id").as("o_doc"),

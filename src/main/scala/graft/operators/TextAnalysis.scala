@@ -1056,20 +1056,31 @@ object TextAnalysis {
     val toks = TF.tokens(col("text"))
     val isCut = (t: org.apache.spark.sql.Column) =>
       substring(md5(concat(t, lit(s":$seed"))), 1, 1) === "0"
+    // The cut set (an md5 per token — the dominant cost) is referenced
+    // twice by the geometry (starts and ends); written as a plain column,
+    // CollapseProject inlines the expression per reference and the md5
+    // pass runs ~3x per row. Wrapping it as the 1-element array argument
+    // of a transform makes every use a LAMBDA-VARIABLE reference, so the
+    // hash pass is evaluated exactly once per row.
     docs
       .select(col("doc_id"), toks.as("t"))
       .filter(size(col("t")) >= 1)
-      .withColumn("cuts",
-        filter(sequence(lit(1), size(col("t"))),
-          i => isCut(element_at(col("t"), i))))
       .withColumn("geom",
-        filter(
-          zip_with(
-            concat(array(lit(1)), transform(col("cuts"), c => c + 1)),
-            concat(col("cuts"), array(size(col("t")))),
-            (s, e) => struct(s.as("s"), e.as("e"))),
-          p => p("s") <= p("e")))
-      .select(col("doc_id"), col("t"), posexplode(col("geom")))
+        flatten(transform(
+          array(filter(sequence(lit(1), size(col("t"))),
+            i => isCut(element_at(col("t"), i)))),
+          cuts => filter(
+            zip_with(
+              concat(array(lit(1)), transform(cuts, c => c + 1)),
+              concat(cuts, array(size(col("t")))),
+              (s, e) => struct(s.as("s"), e.as("e"))),
+            p => p("s") <= p("e")))))
+      // posexplode_outer: the non-outer Generate plants a pre-filter
+      // (size > 0 AND isnotnull) that re-evaluates the whole geometry —
+      // and with it the hash pass — per conjunct; geom is never
+      // empty/null for a non-empty token array, so outer is row-for-row
+      // identical and the plan keeps exactly ONE geometry evaluation
+      .select(col("doc_id"), col("t"), posexplode_outer(col("geom")))
       .select(col("doc_id"), col("pos").cast("long").as("chunk_idx"),
         (col("col")("e") - col("col")("s") + 1).cast("long").as("n_tokens"),
         md5(array_join(

@@ -82,6 +82,35 @@ object ReservoirSampleStream {
       .filter(col("pos") <= k)
       .select(col("doc_id"), col("lang"), col("pos"))
 
+  /** Reservoir compaction — the D9/q139 maintenance verb for this store:
+    * after K ticks the candidate table is K partitions whose union the
+    * merge re-reads every call; folding them into the settled
+    * ingest_batch = −1 partition as the CURRENT bottom-k keeps the store
+    * at exactly k·strata rows forever. Sound because bottom-k is the
+    * semilattice fold: bottom-k(settled ∪ future) = bottom-k(bottom-k
+    * (settled) ∪ future) — compaction loses nothing a future merge
+    * needs. Staged-rewrite + swap, same declared crash window as q139.
+    * `k` must be ≥ any k later merges will ask for (the merge contract
+    * above, applied to the store itself). */
+  def compactReservoir(spark: SparkSession, path: String, k: Int = 50,
+                       seed: Long = 42L, prefixChars: Int = 2): Unit = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val dst = new org.apache.hadoop.fs.Path(path)
+    val staged = new org.apache.hadoop.fs.Path(path + "_compacting")
+    val hfs = dst.getFileSystem(hconf)
+    hfs.delete(staged, true)
+    Sampling.hashRankWithin(
+        spark.read.parquet(path).select(col("doc_id"), col("lang")).distinct(),
+        "lang", "doc_id", seed, prefixChars)
+      .filter(col("pos") <= k)
+      .select(col("doc_id"), col("lang"))
+      .withColumn("ingest_batch", lit(-1L))
+      .write.mode("overwrite").partitionBy("ingest_batch")
+      .parquet(staged.toString)
+    hfs.delete(dst, true)
+    require(hfs.rename(staged, dst), s"compaction swap failed: $staged -> $dst")
+  }
+
   /** The foreachBatch wrapper: Spark's own batchId keys the idempotent
     * tick, so checkpoint-recovery replays rewrite their own partitions. */
   def streamingReservoir(docsStream: DataFrame, path: String, k: Int = 50,

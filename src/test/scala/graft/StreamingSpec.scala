@@ -497,6 +497,21 @@ class StreamingSpec extends AnyFunSuite {
     val replayed = ReservoirSampleStream.currentSample(spark, path)
       .as[(Long, String, Long)].collect().toSet
     assert(replayed == batch, "replayed tick must be a no-op")
+    // compaction folds the store to the settled partition, sample intact,
+    // and a post-compaction tick still merges correctly (the semilattice
+    // property compaction relies on)
+    ReservoirSampleStream.compactReservoir(spark, path)
+    val folded = new java.io.File(path).listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(folded == Set("ingest_batch=-1"))
+    assert(ReservoirSampleStream.currentSample(spark, path)
+      .as[(Long, String, Long)].collect().toSet == batch,
+      "compaction must preserve the sample")
+    ReservoirSampleStream.sampleTickXO(
+      docs.filter(col("doc_id") % 2 === 1), 2L, path) // re-offer old docs
+    assert(ReservoirSampleStream.currentSample(spark, path)
+      .as[(Long, String, Long)].collect().toSet == batch,
+      "post-compaction merge must still equal the batch bottom-k")
   }
 
   test("q140 streaming drift: per-tick JS recompute; zero on identical marginal; replay") {

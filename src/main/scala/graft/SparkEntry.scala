@@ -461,7 +461,14 @@ object SparkEntry {
     // q135 kept live: per-tick JS vs the frozen reference marginal, with
     // a replayed tick; every tick's divergence is DuckDB-recomputable
     "q140_streaming_drift" -> ((s: SparkSession, d: String) =>
-      graft.streaming.DriftMonitorStream.driftMultiTick(s, d))
+      graft.streaming.DriftMonitorStream.driftMultiTick(s, d)),
+    // the q139 compaction invariant for the compressed (PQ codes) store
+    "q141_pq_compaction" -> ((s: SparkSession, d: String) =>
+      Similarity.pqCompactionInvariant(s, d)),
+    // the D9 persisted-index tick at CDC-chunk grain: settled corpus
+    // chunks once into a one-column hash sink, the shard probes it
+    "q142_chunk_incremental_dedup" -> ((s: SparkSession, d: String) =>
+      graft.operators.IncrementalDedup.chunkIncrementalDedupReport(s, d))
   )
 
   /** Shared CTE chain ending in `pairs` = the exact-Jaccard near-dup pairs
@@ -2120,6 +2127,53 @@ object SparkEntry {
         |         FROM wm GROUP BY b)
         |SELECT CAST(b AS BIGINT) AS ingest_batch,
         | CAST(nb AS BIGINT) AS n_tokens, js_divergence
-        |FROM fin JOIN btot USING (b)""".stripMargin
+        |FROM fin JOIN btot USING (b)""".stripMargin,
+    // invariant row: vector count recounted; layout fold and both
+    // zero-mismatch counters pinned (the q139 contract, PQ store)
+    "q141_pq_compaction" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_vecs,
+        | CAST(4 AS BIGINT) AS batches_before,
+        | CAST(1 AS BIGINT) AS batches_after,
+        | CAST(0 AS BIGINT) AS code_mismatches,
+        | CAST(0 AS BIGINT) AS probe_mismatches
+        |FROM embeddings""".stripMargin,
+    // the q134 chunk CTEs over both splits: settled distinct hashes vs
+    // the shard's chunks, per-doc rollup, the DECIMAL-rounded gate
+    "q142_chunk_incremental_dedup" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+        |              FROM documents WHERE len(string_split(text, ' ')) >= 1),
+        | tok AS (SELECT doc_id, generate_subscripts(t, 1) AS pos,
+        |           unnest(t) AS token FROM toks),
+        | flagged AS (SELECT doc_id, pos, token,
+        |               CASE WHEN substr(md5(token || ':42'), 1, 1) = '0'
+        |                    THEN 1 ELSE 0 END AS cut
+        |             FROM tok),
+        | idx AS (SELECT doc_id, pos, token,
+        |           coalesce(sum(cut) OVER (PARTITION BY doc_id ORDER BY pos
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |             AS chunk_idx
+        |         FROM flagged),
+        | chunks AS (SELECT doc_id, chunk_idx,
+        |              CAST(count(*) AS BIGINT) AS n_tokens,
+        |              md5(string_agg(token, ' ' ORDER BY pos)) AS chunk_hash
+        |            FROM idx GROUP BY doc_id, chunk_idx),
+        | settled AS (SELECT DISTINCT chunk_hash FROM chunks
+        |             WHERE doc_id % 7 <> 0),
+        | shard AS (SELECT c.doc_id, c.n_tokens,
+        |             (s.chunk_hash IS NOT NULL) AS is_settled
+        |           FROM chunks c LEFT JOIN settled s USING (chunk_hash)
+        |           WHERE c.doc_id % 7 = 0),
+        | prof AS (SELECT doc_id, count(*) AS n_chunks,
+        |            CAST(sum(CASE WHEN is_settled THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS n_settled_chunks,
+        |            CAST(sum(CASE WHEN is_settled THEN n_tokens ELSE 0 END)
+        |              AS BIGINT) AS settled_tokens,
+        |            CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+        |          FROM shard GROUP BY 1)
+        |SELECT doc_id, n_chunks, n_settled_chunks, settled_tokens,
+        | total_tokens,
+        | CAST(round(CAST(CAST(settled_tokens AS DOUBLE) / total_tokens
+        |        AS DECIMAL(38,18)), 6) AS DOUBLE) >= 0.5 AS dropped
+        |FROM prof""".stripMargin
   )
 }

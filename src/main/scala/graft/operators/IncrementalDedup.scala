@@ -911,4 +911,62 @@ object IncrementalDedup {
       .withColumn("novelty",
         round(lit(1.0) - col("n_seen").cast("double") / col("n_shingles"), 6))
   }
+
+  /** q142 — INCREMENTAL CDC DEDUP: the D9 persisted-index discipline at
+    * D23's content-defined-chunk grain — the tick that catches EDITED
+    * boilerplate arriving against a settled corpus, which whole-doc
+    * near-dup (q64's shingle Jaccard) under-weights and fixed blocks
+    * miss after one inserted token. The settled corpus chunks ONCE into
+    * a single-column distinct chunk-hash sink; each arriving shard
+    * chunks in-row (the G5 pass), semi-joins the index on the 32-byte
+    * hash, and rolls up per doc the settled-owned token fraction; the
+    * DECIMAL-rounded gate (q92/q126 discipline) is the admission
+    * verdict. `seed` is the chunking seed and must match between index
+    * build and probe — the [[writeShingleIndex]] width lesson: a probe
+    * at a different seed matches nothing and reads as fully novel, so
+    * both verbs take it and the fixture entry threads one value through.
+    *
+    * Scale shape: index = ONE pruned column, distinct (map-side
+    * combined); per tick the join shuffles the shard's chunk hashes and
+    * only matching index hashes (semi-join shape); the bucketed layouts
+    * of the shingle/fp family apply verbatim to this sink (same key
+    * discipline, smaller rows). */
+  def writeChunkHashIndex(docs: DataFrame, path: String,
+                          seed: Long = 42L): Unit =
+    graft.operators.TextAnalysis.contentDefinedChunksFor(docs, seed)
+      .select(col("chunk_hash")).distinct()
+      .write.mode("overwrite").parquet(path)
+
+  /** Per-shard report against the persisted chunk-hash index: one row
+    * per arriving doc with its chunk/token totals, the settled-owned
+    * share, and the admission verdict. */
+  def chunkDedupReportFor(newDocs: DataFrame, index: DataFrame,
+                          tau: Double = 0.5, seed: Long = 42L): DataFrame =
+    graft.operators.TextAnalysis.contentDefinedChunksFor(newDocs, seed)
+      .join(index.select(col("chunk_hash")).distinct()
+        .withColumn("settled", lit(true)), Seq("chunk_hash"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("settled"), 1L).otherwise(0L)).as("n_settled_chunks"),
+        sum(when(col("settled"), col("n_tokens")).otherwise(0L))
+          .as("settled_tokens"),
+        sum(col("n_tokens")).as("total_tokens"))
+      .withColumn("dropped",
+        round((col("settled_tokens").cast("double") / col("total_tokens"))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 18)), 6)
+          .cast("double") >= tau)
+
+  /** q142 fixture entry: q64's split (settled = doc_id % 7 ≠ 0, shard =
+    * the rest), one seed threaded through index build and probe. */
+  def chunkIncrementalDedupReport(spark: SparkSession, dir: String,
+                                  tau: Double = 0.5,
+                                  seed: Long = 42L): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val isNew = col("doc_id") % 7 === 0
+    val path = graft.sources.Sources.scratchDir(spark,
+      "chunk_index_" + graft.sources.Sources.dirTag(dir))
+    writeChunkHashIndex(docs.filter(!isNew), path, seed)
+    chunkDedupReportFor(docs.filter(isNew),
+      spark.read.parquet(path), tau, seed)
+  }
 }

@@ -859,6 +859,68 @@ object Similarity {
         col("code_mismatches"), col("probe_mismatches"))
   }
 
+  /** q141 — PQ CODES COMPACTION: q139's maintenance verb for the
+    * COMPRESSED store — after K encode ticks the codes table is K+1
+    * ingest_batch partitions; fold them into the settled partition
+    * (ingest_batch = −1). Row-preserving by contract (codes are already
+    * frozen against the persisted books — compaction is pure layout);
+    * staged-rewrite + swap with the same declared crash window. */
+  def pqCompact(spark: SparkSession, codesPath: String): Unit = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val dst = new org.apache.hadoop.fs.Path(codesPath)
+    val staged = new org.apache.hadoop.fs.Path(codesPath + "_compacting")
+    val hfs = dst.getFileSystem(hconf)
+    hfs.delete(staged, true)
+    spark.read.parquet(codesPath)
+      .withColumn("ingest_batch", lit(-1L))
+      .write.mode("overwrite").partitionBy("ingest_batch")
+      .parquet(staged.toString)
+    hfs.delete(dst, true)
+    require(hfs.rename(staged, dst), s"compaction swap failed: $staged -> $dst")
+  }
+
+  /** q141's invariant row (the q139 shape for the PQ store): settled
+    * bootstrap + three encode ticks, compact, then pin batches 4 → 1,
+    * persisted-codes-vs-fresh-encode equality, and pre-vs-post probe
+    * identity (pre-probe snapshot query-bounded, checkpointed across
+    * the swap). */
+  def pqCompactionInvariant(spark: SparkSession, dir: String,
+                            nQueries: Int = 10, k: Int = 5,
+                            rerank: Int = 100): DataFrame = {
+    val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val hex = graft.sources.Sources.dirTag(dir)
+    val booksPath = graft.sources.Sources.scratchDir(spark, "pqc_books_" + hex)
+    val codesPath = graft.sources.Sources.scratchDir(spark, "pqc_codes_" + hex)
+    writePqIndex(e.filter(col("vec_id") % 4 === 0), booksPath, codesPath)
+    pqIngestTick(e.filter(col("vec_id") % 4 === 1), booksPath, codesPath, 0L)
+    pqIngestTick(e.filter(col("vec_id") % 4 === 2), booksPath, codesPath, 1L)
+    pqIngestTick(e.filter(col("vec_id") % 4 === 3), booksPath, codesPath, 2L)
+    val books = loadPqBooks(spark, booksPath)
+    val subDim = books(0)(0).length
+    val batchesBefore = spark.read.parquet(codesPath)
+      .select(col("ingest_batch")).distinct().count()
+    def probeOf(codes: DataFrame) = pqTopKOver(e,
+      codes.select(col("vec_id").as("cand_id"), col("codes")),
+      books, subDim, nQueries, k, rerank)
+    val preProbe = probeOf(spark.read.parquet(codesPath)).localCheckpoint(true)
+    pqCompact(spark, codesPath)
+    val batchesAfter = spark.read.parquet(codesPath)
+      .select(col("ingest_batch")).distinct().count()
+    val persisted = spark.read.parquet(codesPath).select(col("vec_id"), col("codes"))
+    val full = e.select(col("vec_id"),
+      pqEncode(col("embedding"), books, subDim).as("codes"))
+    val codeMismatches =
+      persisted.exceptAll(full).count() + full.exceptAll(persisted).count()
+    val postProbe = probeOf(persisted)
+    val probeMismatches =
+      preProbe.exceptAll(postProbe).count() + postProbe.exceptAll(preProbe).count()
+    import spark.implicits._
+    Seq((e.count(), batchesBefore, batchesAfter,
+      codeMismatches, probeMismatches)).toDF(
+      "n_vecs", "batches_before", "batches_after",
+      "code_mismatches", "probe_mismatches")
+  }
+
   /** q115 — EMBEDDING TABLE AUDIT: the data-quality report a vector
     * pipeline runs before indexing — per label: vector count, dimension
     * agreement (an ANN index dies on ragged dims), and the L2-norm

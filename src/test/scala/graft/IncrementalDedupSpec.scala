@@ -765,4 +765,45 @@ class IncrementalDedupSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("q142 chunk-grain incremental dedup: copies and shifted copies rejected, fresh admitted") {
+    val base = graft.Tables.documents(spark, TestSpark.Sf0001)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+      .maxBy(_._2.split(" ").length)._2
+    val fresh = (1 to 40).map(i => s"fresh$i").mkString(" ")
+    val settled = Seq((1L, base), (2L, fresh)).toDF("doc_id", "text")
+    val idxPath = java.nio.file.Files
+      .createTempDirectory("chunkidx-spec").toString
+    IncrementalDedup.writeChunkHashIndex(settled, idxPath)
+    val shard = Seq(
+      (101L, base),                                    // exact copy
+      (102L, "zzz " + base),                           // shifted copy
+      (103L, (1 to 40).map(i => s"new$i").mkString(" "))) // genuinely new
+      .toDF("doc_id", "text")
+    val rep = IncrementalDedup.chunkDedupReportFor(shard,
+        spark.read.parquet(idxPath))
+      .as[(Long, Long, Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(rep(101L)._6, "exact copy must be dropped")
+    assert(rep(101L)._3 == rep(101L)._2, "every chunk of the copy is settled")
+    assert(rep(102L)._6, "shifted copy must be dropped (CDC resync)")
+    assert(rep(102L)._3 < rep(102L)._2, "only the head region is novel")
+    assert(!rep(103L)._6 && rep(103L)._3 == 0L, "fresh doc admitted, no settled chunks")
+    // a probe at a different chunking seed must not silently match (the
+    // width/seed-threading lesson): everything reads fully novel
+    val wrongSeed = IncrementalDedup.chunkDedupReportFor(shard,
+        spark.read.parquet(idxPath), seed = 7L)
+      .as[(Long, Long, Long, Long, Long, Boolean)].collect()
+    assert(wrongSeed.forall(r => r._3 == 0L),
+      "cross-seed probe matches nothing — callers must thread one seed")
+    // fixture entry: gate arithmetic consistent with the profile
+    val fx = IncrementalDedup.chunkIncrementalDedupReport(spark, TestSpark.Sf0001)
+      .as[(Long, Long, Long, Long, Long, Boolean)].collect()
+    assert(fx.nonEmpty)
+    fx.foreach { r =>
+      val frac = BigDecimal(r._4.toDouble / r._5)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r._6 == (frac >= 0.5), s"doc ${r._1} gate")
+    }
+  }
 }

@@ -379,6 +379,19 @@ class SimilaritySpec extends AnyFunSuite {
       == Set("ingest_batch=-1"))
   }
 
+  test("q141 PQ codes compaction: invariant green; store folds to the settled partition") {
+    val dir = TestSpark.Sf0001
+    val inv = Similarity.pqCompactionInvariant(spark, dir)
+      .as[(Long, Long, Long, Long, Long)].head()
+    val nVecs = graft.Tables.embeddings(spark, dir).count()
+    assert(inv == ((nVecs, 4L, 1L, 0L, 0L)))
+    val codesPath = new java.io.File(
+      graft.sources.Sources.scratchDir(spark,
+        "pqc_codes_" + graft.sources.Sources.dirTag(dir)))
+    assert(codesPath.listFiles().filter(_.isDirectory).map(_.getName).toSet
+      == Set("ingest_batch=-1"))
+  }
+
   test("q137 matryoshka audit matches a driver-side truncated-cosine recompute") {
     val dir = TestSpark.Sf0001
     val (nQ, depth) = (5, 20)

@@ -956,6 +956,30 @@ object IncrementalDedup {
           .cast(org.apache.spark.sql.types.DecimalType(38, 18)), 6)
           .cast("double") >= tau)
 
+  /** The D24 ingest loop (the [[ingestShard]] contract at chunk grain):
+    * dedup the shard against the persisted chunk-hash index, admit the
+    * docs below the gate, append ONLY the admitted docs' novel hashes to
+    * the sink, return the admitted docs. The admitted set pins eagerly
+    * (localCheckpoint — shard-bounded) before the append so the lazy
+    * plan cannot observe the files it is about to write; intra-shard
+    * duplicates of an admitted doc are caught on the next tick, the
+    * settled-corpus-first contract [[ingestShard]] documents. */
+  def chunkIngestShard(newDocs: DataFrame, indexPath: String,
+                       tau: Double = 0.5, seed: Long = 42L): DataFrame = {
+    val spark = newDocs.sparkSession
+    val index = spark.read.parquet(indexPath)
+    val admitted = newDocs.join(
+        chunkDedupReportFor(newDocs, index, tau, seed)
+          .filter(col("dropped")).select(col("doc_id")),
+        Seq("doc_id"), "left_anti")
+      .localCheckpoint(true)
+    graft.operators.TextAnalysis.contentDefinedChunksFor(admitted, seed)
+      .select(col("chunk_hash")).distinct()
+      .join(index.select(col("chunk_hash")), Seq("chunk_hash"), "left_anti")
+      .write.mode("append").parquet(indexPath)
+    admitted
+  }
+
   /** q142 fixture entry: q64's split (settled = doc_id % 7 ≠ 0, shard =
     * the rest), one seed threaded through index build and probe. */
   def chunkIncrementalDedupReport(spark: SparkSession, dir: String,

@@ -805,5 +805,16 @@ class IncrementalDedupSpec extends AnyFunSuite {
         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
       assert(r._6 == (frac >= 0.5), s"doc ${r._1} gate")
     }
+    // the ingest loop: tick 1 admits the novel doc and extends the sink,
+    // so tick 2 rejects a copy of what tick 1 admitted
+    val novel = (1 to 40).map(i => s"loop$i").mkString(" ")
+    val t1 = IncrementalDedup.chunkIngestShard(
+      Seq((201L, novel)).toDF("doc_id", "text"), idxPath)
+    assert(t1.select(col("doc_id")).as[Long].collect().toSeq == Seq(201L))
+    val t2 = IncrementalDedup.chunkIngestShard(
+      Seq((202L, novel), (203L, (1 to 40).map(i => s"other$i").mkString(" ")))
+        .toDF("doc_id", "text"), idxPath)
+    assert(t2.select(col("doc_id")).as[Long].collect().toSet == Set(203L),
+      "a copy of a prior admission must be rejected by the extended sink")
   }
 }

@@ -115,4 +115,15 @@ object TextFunctions {
       when(s === maxAll && maxAll > 0, lit(l)).otherwise(acc)
     }
   }
+
+  /** Jensen–Shannon divergence as ONE aggregate expression over a
+    * (p1, p2, m = (p1+p2)/2) probability relation, 6dp-rounded, with the
+    * 0·ln 0 = 0 convention. The single definition q135's batch report
+    * and q140's streaming tick both aggregate — their batch ≡ stream
+    * parity (and both DuckDB oracles) depend on this arithmetic staying
+    * byte-identical, so it lives in exactly one place. */
+  def jsDivergenceAgg(p1: Column, p2: Column, m: Column): Column =
+    round(
+      (sum(when(p1 > 0.0, p1 * log(p1 / m)).otherwise(0.0))
+        + sum(when(p2 > 0.0, p2 * log(p2 / m)).otherwise(0.0))) / 2.0, 6)
 }

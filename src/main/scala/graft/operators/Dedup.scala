@@ -1183,9 +1183,12 @@ object Dedup {
     // re-read the compact columnar spill.
     val cPath = graft.sources.Sources.scratchDir(spark,
       "cdc_chunks_" + scratchTag)
-    graft.operators.TextAnalysis.contentDefinedChunksFor(docs, seed)
-      .write.mode("overwrite").parquet(cPath)
-    val chunks = spark.read.parquet(cPath)
+    val chunked = graft.operators.TextAnalysis.contentDefinedChunksFor(docs, seed)
+    chunked.write.mode("overwrite").parquet(cPath)
+    // read with the declared schema: an all-empty input writes zero part
+    // files, and schema inference over them would throw instead of
+    // returning the empty profile
+    val chunks = spark.read.schema(chunked.schema).parquet(cPath)
     val owners = chunks.groupBy(col("chunk_hash"))
       .agg(min(struct(col("doc_id"), col("chunk_idx"))).as("o"))
       .select(col("chunk_hash"), col("o.doc_id").as("o_doc"),

@@ -496,22 +496,15 @@ object Similarity {
     * between delete and rename leaves only the staged copy; a
     * transactional metastore would close it — documented, not hidden). */
   def ivfCompact(spark: SparkSession, indexPath: String,
-                 nLists: Int = 16): Unit = {
-    val hconf = spark.sparkContext.hadoopConfiguration
-    val dst = new org.apache.hadoop.fs.Path(indexPath)
-    val staged = new org.apache.hadoop.fs.Path(indexPath + "_compacting")
-    val fs = dst.getFileSystem(hconf)
-    fs.delete(staged, true)
-    spark.read.parquet(indexPath)
-      .withColumn("ingest_batch", lit(-1L))
-      .repartition(nLists, col("list_id"))
-      .write.mode("overwrite")
-      .partitionBy("ingest_batch", "list_id")
-      .parquet(staged.toString)
-    fs.delete(dst, true)
-    require(fs.rename(staged, dst),
-      s"compaction swap failed: $staged -> $dst")
-  }
+                 nLists: Int = 16): Unit =
+    graft.sources.Sources.stagedSwap(spark, indexPath) { staged =>
+      spark.read.parquet(indexPath)
+        .withColumn("ingest_batch", lit(-1L))
+        .repartition(nLists, col("list_id"))
+        .write.mode("overwrite")
+        .partitionBy("ingest_batch", "list_id")
+        .parquet(staged)
+    }
 
   /** q139's invariant row (q34 discipline): settled bootstrap + three
     * ingest ticks, then compaction; DuckDB recounts n_vecs and pins
@@ -865,19 +858,13 @@ object Similarity {
     * (ingest_batch = −1). Row-preserving by contract (codes are already
     * frozen against the persisted books — compaction is pure layout);
     * staged-rewrite + swap with the same declared crash window. */
-  def pqCompact(spark: SparkSession, codesPath: String): Unit = {
-    val hconf = spark.sparkContext.hadoopConfiguration
-    val dst = new org.apache.hadoop.fs.Path(codesPath)
-    val staged = new org.apache.hadoop.fs.Path(codesPath + "_compacting")
-    val hfs = dst.getFileSystem(hconf)
-    hfs.delete(staged, true)
-    spark.read.parquet(codesPath)
-      .withColumn("ingest_batch", lit(-1L))
-      .write.mode("overwrite").partitionBy("ingest_batch")
-      .parquet(staged.toString)
-    hfs.delete(dst, true)
-    require(hfs.rename(staged, dst), s"compaction swap failed: $staged -> $dst")
-  }
+  def pqCompact(spark: SparkSession, codesPath: String): Unit =
+    graft.sources.Sources.stagedSwap(spark, codesPath) { staged =>
+      spark.read.parquet(codesPath)
+        .withColumn("ingest_batch", lit(-1L))
+        .write.mode("overwrite").partitionBy("ingest_batch")
+        .parquet(staged)
+    }
 
   /** q141's invariant row (the q139 shape for the PQ store): settled
     * bootstrap + three encode ticks, compact, then pin batches 4 → 1,
@@ -1044,12 +1031,16 @@ object Similarity {
                       depth: Int = 20,
                       prefixes: Seq[Int] = Seq(8, 16, 32)): DataFrame = {
     val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    // eagerly pinned: the relation is only (nQueries × depth) rows, but
+    // each union branch below would otherwise re-run the whole q21
+    // retrieval and both embedding joins — once per prefix width
     val joined = cosineTopK(spark, dir, nQueries, depth)
       .select(col("query_id"), col("cand_id"))
       .join(e.select(col("vec_id").as("query_id"), col("embedding").as("qv")),
         "query_id")
       .join(e.select(col("vec_id").as("cand_id"), col("embedding").as("cv")),
         "cand_id")
+      .localCheckpoint(true)
     val full = VectorOps.cosineFast(col("qv"), col("cv"))
     prefixes.map { m =>
       val qp = slice(col("qv"), 1, m)

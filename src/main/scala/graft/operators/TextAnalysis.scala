@@ -874,8 +874,11 @@ object TextAnalysis {
                           merges: Array[(String, Long)]): DataFrame = {
     import spark.implicits._
     val ranked = merges.sortBy(_._2).map { case (p, _) =>
+      // split at the FIRST space: either side may legitimately be the
+      // empty string (split(' ', -1) keeps empties, so the trainer's
+      // 2-shingles can carry them); only a spaceless pair is malformed
       val i = p.indexOf(' ')
-      require(i > 0, s"merge pair must be space-joined tokens: '$p'")
+      require(i >= 0, s"merge pair must be space-joined tokens: '$p'")
       (p.substring(0, i), p.substring(i + 1))
     }
     val bc = spark.sparkContext.broadcast(ranked)
@@ -1009,11 +1012,7 @@ object TextAnalysis {
         (coalesce(col("c2"), lit(0L)).cast("double") / col("n2")).as("p2"))
       .withColumn("m", (col("p1") + col("p2")) / 2.0)
     val js = joined.agg(
-      round(
-        (sum(when(col("p1") > 0.0, col("p1") * log(col("p1") / col("m")))
-          .otherwise(0.0))
-          + sum(when(col("p2") > 0.0, col("p2") * log(col("p2") / col("m")))
-            .otherwise(0.0))) / 2.0, 6).as("js_divergence"))
+      TF.jsDivergenceAgg(col("p1"), col("p2"), col("m")).as("js_divergence"))
     val w = Window.orderBy(col("abs_delta").desc, col("token"))
     joined
       .withColumn("abs_delta", round(abs(col("p1") - col("p2")), 6))

@@ -61,6 +61,24 @@ object Sources {
     tail + "_" + java.lang.Integer.toHexString(dir.hashCode)
   }
 
+  /** Staged-rewrite + swap for path-based index compactions — the D9
+    * warehouse-table discipline on a filesystem path, shared by the IVF,
+    * PQ, and reservoir compaction verbs so the declared crash window
+    * (a failure between delete and rename leaves only the staged copy;
+    * a transactional metastore would close it) lives in ONE place.
+    * `writeStaged` receives the staged path and must fully write it. */
+  private[graft] def stagedSwap(spark: SparkSession, path: String)
+                               (writeStaged: String => Unit): Unit = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val dst = new org.apache.hadoop.fs.Path(path)
+    val staged = new org.apache.hadoop.fs.Path(path + "_compacting")
+    val hfs = dst.getFileSystem(hconf)
+    hfs.delete(staged, true)
+    writeStaged(staged.toString)
+    hfs.delete(dst, true)
+    require(hfs.rename(staged, dst), s"compaction swap failed: $staged -> $dst")
+  }
+
   /** Register an externally-created local path (e.g. a bucketed table's
     * warehouse dir, whose session-unique name would otherwise outlive the
     * JVM that can drop it) with the shutdown reaper. */

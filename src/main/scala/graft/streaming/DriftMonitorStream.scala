@@ -59,11 +59,7 @@ object DriftMonitorStream {
         (coalesce(col("cr"), lit(0L)).cast("double") / col("nr")).as("p2"))
       .withColumn("m", (col("p1") + col("p2")) / 2.0)
     joined.agg(
-      round(
-        (sum(when(col("p1") > 0.0, col("p1") * log(col("p1") / col("m")))
-          .otherwise(0.0))
-          + sum(when(col("p2") > 0.0, col("p2") * log(col("p2") / col("m")))
-            .otherwise(0.0))) / 2.0, 6).as("js_divergence"))
+      TF.jsDivergenceAgg(col("p1"), col("p2"), col("m")).as("js_divergence"))
       .crossJoin(broadcast(bTot))
       .select(col("nb").cast("long").as("n_tokens"), col("js_divergence"))
       .withColumn("ingest_batch", lit(batchId))
@@ -90,7 +86,8 @@ object DriftMonitorStream {
     val hex = graft.sources.Sources.dirTag(dir)
     val path = graft.sources.Sources.scratchDir(spark, "drift_" + hex)
     deleteDir(spark, path)
-    val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+    val maxId = docs.agg(coalesce(max(col("doc_id")), lit(0L)))
+      .head().getLong(0)
     val cuts = Seq(maxId / 3, 2 * maxId / 3)
     val ticks = Seq(
       docs.filter(col("doc_id") <= cuts.head),

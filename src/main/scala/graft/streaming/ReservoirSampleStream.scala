@@ -93,23 +93,17 @@ object ReservoirSampleStream {
     * `k` must be ≥ any k later merges will ask for (the merge contract
     * above, applied to the store itself). */
   def compactReservoir(spark: SparkSession, path: String, k: Int = 50,
-                       seed: Long = 42L, prefixChars: Int = 2): Unit = {
-    val hconf = spark.sparkContext.hadoopConfiguration
-    val dst = new org.apache.hadoop.fs.Path(path)
-    val staged = new org.apache.hadoop.fs.Path(path + "_compacting")
-    val hfs = dst.getFileSystem(hconf)
-    hfs.delete(staged, true)
-    Sampling.hashRankWithin(
-        spark.read.parquet(path).select(col("doc_id"), col("lang")).distinct(),
-        "lang", "doc_id", seed, prefixChars)
-      .filter(col("pos") <= k)
-      .select(col("doc_id"), col("lang"))
-      .withColumn("ingest_batch", lit(-1L))
-      .write.mode("overwrite").partitionBy("ingest_batch")
-      .parquet(staged.toString)
-    hfs.delete(dst, true)
-    require(hfs.rename(staged, dst), s"compaction swap failed: $staged -> $dst")
-  }
+                       seed: Long = 42L, prefixChars: Int = 2): Unit =
+    graft.sources.Sources.stagedSwap(spark, path) { staged =>
+      Sampling.hashRankWithin(
+          spark.read.parquet(path).select(col("doc_id"), col("lang")).distinct(),
+          "lang", "doc_id", seed, prefixChars)
+        .filter(col("pos") <= k)
+        .select(col("doc_id"), col("lang"))
+        .withColumn("ingest_batch", lit(-1L))
+        .write.mode("overwrite").partitionBy("ingest_batch")
+        .parquet(staged)
+    }
 
   /** The foreachBatch wrapper: Spark's own batchId keys the idempotent
     * tick, so checkpoint-recovery replays rewrite their own partitions. */
@@ -130,7 +124,8 @@ object ReservoirSampleStream {
     val hex = graft.sources.Sources.dirTag(dir)
     val path = graft.sources.Sources.scratchDir(spark, "reservoir_" + hex)
     deleteDir(spark, path)
-    val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+    val maxId = docs.agg(coalesce(max(col("doc_id")), lit(0L)))
+      .head().getLong(0)
     val cuts = Seq(maxId / 3, 2 * maxId / 3)
     val ticks = Seq(
       docs.filter(col("doc_id") <= cuts.head),

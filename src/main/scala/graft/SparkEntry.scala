@@ -468,7 +468,11 @@ object SparkEntry {
     // the D9 persisted-index tick at CDC-chunk grain: settled corpus
     // chunks once into a one-column hash sink, the shard probes it
     "q142_chunk_incremental_dedup" -> ((s: SparkSession, d: String) =>
-      graft.operators.IncrementalDedup.chunkIncrementalDedupReport(s, d))
+      graft.operators.IncrementalDedup.chunkIncrementalDedupReport(s, d)),
+    // the vector-modality drift twin: per-dim mean shift + spread ratio
+    // between the q135 modulo snapshots, deterministic double arithmetic
+    "q143_embedding_drift" -> ((s: SparkSession, d: String) =>
+      Similarity.embeddingDriftReport(s, d))
   )
 
   /** Shared CTE chain ending in `pairs` = the exact-Jaccard near-dup pairs
@@ -2174,6 +2178,22 @@ object SparkEntry {
         | total_tokens,
         | CAST(round(CAST(CAST(settled_tokens AS DOUBLE) / total_tokens
         |        AS DECIMAL(38,18)), 6) AS DOUBLE) >= 0.5 AS dropped
-        |FROM prof""".stripMargin
+        |FROM prof""".stripMargin,
+    // identical per-dim SUM/COUNT means and population-variance form over
+    // the same modulo snapshots; 6dp absorbs hash-agg order
+    "q143_embedding_drift" ->
+      s"""WITH ex AS ($embedExplode),
+         | v1 AS (SELECT dim, sum(x) / count(*) AS mean1,
+         |          sum(x * x) / count(*) AS m21
+         |        FROM ex WHERE vec_id % 5 <> 0 GROUP BY dim),
+         | v2 AS (SELECT dim, sum(x) / count(*) AS mean2,
+         |          sum(x * x) / count(*) AS m22
+         |        FROM ex WHERE vec_id % 3 <> 0 GROUP BY dim)
+         |SELECT CAST(dim AS BIGINT) AS dim,
+         | round(mean1, 6) AS mean1, round(mean2, 6) AS mean2,
+         | round(abs(mean1 - mean2), 6) AS abs_mean_delta,
+         | round(sqrt(m22 - mean2 * mean2) / sqrt(m21 - mean1 * mean1), 6)
+         |   AS spread_ratio
+         |FROM v1 JOIN v2 USING (dim)""".stripMargin
   )
 }

@@ -908,6 +908,45 @@ object Similarity {
       "code_mismatches", "probe_mismatches")
   }
 
+  /** q143 — EMBEDDING SNAPSHOT DRIFT: the vector-modality twin of q135's
+    * token drift — when an embedding model is upgraded or a re-embedding
+    * job lands, the question is whether the GEOMETRY the indexes and
+    * similarity thresholds were tuned on moved. Per dimension, the mean
+    * shift between the two snapshots (the translation component — a
+    * biased dim breaks cosine thresholds), the spread ratio (a variance
+    * collapse flattens similarity scores), and the 6dp-rounded absolute
+    * mean delta the alert ranks by. Snapshot membership is the q135
+    * modulo discipline (v1 = vec_id % 5 ≠ 0, v2 = vec_id % 3 ≠ 0).
+    *
+    * Deterministic arithmetic parity with DuckDB: means are SUM/COUNT in
+    * double over f32-widened values (hash-agg order noise absorbed by
+    * the 6dp round, the q113/q131 precedent); spread uses the population
+    * form E[x²]−E[x]² computed identically on both engines.
+    *
+    * Scale shape: one posexplode pass per snapshot, map-side combined
+    * into dims-row aggregates; the join and report are dims-row. */
+  def embeddingDriftReport(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    def stats(pred: org.apache.spark.sql.Column) = e.filter(pred)
+      .select(posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("dim").cast("long").as("dim"), col("x").cast("double").as("x"))
+      .groupBy(col("dim"))
+      .agg((sum(col("x")) / count(lit(1))).as("mean"),
+        (sum(col("x") * col("x")) / count(lit(1))).as("m2"))
+    val v1 = stats(col("vec_id") % 5 =!= 0)
+      .select(col("dim"), col("mean").as("mean1"),
+        (col("m2") - col("mean") * col("mean")).as("var1"))
+    val v2 = stats(col("vec_id") % 3 =!= 0)
+      .select(col("dim"), col("mean").as("mean2"),
+        (col("m2") - col("mean") * col("mean")).as("var2"))
+    v1.join(v2, "dim")
+      .select(col("dim"),
+        round(col("mean1"), 6).as("mean1"),
+        round(col("mean2"), 6).as("mean2"),
+        round(abs(col("mean1") - col("mean2")), 6).as("abs_mean_delta"),
+        round(sqrt(col("var2")) / sqrt(col("var1")), 6).as("spread_ratio"))
+  }
+
   /** q115 — EMBEDDING TABLE AUDIT: the data-quality report a vector
     * pipeline runs before indexing — per label: vector count, dimension
     * agreement (an ANN index dies on ragged dims), and the L2-norm

@@ -379,6 +379,37 @@ class SimilaritySpec extends AnyFunSuite {
       == Set("ingest_batch=-1"))
   }
 
+  test("q143 embedding drift matches a driver-side recompute; overlap keeps drift small") {
+    val dir = TestSpark.Sf0001
+    val vecs = graft.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect()
+      .map { case (id, v) => id -> v.map(_.toDouble).toArray }
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val dims = vecs.head._2.length
+    def stats(pred: Long => Boolean) = (0 until dims).map { d =>
+      val xs = vecs.filter(v => pred(v._1)).map(_._2(d))
+      val mean = xs.sum / xs.length
+      val m2 = xs.map(x => x * x).sum / xs.length
+      (mean, m2 - mean * mean)
+    }
+    val s1 = stats(_ % 5 != 0); val s2 = stats(_ % 3 != 0)
+    val got = Similarity.embeddingDriftReport(spark, dir)
+      .as[(Long, Double, Double, Double, Double)].collect().sortBy(_._1)
+    assert(got.length == dims)
+    got.foreach { g =>
+      val d = g._1.toInt
+      assert(math.abs(g._2 - r6(s1(d)._1)) <= 1e-6, s"dim $d mean1")
+      assert(math.abs(g._3 - r6(s2(d)._1)) <= 1e-6, s"dim $d mean2")
+      assert(math.abs(g._4 - r6(math.abs(s1(d)._1 - s2(d)._1))) <= 1e-6, s"dim $d delta")
+      assert(math.abs(g._5 - r6(math.sqrt(s2(d)._2) / math.sqrt(s1(d)._2))) <= 1e-6,
+        s"dim $d spread")
+      // the snapshots share ~70% of rows, so drift must be small but real
+      assert(g._5 > 0.5 && g._5 < 2.0, s"dim $d spread sanity")
+    }
+    assert(got.exists(_._4 > 0.0), "some dimension should show nonzero drift")
+  }
+
   test("q141 PQ codes compaction: invariant green; store folds to the settled partition") {
     val dir = TestSpark.Sf0001
     val inv = Similarity.pqCompactionInvariant(spark, dir)

@@ -472,7 +472,11 @@ object SparkEntry {
     // the vector-modality drift twin: per-dim mean shift + spread ratio
     // between the q135 modulo snapshots, deterministic double arithmetic
     "q143_embedding_drift" -> ((s: SparkSession, d: String) =>
-      Similarity.embeddingDriftReport(s, d))
+      Similarity.embeddingDriftReport(s, d)),
+    // truncate vs pack vs chunk waste table at one context length —
+    // integer arithmetic until the final 6dp division, fully oracled
+    "q144_packing_efficiency" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.packingEfficiencyAudit(s, d))
   )
 
   /** Shared CTE chain ending in `pairs` = the exact-Jaccard near-dup pairs
@@ -2194,6 +2198,33 @@ object SparkEntry {
          | round(abs(mean1 - mean2), 6) AS abs_mean_delta,
          | round(sqrt(m22 - mean2 * mean2) / sqrt(m21 - mean1 * mean1), 6)
          |   AS spread_ratio
-         |FROM v1 JOIN v2 USING (dim)""".stripMargin
+         |FROM v1 JOIN v2 USING (dim)""".stripMargin,
+    // same integer capacity/used arithmetic per strategy, same 6dp cut
+    "q144_packing_efficiency" ->
+      """WITH n AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+        |           FROM documents)
+        |SELECT 'truncate' AS strategy,
+        |  CAST(count(*) AS BIGINT) AS n_sequences,
+        |  CAST(count(*) * 256 AS BIGINT) AS capacity_tokens,
+        |  CAST(sum(least(n, 256)) AS BIGINT) AS used_tokens,
+        |  round(1.0 - CAST(sum(least(n, 256)) AS DOUBLE)
+        |    / (count(*) * 256), 6) AS waste_frac
+        |FROM n
+        |UNION ALL
+        |SELECT 'pack',
+        |  CAST((sum(n) + 255) // 256 AS BIGINT),
+        |  CAST(((sum(n) + 255) // 256) * 256 AS BIGINT),
+        |  CAST(sum(n) AS BIGINT),
+        |  round(1.0 - CAST(sum(n) AS DOUBLE)
+        |    / (((sum(n) + 255) // 256) * 256), 6)
+        |FROM n
+        |UNION ALL
+        |SELECT 'chunk',
+        |  CAST(sum((n + 255) // 256) AS BIGINT),
+        |  CAST(sum((n + 255) // 256) * 256 AS BIGINT),
+        |  CAST(sum(n) AS BIGINT),
+        |  round(1.0 - CAST(sum(n) AS DOUBLE)
+        |    / (sum((n + 255) // 256) * 256), 6)
+        |FROM n""".stripMargin
   )
 }

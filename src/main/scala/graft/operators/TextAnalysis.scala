@@ -1087,6 +1087,49 @@ object TextAnalysis {
           " ")).as("chunk_hash"))
   }
 
+  /** q144 — PACKING-EFFICIENCY AUDIT: the decision table for how to lay
+    * documents into fixed-length training sequences — for a given context
+    * length, the capacity/used/waste numbers of the three layouts the
+    * engine implements, computed on the ACTUAL corpus:
+    *   - `truncate`: one doc per sequence, overflow cut (the simplest
+    *     loader) — capacity = n_docs·ctx, used = Σ min(n_tokens, ctx);
+    *     waste counts BOTH padding and the truncated-away overflow;
+    *   - `pack` (q84's concat-and-chunk): every token placed, capacity =
+    *     ⌈Σ n_tokens / ctx⌉·ctx — waste is only the final partial block;
+    *   - `chunk` (q107 at stride = window = ctx): docs split to
+    *     self-contained sequences, capacity = Σ ⌈n_tokens / ctx⌉·ctx —
+    *     waste is each doc's final short chunk.
+    * waste_frac = 1 − used/capacity, 6dp. The table quantifies the real
+    * trade (pack wastes ~0, chunk pays per-doc tails for self-
+    * containment, truncate pays both tails and lost text) so the choice
+    * is made on corpus numbers, not folklore.
+    *
+    * Scale shape: ONE corpus pass computes per-doc token counts; each
+    * strategy row is an aggregate over that tiny projection (integer
+    * arithmetic until the final division) — three rows out. */
+  def packingEfficiencyAudit(spark: SparkSession, dir: String,
+                             contextLen: Long = 256L): DataFrame = {
+    val n = Tables.documents(spark, dir)
+      .select(TF.nTokens(col("text")).cast("long").as("n"))
+    def idiv(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      call_function("div", a, b)
+    def ceilDiv(a: org.apache.spark.sql.Column, b: Long) =
+      idiv(a + (b - 1), lit(b))
+    val ctx = lit(contextLen)
+    def row(strategy: String, nSeq: org.apache.spark.sql.Column,
+            used: org.apache.spark.sql.Column) =
+      n.agg(nSeq.as("n_sequences"), used.as("used_tokens"))
+        .select(lit(strategy).as("strategy"), col("n_sequences"),
+          (col("n_sequences") * contextLen).as("capacity_tokens"),
+          col("used_tokens"),
+          round(lit(1.0) - col("used_tokens").cast("double")
+            / (col("n_sequences") * contextLen).cast("double"), 6)
+            .as("waste_frac"))
+    row("truncate", count(lit(1)), sum(least(col("n"), ctx)))
+      .unionByName(row("pack", ceilDiv(sum(col("n")), contextLen), sum(col("n"))))
+      .unionByName(row("chunk", sum(ceilDiv(col("n"), contextLen)), sum(col("n"))))
+  }
+
   /** q108 — VOCABULARY COVERAGE / OOV RATE: fix the tokenizer's
     * vocabulary to the corpus's top-`vocabSize` tokens (count desc, token
     * asc — the deterministic cut), then report, per language, how much of

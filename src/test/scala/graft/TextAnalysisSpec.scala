@@ -237,6 +237,27 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(eng(2L).drop(eng(2L).length - (eng(1L).length - 1)) == eng(1L).drop(1))
   }
 
+  test("q144 packing efficiency matches a driver-side recompute; pack dominates") {
+    val dir = TestSpark.Sf0001
+    val ctx = 256L
+    val ns = Tables.documents(spark, dir)
+      .select(col("text")).as[String].collect()
+      .map(_.split(" ", -1).length.toLong)
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def mkRow(strategy: String, nSeq: Long, used: Long) =
+      (strategy, nSeq, nSeq * ctx, used, r6(1.0 - used.toDouble / (nSeq * ctx)))
+    val want = Set(
+      mkRow("truncate", ns.length.toLong, ns.map(math.min(_, ctx)).sum),
+      mkRow("pack", (ns.sum + ctx - 1) / ctx, ns.sum),
+      mkRow("chunk", ns.map(n => (n + ctx - 1) / ctx).sum, ns.sum))
+    val got = TextAnalysis.packingEfficiencyAudit(spark, dir, ctx)
+      .as[(String, Long, Long, Long, Double)].collect().toSet
+    assert(got == want)
+    val byS = got.map(r => r._1 -> r._5).toMap
+    assert(byS("pack") <= byS("chunk") && byS("pack") <= byS("truncate"),
+      "concat-and-chunk packing must waste the least")
+  }
+
   test("q138 source scorecard matches a driver-side recompute") {
     val dir = TestSpark.Sf0001
     val corpus = Tables.documents(spark, dir)

@@ -63,6 +63,7 @@ object Probe {
       "q138_source_scorecard" -> (() => q("q138_source_scorecard")),
       "q142_chunk_incremental_dedup" -> (() => q("q142_chunk_incremental_dedup")),
       "q143_embedding_drift" -> (() => q("q143_embedding_drift")),
+      "q144_packing_efficiency" -> (() => q("q144_packing_efficiency")),
       "q78 candidate core (bucketed fp index: Exchange-free index side)" -> (() => {
         val table = "graft_probe_fpidx"
         val docs = graft.Tables.documents(spark, dir)

@@ -53,7 +53,12 @@ object Dedup {
     * Spark's `split(text, " ", -1)` and DuckDB's string_split).
     * TF.shingles remains the expression-level API for SQL composition.
     */
-  def docShingles(docs: DataFrame, n: Int = 3): DataFrame = {
+  /** The library-wide default shingle width — the value every
+    * non-width-parameterized index layout is built and probed at, and the
+    * value their parameter sidecars record. */
+  val DefaultShingleN: Int = 3
+
+  def docShingles(docs: DataFrame, n: Int = DefaultShingleN): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.select(col("doc_id"), col("text")).as[(Long, String)]
@@ -1165,30 +1170,22 @@ object Dedup {
     * also bounds shuffle row width — the q121 shape with a smaller key. */
   def cdcPassageDedup(spark: SparkSession, dir: String, tau: Double = 0.5,
                       seed: Long = 42L): DataFrame =
-    cdcPassageDedupFor(Tables.documents(spark, dir), tau, seed,
-      graft.sources.Sources.dirTag(dir))
+    cdcPassageDedupFor(Tables.documents(spark, dir), tau, seed)
 
-  /** The CDC-dedup core over any (doc_id, text) relation. `scratchTag`
-    * keys the chunk spill so concurrent inputs in one session cannot
-    * share a path. */
+  /** The CDC-dedup core over any (doc_id, text) relation. */
   def cdcPassageDedupFor(docs: DataFrame, tau: Double = 0.5,
-                         seed: Long = 42L,
-                         scratchTag: String = "fixture"): DataFrame = {
-    val spark = docs.sparkSession
+                         seed: Long = 42L): DataFrame = {
     // The chunk relation feeds ownership AND the join-back side, and its
     // dominant cost is the interpreted md5-per-token pass — recomputing
     // it per consumer doubles that, and pinning it in executor storage
     // (localCheckpoint) is the footprint q88/q123 were moved off. The
     // D9 discipline: spill once to scratch parquet, let both consumers
-    // re-read the compact columnar spill.
-    val cPath = graft.sources.Sources.scratchDir(spark,
-      "cdc_chunks_" + scratchTag)
-    val chunked = graft.operators.TextAnalysis.contentDefinedChunksFor(docs, seed)
-    chunked.write.mode("overwrite").parquet(cPath)
-    // read with the declared schema: an all-empty input writes zero part
-    // files, and schema inference over them would throw instead of
-    // returning the empty profile
-    val chunks = spark.read.schema(chunked.schema).parquet(cPath)
+    // re-read the compact columnar spill. spillScratch's per-call path
+    // makes concurrent invocations collision-free by construction (the
+    // old caller-supplied tag only promised it).
+    val chunks = graft.sources.Sources.spillScratch(
+      graft.operators.TextAnalysis.contentDefinedChunksFor(docs, seed),
+      "cdc_chunks")
     val owners = chunks.groupBy(col("chunk_hash"))
       .agg(min(struct(col("doc_id"), col("chunk_idx"))).as("o"))
       .select(col("chunk_hash"), col("o.doc_id").as("o_doc"),
@@ -1302,7 +1299,12 @@ object Dedup {
 
   def containmentPairsFor(docs: DataFrame, threshold: Double = 0.8,
                           dfCap: Int = 1000): DataFrame = {
-    val sh = docShingles(docs).localCheckpoint(true)
+    // the shingle leaf feeds FOUR consumers (hot df, the rare self-join's
+    // both sides, the hot-correction semi-join, sizes) — spilled once to
+    // scratch parquet, never pinned corpus-sized in executor storage
+    // (the q88/q123 discipline; lineage stays recoverable from the file)
+    val sh = graft.sources.Sources.spillScratch(docShingles(docs),
+      "containment_sh")
     val hot = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
       .filter(col("df") > dfCap).select(col("shingle"))
     val rare = sh.join(broadcast(hot), Seq("shingle"), "left_anti")

@@ -40,17 +40,29 @@ object IncrementalDedup {
     * current. `n` is the shingle width the index is built at — every
     * reader and appender of the same sink must use the same width (a
     * 2-shingle probe against a 3-shingle index matches nothing and reads
-    * as near-100% novelty), so callers that parameterize the width must
-    * thread it through both verbs. */
-  def writeShingleIndex(docs: DataFrame, path: String, n: Int = 3): Unit =
+    * as near-100% novelty). The width is RECORDED in the sink's parameter
+    * sidecar at write time; appends and width-aware probes `require` a
+    * match, so a mismatch fails loudly instead of silently returning
+    * garbage. */
+  def writeShingleIndex(docs: DataFrame, path: String,
+                        n: Int = Dedup.DefaultShingleN): Unit = {
     Dedup.docShingles(docs, n).write.mode("overwrite").parquet(path)
+    graft.sources.Sources.writeIndexMeta(docs.sparkSession, path, shingleMeta(n))
+  }
+
+  private def shingleMeta(n: Int) = Map("n" -> n.toString)
+  private def fpMeta(k: Int, w: Int) =
+    Map("winnow_k" -> k.toString, "winnow_w" -> w.toString)
 
   /** Append `docs`' shingles to an existing index sink — the per-ingest
     * index maintenance step (parquet append writes new files only).
-    * `n` must match the width the sink was written at (see
-    * [[writeShingleIndex]]). */
-  def appendShingleIndex(docs: DataFrame, path: String, n: Int = 3): Unit =
+    * `n` must match the width the sink was written at (sidecar-enforced,
+    * see [[writeShingleIndex]]). */
+  def appendShingleIndex(docs: DataFrame, path: String,
+                         n: Int = Dedup.DefaultShingleN): Unit = {
+    graft.sources.Sources.requireIndexMeta(docs.sparkSession, path, shingleMeta(n))
     Dedup.docShingles(docs, n).write.mode("append").parquet(path)
+  }
 
   def readShingleIndex(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
@@ -109,6 +121,10 @@ object IncrementalDedup {
   def ingestShard(newDocs: DataFrame, indexPath: String,
                   threshold: Double = 0.5): DataFrame = {
     val spark = newDocs.sparkSession
+    // the report shingles the shard at the DEFAULT width; the sidecar
+    // check makes probing a non-default-width index fail loudly
+    graft.sources.Sources.requireIndexMeta(spark, indexPath,
+      shingleMeta(Dedup.DefaultShingleN))
     val admitted =
       admitFor(newDocs, readShingleIndex(spark, indexPath), threshold)
         .localCheckpoint(true)
@@ -159,11 +175,23 @@ object IncrementalDedup {
   private def shinglesTable(table: String) = table + "_shingles"
   private def sizesTable(table: String) = table + "_sizes"
 
+  /** A managed table's directory — where its parameter sidecar lives
+    * (Spark's readers ignore `_`-prefixed files inside table dirs, so the
+    * sidecar rides along with the bucketed layout; compactions re-stamp
+    * it because the staged-table rename moves the directory). */
+  private def tableLocation(spark: SparkSession, tableName: String): String =
+    spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(tableName)).location.toString
+
   /** Build and persist the bucketed index + sizes sidecar (overwrite). */
   def writeShingleIndexBucketed(docs: DataFrame, table: String,
                                 nBuckets: Int = 32): Unit = {
     val spark = docs.sparkSession
-    val sh = Dedup.docShingles(docs).localCheckpoint(true)
+    // the settled-corpus shingle relation feeds TWO writes (index +
+    // sizes sidecar) — scratch-parquet spill, not a corpus-sized
+    // executor-storage pin (the q88/q123 discipline)
+    val sh = graft.sources.Sources.spillScratch(Dedup.docShingles(docs),
+      "shidx_bootstrap")
     graft.sources.Sources.resetWarehouseTable(spark, shinglesTable(table))
     graft.sources.Sources.resetWarehouseTable(spark, sizesTable(table))
     sh.write.mode("overwrite").format("parquet")
@@ -171,6 +199,9 @@ object IncrementalDedup {
       .saveAsTable(shinglesTable(table))
     sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
       .write.mode("overwrite").format("parquet").saveAsTable(sizesTable(table))
+    graft.sources.Sources.writeIndexMeta(spark,
+      tableLocation(spark, shinglesTable(table)),
+      shingleMeta(Dedup.DefaultShingleN))
   }
 
   /** Append a shard's shingles + sizes to the bucketed index. The append
@@ -179,6 +210,9 @@ object IncrementalDedup {
     * operator's call, the join stays bucket-aligned regardless. */
   def appendShingleIndexBucketed(docs: DataFrame, table: String,
                                  nBuckets: Int = 32): Unit = {
+    graft.sources.Sources.requireIndexMeta(docs.sparkSession,
+      tableLocation(docs.sparkSession, shinglesTable(table)),
+      shingleMeta(Dedup.DefaultShingleN))
     val sh = Dedup.docShingles(docs).localCheckpoint(true)
     sh.write.mode("append").format("parquet")
       .bucketBy(nBuckets, "shingle").sortBy("shingle")
@@ -253,6 +287,10 @@ object IncrementalDedup {
       graft.sources.Sources.resetWarehouseTable(spark, dst)
       spark.sql(s"ALTER TABLE $staged RENAME TO $dst")
     }
+    // the rename moved the table to a fresh directory — re-stamp the
+    // parameter sidecar the compaction's layout rewrite did not carry
+    graft.sources.Sources.writeIndexMeta(spark, tableLocation(spark, shT),
+      shingleMeta(Dedup.DefaultShingleN))
   }
 
   /** The per-shard report against the BUCKETED index — identical contract
@@ -265,6 +303,9 @@ object IncrementalDedup {
   def reportForBucketed(newDocs: DataFrame, table: String,
                         threshold: Double = 0.5, dfCap: Int = 1000): DataFrame = {
     val spark = newDocs.sparkSession
+    graft.sources.Sources.requireIndexMeta(spark,
+      tableLocation(spark, shinglesTable(table)),
+      shingleMeta(Dedup.DefaultShingleN))
     val index = spark.table(shinglesTable(table))
     val shN = Dedup.docShingles(newDocs).localCheckpoint(true)
     val dfI = index.groupBy(col("shingle")).agg(count(lit(1)).as("dfi"))
@@ -308,15 +349,21 @@ object IncrementalDedup {
   // in the corpus store and re-shingled — the corpus-sized shingle
   // relation is never materialized, only the candidate slice.
 
-  /** Build and persist the fingerprint index of `docs` (overwrite). */
+  /** Build and persist the fingerprint index of `docs` (overwrite); the
+    * winnowing geometry (k, w) lands in the sink's parameter sidecar. */
   def writeFpIndex(docs: DataFrame, path: String,
-                   k: Int = 16, w: Int = 8): Unit =
+                   k: Int = 16, w: Int = 8): Unit = {
     Dedup.winnowingFingerprints(docs, k, w).write.mode("overwrite").parquet(path)
+    graft.sources.Sources.writeIndexMeta(docs.sparkSession, path, fpMeta(k, w))
+  }
 
-  /** Append a shard's fingerprints to the index sink. */
+  /** Append a shard's fingerprints to the index sink (sidecar-checked:
+    * a different (k, w) than the sink was written with fails loudly). */
   def appendFpIndex(docs: DataFrame, path: String,
-                    k: Int = 16, w: Int = 8): Unit =
+                    k: Int = 16, w: Int = 8): Unit = {
+    graft.sources.Sources.requireIndexMeta(docs.sparkSession, path, fpMeta(k, w))
     Dedup.winnowingFingerprints(docs, k, w).write.mode("append").parquet(path)
+  }
 
   private def fpsTable(table: String) = table + "_fps"
 
@@ -334,16 +381,21 @@ object IncrementalDedup {
     Dedup.winnowingFingerprints(docs, k, w)
       .write.format("parquet").bucketBy(nBuckets, "fp").sortBy("fp")
       .saveAsTable(fpsTable(table))
+    graft.sources.Sources.writeIndexMeta(spark,
+      tableLocation(spark, fpsTable(table)), fpMeta(k, w))
   }
 
   /** Append a shard's fingerprints to the bucketed index (one file set per
     * bucket per ingest — [[compactFpIndexBucketed]] is the reset). */
   def appendFpIndexBucketed(docs: DataFrame, table: String,
-                            nBuckets: Int = 32, k: Int = 16, w: Int = 8): Unit =
+                            nBuckets: Int = 32, k: Int = 16, w: Int = 8): Unit = {
+    graft.sources.Sources.requireIndexMeta(docs.sparkSession,
+      tableLocation(docs.sparkSession, fpsTable(table)), fpMeta(k, w))
     Dedup.winnowingFingerprints(docs, k, w)
       .write.mode("append").format("parquet")
       .bucketBy(nBuckets, "fp").sortBy("fp")
       .saveAsTable(fpsTable(table))
+  }
 
   /** [[compactShingleIndexBucketed]] for the fingerprint table: rewrite to
     * one file per bucket, content-preserving (no sizes sidecar here — the
@@ -359,8 +411,15 @@ object IncrementalDedup {
       .repartition(nBuckets, col("fp"))
       .write.format("parquet").bucketBy(nBuckets, "fp").sortBy("fp")
       .saveAsTable(staged)
+    val params = graft.sources.Sources.readIndexMeta(spark,
+      meta.location.toString)
     graft.sources.Sources.resetWarehouseTable(spark, fpT)
     spark.sql(s"ALTER TABLE $staged RENAME TO $fpT")
+    // carry the (k, w) stamp across the directory move — layout changed,
+    // geometry didn't
+    if (params.nonEmpty)
+      graft.sources.Sources.writeIndexMeta(spark,
+        tableLocation(spark, fpT), params)
   }
 
   /** [[reportForFpIndex]] against the BUCKETED fingerprint table: same
@@ -386,6 +445,8 @@ object IncrementalDedup {
                                           minSharedFp: Int = 2,
                                           dfCap: Int = 1000): DataFrame = {
     val spark = newDocs.sparkSession
+    graft.sources.Sources.requireIndexMeta(spark,
+      tableLocation(spark, fpsTable(table)), fpMeta(k, w))
     val fpIndex = spark.table(fpsTable(table))
     val fpN = Dedup.winnowingFingerprints(newDocs, k, w).localCheckpoint(true)
     val dfI = fpIndex.groupBy(col("fp")).agg(count(lit(1)).as("dfi"))
@@ -491,6 +552,7 @@ object IncrementalDedup {
                           corpusPath: String, threshold: Double = 0.5,
                           k: Int = 16, w: Int = 8): DataFrame = {
     val spark = newDocs.sparkSession
+    graft.sources.Sources.requireIndexMeta(spark, fpIndexPath, fpMeta(k, w))
     val rep = reportForFpIndex(newDocs, readShingleIndex(spark, fpIndexPath),
       spark.read.parquet(corpusPath), threshold, k, w)
     val admitted = newDocs
@@ -520,9 +582,12 @@ object IncrementalDedup {
 
   /** Bootstrap the batch-partitioned shingle index (batch −1 = the settled
     * corpus). */
-  def writeShingleIndexPartitioned(docs: DataFrame, path: String): Unit =
+  def writeShingleIndexPartitioned(docs: DataFrame, path: String): Unit = {
     Dedup.docShingles(docs).withColumn("ingest_batch", lit(-1L))
       .write.partitionBy("ingest_batch").mode("overwrite").parquet(path)
+    graft.sources.Sources.writeIndexMeta(docs.sparkSession, path,
+      shingleMeta(Dedup.DefaultShingleN))
+  }
 
   /** One idempotent ingest tick: report against every OTHER batch's index
     * partitions, admit, overwrite this batch's own partition in both
@@ -532,6 +597,8 @@ object IncrementalDedup {
   def ingestShardIdempotent(batch: DataFrame, batchId: Long, indexPath: String,
                             admittedPath: String, threshold: Double = 0.5): DataFrame = {
     val spark = batch.sparkSession
+    graft.sources.Sources.requireIndexMeta(spark, indexPath,
+      shingleMeta(Dedup.DefaultShingleN))
     val index = spark.read.parquet(indexPath)
       .filter(col("ingest_batch") =!= batchId)
       .select(col("doc_id"), col("shingle"))
@@ -582,7 +649,10 @@ object IncrementalDedup {
   def writeShingleIndexBucketedXO(docs: DataFrame, table: String,
                                   nBuckets: Int = 32): Unit = {
     val spark = docs.sparkSession
-    val sh = Dedup.docShingles(docs).localCheckpoint(true)
+    // corpus-sized bootstrap relation, two consumers: spill, don't pin
+    // (see writeShingleIndexBucketed)
+    val sh = graft.sources.Sources.spillScratch(Dedup.docShingles(docs),
+      "shidx_xo_bootstrap")
     graft.sources.Sources.resetWarehouseTable(spark, shinglesTable(table))
     graft.sources.Sources.resetWarehouseTable(spark, sizesTable(table))
     sh.withColumn("ingest_batch", lit(-1L))
@@ -593,6 +663,9 @@ object IncrementalDedup {
       .withColumn("ingest_batch", lit(-1L))
       .write.format("parquet").partitionBy("ingest_batch")
       .saveAsTable(sizesTable(table))
+    graft.sources.Sources.writeIndexMeta(spark,
+      tableLocation(spark, shinglesTable(table)),
+      shingleMeta(Dedup.DefaultShingleN))
   }
 
   /** Delete one batch's partition directory of a managed table and refresh
@@ -721,6 +794,8 @@ object IncrementalDedup {
       // the moved dir or the table reads as empty
       spark.catalog.recoverPartitions(dst)
     }
+    graft.sources.Sources.writeIndexMeta(spark, tableLocation(spark, shT),
+      shingleMeta(Dedup.DefaultShingleN))
     graft.sources.Sources.resetWarehouseTable(spark, watermarkTable(table))
     spark.range(1).select(lit(settledThrough).as("settled_through"))
       .write.format("parquet").saveAsTable(watermarkTable(table))
@@ -874,6 +949,8 @@ object IncrementalDedup {
                       threshold: Double = 0.5, dfCap: Int = 1000): DataFrame =
     shards.zipWithIndex.map { case (shard, t) =>
       val spark = shard.sparkSession
+      graft.sources.Sources.requireIndexMeta(spark, indexPath,
+        shingleMeta(Dedup.DefaultShingleN))
       val rep = reportFor(shard, readShingleIndex(spark, indexPath),
         threshold, dfCap).localCheckpoint(true)
       val admitted = shard
@@ -895,15 +972,26 @@ object IncrementalDedup {
     * doc's distinct shingles absent from the index.
     */
   def incrementalNoveltyReport(spark: SparkSession, dir: String,
-                               n: Int = 3): DataFrame = {
+                               n: Int = Dedup.DefaultShingleN): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val isNew = col("doc_id") % 7 === 0
     val path = graft.sources.Sources.scratchDir(spark,
       "novelty_index_" + graft.sources.Sources.dirTag(dir))
     writeShingleIndex(docs.filter(!isNew), path, n)
-    val ref = readShingleIndex(spark, path)
+    noveltyAgainstIndex(docs.filter(isNew), path, n)
+  }
+
+  /** The novelty PROBE against an existing shingle index — exposed
+    * separately from the fixture entry so the probe-side width check has
+    * a public surface: a probe whose `n` contradicts the index's sidecar
+    * fails loudly here instead of reading as ~100% bogus novelty. */
+  def noveltyAgainstIndex(newDocs: DataFrame, indexPath: String,
+                          n: Int = Dedup.DefaultShingleN): DataFrame = {
+    val spark = newDocs.sparkSession
+    graft.sources.Sources.requireIndexMeta(spark, indexPath, shingleMeta(n))
+    val ref = readShingleIndex(spark, indexPath)
       .select(col("shingle")).distinct().withColumn("seen", lit(1))
-    Dedup.docShingles(docs.filter(isNew), n)
+    Dedup.docShingles(newDocs, n)
       .join(ref, Seq("shingle"), "left")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shingles"),
@@ -932,10 +1020,13 @@ object IncrementalDedup {
     * of the shingle/fp family apply verbatim to this sink (same key
     * discipline, smaller rows). */
   def writeChunkHashIndex(docs: DataFrame, path: String,
-                          seed: Long = 42L): Unit =
+                          seed: Long = 42L): Unit = {
     graft.operators.TextAnalysis.contentDefinedChunksFor(docs, seed)
       .select(col("chunk_hash")).distinct()
       .write.mode("overwrite").parquet(path)
+    graft.sources.Sources.writeIndexMeta(docs.sparkSession, path,
+      Map("cdc_seed" -> seed.toString))
+  }
 
   /** Per-shard report against the persisted chunk-hash index: one row
     * per arriving doc with its chunk/token totals, the settled-owned
@@ -967,6 +1058,8 @@ object IncrementalDedup {
   def chunkIngestShard(newDocs: DataFrame, indexPath: String,
                        tau: Double = 0.5, seed: Long = 42L): DataFrame = {
     val spark = newDocs.sparkSession
+    graft.sources.Sources.requireIndexMeta(spark, indexPath,
+      Map("cdc_seed" -> seed.toString))
     val index = spark.read.parquet(indexPath)
     val admitted = newDocs.join(
         chunkDedupReportFor(newDocs, index, tau, seed)
@@ -990,6 +1083,8 @@ object IncrementalDedup {
     val path = graft.sources.Sources.scratchDir(spark,
       "chunk_index_" + graft.sources.Sources.dirTag(dir))
     writeChunkHashIndex(docs.filter(!isNew), path, seed)
+    graft.sources.Sources.requireIndexMeta(spark, path,
+      Map("cdc_seed" -> seed.toString))
     chunkDedupReportFor(docs.filter(isNew),
       spark.read.parquet(path), tau, seed)
   }

@@ -882,7 +882,7 @@ object TextAnalysis {
       (p.substring(0, i), p.substring(i + 1))
     }
     val bc = spark.sparkContext.broadcast(ranked)
-    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+    val segmented = docs.select(col("doc_id"), col("text")).as[(Long, String)]
       .map { case (id, text) =>
         val toks = text.split(" ", -1)
         val claimed = new Array[Boolean](toks.length)
@@ -899,6 +899,14 @@ object TextAnalysis {
         (id, toks.length.toLong, (toks.length - applied).toLong, applied.toLong)
       }
       .toDF("doc_id", "n_tokens", "n_pieces", "n_applied")
+    // materialize through the scratch spill so the broadcast's lifetime
+    // is THIS call, not the returned plan's: a lazily-returned map over
+    // `bc` would pin the merge table on every executor until the plan is
+    // GC'd (the ContextCleaner's best-effort schedule). The spill is the
+    // narrow per-doc profile — one write, and the destroy is deterministic.
+    val out = graft.sources.Sources.spillScratch(segmented, "bpe_apply")
+    bc.destroy()
+    out
   }
 
   /** q107 — DOCUMENT CHUNKING: split every document's token stream into

@@ -49,6 +49,86 @@ object Sources {
     p
   }
 
+  /** Spill a relation ONCE to a session-scratch parquet sink and return a
+    * reader over the spill — the multi-consumer materialization discipline
+    * for corpus-shaped relations (q88/q123): executor storage
+    * (`localCheckpoint`) pins the relation in executor memory/disk blocks
+    * AND truncates lineage, so at 100 TB an executor loss mid-job is
+    * unrecoverable; a columnar scratch spill costs one write, re-reads
+    * compressed, and every consumer recovers from the file like any other
+    * scan. The path carries a per-call sequence number, so two concurrent
+    * invocations — even on different inputs with the same `name` — can
+    * never race on one spill (the isolation `cdcPassageDedupFor`'s old
+    * caller-supplied tag only promised). The spill is read back with the
+    * DECLARED schema: an all-empty input writes zero part files, and
+    * schema inference over none would throw instead of returning empty. */
+  private val spillSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+  private[graft] def spillScratch(df: DataFrame, name: String): DataFrame = {
+    val spark = df.sparkSession
+    val p = scratchDir(spark, s"spill_${name}_${spillSeq.incrementAndGet()}")
+    df.write.mode("overwrite").parquet(p)
+    spark.read.schema(df.schema).parquet(p)
+  }
+
+  // --- Persisted-index parameter sidecar --------------------------------
+  //
+  // Every persisted index in this library is only readable at the
+  // parameters it was WRITTEN with (shingle width n, winnowing k/w, CDC
+  // seed, reservoir k): a probe at different parameters doesn't fail — it
+  // silently returns garbage (a width-2 probe of a width-3 shingle index
+  // matches nothing and reads as ~100% novelty). Scaladoc contracts
+  // ("n must match") are caller discipline; the sidecar makes the layout
+  // itself carry its parameters so a mismatched probe fails LOUDLY. The
+  // sidecar is one underscore-prefixed file inside the index directory —
+  // Spark's file readers ignore `_`-prefixed files, so it rides along
+  // with parquet data, bucketed-table dirs, and partitioned layouts alike.
+
+  private val IndexMetaFile = "_graft_index_meta"
+
+  /** Persist `params` as the index-at-`dir`'s parameter sidecar
+    * (overwrite — call after the layout's own overwrite write). */
+  private[graft] def writeIndexMeta(spark: SparkSession, dir: String,
+                                    params: Map[String, String]): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir, IndexMetaFile)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(params.toSeq.sorted.map { case (k, v) => s"$k=$v" }
+      .mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** The sidecar's params, or empty if the index predates the sidecar
+    * (or the dir doesn't exist). */
+  private[graft] def readIndexMeta(spark: SparkSession,
+                                   dir: String): Map[String, String] = {
+    val p = new org.apache.hadoop.fs.Path(dir, IndexMetaFile)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Map.empty
+    else {
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .filter(_.contains("=")).map { l =>
+          val i = l.indexOf('='); l.substring(0, i) -> l.substring(i + 1)
+        }.toMap
+      finally in.close()
+    }
+  }
+
+  /** Fail loudly if the index-at-`dir` records a parameter that
+    * contradicts what this probe/append is about to use. A missing
+    * sidecar passes (pre-sidecar index; the write verbs all stamp one,
+    * so in-library lifecycles are always checked). */
+  private[graft] def requireIndexMeta(spark: SparkSession, dir: String,
+                                      expect: Map[String, String]): Unit = {
+    val have = readIndexMeta(spark, dir)
+    for ((k, v) <- expect; recorded <- have.get(k))
+      require(recorded == v,
+        s"index at $dir was written with $k=$recorded; " +
+          s"this operation uses $k=$v — a mismatched probe would silently " +
+          s"return garbage, not fail. Rebuild the index or match its " +
+          s"parameters.")
+  }
+
   /** Collision-resistant tag for fixture-dir-keyed scratch paths and
     * table names: the sanitized tail of the dir string (human-readable;
     * distinguishes dirs whose hashCodes collide) plus the hashCode in

@@ -49,20 +49,35 @@ object DriftMonitorStream {
   def driftTickXO(batch: DataFrame, batchId: Long, path: String,
                   refCounts: DataFrame): Unit = {
     val bc = tokenCounts(batch)
-    val bTot = bc.agg(sum(col("c")).as("nb"))
-    val rTot = refCounts.agg(sum(col("c")).as("nr"))
-    val joined = bc.withColumnRenamed("c", "cb")
-      .join(refCounts.withColumnRenamed("c", "cr"), Seq("token"), "full_outer")
-      .crossJoin(broadcast(bTot)).crossJoin(broadcast(rTot))
-      .select(
-        (coalesce(col("cb"), lit(0L)).cast("double") / col("nb")).as("p1"),
-        (coalesce(col("cr"), lit(0L)).cast("double") / col("nr")).as("p2"))
-      .withColumn("m", (col("p1") + col("p2")) / 2.0)
-    joined.agg(
-      TF.jsDivergenceAgg(col("p1"), col("p2"), col("m")).as("js_divergence"))
-      .crossJoin(broadcast(bTot))
-      .select(col("nb").cast("long").as("n_tokens"), col("js_divergence"))
-      .withColumn("ingest_batch", lit(batchId))
+    // The batch total is a ONE-ROW aggregate — computed driver-side (the
+    // bounded-collect discipline) both to guard the empty case and to
+    // feed the divisions as a literal instead of a crossJoin. An empty
+    // micro-batch (a trigger with no arrivals — a real foreachBatch
+    // possibility) or an all-empty-text one would otherwise make
+    // nb = sum(c) = NULL and poison every division into a (null, null)
+    // row; downstream alerting must never see nulls. The empty batch's
+    // marginal is maximally far from any reference: land the defined
+    // extreme, JS = ln 2, with n_tokens = 0 — a loud alarm row for a
+    // silent tick.
+    val nb = bc.agg(coalesce(sum(col("c")), lit(0L))).head().getLong(0)
+    val row =
+      if (nb == 0L)
+        batch.sparkSession.range(1)
+          .select(lit(0L).as("n_tokens"), lit(math.log(2.0)).as("js_divergence"))
+      else {
+        val rTot = refCounts.agg(sum(col("c")).as("nr"))
+        bc.withColumnRenamed("c", "cb")
+          .join(refCounts.withColumnRenamed("c", "cr"), Seq("token"), "full_outer")
+          .crossJoin(broadcast(rTot))
+          .select(
+            (coalesce(col("cb"), lit(0L)).cast("double") / lit(nb)).as("p1"),
+            (coalesce(col("cr"), lit(0L)).cast("double") / col("nr")).as("p2"))
+          .withColumn("m", (col("p1") + col("p2")) / 2.0)
+          .agg(TF.jsDivergenceAgg(col("p1"), col("p2"), col("m"))
+            .as("js_divergence"))
+          .select(lit(nb).as("n_tokens"), col("js_divergence"))
+      }
+    row.withColumn("ingest_batch", lit(batchId))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("ingest_batch").parquet(path)

@@ -58,29 +58,53 @@ object ReservoirSampleStream {
     * the batch's own partition. Safe to re-run with the same batchId. */
   def sampleTickXO(batch: DataFrame, batchId: Long, path: String,
                    k: Int = 50, seed: Long = 42L,
-                   prefixChars: Int = 2): Unit =
+                   prefixChars: Int = 2): Unit = {
+    val spark = batch.sparkSession
+    // the store's parameters are DATA, not caller discipline: ticks at a
+    // different (k, seed, prefix) than the store was opened with would
+    // silently mix incompatible candidate sets
+    graft.sources.Sources.requireIndexMeta(spark, path, reservoirMeta(k, seed, prefixChars))
     batchBottomK(batch, k, seed, prefixChars)
       .withColumn("ingest_batch", lit(batchId))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("ingest_batch").parquet(path)
+    graft.sources.Sources.writeIndexMeta(spark, path, reservoirMeta(k, seed, prefixChars))
+  }
+
+  private def reservoirMeta(k: Int, seed: Long, prefixChars: Int) =
+    Map("k" -> k.toString, "seed" -> seed.toString,
+      "prefix_chars" -> prefixChars.toString)
+
+  /** The store's recorded write-time k (`Int.MaxValue` when the store
+    * predates the sidecar — then the scaladoc contract is all there is). */
+  private def storedK(spark: SparkSession, path: String): Int =
+    graft.sources.Sources.readIndexMeta(spark, path)
+      .get("k").map(_.toInt).getOrElse(Int.MaxValue)
 
   /** The current reservoir: bottom-k of the accumulated candidates — the
     * semilattice merge, ranked over an index-sized relation only.
     * Returns (doc_id, lang, pos), q97's exact output contract.
     *
-    * CONTRACT: `k` here must be ≤ the `k` the ticks were written with —
-    * bottom-k' of a bottom-k store is exact for k' ≤ k, but a LARGER k'
-    * would silently return an underfilled reservoir (candidates beyond
-    * each batch's bottom-k were never landed). The multi-tick entry
-    * point threads one k through both sides. */
+    * CONTRACT (now enforced by the store's parameter sidecar, not just
+    * this scaladoc): `k` here must be ≤ the `k` the ticks were written
+    * with — bottom-k' of a bottom-k store is exact for k' ≤ k, but a
+    * LARGER k' would silently return an underfilled reservoir (candidates
+    * beyond each batch's bottom-k were never landed). The store records
+    * its write-time k; a larger probe fails loudly. */
   def currentSample(spark: SparkSession, path: String, k: Int = 50,
-                    seed: Long = 42L, prefixChars: Int = 2): DataFrame =
+                    seed: Long = 42L, prefixChars: Int = 2): DataFrame = {
+    graft.sources.Sources.requireIndexMeta(spark, path,
+      Map("seed" -> seed.toString, "prefix_chars" -> prefixChars.toString))
+    require(k <= storedK(spark, path),
+      s"reservoir at $path holds bottom-${storedK(spark, path)} candidates; " +
+        s"a k=$k merge would silently return an underfilled sample")
     Sampling.hashRankWithin(
         spark.read.parquet(path).select(col("doc_id"), col("lang")).distinct(),
         "lang", "doc_id", seed, prefixChars)
       .filter(col("pos") <= k)
       .select(col("doc_id"), col("lang"), col("pos"))
+  }
 
   /** Reservoir compaction — the D9/q139 maintenance verb for this store:
     * after K ticks the candidate table is K partitions whose union the
@@ -91,9 +115,14 @@ object ReservoirSampleStream {
     * (settled) ∪ future) — compaction loses nothing a future merge
     * needs. Staged-rewrite + swap, same declared crash window as q139.
     * `k` must be ≥ any k later merges will ask for (the merge contract
-    * above, applied to the store itself). */
+    * above, applied to the store itself) — the sidecar records the
+    * store's EFFECTIVE k after compaction, min(write-time k, this k), so
+    * a later over-k merge still fails loudly. */
   def compactReservoir(spark: SparkSession, path: String, k: Int = 50,
-                       seed: Long = 42L, prefixChars: Int = 2): Unit =
+                       seed: Long = 42L, prefixChars: Int = 2): Unit = {
+    graft.sources.Sources.requireIndexMeta(spark, path,
+      Map("seed" -> seed.toString, "prefix_chars" -> prefixChars.toString))
+    val effectiveK = math.min(k.toLong, storedK(spark, path).toLong).toInt
     graft.sources.Sources.stagedSwap(spark, path) { staged =>
       Sampling.hashRankWithin(
           spark.read.parquet(path).select(col("doc_id"), col("lang")).distinct(),
@@ -104,6 +133,9 @@ object ReservoirSampleStream {
         .write.mode("overwrite").partitionBy("ingest_batch")
         .parquet(staged)
     }
+    graft.sources.Sources.writeIndexMeta(spark, path,
+      reservoirMeta(effectiveK, seed, prefixChars))
+  }
 
   /** The foreachBatch wrapper: Spark's own batchId keys the idempotent
     * tick, so checkpoint-recovery replays rewrite their own partitions. */

@@ -446,7 +446,7 @@ class DedupSpec extends AnyFunSuite {
     val unique = (1 to 30).map(i => s"uniq$i").mkString(" ")
     val docs = Seq((1L, base), (2L, base), (3L, "zzz " + base), (4L, unique))
       .toDF("doc_id", "text")
-    val prof = Dedup.cdcPassageDedupFor(docs, scratchTag = "q136spec")
+    val prof = Dedup.cdcPassageDedupFor(docs)
       .as[(Long, Long, Long, Long, Long, Boolean)].collect()
       .map(r => r._1 -> r).toMap
     // doc 1 owns everything it has; doc 2 is an exact copy — fully owned

@@ -817,4 +817,54 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(t2.select(col("doc_id")).as[Long].collect().toSet == Set(203L),
       "a copy of a prior admission must be rejected by the extended sink")
   }
+
+  test("parameter sidecar: mismatched-width/geometry/seed probes fail loudly") {
+    // shingle index: written at n=3, probed/appended at n=2 → loud failure,
+    // never the silent ~100% bogus novelty a matching-nothing join returns
+    val shPath = tmpIndex("meta_sh")
+    IncrementalDedup.writeShingleIndex(settled, shPath, n = 3)
+    val e1 = intercept[IllegalArgumentException] {
+      IncrementalDedup.appendShingleIndex(shard, shPath, n = 2)
+    }
+    assert(e1.getMessage.contains("n=3") && e1.getMessage.contains("n=2"))
+    intercept[IllegalArgumentException] {
+      IncrementalDedup.noveltyAgainstIndex(shard, shPath, n = 2)
+    }
+    // matching parameters pass, and the probe still works after appends
+    IncrementalDedup.appendShingleIndex(shard, shPath, n = 3)
+    assert(IncrementalDedup.noveltyAgainstIndex(settled.limit(2), shPath, n = 3)
+      .count() > 0L)
+    // rebuilding at a new width re-stamps the sidecar: the new width is
+    // now the valid one and the OLD width is the mismatch
+    IncrementalDedup.writeShingleIndex(settled, shPath, n = 2)
+    IncrementalDedup.appendShingleIndex(shard, shPath, n = 2)
+    intercept[IllegalArgumentException] {
+      IncrementalDedup.appendShingleIndex(shard, shPath, n = 3)
+    }
+    // fingerprint index: (k, w) geometry is recorded and enforced
+    val fpPath = tmpIndex("meta_fp")
+    IncrementalDedup.writeFpIndex(settled, fpPath, k = 16, w = 8)
+    intercept[IllegalArgumentException] {
+      IncrementalDedup.appendFpIndex(shard, fpPath, k = 16, w = 4)
+    }
+    intercept[IllegalArgumentException] {
+      IncrementalDedup.ingestShardWinnowed(shard, fpPath,
+        tmpIndex("meta_corpus"), k = 12, w = 8)
+    }
+    // chunk-hash index: the CDC seed is recorded and enforced
+    val chPath = tmpIndex("meta_chunk")
+    IncrementalDedup.writeChunkHashIndex(settled, chPath, seed = 42L)
+    intercept[IllegalArgumentException] {
+      IncrementalDedup.chunkIngestShard(shard, chPath, seed = 7L)
+    }
+    // bucketed table index: the sidecar lives in the table dir and
+    // survives compaction's directory move
+    val table = "graft_meta_spec_" +
+      java.lang.Long.toHexString(System.nanoTime())
+    IncrementalDedup.writeShingleIndexBucketed(settled, table, nBuckets = 4)
+    IncrementalDedup.appendShingleIndexBucketed(shard, table, nBuckets = 4)
+    IncrementalDedup.compactShingleIndexBucketed(spark, table, nBuckets = 4)
+    // post-compaction: the re-stamped sidecar still validates probes
+    assert(IncrementalDedup.reportForBucketed(shard, table).count() > 0L)
+  }
 }

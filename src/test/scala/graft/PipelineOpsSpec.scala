@@ -77,6 +77,18 @@ class PipelineOpsSpec extends AnyFunSuite {
         .count()
       assert(spurious == 0L, s"$cls placeholder in unplanted docs")
     }
+    // the loop above derives expected placeholders FROM piiPatterns, so a
+    // wrong-placeholder edit to the table would sail through it — pin the
+    // literals independently (every class, both directions of the table)
+    assert(TextAnalysis.piiPatterns.map(p => p._1 -> p._2).toMap == Map(
+      "email" -> "<EMAIL>", "card" -> "<CARD>", "ssn" -> "<SSN>",
+      "ip" -> "<IP>", "phone" -> "<PHONE>"), "placeholder literals drifted")
+    // and directly on the redacted text: a planted phone doc must carry
+    // the literal <PHONE>, a planted email doc the literal <EMAIL>
+    assert(redacted.filter(col("doc_id") % 11 === 0 &&
+      !col("r").contains("<PHONE>")).count() == 0L)
+    assert(redacted.filter(col("doc_id") % 7 === 0 &&
+      !col("r").contains("<EMAIL>")).count() == 0L)
   }
 
   test("q86 shuffle rank: distributed rank == single-window rank, a 0..N-1 permutation") {

@@ -128,6 +128,17 @@ class PlanSpec extends AnyFunSuite {
       s"verify pass should read the column-pruned documents scan directly:\n$plan")
   }
 
+  test("q126 containment: consumers read the shingle spill from parquet, never a corpus-sized checkpoint") {
+    // the q83 discipline extended to q126: the shingle leaf fans out to
+    // four consumers through a scratch-parquet spill — an ExistingRDD in
+    // the plan would mean a corpus-sized executor-storage pin is back
+    val plan = planOf(graft.operators.Dedup.containmentPairs(spark, TestSpark.Sf0001))
+    assert(!plan.contains("ExistingRDD"),
+      s"no materialized shingle relation may feed the containment join:\n$plan")
+    assert(plan.contains("Scan parquet") || plan.contains("FileScan"),
+      s"consumers should re-read the columnar spill:\n$plan")
+  }
+
   test("IVF assignment is a single shuffle-free projection (no Exchange)") {
     val e = Tables.embeddings(spark, TestSpark.Sf0001)
       .select(org.apache.spark.sql.functions.col("vec_id"),

@@ -514,6 +514,65 @@ class StreamingSpec extends AnyFunSuite {
       "post-compaction merge must still equal the batch bottom-k")
   }
 
+  test("q133 reservoir store records its write-time k; over-k merges fail loudly") {
+    import graft.streaming.ReservoirSampleStream
+    val docs = graft.Tables.documents(spark, TestSpark.Sf0001)
+      .select(col("doc_id"), col("lang"))
+    val path = java.nio.file.Files
+      .createTempDirectory("reservoir-k-spec").toString
+    ReservoirSampleStream.sampleTickXO(docs, 0L, path, k = 10)
+    // a merge at k' <= write-time k is the exact bottom-k'
+    assert(ReservoirSampleStream.currentSample(spark, path, k = 10).count() > 0L)
+    assert(ReservoirSampleStream.currentSample(spark, path, k = 3).count() > 0L)
+    // a LARGER k' would silently return an underfilled reservoir — the
+    // store's sidecar makes it throw instead
+    val e = intercept[IllegalArgumentException] {
+      ReservoirSampleStream.currentSample(spark, path, k = 11)
+    }
+    assert(e.getMessage.contains("bottom-10"))
+    // ticks at a different geometry than the store's are refused too
+    intercept[IllegalArgumentException] {
+      ReservoirSampleStream.sampleTickXO(docs, 1L, path, k = 20)
+    }
+    intercept[IllegalArgumentException] {
+      ReservoirSampleStream.currentSample(spark, path, k = 5, seed = 7L)
+    }
+    // compaction at a smaller k SHRINKS the recorded k: what was folded
+    // away can never be silently asked for again
+    ReservoirSampleStream.compactReservoir(spark, path, k = 5)
+    assert(ReservoirSampleStream.currentSample(spark, path, k = 5).count() > 0L)
+    intercept[IllegalArgumentException] {
+      ReservoirSampleStream.currentSample(spark, path, k = 6)
+    }
+  }
+
+  test("q140 drift tick on an EMPTY micro-batch lands a defined (0, ln 2) alarm row") {
+    import graft.streaming.DriftMonitorStream
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, TestSpark.Sf0001)
+      .select(col("doc_id"), col("text"))
+    val ref = DriftMonitorStream.tokenCounts(docs)
+    val path = java.nio.file.Files
+      .createTempDirectory("drift-empty-spec").toString
+    // a trigger with no arrivals — the real foreachBatch possibility
+    DriftMonitorStream.driftTickXO(docs.filter(col("doc_id") < 0), 7L, path, ref)
+    val rows = spark.read.parquet(path)
+      .select(col("ingest_batch").cast("long"), col("n_tokens"),
+        col("js_divergence"))
+      .as[(Long, Long, Double)].collect()
+    assert(rows.toSeq == Seq((7L, 0L, math.log(2.0))),
+      "empty tick must land the defined maximal-divergence row, never nulls")
+    // an all-empty-text batch degenerates the same way … (tokens of "" are
+    // the empty-string token, so craft a truly tokenless batch via filter)
+    // and a NON-empty tick beside it still computes a finite JS
+    DriftMonitorStream.driftTickXO(docs.limit(5), 8L, path, ref)
+    val t8 = spark.read.parquet(path)
+      .filter(col("ingest_batch") === 8L)
+      .select(col("n_tokens"), col("js_divergence"))
+      .as[(Long, Double)].head()
+    assert(t8._1 > 0L && !t8._2.isNaN && t8._2 >= 0.0 && t8._2 <= math.log(2.0))
+  }
+
   test("q140 streaming drift: per-tick JS recompute; zero on identical marginal; replay") {
     import graft.streaming.DriftMonitorStream
     import spark.implicits._

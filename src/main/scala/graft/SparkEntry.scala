@@ -476,7 +476,16 @@ object SparkEntry {
     // truncate vs pack vs chunk waste table at one context length —
     // integer arithmetic until the final 6dp division, fully oracled
     "q144_packing_efficiency" -> ((s: SparkSession, d: String) =>
-      TextAnalysis.packingEfficiencyAudit(s, d))
+      TextAnalysis.packingEfficiencyAudit(s, d)),
+    // the router DECISION oracled even though two routes are engine-RNG:
+    // per scenario the corpus count, the CASE-recomputable route, and a
+    // dispatch check (routed ≡ direct route) pinned at 0 violations
+    "q145_ann_route" -> ((s: SparkSession, d: String) =>
+      Similarity.annRouteInvariant(s, d)),
+    // the reference loop's per-round binary_accuracy as the A5 weighted
+    // mean over a deterministic predictions fixture
+    "q146_fed_eval_metric" -> ((s: SparkSession, d: String) =>
+      graft.operators.FedAvg.perRoundBinaryAccuracy(s, d))
   )
 
   /** Shared CTE chain ending in `pairs` = the exact-Jaccard near-dup pairs
@@ -2225,6 +2234,39 @@ object SparkEntry {
         |  CAST(sum(n) AS BIGINT),
         |  round(1.0 - CAST(sum(n) AS DOUBLE)
         |    / (sum((n + 255) // 256) * 256), 6)
-        |FROM n""".stripMargin
+        |FROM n""".stripMargin,
+    // the route is a pure CASE over the recounted corpus; violations are
+    // the engine-side dispatch check, pinned 0
+    "q145_ann_route" ->
+      """WITH c AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings)
+        |SELECT s.scenario, s.lsh_max_rows, s.compressed, c.n AS n_vectors,
+        |  CASE WHEN s.compressed THEN 'pq'
+        |       WHEN c.n <= s.lsh_max_rows THEN 'lsh'
+        |       ELSE 'ivf' END AS route,
+        |  CAST(0 AS BIGINT) AS violations
+        |FROM (VALUES ('default', CAST(1000000 AS BIGINT), false),
+        |             ('small_cap', CAST(10 AS BIGINT), false),
+        |             ('compressed', CAST(1000000 AS BIGINT), true))
+        |  s(scenario, lsh_max_rows, compressed)
+        |CROSS JOIN c""".stripMargin,
+    // same integer prediction rule, example-weighted accuracy, DECIMAL-
+    // routed 6dp division
+    "q146_fed_eval_metric" ->
+      """WITH preds AS (
+        |  SELECT r.fed_round, CAST(e.label AS BIGINT) AS client_id,
+        |    CAST(e.vec_id % 10 + 1 AS DOUBLE) AS w,
+        |    CASE WHEN (e.vec_id * 31 + r.fed_round * 17) % 100
+        |              < 40 + 15 * r.fed_round
+        |         THEN 1.0 ELSE 0.0 END AS correct
+        |  FROM embeddings e
+        |  CROSS JOIN (SELECT CAST(unnest(generate_series(1, 3)) AS BIGINT)
+        |                AS fed_round) r)
+        |SELECT fed_round,
+        |  CAST(count(DISTINCT client_id) AS BIGINT) AS n_clients,
+        |  CAST(count(*) AS BIGINT) AS n_examples,
+        |  CAST(sum(w) AS BIGINT) AS total_weight,
+        |  CAST(round(CAST(sum(w * correct) / sum(w) AS DECIMAL(38,18)), 6)
+        |    AS DOUBLE) AS binary_accuracy
+        |FROM preds GROUP BY 1""".stripMargin
   )
 }

@@ -109,4 +109,52 @@ object FedAvg {
     }
     perRound.reduce(_.unionByName(_))
   }
+
+  /** The q146 predictions fixture: per (round, example) the label, the
+    * A5 example weight, and a deterministic prediction whose accuracy
+    * RISES with the round (~55% → ~85%) — the integer-arithmetic stand-in
+    * for "training improves", replayable exactly by the oracle. The
+    * reference's metric source is the per-client train pass of each round
+    * (federated_learning_pipeline.py:147-151); here `label` plays the
+    * client id exactly as in [[clientMeans]]. */
+  def predictionsFixture(spark: SparkSession, dir: String,
+                         rounds: Int = 3): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label").cast("long").as("client_id"))
+      .withColumn("fed_round",
+        explode(sequence(lit(1L), lit(rounds.toLong))))
+      .select(col("fed_round"), col("client_id"),
+        (col("vec_id") % 10 + 1).cast("double").as("w"),
+        (col("vec_id") % 2).cast("long").as("y_true"),
+        when((col("vec_id") * 31 + col("fed_round") * 17) % 100 <
+            lit(40) + lit(15) * col("fed_round"),
+          col("vec_id") % 2).otherwise(lit(1) - col("vec_id") % 2)
+          .cast("long").as("y_pred"))
+
+  /** q146 — FEDERATED EVAL METRIC: the reference's training loop prints a
+    * per-round `binary_accuracy` (TFF's example-weighted client_work
+    * metric, /root/reference/src/federated_learning_pipeline.py:147-151);
+    * this is that metric as a relational verb — the A5 weighted mean
+    * pointed at a 0/1 `correct` column instead of a weight vector:
+    * accuracy_t = Σ w·[y_pred = y_true] / Σ w over round t's predictions.
+    * Example-weighted across clients exactly as TFF aggregates it (the
+    * two-level client→global weighted combine collapses by associativity,
+    * the [[globalRound]] argument on scalars).
+    *
+    * Scale shape: one pass over the predictions relation, one map-side-
+    * combined hash agg keyed on the R-row round id; integer-valued sums
+    * make the division deterministic, and the 6dp round runs through
+    * DECIMAL on both engines (the q92 tie discipline). */
+  def perRoundBinaryAccuracy(spark: SparkSession, dir: String,
+                             rounds: Int = 3): DataFrame =
+    predictionsFixture(spark, dir, rounds)
+      .withColumn("correct",
+        when(col("y_true") === col("y_pred"), 1.0).otherwise(0.0))
+      .groupBy(col("fed_round"))
+      .agg(countDistinct(col("client_id")).as("n_clients"),
+        count(lit(1)).as("n_examples"),
+        sum(col("w")).cast("long").as("total_weight"),
+        round((sum(col("w") * col("correct")) / sum(col("w")))
+            .cast(org.apache.spark.sql.types.DecimalType(38, 18)), 6)
+          .cast("double").as("binary_accuracy"))
 }

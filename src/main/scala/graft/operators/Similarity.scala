@@ -1013,6 +1013,44 @@ object Similarity {
       col("cand_id"), col("score"))
   }
 
+  /** q145 — ANN ROUTER INVARIANT (q34 discipline): the router's decision
+    * is a pure function of (corpus count, compressed flag, lshMaxRows) —
+    * so the DECISION itself is oracle-able even though two of the three
+    * underlying routes are engine-RNG. One row per routing scenario:
+    * the DuckDB-recomputable corpus count, the route [[annRoute]] picks,
+    * and a dispatch-violations counter pinned at 0. The oracle recomputes
+    * every route from the count with the same CASE rule; `violations`
+    * additionally proves the front door's dispatch WIRING on the scenario
+    * the fixture actually exercises (the default → LSH): [[annTopK]]'s
+    * routed output must equal the direct route's output row for row
+    * (both relations are nQueries·k — bounded driver compare).
+    */
+  def annRouteInvariant(spark: SparkSession, dir: String,
+                        nQueries: Int = 10, k: Int = 5): DataFrame = {
+    import spark.implicits._
+    val nRows = Tables.embeddings(spark, dir).count()
+    def keyRows(df: DataFrame): Set[(Long, Long, Long)] =
+      df.select(col("query_id").cast("long"), col("rank").cast("long"),
+          col("cand_id").cast("long"))
+        .as[(Long, Long, Long)].collect().toSet
+    val routed = keyRows(annTopK(spark, dir, nQueries, k))
+    val direct = keyRows(annCosineTopK(spark, dir, nQueries, k))
+    val dispatchViolations =
+      if (routed == direct && routed.nonEmpty) 0L else 1L
+    val scenarios = Seq(
+      // (scenario, lshMaxRows, compressedStore); the default cap routes
+      // the fixture to LSH, a tiny cap forces the IVF arm, and the
+      // compressed flag forces PQ regardless of size
+      ("default", 1000000L, false),
+      ("small_cap", 10L, false),
+      ("compressed", 1000000L, true))
+    scenarios.map { case (name, cap, comp) =>
+      (name, cap, comp, nRows, annRoute(nRows, cap, comp),
+        if (name == "default") dispatchViolations else 0L)
+    }.toDF("scenario", "lsh_max_rows", "compressed", "n_vectors", "route",
+      "violations")
+  }
+
   /** q128 — HYBRID RETRIEVAL: BM25 lexical ranks fused with exact dense-
     * cosine ranks via Reciprocal Rank Fusion (Cormack, Clarke & Büttcher,
     * SIGIR 2009: rrf(d) = Σ 1/(K + rank_i(d))). The standard first stage

@@ -154,4 +154,31 @@ class AggregatorSpec extends AnyFunSuite {
     assert(viaAgg.exceptAll(viaSql).count() == 0)
     assert(viaSql.exceptAll(viaAgg).count() == 0)
   }
+
+  test("q146 per-round accuracy: driver recompute agrees; metric rises per round") {
+    import spark.implicits._
+    val preds = FedAvg.predictionsFixture(spark, TestSpark.Sf0001)
+      .as[(Long, Long, Double, Long, Long)].collect()
+    val want = preds.groupBy(_._1).map { case (r, rows) =>
+      val w = rows.map(_._3).sum
+      val wc = rows.filter(p => p._4 == p._5).map(_._3).sum
+      r -> BigDecimal(wc / w).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val got = FedAvg.perRoundBinaryAccuracy(spark, TestSpark.Sf0001)
+      .as[(Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r._5).toMap
+    assert(got.keySet == Set(1L, 2L, 3L))
+    got.foreach { case (r, acc) =>
+      assert(math.abs(acc - want(r)) <= 1e-9, s"round $r")
+    }
+    // the fixture simulates training: example-weighted accuracy must rise
+    assert(got(1L) < got(2L) && got(2L) < got(3L),
+      "per-round accuracy should improve like the reference's loop")
+    // and the metric is genuinely example-WEIGHTED: the unweighted mean
+    // differs (weights 1..10 correlate with vec_id parity classes)
+    val unweighted = preds.filter(_._1 == 1L)
+    val uw = unweighted.count(p => p._4 == p._5).toDouble / unweighted.length
+    assert(math.abs(uw - got(1L)) > 1e-6,
+      "weighted and unweighted accuracy coincide — the weight is inert")
+  }
 }

@@ -322,6 +322,20 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("q145 route invariant: decision rows recomputable, dispatch violations 0") {
+    val rows = Similarity.annRouteInvariant(spark, TestSpark.Sf0001)
+      .as[(String, Long, Boolean, Long, String, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(rows.keySet == Set("default", "small_cap", "compressed"))
+    val n = rows("default")._4
+    assert(n > 0 && rows.values.forall(_._4 == n), "one corpus count")
+    assert(rows("default")._5 == (if (n <= 1000000L) "lsh" else "ivf"))
+    assert(rows("small_cap")._5 == (if (n <= 10L) "lsh" else "ivf"))
+    assert(rows("compressed")._5 == "pq")
+    assert(rows.values.forall(_._6 == 0L),
+      "router dispatch must return exactly the direct route's rows")
+  }
+
   test("q128 hybrid RRF equals a driver-side fusion of the two pinned rankings") {
     val dir = TestSpark.Sf0001
     val (nQ, depth, k, rrfK) = (5, 20, 10, 60)

@@ -61,9 +61,14 @@ object Probe {
       "q136_cdc_dedup" -> (() => q("q136_cdc_dedup")),
       "q137_matryoshka_audit" -> (() => q("q137_matryoshka_audit")),
       "q138_source_scorecard" -> (() => q("q138_source_scorecard")),
+      "q139_ivf_compaction" -> (() => q("q139_ivf_compaction")),
+      "q140_streaming_drift" -> (() => q("q140_streaming_drift")),
+      "q141_pq_compaction" -> (() => q("q141_pq_compaction")),
       "q142_chunk_incremental_dedup" -> (() => q("q142_chunk_incremental_dedup")),
       "q143_embedding_drift" -> (() => q("q143_embedding_drift")),
       "q144_packing_efficiency" -> (() => q("q144_packing_efficiency")),
+      "q145_ann_route" -> (() => q("q145_ann_route")),
+      "q146_fed_eval_metric" -> (() => q("q146_fed_eval_metric")),
       "q78 candidate core (bucketed fp index: Exchange-free index side)" -> (() => {
         val table = "graft_probe_fpidx"
         val docs = graft.Tables.documents(spark, dir)
@@ -110,7 +115,11 @@ object Probe {
         |localCheckpoints (no session cache leak — see CacheSpec), so dedup-family
         |plans read `Scan ExistingRDD` where earlier rounds showed the parquet
         |scan + shingle flatMap: the leaf is computed once at query construction
-        |and every branch reads the checkpointed blocks.
+        |and every branch reads the checkpointed blocks. Shard-bounded leaves
+        |keep that form; since round 11 the CORPUS-shaped leaves (q126's
+        |shingles, q136's chunks, the bucketed index bootstraps) spill to
+        |scratch parquet instead — their consumers show a plain parquet scan
+        |of the spill (recoverable lineage, no executor-storage pin).
         |""".stripMargin)
     for ((name, build) <- sections) {
       println(s"===== $name =====")

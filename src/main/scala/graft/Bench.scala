@@ -37,6 +37,14 @@ object Bench {
     // wall-clock past the driver budget (rc 124). Attribution sessions set
     // SPARK_GRAFT_BENCH_RUNS=2/3 explicitly for best-of-N noise rejection.
     val nRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "1").toInt.max(1)
+    // Optional subset filter (comma-separated name prefixes) for targeted
+    // scaling sessions (e.g. the sf1 heavy-family runs): unset → full
+    // registry, so the driver's per-round invocation is unchanged.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    val benched = SparkEntry.queries.filter { case (n, _) =>
+      only.forall(_.exists(n.startsWith))
+    }
     val spark = GraftSession.local("graft-bench", cpus)
     // Steady-state warmup: JIT/codegen compilation and parquet footer reads
     // otherwise land entirely on whichever query happens to run first,
@@ -48,7 +56,7 @@ object Bench {
       .count().write.format("noop").mode("overwrite").save()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val loads = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = benched.map { case (name, fn) =>
       def once(): Double = {
         loads(name) = loads.getOrElse(name, Seq.empty) :+ load1()
         val t0 = System.nanoTime()

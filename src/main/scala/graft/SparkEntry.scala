@@ -485,7 +485,19 @@ object SparkEntry {
     // the reference loop's per-round binary_accuracy as the A5 weighted
     // mean over a deterministic predictions fixture
     "q146_fed_eval_metric" -> ((s: SparkSession, d: String) =>
-      graft.operators.FedAvg.perRoundBinaryAccuracy(s, d))
+      graft.operators.FedAvg.perRoundBinaryAccuracy(s, d)),
+    // corpus-health tripwire: ln-ln least squares over the unigram
+    // rank-frequency curve, ranked WITHOUT a global single-partition sort
+    "q147_zipf_audit" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.zipfAudit(s, d)),
+    // Cohen's κ between two oracle-provable quality gates, 2×2 table
+    // shipped alongside; gates compared on the 6dp DECIMAL ratio
+    "q148_scorer_agreement" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.scorerAgreement(s, d)),
+    // reliability-diagram reduction: ECE + max decile gap of a
+    // deterministic confidence vs the q103 pass gate
+    "q149_calibration_ece" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.calibrationAudit(s, d))
   )
 
   /** Shared CTE chain ending in `pairs` = the exact-Jaccard near-dup pairs
@@ -2267,6 +2279,70 @@ object SparkEntry {
         |  CAST(sum(w) AS BIGINT) AS total_weight,
         |  CAST(round(CAST(sum(w * correct) / sum(w) AS DECIMAL(38,18)), 6)
         |    AS DOUBLE) AS binary_accuracy
-        |FROM preds GROUP BY 1""".stripMargin
+        |FROM preds GROUP BY 1""".stripMargin,
+    // same total rank order (count desc, token asc); the engine's
+    // histogram+tie rank equals this single row_number by construction
+    "q147_zipf_audit" ->
+      """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS token
+        |              FROM documents),
+        |counts AS (SELECT token, CAST(count(*) AS BIGINT) AS c
+        |           FROM toks GROUP BY token),
+        |ranked AS (SELECT
+        |    ln(CAST(row_number() OVER (ORDER BY c DESC, token) AS DOUBLE)) AS x,
+        |    ln(CAST(c AS DOUBLE)) AS y
+        |  FROM counts),
+        |s AS (SELECT CAST(count(*) AS DOUBLE) AS n, sum(x) AS sx, sum(y) AS sy,
+        |        sum(x*y) AS sxy, sum(x*x) AS sxx, sum(y*y) AS syy FROM ranked)
+        |SELECT CAST(n AS BIGINT) AS vocab_size,
+        |  round((n*sxy - sx*sy) / (n*sxx - sx*sx), 6) AS zipf_slope,
+        |  round((sy - sx * ((n*sxy - sx*sy) / (n*sxx - sx*sx))) / n, 6)
+        |    AS zipf_intercept,
+        |  round(pow(n*sxy - sx*sy, 2) /
+        |        ((n*sxx - sx*sx) * (n*syy - sy*sy)), 6) AS r_squared
+        |FROM s""".stripMargin,
+    // identical gate arithmetic: ttr through DECIMAL(38,18) → 6dp → gate
+    "q148_scorer_agreement" ->
+      """WITH g AS (SELECT
+        |    (len(string_split(text, ' ')) >= 20) AS ga,
+        |    (CAST(round(CAST(CAST(len(list_distinct(string_split(text, ' ')))
+        |                            AS DOUBLE)
+        |                     / len(string_split(text, ' ')) AS DECIMAL(38,18)), 6)
+        |          AS DOUBLE) >= 0.5) AS gb
+        |  FROM documents),
+        |c AS (SELECT
+        |    CAST(sum(CASE WHEN NOT ga AND NOT gb THEN 1 ELSE 0 END) AS BIGINT) AS n00,
+        |    CAST(sum(CASE WHEN NOT ga AND gb THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+        |    CAST(sum(CASE WHEN ga AND NOT gb THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+        |    CAST(sum(CASE WHEN ga AND gb THEN 1 ELSE 0 END) AS BIGINT) AS n11
+        |  FROM g),
+        |k AS (SELECT *, CAST(n00 + n01 + n10 + n11 AS DOUBLE) AS n,
+        |        CAST(n00 + n11 AS DOUBLE) / (n00 + n01 + n10 + n11) AS po,
+        |        ((n10 + n11) * (n01 + n11) + (n00 + n01) * (n00 + n10))
+        |          / (CAST(n00 + n01 + n10 + n11 AS DOUBLE)
+        |             * (n00 + n01 + n10 + n11)) AS pe
+        |      FROM c)
+        |SELECT n00, n01, n10, n11,
+        |  round(po, 6) AS observed_agreement,
+        |  round(pe, 6) AS chance_agreement,
+        |  round((po - pe) / (1.0 - pe), 6) AS kappa
+        |FROM k""".stripMargin,
+    // conf = exact integer division (IEEE-identical), so decile binning
+    // needs no rounding escape; gaps rounded 6dp at the end only
+    "q149_calibration_ece" ->
+      """WITH b AS (SELECT
+        |    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |      / len(string_split(text, ' ')) AS conf,
+        |    (len(string_split(text, ' ')) >= 20) AS pass
+        |  FROM documents),
+        |bb AS (SELECT least(CAST(floor(conf * 10) AS BIGINT), 9) AS bin,
+        |         conf, pass FROM b),
+        |pb AS (SELECT bin, CAST(count(*) AS BIGINT) AS nb, avg(conf) AS cb,
+        |         avg(CASE WHEN pass THEN 1.0 ELSE 0.0 END) AS ab
+        |       FROM bb GROUP BY bin)
+        |SELECT CAST(sum(nb) AS BIGINT) AS n_docs,
+        |  CAST(count(*) AS BIGINT) AS bins_occupied,
+        |  round(sum(nb * abs(ab - cb)) / sum(nb), 6) AS ece,
+        |  round(max(abs(ab - cb)), 6) AS max_gap
+        |FROM pb""".stripMargin
   )
 }

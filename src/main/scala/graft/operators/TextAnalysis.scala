@@ -1449,4 +1449,144 @@ object TextAnalysis {
       .orderBy(col("weight").desc, col("doc_id"))
       .limit(topN)
   }
+
+  /** q147 — ZIPF RANK-FREQUENCY FIT: the corpus-health number next to
+    * q99's entropies — least-squares slope/intercept/R² of ln(freq) on
+    * ln(rank) over the token unigram distribution. Natural text sits near
+    * slope −1; a scraped corpus drifting toward template boilerplate
+    * (slope steepens) or toward ID-like noise tokens (slope flattens,
+    * vocab explodes) moves this number before any downstream eval does —
+    * the cheap tripwire a 100 TB ingest runs per snapshot.
+    *
+    * Scale shape: the only corpus-sized pass is the unigram count (one
+    * map-side-combined hash agg, exactly q28's). Ranking does NOT use a
+    * global single-partition window (the q86 lesson — a total sort of a
+    * 10⁸-token vocab on one task): rank = (#tokens with strictly higher
+    * count) + (tie position among equals). The first term joins each
+    * token's count against the cumulative count HISTOGRAM — a relation
+    * bounded by the number of DISTINCT frequencies, O(√total) by
+    * Zipf's own law — and the tie position is a row_number PARTITIONED BY
+    * count (parallel, hot only for the long singleton tail, where AQE
+    * skew-split applies). The fit itself is five commutative sums and a
+    * closed form on one row, 6dp-rounded (the q99 double discipline). */
+  def zipfAudit(spark: SparkSession, dir: String): DataFrame =
+    zipfAuditFor(Tables.documents(spark, dir))
+
+  /** The fit core over any (doc_id, text) relation. */
+  def zipfAuditFor(docs: DataFrame): DataFrame = {
+    val counts = docs.select(explode(TF.tokens(col("text"))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("c"))
+    // histogram of frequencies: one row per DISTINCT count value
+    val hist = counts.groupBy(col("c")).agg(count(lit(1)).as("nc"))
+    val wDesc = org.apache.spark.sql.expressions.Window
+      .orderBy(col("c").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val higher = hist
+      .withColumn("higher", coalesce(sum(col("nc")).over(wDesc), lit(0L)))
+      .select(col("c"), col("higher"))
+    val wTie = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("c")).orderBy(col("token"))
+    val ranked = counts.join(broadcast(higher), "c")
+      .withColumn("rank", col("higher") + row_number().over(wTie))
+      .select(log(col("rank").cast("double")).as("x"),
+        log(col("c").cast("double")).as("y"))
+    ranked.agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("n").cast("long").as("vocab_size"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")) /
+              (col("n") * col("sxx") - col("sx") * col("sx")), 6)
+          .as("zipf_slope"),
+        round((col("sy") - col("sx") *
+                ((col("n") * col("sxy") - col("sx") * col("sy")) /
+                 (col("n") * col("sxx") - col("sx") * col("sx")))) / col("n"), 6)
+          .as("zipf_intercept"),
+        round(pow(col("n") * col("sxy") - col("sx") * col("sy"), 2) /
+              ((col("n") * col("sxx") - col("sx") * col("sx")) *
+               (col("n") * col("syy") - col("sy") * col("sy"))), 6)
+          .as("r_squared"))
+  }
+
+  /** q148 — DUAL-GATE AGREEMENT (Cohen's κ): when a curation pipeline
+    * swaps or adds a quality scorer, the first question is how much the
+    * new gate AGREES with the incumbent beyond chance — raw overlap
+    * percent is inflated by whatever both gates trivially pass. κ
+    * corrects for chance agreement from the marginals; the 2×2 confusion
+    * table ships alongside so the report is auditable. Gates here are two
+    * oracle-provable predicates on independent doc features: the q103
+    * token-count floor vs a type-token-ratio floor (lexical-diversity
+    * gate), each compared on the 6dp DECIMAL-rounded ratio (the q92 tie
+    * discipline — both engines gate the same decimal).
+    *
+    * Scale shape: one corpus scan computing both per-doc predicates
+    * (integer counts + one exact division), one 4-cell map-side-combined
+    * aggregate; κ is closed-form arithmetic on that single row. */
+  def scorerAgreement(spark: SparkSession, dir: String,
+                      minTokens: Int = 20, minTtr: Double = 0.5): DataFrame = {
+    val d6 = org.apache.spark.sql.types.DecimalType(38, 18)
+    val gated = Tables.documents(spark, dir)
+      .select(col("doc_id"), TF.tokens(col("text")).as("toks"))
+      .select(
+        (size(col("toks")) >= minTokens).as("ga"),
+        (round((size(array_distinct(col("toks"))).cast("double") /
+                size(col("toks")).cast("double")).cast(d6), 6).cast("double")
+          >= minTtr).as("gb"))
+    gated.agg(
+        sum(when(!col("ga") && !col("gb"), 1L).otherwise(0L)).as("n00"),
+        sum(when(!col("ga") && col("gb"), 1L).otherwise(0L)).as("n01"),
+        sum(when(col("ga") && !col("gb"), 1L).otherwise(0L)).as("n10"),
+        sum(when(col("ga") && col("gb"), 1L).otherwise(0L)).as("n11"))
+      .withColumn("n", (col("n00") + col("n01") + col("n10") + col("n11"))
+        .cast("double"))
+      .withColumn("po", (col("n00") + col("n11")) / col("n"))
+      .withColumn("pe",
+        ((col("n10") + col("n11")) * (col("n01") + col("n11")) +
+         (col("n00") + col("n01")) * (col("n00") + col("n10"))) /
+          (col("n") * col("n")))
+      .select(col("n00"), col("n01"), col("n10"), col("n11"),
+        round(col("po"), 6).as("observed_agreement"),
+        round(col("pe"), 6).as("chance_agreement"),
+        round((col("po") - col("pe")) / (lit(1.0) - col("pe")), 6).as("kappa"))
+  }
+
+  /** q149 — CALIBRATION / ECE AUDIT: treats a deterministic quality score
+    * as a CONFIDENCE that a doc passes the curation gate and reports how
+    * calibrated that confidence is — per-decile reliability (avg
+    * confidence vs empirical pass rate) reduced to the expected
+    * calibration error, max gap, and occupied-bin count. This is the
+    * audit run before trusting any model-scored quality column to route
+    * 100 TB of data: a scorer can rank well and still be badly
+    * calibrated, and a threshold chosen on miscalibrated scores silently
+    * shifts the kept-token budget. Confidence = type-token ratio (exact
+    * integer division, IEEE-identical on both engines, so decile
+    * assignment needs no rounding escape); outcome = the q103 token-count
+    * gate.
+    *
+    * Scale shape: one corpus scan → per-doc (bin, conf, pass) → a ≤10-row
+    * bin aggregate → one row. Nothing corpus-sized survives the first
+    * map-side combine. */
+  def calibrationAudit(spark: SparkSession, dir: String,
+                       minTokens: Int = 20): DataFrame = {
+    val binned = Tables.documents(spark, dir)
+      .select(TF.tokens(col("text")).as("toks"))
+      .select(
+        (size(array_distinct(col("toks"))).cast("double") /
+          size(col("toks")).cast("double")).as("conf"),
+        (size(col("toks")) >= minTokens).as("pass"))
+      .select(least(floor(col("conf") * 10), lit(9L)).as("bin"),
+        col("conf"), col("pass"))
+    binned.groupBy(col("bin"))
+      .agg(count(lit(1)).as("nb"), avg(col("conf")).as("cb"),
+        avg(when(col("pass"), 1.0).otherwise(0.0)).as("ab"))
+      .agg(sum(col("nb")).as("n_docs"),
+        count(lit(1)).as("bins_occupied"),
+        sum(col("nb") * abs(col("ab") - col("cb"))).as("wgap"),
+        max(abs(col("ab") - col("cb"))).as("mgap"))
+      .select(col("n_docs"), col("bins_occupied"),
+        round(col("wgap") / col("n_docs"), 6).as("ece"),
+        round(col("mgap"), 6).as("max_gap"))
+  }
 }

@@ -69,6 +69,9 @@ object Probe {
       "q144_packing_efficiency" -> (() => q("q144_packing_efficiency")),
       "q145_ann_route" -> (() => q("q145_ann_route")),
       "q146_fed_eval_metric" -> (() => q("q146_fed_eval_metric")),
+      "q147_zipf_audit" -> (() => q("q147_zipf_audit")),
+      "q148_scorer_agreement" -> (() => q("q148_scorer_agreement")),
+      "q149_calibration_ece" -> (() => q("q149_calibration_ece")),
       "q78 candidate core (bucketed fp index: Exchange-free index side)" -> (() => {
         val table = "graft_probe_fpidx"
         val docs = graft.Tables.documents(spark, dir)
@@ -116,10 +119,11 @@ object Probe {
         |plans read `Scan ExistingRDD` where earlier rounds showed the parquet
         |scan + shingle flatMap: the leaf is computed once at query construction
         |and every branch reads the checkpointed blocks. Shard-bounded leaves
-        |keep that form; since round 11 the CORPUS-shaped leaves (q126's
-        |shingles, q136's chunks, the bucketed index bootstraps) spill to
-        |scratch parquet instead — their consumers show a plain parquet scan
-        |of the spill (recoverable lineage, no executor-storage pin).
+        |keep that form; since round 11 EVERY corpus-shaped leaf (the
+        |q17/q18/q59/q63/q65 shingle/fingerprint leaves, q126's shingles,
+        |q136's chunks, the bucketed index bootstraps) spills to scratch
+        |parquet instead — their consumers show a plain parquet scan of the
+        |spill (recoverable lineage, no executor-storage pin).
         |""".stripMargin)
     for ((name, build) <- sections) {
       println(s"===== $name =====")

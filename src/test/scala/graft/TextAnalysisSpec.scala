@@ -322,4 +322,80 @@ class TextAnalysisSpec extends AnyFunSuite {
       assert(r._6 > 0.0 && r._6 <= math.log(2.0), "JS in (0, ln 2]")
     }
   }
+
+  test("q147 zipf fit matches the closed form on hand-ranked counts") {
+    // counts: a×4, b×2, c×1, d×1 → ranks a=1, b=2, then the c=1 tie breaks
+    // by token: c=3, d=4 (the histogram+tie rank must equal this order)
+    val docs = Seq((1L, "a a b c"), (2L, "a a b d"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.zipfAuditFor(docs)
+      .as[(Long, Double, Double, Double)].head()
+    val pts = Seq((1.0, 4.0), (2.0, 2.0), (3.0, 1.0), (4.0, 1.0))
+      .map { case (r, c) => (math.log(r), math.log(c)) }
+    val n = pts.size.toDouble
+    val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val (sxx, syy) = (pts.map(p => p._1 * p._1).sum, pts.map(p => p._2 * p._2).sum)
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    val intercept = (sy - sx * slope) / n
+    val r2 = math.pow(n * sxy - sx * sy, 2) /
+      ((n * sxx - sx * sx) * (n * syy - sy * sy))
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    assert(got._1 == 4L)
+    assert(math.abs(got._2 - r6(slope)) <= 1e-6, s"slope ${got._2} vs $slope")
+    assert(math.abs(got._3 - r6(intercept)) <= 1e-6)
+    assert(math.abs(got._4 - r6(r2)) <= 1e-6)
+    assert(got._2 < 0.0, "rank-frequency slope must be negative")
+  }
+
+  test("q147 zipf rank equals the single-window row_number rank on the fixture") {
+    val docs = Tables.documents(spark, TestSpark.Sf0001)
+    val vocab = docs
+      .select(explode(TextFunctions.tokens(col("text"))).as("token"))
+      .select(col("token")).distinct().count()
+    val got = TextAnalysis.zipfAudit(spark, TestSpark.Sf0001)
+      .as[(Long, Double, Double, Double)].head()
+    assert(got._1 == vocab)
+    assert(got._4 >= 0.0 && got._4 <= 1.0, "R² in [0,1]")
+  }
+
+  test("q148 scorer agreement: cells partition the corpus and κ matches the cells") {
+    val got = TextAnalysis.scorerAgreement(spark, TestSpark.Sf0001)
+      .as[(Long, Long, Long, Long, Double, Double, Double)].head()
+    val (n00, n01, n10, n11, po, pe, kappa) = got
+    val nDocs = Tables.documents(spark, TestSpark.Sf0001).count()
+    assert(n00 + n01 + n10 + n11 == nDocs, "cells must partition the corpus")
+    val n = (n00 + n01 + n10 + n11).toDouble
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    assert(math.abs(po - r6((n00 + n11) / n)) <= 1e-6)
+    val peWant = ((n10 + n11) * (n01 + n11) + (n00 + n01) * (n00 + n10)) / (n * n)
+    assert(math.abs(pe - r6(peWant)) <= 1e-6)
+    assert(math.abs(kappa - r6((po - pe) / (1.0 - pe))) <= 2e-6)
+    assert(kappa <= 1.0 + 1e-9)
+  }
+
+  test("q149 calibration: ECE matches a per-doc recomputation") {
+    val docs = Tables.documents(spark, TestSpark.Sf0001)
+      .select(TextFunctions.tokens(col("text")).as("t"))
+      .select(size(array_distinct(col("t"))).as("d"), size(col("t")).as("n"))
+      .as[(Int, Int)].collect()
+    val perDoc = docs.map { case (d, nt) =>
+      val conf = d.toDouble / nt
+      (math.min(math.floor(conf * 10).toLong, 9L), conf,
+        if (nt >= 20) 1.0 else 0.0)
+    }
+    val bins = perDoc.groupBy(_._1).map { case (_, rs) =>
+      val nb = rs.length
+      (nb, math.abs(rs.map(_._3).sum / nb - rs.map(_._2).sum / nb))
+    }
+    val eceWant = bins.map { case (nb, gap) => nb * gap }.sum / docs.length
+    val maxWant = bins.map(_._2).max
+    val got = TextAnalysis.calibrationAudit(spark, TestSpark.Sf0001)
+      .as[(Long, Long, Double, Double)].head()
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    assert(got._1 == docs.length.toLong)
+    assert(got._2 == bins.size.toLong && got._2 <= 10L)
+    assert(math.abs(got._3 - r6(eceWant)) <= 2e-6, s"ece ${got._3} vs $eceWant")
+    assert(math.abs(got._4 - r6(maxWant)) <= 2e-6)
+  }
 }

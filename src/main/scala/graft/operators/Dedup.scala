@@ -160,21 +160,21 @@ object Dedup {
     * fixture scale where max df = 25), and every found pair's Jaccard is
     * exact over the FULL shingle sets.
     *
-    * The shingle table feeds four plan branches — eagerly
-    * localCheckpointed: computed once, blocks reclaimed by the
-    * ContextCleaner when the plan is garbage-collected, and NO
-    * session-lifetime cacheManager entry for the caller to forget to
-    * unpersist (a `.cache()` here outlives the query in a long-lived
-    * session — CacheSpec pins the post-query emptiness). At 100 TB this is
-    * where you checkpoint the shingle index to a durable sink instead —
-    * [[writeShingleIndex]] is that verb.
+    * The shingle table feeds four plan branches — spilled ONCE to scratch
+    * parquet and re-read per consumer (the q88/q123 discipline): it is
+    * corpus-shaped, so an executor-storage pin (`localCheckpoint`) would
+    * hold the whole relation in executor memory/disk blocks AND truncate
+    * lineage — at 100 TB an executor loss mid-job is then unrecoverable,
+    * while every consumer of a columnar spill recovers from the file like
+    * any other scan. The durable long-lived form of the same idea is the
+    * persisted shingle index — [[writeShingleIndex]] is that verb.
     */
   def ngramJaccardPairs(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame =
     ngramJaccardPairsFor(Tables.documents(spark, dir), threshold)
 
   def ngramJaccardPairsFor(docs: DataFrame, threshold: Double = 0.5,
                            dfCap: Int = 1000): DataFrame = {
-    val sh = docShingles(docs).localCheckpoint(true)
+    val sh = graft.sources.Sources.spillScratch(docShingles(docs), "jaccard_sh")
     val hot = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
       .filter(col("df") > dfCap).select(col("shingle"))
     jaccardPairsAcross(sh, sh, hot, col("doc_a") < col("doc_b"), threshold)
@@ -251,11 +251,11 @@ object Dedup {
                                threshold: Double = 0.5, dfCap: Int = 1000): DataFrame = {
     val train = docs.filter(!isEval)
     val eval_ = docs.filter(isEval)
-    // eagerly localCheckpointed like ngramJaccardPairsFor's shingle leaf
-    // (multi-branch plan, no session-lifetime cache entry); at 100 TB this
-    // is where you checkpoint the shingle index to a sink instead
-    val shT = docShingles(train).localCheckpoint(true)
-    val shE = docShingles(eval_).localCheckpoint(true)
+    // spilled once like ngramJaccardPairsFor's shingle leaf: the train
+    // side is corpus-shaped, so an executor-storage pin is the footprint
+    // (and lineage truncation) the q88/q123 discipline exists to avoid
+    val shT = graft.sources.Sources.spillScratch(docShingles(train), "decon_sh_train")
+    val shE = graft.sources.Sources.spillScratch(docShingles(eval_), "decon_sh_eval")
     // df (and so hotness) is a corpus-wide property: a template shingle is
     // quadratic in the cross join whichever split its occurrences fall in
     val hot = shT.unionByName(shE)
@@ -505,8 +505,9 @@ object Dedup {
     */
   def winnowingPairsFor(docs: DataFrame, k: Int = 16, w: Int = 8,
                         threshold: Double = 0.5, dfCap: Int = 1000): DataFrame = {
-    val sh = winnowingFingerprints(docs, k, w)
-      .withColumnRenamed("fp", "shingle").localCheckpoint(true)
+    val sh = graft.sources.Sources.spillScratch(
+      winnowingFingerprints(docs, k, w).withColumnRenamed("fp", "shingle"),
+      "winnow_fp")
     val hot = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
       .filter(col("df") > dfCap).select(col("shingle"))
     jaccardPairsAcross(sh, sh, hot, col("doc_a") < col("doc_b"), threshold)
@@ -537,7 +538,7 @@ object Dedup {
   def winnowCandidateJaccardPairsFor(docs: DataFrame, threshold: Double = 0.5,
                                      k: Int = 16, w: Int = 8, minSharedFp: Int = 2,
                                      dfCap: Int = 1000): DataFrame = {
-    val sh = docShingles(docs).localCheckpoint(true)
+    val sh = graft.sources.Sources.spillScratch(docShingles(docs), "winnow_verify_sh")
     val fps = winnowingFingerprints(docs, k, w).withColumnRenamed("fp", "shingle")
     // ≥ 2 shared fingerprints: one shared 16-char gram between unrelated
     // docs is common vocabulary, and those single-coincidence pairs are
@@ -603,11 +604,12 @@ object Dedup {
     require(bands > 0 && k % bands == 0,
       s"signature width k=$k must be a positive multiple of bands=$bands")
     val rows = k / bands
-    // shared by the signature path and both verification sides — eagerly
-    // localCheckpointed (see ngramJaccardPairs for the rationale); the
-    // former `.cache()` here needed a side-channel handle so the cluster
-    // path could unpersist it, and still leaked from the plain-pairs form
-    val sh = docShingles(docs).localCheckpoint(true)
+    // shared by the signature path and both verification sides — spilled
+    // once to scratch parquet (see ngramJaccardPairs for the rationale);
+    // the former `.cache()` here needed a side-channel handle so the
+    // cluster path could unpersist it, and still leaked from the
+    // plain-pairs form
+    val sh = graft.sources.Sources.spillScratch(docShingles(docs), "lsh_sh")
     val sigs = minhashSignaturesFromShingles(sh, k)
     val banded = sigs.select(
       col("doc_id"),

@@ -61,15 +61,31 @@ object ScaleUp {
     shifted.select(df.columns.map(col).toIndexedSeq: _*)
   }
 
-  /** Salt every 3rd word for replicas > 0 so no 3-shingle crosses
-    * replicas (see scaladoc pt. 2). */
-  private def saltText(text: Column, rep: Column): Column =
-    when(rep === 0, text).otherwise(
-      array_join(
-        transform(split(text, " "), (w, p) =>
-          when(p % 3 === 0, concat(w, lit("~r"), rep.cast("string")))
-            .otherwise(w)),
-        " "))
+  /** Salt every 3rd word for replicas > 0 so no shingle OR char-gram
+    * crosses replicas (see scaladoc pt. 2). The salt is a per-character
+    * caesar shift of the WHOLE word, not an affix: the winnowing family
+    * fingerprints 16-CHAR grams, and with an affix salt a window that
+    * starts after (prefix) or ends before (suffix) the salt inside the
+    * salted word is still replica-invariant — measured at sf1 as a ×43
+    * cross-replica candidate-pair inflation with either affix. Shifting
+    * every letter by the replica index makes ANY window that touches one
+    * char of a salted word replica-distinct, so a replica-invariant
+    * window must fit between two salted words — ≤ space+w1+space+w2+space
+    * ≤ 1+8+1+8+1 chars in this 31-word vocab, where only pairings
+    * involving the single 8-char word reach 16. Length-preserving, so
+    * n_chars and token counts are unchanged. */
+  private def caesar(w: String, rep: Int): String =
+    w.map { c =>
+      if (c >= 'a' && c <= 'z') ('a' + ((c - 'a' + rep) % 26)).toChar
+      else if (c >= '0' && c <= '9') ('0' + ((c - '0' + rep) % 10)).toChar
+      else c
+    }
+
+  private def saltTextRow(text: String, rep: Int): String =
+    if (rep == 0) text
+    else text.split(" ", -1).zipWithIndex.map { case (w, p) =>
+      if (p % 3 == 0) caesar(w, rep) else w
+    }.mkString(" ")
 
   /** Rotate an array column left by `rep` positions (norm-preserving
     * decorrelation; rep < dim for every factor ≤ dim). */
@@ -96,11 +112,16 @@ object ScaleUp {
     wr(replicate(rd("events"), factor, Seq("event_id", "user_id")), "events", 16)
 
     val docs = rd("documents")
+    import spark.implicits._
     val docsTiled = docs.crossJoin(broadcast(
         spark.range(factor).select(col("id").as("__rep"))))
-      .withColumn("doc_id", col("doc_id") + col("__rep") * lit(KeyOffset))
-      .withColumn("text", saltText(col("text"), col("__rep")))
-      .withColumn("n_chars", length(col("text")).cast("long"))
+      .select(col("doc_id"), col("text"), col("lang"), col("source"), col("__rep"))
+      .as[(Long, String, String, String, Long)]
+      .map { case (id, text, lang, source, rep) =>
+        val salted = saltTextRow(text, rep.toInt)
+        (id + rep * KeyOffset, salted, lang, source, salted.length.toLong)
+      }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
       .select(docs.columns.map(col).toIndexedSeq: _*)
     wr(docsTiled, "documents", 16)
 

@@ -497,7 +497,19 @@ object SparkEntry {
     // reliability-diagram reduction: ECE + max decile gap of a
     // deterministic confidence vs the q103 pass gate
     "q149_calibration_ece" -> ((s: SparkSession, d: String) =>
-      TextAnalysis.calibrationAudit(s, d))
+      TextAnalysis.calibrationAudit(s, d)),
+    // Lee et al. 2022 substring-grain dedup as a bounded gram-diagonal
+    // join: longest verbatim shared run per doc pair
+    "q150_substring_runs" -> ((s: SparkSession, d: String) =>
+      Dedup.substringRunPairs(s, d)),
+    // C4 repeated-span scrub: drop every occurrence of any df>1 span,
+    // rebuild the doc, prove the rewrite with the rebuilt-text md5
+    "q151_repeated_span_scrub" -> ((s: SparkSession, d: String) =>
+      Dedup.repeatedSpanScrub(s, d)),
+    // exact self-kNN graph reduced to per-label purity + reciprocity —
+    // the audit run before trusting the space for semantic curation
+    "q152_knn_label_audit" -> ((s: SparkSession, d: String) =>
+      Similarity.knnLabelAudit(s, d))
   )
 
   /** Shared CTE chain ending in `pairs` = the exact-Jaccard near-dup pairs
@@ -2343,6 +2355,93 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS bins_occupied,
         |  round(sum(nb * abs(ab - cb)) / sum(nb), 6) AS ece,
         |  round(max(abs(ab - cb)), 6) AS max_gap
-        |FROM pb""".stripMargin
+        |FROM pb""".stripMargin,
+    // same gram/diagonal/island arithmetic: md5 8-token grams, df<=50,
+    // island = pos_a - row_number per (pair, diagonal), run >= 20 tokens
+    "q150_substring_runs" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+        |              generate_subscripts(string_split(text, ' '), 1) - 1 AS p
+        |              FROM documents),
+        |gr AS (SELECT doc_id, p,
+        |         md5(string_agg(tok, ' ') OVER (PARTITION BY doc_id ORDER BY p
+        |             ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING)) AS g,
+        |         count(*) OVER (PARTITION BY doc_id) AS nt
+        |       FROM toks),
+        |grams AS (SELECT doc_id, CAST(p AS BIGINT) AS pos, g
+        |          FROM gr WHERE p <= nt - 8),
+        |hot AS (SELECT g FROM grams GROUP BY g HAVING count(*) > 50),
+        |rare AS (SELECT * FROM grams WHERE g NOT IN (SELECT g FROM hot)),
+        |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |            a.pos AS pos_a, a.pos - b.pos AS diag
+        |          FROM rare a JOIN rare b ON a.g = b.g AND a.doc_id < b.doc_id),
+        |isl AS (SELECT doc_a, doc_b, diag,
+        |          pos_a - row_number() OVER (PARTITION BY doc_a, doc_b, diag
+        |            ORDER BY pos_a) AS island
+        |        FROM pairs),
+        |runs AS (SELECT doc_a, doc_b,
+        |           CAST(count(*) + 7 AS BIGINT) AS run_tokens
+        |         FROM isl GROUP BY doc_a, doc_b, diag, island)
+        |SELECT doc_a, doc_b, max(run_tokens) AS max_run_tokens,
+        |  CAST(count(*) AS BIGINT) AS n_runs,
+        |  CAST(sum(run_tokens) AS BIGINT) AS sum_run_tokens
+        |FROM runs WHERE run_tokens >= 20 GROUP BY doc_a, doc_b""".stripMargin,
+    // same span geometry (5-token stride-5 windows incl. the short tail),
+    // df>1 spans scrubbed everywhere, text rebuilt in idx order
+    "q151_repeated_span_scrub" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+        |              generate_subscripts(string_split(text, ' '), 1) - 1 AS p
+        |              FROM documents),
+        |spans AS (SELECT doc_id, p // 5 AS idx,
+        |            string_agg(tok, ' ' ORDER BY p) AS span
+        |          FROM toks GROUP BY doc_id, p // 5),
+        |rep AS (SELECT md5(span) AS h FROM spans
+        |        GROUP BY md5(span) HAVING count(*) > 1),
+        |kept AS (SELECT doc_id, idx, span FROM spans
+        |         WHERE md5(span) NOT IN (SELECT h FROM rep)),
+        |base AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans
+        |         FROM spans GROUP BY doc_id),
+        |reb AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+        |          string_agg(span, ' ' ORDER BY idx) AS clean_text
+        |        FROM kept GROUP BY doc_id)
+        |SELECT b.doc_id, b.n_spans,
+        |  b.n_spans - coalesce(r.n_kept, 0) AS n_dropped,
+        |  md5(coalesce(r.clean_text, '')) AS clean_hash
+        |FROM base b LEFT JOIN reb r USING (doc_id)""".stripMargin,
+    // q21's rank order (6dp-rounded score desc, cand_id) over ALL queries,
+    // then the same two edge joins; ratios through DECIMAL
+    "q152_knn_label_audit" ->
+      s"""WITH ex AS ($embedExplode),
+         |dots AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         |           sum(q.x * c.x) AS dot
+         |         FROM ex q JOIN ex c ON q.dim = c.dim AND q.vec_id <> c.vec_id
+         |         GROUP BY 1, 2),
+         |norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM ex GROUP BY vec_id),
+         |ranked AS (SELECT query_id, cand_id,
+         |            row_number() OVER (PARTITION BY query_id
+         |              ORDER BY round(dot / (nq.nrm * nc.nrm), 6) DESC, cand_id)
+         |              AS rank
+         |           FROM dots JOIN norms nq ON nq.vec_id = query_id
+         |                     JOIN norms nc ON nc.vec_id = cand_id),
+         |edges AS (SELECT query_id, cand_id FROM ranked WHERE rank <= 5),
+         |rc AS (SELECT e.query_id, e.cand_id,
+         |         CASE WHEN r.query_id IS NULL THEN 0 ELSE 1 END AS rec
+         |       FROM edges e LEFT JOIN edges r
+         |         ON r.query_id = e.cand_id AND r.cand_id = e.query_id),
+         |lab AS (SELECT vec_id, label FROM embeddings),
+         |agg AS (SELECT ql.label AS label, CAST(count(*) AS BIGINT) AS n_edges,
+         |          CAST(sum(rec) AS BIGINT) AS n_reciprocal,
+         |          CAST(sum(CASE WHEN ql.label = cl.label THEN 1 ELSE 0 END)
+         |            AS BIGINT) AS n_same_label
+         |        FROM rc JOIN lab ql ON ql.vec_id = rc.query_id
+         |                JOIN lab cl ON cl.vec_id = rc.cand_id
+         |        GROUP BY 1),
+         |nv AS (SELECT label, CAST(count(*) AS BIGINT) AS n_vecs
+         |       FROM lab GROUP BY label)
+         |SELECT a.label, nv.n_vecs, a.n_edges, a.n_reciprocal, a.n_same_label,
+         |  CAST(round(CAST(CAST(a.n_reciprocal AS DOUBLE) / a.n_edges
+         |    AS DECIMAL(38,18)), 6) AS DOUBLE) AS reciprocity,
+         |  CAST(round(CAST(CAST(a.n_same_label AS DOUBLE) / a.n_edges
+         |    AS DECIMAL(38,18)), 6) AS DOUBLE) AS purity
+         |FROM agg a JOIN nv USING (label)""".stripMargin
   )
 }

@@ -1347,4 +1347,124 @@ object Dedup {
           .cast("double").as("containment_b"),
         col("containment"))
   }
+
+  /** D25 [EXT] — EXACT SHARED-SUBSTRING RUNS between document pairs: for
+    * every pair sharing at least one verbatim run of ≥ `minRun` tokens,
+    * the longest run, the run count, and the total run mass. This is the
+    * substring-grain dedup of Lee et al. 2022 ("Deduplicating Training
+    * Data Makes Language Models Better") re-expressed for Spark: their
+    * single-machine suffix array becomes a bounded gram-diagonal join,
+    * because a shared run of ≥ minRun tokens is exactly a maximal chain
+    * of consecutive n-token grams agreeing on one (doc_a, doc_b,
+    * pos_a − pos_b) alignment diagonal — no global suffix sort needed.
+    *
+    * Shape: md5 n-token grams WITH POSITIONS (one in-row pass, the q134
+    * discipline); a corpus-frequency cap `dfCap` drops grams whose join
+    * fan-out would be quadratic in their df (true boilerplate — q114's
+    * business, not a pair candidate); candidates are an equi-join on the
+    * gram hash (never a cross join); runs are gaps-and-islands per
+    * diagonal — island = pos_a − row_number() over (pair, diagonal) — and
+    * an m-gram island is a run of m + n − 1 tokens. The windows partition
+    * on (doc_a, doc_b, diag), each ≤ one document's grams, so no window
+    * partition is ever corpus-hot (the q121 concern doesn't apply). A
+    * phrase repeated at several offsets aligns on several diagonals and
+    * is counted once per alignment — the mass is per-alignment by design.
+    * The gram leaf feeds the df aggregate and both join sides: spilled
+    * once to scratch parquet (the q88/q123 discipline). Fully
+    * oracle-checked — md5, row_number, and integer arithmetic are
+    * engine-identical.
+    */
+  def substringRunPairs(spark: SparkSession, dir: String, n: Int = 8,
+                        dfCap: Int = 50, minRun: Int = 20): DataFrame =
+    substringRunPairsFor(Tables.documents(spark, dir), n, dfCap, minRun)
+
+  def substringRunPairsFor(docs: DataFrame, n: Int = 8, dfCap: Int = 50,
+                           minRun: Int = 20): DataFrame = {
+    require(n >= 2 && dfCap >= 2 && minRun >= n,
+      s"need n>=2, dfCap>=2, minRun>=n; got n=$n dfCap=$dfCap minRun=$minRun")
+    val g = graft.sources.Sources.spillScratch(
+      docs.select(col("doc_id"),
+          posexplode(TF.shingles(col("text"), n)).as(Seq("pos", "gram")))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"),
+          md5(col("gram")).as("g")),
+      "substring_grams")
+    // boilerplate grams: df > dfCap occurrences corpus-wide. The hot set
+    // is small by Zipf (q147's own evidence) — broadcast the anti side.
+    val hot = g.groupBy(col("g")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > dfCap).select(col("g"))
+    val rare = g.join(broadcast(hot), Seq("g"), "left_anti")
+    val pairs = rare.select(col("doc_id").as("doc_a"), col("pos").as("pos_a"), col("g"))
+      .join(rare.select(col("doc_id").as("doc_b"), col("pos").as("pos_b"), col("g")),
+        Seq("g"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("pos_a"), col("pos_b"),
+        (col("pos_a") - col("pos_b")).as("diag"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_a"), col("doc_b"), col("diag"))
+      .orderBy(col("pos_a"))
+    pairs
+      .withColumn("island", col("pos_a") - row_number().over(w))
+      .groupBy(col("doc_a"), col("doc_b"), col("diag"), col("island"))
+      .agg(count(lit(1)).as("len"))
+      .withColumn("run_tokens", col("len") + lit((n - 1).toLong))
+      .filter(col("run_tokens") >= minRun)
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(max(col("run_tokens")).as("max_run_tokens"),
+        count(lit(1)).as("n_runs"),
+        sum(col("run_tokens")).as("sum_run_tokens"))
+  }
+
+  /** D26 [EXT] — REPEATED-SPAN SCRUB: the C4 span-level cleanup (Raffel
+    * et al. 2020 discard repeated three-sentence spans; the fixture corpus
+    * has no sentence boundaries, so the span is a fixed `w`-token window,
+    * stride w) as a corpus-rewriting verb: every occurrence of any span
+    * whose corpus frequency exceeds `maxDf` is dropped and the document is
+    * RECONSTRUCTED from its surviving spans in order. Differs from q121/
+    * q136 ownership dedup on purpose: those keep one canonical occurrence;
+    * this treats df > maxDf spans as template boilerplate and scrubs every
+    * copy — the C4 semantics. Output per doc: span counts, drop count, and
+    * the md5 of the rebuilt text (the narrow proof of the rewrite — the
+    * rebuilt corpus itself would be written to a sink, not returned).
+    *
+    * Shape: span extraction is one in-row pass (posexplode over shifted
+    * slices); corpus frequency is ONE map-side-combined hash agg on the
+    * 32-byte span hash; the repeated-span set (small by construction —
+    * df > maxDf spans are the template tail) broadcasts into a left-anti
+    * join; reconstruction is a per-doc sort of ≤ n_spans struct elements
+    * inside `array_sort` (doc-bounded, never a corpus window). The span
+    * leaf feeds the frequency aggregate and the scrub side: spilled once
+    * to scratch parquet. Fully oracle-checked (md5 + string_agg order are
+    * engine-identical).
+    */
+  def repeatedSpanScrub(spark: SparkSession, dir: String, w: Int = 5,
+                        maxDf: Int = 1): DataFrame =
+    repeatedSpanScrubFor(Tables.documents(spark, dir), w, maxDf)
+
+  def repeatedSpanScrubFor(docs: DataFrame, w: Int = 5,
+                           maxDf: Int = 1): DataFrame = {
+    require(w >= 1 && maxDf >= 1, s"need w>=1, maxDf>=1; got w=$w maxDf=$maxDf")
+    val t = TF.tokens(col("text"))
+    val nSpans = floor((size(t).cast("double") + (w - 1)) / w).cast("long")
+    val sp = graft.sources.Sources.spillScratch(
+      docs.select(col("doc_id"),
+          posexplode(transform(sequence(lit(0L), nSpans - 1),
+            i => concat_ws(" ", slice(t, (i * w + 1).cast("int"), lit(w)))))
+            .as(Seq("idx", "span"))),
+      "c4_spans")
+    val repeated = sp.groupBy(md5(col("span")).as("h"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf).select(col("h"))
+    val rebuilt = sp
+      .join(broadcast(repeated), md5(col("span")) === col("h"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("idx"), col("span")))),
+            s => s.getField("span"))).as("clean_text"))
+    docs.select(col("doc_id"), nSpans.as("n_spans"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_spans"),
+        (col("n_spans") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"),
+        md5(coalesce(col("clean_text"), lit(""))).as("clean_hash"))
+  }
 }

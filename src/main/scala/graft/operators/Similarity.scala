@@ -1176,4 +1176,72 @@ object Similarity {
       .select(col("dim"), round(col("lo"), 6).as("lo"),
         round(col("hi"), 6).as("hi"), col("mean_abs_err"), col("max_abs_err"))
   }
+
+  /** A26 [EXT] — kNN-GRAPH LABEL AUDIT: build the exact self-kNN graph
+    * over the embedding table (every vector is a query; k nearest by
+    * cosine, self excluded) and reduce it to the two numbers an embedding
+    * space is trusted on before it routes data: per-label NEIGHBOR PURITY
+    * (fraction of edges whose endpoint shares the query's label — the
+    * label-noise / cluster-coherence signal that SemDeDup-style semantic
+    * curation silently assumes) and RECIPROCITY (fraction of edges whose
+    * reverse edge also made top-k — asymmetric hub-dominated graphs are
+    * the classic symptom of un-normalized or collapsed spaces).
+    *
+    * Shape: the corpus side streams, the query side is the SAME table
+    * broadcast (the q21 plan class; at fixture scale the whole table is a
+    * ~0.5 MB broadcast). This is the ≤`exact route` form — past the q20
+    * router's 200k-row cap a caller builds the edges with [[annTopK]] and
+    * feeds [[knnLabelAuditOver]] unchanged; the audit itself is two
+    * hash joins on the edge list (edges = |V|·k rows, never |V|²) plus a
+    * self-join for reciprocity on the (cand, query) key. Ranking reuses
+    * the q21 total order (rounded score desc, vec_id asc) so the oracle's
+    * row_number agrees bit-for-bit. Ratios round through DECIMAL (the
+    * q92 tie discipline). Fully oracle-checked.
+    */
+  def knnLabelAudit(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val queries = e.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val corpus = e.select(col("vec_id").as("cand_id"), col("embedding").as("cv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("cand_id"))
+    // the edge list feeds BOTH sides of the reciprocity self-join; without
+    // a spill Catalyst evaluates the |V|²-scoring subtree twice (the rev
+    // side re-derives the whole window) — spill the |V|·k edges once (the
+    // q88/q123 multi-consumer discipline) so the quadratic pass runs once
+    val edges = graft.sources.Sources.spillScratch(
+      corpus.join(broadcast(queries), col("query_id") =!= col("cand_id"))
+        .withColumn("score", round(VectorOps.cosineFast(col("qv"), col("cv")), 6))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select(col("query_id"), col("cand_id")),
+      "knn_edges")
+    knnLabelAuditOver(edges, e.select(col("vec_id"), col("label")))
+  }
+
+  /** The audit reduction over any (query_id, cand_id) edge list — shared
+    * by the exact builder above and any ANN-built graph. */
+  def knnLabelAuditOver(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 18)
+    val rev = edges.select(col("cand_id").as("query_id"),
+      col("query_id").as("cand_id"), lit(1).as("has_rev"))
+    val nVecs = labels.groupBy(col("label")).agg(count(lit(1)).as("n_vecs"))
+    edges
+      .join(rev, Seq("query_id", "cand_id"), "left")
+      .join(labels.select(col("vec_id").as("query_id"),
+        col("label")), "query_id")
+      .join(labels.select(col("vec_id").as("cand_id"),
+        col("label").as("cand_label")), "cand_id")
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_edges"),
+        sum(coalesce(col("has_rev"), lit(0))).as("n_reciprocal"),
+        sum(when(col("label") === col("cand_label"), 1L).otherwise(0L))
+          .as("n_same_label"))
+      .join(nVecs, "label")
+      .select(col("label"), col("n_vecs"), col("n_edges"),
+        col("n_reciprocal"), col("n_same_label"),
+        round((col("n_reciprocal").cast("double") / col("n_edges")).cast(dec), 6)
+          .cast("double").as("reciprocity"),
+        round((col("n_same_label").cast("double") / col("n_edges")).cast(dec), 6)
+          .cast("double").as("purity"))
+  }
 }

@@ -72,6 +72,9 @@ object Probe {
       "q147_zipf_audit" -> (() => q("q147_zipf_audit")),
       "q148_scorer_agreement" -> (() => q("q148_scorer_agreement")),
       "q149_calibration_ece" -> (() => q("q149_calibration_ece")),
+      "q150_substring_runs" -> (() => q("q150_substring_runs")),
+      "q151_repeated_span_scrub" -> (() => q("q151_repeated_span_scrub")),
+      "q152_knn_label_audit" -> (() => q("q152_knn_label_audit")),
       "q78 candidate core (bucketed fp index: Exchange-free index side)" -> (() => {
         val table = "graft_probe_fpidx"
         val docs = graft.Tables.documents(spark, dir)

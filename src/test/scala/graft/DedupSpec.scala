@@ -471,4 +471,60 @@ class DedupSpec extends AnyFunSuite {
       assert(r._6 == (frac >= 0.5), s"doc ${r._1} gate")
     }
   }
+
+  test("q150 substring runs: planted run found at exact length, short runs invisible, boilerplate capped") {
+    val rnd = new scala.util.Random(7)
+    def word(): String = (0 until 6).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    def filler(n: Int): Seq[String] = (0 until n).map(_ => word())
+    val run = filler(25)   // planted 25-token verbatim run
+    val short = filler(12) // below the 20-token floor
+    val docs = Seq(
+      0L -> (filler(20) ++ run ++ filler(20)).mkString(" "),
+      1L -> (filler(20) ++ run ++ filler(20)).mkString(" "),
+      2L -> (filler(25) ++ short ++ filler(25)).mkString(" "),
+      3L -> (filler(25) ++ short ++ filler(25)).mkString(" ")
+    ).toDF("doc_id", "text")
+    val got = Dedup.substringRunPairsFor(docs, n = 8, dfCap = 50, minRun = 20)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => ((r._1, r._2), (r._3, r._4, r._5))).toMap
+    // the random fillers are pairwise-distinct words, so the shared run is
+    // EXACTLY the plant: the islands arithmetic must recover its length
+    assert(got.keySet == Set((0L, 1L)), s"pairs: ${got.keySet}")
+    assert(got((0L, 1L)) == ((25L, 1L, 25L)), s"run profile: ${got((0L, 1L))}")
+    // df-cap: a 60-doc boilerplate block exceeds dfCap=50 — every gram of
+    // the block is dropped as hot, so no pair survives (q114's business)
+    val bp = filler(30)
+    val many = (10L until 70L)
+      .map(i => i -> (filler(5) ++ bp ++ filler(5)).mkString(" "))
+      .toDF("doc_id", "text")
+    assert(Dedup.substringRunPairsFor(many, n = 8, dfCap = 50, minRun = 20)
+      .count() == 0L)
+  }
+
+  test("q151 repeated-span scrub: df>1 spans scrubbed everywhere, unique docs byte-identical, full dups empty out") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val rnd = new scala.util.Random(11)
+    def word(): String = (0 until 6).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    def filler(n: Int): Seq[String] = (0 until n).map(_ => word())
+    val shared = filler(5) // one aligned 5-token span shared by docs 0 and 1
+    val tailA = filler(10); val tailB = filler(10)
+    val unique = filler(12); val dup = filler(10)
+    val docs = Seq(
+      0L -> (shared ++ tailA).mkString(" "),
+      1L -> (shared ++ tailB).mkString(" "),
+      2L -> unique.mkString(" "),
+      3L -> dup.mkString(" "),
+      4L -> dup.mkString(" ")
+    ).toDF("doc_id", "text")
+    val got = Dedup.repeatedSpanScrubFor(docs, w = 5, maxDf = 1)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => (r._1, (r._2, r._3, r._4))).toMap
+    assert(got(0L) == ((3L, 1L, md5hex(tailA.mkString(" ")))))
+    assert(got(1L) == ((3L, 1L, md5hex(tailB.mkString(" ")))))
+    assert(got(2L) == ((3L, 0L, md5hex(unique.mkString(" ")))), "unique doc untouched")
+    assert(got(3L) == ((2L, 2L, md5hex(""))), "full dup fully scrubbed")
+    assert(got(4L) == ((2L, 2L, md5hex(""))))
+  }
 }

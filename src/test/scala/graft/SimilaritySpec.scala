@@ -501,4 +501,37 @@ class SimilaritySpec extends AnyFunSuite {
       assert(g._5 > 0.0, s"dim ${w._1} should quantize lossily on real data")
     }
   }
+
+  test("q152 knn label audit: reduction matches hand counts; clustered space is pure and reciprocal") {
+    // reduction contract on a hand-built edge list:
+    // label 0 owns queries 1,2 — edges (1→2) recip, (1→3) not, (2→1) recip;
+    // same-label hits are (1→2) and (2→1)
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 1L)).toDF("query_id", "cand_id")
+    val labels = Seq((1L, 0), (2L, 0), (3L, 1)).toDF("vec_id", "label")
+    val red = Similarity.knnLabelAuditOver(edges, labels)
+      .as[(Int, Long, Long, Long, Long, Double, Double)].collect()
+      .map(r => (r._1, (r._2, r._3, r._4, r._5, r._6, r._7))).toMap
+    assert(red.keySet == Set(0), "labels with no outgoing edges emit no row")
+    assert(red(0) == ((2L, 3L, 2L, 2L, 0.666667, 0.666667)), s"got ${red(0)}")
+
+    // two orthogonal 6-vector clusters, label == cluster: with k=5 every
+    // neighbor list is exactly the rest of the OWN cluster, so purity and
+    // reciprocity must both be 1.0 for both labels
+    val dim = 64
+    def vec(axis: Int, jitterDim: Int, eps: Float): Array[Float] = {
+      val a = Array.fill(dim)(0.0f); a(axis) = 1.0f; a(jitterDim) = eps; a
+    }
+    val vecs = (0 until 6).map(i => (i.toLong, vec(0, 10 + i, 0.01f * (i + 1)), 7)) ++
+      (0 until 6).map(i => (100L + i, vec(2, 20 + i, 0.01f * (i + 1)), 9))
+    val dir = java.nio.file.Files.createTempDirectory("graft_knn_audit").toString
+    vecs.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val audit = Similarity.knnLabelAudit(spark, dir, k = 5)
+      .as[(Int, Long, Long, Long, Long, Double, Double)].collect()
+      .map(r => (r._1, (r._2, r._3, r._4, r._5, r._6, r._7))).toMap
+    assert(audit.keySet == Set(7, 9))
+    Seq(7, 9).foreach { lbl =>
+      assert(audit(lbl) == ((6L, 30L, 30L, 30L, 1.0, 1.0)), s"label $lbl: ${audit(lbl)}")
+    }
+  }
 }

@@ -509,7 +509,18 @@ object SparkEntry {
     // exact self-kNN graph reduced to per-label purity + reciprocity —
     // the audit run before trusting the space for semantic curation
     "q152_knn_label_audit" -> ((s: SparkSession, d: String) =>
-      Similarity.knnLabelAudit(s, d))
+      Similarity.knnLabelAudit(s, d)),
+    // per-language subwords/word + chars/subword — the token-budget sizer
+    "q153_tokenizer_fertility" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.tokenizerFertilityAudit(s, d)),
+    // sketch-vs-exact Jaccard on the exact pair set, violations pinned 0
+    // (q145 invariant discipline: every emitted column DuckDB-recomputable)
+    "q154_minhash_estimator_audit" -> ((s: SparkSession, d: String) =>
+      Dedup.minhashEstimatorAudit(s, d)),
+    // size-targeted JSONL shard export; manifest computed from the files
+    // read BACK, so the green row proves the lossless round-trip
+    "q155_jsonl_shard_export" -> ((s: SparkSession, d: String) =>
+      graft.sources.Sources.jsonlShardExport(s, d))
   )
 
   /** Shared CTE chain ending in `pairs` = the exact-Jaccard near-dup pairs
@@ -2442,6 +2453,43 @@ object SparkEntry {
          |    AS DECIMAL(38,18)), 6) AS DOUBLE) AS reciprocity,
          |  CAST(round(CAST(CAST(a.n_same_label AS DOUBLE) / a.n_edges
          |    AS DECIMAL(38,18)), 6) AS DOUBLE) AS purity
-         |FROM agg a JOIN nv USING (label)""".stripMargin
+         |FROM agg a JOIN nv USING (label)""".stripMargin,
+    // same pre-tokenizer regex as q25; ratios through DECIMAL
+    "q153_tokenizer_fertility" ->
+      """WITH m AS (SELECT lang,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS w,
+        |    CAST(len(regexp_extract_all(text,
+        |      '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS s,
+        |    CAST(length(text) AS BIGINT) AS c
+        |  FROM documents)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(w) AS BIGINT) AS n_words,
+        |  CAST(sum(s) AS BIGINT) AS n_subwords,
+        |  CAST(sum(c) AS BIGINT) AS n_chars,
+        |  CAST(round(CAST(CAST(sum(s) AS DOUBLE) / sum(w)
+        |    AS DECIMAL(38,18)), 6) AS DOUBLE) AS fertility,
+        |  CAST(round(CAST(CAST(sum(c) AS DOUBLE) / sum(s)
+        |    AS DECIMAL(38,18)), 6) AS DOUBLE) AS chars_per_subword
+        |FROM m GROUP BY lang""".stripMargin,
+    // exact pairs recomputed; the estimator flag is the engine's own
+    // xxhash64 sketch vs this exact value — pinned TRUE (≥4σ band)
+    "q154_minhash_estimator_audit" ->
+      s"WITH $jaccardPairCtes\nSELECT doc_a, doc_b, jaccard, TRUE AS est_ok FROM pairs",
+    // one cumulative window replays the two-level prefix sum exactly
+    // (doc never splits; shard = exclusive running total div target)
+    "q155_jsonl_shard_export" ->
+      """WITH d AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS b
+        |           FROM documents),
+        |pre AS (SELECT doc_id, b,
+        |          coalesce(sum(b) OVER (ORDER BY doc_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |            AS cum
+        |        FROM d),
+        |a AS (SELECT doc_id, b, cum // 16384 AS shard FROM pre)
+        |SELECT CAST(shard AS BIGINT) AS shard,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(b) AS BIGINT) AS shard_bytes,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM a GROUP BY shard""".stripMargin
   )
 }

@@ -1414,6 +1414,49 @@ object Dedup {
         sum(col("run_tokens")).as("sum_run_tokens"))
   }
 
+  /** A28 [EXT] — MINHASH ESTIMATOR AUDIT: for every exact near-dup pair
+    * (the q17 inverted-index route — oracle-recomputable), the k-wide
+    * signature-agreement estimate of Jaccard checked against the exact
+    * value, with the violation flag PINNED false. The audit a pipeline
+    * runs before trusting D6's sketch parameters on a new corpus shape:
+    * the LSH route's recall is spec-measured, but the ESTIMATOR's bias on
+    * real pairs is what this row watches (k = 128 puts one σ at
+    * √(J(1−J)/k) ≤ 0.045, so tol = 0.2 is a ≥4σ band — a violation means
+    * the sketch is broken, not unlucky; and the hashes are deterministic,
+    * so a green row is stable, not probabilistic). The q145/q34 invariant
+    * discipline: every emitted column is DuckDB-recomputable (exact pairs
+    * + a constant-true flag); the engine side recomputes the flag from
+    * its own xxhash64 signatures.
+    *
+    * Scale: the shingle leaf is spilled once and shared by the pair route
+    * and the signature aggregate (one corpus pass); signatures join the
+    * pair list on doc_id — |pairs|-sized, never corpus². The agreement
+    * count is one in-row `zip_with`/`filter` over two k-arrays.
+    */
+  def minhashEstimatorAudit(spark: SparkSession, dir: String, k: Int = 128,
+                            threshold: Double = 0.5,
+                            tol: Double = 0.2): DataFrame =
+    minhashEstimatorAuditFor(Tables.documents(spark, dir), k, threshold, tol)
+
+  def minhashEstimatorAuditFor(docs: DataFrame, k: Int = 128,
+                               threshold: Double = 0.5, tol: Double = 0.2,
+                               dfCap: Int = 1000): DataFrame = {
+    require(k >= 16 && tol > 0.0, s"need k>=16, tol>0; got k=$k tol=$tol")
+    val sh = graft.sources.Sources.spillScratch(docShingles(docs), "mh_audit_sh")
+    val hot = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > dfCap).select(col("shingle"))
+    val pairs = jaccardPairsAcross(sh, sh, hot, col("doc_a") < col("doc_b"), threshold)
+    val sigs = minhashSignaturesFromShingles(sh, k)
+    pairs
+      .join(sigs.select(col("doc_id").as("doc_a"), col("signature").as("sa")), "doc_a")
+      .join(sigs.select(col("doc_id").as("doc_b"), col("signature").as("sb")), "doc_b")
+      .withColumn("agree",
+        size(filter(zip_with(col("sa"), col("sb"), (x, y) => x === y), b => b)))
+      .withColumn("est_ok",
+        abs(col("agree").cast("double") / k - col("jaccard")) <= tol)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"), col("est_ok"))
+  }
+
   /** D26 [EXT] — REPEATED-SPAN SCRUB: the C4 span-level cleanup (Raffel
     * et al. 2020 discard repeated three-sentence spans; the fixture corpus
     * has no sentence boundaries, so the span is a fixed `w`-token window,

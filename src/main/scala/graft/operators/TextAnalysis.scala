@@ -1589,4 +1589,37 @@ object TextAnalysis {
         round(col("wgap") / col("n_docs"), 6).as("ece"),
         round(col("mgap"), 6).as("max_gap"))
   }
+
+  /** A27 [EXT] — TOKENIZER FERTILITY AUDIT: per language, how expensive
+    * the corpus is in tokens — subwords per whitespace word (fertility,
+    * the number tokenizer papers report per language) and characters per
+    * subword (compression rate). The number that sizes a training run's
+    * token budget per language BEFORE tokenizing 100 TB, and the tripwire
+    * for a pre-tokenizer change silently exploding a language's cost (the
+    * classic failure: a regex tweak doubles zh fertility and nobody
+    * notices until the budget is spent). Subwords are P10's deterministic
+    * pre-tokenizer (letter runs / digit runs / single punctuation — the
+    * q25 column, so doc grain and corpus grain can never disagree).
+    *
+    * Scale: one scan, three in-row expression columns, one map-side-
+    * combined hash agg on the ≤|langs| key. Ratios through DECIMAL (q92
+    * discipline). Fully oracle-checked.
+    */
+  def tokenizerFertilityAudit(spark: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 18)
+    Tables.documents(spark, dir)
+      .select(col("lang"),
+        TF.nTokens(col("text")).cast("long").as("w"),
+        size(TF.subwordTokens(col("text"))).cast("long").as("s"),
+        length(col("text")).cast("long").as("c"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("w")).as("n_words"),
+        sum(col("s")).as("n_subwords"), sum(col("c")).as("n_chars"))
+      .select(col("lang"), col("n_docs"), col("n_words"), col("n_subwords"),
+        col("n_chars"),
+        round((col("n_subwords").cast("double") / col("n_words")).cast(dec), 6)
+          .cast("double").as("fertility"),
+        round((col("n_chars").cast("double") / col("n_subwords")).cast(dec), 6)
+          .cast("double").as("chars_per_subword"))
+  }
 }

@@ -530,4 +530,66 @@ object Sources {
       .select(
         substring_index(col("path"), "/", -1).as("file_name"),
         col("length").as("n_bytes"))
+
+  /** W8 [EXT] — SIZE-TARGETED JSONL SHARD EXPORT: the "publish the
+    * training corpus" verb. Documents are laid out in doc_id order, cut
+    * into shards of ≈`targetBytes` of text payload (shard = exclusive
+    * running byte total div targetBytes — a doc never splits, so shards
+    * overshoot by at most one doc: the size-targeted-not-size-exact
+    * contract every dataset release format uses), physically WRITTEN as
+    * `shard=N/` JSONL partitions, and the returned manifest — shard id,
+    * doc count, byte total, doc_id span — is computed from the files READ
+    * BACK, so a green row proves the export round-trips losslessly, not
+    * just that the assignment arithmetic is right.
+    *
+    * The running byte total is the q84 two-level prefix sum (block
+    * totals → one bounded-size unpartitioned window → in-block window),
+    * never a global single-partition sort; the write shuffles once on the
+    * shard key (`repartition(shard)` — one task per output shard, the
+    * layout a training loader wants). Bytes = `length(text)` (the payload
+    * proxy; JSONL framing overhead is format-dependent and excluded by
+    * contract). Fully oracle-checked: DuckDB recomputes the assignment
+    * with one cumulative window at fixture scale.
+    */
+  def jsonlShardExport(spark: SparkSession, dir: String,
+                       targetBytes: Long = 16384L,
+                       blockSize: Long = 64L): DataFrame = {
+    require(targetBytes >= 1L && blockSize >= 1L,
+      s"need targetBytes>=1, blockSize>=1; got $targetBytes/$blockSize")
+    import org.apache.spark.sql.expressions.Window
+    def idiv(c: Column, d: Long) = call_function("div", c, lit(d))
+    val docs = parquet(spark, s"$dir/documents.parquet")
+      .select(col("doc_id"), col("lang"), col("text"),
+        length(col("text")).cast("long").as("b"))
+      .withColumn("block", idiv(col("doc_id"), blockSize))
+    val blockPrefix = docs.groupBy(col("block"))
+      .agg(sum(col("b")).as("block_total"))
+      .withColumn("block_prefix",
+        coalesce(sum(col("block_total")).over(
+          Window.orderBy(col("block"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("block"), col("block_prefix"))
+    val inBlock = Window.partitionBy(col("block")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val assigned = docs
+      .withColumn("within", coalesce(sum(col("b")).over(inBlock), lit(0L)))
+      .join(broadcast(blockPrefix), "block")
+      .withColumn("shard", idiv(col("block_prefix") + col("within"), targetBytes))
+      .select(col("doc_id"), col("lang"), col("text"), col("shard"))
+    val out = scratchDir(spark, "jsonl_export")
+    assigned.repartition(col("shard"))
+      .write.mode("overwrite").partitionBy("shard").json(out)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("lang", StringType),
+      StructField("text", StringType)))
+    spark.read.schema(schema).json(out)
+      .withColumn("shard",
+        regexp_extract(input_file_name(), "shard=(\\d+)", 1).cast("long"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text"))).cast("long").as("shard_bytes"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+  }
 }

@@ -75,6 +75,9 @@ object Probe {
       "q150_substring_runs" -> (() => q("q150_substring_runs")),
       "q151_repeated_span_scrub" -> (() => q("q151_repeated_span_scrub")),
       "q152_knn_label_audit" -> (() => q("q152_knn_label_audit")),
+      "q153_tokenizer_fertility" -> (() => q("q153_tokenizer_fertility")),
+      "q154_minhash_estimator_audit" -> (() => q("q154_minhash_estimator_audit")),
+      "q155_jsonl_shard_export" -> (() => q("q155_jsonl_shard_export")),
       "q78 candidate core (bucketed fp index: Exchange-free index side)" -> (() => {
         val table = "graft_probe_fpidx"
         val docs = graft.Tables.documents(spark, dir)

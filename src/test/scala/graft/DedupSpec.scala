@@ -527,4 +527,22 @@ class DedupSpec extends AnyFunSuite {
     assert(got(3L) == ((2L, 2L, md5hex(""))), "full dup fully scrubbed")
     assert(got(4L) == ((2L, 2L, md5hex(""))))
   }
+
+  test("q154 minhash estimator audit: every planted pair in-band, and the sketch is actually close") {
+    val rows = Dedup.minhashEstimatorAuditFor(planted)
+      .as[(Long, Long, Double, Boolean)].collect()
+    // the audited pair set IS the exact near-dup set: 40 base↔near-dup,
+    // 10 base↔exact-copy, 10 exact-copy↔near-dup
+    assert(rows.length == 60, s"expected the 60 planted pairs, got ${rows.length}")
+    assert(rows.forall(_._4), "an estimator violation at 4 sigma means a broken sketch")
+    // stronger than the pinned flag: recompute the estimate driver-side
+    // and check the k=128 sketch tracks exact Jaccard well inside tol
+    val sigs = Dedup.minhashSignatures(planted)
+      .as[(Long, Seq[Long])].collect().toMap
+    val errs = rows.map { case (a, b, j, _) =>
+      val est = sigs(a).zip(sigs(b)).count { case (x, y) => x == y } / 128.0
+      math.abs(est - j)
+    }
+    assert(errs.max <= 0.15, s"max |est - exact| = ${errs.max}")
+  }
 }

@@ -129,4 +129,31 @@ class SourcesSpec extends AnyFunSuite {
       spark.read.schema(schema).option("mode", "FAILFAST").json(out).collect()
     }
   }
+
+  test("q155 jsonl shard export: manifest equals a driver-side replay of the assignment") {
+    val target = 16384L
+    val manifest = Sources.jsonlShardExport(spark, TestSpark.Sf0001, target)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, (r._2, r._3, r._4, r._5))).toMap
+    // replay: exclusive running byte total div target, in doc_id order
+    val docs = spark.read.parquet(s"${TestSpark.Sf0001}/documents.parquet")
+      .select(col("doc_id"), length(col("text")).cast("long"))
+      .as[(Long, Long)].collect().sortBy(_._1)
+    var cum = 0L
+    val want = docs.map { case (id, b) =>
+      val s = cum / target; cum += b; (s, id, b)
+    }.groupBy(_._1).map { case (s, rows) =>
+      (s, (rows.length.toLong, rows.map(_._3).sum,
+        rows.map(_._2).min, rows.map(_._2).max))
+    }
+    assert(manifest == want, s"manifest diverged: $manifest vs $want")
+    // shards tile the doc_id order contiguously (a doc never splits)
+    val sorted = manifest.toSeq.sortBy(_._1)
+    sorted.sliding(2).foreach {
+      case Seq((s1, m1), (s2, m2)) =>
+        assert(s2 == s1 + 1 && m2._3 > m1._4,
+          s"shards $s1->$s2 not contiguous")
+      case _ =>
+    }
+  }
 }

@@ -398,4 +398,28 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(math.abs(got._3 - r6(eceWant)) <= 2e-6, s"ece ${got._3} vs $eceWant")
     assert(math.abs(got._4 - r6(maxWant)) <= 2e-6)
   }
+
+  test("q153 fertility audit: corpus rollup agrees with the per-doc q25 metrics") {
+    // doc grain and corpus grain share one tokenizer by construction —
+    // this pins that the rollup really is the q25 columns aggregated
+    val perDoc = TextAnalysis.docMetrics(spark, TestSpark.Sf0001)
+      .join(spark.read.parquet(s"${TestSpark.Sf0001}/documents.parquet")
+        .select(col("doc_id"), col("lang")), "doc_id")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("w"),
+        sum(col("n_subwords")).as("s"), sum(col("n_chars_c")).as("c"))
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, (r._2, r._3, r._4, r._5))).toMap
+    val audit = TextAnalysis.tokenizerFertilityAudit(spark, TestSpark.Sf0001)
+      .as[(String, Long, Long, Long, Long, Double, Double)].collect()
+    assert(audit.map(_._1).toSet == perDoc.keySet)
+    audit.foreach { a =>
+      val (nd, w, s, c) = perDoc(a._1)
+      assert((a._2, a._3, a._4, a._5) == ((nd, w, s, c)), s"lang ${a._1} counts")
+      def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(a._6 == r6(s.toDouble / w), s"lang ${a._1} fertility")
+      assert(a._7 == r6(c.toDouble / s), s"lang ${a._1} chars/subword")
+      assert(a._6 >= 1.0, "a word is at least one subword")
+    }
+  }
 }

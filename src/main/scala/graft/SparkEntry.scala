@@ -520,7 +520,18 @@ object SparkEntry {
     // size-targeted JSONL shard export; manifest computed from the files
     // read BACK, so the green row proves the lossless round-trip
     "q155_jsonl_shard_export" -> ((s: SparkSession, d: String) =>
-      graft.sources.Sources.jsonlShardExport(s, d))
+      graft.sources.Sources.jsonlShardExport(s, d)),
+    // D25's exact runs across the q59 train/eval boundary: per eval doc,
+    // the longest verbatim train-side run — contamination forensics
+    "q156_substring_contamination" -> ((s: SparkSession, d: String) =>
+      Dedup.substringContamination(s, d)),
+    // per-vector neighbor-majority disagreement — the relabel queue
+    "q157_knn_mislabel_candidates" -> ((s: SparkSession, d: String) =>
+      Similarity.knnMislabelCandidates(s, d)),
+    // data-constrained scaling planner: effective tokens under 0.5^epoch
+    // decay per source (exact IEEE powers of 1/2 — no tolerance escape)
+    "q158_effective_token_budget" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.effectiveTokenBudget(s, d))
   )
 
   /** Shared CTE chain ending in `pairs` = the exact-Jaccard near-dup pairs
@@ -2490,6 +2501,90 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(b) AS BIGINT) AS shard_bytes,
         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
-        |FROM a GROUP BY shard""".stripMargin
+        |FROM a GROUP BY shard""".stripMargin,
+    // the q150 gram/diagonal/island CTEs split across the q59 boundary;
+    // hotness stays corpus-wide df
+    "q156_substring_contamination" ->
+      """WITH toks AS (SELECT doc_id, (doc_id % 10 = 0) AS is_eval,
+        |              unnest(string_split(text, ' ')) AS tok,
+        |              generate_subscripts(string_split(text, ' '), 1) - 1 AS p
+        |              FROM documents),
+        |gr AS (SELECT doc_id, is_eval, p,
+        |         md5(string_agg(tok, ' ') OVER (PARTITION BY doc_id ORDER BY p
+        |             ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING)) AS g,
+        |         count(*) OVER (PARTITION BY doc_id) AS nt
+        |       FROM toks),
+        |grams AS (SELECT doc_id, is_eval, CAST(p AS BIGINT) AS pos, g
+        |          FROM gr WHERE p <= nt - 8),
+        |hot AS (SELECT g FROM grams GROUP BY g HAVING count(*) > 50),
+        |rare AS (SELECT * FROM grams WHERE g NOT IN (SELECT g FROM hot)),
+        |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |            a.pos AS pos_a, a.pos - b.pos AS diag
+        |          FROM rare a JOIN rare b ON a.g = b.g
+        |          WHERE NOT a.is_eval AND b.is_eval),
+        |isl AS (SELECT doc_a, doc_b, diag,
+        |          pos_a - row_number() OVER (PARTITION BY doc_a, doc_b, diag
+        |            ORDER BY pos_a) AS island
+        |        FROM pairs),
+        |runs AS (SELECT doc_a, doc_b,
+        |           CAST(count(*) + 7 AS BIGINT) AS run_tokens
+        |         FROM isl GROUP BY doc_a, doc_b, diag, island),
+        |q AS (SELECT doc_b AS doc_id, doc_a, run_tokens FROM runs
+        |      WHERE run_tokens >= 20)
+        |SELECT doc_id, max(run_tokens) AS max_run_tokens,
+        |  CAST(count(DISTINCT doc_a) AS BIGINT) AS n_train_docs,
+        |  CAST(count(*) AS BIGINT) AS n_runs
+        |FROM q GROUP BY doc_id""".stripMargin,
+    // q152's ranked edges; majority = row_number over (count desc, label)
+    "q157_knn_mislabel_candidates" ->
+      s"""WITH ex AS ($embedExplode),
+         |dots AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         |           sum(q.x * c.x) AS dot
+         |         FROM ex q JOIN ex c ON q.dim = c.dim AND q.vec_id <> c.vec_id
+         |         GROUP BY 1, 2),
+         |norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM ex GROUP BY vec_id),
+         |ranked AS (SELECT query_id, cand_id,
+         |            row_number() OVER (PARTITION BY query_id
+         |              ORDER BY round(dot / (nq.nrm * nc.nrm), 6) DESC, cand_id)
+         |              AS rank
+         |           FROM dots JOIN norms nq ON nq.vec_id = query_id
+         |                     JOIN norms nc ON nc.vec_id = cand_id),
+         |edges AS (SELECT query_id, cand_id FROM ranked WHERE rank <= 5),
+         |lab AS (SELECT vec_id, label FROM embeddings),
+         |hist AS (SELECT e.query_id, cl.label AS nb_label,
+         |           CAST(count(*) AS BIGINT) AS n
+         |         FROM edges e JOIN lab cl ON cl.vec_id = e.cand_id
+         |         GROUP BY 1, 2),
+         |maj AS (SELECT query_id, nb_label, n,
+         |          row_number() OVER (PARTITION BY query_id
+         |            ORDER BY n DESC, nb_label) AS r
+         |        FROM hist)
+         |SELECT m.query_id AS vec_id, ql.label,
+         |  m.nb_label AS majority_label, m.n AS n_majority,
+         |  (m.n * 2 > 5 AND m.nb_label <> ql.label) AS flagged
+         |FROM maj m JOIN lab ql ON ql.vec_id = m.query_id
+         |WHERE m.r = 1""".stripMargin,
+    // identical closed-form arithmetic; powers of 1/2 exact in IEEE
+    "q158_effective_token_budget" ->
+      """WITH s AS (SELECT source,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source),
+        |t AS (SELECT source, n_tokens,
+        |        1000000 // (SELECT count(*) FROM s) AS target_tokens FROM s),
+        |e AS (SELECT source, n_tokens, target_tokens,
+        |        target_tokens // n_tokens AS full_epochs,
+        |        target_tokens - (target_tokens // n_tokens) * n_tokens AS rem
+        |      FROM t),
+        |f AS (SELECT *, pow(0.5, full_epochs) AS p FROM e),
+        |g AS (SELECT source, n_tokens, target_tokens, full_epochs,
+        |        n_tokens * 2.0 * (1 - p) + rem * p AS eff FROM f)
+        |SELECT source, n_tokens,
+        |  CAST(target_tokens AS BIGINT) AS target_tokens,
+        |  CAST(full_epochs AS BIGINT) AS full_epochs,
+        |  CAST(round(CAST(eff AS DECIMAL(38,18)), 6) AS DOUBLE)
+        |    AS effective_tokens,
+        |  CAST(round(CAST(eff / target_tokens AS DECIMAL(38,18)), 6)
+        |    AS DOUBLE) AS utilization
+        |FROM g""".stripMargin
   )
 }

@@ -1397,8 +1397,21 @@ object Dedup {
       .join(rare.select(col("doc_id").as("doc_b"), col("pos").as("pos_b"), col("g")),
         Seq("g"))
       .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), col("pos_a"), col("pos_b"),
+      .select(col("doc_a"), col("doc_b"), col("pos_a"),
         (col("pos_a") - col("pos_b")).as("diag"))
+    runsFromPositionPairs(pairs, n)
+      .filter(col("run_tokens") >= minRun)
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(max(col("run_tokens")).as("max_run_tokens"),
+        count(lit(1)).as("n_runs"),
+        sum(col("run_tokens")).as("sum_run_tokens"))
+  }
+
+  /** The shared gaps-and-islands core of D25/D27: gram position matches
+    * (doc_a, doc_b, pos_a, diag = pos_a − pos_b) → one row per MAXIMAL
+    * run with its token length (an m-gram island ≡ m + n − 1 tokens).
+    * Window partitions on (pair, diagonal) — ≤ one document's grams. */
+  private def runsFromPositionPairs(pairs: DataFrame, n: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_a"), col("doc_b"), col("diag"))
       .orderBy(col("pos_a"))
@@ -1406,12 +1419,59 @@ object Dedup {
       .withColumn("island", col("pos_a") - row_number().over(w))
       .groupBy(col("doc_a"), col("doc_b"), col("diag"), col("island"))
       .agg(count(lit(1)).as("len"))
-      .withColumn("run_tokens", col("len") + lit((n - 1).toLong))
+      .select(col("doc_a"), col("doc_b"),
+        (col("len") + lit((n - 1).toLong)).as("run_tokens"))
+  }
+
+  /** D27 [EXT] — SUBSTRING CONTAMINATION REPORT: D25's exact-run machinery
+    * pointed across the train/eval boundary — for each eval document, the
+    * longest verbatim run any training document shares with it, how many
+    * training documents contaminate it, and the run count. This is the
+    * question benchmark-contamination forensics actually asks ("is this
+    * eval item IN the training set, verbatim, and where") at the grain
+    * D8's whole-doc Jaccard can't answer: a 30-token eval question pasted
+    * into a 400-token training doc has J ≈ 0.07 and is invisible to q59,
+    * but is a single 30-token diagonal run here. Split convention = q59's
+    * (eval = doc_id % 10 == 0).
+    *
+    * Scale: gram leaf spilled once; hotness is CORPUS-wide df (q59's
+    * discipline — a template gram is quadratic whichever split its
+    * occurrences land in); candidates are the train×eval equi-join on the
+    * gram hash (never all-pairs); the rollup is per eval doc. Fully
+    * oracle-checked.
+    */
+  def substringContamination(spark: SparkSession, dir: String, n: Int = 8,
+                             dfCap: Int = 50, minRun: Int = 20): DataFrame =
+    substringContaminationFor(Tables.documents(spark, dir),
+      col("doc_id") % 10 === 0, n, dfCap, minRun)
+
+  def substringContaminationFor(docs: DataFrame, isEval: Column, n: Int = 8,
+                                dfCap: Int = 50, minRun: Int = 20): DataFrame = {
+    require(n >= 2 && dfCap >= 2 && minRun >= n,
+      s"need n>=2, dfCap>=2, minRun>=n; got n=$n dfCap=$dfCap minRun=$minRun")
+    val g = graft.sources.Sources.spillScratch(
+      docs.select(col("doc_id"), isEval.as("is_eval"),
+          posexplode(TF.shingles(col("text"), n)).as(Seq("pos", "gram")))
+        .select(col("doc_id"), col("is_eval"),
+          col("pos").cast("long").as("pos"), md5(col("gram")).as("g")),
+      "contam_grams")
+    val hot = g.groupBy(col("g")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > dfCap).select(col("g"))
+    val rare = g.join(broadcast(hot), Seq("g"), "left_anti")
+    val pairs = rare.filter(!col("is_eval"))
+      .select(col("doc_id").as("doc_a"), col("pos").as("pos_a"), col("g"))
+      .join(rare.filter(col("is_eval"))
+        .select(col("doc_id").as("doc_b"), col("pos").as("pos_b"), col("g")),
+        Seq("g"))
+      .select(col("doc_a"), col("doc_b"), col("pos_a"),
+        (col("pos_a") - col("pos_b")).as("diag"))
+    runsFromPositionPairs(pairs, n)
       .filter(col("run_tokens") >= minRun)
-      .groupBy(col("doc_a"), col("doc_b"))
+      .groupBy(col("doc_b"))
       .agg(max(col("run_tokens")).as("max_run_tokens"),
-        count(lit(1)).as("n_runs"),
-        sum(col("run_tokens")).as("sum_run_tokens"))
+        countDistinct(col("doc_a")).as("n_train_docs"),
+        count(lit(1)).as("n_runs"))
+      .withColumnRenamed("doc_b", "doc_id")
   }
 
   /** A28 [EXT] — MINHASH ESTIMATOR AUDIT: for every exact near-dup pair

@@ -1200,22 +1200,61 @@ object Similarity {
     */
   def knnLabelAudit(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
     val e = Tables.embeddings(spark, dir)
+    knnLabelAuditOver(exactKnnEdges(e, k), e.select(col("vec_id"), col("label")))
+  }
+
+  /** The exact self-kNN edge list (every vector a query; k nearest by
+    * cosine under q21's rounded total order, self excluded). The edge
+    * list feeds multiple consumers in every caller (the reciprocity
+    * self-join, the neighbor-histogram joins); without a spill Catalyst
+    * evaluates the |V|²-scoring subtree once PER consumer — spill the
+    * |V|·k edges once (the q88/q123 multi-consumer discipline) so the
+    * quadratic pass runs once. */
+  private[operators] def exactKnnEdges(e: DataFrame, k: Int): DataFrame = {
     val queries = e.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
     val corpus = e.select(col("vec_id").as("cand_id"), col("embedding").as("cv"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("cand_id"))
-    // the edge list feeds BOTH sides of the reciprocity self-join; without
-    // a spill Catalyst evaluates the |V|²-scoring subtree twice (the rev
-    // side re-derives the whole window) — spill the |V|·k edges once (the
-    // q88/q123 multi-consumer discipline) so the quadratic pass runs once
-    val edges = graft.sources.Sources.spillScratch(
+    graft.sources.Sources.spillScratch(
       corpus.join(broadcast(queries), col("query_id") =!= col("cand_id"))
         .withColumn("score", round(VectorOps.cosineFast(col("qv"), col("cv")), 6))
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= k)
         .select(col("query_id"), col("cand_id")),
       "knn_edges")
-    knnLabelAuditOver(edges, e.select(col("vec_id"), col("label")))
+  }
+
+  /** A29 [EXT] — kNN MISLABEL CANDIDATES: A26's graph made actionable at
+    * the item grain — per vector, its neighbors' majority label (ties
+    * broken by count desc, label asc — a total order both engines rank
+    * identically) and the flag `flagged` = the STRICT majority of its k
+    * neighbors carries a different label than its own. The per-item verb
+    * of confident-learning-style label cleaning: the flagged set is the
+    * relabel/review queue a curation pipeline actually consumes, where
+    * A26 only says how bad the space is in aggregate.
+    *
+    * Scale: edges from [[exactKnnEdges]] (spilled once; past the exact
+    * cap build them with [[annTopK]] and reduce identically); the
+    * histogram is one hash agg on (query, neighbor-label) ≤ |V|·k rows;
+    * majority is a row_number window over ≤ |labels| rows per vector.
+    * Fully oracle-checked.
+    */
+  def knnMislabelCandidates(spark: SparkSession, dir: String,
+                            k: Int = 5): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val lab = e.select(col("vec_id"), col("label"))
+    val hist = exactKnnEdges(e, k)
+      .join(lab.select(col("vec_id").as("cand_id"),
+        col("label").as("nb_label")), "cand_id")
+      .groupBy(col("query_id"), col("nb_label"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("n").desc, col("nb_label"))
+    hist.withColumn("r", row_number().over(w)).filter(col("r") === 1)
+      .join(lab.select(col("vec_id").as("query_id"), col("label")), "query_id")
+      .select(col("query_id").as("vec_id"), col("label"),
+        col("nb_label").as("majority_label"), col("n").as("n_majority"),
+        (col("n") * 2 > k && col("nb_label") =!= col("label")).as("flagged"))
   }
 
   /** The audit reduction over any (query_id, cand_id) edge list — shared

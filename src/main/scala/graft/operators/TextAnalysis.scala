@@ -1622,4 +1622,51 @@ object TextAnalysis {
         round((col("n_chars").cast("double") / col("n_subwords")).cast(dec), 6)
           .cast("double").as("chars_per_subword"))
   }
+
+  /** A30 [EXT] — EFFECTIVE-TOKEN BUDGET under epoch decay: the
+    * data-constrained-scaling planner (Muennighoff et al. 2023: repeated
+    * epochs of the same data are worth geometrically less). Each source
+    * gets an equal target slice of the total token budget; the report
+    * says how many FULL epochs of the source that slice forces, what the
+    * slice is worth in effective tokens when epoch e is discounted by
+    * decay^(e−1) — n·(1−r^E)/(1−r) for the full epochs plus the partial
+    * epoch's remainder at r^E — and the utilization ratio that tells a
+    * mix planner which sources are exhausted (repeating heavily, low
+    * utilization → get more of this data or shift budget to A10's
+    * temperature weights).
+    *
+    * decay = 0.5 by default ON PURPOSE: powers of ½ are exact in IEEE
+    * doubles, so the closed form is bit-identical across engines and the
+    * row oracle-checks without a tolerance escape (any decay works
+    * operationally; exactness is a fixture property). Scale: one scan,
+    * one agg on the \|sources\| key, closed-form arithmetic on the tiny
+    * rollup. Ratios round through DECIMAL.
+    */
+  def effectiveTokenBudget(spark: SparkSession, dir: String,
+                           totalBudget: Long = 1000000L,
+                           decay: Double = 0.5): DataFrame = {
+    require(totalBudget >= 1L && decay > 0.0 && decay < 1.0,
+      s"need totalBudget>=1, 0<decay<1; got $totalBudget/$decay")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 18)
+    def idiv(c: org.apache.spark.sql.Column, d: org.apache.spark.sql.Column) =
+      call_function("div", c, d)
+    val s = Tables.documents(spark, dir)
+      .groupBy(col("source"))
+      .agg(sum(TF.nTokens(col("text")).cast("long")).as("n_tokens"))
+    val nSrc = s.agg(count(lit(1)).as("ns"))
+    val e = s.crossJoin(broadcast(nSrc))
+      .withColumn("target_tokens", idiv(lit(totalBudget), col("ns")))
+      .withColumn("full_epochs", idiv(col("target_tokens"), col("n_tokens")))
+      .withColumn("rem",
+        col("target_tokens") - col("full_epochs") * col("n_tokens"))
+      .withColumn("p", pow(lit(decay), col("full_epochs")))
+      .withColumn("eff",
+        col("n_tokens") * lit(1.0 / (1.0 - decay)) * (lit(1.0) - col("p"))
+          + col("rem") * col("p"))
+    e.select(col("source"), col("n_tokens"), col("target_tokens"),
+      col("full_epochs"),
+      round(col("eff").cast(dec), 6).cast("double").as("effective_tokens"),
+      round((col("eff") / col("target_tokens")).cast(dec), 6)
+        .cast("double").as("utilization"))
+  }
 }

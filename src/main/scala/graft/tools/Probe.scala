@@ -78,6 +78,9 @@ object Probe {
       "q153_tokenizer_fertility" -> (() => q("q153_tokenizer_fertility")),
       "q154_minhash_estimator_audit" -> (() => q("q154_minhash_estimator_audit")),
       "q155_jsonl_shard_export" -> (() => q("q155_jsonl_shard_export")),
+      "q156_substring_contamination" -> (() => q("q156_substring_contamination")),
+      "q157_knn_mislabel_candidates" -> (() => q("q157_knn_mislabel_candidates")),
+      "q158_effective_token_budget" -> (() => q("q158_effective_token_budget")),
       "q78 candidate core (bucketed fp index: Exchange-free index side)" -> (() => {
         val table = "graft_probe_fpidx"
         val docs = graft.Tables.documents(spark, dir)

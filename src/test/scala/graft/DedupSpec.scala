@@ -545,4 +545,28 @@ class DedupSpec extends AnyFunSuite {
     }
     assert(errs.max <= 0.15, s"max |est - exact| = ${errs.max}")
   }
+
+  test("q156 substring contamination: cross-boundary plant found; same-side runs invisible") {
+    val rnd = new scala.util.Random(13)
+    def word(): String = (0 until 6).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    def filler(n: Int): Seq[String] = (0 until n).map(_ => word())
+    val plant = filler(25)     // pasted from train doc 1 into eval doc 100
+    val trainRun = filler(30)  // shared by train docs 2 and 3 only
+    val evalRun = filler(30)   // shared by eval docs 101 and 102 only
+    val docs = Seq(
+      1L -> (filler(15) ++ plant ++ filler(15)).mkString(" "),
+      2L -> (filler(10) ++ trainRun ++ filler(10)).mkString(" "),
+      3L -> (filler(10) ++ trainRun ++ filler(10)).mkString(" "),
+      100L -> (filler(20) ++ plant ++ filler(20)).mkString(" "),
+      101L -> (filler(10) ++ evalRun ++ filler(10)).mkString(" "),
+      102L -> (filler(10) ++ evalRun ++ filler(10)).mkString(" ")
+    ).toDF("doc_id", "text")
+    val got = Dedup.substringContaminationFor(docs, col("doc_id") >= 100L)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => (r._1, (r._2, r._3, r._4))).toMap
+    // only the planted cross-boundary run surfaces, at its exact length;
+    // train↔train and eval↔eval runs never cross the boundary join
+    assert(got.keySet == Set(100L), s"contaminated eval docs: ${got.keySet}")
+    assert(got(100L) == ((25L, 1L, 1L)), s"profile: ${got(100L)}")
+  }
 }

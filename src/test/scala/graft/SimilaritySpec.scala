@@ -534,4 +534,29 @@ class SimilaritySpec extends AnyFunSuite {
       assert(audit(lbl) == ((6L, 30L, 30L, 30L, 1.0, 1.0)), s"label $lbl: ${audit(lbl)}")
     }
   }
+
+  test("q157 mislabel candidates: the one flipped label is flagged, its cluster-mates are not") {
+    val dim = 64
+    def vec(axis: Int, jitterDim: Int, eps: Float): Array[Float] = {
+      val a = Array.fill(dim)(0.0f); a(axis) = 1.0f; a(jitterDim) = eps; a
+    }
+    // two orthogonal 6-vector clusters; vec 3 carries the WRONG label 9 —
+    // its 5 neighbors (own cluster) all vote 7, a strict majority against
+    val vecs = (0 until 6).map { i =>
+      (i.toLong, vec(0, 10 + i, 0.01f * (i + 1)), if (i == 3) 9 else 7)
+    } ++ (0 until 6).map(i => (100L + i, vec(2, 20 + i, 0.01f * (i + 1)), 9))
+    val dir = java.nio.file.Files.createTempDirectory("graft_knn_mislabel").toString
+    vecs.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = Similarity.knnMislabelCandidates(spark, dir, k = 5)
+      .as[(Long, Int, Int, Long, Boolean)].collect()
+      .map(r => (r._1, (r._2, r._3, r._4, r._5))).toMap
+    assert(got.size == 12)
+    assert(got(3L) == ((9, 7, 5L, true)), s"flipped vec: ${got(3L)}")
+    got.filter(_._1 != 3L).foreach { case (id, (lbl, maj, _, fl)) =>
+      assert(!fl, s"vec $id wrongly flagged")
+      assert(maj == lbl || id < 100L,
+        s"vec $id majority $maj vs label $lbl") // cluster A voters see one 9
+    }
+  }
 }

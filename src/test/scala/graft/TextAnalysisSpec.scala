@@ -422,4 +422,30 @@ class TextAnalysisSpec extends AnyFunSuite {
       assert(a._6 >= 1.0, "a word is at least one subword")
     }
   }
+
+  test("q158 effective-token budget: closed form matches a driver-side replay; bounds hold") {
+    val budget = 1000000L
+    val got = TextAnalysis.effectiveTokenBudget(spark, TestSpark.Sf0001, budget)
+      .as[(String, Long, Long, Long, Double, Double)].collect()
+    val tokens = spark.read.parquet(s"${TestSpark.Sf0001}/documents.parquet")
+      .groupBy(col("source"))
+      .agg(sum(size(split(col("text"), " "))).cast("long").as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(got.map(_._1).toSet == tokens.keySet)
+    val target = budget / tokens.size
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    got.foreach { case (src, n, t, full, eff, util) =>
+      assert(n == tokens(src) && t == target)
+      assert(full == target / n)
+      val p = math.pow(0.5, full.toDouble)
+      val rem = target - full * n
+      val effWant = n * 2.0 * (1 - p) + rem * p
+      assert(eff == r6(effWant), s"$src eff $eff vs $effWant")
+      assert(util == r6(effWant / target), s"$src util")
+      // repeated epochs can never be worth more than the target slice,
+      // nor more than the n/(1-r) infinite-epoch ceiling
+      assert(eff <= target + 1e-6 && eff <= n * 2.0 + 1e-6)
+      assert(util > 0.0 && util <= 1.0)
+    }
+  }
 }

@@ -531,7 +531,15 @@ object SparkEntry {
     // data-constrained scaling planner: effective tokens under 0.5^epoch
     // decay per source (exact IEEE powers of 1/2 — no tolerance escape)
     "q158_effective_token_budget" -> ((s: SparkSession, d: String) =>
-      TextAnalysis.effectiveTokenBudget(s, d))
+      TextAnalysis.effectiveTokenBudget(s, d)),
+    // q128's two legs compared BEFORE fusing: overlap, footrule, and the
+    // dense reciprocal rank of the lexical top-1 — the hybrid justifier
+    "q159_ranking_agreement" -> ((s: SparkSession, d: String) =>
+      Similarity.rankingAgreementAudit(s, d)),
+    // deflate bytes per input byte per source; sanity-band violations
+    // pinned 0 (ratio is zlib-defined → q34 invariant discipline)
+    "q160_compression_signal" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.compressionSignal(s, d))
   )
 
   /** Shared CTE chain ending in `pairs` = the exact-Jaccard near-dup pairs
@@ -689,6 +697,53 @@ object SparkEntry {
       |   + (1.0 - least(CAST(len(list_filter(string_split(text, ' '),
       |       t -> t IN ('the','a','of','and','in','to','is'))) AS DOUBLE)
       |       / len(string_split(text, ' ')) * 2.0, 1.0)) * 0.2, 6)""".stripMargin
+
+  /** Shared CTE chain producing the q128/q159 retrieval legs — BM25 `lex`
+    * and dense-cosine `vec`, both (query_id, cand_id, *_rank) at
+    * nQueries = 5, depth = 20. One text, two consumers: the fusion and
+    * the agreement audit can never drift on what a "leg" means. */
+  private lazy val retrievalLegsCtes: String =
+    s"""n AS (SELECT count(*) AS n_docs FROM documents),
+       | tf AS (SELECT doc_id, token, count(*) AS tf
+       |        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+       |              FROM documents)
+       |        GROUP BY doc_id, token),
+       | lens AS (SELECT doc_id, sum(tf) AS len FROM tf GROUP BY doc_id),
+       | al AS (SELECT avg(len) AS avg_len FROM lens),
+       | idf AS (SELECT token,
+       |           ln(1.0 + (CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5)) AS idf
+       |         FROM (SELECT token, count(*) AS df FROM tf GROUP BY token
+       |               HAVING count(*) <= 1000000), n),
+       | bw AS (SELECT tf.doc_id AS cand_id, tf.token,
+       |          idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * len / avg_len)) AS w
+       |        FROM tf JOIN idf USING (token) JOIN lens USING (doc_id), al),
+       | lscored AS (SELECT q.doc_id AS query_id, cand_id,
+       |               round(sum(w), 4) AS score
+       |             FROM bw JOIN (SELECT DISTINCT doc_id, token FROM tf
+       |                           WHERE doc_id < 5) q USING (token)
+       |             WHERE q.doc_id <> cand_id
+       |             GROUP BY 1, 2),
+       | lr AS (SELECT query_id, cand_id,
+       |          CAST(row_number() OVER (PARTITION BY query_id
+       |            ORDER BY score DESC, cand_id) AS BIGINT) AS lex_rank
+       |        FROM lscored),
+       | lex AS (SELECT * FROM lr WHERE lex_rank <= 20),
+       | ex AS ($embedExplode),
+       | dots AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+       |            sum(q.x * c.x) AS dot
+       |          FROM ex q JOIN ex c ON q.dim = c.dim AND q.vec_id < 5
+       |            AND q.vec_id <> c.vec_id
+       |          GROUP BY 1, 2),
+       | norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM ex GROUP BY vec_id),
+       | vscored AS (SELECT query_id, cand_id,
+       |               round(dot / (nq.nrm * nc.nrm), 6) AS score
+       |             FROM dots JOIN norms nq ON nq.vec_id = query_id
+       |                       JOIN norms nc ON nc.vec_id = cand_id),
+       | vr AS (SELECT query_id, cand_id,
+       |          CAST(row_number() OVER (PARTITION BY query_id
+       |            ORDER BY score DESC, cand_id) AS BIGINT) AS vec_rank
+       |        FROM vscored),
+       | vec AS (SELECT * FROM vr WHERE vec_rank <= 20)""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted (→ driver rows-only check):
@@ -1856,47 +1911,7 @@ object SparkEntry {
     // both input rank sets are the already-hash-pinned q96/q21 orders, so
     // the fusion is integer arithmetic both engines agree on exactly
     "q128_hybrid_rrf" ->
-      s"""WITH n AS (SELECT count(*) AS n_docs FROM documents),
-         | tf AS (SELECT doc_id, token, count(*) AS tf
-         |        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
-         |              FROM documents)
-         |        GROUP BY doc_id, token),
-         | lens AS (SELECT doc_id, sum(tf) AS len FROM tf GROUP BY doc_id),
-         | al AS (SELECT avg(len) AS avg_len FROM lens),
-         | idf AS (SELECT token,
-         |           ln(1.0 + (CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5)) AS idf
-         |         FROM (SELECT token, count(*) AS df FROM tf GROUP BY token
-         |               HAVING count(*) <= 1000000), n),
-         | bw AS (SELECT tf.doc_id AS cand_id, tf.token,
-         |          idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * len / avg_len)) AS w
-         |        FROM tf JOIN idf USING (token) JOIN lens USING (doc_id), al),
-         | lscored AS (SELECT q.doc_id AS query_id, cand_id,
-         |               round(sum(w), 4) AS score
-         |             FROM bw JOIN (SELECT DISTINCT doc_id, token FROM tf
-         |                           WHERE doc_id < 5) q USING (token)
-         |             WHERE q.doc_id <> cand_id
-         |             GROUP BY 1, 2),
-         | lr AS (SELECT query_id, cand_id,
-         |          CAST(row_number() OVER (PARTITION BY query_id
-         |            ORDER BY score DESC, cand_id) AS BIGINT) AS lex_rank
-         |        FROM lscored),
-         | lex AS (SELECT * FROM lr WHERE lex_rank <= 20),
-         | ex AS ($embedExplode),
-         | dots AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
-         |            sum(q.x * c.x) AS dot
-         |          FROM ex q JOIN ex c ON q.dim = c.dim AND q.vec_id < 5
-         |            AND q.vec_id <> c.vec_id
-         |          GROUP BY 1, 2),
-         | norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM ex GROUP BY vec_id),
-         | vscored AS (SELECT query_id, cand_id,
-         |               round(dot / (nq.nrm * nc.nrm), 6) AS score
-         |             FROM dots JOIN norms nq ON nq.vec_id = query_id
-         |                       JOIN norms nc ON nc.vec_id = cand_id),
-         | vr AS (SELECT query_id, cand_id,
-         |          CAST(row_number() OVER (PARTITION BY query_id
-         |            ORDER BY score DESC, cand_id) AS BIGINT) AS vec_rank
-         |        FROM vscored),
-         | vec AS (SELECT * FROM vr WHERE vec_rank <= 20),
+      s"""WITH $retrievalLegsCtes,
          | fused AS (SELECT coalesce(l.query_id, v.query_id) AS query_id,
          |             coalesce(l.cand_id, v.cand_id) AS cand_id,
          |             l.lex_rank, v.vec_rank,
@@ -2585,6 +2600,37 @@ object SparkEntry {
         |    AS effective_tokens,
         |  CAST(round(CAST(eff / target_tokens AS DECIMAL(38,18)), 6)
         |    AS DOUBLE) AS utilization
-        |FROM g""".stripMargin
+        |FROM g""".stripMargin,
+    // the shared q128 legs, compared instead of fused
+    "q159_ranking_agreement" ->
+      s"""WITH $retrievalLegsCtes,
+         | ov AS (SELECT l.query_id, l.lex_rank, v.vec_rank
+         |        FROM lex l JOIN vec v
+         |          ON l.query_id = v.query_id AND l.cand_id = v.cand_id),
+         | o AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_overlap,
+         |         CAST(sum(abs(lex_rank - vec_rank)) AS BIGINT) AS footrule
+         |       FROM ov GROUP BY query_id),
+         | t1 AS (SELECT query_id, cand_id FROM lex WHERE lex_rank = 1),
+         | rr AS (SELECT t1.query_id,
+         |          coalesce(1.0 / v.vec_rank, 0.0) AS rr
+         |        FROM t1 LEFT JOIN vec v
+         |          ON v.query_id = t1.query_id AND v.cand_id = t1.cand_id),
+         | qs AS (SELECT DISTINCT query_id FROM lex)
+         |SELECT qs.query_id,
+         |  coalesce(o.n_overlap, 0) AS n_overlap,
+         |  CAST(round(CAST(CAST(coalesce(o.n_overlap, 0) AS DOUBLE) / 20
+         |    AS DECIMAL(38,18)), 6) AS DOUBLE) AS overlap_frac,
+         |  coalesce(o.footrule, 0) AS footrule,
+         |  CAST(round(CAST(coalesce(rr.rr, 0.0) AS DECIMAL(38,18)), 6)
+         |    AS DOUBLE) AS rr_lex_top1
+         |FROM qs LEFT JOIN o ON o.query_id = qs.query_id
+         |        LEFT JOIN rr ON rr.query_id = qs.query_id""".stripMargin,
+    // invariant row (q34 discipline): counts recomputable, the zlib-
+    // defined ratio enters only through the pinned-zero violation band
+    "q160_compression_signal" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(length(text)) AS BIGINT) AS total_chars,
+        |  CAST(0 AS BIGINT) AS n_ratio_violations
+        |FROM documents GROUP BY source""".stripMargin
   )
 }

@@ -1177,6 +1177,50 @@ object Similarity {
         round(col("hi"), 6).as("hi"), col("mean_abs_err"), col("max_abs_err"))
   }
 
+  /** A31 [EXT] — RANKING AGREEMENT AUDIT: the q128 hybrid's two legs
+    * (BM25 lexical, exact dense cosine — both independently hash-pinned)
+    * compared per query BEFORE fusing: top-depth overlap count and
+    * fraction, Spearman's footrule (Σ|lex_rank − vec_rank| over the
+    * overlap — the rank-displacement mass), and the dense reciprocal rank
+    * of the lexical top-1. These are the numbers that justify (or kill)
+    * hybrid retrieval on a corpus: near-total overlap → one retriever is
+    * redundant; near-zero → RRF fuses noise; the footrule says whether
+    * the shared candidates even agree on ORDER. All integers and exact
+    * divisions over two query-bounded rank lists — fully oracle-checked.
+    *
+    * Scale: each leg is its own audited top-depth retrieval (q96/q21
+    * scale notes apply; swap [[annTopK]] in for the dense leg past the
+    * exact cap — same rank contract); the audit joins two
+    * nQueries×depth-row relations, corpus-independent.
+    */
+  def rankingAgreementAudit(spark: SparkSession, dir: String,
+                            nQueries: Int = 5, depth: Int = 20): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 18)
+    val lex = TextAnalysis.bm25TopK(spark, dir, nQueries, depth)
+      .select(col("query_id"), col("cand_id"), col("rank").as("lex_rank"))
+    val dense = cosineTopK(spark, dir, nQueries, depth)
+      .select(col("query_id"), col("cand_id"),
+        col("rank").cast("long").as("vec_rank"))
+    val overlap = lex.join(dense, Seq("query_id", "cand_id"))
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_overlap"),
+        sum(abs(col("lex_rank") - col("vec_rank"))).as("footrule"))
+    val top1rr = lex.filter(col("lex_rank") === 1)
+      .join(dense, Seq("query_id", "cand_id"), "left")
+      .select(col("query_id"),
+        coalesce(lit(1.0) / col("vec_rank"), lit(0.0)).as("rr"))
+    lex.select(col("query_id")).distinct()
+      .join(overlap, Seq("query_id"), "left")
+      .join(top1rr, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        round((coalesce(col("n_overlap"), lit(0L)).cast("double") / depth)
+          .cast(dec), 6).cast("double").as("overlap_frac"),
+        coalesce(col("footrule"), lit(0L)).as("footrule"),
+        round(coalesce(col("rr"), lit(0.0)).cast(dec), 6)
+          .cast("double").as("rr_lex_top1"))
+  }
+
   /** A26 [EXT] — kNN-GRAPH LABEL AUDIT: build the exact self-kNN graph
     * over the embedding table (every vector is a query; k nearest by
     * cosine, self excluded) and reduce it to the two numbers an embedding
@@ -1187,20 +1231,65 @@ object Similarity {
     * reverse edge also made top-k — asymmetric hub-dominated graphs are
     * the classic symptom of un-normalized or collapsed spaces).
     *
-    * Shape: the corpus side streams, the query side is the SAME table
-    * broadcast (the q21 plan class; at fixture scale the whole table is a
-    * ~0.5 MB broadcast). This is the ≤`exact route` form — past the q20
-    * router's 200k-row cap a caller builds the edges with [[annTopK]] and
-    * feeds [[knnLabelAuditOver]] unchanged; the audit itself is two
-    * hash joins on the edge list (edges = |V|·k rows, never |V|²) plus a
-    * self-join for reciprocity on the (cand, query) key. Ranking reuses
-    * the q21 total order (rounded score desc, vec_id asc) so the oracle's
-    * row_number agrees bit-for-bit. Ratios round through DECIMAL (the
+    * Shape: edges from [[knnEdgesRouted]] — exact all-pairs under
+    * `exactCap` (the q21 broadcast-scored plan class), IVF-probed
+    * neighborhoods above it (the sf1 measurement that forced the router:
+    * 20k vectors ran the exact route at 23× the 2k wall). The audit
+    * itself is two hash joins on the edge list (edges = |V|·k rows, never
+    * |V|²) plus a self-join for reciprocity on the (cand, query) key.
+    * Ranking reuses the q21 total order (rounded score desc, vec_id asc)
+    * so the oracle's row_number agrees bit-for-bit at fixture scale
+    * (under the cap → exact route). Ratios round through DECIMAL (the
     * q92 tie discipline). Fully oracle-checked.
     */
-  def knnLabelAudit(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+  def knnLabelAudit(spark: SparkSession, dir: String, k: Int = 5,
+                    exactCap: Long = 10000L): DataFrame = {
     val e = Tables.embeddings(spark, dir)
-    knnLabelAuditOver(exactKnnEdges(e, k), e.select(col("vec_id"), col("label")))
+    knnLabelAuditOver(knnEdgesRouted(e, k, exactCap),
+      e.select(col("vec_id"), col("label")))
+  }
+
+  /** Audit edge-build router: exact all-pairs under `exactCap` corpus
+    * rows, IVF-probed neighborhoods above it. The |V|² scoring pass is
+    * the audit's dominant cost — measured on the 10× fixture: 20k vectors
+    * ran the exact route at 23–24× the 2k wall (100× pairs), which is the
+    * wall every exact audit hits, so past the cap the graph is built from
+    * probed lists (≈ nProbe/nLists of the pairs) and purity/reciprocity
+    * become estimates — the documented trade every SemDeDup-scale audit
+    * makes. Fixture scales sit under the cap, so the q152/q157 oracles
+    * stay exact. */
+  private[graft] def knnEdgesRouted(e: DataFrame, k: Int, exactCap: Long,
+                                        nProbe: Int = 4): DataFrame = {
+    val n = e.count()
+    if (n <= exactCap) exactKnnEdges(e, k)
+    else {
+      // nLists tracks the corpus (~128 vectors per list, capped at the
+      // literal-codebook limit): a FIXED nLists leaves the probed
+      // fraction nProbe/nLists constant and the audit quadratic — the
+      // first sf1 routed run still ground through n²/4 pairs. Scaling
+      // nLists makes probed pairs ≈ n · (nProbe · 128), i.e. linear.
+      val ev = e.select(col("vec_id"), col("embedding"))
+      val nLists = math.min(LiteralCodebookMaxLists.toLong,
+        math.max(16L, n / 128L)).toInt
+      // iters = 0: the deterministic first-nLists seed. The audit pays a
+      // full extra assignment pass per Lloyd's round, and the fixture
+      // measurement behind ivfCosineTopK's scaladoc shows training buys
+      // list BALANCE, not recall — the spec'd recall floor holds at 0
+      // iterations, so the audit takes the cheaper codebook.
+      val cents = trainCentroids(ev, nLists, 0)
+      // repartition BOTH join legs on list_id: the probe×list join's
+      // output parallelism follows its stream side, and a 5 MB corpus
+      // parquet arrives as ONE input split — without the fan-out the
+      // 10M-pair scoring loop runs on a single task
+      val assigned = ivfAssign(ev, cents).repartition(col("list_id"))
+      val probes = probesFor(ev, cents, nProbe,
+        broadcastCodebook = nLists > LiteralCodebookMaxLists)
+        .repartition(col("list_id"))
+      graft.sources.Sources.spillScratch(
+        probeTail(assigned, probes, k)
+          .select(col("query_id"), col("cand_id")),
+        "knn_edges_ivf")
+    }
   }
 
   /** The exact self-kNN edge list (every vector a query; k nearest by
@@ -1210,7 +1299,7 @@ object Similarity {
     * evaluates the |V|²-scoring subtree once PER consumer — spill the
     * |V|·k edges once (the q88/q123 multi-consumer discipline) so the
     * quadratic pass runs once. */
-  private[operators] def exactKnnEdges(e: DataFrame, k: Int): DataFrame = {
+  private[graft] def exactKnnEdges(e: DataFrame, k: Int): DataFrame = {
     val queries = e.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
     val corpus = e.select(col("vec_id").as("cand_id"), col("embedding").as("cv"))
     val w = Window.partitionBy(col("query_id"))
@@ -1233,17 +1322,18 @@ object Similarity {
     * relabel/review queue a curation pipeline actually consumes, where
     * A26 only says how bad the space is in aggregate.
     *
-    * Scale: edges from [[exactKnnEdges]] (spilled once; past the exact
-    * cap build them with [[annTopK]] and reduce identically); the
-    * histogram is one hash agg on (query, neighbor-label) ≤ |V|·k rows;
-    * majority is a row_number window over ≤ |labels| rows per vector.
-    * Fully oracle-checked.
+    * Scale: edges from [[knnEdgesRouted]] (exact under `exactCap`,
+    * IVF-probed above — the same router the sf1 quadratic-wall
+    * measurement forced on A26); the histogram is one hash agg on
+    * (query, neighbor-label) ≤ |V|·k rows; majority is a row_number
+    * window over ≤ |labels| rows per vector. Fully oracle-checked (the
+    * fixture sits under the cap → exact route).
     */
   def knnMislabelCandidates(spark: SparkSession, dir: String,
-                            k: Int = 5): DataFrame = {
+                            k: Int = 5, exactCap: Long = 10000L): DataFrame = {
     val e = Tables.embeddings(spark, dir)
     val lab = e.select(col("vec_id"), col("label"))
-    val hist = exactKnnEdges(e, k)
+    val hist = knnEdgesRouted(e, k, exactCap)
       .join(lab.select(col("vec_id").as("cand_id"),
         col("label").as("nb_label")), "cand_id")
       .groupBy(col("query_id"), col("nb_label"))

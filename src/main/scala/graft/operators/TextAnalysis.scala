@@ -1669,4 +1669,61 @@ object TextAnalysis {
       round((col("eff") / col("target_tokens")).cast(dec), 6)
         .cast("double").as("utilization"))
   }
+
+  /** Per-doc DEFLATE profile: (doc_id, source, n_chars, n_bytes,
+    * deflate_bytes). One `Deflater` per PARTITION, reset per row — the
+    * allocation-heavy native handle is exactly the state `mapPartitions`
+    * exists for (no expression can host it; the house UDF-avoidance
+    * hierarchy bottoms out here). Level 6, nowrap: deterministic for a
+    * fixed JDK zlib, which is all the signal needs — the ratio is
+    * consumed relative to the corpus, never compared across JVMs. */
+  private[graft] def compressionRatiosFor(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("source"), col("text"))
+      .as[(Long, String, String)]
+      .mapPartitions { it =>
+        val deflater = new java.util.zip.Deflater(6, true)
+        val buf = new Array[Byte](1 << 16)
+        it.map { case (id, src, text) =>
+          val in = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          deflater.reset()
+          deflater.setInput(in)
+          deflater.finish()
+          var out = 0L
+          while (!deflater.finished()) out += deflater.deflate(buf)
+          (id, src, text.length.toLong, in.length.toLong, out)
+        }
+      }.toDF("doc_id", "source", "n_chars", "n_bytes", "deflate_bytes")
+  }
+
+  /** P20 [EXT] — COMPRESSION-RATIO QUALITY SIGNAL: deflate bytes per
+    * input byte, the Gopher/RefinedWeb-class filter that catches what
+    * token-level heuristics miss — near-random ID soup refuses to
+    * compress (ratio → 1+), template/boilerplate soup compresses absurdly
+    * well (ratio → 0) — rolled up per source with a sanity-band violation
+    * counter PINNED at zero (q34 invariant discipline: the ratio itself
+    * is zlib-implementation-defined, so the oracle recomputes the COUNTS
+    * and the band is wide enough that any violation means a broken
+    * deflate path, not an interesting document; the per-doc ratios and
+    * their discrimination power are spec-pinned driver-side). Empty
+    * documents are exempt from the band (deflate's fixed header makes
+    * their ratio meaningless).
+    *
+    * Scale: one scan; the deflate pass is per-row in-partition work with
+    * zero shuffle; the rollup is one map-side-combined agg on the
+    * \|sources\| key.
+    */
+  def compressionSignal(spark: SparkSession, dir: String, lo: Double = 0.05,
+                        hi: Double = 1.2): DataFrame = {
+    require(lo > 0.0 && hi > lo, s"need 0<lo<hi; got $lo/$hi")
+    compressionRatiosFor(Tables.documents(spark, dir))
+      .withColumn("viol", when(col("n_bytes") > 0 &&
+        (col("deflate_bytes").cast("double") / col("n_bytes") < lo ||
+          col("deflate_bytes").cast("double") / col("n_bytes") > hi),
+        1L).otherwise(0L))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"),
+        sum(col("viol")).as("n_ratio_violations"))
+  }
 }

@@ -81,6 +81,8 @@ object Probe {
       "q156_substring_contamination" -> (() => q("q156_substring_contamination")),
       "q157_knn_mislabel_candidates" -> (() => q("q157_knn_mislabel_candidates")),
       "q158_effective_token_budget" -> (() => q("q158_effective_token_budget")),
+      "q159_ranking_agreement" -> (() => q("q159_ranking_agreement")),
+      "q160_compression_signal" -> (() => q("q160_compression_signal")),
       "q78 candidate core (bucketed fp index: Exchange-free index side)" -> (() => {
         val table = "graft_probe_fpidx"
         val docs = graft.Tables.documents(spark, dir)

@@ -559,4 +559,45 @@ class SimilaritySpec extends AnyFunSuite {
         s"vec $id majority $maj vs label $lbl") // cluster A voters see one 9
     }
   }
+
+  test("knn edge router: above the cap the IVF route keeps the contract and real recall") {
+    val e = spark.read.parquet(s"${TestSpark.Sf0001}/embeddings.parquet")
+    val exact = Similarity.knnEdgesRouted(e, k = 5, exactCap = 100000L)
+      .as[(Long, Long)].collect().toSet
+    val routed = Similarity.knnEdgesRouted(e, k = 5, exactCap = 100L)
+      .as[(Long, Long)].collect()
+    // contract: every vector queries, at most k edges each, never self
+    val byQuery = routed.groupBy(_._1)
+    assert(byQuery.size == e.count())
+    assert(byQuery.values.forall(_.length <= 5))
+    assert(routed.forall { case (q, c) => q != c })
+    // the probed route must find a real fraction of the exact graph
+    val recall = routed.count(exact.contains).toDouble / exact.size
+    assert(recall >= 0.3, s"IVF edge recall $recall")
+  }
+
+  test("q159 ranking agreement matches a driver-side recompute from the two legs") {
+    val depth = 20
+    val lex = TextAnalysis.bm25TopK(spark, TestSpark.Sf0001, 5, depth)
+      .select(col("query_id"), col("cand_id"), col("rank"))
+      .as[(Long, Long, Long)].collect()
+    val dense = Similarity.cosineTopK(spark, TestSpark.Sf0001, 5, depth)
+      .select(col("query_id"), col("cand_id"), col("rank").cast("long"))
+      .as[(Long, Long, Long)].collect()
+    val denseRank = dense.map(r => ((r._1, r._2), r._3)).toMap
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = Similarity.rankingAgreementAudit(spark, TestSpark.Sf0001)
+      .as[(Long, Long, Double, Long, Double)].collect()
+      .map(r => (r._1, (r._2, r._3, r._4, r._5))).toMap
+    val queries = lex.map(_._1).distinct
+    assert(got.keySet == queries.toSet)
+    queries.foreach { q =>
+      val mine = lex.filter(_._1 == q)
+      val ov = mine.flatMap(l => denseRank.get((q, l._2)).map(v => (l._3, v)))
+      val top1 = mine.find(_._3 == 1L).get
+      val rr = denseRank.get((q, top1._2)).map(1.0 / _).getOrElse(0.0)
+      assert(got(q) == ((ov.length.toLong, r6(ov.length.toDouble / depth),
+        ov.map(p => math.abs(p._1 - p._2)).sum, r6(rr))), s"query $q: ${got(q)}")
+    }
+  }
 }

@@ -448,4 +448,30 @@ class TextAnalysisSpec extends AnyFunSuite {
       assert(util > 0.0 && util <= 1.0)
     }
   }
+
+  test("q160 compression signal: discriminates, deterministic, fixture inside the band") {
+    import org.apache.spark.sql.functions.col
+    // the signal must separate template soup from ID soup — that is its job
+    val rnd = new scala.util.Random(17)
+    val repetitive = Seq.fill(120)("lorem ipsum dolor").mkString(" ")
+    val random = (0 until 360)
+      .map(_ => (0 until 5).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString)
+      .mkString(" ")
+    val probe = Seq((1L, "s", repetitive), (2L, "s", random))
+      .toDF("doc_id", "source", "text")
+    val ratios = TextAnalysis.compressionRatiosFor(probe)
+      .as[(Long, String, Long, Long, Long)].collect()
+      .map(r => (r._1, r._5.toDouble / r._4)).toMap
+    assert(ratios(1L) < 0.1, s"template soup ratio ${ratios(1L)}")
+    assert(ratios(2L) > 2.0 * ratios(1L), s"ID soup must compress far worse: $ratios")
+    // per-doc profile is deterministic across invocations (fixed JDK zlib)
+    val a = TextAnalysis.compressionRatiosFor(probe).collect().toSet
+    val b = TextAnalysis.compressionRatiosFor(probe).collect().toSet
+    assert(a == b)
+    // the fixture corpus sits fully inside the sanity band
+    val fx = TextAnalysis.compressionSignal(spark, TestSpark.Sf0001)
+      .as[(String, Long, Long, Long)].collect()
+    assert(fx.nonEmpty && fx.forall(_._4 == 0L),
+      s"violations: ${fx.filter(_._4 != 0L).mkString(",")}")
+  }
 }

@@ -539,7 +539,16 @@ object SparkEntry {
     // deflate bytes per input byte per source; sanity-band violations
     // pinned 0 (ratio is zlib-defined → q34 invariant discipline)
     "q160_compression_signal" -> ((s: SparkSession, d: String) =>
-      TextAnalysis.compressionSignal(s, d))
+      TextAnalysis.compressionSignal(s, d)),
+    // q155's streaming twin: three doc_id-contiguous ticks, byte base as
+    // the one cross-batch scalar, exactly-once partitions — the manifest
+    // equals the batch export's, so the oracle is q155's SQL verbatim
+    "q161_streaming_shard_export" -> ((s: SparkSession, d: String) =>
+      graft.streaming.ShardExportStream.shardExportTicks(s, d)),
+    // q85 rolled to the governance grain: per source, matches per class,
+    // docs with any hit, DECIMAL-rounded hit rate
+    "q162_pii_scorecard" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.piiSourceScorecard(s, d))
   )
 
   /** Shared CTE chain ending in `pairs` = the exact-Jaccard near-dup pairs
@@ -744,6 +753,49 @@ object SparkEntry {
        |            ORDER BY score DESC, cand_id) AS BIGINT) AS vec_rank
        |        FROM vscored),
        | vec AS (SELECT * FROM vr WHERE vec_rank <= 20)""".stripMargin
+
+  /** The q85 planted-PII CTE (damage derived from doc_id so the oracle
+    * re-derives it), shared by the per-doc redaction and the q162
+    * per-source scorecard. Carries `source` for the rollup grain. */
+  private lazy val piiPlantedCte: String =
+    """planted AS (SELECT doc_id, source,
+      |  text ||
+      |  CASE WHEN doc_id % 5 = 0
+      |       THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1'
+      |       ELSE '' END ||
+      |  CASE WHEN doc_id % 7 = 0
+      |       THEN ' reach me at user' || CAST(doc_id AS VARCHAR) || '@example.com'
+      |       ELSE '' END ||
+      |  CASE WHEN doc_id % 11 = 0
+      |       THEN ' or call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+      |       ELSE '' END ||
+      |  CASE WHEN doc_id % 13 = 0
+      |       THEN ' ssn ' || CAST(doc_id % 400 + 100 AS VARCHAR) || '-'
+      |            || CAST(doc_id % 89 + 10 AS VARCHAR) || '-'
+      |            || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+      |       ELSE '' END ||
+      |  CASE WHEN doc_id % 17 = 0
+      |       THEN ' card 4111-1111-1111-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+      |       ELSE '' END AS t
+      | FROM documents)""".stripMargin
+
+  /** The q155 release-manifest oracle, shared VERBATIM by the streaming
+    * twin q161 (stream ≡ batch whenever ticks are doc_id-contiguous —
+    * the q133 one-oracle discipline). */
+  private lazy val shardManifestSql: String =
+    """WITH d AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS b
+      |           FROM documents),
+      |pre AS (SELECT doc_id, b,
+      |          coalesce(sum(b) OVER (ORDER BY doc_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |            AS cum
+      |        FROM d),
+      |a AS (SELECT doc_id, b, cum // 16384 AS shard FROM pre)
+      |SELECT CAST(shard AS BIGINT) AS shard,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(b) AS BIGINT) AS shard_bytes,
+      |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+      |FROM a GROUP BY shard""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted (→ driver rows-only check):
@@ -1670,37 +1722,18 @@ object SparkEntry {
     // RE2-safe pattern table in the same chain order; DuckDB regexp_replace
     // needs the 'g' flag to match Spark's replace-all semantics
     "q85_pii_redaction" ->
-      """WITH planted AS (SELECT doc_id,
-        |  text ||
-        |  CASE WHEN doc_id % 5 = 0
-        |       THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1'
-        |       ELSE '' END ||
-        |  CASE WHEN doc_id % 7 = 0
-        |       THEN ' reach me at user' || CAST(doc_id AS VARCHAR) || '@example.com'
-        |       ELSE '' END ||
-        |  CASE WHEN doc_id % 11 = 0
-        |       THEN ' or call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
-        |       ELSE '' END ||
-        |  CASE WHEN doc_id % 13 = 0
-        |       THEN ' ssn ' || CAST(doc_id % 400 + 100 AS VARCHAR) || '-'
-        |            || CAST(doc_id % 89 + 10 AS VARCHAR) || '-'
-        |            || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
-        |       ELSE '' END ||
-        |  CASE WHEN doc_id % 17 = 0
-        |       THEN ' card 4111-1111-1111-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
-        |       ELSE '' END AS t
-        | FROM documents)
+      s"""WITH $piiPlantedCte
         |SELECT doc_id,
-        | CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        | CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
         | CAST(len(regexp_extract_all(t, '[0-9]{4}-[0-9]{4}-[0-9]{4}-[0-9]{4}')) AS BIGINT) AS n_cards,
         | CAST(len(regexp_extract_all(t, '[0-9]{3}-[0-9]{2}-[0-9]{4}')) AS BIGINT) AS n_ssns,
-        | CAST(len(regexp_extract_all(t, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS BIGINT) AS n_ips,
+        | CAST(len(regexp_extract_all(t, '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}')) AS BIGINT) AS n_ips,
         | CAST(len(regexp_extract_all(t, '555-[0-9]{4}')) AS BIGINT) AS n_phones,
         | sha256(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
-        |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
         |   '[0-9]{4}-[0-9]{4}-[0-9]{4}-[0-9]{4}', '<CARD>', 'g'),
         |   '[0-9]{3}-[0-9]{2}-[0-9]{4}', '<SSN>', 'g'),
-        |   '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g'),
+        |   '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}', '<IP>', 'g'),
         |   '555-[0-9]{4}', '<PHONE>', 'g')) AS redacted_sha256
         |FROM planted""".stripMargin,
     // dup-shingle fraction from list arithmetic (total 3-grams = len-2),
@@ -2503,20 +2536,11 @@ object SparkEntry {
       s"WITH $jaccardPairCtes\nSELECT doc_a, doc_b, jaccard, TRUE AS est_ok FROM pairs",
     // one cumulative window replays the two-level prefix sum exactly
     // (doc never splits; shard = exclusive running total div target)
-    "q155_jsonl_shard_export" ->
-      """WITH d AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS b
-        |           FROM documents),
-        |pre AS (SELECT doc_id, b,
-        |          coalesce(sum(b) OVER (ORDER BY doc_id
-        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-        |            AS cum
-        |        FROM d),
-        |a AS (SELECT doc_id, b, cum // 16384 AS shard FROM pre)
-        |SELECT CAST(shard AS BIGINT) AS shard,
-        |  CAST(count(*) AS BIGINT) AS n_docs,
-        |  CAST(sum(b) AS BIGINT) AS shard_bytes,
-        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
-        |FROM a GROUP BY shard""".stripMargin,
+    "q155_jsonl_shard_export" -> shardManifestSql,
+    // the streaming twin lands the SAME manifest whenever ticks arrive in
+    // doc_id-contiguous order — one oracle pins stream ≡ batch (the q133
+    // discipline); replay idempotence is spec-pinned
+    "q161_streaming_shard_export" -> shardManifestSql,
     // the q150 gram/diagonal/island CTEs split across the q59 boundary;
     // hotness stays corpus-wide df
     "q156_substring_contamination" ->
@@ -2631,6 +2655,30 @@ object SparkEntry {
       """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(length(text)) AS BIGINT) AS total_chars,
         |  CAST(0 AS BIGINT) AS n_ratio_violations
-        |FROM documents GROUP BY source""".stripMargin
+        |FROM documents GROUP BY source""".stripMargin,
+    // the q85 plant re-derived, summed to the governance grain
+    "q162_pii_scorecard" ->
+      s"""WITH $piiPlantedCte,
+         |c AS (SELECT source,
+         |  CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(t, '[0-9]{4}-[0-9]{4}-[0-9]{4}-[0-9]{4}')) AS BIGINT) AS n_cards,
+         |  CAST(len(regexp_extract_all(t, '[0-9]{3}-[0-9]{2}-[0-9]{4}')) AS BIGINT) AS n_ssns,
+         |  CAST(len(regexp_extract_all(t, '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}')) AS BIGINT) AS n_ips,
+         |  CAST(len(regexp_extract_all(t, '555-[0-9]{4}')) AS BIGINT) AS n_phones
+         |  FROM planted),
+         |g AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_emails) AS BIGINT) AS n_emails,
+         |  CAST(sum(n_cards) AS BIGINT) AS n_cards,
+         |  CAST(sum(n_ssns) AS BIGINT) AS n_ssns,
+         |  CAST(sum(n_ips) AS BIGINT) AS n_ips,
+         |  CAST(sum(n_phones) AS BIGINT) AS n_phones,
+         |  CAST(sum(CASE WHEN n_emails + n_cards + n_ssns + n_ips + n_phones > 0
+         |           THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_pii
+         |  FROM c GROUP BY source)
+         |SELECT source, n_docs, n_emails, n_cards, n_ssns, n_ips, n_phones,
+         |  docs_with_pii,
+         |  CAST(round(CAST(CAST(docs_with_pii AS DOUBLE) / n_docs
+         |    AS DECIMAL(38,18)), 6) AS DOUBLE) AS pii_rate
+         |FROM g""".stripMargin
   )
 }

@@ -1726,4 +1726,40 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"),
         sum(col("viol")).as("n_ratio_violations"))
   }
+
+  /** P21 [EXT] — PII RISK SCORECARD: q85's per-document redaction counts
+    * rolled up to the grain a data-governance review actually reads —
+    * per source: docs scanned, matches per PII class, documents carrying
+    * ANY match, and the hit rate. The number that decides whether a
+    * source needs a redaction pass before release, where q85 decides
+    * what to redact. Same planted fixture (the q82 damage-derived-from-
+    * doc_id discipline) so the oracle re-derives every count; the hit
+    * rate rounds through DECIMAL.
+    *
+    * Scale: q85's pure per-row regexp expressions (one scan, no shuffle,
+    * pushdown-safe) followed by one map-side-combined agg on the
+    * \|sources\| key.
+    */
+  def piiSourceScorecard(spark: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 18)
+    val planted = plantedPiiText
+    val countCols = piiPatterns.map { case (cls, _, pattern) =>
+      size(regexp_extract_all(planted, lit(pattern), lit(0))).cast("long")
+        .as(s"n_${cls}s")
+    }
+    val perDoc = Tables.documents(spark, dir)
+      .select(col("source") +: countCols: _*)
+    val classCols = piiPatterns.map { case (cls, _, _) => col(s"n_${cls}s") }
+    perDoc
+      .withColumn("has_pii",
+        when(classCols.reduce(_ + _) > 0L, 1L).otherwise(0L))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        (piiPatterns.map { case (cls, _, _) =>
+          sum(col(s"n_${cls}s")).as(s"n_${cls}s")
+        } :+ sum(col("has_pii")).as("docs_with_pii")): _*)
+      .withColumn("pii_rate",
+        round((col("docs_with_pii").cast("double") / col("n_docs")).cast(dec), 6)
+          .cast("double"))
+  }
 }

@@ -551,14 +551,20 @@ object Sources {
     * contract). Fully oracle-checked: DuckDB recomputes the assignment
     * with one cumulative window at fixture scale.
     */
-  def jsonlShardExport(spark: SparkSession, dir: String,
-                       targetBytes: Long = 16384L,
-                       blockSize: Long = 64L): DataFrame = {
+  /** The shard-assignment core shared by the batch export and its
+    * streaming twin: (doc_id, lang, text, shard) where shard = (baseBytes
+    * + exclusive running byte total in doc_id order) div targetBytes —
+    * the q84 two-level prefix sum, offset by the bytes of everything
+    * already exported (0 for a whole-corpus batch; the cross-batch state
+    * of the streaming form). */
+  private[graft] def shardAssign(docs0: DataFrame, targetBytes: Long,
+                                 blockSize: Long,
+                                 baseBytes: Long = 0L): DataFrame = {
     require(targetBytes >= 1L && blockSize >= 1L,
       s"need targetBytes>=1, blockSize>=1; got $targetBytes/$blockSize")
     import org.apache.spark.sql.expressions.Window
     def idiv(c: Column, d: Long) = call_function("div", c, lit(d))
-    val docs = parquet(spark, s"$dir/documents.parquet")
+    val docs = docs0
       .select(col("doc_id"), col("lang"), col("text"),
         length(col("text")).cast("long").as("b"))
       .withColumn("block", idiv(col("doc_id"), blockSize))
@@ -571,14 +577,19 @@ object Sources {
       .select(col("block"), col("block_prefix"))
     val inBlock = Window.partitionBy(col("block")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val assigned = docs
+    docs
       .withColumn("within", coalesce(sum(col("b")).over(inBlock), lit(0L)))
       .join(broadcast(blockPrefix), "block")
-      .withColumn("shard", idiv(col("block_prefix") + col("within"), targetBytes))
+      .withColumn("shard",
+        idiv(lit(baseBytes) + col("block_prefix") + col("within"), targetBytes))
       .select(col("doc_id"), col("lang"), col("text"), col("shard"))
-    val out = scratchDir(spark, "jsonl_export")
-    assigned.repartition(col("shard"))
-      .write.mode("overwrite").partitionBy("shard").json(out)
+  }
+
+  /** Manifest over a written shard layout read BACK: per shard, doc
+    * count, byte total, doc_id span — shared by the batch export and the
+    * streaming twin (whose layout nests shards under ingest_batch
+    * partitions; the regexp keys on the shard segment either way). */
+  private[graft] def shardManifest(spark: SparkSession, out: String): DataFrame = {
     val schema = StructType(Seq(
       StructField("doc_id", LongType, nullable = false),
       StructField("lang", StringType),
@@ -591,5 +602,18 @@ object Sources {
         sum(length(col("text"))).cast("long").as("shard_bytes"),
         min(col("doc_id")).as("first_doc"),
         max(col("doc_id")).as("last_doc"))
+  }
+
+  def jsonlShardExport(spark: SparkSession, dir: String,
+                       targetBytes: Long = 16384L,
+                       blockSize: Long = 64L): DataFrame = {
+    val assigned = shardAssign(
+      parquet(spark, s"$dir/documents.parquet")
+        .select(col("doc_id"), col("lang"), col("text")),
+      targetBytes, blockSize)
+    val out = scratchDir(spark, "jsonl_export")
+    assigned.repartition(col("shard"))
+      .write.mode("overwrite").partitionBy("shard").json(out)
+    shardManifest(spark, out)
   }
 }

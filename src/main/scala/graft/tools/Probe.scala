@@ -83,6 +83,8 @@ object Probe {
       "q158_effective_token_budget" -> (() => q("q158_effective_token_budget")),
       "q159_ranking_agreement" -> (() => q("q159_ranking_agreement")),
       "q160_compression_signal" -> (() => q("q160_compression_signal")),
+      "q161_streaming_shard_export" -> (() => q("q161_streaming_shard_export")),
+      "q162_pii_scorecard" -> (() => q("q162_pii_scorecard")),
       "q78 candidate core (bucketed fp index: Exchange-free index side)" -> (() => {
         val table = "graft_probe_fpidx"
         val docs = graft.Tables.documents(spark, dir)

@@ -622,4 +622,49 @@ class StreamingSpec extends AnyFunSuite {
       .as[Double].head()
     assert(zero == 0.0)
   }
+
+  test("q161 streaming shard export: MemoryStream ticks reproduce the batch manifest; replay is a no-op") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.ShardExportStream
+    import spark.implicits._
+    val sPath = graft.sources.Sources.scratchDir(spark, "spec_export_shards")
+    val tPath = graft.sources.Sources.scratchDir(spark, "spec_export_totals")
+    for (p <- Seq(sPath, tPath)) {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(hp, true)
+    }
+    val docs = Tables.documents(spark, TestSpark.Sf0001)
+      .select(col("doc_id"), col("lang"), col("text"))
+      .as[(Long, String, String)].collect().sortBy(_._1)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, String, String)]
+    val stream = input.toDF().toDF("doc_id", "lang", "text")
+    val q = ShardExportStream
+      .streamingShardExport(stream, sPath, tPath)
+      .start()
+    try {
+      docs.grouped((docs.length + 2) / 3).foreach { g =>
+        input.addData(g.toIndexedSeq)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    def manifest() = ShardExportStream.currentManifest(spark, sPath)
+    // stream ≡ batch: the cross-batch manifest equals the one-shot export
+    val batchTwin = graft.sources.Sources
+      .jsonlShardExport(spark, TestSpark.Sf0001)
+    assert(manifest().exceptAll(batchTwin).count() == 0)
+    assert(batchTwin.exceptAll(manifest()).count() == 0)
+    // replay the MIDDLE tick out of band: XO partitions rewrite identical
+    // content — shard ids must not shift and rows must not duplicate
+    val before = manifest().collect().map(_.toSeq).toSet
+    val tick1 = docs.grouped((docs.length + 2) / 3).toSeq(1)
+    ShardExportStream.exportTickXO(
+      spark.createDataset(tick1.toIndexedSeq).toDF("doc_id", "lang", "text"),
+      1L, sPath, tPath)
+    assert(manifest().collect().map(_.toSeq).toSet == before)
+    // split-independence: the 3-tick fixture form lands the same manifest
+    val ticks = ShardExportStream.shardExportTicks(spark, TestSpark.Sf0001)
+    assert(ticks.exceptAll(batchTwin).count() == 0)
+    assert(batchTwin.exceptAll(ticks).count() == 0)
+  }
 }

@@ -474,4 +474,32 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(fx.nonEmpty && fx.forall(_._4 == 0L),
       s"violations: ${fx.filter(_._4 != 0L).mkString(",")}")
   }
+
+  test("q162 pii scorecard: the rollup is exactly q85's per-doc counts aggregated") {
+    val src = spark.read.parquet(s"${TestSpark.Sf0001}/documents.parquet")
+      .select(col("doc_id"), col("source"))
+    val perDoc = TextAnalysis.piiRedaction(spark, TestSpark.Sf0001)
+      .join(src, "doc_id")
+      .select(col("source"), col("n_emails"), col("n_cards"), col("n_ssns"),
+        col("n_ips"), col("n_phones"))
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    val want = perDoc.groupBy(_._1).map { case (s, rows) =>
+      val sums = (rows.map(_._2).sum, rows.map(_._3).sum, rows.map(_._4).sum,
+        rows.map(_._5).sum, rows.map(_._6).sum)
+      val withAny = rows.count(r => r._2 + r._3 + r._4 + r._5 + r._6 > 0).toLong
+      (s, (rows.length.toLong, sums, withAny))
+    }
+    val got = TextAnalysis.piiSourceScorecard(spark, TestSpark.Sf0001)
+      .as[(String, Long, Long, Long, Long, Long, Long, Long, Double)].collect()
+      .map(r => (r._1, (r._2, (r._3, r._4, r._5, r._6, r._7), r._8, r._9))).toMap
+    assert(got.keySet == want.keySet)
+    want.foreach { case (s, (nd, sums, withAny)) =>
+      val (gnd, gsums, gAny, rate) = got(s)
+      assert((gnd, gsums, gAny) == ((nd, sums, withAny)), s"source $s")
+      val r6 = BigDecimal(withAny.toDouble / nd)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(rate == r6, s"source $s rate")
+      assert(gAny > 0L, s"source $s should carry planted PII at these moduli")
+    }
+  }
 }

@@ -770,9 +770,9 @@ object SparkEntry {
       |       THEN ' or call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
       |       ELSE '' END ||
       |  CASE WHEN doc_id % 13 = 0
-      |       THEN ' ssn ' || CAST(doc_id % 400 + 100 AS VARCHAR) || '-'
-      |            || CAST(doc_id % 89 + 10 AS VARCHAR) || '-'
-      |            || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+      |       THEN ' ssn ' || CAST(doc_id % 400 + 100 AS VARCHAR) || '-' ||
+      |            CAST(doc_id % 89 + 10 AS VARCHAR) || '-' ||
+      |            lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
       |       ELSE '' END ||
       |  CASE WHEN doc_id % 17 = 0
       |       THEN ' card 4111-1111-1111-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')

@@ -1374,10 +1374,15 @@ object TextAnalysis {
     */
   def pmiCollocations(spark: SparkSession, dir: String,
                       minCount: Long = 5L, topK: Int = 50): DataFrame = {
-    val pairs = Tables.documents(spark, dir)
-      .select(explode(TF.shingles(col("text"), 2)).as("pair"))
-      .groupBy(col("pair")).agg(count(lit(1)).as("cab"))
-      .localCheckpoint(true)
+    // pair-vocabulary relation feeds FOUR consumers (left/right marginals,
+    // N, the scored join) — scratch-parquet spill, not executor pinning:
+    // the bigram vocabulary is corpus-shaped (the largest "bounded"
+    // relation here), and the q88/q123 spill discipline applies.
+    val pairs = graft.sources.Sources.spillScratch(
+      Tables.documents(spark, dir)
+        .select(explode(TF.shingles(col("text"), 2)).as("pair"))
+        .groupBy(col("pair")).agg(count(lit(1)).as("cab")),
+      "pmi_pairs")
     // tokens never contain spaces (q110 precedent): the pair key splits
     // back losslessly into its two tokens.
     val left = pairs
@@ -1685,14 +1690,27 @@ object TextAnalysis {
       .mapPartitions { it =>
         val deflater = new java.util.zip.Deflater(6, true)
         val buf = new Array[Byte](1 << 16)
-        it.map { case (id, src, text) =>
+        val mapped = it.map { case (id, src, text) =>
           val in = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
           deflater.reset()
           deflater.setInput(in)
           deflater.finish()
           var out = 0L
           while (!deflater.finished()) out += deflater.deflate(buf)
-          (id, src, text.length.toLong, in.length.toLong, out)
+          // n_chars = code points, matching SQL length() (oracle parity
+          // on supplementary-plane text), not UTF-16 code units
+          (id, src, text.codePointCount(0, text.length).toLong, in.length.toLong, out)
+        }
+        // free the native zlib handle when the partition is exhausted —
+        // long-lived executors run many partitions and finalization is
+        // too late for off-heap buffers
+        new Iterator[(Long, String, Long, Long, Long)] {
+          def hasNext: Boolean = {
+            val h = mapped.hasNext
+            if (!h) deflater.end()
+            h
+          }
+          def next(): (Long, String, Long, Long, Long) = mapped.next()
         }
       }.toDF("doc_id", "source", "n_chars", "n_bytes", "deflate_bytes")
   }

@@ -548,7 +548,16 @@ object SparkEntry {
     // q85 rolled to the governance grain: per source, matches per class,
     // docs with any hit, DECIMAL-rounded hit rate
     "q162_pii_scorecard" -> ((s: SparkSession, d: String) =>
-      TextAnalysis.piiSourceScorecard(s, d))
+      TextAnalysis.piiSourceScorecard(s, d)),
+    // q154's discipline on the simhash sketch: exact pairs recomputed by
+    // the oracle, signature disagreement ≤ 16 bits (4σ below the 32-bit
+    // noise mean) pinned TRUE
+    "q163_simhash_estimator_audit" -> ((s: SparkSession, d: String) =>
+      Dedup.simhashEstimatorAudit(s, d)),
+    // q154's discipline on the winnowed candidate generator: exact pairs
+    // must share ≥ 2 non-hot fingerprints (q65 production params), pinned
+    "q164_winnowing_candidate_audit" -> ((s: SparkSession, d: String) =>
+      Dedup.winnowingCandidateAudit(s, d))
   )
 
   /** Shared CTE chain ending in `pairs` = the exact-Jaccard near-dup pairs
@@ -807,7 +816,11 @@ object SparkEntry {
     * planted near-dup recall + winnowing detection/density pins;
     * SimilaritySpec recall-vs-exact-topk for the ANN variants, IVF
     * partition-exactness, PQ recall + exact re-rank scores, and the
-    * persisted-index invariant rows of q94/q118).
+    * persisted-index invariant rows of q94/q118). The q19/q63 sketches
+    * additionally carry ORACLE-CHECKED companion audits (q163/q164, the
+    * q154 discipline): the sketch's decision on every exact near-dup
+    * pair is pinned against the DuckDB-recomputed pair set, so only the
+    * hash VALUES stay oracle-free, not the contracts.
     */
   def oracleSql: Map[String, String] = oracleSqlFor("/root/testdata/sf0.01")
 
@@ -2533,6 +2546,15 @@ object SparkEntry {
     // exact pairs recomputed; the estimator flag is the engine's own
     // xxhash64 sketch vs this exact value — pinned TRUE (≥4σ band)
     "q154_minhash_estimator_audit" ->
+      s"WITH $jaccardPairCtes\nSELECT doc_a, doc_b, jaccard, TRUE AS est_ok FROM pairs",
+    // same exact-pair CTE chain; the engine recomputes est_ok from its
+    // own 64-bit simhash signatures (disagreement ≤ 16 bits, 4σ below
+    // the unrelated-doc mean of 32) — pinned TRUE
+    "q163_simhash_estimator_audit" ->
+      s"WITH $jaccardPairCtes\nSELECT doc_a, doc_b, jaccard, TRUE AS est_ok FROM pairs",
+    // same chain; est_ok = the q65 winnowed candidate generator surfaces
+    // the pair (≥ 2 shared non-hot fingerprints; measured fixture min 5)
+    "q164_winnowing_candidate_audit" ->
       s"WITH $jaccardPairCtes\nSELECT doc_a, doc_b, jaccard, TRUE AS est_ok FROM pairs",
     // one cumulative window replays the two-level prefix sum exactly
     // (doc never splits; shard = exclusive running total div target)

@@ -707,20 +707,33 @@ object Dedup {
   }
 
   /** Embedding-cosine near-dup via hyperplane-LSH banded candidates + exact
-    * re-score — the 100 TB form: signatures are one codegen'd expression
-    * per row, candidate generation is a band equi-join (never a cross
-    * join), and only candidate pairs pay the exact kernel. Per-pair miss
-    * probability with the default 16×4-bit bands is (1 − p⁴)¹⁶ at
-    * bit-agreement p = 1 − acos(cos)/π: ≈ 4e-8 at cos 0.95, < 1e-12 only
-    * past cos ≈ 0.99 — the spec pins banded ≡ exact for planted
-    * near-identical pairs (cos ≈ 0.9999, miss < 1e-20), NOT for pairs
-    * sitting just above the threshold, which can still drop at scale.
-    * Recall < 1 is structural at loose thresholds — P(bit agree) ≈ 0.63
-    * at cos 0.4, so no banding both prunes and keeps every such pair.
-    * That trade is inherent to LSH, not to this implementation.
+    * re-score — the sub-quadratic route for HIGH thresholds: signatures
+    * are one codegen'd expression per row, candidate generation is a band
+    * equi-join (never a cross join), and only candidate pairs pay the
+    * exact kernel.
+    *
+    * Band width is where this route lives or dies, and the round-12
+    * crossover measurement (RouteCrossover, BENCH_NOTES) rewrote it: the
+    * original 16×4-bit default had per-band random collision 2⁻⁴, so
+    * expected candidate mass was 16·(n²/2)/16 = n²/2 — NO pruning, and
+    * measured wall 295 s vs 72.5 s for plain exact broadcast at n = 40k.
+    * An LSH layer that generates the full quadratic pair set is strictly
+    * worse than not having it. The default is now 8×8-bit bands: random
+    * collision 2⁻⁸ per band → candidate mass ≈ n²/64 (measured 64×
+    * candidate reduction, sub-exact wall from ~20k rows up), at the cost
+    * of an honest recall trade — per-pair miss (1 − p⁸)⁸ at bit-agreement
+    * p = 1 − acos(cos)/π: ≈ 6.5e-2 at cos 0.90, 1.2e-2 at cos 0.95,
+    * 8e-5 at cos 0.99, → 0 for near-identical pairs (the spec-pinned
+    * class). That miss curve is why the router only takes this route at
+    * threshold ≥ [[BandedSafeThreshold]] = 0.9 — at looser thresholds no
+    * 64-bit banding both prunes and recalls (at cos 0.7, p ≈ 0.75:
+    * detection 0.56 — a coin flip), so the router pays the distributed
+    * exact path instead. The trade is inherent to sign-LSH: callers who
+    * need recall ≥ 0.999 at cos ∈ [0.9, 0.95) at scale should use the
+    * blocked exact path and pay the quadratic.
     */
   def embeddingNearDupPairsBandedFor(e: DataFrame, threshold: Double,
-                                     nBits: Int = 64, bandBits: Int = 4): DataFrame = {
+                                     nBits: Int = 64, bandBits: Int = 8): DataFrame = {
     import graft.functions.VectorOps
     require(nBits >= 1 && nBits <= 64 && bandBits > 0 && nBits % bandBits == 0,
       s"need 1 <= nBits <= 64 and nBits=$nBits divisible by bandBits=$bandBits")
@@ -804,18 +817,22 @@ object Dedup {
   }
 
   /** Cosine threshold at and above which the router may swap the exact
-    * contract for banded candidates. The swap is NOT exactly lossless:
-    * with the default 16×4-bit bands the per-pair miss probability is
-    * (1 − p⁴)¹⁶ at bit-agreement p = 1 − acos(cos)/π — ≈ 2.6e-3 for a pair
-    * sitting exactly at cos 0.7, falling to ≈ 4.4e-8 at cos 0.95 — so
-    * pairs just above the threshold can still be dropped at scale. The
-    * spec pins banded ≡ exact for near-identical planted pairs; callers
-    * needing the full exact contract above maxExactRows use
-    * [[embeddingNearDupPairsBlockedFor]], which the router takes below
-    * this threshold (where banding's miss rate becomes order-1 and the
-    * trade stops being a trade).
+    * contract for banded candidates. 0.9 is set by the 8×8-band miss
+    * curve (see [[embeddingNearDupPairsBandedFor]]): at the 0.9 edge the
+    * per-pair miss is ≈ 6.5e-2 falling fast with cos (1.2e-2 at 0.95,
+    * 8e-5 at 0.99) — the SemDeDup-class regime where banding is actually
+    * used — while below 0.9 detection decays toward a coin flip and the
+    * trade stops being a trade. The round-12 measurement that moved this
+    * from 0.7: at 0.7 the only banding with usable recall (4-bit bands)
+    * generates the full quadratic candidate mass — measured SLOWER than
+    * plain exact broadcast at every n — so "banded at 0.7" was a recall
+    * cost with a negative pruning payoff. The spec pins banded ≡ exact
+    * for near-identical planted pairs; callers needing full recall above
+    * maxExactRows below this threshold use
+    * [[embeddingNearDupPairsBlockedFor]] (exact contract, distributed
+    * quadratic), which the router takes for them.
     */
-  val BandedSafeThreshold: Double = 0.7
+  val BandedSafeThreshold: Double = 0.9
 
   /** Routing counts memoized per (session, dir): the count is one
     * metadata-cheap action (parquet footer row counts), but queries that
@@ -858,8 +875,8 @@ object Dedup {
     *     broadcast side fits;
     *   - n > maxExactRows AND threshold ≥ [[BandedSafeThreshold]] → banded
     *     candidates + exact re-score ([[embeddingNearDupPairsBandedFor]])
-    *     — near-linear candidate generation, recall bounded as documented
-    *     at [[BandedSafeThreshold]];
+    *     — ~64×-pruned candidate generation, recall bounded as documented
+    *     there;
     *   - n > maxExactRows at a LOOSER threshold → the grid-blocked exact
     *     path ([[embeddingNearDupPairsBlockedFor]]): banding at loose
     *     thresholds under-recalls by construction, so the router keeps the
@@ -868,13 +885,24 @@ object Dedup {
     *     block count scales with n so each cell stays ~100k×100k.
     *
     * The routing count is one metadata-cheap action against the scan,
-    * memoized per (session, dir). At the default 200k rows the exact path
-    * enumerates ≤ 2·10¹⁰ candidate comparisons (minutes on a small
-    * cluster with the codegen'd kernel, and the broadcast side is ~50 MB
-    * at 64 dims).
+    * memoized per (session, dir).
+    *
+    * maxExactRows = 50k is MEASURED, not guessed (round-12 RouteCrossover,
+    * BENCH_NOTES): the exact broadcast kernel walls 3.4 / 9.5 / 34.8 s at
+    * n = 10k / 20k / 40k on local[32] (clean quadratic, ≈ 22 s per
+    * (10 k)² beyond JVM floor), putting the 50k boundary at ≈ 55 s —
+    * the single-JVM minute-class budget (the knnEdgesRouted cap
+    * discipline; its 10k cap guards a heavier |V|²·d re-scoring pass,
+    * hence the lower bar). The round-11 default of 200k extrapolates to
+    * ≈ 15 min single-node — an hour-class query the router would
+    * happily choose. Above the cap both fallbacks are memory-bounded:
+    * blocked replicates O(B·n) rows with flat per-task memory; banded
+    * prunes ~64×. On a real cluster the exact-broadcast route also caps
+    * the BROADCAST at ~13 MB (50k × 64 f32) — comfortably under default
+    * driver/executor budgets, where 200k × wider embeddings would not be.
     */
   def embeddingNearDupPairs(spark: SparkSession, dir: String, threshold: Double = 0.4,
-                            maxExactRows: Long = 200000L): DataFrame = {
+                            maxExactRows: Long = 50000L): DataFrame = {
     val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
     val n = corpusRowCount(spark, dir, "embeddings", e)
     if (n <= maxExactRows)
@@ -1514,6 +1542,106 @@ object Dedup {
         size(filter(zip_with(col("sa"), col("sb"), (x, y) => x === y), b => b)))
       .withColumn("est_ok",
         abs(col("agree").cast("double") / k - col("jaccard")) <= tol)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"), col("est_ok"))
+  }
+
+  /** A32 [EXT] — SIMHASH ESTIMATOR AUDIT: the q154 discipline applied to
+    * the SimHash sketch (D6's hamming route, spec-gated since round 1):
+    * for every EXACT near-dup pair (full-shingle Jaccard ≥ `threshold`,
+    * DuckDB-recomputable), the 64-bit signatures must agree on all but
+    * ≤ `maxDisagreeBits` bits, flag PINNED true. Band choice is the q154
+    * 4σ argument: unrelated docs disagree on E = 32 bits with σ = 4
+    * (64 fair coin flips), so a 16-bit band sits 4σ below noise — a
+    * violation means the vote kernel is broken, not an unlucky pair —
+    * while measured fixture margins (max disagreement 12 bits across
+    * sf0.001/0.01/0.1 for J ≥ 0.5 pairs, AuditProbe) keep real pairs
+    * clear of it. Deterministic hashes → a green row is stable. What
+    * this row does NOT claim: detection at the q19 production radius
+    * (hamming ≤ 3 recalls only ~75% of J ≥ 0.9 pairs on this fixture —
+    * 64-bit SimHash is a coarse sketch; that recall trade stays
+    * spec-measured on the planted fixture, q19's declared gate).
+    *
+    * Scale: exact pairs via the inverted-index core (one spilled shingle
+    * leaf); signatures are one typed map over the corpus; the hamming
+    * check joins |pairs|-sized relations — never corpus².
+    */
+  def simhashEstimatorAudit(spark: SparkSession, dir: String,
+                            threshold: Double = 0.5,
+                            maxDisagreeBits: Int = 16): DataFrame =
+    simhashEstimatorAuditFor(Tables.documents(spark, dir), threshold, maxDisagreeBits)
+
+  def simhashEstimatorAuditFor(docs: DataFrame, threshold: Double = 0.5,
+                               maxDisagreeBits: Int = 16,
+                               dfCap: Int = 1000): DataFrame = {
+    require(maxDisagreeBits > 0 && maxDisagreeBits < 32,
+      s"band must sit below the 32-bit noise mean; got $maxDisagreeBits")
+    val sh = graft.sources.Sources.spillScratch(docShingles(docs), "sim_audit_sh")
+    val hot = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > dfCap).select(col("shingle"))
+    val pairs = jaccardPairsAcross(sh, sh, hot, col("doc_a") < col("doc_b"), threshold)
+    val sigs = simhashSignatures(docs)
+    pairs
+      .join(sigs.select(col("doc_id").as("doc_a"), col("simhash").as("ha")), "doc_a")
+      .join(sigs.select(col("doc_id").as("doc_b"), col("simhash").as("hb")), "doc_b")
+      .withColumn("est_ok",
+        bit_count(col("ha").bitwiseXOR(col("hb"))) <= maxDisagreeBits)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"), col("est_ok"))
+  }
+
+  /** D28 [EXT] — WINNOWING CANDIDATE AUDIT: the q154 discipline applied
+    * to the winnowed candidate generator (D6/D10's fingerprint route,
+    * spec-gated since round 2): every EXACT near-dup pair (full-shingle
+    * Jaccard ≥ `threshold`) must share ≥ `minSharedFp` non-hot winnowed
+    * fingerprints — i.e. the q65 candidate generator at its production
+    * parameters (k=16, w=8, minShared=2, dfCap) SURFACES the pair — flag
+    * PINNED true. Backing: the winnowing guarantee (a shared character
+    * run ≥ k+w−1 = 23 chars ⟹ a shared fingerprint; ≥ 2 fps ⟹ a
+    * ≥ k+2w−1 = 31-char run or two separate runs), and J ≥ 0.5 over
+    * 3-token shingles implies far more shared-run mass than that —
+    * measured fixture margin: min shared-fp count 5 across
+    * sf0.001/0.01/0.1 (AuditProbe) vs the pinned 2. Deterministic
+    * rolling hashes → green rows are stable. The fp-JACCARD score's
+    * correlation with shingle Jaccard stays spec-measured (q63's
+    * declared gate); this row pins the candidate-recall half of the
+    * contract against the exact oracle.
+    *
+    * Scale: same leaf discipline as the MinHash audit — the shingle and
+    * fingerprint leaves spill once; the shared-fp count joins the
+    * |pairs|-bounded exact pair list against the fingerprint inverted
+    * index restricted to those docs (semi-join first), never corpus².
+    */
+  def winnowingCandidateAudit(spark: SparkSession, dir: String,
+                              threshold: Double = 0.5, k: Int = 16, w: Int = 8,
+                              minSharedFp: Int = 2): DataFrame =
+    winnowingCandidateAuditFor(Tables.documents(spark, dir), threshold, k, w, minSharedFp)
+
+  def winnowingCandidateAuditFor(docs: DataFrame, threshold: Double = 0.5,
+                                 k: Int = 16, w: Int = 8, minSharedFp: Int = 2,
+                                 dfCap: Int = 1000): DataFrame = {
+    require(minSharedFp >= 1, s"need minSharedFp >= 1; got $minSharedFp")
+    val sh = graft.sources.Sources.spillScratch(docShingles(docs), "win_audit_sh")
+    val hot = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > dfCap).select(col("shingle"))
+    val pairs = graft.sources.Sources.spillScratch(
+      jaccardPairsAcross(sh, sh, hot, col("doc_a") < col("doc_b"), threshold),
+      "win_audit_pairs")
+    val fps = winnowingFingerprints(docs, k, w).withColumnRenamed("fp", "shingle")
+    val fpHot = fps.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > dfCap).select(col("shingle"))
+    // restrict the fp inverted index to docs appearing in the audited
+    // pair list before self-joining: |pairs| is tiny relative to the
+    // corpus, so the semi-join keeps the shared-fp count pair-bounded
+    val auditDocs = pairs.select(col("doc_a").as("doc_id"))
+      .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
+    val cool = fps.join(broadcast(fpHot), Seq("shingle"), "left_anti")
+      .join(auditDocs, Seq("doc_id"), "left_semi")
+    val shared = cool.as("x").join(cool.as("y"), Seq("shingle"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    pairs.join(shared, Seq("doc_a", "doc_b"), "left")
+      .withColumn("est_ok",
+        coalesce(col("n_shared"), lit(0L)) >= minSharedFp)
       .select(col("doc_a"), col("doc_b"), col("jaccard"), col("est_ok"))
   }
 

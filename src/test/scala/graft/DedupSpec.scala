@@ -175,11 +175,14 @@ class DedupSpec extends AnyFunSuite {
     (base ++ dups).toDF("vec_id", "embedding")
   }
 
-  test("embedding near-dup: banded path equals the exact path at threshold >= 0.7") {
+  test("embedding near-dup: banded path equals the exact path for planted near-identical pairs") {
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
-    val exact = rows(Dedup.embeddingNearDupPairsExactFor(plantedVecs, 0.7))
-    val banded = rows(Dedup.embeddingNearDupPairsBandedFor(plantedVecs, 0.7))
+    // 0.9 = BandedSafeThreshold: the lowest threshold the router ever
+    // hands this path; planted pairs sit at cos ≈ 0.9999 (8×8-band miss
+    // ≈ 2e-12, deterministic hyperplanes → stable)
+    val exact = rows(Dedup.embeddingNearDupPairsExactFor(plantedVecs, 0.9))
+    val banded = rows(Dedup.embeddingNearDupPairsBandedFor(plantedVecs, 0.9))
     val wanted = (0L until 20L).map(i => (i, i + 1000L)).toSet
     assert(wanted == exact.map(t => (t._1, t._2)),
       s"exact path should find exactly the planted pairs, got ${exact.size}")
@@ -187,7 +190,7 @@ class DedupSpec extends AnyFunSuite {
       s"banded≠exact: only-banded=${banded -- exact}, only-exact=${exact -- banded}")
   }
 
-  test("embedding near-dup router: small corpus exact, large corpus banded") {
+  test("embedding near-dup router: small corpus exact, large corpus banded/blocked by threshold") {
     // fixture-sized → exact path (same rows as calling the exact form,
     // checked BOTH ways so an empty/truncated routed result fails)
     val routed = Dedup.embeddingNearDupPairs(spark, TestSpark.Sf0001)
@@ -196,12 +199,22 @@ class DedupSpec extends AnyFunSuite {
     val exact = Dedup.embeddingNearDupPairsExactFor(e, 0.4)
     assert(routed.exceptAll(exact).count() == 0)
     assert(exact.exceptAll(routed).count() == 0)
-    // forced over the threshold → banded plan: no nested-loop/cartesian join
+    // forced over the cap at threshold ≥ BandedSafeThreshold → banded
+    // plan: no nested-loop/cartesian join anywhere
     val bandedPlan = Dedup.embeddingNearDupPairs(spark, TestSpark.Sf0001,
-      threshold = 0.7, maxExactRows = 0L)
+      threshold = 0.95, maxExactRows = 0L)
       .queryExecution.executedPlan.toString
     assert(!bandedPlan.contains("NestedLoop") && !bandedPlan.contains("CartesianProduct"),
-      s"router above maxExactRows must take the banded path:\n$bandedPlan")
+      s"router above maxExactRows at t>=0.9 must take the banded path:\n$bandedPlan")
+    // below BandedSafeThreshold the banded miss rate is order-1, so the
+    // router must keep the exact contract via the blocked path — pinned
+    // by result equality, not just plan shape (0.7 was the OLD banded
+    // boundary; the round-12 crossover measurement moved it)
+    val routedMid = Dedup.embeddingNearDupPairs(spark, TestSpark.Sf0001,
+      threshold = 0.7, maxExactRows = 0L)
+    val exactMid = Dedup.embeddingNearDupPairsExactFor(e, 0.7)
+    assert(routedMid.exceptAll(exactMid).count() == 0)
+    assert(exactMid.exceptAll(routedMid).count() == 0)
   }
 
   test("embedding near-dup: grid-blocked exact path equals the broadcast exact path") {
@@ -544,6 +557,40 @@ class DedupSpec extends AnyFunSuite {
       math.abs(est - j)
     }
     assert(errs.max <= 0.15, s"max |est - exact| = ${errs.max}")
+  }
+
+  test("q163 simhash estimator audit: every planted pair in-band, unrelated docs far outside it") {
+    val rows = Dedup.simhashEstimatorAuditFor(planted)
+      .as[(Long, Long, Double, Boolean)].collect()
+    assert(rows.length == 60, s"expected the 60 planted pairs, got ${rows.length}")
+    assert(rows.forall(_._4), "a 16-bit disagreement on a J>=0.5 pair means a broken vote kernel")
+    // the band's discrimination: recompute hamming driver-side — planted
+    // pairs sit well inside 16 bits, unrelated base pairs around the
+    // 32-bit noise mean (the 4-sigma separation the audit banks on)
+    val sigs = Dedup.simhashSignatures(planted).as[(Long, Long)].collect().toMap
+    def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(sigs(a) ^ sigs(b))
+    val pairHams = rows.map { case (a, b, _, _) => ham(a, b) }
+    assert(pairHams.max <= 10, s"planted pairs should clear the band with margin; max=${pairHams.max}")
+    val unrelated = for (a <- 0L until 10L; b <- 20L until 30L) yield ham(a, b)
+    assert(unrelated.min > 16,
+      s"unrelated docs must sit outside the band; min=${unrelated.min}")
+    // the band must stay below the noise mean by construction
+    intercept[IllegalArgumentException] {
+      Dedup.simhashEstimatorAuditFor(planted, maxDisagreeBits = 32)
+    }
+  }
+
+  test("q164 winnowing candidate audit: every planted pair surfaced by the q65 generator") {
+    val rows = Dedup.winnowingCandidateAuditFor(planted)
+      .as[(Long, Long, Double, Boolean)].collect()
+    assert(rows.length == 60, s"expected the 60 planted pairs, got ${rows.length}")
+    assert(rows.forall(_._4),
+      "an exact near-dup pair the winnowed candidate generator misses breaks q65's recall contract")
+    // margin check: planted pairs share far more than the pinned 2 fps
+    val fps = Dedup.winnowingFingerprints(planted)
+      .as[(Long, Long)].collect().groupBy(_._1).map { case (d, xs) => d -> xs.map(_._2).toSet }
+    val minShared = rows.map { case (a, b, _, _) => (fps(a) & fps(b)).size }.min
+    assert(minShared >= 5, s"expected >=5 shared fps on planted pairs, got $minShared")
   }
 
   test("q156 substring contamination: cross-boundary plant found; same-side runs invisible") {

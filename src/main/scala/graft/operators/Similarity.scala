@@ -1254,12 +1254,25 @@ object Similarity {
     * the audit's dominant cost — measured on the 10× fixture: 20k vectors
     * ran the exact route at 23–24× the 2k wall (100× pairs), which is the
     * wall every exact audit hits, so past the cap the graph is built from
-    * probed lists (≈ nProbe/nLists of the pairs) and purity/reciprocity
-    * become estimates — the documented trade every SemDeDup-scale audit
-    * makes. Fixture scales sit under the cap, so the q152/q157 oracles
-    * stay exact. */
+    * probed lists and purity/reciprocity become estimates — the
+    * documented trade every SemDeDup-scale audit makes. Fixture scales
+    * sit under the cap, so the q152/q157 oracles stay exact.
+    *
+    * nProbe = 32 is MEASURED, not guessed (round-12 KnnRecallProbe,
+    * BENCH_NOTES): on a 20k rotation-decorrelated tiled corpus — the
+    * WORST case for IVF, no cluster structure at all — edge recall vs
+    * exact is 0.20 / 0.46 / 0.65 / 0.86 at nProbe 4 / 16 / 32 / 64,
+    * while wall is FLAT until ~64 (12→18→18→24 s vs 58 s exact): the
+    * probed fraction nProbe·128/n shrinks as the corpus grows (nLists
+    * tracks n), so candidate volume stays ≈ n·nProbe·128 — linear — and
+    * the fixed per-pass costs dominate at these sizes. 32 buys the 0.6+
+    * recall the audit's estimates need at the old nProbe=4 price; real
+    * embedding corpora cluster (IVF's operating assumption), so 0.65 is
+    * the measured floor, not the expectation. When nProbe ≥ nLists
+    * (small corpora just over the cap) every list is probed and the
+    * edge set equals the exact graph — spec-pinned. */
   private[graft] def knnEdgesRouted(e: DataFrame, k: Int, exactCap: Long,
-                                        nProbe: Int = 4): DataFrame = {
+                                        nProbe: Int = 32): DataFrame = {
     val n = e.count()
     if (n <= exactCap) exactKnnEdges(e, k)
     else {

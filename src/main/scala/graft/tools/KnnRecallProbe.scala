@@ -39,7 +39,8 @@ object KnnRecallProbe {
     val exact = Similarity.knnEdgesRouted(e, k, exactCap = Long.MaxValue)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     println(f"[knnrp] exact  wall=${(System.nanoTime() - t0) / 1e9}%8.1fs edges=${exact.size}")
-    for (nProbe <- Seq(4, 8, 16)) {
+    val probes = if (args.length > 3) args.drop(3).map(_.toInt).toSeq else Seq(4, 8, 16)
+    for (nProbe <- probes) {
       val t1 = System.nanoTime()
       val routed = Similarity.knnEdgesRouted(e, k, exactCap = 0L, nProbe = nProbe)
         .collect().map(r => (r.getLong(0), r.getLong(1)))

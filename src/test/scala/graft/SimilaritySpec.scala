@@ -560,20 +560,31 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
-  test("knn edge router: above the cap the IVF route keeps the contract and real recall") {
+  test("knn edge router: above the cap the IVF route keeps the contract and measured recall") {
     val e = spark.read.parquet(s"${TestSpark.Sf0001}/embeddings.parquet")
     val exact = Similarity.knnEdgesRouted(e, k = 5, exactCap = 100000L)
       .as[(Long, Long)].collect().toSet
-    val routed = Similarity.knnEdgesRouted(e, k = 5, exactCap = 100L)
+    // default nProbe = 32 ≥ the fixture's 16 lists → every list probed →
+    // the routed edge set EQUALS the exact graph (the small-corpus
+    // degenerate case the scaladoc promises)
+    val routedFull = Similarity.knnEdgesRouted(e, k = 5, exactCap = 100L)
       .as[(Long, Long)].collect()
-    // contract: every vector queries, at most k edges each, never self
-    val byQuery = routed.groupBy(_._1)
+    val byQuery = routedFull.groupBy(_._1)
     assert(byQuery.size == e.count())
     assert(byQuery.values.forall(_.length <= 5))
-    assert(routed.forall { case (q, c) => q != c })
-    // the probed route must find a real fraction of the exact graph
-    val recall = routed.count(exact.contains).toDouble / exact.size
-    assert(recall >= 0.3, s"IVF edge recall $recall")
+    assert(routedFull.forall { case (q, c) => q != c })
+    assert(routedFull.toSet == exact,
+      s"nProbe >= nLists must reproduce the exact edge set; " +
+        s"missing=${(exact -- routedFull).size} extra=${(routedFull.toSet -- exact).size}")
+    // partial probing (8 of the fixture's 16 lists): recall floor from
+    // the round-12 KnnRecallProbe measurement — 0.74 measured on this
+    // corpus, 0.65 at the production nProbe=32 on a worst-case
+    // (clusterless) 20k corpus; 0.6 is the audit-semantics floor with
+    // measured margin on both
+    val routedHalf = Similarity.knnEdgesRouted(e, k = 5, exactCap = 100L, nProbe = 8)
+      .as[(Long, Long)].collect()
+    val recall = routedHalf.count(exact.contains).toDouble / exact.size
+    assert(recall >= 0.6, s"IVF edge recall $recall at nProbe=8/16 lists")
   }
 
   test("q159 ranking agreement matches a driver-side recompute from the two legs") {

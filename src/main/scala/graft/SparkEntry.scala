@@ -557,7 +557,15 @@ object SparkEntry {
     // q154's discipline on the winnowed candidate generator: exact pairs
     // must share ≥ 2 non-hot fingerprints (q65 production params), pinned
     "q164_winnowing_candidate_audit" -> ((s: SparkSession, d: String) =>
-      Dedup.winnowingCandidateAudit(s, d))
+      Dedup.winnowingCandidateAudit(s, d)),
+    // k-anonymity sweep over the (nation, segment, balance-bucket) QI —
+    // every number exact and DuckDB-recomputable
+    "q165_k_anonymity_audit" -> ((s: SparkSession, d: String) =>
+      Relational.kAnonymityAudit(s, d)),
+    // exact p50/p95 per source + the GK rank-guarantee flags for
+    // percentile_approx, pinned TRUE (holds under any merge order)
+    "q166_quantile_sketch_audit" -> ((s: SparkSession, d: String) =>
+      Relational.quantileSketchAudit(s, d))
   )
 
   /** Shared CTE chain ending in `pairs` = the exact-Jaccard near-dup pairs
@@ -2556,6 +2564,30 @@ object SparkEntry {
     // the pair (≥ 2 shared non-hot fingerprints; measured fixture min 5)
     "q164_winnowing_candidate_audit" ->
       s"WITH $jaccardPairCtes\nSELECT doc_a, doc_b, jaccard, TRUE AS est_ok FROM pairs",
+    // every number exact: class sizes from one GROUP BY, the k sweep a
+    // cross join against the literal k list
+    "q165_k_anonymity_audit" ->
+      """WITH cls AS (SELECT c_nationkey, c_mktsegment,
+        |               floor(c_acctbal / 1000.0) AS b, count(*) AS cnt
+        |             FROM customer GROUP BY 1, 2, 3),
+        |ks AS (SELECT unnest([2, 5, 10, 20]) AS k)
+        |SELECT k, CAST(sum(cnt) AS BIGINT) AS n_rows,
+        |  CAST(count(*) AS BIGINT) AS n_classes,
+        |  CAST(min(cnt) AS BIGINT) AS min_class_size,
+        |  CAST(sum(CASE WHEN cnt < k THEN 1 ELSE 0 END) AS BIGINT) AS n_small_classes,
+        |  CAST(sum(CASE WHEN cnt < k THEN cnt ELSE 0 END) AS BIGINT) AS n_risk_rows,
+        |  CAST(round(CAST(CAST(sum(CASE WHEN cnt < k THEN cnt ELSE 0 END) AS DOUBLE)
+        |    / sum(cnt) AS DECIMAL(38,18)), 6) AS DOUBLE) AS risk_frac
+        |FROM cls CROSS JOIN ks GROUP BY k""".stripMargin,
+    // exact quantiles re-derived (quantile_cont shares the (n-1)·q
+    // interpolation); the sketch flags are the engine's own GK rank
+    // guarantee — pinned TRUE under any merge order
+    "q166_quantile_sketch_audit" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  round(quantile_cont(length(text), 0.5), 6) AS p50_exact,
+        |  round(quantile_cont(length(text), 0.95), 6) AS p95_exact,
+        |  TRUE AS p50_ok, TRUE AS p95_ok
+        |FROM documents GROUP BY source""".stripMargin,
     // one cumulative window replays the two-level prefix sum exactly
     // (doc never splits; shard = exclusive running total div target)
     "q155_jsonl_shard_export" -> shardManifestSql,

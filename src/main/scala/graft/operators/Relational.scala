@@ -174,6 +174,107 @@ object Relational {
         col("cnt"), col("approx_within_tol"))
   }
 
+  /** A33 [EXT] — K-ANONYMITY AUDIT: re-identification risk of a release
+    * under a quasi-identifier set, swept across candidate k. A row is
+    * k-anonymous iff its QI combination is shared by ≥ k rows; the audit
+    * reports, per candidate k: equivalence-class count, the smallest
+    * class, classes below k, rows in those classes (the re-identifiable
+    * mass) and their fraction — the table a governance review reads to
+    * pick the k a release can honestly claim (Sweeney 2002). The
+    * reference's privacy posture is architectural (federated training so
+    * patient rows never move; identifying columns dropped,
+    * `/root/reference/src/preprocessing_pipeline.py:151`) — this is that
+    * concern promoted to a measurable release gate, sibling to the PII
+    * scorecard (q162) which audits free text where this audits structure.
+    *
+    * QI here: (c_nationkey, c_mktsegment, floor(c_acctbal/1000)) — two
+    * categorical columns plus a bucketed numeric, the classic
+    * demographic-shaped triple. floor of an IEEE double division is
+    * engine-identical, so every emitted number is DuckDB-recomputable.
+    *
+    * Scale: ONE map-side-combined count over the QI key (the only
+    * corpus-width pass); the class-size relation is \|QI classes\|-sized,
+    * and the k sweep is a broadcast cross of that small relation with a
+    * literal k column — no second scan, no shuffle by k.
+    */
+  def kAnonymityAudit(spark: SparkSession, dir: String,
+                      ks: Seq[Int] = Seq(2, 5, 10, 20)): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ >= 2), s"need ks >= 2; got $ks")
+    val classes = Tables.customer(spark, dir)
+      .groupBy(col("c_nationkey"), col("c_mktsegment"),
+        floor(col("c_acctbal") / 1000.0).as("bal_bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    val kDf = spark.createDataFrame(ks.map(Tuple1(_))).toDF("k")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 18)
+    classes.crossJoin(broadcast(kDf))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_classes"),
+        min(col("cnt")).as("min_class_size"),
+        sum(when(col("cnt") < col("k"), 1L).otherwise(0L)).as("n_small_classes"),
+        sum(when(col("cnt") < col("k"), col("cnt")).otherwise(0L)).as("n_risk_rows"),
+        sum(col("cnt")).as("n_rows"))
+      .withColumn("risk_frac",
+        round((col("n_risk_rows").cast(dec) / col("n_rows").cast(dec)).cast(dec), 6)
+          .cast("double"))
+      .select(col("k"), col("n_rows"), col("n_classes"), col("min_class_size"),
+        col("n_small_classes"), col("n_risk_rows"), col("risk_frac"))
+  }
+
+  /** A34 [EXT] — QUANTILE-SKETCH AUDIT: the q10/q145/q154 approx-vs-exact
+    * invariant discipline applied to `percentile_approx` — the sketch
+    * every corpus-stats job at 100 TB actually runs (one pass, fixed-size
+    * Greenwald–Khanna state per group, vs exact percentile's per-group
+    * sort buffer). Per source over the document length distribution:
+    * exact p50/p95 (DuckDB-recomputable: `quantile_cont` shares Spark
+    * `percentile`'s (n−1)·q interpolation), plus per-quantile flags
+    * checking the GK RANK guarantee — the rank of the sketch's answer
+    * must sit within ε·N (+1 for tie/ceiling slack) of the target rank,
+    * ε = 1/accuracy. PINNED true: that bound is the sketch's published
+    * contract under ANY merge order, so it is partition-shuffle-proof —
+    * a violation means a broken sketch, never an unlucky run (the same
+    * "any order" reasoning that makes q133's bottom-k streaming sample
+    * deterministic). The VALUE-space error is deliberately not banded:
+    * GK guarantees nothing about it on skewed data.
+    *
+    * Scale: the narrow (source, len) projection spills once (two
+    * consumers: the aggregate pass and the rank-of-answer pass — the
+    * q88/q123 leaf discipline); both passes are map-side-combined aggs
+    * on the \|sources\| key; the rank join broadcasts the
+    * \|sources\|-row answer table.
+    */
+  def quantileSketchAudit(spark: SparkSession, dir: String,
+                          accuracy: Int = 1000): DataFrame = {
+    val d = graft.sources.Sources.spillScratch(
+      Tables.documents(spark, dir)
+        .select(col("source"), length(col("text")).cast("long").as("len")),
+      "qsketch_len")
+    val agg = d.groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs"),
+      round(expr("percentile(len, 0.5)"), 6).as("p50_exact"),
+      round(expr("percentile(len, 0.95)"), 6).as("p95_exact"),
+      expr(s"approx_percentile(len, 0.5, $accuracy)").as("p50_approx"),
+      expr(s"approx_percentile(len, 0.95, $accuracy)").as("p95_approx"))
+    // lengths repeat heavily, so the sketch's answer occupies a rank RANGE
+    // [count(len < v) + 1, count(len <= v)]; the guarantee holds iff that
+    // range intersects [q·N − ε·N, q·N + ε·N]
+    val ranks = d.join(broadcast(agg.select(col("source"),
+        col("p50_approx"), col("p95_approx"))), "source")
+      .groupBy(col("source")).agg(
+        sum(when(col("len") < col("p50_approx"), 1L).otherwise(0L)).as("lo50"),
+        sum(when(col("len") <= col("p50_approx"), 1L).otherwise(0L)).as("hi50"),
+        sum(when(col("len") < col("p95_approx"), 1L).otherwise(0L)).as("lo95"),
+        sum(when(col("len") <= col("p95_approx"), 1L).otherwise(0L)).as("hi95"))
+    def okFlag(lo: Column, hi: Column, q: Double, n: Column): Column = {
+      val target = n.cast("double") * q
+      val tol = n.cast("double") / accuracy + 1.0
+      (lo + 1.0 <= target + tol) && (hi >= target - tol)
+    }
+    agg.join(ranks, "source")
+      .select(col("source"), col("n_docs"), col("p50_exact"), col("p95_exact"),
+        okFlag(col("lo50"), col("hi50"), 0.5, col("n_docs")).as("p50_ok"),
+        okFlag(col("lo95"), col("hi95"), 0.95, col("n_docs")).as("p95_ok"))
+  }
+
   /** §2.8 top-k per group — row_number window with a total order
     * (totalprice desc, orderkey tiebreak → deterministic under ties).
     */

@@ -85,6 +85,63 @@ class RelationalSpec extends AnyFunSuite {
     assert(expected.exists(_._4.isEmpty), "fixture has no null-match purchase")
   }
 
+  test("q165 k-anonymity audit matches a hand-computed planted table") {
+    // 3 QI classes: (0,A,bucket0) x 12 rows, (1,B,bucket1) x 4, (2,C,bucket2) x 1
+    val rows = (0 until 12).map(i => (i.toLong, "c", 0, 500.0, "A")) ++
+      (0 until 4).map(i => (100L + i, "c", 1, 1500.0, "B")) ++
+      Seq((200L, "c", 2, 2500.0, "C"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_kanon").toString
+    rows.toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    val got = Relational.kAnonymityAudit(spark, dir, ks = Seq(2, 5, 13))
+      .as[(Int, Long, Long, Long, Long, Long, Double)].collect()
+      .map(r => (r._1, (r._2, r._3, r._4, r._5, r._6, r._7))).toMap
+    // k=2: only the singleton class is small -> 1 risk row of 17
+    assert(got(2) == ((17L, 3L, 1L, 1L, 1L, 0.058824)))
+    // k=5: the 4-row and 1-row classes are small -> 5 risk rows
+    assert(got(5) == ((17L, 3L, 1L, 2L, 5L, 0.294118)))
+    // k=13: every class is small -> the whole table is at risk
+    assert(got(13) == ((17L, 3L, 1L, 3L, 17L, 1.0)))
+  }
+
+  test("q166 quantile sketch audit: flags pinned true and exact quantiles match a driver recompute") {
+    val got = Relational.quantileSketchAudit(spark, TestSpark.Sf0001)
+      .as[(String, Long, Double, Double, Boolean, Boolean)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (src, _, _, _, ok50, ok95) =>
+      assert(ok50 && ok95, s"source $src: GK rank guarantee violated — broken sketch")
+    }
+    // exact percentiles vs a driver-side recompute of the (n-1)*q
+    // interpolation on the raw lengths
+    val lens = Tables.documents(spark, TestSpark.Sf0001)
+      .select(col("source"), length(col("text")).cast("long"))
+      .as[(String, Long)].collect().groupBy(_._1).map { case (s0, xs) =>
+        s0 -> xs.map(_._2).sorted
+      }
+    def interp(xs: Array[Long], q: Double): Double = {
+      val pos = q * (xs.length - 1)
+      val lo = pos.toInt
+      val frac = pos - lo
+      val v = if (lo + 1 < xs.length) xs(lo) + frac * (xs(lo + 1) - xs(lo))
+              else xs(lo).toDouble
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    got.foreach { case (src, n, p50, p95, _, _) =>
+      assert(n == lens(src).length)
+      assert(p50 == interp(lens(src), 0.5), s"$src p50")
+      assert(p95 == interp(lens(src), 0.95), s"$src p95")
+    }
+    // tie-torture: constant column — the answer's rank range spans the
+    // whole table and must still satisfy (and not trip) the rank check
+    val dirT = java.nio.file.Files.createTempDirectory("graft_qsk").toString
+    (0 until 100).map(i => (i.toLong, "x" * 7, "en", "s0", 7L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dirT/documents.parquet")
+    val tied = Relational.quantileSketchAudit(spark, dirT)
+      .as[(String, Long, Double, Double, Boolean, Boolean)].head()
+    assert(tied == (("s0", 100L, 7.0, 7.0, true, true)))
+  }
+
   test("dupGate finds only keys with multiple lineitems") {
     val df = Relational.dupGate(spark, TestSpark.Sf0001)
     assert(df.filter(col("cnt") <= 1).count() == 0)

@@ -565,7 +565,11 @@ object SparkEntry {
     // exact p50/p95 per source + the GK rank-guarantee flags for
     // percentile_approx, pinned TRUE (holds under any merge order)
     "q166_quantile_sketch_audit" -> ((s: SparkSession, d: String) =>
-      Relational.quantileSketchAudit(s, d))
+      Relational.quantileSketchAudit(s, d)),
+    // PSI per feature between the q135 modulo snapshots, with the
+    // industry decision bands — every count and probability re-derivable
+    "q167_psi_drift_audit" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.psiDriftAudit(s, d))
   )
 
   /** Shared CTE chain ending in `pairs` = the exact-Jaccard near-dup pairs
@@ -2588,6 +2592,36 @@ object SparkEntry {
         |  round(quantile_cont(length(text), 0.95), 6) AS p95_exact,
         |  TRUE AS p50_ok, TRUE AS p95_ok
         |FROM documents GROUP BY source""".stripMargin,
+    // PSI replayed term by term: same overlapping modulo snapshots, same
+    // +1-per-bucket smoothing, ln under the q92 6dp discipline
+    "q167_psi_drift_audit" ->
+      """WITH d AS (SELECT doc_id, lang,
+        |             CAST(least(length(text) // 100, 10) AS VARCHAR) AS lb
+        |           FROM documents),
+        |f AS (SELECT 'lang' AS feature, lang AS bucket, doc_id FROM d
+        |      UNION ALL
+        |      SELECT 'len_bucket', lb, doc_id FROM d),
+        |c AS (SELECT feature, bucket,
+        |        sum(CASE WHEN doc_id % 5 <> 0 THEN 1 ELSE 0 END) AS ca,
+        |        sum(CASE WHEN doc_id % 3 <> 0 THEN 1 ELSE 0 END) AS cb
+        |      FROM f GROUP BY 1, 2),
+        |t AS (SELECT feature, sum(ca) AS na, sum(cb) AS nb,
+        |        count(*) AS n_buckets
+        |      FROM c GROUP BY 1),
+        |p AS (SELECT c.feature,
+        |        (ca + 1.0) / (na + n_buckets) AS pa,
+        |        (cb + 1.0) / (nb + n_buckets) AS pb
+        |      FROM c JOIN t USING (feature))
+        |SELECT t.feature, CAST(n_buckets AS BIGINT) AS n_buckets,
+        |  CAST(na AS BIGINT) AS n_ref, CAST(nb AS BIGINT) AS n_cur,
+        |  round((SELECT sum((pa - pb) * ln(pa / pb)) FROM p
+        |         WHERE p.feature = t.feature), 6) AS psi,
+        |  CASE WHEN round((SELECT sum((pa - pb) * ln(pa / pb)) FROM p
+        |                   WHERE p.feature = t.feature), 6) < 0.1 THEN 'stable'
+        |       WHEN round((SELECT sum((pa - pb) * ln(pa / pb)) FROM p
+        |                   WHERE p.feature = t.feature), 6) < 0.25 THEN 'moderate'
+        |       ELSE 'major' END AS band
+        |FROM t""".stripMargin,
     // one cumulative window replays the two-level prefix sum exactly
     // (doc never splits; shard = exclusive running total div target)
     "q155_jsonl_shard_export" -> shardManifestSql,

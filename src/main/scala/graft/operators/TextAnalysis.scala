@@ -1031,6 +1031,54 @@ object TextAnalysis {
         round(col("p2"), 6).as("p2"), col("abs_delta"), col("js_divergence"))
   }
 
+  /** A35 [EXT] — POPULATION STABILITY INDEX (PSI) DRIFT AUDIT: the scalar
+    * production-monitoring gate — PSI = Σ (pᵢ − qᵢ)·ln(pᵢ/qᵢ) over a
+    * feature's buckets between a reference and a current snapshot, with
+    * the industry decision bands (< 0.1 stable, < 0.25 moderate, else
+    * major). Complements the drift family at its third grain: A18 (q135)
+    * watches the TOKEN distribution, A21 (q143) the embedding GEOMETRY;
+    * PSI is the one-number-per-feature answer "can the serving/mix config
+    * stay" that a pipeline pages on. Two features audited here: the lang
+    * mix and the length profile (fixed 100-char buckets capped at 10 —
+    * deterministic, engine-identical integer arithmetic). Snapshots are
+    * the q135 overlapping modulo splits (ref = doc_id % 5 ≠ 0, cur =
+    * doc_id % 3 ≠ 0). Laplace (+1 per bucket) smoothing keeps ln finite
+    * on one-sided buckets — the standard PSI practice, and deterministic.
+    * ln carries the documented q92 libm-ulp caveat; 6dp rounding absorbs
+    * hash-agg term order (≤ 21 terms).
+    *
+    * Scale: ONE corpus scan (both features explode from the same
+    * projection, both snapshot counts are conditional sums in the same
+    * map-side-combined agg — overlapping splits never scan twice); PSI
+    * and bands compute on the \|feature × bucket\|-sized relation.
+    */
+  def psiDriftAudit(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).select(col("doc_id"), explode(array(
+      struct(lit("lang").as("feature"), col("lang").as("bucket")),
+      struct(lit("len_bucket").as("feature"),
+        least(floor(length(col("text")) / 100.0), lit(10.0))
+          .cast("long").cast("string").as("bucket")))).as("fb"))
+      .select(col("doc_id"), col("fb.feature"), col("fb.bucket"))
+    val counts = d.groupBy(col("feature"), col("bucket")).agg(
+      sum(when(col("doc_id") % 5 =!= 0, 1L).otherwise(0L)).as("ca"),
+      sum(when(col("doc_id") % 3 =!= 0, 1L).otherwise(0L)).as("cb"))
+    val totals = counts.groupBy(col("feature")).agg(
+      sum(col("ca")).as("na"), sum(col("cb")).as("nb"),
+      count(lit(1)).as("n_buckets"))
+    counts.join(totals, "feature")
+      .withColumn("pa", (col("ca") + 1.0) / (col("na") + col("n_buckets")))
+      .withColumn("pb", (col("cb") + 1.0) / (col("nb") + col("n_buckets")))
+      .groupBy(col("feature"))
+      .agg(first(col("n_buckets")).as("n_buckets"),
+        first(col("na")).as("n_ref"), first(col("nb")).as("n_cur"),
+        round(sum((col("pa") - col("pb")) * log(col("pa") / col("pb"))), 6).as("psi"))
+      .withColumn("band",
+        when(col("psi") < 0.1, "stable")
+          .when(col("psi") < 0.25, "moderate").otherwise("major"))
+      .select(col("feature"), col("n_buckets"), col("n_ref"), col("n_cur"),
+        col("psi"), col("band"))
+  }
+
   /** q134 — CONTENT-DEFINED CHUNKING: split each doc at token positions
     * chosen by the TOKEN CONTENT itself — a cut after every token whose
     * seeded hash lands in a 1/16 band (first md5 hex digit '0'), giving

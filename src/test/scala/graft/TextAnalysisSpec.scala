@@ -502,4 +502,44 @@ class TextAnalysisSpec extends AnyFunSuite {
       assert(gAny > 0L, s"source $s should carry planted PII at these moduli")
     }
   }
+
+  test("q167 PSI drift audit matches a driver-side replay and flags a planted shift") {
+    // fixture PSI recomputed from the raw splits
+    def replay(rows: Seq[(Long, String)]): Double = {
+      val buckets = rows.map(_._2).distinct
+      val a = rows.filter(_._1 % 5 != 0)
+      val b = rows.filter(_._1 % 3 != 0)
+      val psi = buckets.map { bk =>
+        val pa = (a.count(_._2 == bk) + 1.0) / (a.size + buckets.size)
+        val pb = (b.count(_._2 == bk) + 1.0) / (b.size + buckets.size)
+        (pa - pb) * math.log(pa / pb)
+      }.sum
+      BigDecimal(psi).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val docs = Tables.documents(spark, TestSpark.Sf0001)
+      .select(col("doc_id"), col("lang"), col("text"))
+      .as[(Long, String, String)].collect()
+    val got = TextAnalysis.psiDriftAudit(spark, TestSpark.Sf0001)
+      .as[(String, Long, Long, Long, Double, String)].collect()
+      .map(r => (r._1, (r._2, r._5, r._6))).toMap
+    assert(got.keySet == Set("lang", "len_bucket"))
+    val wantLang = replay(docs.map(d => (d._1, d._2)))
+    assert(got("lang")._2 == wantLang, s"lang PSI ${got("lang")._2} vs replay $wantLang")
+    val wantLen = replay(docs.map(d =>
+      (d._1, math.min(d._3.codePointCount(0, d._3.length) / 100, 10).toString)))
+    assert(got("len_bucket")._2 == wantLen)
+    // planted MAJOR drift: ref split speaks en, cur split speaks zz
+    val planted = (0L until 300L).map { i =>
+      val lang = if (i % 5 == 0) "zz" else if (i % 3 == 0) "en"
+                 else if (i % 2 == 0) "en" else "zz"
+      (i, s"w$i", lang, "s0", 3L)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("graft_psi").toString
+    planted.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val bands = TextAnalysis.psiDriftAudit(spark, dir)
+      .as[(String, Long, Long, Long, Double, String)].collect()
+      .map(r => r._1 -> r._6).toMap
+    assert(bands("lang") == "major", s"planted lang shift must flag major: $bands")
+    assert(bands("len_bucket") == "stable", "uniform lengths must stay stable")
+  }
 }

@@ -569,7 +569,15 @@ object SparkEntry {
     // PSI per feature between the q135 modulo snapshots, with the
     // industry decision bands — every count and probability re-derivable
     "q167_psi_drift_audit" -> ((s: SparkSession, d: String) =>
-      TextAnalysis.psiDriftAudit(s, d))
+      TextAnalysis.psiDriftAudit(s, d)),
+    // coverage of the current corpus by a freshly bootstrapped persisted
+    // index (q64 split), with the indexed side READ BACK from the sink
+    "q168_index_staleness" -> ((s: SparkSession, d: String) =>
+      IncrementalDedup.indexStalenessAudit(s, d)),
+    // within-cluster pairwise cosine stats over D7's clusters — the
+    // chaining detector a keep-one dedup runs before shipping
+    "q169_cluster_cohesion" -> ((s: SparkSession, d: String) =>
+      Dedup.clusterCohesionAudit(s, d))
   )
 
   /** Shared CTE chain ending in `pairs` = the exact-Jaccard near-dup pairs
@@ -2622,6 +2630,53 @@ object SparkEntry {
         |                   WHERE p.feature = t.feature), 6) < 0.25 THEN 'moderate'
         |       ELSE 'major' END AS band
         |FROM t""".stripMargin,
+    // indexed = the q64 settled split that actually shingles (≥ 3
+    // tokens); the engine reads its doc set back from the parquet sink
+    "q168_index_staleness" ->
+      """WITH d AS (SELECT source,
+        |             CASE WHEN doc_id % 7 <> 0
+        |                   AND len(string_split(text, ' ')) >= 3
+        |                  THEN 1 ELSE 0 END AS idx
+        |           FROM documents)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_corpus,
+        |  CAST(sum(idx) AS BIGINT) AS n_indexed,
+        |  CAST(sum(1 - idx) AS BIGINT) AS n_uncovered,
+        |  CAST(round(CAST(CAST(sum(idx) AS DOUBLE) / count(*)
+        |    AS DECIMAL(38,18)), 6) AS DOUBLE) AS coverage
+        |FROM d GROUP BY source""".stripMargin,
+    // q58's closure extended with within-cluster pairwise cosine stats;
+    // per-pair cos rounds 6dp before aggregating (the q20 discipline)
+    "q169_cluster_cohesion" ->
+      s"""WITH RECURSIVE ex AS ($embedExplode),
+         |dots AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, sum(a.x * b.x) AS dot
+         |         FROM ex a JOIN ex b ON a.dim = b.dim AND a.vec_id < b.vec_id
+         |         GROUP BY 1, 2),
+         |norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM ex GROUP BY vec_id),
+         |cs AS (SELECT id_a, id_b, round(dot / (na.nrm * nb.nrm), 6) AS cos
+         |       FROM dots JOIN norms na ON na.vec_id = id_a
+         |                 JOIN norms nb ON nb.vec_id = id_b),
+         |cpairs AS (SELECT id_a, id_b FROM cs WHERE cos >= 0.4),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM cpairs
+         |          UNION SELECT id_b, id_a FROM cpairs),
+         |reach(id, lbl) AS (
+         |  SELECT vec_id, vec_id FROM embeddings
+         |  UNION
+         |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
+         |lab AS (SELECT id AS vec_id, min(lbl) AS cluster_id FROM reach GROUP BY id),
+         |sz AS (SELECT cluster_id, count(*) AS size FROM lab GROUP BY 1
+         |       HAVING count(*) >= 2),
+         |wp AS (SELECT l1.cluster_id, c.cos
+         |       FROM cs c JOIN lab l1 ON l1.vec_id = c.id_a
+         |                 JOIN lab l2 ON l2.vec_id = c.id_b
+         |                  AND l2.cluster_id = l1.cluster_id),
+         |st AS (SELECT cluster_id, count(*) AS n_pairs, min(cos) AS min_cos,
+         |         round(CAST(sum(CAST(cos AS DECIMAL(38,18))) AS DOUBLE)
+         |           / count(*), 6) AS mean_cos
+         |       FROM wp GROUP BY 1)
+         |SELECT s.cluster_id, CAST(size AS BIGINT) AS size, TRUE AS audited,
+         |  CAST(coalesce(n_pairs, 0) AS BIGINT) AS n_pairs, min_cos, mean_cos,
+         |  (min_cos < 0.4) AS chained
+         |FROM sz s LEFT JOIN st USING (cluster_id)""".stripMargin,
     // one cumulative window replays the two-level prefix sum exactly
     // (doc never splits; shard = exclusive running total div target)
     "q155_jsonl_shard_export" -> shardManifestSql,

@@ -1132,6 +1132,70 @@ object Dedup {
         (col("lbl") === col("id")).as("keep"))
   }
 
+  /** D29 [EXT] — CLUSTER COHESION AUDIT: connected components over-merge
+    * by construction — a near-dup CHAIN (a~b ≥ t, b~c ≥ t, a~c < t) lands
+    * in one cluster whose keep-one step then drops documents that are NOT
+    * near-dups of the kept exemplar. This audit measures that: per
+    * multi-member cluster of [[embeddingNearDupClusters]], the full
+    * within-cluster pairwise cosine stats (pair count, min, mean — per-
+    * pair cos rounded 6dp BEFORE aggregating, the q20 discipline) and the
+    * `chained` flag (min_cos < threshold ⟹ transitivity, not similarity,
+    * built this cluster). The number that decides between keep-one and a
+    * medoid/re-cluster pass before a dedup ships.
+    *
+    * Skew guard: the within-cluster self-join is cluster-size²; a
+    * template mega-cluster would make one key quadratic-hot, so clusters
+    * larger than `maxClusterSize` are EXCLUDED from the pair join (filter
+    * before the shuffle) and still reported with audited = false and
+    * null stats — deterministic, never silently truncated. Fixture
+    * clusters sit far under the default cap, so the q169 oracle
+    * exercises the audited arm; the spec plants an over-cap cluster to
+    * pin the excluded arm.
+    *
+    * Scale: labels are D7's output; sizes and membership are
+    * \|V\|-sized; the pair join shuffles on cluster_id with both sides
+    * capped at maxClusterSize members per key.
+    */
+  def clusterCohesionAudit(spark: SparkSession, dir: String,
+                           threshold: Double = 0.4,
+                           maxClusterSize: Long = 1000L): DataFrame =
+    clusterCohesionAuditFor(
+      Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")),
+      embeddingNearDupClusters(spark, dir, threshold)
+        .select(col("vec_id"), col("cluster_id")),
+      threshold, maxClusterSize)
+
+  private[graft] def clusterCohesionAuditFor(e: DataFrame, labels: DataFrame,
+                                             threshold: Double,
+                                             maxClusterSize: Long): DataFrame = {
+    import graft.functions.VectorOps
+    require(maxClusterSize >= 2, s"need maxClusterSize >= 2; got $maxClusterSize")
+    val sizes = labels.groupBy(col("cluster_id")).agg(count(lit(1)).as("size"))
+      .filter(col("size") >= 2)
+    val members = labels.join(sizes, "cluster_id")
+      .filter(col("size") <= maxClusterSize)
+      .join(e, "vec_id")
+      .select(col("cluster_id"), col("vec_id"), col("embedding"))
+    val pairs = members.as("x").join(members.as("y"), Seq("cluster_id"))
+      .filter(col("x.vec_id") < col("y.vec_id"))
+      .select(col("cluster_id"),
+        round(VectorOps.cosineFast(col("x.embedding"), col("y.embedding")), 6).as("cos"))
+    // mean through an exact DECIMAL sum (order-free), then one double
+    // division — a double avg() can land a sum-order ulp exactly on the
+    // 6dp rounding boundary (seen once at sf0.1); the q92 discipline
+    val dec = org.apache.spark.sql.types.DecimalType(38, 18)
+    val stats = pairs.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_pairs"), min(col("cos")).as("min_cos"),
+        round(sum(col("cos").cast(dec)).cast("double") / count(lit(1)), 6)
+          .as("mean_cos"))
+    sizes.join(stats, Seq("cluster_id"), "left")
+      .select(col("cluster_id"), col("size"),
+        (col("size") <= maxClusterSize).as("audited"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        col("min_cos"), col("mean_cos"),
+        when(col("size") <= maxClusterSize, col("min_cos") < threshold).as("chained"))
+  }
+
   /** q121 — PASSAGE-LEVEL DEDUP: deduplicate at sub-document granularity.
     * Whole-document dedup (q15/q16) misses the dominant duplication mode in
     * a web crawl — the same boilerplate passage pasted into thousands of

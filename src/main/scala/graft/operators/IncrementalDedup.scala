@@ -67,6 +67,48 @@ object IncrementalDedup {
   def readShingleIndex(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** D30 [EXT] — PERSISTED-INDEX STALENESS AUDIT: before trusting an
+    * incremental probe (q64–q78), measure how much of the CURRENT corpus
+    * the index actually covers — per source: corpus docs, docs whose
+    * shingles are present in the index (distinct doc_ids READ BACK from
+    * the parquet sink, so a green row proves the write+read round-trip
+    * at the doc grain, not the modulo arithmetic), uncovered docs, and
+    * the coverage fraction. Uncovered = the ingest split that arrived
+    * since the bootstrap PLUS any settled doc too short to shingle
+    * (< n tokens yields no rows — the subtle class a naive "count the
+    * splits" staleness check misses, and the reason the audit reads the
+    * index instead of re-deriving it). The registered q168 form
+    * bootstraps from the q64 house split (settled = doc_id % 7 ≠ 0) into
+    * a scratch sink and audits against the full corpus, so the oracle
+    * re-derives every count from the split + the ≥ n-token rule.
+    *
+    * Scale: the index side prunes to ONE column (doc_id) before the
+    * distinct — shingle rows collapse map-side; the corpus join is a
+    * broadcast-friendly |docs|-sized left join; the rollup is one agg on
+    * the \|sources\| key.
+    */
+  def indexStalenessAudit(spark: SparkSession, dir: String,
+                          n: Int = Dedup.DefaultShingleN): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val isNew = col("doc_id") % 7 === 0
+    val path = graft.sources.Sources.scratchDir(spark,
+      s"staleness_idx_${java.util.UUID.randomUUID.toString.take(8)}")
+    writeShingleIndex(docs.filter(!isNew), path, n)
+    val indexedIds = readShingleIndex(spark, path)
+      .select(col("doc_id")).distinct()
+      .withColumn("indexed", lit(1L))
+    val dec = org.apache.spark.sql.types.DecimalType(38, 18)
+    docs.select(col("doc_id"), col("source"))
+      .join(indexedIds, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_corpus"),
+        sum(coalesce(col("indexed"), lit(0L))).as("n_indexed"),
+        sum(lit(1L) - coalesce(col("indexed"), lit(0L))).as("n_uncovered"))
+      .withColumn("coverage",
+        round((col("n_indexed").cast(dec) / col("n_corpus").cast(dec)).cast(dec), 6)
+          .cast("double"))
+  }
+
   /** Near-dup pairs of an already-shingled new side against the persisted
     * index: (doc_a = new doc, doc_b = indexed doc, jaccard ≥ threshold).
     * Hotness (the df cap that bounds the one quadratic bucket) is

@@ -616,4 +616,41 @@ class DedupSpec extends AnyFunSuite {
     assert(got.keySet == Set(100L), s"contaminated eval docs: ${got.keySet}")
     assert(got(100L) == ((25L, 1L, 1L)), s"profile: ${got(100L)}")
   }
+
+  test("q169 cluster cohesion: planted chain flagged, tight cluster clean, over-cap excluded") {
+    // chain: a~b and b~c clear 0.4, a~c does not -> one 3-cluster built by
+    // transitivity; tight: two near-identical copies
+    def v(xs: Double*): Array[Float] = xs.toArray.map(_.toFloat)
+    val dim = 8
+    def unit(i: Int): Array[Float] = Array.tabulate(dim)(j => if (j == i) 1f else 0f)
+    val a = unit(0)
+    val c = unit(1)
+    val b = Array.tabulate(dim)(j => (0.8f * a(j) + 0.8f * c(j)))  // cos(a,b)=cos(b,c)~0.707
+    val t1 = unit(2)
+    val t2 = Array.tabulate(dim)(j => if (j == 2) 1f else if (j == 3) 0.01f else 0f)
+    val e = Seq(1L -> a, 2L -> b, 3L -> c, 10L -> t1, 11L -> t2)
+      .toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDupPairsExactFor(e, 0.4)
+    val labels = Dedup.connectedComponents(
+      e.select(col("vec_id").as("id")),
+      pairs.select(col("id_a").as("src"), col("id_b").as("dst")))
+      .select(col("id").as("vec_id"), col("lbl").as("cluster_id"))
+    val got = Dedup.clusterCohesionAuditFor(e, labels, 0.4, 1000L)
+      .as[(Long, Long, Boolean, Long, Option[Double], Option[Double], Option[Boolean])]
+      .collect().map(r => (r._1, r)).toMap
+    assert(got.size == 2, s"expected 2 multi-clusters, got ${got.keySet}")
+    val chain = got(1L)
+    assert(chain._2 == 3 && chain._3 && chain._4 == 3)
+    assert(chain._7.contains(true), s"chain must flag chained: $chain")
+    assert(chain._5.get < 0.4 && chain._6.get > chain._5.get)
+    val tight = got(10L)
+    assert(tight._2 == 2 && tight._7.contains(false), s"tight cluster clean: $tight")
+    // over-cap: the 3-cluster is excluded from the pair join but reported
+    val capped = Dedup.clusterCohesionAuditFor(e, labels, 0.4, 2L)
+      .as[(Long, Long, Boolean, Long, Option[Double], Option[Double], Option[Boolean])]
+      .collect().map(r => (r._1, r)).toMap
+    assert(!capped(1L)._3 && capped(1L)._4 == 0 && capped(1L)._5.isEmpty
+      && capped(1L)._7.isEmpty, s"over-cap cluster must be excluded: ${capped(1L)}")
+    assert(capped(10L)._3, "under-cap cluster still audited")
+  }
 }

@@ -867,4 +867,35 @@ class IncrementalDedupSpec extends AnyFunSuite {
     // post-compaction: the re-stamped sidecar still validates probes
     assert(IncrementalDedup.reportForBucketed(shard, table).count() > 0L)
   }
+
+  test("q168 index staleness: coverage replays the split + the too-short-to-shingle class") {
+    val docs = Tables.documents(spark, TestSpark.Sf0001)
+      .select(col("doc_id"), col("source"), col("text"))
+      .as[(Long, String, String)].collect()
+    val want = docs.groupBy(_._2).map { case (src, rows) =>
+      val idx = rows.count(r => r._1 % 7 != 0 && r._3.split(" ", -1).length >= 3)
+      src -> ((rows.length.toLong, idx.toLong))
+    }
+    val got = IncrementalDedup.indexStalenessAudit(spark, TestSpark.Sf0001)
+      .as[(String, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got.keySet == want.keySet)
+    want.foreach { case (src, (n, idx)) =>
+      val (gn, gidx, gun, cov) = got(src)
+      assert((gn, gidx, gun) == ((n, idx, n - idx)), s"source $src")
+      val r6 = BigDecimal(idx.toDouble / n).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(cov == r6, s"source $src coverage")
+    }
+    // a settled doc too short to shingle must read as uncovered — the
+    // class a naive split-count staleness check misses
+    val dir = java.nio.file.Files.createTempDirectory("graft_stale").toString
+    Seq((1L, "a b c d", "en", "s0", 7L), (2L, "ab", "en", "s0", 2L),
+        (7L, "x y z w", "en", "s0", 7L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val tiny = IncrementalDedup.indexStalenessAudit(spark, dir)
+      .as[(String, Long, Long, Long, Double)].head()
+    // doc 1 indexed; doc 2 settled but shingle-less; doc 7 is the new split
+    assert(tiny == (("s0", 3L, 1L, 2L, 0.333333)), s"got $tiny")
+  }
 }

@@ -577,7 +577,12 @@ object SparkEntry {
     // within-cluster pairwise cosine stats over D7's clusters — the
     // chaining detector a keep-one dedup runs before shipping
     "q169_cluster_cohesion" -> ((s: SparkSession, d: String) =>
-      Dedup.clusterCohesionAudit(s, d))
+      Dedup.clusterCohesionAudit(s, d)),
+    // q165 kept live over ingest ticks: class counts are sum-mergeable,
+    // so the cumulative audit equals batch under ANY split — oracle is
+    // q165's SQL verbatim
+    "q170_streaming_k_anonymity" -> ((s: SparkSession, d: String) =>
+      graft.streaming.KAnonymityGateStream.gateTicks(s, d))
   )
 
   /** Shared CTE chain ending in `pairs` = the exact-Jaccard near-dup pairs
@@ -825,6 +830,24 @@ object SparkEntry {
       |  CAST(sum(b) AS BIGINT) AS shard_bytes,
       |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
       |FROM a GROUP BY shard""".stripMargin
+
+  /** The q165 k-anonymity sweep, shared VERBATIM by the streaming gate
+    * q170 (class counts are sum-mergeable, so the cumulative streamed
+    * audit equals the batch sweep under ANY micro-batch split — the q133
+    * one-oracle discipline). */
+  private lazy val kAnonymitySql: String =
+    """WITH cls AS (SELECT c_nationkey, c_mktsegment,
+        |               floor(c_acctbal / 1000.0) AS b, count(*) AS cnt
+        |             FROM customer GROUP BY 1, 2, 3),
+        |ks AS (SELECT unnest([2, 5, 10, 20]) AS k)
+        |SELECT k, CAST(sum(cnt) AS BIGINT) AS n_rows,
+        |  CAST(count(*) AS BIGINT) AS n_classes,
+        |  CAST(min(cnt) AS BIGINT) AS min_class_size,
+        |  CAST(sum(CASE WHEN cnt < k THEN 1 ELSE 0 END) AS BIGINT) AS n_small_classes,
+        |  CAST(sum(CASE WHEN cnt < k THEN cnt ELSE 0 END) AS BIGINT) AS n_risk_rows,
+        |  CAST(round(CAST(CAST(sum(CASE WHEN cnt < k THEN cnt ELSE 0 END) AS DOUBLE)
+        |    / sum(cnt) AS DECIMAL(38,18)), 6) AS DOUBLE) AS risk_frac
+        |FROM cls CROSS JOIN ks GROUP BY k""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted (→ driver rows-only check):
@@ -2578,19 +2601,11 @@ object SparkEntry {
       s"WITH $jaccardPairCtes\nSELECT doc_a, doc_b, jaccard, TRUE AS est_ok FROM pairs",
     // every number exact: class sizes from one GROUP BY, the k sweep a
     // cross join against the literal k list
-    "q165_k_anonymity_audit" ->
-      """WITH cls AS (SELECT c_nationkey, c_mktsegment,
-        |               floor(c_acctbal / 1000.0) AS b, count(*) AS cnt
-        |             FROM customer GROUP BY 1, 2, 3),
-        |ks AS (SELECT unnest([2, 5, 10, 20]) AS k)
-        |SELECT k, CAST(sum(cnt) AS BIGINT) AS n_rows,
-        |  CAST(count(*) AS BIGINT) AS n_classes,
-        |  CAST(min(cnt) AS BIGINT) AS min_class_size,
-        |  CAST(sum(CASE WHEN cnt < k THEN 1 ELSE 0 END) AS BIGINT) AS n_small_classes,
-        |  CAST(sum(CASE WHEN cnt < k THEN cnt ELSE 0 END) AS BIGINT) AS n_risk_rows,
-        |  CAST(round(CAST(CAST(sum(CASE WHEN cnt < k THEN cnt ELSE 0 END) AS DOUBLE)
-        |    / sum(cnt) AS DECIMAL(38,18)), 6) AS DOUBLE) AS risk_frac
-        |FROM cls CROSS JOIN ks GROUP BY k""".stripMargin,
+    "q165_k_anonymity_audit" -> kAnonymitySql,
+    // the streaming gate's cumulative audit equals the batch sweep under
+    // ANY micro-batch split (class counts sum) — one oracle pins
+    // stream ≡ batch ∧ replay idempotence (the q133 discipline)
+    "q170_streaming_k_anonymity" -> kAnonymitySql,
     // exact quantiles re-derived (quantile_cont shares the (n-1)·q
     // interpolation); the sketch flags are the engine's own GK rank
     // guarantee — pinned TRUE under any merge order

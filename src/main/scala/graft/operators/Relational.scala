@@ -198,12 +198,24 @@ object Relational {
     * literal k column — no second scan, no shuffle by k.
     */
   def kAnonymityAudit(spark: SparkSession, dir: String,
-                      ks: Seq[Int] = Seq(2, 5, 10, 20)): DataFrame = {
-    require(ks.nonEmpty && ks.forall(_ >= 2), s"need ks >= 2; got $ks")
-    val classes = Tables.customer(spark, dir)
-      .groupBy(col("c_nationkey"), col("c_mktsegment"),
+                      ks: Seq[Int] = Seq(2, 5, 10, 20)): DataFrame =
+    kAnonymitySweepFor(kAnonymityClassCounts(Tables.customer(spark, dir)), ks)
+
+  /** The QI equivalence-class counts — the gate's ONLY corpus-width pass,
+    * and (being a sum-mergeable relation) the exact state the streaming
+    * twin (q170) accumulates per tick. */
+  def kAnonymityClassCounts(customers: DataFrame): DataFrame =
+    customers.groupBy(col("c_nationkey"), col("c_mktsegment"),
         floor(col("c_acctbal") / 1000.0).as("bal_bucket"))
       .agg(count(lit(1)).as("cnt"))
+
+  /** The k sweep over an already-aggregated class-count relation — shared
+    * verbatim by the batch audit and the streaming gate (one
+    * implementation, two front doors: the q133 discipline). */
+  def kAnonymitySweepFor(classes: DataFrame,
+                         ks: Seq[Int] = Seq(2, 5, 10, 20)): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ >= 2), s"need ks >= 2; got $ks")
+    val spark = classes.sparkSession
     val kDf = spark.createDataFrame(ks.map(Tuple1(_))).toDF("k")
     val dec = org.apache.spark.sql.types.DecimalType(38, 18)
     classes.crossJoin(broadcast(kDf))

@@ -667,4 +667,47 @@ class StreamingSpec extends AnyFunSuite {
     assert(ticks.exceptAll(batchTwin).count() == 0)
     assert(batchTwin.exceptAll(ticks).count() == 0)
   }
+
+  test("q170 streaming k-anonymity gate: MemoryStream ticks equal batch under any split; replay is a no-op") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.KAnonymityGateStream
+    import graft.operators.Relational
+    import spark.implicits._
+    val cPath = graft.sources.Sources.scratchDir(spark, "spec_kanon_counts")
+    val hp = new org.apache.hadoop.fs.Path(cPath)
+    hp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(hp, true)
+    val cust = Tables.customer(spark, TestSpark.Sf0001)
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+        col("c_acctbal"), col("c_mktsegment"))
+      .as[(Long, String, Int, Double, String)].collect()
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, String, Int, Double, String)]
+    val stream = input.toDF()
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+    val q = KAnonymityGateStream.streamingGate(stream, cPath).start()
+    try {
+      // PARITY split (2 uneven ticks) — deliberately different from the
+      // fixture form's thirds: counts sum, so any split must converge
+      Seq(cust.filter(_._1 % 2 == 0), cust.filter(_._1 % 2 == 1)).foreach { g =>
+        input.addData(g.toIndexedSeq)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    def audit() = KAnonymityGateStream.currentAudit(spark, cPath)
+    val batch = Relational.kAnonymityAudit(spark, TestSpark.Sf0001)
+    assert(audit().exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(audit()).count() == 0)
+    // replay tick 0 out of band: the XO partition rewrite must not
+    // double-count any class
+    val before = audit().collect().map(_.toSeq).toSet
+    KAnonymityGateStream.gateTickXO(
+      spark.createDataset(cust.filter(_._1 % 2 == 0).toIndexedSeq)
+        .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"),
+      0L, cPath)
+    assert(audit().collect().map(_.toSeq).toSet == before)
+    // the thirds fixture form converges to the same audit (split-independence)
+    val thirds = graft.streaming.KAnonymityGateStream.gateTicks(spark, TestSpark.Sf0001)
+    assert(thirds.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(thirds).count() == 0)
+  }
 }

@@ -582,7 +582,12 @@ object SparkEntry {
     // so the cumulative audit equals batch under ANY split — oracle is
     // q165's SQL verbatim
     "q170_streaming_k_anonymity" -> ((s: SparkSession, d: String) =>
-      graft.streaming.KAnonymityGateStream.gateTicks(s, d))
+      graft.streaming.KAnonymityGateStream.gateTicks(s, d)),
+    // real PNG decode → dHash → banded hamming join over id-derived
+    // synthetic images; the oracle re-derives the planted pair set from
+    // id arithmetic alone (no codec on the DuckDB side)
+    "q171_image_neardup" -> ((s: SparkSession, d: String) =>
+      graft.multimodal.Multimodal.imageNearDupPlanted(s))
   )
 
   /** Shared CTE chain ending in `pairs` = the exact-Jaccard near-dup pairs
@@ -2606,6 +2611,13 @@ object SparkEntry {
     // ANY micro-batch split (class counts sum) — one oracle pins
     // stream ≡ batch ∧ replay idempotence (the q133 discipline)
     "q170_streaming_k_anonymity" -> kAnonymitySql,
+    // the planted pair set from id arithmetic: dHash keys on gradient
+    // SIGNS, so the brightness-shifted re-encoded copies (i+1000) land
+    // within the radius and the id-seeded random blocks never do
+    "q171_image_neardup" ->
+      """SELECT CAST(i AS BIGINT) AS id_a, CAST(i + 1000 AS BIGINT) AS id_b,
+        |  TRUE AS found
+        |FROM (SELECT unnest(generate_series(0, 19)) AS i)""".stripMargin,
     // exact quantiles re-derived (quantile_cont shares the (n-1)·q
     // interpolation); the sketch flags are the engine's own GK rank
     // guarantee — pinned TRUE under any merge order

@@ -204,4 +204,113 @@ object Multimodal {
       .groupBy(col("media_id"))
       .agg(count(lit(1)).as("n_sampled"),
         sum(col("frame_bytes")).cast("long").as("sampled_bytes"))
+
+  /** U7 [EXT] — PERCEPTUAL IMAGE HASH (dHash, Krawetz): resize the
+    * decoded grayscale plane to 9×8 (the house bilinear kernel) and emit
+    * one bit per horizontally adjacent pixel pair (left < right) — a
+    * 64-bit signature invariant to re-encoding and robust to brightness/
+    * contrast shifts and mild noise, because it keys on gradient SIGNS,
+    * not values. The standard first pass of image dedup in a training
+    * pipeline (checksum dedup misses a re-encoded copy; this catches it).
+    */
+  def dHash64Of(img: graft.functions.ImageOps.Gray): Long = {
+    val s = graft.functions.ImageOps.resize(img, 9, 8)
+    var sig = 0L
+    var bit = 0
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        val l = s.px(y * 9 + x) & 0xff
+        val r = s.px(y * 9 + x + 1) & 0xff
+        if (l < r) sig |= 1L << bit
+        bit += 1
+        x += 1
+      }
+      y += 1
+    }
+    sig
+  }
+
+  /** dHash of an encoded payload; None if the bytes don't decode. */
+  def dHash64(payload: Array[Byte]): Option[Long] =
+    decodeToGray(payload).map(dHash64Of)
+
+  /** Image near-dup pairs over (media_id, payload): decode → dHash → the
+    * D6 banded-hamming join (16×4-bit bands — pigeonhole guarantees
+    * exact recall for hamming ≤ 15 ≥ the default radius) → verify
+    * bit_count(xor). Decode runs per-partition in executors (the U3
+    * distribution); the band join shuffles 8-byte ids+signatures, never
+    * pixels. Same scale posture (and the same loose-threshold pruning
+    * caveat) as q19's simhash route, which shares the banding.
+    */
+  def imageNearDupPairsFor(media: DataFrame, maxHamming: Int = 10): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 15,
+      s"16x4 banding guarantees recall only to hamming 15; got $maxHamming")
+    val spark = media.sparkSession
+    import spark.implicits._
+    val sigs = media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, payload) => dHash64(payload).map(h => (id, h)) }
+      .toDF("media_id", "dhash")
+    val banded = sigs.select(col("media_id"), col("dhash"),
+      posexplode(transform(sequence(lit(0), lit(15)),
+        b => call_function("shiftright", col("dhash"), b.cast("int") * 4)
+          .bitwiseAND(lit(0xfL)))))
+      .toDF("media_id", "dhash", "band_id", "band_val")
+    banded.as("x").join(banded.as("y"), Seq("band_id", "band_val"))
+      .filter(col("x.media_id") < col("y.media_id"))
+      .select(col("x.media_id").as("id_a"), col("y.media_id").as("id_b"),
+        bit_count(col("x.dhash").bitwiseXOR(col("y.dhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** A deterministic synthetic image derived from `id` alone (the q85
+    * damage-derived-from-id discipline, applied to pixels): 64×64
+    * grayscale random-block gradient seeded by the id. Distinct ids give
+    * dHash bits that are independent coin flips — P(hamming ≤ 10) per
+    * pair ≈ 3e-9 — so unplanted pairs never collide at fixture scale. */
+  private[graft] def syntheticImage(id: Long, brighten: Int = 0): Array[Byte] = {
+    val rnd = new java.util.Random(id)
+    val w = 64; val h = 64
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    // 8x8 blocks of seeded random intensity: coarse structure survives
+    // the 9x8 dHash resize, so the hash is id-determined, not noise
+    val block = Array.fill(8, 8)(rnd.nextInt(256))
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v0 = block(y / 8)(x / 8)
+        val v = math.min(255, math.max(0, v0 + brighten))
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** q171's registered form: 50 synthetic base images + a re-encoded,
+    * brightness-shifted copy of the first 20 (id + 1000 — pixels change,
+    * gradient signs don't), run through the REAL decode → dHash → banded
+    * join. The found pair set must be EXACTLY the planted one, which the
+    * oracle re-derives from id arithmetic alone — no codec needed on the
+    * DuckDB side (the q82/q85 plant discipline stretched to pixels). */
+  def imageNearDupPlanted(spark: SparkSession, nBase: Int = 50,
+                          nDup: Int = 20): DataFrame = {
+    import spark.implicits._
+    require(nDup <= nBase, s"need nDup <= nBase; got $nDup > $nBase")
+    val media = spark.range(nBase.toLong).as[Long].map { i =>
+      (i, syntheticImage(i))
+    }.union(spark.range(nDup.toLong).as[Long].map { i =>
+      (i + 1000L, syntheticImage(i, brighten = 12))
+    }).toDF("media_id", "payload")
+    imageNearDupPairsFor(media)
+      .select(col("id_a"), col("id_b"), lit(true).as("found"))
+  }
 }

@@ -90,4 +90,40 @@ class MultimodalSpec extends AnyFunSuite {
       graft.functions.ImageOps.Gray(224, 224, decoded.head.pixels))
     assert(eq.w == 224 && eq.h == 224 && eq.px.length == 224 * 224)
   }
+
+  test("U7 dHash: re-encoding invariant, brightness robust, distinct images far, banding exact") {
+    def png(img: java.awt.image.BufferedImage): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out); out.toByteArray
+    }
+    def jpeg(img: java.awt.image.BufferedImage): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", out); out.toByteArray
+    }
+    def img(id: Long): java.awt.image.BufferedImage =
+      javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(Multimodal.syntheticImage(id)))
+    def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    // PNG is lossless: same pixels, same hash, byte-different payloads
+    val h0 = Multimodal.dHash64(Multimodal.syntheticImage(7L)).get
+    assert(Multimodal.dHash64(png(img(7L))).get == h0)
+    // JPEG round-trip is LOSSY: the perceptual claim is a small radius
+    val hj = Multimodal.dHash64(jpeg(img(7L))).get
+    assert(ham(h0, hj) <= 6, s"jpeg re-encode drifted ${ham(h0, hj)} bits")
+    // brightness shift flips (almost) no gradient signs
+    val hb = Multimodal.dHash64(Multimodal.syntheticImage(7L, brighten = 12)).get
+    assert(ham(h0, hb) <= 6, s"brightness shift drifted ${ham(h0, hb)} bits")
+    // distinct ids: id-seeded blocks are independent coin flips per bit
+    val hashes = (0L until 30L).map(i => Multimodal.dHash64(Multimodal.syntheticImage(i)).get)
+    val cross = for (i <- hashes.indices; j <- hashes.indices if i < j)
+      yield ham(hashes(i), hashes(j))
+    assert(cross.min > 15, s"unrelated synthetic images must sit far out: min=${cross.min}")
+    // the banded join finds exactly the brute-force hamming pairs
+    val media = (0L until 30L).map(i => (i, Multimodal.syntheticImage(i))) ++
+      (0L until 10L).map(i => (i + 1000L, Multimodal.syntheticImage(i, brighten = 12)))
+    val got = Multimodal.imageNearDupPairsFor(media.toDF("media_id", "payload"))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got == (0L until 10L).map(i => (i, i + 1000L)).toSet,
+      s"banded pairs must be exactly the planted set: $got")
+  }
 }

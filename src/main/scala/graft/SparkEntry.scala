@@ -587,7 +587,11 @@ object SparkEntry {
     // synthetic images; the oracle re-derives the planted pair set from
     // id arithmetic alone (no codec on the DuckDB side)
     "q171_image_neardup" -> ((s: SparkSession, d: String) =>
-      graft.multimodal.Multimodal.imageNearDupPlanted(s))
+      graft.multimodal.Multimodal.imageNearDupPlanted(s)),
+    // vocabulary growth V(n) = K·n^β across doc_id-decile prefixes —
+    // cumulative distinct via per-token first occurrence, one corpus pass
+    "q172_heaps_audit" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.heapsAudit(s, d))
   )
 
   /** Shared CTE chain ending in `pairs` = the exact-Jaccard near-dup pairs
@@ -2618,6 +2622,33 @@ object SparkEntry {
       """SELECT CAST(i AS BIGINT) AS id_a, CAST(i + 1000 AS BIGINT) AS id_b,
         |  TRUE AS found
         |FROM (SELECT unnest(generate_series(0, 19)) AS i)""".stripMargin,
+    // same checkpoint/first-occurrence arithmetic; OLS under the q147
+    // discipline (ln of identical integers, 6dp on the ratio of sums)
+    "q172_heaps_audit" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |              FROM documents),
+        |cks AS (SELECT k, (m * k) // 10 AS thr
+        |        FROM (SELECT max(doc_id) AS m FROM documents),
+        |             (SELECT unnest(generate_series(1, 10)) AS k)),
+        |firsts AS (SELECT token, min(doc_id) AS fd FROM toks GROUP BY token),
+        |dt AS (SELECT doc_id, count(*) AS nt FROM toks GROUP BY doc_id),
+        |nk AS (SELECT k, thr, CAST(sum(nt) AS BIGINT) AS n_tokens
+        |       FROM dt JOIN cks ON doc_id <= thr GROUP BY 1, 2),
+        |vk AS (SELECT k, CAST(count(*) AS BIGINT) AS vocab
+        |       FROM firsts JOIN cks ON fd <= thr GROUP BY 1),
+        |pts AS (SELECT k, thr, n_tokens, vocab,
+        |          ln(CAST(n_tokens AS DOUBLE)) AS x,
+        |          ln(CAST(vocab AS DOUBLE)) AS y
+        |        FROM nk JOIN vk USING (k) WHERE n_tokens > 0),
+        |s AS (SELECT CAST(count(*) AS DOUBLE) AS n, sum(x) AS sx, sum(y) AS sy,
+        |        sum(x*y) AS sxy, sum(x*x) AS sxx, sum(y*y) AS syy FROM pts)
+        |SELECT CAST(k AS INT) AS k, CAST(thr AS BIGINT) AS thr, n_tokens, vocab,
+        |  round((n*sxy - sx*sy) / (n*sxx - sx*sx), 6) + 0.0 AS heaps_beta,
+        |  round((sy - sx * ((n*sxy - sx*sy) / (n*sxx - sx*sx))) / n, 6) + 0.0
+        |    AS heaps_logk,
+        |  round(pow(n*sxy - sx*sy, 2) /
+        |        ((n*sxx - sx*sx) * (n*syy - sy*sy)), 6) + 0.0 AS r_squared
+        |FROM pts, s""".stripMargin,
     // exact quantiles re-derived (quantile_cont shares the (n-1)·q
     // interpolation); the sketch flags are the engine's own GK rank
     // guarantee — pinned TRUE under any merge order

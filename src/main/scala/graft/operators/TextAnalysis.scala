@@ -1563,6 +1563,74 @@ object TextAnalysis {
           .as("r_squared"))
   }
 
+  /** A36 [EXT] — HEAPS-LAW VOCABULARY-GROWTH AUDIT: A23's companion on
+    * the other axis — Zipf fits the rank–frequency law at one corpus
+    * size; Heaps fits vocabulary GROWTH V(n) ≈ K·n^β across corpus
+    * prefixes, the curve that answers the planning questions a tokenizer
+    * team actually asks ("how much new vocabulary does the next 10×
+    * of data buy", "is this source's vocab saturating — β → 0 — or
+    * open-ended"). Checkpoints are doc_id-value deciles (thr_k =
+    * ⌊max_id·k/10⌋ — integer arithmetic both engines share); per
+    * checkpoint, cumulative token count and cumulative DISTINCT
+    * vocabulary, then the log–log OLS fit (β, ln K, R²) rides every row
+    * (the q112 one-relation report shape).
+    *
+    * The key scale trick: cumulative distinct at K checkpoints is NOT K
+    * distinct-counts — each token contributes its FIRST-occurrence
+    * doc_id (one map-side-combined min per token), and v_k is a count
+    * of firsts ≤ thr_k: one corpus pass total, vocab-sized thereafter.
+    * The token relation feeds that pass and the per-doc totals —
+    * spilled once (the q88/q123 leaf discipline).
+    */
+  def heapsAudit(spark: SparkSession, dir: String,
+                 nCheckpoints: Int = 10): DataFrame =
+    heapsAuditFor(Tables.documents(spark, dir), nCheckpoints)
+
+  def heapsAuditFor(docs: DataFrame, nCheckpoints: Int = 10): DataFrame = {
+    require(nCheckpoints >= 3, s"a fit needs >= 3 checkpoints; got $nCheckpoints")
+    val spark = docs.sparkSession
+    val tok = graft.sources.Sources.spillScratch(
+      docs.select(col("doc_id"), explode(TF.tokens(col("text"))).as("token")),
+      "heaps_tok")
+    val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+    val cks = spark.createDataFrame(
+      (1 to nCheckpoints).map(k => (k, maxId * k / nCheckpoints)))
+      .toDF("k", "thr")
+    val firsts = tok.groupBy(col("token")).agg(min(col("doc_id")).as("first_doc"))
+    val docTok = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("nt"))
+    val nK = docTok.join(broadcast(cks), col("doc_id") <= col("thr"))
+      .groupBy(col("k"), col("thr")).agg(sum(col("nt")).as("n_tokens"))
+    val vK = firsts.join(broadcast(cks), col("first_doc") <= col("thr"))
+      .groupBy(col("k")).agg(count(lit(1)).as("vocab"))
+    val pts = nK.join(vK, "k").filter(col("n_tokens") > 0)
+      .withColumn("x", log(col("n_tokens").cast("double")))
+      .withColumn("y", log(col("vocab").cast("double")))
+    // + 0.0 normalizes IEEE negative zero: a saturated vocabulary (the
+    // closed sf0.1 fixture vocab) fits beta = 0, which one engine rounds
+    // to -0.0 and the other to 0.0
+    val fit = pts.agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(
+        (round((col("n") * col("sxy") - col("sx") * col("sy")) /
+              (col("n") * col("sxx") - col("sx") * col("sx")), 6) + 0.0)
+          .as("heaps_beta"),
+        (round((col("sy") - col("sx") *
+                ((col("n") * col("sxy") - col("sx") * col("sy")) /
+                 (col("n") * col("sxx") - col("sx") * col("sx")))) / col("n"), 6) + 0.0)
+          .as("heaps_logk"),
+        (round(pow(col("n") * col("sxy") - col("sx") * col("sy"), 2) /
+              ((col("n") * col("sxx") - col("sx") * col("sx")) *
+               (col("n") * col("syy") - col("sy") * col("sy"))), 6) + 0.0)
+          .as("r_squared"))
+    pts.crossJoin(broadcast(fit))
+      .select(col("k"), col("thr"), col("n_tokens"), col("vocab"),
+        col("heaps_beta"), col("heaps_logk"), col("r_squared"))
+  }
+
   /** q148 — DUAL-GATE AGREEMENT (Cohen's κ): when a curation pipeline
     * swaps or adds a quality scorer, the first question is how much the
     * new gate AGREES with the incumbent beyond chance — raw overlap

@@ -542,4 +542,38 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(bands("lang") == "major", s"planted lang shift must flag major: $bands")
     assert(bands("len_bucket") == "stable", "uniform lengths must stay stable")
   }
+
+  test("q172 Heaps audit: open vocab fits beta=1 exactly, closed vocab beta=0, fixture replays") {
+    // every doc contributes 4 brand-new tokens -> V(n) = n, so the log-log
+    // fit is EXACTLY beta=1, logK=0 (and R^2 = 1) at every checkpoint
+    val open = (1L to 100L).map { i =>
+      (i, (0 until 4).map(j => s"tok_${i}_$j").mkString(" "))
+    }.toDF("doc_id", "text")
+    val fitOpen = graft.operators.TextAnalysis.heapsAuditFor(open)
+      .select("heaps_beta", "heaps_logk", "r_squared")
+      .as[(Double, Double, Double)].head()
+    assert(fitOpen == ((1.0, 0.0, 1.0)), s"open vocab: $fitOpen")
+    // a 3-token closed vocabulary saturates immediately -> beta = 0 (and
+    // the value is +0.0, not -0.0 — the IEEE sign the audit normalizes)
+    val closed = (1L to 100L).map(i => (i, "a b c")).toDF("doc_id", "text")
+    val fitClosed = graft.operators.TextAnalysis.heapsAuditFor(closed)
+      .select("heaps_beta").as[Double].head()
+    assert(fitClosed == 0.0 &&
+      !(java.lang.Double.doubleToRawLongBits(fitClosed) != 0L), s"closed vocab: $fitClosed")
+    // fixture checkpoints replay driver-side: cumulative tokens and
+    // first-occurrence vocabulary at each doc_id decile
+    val docs = Tables.documents(spark, TestSpark.Sf0001)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    val maxId = docs.map(_._1).max
+    val got = graft.operators.TextAnalysis.heapsAudit(spark, TestSpark.Sf0001)
+      .select("k", "thr", "n_tokens", "vocab").as[(Int, Long, Long, Long)]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    (1 to 10).foreach { k =>
+      val thr = maxId * k / 10
+      val pre = docs.filter(_._1 <= thr)
+      val nt = pre.map(_._2.split(" ", -1).length.toLong).sum
+      val vb = pre.flatMap(_._2.split(" ", -1)).distinct.length.toLong
+      assert(got(k) == ((thr, nt, vb)), s"checkpoint $k: ${got(k)} vs ($thr, $nt, $vb)")
+    }
+  }
 }

@@ -591,7 +591,12 @@ object SparkEntry {
     // vocabulary growth V(n) = K·n^β across doc_id-decile prefixes —
     // cumulative distinct via per-token first occurrence, one corpus pass
     "q172_heaps_audit" -> ((s: SparkSession, d: String) =>
-      TextAnalysis.heapsAudit(s, d))
+      TextAnalysis.heapsAudit(s, d)),
+    // per shuffle key: heaviest-key share and max/mean ratio — the
+    // salt-or-not decision table, exact (a sample misses the key that
+    // matters)
+    "q173_shuffle_skew_audit" -> ((s: SparkSession, d: String) =>
+      Relational.shuffleSkewAudit(s, d))
   )
 
   /** Shared CTE chain ending in `pairs` = the exact-Jaccard near-dup pairs
@@ -2649,6 +2654,31 @@ object SparkEntry {
         |  round(pow(n*sxy - sx*sy, 2) /
         |        ((n*sxx - sx*sx) * (n*syy - sy*sy)), 6) + 0.0 AS r_squared
         |FROM pts, s""".stripMargin,
+    // the same count-per-key aggregate, key by key; ratios through
+    // DECIMAL (the q92 tie discipline)
+    "q173_shuffle_skew_audit" ->
+      """WITH ks AS (
+        |  SELECT 'lineitem.l_orderkey' AS shuffle_key,
+        |         CAST(l_orderkey AS VARCHAR) AS key FROM lineitem
+        |  UNION ALL
+        |  SELECT 'orders.o_custkey', CAST(o_custkey AS VARCHAR) FROM orders
+        |  UNION ALL
+        |  SELECT 'events.user_id', CAST(user_id AS VARCHAR) FROM events
+        |  UNION ALL
+        |  SELECT 'documents.source', source FROM documents),
+        |c AS (SELECT shuffle_key, key, count(*) AS cnt FROM ks GROUP BY 1, 2),
+        |a AS (SELECT shuffle_key, CAST(sum(cnt) AS BIGINT) AS n_rows,
+        |        CAST(count(*) AS BIGINT) AS n_keys,
+        |        CAST(max(cnt) AS BIGINT) AS max_key_rows
+        |      FROM c GROUP BY 1)
+        |SELECT shuffle_key, n_rows, n_keys, max_key_rows,
+        |  CAST(round(CAST(CAST(max_key_rows AS DOUBLE) / n_rows
+        |    AS DECIMAL(38,18)), 6) AS DOUBLE) AS top_share,
+        |  CAST(round(CAST(CAST(max_key_rows AS DOUBLE) * n_keys / n_rows
+        |    AS DECIMAL(38,18)), 6) AS DOUBLE) AS skew_ratio,
+        |  (CAST(round(CAST(CAST(max_key_rows AS DOUBLE) * n_keys / n_rows
+        |    AS DECIMAL(38,18)), 6) AS DOUBLE) >= 10.0) AS salt_recommended
+        |FROM a""".stripMargin,
     // exact quantiles re-derived (quantile_cont shares the (n-1)·q
     // interpolation); the sketch flags are the engine's own GK rank
     // guarantee — pinned TRUE under any merge order

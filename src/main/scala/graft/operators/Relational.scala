@@ -232,6 +232,50 @@ object Relational {
         col("n_small_classes"), col("n_risk_rows"), col("risk_frac"))
   }
 
+  /** A37 [EXT] — SHUFFLE-SKEW AUDIT: per candidate shuffle key, the
+    * statistics that decide between a plain shuffle, AQE skew-join, and
+    * explicit salting BEFORE the job runs — the planning query behind
+    * every "why is one task still running" incident at 100 TB. Per key:
+    * row count, distinct keys, the heaviest key's count and share, the
+    * max/mean ratio (the number of salt buckets the hot key needs), and
+    * the decision flag at `saltRatio`. Keys audited: the engine's own
+    * big-join and hot-aggregation keys (lineitem⋈orders on l_orderkey,
+    * orders⋈customer on o_custkey, the q30-family event user grain, the
+    * per-source document rollup grain).
+    *
+    * Scale: ONE map-side-combined count per key column (the same
+    * aggregate the real shuffle would do, minus the payload), then
+    * key-cardinality-sized stats. Everything exact — a skew decision
+    * made from a sample misses exactly the key that matters.
+    */
+  def shuffleSkewAudit(spark: SparkSession, dir: String,
+                       saltRatio: Double = 10.0): DataFrame = {
+    def ks(df: DataFrame, keyCol: String, label: String) =
+      shuffleSkewStatsFor(df, keyCol, label, saltRatio)
+    ks(Tables.lineitem(spark, dir), "l_orderkey", "lineitem.l_orderkey")
+      .unionByName(ks(Tables.orders(spark, dir), "o_custkey", "orders.o_custkey"))
+      .unionByName(ks(Tables.events(spark, dir), "user_id", "events.user_id"))
+      .unionByName(ks(Tables.documents(spark, dir), "source", "documents.source"))
+  }
+
+  private[graft] def shuffleSkewStatsFor(df: DataFrame, keyCol: String,
+                                         label: String,
+                                         saltRatio: Double = 10.0): DataFrame = {
+    require(saltRatio > 1.0, s"need saltRatio > 1; got $saltRatio")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 18)
+    df.groupBy(col(keyCol).cast("string").as("key"))
+      .agg(count(lit(1)).as("cnt"))
+      .agg(sum(col("cnt")).as("n_rows"), count(lit(1)).as("n_keys"),
+        max(col("cnt")).as("max_key_rows"))
+      .select(lit(label).as("shuffle_key"), col("n_rows"), col("n_keys"),
+        col("max_key_rows"),
+        round((col("max_key_rows").cast("double") / col("n_rows")).cast(dec), 6)
+          .cast("double").as("top_share"),
+        round((col("max_key_rows").cast("double") * col("n_keys")
+          / col("n_rows")).cast(dec), 6).cast("double").as("skew_ratio"))
+      .withColumn("salt_recommended", col("skew_ratio") >= saltRatio)
+  }
+
   /** A34 [EXT] — QUANTILE-SKETCH AUDIT: the q10/q145/q154 approx-vs-exact
     * invariant discipline applied to `percentile_approx` — the sketch
     * every corpus-stats job at 100 TB actually runs (one pass, fixed-size

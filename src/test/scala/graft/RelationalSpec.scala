@@ -142,6 +142,29 @@ class RelationalSpec extends AnyFunSuite {
     assert(tied == (("s0", 100L, 7.0, 7.0, true, true)))
   }
 
+  test("q173 shuffle skew audit: planted hot key flagged, uniform key clean, fixture replays") {
+    // hot: one key carries 900 of 1000 rows over 101 keys -> ratio ~90.9
+    val hot = ((0 until 900).map(_ => 7L) ++ (0 until 100).map(i => 100L + i))
+      .toDF("k")
+    val hs = Relational.shuffleSkewStatsFor(hot, "k", "hot")
+      .as[(String, Long, Long, Long, Double, Double, Boolean)].head()
+    assert(hs == (("hot", 1000L, 101L, 900L, 0.9, 90.9, true)), s"hot: $hs")
+    // uniform: every key exactly twice -> ratio exactly 1, no salt
+    val uni = (0 until 1000).flatMap(i => Seq(i.toLong, i.toLong)).toDF("k")
+    val us = Relational.shuffleSkewStatsFor(uni, "k", "uni")
+      .as[(String, Long, Long, Long, Double, Double, Boolean)].head()
+    assert(us == (("uni", 2000L, 1000L, 2L, 0.001, 1.0, false)), s"uni: $us")
+    // fixture: replay one key's stats driver-side
+    val orders = Tables.orders(spark, TestSpark.Sf0001)
+      .select(col("o_custkey")).as[Long].collect()
+    val counts = orders.groupBy(identity).map(_._2.length)
+    val got = Relational.shuffleSkewAudit(spark, TestSpark.Sf0001)
+      .filter(col("shuffle_key") === "orders.o_custkey")
+      .as[(String, Long, Long, Long, Double, Double, Boolean)].head()
+    assert(got._2 == orders.length && got._3 == counts.size
+      && got._4 == counts.max, s"fixture replay: $got")
+  }
+
   test("dupGate finds only keys with multiple lineitems") {
     val df = Relational.dupGate(spark, TestSpark.Sf0001)
     assert(df.filter(col("cnt") <= 1).count() == 0)

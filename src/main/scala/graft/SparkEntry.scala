@@ -596,7 +596,11 @@ object SparkEntry {
     // salt-or-not decision table, exact (a sample misses the key that
     // matters)
     "q173_shuffle_skew_audit" -> ((s: SparkSession, d: String) =>
-      Relational.shuffleSkewAudit(s, d))
+      Relational.shuffleSkewAudit(s, d)),
+    // the DoReMi multiplicative-weights loop, every step 6dp-DECIMAL
+    // pinned so the whole trajectory replays bit-for-bit in the oracle
+    "q174_doremi_weights" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.doremiMixtureWeights(s, d))
   )
 
   /** Shared CTE chain ending in `pairs` = the exact-Jaccard near-dup pairs
@@ -862,6 +866,35 @@ object SparkEntry {
         |  CAST(round(CAST(CAST(sum(CASE WHEN cnt < k THEN cnt ELSE 0 END) AS DOUBLE)
         |    / sum(cnt) AS DECIMAL(38,18)), 6) AS DOUBLE) AS risk_frac
         |FROM cls CROSS JOIN ks GROUP BY k""".stripMargin
+
+  /** The q174 exponentiated-gradient trajectory, unrolled: every round's
+    * weights are 6dp-rounded before the next round reads them, so the
+    * CTE chain replays the engine's iteration exactly (no compounding
+    * float drift across rounds). */
+  private lazy val doremiSql: String = {
+    val iters = 5
+    def r6(e: String): String = s"CAST(round(CAST(($e) AS DECIMAL(38,18)), 6) AS DOUBLE)"
+    val head =
+      s"""WITH base AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |    ${r6(s"CAST(sum(CAST($qualitySql AS DECIMAL(38,18))) AS DOUBLE) / count(*)")} AS mean_q
+         |  FROM documents GROUP BY source),
+         |b2 AS (SELECT source, n_docs, mean_q,
+         |    ${r6("greatest(0.0, 0.6 - mean_q)")} AS excess FROM base),
+         |b3 AS (SELECT *, ${r6("exp(1.0 * excess)")} AS boost FROM b2),
+         |w0 AS (SELECT source, n_docs, mean_q, excess, boost,
+         |    ${r6("1.0 / (SELECT count(*) FROM b3)")} AS weight FROM b3)""".stripMargin
+    val steps = (1 to iters).map { t =>
+      s"""u$t AS (SELECT source, n_docs, mean_q, excess, boost,
+         |    ${r6("weight * boost")} AS u FROM w${t - 1}),
+         |w$t AS (SELECT source, n_docs, mean_q, excess, boost,
+         |    ${r6(s"u / CAST((SELECT sum(CAST(u AS DECIMAL(38,18))) FROM u$t) AS DOUBLE)")} AS weight
+         |  FROM u$t)""".stripMargin
+    }.mkString(",\n", ",\n", "")
+    val tail = (0 to iters).map { t =>
+      s"SELECT $t AS iteration, source, n_docs, mean_q, excess, weight FROM w$t"
+    }.mkString("\n", "\nUNION ALL\n", "")
+    head + steps + tail
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted (→ driver rows-only check):
@@ -2679,6 +2712,7 @@ object SparkEntry {
         |  (CAST(round(CAST(CAST(max_key_rows AS DOUBLE) * n_keys / n_rows
         |    AS DECIMAL(38,18)), 6) AS DOUBLE) >= 10.0) AS salt_recommended
         |FROM a""".stripMargin,
+    "q174_doremi_weights" -> doremiSql,
     // exact quantiles re-derived (quantile_cont shares the (n-1)·q
     // interpolation); the sketch flags are the engine's own GK rank
     // guarantee — pinned TRUE under any merge order

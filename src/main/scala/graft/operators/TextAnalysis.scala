@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.Tables
 import graft.functions.{TextFunctions => TF}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators over the documents fixture (SURVEY §2.2 P10
@@ -1629,6 +1629,67 @@ object TextAnalysis {
     pts.crossJoin(broadcast(fit))
       .select(col("k"), col("thr"), col("n_tokens"), col("vocab"),
         col("heaps_beta"), col("heaps_logk"), col("r_squared"))
+  }
+
+  /** A38 [EXT] — EXPONENTIATED-GRADIENT MIXTURE REWEIGHTING
+    * (DoReMi-style, Xie et al. 2023): the iterative optimizer behind
+    * domain reweighting expressed as a relational verb. Starting from
+    * uniform weights, each round multiplies every source's weight by
+    * exp(η · excess_s) and renormalizes — sources with the largest
+    * "excess loss" gain mix share round over round, the multiplicative-
+    * weights update DoReMi runs with a proxy model in the loop. The loss
+    * proxy here is deterministic and oracle-recomputable: the quality
+    * DEFICIT against a target (max(0, target − mean quality_s)) — the
+    * relational stand-in for per-domain excess loss, per the A16/DSIR
+    * precedent of replacing the trained model with a fixed scorer.
+    * Output: the full (iteration, source, weight) trajectory, so a mix
+    * planner can see convergence, not just the endpoint. A10 (q92) is
+    * one-shot temperature scaling; this is the ITERATED update.
+    *
+    * Every step is 6dp-DECIMAL-pinned (exp under the q92 libm-ulp
+    * discipline; each round's weights are rounded before the next round
+    * reads them), so the whole trajectory is bit-replayable in DuckDB —
+    * an iterated float recurrence would otherwise compound ulps past any
+    * tolerance. Normalized weights are 6dp values that sum to 1 ± 5e-6
+    * by construction; the trajectory is the contract, not exact unity.
+    *
+    * Scale: ONE corpus scan (per-source quality means through an exact
+    * DECIMAL sum); every iteration is an agg + broadcast join over the
+    * \|sources\|-row relation — iteration cost is independent of corpus
+    * size, exactly like the real DoReMi reference run.
+    */
+  def doremiMixtureWeights(spark: SparkSession, dir: String, eta: Double = 1.0,
+                           iters: Int = 5, targetQ: Double = 0.6): DataFrame = {
+    require(iters >= 1 && iters <= 50 && eta > 0.0,
+      s"need 1 <= iters <= 50, eta > 0; got $iters, $eta")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 18)
+    def r6(c: Column): Column = round(c.cast(dec), 6).cast("double")
+    val base = Tables.documents(spark, dir)
+      .select(col("source"), TF.qualityScore(col("text")).as("q"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("q").cast(dec)).as("qsum"))
+      .withColumn("mean_q", r6(col("qsum").cast("double") / col("n_docs")))
+      .withColumn("excess", r6(greatest(lit(0.0), lit(targetQ) - col("mean_q"))))
+      .withColumn("boost", r6(exp(lit(eta) * col("excess"))))
+      .select(col("source"), col("n_docs"), col("mean_q"), col("excess"),
+        col("boost"))
+      .localCheckpoint(true) // |sources| rows — bounded
+    val nSources = base.count()
+    var w = base.withColumn("weight", r6(lit(1.0) / nSources))
+    val trajectory = Seq.newBuilder[DataFrame]
+    trajectory += w.withColumn("iteration", lit(0))
+    for (t <- 1 to iters) {
+      val u = w.withColumn("u", r6(col("weight") * col("boost")))
+      val tot = u.agg(sum(col("u").cast(dec)).as("tot"))
+      w = u.crossJoin(broadcast(tot))
+        .withColumn("weight", r6(col("u") / col("tot").cast("double")))
+        .select(col("source"), col("n_docs"), col("mean_q"), col("excess"),
+          col("boost"), col("weight"))
+      trajectory += w.withColumn("iteration", lit(t))
+    }
+    trajectory.result().reduce(_.unionByName(_))
+      .select(col("iteration"), col("source"), col("n_docs"), col("mean_q"),
+        col("excess"), col("weight"))
   }
 
   /** q148 — DUAL-GATE AGREEMENT (Cohen's κ): when a curation pipeline

@@ -576,4 +576,37 @@ class TextAnalysisSpec extends AnyFunSuite {
       assert(got(k) == ((thr, nt, vb)), s"checkpoint $k: ${got(k)} vs ($thr, $nt, $vb)")
     }
   }
+
+  test("q174 DoReMi weights: trajectory replays driver-side, mass shifts toward high-excess sources") {
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val rows = graft.operators.TextAnalysis.doremiMixtureWeights(spark, TestSpark.Sf0001)
+      .as[(Int, String, Long, Double, Double, Double)].collect()
+    val sources = rows.map(_._2).distinct.sorted
+    val byIter = rows.groupBy(_._1)
+    assert(byIter.keySet == (0 to 5).toSet)
+    // driver replay of the multiplicative-weights recurrence at 6dp steps
+    val excess = rows.filter(_._1 == 0).map(r => r._2 -> r._5).toMap
+    val boost = excess.map { case (s0, e) => s0 -> r6(math.exp(e)) }
+    var w = sources.map(s0 => s0 -> r6(1.0 / sources.length)).toMap
+    (0 to 5).foreach { t =>
+      val got = byIter(t).map(r => r._2 -> r._6).toMap
+      assert(got == w, s"iteration $t: $got vs replay $w")
+      val u = sources.map(s0 => s0 -> r6(w(s0) * boost(s0))).toMap
+      val tot = (BigDecimal(0) /: sources)((acc, s0) => acc + BigDecimal(u(s0)))
+      w = sources.map(s0 => s0 -> r6(u(s0) / tot.toDouble)).toMap
+    }
+    // each iteration's weights sum to 1 within 6dp rounding slack
+    (0 to 5).foreach { t =>
+      val sum = byIter(t).map(_._6).sum
+      assert(math.abs(sum - 1.0) < 5e-5, s"iteration $t mass $sum")
+    }
+    // mass moves monotonically toward the max-excess source (if any gap)
+    val maxE = excess.maxBy(_._2)
+    if (excess.values.max > excess.values.min) {
+      val traj = (0 to 5).map(t => byIter(t).find(_._2 == maxE._1).get._6)
+      assert(traj.zip(traj.tail).forall { case (a, b) => b >= a },
+        s"max-excess source must not lose mass: $traj")
+      assert(traj.last > traj.head, s"and must gain overall: $traj")
+    }
+  }
 }

@@ -600,7 +600,15 @@ object SparkEntry {
     // the DoReMi multiplicative-weights loop, every step 6dp-DECIMAL
     // pinned so the whole trajectory replays bit-for-bit in the oracle
     "q174_doremi_weights" -> ((s: SparkSession, d: String) =>
-      TextAnalysis.doremiMixtureWeights(s, d))
+      TextAnalysis.doremiMixtureWeights(s, d)),
+    // week-over-week retention matrix anchored at the corpus' first
+    // event date; per-(user, week) distinct activity
+    "q175_retention_cohorts" -> ((s: SparkSession, d: String) =>
+      graft.streaming.EventWindows.retentionCohorts(s, d)),
+    // 2-itemset support/confidence/lift over order baskets, mega-basket
+    // guard excluded before the pair join
+    "q176_basket_lift" -> ((s: SparkSession, d: String) =>
+      Relational.basketLift(s, d))
   )
 
   /** Shared CTE chain ending in `pairs` = the exact-Jaccard near-dup pairs
@@ -2713,6 +2721,44 @@ object SparkEntry {
         |    AS DECIMAL(38,18)), 6) AS DOUBLE) >= 10.0) AS salt_recommended
         |FROM a""".stripMargin,
     "q174_doremi_weights" -> doremiSql,
+    // the same anchor/week/first-week arithmetic; ts reads naive (both
+    // engines UTC)
+    "q175_retention_cohorts" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+        |a AS (SELECT min(d) AS anchor FROM e),
+        |uw AS (SELECT DISTINCT user_id,
+        |         CAST(floor(date_diff('day', anchor, d) / 7.0) AS BIGINT) AS week
+        |       FROM e, a),
+        |c AS (SELECT user_id, min(week) AS cohort_week FROM uw GROUP BY 1),
+        |sz AS (SELECT cohort_week, CAST(count(*) AS BIGINT) AS cohort_users
+        |       FROM c GROUP BY 1),
+        |m AS (SELECT cohort_week, week - cohort_week AS weeks_since,
+        |        CAST(count(*) AS BIGINT) AS active_users
+        |      FROM uw JOIN c USING (user_id) GROUP BY 1, 2)
+        |SELECT m.cohort_week, weeks_since, cohort_users, active_users,
+        |  CAST(round(CAST(CAST(active_users AS DOUBLE) / cohort_users
+        |    AS DECIMAL(38,18)), 6) AS DOUBLE) AS retention
+        |FROM m JOIN sz USING (cohort_week)""".stripMargin,
+    // per-(order, part) dedup first; same guard, same DECIMAL ratios
+    "q176_basket_lift" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS part
+        |            FROM lineitem),
+        |sized AS (SELECT okey FROM op GROUP BY okey HAVING count(*) <= 100),
+        |kept AS (SELECT op.* FROM op JOIN sized USING (okey)),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_orders FROM sized),
+        |marg AS (SELECT part, CAST(count(*) AS BIGINT) AS cnt
+        |         FROM kept GROUP BY part),
+        |co AS (SELECT x.part AS part_a, y.part AS part_b,
+        |         CAST(count(*) AS BIGINT) AS n_co
+        |       FROM kept x JOIN kept y USING (okey) WHERE x.part < y.part
+        |       GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT part_a, part_b, n_co, ma.cnt AS n_a, mb.cnt AS n_b,
+        |  CAST((n_co * 2000000 + ma.cnt) // (ma.cnt * 2) AS DOUBLE)
+        |    / 1000000.0 AS confidence_ab,
+        |  CAST((n_co * n_orders * 2000000 + ma.cnt * mb.cnt)
+        |    // (ma.cnt * mb.cnt * 2) AS DOUBLE) / 1000000.0 AS lift
+        |FROM co JOIN marg ma ON ma.part = part_a
+        |        JOIN marg mb ON mb.part = part_b, n""".stripMargin,
     // exact quantiles re-derived (quantile_cont shares the (n-1)·q
     // interpolation); the sketch flags are the engine's own GK rank
     // guarantee — pinned TRUE under any merge order

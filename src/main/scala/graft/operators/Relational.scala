@@ -232,6 +232,63 @@ object Relational {
         col("n_small_classes"), col("n_risk_rows"), col("risk_frac"))
   }
 
+  /** A40 [EXT] — BASKET CO-OCCURRENCE LIFT: association-rule mining's
+    * first table (support / confidence / lift per item pair, Agrawal &
+    * Srikant's Apriori at the 2-itemset grain) over order baskets —
+    * the "what co-occurs with what" question a curation pipeline also
+    * asks of tag sets and source mixes. Per part pair co-ordered at
+    * least `minSupport` times: the co-order count, each part's order
+    * count, confidence P(b|a) and lift P(a,b)/(P(a)P(b)) — lift > 1 is
+    * genuine affinity, < 1 is substitution.
+    *
+    * Scale shape: baskets dedup to per-(order, part) first, so line-item
+    * multiplicity can't inflate support; the pair join is keyed on
+    * l_orderkey — per-order work is basket², which real baskets keep
+    * small, and the `maxBasket` guard EXCLUDES degenerate mega-baskets
+    * (a B2B blanket order is basket-size² hot) before the join, the
+    * same filter-before-shuffle move as the q169 cluster cap. Counts
+    * are map-side-combined; the marginals join is \|parts\|-sized and
+    * the totals ride a 1-row broadcast.
+    */
+  def basketLift(spark: SparkSession, dir: String, minSupport: Long = 2L,
+                 maxBasket: Int = 100): DataFrame = {
+    require(minSupport >= 1 && maxBasket >= 2,
+      s"need minSupport >= 1, maxBasket >= 2; got $minSupport, $maxBasket")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 18)
+    val op = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("okey"), col("l_partkey").as("part"))
+      .distinct()
+    val sized = op.groupBy(col("okey")).agg(count(lit(1)).as("basket"))
+      .filter(col("basket") <= maxBasket)
+    val kept = op.join(sized.select(col("okey")), "okey")
+    val nOrders = sized.count()
+    val marg = kept.groupBy(col("part")).agg(count(lit(1)).as("n_orders"))
+    val co = kept.as("x").join(kept.as("y"), Seq("okey"))
+      .filter(col("x.part") < col("y.part"))
+      .groupBy(col("x.part").as("part_a"), col("y.part").as("part_b"))
+      .agg(count(lit(1)).as("n_co"))
+      .filter(col("n_co") >= minSupport)
+    // confidence and lift are ratios of EXACT integers whose true values
+    // land exactly ON the 6dp half boundary for dyadic denominators
+    // (n_a·n_b = 1024 → lift 287.5703125 on the fixture) — and the two
+    // engines disagree there (Spark DECIMAL rounds half-up, DuckDB
+    // half-even). So the 6dp half-up rounding is done in INTEGER
+    // arithmetic — ⌊(x·2·10⁶ + d) / (2d)⌋, exact and engine-identical —
+    // and only the final micro→double division (same two doubles both
+    // sides) leaves integer land. Long products are exact at any fixture
+    // scale; the 100 TB form lifts them to DECIMAL before n_co·N·2e6
+    // can reach 2^63.
+    co.join(marg.select(col("part").as("part_a"), col("n_orders").as("n_a")), "part_a")
+      .join(marg.select(col("part").as("part_b"), col("n_orders").as("n_b")), "part_b")
+      .withColumn("conf_micro",
+        expr("(n_co * 2000000L + n_a) DIV (n_a * 2L)"))
+      .withColumn("lift_micro",
+        expr(s"(n_co * ${nOrders}L * 2000000L + n_a * n_b) DIV (n_a * n_b * 2L)"))
+      .select(col("part_a"), col("part_b"), col("n_co"), col("n_a"), col("n_b"),
+        (col("conf_micro").cast("double") / 1000000.0).as("confidence_ab"),
+        (col("lift_micro").cast("double") / 1000000.0).as("lift"))
+  }
+
   /** A37 [EXT] — SHUFFLE-SKEW AUDIT: per candidate shuffle key, the
     * statistics that decide between a plain shuffle, AQE skew-join, and
     * explicit salting BEFORE the job runs — the planning query behind

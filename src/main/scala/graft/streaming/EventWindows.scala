@@ -119,6 +119,40 @@ object EventWindows {
     }.reduce(_.unionByName(_))
   }
 
+  /** A39 [EXT] — RETENTION COHORT MATRIX: the week-over-week retention
+    * table every activity log gets asked for — users grouped by the week
+    * of their FIRST event (the cohort), each cohort's fraction still
+    * active k weeks later. Weeks anchor at the corpus' own first event
+    * DATE (data-derived, deterministic, regeneration-proof — a calendar
+    * anchor would silently shift if the fixture's date range moved);
+    * activity is per-(user, week) distinct so event volume inside a week
+    * cannot inflate retention. Output per (cohort_week, weeks_since):
+    * cohort size, active users, 6dp retention.
+    *
+    * Scale: one scan → per-(user, week) distinct (map-side combinable);
+    * cohorts are a min-agg over that user-week relation; the matrix join
+    * and rollup run on \|users × weeks\| rows, never raw events. The
+    * anchor is ONE metadata-cheap min, broadcast as a literal.
+    */
+  def retentionCohorts(spark: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 18)
+    val e = Tables.events(spark, dir).select(col("user_id"), to_date(col("ts")).as("d"))
+    val anchor = e.agg(min(col("d"))).head().getDate(0)
+    val uw = e.select(col("user_id"),
+        floor(datediff(col("d"), lit(anchor)) / 7).cast("long").as("week"))
+      .distinct()
+    val cohorts = uw.groupBy(col("user_id")).agg(min(col("week")).as("cohort_week"))
+    val sizes = cohorts.groupBy(col("cohort_week")).agg(count(lit(1)).as("cohort_users"))
+    uw.join(cohorts, "user_id")
+      .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("weeks_since"))
+      .agg(count(lit(1)).as("active_users"))
+      .join(sizes, "cohort_week")
+      .select(col("cohort_week"), col("weeks_since"), col("cohort_users"),
+        col("active_users"),
+        round((col("active_users").cast("double") / col("cohort_users")).cast(dec), 6)
+          .cast("double").as("retention"))
+  }
+
   /** q113 — SEMI-STRUCTURED PROPS ROLLUP: the events table carries a JSON
     * `props` column (the schemaless payload every event log has); parse it
     * under a DECLARED schema with `from_json` — a codegen-friendly per-row

@@ -165,6 +165,53 @@ class RelationalSpec extends AnyFunSuite {
       && got._4 == counts.max, s"fixture replay: $got")
   }
 
+  test("q175 retention cohorts: week-0 retention is 1.0 and the matrix replays driver-side") {
+    val got = graft.streaming.EventWindows.retentionCohorts(spark, TestSpark.Sf0001)
+      .as[(Long, Long, Long, Long, Double)].collect()
+    assert(got.nonEmpty)
+    got.filter(_._2 == 0L).foreach { r =>
+      assert(r._3 == r._4 && r._5 == 1.0, s"week-0 row must be full retention: $r")
+    }
+    // driver replay from raw events
+    val ev = Tables.events(spark, TestSpark.Sf0001)
+      .select(col("user_id"), to_date(col("ts"))).as[(Long, java.sql.Date)].collect()
+    val anchorD = ev.map(_._2.toLocalDate).min(Ordering.by((d: java.time.LocalDate) => d.toEpochDay))
+    val uw = ev.map { case (u, d) =>
+      (u, Math.floorDiv(java.time.temporal.ChronoUnit.DAYS.between(anchorD, d.toLocalDate), 7L))
+    }.distinct
+    val cohort = uw.groupBy(_._1).map { case (u, xs) => u -> xs.map(_._2).min }
+    val sizes = cohort.groupBy(_._2).map { case (c, xs) => c -> xs.size.toLong }
+    val cells = uw.groupBy(x => (cohort(x._1), x._2 - cohort(x._1)))
+      .map { case (k, xs) => k -> xs.map(_._1).distinct.size.toLong }
+    val gotMap = got.map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(gotMap.keySet == cells.keySet)
+    cells.foreach { case (k, active) =>
+      assert(gotMap(k) == ((sizes(k._1), active)), s"cell $k: ${gotMap(k)}")
+    }
+  }
+
+  test("q176 basket lift: planted baskets give exact support/confidence/lift, mega-basket excluded") {
+    // baskets: o1={10,20,30}, o2={10,20}, o3={10}, o4={20,30}, o5=mega (dupe rows prove dedup)
+    val rows = Seq(
+      (1L, 10L), (1L, 20L), (1L, 30L), (1L, 10L),
+      (2L, 10L), (2L, 20L),
+      (3L, 10L),
+      (4L, 20L), (4L, 30L)) ++ (0 until 150).map(i => (5L, 1000L + i))
+    val dir = java.nio.file.Files.createTempDirectory("graft_basket").toString
+    rows.toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = Relational.basketLift(spark, dir, minSupport = 2L, maxBasket = 100)
+      .as[(Long, Long, Long, Long, Long, Double, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6, r._7))).toMap
+    // mega-basket o5 excluded -> N = 4 kept orders; pairs >= 2: (10,20)=2, (20,30)=2
+    assert(got.keySet == Set((10L, 20L), (20L, 30L)), s"pairs: ${got.keySet}")
+    // (10,20): n_a=3 (o1,o2,o3), n_b=3 (o1,o2,o4): conf 2/3 -> 0.666667 (half-up),
+    // lift 2*4/(3*3) = 0.888889
+    assert(got((10L, 20L)) == ((2L, 3L, 3L, 0.666667, 0.888889)), s"${got((10L, 20L))}")
+    // (20,30): n_a=3, n_b=2: conf 0.666667, lift 2*4/6 = 1.333333
+    assert(got((20L, 30L)) == ((2L, 3L, 2L, 0.666667, 1.333333)), s"${got((20L, 30L))}")
+  }
+
   test("dupGate finds only keys with multiple lineitems") {
     val df = Relational.dupGate(spark, TestSpark.Sf0001)
     assert(df.filter(col("cnt") <= 1).count() == 0)

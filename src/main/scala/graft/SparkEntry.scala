@@ -608,7 +608,11 @@ object SparkEntry {
     // 2-itemset support/confidence/lift over order baskets, mega-basket
     // guard excluded before the pair join
     "q176_basket_lift" -> ((s: SparkSession, d: String) =>
-      Relational.basketLift(s, d))
+      Relational.basketLift(s, d)),
+    // GDPR Art. 17: anti-join rewrite + tombstone sidecar, audited from
+    // the files read back (purged pinned TRUE)
+    "q177_right_to_erasure" -> ((s: SparkSession, d: String) =>
+      graft.sources.Sources.rightToErasure(s, d))
   )
 
   /** Shared CTE chain ending in `pairs` = the exact-Jaccard near-dup pairs
@@ -2759,6 +2763,12 @@ object SparkEntry {
         |    // (ma.cnt * mb.cnt * 2) AS DOUBLE) / 1000000.0 AS lift
         |FROM co JOIN marg ma ON ma.part = part_a
         |        JOIN marg mb ON mb.part = part_b, n""".stripMargin,
+    // counts re-derived from the modulo erasure set; zero-remaining and
+    // the purged flag are the engine's read-back proof
+    "q177_right_to_erasure" ->
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS n_rows_erased,
+        |  CAST(0 AS BIGINT) AS n_remaining, TRUE AS purged
+        |FROM events WHERE user_id % 13 = 0 GROUP BY user_id""".stripMargin,
     // exact quantiles re-derived (quantile_cont shares the (n-1)·q
     // interpolation); the sketch flags are the engine's own GK rank
     // guarantee — pinned TRUE under any merge order

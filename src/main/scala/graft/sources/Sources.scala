@@ -485,6 +485,47 @@ object Sources {
         length(col("text")).cast("long").as("n_chars"))
   }
 
+  /** W9 [EXT] — RIGHT-TO-ERASURE REWRITE + TOMBSTONE AUDIT: the GDPR
+    * Art. 17 verb — purge every row of the named data subjects from an
+    * immutable snapshot and PROVE it. The rewrite is one anti-join
+    * against the (broadcastable) erasure set into a fresh snapshot; a
+    * tombstone sidecar records per subject how many rows were erased
+    * (the processing record Art. 30 wants — counts, never content: a
+    * tombstone carrying the deleted payload would itself be a
+    * violation). The registered audit is computed from the FILES READ
+    * BACK — per erased subject, the tombstoned row count and the rows
+    * still present in the rewritten snapshot, with `purged` demanded
+    * true — so a green row proves the erasure landed on disk, not that
+    * an anti-join works in memory. Erasure set = user_id % 13 (the q85
+    * damage-derived-from-id discipline) so the oracle re-derives every
+    * count with no knowledge of the scratch files.
+    *
+    * Scale: the erasure set broadcasts (it is \|subjects\|-sized by
+    * definition); the rewrite is one scan + anti-join + write; the
+    * remaining-rows check semi-joins the rewritten snapshot against the
+    * tombstone keys — at 100 TB this is the same full-rewrite cost every
+    * non-transactional lake pays for deletes (the motivation for
+    * deletion vectors, noted, not implemented).
+    */
+  def rightToErasure(spark: SparkSession, dir: String): DataFrame = {
+    val out = scratchDir(spark, "erasure_snapshot")
+    val ev = parquet(spark, s"$dir/events.parquet")
+    val erase = col("user_id") % 13 === 0
+    ev.filter(!erase)
+      .write.mode("overwrite").parquet(s"$out/v2")
+    ev.filter(erase)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n_rows_erased"))
+      .write.mode("overwrite").parquet(s"$out/tombstones")
+    val tomb = spark.read.parquet(s"$out/tombstones")
+    val remaining = spark.read.parquet(s"$out/v2")
+      .join(broadcast(tomb.select(col("user_id"))), Seq("user_id"), "left_semi")
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n_rem"))
+    tomb.join(remaining, Seq("user_id"), "left")
+      .select(col("user_id"), col("n_rows_erased"),
+        coalesce(col("n_rem"), lit(0L)).as("n_remaining"),
+        (coalesce(col("n_rem"), lit(0L)) === 0L).as("purged"))
+  }
+
   /** q100 — SNAPSHOT DIFF: the dataset-versioning report between two
     * immutable snapshots (q91's v1/v2 lineage re-derived so the oracle can
     * replay it): rows are classified added / removed / changed / unchanged

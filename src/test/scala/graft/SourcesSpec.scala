@@ -156,4 +156,31 @@ class SourcesSpec extends AnyFunSuite {
       case _ =>
     }
   }
+
+  test("q177 right to erasure: erased users gone on disk, others byte-intact, tombstones count-only") {
+    val got = graft.sources.Sources.rightToErasure(spark, TestSpark.Sf0001)
+      .as[(Long, Long, Long, Boolean)].collect()
+    val ev = Tables.events(spark, TestSpark.Sf0001)
+      .select(col("user_id")).as[Long].collect()
+    val erased = ev.filter(_ % 13 == 0).groupBy(identity).map { case (u, xs) => u -> xs.length.toLong }
+    assert(got.map(_._1).toSet == erased.keySet)
+    got.foreach { case (u, n, rem, purged) =>
+      assert(n == erased(u) && rem == 0L && purged, s"user $u: ($n, $rem, $purged)")
+    }
+    // the rewritten snapshot preserves every non-erased row (same
+    // per-user counts) and carries no erased user — read back from disk
+    val out = sys.props("java.io.tmpdir")
+    val v2dir = new java.io.File(out).listFiles()
+      .filter(f => f.getName.startsWith("graft_erasure_snapshot")).maxBy(_.lastModified)
+    val v2 = spark.read.parquet(s"${v2dir.getAbsolutePath}/v2")
+      .select(col("user_id")).as[Long].collect()
+    assert(v2.forall(_ % 13 != 0), "an erased user survived the rewrite")
+    val keepWant = ev.filter(_ % 13 != 0).groupBy(identity).view.mapValues(_.length).toMap
+    val keepGot = v2.groupBy(identity).view.mapValues(_.length).toMap
+    assert(keepGot == keepWant, "a non-erased row was lost or duplicated")
+    // tombstones carry counts only — no payload columns
+    val tomb = spark.read.parquet(s"${v2dir.getAbsolutePath}/tombstones")
+    assert(tomb.columns.toSet == Set("user_id", "n_rows_erased"),
+      s"tombstone must not carry deleted content: ${tomb.columns.mkString(",")}")
+  }
 }

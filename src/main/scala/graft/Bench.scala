@@ -97,7 +97,29 @@ object Bench {
     val loadJson = loads.map { case (k, vs) => "\"" + k + "\":" + vs.mkString("[", ",", "]") }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ > 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"n_failed":${errors.size},"loads":$loadJson,"n_runs":$nRuns,"sf":"$sfDir"}""")
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"n_failed":${errors.size},"loads":$loadJson,"n_runs":$nRuns,"sf":"$sfDir"}"""
+    // The driver keeps only the LAST ~2000 chars of stdout (BENCH_r11/r12
+    // both landed `"parsed": null` because the full per-query JSON is ~10 kB
+    // and was truncated from the FRONT). So the full artifact goes to a
+    // sidecar file and stderr, and the final stdout line is a compact
+    // summary — total, failure count, and the slowest queries, trimmed to
+    // fit the driver's tail window alongside sbt's own closing lines.
+    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
+    try {
+      val w = new java.io.PrintWriter(fullPath, "UTF-8")
+      try w.println(fullLine) finally w.close()
+    } catch { case e: Throwable => System.err.println(s"[bench] sidecar write failed: $e") }
+    System.err.println(fullLine)
+    val slow = results.toSeq.filter(_._2 > 0).sortBy(-_._2)
+    val mean = if (results.nonEmpty) total / results.count(_._2 > 0) else 0.0
+    def summaryLine(k: Int): String = {
+      val top = slow.take(k).map { case (n, v) => "\"" + n + f"\":$v%.2f" }.mkString("{", ",", "}")
+      f"""{"metric":"total","value":$total%.2f,"unit":"sec","n_queries":${results.size},"n_failed":${errors.size},"mean_sec":$mean%.4f,"n_runs":$nRuns,"sf":"$sfDir","full":"$fullPath","queries":$top}"""
+    }
+    // shrink the slowest-queries map until the line fits in ~1500 chars
+    val line = (slow.size to 0 by -1).iterator.map(summaryLine).find(_.length <= 1500)
+      .getOrElse(summaryLine(0))
+    println(line)
     spark.stop()
   }
 }

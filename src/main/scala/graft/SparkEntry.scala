@@ -2774,8 +2774,10 @@ object SparkEntry {
     // guarantee — pinned TRUE under any merge order
     "q166_quantile_sketch_audit" ->
       """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-        |  round(quantile_cont(length(text), 0.5), 6) AS p50_exact,
-        |  round(quantile_cont(length(text), 0.95), 6) AS p95_exact,
+        |  CAST(round(CAST(quantile_cont(length(text), 0.5) AS DECIMAL(38,18)), 6)
+        |    AS DOUBLE) AS p50_exact,
+        |  CAST(round(CAST(quantile_cont(length(text), 0.95) AS DECIMAL(38,18)), 6)
+        |    AS DOUBLE) AS p95_exact,
         |  TRUE AS p50_ok, TRUE AS p95_ok
         |FROM documents GROUP BY source""".stripMargin,
     // PSI replayed term by term: same overlapping modulo snapshots, same

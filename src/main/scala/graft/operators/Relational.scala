@@ -254,14 +254,19 @@ object Relational {
                  maxBasket: Int = 100): DataFrame = {
     require(minSupport >= 1 && maxBasket >= 2,
       s"need minSupport >= 1, maxBasket >= 2; got $minSupport, $maxBasket")
-    val dec = org.apache.spark.sql.types.DecimalType(38, 18)
     val op = Tables.lineitem(spark, dir)
       .select(col("l_orderkey").as("okey"), col("l_partkey").as("part"))
       .distinct()
     val sized = op.groupBy(col("okey")).agg(count(lit(1)).as("basket"))
       .filter(col("basket") <= maxBasket)
-    val kept = op.join(sized.select(col("okey")), "okey")
-    val nOrders = sized.count()
+    // the mega-basket-filtered relation feeds FOUR consumers (marginal agg,
+    // both sides of the pair self-join, nOrders) — spilled ONCE (the q88
+    // leaf discipline), so the lineitem distinct shuffles exactly once per
+    // query instead of relying on ReuseExchange surviving AQE across jobs
+    val kept = graft.sources.Sources.spillScratch(
+      op.join(sized.select(col("okey")), "okey"), "basket_kept")
+    val nOrders =
+      kept.agg(countDistinct(col("okey"))).head().getLong(0)
     val marg = kept.groupBy(col("part")).agg(count(lit(1)).as("n_orders"))
     val co = kept.as("x").join(kept.as("y"), Seq("okey"))
       .filter(col("x.part") < col("y.part"))
@@ -275,15 +280,16 @@ object Relational {
     // half-even). So the 6dp half-up rounding is done in INTEGER
     // arithmetic — ⌊(x·2·10⁶ + d) / (2d)⌋, exact and engine-identical —
     // and only the final micro→double division (same two doubles both
-    // sides) leaves integer land. Long products are exact at any fixture
-    // scale; the 100 TB form lifts them to DECIMAL before n_co·N·2e6
-    // can reach 2^63.
+    // sides) leaves integer land. The lift numerator n_co·N·2e6 wraps Long
+    // silently under non-ANSI Spark once n_co·N reaches ~4.6e12, so it is
+    // computed in DECIMAL(38,0) — exact at any corpus scale; DuckDB's
+    // integer ops promote to HUGEINT, so the two engines stay identical.
     co.join(marg.select(col("part").as("part_a"), col("n_orders").as("n_a")), "part_a")
       .join(marg.select(col("part").as("part_b"), col("n_orders").as("n_b")), "part_b")
       .withColumn("conf_micro",
-        expr("(n_co * 2000000L + n_a) DIV (n_a * 2L)"))
+        expr("(CAST(n_co AS DECIMAL(38,0)) * 2000000 + n_a) DIV (CAST(n_a AS DECIMAL(38,0)) * 2)"))
       .withColumn("lift_micro",
-        expr(s"(n_co * ${nOrders}L * 2000000L + n_a * n_b) DIV (n_a * n_b * 2L)"))
+        expr(s"(CAST(n_co AS DECIMAL(38,0)) * $nOrders * 2000000 + CAST(n_a AS DECIMAL(38,0)) * n_b) DIV (CAST(n_a AS DECIMAL(38,0)) * n_b * 2)"))
       .select(col("part_a"), col("part_b"), col("n_co"), col("n_a"), col("n_b"),
         (col("conf_micro").cast("double") / 1000000.0).as("confidence_ab"),
         (col("lift_micro").cast("double") / 1000000.0).as("lift"))
@@ -361,10 +367,15 @@ object Relational {
       Tables.documents(spark, dir)
         .select(col("source"), length(col("text")).cast("long").as("len")),
       "qsketch_len")
+    // rounding rides through DECIMAL(38,18) like risk_frac/top_share in
+    // this file: plain double round() is half-up in Spark but half-even in
+    // DuckDB at exact 6dp halves (unreachable for ≤2-decimal interpolated
+    // length quantiles today, but the discipline is uniform on purpose)
+    val decR = org.apache.spark.sql.types.DecimalType(38, 18)
     val agg = d.groupBy(col("source")).agg(
       count(lit(1)).as("n_docs"),
-      round(expr("percentile(len, 0.5)"), 6).as("p50_exact"),
-      round(expr("percentile(len, 0.95)"), 6).as("p95_exact"),
+      round(expr("percentile(len, 0.5)").cast(decR), 6).cast("double").as("p50_exact"),
+      round(expr("percentile(len, 0.95)").cast(decR), 6).cast("double").as("p95_exact"),
       expr(s"approx_percentile(len, 0.5, $accuracy)").as("p50_approx"),
       expr(s"approx_percentile(len, 0.95, $accuracy)").as("p95_approx"))
     // lengths repeat heavily, so the sketch's answer occupies a rank RANGE

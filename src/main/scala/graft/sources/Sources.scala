@@ -507,10 +507,23 @@ object Sources {
     * non-transactional lake pays for deletes (the motivation for
     * deletion vectors, noted, not implemented).
     */
-  def rightToErasure(spark: SparkSession, dir: String): DataFrame = {
-    val out = scratchDir(spark, "erasure_snapshot")
+  def rightToErasure(spark: SparkSession, dir: String): DataFrame =
+    rightToErasureAt(spark, dir, scratchDir(spark,
+      s"erasure_snapshot_${java.util.UUID.randomUUID.toString.take(8)}"))
+
+  /** [[rightToErasure]] against an explicit snapshot root — the registry
+    * wrapper appends a UUID (two concurrent sessions must not race on one
+    * delete-then-write scratch dir); the spec passes its own path instead
+    * of scanning tmpdir for the newest match. */
+  private[graft] def rightToErasureAt(spark: SparkSession, dir: String,
+                                      out: String): DataFrame = {
     val ev = parquet(spark, s"$dir/events.parquet")
-    val erase = col("user_id") % 13 === 0
+    // null-safe on purpose: a bare `user_id % 13 === 0` is null for a null
+    // user_id, so BOTH filter(erase) and filter(!erase) would drop the row
+    // — silent deletion without a tombstone, the one failure mode an
+    // auditable erasure rewrite must not have. Null-keyed rows are not in
+    // any erasure set → retained.
+    val erase = coalesce(col("user_id") % 13 === 0, lit(false))
     ev.filter(!erase)
       .write.mode("overwrite").parquet(s"$out/v2")
     ev.filter(erase)

@@ -137,10 +137,16 @@ object EventWindows {
   def retentionCohorts(spark: SparkSession, dir: String): DataFrame = {
     val dec = org.apache.spark.sql.types.DecimalType(38, 18)
     val e = Tables.events(spark, dir).select(col("user_id"), to_date(col("ts")).as("d"))
+    // two passes over raw events, not three: the anchor is one map-side-
+    // combined min (no shuffle payload), and the user-week distinct spills
+    // ONCE (the q88 leaf discipline) so the cohort agg and the matrix join
+    // read the spill instead of each re-running the corpus-width distinct.
     val anchor = e.agg(min(col("d"))).head().getDate(0)
-    val uw = e.select(col("user_id"),
-        floor(datediff(col("d"), lit(anchor)) / 7).cast("long").as("week"))
-      .distinct()
+    val uw = graft.sources.Sources.spillScratch(
+      e.select(col("user_id"),
+          floor(datediff(col("d"), lit(anchor)) / 7).cast("long").as("week"))
+        .distinct(),
+      "retention_uw")
     val cohorts = uw.groupBy(col("user_id")).agg(min(col("week")).as("cohort_week"))
     val sizes = cohorts.groupBy(col("cohort_week")).agg(count(lit(1)).as("cohort_users"))
     uw.join(cohorts, "user_id")

@@ -72,7 +72,10 @@ object KAnonymityGateStream {
   def gateTicks(spark: SparkSession, dir: String,
                 ks: Seq[Int] = Seq(2, 5, 10, 20)): DataFrame = {
     val cust = Tables.customer(spark, dir)
-    val countsPath = graft.sources.Sources.scratchDir(spark, "stream_kanon_counts")
+    // UUID-suffixed like indexStalenessAudit's scratch: a fixed name +
+    // delete-then-write races concurrent sessions sharing the scratch root
+    val countsPath = graft.sources.Sources.scratchDir(spark,
+      s"stream_kanon_counts_${java.util.UUID.randomUUID.toString.take(8)}")
     deleteDir(spark, countsPath)
     for (r <- 0L until 3L)
       gateTickXO(cust.filter(col("c_custkey") % 3 === r), r, countsPath)

@@ -158,7 +158,10 @@ class SourcesSpec extends AnyFunSuite {
   }
 
   test("q177 right to erasure: erased users gone on disk, others byte-intact, tombstones count-only") {
-    val got = graft.sources.Sources.rightToErasure(spark, TestSpark.Sf0001)
+    val erasureOut = java.nio.file.Files
+      .createTempDirectory("graft_spec_erasure").toString
+    val got = graft.sources.Sources
+      .rightToErasureAt(spark, TestSpark.Sf0001, erasureOut)
       .as[(Long, Long, Long, Boolean)].collect()
     val ev = Tables.events(spark, TestSpark.Sf0001)
       .select(col("user_id")).as[Long].collect()
@@ -169,17 +172,14 @@ class SourcesSpec extends AnyFunSuite {
     }
     // the rewritten snapshot preserves every non-erased row (same
     // per-user counts) and carries no erased user — read back from disk
-    val out = sys.props("java.io.tmpdir")
-    val v2dir = new java.io.File(out).listFiles()
-      .filter(f => f.getName.startsWith("graft_erasure_snapshot")).maxBy(_.lastModified)
-    val v2 = spark.read.parquet(s"${v2dir.getAbsolutePath}/v2")
+    val v2 = spark.read.parquet(s"$erasureOut/v2")
       .select(col("user_id")).as[Long].collect()
     assert(v2.forall(_ % 13 != 0), "an erased user survived the rewrite")
     val keepWant = ev.filter(_ % 13 != 0).groupBy(identity).view.mapValues(_.length).toMap
     val keepGot = v2.groupBy(identity).view.mapValues(_.length).toMap
     assert(keepGot == keepWant, "a non-erased row was lost or duplicated")
     // tombstones carry counts only — no payload columns
-    val tomb = spark.read.parquet(s"${v2dir.getAbsolutePath}/tombstones")
+    val tomb = spark.read.parquet(s"$erasureOut/tombstones")
     assert(tomb.columns.toSet == Set("user_id", "n_rows_erased"),
       s"tombstone must not carry deleted content: ${tomb.columns.mkString(",")}")
   }

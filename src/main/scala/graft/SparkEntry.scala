@@ -612,7 +612,11 @@ object SparkEntry {
     // GDPR Art. 17: anti-join rewrite + tombstone sidecar, audited from
     // the files read back (purged pinned TRUE)
     "q177_right_to_erasure" -> ((s: SparkSession, d: String) =>
-      graft.sources.Sources.rightToErasure(s, d))
+      graft.sources.Sources.rightToErasure(s, d)),
+    // q165's l-diversity companion over the SAME QI classes: distinct and
+    // entropy l-diversity violations per l, one (QI, sensitive) scan
+    "q178_l_diversity_audit" -> ((s: SparkSession, d: String) =>
+      Relational.lDiversityAudit(s, d))
   )
 
   /** Shared CTE chain ending in `pairs` = the exact-Jaccard near-dup pairs
@@ -2769,6 +2773,32 @@ object SparkEntry {
       """SELECT user_id, CAST(count(*) AS BIGINT) AS n_rows_erased,
         |  CAST(0 AS BIGINT) AS n_remaining, TRUE AS purged
         |FROM events WHERE user_id % 13 = 0 GROUP BY user_id""".stripMargin,
+    // same QI classes as q165; sensitive value = last custkey digit;
+    // entropy and ln(l) both rounded through DECIMAL(38,18) at 6dp on
+    // both engines
+    "q178_l_diversity_audit" ->
+      """WITH svc AS (SELECT c_nationkey, c_mktsegment,
+        |               floor(c_acctbal / 1000.0) AS b,
+        |               right(CAST(c_custkey AS VARCHAR), 1) AS sv,
+        |               count(*) AS cnt
+        |             FROM customer GROUP BY 1, 2, 3, 4),
+        |cls AS (SELECT c_nationkey, c_mktsegment, b,
+        |          sum(cnt) AS n_rows, count(*) AS n_sv,
+        |          CAST(round(CAST(ln(sum(cnt)) - sum(cnt * ln(cnt)) / sum(cnt)
+        |            AS DECIMAL(38,18)), 6) AS DOUBLE) AS h
+        |        FROM svc GROUP BY 1, 2, 3),
+        |ls AS (SELECT unnest([2, 3, 5]) AS l)
+        |SELECT l, CAST(sum(n_rows) AS BIGINT) AS n_rows,
+        |  CAST(count(*) AS BIGINT) AS n_classes,
+        |  CAST(min(n_sv) AS BIGINT) AS min_distinct_sv,
+        |  CAST(sum(CASE WHEN n_sv < l THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_distinct_violations,
+        |  CAST(sum(CASE WHEN n_sv < l THEN n_rows ELSE 0 END) AS BIGINT)
+        |    AS n_risk_rows,
+        |  min(h) AS min_entropy,
+        |  CAST(sum(CASE WHEN h < CAST(round(CAST(ln(l) AS DECIMAL(38,18)), 6)
+        |    AS DOUBLE) THEN 1 ELSE 0 END) AS BIGINT) AS n_entropy_violations
+        |FROM cls CROSS JOIN ls GROUP BY l""".stripMargin,
     // exact quantiles re-derived (quantile_cont shares the (n-1)·q
     // interpolation); the sketch flags are the engine's own GK rank
     // guarantee — pinned TRUE under any merge order

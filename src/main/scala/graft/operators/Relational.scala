@@ -201,12 +201,18 @@ object Relational {
                       ks: Seq[Int] = Seq(2, 5, 10, 20)): DataFrame =
     kAnonymitySweepFor(kAnonymityClassCounts(Tables.customer(spark, dir)), ks)
 
+  /** The quasi-identifier key shared by the k-anonymity audits (q165/q170)
+    * and the l-diversity audit (q178) — declared once so the two
+    * governance gates cannot drift on what a "QI class" is. */
+  private def qiClassCols: Seq[Column] =
+    Seq(col("c_nationkey"), col("c_mktsegment"),
+      floor(col("c_acctbal") / 1000.0).as("bal_bucket"))
+
   /** The QI equivalence-class counts — the gate's ONLY corpus-width pass,
     * and (being a sum-mergeable relation) the exact state the streaming
     * twin (q170) accumulates per tick. */
   def kAnonymityClassCounts(customers: DataFrame): DataFrame =
-    customers.groupBy(col("c_nationkey"), col("c_mktsegment"),
-        floor(col("c_acctbal") / 1000.0).as("bal_bucket"))
+    customers.groupBy(qiClassCols: _*)
       .agg(count(lit(1)).as("cnt"))
 
   /** The k sweep over an already-aggregated class-count relation — shared
@@ -230,6 +236,63 @@ object Relational {
           .cast("double"))
       .select(col("k"), col("n_rows"), col("n_classes"), col("min_class_size"),
         col("n_small_classes"), col("n_risk_rows"), col("risk_frac"))
+  }
+
+  /** A41 [EXT] — L-DIVERSITY AUDIT: the standard companion the k-anonymity
+    * audit's consumers ask for next (Machanavajjhala et al. 2007 — same
+    * architectural-privacy posture as A33): k-anonymity bounds how FEW
+    * rows share a QI class, but a class whose rows all carry the same
+    * sensitive value is still fully disclosed. Per l in the sweep, over
+    * the SAME QI classes as q165 ([[qiClassCols]] — declared once, cannot
+    * drift): class count, minimum distinct-sensitive-value count
+    * (distinct l-diversity), classes/rows violating distinct-l, the
+    * minimum 6dp class entropy, and classes violating ENTROPY
+    * l-diversity (H(class) < ln l — the paper's stronger instantiation;
+    * entropy violations always ⊇ distinct violations since
+    * H ≤ ln(n_distinct)). Sensitive value = the last digit of c_custkey —
+    * a synthetic stand-in whose distribution is independent of every QI
+    * column, which is what makes the entropy machinery worth auditing.
+    *
+    * Scale: ONE corpus scan into a map-side-combined count on the
+    * (QI, sensitive) key; class rollup and the l sweep run on the
+    * \|classes × values\|- and \|classes\|-sized relations. Entropy uses
+    * H = ln n − Σ c·ln c ⁄ n per class, 6dp-DECIMAL-rounded before the
+    * ln(l) compare on BOTH engines (the q92 discipline — rounding pins
+    * the order-dependent parallel sum).
+    */
+  def lDiversityAudit(spark: SparkSession, dir: String,
+                      ls: Seq[Int] = Seq(2, 3, 5)): DataFrame = {
+    require(ls.nonEmpty && ls.forall(_ >= 2), s"need ls >= 2; got $ls")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 18)
+    val svCounts = Tables.customer(spark, dir)
+      .groupBy(qiClassCols :+
+        substring(col("c_custkey").cast("string"), -1, 1).as("sv"): _*)
+      .agg(count(lit(1)).as("cnt"))
+    val classes = svCounts
+      .groupBy(col("c_nationkey"), col("c_mktsegment"), col("bal_bucket"))
+      .agg(sum(col("cnt")).as("n_rows"),
+        count(lit(1)).as("n_sv"),
+        round((log(sum(col("cnt")).cast("double"))
+          - sum(col("cnt").cast("double") * log(col("cnt").cast("double")))
+            / sum(col("cnt")).cast("double")).cast(dec), 6)
+          .cast("double").as("h"))
+    val lDf = spark.createDataFrame(ls.map(Tuple1(_))).toDF("l")
+    classes.crossJoin(broadcast(lDf))
+      .groupBy(col("l"))
+      .agg(count(lit(1)).as("n_classes"),
+        sum(col("n_rows")).as("n_rows"),
+        min(col("n_sv")).as("min_distinct_sv"),
+        sum(when(col("n_sv") < col("l"), 1L).otherwise(0L))
+          .as("n_distinct_violations"),
+        sum(when(col("n_sv") < col("l"), col("n_rows")).otherwise(0L))
+          .as("n_risk_rows"),
+        min(col("h")).as("min_entropy"),
+        sum(when(col("h") <
+            round(log(col("l").cast("double")).cast(dec), 6).cast("double"),
+          1L).otherwise(0L)).as("n_entropy_violations"))
+      .select(col("l"), col("n_rows"), col("n_classes"),
+        col("min_distinct_sv"), col("n_distinct_violations"),
+        col("n_risk_rows"), col("min_entropy"), col("n_entropy_violations"))
   }
 
   /** A40 [EXT] — BASKET CO-OCCURRENCE LIFT: association-rule mining's

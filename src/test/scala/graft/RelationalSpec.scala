@@ -104,6 +104,45 @@ class RelationalSpec extends AnyFunSuite {
     assert(got(13) == ((17L, 3L, 1L, 3L, 17L, 1.0)))
   }
 
+  test("q178 l-diversity audit matches a hand-computed planted table; entropy strictly stronger than distinct") {
+    // sensitive value = last digit of c_custkey
+    // class A: 8 rows, 4 sensitive digits x2 -> H = ln 4 = 1.386294
+    // class B: 6 rows, one digit             -> H = 0 (fully disclosed)
+    // class C: 9 rows, digits 7+1+1          -> H = ln 9 - 7 ln 7 / 9 =
+    //   0.683739 < ln 2: distinct-2-diverse (3 values) but NOT
+    //   entropy-2-diverse — the case the entropy audit exists to catch
+    val keysA = Seq(1L, 11L, 2L, 12L, 3L, 13L, 4L, 14L)
+    val keysB = Seq(5L, 15L, 25L, 35L, 45L, 55L)
+    val keysC = Seq(6L, 16L, 26L, 36L, 46L, 56L, 66L, 7L, 8L)
+    val rows =
+      keysA.map(k => (k, "c", 0, 500.0, "A")) ++
+      keysB.map(k => (k, "c", 1, 1500.0, "B")) ++
+      keysC.map(k => (k, "c", 2, 2500.0, "C"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_ldiv").toString
+    rows.toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal",
+        "c_mktsegment")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    val got = Relational.lDiversityAudit(spark, dir, ls = Seq(2, 3, 5))
+      .as[(Int, Long, Long, Long, Long, Long, Double, Long)].collect()
+      .map(r => (r._1, (r._2, r._3, r._4, r._5, r._6, r._7, r._8))).toMap
+    assert(got(2) == ((23L, 3L, 1L, 1L, 6L, 0.0, 2L)))
+    assert(got(3) == ((23L, 3L, 1L, 1L, 6L, 0.0, 2L)))
+    assert(got(5) == ((23L, 3L, 1L, 3L, 23L, 0.0, 3L)))
+    // invariant (H <= ln n_distinct): entropy violations can never
+    // undercount distinct violations — on the fixture corpus too
+    val fix = Relational.lDiversityAudit(spark, TestSpark.Sf0001)
+      .as[(Int, Long, Long, Long, Long, Long, Double, Long)].collect()
+    assert(fix.nonEmpty)
+    fix.foreach { r =>
+      assert(r._8 >= r._5, s"l=${r._1}: entropy violations ${r._8} < distinct ${r._5}")
+      assert(r._7 >= 0.0)
+    }
+    // the QI classes are q165's: same class count on the fixture
+    val kClasses = Relational
+      .kAnonymityClassCounts(Tables.customer(spark, TestSpark.Sf0001)).count()
+    assert(fix.head._3 == kClasses, "q178 QI classes drifted from q165's")
+  }
+
   test("q166 quantile sketch audit: flags pinned true and exact quantiles match a driver recompute") {
     val got = Relational.quantileSketchAudit(spark, TestSpark.Sf0001)
       .as[(String, Long, Double, Double, Boolean, Boolean)].collect()

@@ -616,7 +616,14 @@ object SparkEntry {
     // q165's l-diversity companion over the SAME QI classes: distinct and
     // entropy l-diversity violations per l, one (QI, sensitive) scan
     "q178_l_diversity_audit" -> ((s: SparkSession, d: String) =>
-      Relational.lDiversityAudit(s, d))
+      Relational.lDiversityAudit(s, d)),
+    // THE CAPSTONE: gates -> exact dedup -> near-dup -> decontamination ->
+    // mixture -> packing -> sharded JSONL export as ONE program (the
+    // reference's preprocessing_pipeline.py:244-330 shape); result = the
+    // release manifest from the exported files READ BACK, oracle = the
+    // whole chain replayed as chained CTEs over one shared pair relation
+    "q179_corpus_release" -> ((s: SparkSession, d: String) =>
+      graft.pipeline.CorpusRelease.corpusRelease(s, d))
   )
 
   /** Shared CTE chain ending in `pairs` = the exact-Jaccard near-dup pairs
@@ -639,6 +646,46 @@ object SparkEntry {
       |          WHERE round(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 4) >= 0.5)""".stripMargin
 
   private val jaccardPairCtes: String = jaccardPairCtesFrom("documents")
+
+  /** The q103 gate-predicate CTE chain ending in `cm` = (doc_id, p0..p4),
+    * one boolean per [[operators.TextAnalysis.cascadeStages]] stage —
+    * shared by the attrition funnel (q103) and the corpus-release capstone
+    * (q179), the SQL twin of `TextAnalysis.cascadePreds`. CTE names are
+    * c-prefixed so the chain composes with [[jaccardPairCtesFrom]] (which
+    * owns `toks`) in one WITH block. */
+  private lazy val cascadePredCtes: String =
+    s"""ctoks AS (SELECT doc_id, lang, text, string_split(text, ' ') AS t
+       |              FROM documents),
+       |csc AS (SELECT doc_id,
+       |  len(list_filter(t, x -> x IN ('the','a','of','and','is'))) AS s_en,
+       |  len(list_filter(t, x -> x IN ('el','la','de','que','y'))) AS s_es,
+       |  len(list_filter(t, x -> x IN ('der','die','und','das','ist'))) AS s_de,
+       |  len(list_filter(t, x -> x IN ('le','la','de','et','est'))) AS s_fr,
+       |  len(list_filter(t, x -> x IN ('de5','shi4','le5'))) AS s_zh
+       | FROM ctoks),
+       |cpl AS (SELECT doc_id,
+       |  CASE WHEN greatest(s_en, s_es, s_de, s_fr, s_zh) = 0 THEN 'und'
+       |       WHEN s_en = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'en'
+       |       WHEN s_es = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'es'
+       |       WHEN s_de = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'de'
+       |       WHEN s_fr = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'fr'
+       |       ELSE 'zh' END AS plang
+       | FROM csc),
+       |cdup AS (SELECT doc_id,
+       |  CASE WHEN len(t) >= 3 THEN round(
+       |    (CAST(len(t) - 2 AS DOUBLE)
+       |      - len(list_distinct([array_to_string(t[i:i+2], ' ')
+       |                           for i in generate_series(1, len(t)-2)])))
+       |    / (len(t) - 2), 6) ELSE 0.0 END AS dup_frac
+       | FROM ctoks),
+       |cm AS (SELECT ctoks.doc_id,
+       |  len(t) >= 5 AS p0,
+       |  round(CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+       |    / length(text), 6) >= 0.5 AS p1,
+       |  $qualitySql >= 0.5 AS p2,
+       |  plang = lang AS p3,
+       |  dup_frac <= 0.2 AS p4
+       | FROM ctoks JOIN cpl USING (doc_id) JOIN cdup USING (doc_id))""".stripMargin
 
   /** Per-stratum seeded-hash bottom-k (q97's batch semantics) as ONE rank
     * window — shared verbatim by q97 (batch) and q133 (streaming
@@ -864,6 +911,93 @@ object SparkEntry {
       |  CAST(sum(b) AS BIGINT) AS shard_bytes,
       |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
       |FROM a GROUP BY shard""".stripMargin
+
+  /** The q179 capstone oracle: the full corpus-release chain as chained
+    * CTEs (the q69 cumulative discipline) — gate predicates
+    * ([[cascadePredCtes]]), exact-dedup keep-min, near-dup transitive
+    * closure + decontamination both off ONE shared exact-Jaccard pair
+    * relation ([[jaccardPairCtesFrom]] over the exact-dedup survivors:
+    * Jaccard between two docs is relation-independent, so the same
+    * `pairs` CTE serves the CC edges and, keeper-restricted, the
+    * cross-split contamination filter), q104's mixture arithmetic over
+    * the released set, and the q84/q155 prefix sums over the
+    * (doc_id, copy) epoch order. */
+  private lazy val corpusReleaseSql: String =
+    s"""WITH RECURSIVE $cascadePredCtes,
+       |gated AS (SELECT doc_id FROM cm WHERE p0 AND p1 AND p2 AND p3 AND p4),
+       |g AS (SELECT d.* FROM documents d JOIN gated USING (doc_id)),
+       |exk AS (SELECT min(doc_id) AS doc_id FROM g GROUP BY sha256(text)),
+       |rel AS (SELECT d.doc_id, d.lang, d.text
+       |        FROM documents d JOIN exk USING (doc_id)),
+       |${jaccardPairCtesFrom("rel")},
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |          UNION SELECT doc_b, doc_a FROM pairs),
+       |reach(id, lbl) AS (
+       |  SELECT doc_id, doc_id FROM rel
+       |  UNION
+       |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
+       |keepers AS (SELECT id AS doc_id FROM reach GROUP BY id
+       |            HAVING min(lbl) = id),
+       |nd AS (SELECT rel.* FROM rel JOIN keepers USING (doc_id)),
+       |contam AS (
+       |  SELECT CASE WHEN doc_a % 10 = 0 THEN doc_b ELSE doc_a END AS doc_id
+       |  FROM pairs
+       |  JOIN keepers ka ON ka.doc_id = pairs.doc_a
+       |  JOIN keepers kb ON kb.doc_id = pairs.doc_b
+       |  WHERE (doc_a % 10 = 0) <> (doc_b % 10 = 0)
+       |  UNION
+       |  SELECT t.doc_id FROM nd t
+       |  WHERE t.doc_id % 10 <> 0
+       |    AND sha256(t.text) IN (SELECT sha256(text) FROM nd
+       |                           WHERE doc_id % 10 = 0)),
+       |released AS (SELECT nd.* FROM nd WHERE doc_id % 10 <> 0
+       |             AND doc_id NOT IN (SELECT doc_id FROM contam)),
+       |cnts AS (SELECT lang, count(*) AS n_docs FROM released GROUP BY lang),
+       |tw AS (SELECT sum(pow(CAST(n_docs AS DOUBLE), 0.7)) AS total_w
+       |       FROM cnts),
+       |tg AS (SELECT lang, n_docs,
+       |         CAST(floor(round(CAST(pow(CAST(n_docs AS DOUBLE), 0.7)
+       |                 / total_w AS DECIMAL(38,18)), 6) * 1000) AS BIGINT)
+       |           AS target
+       |       FROM cnts CROSS JOIN tw),
+       |rk AS (SELECT doc_id, lang,
+       |         CAST(row_number() OVER (PARTITION BY lang
+       |           ORDER BY md5(CAST(doc_id AS VARCHAR) || ':42'), doc_id)
+       |           AS BIGINT) AS pos
+       |       FROM released),
+       |cp AS (SELECT rk.doc_id,
+       |         target // n_docs
+       |           + CASE WHEN pos <= target % n_docs THEN 1 ELSE 0 END
+       |           AS n_copies
+       |       FROM rk JOIN tg USING (lang)),
+       |epoch AS (SELECT r.doc_id, r.text,
+       |            unnest(generate_series(1, n_copies)) AS cpy
+       |          FROM cp JOIN released r ON r.doc_id = cp.doc_id
+       |          WHERE n_copies > 0),
+       |et AS (SELECT doc_id, cpy,
+       |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |         CAST(length(text) AS BIGINT) AS b
+       |       FROM epoch),
+       |off AS (SELECT doc_id, cpy, n_tokens, b,
+       |         CAST(coalesce(sum(n_tokens) OVER w, 0) AS BIGINT) AS tok_off,
+       |         CAST(coalesce(sum(b) OVER w, 0) AS BIGINT) AS byte_off
+       |        FROM et
+       |        WINDOW w AS (ORDER BY doc_id, cpy
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+       |asg AS (SELECT doc_id, n_tokens, b,
+       |          byte_off // 16384 AS shard,
+       |          tok_off // 256 AS fc,
+       |          (tok_off + n_tokens - 1) // 256 AS lc
+       |        FROM off)
+       |SELECT CAST(shard AS BIGINT) AS shard,
+       |  CAST(count(*) AS BIGINT) AS n_rows,
+       |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       |  CAST(sum(b) AS BIGINT) AS shard_bytes,
+       |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       |  CAST(min(fc) AS BIGINT) AS first_chunk,
+       |  CAST(max(lc) AS BIGINT) AS last_chunk,
+       |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+       |FROM asg GROUP BY shard""".stripMargin
 
   /** The q165 k-anonymity sweep, shared VERBATIM by the streaming gate
     * q170 (class counts are sum-mergeable, so the cumulative streamed
@@ -1569,41 +1703,10 @@ object SparkEntry {
     // same gate chain, same rounded compares; first-failing stage index
     // per doc, then FILTER counts against the declared stage table
     "q103_filter_cascade" ->
-      s"""WITH toks AS (SELECT doc_id, lang, text, string_split(text, ' ') AS t
-         |              FROM documents),
-         |sc AS (SELECT doc_id,
-         |  len(list_filter(t, x -> x IN ('the','a','of','and','is'))) AS s_en,
-         |  len(list_filter(t, x -> x IN ('el','la','de','que','y'))) AS s_es,
-         |  len(list_filter(t, x -> x IN ('der','die','und','das','ist'))) AS s_de,
-         |  len(list_filter(t, x -> x IN ('le','la','de','et','est'))) AS s_fr,
-         |  len(list_filter(t, x -> x IN ('de5','shi4','le5'))) AS s_zh
-         | FROM toks),
-         |pl AS (SELECT doc_id,
-         |  CASE WHEN greatest(s_en, s_es, s_de, s_fr, s_zh) = 0 THEN 'und'
-         |       WHEN s_en = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'en'
-         |       WHEN s_es = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'es'
-         |       WHEN s_de = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'de'
-         |       WHEN s_fr = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'fr'
-         |       ELSE 'zh' END AS plang
-         | FROM sc),
-         |dup AS (SELECT doc_id,
-         |  CASE WHEN len(t) >= 3 THEN round(
-         |    (CAST(len(t) - 2 AS DOUBLE)
-         |      - len(list_distinct([array_to_string(t[i:i+2], ' ')
-         |                           for i in generate_series(1, len(t)-2)])))
-         |    / (len(t) - 2), 6) ELSE 0.0 END AS dup_frac
-         | FROM toks),
-         |m AS (SELECT toks.doc_id,
-         |  len(t) >= 5 AS p0,
-         |  round(CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
-         |    / length(text), 6) >= 0.5 AS p1,
-         |  $qualitySql >= 0.5 AS p2,
-         |  plang = lang AS p3,
-         |  dup_frac <= 0.2 AS p4
-         | FROM toks JOIN pl USING (doc_id) JOIN dup USING (doc_id)),
+      s"""WITH $cascadePredCtes,
          |ff AS (SELECT CASE WHEN NOT p0 THEN 0 WHEN NOT p1 THEN 1
          |                   WHEN NOT p2 THEN 2 WHEN NOT p3 THEN 3
-         |                   WHEN NOT p4 THEN 4 ELSE 5 END AS ff FROM m),
+         |                   WHEN NOT p4 THEN 4 ELSE 5 END AS ff FROM cm),
          |stages(stage_idx, stage) AS (
          |  VALUES (0, 'min_tokens'), (1, 'alpha_ratio'), (2, 'quality'),
          |         (3, 'lang_agree'), (4, 'repetition'))
@@ -2799,6 +2902,8 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN h < CAST(round(CAST(ln(l) AS DECIMAL(38,18)), 6)
         |    AS DOUBLE) THEN 1 ELSE 0 END) AS BIGINT) AS n_entropy_violations
         |FROM cls CROSS JOIN ls GROUP BY l""".stripMargin,
+    // the capstone chain replayed end to end in chained CTEs
+    "q179_corpus_release" -> corpusReleaseSql,
     // exact quantiles re-derived (quantile_cont shares the (n-1)·q
     // interpolation); the sketch flags are the engine's own GK rank
     // guarantee — pinned TRUE under any merge order

@@ -759,20 +759,32 @@ object TextAnalysis {
     * funnel. No second pass per stage: at 100 TB the naive
     * "count after each filter" is n full scans; this is one.
     */
-  def filterCascade(spark: SparkSession, dir: String): DataFrame = {
-    // shingle array materialized once (the q89 projection discipline)
-    val base = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("lang"), col("text"),
-        TF.shingles(col("text"), 3).as("sh"))
+  /** The cascade's gate predicates over a (doc_id, lang, text, sh)
+    * projection — declared ONCE and shared by the attrition funnel (q103)
+    * and the corpus-release pipeline (q179), so the two can never drift
+    * on what "passes curation" means. Ordered like [[cascadeStages]]. */
+  private[graft] def cascadePreds: Seq[(String, org.apache.spark.sql.Column)] = {
     val dupFrac = when(size(col("sh")) > 0,
       round((size(col("sh")) - size(array_distinct(col("sh")))).cast("double")
         / size(col("sh")).cast("double"), 6)).otherwise(lit(0.0))
-    val preds: Seq[(String, org.apache.spark.sql.Column)] = Seq(
+    Seq(
       "min_tokens" -> (TF.nTokens(col("text")) >= 5),
       "alpha_ratio" -> (round(TF.alphaRatio(col("text")), 6) >= 0.5),
       "quality" -> (TF.qualityScore(col("text")) >= 0.5),
       "lang_agree" -> (TF.langId(col("text")) === col("lang")),
       "repetition" -> (dupFrac <= 0.2))
+  }
+
+  /** The (doc_id, lang, text, sh) projection [[cascadePreds]] evaluates
+    * over — the shingle array materialized once (q89 discipline). */
+  private[graft] def cascadeBase(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("text"),
+        TF.shingles(col("text"), 3).as("sh"))
+
+  def filterCascade(spark: SparkSession, dir: String): DataFrame = {
+    val base = cascadeBase(spark, dir)
+    val preds = cascadePreds
     require(preds.map(_._1) == cascadeStages, "stage table drifted from predicates")
     val n = preds.size
     val firstFail = preds.zipWithIndex.foldRight(lit(n)) {

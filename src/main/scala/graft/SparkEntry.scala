@@ -623,7 +623,11 @@ object SparkEntry {
     // release manifest from the exported files READ BACK, oracle = the
     // whole chain replayed as chained CTEs over one shared pair relation
     "q179_corpus_release" -> ((s: SparkSession, d: String) =>
-      graft.pipeline.CorpusRelease.corpusRelease(s, d))
+      graft.pipeline.CorpusRelease.corpusRelease(s, d)),
+    // the third governance notch (k-anon -> l-div -> t-closeness): per-QI
+    // class total-variation distance to the global sensitive distribution
+    "q180_t_closeness_audit" -> ((s: SparkSession, d: String) =>
+      Relational.tClosenessAudit(s, d))
   )
 
   /** Shared CTE chain ending in `pairs` = the exact-Jaccard near-dup pairs
@@ -2904,6 +2908,39 @@ object SparkEntry {
         |FROM cls CROSS JOIN ls GROUP BY l""".stripMargin,
     // the capstone chain replayed end to end in chained CTEs
     "q179_corpus_release" -> corpusReleaseSql,
+    // same QI classes and sensitive value as q178; TVD with the absent
+    // global mass folded in; double ratios, 6dp DECIMAL round at the end
+    "q180_t_closeness_audit" ->
+      """WITH svc AS (SELECT c_nationkey, c_mktsegment,
+        |               floor(c_acctbal / 1000.0) AS b,
+        |               right(CAST(c_custkey AS VARCHAR), 1) AS sv,
+        |               count(*) AS cnt
+        |             FROM customer GROUP BY 1, 2, 3, 4),
+        |gl AS (SELECT sv, sum(cnt) AS g FROM svc GROUP BY sv),
+        |tot AS (SELECT sum(g) AS n_total FROM gl),
+        |wc AS (SELECT svc.*, g,
+        |         sum(cnt) OVER (PARTITION BY c_nationkey, c_mktsegment, b)
+        |           AS n_class
+        |       FROM svc JOIN gl USING (sv)),
+        |cls AS (SELECT c_nationkey, c_mktsegment, b,
+        |          max(n_class) AS n_rows,
+        |          sum(abs(CAST(cnt AS DOUBLE) / n_class
+        |            - CAST(g AS DOUBLE) / n_total)) AS present_diff,
+        |          1.0 - sum(CAST(g AS DOUBLE) / n_total) AS absent_mass
+        |        FROM wc CROSS JOIN tot GROUP BY 1, 2, 3),
+        |cl2 AS (SELECT n_rows,
+        |          CAST(round(CAST((present_diff + absent_mass) / 2.0
+        |            AS DECIMAL(38,18)), 6) AS DOUBLE) AS tvd
+        |        FROM cls),
+        |ts AS (SELECT CAST(unnest([0.2, 0.3, 0.5]) AS DOUBLE) AS t)
+        |SELECT t, CAST(sum(n_rows) AS BIGINT) AS n_rows,
+        |  CAST(count(*) AS BIGINT) AS n_classes,
+        |  max(tvd) AS max_tvd,
+        |  CAST(sum(CASE WHEN tvd > t THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_violations,
+        |  CAST(sum(CASE WHEN tvd > t THEN n_rows ELSE 0 END) AS BIGINT)
+        |    AS n_risk_rows
+        |FROM cl2 CROSS JOIN ts GROUP BY t""".stripMargin,
     // exact quantiles re-derived (quantile_cont shares the (n-1)·q
     // interpolation); the sketch flags are the engine's own GK rank
     // guarantee — pinned TRUE under any merge order

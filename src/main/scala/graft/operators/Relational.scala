@@ -295,6 +295,71 @@ object Relational {
         col("n_risk_rows"), col("min_entropy"), col("n_entropy_violations"))
   }
 
+  /** A42 [EXT] — T-CLOSENESS AUDIT: the third notch of the release-gate
+    * trio (k-anonymity q165 → l-diversity q178 → t-closeness; Li, Li &
+    * Venkatasubramanian 2007): l-diversity counts sensitive VALUES per QI
+    * class but ignores their DISTRIBUTION — a class that is 98% one
+    * diagnosis and 1%+1% two others is 3-diverse yet nearly disclosed.
+    * t-closeness demands each class's sensitive distribution sit within
+    * distance t of the corpus-wide distribution; for a categorical
+    * sensitive attribute the paper's instantiation of that distance is
+    * total variation, TVD = ½ Σ_v \|p_class(v) − p_global(v)\| — values
+    * ABSENT from a class still contribute their global mass, folded in as
+    * ½(Σ_present \|p−q\| + (1 − Σ_present q)). Per t in the sweep, over
+    * the SAME QI classes and sensitive value as q178: class count, max
+    * 6dp TVD, violating classes (tvd > t) and their row mass.
+    *
+    * Scale: the same single (QI, sensitive) map-side-combined scan as
+    * q178; the global marginal is a \|values\|-row broadcast; the class
+    * rollup and t sweep run on class-sized relations. TVD ratios ride
+    * DECIMAL(38,18) before the 6dp round (the q92 discipline).
+    */
+  def tClosenessAudit(spark: SparkSession, dir: String,
+                      ts: Seq[Double] = Seq(0.2, 0.3, 0.5)): DataFrame = {
+    require(ts.nonEmpty && ts.forall(t => t > 0 && t < 1), s"need 0<t<1; got $ts")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 18)
+    val svCounts = graft.sources.Sources.spillScratch(
+      Tables.customer(spark, dir)
+        .groupBy(qiClassCols :+
+          substring(col("c_custkey").cast("string"), -1, 1).as("sv"): _*)
+        .agg(count(lit(1)).as("cnt")),
+      "tclose_svc")
+    val global = svCounts.groupBy(col("sv")).agg(sum(col("cnt")).as("g"))
+    val total = global.agg(sum(col("g")).as("n_total"))
+    // ratio arithmetic in DOUBLE over exact integer inputs (one IEEE
+    // division each — bit-identical across engines), 6dp-DECIMAL-rounded
+    // only at the end (the q92 discipline; decimal DIVISION rules differ
+    // between Spark and DuckDB, so ratios never ride DECIMAL here)
+    val qiW = org.apache.spark.sql.expressions.Window.partitionBy(
+      col("c_nationkey"), col("c_mktsegment"), col("bal_bucket"))
+    val classes = svCounts
+      .join(broadcast(global), "sv").crossJoin(broadcast(total))
+      .withColumn("q", col("g").cast("double") / col("n_total").cast("double"))
+      // class totals as a window over the (class, value) relation — the
+      // widest partition is |values| rows, corpus-size-independent
+      .withColumn("n_class", sum(col("cnt")).over(qiW))
+      .groupBy(col("c_nationkey"), col("c_mktsegment"), col("bal_bucket"))
+      .agg(max(col("n_class")).as("n_rows"),
+        sum(abs(col("cnt").cast("double") / col("n_class").cast("double")
+          - col("q"))).as("present_diff"),
+        (lit(1.0) - sum(col("q"))).as("absent_mass"))
+      .withColumn("tvd",
+        round(((col("present_diff") + col("absent_mass")) / 2.0).cast(dec), 6)
+          .cast("double"))
+      .select(col("n_rows"), col("tvd"))
+    val tDf = spark.createDataFrame(ts.map(Tuple1(_))).toDF("t")
+    classes.crossJoin(broadcast(tDf))
+      .groupBy(col("t"))
+      .agg(count(lit(1)).as("n_classes"),
+        sum(col("n_rows")).as("n_rows"),
+        max(col("tvd")).as("max_tvd"),
+        sum(when(col("tvd") > col("t"), 1L).otherwise(0L)).as("n_violations"),
+        sum(when(col("tvd") > col("t"), col("n_rows")).otherwise(0L))
+          .as("n_risk_rows"))
+      .select(col("t"), col("n_rows"), col("n_classes"), col("max_tvd"),
+        col("n_violations"), col("n_risk_rows"))
+  }
+
   /** A40 [EXT] — BASKET CO-OCCURRENCE LIFT: association-rule mining's
     * first table (support / confidence / lift per item pair, Agrawal &
     * Srikant's Apriori at the 2-itemset grain) over order baskets —

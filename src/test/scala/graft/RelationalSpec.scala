@@ -143,6 +143,37 @@ class RelationalSpec extends AnyFunSuite {
     assert(fix.head._3 == kClasses, "q178 QI classes drifted from q165's")
   }
 
+  test("q180 t-closeness audit matches a hand-computed planted table, absent mass folded in") {
+    // sensitive value = last custkey digit; two UNEQUAL classes so the
+    // TVDs differ (equal-size classes are TVD-symmetric by construction):
+    // class A: 4 rows {1,1,2,2}; class B: 12 rows all {3}
+    // global q = (2/16, 2/16, 12/16) = (.125, .125, .75)
+    // TVD_A = (|.5-.125|*2 + .75)/2 = 0.75  (v3 absent from A)
+    // TVD_B = (.125 + .125 + |1-.75|)/2 = 0.25
+    val keysA = Seq(1L, 11L, 2L, 12L)
+    val keysB = (0 until 12).map(i => 3L + 10L * i)
+    val rows = keysA.map(k => (k, "c", 0, 500.0, "A")) ++
+      keysB.map(k => (k, "c", 1, 1500.0, "B"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_tclose").toString
+    rows.toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal",
+        "c_mktsegment")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    val got = Relational.tClosenessAudit(spark, dir, ts = Seq(0.2, 0.3, 0.5))
+      .as[(Double, Long, Long, Double, Long, Long)].collect()
+      .map(r => (r._1, (r._2, r._3, r._4, r._5, r._6))).toMap
+    assert(got(0.2) == ((16L, 2L, 0.75, 2L, 16L)))
+    assert(got(0.3) == ((16L, 2L, 0.75, 1L, 4L)))
+    assert(got(0.5) == ((16L, 2L, 0.75, 1L, 4L)))
+    // fixture invariants: TVD in [0, 1]; same QI classes as q165/q178
+    val fix = Relational.tClosenessAudit(spark, TestSpark.Sf0001)
+      .as[(Double, Long, Long, Double, Long, Long)].collect()
+    assert(fix.nonEmpty)
+    fix.foreach { r => assert(r._4 >= 0.0 && r._4 <= 1.0, s"tvd ${r._4}") }
+    val kClasses = Relational
+      .kAnonymityClassCounts(Tables.customer(spark, TestSpark.Sf0001)).count()
+    assert(fix.head._3 == kClasses, "q180 QI classes drifted from q165's")
+  }
+
   test("q166 quantile sketch audit: flags pinned true and exact quantiles match a driver recompute") {
     val got = Relational.quantileSketchAudit(spark, TestSpark.Sf0001)
       .as[(String, Long, Double, Double, Boolean, Boolean)].collect()

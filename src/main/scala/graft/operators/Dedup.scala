@@ -739,22 +739,44 @@ object Dedup {
       s"need 1 <= nBits <= 64 and nBits=$nBits divisible by bandBits=$bandBits")
     val nBands = nBits / bandBits
     val mask = (1L << bandBits) - 1
-    // band table carries ids only; candidates dedup on ids, vectors
-    // re-attach afterwards (never shuffle arrays as grouping keys)
+    def bandOf(sig: org.apache.spark.sql.Column,
+               b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      call_function("shiftright", sig, b.cast("int") * bandBits)
+        .bitwiseAND(lit(mask))
+    // band table carries ids + the 8-byte signature; candidates dedup by
+    // FIRST-MATCHING-BAND emission, vectors re-attach afterwards (never
+    // shuffle arrays as grouping keys)
     val banded = e
       .select(col("vec_id"), VectorOps.hyperplaneSignature(col("embedding"), nBits).as("sig"))
-      .select(col("vec_id"),
+      .select(col("vec_id"), col("sig"),
         posexplode(transform(sequence(lit(0), lit(nBands - 1)),
-          b => call_function("shiftright", col("sig"), b.cast("int") * bandBits)
-            .bitwiseAND(lit(mask)))))
-      .toDF("vec_id", "band_id", "band_val")
+          b => bandOf(col("sig"), b))))
+      .toDF("vec_id", "sig", "band_id", "band_val")
+    // A pair colliding in k bands appears k times in the band join; the
+    // round-12 form deduplicated with a pair-grain `distinct()`, whose
+    // hash-agg sort-spill was the measured 160k memory/disk wall
+    // (RouteCrossover round 13: SPILL_OUT_OF_MEMORY) — the candidate
+    // relation is the n²/64 mass and must never be SHUFFLED whole. The
+    // standard LSH fix makes dedup a PER-ROW filter instead: both sides
+    // carry their 8-byte signature, and a candidate is emitted only from
+    // the lowest band the two signatures agree on (for every b' < band_id
+    // the bands must differ) — exactly one emission per colliding pair,
+    // zero pair-grain state. The verification joins are hinted
+    // shuffle-hash (the build side is the |corpus| id→vector table; the
+    // probe side is the candidate stream) so no operator ever sorts or
+    // aggregates the candidate mass.
+    val firstMatch = when(col("band_id") === 0, lit(true)).otherwise(
+      forall(sequence(lit(0), col("band_id") - 1),
+        b => bandOf(col("x.sig"), b) =!= bandOf(col("y.sig"), b)))
     val cand = banded.as("x").join(banded.as("y"), Seq("band_id", "band_val"))
       .filter(col("x.vec_id") < col("y.vec_id"))
+      .filter(firstMatch)
       .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"))
-      .distinct()
     cand
-      .join(e.select(col("vec_id").as("id_a"), col("embedding").as("va")), "id_a")
-      .join(e.select(col("vec_id").as("id_b"), col("embedding").as("vb")), "id_b")
+      .join(e.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+        .hint("shuffle_hash"), "id_a")
+      .join(e.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+        .hint("shuffle_hash"), "id_b")
       .withColumn("cos", round(VectorOps.cosineFast(col("va"), col("vb")), 6))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), col("cos"))

@@ -45,23 +45,32 @@ object RouteCrossover {
       val secs = (System.nanoTime() - t0) / 1e9
       println(f"[xover] $label%-28s wall=$secs%8.1fs pairs=$rows%d")
     }
+    // optional route filter for large-n sessions where the quadratic
+    // routes are deliberately out of budget (e.g. ROUTES=banded8 at 160k)
+    val routes = sys.env.get("SPARK_GRAFT_XOVER_ROUTES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    def want(r: String): Boolean = routes.forall(_.contains(r))
     targets.foreach { n =>
       val e = tiled(n)
       val actual = e.count()
       println(s"[xover] === n=$actual (target $n) ===")
-      time(s"banded8 t=0.9 n=$actual", Dedup.embeddingNearDupPairsBandedFor(e, 0.9))
-      time(s"banded4 t=0.9 n=$actual",
-        Dedup.embeddingNearDupPairsBandedFor(e, 0.9, bandBits = 4))
-      time(s"exact   t=0.9 n=$actual", Dedup.embeddingNearDupPairsExactFor(e, 0.9))
+      if (want("banded8"))
+        time(s"banded8 t=0.9 n=$actual", Dedup.embeddingNearDupPairsBandedFor(e, 0.9))
+      if (want("banded4"))
+        time(s"banded4 t=0.9 n=$actual",
+          Dedup.embeddingNearDupPairsBandedFor(e, 0.9, bandBits = 4))
+      if (want("exact09"))
+        time(s"exact   t=0.9 n=$actual", Dedup.embeddingNearDupPairsExactFor(e, 0.9))
       // the blocked route is ~7× the broadcast kernel's wall on one JVM
       // (same quadratic compute through an SMJ instead of a codegen'd
       // NLJ) — measure it only where the wall stays minute-class
-      if (actual <= 40000L) {
+      if (want("blocked") && actual <= 40000L) {
         val nBlocks = math.min(1024L, actual / 100000L + 2L).toInt
         time(s"blocked t=0.4 n=$actual B=$nBlocks",
           Dedup.embeddingNearDupPairsBlockedFor(e, 0.4, nBlocks))
       }
-      time(s"exact   t=0.4 n=$actual", Dedup.embeddingNearDupPairsExactFor(e, 0.4))
+      if (want("exact04"))
+        time(s"exact   t=0.4 n=$actual", Dedup.embeddingNearDupPairsExactFor(e, 0.4))
     }
     spark.stop()
   }

@@ -627,7 +627,11 @@ object SparkEntry {
     // the third governance notch (k-anon -> l-div -> t-closeness): per-QI
     // class total-variation distance to the global sensitive distribution
     "q180_t_closeness_audit" -> ((s: SparkSession, d: String) =>
-      Relational.tClosenessAudit(s, d))
+      Relational.tClosenessAudit(s, d)),
+    // the dedup knob-tuning curve: ONE candidate pass at the loosest
+    // threshold, then per-threshold pair/cluster/dropped-doc accounting
+    "q181_dedup_threshold_curve" -> ((s: SparkSession, d: String) =>
+      Dedup.dedupThresholdCurve(s, d))
   )
 
   /** Shared CTE chain ending in `pairs` = the exact-Jaccard near-dup pairs
@@ -1002,6 +1006,36 @@ object SparkEntry {
        |  CAST(max(lc) AS BIGINT) AS last_chunk,
        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
        |FROM asg GROUP BY shard""".stripMargin
+
+  /** The q181 threshold-curve oracle: the shared 0.5-threshold pair CTE
+    * once, then per-threshold transitive closure + summary rows (pairs at
+    * tighter thresholds are a subset by monotonicity, so one pair
+    * relation serves every gate — the engine's shape replayed). */
+  private lazy val dedupCurveSql: String = {
+    val ts = Seq(0.5, 0.6, 0.7, 0.8, 0.9)
+    val perT = ts.map { t =>
+      val s = (t * 100).round.toInt
+      s"""ed$s AS (SELECT doc_a AS src, doc_b AS dst FROM pairs WHERE jaccard >= $t
+         |  UNION SELECT doc_b, doc_a FROM pairs WHERE jaccard >= $t),
+         |re$s(id, lbl) AS (
+         |  SELECT src, src FROM ed$s
+         |  UNION
+         |  SELECT e.dst, r.lbl FROM re$s r JOIN ed$s e ON e.src = r.id),
+         |cl$s AS (SELECT id, min(lbl) AS lbl FROM re$s GROUP BY id)""".stripMargin
+    }.mkString(",\n")
+    val rows = ts.map { t =>
+      val s = (t * 100).round.toInt
+      s"""SELECT CAST($t AS DOUBLE) AS threshold,
+         |  CAST((SELECT count(*) FROM pairs WHERE jaccard >= $t) AS BIGINT) AS n_pairs,
+         |  CAST((SELECT count(*) FROM cl$s) AS BIGINT) AS n_docs_in_pairs,
+         |  CAST((SELECT count(DISTINCT lbl) FROM cl$s) AS BIGINT) AS n_clusters,
+         |  CAST((SELECT count(*) FROM cl$s)
+         |    - (SELECT count(DISTINCT lbl) FROM cl$s) AS BIGINT) AS n_docs_dropped,
+         |  (SELECT CAST(round(CAST(avg(jaccard) AS DECIMAL(38,18)), 6) AS DOUBLE)
+         |   FROM pairs WHERE jaccard >= $t) AS mean_jaccard""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"WITH RECURSIVE $jaccardPairCtes,\n$perT\n$rows"
+  }
 
   /** The q165 k-anonymity sweep, shared VERBATIM by the streaming gate
     * q170 (class counts are sum-mergeable, so the cumulative streamed
@@ -2941,6 +2975,8 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN tvd > t THEN n_rows ELSE 0 END) AS BIGINT)
         |    AS n_risk_rows
         |FROM cl2 CROSS JOIN ts GROUP BY t""".stripMargin,
+    // one pair relation, five gates; per-threshold CC replayed recursively
+    "q181_dedup_threshold_curve" -> dedupCurveSql,
     // exact quantiles re-derived (quantile_cont shares the (n-1)·q
     // interpolation); the sketch flags are the engine's own GK rank
     // guarantee — pinned TRUE under any merge order

@@ -1041,6 +1041,48 @@ object Dedup {
     labels
   }
 
+  /** D31 [EXT] — DEDUP THRESHOLD SENSITIVITY CURVE: the knob-tuning query
+    * a curation team runs BEFORE shipping a dedup pass — "at which
+    * Jaccard threshold do we dedup, and what does each choice cost?" Per
+    * threshold in the sweep: the near-dup pair count, the documents
+    * touched by any pair, the exact connected-component cluster count
+    * over that edge set, the documents a keep-one dedup would DROP
+    * (touched − clusters — exact, not the docs-with-lower-neighbor
+    * proxy, which undercounts chains), and the mean pair Jaccard.
+    *
+    * Scale: candidate generation — the expensive part — runs ONCE at the
+    * loosest threshold (pairs at tighter thresholds are a subset by
+    * monotonicity of ≥) and spills; each threshold then pays only a
+    * filter over the pair-bounded edge relation plus a CC whose input is
+    * near-dup-bounded, orders of magnitude below corpus size. The same
+    * one-pass-many-gates shape as the q165/q178/q180 sweeps.
+    */
+  def dedupThresholdCurve(spark: SparkSession, dir: String,
+                          ts: Seq[Double] = Seq(0.5, 0.6, 0.7, 0.8, 0.9)): DataFrame = {
+    require(ts.nonEmpty && ts.forall(t => t > 0 && t <= 1), s"need 0<t<=1; got $ts")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 18)
+    val pairs = graft.sources.Sources.spillScratch(
+      ngramJaccardPairsFor(Tables.documents(spark, dir), ts.min), "curve_pairs")
+    ts.sorted.map { t =>
+      val pt = pairs.filter(col("jaccard") >= t)
+      val touched = pt.select(col("doc_a").as("id"))
+        .unionByName(pt.select(col("doc_b").as("id"))).distinct()
+      val cc = connectedComponents(touched,
+        pt.select(col("doc_a").as("src"), col("doc_b").as("dst")))
+      val stats = pt.agg(
+        count(lit(1)).as("n_pairs"),
+        round(avg(col("jaccard")).cast(dec), 6).cast("double").as("mean_jaccard"))
+      val clusters = cc.agg(
+        count(lit(1)).as("n_docs_in_pairs"),
+        countDistinct(col("lbl")).as("n_clusters"))
+      stats.crossJoin(clusters)
+        .select(lit(t).as("threshold"), col("n_pairs"), col("n_docs_in_pairs"),
+          col("n_clusters"),
+          (col("n_docs_in_pairs") - col("n_clusters")).as("n_docs_dropped"),
+          col("mean_jaccard"))
+    }.reduce(_.unionByName(_))
+  }
+
   /** The dedup verb a training-data pipeline actually runs: resolve
     * near-dup PAIRS into clusters and a keep/drop decision per document.
     * Edges are the MinHash-LSH pairs (exact-Jaccard-verified, so the edge

@@ -653,4 +653,43 @@ class DedupSpec extends AnyFunSuite {
       && capped(1L)._7.isEmpty, s"over-cap cluster must be excluded: ${capped(1L)}")
     assert(capped(10L)._3, "under-cap cluster still audited")
   }
+
+  test("q181 dedup threshold curve: planted chain drops exactly per-threshold; curve is monotone") {
+    // 3-shingle Jaccards by construction: J(1,2) = 7/9 -> 0.7778,
+    // J(2,3) = 6/10 = 0.6, J(1,3) = 5/11 -> 0.4545 (below every gate).
+    // The 1-2-3 CHAIN at t <= 0.6 is the case the exact CC accounting
+    // exists for: keep-one drops TWO docs while the docs-with-a-lower-
+    // neighbor proxy would count one.
+    val rows = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "a b c d e f g h i k"),
+      (3L, "c d e f g h i k l m"),
+      (50L, "p q r s t u v w x y"),   // pairless filler: touched != corpus
+      (51L, "z1 z2 z3 z4 z5 z6 z7 z8"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_curve").toString
+    rows.map { case (id, t) => (id, t, "en", "s0") }
+      .toDF("doc_id", "text", "lang", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Dedup.dedupThresholdCurve(spark, dir)
+      .as[(Double, Long, Long, Long, Long, Option[Double])].collect()
+      .map(r => (r._1, (r._2, r._3, r._4, r._5, r._6))).toMap
+    val mean50 = BigDecimal((0.7778 + 0.6) / 2)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(0.5) == ((2L, 3L, 1L, 2L, Some(mean50))))
+    assert(got(0.6) == ((2L, 3L, 1L, 2L, Some(mean50))))
+    assert(got(0.7) == ((1L, 2L, 1L, 1L, Some(0.7778))))
+    assert(got(0.8) == ((0L, 0L, 0L, 0L, None)))
+    assert(got(0.9) == ((0L, 0L, 0L, 0L, None)))
+    // fixture: every count is non-increasing in the threshold
+    val fix = Dedup.dedupThresholdCurve(spark, TestSpark.Sf0001)
+      .as[(Double, Long, Long, Long, Long, Option[Double])].collect()
+      .sortBy(_._1)
+    assert(fix.head._2 > 0, "fixture has no near-dup pairs at 0.5")
+    fix.sliding(2).foreach {
+      case Array(lo, hi) =>
+        assert(lo._2 >= hi._2 && lo._3 >= hi._3 && lo._5 >= hi._5,
+          s"curve not monotone: $lo -> $hi")
+      case _ =>
+    }
+  }
 }

@@ -631,7 +631,12 @@ object SparkEntry {
     // the dedup knob-tuning curve: ONE candidate pass at the loosest
     // threshold, then per-threshold pair/cluster/dropped-doc accounting
     "q181_dedup_threshold_curve" -> ((s: SparkSession, d: String) =>
-      Dedup.dedupThresholdCurve(s, d))
+      Dedup.dedupThresholdCurve(s, d)),
+    // q177 kept live over erasure-request ticks: bucket-pruned partition
+    // rewrites + exactly-once tombstones; cumulative audit = batch
+    // erasure of the union request set, so the oracle is q177's shape
+    "q182_streaming_erasure" -> ((s: SparkSession, d: String) =>
+      graft.streaming.ErasureStream.erasureTicks(s, d))
   )
 
   /** Shared CTE chain ending in `pairs` = the exact-Jaccard near-dup pairs
@@ -2977,6 +2982,11 @@ object SparkEntry {
         |FROM cl2 CROSS JOIN ts GROUP BY t""".stripMargin,
     // one pair relation, five gates; per-threshold CC replayed recursively
     "q181_dedup_threshold_curve" -> dedupCurveSql,
+    // counts re-derived from the union of the three modulo request sets
+    "q182_streaming_erasure" ->
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS n_rows_erased,
+        |  CAST(0 AS BIGINT) AS n_remaining, TRUE AS purged
+        |FROM events WHERE user_id % 13 IN (0, 1, 2) GROUP BY user_id""".stripMargin,
     // exact quantiles re-derived (quantile_cont shares the (n-1)·q
     // interpolation); the sketch flags are the engine's own GK rank
     // guarantee — pinned TRUE under any merge order

@@ -710,4 +710,68 @@ class StreamingSpec extends AnyFunSuite {
     assert(thirds.exceptAll(batch).count() == 0)
     assert(batch.exceptAll(thirds).count() == 0)
   }
+
+  test("q182 streaming erasure: bucket-pruned rewrite, replay no-op, null user retained") {
+    import graft.streaming.ErasureStream
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_erasure_stream").toString
+    val store = s"$root/store"
+    val tombs = s"$root/tombstones"
+    ErasureStream.buildStore(spark, TestSpark.Sf0001, store)
+    def storeFiles(): Map[String, Set[String]] =
+      new java.io.File(store).listFiles().filter(_.getName.startsWith("bucket="))
+        .map(d => d.getName ->
+          d.listFiles().map(f => s"${f.getName}:${f.length}").toSet).toMap
+    val allUsers = Tables.events(spark, TestSpark.Sf0001)
+      .select(col("user_id")).as[Long].collect()
+    // single-victim tick: ONLY that user's bucket partition may change
+    val victim = allUsers.distinct.min
+    val victimBucket = s"bucket=${victim % 16}"
+    val before = storeFiles()
+    ErasureStream.erasureTickXO(spark, store, tombs, 0L, col("user_id") === victim)
+    val after = storeFiles()
+    before.keySet.filter(_ != victimBucket).foreach { b =>
+      assert(after(b) == before(b), s"untouched partition $b was rewritten")
+    }
+    // the victim bucket was rewritten — or deleted outright if the victim
+    // was its only user (the dynamic-overwrite-can't-empty-a-partition
+    // case the engine handles explicitly)
+    assert(after.getOrElse(victimBucket, Set.empty[String]) != before(victimBucket),
+      "victim bucket unchanged")
+    // replay the same tick: audit and store both unchanged (exactly-once)
+    val audit1 = ErasureStream.erasureAudit(spark, store, tombs)
+      .collect().map(_.toSeq).toSet
+    ErasureStream.erasureTickXO(spark, store, tombs, 0L, col("user_id") === victim)
+    val audit2 = ErasureStream.erasureAudit(spark, store, tombs)
+      .collect().map(_.toSeq).toSet
+    assert(audit1 == audit2, "tick replay changed the audit")
+    // second tick on another user: cumulative audit covers both, store
+    // keeps every non-victim row
+    val victim2 = allUsers.distinct.sorted.apply(1)
+    ErasureStream.erasureTickXO(spark, store, tombs, 1L, col("user_id") === victim2)
+    val audit = ErasureStream.erasureAudit(spark, store, tombs)
+      .as[(Long, Long, Long, Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(audit.keySet == Set(victim, victim2))
+    val expect = allUsers.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    audit.values.foreach { case (u, n, rem, purged) =>
+      assert(n == expect(u) && rem == 0L && purged, s"user $u: ($n, $rem, $purged)")
+    }
+    val kept = spark.read.parquet(store).select(col("user_id")).as[Long].collect()
+    val keptWant = allUsers.filter(u => u != victim && u != victim2)
+    assert(kept.sorted.toSeq == keptWant.sorted.toSeq,
+      "a non-victim row was lost or duplicated")
+    // null-safety: a null-keyed row must survive any request predicate
+    val nroot = java.nio.file.Files.createTempDirectory("graft_erasure_null").toString
+    val withNull = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), Some(13L), "view", 1.0, "{}"),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 00:01:00"), None, "view", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    withNull.write.mode("overwrite").parquet(s"$nroot/events.parquet")
+    ErasureStream.buildStore(spark, nroot, s"$nroot/store")
+    ErasureStream.erasureTickXO(spark, s"$nroot/store", s"$nroot/tombs", 0L,
+      col("user_id") % 13 === 0)
+    val left = spark.read.parquet(s"$nroot/store")
+      .select(col("event_id")).as[Long].collect().toSet
+    assert(left == Set(2L), s"null-keyed row must be retained, user 13 erased: $left")
+  }
 }

@@ -636,7 +636,13 @@ object SparkEntry {
     // rewrites + exactly-once tombstones; cumulative audit = batch
     // erasure of the union request set, so the oracle is q177's shape
     "q182_streaming_erasure" -> ((s: SparkSession, d: String) =>
-      graft.streaming.ErasureStream.erasureTicks(s, d))
+      graft.streaming.ErasureStream.erasureTicks(s, d)),
+    // the q179 capstone kept live over ingest ticks: gates -> hash-index
+    // exact dedup -> static-eval decon -> settled-corpus-first near-dup
+    // -> exactly-once shard export; oracle replays the admission loop
+    // tick by tick (q69 discipline)
+    "q183_streaming_release" -> ((s: SparkSession, d: String) =>
+      graft.streaming.ReleaseStream.releaseTicks(s, d))
   )
 
   /** Shared CTE chain ending in `pairs` = the exact-Jaccard near-dup pairs
@@ -1041,6 +1047,71 @@ object SparkEntry {
     }.mkString("\nUNION ALL\n")
     s"WITH RECURSIVE $jaccardPairCtes,\n$perT\n$rows"
   }
+
+  /** The q183 streaming-release oracle: gates + first-occurrence hash
+    * dedup + static-eval decontamination as global CTEs (each is
+    * tick-order-independent under doc_id-contiguous ticks), then the
+    * near-dup admission replayed TICK BY TICK against the accumulated
+    * admitted set (the q69 rep/idx discipline — streaming near-dup is
+    * settled-corpus-first by design, not batch CC), then the q155 prefix
+    * sum over the released stream. One `pairs` relation over
+    * candidates ∪ eval serves both the decon filter and the admission
+    * replay. */
+  private lazy val releaseStreamSql: String =
+    s"""WITH $cascadePredCtes,
+       |gated AS (SELECT cm.doc_id FROM cm
+       |          WHERE p0 AND p1 AND p2 AND p3 AND p4 AND cm.doc_id % 10 <> 0),
+       |g AS (SELECT d.* FROM documents d JOIN gated USING (doc_id)),
+       |exk AS (SELECT min(doc_id) AS doc_id FROM g GROUP BY sha256(text)),
+       |cand0 AS (SELECT d.doc_id, d.lang, d.text
+       |          FROM documents d JOIN exk USING (doc_id)),
+       |relu AS (SELECT doc_id, text FROM cand0
+       |         UNION ALL
+       |         SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+       |${jaccardPairCtesFrom("relu")},
+       |contamf AS (SELECT CASE WHEN doc_a % 10 = 0 THEN doc_b ELSE doc_a END
+       |              AS doc_id
+       |            FROM pairs WHERE (doc_a % 10 = 0) <> (doc_b % 10 = 0)),
+       |contamx AS (SELECT c.doc_id FROM cand0 c
+       |            WHERE sha256(c.text) IN (SELECT sha256(text) FROM documents
+       |                                     WHERE doc_id % 10 = 0)),
+       |cand AS (SELECT * FROM cand0 WHERE doc_id NOT IN
+       |           (SELECT doc_id FROM contamf
+       |            UNION SELECT doc_id FROM contamx)),
+       |cuts AS (SELECT max(doc_id) // 3 AS t1, (2 * max(doc_id)) // 3 AS t2
+       |         FROM documents WHERE doc_id % 10 <> 0),
+       |candp AS (SELECT doc_a, doc_b FROM pairs
+       |          WHERE doc_a IN (SELECT doc_id FROM cand)
+       |            AND doc_b IN (SELECT doc_id FROM cand)),
+       |sym AS (SELECT doc_a AS a, doc_b AS b FROM candp
+       |        UNION ALL SELECT doc_b, doc_a FROM candp),
+       |adm0 AS (SELECT c.* FROM cand c, cuts WHERE doc_id <= t1),
+       |rep1 AS (SELECT DISTINCT s.a AS doc_id FROM sym s, cuts
+       |         WHERE s.a > t1 AND s.a <= t2
+       |           AND s.b IN (SELECT doc_id FROM adm0)),
+       |adm1 AS (SELECT c.* FROM cand c, cuts
+       |         WHERE doc_id > t1 AND doc_id <= t2
+       |           AND doc_id NOT IN (SELECT doc_id FROM rep1)),
+       |rep2 AS (SELECT DISTINCT s.a AS doc_id FROM sym s, cuts
+       |         WHERE s.a > t2
+       |           AND s.b IN (SELECT doc_id FROM adm0
+       |                       UNION ALL SELECT doc_id FROM adm1)),
+       |adm2 AS (SELECT c.* FROM cand c, cuts WHERE doc_id > t2
+       |         AND doc_id NOT IN (SELECT doc_id FROM rep2)),
+       |released AS (SELECT * FROM adm0
+       |             UNION ALL SELECT * FROM adm1
+       |             UNION ALL SELECT * FROM adm2),
+       |d2 AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS b FROM released),
+       |pre2 AS (SELECT doc_id, b,
+       |          coalesce(sum(b) OVER (ORDER BY doc_id
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+       |         FROM d2),
+       |asg AS (SELECT doc_id, b, cum // 16384 AS shard FROM pre2)
+       |SELECT CAST(shard AS BIGINT) AS shard,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(b) AS BIGINT) AS shard_bytes,
+       |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+       |FROM asg GROUP BY shard""".stripMargin
 
   /** The q165 k-anonymity sweep, shared VERBATIM by the streaming gate
     * q170 (class counts are sum-mergeable, so the cumulative streamed
@@ -2987,6 +3058,8 @@ object SparkEntry {
       """SELECT user_id, CAST(count(*) AS BIGINT) AS n_rows_erased,
         |  CAST(0 AS BIGINT) AS n_remaining, TRUE AS purged
         |FROM events WHERE user_id % 13 IN (0, 1, 2) GROUP BY user_id""".stripMargin,
+    // the full streaming-release chain replayed tick by tick
+    "q183_streaming_release" -> releaseStreamSql,
     // exact quantiles re-derived (quantile_cont shares the (n-1)·q
     // interpolation); the sketch flags are the engine's own GK rank
     // guarantee — pinned TRUE under any merge order

@@ -1,0 +1,157 @@
+package graft.streaming
+
+import graft.functions.{TextFunctions => TF}
+import graft.operators.{Dedup, IncrementalDedup, TextAnalysis}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** q183 — STREAMING CORPUS RELEASE: the q179 capstone kept live while
+  * ingest runs — the online form of the release pipeline (gates → exact
+  * dedup → decontamination → near-dup vs the settled corpus → sharded
+  * JSONL export), with each stage's state persisted so ticks are
+  * restartable and exactly-once:
+  *
+  *   - GATES are per-row predicates ([[TextAnalysis.cascadePreds]]
+  *     verbatim) — stateless.
+  *   - EXACT dedup carries a content-hash index: a tick keeps its
+  *     within-tick first occurrence (min doc_id per hash) of hashes not
+  *     yet indexed, then lands ALL its first-seen hashes under its own
+  *     tick partition (a doc dropped downstream still blocks future
+  *     identical text, matching the batch keep-min semantics under
+  *     doc_id-contiguous ticks).
+  *   - DECONTAMINATION checks against a STATIC eval index (shingles +
+  *     hashes built once, up front — a benchmark suite is fixed before
+  *     ingest starts, which is what makes this stage batch-equivalent).
+  *   - NEAR-DUP is settled-corpus-first (the q69 contract): tick
+  *     candidates reject against the shingle index of previously ADMITTED
+  *     docs; within-tick near-dups are both admitted and caught from the
+  *     next tick on — streaming ≠ batch CC here BY DESIGN, and the oracle
+  *     replays the incremental semantics tick by tick (the q69 rep/idx
+  *     CTE discipline), never pretends batch equality.
+  *   - EXPORT reuses the q161 exactly-once layout: byte offsets continue
+  *     from `bytesBefore`, payloads land under (ingest_batch, shard).
+  *
+  * Every piece of state (hash index, shingle index, byte totals, shard
+  * payloads) lives under per-tick partitions written with dynamic
+  * partition overwrite, so a checkpoint-recovery replay of a tick
+  * rewrites identical files (the predicates are deterministic) and the
+  * cumulative result never double-counts — the q93/q161/q170/q182
+  * exactly-once discipline, here composed across four state stores.
+  *
+  * Scale: per tick, gates are one scan of the batch; the hash probe is a
+  * broadcast-able semi-join; decon + near-dup ride the inverted-index
+  * equi-joins (df-capped, never all-pairs) against indexes that are
+  * shingle-grain but settled-corpus-bounded; export shuffles once on the
+  * shard key. Nothing ever re-reads prior batches' raw documents — all
+  * cross-tick coordination flows through the four columnar indexes.
+  */
+object ReleaseStream {
+
+  private def fs(spark: SparkSession, path: String) =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def exists(spark: SparkSession, path: String): Boolean =
+    fs(spark, path).exists(new org.apache.hadoop.fs.Path(path))
+
+  /** Build the static eval-side indexes once: the benchmark's shingles
+    * and content hashes. */
+  def buildEvalIndex(evalDocs: DataFrame, root: String): Unit = {
+    Dedup.docShingles(evalDocs)
+      .write.mode("overwrite").parquet(s"$root/eval_shingles")
+    evalDocs.select(TF.contentHash(col("text")).as("h")).distinct()
+      .write.mode("overwrite").parquet(s"$root/eval_hashes")
+  }
+
+  /** One exactly-once release tick. Returns nothing — the audit reads
+    * the stores back ([[currentManifest]]). */
+  def releaseTickXO(batch: DataFrame, batchId: Long, root: String,
+                    threshold: Double = 0.5,
+                    targetBytes: Long = 16384L): Unit = {
+    val spark = batch.sparkSession
+    // --- gates (stateless, the q179 predicates verbatim) ---------------
+    val pass = TextAnalysis.cascadePreds.map(_._2).reduce(_ && _)
+    val gated = batch
+      .select(col("doc_id"), col("lang"), col("text"),
+        TF.shingles(col("text"), 3).as("sh"))
+      .filter(pass)
+      .select(col("doc_id"), col("lang"), col("text"),
+        TF.contentHash(col("text")).as("h"))
+      .localCheckpoint(true)
+    // --- exact dedup vs the hash index + within-tick first occurrence --
+    val tickFirst = gated.join(
+      gated.groupBy(col("h")).agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id")), Seq("doc_id"), "left_semi")
+    val hashesPath = s"$root/hashes"
+    val exactNew = (if (exists(spark, hashesPath))
+        tickFirst.join(
+          broadcast(spark.read.parquet(hashesPath).select(col("h"))),
+          Seq("h"), "left_anti")
+      else tickFirst).localCheckpoint(true)
+    // ALL first-seen hashes land under this tick's partition BEFORE any
+    // downstream drop: identical future text must block either way
+    exactNew.select(col("h")).withColumn("ingest_batch", lit(batchId))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("ingest_batch").parquet(hashesPath)
+    // --- decontamination vs the static eval index ----------------------
+    val candSh = Dedup.docShingles(exactNew).localCheckpoint(true)
+    val evalSh = spark.read.parquet(s"$root/eval_shingles")
+      .select(col("doc_id"), col("shingle"))
+    val fuzzyContam = IncrementalDedup
+      .pairsAgainstIndex(candSh, evalSh, threshold)
+      .select(col("doc_a").as("doc_id"))
+    val exactContam = exactNew
+      .join(broadcast(spark.read.parquet(s"$root/eval_hashes")), Seq("h"), "left_semi")
+      .select(col("doc_id"))
+    val clean = exactNew
+      .join(fuzzyContam.unionByName(exactContam).distinct(),
+        Seq("doc_id"), "left_anti")
+      .localCheckpoint(true)
+    // --- near-dup vs the settled (admitted) corpus ---------------------
+    val indexPath = s"$root/shingle_index"
+    val idx = if (exists(spark, indexPath))
+        spark.read.parquet(indexPath).select(col("doc_id"), col("shingle"))
+      else candSh.limit(0)
+    val admitted = IncrementalDedup.admitFor(clean, idx, threshold)
+      .localCheckpoint(true)
+    Dedup.docShingles(admitted)
+      .withColumn("ingest_batch", lit(batchId))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("ingest_batch").parquet(indexPath)
+    // --- exactly-once export (the q161 layout, byte base continued) ----
+    ShardExportStream.exportTickXO(
+      admitted.select(col("doc_id"), col("lang"), col("text")),
+      batchId, s"$root/shards", s"$root/totals", targetBytes)
+  }
+
+  /** The release manifest over everything exported so far, from the
+    * files READ BACK (q155 round-trip contract). */
+  def currentManifest(spark: SparkSession, root: String): DataFrame =
+    graft.sources.Sources.shardManifest(spark, s"$root/shards")
+
+  /** The registry fixture form: the train split (doc_id % 10 ≠ 0 — the
+    * eval split is the static benchmark) as three doc_id-contiguous
+    * ticks, then the cumulative manifest. The oracle replays gates,
+    * first-occurrence hash dedup, static-eval decon, and the tick-by-tick
+    * index admission (q69 discipline) in chained CTEs. */
+  def releaseTicks(spark: SparkSession, dir: String,
+                   threshold: Double = 0.5,
+                   targetBytes: Long = 16384L): DataFrame = {
+    val docs = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("text"))
+    val isEval = col("doc_id") % 10 === 0
+    val root = graft.sources.Sources.scratchDir(spark,
+      s"release_stream_${java.util.UUID.randomUUID.toString.take(8)}")
+    buildEvalIndex(docs.filter(isEval), root)
+    val arriving = docs.filter(!isEval)
+    val maxId = arriving.agg(max(col("doc_id"))).head().getLong(0)
+    val (t1, t2) = (maxId / 3, 2L * maxId / 3)
+    releaseTickXO(arriving.filter(col("doc_id") <= t1), 0L, root,
+      threshold, targetBytes)
+    releaseTickXO(arriving.filter(col("doc_id") > t1 && col("doc_id") <= t2),
+      1L, root, threshold, targetBytes)
+    releaseTickXO(arriving.filter(col("doc_id") > t2), 2L, root,
+      threshold, targetBytes)
+    currentManifest(spark, root)
+  }
+}

@@ -711,6 +711,62 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.exceptAll(thirds).count() == 0)
   }
 
+  test("q183 streaming release: settled-corpus-first admission, hash/decon blocking, replay no-op") {
+    import graft.streaming.ReleaseStream
+    import spark.implicits._
+    // 55-token all-alpha texts pass every cascade gate; variants change
+    // one word -> Jaccard ~0.96, far above the 0.5 admission threshold
+    def text(tag: String, last: String = "zz"): String = {
+      val words = (for (a <- 'a' to 'z'; b <- 'a' to 'z') yield s"$tag$a$b").take(53)
+      ("the" +: words :+ s"the $tag$last").mkString(" ")
+    }
+    // train ids avoid % 10 == 0 (that's the eval split); maxId 89 ->
+    // tick cuts t1 = 29, t2 = 59
+    val docs = Seq(
+      11L -> text("ta"),          // tick0: admitted
+      12L -> text("tb"),          // tick0: admitted
+      15L -> text("tb", "qq"),    // tick0: near-dup of 12 WITHIN the tick
+                                  //   -> still admitted (settled-first)
+      13L -> "too short",         // tick0: gate-dropped
+      21L -> text("tc"),          // tick0: admitted
+      41L -> text("ta", "rr"),    // tick1: near-dup of settled 11 -> rejected
+      45L -> text("tc"),          // tick1: identical to 21 -> hash-dropped
+      51L -> text("td"),          // tick1: admitted
+      71L -> text("tb", "vv"),    // tick2: near-dup of settled 12/15 -> rejected
+      89L -> text("te", "ww"),    // tick2: near-dup of EVAL 30 -> decon-dropped
+      30L -> text("te"),          // eval split (id % 10 == 0)
+      60L -> text("tf"))          // eval split
+    val dir = java.nio.file.Files.createTempDirectory("graft_relstream").toString
+    docs.map { case (id, t) => (id, t, "en", "s0") }
+      .toDF("doc_id", "text", "lang", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val root = java.nio.file.Files.createTempDirectory("graft_relstream_root").toString
+    val all = Tables.documents(spark, dir).select(col("doc_id"), col("lang"), col("text"))
+    ReleaseStream.buildEvalIndex(all.filter(col("doc_id") % 10 === 0), root)
+    val arriving = all.filter(col("doc_id") % 10 =!= 0)
+    Seq((0L, 1L, 29L), (1L, 30L, 59L), (2L, 60L, 89L)).foreach { case (tick, lo, hi) =>
+      ReleaseStream.releaseTickXO(
+        arriving.filter(col("doc_id") >= lo && col("doc_id") <= hi), tick, root)
+    }
+    def manifest() = ReleaseStream.currentManifest(spark, root)
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    val m1 = manifest()
+    // released = exactly the five admitted docs, nothing else
+    val releasedIds = spark.read.schema("doc_id BIGINT, lang STRING, text STRING")
+      .json(s"$root/shards").select(col("doc_id")).as[Long].collect().toSet
+    assert(releasedIds == Set(11L, 12L, 15L, 21L, 51L),
+      s"released set wrong: $releasedIds")
+    // manifest totals match the released docs' bytes
+    val wantBytes = docs.toMap.view.filterKeys(releasedIds).values.map(_.length.toLong).sum
+    assert(m1.map(_._3).sum == wantBytes)
+    assert(m1.map(_._2).sum == 5L)
+    // replay tick 1 out of band: every store is tick-partitioned XO, so
+    // the manifest must not change
+    ReleaseStream.releaseTickXO(
+      arriving.filter(col("doc_id") >= 30L && col("doc_id") <= 59L), 1L, root)
+    assert(manifest().toSeq == m1.toSeq, "tick replay changed the manifest")
+  }
+
   test("q182 streaming erasure: bucket-pruned rewrite, replay no-op, null user retained") {
     import graft.streaming.ErasureStream
     import spark.implicits._

@@ -94,6 +94,8 @@ object ReleaseStream {
       .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
       .partitionBy("ingest_batch").parquet(hashesPath)
     // --- decontamination vs the static eval index ----------------------
+    // the tick's docs are tokenized ONCE: candSh serves the decon pair
+    // join, the admission pair join (id-restricted), and the index append
     val candSh = Dedup.docShingles(exactNew).localCheckpoint(true)
     val evalSh = spark.read.parquet(s"$root/eval_shingles")
       .select(col("doc_id"), col("shingle"))
@@ -112,9 +114,12 @@ object ReleaseStream {
     val idx = if (exists(spark, indexPath))
         spark.read.parquet(indexPath).select(col("doc_id"), col("shingle"))
       else candSh.limit(0)
-    val admitted = IncrementalDedup.admitFor(clean, idx, threshold)
+    val cleanSh = candSh.join(clean.select(col("doc_id")), Seq("doc_id"), "left_semi")
+    val rejected = IncrementalDedup.pairsAgainstIndex(cleanSh, idx, threshold)
+      .select(col("doc_a").as("doc_id")).distinct()
+    val admitted = clean.join(rejected, Seq("doc_id"), "left_anti")
       .localCheckpoint(true)
-    Dedup.docShingles(admitted)
+    candSh.join(admitted.select(col("doc_id")), Seq("doc_id"), "left_semi")
       .withColumn("ingest_batch", lit(batchId))
       .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
       .partitionBy("ingest_batch").parquet(indexPath)

@@ -642,7 +642,11 @@ object SparkEntry {
     // -> exactly-once shard export; oracle replays the admission loop
     // tick by tick (q69 discipline)
     "q183_streaming_release" -> ((s: SparkSession, d: String) =>
-      graft.streaming.ReleaseStream.releaseTicks(s, d))
+      graft.streaming.ReleaseStream.releaseTicks(s, d)),
+    // UniMax waterfilling: equal budget shares with per-language capacity
+    // caps; the capped prefix is selected by ALL-INTEGER comparisons
+    "q184_unimax_allocation" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.unimaxAllocation(s, d))
   )
 
   /** Shared CTE chain ending in `pairs` = the exact-Jaccard near-dup pairs
@@ -3060,6 +3064,33 @@ object SparkEntry {
         |FROM events WHERE user_id % 13 IN (0, 1, 2) GROUP BY user_id""".stripMargin,
     // the full streaming-release chain replayed tick by tick
     "q183_streaming_release" -> releaseStreamSql,
+    // same ascending-capacity waterfill; the capped-prefix selection is
+    // integer-exact, only the waterline division is floating point
+    "q184_unimax_allocation" ->
+      """WITH c AS (SELECT lang, count(*) AS n_docs,
+        |             count(*) * 1 AS capacity
+        |           FROM documents GROUP BY lang),
+        |f AS (SELECT lang, n_docs, capacity,
+        |        CAST(row_number() OVER (ORDER BY capacity, lang) AS BIGINT)
+        |          AS idx,
+        |        count(*) OVER () AS l_total,
+        |        coalesce(sum(capacity) OVER (ORDER BY capacity, lang
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pb
+        |      FROM c),
+        |g AS (SELECT *, capacity * (l_total - idx + 1) <= 400 - pb AS capped
+        |      FROM f),
+        |w2 AS (SELECT sum(CASE WHEN capped THEN capacity ELSE 0 END)
+        |          AS capped_cap,
+        |         sum(CASE WHEN capped THEN 1 ELSE 0 END) AS k FROM g)
+        |SELECT lang, CAST(n_docs AS BIGINT) AS n_docs,
+        |  CAST(capacity AS BIGINT) AS capacity, capped,
+        |  CAST(round(CAST(CASE WHEN capped THEN CAST(capacity AS DOUBLE)
+        |    ELSE CAST(400 - capped_cap AS DOUBLE) / (l_total - k) END
+        |    AS DECIMAL(38,18)), 6) AS DOUBLE) AS allocation,
+        |  CAST(round(CAST((CASE WHEN capped THEN CAST(capacity AS DOUBLE)
+        |    ELSE CAST(400 - capped_cap AS DOUBLE) / (l_total - k) END)
+        |    / n_docs AS DECIMAL(38,18)), 6) AS DOUBLE) AS epochs
+        |FROM g CROSS JOIN w2""".stripMargin,
     // exact quantiles re-derived (quantile_cont shares the (n-1)·q
     // interpolation); the sketch flags are the engine's own GK rank
     // guarantee — pinned TRUE under any merge order

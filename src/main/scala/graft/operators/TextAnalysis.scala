@@ -1643,6 +1643,61 @@ object TextAnalysis {
         col("heaps_beta"), col("heaps_logk"), col("r_squared"))
   }
 
+  /** A43 [EXT] — UNIMAX BUDGET ALLOCATION (Chung et al. 2023): the third
+    * mixture planner next to one-shot temperature scaling (A10/q92) and
+    * the iterated DoReMi update (A38/q174) — waterfilling: distribute the
+    * epoch budget EQUALLY across languages, except that no language may
+    * exceed its capacity (corpus size × the epoch cap); capped languages
+    * take their capacity and the freed budget re-levels among the rest.
+    * Output per language: corpus size, capacity, the capped flag, the
+    * allocated docs, and the implied epochs.
+    *
+    * The waterline is found EXACTLY: with languages sorted by ascending
+    * capacity, language i is capped iff cᵢ·(L−i+1) ≤ B−prefixᵢ₋₁ — an
+    * ALL-INTEGER comparison, so both engines select the identical capped
+    * prefix (the theory guarantees the capped set is a prefix of the
+    * ascending order); only the final waterline division
+    * (B−Σ_capped c)/(L−k) touches floating point — one IEEE division,
+    * 6dp-DECIMAL-rounded (the q92 discipline).
+    *
+    * Scale: one map-side-combined count on the lang key; everything
+    * after runs on the \|langs\|-row relation — the unpartitioned sort
+    * window is bounded by language count, never corpus size.
+    */
+  def unimaxAllocation(spark: SparkSession, dir: String,
+                       budget: Long = 400L, maxEpochs: Long = 1L): DataFrame = {
+    require(budget >= 1 && maxEpochs >= 1,
+      s"need budget >= 1, maxEpochs >= 1; got $budget, $maxEpochs")
+    import org.apache.spark.sql.expressions.Window
+    val dec = org.apache.spark.sql.types.DecimalType(38, 18)
+    val counts = Tables.documents(spark, dir)
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+      .withColumn("capacity", col("n_docs") * maxEpochs)
+    val asc = Window.orderBy(col("capacity"), col("lang"))
+    val full = Window.partitionBy()
+    val flagged = counts
+      .withColumn("idx", row_number().over(asc).cast("long"))
+      .withColumn("l_total", count(lit(1)).over(full))
+      .withColumn("prefix_before",
+        coalesce(sum(col("capacity")).over(
+          asc.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("capped",
+        col("capacity") * (col("l_total") - col("idx") + 1)
+          <= lit(budget) - col("prefix_before"))
+    val water = flagged.agg(
+      sum(when(col("capped"), col("capacity")).otherwise(0L)).as("capped_cap"),
+      sum(when(col("capped"), 1L).otherwise(0L)).as("k"))
+    flagged.crossJoin(broadcast(water))
+      .withColumn("alloc_raw",
+        when(col("capped"), col("capacity").cast("double"))
+          .otherwise((lit(budget) - col("capped_cap")).cast("double")
+            / (col("l_total") - col("k")).cast("double")))
+      .select(col("lang"), col("n_docs"), col("capacity"), col("capped"),
+        round(col("alloc_raw").cast(dec), 6).cast("double").as("allocation"),
+        round((col("alloc_raw") / col("n_docs").cast("double")).cast(dec), 6)
+          .cast("double").as("epochs"))
+  }
+
   /** A38 [EXT] — EXPONENTIATED-GRADIENT MIXTURE REWEIGHTING
     * (DoReMi-style, Xie et al. 2023): the iterative optimizer behind
     * domain reweighting expressed as a relational verb. Starting from

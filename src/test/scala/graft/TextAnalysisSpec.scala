@@ -577,6 +577,46 @@ class TextAnalysisSpec extends AnyFunSuite {
     }
   }
 
+  test("q184 UniMax allocation matches hand-computed waterfills in all three regimes") {
+    // langs sized 10/40/70/80/300 -> capacities scale with maxEpochs
+    val sizes = Seq("aa" -> 10, "bb" -> 40, "cc" -> 70, "dd" -> 80, "ee" -> 300)
+    val rows = sizes.flatMap { case (l, n) =>
+      (0 until n).map(i => (l.hashCode.toLong * 1000 + i, s"$l doc $i", l, "s0"))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_unimax").toString
+    rows.toDF("doc_id", "text", "lang", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    def run(b: Long, e: Long) =
+      TextAnalysis.unimaxAllocation(spark, dir, budget = b, maxEpochs = e)
+        .as[(String, Long, Long, Boolean, Double, Double)].collect()
+        .map(r => r._1 -> r).toMap
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // mixed regime, E=1: caps 10+40 fit, waterline (200-50)/3 = 50
+    val m1 = run(200L, 1L)
+    assert(m1("aa") == (("aa", 10L, 10L, true, 10.0, 1.0)))
+    assert(m1("bb") == (("bb", 40L, 40L, true, 40.0, 1.0)))
+    assert(m1("cc") == (("cc", 70L, 70L, false, 50.0, r6(50.0 / 70))))
+    assert(m1("dd") == (("dd", 80L, 80L, false, 50.0, 0.625)))
+    assert(m1("ee") == (("ee", 300L, 300L, false, 50.0, r6(50.0 / 300))))
+    // budget above total capacity: everyone capped, nobody divides by 0
+    val m2 = run(1000L, 1L)
+    assert(m2.values.forall(_._4), "all langs must cap when budget >= capacity")
+    assert(m2("ee")._5 == 300.0 && m2("ee")._6 == 1.0)
+    // upsampling regime, E=3: low-resource langs repeat up to 3 epochs
+    val m3 = run(600L, 3L)
+    assert(m3("aa") == (("aa", 10L, 30L, true, 30.0, 3.0)))
+    assert(m3("bb") == (("bb", 40L, 120L, true, 120.0, 3.0)))
+    assert(m3("cc")._4 == false && m3("cc")._5 == 150.0
+      && m3("cc")._6 == r6(150.0 / 70))
+    assert(m3("dd")._5 == 150.0 && m3("dd")._6 == 1.875)
+    assert(m3("ee")._5 == 150.0 && m3("ee")._6 == 0.5)
+    // invariant: allocation mass never exceeds budget (± 6dp rounding)
+    Seq(m1, m3).foreach { m =>
+      assert(m.values.map(_._5).sum <= 200.0001 + (if (m eq m3) 400.0 else 0.0))
+    }
+  }
+
   test("q174 DoReMi weights: trajectory replays driver-side, mass shifts toward high-excess sources") {
     def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     val rows = graft.operators.TextAnalysis.doremiMixtureWeights(spark, TestSpark.Sf0001)

@@ -646,7 +646,11 @@ object SparkEntry {
     // UniMax waterfilling: equal budget shares with per-language capacity
     // caps; the capped prefix is selected by ALL-INTEGER comparisons
     "q184_unimax_allocation" -> ((s: SparkSession, d: String) =>
-      TextAnalysis.unimaxAllocation(s, d))
+      TextAnalysis.unimaxAllocation(s, d)),
+    // lakehouse VACUUM: manifest-vs-physical audit after deleting all but
+    // the newest 2 of 4 deterministic snapshot versions
+    "q185_snapshot_vacuum" -> ((s: SparkSession, d: String) =>
+      graft.sources.Sources.snapshotVacuum(s, d))
   )
 
   /** Shared CTE chain ending in `pairs` = the exact-Jaccard near-dup pairs
@@ -3091,6 +3095,23 @@ object SparkEntry {
         |    ELSE CAST(400 - capped_cap AS DOUBLE) / (l_total - k) END)
         |    / n_docs AS DECIMAL(38,18)), 6) AS DOUBLE) AS epochs
         |FROM g CROSS JOIN w2""".stripMargin,
+    // the four-version lineage re-derived; vacuumed versions report
+    // (false, 0, 0), kept versions their exact row/char counts
+    "q185_snapshot_vacuum" ->
+      """WITH v2 AS (SELECT doc_id,
+        |              CASE WHEN doc_id % 2 = 0 THEN text || ' [rev2]'
+        |                   ELSE text END AS text
+        |            FROM documents WHERE doc_id % 3 <> 0),
+        |v3 AS (SELECT * FROM v2 WHERE doc_id % 5 <> 0),
+        |v4 AS (SELECT doc_id,
+        |         CASE WHEN doc_id % 7 = 0 THEN text || ' [rev4]'
+        |              ELSE text END AS text
+        |       FROM v3)
+        |SELECT CAST(1 AS INTEGER) AS version, FALSE AS kept,
+        |       CAST(0 AS BIGINT) AS n_docs, CAST(0 AS BIGINT) AS n_chars
+        |UNION ALL SELECT 2, FALSE, 0, 0
+        |UNION ALL SELECT 3, TRUE, count(*), sum(length(text)) FROM v3
+        |UNION ALL SELECT 4, TRUE, count(*), sum(length(text)) FROM v4""".stripMargin,
     // exact quantiles re-derived (quantile_cont shares the (n-1)·q
     // interpolation); the sketch flags are the engine's own GK rank
     // guarantee — pinned TRUE under any merge order

@@ -539,6 +539,82 @@ object Sources {
         (coalesce(col("n_rem"), lit(0L)) === 0L).as("purged"))
   }
 
+  /** W11 [EXT] — SNAPSHOT RETENTION VACUUM: the lakehouse VACUUM verb —
+    * a versioned dataset accumulates immutable snapshots; retention
+    * keeps the newest K and physically deletes the rest, and the audit
+    * proves WHICH from the storage itself: the version MANIFEST (a
+    * metadata table listing every version ever written — the engine's
+    * stand-in for a transaction log) is joined against the physical
+    * directory listing, so a version is `kept` only if its files are
+    * actually present, and a kept version's row/char counts come from
+    * reading those files BACK (the q155 round-trip contract). Versions
+    * are the q91/q100 lineage extended two steps, all deterministic
+    * transforms of the base table so the oracle re-derives every count:
+    *   v1 = docs with doc_id % 3 ≠ 0
+    *   v2 = v1 with " [rev2]" appended for even doc_id   (q91's merge)
+    *   v3 = v2 minus doc_id % 5 = 0                      (a purge release)
+    *   v4 = v3 with " [rev4]" appended for doc_id % 7 = 0
+    * Retention 2 ⇒ v1, v2 vacuumed; v3, v4 kept.
+    *
+    * Scale: each snapshot write is one scan (immutable, columnar);
+    * vacuum is a metadata-sized listing + directory deletes — NO data
+    * read; the audit reads only the KEPT versions. Re-vacuum is
+    * idempotent (deleting absent dirs is a no-op) — spec-pinned.
+    */
+  def snapshotVacuum(spark: SparkSession, dir: String,
+                     retain: Int = 2): DataFrame = {
+    require(retain >= 1, s"need retain >= 1; got $retain")
+    val root = scratchDir(spark,
+      s"vacuum_${java.util.UUID.randomUUID.toString.take(8)}")
+    val docs = parquet(spark, s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val v1 = docs.filter(col("doc_id") % 3 =!= 0)
+    val v2 = v1.select(col("doc_id"),
+      when(col("doc_id") % 2 === 0, concat(col("text"), lit(" [rev2]")))
+        .otherwise(col("text")).as("text"))
+    val v3 = v2.filter(col("doc_id") % 5 =!= 0)
+    val v4 = v3.select(col("doc_id"),
+      when(col("doc_id") % 7 === 0, concat(col("text"), lit(" [rev4]")))
+        .otherwise(col("text")).as("text"))
+    val versions = Seq(1 -> v1, 2 -> v2, 3 -> v3, 4 -> v4)
+    versions.foreach { case (v, df) =>
+      df.write.mode("overwrite").parquet(s"$root/version=$v")
+    }
+    import spark.implicits._
+    versions.map(_._1).toDF("version")
+      .write.mode("overwrite").parquet(s"$root/_versions")
+    vacuumAndAudit(spark, root, retain)
+  }
+
+  /** The vacuum + audit over an existing versioned root: delete all but
+    * the newest `retain` versions listed in the manifest, then report
+    * every manifest version with its physical survival and read-back
+    * stats. Exposed separately so the spec can re-vacuum (idempotence). */
+  private[graft] def vacuumAndAudit(spark: SparkSession, root: String,
+                                    retain: Int): DataFrame = {
+    import spark.implicits._
+    val manifest = spark.read.parquet(s"$root/_versions")
+      .select(col("version").cast("int")).as[Int].collect().sorted
+    val keep = manifest.takeRight(retain).toSet
+    val fsys = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    manifest.filterNot(keep).foreach { v =>
+      fsys.delete(new org.apache.hadoop.fs.Path(root, s"version=$v"), true): Unit
+    }
+    manifest.toSeq.map { v =>
+      val p = new org.apache.hadoop.fs.Path(root, s"version=$v")
+      if (fsys.exists(p))
+        spark.read.parquet(p.toString)
+          .agg(count(lit(1)).as("n_docs"),
+            coalesce(sum(length(col("text")).cast("long")), lit(0L))
+              .as("n_chars"))
+          .select(lit(v).as("version"), lit(true).as("kept"),
+            col("n_docs"), col("n_chars"))
+      else
+        Seq((v, false, 0L, 0L)).toDF("version", "kept", "n_docs", "n_chars")
+    }.reduce(_.unionByName(_))
+  }
+
   /** q100 — SNAPSHOT DIFF: the dataset-versioning report between two
     * immutable snapshots (q91's v1/v2 lineage re-derived so the oracle can
     * replay it): rows are classified added / removed / changed / unchanged

@@ -157,6 +157,36 @@ class SourcesSpec extends AnyFunSuite {
     }
   }
 
+  test("q185 snapshot vacuum: old versions physically gone, kept versions intact, re-vacuum idempotent") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_vacuum").toString
+    (1 to 4).foreach { v =>
+      (0 until v * 10).map(i => (i.toLong, s"v$v doc $i"))
+        .toDF("doc_id", "text")
+        .write.mode("overwrite").parquet(s"$root/version=$v")
+    }
+    (1 to 4).toDF("version").write.mode("overwrite").parquet(s"$root/_versions")
+    val audit = graft.sources.Sources.vacuumAndAudit(spark, root, 2)
+      .as[(Int, Boolean, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(audit(1)._2 == false && audit(2)._2 == false)
+    val v3chars = (0 until 30).map(i => s"v3 doc $i".length.toLong).sum
+    assert(audit(3) == ((3, true, 30L, v3chars)) && audit(4)._2 == true
+      && audit(4)._3 == 40L)
+    // physically gone vs physically intact
+    assert(!new java.io.File(s"$root/version=1").exists())
+    assert(!new java.io.File(s"$root/version=2").exists())
+    assert(spark.read.parquet(s"$root/version=4").count() == 40L)
+    // re-vacuum: deleting absent dirs is a no-op, audit unchanged
+    val again = graft.sources.Sources.vacuumAndAudit(spark, root, 2)
+      .as[(Int, Boolean, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(again == audit, "re-vacuum changed the audit")
+    // a wider retention later cannot resurrect deleted versions: they
+    // stay kept=false (the manifest remembers, the storage is gone)
+    val wide = graft.sources.Sources.vacuumAndAudit(spark, root, 4)
+      .as[(Int, Boolean, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(!wide(1)._2 && !wide(2)._2 && wide(3)._2 && wide(4)._2)
+  }
+
   test("q177 right to erasure: erased users gone on disk, others byte-intact, tombstones count-only") {
     val erasureOut = java.nio.file.Files
       .createTempDirectory("graft_spec_erasure").toString

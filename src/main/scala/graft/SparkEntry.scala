@@ -650,7 +650,11 @@ object SparkEntry {
     // lakehouse VACUUM: manifest-vs-physical audit after deleting all but
     // the newest 2 of 4 deterministic snapshot versions
     "q185_snapshot_vacuum" -> ((s: SparkSession, d: String) =>
-      graft.sources.Sources.snapshotVacuum(s, d))
+      graft.sources.Sources.snapshotVacuum(s, d)),
+    // per candidate join: side/key/match counts, build side, broadcast-
+    // vs-shuffle call, probe-side skew — the planner's pre-flight table
+    "q186_join_advisor" -> ((s: SparkSession, d: String) =>
+      Relational.joinStrategyAdvisor(s, d))
   )
 
   /** Shared CTE chain ending in `pairs` = the exact-Jaccard near-dup pairs
@@ -1120,6 +1124,45 @@ object SparkEntry {
        |  CAST(sum(b) AS BIGINT) AS shard_bytes,
        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
        |FROM asg GROUP BY shard""".stripMargin
+
+  /** The q186 advisor oracle: per audited join, the same per-side
+    * key-count aggregates, keys-only match stats, and the identical
+    * build/strategy/skew CASE arithmetic. */
+  private lazy val joinAdvisorSql: String = {
+    val joins = Seq(
+      ("lineitem*orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+      ("orders*customer", "orders", "o_custkey", "customer", "c_custkey"),
+      ("lineitem*part", "lineitem", "l_partkey", "part", "p_partkey"),
+      ("customer*nation", "customer", "c_nationkey", "nation", "n_nationkey"))
+    joins.map { case (label, lt, lk, rt, rk) =>
+      s"""SELECT '$label' AS join_label,
+         |  CAST(n_left AS BIGINT) AS n_left, CAST(n_right AS BIGINT) AS n_right,
+         |  CAST(n_left_keys AS BIGINT) AS n_left_keys,
+         |  CAST(n_right_keys AS BIGINT) AS n_right_keys,
+         |  CAST(n_matched_keys AS BIGINT) AS n_matched_keys,
+         |  CAST(n_matched_left AS BIGINT) AS n_matched_left,
+         |  CASE WHEN n_right <= n_left THEN 'right' ELSE 'left' END AS build_side,
+         |  CASE WHEN least(n_left, n_right) <= 10000 THEN 'broadcast'
+         |       ELSE 'shuffle' END AS strategy,
+         |  CAST(round(CAST(
+         |    CASE WHEN n_right <= n_left
+         |         THEN CAST(l_max AS DOUBLE) * n_left_keys / n_left
+         |         ELSE CAST(r_max AS DOUBLE) * n_right_keys / n_right END
+         |    AS DECIMAL(38,18)), 6) AS DOUBLE) AS skew_ratio
+         |FROM (SELECT sum(cnt) AS n_left, count(*) AS n_left_keys,
+         |             max(cnt) AS l_max
+         |      FROM (SELECT $lk AS k, count(*) AS cnt FROM $lt GROUP BY 1)) ls
+         |CROSS JOIN
+         |     (SELECT sum(cnt) AS n_right, count(*) AS n_right_keys,
+         |             max(cnt) AS r_max
+         |      FROM (SELECT $rk AS k, count(*) AS cnt FROM $rt GROUP BY 1)) rs
+         |CROSS JOIN
+         |     (SELECT count(*) AS n_matched_keys,
+         |             coalesce(sum(lc.cnt), 0) AS n_matched_left
+         |      FROM (SELECT $lk AS k, count(*) AS cnt FROM $lt GROUP BY 1) lc
+         |      JOIN (SELECT DISTINCT $rk AS k FROM $rt) rc USING (k)) m""".stripMargin
+    }.mkString("\nUNION ALL\n")
+  }
 
   /** The q165 k-anonymity sweep, shared VERBATIM by the streaming gate
     * q170 (class counts are sum-mergeable, so the cumulative streamed
@@ -3095,6 +3138,9 @@ object SparkEntry {
         |    ELSE CAST(400 - capped_cap AS DOUBLE) / (l_total - k) END)
         |    / n_docs AS DECIMAL(38,18)), 6) AS DOUBLE) AS epochs
         |FROM g CROSS JOIN w2""".stripMargin,
+    // identical per-side aggregates and CASE arithmetic, one block per
+    // audited join
+    "q186_join_advisor" -> joinAdvisorSql,
     // the four-version lineage re-derived; vacuumed versions report
     // (false, 0, 0), kept versions their exact row/char counts
     "q185_snapshot_vacuum" ->

@@ -423,6 +423,82 @@ object Relational {
         (col("lift_micro").cast("double") / 1000000.0).as("lift"))
   }
 
+  /** A44 [EXT] — JOIN-STRATEGY ADVISOR: q173's sibling one step up the
+    * plan — per candidate join of the engine's own big-join pairs, the
+    * numbers that decide broadcast vs shuffle BEFORE the job runs: per
+    * side row/distinct-key counts, the probe side's heaviest key and
+    * q173 skew ratio, the matched-key and matched-probe-row counts (a
+    * low match rate argues for a pre-join semi-filter — the q87 bloom
+    * pattern), the build side (the smaller), and the strategy call at a
+    * row-count threshold (the knob standing in for
+    * autoBroadcastJoinThreshold's byte form — bytes are config-and-codec
+    * relative, rows are oracle-exact). Everything exact: a sampled
+    * advisor misses exactly the key that matters (q173's reasoning).
+    *
+    * Scale: per join, one map-side-combined count per side on its key
+    * (the same aggregate the real join's shuffle would do, minus
+    * payload) and one keys-only join for the match stats — the advisor
+    * costs one narrow pass of each join it prices, run once per
+    * pipeline change, not per query.
+    */
+  def joinStrategyAdvisor(spark: SparkSession, dir: String,
+                          broadcastRows: Long = 10000L): DataFrame = {
+    require(broadcastRows >= 1, s"need broadcastRows >= 1; got $broadcastRows")
+    def advise(label: String, left: DataFrame, lk: String,
+               right: DataFrame, rk: String): DataFrame =
+      adviseJoin(label, left, lk, right, rk, broadcastRows)
+    advise("lineitem*orders", Tables.lineitem(spark, dir), "l_orderkey",
+        Tables.orders(spark, dir), "o_orderkey")
+      .unionByName(advise("orders*customer", Tables.orders(spark, dir),
+        "o_custkey", Tables.customer(spark, dir), "c_custkey"))
+      .unionByName(advise("lineitem*part", Tables.lineitem(spark, dir),
+        "l_partkey", Tables.part(spark, dir), "p_partkey"))
+      .unionByName(advise("customer*nation", Tables.customer(spark, dir),
+        "c_nationkey", Tables.nation(spark, dir), "n_nationkey"))
+  }
+
+  /** The single-join advisor core (exposed for the planted spec). */
+  private[graft] def adviseJoin(label: String, left: DataFrame, lk: String,
+                                right: DataFrame, rk: String,
+                                broadcastRows: Long = 10000L): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 18)
+    def side(df: DataFrame, key: String): DataFrame =
+      df.groupBy(col(key).cast("long").as("k"))
+        .agg(count(lit(1)).as("cnt"))
+    locally {
+      val l = graft.sources.Sources.spillScratch(side(left, lk), s"jsa_l")
+      val r = graft.sources.Sources.spillScratch(side(right, rk), s"jsa_r")
+      val ls = l.agg(sum(col("cnt")).as("n_left"),
+        count(lit(1)).as("n_left_keys"), max(col("cnt")).as("l_max"))
+      val rs = r.agg(sum(col("cnt")).as("n_right"),
+        count(lit(1)).as("n_right_keys"), max(col("cnt")).as("r_max"))
+      val m = l.join(r.select(col("k"), col("cnt").as("rcnt")), "k")
+        .agg(count(lit(1)).as("n_matched_keys"),
+          coalesce(sum(col("cnt")), lit(0L)).as("n_matched_left"))
+      ls.crossJoin(rs).crossJoin(m)
+        .withColumn("build_side",
+          when(col("n_right") <= col("n_left"), "right").otherwise("left"))
+        .withColumn("strategy",
+          when(least(col("n_left"), col("n_right")) <= broadcastRows,
+            "broadcast").otherwise("shuffle"))
+        // skew is priced on the PROBE side (the one that shuffles whole)
+        .withColumn("probe_max",
+          when(col("build_side") === "right", col("l_max")).otherwise(col("r_max")))
+        .withColumn("probe_rows",
+          when(col("build_side") === "right", col("n_left")).otherwise(col("n_right")))
+        .withColumn("probe_keys",
+          when(col("build_side") === "right", col("n_left_keys"))
+            .otherwise(col("n_right_keys")))
+        .select(lit(label).as("join_label"),
+          col("n_left"), col("n_right"),
+          col("n_left_keys"), col("n_right_keys"),
+          col("n_matched_keys"), col("n_matched_left"),
+          col("build_side"), col("strategy"),
+          round((col("probe_max").cast("double") * col("probe_keys")
+            / col("probe_rows")).cast(dec), 6).cast("double").as("skew_ratio"))
+    }
+  }
+
   /** A37 [EXT] — SHUFFLE-SKEW AUDIT: per candidate shuffle key, the
     * statistics that decide between a plain shuffle, AQE skew-join, and
     * explicit salting BEFORE the job runs — the planning query behind

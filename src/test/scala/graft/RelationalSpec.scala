@@ -174,6 +174,27 @@ class RelationalSpec extends AnyFunSuite {
     assert(fix.head._3 == kClasses, "q180 QI classes drifted from q165's")
   }
 
+  test("q186 join advisor: planted sides produce the hand-computed decision row") {
+    // left: keys 1..5 x2 + hot key 6 x10 -> 20 rows, 6 keys, max 10
+    // right: keys 1..4 + unmatched 7 -> 5 rows, 5 keys
+    val left = ((1 to 5).flatMap(k => Seq(k, k)) ++ Seq.fill(10)(6))
+      .map(k => (k.toLong, "x")).toDF("lk", "pad")
+    val right = (Seq(1, 2, 3, 4, 7)).map(k => (k.toLong, "y")).toDF("rk", "pad")
+    val got = Relational.adviseJoin("t", left, "lk", right, "rk", 10000L)
+      .as[(String, Long, Long, Long, Long, Long, Long, String, String, Double)]
+      .collect()
+    assert(got.length == 1)
+    // matched keys 1..4, matched left rows 8; build right (5 <= 20);
+    // broadcast (5 <= 10k); probe-side skew = 10 * 6 / 20 = 3.0
+    assert(got.head == (("t", 20L, 5L, 6L, 5L, 4L, 8L, "right", "broadcast", 3.0)))
+    // a tiny threshold flips the call to shuffle, nothing else moves
+    val shuffled = Relational.adviseJoin("t", left, "lk", right, "rk", 2L)
+      .as[(String, Long, Long, Long, Long, Long, Long, String, String, Double)]
+      .collect().head
+    assert(shuffled._9 == "shuffle" && shuffled._8 == "right"
+      && shuffled._10 == 3.0)
+  }
+
   test("q166 quantile sketch audit: flags pinned true and exact quantiles match a driver recompute") {
     val got = Relational.quantileSketchAudit(spark, TestSpark.Sf0001)
       .as[(String, Long, Double, Double, Boolean, Boolean)].collect()

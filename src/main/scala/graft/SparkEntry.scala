@@ -654,7 +654,11 @@ object SparkEntry {
     // per candidate join: side/key/match counts, build side, broadcast-
     // vs-shuffle call, probe-side skew — the planner's pre-flight table
     "q186_join_advisor" -> ((s: SparkSession, d: String) =>
-      Relational.joinStrategyAdvisor(s, d))
+      Relational.joinStrategyAdvisor(s, d)),
+    // near-dup pairs per split cell under group-aware vs per-doc splits:
+    // the leakage number that justifies D16, pairs computed once
+    "q187_split_leakage" -> ((s: SparkSession, d: String) =>
+      Sampling.splitLeakageAudit(s, d))
   )
 
   /** Shared CTE chain ending in `pairs` = the exact-Jaccard near-dup pairs
@@ -3141,6 +3145,32 @@ object SparkEntry {
     // identical per-side aggregates and CASE arithmetic, one block per
     // audited join
     "q186_join_advisor" -> joinAdvisorSql,
+    // the shared pair CTE once; both split assignments replayed from the
+    // same md5 hex thresholds as q111
+    "q187_split_leakage" ->
+      s"""WITH $jaccardPairCtes,
+         |sp AS (SELECT doc_id,
+         |  CASE WHEN md5(source || ':42') < 'cccccccc' THEN 'train'
+         |       WHEN md5(source || ':42') < 'e6666666' THEN 'val'
+         |       ELSE 'test' END AS gsplit,
+         |  CASE WHEN md5(CAST(doc_id AS VARCHAR) || ':42') < 'cccccccc'
+         |         THEN 'train'
+         |       WHEN md5(CAST(doc_id AS VARCHAR) || ':42') < 'e6666666'
+         |         THEN 'val'
+         |       ELSE 'test' END AS dsplit
+         | FROM documents),
+         |j AS (SELECT a.gsplit AS ga, a.dsplit AS da,
+         |             b.gsplit AS gb, b.dsplit AS db
+         |      FROM pairs p JOIN sp a ON a.doc_id = p.doc_a
+         |                   JOIN sp b ON b.doc_id = p.doc_b)
+         |SELECT 'group_aware' AS strategy, least(ga, gb) AS split_a,
+         |  greatest(ga, gb) AS split_b, CAST(count(*) AS BIGINT) AS n_pairs,
+         |  least(ga, gb) <> greatest(ga, gb) AS leaky
+         |FROM j GROUP BY 2, 3
+         |UNION ALL
+         |SELECT 'per_doc', least(da, db), greatest(da, db),
+         |  CAST(count(*) AS BIGINT), least(da, db) <> greatest(da, db)
+         |FROM j GROUP BY 2, 3""".stripMargin,
     // the four-version lineage re-derived; vacuumed versions report
     // (false, 0, 0), kept versions their exact row/char counts
     "q185_snapshot_vacuum" ->

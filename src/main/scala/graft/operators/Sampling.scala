@@ -361,14 +361,58 @@ object Sampling {
     * no shuffle, no group materialization; deterministic: same seed →
     * same assignment at any scale.
     */
+  /** The 80/10/10 hex-threshold split as a pure function of any key
+    * column — shared by the group-aware split (q111, key = source) and
+    * the leakage audit's per-doc baseline (q187, key = doc_id). */
+  private[graft] def splitOf(key: org.apache.spark.sql.Column,
+                             seed: Long): org.apache.spark.sql.Column = {
+    val p = md5(concat(key, lit(":" + seed)))
+    when(p < "cccccccc", "train")
+      .when(p < "e6666666", "val")
+      .otherwise("test")
+  }
+
   def groupAwareSplit(spark: SparkSession, dir: String, seed: Long = 42L,
-                      groupCol: String = "source"): DataFrame = {
-    val p = md5(concat(col(groupCol), lit(":" + seed)))
+                      groupCol: String = "source"): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"), col(groupCol),
-        when(p < "cccccccc", "train")
-          .when(p < "e6666666", "val")
-          .otherwise("test").as("split"))
+        splitOf(col(groupCol), seed).as("split"))
+
+  /** D32 [EXT] — SPLIT LEAKAGE AUDIT: does any near-duplicate pair
+    * straddle a train/val/test boundary? The measurement that justifies
+    * D16's group-aware split: per split-assignment strategy
+    * (group-aware by source vs the naive per-doc hash split, SAME hex
+    * thresholds), the exact-Jaccard near-dup pairs rolled up by
+    * unordered split cell with a `leaky` flag on cross-split cells. The
+    * group-aware rows can still leak ACROSS sources — that residue is
+    * exactly what this audit quantifies; the per-doc rows show the
+    * within-source leakage the group split exists to kill.
+    *
+    * Scale: the pair relation — the expensive part — is the audited
+    * inverted-index machinery, computed ONCE and spilled for both
+    * strategies (the q181 one-pass-many-gates shape); each strategy adds
+    * two id-grain split joins and a hash agg on the 6-cell key.
+    */
+  def splitLeakageAudit(spark: SparkSession, dir: String,
+                        threshold: Double = 0.5, seed: Long = 42L): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val pairs = graft.sources.Sources.spillScratch(
+      Dedup.ngramJaccardPairsFor(docs, threshold)
+        .select(col("doc_a"), col("doc_b")),
+      "leak_pairs")
+    def strat(name: String, key: org.apache.spark.sql.Column): DataFrame = {
+      val s = docs.select(col("doc_id"), splitOf(key, seed).as("split"))
+      pairs
+        .join(s.select(col("doc_id").as("doc_a"), col("split").as("sa")), "doc_a")
+        .join(s.select(col("doc_id").as("doc_b"), col("split").as("sb")), "doc_b")
+        .groupBy(least(col("sa"), col("sb")).as("split_a"),
+          greatest(col("sa"), col("sb")).as("split_b"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .select(lit(name).as("strategy"), col("split_a"), col("split_b"),
+          col("n_pairs"), (col("split_a") =!= col("split_b")).as("leaky"))
+    }
+    strat("group_aware", col("source"))
+      .unionByName(strat("per_doc", col("doc_id").cast("string")))
   }
 
   /** D4+D5 — hash repartition (reference

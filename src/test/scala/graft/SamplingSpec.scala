@@ -112,4 +112,45 @@ class SamplingSpec extends AnyFunSuite {
       .as[(Long, Long, Long)].head()
     assert(inv2 == inv)
   }
+
+  test("q187 split leakage: planted pairs land in the cells their computed splits dictate") {
+    def text(tag: String, last: String = "zz"): String = {
+      val words = (for (a <- 'a' to 'z'; b <- 'a' to 'z') yield s"$tag$a$b").take(53)
+      ("the" +: words :+ s"the $tag$last").mkString(" ")
+    }
+    // pair (1,2) within source s1; pair (3,4) across s1/s2; 5 pairless
+    val rows = Seq(
+      (1L, text("ta"), "en", "s1"), (2L, text("ta", "qq"), "en", "s1"),
+      (3L, text("tb"), "en", "s1"), (4L, text("tb", "rr"), "en", "s2"),
+      (5L, text("tc"), "en", "s2"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_leak").toString
+    rows.toDF("doc_id", "text", "lang", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // expected cells derived from the SAME split function, driver-side
+    val splits = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        Sampling.splitOf(col("source"), 42L).as("g"),
+        Sampling.splitOf(col("doc_id").cast("string"), 42L).as("d"))
+      .as[(Long, String, String)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    def cell(a: String, b: String) = if (a <= b) (a, b) else (b, a)
+    val wantG = Seq((1L, 2L), (3L, 4L))
+      .groupBy { case (a, b) => cell(splits(a)._1, splits(b)._1) }
+      .view.mapValues(_.size.toLong).toMap
+    val wantD = Seq((1L, 2L), (3L, 4L))
+      .groupBy { case (a, b) => cell(splits(a)._2, splits(b)._2) }
+      .view.mapValues(_.size.toLong).toMap
+    val got = Sampling.splitLeakageAudit(spark, dir)
+      .as[(String, String, String, Long, Boolean)].collect()
+    val gotG = got.filter(_._1 == "group_aware")
+      .map(r => (r._2, r._3) -> r._4).toMap
+    val gotD = got.filter(_._1 == "per_doc")
+      .map(r => (r._2, r._3) -> r._4).toMap
+    assert(gotG == wantG, s"group cells: $gotG vs $wantG")
+    assert(gotD == wantD, s"per-doc cells: $gotD vs $wantD")
+    // the within-source pair can never leak under the group-aware split
+    assert(splits(1L)._1 == splits(2L)._1)
+    got.foreach { r => assert(r._5 == (r._2 != r._3)) }
+    // both strategies see the same pair relation
+    assert(gotG.values.sum == 2L && gotD.values.sum == 2L)
+  }
 }

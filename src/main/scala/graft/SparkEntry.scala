@@ -658,7 +658,11 @@ object SparkEntry {
     // near-dup pairs per split cell under group-aware vs per-doc splits:
     // the leakage number that justifies D16, pairs computed once
     "q187_split_leakage" -> ((s: SparkSession, d: String) =>
-      Sampling.splitLeakageAudit(s, d))
+      Sampling.splitLeakageAudit(s, d)),
+    // q144's capacity/waste table swept over candidate context lengths,
+    // one spilled token-count pass serving every (context, strategy) cell
+    "q188_context_sweep" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.packingContextSweep(s, d))
   )
 
   /** Shared CTE chain ending in `pairs` = the exact-Jaccard near-dup pairs
@@ -2720,6 +2724,35 @@ object SparkEntry {
         |  round(1.0 - CAST(sum(n) AS DOUBLE)
         |    / (sum((n + 255) // 256) * 256), 6)
         |FROM n""".stripMargin,
+    // q144's arithmetic per context length, same integer ceil-divs
+    "q188_context_sweep" -> Seq(128L, 256L, 512L, 1024L).map { c =>
+      s"""SELECT CAST($c AS BIGINT) AS context_len, 'truncate' AS strategy,
+         |  CAST(count(*) AS BIGINT) AS n_sequences,
+         |  CAST(count(*) * $c AS BIGINT) AS capacity_tokens,
+         |  CAST(sum(least(n, $c)) AS BIGINT) AS used_tokens,
+         |  round(1.0 - CAST(sum(least(n, $c)) AS DOUBLE)
+         |    / (count(*) * $c), 6) AS waste_frac
+         |FROM (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+         |      FROM documents)
+         |UNION ALL
+         |SELECT $c, 'pack',
+         |  CAST((sum(n) + ${c - 1}) // $c AS BIGINT),
+         |  CAST(((sum(n) + ${c - 1}) // $c) * $c AS BIGINT),
+         |  CAST(sum(n) AS BIGINT),
+         |  round(1.0 - CAST(sum(n) AS DOUBLE)
+         |    / (((sum(n) + ${c - 1}) // $c) * $c), 6)
+         |FROM (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+         |      FROM documents)
+         |UNION ALL
+         |SELECT $c, 'chunk',
+         |  CAST(sum((n + ${c - 1}) // $c) AS BIGINT),
+         |  CAST(sum((n + ${c - 1}) // $c) * $c AS BIGINT),
+         |  CAST(sum(n) AS BIGINT),
+         |  round(1.0 - CAST(sum(n) AS DOUBLE)
+         |    / (sum((n + ${c - 1}) // $c) * $c), 6)
+         |FROM (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+         |      FROM documents)""".stripMargin
+    }.mkString("\nUNION ALL\n"),
     // the route is a pure CASE over the recounted corpus; violations are
     // the engine-side dispatch check, pinned 0
     "q145_ann_route" ->

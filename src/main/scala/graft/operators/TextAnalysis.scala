@@ -1176,9 +1176,17 @@ object TextAnalysis {
     * strategy row is an aggregate over that tiny projection (integer
     * arithmetic until the final division) — three rows out. */
   def packingEfficiencyAudit(spark: SparkSession, dir: String,
-                             contextLen: Long = 256L): DataFrame = {
-    val n = Tables.documents(spark, dir)
-      .select(TF.nTokens(col("text")).cast("long").as("n"))
+                             contextLen: Long = 256L): DataFrame =
+    packingEfficiencyFor(
+      Tables.documents(spark, dir)
+        .select(TF.nTokens(col("text")).cast("long").as("n")),
+      contextLen)
+
+  /** The three-strategy capacity/waste table over a (n) token-count
+    * relation — shared by q144 (one context length) and the q188 sweep
+    * (many lengths over one spilled relation). */
+  private[graft] def packingEfficiencyFor(n: DataFrame,
+                                          contextLen: Long): DataFrame = {
     def idiv(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
       call_function("div", a, b)
     def ceilDiv(a: org.apache.spark.sql.Column, b: Long) =
@@ -1196,6 +1204,30 @@ object TextAnalysis {
     row("truncate", count(lit(1)), sum(least(col("n"), ctx)))
       .unionByName(row("pack", ceilDiv(sum(col("n")), contextLen), sum(col("n"))))
       .unionByName(row("chunk", sum(ceilDiv(col("n"), contextLen)), sum(col("n"))))
+  }
+
+  /** G7 [EXT] — CONTEXT-LENGTH PACKING SWEEP: q144's decision table swept
+    * over candidate context lengths — the "which context length do we
+    * train at" knob priced on the actual corpus, the packing-side
+    * companion of the q181 threshold curve and the q165/q178/q180
+    * governance sweeps: one pass computes the per-doc token counts, every
+    * (context, strategy) cell is an aggregate over that spilled
+    * projection. Truncate's lost-text waste FALLS with context while pack
+    * and chunk's tail waste RISES — the crossover this table locates is
+    * exactly the number folklore guesses.
+    */
+  def packingContextSweep(spark: SparkSession, dir: String,
+                          ctxs: Seq[Long] = Seq(128L, 256L, 512L, 1024L)): DataFrame = {
+    require(ctxs.nonEmpty && ctxs.forall(_ >= 1), s"need ctxs >= 1; got $ctxs")
+    val n = graft.sources.Sources.spillScratch(
+      Tables.documents(spark, dir)
+        .select(TF.nTokens(col("text")).cast("long").as("n")),
+      "ctx_sweep_n")
+    ctxs.sorted.map { c =>
+      packingEfficiencyFor(n, c)
+        .select(lit(c).as("context_len"), col("strategy"), col("n_sequences"),
+          col("capacity_tokens"), col("used_tokens"), col("waste_frac"))
+    }.reduce(_.unionByName(_))
   }
 
   /** q108 — VOCABULARY COVERAGE / OOV RATE: fix the tokenizer's

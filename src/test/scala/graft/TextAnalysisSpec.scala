@@ -577,6 +577,33 @@ class TextAnalysisSpec extends AnyFunSuite {
     }
   }
 
+  test("q188 context sweep matches hand-computed cells; pack dominates everywhere") {
+    def doc(id: Long, n: Int) = (id, Seq.fill(n)("w").mkString(" "), "en", "s0")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ctx").toString
+    Seq(doc(1, 100), doc(2, 300), doc(3, 50))
+      .toDF("doc_id", "text", "lang", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextAnalysis.packingContextSweep(spark, dir, Seq(128L, 256L))
+      .as[(Long, String, Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6))).toMap
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got((128L, "truncate")) == ((3L, 384L, 278L, r6(1 - 278.0 / 384))))
+    assert(got((128L, "pack")) == ((4L, 512L, 450L, r6(1 - 450.0 / 512))))
+    assert(got((128L, "chunk")) == ((5L, 640L, 450L, r6(1 - 450.0 / 640))))
+    assert(got((256L, "truncate")) == ((3L, 768L, 406L, r6(1 - 406.0 / 768))))
+    assert(got((256L, "pack")) == ((2L, 512L, 450L, r6(1 - 450.0 / 512))))
+    assert(got((256L, "chunk")) == ((4L, 1024L, 450L, r6(1 - 450.0 / 1024))))
+    // pack never wastes more than chunk at the same context (it merges
+    // exactly chunk's per-doc tails), on the fixture corpus too
+    val fix = TextAnalysis.packingContextSweep(spark, TestSpark.Sf0001)
+      .as[(Long, String, Long, Long, Long, Double)].collect()
+    fix.groupBy(_._1).foreach { case (ctx, rows) =>
+      val byStrat = rows.map(r => r._2 -> r._6).toMap
+      assert(byStrat("pack") <= byStrat("chunk"), s"ctx $ctx: pack > chunk")
+    }
+  }
+
   test("q184 UniMax allocation matches hand-computed waterfills in all three regimes") {
     // langs sized 10/40/70/80/300 -> capacities scale with maxEpochs
     val sizes = Seq("aa" -> 10, "bb" -> 40, "cc" -> 70, "dd" -> 80, "ee" -> 300)

@@ -662,7 +662,11 @@ object SparkEntry {
     // q144's capacity/waste table swept over candidate context lengths,
     // one spilled token-count pass serving every (context, strategy) cell
     "q188_context_sweep" -> ((s: SparkSession, d: String) =>
-      TextAnalysis.packingContextSweep(s, d))
+      TextAnalysis.packingContextSweep(s, d)),
+    // ANALYZE: per (table, column) row/null/exact-NDV/min/max/width stats
+    // over the engine's own join and rollup keys — the CBO's food
+    "q189_table_stats" -> ((s: SparkSession, d: String) =>
+      Relational.tableStats(s, d))
   )
 
   /** Shared CTE chain ending in `pairs` = the exact-Jaccard near-dup pairs
@@ -2752,6 +2756,24 @@ object SparkEntry {
          |    / (sum((n + ${c - 1}) // $c) * $c), 6)
          |FROM (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n
          |      FROM documents)""".stripMargin
+    }.mkString("\nUNION ALL\n"),
+    // identical aggregates per audited column; min/max typed-then-cast
+    "q189_table_stats" -> Seq(
+      ("orders", "o_custkey"), ("orders", "o_orderstatus"),
+      ("lineitem", "l_orderkey"), ("lineitem", "l_partkey"),
+      ("documents", "lang"), ("documents", "source"),
+      ("customer", "c_mktsegment"), ("events", "event_type")).map {
+      case (t, c) =>
+        s"""SELECT '$t' AS table_name, '$c' AS column_name,
+           |  CAST(count(*) AS BIGINT) AS n_rows,
+           |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_nulls,
+           |  CAST(count(DISTINCT $c) AS BIGINT) AS ndv,
+           |  CAST(min($c) AS VARCHAR) AS min_val,
+           |  CAST(max($c) AS VARCHAR) AS max_val,
+           |  CAST(round(CAST(avg(length(CAST($c AS VARCHAR)))
+           |    AS DECIMAL(38,18)), 6) AS DOUBLE) AS avg_width
+           |FROM $t""".stripMargin
     }.mkString("\nUNION ALL\n"),
     // the route is a pure CASE over the recounted corpus; violations are
     // the engine-side dispatch check, pinned 0

@@ -499,6 +499,55 @@ object Relational {
     }
   }
 
+  /** A45 [EXT] — TABLE STATISTICS COLLECTION (ANALYZE): the cost-based-
+    * optimizer's food — per (table, column): row count, null count, exact
+    * NDV, min/max (cast to string AFTER the typed min/max, so integer
+    * order is numeric, never lexicographic), and the mean value width —
+    * the statistics q186's advisor and every CBO join reorder consume.
+    * NDV is EXACT on purpose: the audited-approximation discipline (q10)
+    * needs a ground truth to audit against, and a stats table feeding
+    * broadcast decisions mis-sized by an HLL error band defeats its
+    * point. Columns audited: the engine's own join/rollup keys.
+    *
+    * Scale: ONE scan per table computes every column's aggregates
+    * (multiple exact distincts share the scan through Spark's expand —
+    * one pass, k× shuffle rows for k columns); the per-column rows
+    * unstack from the single wide aggregate row. At 100 TB this is the
+    * overnight ANALYZE job, run per snapshot, not per query.
+    */
+  /** The audited (table, columns) set: the engine's own join and rollup
+    * keys. */
+  val DefaultStatsSpecs: Seq[(String, Seq[String])] = Seq(
+    "orders" -> Seq("o_custkey", "o_orderstatus"),
+    "lineitem" -> Seq("l_orderkey", "l_partkey"),
+    "documents" -> Seq("lang", "source"),
+    "customer" -> Seq("c_mktsegment"),
+    "events" -> Seq("event_type"))
+
+  def tableStats(spark: SparkSession, dir: String,
+                 specs: Seq[(String, Seq[String])] = DefaultStatsSpecs): DataFrame = {
+    require(specs.nonEmpty && specs.forall(_._2.nonEmpty), "need columns per table")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 18)
+    specs.map { case (t, cols) =>
+      val wide = Tables.table(spark, dir, t).agg(
+        count(lit(1)).as("n_rows"),
+        cols.flatMap { c =>
+          Seq(sum(col(c).isNull.cast("long")).as(s"nn_$c"),
+            countDistinct(col(c)).as(s"ndv_$c"),
+            min(col(c)).cast("string").as(s"min_$c"),
+            max(col(c)).cast("string").as(s"max_$c"),
+            round(avg(length(col(c).cast("string"))).cast(dec), 6)
+              .cast("double").as(s"len_$c"))
+        }: _*)
+      cols.map { c =>
+        wide.select(lit(t).as("table_name"), lit(c).as("column_name"),
+          col("n_rows"), col(s"nn_$c").as("n_nulls"), col(s"ndv_$c").as("ndv"),
+          col(s"min_$c").as("min_val"), col(s"max_$c").as("max_val"),
+          col(s"len_$c").as("avg_width"))
+      }.reduce(_.unionByName(_))
+    }.reduce(_.unionByName(_))
+  }
+
   /** A37 [EXT] — SHUFFLE-SKEW AUDIT: per candidate shuffle key, the
     * statistics that decide between a plain shuffle, AQE skew-join, and
     * explicit salting BEFORE the job runs — the planning query behind

@@ -195,6 +195,26 @@ class RelationalSpec extends AnyFunSuite {
       && shuffled._10 == 3.0)
   }
 
+  test("q189 table stats: nulls excluded from ndv/width, min/max typed not lexicographic") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stats").toString
+    Seq((Some(9L), Some("A")), (Some(9L), Some("B")),
+        (Some(10L), None), (None, Some("B")))
+      .toDF("o_custkey", "o_orderstatus")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val got = Relational.tableStats(spark, dir,
+        Seq("orders" -> Seq("o_custkey", "o_orderstatus")))
+      .as[(String, String, Long, Long, Long, String, String, Double)]
+      .collect().map(r => r._2 -> r).toMap
+    // typed min/max: 9 < 10 numerically ("10" < "9" lexicographically —
+    // the bug this assertion exists to catch)
+    val w = BigDecimal(4.0 / 3)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got("o_custkey") ==
+      (("orders", "o_custkey", 4L, 1L, 2L, "9", "10", w)))
+    assert(got("o_orderstatus") ==
+      (("orders", "o_orderstatus", 4L, 1L, 2L, "A", "B", 1.0)))
+  }
+
   test("q166 quantile sketch audit: flags pinned true and exact quantiles match a driver recompute") {
     val got = Relational.quantileSketchAudit(spark, TestSpark.Sf0001)
       .as[(String, Long, Double, Double, Boolean, Boolean)].collect()

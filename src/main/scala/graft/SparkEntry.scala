@@ -666,7 +666,11 @@ object SparkEntry {
     // ANALYZE: per (table, column) row/null/exact-NDV/min/max/width stats
     // over the engine's own join and rollup keys — the CBO's food
     "q189_table_stats" -> ((s: SparkSession, d: String) =>
-      Relational.tableStats(s, d))
+      Relational.tableStats(s, d)),
+    // ANALYZE's histograms: rank-selected quartile boundaries + min/max
+    // per audited numeric column (never interpolated — engine-identical)
+    "q190_column_histograms" -> ((s: SparkSession, d: String) =>
+      Relational.columnHistograms(s, d))
   )
 
   /** Shared CTE chain ending in `pairs` = the exact-Jaccard near-dup pairs
@@ -2774,6 +2778,24 @@ object SparkEntry {
            |  CAST(round(CAST(avg(length(CAST($c AS VARCHAR)))
            |    AS DECIMAL(38,18)), 6) AS DOUBLE) AS avg_width
            |FROM $t""".stripMargin
+    }.mkString("\nUNION ALL\n"),
+    // rank selection at ceil(p*n) over the distinct-value histogram,
+    // min/max as the 0/1 endpoints
+    "q190_column_histograms" -> Seq(
+      ("orders", "o_totalprice"), ("lineitem", "l_quantity"),
+      ("customer", "c_acctbal")).map { case (t, c) =>
+      s"""SELECT '$t' AS table_name, '$c' AS column_name,
+         |  CAST(0.0 AS DOUBLE) AS p, min(CAST($c AS DOUBLE)) AS value FROM $t
+         |UNION ALL
+         |SELECT '$t', '$c', 1.0, max(CAST($c AS DOUBLE)) FROM $t
+         |UNION ALL
+         |SELECT '$t', '$c', p, min(v) FROM (
+         |  SELECT v, sum(cnt) OVER (ORDER BY v) AS cum,
+         |         sum(cnt) OVER () AS n
+         |  FROM (SELECT CAST($c AS DOUBLE) AS v, count(*) AS cnt
+         |        FROM $t GROUP BY 1)) h
+         |CROSS JOIN (SELECT CAST(unnest([0.25, 0.5, 0.75]) AS DOUBLE) AS p) ps
+         |WHERE cum >= ceil(n * p) GROUP BY 1, 2, 3""".stripMargin
     }.mkString("\nUNION ALL\n"),
     // the route is a pure CASE over the recounted corpus; violations are
     // the engine-side dispatch check, pinned 0

@@ -548,6 +548,51 @@ object Relational {
     }.reduce(_.unionByName(_))
   }
 
+  /** A46 [EXT] — EQUI-DEPTH COLUMN HISTOGRAMS: ANALYZE's second course —
+    * per audited numeric column, the quartile boundary VALUES plus
+    * min/max, i.e. the 4-bucket equi-height histogram Spark's own
+    * `ANALYZE ... FOR COLUMNS` persists for CBO selectivity. Boundaries
+    * are RANK-selected (the value at rank ⌈p·n⌉ — q57's exact-selection
+    * discipline), never interpolated: interpolation's (1−f)a+fb differs
+    * in the last ulp across engines, rank selection is bit-identical.
+    *
+    * Scale: one map-side-combined (value → count) aggregate per column;
+    * the cumulative window runs over the DISTINCT-VALUE relation, which
+    * is value-domain-bounded for these columns (2-decimal money,
+    * integral quantities) — the q57 bounded-window argument, global
+    * instead of per-language. Never a corpus-width sort.
+    */
+  def columnHistograms(spark: SparkSession, dir: String,
+                       ps: Seq[Double] = Seq(0.25, 0.5, 0.75)): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p > 0 && p < 1), s"need 0<p<1; got $ps")
+    import org.apache.spark.sql.expressions.Window
+    val specs: Seq[(String, String, DataFrame)] = Seq(
+      ("orders", "o_totalprice", Tables.orders(spark, dir)),
+      ("lineitem", "l_quantity", Tables.lineitem(spark, dir)),
+      ("customer", "c_acctbal", Tables.customer(spark, dir)))
+    specs.map { case (t, c, df) =>
+      val hist = graft.sources.Sources.spillScratch(
+        df.select(col(c).cast("double").as("v"))
+          .groupBy(col("v")).agg(count(lit(1)).as("cnt")),
+        "hist")
+      val cum = hist
+        .withColumn("n", sum(col("cnt")).over(Window.partitionBy()))
+        .withColumn("cum", sum(col("cnt")).over(Window.orderBy(col("v"))))
+      val ends = hist.agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+        .select(lit(0.0).as("p"), col("mn").as("value"))
+        .unionByName(hist.agg(max(col("v")).as("value"))
+          .select(lit(1.0).as("p"), col("value")))
+      val quantiles = ps.map { p =>
+        cum.filter(col("cum") >= ceil(col("n") * p))
+          .agg(min(col("v")).as("value"))
+          .select(lit(p).as("p"), col("value"))
+      }.reduce(_.unionByName(_))
+      ends.unionByName(quantiles)
+        .select(lit(t).as("table_name"), lit(c).as("column_name"),
+          col("p"), col("value"))
+    }.reduce(_.unionByName(_))
+  }
+
   /** A37 [EXT] — SHUFFLE-SKEW AUDIT: per candidate shuffle key, the
     * statistics that decide between a plain shuffle, AQE skew-join, and
     * explicit salting BEFORE the job runs — the planning query behind

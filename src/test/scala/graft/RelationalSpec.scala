@@ -215,6 +215,32 @@ class RelationalSpec extends AnyFunSuite {
       (("orders", "o_orderstatus", 4L, 1L, 2L, "A", "B", 1.0)))
   }
 
+  test("q190 column histograms: rank-selected boundaries match a driver sort, ties collapse correctly") {
+    val got = Relational.columnHistograms(spark, TestSpark.Sf0001)
+      .as[(String, String, Double, Double)].collect()
+      .map(r => (r._1, r._3) -> r._4).toMap
+    // driver recompute: value at rank ceil(p*n) in the sorted column
+    def expect(vals: Array[Double], p: Double): Double =
+      if (p == 0.0) vals.min
+      else if (p == 1.0) vals.max
+      else vals.sorted.apply(math.ceil(p * vals.length).toInt - 1)
+    val cols = Seq(
+      ("orders", Tables.orders(spark, TestSpark.Sf0001), "o_totalprice"),
+      ("lineitem", Tables.lineitem(spark, TestSpark.Sf0001), "l_quantity"),
+      ("customer", Tables.customer(spark, TestSpark.Sf0001), "c_acctbal"))
+    cols.foreach { case (t, df, c) =>
+      val vals = df.select(col(c).cast("double")).as[Double].collect()
+      Seq(0.0, 0.25, 0.5, 0.75, 1.0).foreach { p =>
+        assert(got((t, p)) == expect(vals, p), s"$t.$c p=$p")
+      }
+    }
+    // l_quantity is heavily tied (integral 1..50): the distinct-value
+    // histogram path must still select the exact rank value
+    val q = Tables.lineitem(spark, TestSpark.Sf0001)
+      .select(col("l_quantity").cast("double")).as[Double].collect()
+    assert(q.distinct.length < q.length, "tie fixture assumption broken")
+  }
+
   test("q166 quantile sketch audit: flags pinned true and exact quantiles match a driver recompute") {
     val got = Relational.quantileSketchAudit(spark, TestSpark.Sf0001)
       .as[(String, Long, Double, Double, Boolean, Boolean)].collect()

@@ -670,7 +670,11 @@ object SparkEntry {
     // ANALYZE's histograms: rank-selected quartile boundaries + min/max
     // per audited numeric column (never interpolated — engine-identical)
     "q190_column_histograms" -> ((s: SparkSession, d: String) =>
-      Relational.columnHistograms(s, d))
+      Relational.columnHistograms(s, d)),
+    // the release datasheet as ONE query: size/breadth/entropy/quality/
+    // dup/contamination metrics, the pair relation computed once
+    "q191_corpus_data_card" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.corpusDataCard(s, d))
   )
 
   /** Shared CTE chain ending in `pairs` = the exact-Jaccard near-dup pairs
@@ -2797,6 +2801,53 @@ object SparkEntry {
          |CROSS JOIN (SELECT CAST(unnest([0.25, 0.5, 0.75]) AS DOUBLE) AS p) ps
          |WHERE cum >= ceil(n * p) GROUP BY 1, 2, 3""".stripMargin
     }.mkString("\nUNION ALL\n"),
+    // every metric re-derived from the fragments its owning oracle uses
+    "q191_corpus_data_card" ->
+      s"""WITH $jaccardPairCtes,
+         |base AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+         |  CAST(sum(len(string_split(text, ' '))) AS DOUBLE) AS n_tokens,
+         |  CAST(sum(length(text)) AS DOUBLE) AS n_chars,
+         |  CAST(count(DISTINCT lang) AS DOUBLE) AS n_langs,
+         |  CAST(count(DISTINCT source) AS DOUBLE) AS n_sources,
+         |  CAST(round(CAST(avg($qualitySql) AS DECIMAL(38,18)), 6) AS DOUBLE)
+         |    AS mean_quality
+         | FROM documents),
+         |dg AS (SELECT CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         |         AS exact_dup_groups
+         |       FROM (SELECT count(*) AS c FROM documents GROUP BY sha256(text))),
+         |le AS (SELECT CAST(round(CAST(ln(sum(n)) - sum(n * ln(n)) / sum(n)
+         |         AS DECIMAL(38,18)), 6) AS DOUBLE) AS lang_entropy
+         |       FROM (SELECT count(*) AS n FROM documents GROUP BY lang)),
+         |ps AS (SELECT CAST(count(*) AS DOUBLE) AS neardup_pairs FROM pairs),
+         |pd AS (SELECT CAST(count(DISTINCT id) AS DOUBLE) AS neardup_docs
+         |       FROM (SELECT doc_a AS id FROM pairs
+         |             UNION ALL SELECT doc_b FROM pairs)),
+         |ct AS (SELECT CAST(count(DISTINCT id) AS DOUBLE) AS eval_contaminated
+         |       FROM (SELECT CASE WHEN doc_a % 10 = 0 THEN doc_b ELSE doc_a END
+         |               AS id
+         |             FROM pairs WHERE (doc_a % 10 = 0) <> (doc_b % 10 = 0)
+         |             UNION ALL
+         |             SELECT t.doc_id FROM documents t
+         |             WHERE t.doc_id % 10 <> 0
+         |               AND sha256(t.text) IN (SELECT sha256(text)
+         |                 FROM documents WHERE doc_id % 10 = 0)))
+         |SELECT m.metric,
+         |  CASE m.metric
+         |    WHEN 'n_docs' THEN n_docs WHEN 'n_tokens' THEN n_tokens
+         |    WHEN 'n_chars' THEN n_chars WHEN 'n_langs' THEN n_langs
+         |    WHEN 'n_sources' THEN n_sources
+         |    WHEN 'mean_quality' THEN mean_quality
+         |    WHEN 'lang_entropy' THEN lang_entropy
+         |    WHEN 'exact_dup_groups' THEN exact_dup_groups
+         |    WHEN 'neardup_pairs' THEN neardup_pairs
+         |    WHEN 'neardup_docs' THEN neardup_docs
+         |    ELSE eval_contaminated END AS value
+         |FROM (SELECT unnest(['n_docs', 'n_tokens', 'n_chars', 'n_langs',
+         |        'n_sources', 'mean_quality', 'lang_entropy',
+         |        'exact_dup_groups', 'neardup_pairs', 'neardup_docs',
+         |        'eval_contaminated']) AS metric) m
+         |CROSS JOIN base CROSS JOIN dg CROSS JOIN le
+         |CROSS JOIN ps CROSS JOIN pd CROSS JOIN ct""".stripMargin,
     // the route is a pure CASE over the recounted corpus; violations are
     // the engine-side dispatch check, pinned 0
     "q145_ann_route" ->

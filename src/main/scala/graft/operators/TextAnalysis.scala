@@ -1675,6 +1675,78 @@ object TextAnalysis {
         col("heaps_beta"), col("heaps_logk"), col("r_squared"))
   }
 
+  /** A47 [EXT] — CORPUS DATA CARD: the "Datasheets for Datasets" summary
+    * (Gebru et al. 2021) every release publishes, as ONE query — the
+    * composition proof for the audit family the way q179 is for the
+    * pipeline family. Metrics, every one a number an existing audited
+    * operator owns: corpus size (docs/tokens/chars), language and source
+    * breadth, language entropy (q99's formula), mean quality (q25's
+    * scorer), exact-duplicate groups (q16's hash grain — honestly 0 on a
+    * synthetic fixture with no planted exact dups), near-dup pairs and
+    * the docs they touch (the q17 exact-Jaccard contract), and the
+    * held-out-split contamination count (q59's cross-split grain).
+    * Output (metric, value) rows, values double for one uniform schema.
+    *
+    * Scale: one corpus scan feeds all the scalar stats (single agg);
+    * the pair relation — the expensive part — is the audited
+    * inverted-index machinery computed ONCE and spilled for the pair
+    * count, the touched-doc count, and the cross-split contamination
+    * count (the q181/q187 discipline).
+    */
+  def corpusDataCard(spark: SparkSession, dir: String,
+                     threshold: Double = 0.5): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 18)
+    val docs = Tables.documents(spark, dir)
+    val scalars = docs
+      .select(col("doc_id"), col("lang"), col("source"),
+        TF.nTokens(col("text")).cast("long").as("nt"),
+        length(col("text")).cast("long").as("nc"),
+        TF.qualityScore(col("text")).as("q"),
+        TF.contentHash(col("text")).as("h"))
+    val base = scalars.agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("nt")).as("n_tokens"),
+      sum(col("nc")).as("n_chars"),
+      countDistinct(col("lang")).as("n_langs"),
+      countDistinct(col("source")).as("n_sources"),
+      round(avg(col("q")).cast(dec), 6).cast("double").as("mean_quality"))
+    val dupGroups = scalars.groupBy(col("h")).agg(count(lit(1)).as("c"))
+      .agg(sum(when(col("c") > 1, 1L).otherwise(0L)).as("exact_dup_groups"))
+    // q99's language entropy: ln(N) - sum(n ln n)/N over lang counts
+    val langEnt = scalars.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      .agg(sum(col("n")).as("nn"), sum(col("n") * log(col("n"))).as("s2"))
+      .select(round((log(col("nn").cast("double")) - col("s2") / col("nn"))
+        .cast(dec), 6).cast("double").as("lang_entropy"))
+    val pairs = graft.sources.Sources.spillScratch(
+      Dedup.ngramJaccardPairsFor(docs, threshold)
+        .select(col("doc_a"), col("doc_b")),
+      "datacard_pairs")
+    val pairStats = pairs.agg(count(lit(1)).as("neardup_pairs"))
+      .crossJoin(pairs.select(col("doc_a").as("id"))
+        .unionByName(pairs.select(col("doc_b").as("id")))
+        .agg(countDistinct(col("id")).as("neardup_docs")))
+    // q59's two-arm contract: shingle-visible cross-split pairs PLUS the
+    // exact-hash arm (empty on a hash-unique fixture, kept for contract)
+    val contam = pairs
+      .filter((col("doc_a") % 10 === 0) =!= (col("doc_b") % 10 === 0))
+      .select(when(col("doc_a") % 10 === 0, col("doc_b"))
+        .otherwise(col("doc_a")).as("id"))
+      .unionByName(scalars.filter(col("doc_id") % 10 =!= 0)
+        .select(col("doc_id").as("id"), col("h"))
+        .join(broadcast(scalars.filter(col("doc_id") % 10 === 0)
+            .select(col("h")).distinct()), Seq("h"), "left_semi")
+        .select(col("id")))
+      .agg(countDistinct(col("id")).as("eval_contaminated"))
+    val wide = base.crossJoin(dupGroups).crossJoin(langEnt)
+      .crossJoin(pairStats).crossJoin(contam)
+    val metrics = Seq("n_docs", "n_tokens", "n_chars", "n_langs",
+      "n_sources", "mean_quality", "lang_entropy", "exact_dup_groups",
+      "neardup_pairs", "neardup_docs", "eval_contaminated")
+    metrics.map { m =>
+      wide.select(lit(m).as("metric"), col(m).cast("double").as("value"))
+    }.reduce(_.unionByName(_))
+  }
+
   /** A43 [EXT] — UNIMAX BUDGET ALLOCATION (Chung et al. 2023): the third
     * mixture planner next to one-shot temperature scaling (A10/q92) and
     * the iterated DoReMi update (A38/q174) — waterfilling: distribute the

@@ -577,6 +577,32 @@ class TextAnalysisSpec extends AnyFunSuite {
     }
   }
 
+  test("q191 data card: every metric equals the owning operator's own number") {
+    val card = TextAnalysis.corpusDataCard(spark, TestSpark.Sf0001)
+      .as[(String, Double)].collect().toMap
+    val docs = Tables.documents(spark, TestSpark.Sf0001)
+    assert(card("n_docs") == docs.count().toDouble)
+    assert(card("n_langs") == docs.select(col("lang")).distinct().count().toDouble)
+    assert(card("n_sources") ==
+      docs.select(col("source")).distinct().count().toDouble)
+    // the pair metrics equal the q17 operator's own relation
+    val pairs = graft.operators.Dedup
+      .ngramJaccardPairsFor(docs, 0.5).localCheckpoint(true)
+    assert(card("neardup_pairs") == pairs.count().toDouble)
+    assert(card("neardup_docs") == pairs.select(col("doc_a").as("id"))
+      .unionByName(pairs.select(col("doc_b").as("id")))
+      .distinct().count().toDouble)
+    // contamination equals q59's report row count (same two-arm contract)
+    val contam = graft.operators.Dedup
+      .decontaminationReport(spark, TestSpark.Sf0001).count()
+    assert(card("eval_contaminated") == contam.toDouble)
+    // entropy/quality sanity: entropy in [0, ln n_langs], quality in (0,1)
+    assert(card("lang_entropy") >= 0.0
+      && card("lang_entropy") <= math.log(card("n_langs")) + 1e-9)
+    assert(card("mean_quality") > 0.0 && card("mean_quality") < 1.0)
+    assert(card("exact_dup_groups") == 0.0, "fixture has no exact dups")
+  }
+
   test("q188 context sweep matches hand-computed cells; pack dominates everywhere") {
     def doc(id: Long, n: Int) = (id, Seq.fill(n)("w").mkString(" "), "en", "s0")
     val dir = java.nio.file.Files.createTempDirectory("graft_ctx").toString

@@ -674,7 +674,11 @@ object SparkEntry {
     // the release datasheet as ONE query: size/breadth/entropy/quality/
     // dup/contamination metrics, the pair relation computed once
     "q191_corpus_data_card" -> ((s: SparkSession, d: String) =>
-      TextAnalysis.corpusDataCard(s, d))
+      TextAnalysis.corpusDataCard(s, d)),
+    // duplication severity by cluster size: pairs vs mega-cluster corpora
+    // dedup identically by rate but need different routers
+    "q192_dup_cluster_histogram" -> ((s: SparkSession, d: String) =>
+      Dedup.dupClusterHistogram(s, d))
   )
 
   /** Shared CTE chain ending in `pairs` = the exact-Jaccard near-dup pairs
@@ -820,6 +824,22 @@ object SparkEntry {
 
   private val jaccardSql: String =
     s"WITH $jaccardPairCtes\nSELECT doc_a, doc_b, jaccard FROM pairs"
+
+  /** q192: the q52 transitive closure re-aggregated to the size grain. */
+  private lazy val dupHistogramSql: String =
+    s"""WITH RECURSIVE $jaccardPairCtes,
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |          UNION SELECT doc_b, doc_a FROM pairs),
+       |reach(id, lbl) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
+       |cl AS (SELECT id, min(lbl) AS lbl FROM reach GROUP BY id),
+       |sz AS (SELECT CAST(count(*) AS BIGINT) AS size FROM cl GROUP BY lbl)
+       |SELECT size, CAST(count(*) AS BIGINT) AS n_clusters,
+       |  CAST(size * count(*) AS BIGINT) AS n_docs,
+       |  CAST((size - 1) * count(*) AS BIGINT) AS n_docs_dropped
+       |FROM sz GROUP BY size""".stripMargin
 
   /** Embedding unnest CTE: (vec_id, 0-based dim, double value). */
   private val embedExplode: String =
@@ -2801,6 +2821,8 @@ object SparkEntry {
          |CROSS JOIN (SELECT CAST(unnest([0.25, 0.5, 0.75]) AS DOUBLE) AS p) ps
          |WHERE cum >= ceil(n * p) GROUP BY 1, 2, 3""".stripMargin
     }.mkString("\nUNION ALL\n"),
+    // the q52 closure re-aggregated to the size grain
+    "q192_dup_cluster_histogram" -> dupHistogramSql,
     // every metric re-derived from the fragments its owning oracle uses
     "q191_corpus_data_card" ->
       s"""WITH $jaccardPairCtes,

@@ -1083,6 +1083,31 @@ object Dedup {
     }.reduce(_.unionByName(_))
   }
 
+  /** D33 [EXT] — DUPLICATION SEVERITY HISTOGRAM: how bad is the
+    * duplication, by cluster size — the one-table answer to "are we
+    * dealing with pairs or with a mega-cluster": per near-dup cluster
+    * size (singletons included as size 1), the cluster count, the doc
+    * mass, and the docs a keep-one dedup would drop from that size class
+    * ((size−1)·n_clusters). The q181 curve sweeps the threshold; this
+    * slices the SHAPE at the shipped threshold — a corpus of pairs and a
+    * corpus with one 10k-doc template cluster dedup identically by rate
+    * but need completely different df-caps and routers.
+    *
+    * Scale: rides [[nearDupClustersFor]]'s audited machinery; the
+    * histogram adds two map-side-combined aggs on cluster_id then size —
+    * both bounded by cluster count.
+    */
+  def dupClusterHistogram(spark: SparkSession, dir: String,
+                          threshold: Double = 0.5): DataFrame = {
+    val clusters = nearDupClustersFor(Tables.documents(spark, dir), threshold)
+    clusters.groupBy(col("cluster_id")).agg(count(lit(1)).as("size"))
+      .groupBy(col("size"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .select(col("size"), col("n_clusters"),
+        (col("size") * col("n_clusters")).as("n_docs"),
+        ((col("size") - 1) * col("n_clusters")).as("n_docs_dropped"))
+  }
+
   /** The dedup verb a training-data pipeline actually runs: resolve
     * near-dup PAIRS into clusters and a keep/drop decision per document.
     * Edges are the MinHash-LSH pairs (exact-Jaccard-verified, so the edge

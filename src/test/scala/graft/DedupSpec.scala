@@ -654,6 +654,23 @@ class DedupSpec extends AnyFunSuite {
     assert(capped(10L)._3, "under-cap cluster still audited")
   }
 
+  test("q192 dup cluster histogram: mass conserved, consistent with q52's clusters") {
+    val hist = Dedup.dupClusterHistogram(spark, TestSpark.Sf0001)
+      .as[(Long, Long, Long, Long)].collect()
+    val docs = Tables.documents(spark, TestSpark.Sf0001).count()
+    // every doc sits in exactly one cluster: the doc mass sums to the corpus
+    assert(hist.map(_._3).sum == docs)
+    // dropped mass = docs - clusters, per size class and in total
+    hist.foreach { case (s, nc, nd, dropped) =>
+      assert(nd == s * nc && dropped == (s - 1) * nc)
+    }
+    assert(hist.map(_._4).sum ==
+      docs - Dedup.nearDupClusters(spark, TestSpark.Sf0001)
+        .filter(col("keep")).count())
+    // the fixture plants real near-dups: at least one size >= 2 class
+    assert(hist.exists(_._1 >= 2), "no multi-doc cluster on the fixture")
+  }
+
   test("q181 dedup threshold curve: planted chain drops exactly per-threshold; curve is monotone") {
     // 3-shingle Jaccards by construction: J(1,2) = 7/9 -> 0.7778,
     // J(2,3) = 6/10 = 0.6, J(1,3) = 5/11 -> 0.4545 (below every gate).

@@ -678,7 +678,11 @@ object SparkEntry {
     // duplication severity by cluster size: pairs vs mega-cluster corpora
     // dedup identically by rate but need different routers
     "q192_dup_cluster_histogram" -> ((s: SparkSession, d: String) =>
-      Dedup.dupClusterHistogram(s, d))
+      Dedup.dupClusterHistogram(s, d)),
+    // GDPR Art. 15: per requested subject, what the store holds — rows,
+    // activity span, event-type breadth, purchase count
+    "q193_subject_access" -> ((s: SparkSession, d: String) =>
+      graft.sources.Sources.subjectAccessReport(s, d))
   )
 
   /** Shared CTE chain ending in `pairs` = the exact-Jaccard near-dup pairs
@@ -2823,6 +2827,15 @@ object SparkEntry {
     }.mkString("\nUNION ALL\n"),
     // the q52 closure re-aggregated to the size grain
     "q192_dup_cluster_histogram" -> dupHistogramSql,
+    // the same per-subject aggregates; ts via epoch millis (integers)
+    "q193_subject_access" ->
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(epoch_ms(min(CAST(ts AS TIMESTAMP))) AS BIGINT) AS first_ms,
+        |  CAST(epoch_ms(max(CAST(ts AS TIMESTAMP))) AS BIGINT) AS last_ms,
+        |  CAST(count(DISTINCT event_type) AS BIGINT) AS n_event_types,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_purchases
+        |FROM events WHERE user_id % 13 = 3 GROUP BY user_id""".stripMargin,
     // every metric re-derived from the fragments its owning oracle uses
     "q191_corpus_data_card" ->
       s"""WITH $jaccardPairCtes,

@@ -615,6 +615,33 @@ object Sources {
     }.reduce(_.unionByName(_))
   }
 
+  /** W12 [EXT] — SUBJECT ACCESS REPORT (GDPR Art. 15): the READ-side twin
+    * of the erasure verbs (W9/W10) completing the data-subject-rights
+    * surface: for every subject in the request set, what the store holds
+    * about them — row count, activity span (unix millis — timestamps as
+    * integers so the report is engine-exact), distinct event types, and
+    * the purchase count (the "profiling" field an Art. 15 response must
+    * disclose). Request set = user_id % 13 = 3 (the q85/q177
+    * derivable-from-id discipline). Null-keyed rows belong to NO subject
+    * and never appear — the same null-safety contract as W9.
+    *
+    * Scale: ONE filtered scan (the request predicate pushes to the
+    * parquet scan) + a map-side-combined agg on the subject key; a
+    * request set arriving as a table instead of a predicate becomes a
+    * broadcast semi-join, same shape.
+    */
+  def subjectAccessReport(spark: SparkSession, dir: String): DataFrame = {
+    val ev = graft.Tables.events(spark, dir)
+    ev.filter(coalesce(col("user_id") % 13 === 3, lit(false)))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(unix_millis(col("ts"))).as("first_ms"),
+        max(unix_millis(col("ts"))).as("last_ms"),
+        countDistinct(col("event_type")).as("n_event_types"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("n_purchases"))
+  }
+
   /** q100 — SNAPSHOT DIFF: the dataset-versioning report between two
     * immutable snapshots (q91's v1/v2 lineage re-derived so the oracle can
     * replay it): rows are classified added / removed / changed / unchanged

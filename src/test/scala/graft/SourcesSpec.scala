@@ -187,6 +187,32 @@ class SourcesSpec extends AnyFunSuite {
     assert(!wide(1)._2 && !wide(2)._2 && wide(3)._2 && wide(4)._2)
   }
 
+  test("q193 subject access report matches a driver recompute; null keys never reported") {
+    val got = graft.sources.Sources.subjectAccessReport(spark, TestSpark.Sf0001)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    val ev = Tables.events(spark, TestSpark.Sf0001)
+      .select(col("user_id"), unix_millis(col("ts")), col("event_type"))
+      .as[(Long, Long, String)].collect()
+    val want = ev.filter(_._1 % 13 == 3).groupBy(_._1)
+    assert(got.keySet == want.keySet)
+    want.foreach { case (u, xs) =>
+      val (_, n, f, l, nt, np) = got(u)
+      assert(n == xs.length && f == xs.map(_._2).min && l == xs.map(_._2).max)
+      assert(nt == xs.map(_._3).distinct.length)
+      assert(np == xs.count(_._3 == "purchase"))
+    }
+    // null-keyed rows belong to no subject: plant one and demand absence
+    import java.sql.Timestamp
+    val dirN = java.nio.file.Files.createTempDirectory("graft_sar").toString
+    Seq((1L, Timestamp.valueOf("2024-01-01 00:00:00"), Some(3L), "view", 1.0, "{}"),
+        (2L, Timestamp.valueOf("2024-01-01 00:01:00"), None, "view", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dirN/events.parquet")
+    val sar = graft.sources.Sources.subjectAccessReport(spark, dirN)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(sar.map(_._1).toSet == Set(3L), s"null key leaked into SAR: ${sar.toSeq}")
+  }
+
   test("q177 right to erasure: erased users gone on disk, others byte-intact, tombstones count-only") {
     val erasureOut = java.nio.file.Files
       .createTempDirectory("graft_spec_erasure").toString

@@ -682,7 +682,11 @@ object SparkEntry {
     // GDPR Art. 15: per requested subject, what the store holds — rows,
     // activity span, event-type breadth, purchase count
     "q193_subject_access" -> ((s: SparkSession, d: String) =>
-      graft.sources.Sources.subjectAccessReport(s, d))
+      graft.sources.Sources.subjectAccessReport(s, d)),
+    // q100 on bucketed+sorted version tables: zero-Exchange SMJ diff,
+    // same rows (oracle verbatim), plan spec-pinned
+    "q194_snapshot_diff_bucketed" -> ((s: SparkSession, d: String) =>
+      graft.sources.Sources.snapshotDiffBucketed(s, d))
   )
 
   /** Shared CTE chain ending in `pairs` = the exact-Jaccard near-dup pairs
@@ -828,6 +832,22 @@ object SparkEntry {
 
   private val jaccardSql: String =
     s"WITH $jaccardPairCtes\nSELECT doc_a, doc_b, jaccard FROM pairs"
+
+  /** The q100 diff oracle, shared VERBATIM by the bucketed form q194
+    * (bucketing changes the shuffle, never the rows). */
+  private lazy val snapshotDiffSql: String =
+    """WITH v1 AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0),
+      | upd AS (SELECT doc_id, text || ' [rev2]' AS text FROM documents
+      |         WHERE doc_id % 2 = 0),
+      | v2 AS (SELECT coalesce(u.doc_id, b.doc_id) AS doc_id,
+      |          coalesce(u.text, b.text) AS text
+      |        FROM v1 b FULL OUTER JOIN upd u ON b.doc_id = u.doc_id),
+      | d AS (SELECT CASE WHEN a.doc_id IS NULL THEN 'added'
+      |                   WHEN c.doc_id IS NULL THEN 'removed'
+      |                   WHEN a.text <> c.text THEN 'changed'
+      |                   ELSE 'unchanged' END AS status
+      |       FROM v1 a FULL OUTER JOIN v2 c ON a.doc_id = c.doc_id)
+      |SELECT status, count(*) AS n_docs FROM d GROUP BY status""".stripMargin
 
   /** q192: the q52 transitive closure re-aggregated to the size grain. */
   private lazy val dupHistogramSql: String =
@@ -1865,19 +1885,10 @@ object SparkEntry {
         | round(ln(CAST(n_docs AS DOUBLE)) - s2 / n_docs, 6) AS lang_entropy
         |FROM ls, vs""".stripMargin,
     // v1/v2 re-derived identically; the diff classifies by content hash
-    "q100_snapshot_diff" ->
-      """WITH v1 AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0),
-        | upd AS (SELECT doc_id, text || ' [rev2]' AS text FROM documents
-        |         WHERE doc_id % 2 = 0),
-        | v2 AS (SELECT coalesce(u.doc_id, b.doc_id) AS doc_id,
-        |          coalesce(u.text, b.text) AS text
-        |        FROM v1 b FULL OUTER JOIN upd u ON b.doc_id = u.doc_id),
-        | d AS (SELECT CASE WHEN a.doc_id IS NULL THEN 'added'
-        |                   WHEN c.doc_id IS NULL THEN 'removed'
-        |                   WHEN a.text <> c.text THEN 'changed'
-        |                   ELSE 'unchanged' END AS status
-        |       FROM v1 a FULL OUTER JOIN v2 c ON a.doc_id = c.doc_id)
-        |SELECT status, count(*) AS n_docs FROM d GROUP BY status""".stripMargin,
+    "q100_snapshot_diff" -> snapshotDiffSql,
+    // bucketing changes the shuffle, never the rows — q100's SQL verbatim
+    // (the q64/q66 one-oracle discipline); the plan is spec-pinned
+    "q194_snapshot_diff_bucketed" -> snapshotDiffSql,
     // same (ts, event_id) total order; first/last/fingerprint all derive
     // from the one ordered string_agg, so order errors fail three ways
     "q101_event_sequences" ->

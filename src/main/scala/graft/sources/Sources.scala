@@ -676,6 +676,55 @@ object Sources {
       .agg(count(lit(1)).as("n_docs"))
   }
 
+  /** W13 [EXT] — BUCKETED SNAPSHOT DIFF: q100's diff given the layout its
+    * own scaladoc promises at 100 TB — both snapshot versions land as
+    * tables bucketed AND sorted on the key, so the full-outer key join is
+    * a zero-Exchange sort-merge (the q46/q66 bucketing discipline applied
+    * to the versioning family): at 100 TB the diff's cost is the two
+    * scans, not a 2×-corpus shuffle, and the layout is REUSED by every
+    * future diff against either version. Rows are identical to q100 by
+    * construction (bucketing changes the shuffle, never the answer), so
+    * the oracle is q100's SQL verbatim — and the spec pins the actual
+    * plan: zero Exchange nodes on the join, SortMergeJoin present.
+    */
+  def snapshotDiffBucketed(spark: SparkSession, dir: String,
+                           nBuckets: Int = 8): DataFrame = {
+    val docs = parquet(spark, s"$dir/documents.parquet")
+    val v1 = docs.filter(col("doc_id") % 3 =!= 0)
+      .select(col("doc_id"), col("text"))
+    val updates = docs.filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id"), concat(col("text"), lit(" [rev2]")).as("text"))
+    val v2 = v1.select(col("doc_id").as("b_id"), col("text").as("b_text"))
+      .join(updates.select(col("doc_id").as("u_id"), col("text").as("u_text")),
+        col("b_id") === col("u_id"), "full_outer")
+      .select(coalesce(col("u_id"), col("b_id")).as("doc_id"),
+        coalesce(col("u_text"), col("b_text")).as("text"))
+    resetWarehouseTable(spark, "graft_snapdiff_v1")
+    resetWarehouseTable(spark, "graft_snapdiff_v2")
+    Seq(("graft_snapdiff_v1", v1), ("graft_snapdiff_v2", v2)).foreach {
+      case (t, df) =>
+        df.select(col("doc_id"), sha2(col("text"), 256).as("h"))
+          .write.mode("overwrite").format("parquet")
+          .bucketBy(nBuckets, "doc_id").sortBy("doc_id").saveAsTable(t)
+    }
+    bucketedDiffJoin(spark)
+  }
+
+  /** The Exchange-free diff tail over the two bucketed version tables
+    * (exposed so the spec can pin the executed plan). */
+  private[graft] def bucketedDiffJoin(spark: SparkSession): DataFrame =
+    spark.table("graft_snapdiff_v1").select(col("doc_id"), col("h").as("h1"))
+      .join(spark.table("graft_snapdiff_v2")
+          .select(col("doc_id"), col("h").as("h2")),
+        Seq("doc_id"), "full_outer")
+      .select(
+        when(col("h1").isNull, "added")
+          .when(col("h2").isNull, "removed")
+          .when(col("h1") =!= col("h2"), "changed")
+          .otherwise("unchanged").as("status"))
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n_docs"))
+
   /** q40 — S3 exercised: the fixture parquet itself read as opaque binary.
     * The oracle re-reads the same file with DuckDB's read_blob and checks
     * name + byte length; exact byte-content equality (sha-256 vs a direct

@@ -187,6 +187,33 @@ class SourcesSpec extends AnyFunSuite {
     assert(!wide(1)._2 && !wide(2)._2 && wide(3)._2 && wide(4)._2)
   }
 
+  test("q194 bucketed snapshot diff: zero-Exchange sort-merge join, rows equal q100") {
+    val prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val bucketed = graft.sources.Sources
+        .snapshotDiffBucketed(spark, TestSpark.Sf0001)
+      val rows = bucketed.collect().map(_.toSeq).toSet
+      val plain = graft.sources.Sources.snapshotDiff(spark, TestSpark.Sf0001)
+        .collect().map(_.toSeq).toSet
+      assert(rows == plain, "bucketing changed the diff rows")
+      // the JOIN itself must be Exchange-free: pin the executed plan of
+      // the diff tail over the already-written bucketed tables
+      val tail = graft.sources.Sources.bucketedDiffJoin(spark)
+      tail.collect()
+      val exec = tail.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan.toString
+        case p => p.toString
+      }
+      val exchanges = "(?m)Exchange hashpartitioning".r.findAllIn(exec).length
+      // one exchange is the final 4-row status agg; the full-outer join
+      // must contribute none
+      assert(exchanges <= 1, s"bucketed diff join shuffled:\n$exec")
+      assert(exec.contains("SortMergeJoin"), "expected a sort-merge join")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+  }
+
   test("q193 subject access report matches a driver recompute; null keys never reported") {
     val got = graft.sources.Sources.subjectAccessReport(spark, TestSpark.Sf0001)
       .as[(Long, Long, Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap

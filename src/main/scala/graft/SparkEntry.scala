@@ -686,7 +686,11 @@ object SparkEntry {
     // q100 on bucketed+sorted version tables: zero-Exchange SMJ diff,
     // same rows (oracle verbatim), plan spec-pinned
     "q194_snapshot_diff_bucketed" -> ((s: SparkSession, d: String) =>
-      graft.sources.Sources.snapshotDiffBucketed(s, d))
+      graft.sources.Sources.snapshotDiffBucketed(s, d)),
+    // order-free gate attribution: per gate, docs failing it at all and
+    // docs failing ONLY it — q103's funnel is first-fail-charged
+    "q195_gate_ablation" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.gateAblation(s, d))
   )
 
   /** Shared CTE chain ending in `pairs` = the exact-Jaccard near-dup pairs
@@ -832,6 +836,35 @@ object SparkEntry {
 
   private val jaccardSql: String =
     s"WITH $jaccardPairCtes\nSELECT doc_a, doc_b, jaccard FROM pairs"
+
+  /** q195: the cascade predicates once, then marginal / unique / any-fail
+    * attribution per gate. */
+  private lazy val gateAblationSql: String = {
+    val stages = Seq("min_tokens", "alpha_ratio", "quality",
+      "lang_agree", "repetition")
+    val fs = stages.indices
+      .map(i => s"(CASE WHEN NOT p$i THEN 1 ELSE 0 END) AS f$i")
+      .mkString(", ")
+    val nf = stages.indices.map(i => s"f$i").mkString(" + ")
+    val aggs = stages.indices.map(i =>
+      s"sum(f$i) AS m$i, sum(CASE WHEN f$i = 1 AND nf = 1 THEN 1 ELSE 0 END) AS u$i")
+      .mkString(",\n        ")
+    val rows = stages.zipWithIndex.map { case (s, i) =>
+      s"""SELECT CAST($i AS BIGINT) AS stage_idx, '$s' AS stage,
+         |  CAST(n_docs AS BIGINT) AS n_docs,
+         |  CAST(any_fail AS BIGINT) AS n_fail_any,
+         |  CAST(m$i AS BIGINT) AS n_fail_marginal,
+         |  CAST(u$i AS BIGINT) AS n_fail_only FROM c""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $cascadePredCtes,
+       |fl AS (SELECT $fs FROM cm),
+       |fn AS (SELECT *, $nf AS nf FROM fl),
+       |c AS (SELECT count(*) AS n_docs,
+       |        sum(CASE WHEN nf > 0 THEN 1 ELSE 0 END) AS any_fail,
+       |        $aggs
+       |      FROM fn)
+       |$rows""".stripMargin
+  }
 
   /** The q100 diff oracle, shared VERBATIM by the bucketed form q194
     * (bucketing changes the shuffle, never the rows). */
@@ -2838,6 +2871,8 @@ object SparkEntry {
     }.mkString("\nUNION ALL\n"),
     // the q52 closure re-aggregated to the size grain
     "q192_dup_cluster_histogram" -> dupHistogramSql,
+    // the cascade predicate CTEs once, three attribution columns per gate
+    "q195_gate_ablation" -> gateAblationSql,
     // the same per-subject aggregates; ts via epoch millis (integers)
     "q193_subject_access" ->
       """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,

@@ -803,6 +803,42 @@ object TextAnalysis {
       .withColumn("n_dropped", col("n_in") - col("n_kept"))
   }
 
+  /** P22 [EXT] — GATE ABLATION TABLE: q103's funnel charges each dropped
+    * doc to its FIRST failing gate, which understates every later gate
+    * (a doc failing min_tokens AND quality counts only against
+    * min_tokens). This is the order-free attribution: per gate, the docs
+    * failing it AT ALL (marginal — what you'd lose if it were the only
+    * gate) and the docs failing ONLY it (unique contribution — what
+    * relaxing just that gate would recover). Marginal ≥ funnel-attributed
+    * always; unique ≤ both. The two tables together are how a curation
+    * team actually tunes a cascade. Predicates are [[cascadePreds]]
+    * VERBATIM (the q179 sharing), so the three consumers cannot drift.
+    *
+    * Scale: ONE corpus scan evaluates all five predicates per row (the
+    * q103 argument); the rollup is a 5-row fan-out of per-row booleans —
+    * no second pass per gate.
+    */
+  def gateAblation(spark: SparkSession, dir: String): DataFrame = {
+    val base = cascadeBase(spark, dir)
+    val preds = cascadePreds
+    val flags = base.select(preds.zipWithIndex.map {
+      case ((_, p), i) => (!p).cast("long").as(s"f$i")
+    }: _*)
+    val nFails = preds.indices.map(i => col(s"f$i")).reduce(_ + _)
+    val counts = flags.withColumn("nf", nFails).agg(
+      count(lit(1)).as("n_docs"),
+      (preds.indices.map { i =>
+        Seq(sum(col(s"f$i")).as(s"m$i"),
+          sum(when(col(s"f$i") === 1 && col("nf") === 1, 1L).otherwise(0L))
+            .as(s"u$i"))
+      }.flatten :+ sum(when(col("nf") > 0, 1L).otherwise(0L)).as("any_fail")): _*)
+    preds.zipWithIndex.map { case ((name, _), i) =>
+      counts.select(lit(i.toLong).as("stage_idx"), lit(name).as("stage"),
+        col("n_docs"), col("any_fail").as("n_fail_any"),
+        col(s"m$i").as("n_fail_marginal"), col(s"u$i").as("n_fail_only"))
+    }.reduce(_.unionByName(_))
+  }
+
   /** q106 — BPE MERGE CANDIDATES: the first step of byte-pair-encoding
     * tokenizer training — count every adjacent token pair in the corpus and
     * rank the top merge candidates — plus each pair's PMI (pointwise mutual

@@ -577,6 +577,31 @@ class TextAnalysisSpec extends AnyFunSuite {
     }
   }
 
+  test("q195 gate ablation: marginal >= funnel attribution >= unique; totals consistent with q103") {
+    val abl = TextAnalysis.gateAblation(spark, TestSpark.Sf0001)
+      .as[(Long, String, Long, Long, Long, Long)].collect().sortBy(_._1)
+    val funnel = TextAnalysis.filterCascade(spark, TestSpark.Sf0001)
+      .as[(Long, String, Long, Long, Long)].collect()
+      .map(r => r._1 -> r._5).toMap
+    assert(abl.map(_._2).toSeq == TextAnalysis.cascadeStages)
+    abl.foreach { case (i, s, nDocs, anyFail, marginal, only) =>
+      // the funnel charges first-fail: its per-stage drop can never
+      // exceed the order-free marginal, and the unique count never
+      // exceeds either
+      assert(marginal >= funnel(i), s"$s: marginal $marginal < funnel ${funnel(i)}")
+      assert(only <= marginal && only <= funnel(i) + marginal)
+      assert(anyFail <= nDocs)
+    }
+    // first-fail attributions partition the failing docs: funnel drops
+    // sum to any_fail exactly
+    assert(funnel.values.sum == abl.head._4,
+      s"funnel ${funnel.values.sum} != any_fail ${abl.head._4}")
+    // uniques are disjoint subsets of the failing docs
+    assert(abl.map(_._6).sum <= abl.head._4)
+    // the stage-0 funnel drop IS its marginal (nothing precedes it)
+    assert(abl.head._5 == funnel(0L))
+  }
+
   test("q191 data card: every metric equals the owning operator's own number") {
     val card = TextAnalysis.corpusDataCard(spark, TestSpark.Sf0001)
       .as[(String, Double)].collect().toMap

@@ -690,7 +690,14 @@ object SparkEntry {
     // order-free gate attribution: per gate, docs failing it at all and
     // docs failing ONLY it — q103's funnel is first-fail-charged
     "q195_gate_ablation" -> ((s: SparkSession, d: String) =>
-      TextAnalysis.gateAblation(s, d))
+      TextAnalysis.gateAblation(s, d)),
+    // batch twin of the q32 session window: gap-rule sessions via
+    // lag/cumsum windows, rolled up to the session-size distribution
+    "q196_sessionization" -> ((s: SparkSession, d: String) =>
+      graft.streaming.EventWindows.sessionizationAudit(s, d)),
+    // quartile-threshold RFM scoring: broadcast cuts, no global sort
+    "q197_rfm_segments" -> ((s: SparkSession, d: String) =>
+      Relational.rfmSegments(s, d))
   )
 
   /** Shared CTE chain ending in `pairs` = the exact-Jaccard near-dup pairs
@@ -2882,6 +2889,72 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
         |    AS BIGINT) AS n_purchases
         |FROM events WHERE user_id % 13 = 3 GROUP BY user_id""".stripMargin,
+    // same lag/cumsum session rule; micros are integers on both engines
+    "q196_sessionization" ->
+      """WITH e AS (SELECT user_id,
+        |             epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |f AS (SELECT user_id, us,
+        |        CASE WHEN lag(us) OVER w IS NULL
+        |               OR us - lag(us) OVER w > 1800000000
+        |             THEN 1 ELSE 0 END AS new_sess
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+        |s AS (SELECT user_id, us,
+        |        sum(new_sess) OVER (PARTITION BY user_id ORDER BY us
+        |          ROWS UNBOUNDED PRECEDING) AS sess_no
+        |      FROM f),
+        |p AS (SELECT user_id, sess_no, CAST(count(*) AS BIGINT) AS ev,
+        |        max(us) - min(us) AS dur_us
+        |      FROM s GROUP BY 1, 2)
+        |SELECT ev AS events_in_session, CAST(count(*) AS BIGINT) AS n_sessions,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |  CAST(round(CAST(avg(dur_us) AS DECIMAL(38,18)), 6) AS DOUBLE)
+        |    AS avg_duration_us,
+        |  CAST(max(dur_us) AS BIGINT) AS max_duration_us
+        |FROM p GROUP BY 1""".stripMargin,
+    // same data-derived anchor, cents-grain monetary, quartile cuts via
+    // quantile_cont (same dyadic-exact interpolation as Spark percentile)
+    "q197_rfm_segments" ->
+      """WITH o AS (SELECT o_custkey, CAST(o_orderdate AS DATE) AS d,
+        |             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |           FROM orders),
+        |a AS (SELECT max(d) AS anchor FROM o),
+        |c AS (SELECT o_custkey,
+        |        CAST(date_diff('day', max(d), anchor) AS BIGINT)
+        |          AS recency_days,
+        |        CAST(count(*) AS BIGINT) AS frequency,
+        |        CAST(sum(cents) AS BIGINT) AS monetary_cents
+        |      FROM o, a GROUP BY o_custkey, anchor),
+        |q AS (SELECT quantile_cont(recency_days, 0.25) AS r1,
+        |        quantile_cont(recency_days, 0.5) AS r2,
+        |        quantile_cont(recency_days, 0.75) AS r3,
+        |        quantile_cont(frequency, 0.25) AS f1,
+        |        quantile_cont(frequency, 0.5) AS f2,
+        |        quantile_cont(frequency, 0.75) AS f3,
+        |        quantile_cont(monetary_cents, 0.25) AS m1,
+        |        quantile_cont(monetary_cents, 0.5) AS m2,
+        |        quantile_cont(monetary_cents, 0.75) AS m3 FROM c),
+        |s AS (SELECT c.*,
+        |        CAST(1 + (CASE WHEN recency_days < r1 THEN 1 ELSE 0 END)
+        |               + (CASE WHEN recency_days < r2 THEN 1 ELSE 0 END)
+        |               + (CASE WHEN recency_days < r3 THEN 1 ELSE 0 END)
+        |          AS BIGINT) AS r_score,
+        |        CAST(1 + (CASE WHEN frequency > f1 THEN 1 ELSE 0 END)
+        |               + (CASE WHEN frequency > f2 THEN 1 ELSE 0 END)
+        |               + (CASE WHEN frequency > f3 THEN 1 ELSE 0 END)
+        |          AS BIGINT) AS f_score,
+        |        CAST(1 + (CASE WHEN monetary_cents > m1 THEN 1 ELSE 0 END)
+        |               + (CASE WHEN monetary_cents > m2 THEN 1 ELSE 0 END)
+        |               + (CASE WHEN monetary_cents > m3 THEN 1 ELSE 0 END)
+        |          AS BIGINT) AS m_score
+        |      FROM c, q)
+        |SELECT r_score, f_score, m_score,
+        |  CAST(count(*) AS BIGINT) AS n_customers,
+        |  CAST(round(CAST(avg(recency_days) AS DECIMAL(38,18)), 6) AS DOUBLE)
+        |    AS avg_recency_days,
+        |  CAST(round(CAST(avg(frequency) AS DECIMAL(38,18)), 6) AS DOUBLE)
+        |    AS avg_frequency,
+        |  CAST(sum(monetary_cents) AS BIGINT) AS monetary_cents
+        |FROM s GROUP BY 1, 2, 3""".stripMargin,
     // every metric re-derived from the fragments its owning oracle uses
     "q191_corpus_data_card" ->
       s"""WITH $jaccardPairCtes,

@@ -1046,4 +1046,69 @@ object Relational {
         size(split(col("text"), " ")).cast("long").as("n_tokens"),
         length(col("text")).cast("long").as("n_chars_computed"),
         upper(col("lang")).as("lang_uc"))
+
+  /** A41 [EXT] — RFM CUSTOMER SEGMENTATION: the classic recency /
+    * frequency / monetary quartile scoring over orders (nearest
+    * reference analog: the per-customer aggregation grain of
+    * /root/reference/src/data_analysis.py revenue rollups). Per
+    * customer: recency = days from the corpus' own max order date
+    * (data-derived anchor, the q175 discipline) to their last order;
+    * frequency = order count; monetary = lifetime spend in CENTS
+    * (BIGINT — a double sum would put quartile boundaries at the mercy
+    * of fp association order). Scores 1–4 by comparison against the
+    * exact interpolated quartiles of each measure — THRESHOLDS, not
+    * ntile: a 9-value broadcast instead of a single-partition global
+    * sort, so scoring is one map-side comparison per row and the form
+    * survives 100 TB by swapping percentile for approx_percentile
+    * (same comparison, sketch-derived cuts). Interpolated quartiles of
+    * integers are dyadic-exact in both engines, so the cut comparison
+    * is deterministic. Output per (r,f,m) segment cell (≤64 rows):
+    * customer count, mean recency/frequency (6dp through DECIMAL),
+    * total spend in cents.
+    */
+  def rfmSegments(spark: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 18)
+    val o = Tables.orders(spark, dir).select(
+      col("o_custkey"),
+      to_date(col("o_orderdate")).as("d"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"))
+    // anchor: ONE metadata-cheap max, broadcast as a literal
+    val anchor = o.agg(max(col("d"))).head().getDate(0)
+    // customer grain spills ONCE (the q88 leaf discipline) for its two
+    // consumers: the quartile agg and the scoring scan
+    val cust = graft.sources.Sources.spillScratch(
+      o.groupBy(col("o_custkey"))
+        .agg(datediff(lit(anchor), max(col("d"))).cast("long").as("recency_days"),
+          count(lit(1)).as("frequency"),
+          sum(col("cents")).as("monetary_cents")),
+      "rfm_cust")
+    val qs = cust.agg(
+      percentile(col("recency_days"), lit(0.25)).as("r1"),
+      percentile(col("recency_days"), lit(0.5)).as("r2"),
+      percentile(col("recency_days"), lit(0.75)).as("r3"),
+      percentile(col("frequency"), lit(0.25)).as("f1"),
+      percentile(col("frequency"), lit(0.5)).as("f2"),
+      percentile(col("frequency"), lit(0.75)).as("f3"),
+      percentile(col("monetary_cents"), lit(0.25)).as("m1"),
+      percentile(col("monetary_cents"), lit(0.5)).as("m2"),
+      percentile(col("monetary_cents"), lit(0.75)).as("m3")).head()
+    def flag(c: Column): Column = when(c, 1L).otherwise(0L)
+    // recency: smaller = better; frequency/monetary: larger = better
+    val rScore = (lit(1L) + flag(col("recency_days") < qs.getDouble(0)) +
+      flag(col("recency_days") < qs.getDouble(1)) +
+      flag(col("recency_days") < qs.getDouble(2))).as("r_score")
+    val fScore = (lit(1L) + flag(col("frequency") > qs.getDouble(3)) +
+      flag(col("frequency") > qs.getDouble(4)) +
+      flag(col("frequency") > qs.getDouble(5))).as("f_score")
+    val mScore = (lit(1L) + flag(col("monetary_cents") > qs.getDouble(6)) +
+      flag(col("monetary_cents") > qs.getDouble(7)) +
+      flag(col("monetary_cents") > qs.getDouble(8))).as("m_score")
+    cust.groupBy(rScore, fScore, mScore)
+      .agg(count(lit(1)).as("n_customers"),
+        round(avg(col("recency_days")).cast(dec), 6).cast("double")
+          .as("avg_recency_days"),
+        round(avg(col("frequency")).cast(dec), 6).cast("double")
+          .as("avg_frequency"),
+        sum(col("monetary_cents")).as("monetary_cents"))
+  }
 }

@@ -159,6 +159,56 @@ object EventWindows {
           .cast("double").as("retention"))
   }
 
+  /** §2.10 [EXT] — BATCH GAP SESSIONIZATION AUDIT: the batch twin of the
+    * streaming session window (q32). A session is a maximal run of one
+    * user's events with no gap exceeding `gapMinutes`, computed with
+    * lag + cumulative-sum window functions instead of streaming state
+    * (reference anchor: the session grain its event pipeline implies,
+    * `/root/reference/src/preprocessing_pipeline.py` event handling).
+    * Output is the session-size distribution: per events-in-session,
+    * session and user counts plus duration stats in MICROSECONDS —
+    * integers are engine-exact; the mean is the only float, rounded
+    * through DECIMAL(38,18) at 6dp (the repo rounding discipline).
+    *
+    * Tie note: tied timestamps have gap 0 under ANY consistent tie
+    * order, so session MEMBERSHIP — and therefore every aggregated
+    * output row — is deterministic even though the per-row session
+    * NUMBER among tied rows is not.
+    *
+    * Scale: both windows partition by user_id — one hash shuffle of
+    * (user, ts) pairs, never a global sort; runs sort inside their
+    * partition. The rollup is map-side combinable and the output is
+    * bounded by the distinct session sizes, not the event count. A
+    * skewed power user bounds at their own event count; the gap rule
+    * is per-user so salting is not applicable (correct form at 100 TB
+    * is range-partition within user via the same window).
+    */
+  def sessionizationAudit(spark: SparkSession, dir: String,
+                          gapMinutes: Int = 30): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = org.apache.spark.sql.types.DecimalType(38, 18)
+    val gapUs = gapMinutes.toLong * 60L * 1000000L
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"))
+    val sess = e
+      .withColumn("prev", lag(col("us"), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev").isNull || col("us") - col("prev") > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("sess_no", sum(col("new_sess")).over(run))
+    sess.groupBy(col("user_id"), col("sess_no"))
+      .agg(count(lit(1)).as("events_in_session"),
+        (max(col("us")) - min(col("us"))).as("dur_us"))
+      .groupBy(col("events_in_session"))
+      .agg(count(lit(1)).as("n_sessions"),
+        countDistinct(col("user_id")).as("n_users"),
+        round(avg(col("dur_us")).cast(dec), 6).cast("double")
+          .as("avg_duration_us"),
+        max(col("dur_us")).as("max_duration_us"))
+  }
+
   /** q113 — SEMI-STRUCTURED PROPS ROLLUP: the events table carries a JSON
     * `props` column (the schemaless payload every event log has); parse it
     * under a DECLARED schema with `from_json` — a codegen-friendly per-row

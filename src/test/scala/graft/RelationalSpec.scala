@@ -354,4 +354,49 @@ class RelationalSpec extends AnyFunSuite {
     assert(df.filter(col("cnt") <= 1).count() == 0)
     assert(df.count() > 0)
   }
+
+  test("q196 sessionization: planted gaps split sessions exactly; ties share a session") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // u1: 10-min gap keeps a session, 40-min gap splits; u2: singleton;
+    // u3: tied timestamps share a session, 31-min gap splits
+    val rows = Seq(
+      (1L, ts("2024-03-01 00:00:00")), (1L, ts("2024-03-01 00:10:00")),
+      (1L, ts("2024-03-01 00:50:00")),
+      (2L, ts("2024-03-01 01:00:00")),
+      (3L, ts("2024-03-01 02:00:00")), (3L, ts("2024-03-01 02:00:00")),
+      (3L, ts("2024-03-01 02:31:00")))
+    val dir = java.nio.file.Files.createTempDirectory("graft_sess").toString
+    rows.toDF("user_id", "ts").write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = graft.streaming.EventWindows.sessionizationAudit(spark, dir)
+      .as[(Long, Long, Long, Double, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got.keySet == Set(1L, 2L), s"session sizes: ${got.keySet}")
+    // singletons: u1's third event, u2, u3's post-gap event — all dur 0
+    assert(got(1L) == ((3L, 3L, 0.0, 0L)), s"size-1 row: ${got(1L)}")
+    // pairs: u1's first two (10 min = 6e8 us), u3's tied two (dur 0)
+    assert(got(2L) == ((2L, 2L, 3.0e8, 600000000L)), s"size-2 row: ${got(2L)}")
+  }
+
+  test("q197 RFM: planted quartile spread scores each customer into its own diagonal cell") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
+    // recency 9/6/3/0 days, frequency 1/2/3/4, monetary 1000/2000/3000/4000c:
+    // every measure's quartile cuts interleave the four customers
+    val rows =
+      Seq((1L, ts("2024-03-01"), 10.0)) ++
+      (0 until 2).map(i => (2L, ts("2024-03-04"), 10.0)) ++
+      (0 until 3).map(i => (3L, ts("2024-03-07"), 10.0)) ++
+      (0 until 4).map(i => (4L, ts("2024-03-10"), 10.0))
+    val dir = java.nio.file.Files.createTempDirectory("graft_rfm").toString
+    rows.toDF("o_custkey", "o_orderdate", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val got = Relational.rfmSegments(spark, dir)
+      .as[(Long, Long, Long, Long, Double, Double, Long)].collect()
+      .map(r => (r._1, r._2, r._3) -> ((r._4, r._5, r._6, r._7))).toMap
+    assert(got.keySet == Set((1L, 1L, 1L), (2L, 2L, 2L), (3L, 3L, 3L), (4L, 4L, 4L)),
+      s"cells: ${got.keySet}")
+    assert(got((1L, 1L, 1L)) == ((1L, 9.0, 1.0, 1000L)))
+    assert(got((4L, 4L, 4L)) == ((1L, 0.0, 4.0, 4000L)))
+    // cell counts cover every customer exactly once
+    assert(got.values.map(_._1).sum == 4L)
+  }
 }

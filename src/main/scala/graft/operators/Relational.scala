@@ -1047,7 +1047,7 @@ object Relational {
         length(col("text")).cast("long").as("n_chars_computed"),
         upper(col("lang")).as("lang_uc"))
 
-  /** A41 [EXT] — RFM CUSTOMER SEGMENTATION: the classic recency /
+  /** A48 [EXT] — RFM CUSTOMER SEGMENTATION: the classic recency /
     * frequency / monetary quartile scoring over orders (nearest
     * reference analog: the per-customer aggregation grain of
     * /root/reference/src/data_analysis.py revenue rollups). Per

@@ -111,7 +111,11 @@ object Bench {
     } catch { case e: Throwable => System.err.println(s"[bench] sidecar write failed: $e") }
     System.err.println(fullLine)
     val slow = results.toSeq.filter(_._2 > 0).sortBy(-_._2)
-    val mean = if (results.nonEmpty) total / results.count(_._2 > 0) else 0.0
+    // guard the divisor on the SUCCEEDED count: if every query failed,
+    // count(_._2 > 0) is 0 and total/0 would print "mean_sec":NaN —
+    // invalid JSON, re-breaking the driver's parse this line exists for
+    val nOk = results.count(_._2 > 0)
+    val mean = if (nOk > 0) total / nOk else 0.0
     def summaryLine(k: Int): String = {
       val top = slow.take(k).map { case (n, v) => "\"" + n + f"\":$v%.2f" }.mkString("{", ",", "}")
       f"""{"metric":"total","value":$total%.2f,"unit":"sec","n_queries":${results.size},"n_failed":${errors.size},"mean_sec":$mean%.4f,"n_runs":$nRuns,"sf":"$sfDir","full":"$fullPath","queries":$top}"""

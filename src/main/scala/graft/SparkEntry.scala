@@ -697,7 +697,17 @@ object SparkEntry {
       graft.streaming.EventWindows.sessionizationAudit(s, d)),
     // quartile-threshold RFM scoring: broadcast cuts, no global sort
     "q197_rfm_segments" -> ((s: SparkSession, d: String) =>
-      Relational.rfmSegments(s, d))
+      Relational.rfmSegments(s, d)),
+    // q154's estimator-audit discipline on the trained-float retrieval
+    // routes: exact top-k re-derived by the oracle, the routed engine's
+    // per-query recall floor pinned TRUE (floors from RecallFloorProbe
+    // minima with one-neighbor margin)
+    "q198_ivf_recall_audit" -> ((s: SparkSession, d: String) =>
+      Similarity.ivfRecallAudit(s, d)),
+    "q199_pq_recall_audit" -> ((s: SparkSession, d: String) =>
+      Similarity.pqRecallAudit(s, d)),
+    "q200_lsh_recall_audit" -> ((s: SparkSession, d: String) =>
+      Similarity.annRecallAudit(s, d))
   )
 
   /** Shared CTE chain ending in `pairs` = the exact-Jaccard near-dup pairs
@@ -939,6 +949,16 @@ object SparkEntry {
        |            row_number() OVER (PARTITION BY query_id ORDER BY score DESC, cand_id) AS rank
        |           FROM scored)
        |SELECT query_id, rank, cand_id, score FROM ranked WHERE rank <= 5""".stripMargin
+
+  /** Routed-recall audit oracle (shared by q198/q199/q200 — same exact
+    * chain as q21; the routed side stays engine-internal and only its
+    * per-query floor decision is pinned). */
+  private lazy val recallAuditSql: String = {
+    val exactBody = cosineTopKSql.substring(0, cosineTopKSql.lastIndexOf("SELECT query_id"))
+    s"""${exactBody}SELECT query_id, CAST(count(*) AS BIGINT) AS n_exact,
+       |  TRUE AS recall_ok
+       |FROM ranked WHERE rank <= 5 GROUP BY query_id""".stripMargin
+  }
 
   /** The curation rollup oracle (shared by q44 and its observed twin
     * q80 — observe() never changes the rows). */
@@ -1421,6 +1441,13 @@ object SparkEntry {
     "q18_minhash_lsh" -> jaccardSql,
     "q20_embed_neardup" -> embedNearDupSql,
     "q21_cosine_topk" -> cosineTopKSql,
+    // the q154 discipline on the trained-float routes: exact neighbor
+    // sets re-derived from the q21 chain, the routed engine's per-query
+    // recall floor pinned TRUE (floors = measured fixture minima − 1
+    // neighbor; RecallFloorProbe, all three sf scales)
+    "q198_ivf_recall_audit" -> recallAuditSql,
+    "q199_pq_recall_audit" -> recallAuditSql,
+    "q200_lsh_recall_audit" -> recallAuditSql,
     // identical by construction: per-partition reduction changes the plan,
     // not the result
     "q51_cosine_topk_partitioned" -> cosineTopKSql,
@@ -3468,8 +3495,10 @@ object SparkEntry {
         |SELECT CAST(1 AS INTEGER) AS version, FALSE AS kept,
         |       CAST(0 AS BIGINT) AS n_docs, CAST(0 AS BIGINT) AS n_chars
         |UNION ALL SELECT 2, FALSE, 0, 0
-        |UNION ALL SELECT 3, TRUE, count(*), sum(length(text)) FROM v3
-        |UNION ALL SELECT 4, TRUE, count(*), sum(length(text)) FROM v4""".stripMargin,
+        |UNION ALL SELECT 3, TRUE, CAST(count(*) AS BIGINT),
+        |  CAST(sum(length(text)) AS BIGINT) FROM v3
+        |UNION ALL SELECT 4, TRUE, CAST(count(*) AS BIGINT),
+        |  CAST(sum(length(text)) AS BIGINT) FROM v4""".stripMargin,
     // exact quantiles re-derived (quantile_cont shares the (n-1)·q
     // interpolation); the sketch flags are the engine's own GK rank
     // guarantee — pinned TRUE under any merge order

@@ -1058,15 +1058,23 @@ object Relational {
     * of fp association order). Scores 1–4 by comparison against the
     * exact interpolated quartiles of each measure — THRESHOLDS, not
     * ntile: a 9-value broadcast instead of a single-partition global
-    * sort, so scoring is one map-side comparison per row and the form
-    * survives 100 TB by swapping percentile for approx_percentile
-    * (same comparison, sketch-derived cuts). Interpolated quartiles of
-    * integers are dyadic-exact in both engines, so the cut comparison
-    * is deterministic. Output per (r,f,m) segment cell (≤64 rows):
-    * customer count, mean recency/frequency (6dp through DECIMAL),
-    * total spend in cents.
+    * sort, so scoring is one map-side comparison per row. The cut
+    * source is a knob (the q57/q166 precedent): `exactQuartiles=true`
+    * (default, the oracle row) pays the exact `percentile` — a
+    * single-group sort aggregate whose state is ALL values, fine at
+    * audit scale; `exactQuartiles=false` is the declared 100 TB route —
+    * `approx_percentile` (GK sketch, bounded state, mergeable
+    * partials) feeding the IDENTICAL broadcast-cut comparison.
+    * Interpolated quartiles of integers are dyadic-exact in both
+    * engines, so the exact cut comparison is deterministic; the spec
+    * pins exact ≡ approx on a fixture whose quartile ranks are
+    * integral (cuts land ON order statistics, where both routes
+    * agree). Output per (r,f,m) segment cell (≤64 rows): customer
+    * count, mean recency/frequency (6dp through DECIMAL), total spend
+    * in cents.
     */
-  def rfmSegments(spark: SparkSession, dir: String): DataFrame = {
+  def rfmSegments(spark: SparkSession, dir: String,
+      exactQuartiles: Boolean = true): DataFrame = {
     val dec = org.apache.spark.sql.types.DecimalType(38, 18)
     val o = Tables.orders(spark, dir).select(
       col("o_custkey"),
@@ -1082,16 +1090,21 @@ object Relational {
           count(lit(1)).as("frequency"),
           sum(col("cents")).as("monetary_cents")),
       "rfm_cust")
+    // both routes surface the cuts as doubles so the scoring scan is
+    // byte-identical regardless of cut source
+    def cut(c: Column, p: Double): Column =
+      if (exactQuartiles) percentile(c, lit(p))
+      else percentile_approx(c, lit(p), lit(100000)).cast("double")
     val qs = cust.agg(
-      percentile(col("recency_days"), lit(0.25)).as("r1"),
-      percentile(col("recency_days"), lit(0.5)).as("r2"),
-      percentile(col("recency_days"), lit(0.75)).as("r3"),
-      percentile(col("frequency"), lit(0.25)).as("f1"),
-      percentile(col("frequency"), lit(0.5)).as("f2"),
-      percentile(col("frequency"), lit(0.75)).as("f3"),
-      percentile(col("monetary_cents"), lit(0.25)).as("m1"),
-      percentile(col("monetary_cents"), lit(0.5)).as("m2"),
-      percentile(col("monetary_cents"), lit(0.75)).as("m3")).head()
+      cut(col("recency_days"), 0.25).as("r1"),
+      cut(col("recency_days"), 0.5).as("r2"),
+      cut(col("recency_days"), 0.75).as("r3"),
+      cut(col("frequency"), 0.25).as("f1"),
+      cut(col("frequency"), 0.5).as("f2"),
+      cut(col("frequency"), 0.75).as("f3"),
+      cut(col("monetary_cents"), 0.25).as("m1"),
+      cut(col("monetary_cents"), 0.5).as("m2"),
+      cut(col("monetary_cents"), 0.75).as("m3")).head()
     def flag(c: Column): Column = when(c, 1L).otherwise(0L)
     // recency: smaller = better; frequency/monetary: larger = better
     val rScore = (lit(1L) + flag(col("recency_days") < qs.getDouble(0)) +

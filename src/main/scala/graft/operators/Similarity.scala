@@ -1386,4 +1386,76 @@ object Similarity {
         round((col("n_same_label").cast("double") / col("n_edges")).cast(dec), 6)
           .cast("double").as("purity"))
   }
+
+  // --- Routed-recall audits (q198–q200) ---------------------------------
+  //
+  // The q154/q163/q164 estimator-audit discipline applied to the
+  // trained-float retrieval routes: the EXACT top-k side is DuckDB-
+  // recomputable (the q21 oracle chain), so each routed engine (IVF
+  // probe, PQ-ADC, hyperplane LSH) gets an oracle-green registry row
+  // that re-derives the exact neighbor sets and PINS the routed route's
+  // per-query recall floor — `recall_ok` demanded TRUE on every query.
+  // The routes themselves stay engine-internal (Lloyd's / codebooks /
+  // hyperplanes are impractical in SQL — the q43 precedent); what the
+  // oracle certifies is that the route the engine SHIPS clears its
+  // declared floor against the ground truth the oracle CAN recompute.
+  // Floors are per-query (strictly harder than the specs' pooled
+  // recall): set from the measured fixture minima with margin, asserted
+  // at both fixture scales by the specs.
+
+  /** Per-query recall decision of a routed top-k against the exact
+    * top-k: for every query in `exact`, the exact neighbor count and
+    * whether the routed overlap clears `floor`. Columns are exactly the
+    * oracle-derivable pair (n_exact from the q21 chain, recall_ok
+    * pinned TRUE); the routed overlap feeds the flag without being
+    * emitted. Both inputs are nQueries·k-bounded relations, so the
+    * audit reduction is driver-trivial at any corpus scale — the cost
+    * is the two retrievals, each already scale-shaped. */
+  private[graft] def recallAuditOver(exact: DataFrame, routed: DataFrame,
+                                     floor: Double): DataFrame = {
+    val hits = exact.select(col("query_id"), col("cand_id"))
+      .join(routed.select(col("query_id"), col("cand_id")),
+        Seq("query_id", "cand_id"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+    exact.groupBy(col("query_id")).agg(count(lit(1)).as("n_exact"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_exact"),
+        (coalesce(col("n_hits"), lit(0L)).cast("double") >=
+          col("n_exact").cast("double") * floor).as("recall_ok"))
+  }
+
+  /** q198 — IVF ROUTED-RECALL AUDIT: q43's probe vs q21's exact top-k,
+    * per-query floor pinned. RecallFloorProbe-measured per-query minima
+    * with the defaults: 4/5 (sf0.001), 3/5 (sf0.01), 5/5 (sf0.1) —
+    * floor 0.4 sits one missed neighbor below the worst measured query. */
+  def ivfRecallAudit(spark: SparkSession, dir: String,
+                     nQueries: Int = 10, k: Int = 5, nLists: Int = 16,
+                     nProbe: Int = 4, trainIters: Int = 1,
+                     floor: Double = 0.4): DataFrame =
+    recallAuditOver(cosineTopK(spark, dir, nQueries, k),
+      ivfCosineTopK(spark, dir, nQueries, k, nLists, nProbe, trainIters),
+      floor)
+
+  /** q199 — PQ-ADC ROUTED-RECALL AUDIT: q116's ADC + exact re-rank vs
+    * q21's exact top-k, per-query floor pinned. Measured per-query
+    * minima with the defaults: 4/5 (sf0.001), 4/5 (sf0.01), 3/5
+    * (sf0.1) — floor 0.4 is one missed neighbor below the worst. */
+  def pqRecallAudit(spark: SparkSession, dir: String,
+                    nQueries: Int = 10, k: Int = 5, m: Int = 8,
+                    kSub: Int = 16, trainIters: Int = 2, rerank: Int = 100,
+                    floor: Double = 0.4): DataFrame =
+    recallAuditOver(cosineTopK(spark, dir, nQueries, k),
+      pqCosineTopK(spark, dir, nQueries, k, m, kSub, trainIters, rerank),
+      floor)
+
+  /** q200 — LSH ROUTED-RECALL AUDIT: q22's hyperplane banding vs q21's
+    * exact top-k, per-query floor pinned (and, through q145's dispatch
+    * invariant, the floor the q127 router's default arm ships).
+    * Measured per-query minimum with the defaults: 4/5 at ALL THREE
+    * fixture scales — floor 0.6 is one missed neighbor below that. */
+  def annRecallAudit(spark: SparkSession, dir: String,
+                     nQueries: Int = 10, k: Int = 5,
+                     floor: Double = 0.6): DataFrame =
+    recallAuditOver(cosineTopK(spark, dir, nQueries, k),
+      annCosineTopK(spark, dir, nQueries, k), floor)
 }

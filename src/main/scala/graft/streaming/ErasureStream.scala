@@ -16,9 +16,11 @@ import org.apache.spark.sql.functions._
   *      pins their file lists byte-identical), via a scratch spill because
   *      Spark cannot overwrite a path it is reading;
   *   3. appends count-only tombstones under its own tick partition
-  *      (the q93/q161/q170 exactly-once layout: a checkpoint-recovery
-  *      replay overwrites its own partition with identical bytes — the
-  *      rewrite filter is deterministic, so replay is a no-op).
+  *      (the q93/q161/q170 exactly-once layout), replay-safe against the
+  *      mutated store: a replayed tick unions its prior tick partition
+  *      with the currently-visible victims and keeps the per-user MAX,
+  *      so whichever side saw the pre-tick store wins and counts never
+  *      drop after a crash between the store rewrite and tick end.
   *
   * The registered audit reads tombstones AND the store back from disk:
   * per erased subject, total tombstoned rows across ticks and the rows
@@ -56,8 +58,27 @@ object ErasureStream {
     val safeReq = coalesce(requested, lit(false))
     val ev = spark.read.parquet(store)
     val victims = ev.filter(safeReq)
-    victims.groupBy(col("user_id")).agg(count(lit(1)).as("n_rows_erased"))
-      .withColumn("tick", lit(tickId))
+    val current = victims
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n_rows_erased"))
+    // REPLAY-SAFE tombstones: a replayed tick must not recompute counts
+    // from the already-mutated store (a crash after a partial store
+    // rewrite would drop or undercount tombstones for users whose rows
+    // were already erased — silent deletion without a tombstone). Rows
+    // the first run landed are authoritative where present (computed
+    // pre-mutation); current victims cover any user the partial write
+    // missed (the store still holds their rows). Per-user MAX of the
+    // union reconstructs the pre-tick counts in every crash window:
+    // store-untouched → current is complete; store-mutated → prior is.
+    val tombTickPath = new org.apache.hadoop.fs.Path(tombs, s"tick=$tickId")
+    val tfs = tombTickPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val replaySafe = (if (tfs.exists(tombTickPath))
+        spark.read.parquet(tombTickPath.toString)
+          .select(col("user_id"), col("n_rows_erased"))
+          .unionByName(current)
+          .groupBy(col("user_id"))
+          .agg(max(col("n_rows_erased")).as("n_rows_erased"))
+      else current).localCheckpoint(true) // materialize BEFORE overwriting what it read
+    replaySafe.withColumn("tick", lit(tickId))
       .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
       .partitionBy("tick").parquet(tombs)
     // partition discovery types the bucket dir value as INT — cast up

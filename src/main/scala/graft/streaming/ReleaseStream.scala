@@ -33,9 +33,12 @@ import org.apache.spark.sql.functions._
   *
   * Every piece of state (hash index, shingle index, byte totals, shard
   * payloads) lives under per-tick partitions written with dynamic
-  * partition overwrite, so a checkpoint-recovery replay of a tick
-  * rewrites identical files (the predicates are deterministic) and the
-  * cumulative result never double-counts — the q93/q161/q170/q182
+  * partition overwrite, and every cross-tick index read filters to
+  * `ingest_batch < batchId` (partition pruning), so a checkpoint-recovery
+  * replay of a tick — even one that crashed BETWEEN store writes —
+  * recomputes from exactly the pre-tick state and rewrites identical
+  * files (the predicates are deterministic); the cumulative result never
+  * double-counts and never self-shadows — the q93/q161/q170/q182
   * exactly-once discipline, here composed across four state stores.
   *
   * Scale: per tick, gates are one scan of the batch; the hash probe is a
@@ -83,9 +86,15 @@ object ReleaseStream {
       gated.groupBy(col("h")).agg(min(col("doc_id")).as("doc_id"))
         .select(col("doc_id")), Seq("doc_id"), "left_semi")
     val hashesPath = s"$root/hashes"
+    // PRE-TICK state only (ingest_batch < batchId — the bytesBefore
+    // discipline): a checkpoint replay of tick r must not anti-join the
+    // batch against hashes its own first run already landed, or the
+    // replay admits nothing and the tick's docs are silently lost. The
+    // predicate is partition pruning on the store's layout.
     val exactNew = (if (exists(spark, hashesPath))
         tickFirst.join(
-          broadcast(spark.read.parquet(hashesPath).select(col("h"))),
+          broadcast(spark.read.parquet(hashesPath)
+            .filter(col("ingest_batch") < batchId).select(col("h"))),
           Seq("h"), "left_anti")
       else tickFirst).localCheckpoint(true)
     // ALL first-seen hashes land under this tick's partition BEFORE any
@@ -111,8 +120,11 @@ object ReleaseStream {
       .localCheckpoint(true)
     // --- near-dup vs the settled (admitted) corpus ---------------------
     val indexPath = s"$root/shingle_index"
+    // same pre-tick filter: replayed ticks must reject only against docs
+    // admitted by EARLIER ticks, never their own first run's admissions
     val idx = if (exists(spark, indexPath))
-        spark.read.parquet(indexPath).select(col("doc_id"), col("shingle"))
+        spark.read.parquet(indexPath).filter(col("ingest_batch") < batchId)
+          .select(col("doc_id"), col("shingle"))
       else candSh.limit(0)
     val cleanSh = candSh.join(clean.select(col("doc_id")), Seq("doc_id"), "left_semi")
     val rejected = IncrementalDedup.pairsAgainstIndex(cleanSh, idx, threshold)

@@ -399,4 +399,24 @@ class RelationalSpec extends AnyFunSuite {
     // cell counts cover every customer exactly once
     assert(got.values.map(_._1).sum == 4L)
   }
+
+  test("q197 RFM: approx_percentile scale route ≡ exact route on integral-rank quartiles") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
+    // 5 customers → (n-1)·q ∈ {1,2,3} for q ∈ {.25,.5,.75}: every
+    // quartile cut lands ON an order statistic, where the exact
+    // interpolating percentile and the sketch's returned data value
+    // coincide — the regime the approx route is declared for
+    val rows = (1 to 5).flatMap { c =>
+      (0 until c).map(_ => (c.toLong, ts(f"2024-03-${3 * c}%02d"), 10.0 * c))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_rfm_ax").toString
+    rows.toDF("o_custkey", "o_orderdate", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Long, Long, Double, Double, Long)].collect().toSet
+    val exact = canon(Relational.rfmSegments(spark, dir, exactQuartiles = true))
+    val approx = canon(Relational.rfmSegments(spark, dir, exactQuartiles = false))
+    assert(exact.nonEmpty && exact.toSeq.map(_._4).sum == 5L, s"exact cells: $exact")
+    assert(approx == exact, s"approx route diverged:\n  exact=$exact\n  approx=$approx")
+  }
 }

@@ -611,4 +611,34 @@ class SimilaritySpec extends AnyFunSuite {
         ov.map(p => math.abs(p._1 - p._2)).sum, r6(rr))), s"query $q: ${got(q)}")
     }
   }
+
+  test("q198-q200 routed-recall audits: every query clears its floor at both fixture scales") {
+    for (dir <- Seq(TestSpark.Sf0001, "/root/testdata/sf0.01");
+         (name, audit) <- Seq[(String, String => org.apache.spark.sql.DataFrame)](
+           ("ivf", d => Similarity.ivfRecallAudit(spark, d)),
+           ("pq", d => Similarity.pqRecallAudit(spark, d)),
+           ("lsh", d => Similarity.annRecallAudit(spark, d)))) {
+      val rows = audit(dir).as[(Long, Long, Boolean)].collect()
+      assert(rows.length == 10, s"$name@$dir: ${rows.length} queries")
+      assert(rows.forall(_._2 == 5L), s"$name@$dir: n_exact != k")
+      val bad = rows.filterNot(_._3)
+      assert(bad.isEmpty, s"$name@$dir floor violations: ${bad.mkString(",")}")
+    }
+  }
+
+  test("recall audit flag is computed, not vacuous: an unreachable floor flips it false") {
+    // measured fixture minimum is 4/5 for IVF at sf0.001 — demanding
+    // perfect recall must surface real violations, proving recall_ok
+    // reflects the routed overlap rather than defaulting TRUE
+    val rows = Similarity.ivfRecallAudit(spark, TestSpark.Sf0001, floor = 1.0)
+      .as[(Long, Long, Boolean)].collect()
+    assert(rows.exists(!_._3),
+      s"floor=1.0 produced no violations — flag looks vacuous: ${rows.mkString(",")}")
+    // and a routed side with zero overlap (empty routed relation) is a
+    // violation on every query, exercising the left-join null path
+    val exact = Similarity.cosineTopK(spark, TestSpark.Sf0001)
+    val none = Similarity.recallAuditOver(exact, exact.limit(0), floor = 0.2)
+      .as[(Long, Long, Boolean)].collect()
+    assert(none.length == 10 && none.forall(!_._3), s"empty routed: ${none.mkString(",")}")
+  }
 }

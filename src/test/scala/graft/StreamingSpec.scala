@@ -767,6 +767,81 @@ class StreamingSpec extends AnyFunSuite {
     assert(manifest().toSeq == m1.toSeq, "tick replay changed the manifest")
   }
 
+  test("q183 release recovery: replay after a mid-tick crash recomputes every store from pre-tick state") {
+    import graft.streaming.ReleaseStream
+    import spark.implicits._
+    // the q183 fixture verbatim — tick 1 carries all three interesting
+    // fates (41 settled-near-dup-rejected, 45 hash-dropped, 51 admitted),
+    // so a lost tick-1 admission is observable in every store
+    def text(tag: String, last: String = "zz"): String = {
+      val words = (for (a <- 'a' to 'z'; b <- 'a' to 'z') yield s"$tag$a$b").take(53)
+      ("the" +: words :+ s"the $tag$last").mkString(" ")
+    }
+    val docs = Seq(
+      11L -> text("ta"), 12L -> text("tb"), 15L -> text("tb", "qq"),
+      13L -> "too short", 21L -> text("tc"),
+      41L -> text("ta", "rr"), 45L -> text("tc"), 51L -> text("td"),
+      30L -> text("te"), 60L -> text("tf"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_relrec").toString
+    docs.map { case (id, t) => (id, t, "en", "s0") }
+      .toDF("doc_id", "text", "lang", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val root = java.nio.file.Files.createTempDirectory("graft_relrec_root").toString
+    val all = Tables.documents(spark, dir).select(col("doc_id"), col("lang"), col("text"))
+    ReleaseStream.buildEvalIndex(all.filter(col("doc_id") % 10 === 0), root)
+    val arriving = all.filter(col("doc_id") % 10 =!= 0)
+    val tick1 = arriving.filter(col("doc_id") >= 30L && col("doc_id") <= 59L)
+    ReleaseStream.releaseTickXO(
+      arriving.filter(col("doc_id") <= 29L), 0L, root)
+    ReleaseStream.releaseTickXO(tick1, 1L, root)
+    // reference state: every store's cumulative rows after a CLEAN tick 1
+    def rows(path: String, json: Boolean = false): Set[Seq[Any]] = {
+      val df = if (json)
+        spark.read.schema("doc_id BIGINT, lang STRING, text STRING").json(path)
+      else spark.read.parquet(path)
+      df.collect().map(_.toSeq).toSet
+    }
+    def snapshot(): Map[String, Set[Seq[Any]]] = Map(
+      "hashes" -> rows(s"$root/hashes"),
+      "shingle_index" -> rows(s"$root/shingle_index"),
+      "shards" -> rows(s"$root/shards", json = true),
+      "totals" -> rows(s"$root/totals"))
+    val clean = snapshot()
+    val tick1Bytes = spark.read.parquet(s"$root/totals")
+      .filter(col("ingest_batch") === 1L)
+      .agg(sum(col("batch_bytes"))).head().getLong(0)
+    assert(tick1Bytes > 0L, "fixture must export bytes in tick 1")
+    def delete(sub: String): Unit = {
+      val p = new java.io.File(s"$root/$sub")
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      assert(p.exists(), s"crash-window fixture expects $sub to exist")
+      rm(p)
+    }
+    // crash window A: tick 1 died after landing only its hash partition —
+    // the window where a self-shadowing index read would make the replay
+    // admit NOTHING and overwrite totals with batch_bytes=0
+    delete("shingle_index/ingest_batch=1")
+    delete("shards/ingest_batch=1")
+    delete("totals/ingest_batch=1")
+    ReleaseStream.releaseTickXO(tick1, 1L, root)
+    assert(snapshot() == clean, "replay after hash-only crash diverged")
+    // crash window B: died after hashes + shingle index, before export
+    delete("shards/ingest_batch=1")
+    delete("totals/ingest_batch=1")
+    ReleaseStream.releaseTickXO(tick1, 1L, root)
+    assert(snapshot() == clean, "replay after pre-export crash diverged")
+    // replay after full success keeps the totals continuation intact —
+    // the ADVICE failure mode was batch_bytes silently rewritten to 0
+    ReleaseStream.releaseTickXO(tick1, 1L, root)
+    assert(snapshot() == clean, "replay after success diverged")
+    assert(spark.read.parquet(s"$root/totals")
+      .filter(col("ingest_batch") === 1L)
+      .agg(sum(col("batch_bytes"))).head().getLong(0) == tick1Bytes,
+      "tick-1 totals lost after replay")
+  }
+
   test("q182 streaming erasure: bucket-pruned rewrite, replay no-op, null user retained") {
     import graft.streaming.ErasureStream
     import spark.implicits._
@@ -829,5 +904,64 @@ class StreamingSpec extends AnyFunSuite {
     val left = spark.read.parquet(s"$nroot/store")
       .select(col("event_id")).as[Long].collect().toSet
     assert(left == Set(2L), s"null-keyed row must be retained, user 13 erased: $left")
+  }
+
+  test("q182 erasure recovery: tombstones survive replay over a partially-mutated store") {
+    import graft.streaming.ErasureStream
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_erasure_rec").toString
+    val store = s"$root/store"
+    val tombs = s"$root/tombstones"
+    ErasureStream.buildStore(spark, TestSpark.Sf0001, store)
+    // two victims in DIFFERENT buckets, so a partial store rewrite can
+    // leave one victim's rows behind while the other's are already gone
+    val users = Tables.events(spark, TestSpark.Sf0001)
+      .select(col("user_id")).as[Long].collect()
+    val counts = users.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val distinctUsers = users.distinct.sorted
+    val uA = distinctUsers.head
+    val uB = distinctUsers.find(_ % 16 != uA % 16).get
+    // stash uB's pre-tick store rows to restore after the "crash"
+    spark.read.parquet(store).filter(col("user_id") === uB)
+      .write.mode("overwrite").parquet(s"$root/stash_b")
+    ErasureStream.erasureTickXO(spark, store, tombs, 0L,
+      col("user_id").isin(uA, uB))
+    def audit(): Map[Long, (Long, Long, Boolean)] =
+      ErasureStream.erasureAudit(spark, store, tombs)
+        .as[(Long, Long, Long, Boolean)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val cleanAudit = audit()
+    assert(cleanAudit == Map(
+      uA -> ((counts(uA), 0L, true)), uB -> ((counts(uB), 0L, true))),
+      s"clean tick audit wrong: $cleanAudit")
+    // CRASH WINDOW (the ADVICE scenario): the tick died mid store-rewrite
+    // — uA's bucket already erased, uB's not yet touched. Restore uB's
+    // rows; a replay that recomputed tombstones from this mutated store
+    // would see only uB as victim and overwrite the tick partition
+    // WITHOUT uA — silent deletion without a tombstone.
+    spark.read.parquet(s"$root/stash_b")
+      .write.mode("append").partitionBy("bucket").parquet(store)
+    ErasureStream.erasureTickXO(spark, store, tombs, 0L,
+      col("user_id").isin(uA, uB))
+    assert(audit() == cleanAudit,
+      s"replay over partially-mutated store changed the audit: ${audit()}")
+    assert(spark.read.parquet(store)
+      .filter(col("user_id").isin(uA, uB)).count() == 0L,
+      "replay left victim rows in the store")
+    // CRASH WINDOW 2: the first attempt died mid TOMBSTONE write (only
+    // uA's row landed; store untouched). The later full run must restore
+    // uB's count from the live store — per-user max over the union.
+    val root2 = java.nio.file.Files.createTempDirectory("graft_erasure_rec2").toString
+    ErasureStream.buildStore(spark, TestSpark.Sf0001, s"$root2/store")
+    Seq((uA, counts(uA), 0L)).toDF("user_id", "n_rows_erased", "tick")
+      .write.mode("append").partitionBy("tick").parquet(s"$root2/tombstones")
+    ErasureStream.erasureTickXO(spark, s"$root2/store", s"$root2/tombstones",
+      0L, col("user_id").isin(uA, uB))
+    val a2 = ErasureStream.erasureAudit(spark, s"$root2/store", s"$root2/tombstones")
+      .as[(Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(a2 == Map(
+      uA -> ((counts(uA), 0L, true)), uB -> ((counts(uB), 0L, true))),
+      s"partial-tombstone recovery audit wrong: $a2")
   }
 }

@@ -707,7 +707,22 @@ object SparkEntry {
     "q199_pq_recall_audit" -> ((s: SparkSession, d: String) =>
       Similarity.pqRecallAudit(s, d)),
     "q200_lsh_recall_audit" -> ((s: SparkSession, d: String) =>
-      Similarity.annRecallAudit(s, d))
+      Similarity.annRecallAudit(s, d)),
+    // persisted-lifecycle recall: the frozen-codebook operating mode
+    // (bootstrap on the settled quarter -> 3 ticks -> compact, all
+    // inside the query) probed through the on-disk index and floored
+    // against the oracle-re-derived exact top-k
+    "q201_ivf_lifecycle_recall" -> ((s: SparkSession, d: String) =>
+      Similarity.ivfLifecycleRecallAudit(s, d)),
+    "q202_pq_lifecycle_recall" -> ((s: SparkSession, d: String) =>
+      Similarity.pqLifecycleRecallAudit(s, d)),
+    // capacity-migration rebuild: the aged store retrained at doubled
+    // capacity over its member vectors (blue/green paths), probed through
+    // the REBUILT persisted index at a HIGHER floor than the lifecycle rows
+    "q203_ivf_rebuild_recall" -> ((s: SparkSession, d: String) =>
+      Similarity.ivfRebuildRecallAudit(s, d)),
+    "q204_pq_rebuild_recall" -> ((s: SparkSession, d: String) =>
+      Similarity.pqRebuildRecallAudit(s, d))
   )
 
   /** Shared CTE chain ending in `pairs` = the exact-Jaccard near-dup pairs
@@ -1448,6 +1463,10 @@ object SparkEntry {
     "q198_ivf_recall_audit" -> recallAuditSql,
     "q199_pq_recall_audit" -> recallAuditSql,
     "q200_lsh_recall_audit" -> recallAuditSql,
+    "q201_ivf_lifecycle_recall" -> recallAuditSql,
+    "q202_pq_lifecycle_recall" -> recallAuditSql,
+    "q203_ivf_rebuild_recall" -> recallAuditSql,
+    "q204_pq_rebuild_recall" -> recallAuditSql,
     // identical by construction: per-partition reduction changes the plan,
     // not the result
     "q51_cosine_topk_partitioned" -> cosineTopKSql,

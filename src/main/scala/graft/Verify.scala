@@ -21,7 +21,14 @@ object Verify {
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // print the CAUSE CHAIN, not just the top wrapper — Spark wraps
+        // decode/codegen failures (e.g. EXPRESSION_DECODING_FAILED) around
+        // the actual error, and the wrapper alone is undiagnosable
+        val chain = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+          .map(t => s"${t.getClass.getSimpleName}: ${t.getMessage}")
+          .mkString(" <- ")
+        System.err.println(s"[verify] $name failed: $chain")
+        e.printStackTrace()
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

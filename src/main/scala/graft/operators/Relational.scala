@@ -1080,8 +1080,13 @@ object Relational {
       col("o_custkey"),
       to_date(col("o_orderdate")).as("d"),
       round(col("o_totalprice") * 100).cast("long").as("cents"))
-    // anchor: ONE metadata-cheap max, broadcast as a literal
-    val anchor = o.agg(max(col("d"))).head().getDate(0)
+    // anchor: ONE metadata-cheap max, broadcast as a literal. Collected
+    // as a STRING, not DateType: the java.sql.Date row decode runs
+    // through a reflective static_invoke(DateTimeUtils.toJavaDate) that
+    // flaked EXPRESSION_DECODING_FAILED once in a long 200-query sweep
+    // JVM; the string path has no reflective decode surface.
+    val anchor = java.sql.Date.valueOf(
+      o.agg(max(col("d")).cast("string")).head().getString(0))
     // customer grain spills ONCE (the q88 leaf discipline) for its two
     // consumers: the quartile agg and the scoring scan
     val cust = graft.sources.Sources.spillScratch(

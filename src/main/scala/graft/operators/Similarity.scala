@@ -1458,4 +1458,228 @@ object Similarity {
                      floor: Double = 0.6): DataFrame =
     recallAuditOver(cosineTopK(spark, dir, nQueries, k),
       annCosineTopK(spark, dir, nQueries, k), floor)
+
+  // --- Persisted-lifecycle recall audits (q201–q202) --------------------
+  //
+  // q198/q199 audit the FRESH routes (train + probe in one query); the
+  // production shape is the persisted one — codebook trained once on a
+  // settled fraction, ticks encoded/assigned against the frozen
+  // coordinate system, layout folded by compaction, queries probing the
+  // persisted table. The existing invariants (q94/q118/q139/q141) pin
+  // that the persisted path equals the in-memory path; what they do NOT
+  // pin is recall against ground truth when the codebook never saw 3/4
+  // of the corpus — the real question at 100 TB, where retraining per
+  // tick is impossible and "assign new data against last year's
+  // centroids" is the standing operating mode. These rows close that:
+  // the full q139/q141 lifecycle (bootstrap on the vec_id%4==0 quarter,
+  // three ticks, compact) runs INSIDE the audited query, then the
+  // persisted-index probe is floored against the oracle-recomputable
+  // exact top-k over the whole corpus — recall_ok pinned TRUE per query.
+
+  /** q201 — PERSISTED-IVF LIFECYCLE RECALL AUDIT: q139's
+    * bootstrap→3-ticks→compact lifecycle, probed via the partitioned
+    * on-disk index, floored against q21's exact top-k. Centroids train
+    * ONLY on the settled quarter, so this measures the frozen-codebook
+    * operating mode, not q198's train-on-everything best case — and pays
+    * for it with a WIDER probe (nProbe 8 vs q198's 4: at nProbe=4 a
+    * stale-codebook query measured 0/5 at sf0.01; doubling the probed
+    * lists is exactly the operational lever a frozen index has, and costs
+    * 8/16 instead of 4/16 of the partitioned files per query). Measured
+    * per-query minima with these defaults (RecallFloorProbe sweep):
+    * 2/5 (sf0.001), 2/5 (sf0.01), 4/5 (sf0.1) — floor 0.4 equals the
+    * worst measured query; the route is deterministic per fixture, so
+    * the audited scales need no margin, and the sf1 row records the
+    * scaled-fixture minimum alongside its timing. */
+  /** The aged frozen-codebook store both q201 and q203 start from:
+    * bootstrap on the vec_id%4==0 quarter, three ingest ticks against the
+    * frozen centroids, compact. */
+  private[graft] def buildAgedIvfStore(e: DataFrame, cbPath: String,
+                                       idxPath: String, nLists: Int): Unit = {
+    writeIvfIndex(e.filter(col("vec_id") % 4 === 0), cbPath, idxPath, nLists)
+    ivfIngestTick(e.filter(col("vec_id") % 4 === 1), cbPath, idxPath, 0L)
+    ivfIngestTick(e.filter(col("vec_id") % 4 === 2), cbPath, idxPath, 1L)
+    ivfIngestTick(e.filter(col("vec_id") % 4 === 3), cbPath, idxPath, 2L)
+    ivfCompact(e.sparkSession, idxPath, nLists)
+  }
+
+  def ivfLifecycleRecallAudit(spark: SparkSession, dir: String,
+                              nQueries: Int = 10, k: Int = 5,
+                              nLists: Int = 16, nProbe: Int = 8,
+                              floor: Double = 0.4): DataFrame = {
+    val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val hex = graft.sources.Sources.dirTag(dir)
+    val cbPath = graft.sources.Sources.scratchDir(spark, "ivfr_codebook_" + hex)
+    val idxPath = graft.sources.Sources.scratchDir(spark, "ivfr_index_" + hex)
+    buildAgedIvfStore(e, cbPath, idxPath, nLists)
+    val routed = ivfProbeIndex(spark, cbPath, idxPath,
+      e.filter(col("vec_id") < nQueries), k, nProbe)
+    recallAuditOver(cosineTopK(spark, dir, nQueries, k), routed, floor)
+  }
+
+  /** q202 — PERSISTED-PQ LIFECYCLE RECALL AUDIT: q141's lifecycle for
+    * the compressed store (books trained on the settled quarter, three
+    * encode ticks, compact), ADC+rerank probe over the persisted codes,
+    * floored against q21's exact top-k. Books trained on the settled
+    * quarter distort ADC ordering for the unseen 3/4, so the rerank
+    * window widens (200 vs q199's 100 — the rerank depth is the
+    * compressed store's stale-codebook lever; still a constant-bounded
+    * exact pass per query). Measured per-query minima with these
+    * defaults (RecallFloorProbe sweep): 3/5 (sf0.001), 3/5 (sf0.01),
+    * 2/5 (sf0.1) — floor 0.4 equals the worst measured query; route
+    * deterministic per fixture, sf1 minimum recorded with its row.
+    * Scale note, MEASURED at sf1 (decorrelated 10× corpus): the binding
+    * lever there is code RESOLUTION, not rerank depth — rerank 200 →
+    * 2000 (1% of corpus) left the same 2 queries under 0.4, while
+    * m 8 → 16 (subDim 4) cleared floor 0.6 on every query. When the
+    * corpus outgrows the frozen books, widen m at the next rebuild;
+    * deepening rerank only re-ranks the same mis-ordered candidates. */
+  /** The aged frozen-books compressed store both q202 and q204 start
+    * from: books trained on the vec_id%4==0 quarter, three encode ticks,
+    * compact. */
+  private[graft] def buildAgedPqStore(e: DataFrame, booksPath: String,
+                                      codesPath: String, m: Int, kSub: Int,
+                                      trainIters: Int): Unit = {
+    writePqIndex(e.filter(col("vec_id") % 4 === 0), booksPath, codesPath,
+      m, kSub, trainIters)
+    pqIngestTick(e.filter(col("vec_id") % 4 === 1), booksPath, codesPath, 0L)
+    pqIngestTick(e.filter(col("vec_id") % 4 === 2), booksPath, codesPath, 1L)
+    pqIngestTick(e.filter(col("vec_id") % 4 === 3), booksPath, codesPath, 2L)
+    pqCompact(e.sparkSession, codesPath)
+  }
+
+  def pqLifecycleRecallAudit(spark: SparkSession, dir: String,
+                             nQueries: Int = 10, k: Int = 5, m: Int = 8,
+                             kSub: Int = 16, trainIters: Int = 2,
+                             rerank: Int = 200,
+                             floor: Double = 0.4): DataFrame = {
+    val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val hex = graft.sources.Sources.dirTag(dir)
+    val booksPath = graft.sources.Sources.scratchDir(spark, "pqr_books_" + hex)
+    val codesPath = graft.sources.Sources.scratchDir(spark, "pqr_codes_" + hex)
+    buildAgedPqStore(e, booksPath, codesPath, m, kSub, trainIters)
+    val books = loadPqBooks(spark, booksPath)
+    val subDim = books(0)(0).length
+    val routed = pqTopKOver(e,
+      spark.read.parquet(codesPath)
+        .select(col("vec_id").as("cand_id"), col("codes")),
+      books, subDim, nQueries, k, rerank)
+    recallAuditOver(cosineTopK(spark, dir, nQueries, k), routed, floor)
+  }
+
+  // --- Index REBUILD: the capacity-migration verb (q203–q204) -----------
+  //
+  // q202's measured finding names the remediation — "when the corpus
+  // outgrows the frozen books, widen m at the next rebuild" — and the
+  // q197 lesson is that a documented mitigation must be CODE, not a
+  // comment. Rebuild is that verb: retrain the coordinate system at new
+  // capacity over the vectors the old index actually holds (membership
+  // comes from the INDEX, not from whatever the vector table has grown
+  // to — the index's row set is its contract), re-encode/re-assign every
+  // member, and land books+codes at NEW paths. BLUE/GREEN by design:
+  // the old index is never touched, so there is no crash window in which
+  // probes could mix new books with old codes (the stagedSwap family's
+  // one declared window does not exist here) — cutover is the caller
+  // flipping a path pointer, rollback is not flipping it. Cost at
+  // 100 TB: one bounded retrain + ONE shuffle-free re-encode pass over
+  // the corpus — paid per rebuild decision (quarterly, say), not per
+  // tick, which is exactly why the lifecycle can afford to keep its
+  // codebook frozen the rest of the time.
+
+  /** Rebuild the persisted IVF index at new capacity: retrain on the old
+    * index's MEMBER vectors (left-semi against the index's vec_id set),
+    * reassign all members, write codebook+index at the new paths. */
+  def ivfRebuild(spark: SparkSession, vectors: DataFrame,
+                 oldIndexPath: String, newCodebookPath: String,
+                 newIndexPath: String, nLists: Int,
+                 trainIters: Int = 1): Unit = {
+    val members = vectors.join(
+      spark.read.parquet(oldIndexPath).select(col("vec_id")),
+      Seq("vec_id"), "left_semi")
+    writeIvfIndex(members, newCodebookPath, newIndexPath, nLists, trainIters)
+  }
+
+  /** Rebuild the persisted PQ store at new code resolution: retrain
+    * books on the old store's MEMBER vectors, re-encode all members,
+    * write books+codes at the new paths. */
+  def pqRebuild(spark: SparkSession, vectors: DataFrame,
+                oldCodesPath: String, newBooksPath: String,
+                newCodesPath: String, m: Int, kSub: Int = 16,
+                trainIters: Int = 2): Unit = {
+    val members = vectors.join(
+      spark.read.parquet(oldCodesPath).select(col("vec_id")),
+      Seq("vec_id"), "left_semi")
+    writePqIndex(members, newBooksPath, newCodesPath, m, kSub, trainIters)
+  }
+
+  /** q203 — IVF REBUILD RECALL AUDIT: the aged quarter-trained store
+    * (q201's fixture) rebuilt with centroids retrained on the FULL
+    * member corpus at DOUBLE the list count (nLists 16→32, the capacity
+    * rule nLists ~ sqrt(n)), probed through the REBUILT persisted index
+    * at q201's own probe FRACTION (nProbe 16/32 = 8/16 = half the lists,
+    * so the recall delta is the rebuild's alone) — floored against q21's
+    * exact top-k at 0.6, RAISED from q201's 0.4. What doubling nLists
+    * buys at 100 TB is bounded per-list size: list files halve, so probe
+    * tasks stay memory-bounded as the corpus grows — the fraction is the
+    * knob that stays put, the list count is the one that scales. On the
+    * near-uniform fixtures the quarter-fraction probe (nProbe 8/32) was
+    * measured UNDER the lifecycle floor (2/5 at sf0.01) — these fixtures
+    * have no cluster structure to concentrate neighbors, so reading a
+    * smaller fraction costs recall; the honest default keeps the
+    * fraction. Measured per-query minima with these defaults
+    * (RecallFloorProbe sweep): 5/5 (sf0.001), 3/5 (sf0.01), 5/5
+    * (sf0.1), 5/5 (sf1 — the rebuilt index is PERFECT on the 10×
+    * corpus) — floor 0.6 equals the worst measured query; route
+    * deterministic per fixture. */
+  def ivfRebuildRecallAudit(spark: SparkSession, dir: String,
+                            nQueries: Int = 10, k: Int = 5,
+                            oldNLists: Int = 16, newNLists: Int = 32,
+                            nProbe: Int = 16,
+                            floor: Double = 0.6): DataFrame = {
+    val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val hex = graft.sources.Sources.dirTag(dir)
+    val cbPath = graft.sources.Sources.scratchDir(spark, "ivfb_codebook_" + hex)
+    val idxPath = graft.sources.Sources.scratchDir(spark, "ivfb_index_" + hex)
+    val cbPath2 = graft.sources.Sources.scratchDir(spark, "ivfb_codebook2_" + hex)
+    val idxPath2 = graft.sources.Sources.scratchDir(spark, "ivfb_index2_" + hex)
+    buildAgedIvfStore(e, cbPath, idxPath, oldNLists)
+    ivfRebuild(spark, e, idxPath, cbPath2, idxPath2, newNLists)
+    val routed = ivfProbeIndex(spark, cbPath2, idxPath2,
+      e.filter(col("vec_id") < nQueries), k, nProbe)
+    recallAuditOver(cosineTopK(spark, dir, nQueries, k), routed, floor)
+  }
+
+  /** q204 — PQ REBUILD RECALL AUDIT: the aged quarter-trained compressed
+    * store (q202's fixture) rebuilt with books retrained on the FULL
+    * member corpus at DOUBLE the code resolution (m 8→16 — the lever
+    * q202's sf1 measurement identified as binding), ADC+rerank probe
+    * through the REBUILT persisted codes with q202's own rerank budget
+    * (200 — unchanged, so the recall delta is attributable to the
+    * rebuild alone), floored against q21's exact top-k at 0.6 (q202
+    * pins 0.4). Measured per-query minima with these defaults
+    * (RecallFloorProbe sweep): 5/5 (sf0.001), 5/5 (sf0.01), 4/5
+    * (sf0.1), 4/5 (sf1 — where the aged books' lifecycle route
+    * measured 2/5: the full-corpus m16 retrain is worth two recovered
+    * neighbors on the worst query of the 10× corpus) — floor 0.6 sits
+    * one missed neighbor below the worst measured query. */
+  def pqRebuildRecallAudit(spark: SparkSession, dir: String,
+                           nQueries: Int = 10, k: Int = 5,
+                           oldM: Int = 8, newM: Int = 16, kSub: Int = 16,
+                           trainIters: Int = 2, rerank: Int = 200,
+                           floor: Double = 0.6): DataFrame = {
+    val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val hex = graft.sources.Sources.dirTag(dir)
+    val booksPath = graft.sources.Sources.scratchDir(spark, "pqb_books_" + hex)
+    val codesPath = graft.sources.Sources.scratchDir(spark, "pqb_codes_" + hex)
+    val booksPath2 = graft.sources.Sources.scratchDir(spark, "pqb_books2_" + hex)
+    val codesPath2 = graft.sources.Sources.scratchDir(spark, "pqb_codes2_" + hex)
+    buildAgedPqStore(e, booksPath, codesPath, oldM, kSub, trainIters)
+    pqRebuild(spark, e, codesPath, booksPath2, codesPath2, newM, kSub, trainIters)
+    val books = loadPqBooks(spark, booksPath2)
+    val subDim = books(0)(0).length
+    val routed = pqTopKOver(e,
+      spark.read.parquet(codesPath2)
+        .select(col("vec_id").as("cand_id"), col("codes")),
+      books, subDim, nQueries, k, rerank)
+    recallAuditOver(cosineTopK(spark, dir, nQueries, k), routed, floor)
+  }
 }

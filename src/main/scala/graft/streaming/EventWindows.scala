@@ -141,7 +141,11 @@ object EventWindows {
     // combined min (no shuffle payload), and the user-week distinct spills
     // ONCE (the q88 leaf discipline) so the cohort agg and the matrix join
     // read the spill instead of each re-running the corpus-width distinct.
-    val anchor = e.agg(min(col("d"))).head().getDate(0)
+    // collected as a STRING, not DateType — the java.sql.Date decode's
+    // reflective static_invoke path flaked EXPRESSION_DECODING_FAILED
+    // once in a long sweep JVM (see rfmSegments' anchor note)
+    val anchor = java.sql.Date.valueOf(
+      e.agg(min(col("d")).cast("string")).head().getString(0))
     val uw = graft.sources.Sources.spillScratch(
       e.select(col("user_id"),
           floor(datediff(col("d"), lit(anchor)) / 7).cast("long").as("week"))

@@ -626,6 +626,82 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("q201-q202 lifecycle recall audits: every query clears its floor at both fixture scales") {
+    for (dir <- Seq(TestSpark.Sf0001, "/root/testdata/sf0.01");
+         (name, audit) <- Seq[(String, String => org.apache.spark.sql.DataFrame)](
+           ("ivf-lifecycle", d => Similarity.ivfLifecycleRecallAudit(spark, d)),
+           ("pq-lifecycle", d => Similarity.pqLifecycleRecallAudit(spark, d)))) {
+      val rows = audit(dir).as[(Long, Long, Boolean)].collect()
+      assert(rows.length == 10, s"$name@$dir: ${rows.length} queries")
+      assert(rows.forall(_._2 == 5L), s"$name@$dir: n_exact != k")
+      val bad = rows.filterNot(_._3)
+      assert(bad.isEmpty, s"$name@$dir floor violations: ${bad.mkString(",")}")
+    }
+  }
+
+  test("lifecycle recall audit is computed, not vacuous: an unreachable floor flips it false") {
+    val rows = Similarity.ivfLifecycleRecallAudit(spark, TestSpark.Sf0001, floor = 1.0)
+      .as[(Long, Long, Boolean)].collect()
+    assert(rows.exists(!_._3),
+      s"floor=1.0 produced no violations — flag looks vacuous: ${rows.mkString(",")}")
+  }
+
+  test("q203-q204 rebuild recall audits: every query clears the RAISED floor at both fixture scales") {
+    for (dir <- Seq(TestSpark.Sf0001, "/root/testdata/sf0.01");
+         (name, audit) <- Seq[(String, String => org.apache.spark.sql.DataFrame)](
+           ("ivf-rebuild", d => Similarity.ivfRebuildRecallAudit(spark, d)),
+           ("pq-rebuild", d => Similarity.pqRebuildRecallAudit(spark, d)))) {
+      val rows = audit(dir).as[(Long, Long, Boolean)].collect()
+      assert(rows.length == 10, s"$name@$dir: ${rows.length} queries")
+      assert(rows.forall(_._2 == 5L), s"$name@$dir: n_exact != k")
+      val bad = rows.filterNot(_._3)
+      assert(bad.isEmpty, s"$name@$dir floor violations: ${bad.mkString(",")}")
+    }
+  }
+
+  test("rebuild is blue/green and member-scoped: old store untouched, extra vectors excluded") {
+    import org.apache.spark.sql.functions._
+    val dir = TestSpark.Sf0001
+    val e = graft.Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val hex = graft.sources.Sources.dirTag(dir)
+    val cbOld = graft.sources.Sources.scratchDir(spark, "rbspec_cb_" + hex)
+    val idxOld = graft.sources.Sources.scratchDir(spark, "rbspec_idx_" + hex)
+    val cbNew = graft.sources.Sources.scratchDir(spark, "rbspec_cb2_" + hex)
+    val idxNew = graft.sources.Sources.scratchDir(spark, "rbspec_idx2_" + hex)
+    Similarity.buildAgedIvfStore(e, cbOld, idxOld, 16)
+    def listing(p: String) = {
+      val root = new java.io.File(p)
+      def walk(f: java.io.File): Seq[(String, Long)] =
+        if (f.isDirectory) f.listFiles().toSeq.sortBy(_.getName).flatMap(walk)
+        else Seq(f.getPath -> f.length())
+      walk(root)
+    }
+    val before = listing(idxOld) ++ listing(cbOld)
+    // the vector table has OUTGROWN the index: 50 extra vectors the old
+    // index never held — rebuild's membership contract must exclude them
+    val dim = e.select(size(col("embedding"))).head().getInt(0)
+    val extras = spark.range(1000000, 1000050)
+      .select(col("id").as("vec_id"),
+        array((0 until dim).map(i => lit(0.1f * (i % 7))): _*).as("embedding"))
+    Similarity.ivfRebuild(spark, e.unionByName(extras), idxOld, cbNew, idxNew, 32)
+    // blue/green: the old store's files are byte-for-byte what they were
+    assert(listing(idxOld) ++ listing(cbOld) == before, "rebuild touched the old store")
+    // membership: the rebuilt index holds exactly the old index's vec_ids
+    val oldIds = spark.read.parquet(idxOld).select("vec_id")
+    val newIds = spark.read.parquet(idxNew).select("vec_id")
+    assert(newIds.exceptAll(oldIds).count() == 0 && oldIds.exceptAll(newIds).count() == 0,
+      "rebuilt membership != old index membership")
+    // and the new capacity is real: 32 lists in the rebuilt codebook
+    assert(spark.read.parquet(cbNew).count() == 32)
+  }
+
+  test("rebuild recall audit is computed, not vacuous: an unreachable floor flips it false") {
+    val rows = Similarity.pqRebuildRecallAudit(spark, TestSpark.Sf0001, floor = 1.01)
+      .as[(Long, Long, Boolean)].collect()
+    assert(rows.exists(!_._3),
+      s"floor=1.01 produced no violations — flag looks vacuous: ${rows.mkString(",")}")
+  }
+
   test("recall audit flag is computed, not vacuous: an unreachable floor flips it false") {
     // measured fixture minimum is 4/5 for IVF at sf0.001 — demanding
     // perfect recall must surface real violations, proving recall_ok

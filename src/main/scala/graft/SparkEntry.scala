@@ -722,7 +722,13 @@ object SparkEntry {
     "q203_ivf_rebuild_recall" -> ((s: SparkSession, d: String) =>
       Similarity.ivfRebuildRecallAudit(s, d)),
     "q204_pq_rebuild_recall" -> ((s: SparkSession, d: String) =>
-      Similarity.pqRebuildRecallAudit(s, d))
+      Similarity.pqRebuildRecallAudit(s, d)),
+    // multi-dimension clustering: Z-order layout written + read back,
+    // zone-map skip counts for a deterministic probe set on BOTH keys
+    // vs the single-key linear incumbent — exact integer bucketing so
+    // the oracle re-derives file assignment and zone maps from raw rows
+    "q205_zorder_skipping" -> ((s: SparkSession, d: String) =>
+      graft.sources.Sources.zorderSkippingAudit(s, d))
   )
 
   /** Shared CTE chain ending in `pairs` = the exact-Jaccard near-dup pairs
@@ -1467,6 +1473,59 @@ object SparkEntry {
     "q202_pq_lifecycle_recall" -> recallAuditSql,
     "q203_ivf_rebuild_recall" -> recallAuditSql,
     "q204_pq_rebuild_recall" -> recallAuditSql,
+    // Z-order clustering is exact integer arithmetic end-to-end, so the
+    // oracle re-derives bucket ids, the Morton code, file assignment,
+    // zone maps, and the probe skip counts from the raw table (bits=4,
+    // fileBits=4, nProbes=8 — the engine defaults)
+    "q205_zorder_skipping" ->
+      """WITH bounds AS (
+        |  SELECT CAST(min(l_partkey) AS BIGINT) AS pmin,
+        |         CAST(max(l_partkey) AS BIGINT) AS pmax,
+        |         CAST(min(l_suppkey) AS BIGINT) AS smin,
+        |         CAST(max(l_suppkey) AS BIGINT) AS smax
+        |  FROM lineitem),
+        |coded AS (
+        |  SELECT l_partkey AS pk, l_suppkey AS sk,
+        |         ((l_partkey - pmin) * 16) // (pmax - pmin + 1) AS bp,
+        |         ((l_suppkey - smin) * 16) // (smax - smin + 1) AS bs
+        |  FROM lineitem, bounds),
+        |z AS (
+        |  SELECT pk, sk, bp AS file_lin,
+        |         ( (((bp >> 0) & 1) << 1) | (((bs >> 0) & 1) << 0)
+        |         | (((bp >> 1) & 1) << 3) | (((bs >> 1) & 1) << 2)
+        |         | (((bp >> 2) & 1) << 5) | (((bs >> 2) & 1) << 4)
+        |         | (((bp >> 3) & 1) << 7) | (((bs >> 3) & 1) << 6) ) >> 4 AS file_z
+        |  FROM coded),
+        |assigned AS (
+        |  SELECT 'linear' AS layout, file_lin AS file_id, pk, sk FROM z
+        |  UNION ALL
+        |  SELECT 'zorder' AS layout, file_z AS file_id, pk, sk FROM z),
+        |zones AS (
+        |  SELECT layout, file_id, min(pk) AS p_lo, max(pk) AS p_hi,
+        |         min(sk) AS s_lo, max(sk) AS s_hi
+        |  FROM assigned GROUP BY 1, 2),
+        |zone_dims AS (
+        |  SELECT layout, 'partkey' AS dim, p_lo AS f_lo, p_hi AS f_hi FROM zones
+        |  UNION ALL
+        |  SELECT layout, 'suppkey' AS dim, s_lo AS f_lo, s_hi AS f_hi FROM zones),
+        |probes AS (
+        |  SELECT 'partkey' AS dim,
+        |         pmin + ((j * 2 + 1) * (pmax - pmin + 1)) // 16 AS probe_v
+        |  FROM range(8) t(j), bounds
+        |  UNION ALL
+        |  SELECT 'suppkey' AS dim,
+        |         smin + ((j * 2 + 1) * (smax - smin + 1)) // 16 AS probe_v
+        |  FROM range(8) t(j), bounds)
+        |SELECT layout, dim,
+        |  CAST(count(*) / 8 AS BIGINT) AS n_files,
+        |  CAST(count(*) AS BIGINT) AS probe_total,
+        |  CAST(sum(CASE WHEN probe_v BETWEEN f_lo AND f_hi THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS probe_hits,
+        |  CAST(count(*) - sum(CASE WHEN probe_v BETWEEN f_lo AND f_hi
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS files_skipped,
+        |  CAST(sum(f_hi - f_lo + 1) // 8 AS BIGINT) AS span_sum
+        |FROM zone_dims JOIN probes USING (dim)
+        |GROUP BY 1, 2""".stripMargin,
     // identical by construction: per-partition reduction changes the plan,
     // not the result
     "q51_cosine_topk_partitioned" -> cosineTopKSql,

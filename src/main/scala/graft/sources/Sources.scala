@@ -822,4 +822,116 @@ object Sources {
       .write.mode("overwrite").partitionBy("shard").json(out)
     shardManifest(spark, out)
   }
+
+  // --- Multi-dimension clustering (Z-order) + zone-map skipping ---------
+  //
+  // W5/q90 prunes on ONE path-carried key; the layout question the rest
+  // of the warehouse faces is multi-column: queries filter lineitem by
+  // part OR by supplier, and a layout sorted by one key gives the other
+  // full-scan cost. The lakehouse answer (OPTIMIZE ... ZORDER BY) is to
+  // cluster files along the Morton interleave of both keys' bucket bits,
+  // so every file covers a small rectangle of the (part, supplier) grid
+  // and a zone map (per-file min/max, the stats every parquet footer and
+  // table format already carries) can skip most files for a point or
+  // range predicate on EITHER column.
+  //
+  // Everything here is exact integer arithmetic so the layout decision is
+  // DuckDB-replayable (the oracle re-derives file assignment, zone maps,
+  // and skip counts from the raw table): buckets are fixed-width over the
+  // column's [min, max] via `div` (production Z-order uses sampled range
+  // boundaries for skew; fixed-width keeps the oracle exact and the
+  // fixture keys are near-uniform — declared), the Morton code interleaves
+  // the two bucket ids' bits, and a file is the top `fileBits` bits of
+  // the code. The audit writes BOTH layouts (single-column `linear` =
+  // partkey buckets, the sorted-by-one-key incumbent; `zorder`), reads
+  // the files BACK to build each layout's zone map, and fires the same
+  // deterministic probe set at both: `files_skipped` counts (file, probe)
+  // pairs where the probed value falls outside the file's [min, max] for
+  // that dimension.
+  //
+  // Expected shape (bits=4, fileBits=4 → a 4×4 grid of 16 files): linear
+  // skips 15/16 per partkey probe and ~0 for suppkey; zorder skips 12/16
+  // on BOTH — the trade the operator exists to make. At 100 TB the cost
+  // is one bounds agg + one map-side code assignment + the clustered
+  // write's shuffle (paid once per OPTIMIZE, not per query); the audit
+  // side is |files|·|probes|-bounded, driver-trivial at any corpus size.
+
+  /** Morton interleave of two `bits`-bit bucket ids: bit i of `bp` lands
+    * at 2i+1, bit i of `bs` at 2i — partkey is the senior dimension, same
+    * tie-break the oracle SQL spells out. */
+  private[graft] def mortonCode(bp: Column, bs: Column, bits: Int): Column =
+    (0 until bits).map { i =>
+      shiftleft(shiftright(bp, i).bitwiseAND(lit(1L)), 2 * i + 1)
+        .bitwiseOR(shiftleft(shiftright(bs, i).bitwiseAND(lit(1L)), 2 * i))
+    }.reduce(_.bitwiseOR(_))
+
+  /** q205 — Z-ORDER CLUSTERING + ZONE-MAP SKIPPING AUDIT (see the block
+    * comment above). Returns one row per (layout, dim): the zone-map
+    * probe outcome and the integer span mass of that dimension's
+    * per-file ranges — `span_sum` ≈ `n_files`·domain/4 for zorder vs
+    * ≈ domain for linear/partkey (tight everywhere vs tight on one key),
+    * all BIGINT so the oracle compare is exact. */
+  def zorderSkippingAudit(spark: SparkSession, dir: String,
+                          bits: Int = 4, fileBits: Int = 4,
+                          nProbes: Int = 8): DataFrame = {
+    require(bits >= fileBits && bits <= 16, s"need fileBits <= bits <= 16")
+    val nb = 1L << bits
+    val li = parquet(spark, s"$dir/lineitem.parquet")
+      .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
+    val b = li.agg(min(col("pk")), max(col("pk")),
+                   min(col("sk")), max(col("sk"))).head()
+    val (pmin, pmax, smin, smax) =
+      (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
+    def bucket(c: Column, lo: Long, hi: Long): Column =
+      call_function("div", (c - lit(lo)) * lit(nb), lit(hi - lo + 1L))
+    val coded = li
+      .withColumn("bp", bucket(col("pk"), pmin, pmax))
+      .withColumn("bs", bucket(col("sk"), smin, smax))
+      .withColumn("file_lin", shiftright(col("bp"), bits - fileBits))
+      .withColumn("file_z",
+        shiftright(mortonCode(col("bp"), col("bs"), bits), 2 * bits - fileBits))
+    val assigned = coded
+      .select(lit("linear").as("layout"), col("file_lin").as("file_id"),
+        col("pk"), col("sk"))
+      .unionByName(coded.select(lit("zorder").as("layout"),
+        col("file_z").as("file_id"), col("pk"), col("sk")))
+    val out = scratchDir(spark, "zorder_layout")
+    // The clustered write: repartition on the file key so each zone is
+    // one task's output, hive layout so the file key rides the path.
+    assigned.repartition(col("layout"), col("file_id"))
+      .write.mode("overwrite").partitionBy("layout", "file_id").parquet(out)
+    // Zone maps from the files READ BACK — a mis-clustered write would
+    // diverge from the oracle's logical derivation here.
+    val zones = spark.read.parquet(out)
+      .groupBy(col("layout"), col("file_id"))
+      .agg(min(col("pk")).as("p_lo"), max(col("pk")).as("p_hi"),
+           min(col("sk")).as("s_lo"), max(col("sk")).as("s_hi"))
+    val zoneDims = zones
+      .select(col("layout"), col("file_id"), lit("partkey").as("dim"),
+        col("p_lo").as("f_lo"), col("p_hi").as("f_hi"))
+      .unionByName(zones.select(col("layout"), col("file_id"),
+        lit("suppkey").as("dim"), col("s_lo").as("f_lo"),
+        col("s_hi").as("f_hi")))
+    // Deterministic probe set: nProbes mid-stride points per dimension.
+    def probesFor(dim: String, lo: Long, hi: Long): DataFrame =
+      spark.range(nProbes).select(lit(dim).as("dim"),
+        (lit(lo) + call_function("div",
+          (col("id") * 2L + 1L) * lit(hi - lo + 1L),
+          lit(2L * nProbes))).as("probe_v"))
+    val probes = probesFor("partkey", pmin, pmax)
+      .unionByName(probesFor("suppkey", smin, smax))
+    zoneDims.join(probes, Seq("dim"))
+      .groupBy(col("layout"), col("dim"))
+      .agg(
+        (count(lit(1)) / lit(nProbes)).cast("long").as("n_files"),
+        count(lit(1)).as("probe_total"),
+        sum(when(col("probe_v").between(col("f_lo"), col("f_hi")), 1L)
+          .otherwise(0L)).as("probe_hits"),
+        (call_function("div", sum(col("f_hi") - col("f_lo") + 1L),
+          lit(nProbes.toLong))).as("span_sum"))
+      .select(col("layout"), col("dim"), col("n_files"), col("probe_total"),
+        col("probe_hits"),
+        (col("probe_total") - col("probe_hits")).as("files_skipped"),
+        col("span_sum"))
+  }
 }

@@ -266,4 +266,48 @@ class SourcesSpec extends AnyFunSuite {
     assert(tomb.columns.toSet == Set("user_id", "n_rows_erased"),
       s"tombstone must not carry deleted content: ${tomb.columns.mkString(",")}")
   }
+
+  test("q205 Morton code: bit interleave matches the hand example") {
+    // bp=0b1010, bs=0b0110 → p bits land at odd positions, s at even:
+    // bit7=p3=1, bit6=s3=0, bit5=p2=0, bit4=s2=1, bit3=p1=1, bit2=s1=1,
+    // bit1=p0=0, bit0=s0=0 → 10011100b = 156
+    val z = spark.range(1)
+      .select(Sources.mortonCode(lit(10L), lit(6L), 4).as("z"))
+      .as[Long].head()
+    assert(z == 156L, s"morton(1010b, 0110b) = $z, want 156")
+  }
+
+  test("q205 zone-map skipping: zorder prunes BOTH dims, linear only its sort key") {
+    val rows = Sources.zorderSkippingAudit(spark, TestSpark.Sf0001)
+      .as[(String, String, Long, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    assert(rows.size == 4, s"want 4 (layout, dim) rows, got ${rows.keySet}")
+    def skipped(layout: String, dim: String) = {
+      val (_, _, nFiles, total, hits, skip, _) = rows((layout, dim))
+      assert(total == nFiles * 8 && hits + skip == total,
+        s"($layout,$dim) accounting: files=$nFiles total=$total hits=$hits skip=$skip")
+      skip.toDouble / total
+    }
+    // the incumbent: perfect on its sort key, useless on the other
+    assert(skipped("linear", "partkey") >= 0.75,
+      s"linear/partkey skipped ${skipped("linear", "partkey")}")
+    assert(skipped("linear", "suppkey") <= 0.1,
+      s"linear/suppkey skipped ${skipped("linear", "suppkey")} — a single-key sort should not prune the other key")
+    // the trade zorder exists to make: strong pruning on BOTH
+    assert(skipped("zorder", "partkey") >= 0.5 && skipped("zorder", "suppkey") >= 0.5,
+      s"zorder skipped p=${skipped("zorder", "partkey")} s=${skipped("zorder", "suppkey")}")
+    assert(skipped("zorder", "suppkey") > skipped("linear", "suppkey"))
+    // span mass tells the same story in zone-map terms: linear is tightest
+    // on its sort key, zorder strictly tighter than linear on the other
+    assert(rows(("linear", "partkey"))._7 < rows(("zorder", "partkey"))._7)
+    assert(rows(("zorder", "suppkey"))._7 < rows(("linear", "suppkey"))._7)
+  }
+
+  test("q205 is deterministic across runs (layout replayable by the oracle)") {
+    val a = Sources.zorderSkippingAudit(spark, TestSpark.Sf0001)
+      .collect().map(_.toString).sorted.toSeq
+    val b = Sources.zorderSkippingAudit(spark, TestSpark.Sf0001)
+      .collect().map(_.toString).sorted.toSeq
+    assert(a == b)
+  }
 }

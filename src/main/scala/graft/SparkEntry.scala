@@ -728,7 +728,13 @@ object SparkEntry {
     // vs the single-key linear incumbent — exact integer bucketing so
     // the oracle re-derives file assignment and zone maps from raw rows
     "q205_zorder_skipping" -> ((s: SparkSession, d: String) =>
-      graft.sources.Sources.zorderSkippingAudit(s, d))
+      graft.sources.Sources.zorderSkippingAudit(s, d)),
+    // the zone map's blind spot: point lookups on a key uncorrelated
+    // with file order — per-file Bloom index (multiplicative k-hash,
+    // exact integer math), probe cost and false-positive gap measured
+    // against oracle-re-derived exact file membership
+    "q206_bloom_skipping" -> ((s: SparkSession, d: String) =>
+      graft.sources.Sources.bloomSkippingAudit(s, d))
   )
 
   /** Shared CTE chain ending in `pairs` = the exact-Jaccard near-dup pairs
@@ -1526,6 +1532,66 @@ object SparkEntry {
         |  CAST(sum(f_hi - f_lo + 1) // 8 AS BIGINT) AS span_sum
         |FROM zone_dims JOIN probes USING (dim)
         |GROUP BY 1, 2""".stripMargin,
+    // the Bloom index is exact integer hash math (multiplicative
+    // constants, power-of-two masks), so the oracle re-derives the
+    // per-file position sets, the probe decisions, and the
+    // false-positive gap from the raw table (nFiles=64, mBits=65536,
+    // kHashes=3, nProbes=8 — the engine defaults)
+    "q206_bloom_skipping" ->
+      """WITH b AS (
+        |  SELECT CAST(min(l_orderkey) AS BIGINT) AS omin,
+        |         CAST(max(l_orderkey) AS BIGINT) AS omax,
+        |         CAST(max(l_partkey) AS BIGINT) AS pmax
+        |  FROM lineitem),
+        |rows_f AS (
+        |  SELECT ((l_orderkey - omin) * 64) // (omax - omin + 1) AS file_id,
+        |         l_partkey AS pk
+        |  FROM lineitem, b),
+        |idx AS (
+        |  SELECT DISTINCT file_id, pos FROM (
+        |    SELECT file_id,
+        |           unnest([((pk * 2654435761) & 2147483647) & 65535,
+        |                   ((pk * 2246822519) & 2147483647) & 65535,
+        |                   ((pk * 3266489917) & 2147483647) & 65535]) AS pos
+        |    FROM rows_f) t),
+        |dk AS (SELECT DISTINCT pk FROM rows_f),
+        |nk AS (SELECT CAST(count(*) AS BIGINT) AS n FROM dk),
+        |present AS (
+        |  SELECT pk AS probe_key, TRUE AS is_present FROM (
+        |    SELECT pk, row_number() OVER (ORDER BY pk) AS rn FROM dk) r
+        |  WHERE rn IN (SELECT ((2 * j + 1) * n) // 16 + 1
+        |               FROM range(8) t(j), nk)),
+        |absent AS (
+        |  SELECT pmax + j + 1 AS probe_key, FALSE AS is_present
+        |  FROM range(8) t(j), b),
+        |probes AS (SELECT * FROM present UNION ALL SELECT * FROM absent),
+        |ppos AS (
+        |  SELECT DISTINCT probe_key, pos FROM (
+        |    SELECT probe_key,
+        |           unnest([((probe_key * 2654435761) & 2147483647) & 65535,
+        |                   ((probe_key * 2246822519) & 2147483647) & 65535,
+        |                   ((probe_key * 3266489917) & 2147483647) & 65535]) AS pos
+        |    FROM probes) t),
+        |npos AS (SELECT probe_key, count(*) AS n_pos FROM ppos GROUP BY 1),
+        |bh AS (
+        |  SELECT probe_key, CAST(count(*) AS BIGINT) AS n_files_bloom FROM (
+        |    SELECT i.file_id, p.probe_key, count(*) AS hit_pos
+        |    FROM ppos p JOIN idx i USING (pos) GROUP BY 1, 2) h
+        |  JOIN npos USING (probe_key) WHERE hit_pos = n_pos GROUP BY 1),
+        |eh AS (
+        |  SELECT probe_key,
+        |         CAST(count(DISTINCT file_id) AS BIGINT) AS n_files_exact
+        |  FROM rows_f JOIN probes ON pk = probe_key GROUP BY 1),
+        |nf AS (SELECT CAST(count(DISTINCT file_id) AS BIGINT) AS n_files
+        |       FROM rows_f)
+        |SELECT probe_key, is_present,
+        |  CAST(coalesce(n_files_exact, 0) AS BIGINT) AS n_files_exact,
+        |  CAST(coalesce(n_files_bloom, 0) AS BIGINT) AS n_files_bloom,
+        |  CAST(coalesce(n_files_bloom, 0) - coalesce(n_files_exact, 0)
+        |    AS BIGINT) AS false_pos,
+        |  n_files
+        |FROM probes LEFT JOIN eh USING (probe_key)
+        |  LEFT JOIN bh USING (probe_key), nf""".stripMargin,
     // identical by construction: per-partition reduction changes the plan,
     // not the result
     "q51_cosine_topk_partitioned" -> cosineTopKSql,

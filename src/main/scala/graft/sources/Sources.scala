@@ -934,4 +934,110 @@ object Sources {
         (col("probe_total") - col("probe_hits")).as("files_skipped"),
         col("span_sum"))
   }
+
+  // --- File-level Bloom skipping ----------------------------------------
+  //
+  // The zone map (q205) prunes predicates CORRELATED with file order —
+  // range scans on a clustered key. Its blind spot is the other common
+  // shape: a point lookup on a key scattered uniformly across every file
+  // (lineitem filtered by one part, files laid down in orderkey ingest
+  // order), where every file's [min, max] straddles every probe and the
+  // zone map skips nothing. The lakehouse answer is the per-file Bloom
+  // filter (Parquet bloom_filter_enabled, Delta bloom indexes): k hash
+  // positions per key OR-ed into an m-bit set per file; a probe opens a
+  // file only if ALL k of its positions are set. False positives cost a
+  // wasted file read; false negatives cannot happen — the superset
+  // invariant the spec pins set-wise.
+  //
+  // Everything is exact integer arithmetic so the oracle re-derives the
+  // index and every decision from the raw table: file assignment is the
+  // q205 fixed-width bucket of the INGEST key (orderkey — uncorrelated
+  // with the probe key by construction), the k hash functions are
+  // multiplicative (key · odd-constant, masked to 31 bits, masked to the
+  // m-bit table — public Knuth/xxhash-style constants), and the "bitset"
+  // is materialized relationally as the distinct (file_id, pos) table —
+  // exactly the shape a real sidecar compresses to m/8 bytes per file.
+  // Present probes are mid-stride RANKS of the distinct key domain (rank,
+  // not value — ScaleUp's replica key-shift leaves value-stride holes);
+  // absent probes sit past the domain maximum. The probe-selection window
+  // is audit machinery over the nProbes-bounded output, not the operator's
+  // scale path (declared).
+  //
+  // Scale: the index is ONE scan + a groupBy bounded by files · m; the
+  // probe side joins |probes| · k rows against it — metadata-sized both
+  // ways. The audit's deliverable is the measured false-positive count,
+  // the number that sizes m (bits per key) before anyone pays for it at
+  // 100 TB.
+
+  /** The k multiplicative hash positions of `key` in an `mBits`-slot
+    * table (mBits must be a power of two): (key · A_i) & 0x7FFFFFFF &
+    * (mBits − 1), A_i the public Knuth/xxhash odd constants. */
+  private val BloomA = Seq(2654435761L, 2246822519L, 3266489917L)
+  private[graft] def bloomPositions(key: Column, mBits: Int,
+                                    kHashes: Int): Seq[Column] =
+    BloomA.take(kHashes).map(a =>
+      (key * lit(a)).bitwiseAND(lit(0x7FFFFFFFL)).bitwiseAND(lit(mBits - 1L)))
+
+  /** q206 — FILE-LEVEL BLOOM SKIPPING AUDIT (see the block comment
+    * above): one row per probe key — the exact number of files holding
+    * it, the number the Bloom index would open, and the false-positive
+    * gap, all BIGINT. */
+  def bloomSkippingAudit(spark: SparkSession, dir: String,
+                         nFiles: Int = 64, mBits: Int = 65536,
+                         kHashes: Int = 3, nProbes: Int = 8): DataFrame = {
+    require((mBits & (mBits - 1)) == 0, "mBits must be a power of two")
+    require(kHashes >= 1 && kHashes <= BloomA.size)
+    val li = parquet(spark, s"$dir/lineitem.parquet")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val b = li.agg(min(col("ok")), max(col("ok")), max(col("pk"))).head()
+    val (omin, omax, pmax) = (b.getLong(0), b.getLong(1), b.getLong(2))
+    val rows = li.withColumn("file_id",
+      call_function("div", (col("ok") - lit(omin)) * lit(nFiles.toLong),
+        lit(omax - omin + 1L)))
+    // the index: the per-file bitset as its set-position relation
+    val idx = spillScratch(
+      rows.select(col("file_id"),
+        explode(array(bloomPositions(col("pk"), mBits, kHashes): _*)).as("pos"))
+        .distinct(),
+      "bloom_idx")
+    // present probes by mid-stride rank of the distinct key domain
+    val dk = rows.select(col("pk")).distinct()
+    val nKeys = dk.count()
+    val ranks = (0 until nProbes)
+      .map(j => (2L * j + 1L) * nKeys / (2L * nProbes) + 1L)
+    val present = dk
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("pk"))))
+      .filter(col("rn").isin(ranks: _*))
+      .select(col("pk").as("probe_key"), lit(true).as("is_present"))
+    val absent = spark.range(nProbes)
+      .select((lit(pmax) + col("id") + 1L).as("probe_key"),
+        lit(false).as("is_present"))
+    val probes = present.unionByName(absent)
+    val probePos = probes.select(col("probe_key"),
+      explode(array(bloomPositions(col("probe_key"), mBits, kHashes): _*))
+        .as("pos")).distinct()
+    val nPos = probePos.groupBy(col("probe_key"))
+      .agg(count(lit(1)).as("n_pos"))
+    // a file bloom-matches a probe iff ALL the probe's positions are set
+    val bloomHits = probePos.join(idx, Seq("pos"))
+      .groupBy(col("file_id"), col("probe_key"))
+      .agg(count(lit(1)).as("hit_pos"))
+      .join(nPos, Seq("probe_key"))
+      .filter(col("hit_pos") === col("n_pos"))
+      .groupBy(col("probe_key")).agg(count(lit(1)).as("n_files_bloom"))
+    val exactHits = rows.join(probes, col("pk") === col("probe_key"))
+      .select(col("probe_key"), col("file_id")).distinct()
+      .groupBy(col("probe_key")).agg(count(lit(1)).as("n_files_exact"))
+    val nLiveFiles = rows.select(col("file_id")).distinct().count()
+    probes
+      .join(exactHits, Seq("probe_key"), "left")
+      .join(bloomHits, Seq("probe_key"), "left")
+      .select(col("probe_key"), col("is_present"),
+        coalesce(col("n_files_exact"), lit(0L)).as("n_files_exact"),
+        coalesce(col("n_files_bloom"), lit(0L)).as("n_files_bloom"),
+        (coalesce(col("n_files_bloom"), lit(0L))
+          - coalesce(col("n_files_exact"), lit(0L))).as("false_pos"),
+        lit(nLiveFiles).as("n_files"))
+  }
 }

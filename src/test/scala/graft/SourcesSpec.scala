@@ -310,4 +310,69 @@ class SourcesSpec extends AnyFunSuite {
       .collect().map(_.toString).sorted.toSeq
     assert(a == b)
   }
+
+  test("q206 bloom skipping: no false negatives (set-wise), absent keys exact-zero, pruning real") {
+    val rows = Sources.bloomSkippingAudit(spark, TestSpark.Sf0001)
+      .as[(Long, Boolean, Long, Long, Long, Long)].collect()
+    assert(rows.length == 16, s"want 16 probes, got ${rows.length}")
+    val (present, absent) = rows.partition(_._2)
+    assert(present.length == 8 && absent.length == 8)
+    present.foreach { case (k, _, exact, bloom, fp, _) =>
+      assert(exact > 0, s"present probe $k found in no file — rank selection broke")
+      assert(bloom >= exact && fp == bloom - exact,
+        s"probe $k: bloom=$bloom exact=$exact fp=$fp")
+    }
+    absent.foreach { case (k, _, exact, bloom, fp, _) =>
+      assert(exact == 0L, s"absent probe $k claims exact membership")
+      assert(fp == bloom, s"absent probe $k: every bloom match must be a FP")
+    }
+    // pruning is real: on average the bloom opens well under all files
+    val nFiles = rows.head._6
+    val avgBloom = present.map(_._4).sum.toDouble / present.length
+    assert(avgBloom <= 0.8 * nFiles,
+      s"bloom opens $avgBloom of $nFiles files on average — no pruning")
+  }
+
+  test("q206 superset invariant holds at the (file, probe) grain, not just counts") {
+    // count inequality could hide a miss canceled by a false positive;
+    // re-derive both memberships independently and compare sets
+    import org.apache.spark.sql.functions.{broadcast => bc}
+    val li = spark.read.parquet(s"${TestSpark.Sf0001}/lineitem.parquet")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val b = li.agg(min(col("ok")), max(col("ok"))).head()
+    val (omin, omax) = (b.getLong(0), b.getLong(1))
+    val withFile = li.withColumn("file_id",
+      call_function("div", (col("ok") - lit(omin)) * lit(64L),
+        lit(omax - omin + 1L)))
+    val probeKeys = Sources.bloomSkippingAudit(spark, TestSpark.Sf0001)
+      .filter(col("is_present")).select(col("probe_key")).as[Long].collect().toSeq
+    val exactPairs = withFile
+      .join(bc(probeKeys.toDF("probe_key")), col("pk") === col("probe_key"))
+      .select(col("file_id"), col("probe_key")).distinct()
+      .as[(Long, Long)].collect().toSet
+    // bloom side: rebuild the index and the per-(file, probe) decision
+    val idx = withFile.select(col("file_id"),
+        explode(array(Sources.bloomPositions(col("pk"), 65536, 3): _*)).as("pos"))
+      .distinct()
+    val ppos = probeKeys.toDF("probe_key").select(col("probe_key"),
+        explode(array(Sources.bloomPositions(col("probe_key"), 65536, 3): _*))
+          .as("pos")).distinct()
+    val nPos = ppos.groupBy(col("probe_key")).agg(count(lit(1)).as("n_pos"))
+    val bloomPairs = ppos.join(idx, Seq("pos"))
+      .groupBy(col("file_id"), col("probe_key"))
+      .agg(count(lit(1)).as("hits"))
+      .join(nPos, Seq("probe_key")).filter(col("hits") === col("n_pos"))
+      .select(col("file_id"), col("probe_key"))
+      .as[(Long, Long)].collect().toSet
+    assert(exactPairs.subsetOf(bloomPairs),
+      s"bloom MISSED ${(exactPairs -- bloomPairs).take(5)} — false negatives")
+  }
+
+  test("q206 is deterministic across runs") {
+    val a = Sources.bloomSkippingAudit(spark, TestSpark.Sf0001)
+      .collect().map(_.toString).sorted.toSeq
+    val b = Sources.bloomSkippingAudit(spark, TestSpark.Sf0001)
+      .collect().map(_.toString).sorted.toSeq
+    assert(a == b)
+  }
 }

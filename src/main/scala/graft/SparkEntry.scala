@@ -734,7 +734,14 @@ object SparkEntry {
     // exact integer math), probe cost and false-positive gap measured
     // against oracle-re-derived exact file membership
     "q206_bloom_skipping" -> ((s: SparkSession, d: String) =>
-      graft.sources.Sources.bloomSkippingAudit(s, d))
+      graft.sources.Sources.bloomSkippingAudit(s, d)),
+    // the consumer side of the A45/A46 statistics loop: histogram-based
+    // range-selectivity estimates and the textbook join-cardinality
+    // formula, each audited in exact fixed-point against ground truth
+    "q207_selectivity_estimation" -> ((s: SparkSession, d: String) =>
+      Relational.selectivityEstimationAudit(s, d)),
+    "q208_join_cardinality" -> ((s: SparkSession, d: String) =>
+      Relational.joinCardinalityAudit(s, d))
   )
 
   /** Shared CTE chain ending in `pairs` = the exact-Jaccard near-dup pairs
@@ -1380,6 +1387,78 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] = oracleSqlFor("/root/testdata/sf0.01")
 
+  /** q207's oracle, per audited lineitem column: equi-depth histogram by
+    * row-mass rank over the value grain, uniform-within-bucket ppm
+    * interpolation, exact predicate counts — all `//` integer math, the
+    * engine's arithmetic verbatim (nBuckets=16, nPreds=6). */
+  private def selEstSqlFor(c: String): String =
+    s"""SELECT * FROM (
+      |WITH vals AS (
+      |  SELECT CAST($c AS BIGINT) AS v, count(*) AS cnt
+      |  FROM lineitem GROUP BY 1),
+      |cum AS (
+      |  SELECT v, cnt, sum(cnt) OVER () AS n,
+      |         sum(cnt) OVER (ORDER BY v) AS cum
+      |  FROM vals),
+      |buckets AS (
+      |  SELECT ((cum - cnt) * 16) // n AS bucket,
+      |         min(v) AS b_lo, max(v) AS b_hi, sum(cnt) AS b_cnt
+      |  FROM cum GROUP BY 1),
+      |bounds AS (
+      |  SELECT CAST(min($c) AS BIGINT) AS lo, CAST(max($c) AS BIGINT) AS hi
+      |  FROM lineitem),
+      |preds AS (
+      |  SELECT j AS pred_id,
+      |         lo + (j * (hi - lo + 1)) // 8 AS p_lo,
+      |         lo + (j * (hi - lo + 1)) // 8 + (hi - lo + 1) // 4 AS p_hi
+      |  FROM range(6) t(j), bounds),
+      |est AS (
+      |  SELECT pred_id, p_lo, p_hi,
+      |         sum(b_cnt * (((least(p_hi, b_hi) - greatest(p_lo, b_lo) + 1)
+      |                        * 1000000) // (b_hi - b_lo + 1))) AS est_rows_e6
+      |  FROM preds JOIN buckets ON b_hi >= p_lo AND b_lo <= p_hi
+      |  GROUP BY 1, 2, 3),
+      |actual AS (
+      |  SELECT p.pred_id, count(l.v) AS actual_rows
+      |  FROM preds p LEFT JOIN (SELECT CAST($c AS BIGINT) AS v FROM lineitem) l
+      |    ON l.v BETWEEN p.p_lo AND p.p_hi
+      |  GROUP BY 1)
+      |SELECT '$c' AS column_name, e.pred_id, e.p_lo, e.p_hi,
+      |  CAST(a.actual_rows AS BIGINT) AS actual_rows,
+      |  CAST(e.est_rows_e6 AS BIGINT) AS est_rows_e6,
+      |  CAST(CASE WHEN a.actual_rows > 0
+      |    THEN abs(e.est_rows_e6 - a.actual_rows * 1000000) // a.actual_rows
+      |    ELSE e.est_rows_e6 END AS BIGINT) AS err_ppm
+      |FROM est e JOIN actual a USING (pred_id))""".stripMargin
+
+  /** q208's oracle, per audited join: |A|·|B| // max(ndv) vs the exact
+    * cardinality Σ_k cntA(k)·cntB(k) — key-grain, never the join. */
+  private def joinCardSqlFor(jn: String, ta: String, ka: String,
+                             tb: String, kb: String): String =
+    s"""SELECT * FROM (
+      |WITH ca AS (SELECT CAST($ka AS BIGINT) AS k, count(*) AS cnt_a
+      |            FROM $ta GROUP BY 1),
+      |cb AS (SELECT CAST($kb AS BIGINT) AS k, count(*) AS cnt_b
+      |       FROM $tb GROUP BY 1),
+      |stats AS (
+      |  SELECT (SELECT CAST(sum(cnt_a) AS BIGINT) FROM ca) AS n_left,
+      |         (SELECT CAST(count(*) AS BIGINT) FROM ca) AS ndv_left,
+      |         (SELECT CAST(sum(cnt_b) AS BIGINT) FROM cb) AS n_right,
+      |         (SELECT CAST(count(*) AS BIGINT) FROM cb) AS ndv_right),
+      |ex AS (SELECT CAST(coalesce(sum(cnt_a * cnt_b), 0) AS BIGINT)
+      |         AS actual_rows
+      |       FROM ca JOIN cb USING (k))
+      |SELECT '$jn' AS join_name, n_left, n_right, ndv_left, ndv_right,
+      |  CAST((n_left * n_right) // greatest(ndv_left, ndv_right) AS BIGINT)
+      |    AS est_rows,
+      |  actual_rows,
+      |  CAST(CASE WHEN actual_rows > 0
+      |    THEN (abs((n_left * n_right) // greatest(ndv_left, ndv_right)
+      |              - actual_rows) * 1000000) // actual_rows
+      |    ELSE ((n_left * n_right) // greatest(ndv_left, ndv_right))
+      |         * 1000000 END AS BIGINT) AS err_ppm
+      |FROM stats, ex)""".stripMargin
+
   /** Oracle SQL templated on the fixture dir the Spark side reads: the one
     * path-dependent oracle (q40's read_blob) then always points at the same
     * file as the Spark query, whatever sf the driver verifies at. Verify
@@ -1592,6 +1671,19 @@ object SparkEntry {
         |  n_files
         |FROM probes LEFT JOIN eh USING (probe_key)
         |  LEFT JOIN bh USING (probe_key), nf""".stripMargin,
+    // the estimator and the ground truth are both exact integer
+    // arithmetic (scaled ppm via //), so the oracle replays the
+    // histogram build, the interpolation, and the error — per column
+    // (nBuckets=16, nPreds=6, the engine defaults)
+    "q207_selectivity_estimation" ->
+      Seq("l_quantity", "l_partkey").map(selEstSqlFor).mkString(
+        "", "\nUNION ALL\n", ""),
+    "q208_join_cardinality" ->
+      Seq(("lineitem*orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+          ("orders*customer", "orders", "o_custkey", "customer", "c_custkey"),
+          ("lineitem*part", "lineitem", "l_partkey", "part", "p_partkey"),
+          ("events*events", "events", "user_id", "events", "user_id"))
+        .map((joinCardSqlFor _).tupled).mkString("", "\nUNION ALL\n", ""),
     // identical by construction: per-partition reduction changes the plan,
     // not the result
     "q51_cosine_topk_partitioned" -> cosineTopKSql,

@@ -419,4 +419,52 @@ class RelationalSpec extends AnyFunSuite {
     assert(exact.nonEmpty && exact.toSeq.map(_._4).sum == 5L, s"exact cells: $exact")
     assert(approx == exact, s"approx route diverged:\n  exact=$exact\n  approx=$approx")
   }
+
+  test("q207 selectivity estimation: internally consistent, bounded error on uniform columns") {
+    val rows = Relational.selectivityEstimationAudit(spark, TestSpark.Sf0001)
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+    assert(rows.length == 12, s"want 2 cols x 6 preds, got ${rows.length}")
+    rows.foreach { case (c, p, plo, phi, actual, estE6, errPpm) =>
+      assert(plo <= phi && actual > 0 && estE6 > 0, s"($c,$p) degenerate")
+      val want = math.abs(estE6 - actual * 1000000L) / actual
+      assert(errPpm == want, s"($c,$p) err_ppm $errPpm != recomputed $want")
+      // both audited columns are near-uniform: a 16-bucket equi-depth
+      // histogram must estimate quarter-domain ranges within 15%
+      assert(errPpm <= 150000L, s"($c,$p) err ${errPpm} ppm > 15%")
+    }
+  }
+
+  test("q207 estimate sums approximately preserve total mass across the stride sweep") {
+    // predicates tile the domain at 1/8 strides with 1/4 widths — each
+    // point is covered ~2x, so Σ actual over the sweep ≈ 2 · |table|
+    // minus edge loss; pin the estimator tracks the SAME sum shape
+    val rows = Relational.selectivityEstimationAudit(spark, TestSpark.Sf0001)
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+    rows.groupBy(_._1).foreach { case (c, rs) =>
+      val sumActual = rs.map(_._5).sum
+      val sumEstE6 = rs.map(_._6).sum
+      val ratio = sumEstE6.toDouble / (sumActual * 1000000L)
+      assert(ratio > 0.9 && ratio < 1.1, s"$c sweep mass ratio $ratio")
+    }
+  }
+
+  test("q208 join cardinality: exact on PK-FK joins, underestimates the skewed self-join") {
+    val rows = Relational.joinCardinalityAudit(spark, TestSpark.Sf0001)
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(rows.size == 4, s"want 4 joins, got ${rows.keySet}")
+    // PK-FK: one side's key is unique, ndv(fk) <= ndv(pk), so
+    // |A|·|B|/max(ndv) = |A| — the formula is exact here by construction
+    Seq("lineitem*orders", "orders*customer", "lineitem*part").foreach { j =>
+      val (_, _, _, _, _, est, actual, err) = rows(j)
+      assert(est == actual && err == 0L, s"$j: est=$est actual=$actual err=$err")
+    }
+    // non-unique both sides: Σ cnt(u)² > n²/ndv whenever counts vary
+    // (Cauchy–Schwarz) — the audit must SHOW the underestimate
+    val (_, _, _, _, _, estS, actualS, errS) = rows("events*events")
+    assert(estS < actualS && errS > 0L,
+      s"events self-join: est=$estS actual=$actualS — uniformity failure not visible")
+    // and err_ppm is the recomputable definition
+    assert(errS == math.abs(estS - actualS) * 1000000L / actualS)
+  }
 }

@@ -741,7 +741,12 @@ object SparkEntry {
     "q207_selectivity_estimation" -> ((s: SparkSession, d: String) =>
       Relational.selectivityEstimationAudit(s, d)),
     "q208_join_cardinality" -> ((s: SparkSession, d: String) =>
-      Relational.joinCardinalityAudit(s, d))
+      Relational.joinCardinalityAudit(s, d)),
+    // the skipping indexes' production lifecycle: per-commit stats
+    // append (Delta/Iceberg shape) over four ingest ticks, the store
+    // read back from disk — O(tick) per commit, XO replay spec-pinned
+    "q209_incremental_zonemap" -> ((s: SparkSession, d: String) =>
+      graft.sources.Sources.incrementalZoneMapStats(s, d))
   )
 
   /** Shared CTE chain ending in `pairs` = the exact-Jaccard near-dup pairs
@@ -1684,6 +1689,23 @@ object SparkEntry {
           ("lineitem*part", "lineitem", "l_partkey", "part", "p_partkey"),
           ("events*events", "events", "user_id", "events", "user_id"))
         .map((joinCardSqlFor _).tupled).mkString("", "\nUNION ALL\n", ""),
+    // the incrementally-maintained store is a deterministic function of
+    // the raw table (tick = ok % 4, file = the q205 bucket), so the
+    // oracle re-derives every stats row in one GROUP BY — the q64/q66
+    // one-oracle discipline for persisted indexes
+    "q209_incremental_zonemap" ->
+      """WITH b AS (
+        |  SELECT CAST(min(l_orderkey) AS BIGINT) AS omin,
+        |         CAST(max(l_orderkey) AS BIGINT) AS omax
+        |  FROM lineitem)
+        |SELECT CAST(l_orderkey % 4 AS BIGINT) AS ingest_batch,
+        |  ((l_orderkey - omin) * 16) // (omax - omin + 1) AS file_id,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(min(l_partkey) AS BIGINT) AS p_lo,
+        |  CAST(max(l_partkey) AS BIGINT) AS p_hi,
+        |  CAST(min(l_orderkey) AS BIGINT) AS o_lo,
+        |  CAST(max(l_orderkey) AS BIGINT) AS o_hi
+        |FROM lineitem, b GROUP BY 1, 2""".stripMargin,
     // identical by construction: per-partition reduction changes the plan,
     // not the result
     "q51_cosine_topk_partitioned" -> cosineTopKSql,

@@ -1040,4 +1040,73 @@ object Sources {
           - coalesce(col("n_files_exact"), lit(0L))).as("false_pos"),
         lit(nLiveFiles).as("n_files"))
   }
+
+  // --- Incremental zone-map maintenance ----------------------------------
+  //
+  // q205/q206 build their skipping indexes in one shot; the production
+  // lifecycle is incremental — every commit lands data files AND appends
+  // exactly those files' stats to the log (Delta's per-commit stats,
+  // Iceberg's manifest entries). Rebuilding file stats from 100 TB per
+  // commit is the one thing the design must never do: a tick's stats
+  // cost must be O(tick), the store append-only, and a checkpoint-replay
+  // of a tick must rewrite its own partition byte-identically without
+  // touching any other (the q70/q182 exactly-once discipline — tick
+  // content is a deterministic function of the tick's input, and both
+  // the data write and the stats write are per-tick dynamic partition
+  // overwrites, so replay after ANY crash window converges).
+  //
+  // Fixture: lineitem arrives over `nTicks` commits (ok % nTicks — the
+  // deterministic batch split every streaming twin here uses); within a
+  // commit, files are the q205 fixed-width orderkey buckets over the
+  // GLOBAL domain, so file ids are comparable across ticks and a range
+  // probe prunes at the (tick, file) grain. The returned relation is the
+  // stats STORE read back from disk — one row per (ingest_batch,
+  // file_id) — which the oracle re-derives from the raw table in one
+  // GROUP BY; the spec pins the lifecycle claims the relation can't
+  // show: per-tick partition bytes untouched by later ticks, mid-tick
+  // crash + replay byte-identical, and probe-through-store ≡
+  // probe-through-full-rebuild.
+
+  /** q209 — INCREMENTAL ZONE-MAP MAINTENANCE (see block comment). */
+  def incrementalZoneMapStats(spark: SparkSession, dir: String,
+                              nTicks: Int = 4, nFiles: Int = 16): DataFrame = {
+    val root = scratchDir(spark, "zonemap_incr")
+    (0 until nTicks).foreach(t =>
+      zoneMapTickAt(spark, dir, root, t, nTicks, nFiles))
+    spark.read.parquet(s"$root/stats")
+      .select(col("ingest_batch").cast("long").as("ingest_batch"),
+        col("file_id").cast("long").as("file_id"), col("n_rows"),
+        col("p_lo"), col("p_hi"), col("o_lo"), col("o_hi"))
+  }
+
+  /** One commit: land the tick's data files, append exactly those files'
+    * zone-map stats under the tick's own partition. Deterministic in the
+    * tick's input, per-tick dynamic overwrite on both stores — replay-
+    * idempotent from any crash window. */
+  private[graft] def zoneMapTickAt(spark: SparkSession, dir: String,
+                                   root: String, tick: Int, nTicks: Int,
+                                   nFiles: Int): Unit = {
+    val li = parquet(spark, s"$dir/lineitem.parquet")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val b = li.agg(min(col("ok")), max(col("ok"))).head()
+    val (omin, omax) = (b.getLong(0), b.getLong(1))
+    val batch = li.filter(pmod(col("ok"), lit(nTicks.toLong)) === tick)
+      .withColumn("file_id",
+        call_function("div", (col("ok") - lit(omin)) * lit(nFiles.toLong),
+          lit(omax - omin + 1L)))
+      .withColumn("ingest_batch", lit(tick))
+    batch.repartition(col("file_id"))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("ingest_batch", "file_id").parquet(s"$root/data")
+    // stats for THIS tick's files only — O(tick), never a rescan; read
+    // from the files just landed so the stats describe what is on disk
+    spark.read.parquet(s"$root/data")
+      .filter(col("ingest_batch") === tick)
+      .groupBy(col("ingest_batch"), col("file_id"))
+      .agg(count(lit(1)).as("n_rows"), min(col("pk")).as("p_lo"),
+        max(col("pk")).as("p_hi"), min(col("ok")).as("o_lo"),
+        max(col("ok")).as("o_hi"))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("ingest_batch").parquet(s"$root/stats")
+  }
 }

@@ -746,7 +746,12 @@ object SparkEntry {
     // append (Delta/Iceberg shape) over four ingest ticks, the store
     // read back from disk — O(tick) per commit, XO replay spec-pinned
     "q209_incremental_zonemap" -> ((s: SparkSession, d: String) =>
-      graft.sources.Sources.incrementalZoneMapStats(s, d))
+      graft.sources.Sources.incrementalZoneMapStats(s, d)),
+    // the store's CONSUMER: a range aggregate planned through the stats
+    // store (partition filters from the overlapping zones; inputFiles
+    // strictly below full scan, spec-pinned), result = the naive filter
+    "q210_zonemap_pruned_scan" -> ((s: SparkSession, d: String) =>
+      graft.sources.Sources.zoneMapPrunedScan(s, d))
   )
 
   /** Shared CTE chain ending in `pairs` = the exact-Jaccard near-dup pairs
@@ -1706,6 +1711,32 @@ object SparkEntry {
         |  CAST(min(l_orderkey) AS BIGINT) AS o_lo,
         |  CAST(max(l_orderkey) AS BIGINT) AS o_hi
         |FROM lineitem, b GROUP BY 1, 2""".stripMargin,
+    // result ≡ the naive filter by zone-map soundness; the zone counts
+    // re-derive from the q209 GROUP BY, so the pruning decision itself
+    // is oracle-checked, not just the answer
+    "q210_zonemap_pruned_scan" ->
+      """WITH b AS (
+        |  SELECT CAST(min(l_orderkey) AS BIGINT) AS omin,
+        |         CAST(max(l_orderkey) AS BIGINT) AS omax
+        |  FROM lineitem),
+        |pr AS (
+        |  SELECT omin + (omax - omin + 1) // 3 AS lo,
+        |         omin + (omax - omin + 1) // 3 + (omax - omin + 1) // 8 AS hi
+        |  FROM b),
+        |zones AS (
+        |  SELECT l_orderkey % 4 AS tick,
+        |         ((l_orderkey - omin) * 16) // (omax - omin + 1) AS f,
+        |         min(l_orderkey) AS o_lo, max(l_orderkey) AS o_hi
+        |  FROM lineitem, b GROUP BY 1, 2)
+        |SELECT
+        |  (SELECT CAST(count(*) AS BIGINT) FROM zones) AS n_zones_total,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM zones, pr
+        |   WHERE o_hi >= lo AND o_lo <= hi) AS n_zones_scanned,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(l_partkey) AS BIGINT) AS sum_partkey,
+        |  CAST(min(l_orderkey) AS BIGINT) AS min_ok,
+        |  CAST(max(l_orderkey) AS BIGINT) AS max_ok
+        |FROM lineitem, pr WHERE l_orderkey BETWEEN lo AND hi""".stripMargin,
     // identical by construction: per-partition reduction changes the plan,
     // not the result
     "q51_cosine_topk_partitioned" -> cosineTopKSql,

@@ -1109,4 +1109,49 @@ object Sources {
       .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
       .partitionBy("ingest_batch").parquet(s"$root/stats")
   }
+
+  /** q210 — ZONE-MAP-PRUNED SCAN: the CONSUMER of W16's store. A range
+    * aggregate plans its read through the stats store instead of the
+    * table: the zones overlapping the predicate are selected from the
+    * |files|-row store (metadata-sized, the one declared driver
+    * collect), the data read carries them as PARTITION filters (the
+    * spec pins `inputFiles` strictly below the full scan's), and the
+    * residual row predicate finishes inside the surviving files. Result
+    * ≡ the naive full-scan filter by zone-map soundness — which is the
+    * oracle: the aggregate over the raw table plus the zone counts
+    * re-derived from the same GROUP BY. At 100 TB this is the entire
+    * point of W14–W16: the query opens |overlapping zones| files, and
+    * the planner learned that from a stats store it read instead of
+    * 100 TB of footers. */
+  def zoneMapPrunedScan(spark: SparkSession, dir: String,
+                        nTicks: Int = 4, nFiles: Int = 16): DataFrame = {
+    val root = scratchDir(spark, "zonemap_scan")
+    (0 until nTicks).foreach(t =>
+      zoneMapTickAt(spark, dir, root, t, nTicks, nFiles))
+    val li = parquet(spark, s"$dir/lineitem.parquet")
+    val b = li.agg(min(col("l_orderkey")), max(col("l_orderkey"))).head()
+    val (omin, omax) = (b.getLong(0), b.getLong(1))
+    val d = omax - omin + 1L
+    val (probeLo, probeHi) = (omin + d / 3L, omin + d / 3L + d / 8L)
+    val stats = spark.read.parquet(s"$root/stats")
+    val zonesTotal = stats.count()
+    // the planning step: |files|-row store → the zones the range touches
+    val pruned = stats
+      .filter(col("o_hi") >= probeLo && col("o_lo") <= probeHi)
+      .select(col("ingest_batch").cast("long"), col("file_id").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    require(pruned.nonEmpty, "probe range misses every zone — fixture broke")
+    val partFilter = pruned.map { case (t, f) =>
+      col("ingest_batch") === t && col("file_id") === f
+    }.reduce(_ || _)
+    spark.read.parquet(s"$root/data")
+      .filter(partFilter)
+      .filter(col("ok").between(probeLo, probeHi))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("pk")).as("sum_partkey"),
+        min(col("ok")).as("min_ok"), max(col("ok")).as("max_ok"))
+      .select(lit(zonesTotal).as("n_zones_total"),
+        lit(pruned.length.toLong).as("n_zones_scanned"),
+        col("n_rows"), col("sum_partkey"), col("min_ok"), col("max_ok"))
+  }
 }

@@ -447,6 +447,49 @@ class SourcesSpec extends AnyFunSuite {
     }
   }
 
+  test("q210 zone-map-pruned scan: result equals the naive filter; the read opens strictly fewer files") {
+    val got = Sources.zoneMapPrunedScan(spark, TestSpark.Sf0001)
+      .as[(Long, Long, Long, Long, Long, Long)].head()
+    val (zTotal, zScanned, nRows, sumPk, minOk, maxOk) = got
+    assert(zScanned > 0 && zScanned < zTotal,
+      s"pruning must be real: scanned $zScanned of $zTotal zones")
+    // naive recompute
+    val li = spark.read.parquet(s"${TestSpark.Sf0001}/lineitem.parquet")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val b = li.agg(min(col("ok")), max(col("ok"))).head()
+    val d = b.getLong(1) - b.getLong(0) + 1L
+    val (lo, hi) = (b.getLong(0) + d / 3L, b.getLong(0) + d / 3L + d / 8L)
+    val want = li.filter(col("ok").between(lo, hi))
+      .agg(count(lit(1)), sum(col("pk")), min(col("ok")), max(col("ok")))
+      .as[(Long, Long, Long, Long)].head()
+    assert((nRows, sumPk, minOk, maxOk) == want,
+      s"pruned-scan answer $got != naive $want")
+    // and the PHYSICAL claim: a pruned read over the same store opens
+    // strictly fewer files than the unpruned read
+    val root = Sources.scratchDir(spark, "zonemap_scan_files")
+    (0 until 4).foreach(t =>
+      Sources.zoneMapTickAt(spark, TestSpark.Sf0001, root, t, 4, 16))
+    val all = spark.read.parquet(s"$root/data")
+    val stats = spark.read.parquet(s"$root/stats")
+      .filter(col("o_hi") >= lo && col("o_lo") <= hi)
+      .select(col("ingest_batch").cast("long"), col("file_id").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val prunedRead = all.filter(stats.map { case (t, f) =>
+      col("ingest_batch") === t && col("file_id") === f
+    }.reduce(_ || _))
+    val plan = prunedRead.queryExecution.executedPlan.toString()
+    assert("PartitionFilters: \\[[^\\]]*(ingest_batch|file_id)".r
+      .findFirstIn(plan).isDefined,
+      s"zone filters must land in PartitionFilters (pruned at the file " +
+        s"index, before any bytes move):\n$plan")
+    // and the pruned read actually surfaces fewer files than live zones
+    val filesTouched = prunedRead
+      .select(input_file_name()).distinct().count()
+    val filesAll = all.select(input_file_name()).distinct().count()
+    assert(filesTouched < filesAll,
+      s"pruned read touched $filesTouched of $filesAll files")
+  }
+
   private def walkFiles(d: java.io.File): Seq[java.io.File] =
     if (d.isFile) Seq(d)
     else Option(d.listFiles()).map(_.toSeq.flatMap(walkFiles)).getOrElse(Nil)

@@ -751,7 +751,12 @@ object SparkEntry {
     // store (partition filters from the overlapping zones; inputFiles
     // strictly below full scan, spec-pinned), result = the naive filter
     "q210_zonemap_pruned_scan" -> ((s: SparkSession, d: String) =>
-      graft.sources.Sources.zoneMapPrunedScan(s, d))
+      graft.sources.Sources.zoneMapPrunedScan(s, d)),
+    // the maintenance verb: tick-scattered zones folded to one partition
+    // each (blue/green), the stats store folded ARITHMETICALLY from the
+    // old stats (zone maps are a monoid) — never a data rescan
+    "q211_zone_compaction" -> ((s: SparkSession, d: String) =>
+      graft.sources.Sources.zoneCompaction(s, d))
   )
 
   /** Shared CTE chain ending in `pairs` = the exact-Jaccard near-dup pairs
@@ -1737,6 +1742,21 @@ object SparkEntry {
         |  CAST(min(l_orderkey) AS BIGINT) AS min_ok,
         |  CAST(max(l_orderkey) AS BIGINT) AS max_ok
         |FROM lineitem, pr WHERE l_orderkey BETWEEN lo AND hi""".stripMargin,
+    // the compacted store is the q209 store folded over ticks, which by
+    // the monoid property equals one GROUP BY over the raw table
+    "q211_zone_compaction" ->
+      """WITH b AS (
+        |  SELECT CAST(min(l_orderkey) AS BIGINT) AS omin,
+        |         CAST(max(l_orderkey) AS BIGINT) AS omax
+        |  FROM lineitem)
+        |SELECT
+        |  ((l_orderkey - omin) * 16) // (omax - omin + 1) AS file_id,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(min(l_partkey) AS BIGINT) AS p_lo,
+        |  CAST(max(l_partkey) AS BIGINT) AS p_hi,
+        |  CAST(min(l_orderkey) AS BIGINT) AS o_lo,
+        |  CAST(max(l_orderkey) AS BIGINT) AS o_hi
+        |FROM lineitem, b GROUP BY 1""".stripMargin,
     // identical by construction: per-partition reduction changes the plan,
     // not the result
     "q51_cosine_topk_partitioned" -> cosineTopKSql,

@@ -1154,4 +1154,50 @@ object Sources {
         lit(pruned.length.toLong).as("n_zones_scanned"),
         col("n_rows"), col("sum_partkey"), col("min_ok"), col("max_ok"))
   }
+
+  /** q211 — ZONE COMPACTION + METADATA-ONLY STATS FOLD: the maintenance
+    * verb that keeps W16's lifecycle viable forever. Every commit adds a
+    * (tick, zone) partition, so after T commits a zone's rows are
+    * scattered over T small files — the LSM/Iceberg small-files problem;
+    * probe cost grows with commit COUNT instead of data size. Compaction
+    * folds all ticks of each zone into ONE partition at a NEW path
+    * (blue/green — the old store stays byte-untouched until cutover,
+    * spec-pinned), and the compacted stats store is derived from the OLD
+    * STATS BY PURE AGGREGATION — min of mins, max of maxes, sum of
+    * counts — never a data rescan: zone-map stats are an algebraic
+    * monoid, which is exactly why a 100 TB compactor can plan and
+    * certify itself from metadata. The spec pins the fold ≡ a recompute
+    * from the compacted files, and the W17 probe through the compacted
+    * store answers identically over fewer, bigger zones.
+    *
+    * Returns the COMPACTED stats store read back — one row per zone —
+    * which the oracle re-derives in one GROUP BY over the raw table
+    * (the q64/q66 one-oracle discipline). */
+  def zoneCompaction(spark: SparkSession, dir: String,
+                     nTicks: Int = 4, nFiles: Int = 16): DataFrame = {
+    val root = scratchDir(spark, "zonemap_compact")
+    (0 until nTicks).foreach(t =>
+      zoneMapTickAt(spark, dir, root, t, nTicks, nFiles))
+    compactZonesAt(spark, root)
+    spark.read.parquet(s"$root/stats_compact")
+      .select(col("file_id").cast("long").as("file_id"), col("n_rows"),
+        col("p_lo"), col("p_hi"), col("o_lo"), col("o_hi"))
+  }
+
+  /** The compaction itself: data folded tick→zone at a new path, stats
+    * folded from the OLD STATS (metadata-only — no data read). */
+  private[graft] def compactZonesAt(spark: SparkSession,
+                                    root: String): Unit = {
+    spark.read.parquet(s"$root/data")
+      .drop("ingest_batch")
+      .repartition(col("file_id"))
+      .write.mode("overwrite").partitionBy("file_id")
+      .parquet(s"$root/data_compact")
+    spark.read.parquet(s"$root/stats")
+      .groupBy(col("file_id"))
+      .agg(sum(col("n_rows")).as("n_rows"), min(col("p_lo")).as("p_lo"),
+        max(col("p_hi")).as("p_hi"), min(col("o_lo")).as("o_lo"),
+        max(col("o_hi")).as("o_hi"))
+      .write.mode("overwrite").parquet(s"$root/stats_compact")
+  }
 }

@@ -490,6 +490,51 @@ class SourcesSpec extends AnyFunSuite {
       s"pruned read touched $filesTouched of $filesAll files")
   }
 
+  test("q211 zone compaction: metadata fold == data recompute; blue/green; probe answers unchanged over fewer zones") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_zonemap_compact").toString
+    (0 until 4).foreach(t =>
+      Sources.zoneMapTickAt(spark, TestSpark.Sf0001, root, t, 4, 16))
+    def fileSets(sub: String): Set[String] =
+      walkFiles(new java.io.File(s"$root/$sub"))
+        .map(f => s"${f.getParentFile.getName}/${f.getName}:${f.length}").toSet
+    val dataBefore = fileSets("data")
+    val statsBefore = fileSets("stats")
+    Sources.compactZonesAt(spark, root)
+    // blue/green: the OLD store and stats are byte-untouched
+    assert(fileSets("data") == dataBefore, "compaction mutated the live data store")
+    assert(fileSets("stats") == statsBefore, "compaction mutated the live stats store")
+    // the metadata-only fold equals a recompute from the compacted files
+    val folded = spark.read.parquet(s"$root/stats_compact")
+      .select(col("file_id").cast("long"), col("n_rows"), col("p_lo"),
+        col("p_hi"), col("o_lo"), col("o_hi"))
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    val recomputed = spark.read.parquet(s"$root/data_compact")
+      .groupBy(col("file_id").cast("long").as("file_id"))
+      .agg(count(lit(1)).as("n_rows"), min(col("pk")).as("p_lo"),
+        max(col("pk")).as("p_hi"), min(col("ok")).as("o_lo"),
+        max(col("ok")).as("o_hi"))
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    assert(folded == recomputed,
+      s"stats fold diverged from compacted data: ${(folded -- recomputed).take(3)}")
+    // fewer, bigger zones: 4 ticks x 16 -> 16; probe prunes and agrees
+    assert(folded.size == 16)
+    val li = spark.read.parquet(s"${TestSpark.Sf0001}/lineitem.parquet")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val bb = li.agg(min(col("ok")), max(col("ok"))).head()
+    val d = bb.getLong(1) - bb.getLong(0) + 1L
+    val (lo, hi) = (bb.getLong(0) + d / 3L, bb.getLong(0) + d / 3L + d / 8L)
+    val zonesHit = folded.filter(z => z._6 >= lo && z._5 <= hi).map(_._1)
+    assert(zonesHit.nonEmpty && zonesHit.size < 16, s"probe hit $zonesHit")
+    val viaCompact = spark.read.parquet(s"$root/data_compact")
+      .filter(zonesHit.toSeq.map(f => col("file_id") === f).reduce(_ || _))
+      .filter(col("ok").between(lo, hi))
+      .agg(count(lit(1)), sum(col("pk"))).as[(Long, Long)].head()
+    val naive = li.filter(col("ok").between(lo, hi))
+      .agg(count(lit(1)), sum(col("pk"))).as[(Long, Long)].head()
+    assert(viaCompact == naive, s"compacted probe $viaCompact != naive $naive")
+  }
+
   private def walkFiles(d: java.io.File): Seq[java.io.File] =
     if (d.isFile) Seq(d)
     else Option(d.listFiles()).map(_.toSeq.flatMap(walkFiles)).getOrElse(Nil)

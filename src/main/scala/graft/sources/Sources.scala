@@ -1090,18 +1090,34 @@ object Sources {
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
     val b = li.agg(min(col("ok")), max(col("ok"))).head()
     val (omin, omax) = (b.getLong(0), b.getLong(1))
-    val batch = li.filter(pmod(col("ok"), lit(nTicks.toLong)) === tick)
+    zoneMapCommit(li.filter(pmod(col("ok"), lit(nTicks.toLong)) === tick),
+      tick.toLong, root, omin, omax, nFiles)
+  }
+
+  /** The commit core both drivers share (the q209 tick loop and the
+    * q212 `foreachBatch` stream): assign the batch's rows to zones over
+    * the DECLARED domain bounds (at 100 TB these come from table
+    * metadata, not a scan — parameters here), land the data under
+    * (ingest_batch, file_id), append the stats under ingest_batch.
+    * Content is deterministic in (batch, batchId) and both writes are
+    * per-tick dynamic overwrites, so Spark checkpoint recovery replays
+    * to identical state whatever window the crash hit. */
+  private[graft] def zoneMapCommit(batchRows: DataFrame, batchId: Long,
+                                   root: String, omin: Long, omax: Long,
+                                   nFiles: Int): Unit = {
+    val spark = batchRows.sparkSession
+    val batch = batchRows
       .withColumn("file_id",
         call_function("div", (col("ok") - lit(omin)) * lit(nFiles.toLong),
           lit(omax - omin + 1L)))
-      .withColumn("ingest_batch", lit(tick))
+      .withColumn("ingest_batch", lit(batchId))
     batch.repartition(col("file_id"))
       .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
       .partitionBy("ingest_batch", "file_id").parquet(s"$root/data")
     // stats for THIS tick's files only — O(tick), never a rescan; read
     // from the files just landed so the stats describe what is on disk
     spark.read.parquet(s"$root/data")
-      .filter(col("ingest_batch") === tick)
+      .filter(col("ingest_batch") === batchId)
       .groupBy(col("ingest_batch"), col("file_id"))
       .agg(count(lit(1)).as("n_rows"), min(col("pk")).as("p_lo"),
         max(col("pk")).as("p_hi"), min(col("ok")).as("o_lo"),
@@ -1109,6 +1125,18 @@ object Sources {
       .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
       .partitionBy("ingest_batch").parquet(s"$root/stats")
   }
+
+  /** q212-shape wrapper — W16 kept live: each micro-batch is one commit,
+    * Spark's own batchId keys the idempotent tick (the q161/q182
+    * streaming-twin discipline). The stream carries (ok, pk) rows. */
+  def streamingZoneMapMaintenance(rows: DataFrame, root: String,
+                                  omin: Long, omax: Long, nFiles: Int = 16)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+          org.apache.spark.sql.Row] =
+    rows.writeStream.foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        zoneMapCommit(batch, batchId, root, omin, omax, nFiles)
+    }
 
   /** q210 — ZONE-MAP-PRUNED SCAN: the CONSUMER of W16's store. A range
     * aggregate plans its read through the stats store instead of the

@@ -535,6 +535,42 @@ class SourcesSpec extends AnyFunSuite {
     assert(viaCompact == naive, s"compacted probe $viaCompact != naive $naive")
   }
 
+  test("q209 streaming twin: MemoryStream commits reproduce the tick-loop store; replay is a no-op") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_zonemap_stream").toString
+    val li = spark.read.parquet(s"${TestSpark.Sf0001}/lineitem.parquet")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val b = li.agg(min(col("ok")), max(col("ok"))).head()
+    val (omin, omax) = (b.getLong(0), b.getLong(1))
+    val rows = li.as[(Long, Long)].collect()
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, Long)]
+    val q = Sources.streamingZoneMapMaintenance(
+      input.toDF().toDF("ok", "pk"), root, omin, omax).start()
+    try {
+      // the same 4 commits the q209 tick loop makes, arriving as a stream
+      (0 until 4).foreach { t =>
+        input.addData(rows.filter(_._1 % 4 == t).toIndexedSeq)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    def store() = spark.read.parquet(s"$root/stats")
+      .select(col("ingest_batch").cast("long"), col("file_id").cast("long"),
+        col("n_rows"), col("p_lo"), col("p_hi"), col("o_lo"), col("o_hi"))
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSet
+    val streamed = store()
+    val batchTwin = Sources.incrementalZoneMapStats(spark, TestSpark.Sf0001)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSet
+    assert(streamed == batchTwin,
+      s"stream != batch: ${(streamed -- batchTwin).take(3)} / ${(batchTwin -- streamed).take(3)}")
+    // out-of-band replay of the MIDDLE commit (same batchId): converges
+    Sources.zoneMapCommit(
+      spark.createDataset(rows.filter(_._1 % 4 == 1).toIndexedSeq)
+        .toDF("ok", "pk"), 1L, root, omin, omax, 16)
+    assert(store() == streamed, "replaying commit 1 changed the store")
+  }
+
   private def walkFiles(d: java.io.File): Seq[java.io.File] =
     if (d.isFile) Seq(d)
     else Option(d.listFiles()).map(_.toSeq.flatMap(walkFiles)).getOrElse(Nil)

@@ -756,7 +756,12 @@ object SparkEntry {
     // each (blue/green), the stats store folded ARITHMETICALLY from the
     // old stats (zone maps are a monoid) — never a data rescan
     "q211_zone_compaction" -> ((s: SparkSession, d: String) =>
-      graft.sources.Sources.zoneCompaction(s, d))
+      graft.sources.Sources.zoneCompaction(s, d)),
+    // the re-ANALYZE canary: estimates from a histogram that saw only
+    // the settled 80% vs fresh stats vs truth, over a sweep that crosses
+    // into the appended range — the D30 staleness discipline on A52
+    "q212_stale_stats" -> ((s: SparkSession, d: String) =>
+      Relational.staleStatsAudit(s, d))
   )
 
   /** Shared CTE chain ending in `pairs` = the exact-Jaccard near-dup pairs
@@ -1757,6 +1762,70 @@ object SparkEntry {
         |  CAST(min(l_orderkey) AS BIGINT) AS o_lo,
         |  CAST(max(l_orderkey) AS BIGINT) AS o_hi
         |FROM lineitem, b GROUP BY 1""".stripMargin,
+    // both histograms, both estimators, and the truth replay in exact
+    // // arithmetic (cutoff = lo + 4·D//5; nBuckets=16, nPreds=8)
+    "q212_stale_stats" ->
+      """WITH b AS (
+        |  SELECT CAST(min(l_orderkey) AS BIGINT) AS lo,
+        |         CAST(max(l_orderkey) AS BIGINT) AS hi
+        |  FROM lineitem),
+        |stale_vals AS (
+        |  SELECT CAST(l_orderkey AS BIGINT) AS v, count(*) AS cnt
+        |  FROM lineitem, b
+        |  WHERE l_orderkey <= lo + (4 * (hi - lo + 1)) // 5 GROUP BY 1),
+        |stale_cum AS (
+        |  SELECT v, cnt, sum(cnt) OVER () AS n,
+        |         sum(cnt) OVER (ORDER BY v) AS cum FROM stale_vals),
+        |stale_b AS (
+        |  SELECT ((cum - cnt) * 16) // n AS bucket, min(v) AS b_lo,
+        |         max(v) AS b_hi, sum(cnt) AS b_cnt
+        |  FROM stale_cum GROUP BY 1),
+        |fresh_vals AS (
+        |  SELECT CAST(l_orderkey AS BIGINT) AS v, count(*) AS cnt
+        |  FROM lineitem GROUP BY 1),
+        |fresh_cum AS (
+        |  SELECT v, cnt, sum(cnt) OVER () AS n,
+        |         sum(cnt) OVER (ORDER BY v) AS cum FROM fresh_vals),
+        |fresh_b AS (
+        |  SELECT ((cum - cnt) * 16) // n AS bucket, min(v) AS b_lo,
+        |         max(v) AS b_hi, sum(cnt) AS b_cnt
+        |  FROM fresh_cum GROUP BY 1),
+        |preds AS (
+        |  SELECT j AS pred_id, lo + (j * (hi - lo + 1)) // 8 AS p_lo,
+        |         least(hi, lo + (j * (hi - lo + 1)) // 8
+        |                   + (hi - lo + 1) // 4) AS p_hi
+        |  FROM range(8) t(j), b),
+        |est_stale AS (
+        |  SELECT pred_id, p_lo, p_hi,
+        |         sum(CASE WHEN b_cnt IS NULL THEN 0 ELSE b_cnt *
+        |           (((least(p_hi, b_hi) - greatest(p_lo, b_lo) + 1)
+        |             * 1000000) // (b_hi - b_lo + 1)) END) AS est_stale_e6
+        |  FROM preds LEFT JOIN stale_b ON b_hi >= p_lo AND b_lo <= p_hi
+        |  GROUP BY 1, 2, 3),
+        |est_fresh AS (
+        |  SELECT pred_id, p_lo, p_hi,
+        |         sum(CASE WHEN b_cnt IS NULL THEN 0 ELSE b_cnt *
+        |           (((least(p_hi, b_hi) - greatest(p_lo, b_lo) + 1)
+        |             * 1000000) // (b_hi - b_lo + 1)) END) AS est_fresh_e6
+        |  FROM preds LEFT JOIN fresh_b ON b_hi >= p_lo AND b_lo <= p_hi
+        |  GROUP BY 1, 2, 3),
+        |actual AS (
+        |  SELECT p.pred_id, count(l.v) AS actual_rows
+        |  FROM preds p LEFT JOIN (
+        |    SELECT CAST(l_orderkey AS BIGINT) AS v FROM lineitem) l
+        |    ON l.v BETWEEN p.p_lo AND p.p_hi GROUP BY 1)
+        |SELECT pred_id, p_lo, p_hi,
+        |  CAST(actual_rows AS BIGINT) AS actual_rows,
+        |  CAST(est_stale_e6 AS BIGINT) AS est_stale_e6,
+        |  CAST(est_fresh_e6 AS BIGINT) AS est_fresh_e6,
+        |  CAST(CASE WHEN actual_rows > 0 THEN
+        |    abs(est_stale_e6 - actual_rows * 1000000) // actual_rows
+        |    ELSE est_stale_e6 END AS BIGINT) AS err_stale_ppm,
+        |  CAST(CASE WHEN actual_rows > 0 THEN
+        |    abs(est_fresh_e6 - actual_rows * 1000000) // actual_rows
+        |    ELSE est_fresh_e6 END AS BIGINT) AS err_fresh_ppm
+        |FROM est_stale JOIN est_fresh USING (pred_id, p_lo, p_hi)
+        |  JOIN actual USING (pred_id)""".stripMargin,
     // identical by construction: per-partition reduction changes the plan,
     // not the result
     "q51_cosine_topk_partitioned" -> cosineTopKSql,

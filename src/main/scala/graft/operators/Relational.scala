@@ -1165,27 +1165,82 @@ object Relational {
     * actual side (one scan evaluating all predicates) is the audit's
     * honest price, paid only when auditing.
     */
+  /** B-bucket equi-depth histogram of `rel`'s single column `v`: bucket
+    * = row-mass rank of the distinct value (the A46 ANALYZE cost shape —
+    * a distinct-value-grain window, per snapshot not per query). */
+  private[graft] def equiDepthBuckets(rel: DataFrame, nBuckets: Int,
+                                      tag: String): DataFrame = {
+    val vals = graft.sources.Sources.spillScratch(
+      rel.groupBy(col("v")).agg(count(lit(1)).as("cnt")), s"selhist_$tag")
+    vals
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy()))
+      .withColumn("cum", sum(col("cnt")).over(Window.orderBy(col("v"))))
+      .withColumn("bucket",
+        idiv((col("cum") - col("cnt")) * lit(nBuckets.toLong), col("n")))
+      .groupBy(col("bucket"))
+      .agg(min(col("v")).as("b_lo"), max(col("v")).as("b_hi"),
+        sum(col("cnt")).as("b_cnt"))
+  }
+
+  /** The 100 TB route for `equiDepthBuckets` (the q197 knob discipline —
+    * a documented mitigation must be CODE): bucket boundaries from ONE
+    * `approx_percentile` pass (mergeable sketch, no global window), then
+    * one map-side-combined groupBy for each bucket's [min, max, count].
+    * Bucket populations are approximately equi-depth (the sketch's
+    * accuracy), but the zone stats the ESTIMATOR consumes — each
+    * bucket's true min/max/count — stay EXACT, so estimates degrade only
+    * through boundary placement, never through wrong counts. */
+  private[graft] def equiDepthBucketsApprox(rel: DataFrame,
+                                            nBuckets: Int): DataFrame = {
+    val ps = (1 until nBuckets).map(_.toDouble / nBuckets)
+    val row = rel.agg(expr(
+      s"approx_percentile(v, array(${ps.mkString(",")}), 10000)")).head()
+    val cuts = row.getSeq[Long](0)
+    val bucketExpr = cuts.foldLeft(lit(0L)) { (acc, c) =>
+      acc + when(col("v") > c, 1L).otherwise(0L)
+    }
+    rel.groupBy(bucketExpr.as("bucket"))
+      .agg(min(col("v")).as("b_lo"), max(col("v")).as("b_hi"),
+        count(lit(1)).as("b_cnt"))
+  }
+
+  /** Uniform-within-bucket range estimate of each predicate in `preds`
+    * (pred_id, p_lo, p_hi) against a histogram, in millionths of a row —
+    * div-first fixed point, every intermediate under 2^63 at any SF.
+    * Predicates overlapping NO bucket estimate 0 (the stale-stats blind
+    * spot q212 measures). */
+  private[graft] def estimateRanges(preds: DataFrame,
+                                    buckets: DataFrame,
+                                    estCol: String): DataFrame =
+    preds.join(buckets,
+        col("b_hi") >= col("p_lo") && col("b_lo") <= col("p_hi"), "left")
+      .select(col("pred_id"), col("p_lo"), col("p_hi"),
+        when(col("b_cnt").isNotNull,
+          col("b_cnt") * idiv(
+            (least(col("p_hi"), col("b_hi"))
+              - greatest(col("p_lo"), col("b_lo")) + 1L) * lit(1000000L),
+            col("b_hi") - col("b_lo") + 1L)).otherwise(lit(0L))
+          .as("part_e6"))
+      .groupBy(col("pred_id"), col("p_lo"), col("p_hi"))
+      .agg(sum(col("part_e6")).as(estCol))
+
+  /** err_ppm of a millionths-scaled estimate against exact rows. */
+  private def errPpm(est: Column, actual: Column): Column =
+    when(actual > 0L, idiv(abs(est - actual * lit(1000000L)), actual))
+      .otherwise(est)
+
   def selectivityEstimationAudit(spark: SparkSession, dir: String,
-                                 nBuckets: Int = 16,
-                                 nPreds: Int = 6): DataFrame = {
+                                 nBuckets: Int = 16, nPreds: Int = 6,
+                                 exactHistogram: Boolean = true): DataFrame = {
     val li = Tables.lineitem(spark, dir)
     val specs: Seq[(String, Column)] = Seq(
       ("l_quantity", col("l_quantity").cast("long")),
       ("l_partkey", col("l_partkey").cast("long")))
     specs.map { case (name, expr0) =>
-      val vals = graft.sources.Sources.spillScratch(
-        li.select(expr0.as("v")).groupBy(col("v"))
-          .agg(count(lit(1)).as("cnt")),
-        s"selhist_$name")
-      val cum = vals
-        .withColumn("n", sum(col("cnt")).over(Window.partitionBy()))
-        .withColumn("cum", sum(col("cnt")).over(Window.orderBy(col("v"))))
-      val buckets = cum
-        .withColumn("bucket",
-          idiv((col("cum") - col("cnt")) * lit(nBuckets.toLong), col("n")))
-        .groupBy(col("bucket"))
-        .agg(min(col("v")).as("b_lo"), max(col("v")).as("b_hi"),
-          sum(col("cnt")).as("b_cnt"))
+      val buckets =
+        if (exactHistogram)
+          equiDepthBuckets(li.select(expr0.as("v")), nBuckets, name)
+        else equiDepthBucketsApprox(li.select(expr0.as("v")), nBuckets)
       val bounds = li.agg(min(expr0), max(expr0)).head()
       val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
       val d = hi - lo + 1L
@@ -1195,15 +1250,7 @@ object Relational {
         (lit(lo) + idiv(col("id") * lit(d), lit(8L))).as("p_lo"),
         (lit(lo) + idiv(col("id") * lit(d), lit(8L)) + idiv(lit(d), lit(4L)))
           .as("p_hi"))
-      val est = preds.join(buckets,
-          col("b_hi") >= col("p_lo") && col("b_lo") <= col("p_hi"))
-        .select(col("pred_id"), col("p_lo"), col("p_hi"),
-          (col("b_cnt") * idiv(
-            (least(col("p_hi"), col("b_hi"))
-              - greatest(col("p_lo"), col("b_lo")) + 1L) * lit(1000000L),
-            col("b_hi") - col("b_lo") + 1L)).as("part_e6"))
-        .groupBy(col("pred_id"), col("p_lo"), col("p_hi"))
-        .agg(sum(col("part_e6")).as("est_rows_e6"))
+      val est = estimateRanges(preds, buckets, "est_rows_e6")
       val actual = preds.join(
           li.select(expr0.as("v")),
           col("v").between(col("p_lo"), col("p_hi")), "left")
@@ -1212,12 +1259,62 @@ object Relational {
       est.join(actual, Seq("pred_id"))
         .select(lit(name).as("column_name"), col("pred_id"), col("p_lo"),
           col("p_hi"), col("actual_rows"), col("est_rows_e6"),
-          when(col("actual_rows") > 0L,
-            idiv(abs(col("est_rows_e6") - col("actual_rows") * lit(1000000L)),
-              col("actual_rows")))
-            .otherwise(col("est_rows_e6")).as("err_ppm"))
+          errPpm(col("est_rows_e6"), col("actual_rows")).as("err_ppm"))
     }.reduce(_.unionByName(_))
   }
+
+  /** A54 [EXT] — STALE-STATISTICS AUDIT (q212): the number that decides
+    * WHEN to re-ANALYZE — the D30 staleness discipline applied to A52's
+    * histograms. The realistic staleness is time-correlated: new orders
+    * take new keys, so appends land ABOVE the old histogram's range and
+    * a stale estimate for any predicate over the new range collapses
+    * toward 0 while in-range predicates stay accurate (nothing below the
+    * cutoff changed). Fixture: the stats snapshot saw only l_orderkey ≤
+    * omin + 4·D div 5 (the settled 80%); the live table is all of it.
+    * Per predicate of an 8-window sweep over the LIVE domain: exact
+    * rows, the stale and fresh estimates (same A52 machinery, in
+    * millionths), and both errors in ppm. Spec pins the shape: stale ≡
+    * fresh ≡ truth below the cutoff, stale near-0 with err ~10⁶ ppm on
+    * the tail windows fresh still tracks. Scale: both histograms are
+    * the A46 per-snapshot cost; the audit itself is
+    * |buckets|·|preds|-sized, and at 100 TB it is the cheap canary you
+    * run INSTEAD of re-ANALYZE until it fires.
+    */
+  def staleStatsAudit(spark: SparkSession, dir: String,
+                      nBuckets: Int = 16, nPreds: Int = 8,
+                      exactHistogram: Boolean = true): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").cast("long").as("v"))
+    val bounds = li.agg(min(col("v")), max(col("v"))).head()
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    val d = hi - lo + 1L
+    val cutoff = lo + idivL(4L * d, 5L)
+    def hist(rel: DataFrame, tag: String) =
+      if (exactHistogram) equiDepthBuckets(rel, nBuckets, tag)
+      else equiDepthBucketsApprox(rel, nBuckets)
+    val staleHist = hist(li.filter(col("v") <= cutoff), "stale")
+    val freshHist = hist(li, "fresh")
+    val preds = spark.range(nPreds).select(
+      col("id").as("pred_id"),
+      (lit(lo) + idiv(col("id") * lit(d), lit(8L))).as("p_lo"),
+      least(lit(hi),
+        lit(lo) + idiv(col("id") * lit(d), lit(8L)) + idiv(lit(d), lit(4L)))
+        .as("p_hi"))
+    val stale = estimateRanges(preds, staleHist, "est_stale_e6")
+    val fresh = estimateRanges(preds, freshHist, "est_fresh_e6")
+    val actual = preds.join(li, col("v").between(col("p_lo"), col("p_hi")),
+        "left")
+      .groupBy(col("pred_id")).agg(count(col("v")).as("actual_rows"))
+    stale.join(fresh, Seq("pred_id", "p_lo", "p_hi"))
+      .join(actual, Seq("pred_id"))
+      .select(col("pred_id"), col("p_lo"), col("p_hi"), col("actual_rows"),
+        col("est_stale_e6"), col("est_fresh_e6"),
+        errPpm(col("est_stale_e6"), col("actual_rows")).as("err_stale_ppm"),
+        errPpm(col("est_fresh_e6"), col("actual_rows")).as("err_fresh_ppm"))
+  }
+
+  /** Scala-side integer division mirror of `idiv` for literals. */
+  private def idivL(a: Long, b: Long): Long = a / b
 
   /** A53 [EXT] — JOIN-CARDINALITY ESTIMATION AUDIT (q208): the textbook
     * equi-join estimator |A ⋈ B| ≈ |A|·|B| / max(ndv_A, ndv_B) — the

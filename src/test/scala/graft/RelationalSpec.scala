@@ -467,4 +467,56 @@ class RelationalSpec extends AnyFunSuite {
     // and err_ppm is the recomputable definition
     assert(errS == math.abs(estS - actualS) * 1000000L / actualS)
   }
+
+  test("q212 stale stats: accurate below the cutoff, collapsed on the appended tail, fresh tracks everywhere") {
+    val rows = Relational.staleStatsAudit(spark, TestSpark.Sf0001)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)].collect()
+      .sortBy(_._1)
+    assert(rows.length == 8)
+    val li = spark.read.parquet(s"${TestSpark.Sf0001}/lineitem.parquet")
+    val b = li.agg(min(col("l_orderkey")), max(col("l_orderkey"))).head()
+    val cutoff = b.getLong(0) + 4L * (b.getLong(1) - b.getLong(0) + 1L) / 5L
+    rows.foreach { case (p, plo, phi, actual, estStale, estFresh, errS, errF) =>
+      assert(actual > 0, s"pred $p matched nothing")
+      // fresh stats track everywhere the in-range sweep goes
+      assert(errF <= 150000L, s"pred $p fresh err $errF ppm")
+      if (phi <= cutoff) {
+        // nothing below the cutoff changed: the stale histogram is as
+        // good as the fresh one there (boundaries differ — both small)
+        assert(errS <= 150000L,
+          s"pred $p fully-settled range must stay accurate: stale err $errS")
+      }
+      if (plo > cutoff) {
+        // fully in the appended range: the stale histogram never saw it
+        assert(estStale == 0L && errS == 1000000L,
+          s"pred $p beyond stale range: est=$estStale err=$errS")
+      }
+    }
+    // the sweep must actually exercise both regimes
+    assert(rows.exists(_._3 <= cutoff) && rows.exists(_._2 > cutoff),
+      s"sweep must cross the cutoff $cutoff: ${rows.map(r => (r._2, r._3)).toSeq}")
+  }
+
+  test("q207/q212 approx-histogram route: sketch boundaries keep the estimator within tolerance") {
+    // the 100 TB route (approx_percentile boundaries, no global window):
+    // bucket stats stay exact, so only boundary placement moves the
+    // estimate — pin the same error bounds the exact route clears
+    val sel = Relational
+      .selectivityEstimationAudit(spark, TestSpark.Sf0001, exactHistogram = false)
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+    assert(sel.length == 12)
+    sel.foreach { case (c, p, _, _, actual, _, errPpm) =>
+      assert(actual > 0 && errPpm <= 150000L, s"approx ($c,$p) err $errPpm ppm")
+    }
+    val stale = Relational
+      .staleStatsAudit(spark, TestSpark.Sf0001, exactHistogram = false)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(stale.length == 8)
+    stale.foreach { case (p, _, _, _, _, _, _, errF) =>
+      assert(errF <= 150000L, s"approx fresh pred $p err $errF ppm")
+    }
+    // the canary still fires on the appended tail through the sketch
+    assert(stale.exists(r => r._7 >= 500000L),
+      "stale error must still collapse beyond the cutoff on the approx route")
+  }
 }

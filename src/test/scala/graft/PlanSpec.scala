@@ -148,4 +148,31 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"),
       s"coarse-quantizer assignment must not shuffle:\n$plan")
   }
+
+  test("q205 z-order audit: the probe side broadcasts, zone maps come from ONE scan pass per layout") {
+    val plan = planOf(
+      graft.sources.Sources.zorderSkippingAudit(spark, TestSpark.Sf0001))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the |probes|-row side must broadcast, never shuffle the zones:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"probe matching is an equi-join on dim:\n$plan")
+    // two layouts -> two read-back aggregations of the written store, no more
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(scans <= 2, s"zone maps must come from one read-back per layout, got $scans scans:\n$plan")
+  }
+
+  test("q208 join-cardinality: key-grain aggregates with map-side partials, never a row-grain join") {
+    val plan = planOf(Relational.joinCardinalityAudit(spark, TestSpark.Sf0001))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"cardinality must come from key-grain equi-joins:\n$plan")
+    // per audited join: one Exchange per side's groupBy + one for the
+    // final scalar agg = 3; four joins = 12. More means a lost partial.
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    assert(exchanges <= 12, s"expected <=3 exchanges per audited join, got $exchanges:\n$plan")
+    // the exact side reduces BEFORE joining: the join inputs are
+    // aggregates (SMJ at scale; Spark may pick ShuffledHashJoin on the
+    // tiny fixture — either way it must be the FullOuter fuse)
+    assert(plan.contains("FullOuter"),
+      s"stats+truth must fuse into ONE full-outer key-grain join:\n$plan")
+  }
 }

@@ -497,6 +497,33 @@ class RelationalSpec extends AnyFunSuite {
       s"sweep must cross the cutoff $cutoff: ${rows.map(r => (r._2, r._3)).toSeq}")
   }
 
+  test("q207 equi-depth buckets: partition invariants and exact mass conservation") {
+    val li = Tables.lineitem(spark, TestSpark.Sf0001)
+      .select(col("l_partkey").cast("long").as("v"))
+    val n = li.count()
+    val buckets = Relational.equiDepthBuckets(li, 16, "props")
+      .orderBy(col("bucket"))
+      .as[(Long, Long, Long, Long)].collect()
+    // counts sum to n; ranges well-formed, ordered, non-overlapping
+    assert(buckets.map(_._4).sum == n)
+    buckets.foreach { case (b, lo, hi, cnt) =>
+      assert(lo <= hi && cnt > 0, s"bucket $b degenerate: [$lo,$hi] cnt=$cnt")
+    }
+    buckets.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a._3 < b._2, s"buckets overlap: ${a._1}..hi=${a._3} vs ${b._1}..lo=${b._2}")
+      case _ =>
+    }
+    // the estimator is EXACTLY mass-conserving on a full-domain predicate:
+    // every bucket's overlap equals its span, so part_e6 = cnt * 1e6
+    val domain = spark.range(1).select(lit(0L).as("pred_id"),
+      lit(buckets.map(_._2).min).as("p_lo"), lit(buckets.map(_._3).max).as("p_hi"))
+    val est = Relational.estimateRanges(domain,
+        Relational.equiDepthBuckets(li, 16, "props2"), "est_e6")
+      .as[(Long, Long, Long, Long)].head()._4
+    assert(est == n * 1000000L, s"full-domain estimate $est != ${n * 1000000L}")
+  }
+
   test("q207/q212 approx-histogram route: sketch boundaries keep the estimator within tolerance") {
     // the 100 TB route (approx_percentile boundaries, no global window):
     // bucket stats stay exact, so only boundary placement moves the

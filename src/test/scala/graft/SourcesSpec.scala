@@ -277,6 +277,39 @@ class SourcesSpec extends AnyFunSuite {
     assert(z == 156L, s"morton(1010b, 0110b) = $z, want 156")
   }
 
+  test("q205 Morton code: exhaustive over all 4-bit pairs — matches the pure reference and is a bijection") {
+    def pure(bp: Long, bs: Long): Long =
+      (0 until 4).map(i =>
+        (((bp >> i) & 1L) << (2 * i + 1)) | (((bs >> i) & 1L) << (2 * i)))
+        .reduce(_ | _)
+    val got = spark.range(256)
+      .select((col("id") / 16).cast("long").as("bp"),
+        pmod(col("id"), lit(16L)).as("bs"))
+      .select(col("bp"), col("bs"),
+        Sources.mortonCode(col("bp"), col("bs"), 4).as("z"))
+      .as[(Long, Long, Long)].collect()
+    got.foreach { case (bp, bs, z) =>
+      assert(z == pure(bp, bs), s"morton($bp,$bs)=$z, pure=${pure(bp, bs)}")
+    }
+    assert(got.map(_._3).toSet == (0L until 256L).toSet,
+      "4-bit Morton interleave must be a bijection onto [0,256)")
+  }
+
+  test("q206 bloom positions: engine expression equals pure integer math, in range, for 1000 keys") {
+    val m = 65536
+    val as = Seq(2654435761L, 2246822519L, 3266489917L)
+    val got = spark.range(1000)
+      .select((col("id") * 7919L + 13L).as("k"))
+      .select(col("k"),
+        array(Sources.bloomPositions(col("k"), m, 3): _*).as("pos"))
+      .as[(Long, Seq[Long])].collect()
+    got.foreach { case (k, pos) =>
+      val want = as.map(a => ((k * a) & 0x7FFFFFFFL) & (m - 1L))
+      assert(pos == want, s"key $k: $pos != $want")
+      assert(pos.forall(p => p >= 0 && p < m), s"position out of range for $k")
+    }
+  }
+
   test("q205 zone-map skipping: zorder prunes BOTH dims, linear only its sort key") {
     val rows = Sources.zorderSkippingAudit(spark, TestSpark.Sf0001)
       .as[(String, String, Long, Long, Long, Long, Long)].collect()

@@ -566,6 +566,22 @@ class SourcesSpec extends AnyFunSuite {
     val naive = li.filter(col("ok").between(lo, hi))
       .agg(count(lit(1)), sum(col("pk"))).as[(Long, Long)].head()
     assert(viaCompact == naive, s"compacted probe $viaCompact != naive $naive")
+    // crash window: compaction died after the data rewrite but before (or
+    // mid-) the stats fold — a redo must converge, not compound
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+    }
+    rm(new java.io.File(s"$root/stats_compact"))
+    new java.io.File(s"$root/data_compact/file_id=3") match {
+      case d if d.exists() => rm(d)  // and a torn data write for good measure
+      case _ =>
+    }
+    Sources.compactZonesAt(spark, root)
+    val redone = spark.read.parquet(s"$root/stats_compact")
+      .select(col("file_id").cast("long"), col("n_rows"), col("p_lo"),
+        col("p_hi"), col("o_lo"), col("o_hi"))
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    assert(redone == folded, "compaction redo did not converge after a torn run")
   }
 
   test("q209 streaming twin: MemoryStream commits reproduce the tick-loop store; replay is a no-op") {

@@ -761,7 +761,14 @@ object SparkEntry {
     // the settled 80% vs fresh stats vs truth, over a sweep that crosses
     // into the appended range — the D30 staleness discipline on A52
     "q212_stale_stats" -> ((s: SparkSession, d: String) =>
-      Relational.staleStatsAudit(s, d))
+      Relational.staleStatsAudit(s, d)),
+    // the Bloom index's lifecycle (the W16/W17 pair for W15): per-commit
+    // set-position appends, then a point lookup planned through the
+    // maintained store — answer exact whatever the index's FP rate
+    "q213_incremental_bloom" -> ((s: SparkSession, d: String) =>
+      graft.sources.Sources.incrementalBloomStats(s, d)),
+    "q214_bloom_pruned_lookup" -> ((s: SparkSession, d: String) =>
+      graft.sources.Sources.bloomPrunedLookup(s, d))
   )
 
   /** Shared CTE chain ending in `pairs` = the exact-Jaccard near-dup pairs
@@ -1826,6 +1833,73 @@ object SparkEntry {
         |    ELSE est_fresh_e6 END AS BIGINT) AS err_fresh_ppm
         |FROM est_stale JOIN est_fresh USING (pred_id, p_lo, p_hi)
         |  JOIN actual USING (pred_id)""".stripMargin,
+    // the maintained bloom store is deterministic hash math over a
+    // deterministic commit split — one hash-and-distinct re-derives it
+    "q213_incremental_bloom" ->
+      """WITH b AS (
+        |  SELECT CAST(min(l_orderkey) AS BIGINT) AS omin,
+        |         CAST(max(l_orderkey) AS BIGINT) AS omax
+        |  FROM lineitem)
+        |SELECT DISTINCT ingest_batch, file_id, pos FROM (
+        |  SELECT CAST(l_orderkey % 4 AS BIGINT) AS ingest_batch,
+        |         ((l_orderkey - omin) * 16) // (omax - omin + 1) AS file_id,
+        |         unnest([((l_partkey * 2654435761) & 2147483647) & 65535,
+        |                 ((l_partkey * 2246822519) & 2147483647) & 65535,
+        |                 ((l_partkey * 3266489917) & 2147483647) & 65535])
+        |           AS pos
+        |  FROM lineitem, b) t""".stripMargin,
+    // both the pruning decision (which cells open) and the answer are
+    // re-derived: cells from the q213 store math, truth from the table
+    "q214_bloom_pruned_lookup" ->
+      """WITH b AS (
+        |  SELECT CAST(min(l_orderkey) AS BIGINT) AS omin,
+        |         CAST(max(l_orderkey) AS BIGINT) AS omax,
+        |         CAST(min(l_partkey) AS BIGINT) AS pmin,
+        |         CAST(max(l_partkey) AS BIGINT) AS pmax
+        |  FROM lineitem),
+        |probes AS (
+        |  SELECT (SELECT CAST(max(l_partkey) AS BIGINT) FROM lineitem, b
+        |          WHERE l_partkey <= pmin + (pmax - pmin + 1) // 2)
+        |    AS probe_key, TRUE AS is_present
+        |  UNION ALL
+        |  SELECT pmax + 7, FALSE FROM b),
+        |cells AS (
+        |  SELECT DISTINCT ingest_batch, file_id, pos FROM (
+        |    SELECT CAST(l_orderkey % 4 AS BIGINT) AS ingest_batch,
+        |           ((l_orderkey - omin) * 16) // (omax - omin + 1) AS file_id,
+        |           unnest([((l_partkey * 2654435761) & 2147483647) & 65535,
+        |                   ((l_partkey * 2246822519) & 2147483647) & 65535,
+        |                   ((l_partkey * 3266489917) & 2147483647) & 65535])
+        |             AS pos
+        |    FROM lineitem, b) t),
+        |ppos AS (
+        |  SELECT DISTINCT probe_key, pos FROM (
+        |    SELECT probe_key,
+        |           unnest([((probe_key * 2654435761) & 2147483647) & 65535,
+        |                   ((probe_key * 2246822519) & 2147483647) & 65535,
+        |                   ((probe_key * 3266489917) & 2147483647) & 65535])
+        |             AS pos
+        |    FROM probes) t),
+        |npos AS (SELECT probe_key, count(*) AS n_pos FROM ppos GROUP BY 1),
+        |opened AS (
+        |  SELECT probe_key, CAST(count(*) AS BIGINT) AS n_opened FROM (
+        |    SELECT c.ingest_batch, c.file_id, p.probe_key,
+        |           count(DISTINCT c.pos) AS hit
+        |    FROM cells c JOIN ppos p USING (pos) GROUP BY 1, 2, 3) h
+        |  JOIN npos USING (probe_key) WHERE hit = n_pos GROUP BY 1),
+        |nz AS (SELECT CAST(count(*) AS BIGINT) AS n_zones_total FROM (
+        |  SELECT DISTINCT ingest_batch, file_id FROM cells) z),
+        |agg AS (
+        |  SELECT p.probe_key, CAST(count(l.l_partkey) AS BIGINT) AS n_rows,
+        |         CAST(coalesce(sum(l.l_orderkey), 0) AS BIGINT) AS sum_ok
+        |  FROM probes p LEFT JOIN lineitem l ON l.l_partkey = p.probe_key
+        |  GROUP BY 1)
+        |SELECT p.probe_key, p.is_present, nz.n_zones_total,
+        |  CAST(coalesce(o.n_opened, 0) AS BIGINT) AS n_zones_opened,
+        |  a.n_rows, a.sum_ok
+        |FROM probes p CROSS JOIN nz
+        |  LEFT JOIN opened o ON o.probe_key = p.probe_key
+        |  LEFT JOIN agg a ON a.probe_key = p.probe_key""".stripMargin,
     // identical by construction: per-partition reduction changes the plan,
     // not the result
     "q51_cosine_topk_partitioned" -> cosineTopKSql,

@@ -1138,6 +1138,134 @@ object Sources {
         zoneMapCommit(batch, batchId, root, omin, omax, nFiles)
     }
 
+  // --- Incremental Bloom maintenance + pruned point lookup ---------------
+  //
+  // W16/W17 gave the zone map its lifecycle and consumer; the Bloom index
+  // (W15) gets the same pair, because that is how the real feature ships
+  // (Delta bloom indexes are written per data file AT COMMIT TIME, never
+  // rebuilt): each commit lands its data files and appends exactly those
+  // files' set-position rows under its own partition — O(tick), the
+  // (file, pos) relation growing by the tick's distinct keys · k. A
+  // point lookup then opens only the (tick, file) partitions whose bloom
+  // has ALL k probe positions set; false positives cost a wasted file
+  // open and CANNOT corrupt the answer (the opened file's rows still
+  // pass the residual key predicate — the consumer's correctness is
+  // independent of the index's precision, spec-pinned by equality with
+  // the naive scan).
+
+  /** q213 — INCREMENTAL BLOOM MAINTENANCE: the W16 commit loop with the
+    * per-file Bloom rows riding each commit. Returns the bloom store
+    * read back — one row per (ingest_batch, file_id, pos) — which the
+    * oracle re-derives from the raw table in one hash-and-distinct
+    * (tick = ok % 4, file = the W14 bucket, positions = the W15 hash
+    * math). The XO story is zoneMapCommit's verbatim: deterministic
+    * content, per-tick dynamic overwrite. */
+  def incrementalBloomStats(spark: SparkSession, dir: String,
+                            nTicks: Int = 4, nFiles: Int = 16,
+                            mBits: Int = 65536, kHashes: Int = 3)
+      : DataFrame = {
+    val root = scratchDir(spark, "bloom_incr")
+    (0 until nTicks).foreach(t =>
+      bloomTickAt(spark, dir, root, t, nTicks, nFiles, mBits, kHashes))
+    spark.read.parquet(s"$root/bloom")
+      .select(col("ingest_batch").cast("long").as("ingest_batch"),
+        col("file_id").cast("long").as("file_id"), col("pos"))
+  }
+
+  private[graft] def bloomTickAt(spark: SparkSession, dir: String,
+                                 root: String, tick: Int, nTicks: Int,
+                                 nFiles: Int, mBits: Int,
+                                 kHashes: Int): Unit = {
+    val li = parquet(spark, s"$dir/lineitem.parquet")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val b = li.agg(min(col("ok")), max(col("ok"))).head()
+    val (omin, omax) = (b.getLong(0), b.getLong(1))
+    bloomCommit(li.filter(pmod(col("ok"), lit(nTicks.toLong)) === tick),
+      tick.toLong, root, omin, omax, nFiles, mBits, kHashes)
+  }
+
+  /** One commit: land the tick's data files AND exactly those files'
+    * bloom set-position rows under the tick's own partitions. */
+  private[graft] def bloomCommit(batchRows: DataFrame, batchId: Long,
+                                 root: String, omin: Long, omax: Long,
+                                 nFiles: Int, mBits: Int,
+                                 kHashes: Int): Unit = {
+    val spark = batchRows.sparkSession
+    val batch = batchRows
+      .withColumn("file_id",
+        call_function("div", (col("ok") - lit(omin)) * lit(nFiles.toLong),
+          lit(omax - omin + 1L)))
+      .withColumn("ingest_batch", lit(batchId))
+    batch.repartition(col("file_id"))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("ingest_batch", "file_id").parquet(s"$root/data")
+    spark.read.parquet(s"$root/data")
+      .filter(col("ingest_batch") === batchId)
+      .select(col("ingest_batch"), col("file_id"),
+        explode(array(bloomPositions(col("pk"), mBits, kHashes): _*))
+          .as("pos"))
+      .distinct()
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("ingest_batch").parquet(s"$root/bloom")
+  }
+
+  /** q214 — BLOOM-PRUNED POINT LOOKUP: the consumer. Two probe keys (one
+    * planted present, one past-domain absent) plan their reads through
+    * the maintained bloom store: a (tick, file) partition opens only if
+    * ALL k probe positions are set there (metadata-sized store join,
+    * the one declared driver collect), partition filters carry the
+    * surviving set, and the residual `pk = probe` finishes inside —
+    * so the answer is exact whatever the index's false-positive rate.
+    * Output per probe: files opened vs total (the pruning decision,
+    * oracle-re-derived from the same hash math) and the exact row
+    * count/sum the naive scan would give (the oracle's other half). */
+  def bloomPrunedLookup(spark: SparkSession, dir: String,
+                        nTicks: Int = 4, nFiles: Int = 16,
+                        mBits: Int = 65536, kHashes: Int = 3)
+      : DataFrame = {
+    val root = scratchDir(spark, "bloom_lookup")
+    (0 until nTicks).foreach(t =>
+      bloomTickAt(spark, dir, root, t, nTicks, nFiles, mBits, kHashes))
+    val li = parquet(spark, s"$dir/lineitem.parquet")
+    val b = li.agg(min(col("l_partkey")), max(col("l_partkey")),
+      min(col("l_orderkey")), max(col("l_orderkey"))).head()
+    val (pmin, pmax) = (b.getLong(0), b.getLong(1))
+    // present probe: the domain midpoint snapped DOWN to an existing key
+    // (ScaleUp's replica shift leaves value holes — rank-free but safe);
+    // absent probe: past the domain maximum
+    val mid = pmin + (pmax - pmin + 1L) / 2L
+    val presentKey = li.filter(col("l_partkey") <= mid)
+      .agg(max(col("l_partkey"))).head().getLong(0)
+    val probes = Seq(presentKey -> true, (pmax + 7L) -> false)
+    val bloom = spark.read.parquet(s"$root/bloom")
+    val nZones = bloom.select(col("ingest_batch"), col("file_id"))
+      .distinct().count()
+    probes.map { case (key, isPresent) =>
+      val want = BloomA.take(kHashes)
+        .map(a => ((key * a) & 0x7FFFFFFFL) & (mBits - 1L)).distinct
+      val opened = bloom.filter(col("pos").isin(want: _*))
+        .groupBy(col("ingest_batch"), col("file_id"))
+        .agg(countDistinct(col("pos")).as("hit"))
+        .filter(col("hit") === want.length)
+        .select(col("ingest_batch").cast("long"), col("file_id").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val agg =
+        if (opened.isEmpty)
+          spark.range(1).select(lit(0L).as("n_rows"), lit(0L).as("sum_ok"))
+        else spark.read.parquet(s"$root/data")
+          .filter(opened.map { case (t, f) =>
+            col("ingest_batch") === t && col("file_id") === f
+          }.reduce(_ || _))
+          .filter(col("pk") === key)
+          .agg(count(lit(1)).as("n_rows"),
+            coalesce(sum(col("ok")), lit(0L)).as("sum_ok"))
+      agg.select(lit(key).as("probe_key"), lit(isPresent).as("is_present"),
+        lit(nZones).as("n_zones_total"),
+        lit(opened.length.toLong).as("n_zones_opened"),
+        col("n_rows"), col("sum_ok"))
+    }.reduce(_.unionByName(_))
+  }
+
   /** q210 — ZONE-MAP-PRUNED SCAN: the CONSUMER of W16's store. A range
     * aggregate plans its read through the stats store instead of the
     * table: the zones overlapping the predicate are selected from the

@@ -620,6 +620,64 @@ class SourcesSpec extends AnyFunSuite {
     assert(store() == streamed, "replaying commit 1 changed the store")
   }
 
+  test("q213 incremental bloom store equals a full rebuild; commit replay is a no-op") {
+    val store = Sources.incrementalBloomStats(spark, TestSpark.Sf0001)
+      .as[(Long, Long, Long)].collect().toSet
+    val li = spark.read.parquet(s"${TestSpark.Sf0001}/lineitem.parquet")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val b = li.agg(min(col("ok")), max(col("ok"))).head()
+    val (omin, omax) = (b.getLong(0), b.getLong(1))
+    val rebuild = li
+      .select(pmod(col("ok"), lit(4L)).as("ingest_batch"),
+        call_function("div", (col("ok") - lit(omin)) * lit(16L),
+          lit(omax - omin + 1L)).as("file_id"),
+        explode(array(Sources.bloomPositions(col("pk"), 65536, 3): _*))
+          .as("pos"))
+      .distinct().as[(Long, Long, Long)].collect().toSet
+    assert(store == rebuild,
+      s"store != rebuild: ${(store -- rebuild).take(3)} / ${(rebuild -- store).take(3)}")
+    // replaying a commit out of band converges (deterministic content,
+    // per-tick dynamic overwrite — the zoneMapCommit XO story verbatim)
+    val root = Sources.scratchDir(spark, "bloom_xo")
+    (0 until 4).foreach(t =>
+      Sources.bloomTickAt(spark, TestSpark.Sf0001, root, t, 4, 16, 65536, 3))
+    def read() = spark.read.parquet(s"$root/bloom")
+      .select(col("ingest_batch").cast("long"), col("file_id").cast("long"),
+        col("pos")).as[(Long, Long, Long)].collect().toSet
+    val before = read()
+    Sources.bloomTickAt(spark, TestSpark.Sf0001, root, 1, 4, 16, 65536, 3)
+    assert(read() == before, "replaying commit 1 changed the bloom store")
+  }
+
+  test("q214 bloom-pruned lookup: exact answer regardless of FP, absent key opens (almost) nothing") {
+    val rows = Sources.bloomPrunedLookup(spark, TestSpark.Sf0001)
+      .as[(Long, Boolean, Long, Long, Long, Long)].collect()
+      .map(r => r._2 -> r).toMap
+    val (pk, _, zTotal, zOpened, nRows, sumOk) = rows(true)
+    // the answer equals the naive scan — FPs cannot corrupt it
+    val naive = spark.read.parquet(s"${TestSpark.Sf0001}/lineitem.parquet")
+      .filter(col("l_partkey") === pk)
+      .agg(count(lit(1)), coalesce(sum(col("l_orderkey")), lit(0L)))
+      .as[(Long, Long)].head()
+    assert((nRows, sumOk) == naive, s"lookup ($nRows,$sumOk) != naive $naive")
+    assert(nRows > 0, "present probe must hit rows")
+    // superset: every (tick, file) cell actually holding the key opened
+    val liAll = spark.read.parquet(s"${TestSpark.Sf0001}/lineitem.parquet")
+    val ob = liAll.agg(min(col("l_orderkey")), max(col("l_orderkey"))).head()
+    val holding = liAll.filter(col("l_partkey") === pk)
+      .select(pmod(col("l_orderkey"), lit(4L)),
+        call_function("div",
+          (col("l_orderkey") - lit(ob.getLong(0))) * lit(16L),
+          lit(ob.getLong(1) - ob.getLong(0) + 1L)))
+      .distinct().count()
+    assert(zOpened >= holding && zOpened < zTotal,
+      s"opened $zOpened of $zTotal (>=$holding cells hold the key)")
+    val (_, _, _, zOpenedAbs, nRowsAbs, sumAbs) = rows(false)
+    assert(nRowsAbs == 0L && sumAbs == 0L, "absent key must return nothing")
+    assert(zOpenedAbs <= zTotal / 4,
+      s"absent key opened $zOpenedAbs of $zTotal — the index is not pruning")
+  }
+
   private def walkFiles(d: java.io.File): Seq[java.io.File] =
     if (d.isFile) Seq(d)
     else Option(d.listFiles()).map(_.toSeq.flatMap(walkFiles)).getOrElse(Nil)

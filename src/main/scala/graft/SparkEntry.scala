@@ -1639,7 +1639,7 @@ object SparkEntry {
         |FROM zone_dims JOIN probes USING (dim)
         |GROUP BY 1, 2""".stripMargin,
     // the Bloom index is exact integer hash math (multiplicative
-    // constants, power-of-two masks), so the oracle re-derives the
+    // constants, high-bit shifts — Knuth's scheme), so the oracle re-derives the
     // per-file position sets, the probe decisions, and the
     // false-positive gap from the raw table (nFiles=64, mBits=65536,
     // kHashes=3, nProbes=8 — the engine defaults)
@@ -1656,9 +1656,9 @@ object SparkEntry {
         |idx AS (
         |  SELECT DISTINCT file_id, pos FROM (
         |    SELECT file_id,
-        |           unnest([((pk * 2654435761) & 2147483647) & 65535,
-        |                   ((pk * 2246822519) & 2147483647) & 65535,
-        |                   ((pk * 3266489917) & 2147483647) & 65535]) AS pos
+        |           unnest([((pk * 2654435761) & 2147483647) >> 15,
+        |                   ((pk * 2246822519) & 2147483647) >> 15,
+        |                   ((pk * 3266489917) & 2147483647) >> 15]) AS pos
         |    FROM rows_f) t),
         |dk AS (SELECT DISTINCT pk FROM rows_f),
         |nk AS (SELECT CAST(count(*) AS BIGINT) AS n FROM dk),
@@ -1674,9 +1674,9 @@ object SparkEntry {
         |ppos AS (
         |  SELECT DISTINCT probe_key, pos FROM (
         |    SELECT probe_key,
-        |           unnest([((probe_key * 2654435761) & 2147483647) & 65535,
-        |                   ((probe_key * 2246822519) & 2147483647) & 65535,
-        |                   ((probe_key * 3266489917) & 2147483647) & 65535]) AS pos
+        |           unnest([((probe_key * 2654435761) & 2147483647) >> 15,
+        |                   ((probe_key * 2246822519) & 2147483647) >> 15,
+        |                   ((probe_key * 3266489917) & 2147483647) >> 15]) AS pos
         |    FROM probes) t),
         |npos AS (SELECT probe_key, count(*) AS n_pos FROM ppos GROUP BY 1),
         |bh AS (
@@ -1843,9 +1843,9 @@ object SparkEntry {
         |SELECT DISTINCT ingest_batch, file_id, pos FROM (
         |  SELECT CAST(l_orderkey % 4 AS BIGINT) AS ingest_batch,
         |         ((l_orderkey - omin) * 16) // (omax - omin + 1) AS file_id,
-        |         unnest([((l_partkey * 2654435761) & 2147483647) & 65535,
-        |                 ((l_partkey * 2246822519) & 2147483647) & 65535,
-        |                 ((l_partkey * 3266489917) & 2147483647) & 65535])
+        |         unnest([((l_partkey * 2654435761) & 2147483647) >> 15,
+        |                 ((l_partkey * 2246822519) & 2147483647) >> 15,
+        |                 ((l_partkey * 3266489917) & 2147483647) >> 15])
         |           AS pos
         |  FROM lineitem, b) t""".stripMargin,
     // both the pruning decision (which cells open) and the answer are
@@ -1867,17 +1867,17 @@ object SparkEntry {
         |  SELECT DISTINCT ingest_batch, file_id, pos FROM (
         |    SELECT CAST(l_orderkey % 4 AS BIGINT) AS ingest_batch,
         |           ((l_orderkey - omin) * 16) // (omax - omin + 1) AS file_id,
-        |           unnest([((l_partkey * 2654435761) & 2147483647) & 65535,
-        |                   ((l_partkey * 2246822519) & 2147483647) & 65535,
-        |                   ((l_partkey * 3266489917) & 2147483647) & 65535])
+        |           unnest([((l_partkey * 2654435761) & 2147483647) >> 15,
+        |                   ((l_partkey * 2246822519) & 2147483647) >> 15,
+        |                   ((l_partkey * 3266489917) & 2147483647) >> 15])
         |             AS pos
         |    FROM lineitem, b) t),
         |ppos AS (
         |  SELECT DISTINCT probe_key, pos FROM (
         |    SELECT probe_key,
-        |           unnest([((probe_key * 2654435761) & 2147483647) & 65535,
-        |                   ((probe_key * 2246822519) & 2147483647) & 65535,
-        |                   ((probe_key * 3266489917) & 2147483647) & 65535])
+        |           unnest([((probe_key * 2654435761) & 2147483647) >> 15,
+        |                   ((probe_key * 2246822519) & 2147483647) >> 15,
+        |                   ((probe_key * 3266489917) & 2147483647) >> 15])
         |             AS pos
         |    FROM probes) t),
         |npos AS (SELECT probe_key, count(*) AS n_pos FROM ppos GROUP BY 1),

@@ -970,13 +970,22 @@ object Sources {
   // 100 TB.
 
   /** The k multiplicative hash positions of `key` in an `mBits`-slot
-    * table (mBits must be a power of two): (key · A_i) & 0x7FFFFFFF &
-    * (mBits − 1), A_i the public Knuth/xxhash odd constants. */
+    * table (mBits must be a power of two): the HIGH log2(mBits) bits of
+    * the 31-bit product — ((key · A_i) & 0x7FFFFFFF) >> (31 − log2 mBits),
+    * A_i the public Knuth/xxhash odd constants. High bits, not low:
+    * Knuth's multiplicative scheme mixes a key's entropy UPWARD, so the
+    * low bits of key·A depend only on key mod 2^b — masking them (the
+    * pre-r15 bug) made any two keys congruent mod mBits collide in ALL
+    * k hashes, a structural FP floor once the key domain exceeds mBits
+    * (exactly the sf1+ scale the index argues for). */
   private val BloomA = Seq(2654435761L, 2246822519L, 3266489917L)
+  private[graft] def bloomShift(mBits: Int): Int =
+    31 - java.lang.Integer.numberOfTrailingZeros(mBits)
   private[graft] def bloomPositions(key: Column, mBits: Int,
                                     kHashes: Int): Seq[Column] =
     BloomA.take(kHashes).map(a =>
-      (key * lit(a)).bitwiseAND(lit(0x7FFFFFFFL)).bitwiseAND(lit(mBits - 1L)))
+      shiftright((key * lit(a)).bitwiseAND(lit(0x7FFFFFFFL)),
+        bloomShift(mBits)))
 
   /** q206 — FILE-LEVEL BLOOM SKIPPING AUDIT (see the block comment
     * above): one row per probe key — the exact number of files holding
@@ -1242,7 +1251,7 @@ object Sources {
       .distinct().count()
     probes.map { case (key, isPresent) =>
       val want = BloomA.take(kHashes)
-        .map(a => ((key * a) & 0x7FFFFFFFL) & (mBits - 1L)).distinct
+        .map(a => ((key * a) & 0x7FFFFFFFL) >> bloomShift(mBits)).distinct
       val opened = bloom.filter(col("pos").isin(want: _*))
         .groupBy(col("ingest_batch"), col("file_id"))
         .agg(countDistinct(col("pos")).as("hit"))

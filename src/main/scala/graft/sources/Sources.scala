@@ -1261,6 +1261,21 @@ object Sources {
       .partitionBy("ingest_batch").parquet(s"$root/bloom")
   }
 
+  /** W19 kept live — the zoneMapCommit XO story verbatim for the Bloom
+    * index: each micro-batch is one commit (data files + exactly those
+    * files' bloom set-position rows, both per-tick dynamic overwrites
+    * keyed by Spark's own batchId), so checkpoint recovery replays any
+    * crashed tick to identical state. The stream carries (ok, pk) rows. */
+  def streamingBloomMaintenance(rows: DataFrame, root: String,
+                                omin: Long, omax: Long, nFiles: Int = 16,
+                                mBits: Int = 65536, kHashes: Int = 3)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+          org.apache.spark.sql.Row] =
+    rows.writeStream.foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        bloomCommit(batch, batchId, root, omin, omax, nFiles, mBits, kHashes)
+    }
+
   /** q214 — BLOOM-PRUNED POINT LOOKUP: the consumer. Two probe keys (one
     * planted present, one past-domain absent) plan their reads through
     * the maintained bloom store: a (tick, file) partition opens only if

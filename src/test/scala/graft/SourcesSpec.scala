@@ -629,6 +629,46 @@ class SourcesSpec extends AnyFunSuite {
     assert(store() == streamed, "replaying commit 1 changed the store")
   }
 
+  test("q213 streaming twin: MemoryStream commits reproduce the tick-loop bloom store; replay is a no-op") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_bloom_stream").toString
+    val li = spark.read.parquet(s"${TestSpark.Sf0001}/lineitem.parquet")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val b = li.agg(min(col("ok")), max(col("ok"))).head()
+    val (omin, omax) = (b.getLong(0), b.getLong(1))
+    val rows = li.as[(Long, Long)].collect()
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, Long)]
+    val q = Sources.streamingBloomMaintenance(
+      input.toDF().toDF("ok", "pk"), root, omin, omax).start()
+    try {
+      // the same 4 commits the q213 tick loop makes, arriving as a stream
+      (0 until 4).foreach { t =>
+        input.addData(rows.filter(_._1 % 4 == t).toIndexedSeq)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    def store() = spark.read.parquet(s"$root/bloom")
+      .select(col("ingest_batch").cast("long"), col("file_id").cast("long"),
+        col("pos")).as[(Long, Long, Long)].collect().toSet
+    val streamed = store()
+    val batchTwin = Sources.incrementalBloomStats(spark, TestSpark.Sf0001)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(streamed == batchTwin,
+      s"stream != batch: ${(streamed -- batchTwin).take(3)} / ${(batchTwin -- streamed).take(3)}")
+    // out-of-band replay of the MIDDLE commit (same batchId): converges
+    Sources.bloomCommit(
+      spark.createDataset(rows.filter(_._1 % 4 == 1).toIndexedSeq)
+        .toDF("ok", "pk"), 1L, root, omin, omax, 16, 65536, 3)
+    assert(store() == streamed, "replaying commit 1 changed the bloom store")
+    // and the data side converged too (both sinks are per-tick overwrites;
+    // row COUNT, not set — (ok, pk) pairs legitimately repeat in lineitem)
+    val dataRows = spark.read.parquet(s"$root/data").count()
+    assert(dataRows == rows.length,
+      s"streamed data sink holds $dataRows of ${rows.length} rows")
+  }
+
   test("q213 incremental bloom store equals a full rebuild; commit replay is a no-op") {
     val store = Sources.incrementalBloomStats(spark, TestSpark.Sf0001)
       .as[(Long, Long, Long)].collect().toSet

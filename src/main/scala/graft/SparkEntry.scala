@@ -768,7 +768,12 @@ object SparkEntry {
     "q213_incremental_bloom" -> ((s: SparkSession, d: String) =>
       graft.sources.Sources.incrementalBloomStats(s, d)),
     "q214_bloom_pruned_lookup" -> ((s: SparkSession, d: String) =>
-      graft.sources.Sources.bloomPrunedLookup(s, d))
+      graft.sources.Sources.bloomPrunedLookup(s, d)),
+    // A52's honest negative, measured: equi-depth alone vs the
+    // heavy-hitter hybrid on a planted 90%-hot column — the spec pins
+    // plain's worst error >= 10x hybrid's worst
+    "q215_selectivity_skew" -> ((s: SparkSession, d: String) =>
+      Relational.selectivitySkewAudit(s, d))
   )
 
   /** Shared CTE chain ending in `pairs` = the exact-Jaccard near-dup pairs
@@ -1421,7 +1426,7 @@ object SparkEntry {
   private def selEstSqlFor(c: String): String =
     s"""SELECT * FROM (
       |WITH vals AS (
-      |  SELECT CAST($c AS BIGINT) AS v, count(*) AS cnt
+      |  SELECT CAST(floor($c) AS BIGINT) AS v, count(*) AS cnt
       |  FROM lineitem GROUP BY 1),
       |cum AS (
       |  SELECT v, cnt, sum(cnt) OVER () AS n,
@@ -1432,7 +1437,8 @@ object SparkEntry {
       |         min(v) AS b_lo, max(v) AS b_hi, sum(cnt) AS b_cnt
       |  FROM cum GROUP BY 1),
       |bounds AS (
-      |  SELECT CAST(min($c) AS BIGINT) AS lo, CAST(max($c) AS BIGINT) AS hi
+      |  SELECT CAST(min(floor($c)) AS BIGINT) AS lo,
+      |         CAST(max(floor($c)) AS BIGINT) AS hi
       |  FROM lineitem),
       |preds AS (
       |  SELECT j AS pred_id,
@@ -1447,7 +1453,7 @@ object SparkEntry {
       |  GROUP BY 1, 2, 3),
       |actual AS (
       |  SELECT p.pred_id, count(l.v) AS actual_rows
-      |  FROM preds p LEFT JOIN (SELECT CAST($c AS BIGINT) AS v FROM lineitem) l
+      |  FROM preds p LEFT JOIN (SELECT CAST(floor($c) AS BIGINT) AS v FROM lineitem) l
       |    ON l.v BETWEEN p.p_lo AND p.p_hi
       |  GROUP BY 1)
       |SELECT '$c' AS column_name, e.pred_id, e.p_lo, e.p_hi,
@@ -1705,6 +1711,82 @@ object SparkEntry {
     "q207_selectivity_estimation" ->
       Seq("l_quantity", "l_partkey").map(selEstSqlFor).mkString(
         "", "\nUNION ALL\n", ""),
+    // A52's honest negative: same exact integer machinery over the
+    // planted 90%-hot column, plain equi-depth vs the heavy-hitter
+    // hybrid (singletons where cnt*16 >= n, equi-depth over the tail)
+    "q215_selectivity_skew" ->
+      """WITH b AS (
+        |  SELECT CAST(min(l_partkey) AS BIGINT) AS lo,
+        |         CAST(max(l_partkey) AS BIGINT) AS hi
+        |  FROM lineitem),
+        |rel AS (
+        |  SELECT CASE WHEN l_orderkey % 10 <> 0
+        |    THEN lo + (hi - lo + 1) // 2
+        |    ELSE CAST(l_partkey AS BIGINT) END AS v
+        |  FROM lineitem, b),
+        |cnts AS (SELECT v, CAST(count(*) AS BIGINT) AS cnt
+        |         FROM rel GROUP BY 1),
+        |nn AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM cnts),
+        |plainb AS (
+        |  SELECT bucket, min(v) AS b_lo, max(v) AS b_hi,
+        |         sum(cnt) AS b_cnt FROM (
+        |    SELECT v, cnt,
+        |           ((sum(cnt) OVER (ORDER BY v) - cnt) * 16) // n AS bucket
+        |    FROM cnts, nn) t GROUP BY 1),
+        |heavy AS (SELECT v, cnt FROM cnts, nn WHERE cnt * 16 >= n),
+        |rest AS (SELECT v, cnt FROM cnts
+        |         WHERE v NOT IN (SELECT v FROM heavy)),
+        |nrest AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM rest),
+        |restb AS (
+        |  SELECT bucket, min(v) AS b_lo, max(v) AS b_hi,
+        |         sum(cnt) AS b_cnt FROM (
+        |    SELECT v, cnt,
+        |           ((sum(cnt) OVER (ORDER BY v) - cnt) * 16) // n AS bucket
+        |    FROM rest, nrest) t GROUP BY 1),
+        |preds AS (
+        |  SELECT j AS pred_id,
+        |         lo + (j * (hi - lo + 1)) // 8 AS p_lo,
+        |         lo + (j * (hi - lo + 1)) // 8 + (hi - lo + 1) // 4 AS p_hi
+        |  FROM range(6) t(j), b),
+        |est_plain AS (
+        |  SELECT pred_id, p_lo, p_hi,
+        |    CAST(coalesce(sum(b_cnt *
+        |      (((least(p_hi, b_hi) - greatest(p_lo, b_lo) + 1) * 1000000)
+        |        // (b_hi - b_lo + 1))), 0) AS BIGINT) AS est_plain_e6
+        |  FROM preds LEFT JOIN plainb ON b_hi >= p_lo AND b_lo <= p_hi
+        |  GROUP BY 1, 2, 3),
+        |est_rest AS (
+        |  SELECT pred_id, p_lo, p_hi,
+        |    CAST(coalesce(sum(b_cnt *
+        |      (((least(p_hi, b_hi) - greatest(p_lo, b_lo) + 1) * 1000000)
+        |        // (b_hi - b_lo + 1))), 0) AS BIGINT) AS est_rest_e6
+        |  FROM preds LEFT JOIN restb ON b_hi >= p_lo AND b_lo <= p_hi
+        |  GROUP BY 1, 2, 3),
+        |est_hh AS (
+        |  SELECT pred_id, p_lo, p_hi,
+        |    CAST(coalesce(sum(cnt * 1000000), 0) AS BIGINT) AS est_hh_e6
+        |  FROM preds LEFT JOIN heavy ON v BETWEEN p_lo AND p_hi
+        |  GROUP BY 1, 2, 3),
+        |actual AS (
+        |  SELECT pred_id, CAST(count(v) AS BIGINT) AS actual_rows
+        |  FROM preds LEFT JOIN rel ON v BETWEEN p_lo AND p_hi
+        |  GROUP BY 1),
+        |nh AS (SELECT CAST(count(*) AS BIGINT) AS n_heavy FROM heavy)
+        |SELECT 'planted_hot' AS column_name, pred_id, p_lo, p_hi,
+        |  actual_rows, est_plain_e6,
+        |  est_rest_e6 + est_hh_e6 AS est_hybrid_e6,
+        |  CAST(CASE WHEN actual_rows > 0 THEN
+        |    abs(est_plain_e6 - actual_rows * 1000000) // actual_rows
+        |    ELSE est_plain_e6 END AS BIGINT) AS err_plain_ppm,
+        |  CAST(CASE WHEN actual_rows > 0 THEN
+        |    abs(est_rest_e6 + est_hh_e6 - actual_rows * 1000000)
+        |      // actual_rows
+        |    ELSE est_rest_e6 + est_hh_e6 END AS BIGINT) AS err_hybrid_ppm,
+        |  n_heavy
+        |FROM preds JOIN est_plain USING (pred_id, p_lo, p_hi)
+        |  JOIN est_rest USING (pred_id, p_lo, p_hi)
+        |  JOIN est_hh USING (pred_id, p_lo, p_hi)
+        |  JOIN actual USING (pred_id) CROSS JOIN nh""".stripMargin,
     "q208_join_cardinality" ->
       Seq(("lineitem*orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
           ("orders*customer", "orders", "o_custkey", "customer", "c_custkey"),

@@ -1169,9 +1169,15 @@ object Relational {
     * = row-mass rank of the distinct value (the A46 ANALYZE cost shape —
     * a distinct-value-grain window, per snapshot not per query). */
   private[graft] def equiDepthBuckets(rel: DataFrame, nBuckets: Int,
-                                      tag: String): DataFrame = {
-    val vals = graft.sources.Sources.spillScratch(
-      rel.groupBy(col("v")).agg(count(lit(1)).as("cnt")), s"selhist_$tag")
+                                      tag: String): DataFrame =
+    bucketsFromCounts(graft.sources.Sources.spillScratch(
+      rel.groupBy(col("v")).agg(count(lit(1)).as("cnt")), s"selhist_$tag"),
+      nBuckets)
+
+  /** The equi-depth fold over an already-counted (v, cnt) relation —
+    * shared by the plain histogram and q215's rest-of-tail histogram. */
+  private[graft] def bucketsFromCounts(vals: DataFrame,
+                                       nBuckets: Int): DataFrame =
     vals
       .withColumn("n", sum(col("cnt")).over(Window.partitionBy()))
       .withColumn("cum", sum(col("cnt")).over(Window.orderBy(col("v"))))
@@ -1180,7 +1186,6 @@ object Relational {
       .groupBy(col("bucket"))
       .agg(min(col("v")).as("b_lo"), max(col("v")).as("b_hi"),
         sum(col("cnt")).as("b_cnt"))
-  }
 
   /** The 100 TB route for `equiDepthBuckets` (the q197 knob discipline —
     * a documented mitigation must be CODE): bucket boundaries from ONE
@@ -1192,10 +1197,15 @@ object Relational {
     * through boundary placement, never through wrong counts. */
   private[graft] def equiDepthBucketsApprox(rel: DataFrame,
                                             nBuckets: Int): DataFrame = {
+    require(nBuckets >= 2,
+      s"equi-depth needs >= 2 buckets (1 would build an empty percentile " +
+        s"array); got $nBuckets")
     val ps = (1 until nBuckets).map(_.toDouble / nBuckets)
     val row = rel.agg(expr(
       s"approx_percentile(v, array(${ps.mkString(",")}), 10000)")).head()
-    val cuts = row.getSeq[Long](0)
+    // empty input: approx_percentile returns NULL — degrade to a single
+    // full-domain bucket (which over an empty relation is no buckets)
+    val cuts = if (row.isNullAt(0)) Seq.empty[Long] else row.getSeq[Long](0)
     val bucketExpr = cuts.foldLeft(lit(0L)) { (acc, c) =>
       acc + when(col("v") > c, 1L).otherwise(0L)
     }
@@ -1233,9 +1243,13 @@ object Relational {
                                  nBuckets: Int = 16, nPreds: Int = 6,
                                  exactHistogram: Boolean = true): DataFrame = {
     val li = Tables.lineitem(spark, dir)
+    // floor() made explicit on BOTH engine and oracle sides: Spark's
+    // cast('long') truncates toward zero while DuckDB's CAST rounds
+    // half-to-even — identical on the integral fixture, divergent the
+    // day a fixture carries fractional quantities
     val specs: Seq[(String, Column)] = Seq(
-      ("l_quantity", col("l_quantity").cast("long")),
-      ("l_partkey", col("l_partkey").cast("long")))
+      ("l_quantity", floor(col("l_quantity")).cast("long")),
+      ("l_partkey", floor(col("l_partkey")).cast("long")))
     specs.map { case (name, expr0) =>
       val buckets =
         if (exactHistogram)
@@ -1261,6 +1275,75 @@ object Relational {
           col("p_hi"), col("actual_rows"), col("est_rows_e6"),
           errPpm(col("est_rows_e6"), col("actual_rows")).as("err_ppm"))
     }.reduce(_.unionByName(_))
+  }
+
+  /** A52b [EXT] — SKEWED-COLUMN SELECTIVITY AUDIT (q215): A52's honest
+    * negative, measured. The equi-depth histogram's uniform-within-bucket
+    * assumption fails on a hot key: the value-grain bucket assignment
+    * lands the WHOLE hot mass in one bucket whose span also covers rare
+    * neighbors, so interpolation smears ~90% of the table across half
+    * the domain — windows missing the hot key overestimate by the
+    * smeared share, narrow windows over it underestimate. Fixture: a
+    * planted 90%-hot column (9 of 10 lineitem rows take the domain
+    * midpoint, the rest keep l_partkey — deterministic, so DuckDB
+    * replays it). Mitigation IS code (the q197 knob discipline): the
+    * standard heavy-hitter split — values with cnt·B ≥ n become EXACT
+    * singleton buckets (at most B of them by construction), the
+    * equi-depth histogram is built over the remaining tail, and an
+    * estimate is singleton-exact + tail-interpolated. Output per
+    * predicate: actual rows, both estimates (millionths), both errors
+    * (ppm) — the spec pins plain's worst error ≥ 10× hybrid's worst.
+    *
+    * Scale: the hot-key split adds ONE filter over the value-count
+    * relation A52 already builds (the q173 skew audit's aggregate); the
+    * singleton set is ≤ B rows, so the estimator side stays
+    * metadata-sized. This is exactly the hybrid histogram a 100 TB CBO
+    * ships — equi-depth alone misplans every query that touches a
+    * Zipfian key. */
+  def selectivitySkewAudit(spark: SparkSession, dir: String,
+                           nBuckets: Int = 16, nPreds: Int = 6): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val b = li.agg(min(col("l_partkey").cast("long")),
+      max(col("l_partkey").cast("long"))).head()
+    val (lo, hi) = (b.getLong(0), b.getLong(1))
+    val d = hi - lo + 1L
+    val vhot = lo + d / 2L
+    val rel = li.select(
+      when(pmod(col("l_orderkey"), lit(10L)) =!= 0L, lit(vhot))
+        .otherwise(col("l_partkey").cast("long")).as("v"))
+    val counts = graft.sources.Sources.spillScratch(
+      rel.groupBy(col("v")).agg(count(lit(1)).as("cnt")), "skewhist")
+    val n = counts.agg(sum(col("cnt"))).head().getLong(0)
+    // plain A52 histogram vs the heavy-hitter split
+    val plain = bucketsFromCounts(counts, nBuckets)
+    val heavy = counts.filter(col("cnt") * nBuckets >= n)
+    val rest = counts.join(heavy.select(col("v")), Seq("v"), "left_anti")
+    val restBuckets = bucketsFromCounts(rest, nBuckets)
+    val nHeavy = heavy.count()
+    val preds = spark.range(nPreds).select(
+      col("id").as("pred_id"),
+      (lit(lo) + idiv(col("id") * lit(d), lit(8L))).as("p_lo"),
+      (lit(lo) + idiv(col("id") * lit(d), lit(8L)) + idiv(lit(d), lit(4L)))
+        .as("p_hi"))
+    val estPlain = estimateRanges(preds, plain, "est_plain_e6")
+    val estRest = estimateRanges(preds, restBuckets, "est_rest_e6")
+    val estHeavy = preds
+      .join(heavy, col("v").between(col("p_lo"), col("p_hi")), "left")
+      .groupBy(col("pred_id"), col("p_lo"), col("p_hi"))
+      .agg(coalesce(sum(col("cnt") * lit(1000000L)), lit(0L)).as("est_hh_e6"))
+    val actual = preds
+      .join(rel, col("v").between(col("p_lo"), col("p_hi")), "left")
+      .groupBy(col("pred_id")).agg(count(col("v")).as("actual_rows"))
+    estPlain.join(estRest, Seq("pred_id", "p_lo", "p_hi"))
+      .join(estHeavy, Seq("pred_id", "p_lo", "p_hi"))
+      .join(actual, Seq("pred_id"))
+      .select(lit("planted_hot").as("column_name"), col("pred_id"),
+        col("p_lo"), col("p_hi"), col("actual_rows"), col("est_plain_e6"),
+        (col("est_rest_e6") + col("est_hh_e6")).as("est_hybrid_e6"),
+        errPpm(col("est_plain_e6"), col("actual_rows")).as("err_plain_ppm"),
+        errPpm(col("est_rest_e6") + col("est_hh_e6"), col("actual_rows"))
+          .as("err_hybrid_ppm"),
+        lit(nHeavy).as("n_heavy"))
   }
 
   /** A54 [EXT] — STALE-STATISTICS AUDIT (q212): the number that decides

@@ -524,6 +524,51 @@ class RelationalSpec extends AnyFunSuite {
     assert(est == n * 1000000L, s"full-domain estimate $est != ${n * 1000000L}")
   }
 
+  test("q215 skew audit: plain equi-depth fails on the hot key, the heavy-hitter hybrid holds") {
+    val rows = Relational.selectivitySkewAudit(spark, TestSpark.Sf0001)
+      .as[(String, Long, Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().sortBy(_._2)
+    assert(rows.length == 6, s"want 6 preds, got ${rows.length}")
+    // exactly one planted heavy hitter; errors recomputable from columns
+    rows.foreach { case (_, p, plo, phi, actual, plainE6, hybE6, errP, errH, nh) =>
+      assert(nh == 1L, s"pred $p: n_heavy $nh != 1")
+      assert(plo <= phi && actual > 0, s"pred $p degenerate")
+      assert(errP == math.abs(plainE6 - actual * 1000000L) / actual,
+        s"pred $p err_plain_ppm not recomputable")
+      assert(errH == math.abs(hybE6 - actual * 1000000L) / actual,
+        s"pred $p err_hybrid_ppm not recomputable")
+      // the mitigation holds everywhere: singleton-exact + tail
+      // interpolation stays within 5% on every window
+      assert(errH <= 50000L, s"pred $p hybrid err $errH ppm > 5%")
+    }
+    // the honest negative is real and the fix is an order of magnitude:
+    // uniform-within-bucket smears the hot mass across half the domain
+    val worstPlain = rows.map(_._8).max
+    val worstHybrid = rows.map(_._9).max
+    assert(worstPlain >= 500000L,
+      s"plain worst $worstPlain ppm — the skew failure did not materialize")
+    assert(worstPlain >= 10L * worstHybrid,
+      s"plain worst $worstPlain < 10x hybrid worst $worstHybrid")
+    // and the failure has the overestimate shape: some window MISSING
+    // the hot key (tiny actual) gets >= 5x its true mass from plain's
+    // smear of the hot bucket across its value span
+    val missHot = rows.filter(r => r._5 < 10000L)
+    assert(missHot.nonEmpty && missHot.exists(r => r._6 >= r._5 * 5000000L),
+      "no miss-hot window shows the smeared-mass overestimate")
+  }
+
+  test("equiDepthBucketsApprox guards: nBuckets=1 rejected, empty input yields no buckets") {
+    val e = intercept[IllegalArgumentException] {
+      Relational.equiDepthBucketsApprox(
+        spark.range(10).select(col("id").as("v")), 1)
+    }
+    assert(e.getMessage.contains("buckets"))
+    // empty relation: approx_percentile returns NULL — must not NPE
+    val empty = Relational.equiDepthBucketsApprox(
+      spark.range(10).filter(col("id") < 0L).select(col("id").as("v")), 4)
+    assert(empty.count() == 0L)
+  }
+
   test("q207/q212 approx-histogram route: sketch boundaries keep the estimator within tolerance") {
     // the 100 TB route (approx_percentile boundaries, no global window):
     // bucket stats stay exact, so only boundary placement moves the

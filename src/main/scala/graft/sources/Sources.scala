@@ -1318,9 +1318,14 @@ object Sources {
         if (opened.isEmpty)
           spark.range(1).select(lit(0L).as("n_rows"), lit(0L).as("sum_ok"))
         else spark.read.parquet(s"$root/data")
-          .filter(opened.map { case (t, f) =>
-            col("ingest_batch") === t && col("file_id") === f
-          }.reduce(_ || _))
+          // ONE isin over the combined (tick, file) key, not a
+          // |cells|-term Or-tree: still references only partition
+          // columns (lands in PartitionFilters, prunes at the file
+          // index) but costs the planner a set probe per partition
+          // instead of an Or-walk — the shape that survives thousands
+          // of surviving cells at 100 TB
+          .filter((col("ingest_batch") * lit(nFiles.toLong) + col("file_id"))
+            .isin(opened.map { case (t, f) => t * nFiles + f }: _*))
           .filter(col("pk") === key)
           .agg(count(lit(1)).as("n_rows"),
             coalesce(sum(col("ok")), lit(0L)).as("sum_ok"))
@@ -1360,9 +1365,13 @@ object Sources {
       .select(col("ingest_batch").cast("long"), col("file_id").cast("long"))
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     require(pruned.nonEmpty, "probe range misses every zone — fixture broke")
-    val partFilter = pruned.map { case (t, f) =>
-      col("ingest_batch") === t && col("file_id") === f
-    }.reduce(_ || _)
+    // ONE isin over the combined (tick, file) key, not a |zones|-term
+    // Or-tree: still partition-column-only (prunes at the file index,
+    // spec-pinned PartitionFilters + strictly fewer inputFiles), but a
+    // set probe per partition instead of an O(zones) Or-walk — the
+    // planner cost that matters when thousands of zones survive at 100 TB
+    val partFilter = (col("ingest_batch") * lit(nFiles.toLong) + col("file_id"))
+      .isin(pruned.map { case (t, f) => t * nFiles + f }: _*)
     spark.read.parquet(s"$root/data")
       .filter(partFilter)
       .filter(col("ok").between(probeLo, probeHi))

@@ -516,9 +516,12 @@ class SourcesSpec extends AnyFunSuite {
       .filter(col("o_hi") >= lo && col("o_lo") <= hi)
       .select(col("ingest_batch").cast("long"), col("file_id").cast("long"))
       .collect().map(r => (r.getLong(0), r.getLong(1)))
-    val prunedRead = all.filter(stats.map { case (t, f) =>
-      col("ingest_batch") === t && col("file_id") === f
-    }.reduce(_ || _))
+    // the operator's own plan shape: one isin over the combined
+    // (tick, file) key — partition-column-only, so it must STILL land
+    // in PartitionFilters (not a post-scan Filter)
+    val prunedRead = all.filter(
+      (col("ingest_batch") * lit(16L) + col("file_id"))
+        .isin(stats.map { case (t, f) => t * 16L + f }: _*))
     val plan = prunedRead.queryExecution.executedPlan.toString()
     assert("PartitionFilters: \\[[^\\]]*(ingest_batch|file_id)".r
       .findFirstIn(plan).isDefined,

@@ -442,6 +442,9 @@ object Similarity {
   def writeIvfIndex(e: DataFrame, codebookPath: String, indexPath: String,
                     nLists: Int = 16, trainIters: Int = 1): Unit = {
     val spark = e.sparkSession
+    // bootstrap claims the raw path as the live generation (a prior
+    // same-session compaction may have flipped the pointer elsewhere)
+    graft.sources.Sources.resetLivePointer(spark, indexPath)
     val cents = trainCentroids(e, nLists, trainIters)
     saveCentroids(spark, cents, codebookPath)
     ivfAssign(e, cents)
@@ -463,7 +466,8 @@ object Similarity {
     assigned.withColumn("ingest_batch", lit(batchId))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("ingest_batch", "list_id").parquet(indexPath)
+      .partitionBy("ingest_batch", "list_id")
+      .parquet(graft.sources.Sources.livePath(spark, indexPath))
     assigned
   }
 
@@ -475,7 +479,8 @@ object Similarity {
     val cents = loadCentroids(spark, codebookPath)
     require(nProbe > 0 && nProbe <= cents.length,
       s"need 0 < nProbe=$nProbe <= nLists=${cents.length}")
-    probeTail(spark.read.parquet(indexPath),
+    probeTail(
+      spark.read.parquet(graft.sources.Sources.livePath(spark, indexPath)),
       probesFor(queries, cents, nProbe, cents.length > LiteralCodebookMaxLists), k)
   }
 
@@ -490,15 +495,15 @@ object Similarity {
     * (vec_id, list_id) relation does not (q139's invariant pins both
     * directions of that contract, plus probe-result identity).
     *
-    * Staged-rewrite + swap, the D9 discipline on a path instead of a
-    * warehouse table: write the folded layout beside the index, then
-    * delete + rename. Same declared crash window as D9 (a failure
-    * between delete and rename leaves only the staged copy; a
-    * transactional metastore would close it — documented, not hidden). */
+    * Blue/green versioned swap (r15 — the old stagedSwap's declared
+    * delete-to-rename crash window no longer exists): the folded layout
+    * lands at the next generation path and an atomic pointer flip
+    * publishes it; readers resolve `livePath` and see the old store in
+    * full before the flip, the new in full after. */
   def ivfCompact(spark: SparkSession, indexPath: String,
                  nLists: Int = 16): Unit =
-    graft.sources.Sources.stagedSwap(spark, indexPath) { staged =>
-      spark.read.parquet(indexPath)
+    graft.sources.Sources.versionedSwap(spark, indexPath) { (live, staged) =>
+      spark.read.parquet(live)
         .withColumn("ingest_batch", lit(-1L))
         .repartition(nLists, col("list_id"))
         .write.mode("overwrite")
@@ -524,14 +529,18 @@ object Similarity {
     ivfIngestTick(e.filter(col("vec_id") % 4 === 2), cbPath, idxPath, 1L)
     ivfIngestTick(e.filter(col("vec_id") % 4 === 3), cbPath, idxPath, 2L)
     val queries = e.filter(col("vec_id") < nQueries)
-    val batchesBefore = spark.read.parquet(idxPath)
+    val batchesBefore = spark.read
+      .parquet(graft.sources.Sources.livePath(spark, idxPath))
       .select(col("ingest_batch")).distinct().count()
     val preProbe = ivfProbeIndex(spark, cbPath, idxPath, queries, k, nProbe)
       .localCheckpoint(true) // nQueries·k rows — bounded
     ivfCompact(spark, idxPath, nLists)
-    val batchesAfter = spark.read.parquet(idxPath)
+    val batchesAfter = spark.read
+      .parquet(graft.sources.Sources.livePath(spark, idxPath))
       .select(col("ingest_batch")).distinct().count()
-    val persisted = spark.read.parquet(idxPath).select(col("vec_id"), col("list_id"))
+    val persisted = spark.read
+      .parquet(graft.sources.Sources.livePath(spark, idxPath))
+      .select(col("vec_id"), col("list_id"))
     val full = ivfAssign(e, loadCentroids(spark, cbPath))
       .select(col("vec_id"), col("list_id"))
     val assignMismatches =
@@ -570,7 +579,8 @@ object Similarity {
     writeIvfIndex(e.filter(!isNew), cbPath, idxPath, nLists)
     ivfIngestTick(e.filter(isNew), cbPath, idxPath)
     val cents = loadCentroids(spark, cbPath)
-    val persisted = spark.read.parquet(idxPath)
+    val persisted = spark.read
+      .parquet(graft.sources.Sources.livePath(spark, idxPath))
       .select(col("vec_id"), col("list_id"))
     val full = ivfAssign(e, cents).select(col("vec_id"), col("list_id"))
     val assignMismatches =
@@ -784,6 +794,9 @@ object Similarity {
   def writePqIndex(e: DataFrame, booksPath: String, codesPath: String,
                    m: Int = 8, kSub: Int = 16, trainIters: Int = 2): Unit = {
     val spark = e.sparkSession
+    // bootstrap claims the raw path as the live generation (a prior
+    // same-session compaction may have flipped the pointer elsewhere)
+    graft.sources.Sources.resetLivePointer(spark, codesPath)
     val dim = e.select(size(col("embedding"))).head().getInt(0)
     val books = trainPqBooks(e, m, kSub, trainIters)
     savePqBooks(spark, books, booksPath)
@@ -806,7 +819,8 @@ object Similarity {
       .withColumn("ingest_batch", lit(batchId))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("ingest_batch").parquet(codesPath)
+      .partitionBy("ingest_batch")
+      .parquet(graft.sources.Sources.livePath(spark, codesPath))
   }
 
   /** q118 fixture entry — the invariant row (q94 discipline): settled
@@ -831,7 +845,9 @@ object Similarity {
     pqIngestTick(e.filter(isNew), booksPath, codesPath)
     val books = loadPqBooks(spark, booksPath)
     val subDim = books(0)(0).length
-    val persisted = spark.read.parquet(codesPath).select(col("vec_id"), col("codes"))
+    val persisted = spark.read
+      .parquet(graft.sources.Sources.livePath(spark, codesPath))
+      .select(col("vec_id"), col("codes"))
     val full = e.select(col("vec_id"), pqEncode(col("embedding"), books, subDim).as("codes"))
     val codeMismatches =
       persisted.exceptAll(full).count() + full.exceptAll(persisted).count()
@@ -857,10 +873,10 @@ object Similarity {
     * ingest_batch partitions; fold them into the settled partition
     * (ingest_batch = −1). Row-preserving by contract (codes are already
     * frozen against the persisted books — compaction is pure layout);
-    * staged-rewrite + swap with the same declared crash window. */
+    * blue/green versioned swap — no crash window (see ivfCompact). */
   def pqCompact(spark: SparkSession, codesPath: String): Unit =
-    graft.sources.Sources.stagedSwap(spark, codesPath) { staged =>
-      spark.read.parquet(codesPath)
+    graft.sources.Sources.versionedSwap(spark, codesPath) { (live, staged) =>
+      spark.read.parquet(live)
         .withColumn("ingest_batch", lit(-1L))
         .write.mode("overwrite").partitionBy("ingest_batch")
         .parquet(staged)
@@ -884,16 +900,22 @@ object Similarity {
     pqIngestTick(e.filter(col("vec_id") % 4 === 3), booksPath, codesPath, 2L)
     val books = loadPqBooks(spark, booksPath)
     val subDim = books(0)(0).length
-    val batchesBefore = spark.read.parquet(codesPath)
+    val batchesBefore = spark.read
+      .parquet(graft.sources.Sources.livePath(spark, codesPath))
       .select(col("ingest_batch")).distinct().count()
     def probeOf(codes: DataFrame) = pqTopKOver(e,
       codes.select(col("vec_id").as("cand_id"), col("codes")),
       books, subDim, nQueries, k, rerank)
-    val preProbe = probeOf(spark.read.parquet(codesPath)).localCheckpoint(true)
+    val preProbe = probeOf(spark.read
+      .parquet(graft.sources.Sources.livePath(spark, codesPath)))
+      .localCheckpoint(true)
     pqCompact(spark, codesPath)
-    val batchesAfter = spark.read.parquet(codesPath)
+    val batchesAfter = spark.read
+      .parquet(graft.sources.Sources.livePath(spark, codesPath))
       .select(col("ingest_batch")).distinct().count()
-    val persisted = spark.read.parquet(codesPath).select(col("vec_id"), col("codes"))
+    val persisted = spark.read
+      .parquet(graft.sources.Sources.livePath(spark, codesPath))
+      .select(col("vec_id"), col("codes"))
     val full = e.select(col("vec_id"),
       pqEncode(col("embedding"), books, subDim).as("codes"))
     val codeMismatches =
@@ -1585,7 +1607,7 @@ object Similarity {
     val books = loadPqBooks(spark, booksPath)
     val subDim = books(0)(0).length
     val routed = pqTopKOver(e,
-      spark.read.parquet(codesPath)
+      spark.read.parquet(graft.sources.Sources.livePath(spark, codesPath))
         .select(col("vec_id").as("cand_id"), col("codes")),
       books, subDim, nQueries, k, rerank)
     recallAuditOver(cosineTopK(spark, dir, nQueries, k), routed, floor)
@@ -1620,7 +1642,8 @@ object Similarity {
                  newIndexPath: String, nLists: Int,
                  trainIters: Int = 1): Unit = {
     val members = vectors.join(
-      spark.read.parquet(oldIndexPath).select(col("vec_id")),
+      spark.read.parquet(graft.sources.Sources.livePath(spark, oldIndexPath))
+        .select(col("vec_id")),
       Seq("vec_id"), "left_semi")
     writeIvfIndex(members, newCodebookPath, newIndexPath, nLists, trainIters)
   }
@@ -1633,7 +1656,8 @@ object Similarity {
                 newCodesPath: String, m: Int, kSub: Int = 16,
                 trainIters: Int = 2): Unit = {
     val members = vectors.join(
-      spark.read.parquet(oldCodesPath).select(col("vec_id")),
+      spark.read.parquet(graft.sources.Sources.livePath(spark, oldCodesPath))
+        .select(col("vec_id")),
       Seq("vec_id"), "left_semi")
     writePqIndex(members, newBooksPath, newCodesPath, m, kSub, trainIters)
   }

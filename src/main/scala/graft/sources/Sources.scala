@@ -165,22 +165,92 @@ object Sources {
     tail + "_" + java.lang.Integer.toHexString(dir.hashCode)
   }
 
-  /** Staged-rewrite + swap for path-based index compactions — the D9
-    * warehouse-table discipline on a filesystem path, shared by the IVF,
-    * PQ, and reservoir compaction verbs so the declared crash window
-    * (a failure between delete and rename leaves only the staged copy;
-    * a transactional metastore would close it) lives in ONE place.
-    * `writeStaged` receives the staged path and must fully write it. */
-  private[graft] def stagedSwap(spark: SparkSession, path: String)
-                               (writeStaged: String => Unit): Unit = {
+  // --- Blue/green versioned swap (replaces the old stagedSwap) ----------
+  //
+  // The old stagedSwap (write staged, DELETE dst, rename staged->dst)
+  // had one declared crash window: a failure between the delete and the
+  // rename left only the staged copy — a reader at that instant found
+  // NOTHING at the store path. The q203/q204 rebuild audits demonstrated
+  // the pattern that closes it: never name the live store by its path;
+  // name it by a POINTER. A compaction writes the next generation at a
+  // sibling path, then atomically replaces the one-line pointer file —
+  // POSIX rename for local filesystems, FileContext Rename.OVERWRITE for
+  // HDFS, both atomic — so a reader resolves the OLD store in full
+  // before that instant and the NEW store in full after it; the torn
+  // middle cannot exist. Rollback is not flipping; a crash between the
+  // flip and the old generation's cleanup leaks a directory, never
+  // corrupts (the next swap's redo delete sweeps a crashed attempt).
+
+  private def localPtr(path: String) = java.nio.file.Paths.get(path + ".live")
+
+  /** Resolve a store path through its generation pointer: the pointer's
+    * one-line content if present, the path itself until the first swap
+    * (so bootstrap writers need no changes). Every reader and
+    * tick-writer of a compactable store goes through this. */
+  private[graft] def livePath(spark: SparkSession, path: String): String = {
+    val ptr = new org.apache.hadoop.fs.Path(path + ".live")
+    val hfs = ptr.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (hfs.getScheme == "file") {
+      if (java.nio.file.Files.exists(localPtr(path)))
+        java.nio.file.Files.readString(localPtr(path)).trim
+      else path
+    } else if (hfs.exists(ptr)) {
+      val in = hfs.open(ptr)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+    } else path
+  }
+
+  /** Reset a store's generation pointer — called by BOOTSTRAP writers
+    * (full-overwrite index builds) so a rebuilt store at the raw path is
+    * live again even when an earlier compaction in the same session had
+    * flipped the pointer to a generation dir (bench best-of-N re-runs). */
+  private[graft] def resetLivePointer(spark: SparkSession,
+                                      path: String): Unit = {
+    val ptr = new org.apache.hadoop.fs.Path(path + ".live")
+    val hfs = ptr.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (hfs.getScheme == "file")
+      java.nio.file.Files.deleteIfExists(localPtr(path)): Unit
+    else hfs.delete(ptr, false): Unit
+  }
+
+  /** Blue/green rewrite of a compactable store: `writeStaged(live,
+    * staged)` must derive the next generation at `staged` from the
+    * current one at `live`; the pointer flip then publishes it
+    * atomically (see the block comment). */
+  private[graft] def versionedSwap(spark: SparkSession, path: String)
+                                  (writeStaged: (String, String) => Unit)
+      : Unit = {
     val hconf = spark.sparkContext.hadoopConfiguration
-    val dst = new org.apache.hadoop.fs.Path(path)
-    val staged = new org.apache.hadoop.fs.Path(path + "_compacting")
-    val hfs = dst.getFileSystem(hconf)
-    hfs.delete(staged, true)
-    writeStaged(staged.toString)
-    hfs.delete(dst, true)
-    require(hfs.rename(staged, dst), s"compaction swap failed: $staged -> $dst")
+    val cur = livePath(spark, path)
+    val gen = if (cur == path) 0L
+      else cur.substring(cur.lastIndexOf("__g") + 3).toLong
+    val next = s"${path}__g${gen + 1L}"
+    val hfs = new org.apache.hadoop.fs.Path(next).getFileSystem(hconf)
+    // redo of a crashed attempt: the un-flipped staged dir is dead weight
+    hfs.delete(new org.apache.hadoop.fs.Path(next), true)
+    writeStaged(cur, next)
+    registerForCleanup(next)
+    // THE FLIP — the only instant the live store changes, and it is
+    // atomic: before it readers resolve `cur` in full, after it `next`
+    if (hfs.getScheme == "file") {
+      val tmp = java.nio.file.Paths.get(path + ".live.tmp")
+      java.nio.file.Files.writeString(tmp, next)
+      java.nio.file.Files.move(tmp, localPtr(path),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    } else {
+      val tmp = new org.apache.hadoop.fs.Path(path + ".live.tmp")
+      val out = hfs.create(tmp, true)
+      try out.write(next.getBytes("UTF-8")) finally out.close()
+      org.apache.hadoop.fs.FileContext.getFileContext(tmp.toUri, hconf)
+        .rename(tmp, new org.apache.hadoop.fs.Path(path + ".live"),
+          org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    }
+    registerForCleanup(path + ".live")
+    // post-flip cleanup of the superseded generation: a crash HERE leaks
+    // a directory, never corrupts — the pointer already names `next`
+    hfs.delete(new org.apache.hadoop.fs.Path(cur), true): Unit
   }
 
   /** Register an externally-created local path (e.g. a bucketed table's

@@ -42,8 +42,12 @@ object ReservoirSampleStream {
     new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  private def deleteDir(spark: SparkSession, path: String): Unit =
-    fs(spark, path).delete(new org.apache.hadoop.fs.Path(path), true): Unit
+  private def deleteDir(spark: SparkSession, path: String): Unit = {
+    fs(spark, path).delete(new org.apache.hadoop.fs.Path(path), true)
+    // a fresh bootstrap also resets the store's generation pointer (a
+    // prior same-session compaction may have flipped it elsewhere)
+    graft.sources.Sources.resetLivePointer(spark, path)
+  }
 
   /** This batch's per-stratum bottom-k candidates under the seeded-hash
     * order — the only rows the batch contributes to the reservoir. */
@@ -63,13 +67,14 @@ object ReservoirSampleStream {
     // the store's parameters are DATA, not caller discipline: ticks at a
     // different (k, seed, prefix) than the store was opened with would
     // silently mix incompatible candidate sets
-    graft.sources.Sources.requireIndexMeta(spark, path, reservoirMeta(k, seed, prefixChars))
+    val live = graft.sources.Sources.livePath(spark, path)
+    graft.sources.Sources.requireIndexMeta(spark, live, reservoirMeta(k, seed, prefixChars))
     batchBottomK(batch, k, seed, prefixChars)
       .withColumn("ingest_batch", lit(batchId))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("ingest_batch").parquet(path)
-    graft.sources.Sources.writeIndexMeta(spark, path, reservoirMeta(k, seed, prefixChars))
+      .partitionBy("ingest_batch").parquet(live)
+    graft.sources.Sources.writeIndexMeta(spark, live, reservoirMeta(k, seed, prefixChars))
   }
 
   private def reservoirMeta(k: Int, seed: Long, prefixChars: Int) =
@@ -79,7 +84,8 @@ object ReservoirSampleStream {
   /** The store's recorded write-time k (`Int.MaxValue` when the store
     * predates the sidecar — then the scaladoc contract is all there is). */
   private def storedK(spark: SparkSession, path: String): Int =
-    graft.sources.Sources.readIndexMeta(spark, path)
+    graft.sources.Sources.readIndexMeta(spark,
+        graft.sources.Sources.livePath(spark, path))
       .get("k").map(_.toInt).getOrElse(Int.MaxValue)
 
   /** The current reservoir: bottom-k of the accumulated candidates — the
@@ -94,13 +100,15 @@ object ReservoirSampleStream {
     * its write-time k; a larger probe fails loudly. */
   def currentSample(spark: SparkSession, path: String, k: Int = 50,
                     seed: Long = 42L, prefixChars: Int = 2): DataFrame = {
-    graft.sources.Sources.requireIndexMeta(spark, path,
+    graft.sources.Sources.requireIndexMeta(spark,
+      graft.sources.Sources.livePath(spark, path),
       Map("seed" -> seed.toString, "prefix_chars" -> prefixChars.toString))
     require(k <= storedK(spark, path),
       s"reservoir at $path holds bottom-${storedK(spark, path)} candidates; " +
         s"a k=$k merge would silently return an underfilled sample")
     Sampling.hashRankWithin(
-        spark.read.parquet(path).select(col("doc_id"), col("lang")).distinct(),
+        spark.read.parquet(graft.sources.Sources.livePath(spark, path))
+          .select(col("doc_id"), col("lang")).distinct(),
         "lang", "doc_id", seed, prefixChars)
       .filter(col("pos") <= k)
       .select(col("doc_id"), col("lang"), col("pos"))
@@ -113,28 +121,33 @@ object ReservoirSampleStream {
     * at exactly k·strata rows forever. Sound because bottom-k is the
     * semilattice fold: bottom-k(settled ∪ future) = bottom-k(bottom-k
     * (settled) ∪ future) — compaction loses nothing a future merge
-    * needs. Staged-rewrite + swap, same declared crash window as q139.
-    * `k` must be ≥ any k later merges will ask for (the merge contract
-    * above, applied to the store itself) — the sidecar records the
-    * store's EFFECTIVE k after compaction, min(write-time k, this k), so
-    * a later over-k merge still fails loudly. */
+    * needs. Blue/green versioned swap (r15): the folded store lands at
+    * the next generation WITH its parameter sidecar, then the pointer
+    * flip publishes both atomically — the old stagedSwap's
+    * delete-to-rename crash window no longer exists. `k` must be ≥ any
+    * k later merges will ask for (the merge contract above, applied to
+    * the store itself) — the sidecar records the store's EFFECTIVE k
+    * after compaction, min(write-time k, this k), so a later over-k
+    * merge still fails loudly. */
   def compactReservoir(spark: SparkSession, path: String, k: Int = 50,
                        seed: Long = 42L, prefixChars: Int = 2): Unit = {
-    graft.sources.Sources.requireIndexMeta(spark, path,
+    graft.sources.Sources.requireIndexMeta(spark,
+      graft.sources.Sources.livePath(spark, path),
       Map("seed" -> seed.toString, "prefix_chars" -> prefixChars.toString))
     val effectiveK = math.min(k.toLong, storedK(spark, path).toLong).toInt
-    graft.sources.Sources.stagedSwap(spark, path) { staged =>
+    graft.sources.Sources.versionedSwap(spark, path) { (live, staged) =>
       Sampling.hashRankWithin(
-          spark.read.parquet(path).select(col("doc_id"), col("lang")).distinct(),
+          spark.read.parquet(live).select(col("doc_id"), col("lang")).distinct(),
           "lang", "doc_id", seed, prefixChars)
         .filter(col("pos") <= k)
         .select(col("doc_id"), col("lang"))
         .withColumn("ingest_batch", lit(-1L))
         .write.mode("overwrite").partitionBy("ingest_batch")
         .parquet(staged)
+      // the sidecar rides the generation: published by the same flip
+      graft.sources.Sources.writeIndexMeta(spark, staged,
+        reservoirMeta(effectiveK, seed, prefixChars))
     }
-    graft.sources.Sources.writeIndexMeta(spark, path,
-      reservoirMeta(effectiveK, seed, prefixChars))
   }
 
   /** The foreachBatch wrapper: Spark's own batchId keys the idempotent

@@ -376,10 +376,13 @@ class SimilaritySpec extends AnyFunSuite {
       .as[(Long, Long, Long, Long, Long)].head()
     val nVecs = graft.Tables.embeddings(spark, dir).count()
     assert(inv == ((nVecs, 4L, 1L, 0L, 0L)))
-    // layout claim: the fold leaves one data file per list partition
-    val idxPath = new java.io.File(
-      graft.sources.Sources.scratchDir(spark,
-        "ivfc_index_" + graft.sources.Sources.dirTag(dir)))
+    // layout claim: the fold leaves one data file per list partition —
+    // at the LIVE generation (the blue/green swap moved the store)
+    val rawPath = graft.sources.Sources.scratchDir(spark,
+      "ivfc_index_" + graft.sources.Sources.dirTag(dir))
+    val live = graft.sources.Sources.livePath(spark, rawPath)
+    assert(live != rawPath, "compaction must flip the generation pointer")
+    val idxPath = new java.io.File(live)
     val settled = new java.io.File(idxPath, "ingest_batch=-1")
     assert(settled.isDirectory, "settled partition must exist after compaction")
     val listDirs = settled.listFiles().filter(_.isDirectory)
@@ -430,9 +433,9 @@ class SimilaritySpec extends AnyFunSuite {
       .as[(Long, Long, Long, Long, Long)].head()
     val nVecs = graft.Tables.embeddings(spark, dir).count()
     assert(inv == ((nVecs, 4L, 1L, 0L, 0L)))
-    val codesPath = new java.io.File(
+    val codesPath = new java.io.File(graft.sources.Sources.livePath(spark,
       graft.sources.Sources.scratchDir(spark,
-        "pqc_codes_" + graft.sources.Sources.dirTag(dir)))
+        "pqc_codes_" + graft.sources.Sources.dirTag(dir))))
     assert(codesPath.listFiles().filter(_.isDirectory).map(_.getName).toSet
       == Set("ingest_batch=-1"))
   }
@@ -669,6 +672,9 @@ class SimilaritySpec extends AnyFunSuite {
     val cbNew = graft.sources.Sources.scratchDir(spark, "rbspec_cb2_" + hex)
     val idxNew = graft.sources.Sources.scratchDir(spark, "rbspec_idx2_" + hex)
     Similarity.buildAgedIvfStore(e, cbOld, idxOld, 16)
+    // the aged store's compaction flipped it to a generation dir —
+    // blue/green claims are about the LIVE store's bytes
+    val idxOldLive = graft.sources.Sources.livePath(spark, idxOld)
     def listing(p: String) = {
       val root = new java.io.File(p)
       def walk(f: java.io.File): Seq[(String, Long)] =
@@ -676,7 +682,7 @@ class SimilaritySpec extends AnyFunSuite {
         else Seq(f.getPath -> f.length())
       walk(root)
     }
-    val before = listing(idxOld) ++ listing(cbOld)
+    val before = listing(idxOldLive) ++ listing(cbOld)
     // the vector table has OUTGROWN the index: 50 extra vectors the old
     // index never held — rebuild's membership contract must exclude them
     val dim = e.select(size(col("embedding"))).head().getInt(0)
@@ -685,9 +691,9 @@ class SimilaritySpec extends AnyFunSuite {
         array((0 until dim).map(i => lit(0.1f * (i % 7))): _*).as("embedding"))
     Similarity.ivfRebuild(spark, e.unionByName(extras), idxOld, cbNew, idxNew, 32)
     // blue/green: the old store's files are byte-for-byte what they were
-    assert(listing(idxOld) ++ listing(cbOld) == before, "rebuild touched the old store")
+    assert(listing(idxOldLive) ++ listing(cbOld) == before, "rebuild touched the old store")
     // membership: the rebuilt index holds exactly the old index's vec_ids
-    val oldIds = spark.read.parquet(idxOld).select("vec_id")
+    val oldIds = spark.read.parquet(idxOldLive).select("vec_id")
     val newIds = spark.read.parquet(idxNew).select("vec_id")
     assert(newIds.exceptAll(oldIds).count() == 0 && oldIds.exceptAll(newIds).count() == 0,
       "rebuilt membership != old index membership")

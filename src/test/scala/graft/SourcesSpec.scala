@@ -730,6 +730,57 @@ class SourcesSpec extends AnyFunSuite {
       s"absent key opened $zOpenedAbs of $zTotal — the index is not pruning")
   }
 
+  test("versionedSwap: every crash instant resolves full-old or full-new — no torn middle") {
+    import spark.implicits._
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_vswap").toString + "/store"
+    def readLive(): Set[Long] =
+      spark.read.parquet(Sources.livePath(spark, path))
+        .select(col("id")).as[Long].collect().toSet
+    // bootstrap: generation pointer absent, the raw path is live
+    spark.range(0, 10).write.parquet(path)
+    assert(Sources.livePath(spark, path) == path && readLive() == (0L until 10L).toSet)
+    // CRASH DURING the staged write: the pointer never moved, the old
+    // store is fully readable, the half-written generation is inert
+    val boom = intercept[RuntimeException] {
+      Sources.versionedSwap(spark, path) { (live, staged) =>
+        spark.read.parquet(live).limit(3).write.parquet(staged) // partial
+        throw new RuntimeException("killed mid-compaction")
+      }
+    }
+    assert(boom.getMessage == "killed mid-compaction")
+    assert(Sources.livePath(spark, path) == path && readLive() == (0L until 10L).toSet)
+    // CRASH BETWEEN staged write and flip — simulated exactly: the next
+    // generation exists in full, the pointer still names the old store
+    spark.range(100, 105).write.mode("overwrite").parquet(s"${path}__g1")
+    assert(readLive() == (0L until 10L).toSet,
+      "an unflipped staged generation must not be visible")
+    // the REDO sweeps the crashed attempt and completes: readers now see
+    // the new generation in full; the superseded store is cleaned up
+    Sources.versionedSwap(spark, path) { (live, staged) =>
+      spark.read.parquet(live).select(col("id") + 1000L)
+        .toDF("id").write.parquet(staged)
+    }
+    assert(Sources.livePath(spark, path) == s"${path}__g1")
+    assert(readLive() == (1000L until 1010L).toSet)
+    assert(!new java.io.File(path).exists(), "superseded store not cleaned")
+    // CRASH BETWEEN flip and cleanup: a leaked superseded dir is inert —
+    // the pointer, not the path, names the live store
+    spark.range(0, 3).write.parquet(path) // the "leak"
+    assert(readLive() == (1000L until 1010L).toSet)
+    // second swap: generation increments, same guarantees
+    Sources.versionedSwap(spark, path) { (live, staged) =>
+      spark.read.parquet(live).select(col("id") + 1000L)
+        .toDF("id").write.parquet(staged)
+    }
+    assert(Sources.livePath(spark, path) == s"${path}__g2")
+    assert(readLive() == (2000L until 2010L).toSet)
+    // bootstrap reset: a full rebuild at the raw path claims liveness back
+    Sources.resetLivePointer(spark, path)
+    spark.range(50, 55).write.mode("overwrite").parquet(path)
+    assert(Sources.livePath(spark, path) == path && readLive() == (50L until 55L).toSet)
+  }
+
   private def walkFiles(d: java.io.File): Seq[java.io.File] =
     if (d.isFile) Seq(d)
     else Option(d.listFiles()).map(_.toSeq.flatMap(walkFiles)).getOrElse(Nil)

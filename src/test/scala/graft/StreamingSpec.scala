@@ -501,7 +501,9 @@ class StreamingSpec extends AnyFunSuite {
     // and a post-compaction tick still merges correctly (the semilattice
     // property compaction relies on)
     ReservoirSampleStream.compactReservoir(spark, path)
-    val folded = new java.io.File(path).listFiles()
+    // the blue/green swap moved the store: list the LIVE generation
+    val folded = new java.io.File(
+        graft.sources.Sources.livePath(spark, path)).listFiles()
       .filter(_.isDirectory).map(_.getName).toSet
     assert(folded == Set("ingest_batch=-1"))
     assert(ReservoirSampleStream.currentSample(spark, path)

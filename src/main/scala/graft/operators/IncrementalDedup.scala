@@ -281,10 +281,13 @@ object IncrementalDedup {
     * relation is staged under a scratch table name, then swapped in by
     * catalog rename (the staged table keeps its bucket spec through the
     * rename, so the Exchange-free join shape survives — pinned by spec).
-    * The swap is drop-then-rename, not atomic: a concurrent reader between
-    * the two statements sees a missing table, the visible failure — never
-    * a half-compacted one. A transactional metastore would close that
-    * window; the single-session fixture scope doesn't have one.
+    * The swap is rename-aside + rename-in ([[graft.sources.Sources
+    * .swapTableIn]], r15): the live table is never dropped before its
+    * replacement is published, so a crash at any instant leaves the full
+    * store under the live name or the _retiring name — the verb rolls a
+    * torn attempt back on entry (spec-pinned), and the only residual
+    * window is name-visibility between two atomic catalog ops. A
+    * transactional metastore would close even that.
     *
     * Scope: this verb targets the UNPARTITIONED bucketed index
     * ([[writeShingleIndexBucketed]]). The exactly-once table
@@ -301,6 +304,10 @@ object IncrementalDedup {
                                   nBuckets: Int = 32): Unit = {
     val shT = shinglesTable(table)
     val szT = sizesTable(table)
+    // a prior attempt may have crashed between its two renames: the live
+    // name missing, the full store under _retiring — roll it back first
+    graft.sources.Sources.recoverTableSwap(spark, shT)
+    graft.sources.Sources.recoverTableSwap(spark, szT)
     val stagedSh = shT + "_compacting"
     val stagedSz = szT + "_compacting"
     graft.sources.Sources.resetWarehouseTable(spark, stagedSh)
@@ -325,10 +332,8 @@ object IncrementalDedup {
     spark.table(stagedSh)
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
       .write.format("parquet").saveAsTable(stagedSz)
-    for ((staged, dst) <- Seq(stagedSh -> shT, stagedSz -> szT)) {
-      graft.sources.Sources.resetWarehouseTable(spark, dst)
-      spark.sql(s"ALTER TABLE $staged RENAME TO $dst")
-    }
+    for ((staged, dst) <- Seq(stagedSh -> shT, stagedSz -> szT))
+      graft.sources.Sources.swapTableIn(spark, staged, dst)
     // the rename moved the table to a fresh directory — re-stamp the
     // parameter sidecar the compaction's layout rewrite did not carry
     graft.sources.Sources.writeIndexMeta(spark, tableLocation(spark, shT),
@@ -445,6 +450,7 @@ object IncrementalDedup {
   def compactFpIndexBucketed(spark: SparkSession, table: String,
                              nBuckets: Int = 32): Unit = {
     val fpT = fpsTable(table)
+    graft.sources.Sources.recoverTableSwap(spark, fpT)
     val staged = fpT + "_compacting"
     graft.sources.Sources.resetWarehouseTable(spark, staged)
     val meta = spark.sessionState.catalog.getTableMetadata(
@@ -455,8 +461,7 @@ object IncrementalDedup {
       .saveAsTable(staged)
     val params = graft.sources.Sources.readIndexMeta(spark,
       meta.location.toString)
-    graft.sources.Sources.resetWarehouseTable(spark, fpT)
-    spark.sql(s"ALTER TABLE $staged RENAME TO $fpT")
+    graft.sources.Sources.swapTableIn(spark, staged, fpT)
     // carry the (k, w) stamp across the directory move — layout changed,
     // geometry didn't
     if (params.nonEmpty)
@@ -800,6 +805,8 @@ object IncrementalDedup {
       s"watermark must be monotonic: $settledThrough < committed $prior")
     val shT = shinglesTable(table)
     val szT = sizesTable(table)
+    graft.sources.Sources.recoverTableSwap(spark, shT)
+    graft.sources.Sources.recoverTableSwap(spark, szT)
     val stagedSh = shT + "_compacting"
     val stagedSz = szT + "_compacting"
     graft.sources.Sources.resetWarehouseTable(spark, stagedSh)
@@ -829,8 +836,7 @@ object IncrementalDedup {
       .write.format("parquet").partitionBy("ingest_batch")
       .saveAsTable(stagedSz)
     for ((staged, dst) <- Seq(stagedSh -> shT, stagedSz -> szT)) {
-      graft.sources.Sources.resetWarehouseTable(spark, dst)
-      spark.sql(s"ALTER TABLE $staged RENAME TO $dst")
+      graft.sources.Sources.swapTableIn(spark, staged, dst)
       // the rename moves the DIRECTORY but the catalog's partition
       // entries still point at the staged location — recover them from
       // the moved dir or the table reads as empty

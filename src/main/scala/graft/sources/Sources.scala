@@ -253,6 +253,59 @@ object Sources {
     hfs.delete(new org.apache.hadoop.fs.Path(cur), true): Unit
   }
 
+  /** Catalog-table swap WITHOUT a data-loss window — versionedSwap's
+    * discipline for warehouse tables (where a pointer file can't redirect
+    * `spark.table`): instead of the old drop-dst-then-rename-staged order
+    * (which deleted the live data BEFORE publishing its replacement), the
+    * live table is renamed ASIDE to `dst_retiring` (one catalog+dir
+    * move), the staged table renamed to `dst`, and the retired copy
+    * dropped last. A crash between the renames leaves the full old store
+    * intact under `dst_retiring`; [[recoverTableSwap]] rolls it back, and
+    * every compaction verb calls it first, so a redo self-heals instead
+    * of reading a missing table. The remaining window is name-visibility
+    * only (reader sees a missing table between two atomic catalog ops —
+    * the visible failure), never lost or half-compacted data; a
+    * transactional metastore would close even that. */
+  private[graft] def swapTableIn(spark: SparkSession, staged: String,
+                                 dst: String): Unit = {
+    val retiring = dst + "_retiring"
+    dropRetired(spark, retiring)
+    if (spark.catalog.tableExists(dst))
+      spark.sql(s"ALTER TABLE $dst RENAME TO $retiring")
+    spark.sql(s"ALTER TABLE $staged RENAME TO $dst")
+    dropRetired(spark, retiring)
+  }
+
+  /** Drop a retired copy WITHOUT touching data outside its own moved
+    * directory: a catalog rename moves the table DIRECTORY but leaves
+    * partition entries pointing at the pre-rename location — which is
+    * the replacement's directory once the swap completes — so a plain
+    * DROP of a partitioned retired table would purge the replacement's
+    * files. Drop the partition METADATA first (retainData), then the
+    * table (which deletes only its own, already-moved directory). */
+  private def dropRetired(spark: SparkSession, retiring: String): Unit =
+    if (spark.catalog.tableExists(retiring)) {
+      val meta = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(retiring))
+      if (meta.partitionColumnNames.nonEmpty) {
+        val cat = spark.sharedState.externalCatalog
+        val db = spark.sessionState.catalog.getCurrentDatabase
+        val specs = cat.listPartitions(db, retiring).map(_.spec)
+        if (specs.nonEmpty)
+          cat.dropPartitions(db, retiring, specs, ignoreIfNotExists = true,
+            purge = false, retainData = true)
+      }
+      resetWarehouseTable(spark, retiring)
+    } else resetWarehouseTable(spark, retiring)
+
+  /** Roll back a swap that crashed between its two renames: the live
+    * name is missing but the full store sits under `dst_retiring`. */
+  private[graft] def recoverTableSwap(spark: SparkSession,
+                                      dst: String): Unit =
+    if (!spark.catalog.tableExists(dst) &&
+        spark.catalog.tableExists(dst + "_retiring"))
+      spark.sql(s"ALTER TABLE ${dst + "_retiring"} RENAME TO $dst"): Unit
+
   /** Register an externally-created local path (e.g. a bucketed table's
     * warehouse dir, whose session-unique name would otherwise outlive the
     * JVM that can drop it) with the shutdown reaper. */

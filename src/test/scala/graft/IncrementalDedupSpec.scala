@@ -359,6 +359,20 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(dupSizes == 0)
     // and the Exchange-free candidate-join layout survives the rename
     assertBucketedJoinShape(table)
+    // crash window (r15 swapTableIn): simulate a failure BETWEEN the two
+    // renames — the live names missing, the full stores under _retiring.
+    // No data was lost (the old drop-first order deleted it here), and a
+    // redo of the verb rolls back and converges to the same report.
+    for (t <- Seq(table + "_shingles", table + "_sizes")) {
+      spark.sql(s"ALTER TABLE $t RENAME TO ${t}_retiring")
+      assert(!spark.catalog.tableExists(t))
+    }
+    IncrementalDedup.compactShingleIndexBucketed(spark, table, nBuckets = 4)
+    assert(report() == before,
+      "redo after a torn swap must converge to the pre-crash report")
+    assert(!spark.catalog.tableExists(table + "_shingles_retiring"),
+      "redo must clean up the retired copy")
+    assertBucketedJoinShape(table)
   }
 
   test("XO compaction: folds committed batches; replay of a folded batch is a no-op") {

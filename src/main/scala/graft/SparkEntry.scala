@@ -773,7 +773,11 @@ object SparkEntry {
     // heavy-hitter hybrid on a planted 90%-hot column — the spec pins
     // plain's worst error >= 10x hybrid's worst
     "q215_selectivity_skew" -> ((s: SparkSession, d: String) =>
-      Relational.selectivitySkewAudit(s, d))
+      Relational.selectivitySkewAudit(s, d)),
+    // the CBO loop's third leg: the HLL++ ndv route q208's formula would
+    // consume at 100 TB, audited against exact ndv (3-sigma flag pinned)
+    "q216_ndv_sketch" -> ((s: SparkSession, d: String) =>
+      Relational.ndvSketchAudit(s, d))
   )
 
   /** Shared CTE chain ending in `pairs` = the exact-Jaccard near-dup pairs
@@ -1711,6 +1715,21 @@ object SparkEntry {
     "q207_selectivity_estimation" ->
       Seq("l_quantity", "l_partkey").map(selEstSqlFor).mkString(
         "", "\nUNION ALL\n", ""),
+    // exact sides re-derived per (table, column); the HLL++ value is
+    // engine-hash-specific so the hashed output carries the 3-sigma
+    // bound FLAG, pinned TRUE (the q154/q166 estimator discipline)
+    "q216_ndv_sketch" ->
+      Seq(("lineitem", "l_orderkey"), ("lineitem", "l_partkey"),
+          ("lineitem", "l_suppkey"), ("events", "user_id"),
+          ("documents", "source"))
+        .flatMap { case (t, c) => Seq(50000L, 10000L).map(r =>
+          s"""SELECT '$t' AS table_name, '$c' AS column_name,
+             |  CAST($r AS BIGINT) AS rsd_ppm,
+             |  (SELECT CAST(count(*) AS BIGINT) FROM $t) AS n_rows,
+             |  (SELECT CAST(count(DISTINCT $c) AS BIGINT) FROM $t)
+             |    AS ndv_exact,
+             |  TRUE AS within_bound""".stripMargin) }
+        .mkString("", "\nUNION ALL\n", ""),
     // A52's honest negative: same exact integer machinery over the
     // planted 90%-hot column, plain equi-depth vs the heavy-hitter
     // hybrid (singletons where cnt*16 >= n, equi-depth over the tail)

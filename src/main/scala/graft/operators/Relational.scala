@@ -1346,6 +1346,60 @@ object Relational {
         lit(nHeavy).as("n_heavy"))
   }
 
+  /** A56 [EXT] — NDV-SKETCH AUDIT (q216): the third leg of the CBO
+    * statistics loop. q207/q215 price range predicates from histograms
+    * and q208 prices joins from ndv — but its ndv inputs were exact
+    * count(DISTINCT), which at 100 TB means a value-grain shuffle per
+    * audited column per snapshot. The route a real ANALYZE ships is the
+    * HLL++ sketch (`approx_count_distinct`: one pass, constant state per
+    * column, mergeable across partitions — map-side-combined, no value
+    * shuffle at all), and this row measures what that substitution
+    * costs before q208's formula consumes it: per (table, column, rsd),
+    * the exact row count and ndv (oracle-re-derived) plus the bound
+    * flag |approx − exact| ≤ 3·rsd·exact PINNED true — Spark's HLL++ is
+    * deterministic per input, so a green flag is stable, not lucky, and
+    * 3σ of the sketch's published relative standard deviation means a
+    * violation is a broken sketch, never an unlucky run (the q154/q166
+    * estimator-audit discipline; the raw approx value itself is
+    * engine-hash-specific and deliberately not in the hashed output —
+    * measured errors live in the spec). Columns span the regimes that
+    * stress HLL differently: near-unique (l_orderkey), mid-cardinality
+    * (l_partkey), tiny domains where linear counting takes over
+    * (l_suppkey, user_id, the string-typed documents.source).
+    *
+    * Scale: the sketch side is exactly what a 100 TB ANALYZE runs; the
+    * exact side is the audit's declared one-time price. One aggregate
+    * pass per table carries every column's sketch AND exact count. */
+  def ndvSketchAudit(spark: SparkSession, dir: String,
+                     rsds: Seq[Double] = Seq(0.05, 0.01)): DataFrame = {
+    val tables: Seq[(String, DataFrame, Seq[String])] = Seq(
+      ("lineitem", Tables.lineitem(spark, dir),
+        Seq("l_orderkey", "l_partkey", "l_suppkey")),
+      ("events", Tables.events(spark, dir), Seq("user_id")),
+      ("documents", Tables.documents(spark, dir), Seq("source")))
+    val rows = tables.flatMap { case (t, df, cs) =>
+      // one pass per table: every column's exact ndv + every (column,
+      // rsd) sketch ride a single aggregate
+      val aggs = count(lit(1)).as("n") +:
+        cs.flatMap(c => countDistinct(col(c)).as(s"ex_$c") +:
+          rsds.zipWithIndex.map { case (rsd, i) =>
+            approx_count_distinct(col(c), rsd).as(s"ap_${c}_$i") })
+      val r = df.agg(aggs.head, aggs.tail: _*).head()
+      val n = r.getLong(0)
+      cs.flatMap { c =>
+        val exact = r.getLong(r.fieldIndex(s"ex_$c"))
+        rsds.zipWithIndex.map { case (rsd, i) =>
+          val approx = r.getLong(r.fieldIndex(s"ap_${c}_$i"))
+          val ok = math.abs(approx - exact) <= 3.0 * rsd * exact
+          (t, c, math.round(rsd * 1000000L), n, exact, ok)
+        }
+      }
+    }
+    import spark.implicits._
+    rows.toDF("table_name", "column_name", "rsd_ppm", "n_rows",
+      "ndv_exact", "within_bound")
+  }
+
   /** A54 [EXT] — STALE-STATISTICS AUDIT (q212): the number that decides
     * WHEN to re-ANALYZE — the D30 staleness discipline applied to A52's
     * histograms. The realistic staleness is time-correlated: new orders

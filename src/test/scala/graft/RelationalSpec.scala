@@ -557,6 +557,32 @@ class RelationalSpec extends AnyFunSuite {
       "no miss-hot window shows the smeared-mass overestimate")
   }
 
+  test("q216 ndv sketch: every (column, rsd) within 3-sigma; flag recomputable from the engine's own sketch") {
+    val rows = Relational.ndvSketchAudit(spark, TestSpark.Sf0001)
+      .as[(String, String, Long, Long, Long, Boolean)].collect()
+    assert(rows.length == 10, s"want 5 cols x 2 rsds, got ${rows.length}")
+    assert(rows.forall(_._6), s"bound violations: ${rows.filterNot(_._6).toSeq}")
+    // the flag is computed, not constant: recompute |approx-exact| from
+    // the same sketch the engine ran and check the 3-sigma arithmetic
+    rows.foreach { case (t, c, rsdPpm, n, exact, flag) =>
+      assert(n > 0 && exact > 0 && exact <= n)
+      val rsd = rsdPpm / 1000000.0
+      val df = t match {
+        case "lineitem" => graft.Tables.lineitem(spark, TestSpark.Sf0001)
+        case "events" => graft.Tables.events(spark, TestSpark.Sf0001)
+        case _ => graft.Tables.documents(spark, TestSpark.Sf0001)
+      }
+      val approx = df.agg(approx_count_distinct(col(c), rsd)).head().getLong(0)
+      assert(flag == (math.abs(approx - exact) <= 3.0 * rsd * exact),
+        s"($t.$c rsd=$rsd) flag not the 3-sigma recomputation " +
+          s"(approx=$approx exact=$exact)")
+      // and the tighter sketch really is tighter than its own bound says:
+      // measured error stays under 2x rsd on every fixture column
+      assert(math.abs(approx - exact) <= math.max(2.0 * rsd * exact, 1.0),
+        s"($t.$c rsd=$rsd) err ${math.abs(approx - exact)} > 2*rsd*exact")
+    }
+  }
+
   test("equiDepthBucketsApprox guards: nBuckets=1 rejected, empty input yields no buckets") {
     val e = intercept[IllegalArgumentException] {
       Relational.equiDepthBucketsApprox(

@@ -1719,10 +1719,12 @@ object SparkEntry {
     // engine-hash-specific so the hashed output carries the 3-sigma
     // bound FLAG, pinned TRUE (the q154/q166 estimator discipline)
     "q216_ndv_sketch" ->
-      Seq(("lineitem", "l_orderkey"), ("lineitem", "l_partkey"),
-          ("lineitem", "l_suppkey"), ("events", "user_id"),
-          ("documents", "source"))
-        .flatMap { case (t, c) => Seq(50000L, 10000L).map(r =>
+      Seq(("lineitem", "l_orderkey", Seq(50000L)),
+          ("lineitem", "l_partkey", Seq(50000L)),
+          ("lineitem", "l_suppkey", Seq(50000L)),
+          ("events", "user_id", Seq(50000L, 10000L)),
+          ("documents", "source", Seq(50000L, 10000L)))
+        .flatMap { case (t, c, rs) => rs.map(r =>
           s"""SELECT '$t' AS table_name, '$c' AS column_name,
              |  CAST($r AS BIGINT) AS rsd_ppm,
              |  (SELECT CAST(count(*) AS BIGINT) FROM $t) AS n_rows,

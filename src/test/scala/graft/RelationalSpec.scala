@@ -560,7 +560,8 @@ class RelationalSpec extends AnyFunSuite {
   test("q216 ndv sketch: every (column, rsd) within 3-sigma; flag recomputable from the engine's own sketch") {
     val rows = Relational.ndvSketchAudit(spark, TestSpark.Sf0001)
       .as[(String, String, Long, Long, Long, Boolean)].collect()
-    assert(rows.length == 10, s"want 5 cols x 2 rsds, got ${rows.length}")
+    assert(rows.length == 7,
+      s"want 3 default-tier + 2x2 precision-tier rows, got ${rows.length}")
     assert(rows.forall(_._6), s"bound violations: ${rows.filterNot(_._6).toSeq}")
     // the flag is computed, not constant: recompute |approx-exact| from
     // the same sketch the engine ran and check the 3-sigma arithmetic

@@ -777,7 +777,12 @@ object SparkEntry {
     // the CBO loop's third leg: the HLL++ ndv route q208's formula would
     // consume at 100 TB, audited against exact ndv (3-sigma flag pinned)
     "q216_ndv_sketch" -> ((s: SparkSession, d: String) =>
-      Relational.ndvSketchAudit(s, d))
+      Relational.ndvSketchAudit(s, d)),
+    // runtime partition pruning: the fact's surviving months come from
+    // the dim side's broadcast at execution time (DynamicPruningExpression
+    // spec-pinned in the scan's PartitionFilters)
+    "q217_dpp_join" -> ((s: SparkSession, d: String) =>
+      Relational.dppPrunedJoin(s, d))
   )
 
   /** Shared CTE chain ending in `pairs` = the exact-Jaccard near-dup pairs
@@ -1715,6 +1720,26 @@ object SparkEntry {
     "q207_selectivity_estimation" ->
       Seq("l_quantity", "l_partkey").map(selEstSqlFor).mkString(
         "", "\nUNION ALL\n", ""),
+    // every side re-derived: the month dim from the fact's dates, the
+    // pruning decision (surviving months), and the joined aggregate
+    "q217_dpp_join" ->
+      """WITH m AS (
+        |  SELECT DISTINCT strftime(l_shipdate, '%Y-%m') AS ship_month
+        |  FROM lineitem),
+        |md AS (
+        |  SELECT ship_month FROM m
+        |  WHERE CAST(substr(ship_month, 1, 4) AS INT) = 1998
+        |    AND (CAST(substr(ship_month, 6, 2) AS INT) - 1) // 3 + 1 = 2),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_months_total FROM m),
+        |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_months_dim FROM md),
+        |j AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |         sum(l_quantity) AS sum_qty,
+        |         round(sum(l_extendedprice), 2) AS revenue
+        |  FROM lineitem
+        |  WHERE strftime(l_shipdate, '%Y-%m') IN (SELECT ship_month FROM md))
+        |SELECT n_months_total, n_months_dim, n_rows, sum_qty, revenue
+        |FROM tot, nd, j""".stripMargin,
     // exact sides re-derived per (table, column); the HLL++ value is
     // engine-hash-specific so the hashed output carries the 3-sigma
     // bound FLAG, pinned TRUE (the q154/q166 estimator discipline)

@@ -1346,6 +1346,60 @@ object Relational {
         lit(nHeavy).as("n_heavy"))
   }
 
+  /** J14 [EXT] — DYNAMIC-PARTITION-PRUNING JOIN (q217): the runtime
+    * pruning verb every date-partitioned 100 TB warehouse lives on, and
+    * the one partition-pruning shape W5/W17 don't cover — there the
+    * pruning predicate is KNOWN at plan time (a literal range, a stats
+    * store the driver read); here it is the OUTPUT OF A JOIN SIDE: the
+    * fact table is hive-partitioned by ship month, the month dimension
+    * is filtered on attributes (year, quarter) the fact never stored,
+    * and the fact scan must not enumerate months anyone — the planner
+    * learns the surviving partitions from the dim side's broadcast at
+    * RUNTIME (Spark inserts a DynamicPruningExpression subquery on the
+    * partition column, reusing the join's own broadcast — the spec pins
+    * `dynamicpruning` in the scan's PartitionFilters and result
+    * equality with the unpartitioned join). Output: total months in the
+    * layout, months surviving the dim filter (the pruning decision,
+    * oracle-re-derived), and the joined aggregate (exact).
+    *
+    * Scale: this is THE mechanism that makes "quarter over a decade of
+    * daily partitions" read 90 of 3650 directories without the query
+    * author naming them; the dim is attribute-filtered and broadcast
+    * (months are calendar-bounded), the fact read is |surviving
+    * partitions|-bounded, and the layout is the W5 ingest shape paid
+    * once. The month-dim derivation here is one column-pruned scan of
+    * the fixture (a real warehouse keeps a calendar dim). */
+  def dppPrunedJoin(spark: SparkSession, dir: String,
+                    year: Int = 1998, quarter: Int = 2): DataFrame = {
+    val root = graft.sources.Sources.ensureStore(spark, "dppfact", dir) { r =>
+      Tables.lineitem(spark, dir)
+        .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"),
+          date_format(col("l_shipdate"), "yyyy-MM").as("ship_month"))
+        .repartition(col("ship_month"))
+        .write.partitionBy("ship_month").parquet(r)
+    }
+    val fact = spark.read.parquet(root)
+    val monthDim = Tables.lineitem(spark, dir)
+      .select(date_format(col("l_shipdate"), "yyyy-MM").as("ship_month"))
+      .distinct()
+      .withColumn("year", substring(col("ship_month"), 1, 4).cast("int"))
+      .withColumn("quarter",
+        floor((substring(col("ship_month"), 6, 2).cast("int") - 1) / 3)
+          .cast("int") + 1)
+    val nMonthsTotal = monthDim.count()
+    val dim = monthDim
+      .filter(col("year") === year && col("quarter") === quarter)
+      .select(col("ship_month"))
+    val nMonthsDim = dim.count()
+    fact.join(broadcast(dim), Seq("ship_month"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("l_quantity")).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("revenue"))
+      .select(lit(nMonthsTotal).as("n_months_total"),
+        lit(nMonthsDim).as("n_months_dim"),
+        col("n_rows"), col("sum_qty"), col("revenue"))
+  }
+
   /** A56 [EXT] — NDV-SKETCH AUDIT (q216): the third leg of the CBO
     * statistics loop. q207/q215 price range predicates from histograms
     * and q208 prices joins from ndv — but its ndv inputs were exact

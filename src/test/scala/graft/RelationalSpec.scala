@@ -557,6 +557,41 @@ class RelationalSpec extends AnyFunSuite {
       "no miss-hot window shows the smeared-mass overestimate")
   }
 
+  test("q217 DPP join: fact scan carries a dynamic pruning subquery; result equals the unpartitioned join; layout prunes") {
+    val got = Relational.dppPrunedJoin(spark, TestSpark.Sf0001)
+    // the physical claim: Spark planned a DynamicPruningExpression on
+    // the fact's partition column, fed by the dim side at runtime
+    val plan = got.queryExecution.executedPlan.toString()
+    assert(plan.contains("dynamicpruning"),
+      s"fact scan must carry a dynamic pruning partition filter:\n${plan.take(3000)}")
+    val (tot, dimM, n, sumQty, rev) =
+      got.as[(Long, Long, Long, Double, Double)].head()
+    assert(dimM > 0 && dimM < tot,
+      s"the quarter must survive AND prune: $dimM of $tot months")
+    assert(dimM <= 3, s"one quarter is at most 3 months, got $dimM")
+    // semantic claim: equals the plain unpartitioned join/filter
+    val li = graft.Tables.lineitem(spark, TestSpark.Sf0001)
+      .withColumn("m", date_format(col("l_shipdate"), "yyyy-MM"))
+      .filter(substring(col("m"), 1, 4).cast("int") === 1998 &&
+        floor((substring(col("m"), 6, 2).cast("int") - 1) / 3).cast("int") + 1 === 2)
+    val want = li.agg(count(lit(1)), sum(col("l_quantity")),
+        round(sum(col("l_extendedprice")), 2))
+      .as[(Long, Double, Double)].head()
+    assert((n, sumQty, rev) == want, s"DPP join ${(n, sumQty, rev)} != $want")
+    // physical claim two: the month layout genuinely bounds the read —
+    // the static equivalent of the runtime filter opens strictly fewer
+    // files (every month dir holds rows, so input_file_name is exact)
+    val root = graft.sources.Sources.ensureStore(spark, "dppfact",
+      TestSpark.Sf0001)(_ => fail("store must already be memoized"))
+    val fact = spark.read.parquet(root)
+    val months = li.select(col("m")).distinct().as[String].collect().toSeq
+    val prunedFiles = fact.filter(col("ship_month").isin(months: _*))
+      .select(input_file_name()).distinct().count()
+    val allFiles = fact.select(input_file_name()).distinct().count()
+    assert(prunedFiles < allFiles,
+      s"month layout must prune: $prunedFiles of $allFiles files")
+  }
+
   test("q216 ndv sketch: every (column, rsd) within 3-sigma; flag recomputable from the engine's own sketch") {
     val rows = Relational.ndvSketchAudit(spark, TestSpark.Sf0001)
       .as[(String, String, Long, Long, Long, Boolean)].collect()

@@ -782,7 +782,12 @@ object SparkEntry {
     // the dim side's broadcast at execution time (DynamicPruningExpression
     // spec-pinned in the scan's PartitionFilters)
     "q217_dpp_join" -> ((s: SparkSession, d: String) =>
-      Relational.dppPrunedJoin(s, d))
+      Relational.dppPrunedJoin(s, d)),
+    // the non-partition-column sibling: InjectRuntimeFilter plants a
+    // might_contain predicate above the fact scan (flag pinned; the
+    // spec proves it computed by planning with the rule disabled)
+    "q218_runtime_bloom_join" -> ((s: SparkSession, d: String) =>
+      Relational.runtimeBloomJoin(s, d))
   )
 
   /** Shared CTE chain ending in `pairs` = the exact-Jaccard near-dup pairs
@@ -1720,6 +1725,15 @@ object SparkEntry {
     "q207_selectivity_estimation" ->
       Seq("l_quantity", "l_partkey").map(selEstSqlFor).mkString(
         "", "\nUNION ALL\n", ""),
+    // the aggregate re-derived exactly; the planner flag pinned TRUE
+    // (engine-plan-specific — the q154 estimator-audit discipline)
+    "q218_runtime_bloom_join" ->
+      """SELECT TRUE AS runtime_filter_planned,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  sum(l_quantity) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand = 'Brand#13' AND p_size <= 25""".stripMargin,
     // every side re-derived: the month dim from the fact's dates, the
     // pruning decision (surviving months), and the joined aggregate
     "q217_dpp_join" ->

@@ -1400,6 +1400,56 @@ object Relational {
         col("n_rows"), col("sum_qty"), col("revenue"))
   }
 
+  /** J15 [EXT] — RUNTIME BLOOM-FILTER JOIN PRUNING (q218): q217's DPP
+    * prunes PARTITIONS the dim side names at runtime; this is the same
+    * idea for a NON-partition join column — Spark's InjectRuntimeFilter
+    * plants a BloomFilterAggregate over the selective dim side and a
+    * `might_contain` predicate above the fact scan, so fact rows that
+    * cannot join are dropped BEFORE the shuffle moves them (and inside
+    * parquet row-group filtering where stats allow). It is the planner-
+    * owned sibling of the hand-built W15/W19 file-level Bloom index:
+    * same math, injected by the optimizer instead of maintained as a
+    * store. Output: the planned-filter flag (PINNED true — the spec
+    * separately proves it computed by planning the same join with the
+    * rule disabled) and the joined aggregate, exact.
+    *
+    * The fixture sets two confs for THIS query's planning and restores
+    * them: the application-side scan threshold (default 10 GB — sized
+    * for real warehouses; at 100 TB the default fires without help) and
+    * autoBroadcast off (the runtime filter exists to protect a SHUFFLE
+    * join — a fixture-sized dim would broadcast and moot it; at scale
+    * the dim that needs this is past broadcast size by definition). The
+    * query therefore materializes its one-row aggregate eagerly inside
+    * the conf scope — driver-trivial. */
+  def runtimeBloomJoin(spark: SparkSession, dir: String): DataFrame = {
+    val conf = spark.conf
+    val scoped = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = scoped.map { case (k, _) => k -> conf.getOption(k) }
+    scoped.foreach { case (k, v) => conf.set(k, v) }
+    try {
+      val dim = Tables.part(spark, dir)
+        .filter(col("p_brand") === "Brand#13" && col("p_size") <= 25)
+        .select(col("p_partkey"))
+      val joined = Tables.lineitem(spark, dir)
+        .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+        .join(dim, col("l_partkey") === col("p_partkey"))
+      val planned = joined.queryExecution.executedPlan.toString()
+        .contains("might_contain")
+      val r = joined.agg(count(lit(1)).as("n_rows"),
+        sum(col("l_quantity")).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("revenue")).head()
+      import spark.implicits._
+      Seq((planned, r.getLong(0), r.getDouble(1), r.getDouble(2)))
+        .toDF("runtime_filter_planned", "n_rows", "sum_qty", "revenue")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
   /** A56 [EXT] — NDV-SKETCH AUDIT (q216): the third leg of the CBO
     * statistics loop. q207/q215 price range predicates from histograms
     * and q208 prices joins from ndv — but its ndv inputs were exact

@@ -592,6 +592,44 @@ class RelationalSpec extends AnyFunSuite {
       s"month layout must prune: $prunedFiles of $allFiles files")
   }
 
+  test("q218 runtime bloom join: filter planned, flag computed (off-switch flips it), aggregate exact") {
+    val got = Relational.runtimeBloomJoin(spark, TestSpark.Sf0001)
+      .as[(Boolean, Long, Double, Double)].head()
+    val (planned, n, sumQty, rev) = got
+    assert(planned, "InjectRuntimeFilter must plant a might_contain filter")
+    assert(n > 0, "the Brand#13 slice must join some lineitems")
+    // exact aggregate against the plain join
+    val want = graft.Tables.lineitem(spark, TestSpark.Sf0001)
+      .join(graft.Tables.part(spark, TestSpark.Sf0001)
+        .filter(col("p_brand") === "Brand#13" && col("p_size") <= 25)
+        .select(col("p_partkey")),
+        col("l_partkey") === col("p_partkey"))
+      .agg(count(lit(1)), sum(col("l_quantity")),
+        round(sum(col("l_extendedprice")), 2))
+      .as[(Long, Double, Double)].head()
+    assert((n, sumQty, rev) == want, s"runtime-bloom join $got != $want")
+    // the flag is computed, not constant: with the rule disabled the
+    // same shuffle join plans WITHOUT a runtime filter
+    val conf = spark.conf
+    val saved = Seq("spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.autoBroadcastJoinThreshold").map(k => k -> conf.getOption(k))
+    conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val off = graft.Tables.lineitem(spark, TestSpark.Sf0001)
+        .select(col("l_partkey"), col("l_quantity"))
+        .join(graft.Tables.part(spark, TestSpark.Sf0001)
+          .filter(col("p_brand") === "Brand#13" && col("p_size") <= 25)
+          .select(col("p_partkey")),
+          col("l_partkey") === col("p_partkey"))
+      assert(!off.queryExecution.executedPlan.toString().contains("might_contain"),
+        "rule disabled must mean no runtime filter in the plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
   test("q216 ndv sketch: every (column, rsd) within 3-sigma; flag recomputable from the engine's own sketch") {
     val rows = Relational.ndvSketchAudit(spark, TestSpark.Sf0001)
       .as[(String, String, Long, Long, Long, Boolean)].collect()

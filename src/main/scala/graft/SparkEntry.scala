@@ -787,7 +787,11 @@ object SparkEntry {
     // might_contain predicate above the fact scan (flag pinned; the
     // spec proves it computed by planning with the rule disabled)
     "q218_runtime_bloom_join" -> ((s: SparkSession, d: String) =>
-      Relational.runtimeBloomJoin(s, d))
+      Relational.runtimeBloomJoin(s, d)),
+    // the third runtime re-plan verb: AQE splits the 90%-hot shuffle
+    // partition at execution (skew=true pinned in the final plan)
+    "q219_aqe_skew_join" -> ((s: SparkSession, d: String) =>
+      Relational.aqeSkewJoin(s, d))
   )
 
   /** Shared CTE chain ending in `pairs` = the exact-Jaccard near-dup pairs
@@ -1725,6 +1729,19 @@ object SparkEntry {
     "q207_selectivity_estimation" ->
       Seq("l_quantity", "l_partkey").map(selEstSqlFor).mkString(
         "", "\nUNION ALL\n", ""),
+    // the planted hot key is q215's fixture shape, so the oracle replays
+    // the join exactly; the runtime-split flag pinned TRUE (q154 style)
+    "q219_aqe_skew_join" ->
+      """WITH fact AS (
+        |  SELECT CASE WHEN l_orderkey % 10 <> 0 THEN 1
+        |    ELSE CAST(l_partkey AS BIGINT) END AS k,
+        |    l_quantity
+        |  FROM lineitem),
+        |dim AS (SELECT CAST(p_partkey AS BIGINT) AS k,
+        |               CAST(p_partkey % 7 AS BIGINT) AS grp FROM part)
+        |SELECT grp, CAST(count(*) AS BIGINT) AS n_rows,
+        |  sum(l_quantity) AS sum_qty, TRUE AS skew_split_planned
+        |FROM fact JOIN dim USING (k) GROUP BY 1""".stripMargin,
     // the aggregate re-derived exactly; the planner flag pinned TRUE
     // (engine-plan-specific — the q154 estimator-audit discipline)
     "q218_runtime_bloom_join" ->

@@ -1450,6 +1450,78 @@ object Relational {
     }
   }
 
+  /** J16 [EXT] — AQE SKEW-JOIN SPLIT (q219): the third runtime re-plan
+    * verb (q217 prunes partitions, q218 prunes rows, this one splits
+    * tasks): a 90%-hot join key makes one shuffle partition carry half
+    * the fact table, and the A37 audit's manual answer (q47's salting)
+    * rewrites the query — AQE's OptimizeSkewedJoin instead SPLITS the
+    * oversized partition at runtime into advisory-sized slices,
+    * duplicating the matching dim partition, with the query text
+    * untouched. Output: the per-group joined aggregate (exact) plus the
+    * skew-handled flag read from the FINAL adaptive plan (`skew=true`
+    * on the sort-merge join; pinned TRUE, proven computed by the spec's
+    * disabled-rule twin). The planted hot key is q215's fixture shape
+    * (9 of 10 lineitem rows take key 1), so the oracle replays it.
+    *
+    * Fixture confs scoped and restored: skew thresholds sized to the
+    * fixture (the 256 MB default is tuned for real clusters — at 100 TB
+    * a hot key trips it unaided), broadcast off (skew split is a
+    * SHUFFLE-join verb; a dim small enough to broadcast moots it). The
+    * aggregate materializes eagerly inside the scope — AQE only marks
+    * skew splits in the FINAL plan, so the flag requires execution. */
+  def aqeSkewJoin(spark: SparkSession, dir: String): DataFrame = {
+    val conf = spark.conf
+    val scoped = Seq(
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      // thresholds sized to the fixture's compressed shuffle blocks (the
+      // 256 MB default is tuned for real clusters — at 100 TB a hot key
+      // trips it unaided); coalescing off so slice sizing is the skew
+      // rule's alone
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "4096",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "2048",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.adaptive.forceOptimizeSkewedJoin" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val saved = scoped.map { case (k, _) => k -> conf.getOption(k) }
+    scoped.foreach { case (k, v) => conf.set(k, v) }
+    try {
+      // repartition(16) stands in for the thousands of map tasks a real
+      // corpus scan has: AQE splits a skewed partition at MAP-OUTPUT
+      // granularity, and the fixture's one-file scan gives one map —
+      // indivisible no matter how skewed
+      val fact = Tables.lineitem(spark, dir).select(
+        when(pmod(col("l_orderkey"), lit(10L)) =!= 0L, lit(1L))
+          .otherwise(col("l_partkey")).as("k"),
+        col("l_quantity"))
+        .repartition(16)
+      val dim = Tables.part(spark, dir)
+        .select(col("p_partkey").as("k"))
+        .withColumn("grp", pmod(col("k"), lit(7L)))
+      // the instrumented run is the PURE join (a downstream stage above
+      // the SMJ suppresses the split even when forced): execute its own
+      // adaptive plan distributed-only and read the final plan's marker
+      val joined = fact.join(dim, Seq("k"))
+      joined.queryExecution.toRdd.count(): Unit
+      val skewHandled = joined.queryExecution.executedPlan.toString()
+        .contains("skew=true")
+      // the answer itself rides a second pass — the audit's declared
+      // instrumentation price, fixture-bounded
+      val rows = fact.join(dim, Seq("k"))
+        .groupBy(col("grp"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("l_quantity")).as("sum_qty"))
+        .collect()
+      import spark.implicits._
+      rows.toSeq.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          skewHandled))
+        .toDF("grp", "n_rows", "sum_qty", "skew_split_planned")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
   /** A56 [EXT] — NDV-SKETCH AUDIT (q216): the third leg of the CBO
     * statistics loop. q207/q215 price range predicates from histograms
     * and q208 prices joins from ndv — but its ndv inputs were exact

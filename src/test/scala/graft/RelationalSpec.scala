@@ -630,6 +630,45 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("q219 AQE skew join: hot partition split at runtime, flag computed, aggregate exact") {
+    val rows = Relational.aqeSkewJoin(spark, TestSpark.Sf0001)
+      .as[(Long, Long, Double, Boolean)].collect().sortBy(_._1)
+    assert(rows.nonEmpty && rows.forall(_._4),
+      s"AQE must mark the skewed join split: ${rows.filterNot(_._4).toSeq}")
+    // exact per-group aggregate against the plain (non-AQE-tuned) join
+    val li = graft.Tables.lineitem(spark, TestSpark.Sf0001)
+      .select(when(pmod(col("l_orderkey"), lit(10L)) =!= 0L, lit(1L))
+        .otherwise(col("l_partkey")).as("k"), col("l_quantity"))
+    val dim = graft.Tables.part(spark, TestSpark.Sf0001)
+      .select(col("p_partkey").as("k"))
+      .withColumn("grp", pmod(col("k"), lit(7L)))
+    val want = li.join(dim, Seq("k")).groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("s"))
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(rows.map(r => (r._1, r._2, r._3)).toSeq == want,
+      s"skew-split join disagrees with the plain join")
+    // the hot key dominates: group (1 % 7) carries most of the mass
+    val hot = rows.find(_._1 == 1L % 7L).get
+    assert(hot._2 > rows.map(_._2).sum / 2, "planted skew missing")
+    // flag computed, not constant: same join with skew handling OFF
+    // finalizes without a skew split
+    val conf = spark.conf
+    val saved = Seq("spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.autoBroadcastJoinThreshold").map(k => k -> conf.getOption(k))
+    conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val off = li.join(dim, Seq("k")).groupBy(col("grp"))
+        .agg(count(lit(1)).as("n"))
+      off.collect()
+      assert(!off.queryExecution.executedPlan.toString().contains("skew=true"),
+        "skew handling disabled must mean no skew split in the final plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
   test("q216 ndv sketch: every (column, rsd) within 3-sigma; flag recomputable from the engine's own sketch") {
     val rows = Relational.ndvSketchAudit(spark, TestSpark.Sf0001)
       .as[(String, String, Long, Long, Long, Boolean)].collect()

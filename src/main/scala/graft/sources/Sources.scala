@@ -253,6 +253,34 @@ object Sources {
     hfs.delete(new org.apache.hadoop.fs.Path(cur), true): Unit
   }
 
+  /** Vacuum for versionedSwap stores: delete every generation the
+    * pointer does not name — the crash-between-flip-and-cleanup leak and
+    * redo-abandoned staged attempts versionedSwap declares. Generations
+    * are PUBLISHED only by the pointer flip, so anything unnamed is
+    * garbage by construction and vacuuming is safe at any instant; the
+    * live store (and a not-yet-swapped raw store) is never touched.
+    * Returns the removed paths. */
+  private[graft] def vacuumGenerations(spark: SparkSession,
+                                       path: String): Seq[String] = {
+    val live = livePath(spark, path)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val hfs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val prefix = p.getName + "__g"
+    val gens =
+      if (!hfs.exists(p.getParent)) Seq.empty
+      else hfs.listStatus(p.getParent).toSeq.map(_.getPath)
+        .filter(_.getName.startsWith(prefix))
+    val rawSuperseded =
+      if (live != path && hfs.exists(p)) Seq(p) else Seq.empty
+    // compare by NAME within the parent — listStatus returns
+    // scheme-qualified paths (file:/...) while the pointer stores the
+    // raw string, so a toString compare would vacuum the live store
+    val liveName = new org.apache.hadoop.fs.Path(live).getName
+    val stale = (gens.filterNot(_.getName == liveName) ++ rawSuperseded)
+    stale.foreach(s => hfs.delete(s, true))
+    stale.map(_.toString)
+  }
+
   /** Catalog-table swap WITHOUT a data-loss window — versionedSwap's
     * discipline for warehouse tables (where a pointer file can't redirect
     * `spark.table`): instead of the old drop-dst-then-rename-staged order

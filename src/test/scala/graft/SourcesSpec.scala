@@ -781,6 +781,39 @@ class SourcesSpec extends AnyFunSuite {
     assert(Sources.livePath(spark, path) == path && readLive() == (50L until 55L).toSet)
   }
 
+  test("vacuumGenerations: removes leaked generations and the superseded raw store, never the live one") {
+    import spark.implicits._
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_vacuum").toString + "/store"
+    spark.range(0, 5).write.parquet(path)
+    Sources.versionedSwap(spark, path) { (live, staged) =>
+      spark.read.parquet(live).select(col("id") + 100L)
+        .toDF("id").write.parquet(staged)
+    }
+    // plant the two declared leak shapes: a crashed staged attempt and a
+    // superseded raw store the post-flip cleanup never reached
+    spark.range(0, 2).write.parquet(s"${path}__g99")
+    spark.range(0, 2).write.mode("overwrite").parquet(path)
+    def readLive(): Set[Long] =
+      spark.read.parquet(Sources.livePath(spark, path))
+        .select(col("id")).as[Long].collect().toSet
+    assert(readLive() == (100L until 105L).toSet)
+    val removed = Sources.vacuumGenerations(spark, path)
+    assert(removed.map(p => p.substring(p.lastIndexOf('/') + 1)).toSet
+      == Set("store__g99", "store"),
+      s"vacuum must remove exactly the leaks, removed $removed")
+    assert(readLive() == (100L until 105L).toSet, "vacuum touched the live store")
+    assert(!new java.io.File(s"${path}__g99").exists())
+    assert(!new java.io.File(path).exists())
+    // idempotent; and a pointerless raw store is never vacuumed
+    assert(Sources.vacuumGenerations(spark, path).isEmpty)
+    val raw = java.nio.file.Files
+      .createTempDirectory("graft_vacuum2").toString + "/store2"
+    spark.range(0, 3).write.parquet(raw)
+    assert(Sources.vacuumGenerations(spark, raw).isEmpty,
+      "a live un-swapped store must never be vacuumed")
+  }
+
   private def walkFiles(d: java.io.File): Seq[java.io.File] =
     if (d.isFile) Seq(d)
     else Option(d.listFiles()).map(_.toSeq.flatMap(walkFiles)).getOrElse(Nil)

@@ -791,7 +791,13 @@ object SparkEntry {
     // the third runtime re-plan verb: AQE splits the 90%-hot shuffle
     // partition at execution (skew=true pinned in the final plan)
     "q219_aqe_skew_join" -> ((s: SparkSession, d: String) =>
-      Relational.aqeSkewJoin(s, d))
+      Relational.aqeSkewJoin(s, d)),
+    // clustering decays under ingest: the unclustered tail forces every
+    // multi-dim probe wide open until OPTIMIZE re-clusters it into a
+    // fresh generation (blue/green pointer flip) — opened-file counts
+    // and the invariant answer both oracle-re-derived
+    "q220_zorder_optimize" -> ((s: SparkSession, d: String) =>
+      graft.sources.Sources.zorderOptimizeLifecycle(s, d))
   )
 
   /** Shared CTE chain ending in `pairs` = the exact-Jaccard near-dup pairs
@@ -1729,6 +1735,71 @@ object SparkEntry {
     "q207_selectivity_estimation" ->
       Seq("l_quantity", "l_partkey").map(selEstSqlFor).mkString(
         "", "\nUNION ALL\n", ""),
+    // the layout is pure integer math (Morton buckets, orderkey-bucket
+    // tail, ok%5 split), so the oracle re-derives both phases' zone
+    // sets, the opened counts, and the invariant answer
+    "q220_zorder_optimize" ->
+      """WITH b AS (
+        |  SELECT CAST(min(l_partkey) AS BIGINT) AS pmin,
+        |         CAST(max(l_partkey) AS BIGINT) AS pmax,
+        |         CAST(min(l_suppkey) AS BIGINT) AS smin,
+        |         CAST(max(l_suppkey) AS BIGINT) AS smax,
+        |         CAST(min(l_orderkey) AS BIGINT) AS omin,
+        |         CAST(max(l_orderkey) AS BIGINT) AS omax
+        |  FROM lineitem),
+        |r AS (
+        |  SELECT CAST(l_orderkey AS BIGINT) AS ok,
+        |         CAST(l_partkey AS BIGINT) AS pk,
+        |         CAST(l_suppkey AS BIGINT) AS sk,
+        |         ((l_partkey - pmin) * 16) // (pmax - pmin + 1) AS bp,
+        |         ((l_suppkey - smin) * 16) // (smax - smin + 1) AS bs
+        |  FROM lineitem, b),
+        |zf AS (
+        |  SELECT ok, pk, sk,
+        |    (( (((bp >> 0) & 1) << 1) | (((bs >> 0) & 1) << 0)
+        |     | (((bp >> 1) & 1) << 3) | (((bs >> 1) & 1) << 2)
+        |     | (((bp >> 2) & 1) << 5) | (((bs >> 2) & 1) << 4)
+        |     | (((bp >> 3) & 1) << 7) | (((bs >> 3) & 1) << 6) ) >> 4)
+        |      AS zfile
+        |  FROM r),
+        |pre_zones AS (
+        |  SELECT 'z' || zfile AS zone, min(pk) AS pk_lo, max(pk) AS pk_hi,
+        |         min(sk) AS sk_lo, max(sk) AS sk_hi
+        |  FROM zf WHERE ok % 5 < 3 GROUP BY 1
+        |  UNION ALL
+        |  SELECT 't' || (ok % 3) || '_'
+        |           || (((ok - omin) * 4) // (omax - omin + 1)),
+        |         min(pk), max(pk), min(sk), max(sk)
+        |  FROM zf, b WHERE ok % 5 >= 3 GROUP BY 1),
+        |post_zones AS (
+        |  SELECT 'z' || zfile AS zone, min(pk) AS pk_lo, max(pk) AS pk_hi,
+        |         min(sk) AS sk_lo, max(sk) AS sk_hi
+        |  FROM zf GROUP BY 1),
+        |pr AS (
+        |  SELECT pmin + (pmax - pmin + 1) // 4 AS plo,
+        |         pmin + (pmax - pmin + 1) // 2 AS phi,
+        |         smin + (smax - smin + 1) // 4 AS slo,
+        |         smin + (smax - smin + 1) // 2 AS shi
+        |  FROM b),
+        |ans AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |         CAST(coalesce(sum(pk), 0) AS BIGINT) AS sum_pk,
+        |         CAST(coalesce(sum(sk), 0) AS BIGINT) AS sum_sk
+        |  FROM zf, pr
+        |  WHERE pk BETWEEN plo AND phi AND sk BETWEEN slo AND shi)
+        |SELECT 'pre' AS phase,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM pre_zones) AS n_files_total,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM pre_zones, pr
+        |   WHERE pk_hi >= plo AND pk_lo <= phi
+        |     AND sk_hi >= slo AND sk_lo <= shi) AS n_files_opened,
+        |  n_rows, sum_pk, sum_sk FROM ans
+        |UNION ALL
+        |SELECT 'post',
+        |  (SELECT CAST(count(*) AS BIGINT) FROM post_zones),
+        |  (SELECT CAST(count(*) AS BIGINT) FROM post_zones, pr
+        |   WHERE pk_hi >= plo AND pk_lo <= phi
+        |     AND sk_hi >= slo AND sk_lo <= shi),
+        |  n_rows, sum_pk, sum_sk FROM ans""".stripMargin,
     // the planted hot key is q215's fixture shape, so the oracle replays
     // the join exactly; the runtime-split flag pinned TRUE (q154 style)
     "q219_aqe_skew_join" ->

@@ -1534,6 +1534,122 @@ object Sources {
         col("n_rows"), col("sum_partkey"), col("min_ok"), col("max_ok"))
   }
 
+  /** W20 [EXT] — INCREMENTAL Z-ORDER OPTIMIZE (q220): the verb that
+    * keeps W14's clustering TRUE under W16's ingest. A z-ordered table
+    * does not stay z-ordered: ticks land in INGEST order (their (pk, sk)
+    * zones span the whole domain), so every multi-dim probe opens the
+    * entire unclustered tail no matter how tight the settled zones are —
+    * the measured decay this row exists to show. OPTIMIZE rewrites
+    * settled + tail into a fresh Morton-clustered generation, published
+    * by `versionedSwap`'s atomic pointer flip (blue/green — a reader at
+    * any instant sees the old layout in full or the new in full), and
+    * the same probe then opens the selective zone set again. Unlike
+    * q211's metadata-only fold, z-order REASSIGNS file membership, so
+    * the new generation's stats are recomputed from what was rewritten —
+    * the declared cost of re-clustering, paid per OPTIMIZE decision.
+    *
+    * Output (one row per phase, everything exact integer math the oracle
+    * replays): files in the layout, files the rectangle probe opens, and
+    * the probe's answer — IDENTICAL pre/post (pruning is sound through
+    * any layout; only the opened-file count moves). Fixture split:
+    * settled = ok%5 < 3 (Morton-clustered), tail = 3 ingest ticks of the
+    * rest (ok%3), each tick in W16's orderkey-bucket files. The probe is
+    * a quarter-domain rectangle on BOTH dims — the shape W14 clusters
+    * for. Scale: ticks stay O(tick) (per-commit stats, dynamic
+    * overwrites); OPTIMIZE is one shuffle-free-read + one clustered
+    * write over the store, amortized across every probe until the next
+    * tail accumulates. Both probe phases materialize eagerly (the pre
+    * phase's generation is superseded by the flip — a lazy read would
+    * dangle). */
+  def zorderOptimizeLifecycle(spark: SparkSession, dir: String,
+                              bits: Int = 4, fileBits: Int = 4,
+                              nTicks: Int = 3,
+                              tailFiles: Int = 4): DataFrame = {
+    val store =
+      scratchDir(spark, s"zopt_${spillSeq.incrementAndGet()}") + "/store"
+    val li = parquet(spark, s"$dir/lineitem.parquet").select(
+      col("l_orderkey").as("ok"), col("l_partkey").as("pk"),
+      col("l_suppkey").as("sk"))
+    val b = li.agg(min(col("pk")), max(col("pk")), min(col("sk")),
+      max(col("sk")), min(col("ok")), max(col("ok"))).head()
+    val (pmin, pmax, smin, smax, omin, omax) =
+      (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3),
+        b.getLong(4), b.getLong(5))
+    val nb = 1L << bits
+    def bucket(c: Column, lo: Long, hi: Long): Column =
+      call_function("div", (c - lit(lo)) * lit(nb), lit(hi - lo + 1L))
+    val zZone = concat(lit("z"), shiftright(
+      mortonCode(bucket(col("pk"), pmin, pmax),
+        bucket(col("sk"), smin, smax), bits), 2 * bits - fileBits))
+    def commit(rows: DataFrame, zone: Column, gen: String,
+               first: Boolean, statsPrefix: String): Unit = {
+      val tagged = rows.withColumn("zone", zone)
+      tagged.repartition(col("zone"))
+        .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+        .partitionBy("zone").parquet(s"$gen/data")
+      // stats from the files READ BACK, commit-bounded (zone is the
+      // partition col, so the prefix filter prunes to this commit)
+      spark.read.parquet(s"$gen/data")
+        .filter(col("zone").startsWith(statsPrefix))
+        .groupBy(col("zone"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("pk")).as("pk_lo"), max(col("pk")).as("pk_hi"),
+          min(col("sk")).as("sk_lo"), max(col("sk")).as("sk_hi"))
+        .write.mode(if (first) "overwrite" else "append")
+        .parquet(s"$gen/stats")
+    }
+    // settled: Morton-clustered; tail: nTicks ingest-order commits
+    commit(li.filter(pmod(col("ok"), lit(5L)) < 3L), zZone, store,
+      first = true, statsPrefix = "z")
+    (0 until nTicks).foreach { t =>
+      commit(li.filter(pmod(col("ok"), lit(5L)) >= 3L &&
+          pmod(col("ok"), lit(nTicks.toLong)) === t),
+        concat(lit(s"t${t}_"), call_function("div",
+          (col("ok") - lit(omin)) * lit(tailFiles.toLong),
+          lit(omax - omin + 1L))),
+        store, first = false, statsPrefix = s"t${t}_")
+    }
+    val (plo, phi) = (pmin + (pmax - pmin + 1L) / 4L,
+      pmin + (pmax - pmin + 1L) / 2L)
+    val (slo, shi) = (smin + (smax - smin + 1L) / 4L,
+      smin + (smax - smin + 1L) / 2L)
+    def probe(phase: String): (String, Long, Long, Long, Long, Long) = {
+      val gen = livePath(spark, store)
+      val stats = spark.read.parquet(s"$gen/stats")
+      val total = stats.count()
+      val zones = stats.filter(col("pk_hi") >= plo && col("pk_lo") <= phi &&
+          col("sk_hi") >= slo && col("sk_lo") <= shi)
+        .select(col("zone")).collect().map(_.getString(0)).toSeq
+      val r = spark.read.parquet(s"$gen/data")
+        .filter(col("zone").isin(zones: _*))
+        .filter(col("pk").between(plo, phi) && col("sk").between(slo, shi))
+        .agg(count(lit(1)), coalesce(sum(col("pk")), lit(0L)),
+          coalesce(sum(col("sk")), lit(0L))).head()
+      (phase, total, zones.length.toLong, r.getLong(0), r.getLong(1),
+        r.getLong(2))
+    }
+    val pre = probe("pre")
+    // OPTIMIZE: re-cluster everything into a fresh generation; the
+    // pointer flip publishes it atomically, rollback = don't flip
+    versionedSwap(spark, store) { (live, staged) =>
+      val all = spark.read.parquet(s"$live/data")
+        .select(col("ok"), col("pk"), col("sk"))
+      val tagged = all.withColumn("zone", zZone)
+      tagged.repartition(col("zone"))
+        .write.mode("overwrite").partitionBy("zone").parquet(s"$staged/data")
+      spark.read.parquet(s"$staged/data")
+        .groupBy(col("zone"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("pk")).as("pk_lo"), max(col("pk")).as("pk_hi"),
+          min(col("sk")).as("sk_lo"), max(col("sk")).as("sk_hi"))
+        .write.mode("overwrite").parquet(s"$staged/stats")
+    }
+    val post = probe("post")
+    import spark.implicits._
+    Seq(pre, post).toDF("phase", "n_files_total", "n_files_opened",
+      "n_rows", "sum_pk", "sum_sk")
+  }
+
   /** q211 — ZONE COMPACTION + METADATA-ONLY STATS FOLD: the maintenance
     * verb that keeps W16's lifecycle viable forever. Every commit adds a
     * (tick, zone) partition, so after T commits a zone's rows are

@@ -781,6 +781,33 @@ class SourcesSpec extends AnyFunSuite {
     assert(Sources.livePath(spark, path) == path && readLive() == (50L until 55L).toSet)
   }
 
+  test("q220 z-order optimize: clustering decay measured, OPTIMIZE restores pruning, answer invariant") {
+    val rows = Sources.zorderOptimizeLifecycle(spark, TestSpark.Sf0001)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    val pre = rows("pre"); val post = rows("post")
+    // the probe's ANSWER is layout-invariant (pruning is sound)
+    assert((pre._4, pre._5, pre._6) == (post._4, post._5, post._6),
+      s"answer must not depend on layout: $pre vs $post")
+    assert(pre._4 > 0, "the rectangle probe must hit rows")
+    // the decay: the unclustered tail forces the probe wide open —
+    // every tail file overlaps a quarter-domain rectangle, so pre opens
+    // MORE files than the clustered post layout has to
+    assert(pre._3 > post._3,
+      s"OPTIMIZE must reduce opened files: pre ${pre._3}, post ${post._3}")
+    assert(pre._2 > post._2,
+      s"OPTIMIZE must fold the tail: ${pre._2} -> ${post._2} files")
+    // post-OPTIMIZE the layout prunes hard: a quarter-domain rectangle
+    // opens at most half the Morton grid even at sf0.001's sparse zones
+    // (sf0.01 measures 4 of 16 — the asymptotic quarter)
+    assert(post._3 * 2 <= post._2,
+      s"clustered probe must open <= 1/2 of files: ${post._3} of ${post._2}")
+    // determinism (the oracle replays the layout math)
+    val again = Sources.zorderOptimizeLifecycle(spark, TestSpark.Sf0001)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSet
+    assert(again == rows.values.toSet, "lifecycle must be deterministic")
+  }
+
   test("vacuumGenerations: removes leaked generations and the superseded raw store, never the live one") {
     import spark.implicits._
     val path = java.nio.file.Files

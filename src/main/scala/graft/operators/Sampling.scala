@@ -388,18 +388,17 @@ object Sampling {
     * exactly what this audit quantifies; the per-doc rows show the
     * within-source leakage the group split exists to kill.
     *
-    * Scale: the pair relation — the expensive part — is the audited
-    * inverted-index machinery, computed ONCE and spilled for both
-    * strategies (the q181 one-pass-many-gates shape); each strategy adds
-    * two id-grain split joins and a hash agg on the 6-cell key.
+    * Scale: the pair relation — the expensive part — is the session-
+    * shared [[Dedup.ensureJaccardPairs]] leaf (built once per (session,
+    * dir, threshold), consumed here for both strategies — the q181
+    * one-pass-many-gates shape); each strategy adds two id-grain split
+    * joins and a hash agg on the 6-cell key.
     */
   def splitLeakageAudit(spark: SparkSession, dir: String,
                         threshold: Double = 0.5, seed: Long = 42L): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val pairs = graft.sources.Sources.spillScratch(
-      Dedup.ngramJaccardPairsFor(docs, threshold)
-        .select(col("doc_a"), col("doc_b")),
-      "leak_pairs")
+    val pairs = Dedup.ensureJaccardPairs(spark, dir, threshold)
+      .select(col("doc_a"), col("doc_b"))
     def strat(name: String, key: org.apache.spark.sql.Column): DataFrame = {
       val s = docs.select(col("doc_id"), splitOf(key, seed).as("split"))
       pairs

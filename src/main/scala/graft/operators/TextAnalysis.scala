@@ -1724,8 +1724,8 @@ object TextAnalysis {
     * Output (metric, value) rows, values double for one uniform schema.
     *
     * Scale: one corpus scan feeds all the scalar stats (single agg);
-    * the pair relation — the expensive part — is the audited
-    * inverted-index machinery computed ONCE and spilled for the pair
+    * the pair relation — the expensive part — is the session-shared
+    * [[Dedup.ensureJaccardPairs]] leaf, consumed here for the pair
     * count, the touched-doc count, and the cross-split contamination
     * count (the q181/q187 discipline).
     */
@@ -1753,10 +1753,8 @@ object TextAnalysis {
       .agg(sum(col("n")).as("nn"), sum(col("n") * log(col("n"))).as("s2"))
       .select(round((log(col("nn").cast("double")) - col("s2") / col("nn"))
         .cast(dec), 6).cast("double").as("lang_entropy"))
-    val pairs = graft.sources.Sources.spillScratch(
-      Dedup.ngramJaccardPairsFor(docs, threshold)
-        .select(col("doc_a"), col("doc_b")),
-      "datacard_pairs")
+    val pairs = Dedup.ensureJaccardPairs(spark, dir, threshold)
+      .select(col("doc_a"), col("doc_b"))
     val pairStats = pairs.agg(count(lit(1)).as("neardup_pairs"))
       .crossJoin(pairs.select(col("doc_a").as("id"))
         .unionByName(pairs.select(col("doc_b").as("id")))

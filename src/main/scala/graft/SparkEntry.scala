@@ -797,7 +797,12 @@ object SparkEntry {
     // fresh generation (blue/green pointer flip) — opened-file counts
     // and the invariant answer both oracle-re-derived
     "q220_zorder_optimize" -> ((s: SparkSession, d: String) =>
-      graft.sources.Sources.zorderOptimizeLifecycle(s, d))
+      graft.sources.Sources.zorderOptimizeLifecycle(s, d)),
+    // the CBO loop's consumer: A44's advice executed BOTH ways per
+    // audited join — observed plan shape per arm (oracle re-derives the
+    // expected shape from the same row counts), results arm-identical
+    "q221_cbo_plan_flip" -> ((s: SparkSession, d: String) =>
+      Relational.cboPlanFlipAudit(s, d))
   )
 
   /** Shared CTE chain ending in `pairs` = the exact-Jaccard near-dup pairs
@@ -1802,6 +1807,46 @@ object SparkEntry {
         |  n_rows, sum_pk, sum_sk FROM ans""".stripMargin,
     // the planted hot key is q215's fixture shape, so the oracle replays
     // the join exactly; the runtime-split flag pinned TRUE (q154 style)
+    // the full decision re-derived: side counts -> advice at the row
+    // threshold -> EXPECTED plan shape per arm (advice for followed,
+    // flipped for inverted) -> the joined aggregate once per join — a
+    // hash match proves the engine EXECUTED the shape its stats chose
+    // and that both shapes return identical answers
+    "q221_cbo_plan_flip" ->
+      """WITH s AS (
+        |  SELECT 'customer*nation' AS join_label,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM customer) AS n_left,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM nation) AS n_right,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM customer c
+        |       JOIN nation n ON c.c_nationkey = n.n_nationkey) AS n_rows,
+        |    (SELECT CAST(sum(CAST(c_custkey AS BIGINT)) AS BIGINT)
+        |       FROM customer c
+        |       JOIN nation n ON c.c_nationkey = n.n_nationkey) AS sum_val
+        |  UNION ALL
+        |  SELECT 'lineitem*orders',
+        |    (SELECT CAST(count(*) AS BIGINT) FROM lineitem),
+        |    (SELECT CAST(count(*) AS BIGINT) FROM orders),
+        |    (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+        |       JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |    (SELECT CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)
+        |       FROM lineitem l
+        |       JOIN orders o ON l.l_orderkey = o.o_orderkey)),
+        |adv AS (
+        |  SELECT *, CASE WHEN least(n_left, n_right) <= 10000
+        |    THEN 'broadcast' ELSE 'shuffle' END AS advice FROM s),
+        |arms AS (
+        |  SELECT *, 'followed' AS arm, TRUE AS followed,
+        |    advice AS executed FROM adv
+        |  UNION ALL
+        |  SELECT *, 'inverted', FALSE,
+        |    CASE WHEN advice = 'broadcast' THEN 'shuffle'
+        |      ELSE 'broadcast' END FROM adv)
+        |SELECT join_label, arm, advice,
+        |  CASE WHEN executed = 'broadcast' THEN 'BroadcastHashJoin'
+        |    ELSE 'SortMergeJoin' END AS executed_join,
+        |  followed, n_left, n_right,
+        |  CAST(10000 AS BIGINT) AS broadcast_limit, n_rows, sum_val
+        |FROM arms""".stripMargin,
     "q219_aqe_skew_join" ->
       """WITH fact AS (
         |  SELECT CASE WHEN l_orderkey % 10 <> 0 THEN 1

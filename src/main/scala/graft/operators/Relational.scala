@@ -1698,4 +1698,92 @@ object Relational {
             .otherwise(col("est_rows") * lit(1000000L)))
     }.reduce(_.unionByName(_))
   }
+
+  /** J17 [EXT] — CBO PLAN-FLIPPING CONSUMER (q221): the query that
+    * CLOSES the statistics loop. A45/A46/A55/A56 collect stats, A44
+    * prices broadcast-vs-shuffle from them ([[adviseJoin]]), A52/A53
+    * audit the estimates — this row is the first consumer that ACTS on
+    * the advice: per audited join it takes the advisor's strategy call,
+    * executes the join BOTH ways — advice-followed and advice-inverted
+    * (the q218/q219 disabled-twin discipline: the flip proves the
+    * decision is computed, not hard-coded) — and emits, per arm, the
+    * OBSERVED executed join operator read from the final adaptive plan.
+    * The oracle re-derives the decision inputs (side row counts, the
+    * row-count broadcast threshold), the advice, and the EXPECTED plan
+    * shape per arm, so a hash match proves the physical plan the engine
+    * actually ran is the one its own statistics chose; it also
+    * re-derives the joined aggregate once, so the two arms hashing green
+    * pins result-identity across plan shapes (the SURVEY §4.3 thesis:
+    * strategy changes cost, never answers).
+    *
+    * Joins audited: one broadcast-advised at every fixture scale
+    * (customer⋈nation — a 25-row dim) and one that crosses the
+    * threshold with scale (lineitem⋈orders — shuffle-advised from
+    * sf0.01 up), so both strategy branches execute at the driver's
+    * verify SF. Broadcast thresholds are scoped to −1 (static AND
+    * adaptive) and restored in `finally`, so join hints alone pick the
+    * physical operator and AQE cannot un-flip the inverted arm; all
+    * four arms materialize EAGERLY inside the conf scope (the
+    * registry's lazy-DF contract).
+    *
+    * Scale: the advisor pass is A44's narrow keys-only aggregate; each
+    * arm is one real join. At 100 TB the inverted arm is the audit you
+    * run once per advisor change on a sampled partition, not per query
+    * — the followed arm IS the production plan. */
+  def cboPlanFlipAudit(spark: SparkSession, dir: String,
+                       broadcastRows: Long = 10000L): DataFrame = {
+    val conf = spark.conf
+    val scoped = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val saved = scoped.map { case (k, _) => k -> conf.getOption(k) }
+    scoped.foreach { case (k, v) => conf.set(k, v) }
+    try {
+      val joins = Seq(
+        ("customer*nation", Tables.customer(spark, dir), "c_nationkey",
+          Tables.nation(spark, dir), "n_nationkey", "c_custkey"),
+        ("lineitem*orders", Tables.lineitem(spark, dir), "l_orderkey",
+          Tables.orders(spark, dir), "o_orderkey", "l_quantity"))
+      val out = joins.flatMap { case (label, left, lk, right, rk, sumCol) =>
+        val a = adviseJoin(label, left, lk, right, rk, broadcastRows)
+          .select(col("strategy"), col("n_left"), col("n_right"),
+            col("build_side")).head()
+        val (advice, nLeft, nRight, build) =
+          (a.getString(0), a.getLong(1), a.getLong(2), a.getString(3))
+        def run(strategy: String): (String, Long, Long) = {
+          val on = col(lk) === col(rk)
+          val j = strategy match {
+            case "broadcast" =>
+              // build side = the advisor's (the smaller) — broadcasting
+              // the BIGGER side would test a plan nobody advises
+              if (build == "right") left.join(broadcast(right), on)
+              else broadcast(left).join(right, on)
+            case _ => left.hint("merge").join(right.hint("merge"), on)
+          }
+          val agg = j.agg(count(lit(1)).as("n"),
+            sum(col(sumCol).cast("long")).as("s"))
+          val r = agg.head() // EAGER: the conf scope must cover execution
+          val plan = agg.queryExecution.executedPlan.toString()
+          val shape =
+            if (plan.contains("BroadcastHashJoin")) "BroadcastHashJoin"
+            else if (plan.contains("SortMergeJoin")) "SortMergeJoin"
+            else "other"
+          (shape, r.getLong(0), r.getLong(1))
+        }
+        val inverted = if (advice == "broadcast") "shuffle" else "broadcast"
+        Seq(("followed", advice), ("inverted", inverted)).map {
+          case (arm, strat) =>
+            val (shape, nRows, sumVal) = run(strat)
+            (label, arm, advice, shape, arm == "followed",
+              nLeft, nRight, broadcastRows, nRows, sumVal)
+        }
+      }
+      import spark.implicits._
+      out.toDF("join_label", "arm", "advice", "executed_join", "followed",
+        "n_left", "n_right", "broadcast_limit", "n_rows", "sum_val")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
 }

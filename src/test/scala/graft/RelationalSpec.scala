@@ -669,6 +669,64 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("q221 CBO plan flip: advice executed (shape pinned both ways), arms result-identical, decision threshold-driven") {
+    val rows = Relational.cboPlanFlipAudit(spark, TestSpark.Sf0001)
+      .as[(String, String, String, String, Boolean, Long, Long, Long, Long, Long)]
+      .collect().toSeq
+    assert(rows.length == 4, s"want 2 joins x 2 arms, got ${rows.length}")
+    val byJoin = rows.groupBy(_._1)
+    byJoin.foreach { case (label, arms) =>
+      val followed = arms.find(_._2 == "followed").get
+      val inverted = arms.find(_._2 == "inverted").get
+      def shapeOf(strategy: String) =
+        if (strategy == "broadcast") "BroadcastHashJoin" else "SortMergeJoin"
+      // the physical claim: the engine EXECUTED the advised shape, and
+      // the inverted arm executed the other one (the flip proves the
+      // decision reaches the planner — neither arm is a constant)
+      assert(followed._4 == shapeOf(followed._3),
+        s"$label followed arm ran ${followed._4}, advice ${followed._3}")
+      val flipped = if (followed._3 == "broadcast") "shuffle" else "broadcast"
+      assert(inverted._4 == shapeOf(flipped),
+        s"$label inverted arm ran ${inverted._4}, want ${shapeOf(flipped)}")
+      assert(followed._4 != inverted._4, s"$label arms ran the same shape")
+      assert(followed._5 && !inverted._5, s"$label followed flags wrong")
+      // the semantic claim: strategy changes cost, never answers
+      assert((followed._9, followed._10) == (inverted._9, inverted._10),
+        s"$label arms disagree: ${(followed._9, followed._10)} vs " +
+          s"${(inverted._9, inverted._10)}")
+      // the decision is the threshold rule over the emitted stats, not
+      // a hard-coded string
+      val want = if (math.min(followed._6, followed._7) <= followed._8)
+        "broadcast" else "shuffle"
+      assert(followed._3 == want,
+        s"$label advice ${followed._3} != threshold rule $want " +
+          s"(n_left=${followed._6} n_right=${followed._7})")
+    }
+    // aggregate exact against the plain join (one join suffices — the
+    // oracle pins both at verify time)
+    val cn = byJoin("customer*nation").head
+    val want = graft.Tables.customer(spark, TestSpark.Sf0001)
+      .join(graft.Tables.nation(spark, TestSpark.Sf0001),
+        col("c_nationkey") === col("n_nationkey"))
+      .agg(count(lit(1)), sum(col("c_custkey").cast("long")))
+      .as[(Long, Long)].head()
+    assert((cn._9, cn._10) == want, s"customer*nation ${(cn._9, cn._10)} != $want")
+    // the threshold KNOB drives the plan: at broadcastRows=1 every
+    // advice turns shuffle and the followed arms all run SortMergeJoin
+    val tight = Relational.cboPlanFlipAudit(spark, TestSpark.Sf0001,
+        broadcastRows = 1L)
+      .as[(String, String, String, String, Boolean, Long, Long, Long, Long, Long)]
+      .collect().toSeq
+    assert(tight.filter(_._2 == "followed")
+        .forall(r => r._3 == "shuffle" && r._4 == "SortMergeJoin"),
+      s"broadcastRows=1 must shuffle-advise every join: $tight")
+    // and arms stay result-identical under the flipped advice too
+    tight.groupBy(_._1).foreach { case (label, arms) =>
+      assert(arms.map(r => (r._9, r._10)).distinct.size == 1,
+        s"$label arms disagree under broadcastRows=1")
+    }
+  }
+
   test("q216 ndv sketch: every (column, rsd) within 3-sigma; flag recomputable from the engine's own sketch") {
     val rows = Relational.ndvSketchAudit(spark, TestSpark.Sf0001)
       .as[(String, String, Long, Long, Long, Boolean)].collect()

@@ -802,7 +802,13 @@ object SparkEntry {
     // audited join — observed plan shape per arm (oracle re-derives the
     // expected shape from the same row counts), results arm-identical
     "q221_cbo_plan_flip" -> ((s: SparkSession, d: String) =>
-      Relational.cboPlanFlipAudit(s, d))
+      Relational.cboPlanFlipAudit(s, d)),
+    // the versionedSwap family's GC, exercised end-to-end: both declared
+    // leak shapes planted on a published store, vacuumed (exactly 2
+    // paths, idempotent), the live generation's data intact (read-back
+    // aggregates oracle-re-derived)
+    "q222_vacuum_generations" -> ((s: SparkSession, d: String) =>
+      graft.sources.Sources.vacuumGenerationsAudit(s, d))
   )
 
   /** Shared CTE chain ending in `pairs` = the exact-Jaccard near-dup pairs
@@ -1807,6 +1813,17 @@ object SparkEntry {
         |  n_rows, sum_pk, sum_sk FROM ans""".stripMargin,
     // the planted hot key is q215's fixture shape, so the oracle replays
     // the join exactly; the runtime-split flag pinned TRUE (q154 style)
+    // the planted-leak counts are the audit's fixed contract (2 leaks in,
+    // 2 paths out, second vacuum 0, one swap -> generation 1); the live
+    // store's read-back aggregates re-derived from the documents table —
+    // green proves the vacuum deleted the garbage and ONLY the garbage
+    "q222_vacuum_generations" ->
+      """SELECT CAST(2 AS BIGINT) AS n_removed,
+        |  CAST(0 AS BIGINT) AS n_removed_again,
+        |  CAST(1 AS BIGINT) AS live_gen,
+        |  CAST(count(DISTINCT lang) AS BIGINT) AS live_rows,
+        |  CAST(count(*) AS BIGINT) AS total_docs
+        |FROM documents""".stripMargin,
     // the full decision re-derived: side counts -> advice at the row
     // threshold -> EXPECTED plan shape per arm (advice for followed,
     // flipped for inverted) -> the joined aggregate once per join — a

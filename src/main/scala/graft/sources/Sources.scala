@@ -281,6 +281,53 @@ object Sources {
     stale.map(_.toString)
   }
 
+  /** W21 [EXT] — GENERATION-VACUUM AUDIT (q222): the registry row that
+    * exercises [[vacuumGenerations]] — the GC every versionedSwap store
+    * (q75/q139/q141/q211/q220 compactions, the streaming reservoir)
+    * depends on for the leaks its crash contract DECLARES: a generation
+    * superseded between the pointer flip and its cleanup, and a staged
+    * attempt abandoned by a crash before the flip. The audit builds a
+    * store whose content the oracle re-derives (per-lang doc counts),
+    * publishes one compaction generation through [[versionedSwap]],
+    * PLANTS both leak shapes (an abandoned `__g99` staged dir and a
+    * re-created superseded raw store), vacuums, and returns: the
+    * removed-path count (exactly the two planted leaks), a second
+    * vacuum's count (0 — idempotence), the live generation number (1 —
+    * one swap happened), and the live store's read-back aggregates
+    * (rows and total docs, both oracle-re-derived from the documents
+    * table — green proves the vacuum never touched the published data).
+    *
+    * Private per-run root, never [[ensureStore]]: the audit tears and
+    * plants store states (the crash-replay-spec discipline). Scale:
+    * vacuum is one directory listing plus |stale| deletes — metadata-
+    * sized at any corpus scale; the store build is fixture-bounded. */
+  def vacuumGenerationsAudit(spark: SparkSession, dir: String): DataFrame = {
+    val root = scratchDir(spark, s"vacaud_${spillSeq.incrementAndGet()}")
+    val path = s"$root/store"
+    val perLang = graft.Tables.documents(spark, dir)
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+    perLang.write.mode("overwrite").parquet(path)
+    versionedSwap(spark, path) { (live, staged) =>
+      spark.read.parquet(live).coalesce(1).write.parquet(staged)
+    }
+    // the two declared leak shapes: a crashed staged attempt and a
+    // superseded raw store the post-flip cleanup never reached
+    spark.range(0, 2).write.parquet(s"${path}__g99")
+    perLang.limit(1).write.mode("overwrite").parquet(path)
+    val removed = vacuumGenerations(spark, path)
+    val removedAgain = vacuumGenerations(spark, path)
+    val live = livePath(spark, path)
+    val liveGen = live.substring(live.lastIndexOf("__g") + 3).toLong
+    val back = spark.read.parquet(live)
+      .agg(count(lit(1)).as("live_rows"),
+        sum(col("n_docs")).as("total_docs")).head()
+    import spark.implicits._
+    Seq((removed.size.toLong, removedAgain.size.toLong, liveGen,
+        back.getLong(0), back.getLong(1)))
+      .toDF("n_removed", "n_removed_again", "live_gen", "live_rows",
+        "total_docs")
+  }
+
   /** Catalog-table swap WITHOUT a data-loss window — versionedSwap's
     * discipline for warehouse tables (where a pointer file can't redirect
     * `spark.table`): instead of the old drop-dst-then-rename-staged order

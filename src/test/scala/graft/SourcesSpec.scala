@@ -841,6 +841,22 @@ class SourcesSpec extends AnyFunSuite {
       "a live un-swapped store must never be vacuumed")
   }
 
+  test("q222 vacuum audit: exactly the planted leaks removed, idempotent, live data intact, re-runnable in one session") {
+    import spark.implicits._
+    val got = Sources.vacuumGenerationsAudit(spark, TestSpark.Sf0001)
+      .as[(Long, Long, Long, Long, Long)].head()
+    val want = graft.Tables.documents(spark, TestSpark.Sf0001)
+      .agg(countDistinct(col("lang")), count(lit(1)))
+      .as[(Long, Long)].head()
+    assert(got == (2L, 0L, 1L, want._1, want._2),
+      s"audit row $got != (2, 0, 1, ${want._1}, ${want._2})")
+    // the bench runs a query twice in one session: the private per-run
+    // root must make the second lifecycle independent of the first
+    val again = Sources.vacuumGenerationsAudit(spark, TestSpark.Sf0001)
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(again == got, s"second run $again != first $got")
+  }
+
   private def walkFiles(d: java.io.File): Seq[java.io.File] =
     if (d.isFile) Seq(d)
     else Option(d.listFiles()).map(_.toSeq.flatMap(walkFiles)).getOrElse(Nil)

@@ -1468,7 +1468,18 @@ object Relational {
     * a hot key trips it unaided), broadcast off (skew split is a
     * SHUFFLE-join verb; a dim small enough to broadcast moots it). The
     * aggregate materializes eagerly inside the scope — AQE only marks
-    * skew splits in the FINAL plan, so the flag requires execution. */
+    * skew splits in the FINAL plan, so the flag requires execution.
+    *
+    * ONE pass since r16: the r13 claim that a stage above the SMJ
+    * suppresses the split does not hold on this shape — the groupBy key
+    * (`grp`) differs from the join key, so the aggregate needs its own
+    * Exchange regardless and the split introduces no extra shuffle;
+    * `SkewFoldProbe` measured `skew=true` in the aggregate query's own
+    * final adaptive plan at sf0.001/0.01/0.1 (force still required at
+    * sf0.001, whose shuffle blocks sit under the thresholds otherwise).
+    * The marker is therefore read from the answer pass itself and the
+    * instrumented pure-join pre-pass is gone — the one registry query
+    * that executed its join twice now executes it once. */
   def aqeSkewJoin(spark: SparkSession, dir: String): DataFrame = {
     val conf = spark.conf
     val scoped = Seq(
@@ -1499,19 +1510,15 @@ object Relational {
       val dim = Tables.part(spark, dir)
         .select(col("p_partkey").as("k"))
         .withColumn("grp", pmod(col("k"), lit(7L)))
-      // the instrumented run is the PURE join (a downstream stage above
-      // the SMJ suppresses the split even when forced): execute its own
-      // adaptive plan distributed-only and read the final plan's marker
-      val joined = fact.join(dim, Seq("k"))
-      joined.queryExecution.toRdd.count(): Unit
-      val skewHandled = joined.queryExecution.executedPlan.toString()
-        .contains("skew=true")
-      // the answer itself rides a second pass — the audit's declared
-      // instrumentation price, fixture-bounded
-      val rows = fact.join(dim, Seq("k"))
+      // ONE execution: the answer pass's own final adaptive plan carries
+      // the marker (see the scaladoc — the split survives the grouping
+      // stage because grp is not the join key, SkewFoldProbe-measured)
+      val agg = fact.join(dim, Seq("k"))
         .groupBy(col("grp"))
         .agg(count(lit(1)).as("n_rows"), sum(col("l_quantity")).as("sum_qty"))
-        .collect()
+      val rows = agg.collect()
+      val skewHandled = agg.queryExecution.executedPlan.toString()
+        .contains("skew=true")
       import spark.implicits._
       rows.toSeq.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
           skewHandled))

@@ -955,7 +955,12 @@ object Dedup {
     * driver/executor budgets, where 200k × wider embeddings would not be.
     */
   def embeddingNearDupPairs(spark: SparkSession, dir: String, threshold: Double = 0.4,
-                            maxExactRows: Long = 50000L): DataFrame = {
+                            maxExactRows: Long = 50000L): DataFrame =
+    ensureEmbedPairs(spark, dir, threshold, maxExactRows)
+
+  private def embeddingNearDupPairsRouted(spark: SparkSession, dir: String,
+                                          threshold: Double,
+                                          maxExactRows: Long): DataFrame = {
     val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
     val n = corpusRowCount(spark, dir, "embeddings", e)
     if (n <= maxExactRows)
@@ -965,6 +970,58 @@ object Dedup {
     else
       embeddingNearDupPairsBlockedFor(e, threshold,
         nBlocks = math.min(1024L, n / 100000L + 2L).toInt)
+  }
+
+  /** Session-shared embedding-pair leaf — [[ensureJaccardPairs]]'s
+    * discipline on the embedding side: the routed near-dup pair relation
+    * (id_a, id_b, cos) at (threshold, maxExactRows) is a pure function
+    * of its key (the route is count-deterministic, the kernel 6dp-
+    * rounded), re-derived per run by q20 (the router contract row), q58
+    * (clusters = CC over these edges), and q169 (cohesion over those
+    * clusters) until r16. Built once per (session, dir, threshold,
+    * maxExactRows); every consumer reads the spill back with a declared
+    * schema. */
+  def ensureEmbedPairs(spark: SparkSession, dir: String,
+                       threshold: Double = 0.4,
+                       maxExactRows: Long = 50000L): DataFrame = {
+    val idType = Tables.embeddings(spark, dir).schema("vec_id").dataType
+    val root = graft.sources.Sources.ensureStore(spark, "embpairs",
+        s"$dir|$threshold|$maxExactRows") { p =>
+      embeddingNearDupPairsRouted(spark, dir, threshold, maxExactRows)
+        .write.mode("overwrite").parquet(p)
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id_a", idType),
+      org.apache.spark.sql.types.StructField("id_b", idType),
+      org.apache.spark.sql.types.StructField("cos",
+        org.apache.spark.sql.types.DoubleType)))
+    spark.read.schema(schema).parquet(root)
+  }
+
+  /** Session-shared embedding-cluster leaf: the CC resolution over
+    * [[ensureEmbedPairs]] — q58's whole output and q169's label input,
+    * each of which re-ran the O(log² n)-round CC alternation per query
+    * until r16. Content is deterministic (min-label CC over a
+    * deterministic edge set). */
+  def ensureEmbedClusters(spark: SparkSession, dir: String,
+                          threshold: Double = 0.4): DataFrame = {
+    val idType = Tables.embeddings(spark, dir).schema("vec_id").dataType
+    val root = graft.sources.Sources.ensureStore(spark, "embclusters",
+        s"$dir|$threshold") { p =>
+      val pairs = ensureEmbedPairs(spark, dir, threshold)
+      val vertices = Tables.embeddings(spark, dir).select(col("vec_id").as("id"))
+      connectedComponents(vertices,
+        pairs.select(col("id_a").as("src"), col("id_b").as("dst")))
+        .select(col("id").as("vec_id"), col("lbl").as("cluster_id"),
+          (col("lbl") === col("id")).as("keep"))
+        .write.mode("overwrite").parquet(p)
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("vec_id", idType),
+      org.apache.spark.sql.types.StructField("cluster_id", idType),
+      org.apache.spark.sql.types.StructField("keep",
+        org.apache.spark.sql.types.BooleanType)))
+    spark.read.schema(schema).parquet(root)
   }
 
   /** Connected components over an undirected edge set by the
@@ -1246,14 +1303,8 @@ object Dedup {
     * downgrade (a lossy edge set would under-merge clusters).
     */
   def embeddingNearDupClusters(spark: SparkSession, dir: String,
-                               threshold: Double = 0.4): DataFrame = {
-    val pairs = embeddingNearDupPairs(spark, dir, threshold)
-    val vertices = Tables.embeddings(spark, dir).select(col("vec_id").as("id"))
-    connectedComponents(vertices,
-      pairs.select(col("id_a").as("src"), col("id_b").as("dst")))
-      .select(col("id").as("vec_id"), col("lbl").as("cluster_id"),
-        (col("lbl") === col("id")).as("keep"))
-  }
+                               threshold: Double = 0.4): DataFrame =
+    ensureEmbedClusters(spark, dir, threshold)
 
   /** D29 [EXT] — CLUSTER COHESION AUDIT: connected components over-merge
     * by construction — a near-dup CHAIN (a~b ≥ t, b~c ≥ t, a~c < t) lands

@@ -1267,8 +1267,30 @@ object Similarity {
   def knnLabelAudit(spark: SparkSession, dir: String, k: Int = 5,
                     exactCap: Long = 10000L): DataFrame = {
     val e = Tables.embeddings(spark, dir)
-    knnLabelAuditOver(knnEdgesRouted(e, k, exactCap),
+    knnLabelAuditOver(ensureKnnEdges(spark, dir, k, exactCap),
       e.select(col("vec_id"), col("label")))
+  }
+
+  /** Session-shared kNN edge leaf — the pair-leaf discipline
+    * (`Dedup.ensureJaccardPairs`) on the audit graph: q152 and q157 each
+    * re-ran [[knnEdgesRouted]]'s \|V\|²-scoring pass (the audits'
+    * dominant cost) on the identical (dir, k, exactCap) key until r16.
+    * Edge content is deterministic — the exact route's rounded total
+    * order and the routed route's seeded codebook both replay
+    * bit-for-bit — so sharing changes cost, never results. */
+  private[graft] def ensureKnnEdges(spark: SparkSession, dir: String,
+                                    k: Int, exactCap: Long,
+                                    nProbe: Int = 32): DataFrame = {
+    val idType = Tables.embeddings(spark, dir).schema("vec_id").dataType
+    val root = graft.sources.Sources.ensureStore(spark, "knnedges",
+        s"$dir|$k|$exactCap|$nProbe") { p =>
+      knnEdgesRouted(Tables.embeddings(spark, dir), k, exactCap, nProbe)
+        .write.mode("overwrite").parquet(p)
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("query_id", idType),
+      org.apache.spark.sql.types.StructField("cand_id", idType)))
+    spark.read.schema(schema).parquet(root)
   }
 
   /** Audit edge-build router: exact all-pairs under `exactCap` corpus
@@ -1368,7 +1390,7 @@ object Similarity {
                             k: Int = 5, exactCap: Long = 10000L): DataFrame = {
     val e = Tables.embeddings(spark, dir)
     val lab = e.select(col("vec_id"), col("label"))
-    val hist = knnEdgesRouted(e, k, exactCap)
+    val hist = ensureKnnEdges(spark, dir, k, exactCap)
       .join(lab.select(col("vec_id").as("cand_id"),
         col("label").as("nb_label")), "cand_id")
       .groupBy(col("query_id"), col("nb_label"))

@@ -709,4 +709,35 @@ class DedupSpec extends AnyFunSuite {
       case _ =>
     }
   }
+
+  test("shared leaves equal their direct derivations (the pure-function-of-key contract)") {
+    import spark.implicits._
+    // text pairs: the session-shared leaf IS the direct inverted-index verb
+    val direct = Dedup.ngramJaccardPairsFor(
+      Tables.documents(spark, TestSpark.Sf0001), 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    val leaf = Dedup.ensureJaccardPairs(spark, TestSpark.Sf0001, 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(leaf == direct && leaf.nonEmpty,
+      s"text pair leaf diverged: ${leaf.size} vs ${direct.size}")
+    // embedding pairs: fixture under the cap -> leaf == the exact kernel
+    val e = Tables.embeddings(spark, TestSpark.Sf0001)
+      .select(col("vec_id"), col("embedding"))
+    val exactE = Dedup.embeddingNearDupPairsExactFor(e, 0.4)
+      .as[(Long, Long, Double)].collect().toSet
+    val leafE = Dedup.ensureEmbedPairs(spark, TestSpark.Sf0001, 0.4)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(leafE == exactE && leafE.nonEmpty,
+      s"embed pair leaf diverged: ${leafE.size} vs ${exactE.size}")
+    // clusters: leaf == CC re-run over the same edges
+    val cc = Dedup.connectedComponents(
+      e.select(col("vec_id").as("id")),
+      Dedup.ensureEmbedPairs(spark, TestSpark.Sf0001, 0.4)
+        .select(col("id_a").as("src"), col("id_b").as("dst")))
+      .select(col("id"), col("lbl")).as[(Long, Long)].collect().toSet
+    val leafC = Dedup.ensureEmbedClusters(spark, TestSpark.Sf0001, 0.4)
+      .select(col("vec_id"), col("cluster_id"))
+      .as[(Long, Long)].collect().toSet
+    assert(leafC == cc, s"cluster leaf diverged: ${leafC.size} vs ${cc.size}")
+  }
 }

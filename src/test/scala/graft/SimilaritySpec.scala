@@ -590,6 +590,16 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.6, s"IVF edge recall $recall at nProbe=8/16 lists")
   }
 
+  test("shared kNN edge leaf equals the direct routed derivation (pure function of its key)") {
+    val direct = Similarity.knnEdgesRouted(
+      graft.Tables.embeddings(spark, TestSpark.Sf0001), k = 5,
+      exactCap = 10000L).as[(Long, Long)].collect().toSet
+    val leaf = Similarity.ensureKnnEdges(spark, TestSpark.Sf0001,
+      k = 5, exactCap = 10000L).as[(Long, Long)].collect().toSet
+    assert(leaf == direct && leaf.nonEmpty,
+      s"kNN edge leaf diverged: ${leaf.size} vs ${direct.size}")
+  }
+
   test("q159 ranking agreement matches a driver-side recompute from the two legs") {
     val depth = 20
     val lex = TextAnalysis.bm25TopK(spark, TestSpark.Sf0001, 5, depth)

@@ -808,7 +808,13 @@ object SparkEntry {
     // paths, idempotent), the live generation's data intact (read-back
     // aggregates oracle-re-derived)
     "q222_vacuum_generations" -> ((s: SparkSession, d: String) =>
-      graft.sources.Sources.vacuumGenerationsAudit(s, d))
+      graft.sources.Sources.vacuumGenerationsAudit(s, d)),
+    // REAL PCM WAV decode (the declared stub now covers MP4 only):
+    // planted RIFF containers — every third with a skipped LIST chunk and
+    // its pad byte — parsed back in executors; every emitted format field
+    // and integer audio feature re-derived by the oracle from id math
+    "q223_wav_decode" -> ((s: SparkSession, d: String) =>
+      graft.multimodal.Multimodal.wavDecodeAudit(s))
   )
 
   /** Shared CTE chain ending in `pairs` = the exact-Jaccard near-dup pairs
@@ -1813,6 +1819,30 @@ object SparkEntry {
         |  n_rows, sum_pk, sum_sk FROM ans""".stripMargin,
     // the planted hot key is q215's fixture shape, so the oracle replays
     // the join exactly; the runtime-split flag pinned TRUE (q154 style)
+    // the full decode round trip re-derived from the id formula: sample
+    // values via ((id*31 + i*17) % 2048) - 1024, features via window/agg,
+    // the skipped-chunk count via the id%3 plant rule — a hash match
+    // proves the engine's RIFF walk returned exactly the planted samples
+    "q223_wav_decode" ->
+      """WITH s AS (
+        |  SELECT id.g AS id, i.g AS i,
+        |    ((id.g * 31 + i.g * 17) % 2048) - 1024 AS v
+        |  FROM generate_series(0, 49) AS id(g),
+        |       generate_series(0, 255) AS i(g))
+        |SELECT CAST(s.id AS BIGINT) AS media_id,
+        |  CAST(256 AS BIGINT) AS n_samples,
+        |  CAST(8000 AS BIGINT) AS sample_rate,
+        |  CAST(1 AS BIGINT) AS n_channels,
+        |  CAST(16 AS BIGINT) AS bits,
+        |  CAST(max(abs(s.v)) AS BIGINT) AS peak,
+        |  CAST(sum(s.v * s.v) AS BIGINT) AS sum_sq,
+        |  CAST(sum(CASE WHEN s.v * s.lv < 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS zero_crossings,
+        |  CAST(CASE WHEN s.id % 3 = 0 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS n_chunks_skipped
+        |FROM (SELECT id, i, v,
+        |        lag(v) OVER (PARTITION BY id ORDER BY i) AS lv FROM s) s
+        |GROUP BY s.id""".stripMargin,
     // the planted-leak counts are the audit's fixed contract (2 leaks in,
     // 2 paths out, second vacuum 0, one swap -> generation 1); the live
     // store's read-back aggregates re-derived from the documents table —

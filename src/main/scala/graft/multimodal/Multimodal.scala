@@ -13,11 +13,14 @@ import org.apache.spark.sql.functions._
   * frame sampling over raw bytes — AND baseline JPEG/PNG decode via
   * `javax.imageio` (JDK stdlib: [[decodeMeta]]/[[decodeToGray]]/
   * [[decodeResize]]), covering the reference's cv2.imread → resize
-  * tensor path with a public, dependency-free decoder.
-  * STUBBED: codecs the JDK cannot read (WAV/MP4/exotic images) —
-  * `decodeStub` derives deterministic fake dims from the payload; it is
-  * clearly marked and isolated so a codec-backed implementation drops in
-  * without touching the Spark plumbing.
+  * tensor path with a public, dependency-free decoder — AND PCM WAV via
+  * the hand-rolled RIFF chunk walker [[decodeWav]] (r16: a container
+  * parse plus raw little-endian integers needs no codec library;
+  * oracle-audited end-to-end by q223).
+  * STUBBED: codecs that genuinely need a decoder library (MP4/exotic
+  * images) — `decodeStub` derives deterministic fake dims from the
+  * payload; it is clearly marked and isolated so a codec-backed
+  * implementation drops in without touching the Spark plumbing.
   */
 object Multimodal {
 
@@ -62,8 +65,150 @@ object Multimodal {
       case Some(img) =>
         MediaMeta(payload.length.toLong, sniffFormat(payload),
           img.getWidth, img.getHeight)
-      case None => decodeStub(mediaType, payload)
+      case None => decodeWav(payload) match {
+        // real RIFF/PCM parse (r16): width ≙ samples, height ≙ channels
+        // — the dims slot carries the decoded shape, same as images
+        case Some(w) => MediaMeta(payload.length.toLong, "wav",
+          w.samples.length, w.channels)
+        case None => decodeStub(mediaType, payload)
+      }
     }
+
+  // --- WAV (RIFF/PCM) — REAL decode, zero dependencies -----------------
+  //
+  // WAV was carried as a "non-JDK codec" stub since the multimodal rows
+  // landed, but PCM WAV needs no codec at all: the container is a RIFF
+  // chunk walk and the samples are raw little-endian integers. The
+  // parser below is a real reader — it walks chunks in any order, skips
+  // unknown ones (LIST/INFO metadata is routine in the wild), honors the
+  // RIFF odd-size pad rule, and validates the PCM format tag — so the
+  // declared stub now covers MP4 only.
+
+  /** Decoded PCM audio: format fields from the fmt chunk, samples from
+    * the data chunk (16-bit LE), and the count of unknown chunks the
+    * walk skipped (the honesty signal that the parser handled a real
+    * container, not just the happy path). */
+  case class WavPcm(sampleRate: Int, channels: Int, bits: Int,
+                    samples: Array[Int], skippedChunks: Int)
+
+  /** Parse a RIFF/WAVE PCM payload; None for wrong magic, truncation,
+    * or a non-PCM / non-16-bit format (the decode-failure contract of
+    * [[decodeImage]]). Chunk walk: any order, unknown chunks skipped,
+    * odd-size chunks padded to even (the RIFF rule real files exercise
+    * via 9-byte INFO strings). */
+  def decodeWav(payload: Array[Byte]): Option[WavPcm] = {
+    def le32(p: Int): Int =
+      (payload(p) & 0xff) | ((payload(p + 1) & 0xff) << 8) |
+        ((payload(p + 2) & 0xff) << 16) | ((payload(p + 3) & 0xff) << 24)
+    def le16(p: Int): Int = (payload(p) & 0xff) | ((payload(p + 1) & 0xff) << 8)
+    def tag(p: Int): String = new String(payload, p, 4, "US-ASCII")
+    if (payload.length < 12 || tag(0) != "RIFF" || tag(8) != "WAVE")
+      return None
+    var pos = 12
+    var fmt: Option[(Int, Int, Int, Int)] = None // (audioFormat, ch, rate, bits)
+    var data: Option[(Int, Int)] = None // (offset, size)
+    var skipped = 0
+    while (pos + 8 <= payload.length) {
+      val id = tag(pos)
+      val size = le32(pos + 4)
+      if (size < 0 || pos + 8 + size > payload.length) return None
+      id match {
+        case "fmt " if size >= 16 =>
+          fmt = Some((le16(pos + 8), le16(pos + 10), le32(pos + 12),
+            le16(pos + 22)))
+        case "data" => data = Some((pos + 8, size))
+        case _ => skipped += 1
+      }
+      pos += 8 + size + (size & 1) // odd chunks carry a pad byte
+    }
+    for {
+      (audioFormat, ch, rate, bits) <- fmt
+      (off, size) <- data
+      if audioFormat == 1 && bits == 16 && ch >= 1 && size % 2 == 0
+    } yield {
+      val n = size / 2
+      val samples = new Array[Int](n)
+      var i = 0
+      while (i < n) {
+        samples(i) = le16(off + 2 * i).toShort.toInt // sign-extend int16
+        i += 1
+      }
+      WavPcm(rate, ch, bits, samples, skipped)
+    }
+  }
+
+  /** A deterministic synthetic PCM WAV derived from `id` alone (the q171
+    * planted-pixel discipline on the audio axis): 256 16-bit mono
+    * samples at 8 kHz with s_i = ((id·31 + i·17) mod 2048) − 1024 —
+    * integer arithmetic the oracle replays verbatim. Every third file
+    * carries a 9-byte LIST metadata chunk BETWEEN fmt and data (odd
+    * size → pad byte), so the parser's chunk walk and pad rule are
+    * exercised by the planted corpus, not just trusted. */
+  private[graft] def syntheticWav(id: Long, n: Int = 256,
+                                  rate: Int = 8000): Array[Byte] = {
+    val samples = Array.tabulate(n)(i =>
+      (((id * 31L + i.toLong * 17L) % 2048L) - 1024L).toInt)
+    val withList = id % 3 == 0
+    val listPayload = "INFOgraft".getBytes("US-ASCII") // 9 bytes -> odd
+    val listLen = if (withList) 8 + listPayload.length + 1 else 0
+    val total = 12 + listLen + (8 + 16) + (8 + 2 * n)
+    val bb = java.nio.ByteBuffer.allocate(total)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(total - 8)
+      .put("WAVE".getBytes("US-ASCII"))
+    if (withList) {
+      bb.put("LIST".getBytes("US-ASCII")).putInt(listPayload.length)
+        .put(listPayload).put(0.toByte) // the RIFF pad byte
+    }
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1) // PCM, mono
+      .putInt(rate).putInt(rate * 2).putShort(2).putShort(16)
+    bb.put("data".getBytes("US-ASCII")).putInt(2 * n)
+    samples.foreach(s => bb.putShort(s.toShort))
+    bb.array()
+  }
+
+  /** U5/q223 — WAV DECODE AUDIT: build `nFiles` planted PCM WAVs
+    * in-engine, push every payload through the REAL RIFF parser in
+    * executors, and emit per file the format fields and integer audio
+    * features of the DECODED samples: sample count, rate, channels,
+    * bits, peak amplitude, energy (Σs², exact integer), zero crossings,
+    * and the skipped-chunk count (1 exactly on the LIST-carrying
+    * files). The oracle re-derives every column from the id formula
+    * alone — a hash match proves the bytes → container → samples round
+    * trip is lossless, including the chunk-skip and pad-rule paths (the
+    * q82/q85/q171 plant discipline stretched to audio).
+    *
+    * Scale: synthesis and decode are per-row executor work on a
+    * media_id-partitioned relation — the identical shape a binaryFile
+    * scan of a 100 TB audio store feeds; no driver round-trip, no
+    * shuffle until the (tiny) feature rows. */
+  def wavDecodeAudit(spark: SparkSession, nFiles: Int = 50): DataFrame = {
+    import spark.implicits._
+    require(nFiles >= 1, s"need nFiles >= 1; got $nFiles")
+    spark.range(nFiles.toLong)
+      .repartition(math.min(nFiles, 8), col("id")).as[Long]
+      .map { id =>
+        val w = decodeWav(syntheticWav(id)).getOrElse(
+          throw new IllegalStateException(s"planted wav $id failed to parse"))
+        var peak = 0L
+        var sumSq = 0L
+        var zc = 0L
+        var i = 0
+        while (i < w.samples.length) {
+          val s = w.samples(i).toLong
+          if (math.abs(s) > peak) peak = math.abs(s)
+          sumSq += s * s
+          if (i > 0 && w.samples(i - 1).toLong * s < 0) zc += 1
+          i += 1
+        }
+        (id, w.samples.length.toLong, w.sampleRate.toLong,
+          w.channels.toLong, w.bits.toLong, peak, sumSq, zc,
+          w.skippedChunks.toLong)
+      }
+      .toDF("media_id", "n_samples", "sample_rate", "n_channels", "bits",
+        "peak", "sum_sq", "zero_crossings", "n_chunks_skipped")
+  }
 
   /** Codec signature sniff: JPEG SOI / PNG magic, else empty. Cheap guard
     * so non-image payloads never pay an ImageIO reader probe. */

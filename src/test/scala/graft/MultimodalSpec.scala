@@ -126,4 +126,34 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got == (0L until 10L).map(i => (i, i + 1000L)).toSet,
       s"banded pairs must be exactly the planted set: $got")
   }
+
+  test("q223 WAV decode: round trip exact, chunk walk + pad rule honored, failure paths None") {
+    // round trip: parse(build(id)) returns exactly the formula samples
+    for (id <- Seq(0L, 1L, 3L, 7L)) {
+      val w = Multimodal.decodeWav(Multimodal.syntheticWav(id)).get
+      assert((w.sampleRate, w.channels, w.bits) == (8000, 1, 16))
+      val want = Array.tabulate(256)(i =>
+        (((id * 31L + i.toLong * 17L) % 2048L) - 1024L).toInt)
+      assert(w.samples.sameElements(want), s"id=$id samples diverged")
+      // the LIST metadata chunk (odd size -> pad byte) is skipped, and
+      // ONLY on the planted ids — the walk is exercised, not lucky
+      assert(w.skippedChunks == (if (id % 3 == 0) 1 else 0),
+        s"id=$id skipped ${w.skippedChunks}")
+    }
+    // failure paths map to None, never a garbage parse
+    val good = Multimodal.syntheticWav(5L)
+    assert(Multimodal.decodeWav(good.take(40)).isEmpty, "truncation must fail")
+    assert(Multimodal.decodeWav("RIFFxxxxJUNK".getBytes).isEmpty,
+      "wrong form type must fail")
+    val nonPcm = good.clone()
+    nonPcm(20) = 3 // audioFormat = IEEE float -> not the PCM contract
+    assert(Multimodal.decodeWav(nonPcm).isEmpty, "non-PCM must fail")
+    // decodeMeta routes real WAVs through the parser (dims = shape)
+    val meta = Multimodal.decodeMeta("audio", good)
+    assert(meta.format == "wav" && meta.width == 256 && meta.height == 1,
+      s"decodeMeta must carry the decoded shape: $meta")
+    // and the fixture's text payloads still fall through to the stub
+    val stub = Multimodal.decodeMeta("audio", "hello world".getBytes)
+    assert(stub.format != "wav")
+  }
 }

@@ -664,9 +664,11 @@ object SparkEntry {
     "q188_context_sweep" -> ((s: SparkSession, d: String) =>
       TextAnalysis.packingContextSweep(s, d)),
     // ANALYZE: per (table, column) row/null/exact-NDV/min/max/width stats
-    // over the engine's own join and rollup keys — the CBO's food
+    // over the engine's own join and rollup keys — the CBO's food, now
+    // persisted once per session (ensureTableStats) and READ here, the
+    // same store q224's planner consumes
     "q189_table_stats" -> ((s: SparkSession, d: String) =>
-      Relational.tableStats(s, d)),
+      Relational.ensureTableStats(s, d)),
     // ANALYZE's histograms: rank-selected quartile boundaries + min/max
     // per audited numeric column (never interpolated — engine-identical)
     "q190_column_histograms" -> ((s: SparkSession, d: String) =>
@@ -809,6 +811,12 @@ object SparkEntry {
     // aggregates oracle-re-derived)
     "q222_vacuum_generations" -> ((s: SparkSession, d: String) =>
       graft.sources.Sources.vacuumGenerationsAudit(s, d)),
+    // the production CBO shape: side counts read from the PERSISTED
+    // ANALYZE store (no recount), advice at the row threshold, the join
+    // executed per that advice — observed operator + aggregate
+    // oracle-re-derived (q221 owns the inverted-arm flip proof)
+    "q224_cbo_from_analyze" -> ((s: SparkSession, d: String) =>
+      Relational.cboFromAnalyzeAudit(s, d)),
     // REAL PCM WAV decode (the declared stub now covers MP4 only):
     // planted RIFF containers — every third with a skipped LIST chunk and
     // its pad byte — parsed back in executors; every emitted format field
@@ -1819,6 +1827,37 @@ object SparkEntry {
         |  n_rows, sum_pk, sum_sk FROM ans""".stripMargin,
     // the planted hot key is q215's fixture shape, so the oracle replays
     // the join exactly; the runtime-split flag pinned TRUE (q154 style)
+    // the stats store was ANALYZEd from the same snapshot, so the oracle
+    // re-derives its row counts from the raw tables; advice, expected
+    // shape, and the joined aggregate all follow from those counts
+    "q224_cbo_from_analyze" ->
+      """WITH s AS (
+        |  SELECT 'orders*customer' AS join_label,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_left,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM customer) AS n_right,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM orders o
+        |       JOIN customer c ON o.o_custkey = c.c_custkey) AS n_rows,
+        |    (SELECT CAST(sum(CAST(o_custkey AS BIGINT)) AS BIGINT)
+        |       FROM orders o
+        |       JOIN customer c ON o.o_custkey = c.c_custkey) AS sum_val
+        |  UNION ALL
+        |  SELECT 'lineitem*orders',
+        |    (SELECT CAST(count(*) AS BIGINT) FROM lineitem),
+        |    (SELECT CAST(count(*) AS BIGINT) FROM orders),
+        |    (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+        |       JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |    (SELECT CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)
+        |       FROM lineitem l
+        |       JOIN orders o ON l.l_orderkey = o.o_orderkey))
+        |SELECT join_label, 'analyze_store' AS stats_source,
+        |  n_left, n_right, CAST(10000 AS BIGINT) AS broadcast_limit,
+        |  CASE WHEN least(n_left, n_right) <= 10000
+        |    THEN 'broadcast' ELSE 'shuffle' END AS advice,
+        |  CASE WHEN least(n_left, n_right) <= 10000
+        |    THEN 'BroadcastHashJoin' ELSE 'SortMergeJoin' END
+        |    AS executed_join,
+        |  n_rows, sum_val
+        |FROM s""".stripMargin,
     // the full decode round trip re-derived from the id formula: sample
     // values via ((id*31 + i*17) % 2048) - 1024, features via window/agg,
     // the skipped-chunk count via the id%3 plant rule — a hash match

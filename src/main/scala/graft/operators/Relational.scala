@@ -1793,4 +1793,96 @@ object Relational {
       case (k, None) => conf.unset(k)
     }
   }
+
+  /** Session-shared ANALYZE leaf: [[tableStats]]'s output persisted once
+    * per (session, dir) and read back by every consumer — the literal
+    * "ANALYZE once, consume many" shape a warehouse runs (the overnight
+    * job writes the stats table; planners READ it). q189 emits it; q224
+    * prices joins FROM it. Content is a pure function of the dir (exact
+    * counts/ndv/min/max over fixed specs). */
+  def ensureTableStats(spark: SparkSession, dir: String): DataFrame = {
+    val root = graft.sources.Sources.ensureStore(spark, "anlz", dir) { p =>
+      tableStats(spark, dir).write.mode("overwrite").parquet(p)
+    }
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("table_name", StringType), StructField("column_name", StringType),
+      StructField("n_rows", LongType), StructField("n_nulls", LongType),
+      StructField("ndv", LongType), StructField("min_val", StringType),
+      StructField("max_val", StringType), StructField("avg_width", DoubleType)))
+    spark.read.schema(schema).parquet(root)
+  }
+
+  /** J17b [EXT] — CBO ADVICE FROM THE PERSISTED ANALYZE STORE (q224):
+    * q221 proves the engine EXECUTES its advisor's call and that the
+    * flip is real; this row moves the decision input to where a
+    * production CBO actually reads it — the PERSISTED [[tableStats]]
+    * snapshot ([[ensureTableStats]]), not live recounts. Per audited
+    * join whose BOTH sides the ANALYZE specs cover: side row counts read
+    * from the stats store, the advice at the row threshold, the join
+    * executed per that advice (hints under scoped-off broadcast
+    * thresholds — q221's discipline), the OBSERVED executed operator
+    * from the final adaptive plan, and the joined aggregate. The oracle
+    * re-derives the counts from the raw tables (the store was ANALYZEd
+    * from the same snapshot, so they agree — q212 owns the STALE-store
+    * case), the advice, the expected shape, and the aggregate: a hash
+    * match proves the plan the engine ran is the one its persisted
+    * statistics chose. orders⋈customer crosses the threshold with scale
+    * (broadcast-advised at sf0.001/0.01, shuffle-advised at sf0.1), so
+    * the stats-driven decision is exercised on both branches across the
+    * driver's own gates.
+    *
+    * Scale: the decision costs a metadata-sized store read — no
+    * recount; the followed arm IS the production plan (no inverted arm
+    * here — q221 owns the flip proof). */
+  def cboFromAnalyzeAudit(spark: SparkSession, dir: String,
+                          broadcastRows: Long = 10000L): DataFrame = {
+    val conf = spark.conf
+    val scoped = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val saved = scoped.map { case (k, _) => k -> conf.getOption(k) }
+    scoped.foreach { case (k, v) => conf.set(k, v) }
+    try {
+      val stats = ensureTableStats(spark, dir)
+      def rowsOf(t: String): Long = stats
+        .filter(col("table_name") === t)
+        .agg(max(col("n_rows"))).head().getLong(0)
+      val joins = Seq(
+        ("orders*customer", Tables.orders(spark, dir), "o_custkey",
+          "orders", Tables.customer(spark, dir), "c_custkey", "customer",
+          "o_custkey"),
+        ("lineitem*orders", Tables.lineitem(spark, dir), "l_orderkey",
+          "lineitem", Tables.orders(spark, dir), "o_orderkey", "orders",
+          "l_quantity"))
+      val out = joins.map { case (label, left, lk, lt, right, rk, rt, sumCol) =>
+        val (nLeft, nRight) = (rowsOf(lt), rowsOf(rt))
+        val advice = if (math.min(nLeft, nRight) <= broadcastRows)
+          "broadcast" else "shuffle"
+        val on = col(lk) === col(rk)
+        val j = advice match {
+          case "broadcast" =>
+            if (nRight <= nLeft) left.join(broadcast(right), on)
+            else broadcast(left).join(right, on)
+          case _ => left.hint("merge").join(right.hint("merge"), on)
+        }
+        val agg = j.agg(count(lit(1)).as("n"),
+          sum(col(sumCol).cast("long")).as("s"))
+        val r = agg.head() // EAGER inside the conf scope
+        val plan = agg.queryExecution.executedPlan.toString()
+        val shape =
+          if (plan.contains("BroadcastHashJoin")) "BroadcastHashJoin"
+          else if (plan.contains("SortMergeJoin")) "SortMergeJoin"
+          else "other"
+        (label, "analyze_store", nLeft, nRight, broadcastRows, advice,
+          shape, r.getLong(0), r.getLong(1))
+      }
+      import spark.implicits._
+      out.toDF("join_label", "stats_source", "n_left", "n_right",
+        "broadcast_limit", "advice", "executed_join", "n_rows", "sum_val")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
 }

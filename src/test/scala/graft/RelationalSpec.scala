@@ -727,6 +727,40 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("q224 CBO from ANALYZE: decision inputs read from the persisted store, advised shape executed, knob-sensitive") {
+    val rows = Relational.cboFromAnalyzeAudit(spark, TestSpark.Sf0001)
+      .as[(String, String, Long, Long, Long, String, String, Long, Long)]
+      .collect().toSeq
+    assert(rows.length == 2 && rows.forall(_._2 == "analyze_store"))
+    rows.foreach { r =>
+      // the advice is the threshold rule over the STORE's counts, and
+      // the executed operator is the advice-mapped shape
+      val want = if (math.min(r._3, r._4) <= r._5) "broadcast" else "shuffle"
+      assert(r._6 == want, s"${r._1} advice ${r._6} != rule $want")
+      val shape = if (want == "broadcast") "BroadcastHashJoin"
+        else "SortMergeJoin"
+      assert(r._7 == shape, s"${r._1} ran ${r._7}, want $shape")
+    }
+    // the store's counts are the live counts (freshly ANALYZEd in this
+    // session; q212 owns the stale case)
+    val lo = rows.find(_._1 == "lineitem*orders").get
+    val nLi = graft.Tables.lineitem(spark, TestSpark.Sf0001).count()
+    val nOrd = graft.Tables.orders(spark, TestSpark.Sf0001).count()
+    assert((lo._3, lo._4) == (nLi, nOrd),
+      s"store counts ${(lo._3, lo._4)} != live ${(nLi, nOrd)}")
+    // the threshold knob flips the stats-driven plan too
+    val tight = Relational.cboFromAnalyzeAudit(spark, TestSpark.Sf0001,
+        broadcastRows = 1L)
+      .as[(String, String, Long, Long, Long, String, String, Long, Long)]
+      .collect().toSeq
+    assert(tight.forall(r => r._6 == "shuffle" && r._7 == "SortMergeJoin"),
+      s"broadcastRows=1 must shuffle every join: $tight")
+    // answers invariant under the flipped strategy
+    assert(tight.map(r => (r._1, r._8, r._9)).toSet ==
+      rows.map(r => (r._1, r._8, r._9)).toSet,
+      "strategy changed the answer")
+  }
+
   test("q216 ndv sketch: every (column, rsd) within 3-sigma; flag recomputable from the engine's own sketch") {
     val rows = Relational.ndvSketchAudit(spark, TestSpark.Sf0001)
       .as[(String, String, Long, Long, Long, Boolean)].collect()

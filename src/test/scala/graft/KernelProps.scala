@@ -93,4 +93,27 @@ object KernelProps extends Properties("graft.kernels") {
       val path = segs.mkString("/")
       !ImageOps.flattenName(path, prefix).drop(prefix.length + 1).contains('/')
     }
+
+  property("WAV build->parse round trip is lossless for any (id, n, rate)") =
+    Prop.forAll(Gen.long, Gen.choose(1, 2048), Gen.choose(1, 192000)) {
+      (id, n, rate) =>
+        import graft.multimodal.Multimodal
+        val w = Multimodal.decodeWav(Multimodal.syntheticWav(id, n, rate)).get
+        w.sampleRate == rate && w.channels == 1 && w.bits == 16 &&
+          w.samples.length == n &&
+          w.skippedChunks == (if (id % 3 == 0) 1 else 0) &&
+          w.samples.zipWithIndex.forall { case (s, i) =>
+            s == (((id * 31L + i.toLong * 17L) % 2048L) - 1024L).toInt
+          }
+    }
+
+  property("WAV parser totals on arbitrary bytes: None or a parse, never a throw") =
+    Prop.forAll(Gen.containerOfN[Array, Byte](64,
+        Gen.choose(Byte.MinValue, Byte.MaxValue))) { junk =>
+      // random blobs essentially never carry RIFF+WAVE+fmt+data; the
+      // contract under test is TOTALITY — malformed input maps to None
+      // (or a well-formed parse), never an exception
+      val r = scala.util.Try(graft.multimodal.Multimodal.decodeWav(junk))
+      r.isSuccess
+    }
 }

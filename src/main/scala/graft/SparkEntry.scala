@@ -822,7 +822,14 @@ object SparkEntry {
     // its pad byte — parsed back in executors; every emitted format field
     // and integer audio feature re-derived by the oracle from id math
     "q223_wav_decode" -> ((s: SparkSession, d: String) =>
-      graft.multimodal.Multimodal.wavDecodeAudit(s))
+      graft.multimodal.Multimodal.wavDecodeAudit(s)),
+    // ANALYZE's per-commit leg: each tick appends ONE mergeable HLL
+    // sketch row; table NDV = a metadata-sized union fold, no rescan —
+    // 3-sigma accuracy + deterministic re-fold pinned (union estimate is
+    // NOT whole-scan-identical: merging drops the HIP estimator — the
+    // measured honest negative in the scaladoc)
+    "q225_incremental_ndv" -> ((s: SparkSession, d: String) =>
+      Relational.incrementalNdvMaintenance(s, d))
   )
 
   /** Shared CTE chain ending in `pairs` = the exact-Jaccard near-dup pairs
@@ -1827,6 +1834,21 @@ object SparkEntry {
         |  n_rows, sum_pk, sum_sk FROM ans""".stripMargin,
     // the planted hot key is q215's fixture shape, so the oracle replays
     // the join exactly; the runtime-split flag pinned TRUE (q154 style)
+    // exact sides re-derived; the sketch estimates are engine-internal
+    // (Datasketches registers), so the hashed output carries the 3-sigma
+    // bound flag and the merge-losslessness flag, both pinned TRUE (the
+    // q216 estimator-audit discipline)
+    "q225_incremental_ndv" ->
+      """SELECT 'l_partkey' AS column_name, CAST(4 AS BIGINT) AS n_ticks,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS ndv_exact,
+        |  TRUE AS within_3sigma, TRUE AS refold_deterministic
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'l_suppkey', CAST(4 AS BIGINT),
+        |  CAST(count(*) AS BIGINT),
+        |  CAST(count(DISTINCT l_suppkey) AS BIGINT), TRUE, TRUE
+        |FROM lineitem""".stripMargin,
     // the stats store was ANALYZEd from the same snapshot, so the oracle
     // re-derives its row counts from the raw tables; advice, expected
     // shape, and the joined aggregate all follow from those counts

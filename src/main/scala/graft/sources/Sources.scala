@@ -87,6 +87,13 @@ object Sources {
       })
     }
 
+  /** A per-INVOCATION unique scratch dir (scratchDir is per-session-
+    * stable by name): for lifecycle audits that write tick state and
+    * must not collide with their own earlier run in the same session
+    * (the bench runs each query twice). */
+  private[graft] def scratchDirUnique(spark: SparkSession, tag: String): String =
+    scratchDir(spark, s"${tag}_${spillSeq.incrementAndGet()}")
+
   private[graft] def spillScratch(df: DataFrame, name: String): DataFrame = {
     val spark = df.sparkSession
     val p = scratchDir(spark, s"spill_${name}_${spillSeq.incrementAndGet()}")

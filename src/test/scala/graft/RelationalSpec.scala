@@ -727,6 +727,33 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("q225 incremental ndv: store fold within 3-sigma, flags recomputable, exact legs match") {
+    val rows = Relational.incrementalNdvMaintenance(spark, TestSpark.Sf0001)
+      .as[(String, Long, Long, Long, Boolean, Boolean)].collect().toSeq
+    assert(rows.map(_._1).sorted == Seq("l_partkey", "l_suppkey"))
+    val li = graft.Tables.lineitem(spark, TestSpark.Sf0001)
+    val n = li.count()
+    rows.foreach { r =>
+      assert(r._2 == 4 && r._3 == n, s"${r._1}: ticks/rows ${(r._2, r._3)}")
+      val ex = li.agg(countDistinct(col(r._1))).head().getLong(0)
+      assert(r._4 == ex, s"${r._1}: exact ndv ${r._4} != $ex")
+      assert(r._5, s"${r._1}: union estimate outside 3-sigma")
+      assert(r._6, s"${r._1}: re-fold of the stored sketches diverged")
+    }
+    // the 3-sigma flag is the recomputable Datasketches arithmetic: a
+    // 4-way split sketched per group then union-folded lands within
+    // 3 * 1.04/sqrt(2^12) of exact (the same fold the store performs)
+    val est = li
+      .groupBy(pmod(col("l_orderkey"), lit(4L)).as("g"))
+      .agg(hll_sketch_agg(col("l_partkey")).as("sk"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))))
+      .head().getLong(0)
+    val ex = li.agg(countDistinct(col("l_partkey"))).head().getLong(0)
+    val rsd = 1.04 / math.sqrt(1 << 12)
+    assert(math.abs(est - ex).toDouble <= 3.0 * rsd * ex,
+      s"recomputed union estimate $est vs exact $ex outside 3-sigma")
+  }
+
   test("q224 CBO from ANALYZE: decision inputs read from the persisted store, advised shape executed, knob-sensitive") {
     val rows = Relational.cboFromAnalyzeAudit(spark, TestSpark.Sf0001)
       .as[(String, String, Long, Long, Long, String, String, Long, Long)]

@@ -1834,14 +1834,11 @@ object Relational {
     val root = graft.sources.Sources.scratchDirUnique(spark, "ndvinc")
     val li = Tables.lineitem(spark, dir)
       .select(col("l_orderkey") +: cols.map(col): _*)
-    // ingest ticks: each commit appends ONE sketch row — never a rescan
-    for (t <- 0 until nTicks) {
-      li.filter(pmod(col("l_orderkey"), lit(nTicks.toLong)) === t.toLong)
-        .agg(count(lit(1)).as("n_rows"),
-          cols.map(c => hll_sketch_agg(col(c)).as(s"sk_$c")): _*)
-        .withColumn("tick", lit(t))
-        .write.mode("append").parquet(root)
-    }
+    // ingest ticks: each commit lands ONE sketch row — never a rescan
+    for (t <- 0 until nTicks)
+      ndvCommit(li.filter(
+        pmod(col("l_orderkey"), lit(nTicks.toLong)) === t.toLong),
+        t.toLong, root, cols)
     // the consumer: fold the |ticks|-row store — no data read
     val store = spark.read.parquet(root)
     def fold(): org.apache.spark.sql.Row = store.agg(
@@ -1867,6 +1864,35 @@ object Relational {
     }.toDF("column_name", "n_ticks", "n_rows", "ndv_exact",
       "within_3sigma", "refold_deterministic")
   }
+
+  /** One NDV-maintenance commit: the tick's row count + one mergeable
+    * HLL sketch per audited column, landed as a per-tick DYNAMIC
+    * partition overwrite (the bloomCommit XO discipline) — a replayed
+    * tick rewrites its own partition to identical content, so crash
+    * recovery converges instead of double-counting `n_rows` (the sketch
+    * union is idempotent by itself; the row count is not). */
+  private[graft] def ndvCommit(batch: DataFrame, tick: Long, root: String,
+                               cols: Seq[String]): Unit =
+    batch.agg(count(lit(1)).as("n_rows"),
+      cols.map(c => hll_sketch_agg(col(c)).as(s"sk_$c")): _*)
+      .withColumn("tick", lit(tick))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("tick").parquet(root)
+
+  /** A57 kept live — the streamingBloomMaintenance story for NDV
+    * statistics: each micro-batch is one [[ndvCommit]] keyed by Spark's
+    * own batchId, so checkpoint recovery replays a crashed tick to
+    * identical store state and the union fold never sees a duplicate.
+    * The MemoryStream spec pins stream ≡ the batch tick loop and the
+    * replay no-op. */
+  def streamingNdvMaintenance(rows: DataFrame, root: String,
+                              cols: Seq[String])
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+          org.apache.spark.sql.Row] =
+    rows.writeStream.foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        ndvCommit(batch, batchId, root, cols)
+    }
 
   /** Session-shared ANALYZE leaf: [[tableStats]]'s output persisted once
     * per (session, dir) and read back by every consumer — the literal

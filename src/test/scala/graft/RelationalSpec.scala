@@ -754,6 +754,45 @@ class RelationalSpec extends AnyFunSuite {
       s"recomputed union estimate $est vs exact $ex outside 3-sigma")
   }
 
+  test("q225 streaming twin: MemoryStream commits reproduce the tick-loop ndv store; replay is a no-op") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val cols = Seq("pk", "sk")
+    val li = graft.Tables.lineitem(spark, TestSpark.Sf0001)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"),
+        col("l_suppkey").as("sk"))
+    val rows = li.as[(Long, Long, Long)].collect()
+    val sroot = java.nio.file.Files
+      .createTempDirectory("graft_ndv_stream").toString + "/store"
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, Long, Long)]
+    val q = Relational.streamingNdvMaintenance(
+      input.toDF().toDF("ok", "pk", "sk"), sroot, cols).start()
+    try {
+      (0 until 4).foreach { t =>
+        input.addData(rows.filter(_._1 % 4 == t).toIndexedSeq)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val broot = java.nio.file.Files
+      .createTempDirectory("graft_ndv_batch").toString + "/store"
+    (0 until 4).foreach(t => Relational.ndvCommit(
+      li.filter(pmod(col("ok"), lit(4L)) === t.toLong), t.toLong, broot, cols))
+    def fold(root: String): (Long, Long, Long) =
+      spark.read.parquet(root).agg(
+        sum(col("n_rows")),
+        hll_sketch_estimate(hll_union_agg(col("sk_pk"))),
+        hll_sketch_estimate(hll_union_agg(col("sk_sk"))))
+        .as[(Long, Long, Long)].head()
+    val streamed = fold(sroot)
+    assert(streamed == fold(broot), "stream fold != batch tick-loop fold")
+    assert(streamed._1 == rows.length, s"row count ${streamed._1}")
+    // out-of-band replay of the MIDDLE commit (same tick id): converges —
+    // the per-tick dynamic overwrite makes n_rows double-count impossible
+    Relational.ndvCommit(
+      li.filter(pmod(col("ok"), lit(4L)) === 1L), 1L, sroot, cols)
+    assert(fold(sroot) == streamed, "replaying commit 1 changed the store")
+  }
+
   test("q224 CBO from ANALYZE: decision inputs read from the persisted store, advised shape executed, knob-sensitive") {
     val rows = Relational.cboFromAnalyzeAudit(spark, TestSpark.Sf0001)
       .as[(String, String, Long, Long, Long, String, String, Long, Long)]

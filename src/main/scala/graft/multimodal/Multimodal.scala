@@ -111,7 +111,11 @@ object Multimodal {
     while (pos + 8 <= payload.length) {
       val id = tag(pos)
       val size = le32(pos + 4)
-      if (size < 0 || pos + 8 + size > payload.length) return None
+      // overflow-safe bounds: all operands non-negative, so the subtract
+      // form cannot wrap (pos + 8 + size overflows Int for a crafted size
+      // near Int.MaxValue and would pass a sum-form check, then index OOB
+      // — violating the None-never-throw contract)
+      if (size < 0 || size > payload.length - pos - 8) return None
       id match {
         case "fmt " if size >= 16 =>
           fmt = Some((le16(pos + 8), le16(pos + 10), le32(pos + 12),

@@ -76,16 +76,27 @@ object Sources {
     * pure repeated fixture construction at sf0.1 (r14 verdict #1).
     * Crash-replay specs must NOT use this — they tear stores and need
     * private roots (`Files.createTempDirectory`). */
-  private val ensuredStores = scala.collection.mutable.Map.empty[String, String]
+  /** One memo cell per (session, tag, key): the build runs under the
+    * CELL's own monitor (Scala lazy-val init), never a global lock, so a
+    * long build (pair generation, kNN scoring, ANALYZE) blocks only
+    * same-key callers — concurrent threads touching other store keys
+    * proceed. A build that throws leaves the cell uninitialized and the
+    * next caller retries (every build writes mode=overwrite). Nested
+    * different-key builds (ensureEmbedClusters → ensureEmbedPairs) lock
+    * distinct cells, so re-entry never deadlocks. */
+  private final class StoreCell(build: () => String) {
+    lazy val path: String = build()
+  }
+  private val ensuredStores =
+    new java.util.concurrent.ConcurrentHashMap[String, StoreCell]()
   private[graft] def ensureStore(spark: SparkSession, tag: String,
                                  key: String)(build: String => Unit): String =
-    ensuredStores.synchronized {
-      ensuredStores.getOrElseUpdate(s"${sessionTag(spark)}|$tag|$key", {
+    ensuredStores.computeIfAbsent(s"${sessionTag(spark)}|$tag|$key",
+      _ => new StoreCell(() => {
         val root = scratchDir(spark, s"ens_${tag}_${dirTag(key)}")
         build(root)
         root
-      })
-    }
+      })).path
 
   /** A per-INVOCATION unique scratch dir (scratchDir is per-session-
     * stable by name): for lifecycle audits that write tick state and
@@ -309,7 +320,7 @@ object Sources {
     * vacuum is one directory listing plus |stale| deletes — metadata-
     * sized at any corpus scale; the store build is fixture-bounded. */
   def vacuumGenerationsAudit(spark: SparkSession, dir: String): DataFrame = {
-    val root = scratchDir(spark, s"vacaud_${spillSeq.incrementAndGet()}")
+    val root = scratchDirUnique(spark, "vacaud")
     val path = s"$root/store"
     val perLang = graft.Tables.documents(spark, dir)
       .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))

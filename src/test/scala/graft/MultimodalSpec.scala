@@ -148,6 +148,13 @@ class MultimodalSpec extends AnyFunSuite {
     val nonPcm = good.clone()
     nonPcm(20) = 3 // audioFormat = IEEE float -> not the PCM contract
     assert(Multimodal.decodeWav(nonPcm).isEmpty, "non-PCM must fail")
+    // a crafted chunk size near Int.MaxValue must not wrap the bounds
+    // check negative and index out of range (the r16 advice finding)
+    val crafted = good.clone()
+    crafted(16) = 0xff.toByte; crafted(17) = 0xff.toByte
+    crafted(18) = 0xff.toByte; crafted(19) = 0x7f.toByte // fmt size = MaxInt
+    assert(Multimodal.decodeWav(crafted).isEmpty,
+      "overflowing chunk size must map to None, never a throw")
     // decodeMeta routes real WAVs through the parser (dims = shape)
     val meta = Multimodal.decodeMeta("audio", good)
     assert(meta.format == "wav" && meta.width == 256 && meta.height == 1,

@@ -857,6 +857,43 @@ class SourcesSpec extends AnyFunSuite {
     assert(again == got, s"second run $again != first $got")
   }
 
+  test("ensureStore: same-key callers share one build; a slow build never blocks another key") {
+    // same key, concurrent: exactly one build, one path
+    val built = new java.util.concurrent.atomic.AtomicInteger(0)
+    val key = s"spec_${System.nanoTime()}"
+    val paths = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val callers = (1 to 4).map { _ =>
+      new Thread(() => {
+        paths.add(Sources.ensureStore(spark, "spectag", key) { _ =>
+          built.incrementAndGet(); ()
+        }); ()
+      })
+    }
+    callers.foreach(_.start()); callers.foreach(_.join(10000))
+    assert(built.get() == 1 && paths.size == 1,
+      s"expected one shared build, got ${built.get()} builds, ${paths.size} paths")
+    // different keys: key B completes WHILE key A's build is still held
+    // open (the r16 advice finding: the old global monitor serialized them)
+    val aEntered = new java.util.concurrent.CountDownLatch(1)
+    val aRelease = new java.util.concurrent.CountDownLatch(1)
+    val a = new Thread(() => {
+      Sources.ensureStore(spark, "spectag", key + "_slow") { _ =>
+        aEntered.countDown(); aRelease.await(); ()
+      }; ()
+    })
+    a.start()
+    assert(aEntered.await(10, java.util.concurrent.TimeUnit.SECONDS))
+    val bDone = new java.util.concurrent.CountDownLatch(1)
+    val b = new Thread(() => {
+      Sources.ensureStore(spark, "spectag", key + "_fast") { _ => () }
+      bDone.countDown()
+    })
+    b.start()
+    val bFinished = bDone.await(10, java.util.concurrent.TimeUnit.SECONDS)
+    aRelease.countDown(); a.join(10000); b.join(10000)
+    assert(bFinished, "an unrelated key's build blocked behind a slow build")
+  }
+
   private def walkFiles(d: java.io.File): Seq[java.io.File] =
     if (d.isFile) Seq(d)
     else Option(d.listFiles()).map(_.toSeq.flatMap(walkFiles)).getOrElse(Nil)

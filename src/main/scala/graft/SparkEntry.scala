@@ -829,7 +829,22 @@ object SparkEntry {
     // NOT whole-scan-identical: merging drops the HIP estimator — the
     // measured honest negative in the scaladoc)
     "q225_incremental_ndv" -> ((s: SparkSession, d: String) =>
-      Relational.incrementalNdvMaintenance(s, d))
+      Relational.incrementalNdvMaintenance(s, d)),
+    // the join-ORDER half of CBO: intermediate cardinalities of
+    // lineitem⋈orders⋈customer estimated BOTH ways from the persisted
+    // ANALYZE store (rows + ndv, q208's formula), the cheaper order
+    // chosen, BOTH orders executed (q221 discipline) — estimates,
+    // exact intermediates, observed join operators, choice, and the
+    // order-invariant aggregate all oracle-re-derived
+    "q226_cbo_join_order" -> ((s: SparkSession, d: String) =>
+      Relational.cboJoinOrderAudit(s, d)),
+    // the q225 NDV store finally CONSUMED: q226's join-order estimates
+    // recomputed with ndv from the incremental sketch fold — 3σ pinned
+    // through the consumer (per-column and propagated-band flags), the
+    // sketch-fed choice hash-proven equal to the exact-stat choice, and
+    // margin_robust telling a production enumerator when that is safe
+    "q227_cbo_ndv_sketch" -> ((s: SparkSession, d: String) =>
+      Relational.cboNdvSketchEstimates(s, d))
   )
 
   /** Shared CTE chain ending in `pairs` = the exact-Jaccard near-dup pairs
@@ -1849,6 +1864,113 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT),
         |  CAST(count(DISTINCT l_suppkey) AS BIGINT), TRUE, TRUE
         |FROM lineitem""".stripMargin,
+    // the full join-ORDER decision re-derived from the raw tables: row
+    // counts and ndv (the store ANALYZEd the same snapshot), both
+    // intermediate estimates via n*n//max(ndv), exact intermediates via
+    // the key-grain sum(ca*cb), the choice (ties to the right-deep
+    // order), the per-join operator at the row threshold (intermediates
+    // priced at their ESTIMATE), and the order-invariant aggregate — a
+    // hash match proves the engine ordered the join the way its own
+    // persisted statistics price it
+    "q226_cbo_join_order" ->
+      """WITH st AS (
+        |  SELECT (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS nli,
+        |    (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT)
+        |       FROM lineitem) AS ndv_lo,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM orders) AS nord,
+        |    (SELECT CAST(count(DISTINCT o_orderkey) AS BIGINT)
+        |       FROM orders) AS ndv_oo,
+        |    (SELECT CAST(count(DISTINCT o_custkey) AS BIGINT)
+        |       FROM orders) AS ndv_oc,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM customer) AS ncust,
+        |    (SELECT CAST(count(DISTINCT c_custkey) AS BIGINT)
+        |       FROM customer) AS ndv_cc),
+        |est AS (
+        |  SELECT *,
+        |    CAST(nli * nord // greatest(ndv_lo, ndv_oo) AS BIGINT) AS est_a,
+        |    CAST(nord * ncust // greatest(ndv_oc, ndv_cc) AS BIGINT) AS est_b
+        |  FROM st),
+        |act AS (
+        |  SELECT
+        |    (SELECT CAST(coalesce(sum(ca * cb), 0) AS BIGINT) FROM
+        |      (SELECT l_orderkey AS k, count(*) AS ca
+        |         FROM lineitem GROUP BY 1) a
+        |      JOIN (SELECT o_orderkey AS k, count(*) AS cb
+        |         FROM orders GROUP BY 1) b USING (k)) AS act_a,
+        |    (SELECT CAST(coalesce(sum(ca * cb), 0) AS BIGINT) FROM
+        |      (SELECT o_custkey AS k, count(*) AS ca
+        |         FROM orders GROUP BY 1) a
+        |      JOIN (SELECT c_custkey AS k, count(*) AS cb
+        |         FROM customer GROUP BY 1) b USING (k)) AS act_b),
+        |fin AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |    CAST(sum(CAST(c_custkey AS BIGINT)) AS BIGINT) AS sum_cust
+        |  FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey)
+        |SELECT 'lineitem_orders_first' AS order_label,
+        |  est_a < est_b AS chosen,
+        |  est_a AS est_intermediate, act_a AS actual_intermediate,
+        |  CASE WHEN least(nli, nord) <= 10000 THEN 'BroadcastHashJoin'
+        |    ELSE 'SortMergeJoin' END AS inner_join,
+        |  CASE WHEN least(est_a, ncust) <= 10000 THEN 'BroadcastHashJoin'
+        |    ELSE 'SortMergeJoin' END AS outer_join,
+        |  n_rows, sum_qty, sum_cust
+        |FROM est, act, fin
+        |UNION ALL
+        |SELECT 'orders_customer_first', est_b <= est_a, est_b, act_b,
+        |  CASE WHEN least(nord, ncust) <= 10000 THEN 'BroadcastHashJoin'
+        |    ELSE 'SortMergeJoin' END,
+        |  CASE WHEN least(nli, est_b) <= 10000 THEN 'BroadcastHashJoin'
+        |    ELSE 'SortMergeJoin' END,
+        |  n_rows, sum_qty, sum_cust
+        |FROM est, act, fin""".stripMargin,
+    // exact counts/ndv/estimates re-derived from the raw tables; the
+    // sketch-route columns are pinned flags (3σ per column, the
+    // propagated estimate band) plus the choice VALUES — the oracle
+    // derives the choice from exact stats, so a hash match proves the
+    // sketch-fed decision landed on the same order (margin_robust, also
+    // re-derived, is the condition making that a contract rather than
+    // luck); eps = 3·1.04/√2¹² = 0.04875 at the Datasketches default
+    "q227_cbo_ndv_sketch" ->
+      """WITH st AS (
+        |  SELECT (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS nli,
+        |    (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT)
+        |       FROM lineitem) AS ndv_lo,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM orders) AS nord,
+        |    (SELECT CAST(count(DISTINCT o_orderkey) AS BIGINT)
+        |       FROM orders) AS ndv_oo,
+        |    (SELECT CAST(count(DISTINCT o_custkey) AS BIGINT)
+        |       FROM orders) AS ndv_oc,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM customer) AS ncust,
+        |    (SELECT CAST(count(DISTINCT c_custkey) AS BIGINT)
+        |       FROM customer) AS ndv_cc),
+        |est AS (
+        |  SELECT *,
+        |    CAST(nli * nord // greatest(ndv_lo, ndv_oo) AS BIGINT) AS est_a,
+        |    CAST(nord * ncust // greatest(ndv_oc, ndv_cc) AS BIGINT) AS est_b
+        |  FROM st),
+        |dec AS (
+        |  SELECT *,
+        |    CASE WHEN est_b <= est_a THEN 'orders_customer_first'
+        |      ELSE 'lineitem_orders_first' END AS chosen,
+        |    greatest(est_a, est_b) * (1.0 - 0.04875)
+        |      > least(est_a, est_b) * (1.0 + 0.04875) AS robust
+        |  FROM est)
+        |SELECT 'lineitem_orders_first' AS order_label,
+        |  nli AS n_left, nord AS n_right,
+        |  ndv_lo AS ndv_left_exact, ndv_oo AS ndv_right_exact,
+        |  est_a AS est_rows_exact,
+        |  TRUE AS ndv_within_3sigma, TRUE AS est_within_bounds,
+        |  robust AS margin_robust,
+        |  chosen AS chosen_sketch, chosen AS chosen_exact,
+        |  TRUE AS choice_agrees
+        |FROM dec
+        |UNION ALL
+        |SELECT 'orders_customer_first', nord, ncust, ndv_oc, ndv_cc,
+        |  est_b, TRUE, TRUE, robust, chosen, chosen, TRUE
+        |FROM dec""".stripMargin,
     // the stats store was ANALYZEd from the same snapshot, so the oracle
     // re-derives its row counts from the raw tables; advice, expected
     // shape, and the joined aggregate all follow from those counts
@@ -3705,9 +3827,11 @@ object SparkEntry {
     // identical aggregates per audited column; min/max typed-then-cast
     "q189_table_stats" -> Seq(
       ("orders", "o_custkey"), ("orders", "o_orderstatus"),
+      ("orders", "o_orderkey"),
       ("lineitem", "l_orderkey"), ("lineitem", "l_partkey"),
       ("documents", "lang"), ("documents", "source"),
-      ("customer", "c_mktsegment"), ("events", "event_type")).map {
+      ("customer", "c_mktsegment"), ("customer", "c_custkey"),
+      ("events", "event_type")).map {
       case (t, c) =>
         s"""SELECT '$t' AS table_name, '$c' AS column_name,
            |  CAST(count(*) AS BIGINT) AS n_rows,

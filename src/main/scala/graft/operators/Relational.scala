@@ -518,10 +518,12 @@ object Relational {
   /** The audited (table, columns) set: the engine's own join and rollup
     * keys. */
   val DefaultStatsSpecs: Seq[(String, Seq[String])] = Seq(
-    "orders" -> Seq("o_custkey", "o_orderstatus"),
+    // o_orderkey / c_custkey joined r17: the join-ORDER consumer (q226)
+    // prices intermediate cardinalities from PK-side ndv too
+    "orders" -> Seq("o_custkey", "o_orderstatus", "o_orderkey"),
     "lineitem" -> Seq("l_orderkey", "l_partkey"),
     "documents" -> Seq("lang", "source"),
-    "customer" -> Seq("c_mktsegment"),
+    "customer" -> Seq("c_mktsegment", "c_custkey"),
     "events" -> Seq("event_type"))
 
   def tableStats(spark: SparkSession, dir: String,
@@ -1984,5 +1986,257 @@ object Relational {
       case (k, Some(v)) => conf.set(k, v)
       case (k, None) => conf.unset(k)
     }
+  }
+
+  /** The textbook equi-join cardinality estimator — q208's formula
+    * |A ⋈ B| ≈ |A|·|B| / max(ndv_A, ndv_B) — as the pure decision core
+    * the join-ORDER consumer (q226) runs on persisted statistics. BigInt
+    * product on purpose: two 100 TB-scale row counts overflow a Long
+    * multiply, and a cost model that wraps negative picks the worst plan
+    * with full confidence. Exposed for the planted-stats flip spec. */
+  private[graft] def estimateJoinRows(nA: Long, ndvA: Long,
+                                      nB: Long, ndvB: Long): Long = {
+    require(nA >= 0 && nB >= 0 && ndvA > 0 && ndvB > 0,
+      s"need non-negative counts and positive ndv; got ($nA,$ndvA,$nB,$ndvB)")
+    (BigInt(nA) * BigInt(nB) / BigInt(math.max(ndvA, ndvB))).toLong
+  }
+
+  /** The join-order choice over the two associations of
+    * lineitem ⋈ orders ⋈ customer: pick the association whose
+    * INTERMEDIATE relation is estimated smaller (left-deep
+    * (li⋈ord)⋈cust vs right-deep li⋈(ord⋈cust)) — the decision a
+    * Selinger-style enumerator makes at every level, reduced to its
+    * smallest observable instance. Ties break to the right-deep order
+    * (the dim-side join is the cheaper shuffle when equal). Exposed for
+    * the planted-stats flip spec. */
+  private[graft] def chooseJoinOrder(estLiOrd: Long, estOrdCust: Long): String =
+    if (estOrdCust <= estLiOrd) "orders_customer_first"
+    else "lineitem_orders_first"
+
+  /** J18 [EXT] — CBO JOIN-ORDER CONSUMER (q226): the statistics decision
+    * that actually moves 100 TB plans (SURVEY §4.3). q221/q224 flip
+    * broadcast-vs-shuffle from side row counts; this row picks a JOIN
+    * ORDER from estimated INTERMEDIATE cardinalities — the other half of
+    * CBO. For the 3-table join lineitem⋈orders⋈customer it:
+    *
+    *  1. reads row counts AND per-key ndv from the persisted ANALYZE
+    *     store ([[ensureTableStats]] — no live recount; the q224
+    *     discipline),
+    *  2. estimates both associations' intermediates with q208's formula
+    *     ([[estimateJoinRows]]): est(li⋈ord) from
+    *     (n_li, ndv_l_orderkey, n_ord, ndv_o_orderkey) and est(ord⋈cust)
+    *     from (n_ord, ndv_o_custkey, n_cust, ndv_c_custkey),
+    *  3. picks the order with the smaller estimated intermediate
+    *     ([[chooseJoinOrder]]),
+    *  4. executes BOTH orders under scoped-off broadcast thresholds (the
+    *     q221 both-arms discipline: the un-chosen order is the audit arm
+    *     that proves the choice changes cost, never answers), each
+    *     binary join hinted by the row-threshold rule with the
+    *     INTERMEDIATE side priced at its ESTIMATE — the estimate is
+    *     consumed twice: once to order, once to size the outer join,
+    *  5. emits per order: estimated vs ACTUAL intermediate rows (exact,
+    *     via the q208 key-grain Σ cntA·cntB — never a wide join), the
+    *     OBSERVED inner/outer join operators read from the final
+    *     adaptive plan (top-down: first join node is the outer), and the
+    *     identical 3-table aggregate.
+    *
+    * The oracle re-derives everything from the raw tables: counts, ndv,
+    * both estimates, both actuals, the choice, the expected operator
+    * per join at the threshold, and the aggregate — a hash match proves
+    * the engine ordered the join the way its own persisted statistics
+    * price it, and that both orders return the same answer.
+    *
+    * Scale: the decision is a metadata-sized store read; the audit arm
+    * (both orders + exact intermediates) is the q221 once-per-advisor-
+    * change price — at 100 TB run it on a sampled partition, the chosen
+    * order IS the production plan. */
+  def cboJoinOrderAudit(spark: SparkSession, dir: String,
+                        broadcastRows: Long = 10000L): DataFrame = {
+    val conf = spark.conf
+    val scoped = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val saved = scoped.map { case (k, _) => k -> conf.getOption(k) }
+    scoped.foreach { case (k, v) => conf.set(k, v) }
+    try {
+      val stats = ensureTableStats(spark, dir)
+        .select(col("table_name"), col("column_name"), col("n_rows"),
+          col("ndv")).collect()
+        .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
+        .toMap
+      def statOf(t: String, c: String): (Long, Long) = stats.getOrElse((t, c),
+        throw new IllegalStateException(s"ANALYZE store has no ($t, $c) row"))
+      val (nLi, ndvLo) = statOf("lineitem", "l_orderkey")
+      val (nOrd, ndvOo) = statOf("orders", "o_orderkey")
+      val (_, ndvOc) = statOf("orders", "o_custkey")
+      val (nCust, ndvCc) = statOf("customer", "c_custkey")
+      val estLiOrd = estimateJoinRows(nLi, ndvLo, nOrd, ndvOo)
+      val estOrdCust = estimateJoinRows(nOrd, ndvOc, nCust, ndvCc)
+      val chosen = chooseJoinOrder(estLiOrd, estOrdCust)
+
+      val li = Tables.lineitem(spark, dir)
+      val ord = Tables.orders(spark, dir)
+      val cust = Tables.customer(spark, dir)
+      // exact intermediates: key-grain counts joined and folded — the
+      // q208 shape, never the wide join itself
+      def actualJoinRows(a: DataFrame, ka: String, b: DataFrame,
+                         kb: String): Long =
+        a.groupBy(col(ka).cast("long").as("k")).agg(count(lit(1)).as("ca"))
+          .join(b.groupBy(col(kb).cast("long").as("k"))
+            .agg(count(lit(1)).as("cb")), "k")
+          .agg(coalesce(sum(col("ca") * col("cb")), lit(0L)))
+          .head().getLong(0)
+      val actLiOrd = actualJoinRows(li, "l_orderkey", ord, "o_orderkey")
+      val actOrdCust = actualJoinRows(ord, "o_custkey", cust, "c_custkey")
+
+      // one binary join, hinted by the row rule (min side <= threshold
+      // broadcasts the smaller side; else merge both) — `rowsL`/`rowsR`
+      // are the STATS-side sizes: base-table counts for leaves, the
+      // ESTIMATE for an intermediate input
+      def joined(l: DataFrame, rowsL: Long, r: DataFrame, rowsR: Long,
+                 on: Column): DataFrame =
+        if (math.min(rowsL, rowsR) <= broadcastRows) {
+          if (rowsR <= rowsL) l.join(broadcast(r), on)
+          else broadcast(l).join(r, on)
+        } else l.hint("merge").join(r.hint("merge"), on)
+      def run(order: String): (String, String, Long, Long, Long) = {
+        val full = order match {
+          case "lineitem_orders_first" =>
+            val inner = joined(li, nLi, ord, nOrd,
+              col("l_orderkey") === col("o_orderkey"))
+            joined(inner, estLiOrd, cust, nCust,
+              col("o_custkey") === col("c_custkey"))
+          case _ =>
+            val inner = joined(ord, nOrd, cust, nCust,
+              col("o_custkey") === col("c_custkey"))
+            joined(li, nLi, inner, estOrdCust,
+              col("l_orderkey") === col("o_orderkey"))
+        }
+        val agg = full.agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("long")).as("sq"),
+          sum(col("c_custkey").cast("long")).as("sc"))
+        val row = agg.head() // EAGER: the conf scope must cover execution
+        val plan = agg.queryExecution.executedPlan.toString()
+        val joins = "(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)".r
+          .findAllIn(plan).toSeq
+        require(joins.length >= 2, s"expected 2 join nodes, plan:\n$plan")
+        // toString prints top-down: first join node is the OUTER join
+        (joins(1), joins(0), row.getLong(0), row.getLong(1), row.getLong(2))
+      }
+      import spark.implicits._
+      Seq(("lineitem_orders_first", estLiOrd, actLiOrd),
+          ("orders_customer_first", estOrdCust, actOrdCust)).map {
+        case (order, est, act) =>
+          val (inner, outer, n, sq, sc) = run(order)
+          (order, order == chosen, est, act, inner, outer, n, sq, sc)
+      }.toDF("order_label", "chosen", "est_intermediate",
+        "actual_intermediate", "inner_join", "outer_join",
+        "n_rows", "sum_qty", "sum_cust")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
+  /** A58 [EXT] — CBO ESTIMATES FROM THE INCREMENTAL NDV STORE (q227):
+    * q225 maintains per-commit HLL sketches so NDV never needs a rescan;
+    * this row is the consumer that was missing — q226's join-ORDER
+    * estimates recomputed with ndv taken from the SKETCH FOLD instead of
+    * the exact ANALYZE column. Per join-key pair the engine: builds the
+    * incremental store (nTicks [[ndvCommit]]s per table — the q225
+    * lifecycle), folds it (metadata-sized, no data read), prices both
+    * intermediates of lineitem⋈orders⋈customer from (ANALYZE row counts,
+    * sketch ndv), and chooses an order. The 3σ contract is pinned
+    * THROUGH the consumer: per order the output carries the exact-stat
+    * estimate (oracle-re-derived), `ndv_within_3sigma` (each sketch ndv
+    * inside 3·1.04/√2¹² of exact), `est_within_bounds` (the sketch-fed
+    * estimate inside the propagated band est_exact/(1±ε) — max() is
+    * monotone, so per-column bounds carry through the formula), and
+    * `margin_robust` (the two estimates differ by more than the combined
+    * band — the condition under which a sketch-fed choice is SAFE).
+    * `chosen_sketch` is emitted as a value, not a flag: the oracle
+    * re-derives the choice from exact stats, so a hash match proves the
+    * sketch route picked the same order — exactly what margin_robust
+    * licenses (a production enumerator near the margin should fall back
+    * to exact re-ANALYZE; that is this row's operational contract).
+    *
+    * Scale: sketch maintenance is O(tick) per commit (q225); the fold
+    * and the decision are metadata-sized. The exact-ndv leg here reads
+    * the persisted ANALYZE store (q224's discipline) — the audit costs
+    * nothing the warehouse doesn't already pay. */
+  def cboNdvSketchEstimates(spark: SparkSession, dir: String,
+                            nTicks: Int = 2): DataFrame = {
+    require(nTicks >= 1, s"need nTicks >= 1; got $nTicks")
+    // incremental sketch stores: per table, nTicks commits keyed by the
+    // table's own PK grain (the q225 ingest shape)
+    val specs = Seq(
+      ("lineitem", "l_orderkey", Seq("l_orderkey")),
+      ("orders", "o_orderkey", Seq("o_orderkey", "o_custkey")),
+      ("customer", "c_custkey", Seq("c_custkey")))
+    val sketchNdv: Map[(String, String), Long] = specs.flatMap {
+      case (t, tickKey, cols) =>
+        val root = graft.sources.Sources.scratchDirUnique(spark, s"ndvcbo_$t")
+        val df = Tables.table(spark, dir, t)
+        for (k <- 0 until nTicks)
+          ndvCommit(df.filter(
+            pmod(col(tickKey), lit(nTicks.toLong)) === k.toLong),
+            k.toLong, root, cols)
+        val folded = spark.read.parquet(root).agg(
+          cols.map(c =>
+            hll_sketch_estimate(hll_union_agg(col(s"sk_$c"))).as(c)).head,
+          cols.tail.map(c =>
+            hll_sketch_estimate(hll_union_agg(col(s"sk_$c"))).as(c)): _*)
+          .head()
+        cols.zipWithIndex.map { case (c, i) => (t, c) -> folded.getLong(i) }
+    }.toMap
+    // exact row counts and ndv from the persisted ANALYZE store
+    val stats = ensureTableStats(spark, dir)
+      .select(col("table_name"), col("column_name"), col("n_rows"),
+        col("ndv")).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    val (nLi, ndvLoE) = stats(("lineitem", "l_orderkey"))
+    val (nOrd, ndvOoE) = stats(("orders", "o_orderkey"))
+    val (_, ndvOcE) = stats(("orders", "o_custkey"))
+    val (nCust, ndvCcE) = stats(("customer", "c_custkey"))
+    val eps = 3.0 * 1.04 / math.sqrt(1 << 12) // 3σ at Datasketches lgK=12
+    def within3Sigma(sketch: Long, exact: Long): Boolean =
+      math.abs(sketch - exact).toDouble <= eps * exact
+    def withinBand(estSketch: Long, estExact: Long): Boolean =
+      estSketch.toDouble <= estExact / (1.0 - eps) + 1.0 &&
+        estSketch.toDouble >= estExact / (1.0 + eps) - 1.0
+    // the combined band: two estimates are distinguishable iff their
+    // ratio exceeds (1+ε)/(1−ε) — below that, a sketch-fed choice is a
+    // coin flip and the contract demands exact re-ANALYZE
+    def marginRobust(a: Long, b: Long): Boolean =
+      math.max(a, b).toDouble * (1.0 - eps) >
+        math.min(a, b).toDouble * (1.0 + eps)
+    val arms = Seq(
+      ("lineitem_orders_first",
+        nLi, nOrd, ("lineitem", "l_orderkey"), ("orders", "o_orderkey"),
+        ndvLoE, ndvOoE),
+      ("orders_customer_first",
+        nOrd, nCust, ("orders", "o_custkey"), ("customer", "c_custkey"),
+        ndvOcE, ndvCcE))
+    val ests = arms.map { case (_, nA, nB, kA, kB, ndvAE, ndvBE) =>
+      (estimateJoinRows(nA, ndvAE, nB, ndvBE),
+        estimateJoinRows(nA, sketchNdv(kA), nB, sketchNdv(kB)))
+    }
+    val Seq((estAE, estAS), (estBE, estBS)) = ests
+    val chosenSketch = chooseJoinOrder(estAS, estBS)
+    val chosenExact = chooseJoinOrder(estAE, estBE)
+    val robust = marginRobust(estAE, estBE)
+    import spark.implicits._
+    arms.zip(ests).map {
+      case ((label, nA, nB, kA, kB, ndvAE, ndvBE), (estE, estS)) =>
+        (label, nA, nB, ndvAE, ndvBE, estE,
+          within3Sigma(sketchNdv(kA), ndvAE) &&
+            within3Sigma(sketchNdv(kB), ndvBE),
+          withinBand(estS, estE), robust,
+          chosenSketch, chosenExact, chosenSketch == chosenExact)
+    }.toDF("order_label", "n_left", "n_right", "ndv_left_exact",
+      "ndv_right_exact", "est_rows_exact", "ndv_within_3sigma",
+      "est_within_bounds", "margin_robust", "chosen_sketch",
+      "chosen_exact", "choice_agrees")
   }
 }

@@ -888,4 +888,92 @@ class RelationalSpec extends AnyFunSuite {
     assert(stale.exists(r => r._7 >= 500000L),
       "stale error must still collapse beyond the cutoff on the approx route")
   }
+
+  test("q226 decision core: planted stats flip the join order") {
+    // PK-FK both ways: est(li⋈ord) = n_li, est(ord⋈cust) = n_ord — a
+    // bigger fact side picks the right-deep order...
+    assert(Relational.estimateJoinRows(60000L, 15000L, 15000L, 15000L) == 60000L)
+    assert(Relational.chooseJoinOrder(60000L, 15000L) == "orders_customer_first")
+    // ...and PLANTED stats (a selective mid⋈dim ndv collapse inflating
+    // the dim-side estimate) flip the choice — the decision is computed
+    // from the statistics, not hard-coded
+    assert(Relational.chooseJoinOrder(5000L, 90000L) == "lineitem_orders_first")
+    // ties break right-deep; BigInt product survives warehouse counts
+    assert(Relational.chooseJoinOrder(7L, 7L) == "orders_customer_first")
+    assert(Relational.estimateJoinRows(3000000000L, 1000L,
+      2000000000L, 2000000000L) == 3000000000L)
+    intercept[IllegalArgumentException] {
+      Relational.estimateJoinRows(10L, 0L, 10L, 5L)
+    }
+  }
+
+  test("q226 CBO join order: estimates from the persisted store, both orders executed, answers identical") {
+    val rows = Relational.cboJoinOrderAudit(spark, TestSpark.Sf0001)
+      .as[(String, Boolean, Long, Long, String, String, Long, Long, Long)]
+      .collect().sortBy(_._1)
+    assert(rows.length == 2)
+    val Array(liFirst, ocFirst) = rows
+    assert(liFirst._1 == "lineitem_orders_first" &&
+      ocFirst._1 == "orders_customer_first")
+    // exactly one order is chosen, and it is the smaller-estimate one
+    assert(liFirst._2 != ocFirst._2, "exactly one order must be chosen")
+    val wantChoice = Relational.chooseJoinOrder(liFirst._3, ocFirst._3)
+    assert((if (ocFirst._2) "orders_customer_first"
+            else "lineitem_orders_first") == wantChoice)
+    // PK-FK estimates are exact here: est == actual intermediate
+    assert(liFirst._3 == liFirst._4,
+      s"li⋈ord est ${liFirst._3} != actual ${liFirst._4} on a PK-FK join")
+    assert(ocFirst._3 == ocFirst._4,
+      s"ord⋈cust est ${ocFirst._3} != actual ${ocFirst._4} on a PK-FK join")
+    // the order-invariant aggregate: both arms return the same answer
+    assert((liFirst._7, liFirst._8, liFirst._9) ==
+      (ocFirst._7, ocFirst._8, ocFirst._9),
+      "join order changed the answer")
+    // executed operators follow the row-threshold rule (sf0.001: all
+    // sides and both estimated intermediates sit under 10000 rows)
+    rows.foreach { r =>
+      assert(r._5 == "BroadcastHashJoin" && r._6 == "BroadcastHashJoin",
+        s"${r._1} ran (${r._5}, ${r._6}) at sf0.001, want broadcast/broadcast")
+    }
+    // and the aggregate matches a hint-free Spark run of the same join
+    val free = Tables.lineitem(spark, TestSpark.Sf0001)
+      .join(Tables.orders(spark, TestSpark.Sf0001),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, TestSpark.Sf0001),
+        col("o_custkey") === col("c_custkey"))
+      .agg(count(lit(1)), sum(col("l_quantity").cast("long")),
+        sum(col("c_custkey").cast("long")))
+      .as[(Long, Long, Long)].head()
+    assert((liFirst._7, liFirst._8, liFirst._9) == free)
+  }
+
+  test("q227 sketch-fed estimates: 3-sigma holds through the consumer, sketch choice = exact choice") {
+    val rows = Relational.cboNdvSketchEstimates(spark, TestSpark.Sf0001)
+      .as[(String, Long, Long, Long, Long, Long, Boolean, Boolean, Boolean,
+        String, String, Boolean)].collect().sortBy(_._1)
+    assert(rows.length == 2)
+    rows.foreach { r =>
+      assert(r._7, s"${r._1}: a sketch ndv fell outside 3σ of exact")
+      assert(r._8, s"${r._1}: sketch-fed estimate outside the propagated band")
+      assert(r._12 && r._10 == r._11,
+        s"${r._1}: sketch choice ${r._10} != exact choice ${r._11}")
+    }
+    // the margin between the two exact estimates is what licenses the
+    // sketch route here — and the exact estimates match the formula on
+    // live stats
+    val Array(a, b) = rows
+    assert(a._9 && b._9, "fixture margin must be robust to the 3σ band")
+    assert(a._6 == Relational.estimateJoinRows(a._2, a._4, a._3, a._5))
+    assert(b._6 == Relational.estimateJoinRows(b._2, b._4, b._3, b._5))
+    assert(a._11 == Relational.chooseJoinOrder(a._6, b._6))
+    // replaying a commit tick out-of-band cannot change a fold: covered
+    // by the q225 streaming-twin spec; here the consumer's inputs are a
+    // fresh per-run store (scratchDirUnique), so best-of-N re-runs of
+    // the query rebuild rather than double-count
+    val again = Relational.cboNdvSketchEstimates(spark, TestSpark.Sf0001)
+      .as[(String, Long, Long, Long, Long, Long, Boolean, Boolean, Boolean,
+        String, String, Boolean)].collect().sortBy(_._1)
+    assert(again.map(r => (r._1, r._6, r._11)).toSeq ==
+      rows.map(r => (r._1, r._6, r._11)).toSeq)
+  }
 }

@@ -844,7 +844,14 @@ object SparkEntry {
     // sketch-fed choice hash-proven equal to the exact-stat choice, and
     // margin_robust telling a production enumerator when that is safe
     "q227_cbo_ndv_sketch" -> ((s: SparkSession, d: String) =>
-      Relational.cboNdvSketchEstimates(s, d))
+      Relational.cboNdvSketchEstimates(s, d)),
+    // the persisted ANN lifecycle's missing streaming twin: IVF assign /
+    // PQ encode ticks arriving as real micro-batches (file source, one
+    // file per trigger), batchId-keyed dynamic-overwrite commits —
+    // store ≡ from-scratch derivation, probe identity, and restream
+    // convergence pinned per family; counts oracle-re-derived
+    "q228_ann_streaming" -> ((s: SparkSession, d: String) =>
+      Similarity.annStreamingMaintenanceAudit(s, d))
   )
 
   /** Shared CTE chain ending in `pairs` = the exact-Jaccard near-dup pairs
@@ -1926,6 +1933,27 @@ object SparkEntry {
         |    ELSE 'SortMergeJoin' END,
         |  n_rows, sum_qty, sum_cust
         |FROM est, act, fin""".stripMargin,
+    // settled/new counts re-derived; the batch count is the declared
+    // feed shape (one file per trigger, three files) and the three
+    // mismatch counters are the invariant — zero or the row goes red
+    "q228_ann_streaming" ->
+      """SELECT 'ivf' AS family,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM embeddings
+        |     WHERE vec_id % 5 <> 0) AS n_settled,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM embeddings
+        |     WHERE vec_id % 5 = 0) AS n_new,
+        |  CAST(3 AS BIGINT) AS n_stream_batches,
+        |  CAST(0 AS BIGINT) AS store_mismatches,
+        |  CAST(0 AS BIGINT) AS probe_mismatches,
+        |  CAST(0 AS BIGINT) AS restream_mismatches
+        |UNION ALL
+        |SELECT 'pq',
+        |  (SELECT CAST(count(*) AS BIGINT) FROM embeddings
+        |     WHERE vec_id % 5 <> 0),
+        |  (SELECT CAST(count(*) AS BIGINT) FROM embeddings
+        |     WHERE vec_id % 5 = 0),
+        |  CAST(3 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+        |  CAST(0 AS BIGINT)""".stripMargin,
     // exact counts/ndv/estimates re-derived from the raw tables; the
     // sketch-route columns are pinned flags (3σ per column, the
     // propagated estimate band) plus the choice VALUES — the oracle

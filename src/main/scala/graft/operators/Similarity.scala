@@ -1753,4 +1753,150 @@ object Similarity {
       books, subDim, nQueries, k, rerank)
     recallAuditOver(cosineTopK(spark, dir, nQueries, k), routed, floor)
   }
+
+  // --- Streaming maintenance for the persisted ANN stores (r17) ---------
+  //
+  // The streaming-twin discipline already covers the three statistics
+  // stores (zone maps, Bloom filters, NDV sketches); these are the same
+  // shape for the ANN indexes: each micro-batch is ONE ingest tick keyed
+  // by Spark's own batchId, so checkpoint recovery replays a crashed
+  // batch into its own ingest_batch partition via dynamic overwrite —
+  // identical store state, never a double-append. The codebook/books
+  // stay FROZEN (drift is a rebuild decision, q203/q204 — never an
+  // ingest side effect), which is what makes the tick replay-idempotent:
+  // the same rows always encode to the same codes.
+
+  /** J4 kept live — the streamingNdvMaintenance story for the persisted
+    * IVF index: per micro-batch, assign against the persisted codebook
+    * and land the batch under `ingest_batch = batchId` (one
+    * [[ivfIngestTick]]). The MemoryStream spec pins stream ≡ the batch
+    * tick loop and the replay no-op; q228 audits both families
+    * end-to-end over a file-source stream. */
+  def streamingIvfMaintenance(newVecs: DataFrame, codebookPath: String,
+                              indexPath: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+          org.apache.spark.sql.Row] =
+    newVecs.writeStream.foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        ivfIngestTick(batch, codebookPath, indexPath, batchId); ()
+    }
+
+  /** J9 kept live — the PQ analog: per micro-batch, encode against the
+    * persisted books and land under the batch's own partition (one
+    * [[pqIngestTick]]). */
+  def streamingPqMaintenance(newVecs: DataFrame, booksPath: String,
+                             codesPath: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+          org.apache.spark.sql.Row] =
+    newVecs.writeStream.foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        pqIngestTick(batch, booksPath, codesPath, batchId)
+    }
+
+  /** q228 — STREAMING ANN MAINTENANCE AUDIT: the q94/q118 incremental
+    * invariants re-proven with the ticks arriving as a REAL stream (a
+    * file source, maxFilesPerTrigger=1 — the micro-batch shape a 100 TB
+    * ingest feed has; no driver round-trip of vectors). Per family
+    * (IVF, PQ): bootstrap on the settled corpus, stream the new vectors
+    * in `nBatches` micro-batches through the maintenance sink, then pin
+    *  (a) store ≡ a from-scratch derivation of the whole corpus under
+    *      the frozen codebook/books (assign/encode loses nothing),
+    *  (b) probing the persisted store ≡ the in-memory probe,
+    *  (c) RESTREAMING the same feed from a fresh checkpoint converges to
+    *      the identical store (the batchId-keyed dynamic overwrite makes
+    *      replay a rewrite, not an append — file→batch assignment may
+    *      permute, the union cannot change).
+    * The oracle re-derives the settled/new counts and pins the batch
+    * count and the three zero mismatch counters.
+    *
+    * Scale: each tick costs O(batch) encode/assign work against a
+    * metadata-sized frozen codebook — shuffle-free; the store listing
+    * grows one partition per batch until q139/q141 compaction folds it.
+    * The exact-compare legs are the audit price (fixture-bounded here;
+    * at 100 TB they run on a sampled partition, the q221 discipline). */
+  def annStreamingMaintenanceAudit(spark: SparkSession, dir: String,
+                                   nBatches: Int = 3, nQueries: Int = 10,
+                                   k: Int = 5, nProbe: Int = 4,
+                                   rerank: Int = 100): DataFrame = {
+    require(nBatches >= 1, s"need nBatches >= 1; got $nBatches")
+    import graft.sources.Sources
+    val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val isNew = col("vec_id") % 5 === 0
+    val settled = e.filter(!isNew)
+    // spool the new vectors to one parquet file per tick: the stream
+    // feed (files are the micro-batch grain under maxFilesPerTrigger=1)
+    val feed = Sources.scratchDirUnique(spark, "annstream_feed")
+    for (b <- 0 until nBatches)
+      e.filter(pmod(col("vec_id"), lit(5L * nBatches)) === 5L * b)
+        .coalesce(1)
+        .write.mode(if (b == 0) "overwrite" else "append").parquet(feed)
+    def runStream(writer: DataFrame =>
+        org.apache.spark.sql.streaming.DataStreamWriter[
+          org.apache.spark.sql.Row]): Unit = {
+      val src = spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", "1").parquet(feed)
+      val q = writer(src)
+        .option("checkpointLocation", Sources.scratchDirUnique(spark, "annstream_ck"))
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    def mismatches(a: DataFrame, b: DataFrame): Long =
+      a.exceptAll(b).count() + b.exceptAll(a).count()
+    val queries = e.filter(col("vec_id") < nQueries)
+
+    // --- IVF ---
+    val cbPath = Sources.scratchDirUnique(spark, "annstream_ivf_cb")
+    val idxPath = Sources.scratchDirUnique(spark, "annstream_ivf_idx")
+    writeIvfIndex(settled, cbPath, idxPath)
+    runStream(streamingIvfMaintenance(_, cbPath, idxPath))
+    val cents = loadCentroids(spark, cbPath)
+    def ivfStore() = spark.read.parquet(Sources.livePath(spark, idxPath))
+    val ivfBatches = ivfStore().filter(col("ingest_batch") >= 0L)
+      .select(col("ingest_batch")).distinct().count()
+    val fullAssign = ivfAssign(e, cents).select(col("vec_id"), col("list_id"))
+    val ivfStoreMis = mismatches(
+      ivfStore().select(col("vec_id"), col("list_id")), fullAssign)
+    val ivfProbeMis = mismatches(
+      ivfProbeIndex(spark, cbPath, idxPath, queries, k, nProbe),
+      ivfCosineTopKOver(e, cents, nQueries, k, nProbe,
+        cents.length > LiteralCodebookMaxLists))
+    runStream(streamingIvfMaintenance(_, cbPath, idxPath)) // fresh checkpoint
+    val ivfRestreamMis = mismatches(
+      ivfStore().select(col("vec_id"), col("list_id")), fullAssign)
+
+    // --- PQ ---
+    val booksPath = Sources.scratchDirUnique(spark, "annstream_pq_books")
+    val codesPath = Sources.scratchDirUnique(spark, "annstream_pq_codes")
+    writePqIndex(settled, booksPath, codesPath)
+    runStream(streamingPqMaintenance(_, booksPath, codesPath))
+    val books = loadPqBooks(spark, booksPath)
+    val subDim = books(0)(0).length
+    def pqStore() = spark.read.parquet(Sources.livePath(spark, codesPath))
+    val pqBatches = pqStore().filter(col("ingest_batch") >= 0L)
+      .select(col("ingest_batch")).distinct().count()
+    val fullCodes = e.select(col("vec_id"),
+      pqEncode(col("embedding"), books, subDim).as("codes"))
+    val pqStoreMis = mismatches(
+      pqStore().select(col("vec_id"), col("codes")), fullCodes)
+    val pqProbeMis = mismatches(
+      pqTopKOver(e, pqStore()
+        .select(col("vec_id").as("cand_id"), col("codes")),
+        books, subDim, nQueries, k, rerank),
+      pqTopKOver(e, fullCodes
+        .select(col("vec_id").as("cand_id"), col("codes")),
+        books, subDim, nQueries, k, rerank))
+    runStream(streamingPqMaintenance(_, booksPath, codesPath))
+    val pqRestreamMis = mismatches(
+      pqStore().select(col("vec_id"), col("codes")), fullCodes)
+
+    val (nSettled, nNew) = (settled.count(), e.filter(isNew).count())
+    import spark.implicits._
+    Seq(
+      ("ivf", nSettled, nNew, ivfBatches, ivfStoreMis, ivfProbeMis,
+        ivfRestreamMis),
+      ("pq", nSettled, nNew, pqBatches, pqStoreMis, pqProbeMis,
+        pqRestreamMis))
+      .toDF("family", "n_settled", "n_new", "n_stream_batches",
+        "store_mismatches", "probe_mismatches", "restream_mismatches")
+  }
 }

@@ -733,4 +733,78 @@ class SimilaritySpec extends AnyFunSuite {
       .as[(Long, Long, Boolean)].collect()
     assert(none.length == 10 && none.forall(!_._3), s"empty routed: ${none.mkString(",")}")
   }
+
+  test("q228 streaming twins: MemoryStream ticks reproduce the batch tick loop; replay is a no-op") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val e = Tables.embeddings(spark, TestSpark.Sf0001)
+      .select(col("vec_id"), col("embedding"))
+    val isNew = col("vec_id") % 5 === 0
+    val newRows = e.filter(isNew).as[(Long, Seq[Float])].collect()
+    def tickOf(t: Int) = newRows.filter(r => (r._1 / 5) % 3 == t).toIndexedSeq
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def tmp(tag: String) = java.nio.file.Files
+      .createTempDirectory(s"graft_annstream_$tag").toString + "/p"
+
+    // --- IVF: stream ≡ the ivfIngestTick loop, tick replay converges ---
+    val (cbS, idxS) = (tmp("ivf_cb_s"), tmp("ivf_idx_s"))
+    Similarity.writeIvfIndex(e.filter(!isNew), cbS, idxS)
+    val in = MemoryStream[(Long, Seq[Float])]
+    val q = Similarity.streamingIvfMaintenance(
+        in.toDF().toDF("vec_id", "embedding"), cbS, idxS)
+      .option("checkpointLocation", tmp("ivf_ck")).start()
+    try {
+      (0 until 3).foreach { t => in.addData(tickOf(t)); q.processAllAvailable() }
+    } finally q.stop()
+    val (cbB, idxB) = (tmp("ivf_cb_b"), tmp("ivf_idx_b"))
+    Similarity.writeIvfIndex(e.filter(!isNew), cbB, idxB)
+    (0 until 3).foreach { t =>
+      Similarity.ivfIngestTick(
+        spark.createDataset(tickOf(t)).toDF("vec_id", "embedding"),
+        cbB, idxB, t.toLong)
+    }
+    // NOTE: the two codebooks are trained by the same deterministic
+    // kmeans over the same settled rows, so assignments are comparable
+    def ivfState(idx: String) = spark.read
+      .parquet(graft.sources.Sources.livePath(spark, idx))
+      .select(col("ingest_batch"), col("vec_id"), col("list_id"))
+      .as[(Long, Long, Long)].collect().toSet
+    val streamed = ivfState(idxS)
+    assert(streamed == ivfState(idxB), "stream state != batch tick-loop state")
+    // out-of-band replay of the MIDDLE tick: identical content, same
+    // batch id -> the dynamic overwrite rewrites, never double-appends
+    Similarity.ivfIngestTick(
+      spark.createDataset(tickOf(1)).toDF("vec_id", "embedding"), cbS, idxS, 1L)
+    assert(ivfState(idxS) == streamed, "replaying tick 1 changed the IVF store")
+
+    // --- PQ: same contract for the encode path ---
+    val (bkS, cdS) = (tmp("pq_books_s"), tmp("pq_codes_s"))
+    Similarity.writePqIndex(e.filter(!isNew), bkS, cdS)
+    val inPq = MemoryStream[(Long, Seq[Float])]
+    val qPq = Similarity.streamingPqMaintenance(
+        inPq.toDF().toDF("vec_id", "embedding"), bkS, cdS)
+      .option("checkpointLocation", tmp("pq_ck")).start()
+    try {
+      (0 until 3).foreach { t => inPq.addData(tickOf(t)); qPq.processAllAvailable() }
+    } finally qPq.stop()
+    def pqState() = spark.read
+      .parquet(graft.sources.Sources.livePath(spark, cdS))
+      .select(col("ingest_batch"), col("vec_id"), col("codes"))
+      .as[(Long, Long, Seq[Int])].collect().toSet
+    val pqStreamed = pqState()
+    // stream ticks must equal a direct encode of the same rows under the
+    // persisted books, partition-for-partition
+    val books = Similarity.loadPqBooks(spark, bkS)
+    val subDim = books(0)(0).length
+    val want = (0 until 3).flatMap { t =>
+      spark.createDataset(tickOf(t)).toDF("vec_id", "embedding")
+        .select(lit(t.toLong).as("ingest_batch"), col("vec_id"),
+          Similarity.pqEncode(col("embedding"), books, subDim).as("codes"))
+        .as[(Long, Long, Seq[Int])].collect()
+    }.toSet
+    assert(pqStreamed.filter(_._1 >= 0L) == want,
+      "streamed PQ partitions != direct encode of the same ticks")
+    Similarity.pqIngestTick(
+      spark.createDataset(tickOf(1)).toDF("vec_id", "embedding"), bkS, cdS, 1L)
+    assert(pqState() == pqStreamed, "replaying tick 1 changed the PQ store")
+  }
 }

@@ -851,7 +851,14 @@ object SparkEntry {
     // store ≡ from-scratch derivation, probe identity, and restream
     // convergence pinned per family; counts oracle-re-derived
     "q228_ann_streaming" -> ((s: SparkSession, d: String) =>
-      Similarity.annStreamingMaintenanceAudit(s, d))
+      Similarity.annStreamingMaintenanceAudit(s, d)),
+    // the last codec stub closed: REAL ISO-BMFF/MP4 container decode —
+    // planted boxes (every third file a skipped free box, every fifth a
+    // 64-bit largesize moov, every seventh an mvhd v1) walked back in
+    // executors; every movie-metadata column and walk-honesty counter
+    // re-derived by the oracle from id math (the q223 RIFF discipline)
+    "q229_mp4_decode" -> ((s: SparkSession, d: String) =>
+      graft.multimodal.Multimodal.mp4DecodeAudit(s))
   )
 
   /** Shared CTE chain ending in `pairs` = the exact-Jaccard near-dup pairs
@@ -1933,6 +1940,25 @@ object SparkEntry {
         |    ELSE 'SortMergeJoin' END,
         |  n_rows, sum_qty, sum_cust
         |FROM est, act, fin""".stripMargin,
+    // the full box walk re-derived from the id formulas: fixed brand and
+    // timescale, duration via (id*37) % 100000 + 600, integer-div
+    // milliseconds, tracks via 1 + id%3, and the three planted edge
+    // paths (free-box skip, largesize moov, mvhd v1) on exactly their
+    // id classes — a hash match proves the walker handled them all
+    "q229_mp4_decode" ->
+      """SELECT CAST(g AS BIGINT) AS media_id, 'isom' AS brand,
+        |  CAST(600 AS BIGINT) AS timescale,
+        |  CAST((g * 37) % 100000 + 600 AS BIGINT) AS duration,
+        |  CAST(((g * 37) % 100000 + 600) * 1000 // 600 AS BIGINT)
+        |    AS duration_ms,
+        |  CAST(1 + g % 3 AS BIGINT) AS n_tracks,
+        |  CAST(CASE WHEN g % 7 = 0 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS mvhd_version,
+        |  CAST(CASE WHEN g % 3 = 0 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS n_boxes_skipped,
+        |  CAST(CASE WHEN g % 5 = 0 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS n_largesize
+        |FROM generate_series(0, 49) t(g)""".stripMargin,
     // settled/new counts re-derived; the batch count is the declared
     // feed shape (one file per trigger, three files) and the three
     // mismatch counters are the invariant — zero or the row goes red

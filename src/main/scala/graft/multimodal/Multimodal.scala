@@ -16,11 +16,13 @@ import org.apache.spark.sql.functions._
   * tensor path with a public, dependency-free decoder — AND PCM WAV via
   * the hand-rolled RIFF chunk walker [[decodeWav]] (r16: a container
   * parse plus raw little-endian integers needs no codec library;
-  * oracle-audited end-to-end by q223).
-  * STUBBED: codecs that genuinely need a decoder library (MP4/exotic
-  * images) — `decodeStub` derives deterministic fake dims from the
-  * payload; it is clearly marked and isolated so a codec-backed
-  * implementation drops in without touching the Spark plumbing.
+  * oracle-audited end-to-end by q223) — AND ISO-BMFF/MP4 container
+  * metadata via the box walker [[decodeMp4]] (r17, q229; SAMPLE decode
+  * — h264 frames — would need a codec and is declared out of scope,
+  * the same container/payload split the WAV parser draws).
+  * No codec container remains stubbed: `decodeStub` is now only the
+  * unrecognized-payload fallback (deterministic fake dims keep the
+  * schema and batch shape real for the text-byte fixtures).
   */
 object Multimodal {
 
@@ -70,7 +72,13 @@ object Multimodal {
         // — the dims slot carries the decoded shape, same as images
         case Some(w) => MediaMeta(payload.length.toLong, "wav",
           w.samples.length, w.channels)
-        case None => decodeStub(mediaType, payload)
+        case None => decodeMp4(payload) match {
+          // real ISO-BMFF walk (r17): width ≙ tracks, height ≙ whole
+          // seconds of movie duration
+          case Some(m) => MediaMeta(payload.length.toLong, "mp4",
+            m.nTracks, (m.duration / m.timescale).toInt)
+          case None => decodeStub(mediaType, payload)
+        }
       }
     }
 
@@ -214,6 +222,175 @@ object Multimodal {
         "peak", "sum_sq", "zero_crossings", "n_chunks_skipped")
   }
 
+  // --- MP4 (ISO-BMFF) — REAL container decode, zero dependencies -------
+  //
+  // MP4 was the last declared codec stub. Like WAV (r16), the CONTAINER
+  // needs no codec: ISO/IEC 14496-12 is a box walk — size(4, big-endian)
+  // + type(4 ascii), size==1 → a 64-bit largesize follows, size==0 → the
+  // box runs to the end of its enclosure — with containers (moov, trak)
+  // holding child boxes. The movie-level metadata a data pipeline
+  // indexes on (brand, timescale, duration, track count) lives in
+  // ftyp/mvhd/trak headers; SAMPLE decode (h264 frames) would need a
+  // codec and stays out of scope — the walker parses the container, the
+  // same split the WAV parser drew between RIFF and the PCM payload.
+
+  /** Decoded ISO-BMFF movie metadata: the ftyp major brand, mvhd
+    * timescale/duration (version 0 and 1 both parsed), the trak count,
+    * plus the walk-honesty counters: boxes skipped (free/mdat/udta/...)
+    * and 64-bit-largesize boxes traversed. */
+  case class Mp4Meta(majorBrand: String, timescale: Long, duration: Long,
+                     nTracks: Int, mvhdVersion: Int, skippedBoxes: Int,
+                     largesizeBoxes: Int)
+
+  /** Parse an ISO-BMFF payload; None for a missing/late ftyp, a missing
+    * moov/mvhd, truncation, or any malformed box size (the decode-
+    * failure contract of [[decodeWav]]). All size arithmetic in Long:
+    * box sizes are UNSIGNED 32-bit (or 64-bit largesize) and an Int walk
+    * would wrap on crafted sizes — the WAV overflow lesson, applied from
+    * the start. */
+  def decodeMp4(payload: Array[Byte]): Option[Mp4Meta] = {
+    val n = payload.length.toLong
+    def be32(p: Long): Long =
+      ((payload(p.toInt) & 0xffL) << 24) | ((payload(p.toInt + 1) & 0xffL) << 16) |
+        ((payload(p.toInt + 2) & 0xffL) << 8) | (payload(p.toInt + 3) & 0xffL)
+    def be64(p: Long): Long = (be32(p) << 32) | be32(p + 4)
+    def tag(p: Long): String = new String(payload, p.toInt, 4, "US-ASCII")
+    if (n < 16 || tag(4) != "ftyp") return None
+    var brand: Option[String] = None
+    var mvhd: Option[(Int, Long, Long)] = None // (version, timescale, duration)
+    var tracks = 0
+    var skipped = 0
+    var largesizes = 0
+    // one flat iterative walk with an explicit enclosure stack: (end,
+    // isMoov) — no recursion depth to attack with nested containers
+    var stack = List((n, false))
+    var pos = 0L
+    var ok = true
+    while (ok && stack.nonEmpty) {
+      val (end, inMoov) = stack.head
+      if (pos >= end) stack = stack.tail // enclosure exhausted
+      else if (end - pos < 8) ok = false // trailing garbage
+      else {
+        val sizeField = be32(pos)
+        val id = tag(pos + 4)
+        var header = 8L
+        val boxSize =
+          if (sizeField == 1L) {
+            if (end - pos < 16) { ok = false; 0L }
+            else { header = 16L; largesizes += 1; be64(pos + 8) }
+          } else if (sizeField == 0L) end - pos // runs to enclosure end
+          else sizeField
+        if (!ok || boxSize < header || boxSize > end - pos) ok = false
+        else {
+          val body = pos + header
+          val next = pos + boxSize
+          id match {
+            case "ftyp" =>
+              if (pos != 0L || boxSize < 16L) ok = false
+              else brand = Some(tag(body))
+            case "moov" => // descend: children own [body, next)
+              stack = (next, true) :: stack
+            case "mvhd" if inMoov =>
+              val v = payload(body.toInt) & 0xff
+              if (v == 1 && boxSize >= header + 4 + 28)
+                mvhd = Some((1, be32(body + 20), be64(body + 24)))
+              else if (v == 0 && boxSize >= header + 4 + 16)
+                mvhd = Some((0, be32(body + 12), be32(body + 16)))
+              else ok = false
+            case "trak" if inMoov => tracks += 1
+            case _ => skipped += 1
+          }
+          if (ok && id != "moov") pos = next
+          else if (ok) pos = body // moov: first child starts at body
+        }
+      }
+    }
+    // ftyp alone is not a movie: require mvhd with a sane timescale
+    for {
+      _ <- if (ok) Some(()) else None
+      b <- brand
+      (v, ts, dur) <- mvhd
+      if ts > 0L && dur >= 0L
+    } yield Mp4Meta(b, ts, dur, tracks, v, skipped, largesizes)
+  }
+
+  /** A deterministic synthetic MP4 derived from `id` alone (the
+    * [[syntheticWav]] plant discipline on the video axis): ftyp(isom) +
+    * moov(mvhd + traks), with the walker's edge paths exercised by the
+    * planted corpus, not just trusted — every third file carries a
+    * skipped `free` box, every fifth writes moov in the 64-bit
+    * largesize form, every seventh uses mvhd version 1 (64-bit
+    * duration). timescale 600, duration = (id·37 mod 100000) + 600,
+    * tracks = 1 + id mod 3 — integer arithmetic the oracle replays. */
+  private[graft] def syntheticMp4(id: Long, timescale: Long = 600L,
+                                  durationOf: Long => Long =
+                                    i => (i * 37L) % 100000L + 600L,
+                                  tracksOf: Long => Int =
+                                    i => 1 + (i % 3L).toInt): Array[Byte] = {
+    val duration = durationOf(id)
+    val nTracks = tracksOf(id)
+    val withFree = id % 3L == 0L
+    val largesize = id % 5L == 0L
+    val mvhdV1 = id % 7L == 0L
+    val bb = java.nio.ByteBuffer.allocate(4096) // BIG_ENDIAN by default
+    def box(tpe: String)(body: => Unit): Unit = {
+      val at = bb.position()
+      bb.putInt(0).put(tpe.getBytes("US-ASCII"))
+      body
+      bb.putInt(at, bb.position() - at)
+    }
+    box("ftyp") { bb.put("isom".getBytes("US-ASCII")).putInt(512) }
+    if (withFree) box("free") { bb.put("pad".getBytes("US-ASCII")) }
+    val moovAt = bb.position()
+    // largesize form: size=1 marker + 64-bit length after the type
+    if (largesize) bb.putInt(1).put("moov".getBytes("US-ASCII")).putLong(0L)
+    else bb.putInt(0).put("moov".getBytes("US-ASCII"))
+    box("mvhd") {
+      if (mvhdV1)
+        bb.put(1.toByte).put(Array[Byte](0, 0, 0)) // version 1 + flags
+          .putLong(0L).putLong(0L) // creation/modification (64-bit)
+          .putInt(timescale.toInt).putLong(duration)
+      else
+        bb.put(0.toByte).put(Array[Byte](0, 0, 0))
+          .putInt(0).putInt(0) // creation/modification (32-bit)
+          .putInt(timescale.toInt).putInt(duration.toInt)
+    }
+    for (t <- 0 until nTracks)
+      box("trak") { box("tkhd") { bb.putInt(t) } }
+    val moovEnd = bb.position()
+    if (largesize) bb.putLong(moovAt + 8, (moovEnd - moovAt).toLong)
+    else bb.putInt(moovAt, moovEnd - moovAt)
+    java.util.Arrays.copyOf(bb.array(), moovEnd)
+  }
+
+  /** U5/q229 — MP4 DECODE AUDIT (the q223 WAV discipline on the last
+    * stubbed codec): build `nFiles` planted ISO-BMFF containers
+    * in-engine, push every payload through the REAL box walker in
+    * executors, and emit per file the movie metadata plus the
+    * walk-honesty counters. The oracle re-derives every column from the
+    * id formula alone — a hash match proves the bytes → boxes →
+    * metadata walk is exact, including the skipped-box, largesize, and
+    * mvhd-v1 paths on exactly the planted ids.
+    *
+    * Scale: same shape as q223 — per-row executor work on a
+    * media_id-partitioned relation, no shuffle until the feature rows. */
+  def mp4DecodeAudit(spark: SparkSession, nFiles: Int = 50): DataFrame = {
+    import spark.implicits._
+    require(nFiles >= 1, s"need nFiles >= 1; got $nFiles")
+    spark.range(nFiles.toLong)
+      .repartition(math.min(nFiles, 8), col("id")).as[Long]
+      .map { id =>
+        val m = decodeMp4(syntheticMp4(id)).getOrElse(
+          throw new IllegalStateException(s"planted mp4 $id failed to parse"))
+        (id, m.majorBrand, m.timescale, m.duration,
+          m.duration * 1000L / m.timescale, m.nTracks.toLong,
+          m.mvhdVersion.toLong, m.skippedBoxes.toLong,
+          m.largesizeBoxes.toLong)
+      }
+      .toDF("media_id", "brand", "timescale", "duration", "duration_ms",
+        "n_tracks", "mvhd_version", "n_boxes_skipped", "n_largesize")
+  }
+
   /** Codec signature sniff: JPEG SOI / PNG magic, else empty. Cheap guard
     * so non-image payloads never pay an ImageIO reader probe. */
   def sniffFormat(payload: Array[Byte]): String =
@@ -281,12 +458,13 @@ object Multimodal {
     }
   }
 
-  /** STUB — fallback header decode for codecs the JDK cannot read (WAV /
-    * MP4 / exotic image formats): derives deterministic fake dims from
-    * the payload so the schema and batch shape stay real and testable;
-    * clearly isolated so a codec-backed implementation drops in without
-    * touching the Spark plumbing. Baseline JPEG/PNG no longer route here
-    * (see [[decodeMeta]]).
+  /** Fallback header decode for UNRECOGNIZED payloads (exotic image
+    * formats, and the text-byte fixtures standing in for encoded media):
+    * derives deterministic fake dims from the payload so the schema and
+    * batch shape stay real and testable. Since r17 no codec container
+    * routes here — JPEG/PNG/WAV/MP4 all have real parsers
+    * (see [[decodeMeta]]); the "fake-*" format names are kept for the
+    * q37/q42 fixture contracts.
     */
   def decodeStub(mediaType: String, payload: Array[Byte]): MediaMeta = {
     val n = payload.length.toLong

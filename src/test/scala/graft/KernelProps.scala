@@ -116,4 +116,38 @@ object KernelProps extends Properties("graft.kernels") {
       val r = scala.util.Try(graft.multimodal.Multimodal.decodeWav(junk))
       r.isSuccess
     }
+
+  property("MP4 build->parse round trip is lossless for any (id, timescale, duration, tracks)") =
+    Prop.forAll(Gen.long, Gen.choose(1L, 1000000L), Gen.choose(0L, 1L << 40),
+        Gen.choose(0, 16)) { (id, ts, dur, nTracks) =>
+      import graft.multimodal.Multimodal
+      // durations past 2^32 force the v1/largesize-safe paths on their
+      // planted id classes; v0 ids clamp duration into 32 bits
+      val d = if (id % 7L == 0L) dur else dur % (1L << 31)
+      val m = Multimodal.decodeMp4(Multimodal.syntheticMp4(
+        id, ts, _ => d, _ => nTracks)).get
+      m.majorBrand == "isom" && m.timescale == ts && m.duration == d &&
+        m.nTracks == nTracks &&
+        m.mvhdVersion == (if (id % 7L == 0L) 1 else 0) &&
+        m.skippedBoxes == (if (id % 3L == 0L) 1 else 0) &&
+        m.largesizeBoxes == (if (id % 5L == 0L) 1 else 0)
+    }
+
+  property("MP4 walker totals on arbitrary bytes: None or a parse, never a throw") =
+    Prop.forAll(Gen.containerOfN[Array, Byte](64,
+        Gen.choose(Byte.MinValue, Byte.MaxValue))) { junk =>
+      scala.util.Try(graft.multimodal.Multimodal.decodeMp4(junk)).isSuccess
+    }
+
+  property("MP4 walker totals on crafted ftyp-prefixed garbage") =
+    Prop.forAll(Gen.containerOfN[Array, Byte](56,
+        Gen.choose(Byte.MinValue, Byte.MaxValue))) { tail =>
+      // adversarial shape: a VALID ftyp header followed by garbage boxes
+      // — the walk must reject malformed/overflowing sizes via None
+      val head = java.nio.ByteBuffer.allocate(16)
+        .putInt(16).put("ftyp".getBytes("US-ASCII"))
+        .put("isom".getBytes("US-ASCII")).putInt(0).array()
+      scala.util.Try(
+        graft.multimodal.Multimodal.decodeMp4(head ++ tail)).isSuccess
+    }
 }

@@ -163,4 +163,42 @@ class MultimodalSpec extends AnyFunSuite {
     val stub = Multimodal.decodeMeta("audio", "hello world".getBytes)
     assert(stub.format != "wav")
   }
+
+  test("q229 MP4 decode: box walk exact on all planted edge paths, failure paths None") {
+    // ids cover: plain (1), free-box skip (3), largesize moov (5),
+    // mvhd v1 (7), and the triple overlap (0: skip+largesize+v1... 0
+    // hits all three classes), plus 105 = 3·5·7
+    for (id <- Seq(0L, 1L, 3L, 5L, 7L, 105L)) {
+      val m = Multimodal.decodeMp4(Multimodal.syntheticMp4(id)).get
+      assert(m.majorBrand == "isom" && m.timescale == 600L)
+      assert(m.duration == (id * 37L) % 100000L + 600L, s"id=$id duration")
+      assert(m.nTracks == 1 + (id % 3L).toInt, s"id=$id tracks")
+      assert(m.mvhdVersion == (if (id % 7L == 0L) 1 else 0), s"id=$id v")
+      assert(m.skippedBoxes == (if (id % 3L == 0L) 1 else 0), s"id=$id skip")
+      assert(m.largesizeBoxes == (if (id % 5L == 0L) 1 else 0), s"id=$id ls")
+    }
+    // failure paths map to None, never a throw or a garbage parse
+    val good = Multimodal.syntheticMp4(1L)
+    assert(Multimodal.decodeMp4(good.take(20)).isEmpty, "truncation")
+    assert(Multimodal.decodeMp4("not a movie file".getBytes).isEmpty,
+      "wrong magic")
+    // ftyp must be FIRST (ISO-BMFF: file-type box precedes everything)
+    val freeFirst = java.nio.ByteBuffer.allocate(good.length + 8)
+      .putInt(8).put("free".getBytes("US-ASCII")).put(good).array()
+    assert(Multimodal.decodeMp4(freeFirst).isEmpty, "late ftyp")
+    // a crafted size field of 0xffffffff (unsigned) must bound-check as
+    // Long, map to None, and never index out of range
+    val crafted = good.clone()
+    crafted(16) = 0xff.toByte; crafted(17) = 0xff.toByte
+    crafted(18) = 0xff.toByte; crafted(19) = 0xff.toByte
+    assert(Multimodal.decodeMp4(crafted).isEmpty, "overflowing box size")
+    // decodeMeta routes real MP4s: width ≙ tracks, height ≙ seconds
+    val meta = Multimodal.decodeMeta("video", Multimodal.syntheticMp4(2L))
+    assert(meta.format == "mp4" && meta.width == 3 &&
+      meta.height == ((2L * 37L) % 100000L + 600L).toInt / 600,
+      s"decodeMeta must carry the walked movie shape: $meta")
+    // and text payloads still fall through to the stub untouched
+    assert(Multimodal.decodeMeta("video", "hello world".getBytes)
+      .format == "fake-mp4")
+  }
 }

@@ -6,12 +6,28 @@ package graft
   * Methodology: each query is materialized through the `noop` sink — a real
   * full materialization of every output row/column on the executors with no
   * write cost — so projection-only queries are measured end-to-end instead
-  * of being pruned to a count(*). Each query runs SPARK_GRAFT_BENCH_RUNS
-  * times (default 1 — the driver has a hard wall-clock budget; attribution
-  * sessions use best-of-2/3 to reject this host's ~4-core background-load
-  * noise) and reports the per-query best. Failures are reported explicitly
-  * (negative time + an `errors` map), never recorded as fake sub-second
-  * successes.
+  * of being pruned to a count(*).
+  *
+  * Runs are BUDGET-GUARDED best-of-N (default N=2 since r17 — the r16
+  * verdict's oldest open item): pass 1 times every query once, then later
+  * passes re-run queries in DESCENDING pass-1 cost order — the
+  * outlier-prone end first — while total bench wall clock stays under
+  * SPARK_GRAFT_BENCH_BUDGET_SEC (default 520 s ≈ the r15 driver run that
+  * fit the budget); the per-query best is kept. This adopts best-of-2
+  * without re-risking the r8 rc-124 wall-clock breach: on a loaded host
+  * pass 2 degrades gracefully to fewer re-runs (`n_pass2` in the artifact
+  * records how many ran) instead of blowing the driver budget. Failures
+  * are reported explicitly (negative time + an `errors` map), never
+  * recorded as fake sub-second successes, and never retried in later
+  * passes.
+  *
+  * Session-shared `ensure*` leaves are built BEFORE pass 1 as their own
+  * timed `leaf_builds` artifact entries (r16 verdict task 4): per-query
+  * numbers are steady-state reads, not "whichever consumer ran first paid
+  * the one-time build" (r16: the kNN-leaf build landed on q152 and read
+  * as a 7.7 s regression). Leaves built lazily by rarer parameterizations
+  * are still timed (Sources.storeBuildSeconds) and emitted; pass 2's
+  * steady-state re-run strips their cost from the kept per-query number.
   *
   * Host-load evidence: this host carries a variable background load that
   * has produced 2–9× single-query swings on untouched code in past rounds
@@ -19,8 +35,8 @@ package graft
   * before it starts, and the JSON carries a `loads` map (per-query list of
   * 1-minute load averages, one per run) so a regressed number can be
   * attributed to contention — or not — from the artifact itself instead of
-  * a follow-up session. SPARK_GRAFT_BENCH_RUNS overrides the per-query
-  * run count (default 2; best-of-3 for attribution runs).
+  * a follow-up session. SPARK_GRAFT_BENCH_RUNS overrides the pass count
+  * (1 restores the old single-run mode; 3 for attribution sessions).
   */
 object Bench {
   /** 1-minute load average sampled from /proc/loadavg (−1 if unreadable). */
@@ -31,12 +47,13 @@ object Bench {
     } catch { case _: Throwable => -1.0 }
 
   def main(args: Array[String]): Unit = {
+    val benchT0 = System.nanoTime()
+    def elapsed(): Double = (System.nanoTime() - benchT0) / 1e9
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    // Default ONE run per query in the driver: round-8's best-of-2 doubled
-    // wall-clock past the driver budget (rc 124). Attribution sessions set
-    // SPARK_GRAFT_BENCH_RUNS=2/3 explicitly for best-of-N noise rejection.
-    val nRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "1").toInt.max(1)
+    val nRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt.max(1)
+    val budgetSec =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "520").toDouble
     // Optional subset filter (comma-separated name prefixes) for targeted
     // scaling sessions (e.g. the sf1 heavy-family runs): unset → full
     // registry, so the driver's per-round invocation is unchanged.
@@ -54,41 +71,59 @@ object Bench {
       spark.read.parquet(s"$sfDir/$t.parquet").write.format("noop").mode("overwrite").save()
     spark.range(1000000).groupBy((org.apache.spark.sql.functions.col("id") % 7).as("k"))
       .count().write.format("noop").mode("overwrite").save()
+    // Leaf pre-builds: each session-shared store is its own timed line.
+    for ((leaf, warm) <- SparkEntry.leafWarmers) {
+      val t0 = System.nanoTime()
+      try warm(spark, sfDir)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] leaf $leaf failed: ${e.getMessage}")
+      }
+      System.err.println(
+        f"[bench] leaf $leaf built in ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val loads = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
-    val results = benched.map { case (name, fn) =>
-      def once(): Double = {
-        loads(name) = loads.getOrElse(name, Seq.empty) :+ load1()
-        val t0 = System.nanoTime()
-        val ok =
-          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-          catch { case e: Throwable =>
-            errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
-            false
-          }
-        val dt = (System.nanoTime() - t0) / 1e9
-        // drop caches a query registered for its own multi-branch plans so
-        // the next measurement starts from the same cold-cache state.
-        // clearCache() only covers the SQL cache: localCheckpoint blocks
-        // (used by ~30 queries, repeatedly inside CC loops) otherwise sit in
-        // the block manager until the ContextCleaner notices a GC'd ref —
-        // late in a 90+-query run that squeezed unified memory into 30-60x
-        // eviction-churn stalls (round-8 rc-124 timeout). Free them eagerly.
-        spark.catalog.clearCache()
-        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
-        System.err.println(f"[bench] $name done in $dt%.2f s (load ${load1()}%.2f)")
-        if (ok) dt else -dt
-      }
-      // a failing query is not retried: its first error is the report
-      val runs = scala.collection.mutable.ArrayBuffer.empty[Double]
-      while (runs.size < nRuns && runs.forall(_ > 0)) runs += once()
-      val ok = runs.filter(_ > 0)
-      val best = if (ok.nonEmpty) ok.min else runs.max
-      // a kept success must not also sit in the errors map (late-run
-      // flake): the contract is positive time XOR an errors entry
-      if (best > 0) errors.remove(name)
-      name -> best
+    def once(name: String, fn: (org.apache.spark.sql.SparkSession, String)
+        => org.apache.spark.sql.DataFrame): Double = {
+      loads(name) = loads.getOrElse(name, Seq.empty) :+ load1()
+      val t0 = System.nanoTime()
+      val ok =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable =>
+          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+          false
+        }
+      val dt = (System.nanoTime() - t0) / 1e9
+      // drop caches a query registered for its own multi-branch plans so
+      // the next measurement starts from the same cold-cache state.
+      // clearCache() only covers the SQL cache: localCheckpoint blocks
+      // (used by ~30 queries, repeatedly inside CC loops) otherwise sit in
+      // the block manager until the ContextCleaner notices a GC'd ref —
+      // late in a 90+-query run that squeezed unified memory into 30-60x
+      // eviction-churn stalls (round-8 rc-124 timeout). Free them eagerly.
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      System.err.println(f"[bench] $name done in $dt%.2f s (load ${load1()}%.2f)")
+      if (ok) dt else -dt
     }
+    // pass 1: every query once, registry order
+    val best = scala.collection.mutable.LinkedHashMap[String, Double]()
+    for ((name, fn) <- benched) best(name) = once(name, fn)
+    // passes 2..N: descending cost, while the wall-clock budget holds;
+    // failed queries are not retried (their first error is the report)
+    var nPass2 = 0
+    for (pass <- 2 to nRuns) {
+      val order = best.toSeq.filter(_._2 > 0).sortBy(-_._2).map(_._1)
+      for (name <- order if elapsed() < budgetSec) {
+        val t = once(name, benched(name))
+        if (t > 0 && t < best(name)) best(name) = t
+        if (pass == 2) nPass2 += 1
+      }
+    }
+    // a kept success must not also sit in the errors map (late-run
+    // flake): the contract is positive time XOR an errors entry
+    for ((name, t) <- best if t > 0) errors.remove(name)
+    val results = best
     def esc(s: String): String =
       s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c if c < ' ' => " "; case c => c.toString }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
@@ -96,8 +131,15 @@ object Bench {
       .mkString("{", ",", "}")
     val loadJson = loads.map { case (k, vs) => "\"" + k + "\":" + vs.mkString("[", ",", "]") }
       .mkString("{", ",", "}")
+    val leafBuilds = {
+      import scala.jdk.CollectionConverters._
+      graft.sources.Sources.storeBuildSeconds.asScala.toSeq.sortBy(_._1)
+    }
+    val leafJson = leafBuilds.map { case (k, v) => "\"" + esc(k) + f"\":$v%.3f" }
+      .mkString("{", ",", "}")
+    val leafTotal = leafBuilds.map(_._2).sum
     val total = results.values.filter(_ > 0).sum
-    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"n_failed":${errors.size},"loads":$loadJson,"n_runs":$nRuns,"sf":"$sfDir"}"""
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"n_failed":${errors.size},"loads":$loadJson,"n_runs":$nRuns,"n_pass2":$nPass2,"leaf_builds":$leafJson,"leaf_sec":$leafTotal,"sf":"$sfDir"}"""
     // The driver keeps only the LAST ~2000 chars of stdout (BENCH_r11/r12
     // both landed `"parsed": null` because the full per-query JSON is ~10 kB
     // and was truncated from the FRONT). So the full artifact goes to a
@@ -124,7 +166,7 @@ object Bench {
       if (allLoads.isEmpty) -1.0 else allLoads(allLoads.size / 2)
     def summaryLine(k: Int): String = {
       val top = slow.take(k).map { case (n, v) => "\"" + n + f"\":$v%.2f" }.mkString("{", ",", "}")
-      f"""{"metric":"total","value":$total%.2f,"unit":"sec","n_queries":${results.size},"n_failed":${errors.size},"mean_sec":$mean%.4f,"n_runs":$nRuns,"load_median":$loadMedian%.2f,"sf":"$sfDir","full":"$fullPath","queries":$top}"""
+      f"""{"metric":"total","value":$total%.2f,"unit":"sec","n_queries":${results.size},"n_failed":${errors.size},"mean_sec":$mean%.4f,"n_runs":$nRuns,"n_pass2":$nPass2,"leaf_sec":$leafTotal%.2f,"load_median":$loadMedian%.2f,"sf":"$sfDir","full":"$fullPath","queries":$top}"""
     }
     // shrink the slowest-queries map until the line fits in ~1500 chars
     val line = (slow.size to 0 by -1).iterator.map(summaryLine).find(_.length <= 1500)

@@ -861,6 +861,26 @@ object SparkEntry {
       graft.multimodal.Multimodal.mp4DecodeAudit(s))
   )
 
+  /** The session-shared `ensure*` leaves at the registry consumers'
+    * default parameters, exposed so the bench can build each one as its
+    * own timed artifact entry (`leaf_builds`) BEFORE any query runs —
+    * per-query numbers are then steady-state reads instead of whichever
+    * consumer happened to pay the one-time build (r16: the kNN-leaf
+    * build landed on q152 and read as a 7.7 s regression). Leaves built
+    * lazily by less-common parameterizations still get timed via
+    * [[graft.sources.Sources.storeBuildSeconds]]. */
+  def leafWarmers: Seq[(String, (SparkSession, String) => Unit)] = Seq(
+    "jacpairs" -> ((s: SparkSession, d: String) =>
+      { Dedup.ensureJaccardPairs(s, d); () }),
+    "embpairs" -> ((s: SparkSession, d: String) =>
+      { Dedup.ensureEmbedPairs(s, d); () }),
+    "embclusters" -> ((s: SparkSession, d: String) =>
+      { Dedup.ensureEmbedClusters(s, d); () }),
+    "knnedges" -> ((s: SparkSession, d: String) =>
+      { Similarity.ensureKnnEdges(s, d, 5, 10000L); () }),
+    "anlz" -> ((s: SparkSession, d: String) =>
+      { Relational.ensureTableStats(s, d); () }))
+
   /** Shared CTE chain ending in `pairs` = the exact-Jaccard near-dup pairs
     * at threshold 0.5 over relation `src` (q17 + q18 + the q52/q55 edge
     * sets: the LSH output is verification-exact, so all build on the
@@ -1960,7 +1980,7 @@ object SparkEntry {
         |    AS n_largesize
         |FROM generate_series(0, 49) t(g)""".stripMargin,
     // settled/new counts re-derived; the batch count is the declared
-    // feed shape (one file per trigger, three files) and the three
+    // feed shape (one file per trigger, three files) and the two
     // mismatch counters are the invariant — zero or the row goes red
     "q228_ann_streaming" ->
       """SELECT 'ivf' AS family,
@@ -1970,16 +1990,14 @@ object SparkEntry {
         |     WHERE vec_id % 5 = 0) AS n_new,
         |  CAST(3 AS BIGINT) AS n_stream_batches,
         |  CAST(0 AS BIGINT) AS store_mismatches,
-        |  CAST(0 AS BIGINT) AS probe_mismatches,
-        |  CAST(0 AS BIGINT) AS restream_mismatches
+        |  CAST(0 AS BIGINT) AS replay_mismatches
         |UNION ALL
         |SELECT 'pq',
         |  (SELECT CAST(count(*) AS BIGINT) FROM embeddings
         |     WHERE vec_id % 5 <> 0),
         |  (SELECT CAST(count(*) AS BIGINT) FROM embeddings
         |     WHERE vec_id % 5 = 0),
-        |  CAST(3 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
-        |  CAST(0 AS BIGINT)""".stripMargin,
+        |  CAST(3 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)""".stripMargin,
     // exact counts/ndv/estimates re-derived from the raw tables; the
     // sketch-route columns are pinned flags (3σ per column, the
     // propagated estimate band) plus the choice VALUES — the oracle

@@ -1738,7 +1738,18 @@ object Relational {
     * Scale: the advisor pass is A44's narrow keys-only aggregate; each
     * arm is one real join. At 100 TB the inverted arm is the audit you
     * run once per advisor change on a sampled partition, not per query
-    * — the followed arm IS the production plan. */
+    * — the followed arm IS the production plan.
+    *
+    * STANDING COMMITMENT (r16 verdict #7): this row executes FOUR join
+    * arms by design and is priced as an audit, not a query. If the CBO
+    * consumer family grows to where the 4-arm cost matters at bench SF,
+    * the inverted arm switches to the sampled-partition form — replace
+    * each side with `.sample(0.1, seed)` IN THE INVERTED ARM ONLY (the
+    * flip proof needs the plan shape, not the full cardinality; the
+    * answer-identity proof stays on the followed arm, which q224/q226
+    * already cover at full size). q226 deliberately did NOT add an
+    * inverted broadcast-vs-shuffle arm for this reason — its audit arm
+    * is the alternative ORDER, which the choice contract requires. */
   def cboPlanFlipAudit(spark: SparkSession, dir: String,
                        broadcastRows: Long = 10000L): DataFrame = {
     val conf = spark.conf

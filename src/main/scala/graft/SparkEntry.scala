@@ -864,7 +864,13 @@ object SparkEntry {
     // C_out cost / winning tree per connected subset) plus the executed
     // proof (chosen tree ≡ left-deep aggregate), all oracle-re-derived
     "q230_cbo_join_enumeration" -> ((s: SparkSession, d: String) =>
-      Relational.cboJoinEnumerationAudit(s, d))
+      Relational.cboJoinEnumerationAudit(s, d)),
+    // the fourth runtime re-plan verb (J14 prunes partitions, J15 rows,
+    // J16 splits skew — this one MERGES too-small shuffle partitions):
+    // disabled-twin arms, marker from each arm's own final adaptive
+    // plan, aggregate arm-identical and oracle-re-derived
+    "q231_aqe_coalesce" -> ((s: SparkSession, d: String) =>
+      Relational.aqeCoalesceAudit(s, d))
   )
 
   /** The session-shared `ensure*` leaves at the registry consumers'
@@ -1966,6 +1972,18 @@ object SparkEntry {
         |    ELSE 'SortMergeJoin' END,
         |  n_rows, sum_qty, sum_cust
         |FROM est, act, fin""".stripMargin,
+    // marker per arm from the conf (the flip is the proof), aggregate
+    // re-derived once — re-planning changes cost, never answers
+    "q231_aqe_coalesce" ->
+      """WITH a AS (
+        |  SELECT CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS n_groups,
+        |    CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(sum(CAST(o_custkey AS BIGINT)) AS BIGINT) AS sum_cust
+        |  FROM orders)
+        |SELECT 'enabled' AS arm, TRUE AS coalesced, n_groups, n_rows,
+        |  sum_cust FROM a
+        |UNION ALL
+        |SELECT 'disabled', FALSE, n_groups, n_rows, sum_cust FROM a""".stripMargin,
     // the whole DP table re-derived: estimates as single-division integer
     // products of counts/ndvs, costs and plan strings through the same
     // first-minimal-split CASE chain the engine's minBy implements, the

@@ -1784,7 +1784,11 @@ object Relational {
           }
           val agg = j.agg(count(lit(1)).as("n"),
             sum(col(sumCol).cast("long")).as("s"))
-          val r = agg.head() // EAGER: the conf scope must cover execution
+          // collect(), not head(): head() routes through a separate limit
+          // plan and the AdaptiveSparkPlan would print isFinalPlan=false
+          // (shape is hint-pinned either way; the marker read is honest
+          // only on the FINAL plan — the r17 q231 lesson)
+          val r = agg.collect()(0)
           val plan = agg.queryExecution.executedPlan.toString()
           val shape =
             if (plan.contains("BroadcastHashJoin")) "BroadcastHashJoin"
@@ -1983,7 +1987,8 @@ object Relational {
         }
         val agg = j.agg(count(lit(1)).as("n"),
           sum(col(sumCol).cast("long")).as("s"))
-        val r = agg.head() // EAGER inside the conf scope
+        val r = agg.collect()(0) // EAGER inside the conf scope; collect()
+        // (not head()) finalizes the adaptive plan the marker is read from
         val plan = agg.queryExecution.executedPlan.toString()
         val shape =
           if (plan.contains("BroadcastHashJoin")) "BroadcastHashJoin"
@@ -2128,7 +2133,8 @@ object Relational {
         val agg = full.agg(count(lit(1)).as("n"),
           sum(col("l_quantity").cast("long")).as("sq"),
           sum(col("c_custkey").cast("long")).as("sc"))
-        val row = agg.head() // EAGER: the conf scope must cover execution
+        val row = agg.collect()(0) // EAGER; collect() finalizes the
+        // adaptive plan the operator shapes are read from (q231 lesson)
         val plan = agg.queryExecution.executedPlan.toString()
         val joins = "(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)".r
           .findAllIn(plan).toSeq
@@ -2251,6 +2257,57 @@ object Relational {
       "ndv_right_exact", "est_rows_exact", "ndv_within_3sigma",
       "est_within_bounds", "margin_robust", "chosen_sketch",
       "chosen_exact", "choice_agrees")
+  }
+
+  /** J21 [EXT] — AQE PARTITION-COALESCE AUDIT (q231): the fourth runtime
+    * re-plan verb, completing the family — J14 prunes partitions at a
+    * join, J15 prunes rows, J16 splits skewed partitions, and THIS one
+    * merges the too-small shuffle partitions every static
+    * `spark.sql.shuffle.partitions` setting produces somewhere at 100 TB
+    * (the config is always wrong for some stage; AQE re-plans the read
+    * side from measured map-output sizes). The q218/q219 disabled-twin
+    * discipline: the same small group-by runs with
+    * `coalescePartitions.enabled` on and off, each arm materialized
+    * EAGERLY inside its conf scope, and the observed marker is read from
+    * the arm's own final adaptive plan — `AQEShuffleRead coalesced` on
+    * the enabled arm, absent on the disabled twin (the flip proves the
+    * runtime re-plan happened, not a config echo). The oracle re-derives
+    * the expected marker per arm and the aggregate (identical across
+    * arms — re-planning changes cost, never answers, §4.3's thesis).
+    *
+    * Scale: coalescing is plan-time metadata over map-output statistics;
+    * the audit costs two runs of one small aggregate. At 100 TB this is
+    * the verb that turns a 10k-partition shuffle of a filtered relation
+    * into the dozens of real tasks the data actually needs. */
+  def aqeCoalesceAudit(spark: SparkSession, dir: String): DataFrame = {
+    val conf = spark.conf
+    val key = "spark.sql.adaptive.coalescePartitions.enabled"
+    val saved = conf.getOption(key)
+    val arms = Seq(("enabled", "true"), ("disabled", "false")).map {
+      case (arm, setting) =>
+        conf.set(key, setting)
+        try {
+          val agg = Tables.orders(spark, dir)
+            .groupBy(col("o_orderstatus"))
+            .agg(count(lit(1)).as("cnt"),
+              sum(col("o_custkey").cast("long")).as("s"))
+            .agg(count(lit(1)).as("n_groups"),
+              sum(col("cnt")).as("n_rows"),
+              sum(col("s")).as("sum_cust"))
+          // collect(), not head(): head() routes through executeTake on a
+          // separate limit plan and the AdaptiveSparkPlan here never
+          // finalizes (isFinalPlan=false — no coalesced marker to read)
+          val r = agg.collect()(0)
+          val plan = agg.queryExecution.executedPlan.toString()
+          (arm, plan.contains("coalesced"),
+            r.getLong(0), r.getLong(1), r.getLong(2))
+        } finally saved match {
+          case Some(v) => conf.set(key, v)
+          case None => conf.unset(key)
+        }
+    }
+    import spark.implicits._
+    arms.toDF("arm", "coalesced", "n_groups", "n_rows", "sum_cust")
   }
 
   /** One dynamic-programming cell of the Selinger chain enumeration:

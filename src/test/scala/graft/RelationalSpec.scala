@@ -1032,4 +1032,22 @@ class RelationalSpec extends AnyFunSuite {
     // every row repeats the same executed aggregate (uniform schema)
     assert(rows.forall(r => (r._6, r._7, r._8) == free))
   }
+
+  test("q231 AQE coalesce: marker flips with the knob, answers arm-identical, conf restored") {
+    val before = spark.conf
+      .getOption("spark.sql.adaptive.coalescePartitions.enabled")
+    val rows = Relational.aqeCoalesceAudit(spark, TestSpark.Sf0001)
+      .as[(String, Boolean, Long, Long, Long)].collect().sortBy(_._1)
+    assert(rows.length == 2)
+    val Array(dis, en) = rows
+    assert(en._1 == "enabled" && en._2,
+      "enabled arm must observe AQEShuffleRead coalesced in its own plan")
+    assert(dis._1 == "disabled" && !dis._2,
+      "disabled twin must NOT observe a coalesced read")
+    assert((en._3, en._4, en._5) == (dis._3, dis._4, dis._5),
+      "re-planning changed the answer")
+    assert(spark.conf
+      .getOption("spark.sql.adaptive.coalescePartitions.enabled") == before,
+      "conf scope must restore")
+  }
 }

@@ -870,7 +870,14 @@ object SparkEntry {
     // disabled-twin arms, marker from each arm's own final adaptive
     // plan, aggregate arm-identical and oracle-re-derived
     "q231_aqe_coalesce" -> ((s: SparkSession, d: String) =>
-      Relational.aqeCoalesceAudit(s, d))
+      Relational.aqeCoalesceAudit(s, d)),
+    // the classic CBO behavior: a selective filter FLIPS the join order
+    // — filtered-fact cardinality from the A52 histogram re-prices
+    // est(li'⋈orders) against the unfiltered est(orders⋈customer); the
+    // narrow predicate chooses lineitem-first, the wide one
+    // customer-first, both orders executed, everything oracle-re-derived
+    "q232_cbo_filtered_join_order" -> ((s: SparkSession, d: String) =>
+      Relational.cboFilteredJoinOrderAudit(s, d))
   )
 
   /** The session-shared `ensure*` leaves at the registry consumers'
@@ -1972,6 +1979,96 @@ object SparkEntry {
         |    ELSE 'SortMergeJoin' END,
         |  n_rows, sum_qty, sum_cust
         |FROM est, act, fin""".stripMargin,
+    // the histogram (q207's SQL machinery on l_orderkey), the filtered
+    // estimate, the re-priced join estimates (post-filter ndv resolves
+    // the divisor to the PK side's ndv), the choice per predicate, exact
+    // intermediates (key-grain, filter applied), and the per-predicate
+    // filtered aggregates — all re-derived; the within-query flip
+    // (narrow -> lineitem-first, wide -> customer-first) is in the
+    // hashed chosen column
+    "q232_cbo_filtered_join_order" ->
+      """WITH vals AS (
+        |  SELECT CAST(l_orderkey AS BIGINT) AS v, count(*) AS cnt
+        |  FROM lineitem GROUP BY 1),
+        |cum AS (
+        |  SELECT v, cnt, sum(cnt) OVER () AS n,
+        |         sum(cnt) OVER (ORDER BY v) AS cum
+        |  FROM vals),
+        |buckets AS (
+        |  SELECT ((cum - cnt) * 16) // n AS bucket,
+        |         min(v) AS b_lo, max(v) AS b_hi, sum(cnt) AS b_cnt
+        |  FROM cum GROUP BY 1),
+        |bounds AS (
+        |  SELECT CAST(min(l_orderkey) AS BIGINT) AS lo,
+        |         CAST(max(l_orderkey) AS BIGINT) AS hi
+        |  FROM lineitem),
+        |preds AS (
+        |  SELECT 'narrow' AS pred_label, lo AS p_lo,
+        |         lo + (hi - lo + 1) // 50 - 1 AS p_hi FROM bounds
+        |  UNION ALL
+        |  SELECT 'wide', lo, lo + (4 * (hi - lo + 1)) // 5 - 1 FROM bounds),
+        |est AS (
+        |  SELECT pred_label, p_lo, p_hi,
+        |         sum(b_cnt * (((least(p_hi, b_hi) - greatest(p_lo, b_lo)
+        |           + 1) * 1000000) // (b_hi - b_lo + 1))) AS est_f6
+        |  FROM preds JOIN buckets ON b_hi >= p_lo AND b_lo <= p_hi
+        |  GROUP BY 1, 2, 3),
+        |st AS (
+        |  SELECT (SELECT CAST(count(*) AS BIGINT) FROM orders) AS nord,
+        |    (SELECT CAST(count(DISTINCT o_orderkey) AS BIGINT)
+        |       FROM orders) AS ndv_oo,
+        |    (SELECT CAST(count(DISTINCT o_custkey) AS BIGINT)
+        |       FROM orders) AS ndv_oc,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM customer) AS ncust,
+        |    (SELECT CAST(count(DISTINCT c_custkey) AS BIGINT)
+        |       FROM customer) AS ndv_cc),
+        |calc AS (
+        |  SELECT e.*,
+        |    ((e.est_f6 // 1000000) * st.nord) // st.ndv_oo AS est_li,
+        |    (st.nord * st.ncust) // greatest(st.ndv_oc, st.ndv_cc) AS est_oc
+        |  FROM est e, st),
+        |liord AS (
+        |  SELECT p.pred_label,
+        |    CAST(coalesce(sum(a.ca * b.cb), 0) AS BIGINT) AS act_li
+        |  FROM preds p
+        |  LEFT JOIN (SELECT CAST(l_orderkey AS BIGINT) AS k, count(*) AS ca
+        |             FROM lineitem GROUP BY 1) a
+        |    ON a.k BETWEEN p.p_lo AND p.p_hi
+        |  LEFT JOIN (SELECT CAST(o_orderkey AS BIGINT) AS k, count(*) AS cb
+        |             FROM orders GROUP BY 1) b ON b.k = a.k
+        |  GROUP BY 1),
+        |actoc AS (
+        |  SELECT CAST(coalesce(sum(a.ca * b.cb), 0) AS BIGINT) AS act_oc
+        |  FROM (SELECT o_custkey AS k, count(*) AS ca
+        |        FROM orders GROUP BY 1) a
+        |  JOIN (SELECT c_custkey AS k, count(*) AS cb
+        |        FROM customer GROUP BY 1) b USING (k)),
+        |fins AS (
+        |  SELECT p.pred_label, CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |    CAST(sum(CAST(c.c_custkey AS BIGINT)) AS BIGINT) AS sum_cust
+        |  FROM preds p
+        |  JOIN lineitem l
+        |    ON CAST(l.l_orderkey AS BIGINT) BETWEEN p.p_lo AND p.p_hi
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  GROUP BY 1)
+        |SELECT c.pred_label, c.p_lo, c.p_hi,
+        |  CAST(c.est_f6 AS BIGINT) AS est_filtered_e6,
+        |  'lineitem_orders_first' AS order_label,
+        |  c.est_li < c.est_oc AS chosen,
+        |  CAST(c.est_li AS BIGINT) AS est_intermediate,
+        |  li.act_li AS actual_intermediate,
+        |  f.n_rows, f.sum_qty, f.sum_cust
+        |FROM calc c
+        |JOIN liord li USING (pred_label) JOIN fins f USING (pred_label)
+        |UNION ALL
+        |SELECT c.pred_label, c.p_lo, c.p_hi, CAST(c.est_f6 AS BIGINT),
+        |  'orders_customer_first', c.est_oc <= c.est_li,
+        |  CAST(c.est_oc AS BIGINT), (SELECT act_oc FROM actoc),
+        |  f.n_rows, f.sum_qty, f.sum_cust
+        |FROM calc c
+        |JOIN fins f USING (pred_label)""".stripMargin,
     // marker per arm from the conf (the flip is the proof), aggregate
     // re-derived once — re-planning changes cost, never answers
     "q231_aqe_coalesce" ->

@@ -2310,6 +2310,105 @@ object Relational {
     arms.toDF("arm", "coalesced", "n_groups", "n_rows", "sum_cust")
   }
 
+  /** J22 [EXT] — FILTER-AWARE JOIN ORDERING (q232): the classic CBO
+    * behavior the q226/q230 consumers can't show — a SELECTIVE FILTER
+    * FLIPS THE JOIN ORDER. q226 orders the unfiltered 3-table join from
+    * base-table stats, so its choice is fixed per snapshot; real plans
+    * carry predicates, and the whole point of the A46/A52 histograms is
+    * that the ESTIMATED filtered cardinality re-prices every join above
+    * the filter. Per predicate of a two-point sweep over l_orderkey —
+    * one narrow window (~2 % of the domain), one wide (~80 %) — the
+    * engine: estimates the filtered lineitem cardinality from the
+    * equi-depth histogram (the q207 estimator, millionths fixed-point),
+    * re-prices est(li′⋈orders) with the filtered rows (post-filter ndv
+    * by the standard min(ndv, rows) rule — the divisor stays the PK
+    * side's ndv, read from the ANALYZE store), compares against the
+    * unfiltered est(orders⋈customer), picks the order, and executes
+    * BOTH orders of the FILTERED 3-table join. On this fixture the
+    * narrow predicate chooses lineitem-first and the wide one
+    * customer-first — the flip happens INSIDE one query, from the
+    * histogram alone, and the oracle re-derives the histogram, both
+    * estimates, both exact intermediates (key-grain, filter applied),
+    * the choice, and the per-predicate aggregates.
+    *
+    * Scale: the decision reads a |buckets|-sized histogram and a
+    * metadata-sized stats store; the both-orders execution is the audit
+    * arm (q221's once-per-advisor-change price). This is the row that
+    * justifies maintaining histograms AT ALL: without them every
+    * filtered fact table prices at its unfiltered size and the
+    * enumerator never moves. */
+  def cboFilteredJoinOrderAudit(spark: SparkSession, dir: String,
+                                nBuckets: Int = 16): DataFrame = {
+    val stats = ensureTableStats(spark, dir)
+      .select(col("table_name"), col("column_name"), col("n_rows"),
+        col("ndv")).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    val (nOrd, ndvOo) = stats(("orders", "o_orderkey"))
+    val (_, ndvOc) = stats(("orders", "o_custkey"))
+    val (nCust, ndvCc) = stats(("customer", "c_custkey"))
+    val li = Tables.lineitem(spark, dir)
+    val ord = Tables.orders(spark, dir)
+    val cust = Tables.customer(spark, dir)
+    val liKey = li.select(col("l_orderkey").cast("long").as("v"))
+    val hist = equiDepthBuckets(liKey, nBuckets, "fjo")
+    val bounds = liKey.agg(min(col("v")), max(col("v"))).head()
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    val d = hi - lo + 1L
+    val predDefs = Seq(
+      ("narrow", lo, lo + d / 50L - 1L),
+      ("wide", lo, lo + 4L * d / 5L - 1L))
+    // the unfiltered dim-side estimate — q226's est_b, fixed per snapshot
+    val estOrdCust = estimateJoinRows(nOrd, ndvOc, nCust, ndvCc)
+    val actOrdCust = ord.groupBy(col("o_custkey").cast("long").as("k"))
+      .agg(count(lit(1)).as("ca"))
+      .join(cust.groupBy(col("c_custkey").cast("long").as("k"))
+        .agg(count(lit(1)).as("cb")), "k")
+      .agg(coalesce(sum(col("ca") * col("cb")), lit(0L))).head().getLong(0)
+    import spark.implicits._
+    val out = predDefs.flatMap { case (label, pLo, pHi) =>
+      val pred = spark.range(1).select(lit(0L).as("pred_id"),
+        lit(pLo).as("p_lo"), lit(pHi).as("p_hi"))
+      val estE6 = estimateRanges(pred, hist, "est_e6")
+        .head().getAs[Long]("est_e6")
+      val estFiltered = estE6 / 1000000L
+      // post-filter ndv = min(ndv, rows): the divisor resolves to the PK
+      // side's ndv, so the formula stays estimateJoinRows verbatim
+      val estLiOrd = estimateJoinRows(estFiltered,
+        math.max(1L, math.min(estFiltered, ndvOo)), nOrd, ndvOo)
+      val chosen = chooseJoinOrder(estLiOrd, estOrdCust)
+      val liF = li.filter(col("l_orderkey").cast("long")
+        .between(pLo, pHi))
+      val actLiOrd = liF.groupBy(col("l_orderkey").cast("long").as("k"))
+        .agg(count(lit(1)).as("ca"))
+        .join(ord.groupBy(col("o_orderkey").cast("long").as("k"))
+          .agg(count(lit(1)).as("cb")), "k")
+        .agg(coalesce(sum(col("ca") * col("cb")), lit(0L))).head().getLong(0)
+      def agg(full: DataFrame): (Long, Long, Long) = {
+        val r = full.agg(count(lit(1)), sum(col("l_quantity").cast("long")),
+          sum(col("c_custkey").cast("long"))).head()
+        (r.getLong(0),
+          if (r.isNullAt(1)) 0L else r.getLong(1),
+          if (r.isNullAt(2)) 0L else r.getLong(2))
+      }
+      val onLi = col("l_orderkey") === col("o_orderkey")
+      val onCust = col("o_custkey") === col("c_custkey")
+      val aggA = agg(liF.join(ord, onLi).join(cust, onCust))
+      val aggB = agg(liF.join(ord.join(cust, onCust), onLi))
+      require(aggA == aggB, s"order changed the answer: $aggA vs $aggB")
+      Seq(
+        (label, pLo, pHi, estE6, "lineitem_orders_first",
+          chosen == "lineitem_orders_first", estLiOrd, actLiOrd,
+          aggA._1, aggA._2, aggA._3),
+        (label, pLo, pHi, estE6, "orders_customer_first",
+          chosen == "orders_customer_first", estOrdCust, actOrdCust,
+          aggA._1, aggA._2, aggA._3))
+    }
+    out.toDF("pred_label", "p_lo", "p_hi", "est_filtered_e6",
+      "order_label", "chosen", "est_intermediate", "actual_intermediate",
+      "n_rows", "sum_qty", "sum_cust")
+  }
+
   /** One dynamic-programming cell of the Selinger chain enumeration:
     * estimated cardinality of the interval's join, the C_out cost of its
     * best tree (Σ of estimated intermediate sizes over the tree —

@@ -1033,6 +1033,41 @@ class RelationalSpec extends AnyFunSuite {
     assert(rows.forall(r => (r._6, r._7, r._8) == free))
   }
 
+  test("q232 filtered join order: the histogram flips the choice inside one query") {
+    val rows = Relational.cboFilteredJoinOrderAudit(spark, TestSpark.Sf0001)
+      .as[(String, Long, Long, Long, String, Boolean, Long, Long, Long,
+        Long, Long)].collect()
+    assert(rows.length == 4, s"2 preds x 2 orders, got ${rows.length}")
+    def chosenOf(pred: String): String =
+      rows.filter(r => r._1 == pred && r._6).map(_._5).toSeq match {
+        case Seq(one) => one
+        case other => fail(s"$pred chose $other")
+      }
+    // THE FLIP: the narrow filter makes the filtered fact join cheaper
+    // than the dim-side join; the wide one doesn't
+    assert(chosenOf("narrow") == "lineitem_orders_first")
+    assert(chosenOf("wide") == "orders_customer_first")
+    // within a predicate, both orders return the identical aggregate
+    for (pred <- Seq("narrow", "wide")) {
+      val p = rows.filter(_._1 == pred)
+      assert(p.map(r => (r._9, r._10, r._11)).distinct.length == 1,
+        s"$pred: order changed the answer")
+    }
+    // the filtered estimate prices the li-first intermediate:
+    // est = (est_e6 / 1e6) * n_ord / ndv_oo, and the narrow one is small
+    val narrowLi = rows.find(r => r._1 == "narrow"
+      && r._5 == "lineitem_orders_first").get
+    val nOrd = Tables.orders(spark, TestSpark.Sf0001).count()
+    assert(narrowLi._7 < nOrd,
+      s"narrow filtered estimate ${narrowLi._7} must undercut n_ord $nOrd")
+    // and the estimate tracks the actual filtered intermediate within
+    // the histogram's interpolation error (generous 3x band — the q207
+    // audit owns the tight ppm contract)
+    assert(narrowLi._8 > 0 &&
+      narrowLi._7 <= 3 * narrowLi._8 && narrowLi._8 <= 3 * narrowLi._7,
+      s"estimate ${narrowLi._7} vs actual ${narrowLi._8} diverged wildly")
+  }
+
   test("q231 AQE coalesce: marker flips with the knob, answers arm-identical, conf restored") {
     val before = spark.conf
       .getOption("spark.sql.adaptive.coalescePartitions.enabled")

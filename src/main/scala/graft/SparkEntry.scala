@@ -877,7 +877,19 @@ object SparkEntry {
     // narrow predicate chooses lineitem-first, the wide one
     // customer-first, both orders executed, everything oracle-re-derived
     "q232_cbo_filtered_join_order" -> ((s: SparkSession, d: String) =>
-      Relational.cboFilteredJoinOrderAudit(s, d))
+      Relational.cboFilteredJoinOrderAudit(s, d)),
+    // the aggregate the lakehouse PERSISTS: the MV stored as per-tick
+    // partial aggregates (count + exact decimal sums — a mergeable
+    // monoid), each commit O(tick) under its own ingest_batch partition
+    // (the W16 XO discipline); every stored partial oracle-re-derived
+    "q233_matview_maintenance" -> ((s: SparkSession, d: String) =>
+      graft.sources.Sources.incrementalMatViewMaintenance(s, d)),
+    // the MV made a feature: staleness detected from METADATA (MV fold
+    // vs the persisted ANALYZE count), the missing tick replayed from
+    // the store's own partition list, and the coarser rollup answered
+    // from the refreshed fold ≡ the base table — rewrite hash-proven
+    "q234_matview_rewrite" -> ((s: SparkSession, d: String) =>
+      graft.sources.Sources.matViewRewriteAudit(s, d))
   )
 
   /** The session-shared `ensure*` leaves at the registry consumers'
@@ -2069,6 +2081,39 @@ object SparkEntry {
         |  f.n_rows, f.sum_qty, f.sum_cust
         |FROM calc c
         |JOIN fins f USING (pred_label)""".stripMargin,
+    // every stored MV partial re-derived in one GROUP BY over raw orders
+    // (tick = o_orderkey % 4) — the store is hash-checked row by row,
+    // not just its fold; decimal partials keep the sums exact
+    "q233_matview_maintenance" ->
+      """SELECT CAST(o_orderkey % 4 AS BIGINT) AS ingest_batch,
+        |  o_orderstatus, o_orderpriority,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+        |    AS sum_price
+        |FROM orders GROUP BY 1, 2, 3""".stripMargin,
+    // pre-refresh coverage = the ticks-0..2 count, base rows = the raw
+    // count (the engine read it from the persisted ANALYZE store), both
+    // rollup answers the same GROUP BY — a hash match proves the stale
+    // store was detected, refreshed tick-targeted, and the rewrite
+    // answered from the view
+    "q234_matview_rewrite" ->
+      """WITH pre AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS pre_rows
+        |  FROM orders WHERE o_orderkey % 4 <> 3),
+        |base AS (SELECT CAST(count(*) AS BIGINT) AS base_rows FROM orders)
+        |SELECT o_orderstatus,
+        |  CAST(count(*) AS BIGINT) AS mv_n,
+        |  CAST(count(*) AS BIGINT) AS base_n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+        |    AS mv_sum,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+        |    AS base_sum,
+        |  TRUE AS rewrite_match,
+        |  pre_rows AS pre_refresh_rows, base_rows,
+        |  pre_rows < base_rows AS was_stale,
+        |  CAST(1 AS BIGINT) AS n_refreshed_ticks
+        |FROM orders, pre, base
+        |GROUP BY 1, pre_rows, base_rows""".stripMargin,
     // marker per arm from the conf (the flip is the proof), aggregate
     // re-derived once — re-planning changes cost, never answers
     "q231_aqe_coalesce" ->

@@ -1770,4 +1770,170 @@ object Sources {
         max(col("o_hi")).as("o_hi"))
       .write.mode("overwrite").parquet(s"$root/stats_compact")
   }
+
+  // --- Materialized view: incremental maintenance, staleness, rewrite ----
+  //
+  // The zone-map/Bloom/NDV stores accelerate SCANS; a materialized view
+  // accelerates whole AGGREGATES — the other thing a lakehouse persists
+  // (reference analog: the reference recomputes its per-label scorecards
+  // from the raw table on every run, /root/reference/src/
+  // preprocessing_pipeline.py:258-290; at 100 TB that recompute IS the
+  // query budget, so the warehouse keeps the aggregate and maintains it
+  // per commit). The design is the W16 commit discipline applied to an
+  // aggregate: the MV is stored as PER-TICK PARTIAL aggregates (count +
+  // exact decimal sums — a mergeable monoid, the same property that made
+  // zone-map compaction metadata-only and the A57 NDV sketches foldable),
+  // each ingest tick appends exactly its own partials under its
+  // ingest_batch partition via dynamic overwrite (deterministic content,
+  // replay-idempotent — the XO story verbatim), and a read folds the
+  // partials: O(groups · ticks), never a fact-table rescan. Sums are
+  // carried as DECIMAL(12,2) partials so the fold is exact — a double
+  // partial would make the fold order-sensitive and the rewrite proof
+  // flaky at the last ulp.
+
+  /** One MV commit: append THIS tick's per-group partial aggregate under
+    * its own ingest_batch partition. The batch carries orders-shaped rows
+    * (o_orderstatus, o_orderpriority, o_totalprice). Deterministic in
+    * (batch, batchId); per-tick dynamic overwrite → crash/replay converges
+    * instead of double-counting (the zoneMapCommit XO contract). */
+  private[graft] def matViewCommit(batchRows: DataFrame,
+                                   batchId: Long, root: String): Unit =
+    batchRows
+      .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(12,2)")).as("sum_price_dec"))
+      .withColumn("ingest_batch", lit(batchId))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("ingest_batch").parquet(s"$root/mv")
+
+  /** One ingest tick of the q233 loop: tick t carries the orders rows
+    * with o_orderkey ≡ t (mod nTicks) — the oracle-derivable tick
+    * assignment every incremental store in this repo uses. */
+  private[graft] def matViewTickAt(spark: SparkSession, dir: String,
+                                   root: String, tick: Int,
+                                   nTicks: Int): Unit =
+    matViewCommit(
+      parquet(spark, s"$dir/orders.parquet")
+        .filter(pmod(col("o_orderkey"), lit(nTicks.toLong)) === tick),
+      tick.toLong, root)
+
+  /** Build-once complete MV store (all nTicks committed) — the q233
+    * shared leaf, ensureZoneMapStore discipline. */
+  private[graft] def ensureMatViewStore(spark: SparkSession, dir: String,
+                                        nTicks: Int): String =
+    ensureStore(spark, "mv", s"$dir|$nTicks") { root =>
+      (0 until nTicks).foreach(t => matViewTickAt(spark, dir, root, t, nTicks))
+    }
+
+  /** Fold the stored partials to the view relation — O(groups · ticks),
+    * no base-table read. Exact because the partials are a monoid:
+    * counts add, DECIMAL sums add. */
+  private[graft] def matViewFold(spark: SparkSession,
+                                 root: String): DataFrame =
+    spark.read.parquet(s"$root/mv")
+      .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(sum(col("n_orders")).as("n_orders"),
+        sum(col("sum_price_dec")).as("sum_price_dec"))
+
+  /** W22 [EXT] — INCREMENTAL MATERIALIZED-VIEW MAINTENANCE (q233).
+    * Returns the partial-aggregate store read back — one row per
+    * (ingest_batch, o_orderstatus, o_orderpriority) — which the oracle
+    * re-derives in one GROUP BY over raw orders (tick = o_orderkey %
+    * nTicks), so every partial the store holds is hash-checked, not just
+    * the fold. The fold ≡ the direct base aggregate and commit-replay
+    * idempotence are spec-pinned; q234 is the consumer. Scale: commit
+    * cost is O(tick's rows) map-side-combined into |groups| rows; the
+    * store is |groups|·|ticks| rows of metadata. */
+  def incrementalMatViewMaintenance(spark: SparkSession, dir: String,
+                                    nTicks: Int = 4): DataFrame = {
+    val root = ensureMatViewStore(spark, dir, nTicks)
+    spark.read.parquet(s"$root/mv")
+      .select(col("ingest_batch").cast("long").as("ingest_batch"),
+        col("o_orderstatus"), col("o_orderpriority"), col("n_orders"),
+        col("sum_price_dec").cast("double").as("sum_price"))
+  }
+
+  /** The streaming twin (the W16/W19/A57 discipline): each micro-batch of
+    * orders rows is ONE MV commit keyed by Spark's own batchId — replay
+    * after checkpoint recovery converges because the commit is a per-tick
+    * dynamic overwrite. Spec-pinned stream ≡ the q233 tick loop. */
+  def streamingMatViewMaintenance(rows: DataFrame, root: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+          org.apache.spark.sql.Row] =
+    rows.writeStream.foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        matViewCommit(batch, batchId, root)
+    }
+
+  /** W23 [EXT] — MV STALENESS, REFRESH, AND REWRITE (q234): the consumer
+    * that makes W22 a feature instead of a cache. On a PRIVATE store
+    * (scratchDirUnique — the query mutates it mid-flight, so it must
+    * never alias the shared q233 leaf; bench re-runs rebuild rather than
+    * observe each other):
+    *
+    *  1. **Stale build** — commit ticks 0..nTicks−2 only (the crash
+    *     window every incremental pipeline has: ingest landed, MV commit
+    *     didn't).
+    *  2. **Staleness detection from metadata** — covered rows = Σ
+    *     n_orders over the stored partials (an MV-store fold); base rows
+    *     = the PERSISTED ANALYZE store's orders row count
+    *     ([[graft.operators.Relational.ensureTableStats]] — the
+    *     statistics layer telling the MV layer it is behind; no base
+    *     rescan anywhere in the decision).
+    *  3. **Targeted refresh** — missing ticks = declared ticks minus the
+    *     store's ingest_batch partitions (the store itself says what to
+    *     replay); each missing tick is ONE ordinary commit.
+    *  4. **Rewrite proof** — a rollup by o_orderstatus (a SUBSET of the
+    *     MV's group keys — the classic MV-rewrite condition: the query's
+    *     grouping is coarser than the view's, its aggregates are
+    *     re-aggregable monoids) answered from the refreshed MV fold and
+    *     from the base table; per status the row carries both answers
+    *     and the match flag, hash-proving the rewrite route.
+    *
+    * Everything is oracle-re-derivable: pre-refresh coverage is the
+    * o_orderkey % nTicks ≠ nTicks−1 count, base stats are raw counts,
+    * and both rollup answers are the same GROUP BY. Scale: detection and
+    * refresh planning read metadata only; the refresh itself is O(missing
+    * ticks' rows) — never a view rebuild. */
+  def matViewRewriteAudit(spark: SparkSession, dir: String,
+                          nTicks: Int = 4): DataFrame = {
+    val root = scratchDirUnique(spark, "mvrw")
+    (0 until nTicks - 1).foreach(t =>
+      matViewTickAt(spark, dir, root, t, nTicks))
+    // staleness: MV-covered rows (metadata fold) vs the ANALYZE store's
+    // base count — no base-table scan in the decision
+    val preRows = spark.read.parquet(s"$root/mv")
+      .agg(coalesce(sum(col("n_orders")), lit(0L))).head().getLong(0)
+    val baseRows = graft.operators.Relational.ensureTableStats(spark, dir)
+      .filter(col("table_name") === "orders" &&
+        col("column_name") === "o_orderkey")
+      .select(col("n_rows")).head().getLong(0)
+    val wasStale = preRows < baseRows
+    // targeted refresh: the store's own partitions say which ticks are
+    // missing — replay exactly those commits
+    val present = spark.read.parquet(s"$root/mv")
+      .select(col("ingest_batch").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    val missing = (0L until nTicks.toLong).filterNot(present)
+    missing.foreach(t => matViewTickAt(spark, dir, root, t.toInt, nTicks))
+    // rewrite: the coarser rollup from the refreshed fold vs the base
+    val mvSide = matViewFold(spark, root)
+      .groupBy(col("o_orderstatus"))
+      .agg(sum(col("n_orders")).as("mv_n"),
+        sum(col("sum_price_dec")).cast("double").as("mv_sum"))
+    val baseSide = parquet(spark, s"$dir/orders.parquet")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("base_n"),
+        sum(col("o_totalprice").cast("decimal(12,2)"))
+          .cast("double").as("base_sum"))
+    mvSide.join(baseSide, Seq("o_orderstatus"))
+      .select(col("o_orderstatus"), col("mv_n"), col("base_n"),
+        col("mv_sum"), col("base_sum"),
+        (col("mv_n") === col("base_n") &&
+          col("mv_sum") === col("base_sum")).as("rewrite_match"),
+        lit(preRows).as("pre_refresh_rows"),
+        lit(baseRows).as("base_rows"),
+        lit(wasStale).as("was_stale"),
+        lit(missing.size.toLong).as("n_refreshed_ticks"))
+  }
 }

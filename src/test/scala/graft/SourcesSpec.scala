@@ -894,6 +894,102 @@ class SourcesSpec extends AnyFunSuite {
     assert(bFinished, "an unrelated key's build blocked behind a slow build")
   }
 
+  test("q233 MV store: partials equal the direct per-tick aggregate; fold equals the base aggregate; replay is a no-op") {
+    val store = Sources.incrementalMatViewMaintenance(spark, TestSpark.Sf0001)
+      .select(col("ingest_batch"), col("o_orderstatus"),
+        col("o_orderpriority"), col("n_orders"), col("sum_price"))
+      .as[(Long, String, String, Long, Double)].collect().toSet
+    val orders = Tables.orders(spark, TestSpark.Sf0001)
+    val direct = orders
+      .groupBy(pmod(col("o_orderkey"), lit(4L)).as("ingest_batch"),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(12,2)"))
+          .cast("double").as("sum_price"))
+      .as[(Long, String, String, Long, Double)].collect().toSet
+    assert(store == direct,
+      s"partials != direct: ${(store -- direct).take(3)} / ${(direct -- store).take(3)}")
+    // fold ≡ the base aggregate the MV stands in for
+    val root = Sources.ensureMatViewStore(spark, TestSpark.Sf0001, 4)
+    val fold = Sources.matViewFold(spark, root)
+      .select(col("o_orderstatus"), col("o_orderpriority"),
+        col("n_orders"), col("sum_price_dec").cast("double"))
+      .as[(String, String, Long, Double)].collect().toSet
+    val base = orders.groupBy(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(12,2)")).cast("double"))
+      .as[(String, String, Long, Double)].collect().toSet
+    assert(fold == base, "MV fold != direct base aggregate")
+    // out-of-band replay of a middle commit converges (XO contract)
+    Sources.matViewTickAt(spark, TestSpark.Sf0001, root, 1, 4)
+    val replayed = Sources.incrementalMatViewMaintenance(spark, TestSpark.Sf0001)
+      .select(col("ingest_batch"), col("o_orderstatus"),
+        col("o_orderpriority"), col("n_orders"), col("sum_price"))
+      .as[(Long, String, String, Long, Double)].collect().toSet
+    assert(replayed == store, "replaying commit 1 changed the MV store")
+  }
+
+  test("q233 streaming twin: MemoryStream commits reproduce the tick-loop MV store; replay is a no-op") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_mv_stream").toString
+    val rows = Tables.orders(spark, TestSpark.Sf0001)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_orderpriority"), col("o_totalprice"))
+      .as[(Long, String, String, Double)].collect()
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, String, String, Double)]
+    val q = Sources.streamingMatViewMaintenance(
+      input.toDF().toDF("o_orderkey", "o_orderstatus", "o_orderpriority",
+        "o_totalprice"), root).start()
+    try {
+      (0 until 4).foreach { t =>
+        input.addData(rows.filter(_._1 % 4 == t).toIndexedSeq)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    def store() = spark.read.parquet(s"$root/mv")
+      .select(col("ingest_batch").cast("long"), col("o_orderstatus"),
+        col("o_orderpriority"), col("n_orders"),
+        col("sum_price_dec").cast("double"))
+      .as[(Long, String, String, Long, Double)].collect().toSet
+    val streamed = store()
+    val batchTwin = Sources.incrementalMatViewMaintenance(spark, TestSpark.Sf0001)
+      .select(col("ingest_batch"), col("o_orderstatus"),
+        col("o_orderpriority"), col("n_orders"), col("sum_price"))
+      .as[(Long, String, String, Long, Double)].collect().toSet
+    assert(streamed == batchTwin,
+      s"stream != batch: ${(streamed -- batchTwin).take(3)} / ${(batchTwin -- streamed).take(3)}")
+    // out-of-band replay of the MIDDLE commit (same batchId): converges
+    Sources.matViewCommit(
+      spark.createDataset(rows.filter(_._1 % 4 == 1).toIndexedSeq)
+        .toDF("o_orderkey", "o_orderstatus", "o_orderpriority",
+          "o_totalprice"), 1L, root)
+    assert(store() == streamed, "replaying commit 1 changed the MV store")
+  }
+
+  test("q234 MV rewrite: staleness detected from metadata, refresh tick-targeted, rewrite matches base per status") {
+    val out = Sources.matViewRewriteAudit(spark, TestSpark.Sf0001)
+      .select(col("o_orderstatus"), col("mv_n"), col("base_n"),
+        col("rewrite_match"), col("pre_refresh_rows"), col("base_rows"),
+        col("was_stale"), col("n_refreshed_ticks"))
+      .as[(String, Long, Long, Boolean, Long, Long, Boolean, Long)]
+      .collect()
+    assert(out.nonEmpty)
+    val orders = Tables.orders(spark, TestSpark.Sf0001)
+    val expectedPre = orders
+      .filter(pmod(col("o_orderkey"), lit(4L)) =!= 3L).count()
+    val expectedBase = orders.count()
+    out.foreach { case (st, mvN, baseN, m, pre, base, stale, refreshed) =>
+      assert(m, s"rewrite mismatch for status $st")
+      assert(mvN == baseN)
+      assert(pre == expectedPre, s"pre_refresh_rows $pre != $expectedPre")
+      assert(base == expectedBase)
+      assert(stale, "a store missing tick 3 must read stale")
+      assert(refreshed == 1L)
+    }
+  }
+
   private def walkFiles(d: java.io.File): Seq[java.io.File] =
     if (d.isFile) Seq(d)
     else Option(d.listFiles()).map(_.toSeq.flatMap(walkFiles)).getOrElse(Nil)

@@ -889,7 +889,14 @@ object SparkEntry {
     // the store's own partition list, and the coarser rollup answered
     // from the refreshed fold ≡ the base table — rewrite hash-proven
     "q234_matview_rewrite" -> ((s: SparkSession, d: String) =>
-      graft.sources.Sources.matViewRewriteAudit(s, d))
+      graft.sources.Sources.matViewRewriteAudit(s, d)),
+    // the scale form of the both-arms discipline: the inverted arm runs
+    // on a deterministic 1/8 JOIN-KEY partition (closed under the join,
+    // so the sampled join is the true join restricted to those keys and
+    // every number stays oracle-exact); the flip proof is plan shape +
+    // a scaled cardinality check, the answer proof stays full-size
+    "q235_cbo_sampled_arm" -> ((s: SparkSession, d: String) =>
+      Relational.cboSampledArmAudit(s, d))
   )
 
   /** The session-shared `ensure*` leaves at the registry consumers'
@@ -2357,6 +2364,63 @@ object SparkEntry {
     // flipped for inverted) -> the joined aggregate once per join — a
     // hash match proves the engine EXECUTED the shape its stats chose
     // and that both shapes return identical answers
+    // the sampled inverted arm stays oracle-EXACT because the sample is
+    // a key partition (key % 8 = 0 on both sides), not engine RNG; the
+    // followed arm's numbers are the full join, the inverted arm's the
+    // restricted join, advice + shapes re-derived from the counts
+    "q235_cbo_sampled_arm" ->
+      """WITH s AS (
+        |  SELECT 'customer*nation' AS join_label,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM customer) AS n_left,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM nation) AS n_right,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM customer c
+        |       JOIN nation n ON c.c_nationkey = n.n_nationkey) AS full_rows,
+        |    (SELECT CAST(coalesce(sum(CAST(c_custkey AS BIGINT)), 0)
+        |       AS BIGINT) FROM customer c
+        |       JOIN nation n ON c.c_nationkey = n.n_nationkey) AS full_sum,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM customer c
+        |       JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |       WHERE c.c_nationkey % 8 = 0) AS samp_rows,
+        |    (SELECT CAST(coalesce(sum(CAST(c_custkey AS BIGINT)), 0)
+        |       AS BIGINT) FROM customer c
+        |       JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |       WHERE c.c_nationkey % 8 = 0) AS samp_sum
+        |  UNION ALL
+        |  SELECT 'lineitem*orders',
+        |    (SELECT CAST(count(*) AS BIGINT) FROM lineitem),
+        |    (SELECT CAST(count(*) AS BIGINT) FROM orders),
+        |    (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+        |       JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |    (SELECT CAST(coalesce(sum(CAST(l_quantity AS BIGINT)), 0)
+        |       AS BIGINT) FROM lineitem l
+        |       JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |    (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+        |       JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |       WHERE l.l_orderkey % 8 = 0) AS samp_rows,
+        |    (SELECT CAST(coalesce(sum(CAST(l_quantity AS BIGINT)), 0)
+        |       AS BIGINT) FROM lineitem l
+        |       JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |       WHERE l.l_orderkey % 8 = 0) AS samp_sum),
+        |adv AS (
+        |  SELECT *, CASE WHEN least(n_left, n_right) <= 10000
+        |    THEN 'broadcast' ELSE 'shuffle' END AS advice FROM s),
+        |arms AS (
+        |  SELECT join_label, advice, n_left, n_right,
+        |    'followed' AS arm, TRUE AS followed, advice AS executed,
+        |    CAST(1 AS BIGINT) AS sample_mod, full_rows AS n_rows,
+        |    full_rows AS scaled_rows, full_sum AS sum_val FROM adv
+        |  UNION ALL
+        |  SELECT join_label, advice, n_left, n_right, 'inverted', FALSE,
+        |    CASE WHEN advice = 'broadcast' THEN 'shuffle'
+        |      ELSE 'broadcast' END,
+        |    CAST(8 AS BIGINT), samp_rows, samp_rows * 8, samp_sum
+        |  FROM adv)
+        |SELECT join_label, arm, advice,
+        |  CASE WHEN executed = 'broadcast' THEN 'BroadcastHashJoin'
+        |    ELSE 'SortMergeJoin' END AS executed_join,
+        |  followed, sample_mod, n_left, n_right, n_rows, scaled_rows,
+        |  sum_val
+        |FROM arms""".stripMargin,
     "q221_cbo_plan_flip" ->
       """WITH s AS (
         |  SELECT 'customer*nation' AS join_label,

@@ -1742,16 +1742,19 @@ object Relational {
     * run once per advisor change on a sampled partition, not per query
     * — the followed arm IS the production plan.
     *
-    * STANDING COMMITMENT (r16 verdict #7): this row executes FOUR join
-    * arms by design and is priced as an audit, not a query. If the CBO
-    * consumer family grows to where the 4-arm cost matters at bench SF,
-    * the inverted arm switches to the sampled-partition form — replace
-    * each side with `.sample(0.1, seed)` IN THE INVERTED ARM ONLY (the
-    * flip proof needs the plan shape, not the full cardinality; the
-    * answer-identity proof stays on the followed arm, which q224/q226
-    * already cover at full size). q226 deliberately did NOT add an
-    * inverted broadcast-vs-shuffle arm for this reason — its audit arm
-    * is the alternative ORDER, which the choice contract requires. */
+    * STANDING COMMITMENT (r16 verdict #7), DISCHARGED in r17: this row
+    * executes FOUR full-size join arms by design and is priced as an
+    * audit, not a query. The family grew to six both-arms consumers
+    * this round, so the promised sampled-partition form now EXISTS as
+    * its own registered row — [[cboSampledArmAudit]] (q235) runs the
+    * inverted arm on a deterministic 1/8 key partition (the flip proof
+    * needs the plan shape, not the full cardinality; the answer proof
+    * stays on the full-size followed arm). This row stays full-size on
+    * purpose: it is the one place the INVERTED arm's answer-identity is
+    * proven at full cardinality; new CBO consumers should follow q235's
+    * shape. q226 deliberately did NOT add an inverted
+    * broadcast-vs-shuffle arm — its audit arm is the alternative ORDER,
+    * which the choice contract requires. */
   def cboPlanFlipAudit(spark: SparkSession, dir: String,
                        broadcastRows: Long = 10000L): DataFrame = {
     val conf = spark.conf
@@ -2532,5 +2535,101 @@ object Relational {
           chosen._1, chosen._2, chosen._3)
     }.toDF("subset", "n_tables", "est_rows", "best_cost", "best_plan",
       "n_rows", "sum_qty", "sum_nat")
+  }
+  /** J23 [EXT] — SAMPLED-ARM CBO AUDIT (q235): the scale form of the
+    * both-arms discipline, discharging q221's standing commitment now
+    * that the consumer family has grown to six both-arms rows. The
+    * FOLLOWED arm is unchanged — the production plan at full size, its
+    * aggregate the answer proof. The INVERTED arm — which exists only
+    * to prove the flip is computed, a proof that needs the executed
+    * plan's SHAPE, never the full cardinality — runs on a deterministic
+    * 1/`sampleMod` partition of the JOIN KEY: both sides filtered to
+    * `key % sampleMod == 0`, so the sampled join is EXACTLY the true
+    * join restricted to that key subset (a key partition is closed
+    * under the join — no edge crosses it), the observed operator is the
+    * same plan shape the full inverted join would run, and every
+    * sampled number stays oracle-re-derivable (a seeded `.sample` would
+    * be engine RNG; a key partition is arithmetic). `scaled_rows` =
+    * sampled rows × sampleMod is the audit's cardinality cross-check
+    * against the followed arm's exact count — near-exact on FK joins
+    * (every key carries its fact rows with it), a planted skew check at
+    * spec level. Decision inputs read from the persisted ANALYZE store
+    * (the q224 discipline — no live recount); thresholds scoped off and
+    * restored in `finally`; arms materialized eagerly via collect()
+    * (the q231 final-adaptive-plan lesson).
+    *
+    * Scale: this is the form a 100 TB advisor audit actually runs — the
+    * followed arm is the query you were executing anyway; the inverted
+    * arm costs 1/sampleMod of one join, and sampleMod is free to grow
+    * with the table because the proof is shape + a scaled estimate, not
+    * the answer. */
+  def cboSampledArmAudit(spark: SparkSession, dir: String,
+                         broadcastRows: Long = 10000L,
+                         sampleMod: Long = 8L): DataFrame = {
+    val conf = spark.conf
+    val scoped = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val saved = scoped.map { case (k, _) => k -> conf.getOption(k) }
+    scoped.foreach { case (k, v) => conf.set(k, v) }
+    try {
+      val stats = ensureTableStats(spark, dir)
+      def rowsOf(t: String): Long = stats
+        .filter(col("table_name") === t)
+        .agg(max(col("n_rows"))).head().getLong(0)
+      val joins = Seq(
+        ("customer*nation", Tables.customer(spark, dir), "c_nationkey",
+          "customer", Tables.nation(spark, dir), "n_nationkey", "nation",
+          "c_custkey"),
+        ("lineitem*orders", Tables.lineitem(spark, dir), "l_orderkey",
+          "lineitem", Tables.orders(spark, dir), "o_orderkey", "orders",
+          "l_quantity"))
+      val out = joins.flatMap {
+        case (label, left, lk, lt, right, rk, rt, sumCol) =>
+          val (nLeft, nRight) = (rowsOf(lt), rowsOf(rt))
+          val advice = if (math.min(nLeft, nRight) <= broadcastRows)
+            "broadcast" else "shuffle"
+          def run(strategy: String, mod: Long): (String, Long, Long) = {
+            val (l, r) =
+              if (mod == 1L) (left, right)
+              else (left.filter(pmod(col(lk), lit(mod)) === 0L),
+                right.filter(pmod(col(rk), lit(mod)) === 0L))
+            val on = col(lk) === col(rk)
+            val j = strategy match {
+              case "broadcast" =>
+                // build side = the stats store's smaller side — the only
+                // broadcast anybody advises (q221's discipline)
+                if (nRight <= nLeft) l.join(broadcast(r), on)
+                else broadcast(l).join(r, on)
+              case _ => l.hint("merge").join(r.hint("merge"), on)
+            }
+            val agg = j.agg(count(lit(1)).as("n"),
+              coalesce(sum(col(sumCol).cast("long")), lit(0L)).as("s"))
+            val row = agg.collect()(0)
+            val plan = agg.queryExecution.executedPlan.toString()
+            val shape =
+              if (plan.contains("BroadcastHashJoin")) "BroadcastHashJoin"
+              else if (plan.contains("SortMergeJoin")) "SortMergeJoin"
+              else "other"
+            (shape, row.getLong(0), row.getLong(1))
+          }
+          val inverted =
+            if (advice == "broadcast") "shuffle" else "broadcast"
+          Seq(("followed", advice, 1L),
+            ("inverted", inverted, sampleMod)).map {
+            case (arm, strat, mod) =>
+              val (shape, nRows, sumVal) = run(strat, mod)
+              (label, arm, advice, shape, arm == "followed", mod,
+                nLeft, nRight, nRows, nRows * mod, sumVal)
+          }
+      }
+      import spark.implicits._
+      out.toDF("join_label", "arm", "advice", "executed_join", "followed",
+        "sample_mod", "n_left", "n_right", "n_rows", "scaled_rows",
+        "sum_val")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
   }
 }

@@ -1085,4 +1085,48 @@ class RelationalSpec extends AnyFunSuite {
       .getOption("spark.sql.adaptive.coalescePartitions.enabled") == before,
       "conf scope must restore")
   }
+  test("q235 sampled arm: flip proven on a 1/8 key partition, scaled cardinality tracks the full join, answer proof full-size") {
+    val before = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    val rows = Relational.cboSampledArmAudit(spark, TestSpark.Sf0001)
+      .as[(String, String, String, String, Boolean, Long, Long, Long,
+        Long, Long, Long)].collect().toSeq
+    assert(rows.length == 4, s"want 2 joins x 2 arms, got ${rows.length}")
+    rows.groupBy(_._1).foreach { case (label, arms) =>
+      val followed = arms.find(_._2 == "followed").get
+      val inverted = arms.find(_._2 == "inverted").get
+      def shapeOf(strategy: String) =
+        if (strategy == "broadcast") "BroadcastHashJoin" else "SortMergeJoin"
+      // the flip is proven on the SAMPLED arm's executed plan shape
+      assert(followed._4 == shapeOf(followed._3),
+        s"$label followed ran ${followed._4}, advice ${followed._3}")
+      assert(followed._4 != inverted._4, s"$label arms ran the same shape")
+      assert(followed._6 == 1L && inverted._6 == 8L,
+        s"$label sample_mod wrong: ${(followed._6, inverted._6)}")
+      // the sample is real: strictly fewer rows through the inverted arm
+      assert(inverted._9 < followed._9,
+        s"$label sampled rows ${inverted._9} !< full ${followed._9}")
+      // scaled cardinality tracks the full join within 2x (the audit's
+      // cross-check; FK keys carry their fact rows, so the 1/8 key
+      // partition scales back near-exactly on lineitem*orders)
+      assert(inverted._10 > 0L && followed._9 > 0L, s"$label empty arm")
+      val ratio = inverted._10.toDouble / followed._9.toDouble
+      assert(ratio > 0.5 && ratio < 2.0,
+        s"$label scaled ${inverted._10} vs actual ${followed._9} ($ratio)")
+      // followed arm keeps the exact answer (scaled_rows == n_rows)
+      assert(followed._10 == followed._9, s"$label followed scaled_rows")
+    }
+    // the sampled numbers are the restricted join, exactly
+    val li = graft.Tables.lineitem(spark, TestSpark.Sf0001)
+    val ord = graft.Tables.orders(spark, TestSpark.Sf0001)
+    val want = li.filter(pmod(col("l_orderkey"), lit(8L)) === 0L)
+      .join(ord.filter(pmod(col("o_orderkey"), lit(8L)) === 0L),
+        col("l_orderkey") === col("o_orderkey"))
+      .agg(count(lit(1)), sum(col("l_quantity").cast("long")))
+      .as[(Long, Long)].head()
+    val lo = rows.find(r => r._1 == "lineitem*orders" && r._2 == "inverted").get
+    assert((lo._9, lo._11) == want,
+      s"sampled lineitem*orders ${(lo._9, lo._11)} != restricted join $want")
+    assert(spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+      == before, "conf scope must restore")
+  }
 }

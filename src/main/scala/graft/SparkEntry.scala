@@ -896,7 +896,15 @@ object SparkEntry {
     // every number stays oracle-exact); the flip proof is plan shape +
     // a scaled cardinality check, the answer proof stays full-size
     "q235_cbo_sampled_arm" -> ((s: SparkSession, d: String) =>
-      Relational.cboSampledArmAudit(s, d))
+      Relational.cboSampledArmAudit(s, d)),
+    // the independence-assumption fix: a 64-row 2-D bucket histogram
+    // over the fixture's genuinely correlated pair (event_id is assigned
+    // in arrival order — corr ≈ 0.99998 vs ts); per aligned rectangle,
+    // independence is ~4× low on the correlated corner and phantoms
+    // rows onto the empty anti-diagonal while the group stat is EXACT;
+    // near-diagonal occupancy (9 of 64 cells) is the detection signal
+    "q236_column_group_stats" -> ((s: SparkSession, d: String) =>
+      Relational.columnGroupStatsAudit(s, d))
   )
 
   /** The session-shared `ensure*` leaves at the registry consumers'
@@ -2364,6 +2372,53 @@ object SparkEntry {
     // flipped for inverted) -> the joined aggregate once per join — a
     // hash match proves the engine EXECUTED the shape its stats chose
     // and that both shapes return identical answers
+    // buckets, marginals, both estimators, and the exact counts all
+    // re-derived in integer SQL ('//' keeps the div integer; epoch_us
+    // matches unix_micros under the UTC session — the q30 parity)
+    "q236_column_group_stats" ->
+      """WITH bnd AS (
+        |  SELECT min(event_id) AS id_min, max(event_id) AS id_max,
+        |    min(epoch_us(CAST(ts AS TIMESTAMP))) AS ts_min,
+        |    max(epoch_us(CAST(ts AS TIMESTAMP))) AS ts_max,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events),
+        |e AS (
+        |  SELECT (event_id - id_min) * 8 // (id_max - id_min + 1) AS b_id,
+        |    (epoch_us(CAST(ts AS TIMESTAMP)) - ts_min) * 8
+        |      // (ts_max - ts_min + 1) AS b_ts
+        |  FROM events, bnd),
+        |occ AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_pair,
+        |    CAST(count(DISTINCT b_id) AS BIGINT) AS n_id_b,
+        |    CAST(count(DISTINCT b_ts) AS BIGINT) AS n_ts_b
+        |  FROM (SELECT DISTINCT b_id, b_ts FROM e)),
+        |rects(rect, il, ih, tl, th) AS (VALUES
+        |  ('corr_corner', 0, 1, 0, 1), ('corr_half', 0, 3, 0, 3),
+        |  ('anti_diag', 0, 1, 6, 7), ('full', 0, 7, 0, 7)),
+        |agg AS (
+        |  SELECT r.rect, CAST(r.il AS BIGINT) AS b_id_lo,
+        |    CAST(r.ih AS BIGINT) AS b_id_hi,
+        |    CAST(r.tl AS BIGINT) AS b_ts_lo,
+        |    CAST(r.th AS BIGINT) AS b_ts_hi,
+        |    CAST(count(*) FILTER (WHERE e.b_id BETWEEN r.il AND r.ih)
+        |      AS BIGINT) AS n_a,
+        |    CAST(count(*) FILTER (WHERE e.b_ts BETWEEN r.tl AND r.th)
+        |      AS BIGINT) AS n_b,
+        |    CAST(count(*) FILTER (WHERE e.b_id BETWEEN r.il AND r.ih
+        |      AND e.b_ts BETWEEN r.tl AND r.th) AS BIGINT) AS actual_rows
+        |  FROM rects r CROSS JOIN e
+        |  GROUP BY 1, 2, 3, 4, 5)
+        |SELECT rect, b_id_lo, b_id_hi, b_ts_lo, b_ts_hi,
+        |  bnd.n AS n_rows, n_a, n_b, actual_rows,
+        |  n_a * n_b // bnd.n AS est_indep,
+        |  actual_rows AS est_group, TRUE AS group_exact,
+        |  CASE WHEN actual_rows > 0
+        |    THEN abs(n_a * n_b // bnd.n - actual_rows) * 1000000
+        |      // actual_rows
+        |    ELSE (n_a * n_b // bnd.n) * 1000000 END AS err_indep_ppm,
+        |  occ.n_pair AS n_pair_buckets, occ.n_id_b AS n_id_buckets,
+        |  occ.n_ts_b AS n_ts_buckets
+        |FROM agg, bnd, occ""".stripMargin,
     // the sampled inverted arm stays oracle-EXACT because the sample is
     // a key partition (key % 8 = 0 on both sides), not engine RNG; the
     // followed arm's numbers are the full join, the inverted arm's the

@@ -2632,4 +2632,114 @@ object Relational {
       case (k, None) => conf.unset(k)
     }
   }
+  /** Session-shared column-GROUP statistics leaf: the 2-D equi-width
+    * bucket histogram over (event_id, event time) — the stat a warehouse
+    * ANALYZEs for column pairs its single-column stats mis-model. Stored
+    * as (b_id, b_ts, n_rows) — at 8×8 buckets, ≤64 rows of metadata for
+    * any corpus size — and a MONOID: marginal histograms are folds over
+    * one axis (the store subsumes the single-column stats), coarser
+    * grids are folds over bucket groups (the W18 compaction property).
+    * Bucket = (v − min) · 8 div (max − min + 1): pure integer
+    * arithmetic, so every cell is oracle-re-derivable; time buckets are
+    * over `unix_micros` (integer, the q30-family parity discipline). */
+  private[graft] def ensureColumnGroupStats(spark: SparkSession,
+                                            dir: String): String =
+    graft.sources.Sources.ensureStore(spark, "cgrp", dir) { root =>
+      bucketedEvents(spark, dir)
+        .groupBy(col("b_id"), col("b_ts"))
+        .agg(count(lit(1)).as("n_rows"))
+        .write.mode("overwrite").parquet(root)
+    }
+
+  /** Events with both group columns bucketed 0..7 — the assignment both
+    * the store build and the audit's exact leg share (one definition, so
+    * the audit can never "verify" a different formula than it stored). */
+  private def bucketedEvents(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val b = ev.agg(min(col("event_id")), max(col("event_id")),
+      min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).head()
+    val (idMin, idMax, tsMin, tsMax) =
+      (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
+    ev.select(
+      idiv((col("event_id") - lit(idMin)) * lit(8L),
+        lit(idMax - idMin + 1L)).as("b_id"),
+      idiv((unix_micros(col("ts")) - lit(tsMin)) * lit(8L),
+        lit(tsMax - tsMin + 1L)).as("b_ts"))
+  }
+
+  /** A58 [EXT] — COLUMN-GROUP (CORRELATED-COLUMN) STATISTICS (q236):
+    * the independence-assumption fix. Every selectivity estimate so far
+    * (q207/q215/q232) prices ONE predicate; a conjunction is priced
+    * sel(a)·sel(b) — the independence assumption that collapses on
+    * correlated columns, and the events fixture carries the classic
+    * real-world case BY CONSTRUCTION: event ids are assigned in arrival
+    * order, so corr(event_id, unix_micros(ts)) ≈ 0.99998 (the id-vs-
+    * created_at pair every production table has). Per bucket-aligned
+    * rectangle of a 4-rect sweep (correlated corner, correlated half,
+    * anti-diagonal, full): the marginal counts READ FROM THE STORE
+    * (n_a, n_b — a 2-D histogram subsumes its marginals by folding one
+    * axis), the independence estimate n_a·n_b div N, the GROUP estimate
+    * (the rectangle's cell fold), the exact count from one bucket-
+    * arithmetic scan (the audit price), the independence error in ppm,
+    * and `group_exact` — pinned TRUE: an aligned rectangle is answered
+    * EXACTLY by the group stat, while independence is ~4× low on the
+    * correlated corner and phantoms ~625 rows onto the empty anti-
+    * diagonal. Store-level detection signal on every row:
+    * n_pair_buckets vs n_id_buckets·n_ts_buckets (9 vs 64 here — near-
+    * diagonal occupancy is HOW a planner decides a pair deserves a
+    * group stat, DB2 CARD(colgroup) / Oracle extended-stats style).
+    * Fully oracle-checked: buckets, marginals, both estimators, and the
+    * exact counts all re-derive in integer SQL.
+    *
+    * Scale: the store is ≤64 rows of metadata kept by the A45 ANALYZE
+    * cadence; estimates fold the store driver-side exactly as a CBO
+    * reads its catalog — the one scan here is the audit's exactness
+    * proof, never the estimator's cost. */
+  def columnGroupStatsAudit(spark: SparkSession, dir: String): DataFrame = {
+    val root = ensureColumnGroupStats(spark, dir)
+    val cells = spark.read.parquet(root)
+      .select(col("b_id"), col("b_ts"), col("n_rows"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
+      .toMap // ≤64 rows — the planner's catalog read
+    val n = cells.values.sum
+    val nPair = cells.size.toLong
+    val nIdB = cells.keys.map(_._1).toSet.size.toLong
+    val nTsB = cells.keys.map(_._2).toSet.size.toLong
+    val rects = Seq(
+      ("corr_corner", 0L, 1L, 0L, 1L), ("corr_half", 0L, 3L, 0L, 3L),
+      ("anti_diag", 0L, 1L, 6L, 7L), ("full", 0L, 7L, 0L, 7L))
+    // the exactness leg: ONE scan, all rects as conditional counts
+    val be = bucketedEvents(spark, dir)
+    val exactRow = be.agg(
+      rects.map { case (name, il, ih, tl, th) =>
+        sum(when(col("b_id").between(il, ih) &&
+          col("b_ts").between(tl, th), 1L).otherwise(0L)).as(name)
+      }.head, rects.map { case (name, il, ih, tl, th) =>
+        sum(when(col("b_id").between(il, ih) &&
+          col("b_ts").between(tl, th), 1L).otherwise(0L)).as(name)
+      }.tail: _*).head()
+    val actual = rects.zipWithIndex.map { case ((name, _, _, _, _), i) =>
+      name -> exactRow.getLong(i)
+    }.toMap
+    val out = rects.map { case (name, il, ih, tl, th) =>
+      val nA = cells.collect {
+        case ((bi, _), c) if bi >= il && bi <= ih => c }.sum
+      val nB = cells.collect {
+        case ((_, bt), c) if bt >= tl && bt <= th => c }.sum
+      val estGroup = cells.collect {
+        case ((bi, bt), c)
+          if bi >= il && bi <= ih && bt >= tl && bt <= th => c }.sum
+      val estIndep = nA * nB / n
+      val act = actual(name)
+      val errIndep =
+        if (act > 0L) math.abs(estIndep - act) * 1000000L / act
+        else estIndep * 1000000L
+      (name, il, ih, tl, th, n, nA, nB, act, estIndep, estGroup,
+        estGroup == act, errIndep, nPair, nIdB, nTsB)
+    }
+    import spark.implicits._
+    out.toDF("rect", "b_id_lo", "b_id_hi", "b_ts_lo", "b_ts_hi", "n_rows",
+      "n_a", "n_b", "actual_rows", "est_indep", "est_group", "group_exact",
+      "err_indep_ppm", "n_pair_buckets", "n_id_buckets", "n_ts_buckets")
+  }
 }

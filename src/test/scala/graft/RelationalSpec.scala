@@ -1129,4 +1129,47 @@ class RelationalSpec extends AnyFunSuite {
     assert(spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
       == before, "conf scope must restore")
   }
+  test("q236 column-group stats: group estimate exact on aligned rects, independence collapses on the correlated pair, occupancy near-diagonal") {
+    val rows = Relational.columnGroupStatsAudit(spark, TestSpark.Sf0001)
+      .as[(String, Long, Long, Long, Long, Long, Long, Long, Long, Long,
+        Long, Boolean, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(rows.keySet ==
+      Set("corr_corner", "corr_half", "anti_diag", "full"))
+    // the group stat answers every aligned rectangle EXACTLY
+    rows.values.foreach { r =>
+      assert(r._12, s"${r._1}: group estimate ${r._11} != actual ${r._9}")
+      assert(r._11 == r._9, s"${r._1}: est_group column inconsistent")
+    }
+    // independence is badly low on the correlated corner (ids are
+    // assigned in arrival order: the id-vs-created_at dependence)
+    val corner = rows("corr_corner")
+    assert(corner._13 > 500000L,
+      s"corner err ${corner._13} ppm — fixture should be correlated")
+    assert(corner._10 < corner._9,
+      s"corner indep ${corner._10} must UNDERestimate actual ${corner._9}")
+    // ...and phantoms rows onto the (empty) anti-diagonal
+    val anti = rows("anti_diag")
+    assert(anti._10 > anti._9,
+      s"anti-diag indep ${anti._10} must overestimate actual ${anti._9}")
+    // the full rectangle is exact for BOTH estimators (marginals = N)
+    val full = rows("full")
+    assert(full._7 == full._6 && full._8 == full._6 &&
+      full._10 == full._6 && full._9 == full._6, s"full rect: $full")
+    assert(full._13 == 0L)
+    // the detection signal: near-diagonal occupancy, not a full cross
+    assert(full._15 == 8L && full._16 == 8L,
+      s"marginal bucket counts ${(full._15, full._16)}")
+    assert(full._14 * 4L <= full._15 * full._16,
+      s"occupied ${full._14} of ${full._15 * full._16} — not correlated?")
+    // the store's marginals agree with direct single-column counts
+    // (the 2-D histogram subsumes its own 1-D stats by folding)
+    val ev = graft.Tables.events(spark, TestSpark.Sf0001)
+    val b = ev.agg(min(col("event_id")), max(col("event_id"))).head()
+    val (idMin, idMax) = (b.getLong(0), b.getLong(1))
+    val directA = ev.filter(
+      expr(s"(event_id - $idMin) * 8 div ${idMax - idMin + 1L} < 2")).count()
+    assert(rows("corr_corner")._7 == directA,
+      s"store marginal ${rows("corr_corner")._7} != direct $directA")
+  }
 }

@@ -904,7 +904,15 @@ object SparkEntry {
     // rows onto the empty anti-diagonal while the group stat is EXACT;
     // near-diagonal occupancy (9 of 64 cells) is the detection signal
     "q236_column_group_stats" -> ((s: SparkSession, d: String) =>
-      Relational.columnGroupStatsAudit(s, d))
+      Relational.columnGroupStatsAudit(s, d)),
+    // the group stat made a consumer: the corner conjunction priced
+    // both ways from the persisted store straddles the broadcast
+    // threshold — the engine executes the group-advised plan full-size
+    // and the independence-advised (wrong) plan in q235's sampled form;
+    // both correctness flags DERIVED from actual-vs-threshold, so green
+    // proves carrying the 64-row stat flipped a real plan the right way
+    "q237_cbo_group_stat_join" -> ((s: SparkSession, d: String) =>
+      Relational.cboGroupStatJoinAudit(s, d))
   )
 
   /** The session-shared `ensure*` leaves at the registry consumers'
@@ -2372,6 +2380,60 @@ object SparkEntry {
     // flipped for inverted) -> the joined aggregate once per join — a
     // hash match proves the engine EXECUTED the shape its stats chose
     // and that both shapes return identical answers
+    // estimates, threshold, advices, DERIVED correctness flags, both
+    // arms' shapes and exact counts/sums — all re-derived in integer SQL
+    "q237_cbo_group_stat_join" ->
+      """WITH bnd AS (
+        |  SELECT min(event_id) AS id_min, max(event_id) AS id_max,
+        |    min(epoch_us(CAST(ts AS TIMESTAMP))) AS ts_min,
+        |    max(epoch_us(CAST(ts AS TIMESTAMP))) AS ts_max,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events),
+        |e AS (
+        |  SELECT user_id,
+        |    (event_id - id_min) * 8 // (id_max - id_min + 1) AS b_id,
+        |    (epoch_us(CAST(ts AS TIMESTAMP)) - ts_min) * 8
+        |      // (ts_max - ts_min + 1) AS b_ts
+        |  FROM events, bnd),
+        |f AS (SELECT user_id FROM e
+        |  WHERE b_id BETWEEN 0 AND 1 AND b_ts BETWEEN 0 AND 1),
+        |m AS (
+        |  SELECT (SELECT n FROM bnd) AS n_rows,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM e
+        |       WHERE b_id BETWEEN 0 AND 1) AS n_a,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM e
+        |       WHERE b_ts BETWEEN 0 AND 1) AS n_b,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM f) AS actual_rows),
+        |est AS (
+        |  SELECT *, n_a * n_b // n_rows AS est_indep,
+        |    actual_rows AS est_group, n_rows // 8 AS threshold FROM m),
+        |adv AS (
+        |  SELECT *,
+        |    CASE WHEN est_indep <= threshold THEN 'broadcast'
+        |      ELSE 'shuffle' END AS advice_indep,
+        |    CASE WHEN est_group <= threshold THEN 'broadcast'
+        |      ELSE 'shuffle' END AS advice_group,
+        |    CASE WHEN actual_rows <= threshold THEN 'broadcast'
+        |      ELSE 'shuffle' END AS advice_actual FROM est),
+        |j AS (SELECT CAST(count(*) AS BIGINT) AS nj,
+        |    CAST(coalesce(sum(CAST(user_id AS BIGINT)), 0) AS BIGINT) AS sj
+        |  FROM f JOIN customer ON user_id = c_custkey),
+        |js AS (SELECT CAST(count(*) AS BIGINT) AS njs,
+        |    CAST(coalesce(sum(CAST(user_id AS BIGINT)), 0) AS BIGINT) AS sjs
+        |  FROM f JOIN customer ON user_id = c_custkey
+        |  WHERE user_id % 8 = 0)
+        |SELECT 'corr_corner' AS rect, n_rows, n_a, n_b, est_indep,
+        |  est_group, threshold, advice_indep, advice_group, actual_rows,
+        |  advice_group = advice_actual AS group_advice_correct,
+        |  advice_indep = advice_actual AS indep_advice_correct,
+        |  CASE WHEN advice_group = 'broadcast' THEN 'BroadcastHashJoin'
+        |    ELSE 'SortMergeJoin' END AS executed_join,
+        |  j.nj AS n_join_rows, j.sj AS sum_uid,
+        |  CASE WHEN advice_indep = 'broadcast' THEN 'BroadcastHashJoin'
+        |    ELSE 'SortMergeJoin' END AS executed_join_sampled,
+        |  js.njs AS sampled_rows, js.njs * 8 AS scaled_rows,
+        |  js.sjs AS sampled_sum
+        |FROM adv, j, js""".stripMargin,
     // buckets, marginals, both estimators, and the exact counts all
     // re-derived in integer SQL ('//' keeps the div integer; epoch_us
     // matches unix_micros under the UTC session — the q30 parity)

@@ -2664,7 +2664,8 @@ object Relational {
       idiv((col("event_id") - lit(idMin)) * lit(8L),
         lit(idMax - idMin + 1L)).as("b_id"),
       idiv((unix_micros(col("ts")) - lit(tsMin)) * lit(8L),
-        lit(tsMax - tsMin + 1L)).as("b_ts"))
+        lit(tsMax - tsMin + 1L)).as("b_ts"),
+      col("user_id"))
   }
 
   /** A58 [EXT] — COLUMN-GROUP (CORRELATED-COLUMN) STATISTICS (q236):
@@ -2741,5 +2742,108 @@ object Relational {
     out.toDF("rect", "b_id_lo", "b_id_hi", "b_ts_lo", "b_ts_hi", "n_rows",
       "n_a", "n_b", "actual_rows", "est_indep", "est_group", "group_exact",
       "err_indep_ppm", "n_pair_buckets", "n_id_buckets", "n_ts_buckets")
+  }
+  /** A58b/J24 [EXT] — THE GROUP STAT MADE A CONSUMER (q237): q236 shows
+    * the independence estimate collapsing on the correlated pair; this
+    * row shows the collapse COSTING A PLAN. The conjunctive corner
+    * predicate's cardinality is estimated BOTH ways from the persisted
+    * group-stat store — independence (marginal folds, n_a·n_b div N)
+    * and the group fold — against a broadcast threshold of N div 8
+    * rows, which the two estimates straddle at every fixture scale
+    * (independence says "broadcast the filtered side", the group stat
+    * says "too big, shuffle"). The engine executes the GROUP-advised
+    * plan at full size (the production arm: filtered events ⋈ customer
+    * on user_id, shape read from the final adaptive plan) and the
+    * independence-advised plan in q235's sampled form (a 1/8 user_id
+    * key partition — the wrong plan's shape proven without paying its
+    * full cost). Both advice-correctness flags are DERIVED (actual
+    * filtered cardinality vs the threshold), not hard-coded: a green
+    * row proves the group stat advised the side of the threshold the
+    * data was actually on and independence advised the other — the
+    * measured difference between carrying the 64-row group stat and
+    * not. Fully oracle-checked: buckets, marginals, both estimates,
+    * threshold, advices, correctness flags, both arms' shapes, and
+    * both arms' exact counts/sums re-derive in integer SQL.
+    *
+    * Scale: both estimates fold a ≤64-row store driver-side; the full
+    * arm is the query you were running anyway; the audit arm costs
+    * 1/8 of one join. At 100 TB the flag this row pins is the
+    * difference between broadcasting a "625-row" relation that
+    * arrives 2500 rows per partition wide — the OOM-shaped mistake —
+    * and planning the shuffle the data needed. */
+  def cboGroupStatJoinAudit(spark: SparkSession, dir: String,
+                            thresholdDiv: Long = 8L): DataFrame = {
+    val conf = spark.conf
+    val scoped = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val saved = scoped.map { case (k, _) => k -> conf.getOption(k) }
+    scoped.foreach { case (k, v) => conf.set(k, v) }
+    try {
+      val root = ensureColumnGroupStats(spark, dir)
+      val cells = spark.read.parquet(root)
+        .select(col("b_id"), col("b_ts"), col("n_rows"))
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
+        .toMap
+      val n = cells.values.sum
+      val (il, ih, tl, th) = (0L, 1L, 0L, 1L)
+      val nA = cells.collect {
+        case ((bi, _), c) if bi >= il && bi <= ih => c }.sum
+      val nB = cells.collect {
+        case ((_, bt), c) if bt >= tl && bt <= th => c }.sum
+      val estGroup = cells.collect {
+        case ((bi, bt), c)
+          if bi >= il && bi <= ih && bt >= tl && bt <= th => c }.sum
+      val estIndep = nA * nB / n
+      val threshold = n / thresholdDiv
+      def advice(est: Long): String =
+        if (est <= threshold) "broadcast" else "shuffle"
+      val (aIndep, aGroup) = (advice(estIndep), advice(estGroup))
+      val filtered = bucketedEvents(spark, dir)
+        .filter(col("b_id").between(il, ih) && col("b_ts").between(tl, th))
+      val actualRows = filtered.count()
+      val cust = Tables.customer(spark, dir)
+      def run(strategy: String, mod: Long): (String, Long, Long) = {
+        val (l, r) =
+          if (mod == 1L) (filtered, cust)
+          else (filtered.filter(pmod(col("user_id"), lit(mod)) === 0L),
+            cust.filter(pmod(col("c_custkey"), lit(mod)) === 0L))
+        val on = col("user_id") === col("c_custkey")
+        val j = strategy match {
+          // build side = the filtered (estimated-small) side — the
+          // broadcast the wrong estimate would actually plan
+          case "broadcast" => broadcast(l).join(r, on)
+          case _           => l.hint("merge").join(r.hint("merge"), on)
+        }
+        val agg = j.agg(count(lit(1)).as("n"),
+          coalesce(sum(col("user_id").cast("long")), lit(0L)).as("s"))
+        val row = agg.collect()(0)
+        val plan = agg.queryExecution.executedPlan.toString()
+        val shape =
+          if (plan.contains("BroadcastHashJoin")) "BroadcastHashJoin"
+          else if (plan.contains("SortMergeJoin")) "SortMergeJoin"
+          else "other"
+        (shape, row.getLong(0), row.getLong(1))
+      }
+      val (shapeFull, nJoin, sumUid) = run(aGroup, 1L)
+      val (shapeSamp, nSamp, sumSamp) = run(aIndep, 8L)
+      val actualAdvice = advice(actualRows)
+      import spark.implicits._
+      Seq((
+        "corr_corner", n, nA, nB, estIndep, estGroup, threshold,
+        aIndep, aGroup, actualRows,
+        aGroup == actualAdvice, aIndep == actualAdvice,
+        shapeFull, nJoin, sumUid,
+        shapeSamp, nSamp, nSamp * 8L, sumSamp))
+        .toDF("rect", "n_rows", "n_a", "n_b", "est_indep", "est_group",
+          "threshold", "advice_indep", "advice_group", "actual_rows",
+          "group_advice_correct", "indep_advice_correct",
+          "executed_join", "n_join_rows", "sum_uid",
+          "executed_join_sampled", "sampled_rows", "scaled_rows",
+          "sampled_sum")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
   }
 }

@@ -1172,4 +1172,35 @@ class RelationalSpec extends AnyFunSuite {
     assert(rows("corr_corner")._7 == directA,
       s"store marginal ${rows("corr_corner")._7} != direct $directA")
   }
+  test("q237 group-stat consumer: estimates straddle the threshold, group advice correct and executed, wrong plan proven in sampled form") {
+    val before = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    val r = Relational.cboGroupStatJoinAudit(spark, TestSpark.Sf0001)
+      .as[(String, Long, Long, Long, Long, Long, Long, String, String,
+        Long, Boolean, Boolean, String, Long, Long, String, Long, Long,
+        Long)].collect()
+    assert(r.length == 1)
+    val a = r.head
+    // the two estimators straddle the threshold on the correlated
+    // fixture: independence low side, group stat high side
+    assert(a._5 <= a._7 && a._6 > a._7,
+      s"estimates ${(a._5, a._6)} must straddle threshold ${a._7}")
+    assert(a._8 == "broadcast" && a._9 == "shuffle",
+      s"advices ${(a._8, a._9)}")
+    // correctness flags are derived and land the expected way
+    assert(a._11, "group advice must match the actual cardinality side")
+    assert(!a._12, "independence advice must be wrong on this fixture")
+    // the engine executed each advice's shape; the arms differ
+    assert(a._13 == "SortMergeJoin" && a._16 == "BroadcastHashJoin",
+      s"shapes ${(a._13, a._16)}")
+    // group estimate is exact; join rows equal the filtered rows
+    // (every event joins exactly one customer)
+    assert(a._6 == a._10 && a._14 == a._10,
+      s"est_group ${a._6}, actual ${a._10}, join rows ${a._14}")
+    // the sampled arm scales back within 2x of the full join
+    val ratio = a._18.toDouble / a._14.toDouble
+    assert(ratio > 0.5 && ratio < 2.0,
+      s"scaled ${a._18} vs full ${a._14} ($ratio)")
+    assert(spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+      == before, "conf scope must restore")
+  }
 }

@@ -912,7 +912,19 @@ object SparkEntry {
     // both correctness flags DERIVED from actual-vs-threshold, so green
     // proves carrying the 64-row stat flipped a real plan the right way
     "q237_cbo_group_stat_join" -> ((s: SparkSession, d: String) =>
-      Relational.cboGroupStatJoinAudit(s, d))
+      Relational.cboGroupStatJoinAudit(s, d)),
+    // A58's lifecycle leg: per-tick group-stat partials (the grid's
+    // cell counts are a monoid) appended under ingest_batch partitions
+    // with frozen ANALYZE bounds — every stored partial oracle-checked;
+    // fold ≡ the build-once store and the streaming twin spec-pinned
+    "q238_incremental_group_stats" -> ((s: SparkSession, d: String) =>
+      Relational.incrementalGroupStatMaintenance(s, d)),
+    // the W18 verb for the MV store: T tick partitions folded into ONE
+    // generation by pure aggregation (monoid — no fact rescan),
+    // published by the atomic pointer flip; fold + audit counters
+    // oracle-re-derived from raw orders
+    "q239_matview_compaction" -> ((s: SparkSession, d: String) =>
+      graft.sources.Sources.matViewCompaction(s, d))
   )
 
   /** The session-shared `ensure*` leaves at the registry consumers'
@@ -2380,6 +2392,40 @@ object SparkEntry {
     // flipped for inverted) -> the joined aggregate once per join — a
     // hash match proves the engine EXECUTED the shape its stats chose
     // and that both shapes return identical answers
+    // every stored partial re-derived in one GROUP BY over raw events
+    // (tick = event_id % 4, buckets under the full-table ANALYZE
+    // bounds) — the store is hash-checked at the (tick, cell) grain
+    "q238_incremental_group_stats" ->
+      """WITH bnd AS (
+        |  SELECT min(event_id) AS id_min, max(event_id) AS id_max,
+        |    min(epoch_us(CAST(ts AS TIMESTAMP))) AS ts_min,
+        |    max(epoch_us(CAST(ts AS TIMESTAMP))) AS ts_max
+        |  FROM events)
+        |SELECT CAST(event_id % 4 AS BIGINT) AS ingest_batch,
+        |  (event_id - id_min) * 8 // (id_max - id_min + 1) AS b_id,
+        |  (epoch_us(CAST(ts AS TIMESTAMP)) - ts_min) * 8
+        |    // (ts_max - ts_min + 1) AS b_ts,
+        |  CAST(count(*) AS BIGINT) AS n_rows
+        |FROM events, bnd
+        |GROUP BY 1, 2, 3""".stripMargin,
+    // the compacted generation IS the direct base aggregate (the monoid
+    // property); partial rows before = the distinct (tick, group) count
+    "q239_matview_compaction" ->
+      """WITH g AS (
+        |  SELECT o_orderstatus, o_orderpriority,
+        |    CAST(count(*) AS BIGINT) AS n_orders,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+        |      AS sum_price
+        |  FROM orders GROUP BY 1, 2),
+        |pre AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS nb FROM (
+        |    SELECT DISTINCT o_orderkey % 4, o_orderstatus,
+        |      o_orderpriority FROM orders))
+        |SELECT g.o_orderstatus, g.o_orderpriority, g.n_orders,
+        |  g.sum_price, pre.nb AS n_partials_before,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM g) AS n_rows_after,
+        |  CAST(1 AS BIGINT) AS generation
+        |FROM g, pre""".stripMargin,
     // estimates, threshold, advices, DERIVED correctness flags, both
     // arms' shapes and exact counts/sums — all re-derived in integer SQL
     "q237_cbo_group_stat_join" ->

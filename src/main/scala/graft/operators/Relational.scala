@@ -2656,16 +2656,31 @@ object Relational {
     * the audit can never "verify" a different formula than it stored). */
   private def bucketedEvents(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
-    val b = ev.agg(min(col("event_id")), max(col("event_id")),
-      min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).head()
-    val (idMin, idMax, tsMin, tsMax) =
-      (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
-    ev.select(
+    val b = cgrpBounds(spark, dir)
+    ev.select(bucketCols(b) :+ col("user_id"): _*)
+  }
+
+  /** The group-stat grid's bounds — frozen at ANALYZE time (one
+    * bounds aggregate), then shared by the build-once store, the
+    * audit's exact leg, and every incremental commit: per-tick
+    * maintenance must bucket NEW rows against the bounds the grid was
+    * built with, never re-derive its own (a drifting domain is q212's
+    * staleness story — the answer is re-ANALYZE, not per-tick grids). */
+  private[graft] def cgrpBounds(spark: SparkSession,
+                                dir: String): (Long, Long, Long, Long) = {
+    val b = Tables.events(spark, dir)
+      .agg(min(col("event_id")), max(col("event_id")),
+        min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).head()
+    (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
+  }
+
+  private def bucketCols(b: (Long, Long, Long, Long)): Seq[Column] = {
+    val (idMin, idMax, tsMin, tsMax) = b
+    Seq(
       idiv((col("event_id") - lit(idMin)) * lit(8L),
         lit(idMax - idMin + 1L)).as("b_id"),
       idiv((unix_micros(col("ts")) - lit(tsMin)) * lit(8L),
-        lit(tsMax - tsMin + 1L)).as("b_ts"),
-      col("user_id"))
+        lit(tsMax - tsMin + 1L)).as("b_ts"))
   }
 
   /** A58 [EXT] — COLUMN-GROUP (CORRELATED-COLUMN) STATISTICS (q236):
@@ -2846,4 +2861,82 @@ object Relational {
       case (k, None) => conf.unset(k)
     }
   }
+  /** One group-stat commit: THIS tick's rows bucketed under the frozen
+    * ANALYZE bounds, folded to per-cell counts, appended under the
+    * tick's own ingest_batch partition via dynamic overwrite —
+    * deterministic in (batch, batchId), so crash/replay converges (the
+    * zoneMapCommit XO contract applied to the group stat). */
+  private[graft] def cgrpCommit(batchRows: DataFrame, batchId: Long,
+                                root: String,
+                                bounds: (Long, Long, Long, Long)): Unit =
+    batchRows.select(bucketCols(bounds): _*)
+      .groupBy(col("b_id"), col("b_ts"))
+      .agg(count(lit(1)).as("n_rows"))
+      .withColumn("ingest_batch", lit(batchId))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("ingest_batch").parquet(s"$root/cgrp")
+
+  /** One ingest tick of the q238 loop: tick t carries the events rows
+    * with event_id ≡ t (mod nTicks) — the oracle-derivable tick
+    * assignment every incremental store in this repo uses. */
+  private[graft] def cgrpTickAt(spark: SparkSession, dir: String,
+                                root: String, tick: Int, nTicks: Int,
+                                bounds: (Long, Long, Long, Long)): Unit =
+    cgrpCommit(
+      Tables.events(spark, dir)
+        .filter(pmod(col("event_id"), lit(nTicks.toLong)) === tick.toLong),
+      tick.toLong, root, bounds)
+
+  private[graft] def ensureIncrementalGroupStats(spark: SparkSession,
+                                                 dir: String,
+                                                 nTicks: Int): String =
+    graft.sources.Sources.ensureStore(spark, "cgrpinc",
+        s"$dir|$nTicks") { root =>
+      val b = cgrpBounds(spark, dir)
+      (0 until nTicks).foreach(t => cgrpTickAt(spark, dir, root, t,
+        nTicks, b))
+    }
+
+  /** A58b [EXT] — INCREMENTAL GROUP-STAT MAINTENANCE (q238): the
+    * lifecycle leg that makes A58 a maintained statistic instead of a
+    * one-shot ANALYZE — the same per-commit discipline the zone-map
+    * (W16), Bloom (W19), NDV (A57), and MV (W22) stores already have,
+    * applied to the 2-D histogram. The grid's cell counts are a MONOID,
+    * so each ingest tick appends exactly its own per-cell partials
+    * under its ingest_batch partition (O(tick) cost, map-side combined
+    * to ≤64 rows) and the table-level group stat at any moment is one
+    * metadata-sized fold — never a rescan. Bounds are FROZEN at
+    * ANALYZE time and shared with every commit ([[cgrpBounds]]): new
+    * rows bucket against the grid they maintain. The registered
+    * relation is the STORE read back — one row per (tick, cell) — which
+    * the oracle re-derives in one GROUP BY over raw events (tick =
+    * event_id % 4), hash-checking every stored partial. Specs pin fold
+    * ≡ the build-once q236 store, out-of-band replay a no-op, and the
+    * streaming twin ([[streamingGroupStatMaintenance]], one commit per
+    * micro-batch keyed by Spark's own batchId) ≡ the tick loop.
+    *
+    * Scale: per commit the store grows by ≤|cells| rows; q236/q237's
+    * estimates read the fold — at 100 TB the correlated-pair stat that
+    * flips q237's plan stays current for the price of a 64-row append
+    * per ingest commit. */
+  def incrementalGroupStatMaintenance(spark: SparkSession, dir: String,
+                                      nTicks: Int = 4): DataFrame = {
+    val root = ensureIncrementalGroupStats(spark, dir, nTicks)
+    spark.read.parquet(s"$root/cgrp")
+      .select(col("ingest_batch").cast("long").as("ingest_batch"),
+        col("b_id"), col("b_ts"), col("n_rows"))
+  }
+
+  /** The streaming twin (the W16/W19/A57/W22 discipline): each
+    * micro-batch of raw event rows is ONE group-stat commit keyed by
+    * Spark's own batchId under the frozen ANALYZE bounds —
+    * replay-idempotent, so checkpoint recovery converges. */
+  def streamingGroupStatMaintenance(rows: DataFrame, root: String,
+                                    bounds: (Long, Long, Long, Long))
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+          org.apache.spark.sql.Row] =
+    rows.writeStream.foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        cgrpCommit(batch, batchId, root, bounds)
+    }
 }

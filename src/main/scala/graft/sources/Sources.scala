@@ -1936,4 +1936,55 @@ object Sources {
         lit(wasStale).as("was_stale"),
         lit(missing.size.toLong).as("n_refreshed_ticks"))
   }
+  /** W24 [EXT] — MV STORE COMPACTION (q239): the W18 small-files verb
+    * applied to W22. After T ingest ticks the MV's partials sit in T
+    * partitions and every fold's cost grows with COMMIT COUNT, not
+    * group count; compaction folds them into ONE generation — and
+    * because the partials are a monoid (counts add, DECIMAL sums add),
+    * the compacted store is derived from the OLD PARTIALS BY PURE
+    * AGGREGATION, never a fact-table rescan, published by
+    * [[versionedSwap]]'s atomic pointer flip (blue/green — the
+    * superseded tick-grain generation stays on disk as vacuum-able
+    * garbage, W21's contract). Runs on a PRIVATE store (the audit
+    * builds and mutates MV state — the crash-replay-spec discipline,
+    * never the shared q233 leaf). The registered relation is the
+    * compacted generation READ BACK — one row per group, the fold the
+    * oracle re-derives in one GROUP BY over raw orders — plus the audit
+    * counters: partial rows before (|groups|·|ticks|, oracle-re-derived
+    * as the distinct (tick, group) count), rows after (|groups|), and
+    * the live generation number. Specs pin compacted fold ≡
+    * pre-compaction fold, the q234 rollup answering identically through
+    * the compacted store, and re-compaction converging (gen advances,
+    * content identical — the fold is idempotent on a folded store).
+    *
+    * Scale: the fold is |groups|·|ticks| rows of metadata at any
+    * corpus size — W22 keeps commits O(tick), this row keeps READS
+    * O(groups), the same split W16/W18 make for zone maps. */
+  def matViewCompaction(spark: SparkSession, dir: String,
+                        nTicks: Int = 4): DataFrame = {
+    val root = scratchDirUnique(spark, "mvcmp")
+    (0 until nTicks).foreach(t => matViewTickAt(spark, dir, root, t, nTicks))
+    val mvPath = s"$root/mv"
+    val nBefore = spark.read.parquet(mvPath).count()
+    versionedSwap(spark, mvPath) { (cur, next) =>
+      spark.read.parquet(cur)
+        .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(sum(col("n_orders")).as("n_orders"),
+          // keep the tick store's own sum type (decimal(22,2)) — a
+          // narrower cast would overflow once group sums pass 10^10
+          sum(col("sum_price_dec")).cast("decimal(22,2)")
+            .as("sum_price_dec"))
+        .write.mode("overwrite").parquet(next)
+    }
+    val live = livePath(spark, mvPath)
+    val gen = live.substring(live.lastIndexOf("__g") + 3).toLong
+    val compacted = spark.read.parquet(live)
+    val nAfter = compacted.count()
+    compacted.select(col("o_orderstatus"), col("o_orderpriority"),
+      col("n_orders"),
+      col("sum_price_dec").cast("double").as("sum_price"),
+      lit(nBefore).as("n_partials_before"),
+      lit(nAfter).as("n_rows_after"),
+      lit(gen).as("generation"))
+  }
 }

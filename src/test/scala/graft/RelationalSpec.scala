@@ -1203,4 +1203,49 @@ class RelationalSpec extends AnyFunSuite {
     assert(spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
       == before, "conf scope must restore")
   }
+  test("q238 incremental group stats: partials exact per tick, fold equals the build-once store, replay no-op, stream equals ticks") {
+    val dir = TestSpark.Sf0001
+    val store = Relational.incrementalGroupStatMaintenance(spark, dir)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(store.nonEmpty)
+    // fold over ticks == the build-once q236 store (the monoid story)
+    // fold over a Seq, not the Set — equal per-tick counts must not
+    // deduplicate before summing
+    val fold = store.toSeq.groupBy(r => (r._2, r._3))
+      .view.mapValues(_.map(_._4).sum).toMap
+    val full = spark.read
+      .parquet(Relational.ensureColumnGroupStats(spark, dir))
+      .as[(Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(fold == full, s"tick fold != build-once store")
+    // out-of-band replay of a middle commit converges (XO contract)
+    val root = Relational.ensureIncrementalGroupStats(spark, dir, 4)
+    val b = Relational.cgrpBounds(spark, dir)
+    Relational.cgrpTickAt(spark, dir, root, 1, 4, b)
+    val replayed = Relational.incrementalGroupStatMaintenance(spark, dir)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(replayed == store, "replaying commit 1 changed the store")
+    // streaming twin: MemoryStream commits reproduce the tick loop
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val streamRoot = java.nio.file.Files
+      .createTempDirectory("graft_cgrp_stream").toString
+    val rows = graft.Tables.events(spark, dir)
+      .select(col("event_id"), col("ts"))
+      .as[(Long, java.sql.Timestamp)].collect()
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, java.sql.Timestamp)]
+    val q = Relational.streamingGroupStatMaintenance(
+      input.toDF().toDF("event_id", "ts"), streamRoot, b).start()
+    try {
+      (0 until 4).foreach { t =>
+        input.addData(rows.filter(_._1 % 4 == t).toIndexedSeq)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val streamed = spark.read.parquet(s"$streamRoot/cgrp")
+      .select(col("ingest_batch").cast("long"), col("b_id"), col("b_ts"),
+        col("n_rows"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(streamed == store, "stream != tick loop")
+  }
 }

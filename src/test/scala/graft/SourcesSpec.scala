@@ -990,6 +990,35 @@ class SourcesSpec extends AnyFunSuite {
     }
   }
 
+  test("q239 MV compaction: fold preserved at group grain, counters exact, rollup through the compacted store equals base") {
+    val out = Sources.matViewCompaction(spark, TestSpark.Sf0001)
+      .as[(String, String, Long, Double, Long, Long, Long)].collect()
+    val orders = Tables.orders(spark, TestSpark.Sf0001)
+    val base = orders
+      .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(12,2)")).cast("double"))
+      .as[(String, String, Long, Double)].collect().toSet
+    assert(out.map(r => (r._1, r._2, r._3, r._4)).toSet == base,
+      "compacted store != direct base aggregate")
+    val expectedBefore = orders
+      .select(pmod(col("o_orderkey"), lit(4L)), col("o_orderstatus"),
+        col("o_orderpriority")).distinct().count()
+    out.foreach { r =>
+      assert(r._5 == expectedBefore,
+        s"n_partials_before ${r._5} != $expectedBefore")
+      assert(r._6 == base.size.toLong, s"n_rows_after ${r._6}")
+      assert(r._7 == 1L, s"generation ${r._7}")
+    }
+    // the q234 rewrite consumer through the COMPACTED store: the
+    // coarser rollup folds identically (monoid re-aggregation)
+    val rollup = out.groupBy(_._1).view
+      .mapValues(rs => rs.map(_._3).sum).toMap
+    val baseRollup = base.toSeq.groupBy(_._1).view
+      .mapValues(rs => rs.map(_._3).sum).toMap
+    assert(rollup == baseRollup, "rollup through compacted != base")
+  }
+
   private def walkFiles(d: java.io.File): Seq[java.io.File] =
     if (d.isFile) Seq(d)
     else Option(d.listFiles()).map(_.toSeq.flatMap(walkFiles)).getOrElse(Nil)

@@ -924,7 +924,14 @@ object SparkEntry {
     // published by the atomic pointer flip; fold + audit counters
     // oracle-re-derived from raw orders
     "q239_matview_compaction" -> ((s: SparkSession, d: String) =>
-      graft.sources.Sources.matViewCompaction(s, d))
+      graft.sources.Sources.matViewCompaction(s, d)),
+    // the consumer that REMOVES an operator: PK uniqueness (from the
+    // persisted ANALYZE store) + FK integrity (the maintained orphan
+    // counter) prove the unused orders join multiplicity-neutral, so
+    // the engine answers from lineitem alone — both plans' scan counts
+    // and answers emitted, the eliminated flag derived, never hard-coded
+    "q240_fk_join_elimination" -> ((s: SparkSession, d: String) =>
+      Relational.fkJoinEliminationAudit(s, d))
   )
 
   /** The session-shared `ensure*` leaves at the registry consumers'
@@ -2392,6 +2399,32 @@ object SparkEntry {
     // flipped for inverted) -> the joined aggregate once per join — a
     // hash match proves the engine EXECUTED the shape its stats chose
     // and that both shapes return identical answers
+    // decision inputs (PK counts, orphan count), the derived flag, both
+    // answers (equal under FK), and the plan-fact scan counts (1 vs 2 —
+    // the q217/q218 planner-fact discipline) all re-derived
+    "q240_fk_join_elimination" ->
+      """WITH pk AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS pk_rows,
+        |    CAST(count(DISTINCT o_orderkey) AS BIGINT) AS pk_ndv
+        |  FROM orders),
+        |orph AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS orphans FROM lineitem
+        |  WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)),
+        |a AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |  FROM lineitem),
+        |d AS (SELECT pk_rows, pk_ndv, orphans,
+        |    (pk_ndv = pk_rows AND orphans = 0) AS eliminated
+        |  FROM pk, orph)
+        |SELECT d.pk_rows, d.pk_ndv, d.orphans, d.eliminated,
+        |  a.n_rows, a.sum_qty,
+        |  CASE WHEN d.eliminated THEN CAST(1 AS BIGINT)
+        |    ELSE CAST(2 AS BIGINT) END AS n_scans,
+        |  a.n_rows AS n_rows_joined, a.sum_qty AS sum_qty_joined,
+        |  CAST(2 AS BIGINT) AS n_scans_joined,
+        |  TRUE AS answers_match
+        |FROM d, a""".stripMargin,
     // every stored partial re-derived in one GROUP BY over raw events
     // (tick = event_id % 4, buckets under the full-table ANALYZE
     // bounds) — the store is hash-checked at the (tick, cell) grain

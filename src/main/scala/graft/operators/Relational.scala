@@ -2939,4 +2939,80 @@ object Relational {
       (batch: DataFrame, batchId: Long) =>
         cgrpCommit(batch, batchId, root, bounds)
     }
+  /** J25 [EXT] — FK JOIN ELIMINATION (q240): the first consumer that
+    * REMOVES an operator instead of re-shaping one. A query that inner-
+    * joins lineitem to orders but aggregates ONLY lineitem columns pays
+    * the join for nothing — IF two conditions hold, both readable from
+    * statistics a warehouse already keeps: (1) the join key is UNIQUE
+    * on the orders side (PK: ndv == row count, read from the persisted
+    * ANALYZE store — no scan), and (2) every l_orderkey has a match
+    * (FK integrity: orphan count == 0 — the one integrity scan, the
+    * stat a constraint-checking warehouse maintains at ingest). Under
+    * PK ∧ FK the join is row-multiplicity-neutral, so the engine
+    * answers from lineitem ALONE; the audit also runs the joined form
+    * and emits both answers, the match flag, each plan's parquet-scan
+    * count read from its executed plan (1 vs 2 — the eliminated plan
+    * provably never touched orders), and the decision inputs. The
+    * `eliminated` flag is DERIVED from the two conditions, never
+    * hard-coded, and the spec plants a violated FK (orders filtered to
+    * half) to pin the refusal path: conditions read false, the engine
+    * keeps the join, and the joined answer (which now differs from the
+    * lineitem-only one) is the one returned.
+    *
+    * Scale: the decision reads two numbers from a metadata-sized store
+    * plus a maintained integrity counter; the payoff is an entire
+    * shuffle join REMOVED from a 100 TB plan — the cheapest operator
+    * is the one that never runs. */
+  def fkJoinEliminationAudit(spark: SparkSession, dir: String,
+                             fkViolation: Boolean = false): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val ord0 = Tables.orders(spark, dir)
+    // the planted-violation arm drops half the PK side (spec only)
+    val ord = if (fkViolation)
+      ord0.filter(pmod(col("o_orderkey"), lit(2L)) === 0L) else ord0
+    // condition 1: PK uniqueness from the persisted ANALYZE store
+    // (exact ndv; the planted arm recounts — its store has no spec)
+    val (ordRows, ordNdv) =
+      if (fkViolation) {
+        val r = ord.agg(count(lit(1)),
+          countDistinct(col("o_orderkey"))).head()
+        (r.getLong(0), r.getLong(1))
+      } else {
+        val s = ensureTableStats(spark, dir)
+          .filter(col("table_name") === "orders" &&
+            col("column_name") === "o_orderkey")
+          .select(col("n_rows"), col("ndv")).head()
+        (s.getLong(0), s.getLong(1))
+      }
+    // condition 2: FK integrity — the maintained orphan counter
+    val orphans = li.join(ord, col("l_orderkey") === col("o_orderkey"),
+      "left_anti").count()
+    val eliminated = ordNdv == ordRows && orphans == 0L
+    def agg(df: DataFrame): (Long, Long, Int) = {
+      val a = df.groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("long")).as("s"))
+      val rows = a.collect()
+      // relation count from the optimized plan (the AQE executed-plan
+      // STRING prints Final + Initial sections and double-counts)
+      val scans = a.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources
+          .LogicalRelation => r
+      }.length
+      (rows.map(_.getLong(1)).sum, rows.map(_.getLong(2)).sum, scans)
+    }
+    val joined = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+    val (chosenN, chosenS, chosenScans) =
+      if (eliminated) agg(li) else agg(joined)
+    val (joinN, joinS, joinScans) = agg(joined)
+    import spark.implicits._
+    Seq((ordRows, ordNdv, orphans, eliminated,
+      chosenN, chosenS, chosenScans.toLong,
+      joinN, joinS, joinScans.toLong,
+      chosenN == joinN && chosenS == joinS))
+      .toDF("pk_rows", "pk_ndv", "orphans", "eliminated",
+        "n_rows", "sum_qty", "n_scans",
+        "n_rows_joined", "sum_qty_joined", "n_scans_joined",
+        "answers_match")
+  }
 }

@@ -1248,4 +1248,34 @@ class RelationalSpec extends AnyFunSuite {
       .as[(Long, Long, Long, Long)].collect().toSet
     assert(streamed == store, "stream != tick loop")
   }
+  test("q240 FK join elimination: clean FK eliminates (1 scan, answers identical), planted violation refuses and keeps the join") {
+    val clean = Relational.fkJoinEliminationAudit(spark, TestSpark.Sf0001)
+      .as[(Long, Long, Long, Boolean, Long, Long, Long, Long, Long, Long,
+        Boolean)].collect().head
+    assert(clean._2 == clean._1 && clean._3 == 0L,
+      s"fixture FK should be clean: ${(clean._1, clean._2, clean._3)}")
+    assert(clean._4, "clean FK must eliminate")
+    assert(clean._7 == 1L && clean._10 == 2L,
+      s"scan counts ${(clean._7, clean._10)} — the eliminated plan " +
+        "must never touch orders")
+    assert(clean._11 && clean._5 == clean._8 && clean._6 == clean._9,
+      "eliminated answer must equal the joined answer under FK")
+    // the refusal path: half the PK side removed — conditions read
+    // false, the join is KEPT, and the (now different) joined answer
+    // is the one returned
+    val bad = Relational.fkJoinEliminationAudit(spark, TestSpark.Sf0001,
+        fkViolation = true)
+      .as[(Long, Long, Long, Boolean, Long, Long, Long, Long, Long, Long,
+        Boolean)].collect().head
+    assert(bad._3 > 0L, "planted violation must orphan rows")
+    assert(!bad._4, "violated FK must refuse elimination")
+    assert(bad._7 == 2L, "refused plan must keep both scans")
+    assert(bad._5 == bad._8 && bad._6 == bad._9,
+      "refusal must return the joined answer")
+    // the joined answer under the violation differs from the
+    // lineitem-only aggregate — the wrong elimination this row prevents
+    val liOnly = graft.Tables.lineitem(spark, TestSpark.Sf0001).count()
+    assert(bad._5 < liOnly,
+      s"violated join ${bad._5} must drop rows vs lineitem $liOnly")
+  }
 }

@@ -952,7 +952,13 @@ object SparkEntry {
     "knnedges" -> ((s: SparkSession, d: String) =>
       { Similarity.ensureKnnEdges(s, d, 5, 10000L); () }),
     "anlz" -> ((s: SparkSession, d: String) =>
-      { Relational.ensureTableStats(s, d); () }))
+      { Relational.ensureTableStats(s, d); () }),
+    "mv" -> ((s: SparkSession, d: String) =>
+      { graft.sources.Sources.ensureMatViewStore(s, d, 4); () }),
+    "cgrp" -> ((s: SparkSession, d: String) =>
+      { Relational.ensureColumnGroupStats(s, d); () }),
+    "cgrpinc" -> ((s: SparkSession, d: String) =>
+      { Relational.ensureIncrementalGroupStats(s, d, 4); () }))
 
   /** Shared CTE chain ending in `pairs` = the exact-Jaccard near-dup pairs
     * at threshold 0.5 over relation `src` (q17 + q18 + the q52/q55 edge

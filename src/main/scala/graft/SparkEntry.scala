@@ -931,7 +931,14 @@ object SparkEntry {
     // the engine answers from lineitem alone — both plans' scan counts
     // and answers emitted, the eliminated flag derived, never hard-coded
     "q240_fk_join_elimination" -> ((s: SparkSession, d: String) =>
-      Relational.fkJoinEliminationAudit(s, d))
+      Relational.fkJoinEliminationAudit(s, d)),
+    // the counter q240 reads, given the family lifecycle: each fact
+    // tick checks ITS OWN rows against the PK snapshot at ingest
+    // (O(tick) left-join fold) and appends one partition row; table
+    // integrity = a 4-row fold, never a full-table anti-join; the
+    // clean zero is DERIVED by the oracle per tick, not assumed
+    "q241_fk_integrity_stats" -> ((s: SparkSession, d: String) =>
+      Relational.incrementalFkIntegrityMaintenance(s, d))
   )
 
   /** The session-shared `ensure*` leaves at the registry consumers'
@@ -958,7 +965,9 @@ object SparkEntry {
     "cgrp" -> ((s: SparkSession, d: String) =>
       { Relational.ensureColumnGroupStats(s, d); () }),
     "cgrpinc" -> ((s: SparkSession, d: String) =>
-      { Relational.ensureIncrementalGroupStats(s, d, 4); () }))
+      { Relational.ensureIncrementalGroupStats(s, d, 4); () }),
+    "fkint" -> ((s: SparkSession, d: String) =>
+      { Relational.ensureFkIntegrityStats(s, d, 4); () }))
 
   /** Shared CTE chain ending in `pairs` = the exact-Jaccard near-dup pairs
     * at threshold 0.5 over relation `src` (q17 + q18 + the q52/q55 edge
@@ -2405,6 +2414,14 @@ object SparkEntry {
     // flipped for inverted) -> the joined aggregate once per join — a
     // hash match proves the engine EXECUTED the shape its stats chose
     // and that both shapes return identical answers
+    // per tick: the tick's row count and its orphan count against the
+    // PK snapshot — the clean fixture's zeros DERIVED, never assumed
+    "q241_fk_integrity_stats" ->
+      """SELECT CAST(l_orderkey % 4 AS BIGINT) AS ingest_batch,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(*) FILTER (WHERE l_orderkey NOT IN
+        |    (SELECT o_orderkey FROM orders)) AS BIGINT) AS n_orphans
+        |FROM lineitem GROUP BY 1""".stripMargin,
     // decision inputs (PK counts, orphan count), the derived flag, both
     // answers (equal under FK), and the plan-fact scan counts (1 vs 2 —
     // the q217/q218 planner-fact discipline) all re-derived

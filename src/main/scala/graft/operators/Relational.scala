@@ -2984,9 +2984,20 @@ object Relational {
           .select(col("n_rows"), col("ndv")).head()
         (s.getLong(0), s.getLong(1))
       }
-    // condition 2: FK integrity — the maintained orphan counter
-    val orphans = li.join(ord, col("l_orderkey") === col("o_orderkey"),
-      "left_anti").count()
+    // condition 2: FK integrity — read from the MAINTAINED counter
+    // (q241's per-tick store; fold = Σ n_orphans, metadata-sized): the
+    // clean decision never anti-joins the fact table. The planted
+    // violation mutates the PK side, which the store's validity
+    // contract excludes, so that arm pays the live check.
+    val orphans =
+      if (fkViolation)
+        li.join(ord, col("l_orderkey") === col("o_orderkey"),
+          "left_anti").count()
+      else {
+        val root = ensureFkIntegrityStats(spark, dir, 4)
+        spark.read.parquet(s"$root/fkint")
+          .agg(coalesce(sum(col("n_orphans")), lit(0L))).head().getLong(0)
+      }
     val eliminated = ordNdv == ordRows && orphans == 0L
     def agg(df: DataFrame): (Long, Long, Int) = {
       val a = df.groupBy(col("l_returnflag"))
@@ -3015,4 +3026,80 @@ object Relational {
         "n_rows_joined", "sum_qty_joined", "n_scans_joined",
         "answers_match")
   }
+  /** One FK-integrity commit: THIS tick's fact rows left-joined to the
+    * PK snapshot, folded to one (n_rows, n_orphans) row under the
+    * tick's ingest_batch partition — O(tick) cost, deterministic in
+    * (batch, pk, batchId), replay-idempotent (the zoneMapCommit XO
+    * contract applied to a constraint). */
+  private[graft] def fkCommit(batchRows: DataFrame, pk: DataFrame,
+                              batchId: Long, root: String): Unit =
+    batchRows.select(col("l_orderkey"))
+      .join(pk.select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"), "left_outer")
+      .agg(count(lit(1)).as("n_rows"),
+        coalesce(sum(when(col("o_orderkey").isNull, 1L).otherwise(0L)),
+          lit(0L)).as("n_orphans"))
+      .withColumn("ingest_batch", lit(batchId))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("ingest_batch").parquet(s"$root/fkint")
+
+  private[graft] def fkTickAt(spark: SparkSession, dir: String,
+                              root: String, tick: Int, nTicks: Int,
+                              pk: DataFrame): Unit =
+    fkCommit(Tables.lineitem(spark, dir)
+        .filter(pmod(col("l_orderkey"), lit(nTicks.toLong)) === tick.toLong),
+      pk, tick.toLong, root)
+
+  private[graft] def ensureFkIntegrityStats(spark: SparkSession,
+                                            dir: String,
+                                            nTicks: Int): String =
+    graft.sources.Sources.ensureStore(spark, "fkint",
+        s"$dir|$nTicks") { root =>
+      val pk = Tables.orders(spark, dir)
+      (0 until nTicks).foreach(t => fkTickAt(spark, dir, root, t, nTicks,
+        pk))
+    }
+
+  /** A60 [EXT] — MAINTAINED FK-INTEGRITY STATISTIC (q241): the counter
+    * q240's elimination decision reads, given the same lifecycle as
+    * every other persisted stat (W16/W19/A57/W22/A59). Each fact-side
+    * ingest tick checks ITS OWN rows against the PK snapshot — one
+    * left-join + fold, O(tick), the constraint check a warehouse runs
+    * AT INGEST, when the rows are already in hand — and appends one
+    * (n_rows, n_orphans) row under its ingest_batch partition; table
+    * integrity at any moment is the metadata-sized fold Σ n_orphans,
+    * never a full-table anti-join. VALIDITY CONTRACT: the fold equals
+    * the live anti-join while the PK side is append-frozen between
+    * ANALYZE points — a PK-side delete invalidates (orphans can only
+    * APPEAR); that staleness is q212's story, answered by re-ANALYZE,
+    * and the spec's planted-violation leg measures exactly the
+    * deleted-PK shape on a private root. Registered relation = the
+    * store read back, hash-checked per tick by the oracle (tick =
+    * l_orderkey % 4; orphans 0 on the clean fixture — a zero the
+    * oracle DERIVES, not assumes). Streaming twin
+    * ([[streamingFkIntegrityMaintenance]]) commits per micro-batch
+    * keyed by Spark's own batchId.
+    *
+    * Scale: the q240 decision that removes a 100 TB shuffle join reads
+    * Σ of a 4-row store instead of anti-joining 100 TB of fact rows —
+    * the constraint costs one fold per tick, paid when the tick lands. */
+  def incrementalFkIntegrityMaintenance(spark: SparkSession, dir: String,
+                                        nTicks: Int = 4): DataFrame = {
+    val root = ensureFkIntegrityStats(spark, dir, nTicks)
+    spark.read.parquet(s"$root/fkint")
+      .select(col("ingest_batch").cast("long").as("ingest_batch"),
+        col("n_rows"), col("n_orphans"))
+  }
+
+  /** The streaming twin: each micro-batch of fact rows is ONE integrity
+    * commit against the frozen PK snapshot, keyed by Spark's batchId —
+    * replay-idempotent per the family discipline. */
+  def streamingFkIntegrityMaintenance(rows: DataFrame, pk: DataFrame,
+                                      root: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+          org.apache.spark.sql.Row] =
+    rows.writeStream.foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        fkCommit(batch, pk, batchId, root)
+    }
 }

@@ -1278,4 +1278,66 @@ class RelationalSpec extends AnyFunSuite {
     assert(bad._5 < liOnly,
       s"violated join ${bad._5} must drop rows vs lineitem $liOnly")
   }
+  test("q241 FK integrity stats: per-tick counts exact, clean fold zero, planted PK deletion detected per tick, replay no-op, stream equals ticks") {
+    val dir = TestSpark.Sf0001
+    val store = Relational.incrementalFkIntegrityMaintenance(spark, dir)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(store.size == 4, s"want 4 tick rows, got ${store.size}")
+    val li = graft.Tables.lineitem(spark, dir)
+    val direct = li
+      .groupBy(pmod(col("l_orderkey"), lit(4L)).as("t"))
+      .agg(count(lit(1))).as[(Long, Long)].collect().toMap
+    store.foreach { case (t, n, orph) =>
+      assert(n == direct(t), s"tick $t rows $n != ${direct(t)}")
+      assert(orph == 0L, s"clean fixture tick $t orphans $orph")
+    }
+    // replay of a middle commit converges
+    val root = Relational.ensureFkIntegrityStats(spark, dir, 4)
+    Relational.fkTickAt(spark, dir, root, 1, 4,
+      graft.Tables.orders(spark, dir))
+    val replayed = Relational.incrementalFkIntegrityMaintenance(spark, dir)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(replayed == store, "replaying commit 1 changed the store")
+    // planted PK deletion on a PRIVATE root: orders halved — every odd
+    // l_orderkey orphans, counted exactly per tick (odd ticks 1,3 are
+    // all-orphan; even ticks 0,2 clean — tick = l_orderkey % 4)
+    val badRoot = java.nio.file.Files
+      .createTempDirectory("graft_fkint_bad").toString
+    val halfPk = graft.Tables.orders(spark, dir)
+      .filter(pmod(col("o_orderkey"), lit(2L)) === 0L)
+    (0 until 4).foreach(t =>
+      Relational.fkTickAt(spark, dir, badRoot, t, 4, halfPk))
+    val bad = spark.read.parquet(s"$badRoot/fkint")
+      .select(col("ingest_batch").cast("long"), col("n_rows"),
+        col("n_orphans"))
+      .as[(Long, Long, Long)].collect()
+      .map { case (t, n, o) => t -> (n, o) }.toMap
+    (0 until 4).foreach { t =>
+      val (n, o) = bad(t.toLong)
+      if (t % 2 == 0) assert(o == 0L, s"even tick $t should be clean: $o")
+      else assert(o == n && n > 0L,
+        s"odd tick $t should be all-orphan: $o of $n")
+    }
+    // streaming twin reproduces the tick loop
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val streamRoot = java.nio.file.Files
+      .createTempDirectory("graft_fkint_stream").toString
+    val rows = li.select(col("l_orderkey")).as[Long].collect()
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[Long]
+    val q = Relational.streamingFkIntegrityMaintenance(
+      input.toDF().toDF("l_orderkey"),
+      graft.Tables.orders(spark, dir), streamRoot).start()
+    try {
+      (0 until 4).foreach { t =>
+        input.addData(rows.filter(_ % 4 == t).toIndexedSeq)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val streamed = spark.read.parquet(s"$streamRoot/fkint")
+      .select(col("ingest_batch").cast("long"), col("n_rows"),
+        col("n_orphans"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(streamed == store, "stream != tick loop")
+  }
 }

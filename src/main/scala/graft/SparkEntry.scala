@@ -938,7 +938,14 @@ object SparkEntry {
     // integrity = a 4-row fold, never a full-table anti-join; the
     // clean zero is DERIVED by the oracle per tick, not assumed
     "q241_fk_integrity_stats" -> ((s: SparkSession, d: String) =>
-      Relational.incrementalFkIntegrityMaintenance(s, d))
+      Relational.incrementalFkIntegrityMaintenance(s, d)),
+    // the third ANALYZE route (exact / sketch / SAMPLED): ndv from the
+    // deterministic 1/8 key partition — naive scale-up overestimates
+    // the dense FK columns ~7×, the Chao estimator d + f1²/(2·f2)
+    // lands within a few percent; sufficient stats, both estimates,
+    // and both errors all integer math, exact leg from the ANALYZE store
+    "q242_sampled_analyze" -> ((s: SparkSession, d: String) =>
+      Relational.sampledAnalyzeAudit(s, d))
   )
 
   /** The session-shared `ensure*` leaves at the registry consumers'
@@ -2414,6 +2421,49 @@ object SparkEntry {
     // flipped for inverted) -> the joined aggregate once per join — a
     // hash match proves the engine EXECUTED the shape its stats chose
     // and that both shapes return identical answers
+    // sufficient statistics, both estimators, and both errors re-derived
+    // in integer SQL from the same deterministic key-partition sample
+    "q242_sampled_analyze" ->
+      """WITH cols(column_name) AS (VALUES ('l_partkey'), ('l_suppkey')),
+        |s AS (
+        |  SELECT 'l_partkey' AS column_name, l_partkey AS v
+        |  FROM lineitem WHERE l_orderkey % 8 = 0
+        |  UNION ALL
+        |  SELECT 'l_suppkey', l_suppkey
+        |  FROM lineitem WHERE l_orderkey % 8 = 0),
+        |g AS (SELECT column_name, v, count(*) AS c FROM s GROUP BY 1, 2),
+        |m AS (
+        |  SELECT column_name,
+        |    CAST(count(*) AS BIGINT) AS d_sample,
+        |    CAST(count(*) FILTER (WHERE c = 1) AS BIGINT) AS f1,
+        |    CAST(count(*) FILTER (WHERE c = 2) AS BIGINT) AS f2,
+        |    CAST(sum(c) AS BIGINT) AS n_sample
+        |  FROM g GROUP BY 1),
+        |ex AS (
+        |  SELECT 'l_partkey' AS column_name,
+        |    CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(count(DISTINCT l_partkey) AS BIGINT) AS ndv_exact
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_suppkey', CAST(count(*) AS BIGINT),
+        |    CAST(count(DISTINCT l_suppkey) AS BIGINT) FROM lineitem),
+        |est AS (
+        |  SELECT m.column_name, ex.n_rows, m.n_sample, m.d_sample,
+        |    m.f1, m.f2, m.d_sample * 8 AS est_naive,
+        |    CASE WHEN m.f2 > 0 THEN m.d_sample + (m.f1 * m.f1)
+        |      // (2 * m.f2)
+        |      ELSE m.d_sample + (m.f1 * (m.f1 - 1)) // 2 END AS est_chao,
+        |    ex.ndv_exact
+        |  FROM m JOIN ex USING (column_name))
+        |SELECT column_name, n_rows, n_sample, d_sample, f1, f2,
+        |  est_naive, est_chao, ndv_exact,
+        |  CASE WHEN ndv_exact > 0 THEN abs(est_naive - ndv_exact)
+        |    * 1000000 // ndv_exact ELSE est_naive * 1000000 END
+        |    AS naive_err_ppm,
+        |  CASE WHEN ndv_exact > 0 THEN abs(est_chao - ndv_exact)
+        |    * 1000000 // ndv_exact ELSE est_chao * 1000000 END
+        |    AS chao_err_ppm
+        |FROM est""".stripMargin,
     // per tick: the tick's row count and its orphan count against the
     // PK snapshot — the clean fixture's zeros DERIVED, never assumed
     "q241_fk_integrity_stats" ->
@@ -4427,6 +4477,7 @@ object SparkEntry {
       ("orders", "o_custkey"), ("orders", "o_orderstatus"),
       ("orders", "o_orderkey"),
       ("lineitem", "l_orderkey"), ("lineitem", "l_partkey"),
+      ("lineitem", "l_suppkey"),
       ("documents", "lang"), ("documents", "source"),
       ("customer", "c_mktsegment"), ("customer", "c_custkey"),
       ("customer", "c_nationkey"), ("nation", "n_nationkey"),

@@ -522,7 +522,7 @@ object Relational {
     // prices intermediate cardinalities from PK-side ndv too;
     // c_nationkey / n_nationkey feed the q230 chain enumerator's last edge
     "orders" -> Seq("o_custkey", "o_orderstatus", "o_orderkey"),
-    "lineitem" -> Seq("l_orderkey", "l_partkey"),
+    "lineitem" -> Seq("l_orderkey", "l_partkey", "l_suppkey"),
     "documents" -> Seq("lang", "source"),
     "customer" -> Seq("c_mktsegment", "c_custkey", "c_nationkey"),
     "nation" -> Seq("n_nationkey"),
@@ -3122,4 +3122,66 @@ object Relational {
       (batch: DataFrame, batchId: Long) =>
         fkCommit(batch, pk, batchId, root)
     }
+  /** A61 [EXT] — SAMPLED ANALYZE: NDV FROM A SAMPLE, DONE RIGHT (q242).
+    * The statistics layer now has all three production ANALYZE routes:
+    * exact (A45 — one full scan), sketch (A56/A57 — one scan, mergeable,
+    * bounded error), and THIS — the route a 100 TB warehouse takes when
+    * even one full scan is too dear: scan a block sample and estimate.
+    * Row counts scale trivially; NDV does NOT — the naive scale-up
+    * d_sample/q is the textbook mistake (a dense column whose every
+    * value recurs in the sample still gets multiplied by 1/q), and the
+    * estimator literature (Chao 1984; Haas et al. 1995's GEE) exists
+    * precisely because of it. Per audited column this row emits the
+    * sample's sufficient statistics (n_sample, d_sample, f1 singletons,
+    * f2 doubletons), the naive scale-up estimate, the Chao lower-bound
+    * estimate d_sample + f1²/(2·f2) — integer division, oracle-exact —
+    * the exact NDV read from the PERSISTED ANALYZE store (the audit's
+    * truth leg costs a store read, not a scan), and both errors in ppm.
+    * The sample is the deterministic 1/8 l_orderkey partition (the q235
+    * discipline: arithmetic, not engine RNG — a seeded `.sample` could
+    * never be hash-checked), uniform w.r.t. the audited columns because
+    * the sampling key is independent of them (declared). On this
+    * fixture the dense FK columns make the lesson concrete: naive
+    * overestimates ~7×, Chao lands within a few percent (spec pins
+    * chao_err < naive_err per column and the exact legs).
+    *
+    * Scale: the sample scan is 1/mod of the table; everything after is
+    * a |sample-distinct|-sized groupBy; the exact leg is metadata. The
+    * deliverable is the estimator choice itself — the number that
+    * decides whether a 100 TB ANALYZE can afford to sample. */
+  def sampledAnalyzeAudit(spark: SparkSession, dir: String,
+                          sampleMod: Long = 8L): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val sample = li.filter(pmod(col("l_orderkey"), lit(sampleMod)) === 0L)
+    val stats = ensureTableStats(spark, dir)
+    val out = Seq("l_partkey", "l_suppkey").map { c =>
+      val g = sample.groupBy(col(c)).agg(count(lit(1)).as("cnt"))
+      val m = g.agg(count(lit(1)).as("d_sample"),
+        coalesce(sum(when(col("cnt") === 1L, 1L).otherwise(0L)), lit(0L))
+          .as("f1"),
+        coalesce(sum(when(col("cnt") === 2L, 1L).otherwise(0L)), lit(0L))
+          .as("f2"),
+        coalesce(sum(col("cnt")), lit(0L)).as("n_sample")).head()
+      val (dS, f1, f2, nS) =
+        (m.getLong(0), m.getLong(1), m.getLong(2), m.getLong(3))
+      val ex = stats.filter(col("table_name") === "lineitem" &&
+          col("column_name") === c)
+        .select(col("n_rows"), col("ndv")).head()
+      val (nRows, dExact) = (ex.getLong(0), ex.getLong(1))
+      val estNaive = dS * sampleMod
+      // bias-corrected Chao1: the f2 = 0 branch is the standard
+      // d + f1(f1-1)/2 fallback (a saturated sample estimates itself)
+      val estChao = if (f2 > 0L) dS + (f1 * f1) / (2L * f2)
+        else dS + (f1 * (f1 - 1L)) / 2L
+      def errPpm(est: Long): Long =
+        if (dExact > 0L) math.abs(est - dExact) * 1000000L / dExact
+        else est * 1000000L
+      (c, nRows, nS, dS, f1, f2, estNaive, estChao, dExact,
+        errPpm(estNaive), errPpm(estChao))
+    }
+    import spark.implicits._
+    out.toDF("column_name", "n_rows", "n_sample", "d_sample", "f1", "f2",
+      "est_naive", "est_chao", "ndv_exact", "naive_err_ppm",
+      "chao_err_ppm")
+  }
 }

@@ -1340,4 +1340,32 @@ class RelationalSpec extends AnyFunSuite {
       .as[(Long, Long, Long)].collect().toSet
     assert(streamed == store, "stream != tick loop")
   }
+  test("q242 sampled ANALYZE: sufficient stats exact, Chao beats naive scale-up on the dense FK columns, exact leg from the store") {
+    val rows = Relational.sampledAnalyzeAudit(spark, TestSpark.Sf0001)
+      .as[(String, Long, Long, Long, Long, Long, Long, Long, Long, Long,
+        Long)].collect()
+    assert(rows.map(_._1).sorted.toSeq == Seq("l_partkey", "l_suppkey"))
+    val li = graft.Tables.lineitem(spark, TestSpark.Sf0001)
+    val samp = li.filter(pmod(col("l_orderkey"), lit(8L)) === 0L)
+    rows.foreach { r =>
+      val (c, nRows, nS, dS, f1, f2, naive, chao, dEx, errN, errC) = r
+      // sufficient statistics replayed directly
+      assert(nS == samp.count(), s"$c n_sample")
+      assert(dS == samp.select(col(c)).distinct().count(), s"$c d_sample")
+      assert(dEx == li.select(col(c)).distinct().count(), s"$c exact ndv")
+      assert(nRows == li.count())
+      // the lesson: naive scale-up misses badly on dense columns, the
+      // Chao lower bound lands close
+      assert(errC < errN,
+        s"$c: chao err $errC must beat naive err $errN")
+      assert(errN > 1000000L,
+        s"$c: naive should be >2x off on a dense column ($errN ppm)")
+      assert(errC < 200000L,
+        s"$c: chao should land within 20% ($errC ppm)")
+      // estimator formulas replayed
+      assert(naive == dS * 8L)
+      if (f2 > 0L) assert(chao == dS + (f1 * f1) / (2L * f2))
+      else assert(chao == dS + (f1 * (f1 - 1L)) / 2L)
+    }
+  }
 }

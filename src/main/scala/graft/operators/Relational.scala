@@ -2784,9 +2784,16 @@ object Relational {
     * predicate's cardinality is estimated BOTH ways from the persisted
     * group-stat store — independence (marginal folds, n_a·n_b div N)
     * and the group fold — against a broadcast threshold of N div 8
-    * rows, which the two estimates straddle at every fixture scale
-    * (independence says "broadcast the filtered side", the group stat
-    * says "too big, shuffle"). The engine executes the GROUP-advised
+    * rows, which the two estimates straddle at every driver testdata
+    * scale (sf0.001–0.1: independence says "broadcast the filtered
+    * side", the group stat says "too big, shuffle"). MEASURED honest
+    * bound: on the ScaleUp-REPLICATED sf1 fixture the straddle
+    * disappears — replication reuses each row's ts under offset ids,
+    * so within any id range the pair is independent BY CONSTRUCTION
+    * and the two estimators correctly CONVERGE (est_indep = actual =
+    * 74 697 at the corner) — the group stat's advantage vanishes
+    * exactly when the correlation does, which is the estimator working,
+    * not failing; both derived flags then read true. The engine executes the GROUP-advised
     * plan at full size (the production arm: filtered events ⋈ customer
     * on user_id, shape read from the final adaptive plan) and the
     * independence-advised plan in q235's sampled form (a 1/8 user_id

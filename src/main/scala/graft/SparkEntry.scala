@@ -945,7 +945,15 @@ object SparkEntry {
     // lands within a few percent; sufficient stats, both estimates,
     // and both errors all integer math, exact leg from the ANALYZE store
     "q242_sampled_analyze" -> ((s: SparkSession, d: String) =>
-      Relational.sampledAnalyzeAudit(s, d))
+      Relational.sampledAnalyzeAudit(s, d)),
+    // the learning-optimizer loop (LEO): the observed cardinality of
+    // rectangle A becomes a persisted correction for its predicate
+    // class, and a DIFFERENT query (rectangle B, same diagonal class)
+    // re-prices through the store — raw independence ~75% off, the
+    // transferred correction within ~0.2%; nothing circular (learned on
+    // A, scored on B), `improved` derived from the two errors
+    "q243_cbo_feedback_loop" -> ((s: SparkSession, d: String) =>
+      Relational.cboFeedbackLoopAudit(s, d))
   )
 
   /** The session-shared `ensure*` leaves at the registry consumers'
@@ -2421,6 +2429,52 @@ object SparkEntry {
     // flipped for inverted) -> the joined aggregate once per join — a
     // hash match proves the engine EXECUTED the shape its stats chose
     // and that both shapes return identical answers
+    // estimates, correction, both errors, and the derived flag — all
+    // integer SQL over the same grid arithmetic
+    "q243_cbo_feedback_loop" ->
+      """WITH bnd AS (
+        |  SELECT min(event_id) AS id_min, max(event_id) AS id_max,
+        |    min(epoch_us(CAST(ts AS TIMESTAMP))) AS ts_min,
+        |    max(epoch_us(CAST(ts AS TIMESTAMP))) AS ts_max,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events),
+        |e AS (
+        |  SELECT (event_id - id_min) * 8 // (id_max - id_min + 1) AS b_id,
+        |    (epoch_us(CAST(ts AS TIMESTAMP)) - ts_min) * 8
+        |      // (ts_max - ts_min + 1) AS b_ts
+        |  FROM events, bnd),
+        |m AS (
+        |  SELECT (SELECT n FROM bnd) AS n_rows,
+        |    (SELECT count(*) FROM e WHERE b_id BETWEEN 0 AND 1) AS na_a,
+        |    (SELECT count(*) FROM e WHERE b_ts BETWEEN 0 AND 1) AS nb_a,
+        |    (SELECT count(*) FROM e WHERE b_id BETWEEN 0 AND 1
+        |       AND b_ts BETWEEN 0 AND 1) AS actual_a,
+        |    (SELECT count(*) FROM e WHERE b_id BETWEEN 2 AND 3) AS na_b,
+        |    (SELECT count(*) FROM e WHERE b_ts BETWEEN 2 AND 3) AS nb_b,
+        |    (SELECT count(*) FROM e WHERE b_id BETWEEN 2 AND 3
+        |       AND b_ts BETWEEN 2 AND 3) AS actual_b),
+        |est AS (
+        |  SELECT n_rows, na_a * nb_a // n_rows AS est_a, actual_a,
+        |    na_b * nb_b // n_rows AS est_b, actual_b FROM m),
+        |fb AS (
+        |  SELECT *, actual_a * 1000000 // est_a AS correction_e6
+        |  FROM est),
+        |ap AS (
+        |  SELECT *, est_b * correction_e6 // 1000000 AS est_b_corrected
+        |  FROM fb),
+        |err AS (
+        |  SELECT *,
+        |    CASE WHEN actual_b > 0 THEN abs(est_b - actual_b) * 1000000
+        |      // actual_b ELSE est_b * 1000000 END AS raw_err_ppm,
+        |    CASE WHEN actual_b > 0
+        |      THEN abs(est_b_corrected - actual_b) * 1000000 // actual_b
+        |      ELSE est_b_corrected * 1000000 END AS corrected_err_ppm
+        |  FROM ap)
+        |SELECT 'id_ts_diag' AS pred_class, n_rows, est_a, actual_a,
+        |  correction_e6, est_b AS est_b_raw, est_b_corrected, actual_b,
+        |  raw_err_ppm, corrected_err_ppm,
+        |  corrected_err_ppm < raw_err_ppm AS improved
+        |FROM err""".stripMargin,
     // sufficient statistics, both estimators, and both errors re-derived
     // in integer SQL from the same deterministic key-partition sample
     "q242_sampled_analyze" ->

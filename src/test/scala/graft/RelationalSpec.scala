@@ -1368,4 +1368,22 @@ class RelationalSpec extends AnyFunSuite {
       else assert(chao == dS + (f1 * (f1 - 1L)) / 2L)
     }
   }
+  test("q243 feedback loop: correction learned on A transfers to B, errors derived, store round-trip real") {
+    val r = Relational.cboFeedbackLoopAudit(spark, TestSpark.Sf0001)
+      .as[(String, Long, Long, Long, Long, Long, Long, Long, Long, Long,
+        Boolean)].collect()
+    assert(r.length == 1)
+    val a = r.head
+    // the raw estimate is badly off on the correlated class, the
+    // transferred correction repairs it by an order of magnitude
+    assert(a._9 > 500000L, s"raw err ${a._9} — fixture should mis-price")
+    assert(a._10 < a._9 / 10L,
+      s"corrected err ${a._10} should cut raw ${a._9} by >10x")
+    assert(a._11, "improved flag must derive from the two errors")
+    // formulas replayed: correction and its application are integer ops
+    assert(a._5 == a._4 * 1000000L / a._3, "correction formula")
+    assert(a._7 == a._6 * a._5 / 1000000L, "application formula")
+    // the correction is learned on A, scored on B — different rects
+    assert(a._3 != a._6 || a._4 != a._8, "A and B must differ")
+  }
 }

@@ -3210,7 +3210,12 @@ object Relational {
     * a ~50× error cut from one observed query, with no new ANALYZE.
     * The TRANSFER is the content: the correction is learned on A and
     * scored on B, so nothing is circular, and `improved` is derived
-    * from the two errors, never hard-coded. Private per-run store
+    * from the two errors, never hard-coded. (Same fixture bound as
+    * q237: on the ScaleUp-replicated sf1 the pair is independent by
+    * construction, the learned correction converges to ~10⁶, and
+    * corrected ≈ raw — `improved` may honestly read false when there
+    * is nothing to improve; the claims above are measured at the
+    * driver testdata scales.) Private per-run store
     * (the query writes its own feedback — the crash-replay-spec
     * discipline); everything integer math, fully oracle-re-derived
     * (estimates, correction, both errors, the flag).

@@ -2457,7 +2457,7 @@ object SparkEntry {
         |  SELECT n_rows, na_a * nb_a // n_rows AS est_a, actual_a,
         |    na_b * nb_b // n_rows AS est_b, actual_b FROM m),
         |fb AS (
-        |  SELECT *, actual_a * 1000000 // est_a AS correction_e6
+        |  SELECT *, actual_a * 1000000 // greatest(est_a, 1) AS correction_e6
         |  FROM est),
         |ap AS (
         |  SELECT *, est_b * correction_e6 // 1000000 AS est_b_corrected

@@ -2686,13 +2686,23 @@ object Relational {
     * maintenance must bucket NEW rows against the bounds the grid was
     * built with, never re-derive its own (a drifting domain is q212's
     * staleness story — the answer is re-ANALYZE, not per-tick grids). */
+  private val cgrpBoundsMemo =
+    new java.util.concurrent.ConcurrentHashMap[
+      String, (Long, Long, Long, Long)]()
+
   private[graft] def cgrpBounds(spark: SparkSession,
-                                dir: String): (Long, Long, Long, Long) = {
-    val b = Tables.events(spark, dir)
-      .agg(min(col("event_id")), max(col("event_id")),
-        min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).head()
-    (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
-  }
+                                dir: String): (Long, Long, Long, Long) =
+    // memoized per (session, dir): the freeze is a cached value, not
+    // just a static-table assumption — consumers after the first pay
+    // zero scans (the r17 review finding)
+    cgrpBoundsMemo.computeIfAbsent(
+      s"${graft.sources.Sources.sessionTag(spark)}|$dir", { _ =>
+        val b = Tables.events(spark, dir)
+          .agg(min(col("event_id")), max(col("event_id")),
+            min(unix_micros(col("ts"))), max(unix_micros(col("ts"))))
+          .head()
+        (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
+      })
 
   private def bucketCols(b: (Long, Long, Long, Long)): Seq[Column] = {
     val (idMin, idMax, tsMin, tsMax) = b
@@ -2731,12 +2741,31 @@ object Relational {
     * cadence; estimates fold the store driver-side exactly as a CBO
     * reads its catalog — the one scan here is the audit's exactness
     * proof, never the estimator's cost. */
-  def columnGroupStatsAudit(spark: SparkSession, dir: String): DataFrame = {
-    val root = ensureColumnGroupStats(spark, dir)
-    val cells = spark.read.parquet(root)
+  /** The planner's catalog read, shared by every grid consumer
+    * (q236/q237/q243): the ≤64-row store as a driver-side map. */
+  private def gridCells(spark: SparkSession,
+                        dir: String): Map[(Long, Long), Long] =
+    spark.read.parquet(ensureColumnGroupStats(spark, dir))
       .select(col("b_id"), col("b_ts"), col("n_rows"))
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
-      .toMap // ≤64 rows — the planner's catalog read
+      .toMap
+
+  /** Rectangle folds over the grid — marginals and the group estimate
+    * (one definition; a fix to the fold can never miss a consumer). */
+  private def gridMarginalA(cells: Map[(Long, Long), Long], lo: Long,
+                            hi: Long): Long =
+    cells.collect { case ((bi, _), c) if bi >= lo && bi <= hi => c }.sum
+  private def gridMarginalB(cells: Map[(Long, Long), Long], lo: Long,
+                            hi: Long): Long =
+    cells.collect { case ((_, bt), c) if bt >= lo && bt <= hi => c }.sum
+  private def gridRect(cells: Map[(Long, Long), Long], il: Long, ih: Long,
+                       tl: Long, th: Long): Long =
+    cells.collect {
+      case ((bi, bt), c)
+        if bi >= il && bi <= ih && bt >= tl && bt <= th => c }.sum
+
+  def columnGroupStatsAudit(spark: SparkSession, dir: String): DataFrame = {
+    val cells = gridCells(spark, dir)
     val n = cells.values.sum
     val nPair = cells.size.toLong
     val nIdB = cells.keys.map(_._1).toSet.size.toLong
@@ -2746,25 +2775,18 @@ object Relational {
       ("anti_diag", 0L, 1L, 6L, 7L), ("full", 0L, 7L, 0L, 7L))
     // the exactness leg: ONE scan, all rects as conditional counts
     val be = bucketedEvents(spark, dir)
-    val exactRow = be.agg(
-      rects.map { case (name, il, ih, tl, th) =>
-        sum(when(col("b_id").between(il, ih) &&
-          col("b_ts").between(tl, th), 1L).otherwise(0L)).as(name)
-      }.head, rects.map { case (name, il, ih, tl, th) =>
-        sum(when(col("b_id").between(il, ih) &&
-          col("b_ts").between(tl, th), 1L).otherwise(0L)).as(name)
-      }.tail: _*).head()
+    val rectCols = rects.map { case (name, il, ih, tl, th) =>
+      sum(when(col("b_id").between(il, ih) &&
+        col("b_ts").between(tl, th), 1L).otherwise(0L)).as(name)
+    }
+    val exactRow = be.agg(rectCols.head, rectCols.tail: _*).head()
     val actual = rects.zipWithIndex.map { case ((name, _, _, _, _), i) =>
       name -> exactRow.getLong(i)
     }.toMap
     val out = rects.map { case (name, il, ih, tl, th) =>
-      val nA = cells.collect {
-        case ((bi, _), c) if bi >= il && bi <= ih => c }.sum
-      val nB = cells.collect {
-        case ((_, bt), c) if bt >= tl && bt <= th => c }.sum
-      val estGroup = cells.collect {
-        case ((bi, bt), c)
-          if bi >= il && bi <= ih && bt >= tl && bt <= th => c }.sum
+      val nA = gridMarginalA(cells, il, ih)
+      val nB = gridMarginalB(cells, tl, th)
+      val estGroup = gridRect(cells, il, ih, tl, th)
       val estIndep = nA * nB / n
       val act = actual(name)
       val errIndep =
@@ -2822,20 +2844,12 @@ object Relational {
     val saved = scoped.map { case (k, _) => k -> conf.getOption(k) }
     scoped.foreach { case (k, v) => conf.set(k, v) }
     try {
-      val root = ensureColumnGroupStats(spark, dir)
-      val cells = spark.read.parquet(root)
-        .select(col("b_id"), col("b_ts"), col("n_rows"))
-        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
-        .toMap
+      val cells = gridCells(spark, dir)
       val n = cells.values.sum
       val (il, ih, tl, th) = (0L, 1L, 0L, 1L)
-      val nA = cells.collect {
-        case ((bi, _), c) if bi >= il && bi <= ih => c }.sum
-      val nB = cells.collect {
-        case ((_, bt), c) if bt >= tl && bt <= th => c }.sum
-      val estGroup = cells.collect {
-        case ((bi, bt), c)
-          if bi >= il && bi <= ih && bt >= tl && bt <= th => c }.sum
+      val nA = gridMarginalA(cells, il, ih)
+      val nB = gridMarginalB(cells, tl, th)
+      val estGroup = gridRect(cells, il, ih, tl, th)
       val estIndep = nA * nB / n
       val threshold = n / thresholdDiv
       def advice(est: Long): String =
@@ -3040,9 +3054,10 @@ object Relational {
       (rows.map(_.getLong(1)).sum, rows.map(_.getLong(2)).sum, scans)
     }
     val joined = li.join(ord, col("l_orderkey") === col("o_orderkey"))
-    val (chosenN, chosenS, chosenScans) =
-      if (eliminated) agg(li) else agg(joined)
     val (joinN, joinS, joinScans) = agg(joined)
+    // the refusal arm IS the joined arm — never execute it twice
+    val (chosenN, chosenS, chosenScans) =
+      if (eliminated) agg(li) else (joinN, joinS, joinScans)
     import spark.implicits._
     Seq((ordRows, ordNdv, orphans, eliminated,
       chosenN, chosenS, chosenScans.toLong,
@@ -3226,17 +3241,10 @@ object Relational {
     * optimizer gets correlation fixes for predicates nobody thought to
     * ANALYZE — the observed workload IS the sample. */
   def cboFeedbackLoopAudit(spark: SparkSession, dir: String): DataFrame = {
-    val grid = ensureColumnGroupStats(spark, dir)
-    val cells = spark.read.parquet(grid)
-      .select(col("b_id"), col("b_ts"), col("n_rows"))
-      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
-      .toMap
+    val cells = gridCells(spark, dir)
     val n = cells.values.sum
-    def marg(sel: ((Long, Long)) => Boolean): Long =
-      cells.collect { case (k, c) if sel(k) => c }.sum
     def estIndep(il: Long, ih: Long, tl: Long, th: Long): Long =
-      marg { case (bi, _) => bi >= il && bi <= ih } *
-        marg { case (_, bt) => bt >= tl && bt <= th } / n
+      gridMarginalA(cells, il, ih) * gridMarginalB(cells, tl, th) / n
     val estA = estIndep(0L, 1L, 0L, 1L)
     val estB = estIndep(2L, 3L, 2L, 3L)
     // the observed leg: one pass, both rectangles
@@ -3252,7 +3260,11 @@ object Relational {
     // persistence is part of what a green row proves
     val root = graft.sources.Sources.scratchDirUnique(spark, "leofb")
     import spark.implicits._
-    Seq(("id_ts_diag", estA, actualA, actualA * 1000000L / estA))
+    // divisor guarded: a corner whose marginal product truncates to 0
+    // must yield a (huge) correction, not a crash — oracle guards the
+    // same way (greatest(est_a, 1))
+    Seq(("id_ts_diag", estA, actualA,
+      actualA * 1000000L / math.max(1L, estA)))
       .toDF("pred_class", "est", "actual", "correction_e6")
       .write.mode("overwrite").parquet(s"$root/fb")
     val corrE6 = spark.read.parquet(s"$root/fb")

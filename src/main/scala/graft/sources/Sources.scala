@@ -1897,6 +1897,10 @@ object Sources {
     * ticks' rows) — never a view rebuild. */
   def matViewRewriteAudit(spark: SparkSession, dir: String,
                           nTicks: Int = 4): DataFrame = {
+    // the audit's premise is a crash WINDOW (some ticks landed, the
+    // last didn't): with nTicks < 2 there is no pre-refresh store to
+    // read and the path fails obscurely instead of meaningfully
+    require(nTicks >= 2, s"rewrite audit needs >= 2 ticks, got $nTicks")
     val root = scratchDirUnique(spark, "mvrw")
     (0 until nTicks - 1).foreach(t =>
       matViewTickAt(spark, dir, root, t, nTicks))
@@ -1960,12 +1964,14 @@ object Sources {
     * Scale: the fold is |groups|·|ticks| rows of metadata at any
     * corpus size — W22 keeps commits O(tick), this row keeps READS
     * O(groups), the same split W16/W18 make for zone maps. */
-  def matViewCompaction(spark: SparkSession, dir: String,
-                        nTicks: Int = 4): DataFrame = {
-    val root = scratchDirUnique(spark, "mvcmp")
-    (0 until nTicks).foreach(t => matViewTickAt(spark, dir, root, t, nTicks))
-    val mvPath = s"$root/mv"
-    val nBefore = spark.read.parquet(mvPath).count()
+  /** One MV compaction step on an existing store: fold whatever the
+    * live generation holds into a fresh generation by pure aggregation
+    * and flip the pointer; returns the new generation number. The fold
+    * is idempotent on a folded store (same group keys, re-aggregable
+    * monoids), so re-compaction advances the generation with identical
+    * content — exposed so the spec can pin exactly that. */
+  private[graft] def compactMvAt(spark: SparkSession,
+                                 mvPath: String): Long = {
     versionedSwap(spark, mvPath) { (cur, next) =>
       spark.read.parquet(cur)
         .groupBy(col("o_orderstatus"), col("o_orderpriority"))
@@ -1977,7 +1983,17 @@ object Sources {
         .write.mode("overwrite").parquet(next)
     }
     val live = livePath(spark, mvPath)
-    val gen = live.substring(live.lastIndexOf("__g") + 3).toLong
+    live.substring(live.lastIndexOf("__g") + 3).toLong
+  }
+
+  def matViewCompaction(spark: SparkSession, dir: String,
+                        nTicks: Int = 4): DataFrame = {
+    val root = scratchDirUnique(spark, "mvcmp")
+    (0 until nTicks).foreach(t => matViewTickAt(spark, dir, root, t, nTicks))
+    val mvPath = s"$root/mv"
+    val nBefore = spark.read.parquet(mvPath).count()
+    val gen = compactMvAt(spark, mvPath)
+    val live = livePath(spark, mvPath)
     val compacted = spark.read.parquet(live)
     val nAfter = compacted.count()
     compacted.select(col("o_orderstatus"), col("o_orderpriority"),

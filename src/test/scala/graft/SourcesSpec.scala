@@ -1017,6 +1017,25 @@ class SourcesSpec extends AnyFunSuite {
     val baseRollup = base.toSeq.groupBy(_._1).view
       .mapValues(rs => rs.map(_._3).sum).toMap
     assert(rollup == baseRollup, "rollup through compacted != base")
+    // re-compaction converges: the fold is idempotent on a folded
+    // store — generation advances, content identical
+    val root2 = java.nio.file.Files
+      .createTempDirectory("graft_mvcmp2").toString
+    (0 until 4).foreach(t =>
+      Sources.matViewTickAt(spark, TestSpark.Sf0001, s"$root2/x", t, 4))
+    def live() = spark.read
+      .parquet(Sources.livePath(spark, s"$root2/x/mv"))
+      .select(col("o_orderstatus"), col("o_orderpriority"),
+        col("n_orders"), col("sum_price_dec").cast("double"))
+      .as[(String, String, Long, Double)].collect().toSet
+    val g1 = Sources.compactMvAt(spark, s"$root2/x/mv")
+    val c1 = live()
+    val g2 = Sources.compactMvAt(spark, s"$root2/x/mv")
+    val c2 = live()
+    assert(g1 == 1L && g2 == 2L, s"generations ${(g1, g2)}")
+    assert(c1 == c2, "re-compaction changed the folded content")
+    assert(c1.map(r => (r._1, r._2, r._3)) ==
+      base.map(r => (r._1, r._2, r._3)), "compacted counts != base")
   }
 
   private def walkFiles(d: java.io.File): Seq[java.io.File] =

@@ -953,7 +953,16 @@ object SparkEntry {
     // transferred correction within ~0.2%; nothing circular (learned on
     // A, scored on B), `improved` derived from the two errors
     "q243_cbo_feedback_loop" -> ((s: SparkSession, d: String) =>
-      Relational.cboFeedbackLoopAudit(s, d))
+      Relational.cboFeedbackLoopAudit(s, d)),
+    // the LEO loop closed on the ENUMERATOR: a derived-expression
+    // predicate prices at the default guess (~0.1%), the training
+    // member's observed cardinality persists a correction, and the
+    // same-class target query re-prices through the store — the
+    // correction ALONE flips the join order (raw: lineitem-first;
+    // corrected: customer-first); production plan full-size, both
+    // orders on the 1/8 key partition, identity emitted as a column
+    "q244_cbo_feedback_order" -> ((s: SparkSession, d: String) =>
+      Relational.cboFeedbackOrderAudit(s, d))
   )
 
   /** The session-shared `ensure*` leaves at the registry consumers'
@@ -2143,14 +2152,15 @@ object SparkEntry {
         |  c.est_li < c.est_oc AS chosen,
         |  CAST(c.est_li AS BIGINT) AS est_intermediate,
         |  li.act_li AS actual_intermediate,
-        |  f.n_rows, f.sum_qty, f.sum_cust
+        |  f.n_rows, f.sum_qty, f.sum_cust,
+        |  TRUE AS orders_identical
         |FROM calc c
         |JOIN liord li USING (pred_label) JOIN fins f USING (pred_label)
         |UNION ALL
         |SELECT c.pred_label, c.p_lo, c.p_hi, CAST(c.est_f6 AS BIGINT),
         |  'orders_customer_first', c.est_oc <= c.est_li,
         |  CAST(c.est_oc AS BIGINT), (SELECT act_oc FROM actoc),
-        |  f.n_rows, f.sum_qty, f.sum_cust
+        |  f.n_rows, f.sum_qty, f.sum_cust, TRUE
         |FROM calc c
         |JOIN fins f USING (pred_label)""".stripMargin,
     // every stored MV partial re-derived in one GROUP BY over raw orders
@@ -2475,6 +2485,83 @@ object SparkEntry {
         |  raw_err_ppm, corrected_err_ppm,
         |  corrected_err_ppm < raw_err_ppm AS improved
         |FROM err""".stripMargin,
+    // the whole loop re-derived: default guess, training actual,
+    // correction, both priced intermediates per order, both choices, the
+    // flip flag, exact intermediates, and the filtered aggregate — the
+    // hashed chosen_raw/chosen_fb pair IS the proof that consulting the
+    // store flipped the order
+    "q244_cbo_feedback_order" ->
+      """WITH st AS (
+        |  SELECT (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS nli,
+        |    (SELECT CAST(count(DISTINCT o_orderkey) AS BIGINT)
+        |       FROM orders) AS ndv_oo,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM orders) AS nord,
+        |    (SELECT CAST(count(DISTINCT o_custkey) AS BIGINT)
+        |       FROM orders) AS ndv_oc,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM customer) AS ncust,
+        |    (SELECT CAST(count(DISTINCT c_custkey) AS BIGINT)
+        |       FROM customer) AS ndv_cc),
+        |d AS (SELECT *, greatest(nli // 1000, 1) AS est_default FROM st),
+        |tr AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS actual_train
+        |  FROM lineitem WHERE l_orderkey % 2 = 0),
+        |fb AS (
+        |  SELECT *, actual_train * 1000000 // greatest(est_default, 1)
+        |    AS correction_e6
+        |  FROM d, tr),
+        |pr AS (
+        |  SELECT *,
+        |    est_default * nord // ndv_oo AS est_li_raw,
+        |    (est_default * correction_e6 // 1000000) * nord // ndv_oo
+        |      AS est_li_fb,
+        |    nord * ncust // greatest(ndv_oc, ndv_cc) AS est_oc
+        |  FROM fb),
+        |ch AS (
+        |  SELECT *,
+        |    CASE WHEN est_oc <= est_li_raw THEN 'orders_customer_first'
+        |      ELSE 'lineitem_orders_first' END AS co_raw,
+        |    CASE WHEN est_oc <= est_li_fb THEN 'orders_customer_first'
+        |      ELSE 'lineitem_orders_first' END AS co_fb
+        |  FROM pr),
+        |acts AS (
+        |  SELECT
+        |    (SELECT CAST(coalesce(sum(ca * cb), 0) AS BIGINT) FROM
+        |      (SELECT l_orderkey AS k, count(*) AS ca FROM lineitem
+        |       WHERE l_orderkey % 2 = 1 GROUP BY 1) a
+        |      JOIN (SELECT o_orderkey AS k, count(*) AS cb
+        |         FROM orders GROUP BY 1) b USING (k)) AS act_li,
+        |    (SELECT CAST(coalesce(sum(ca * cb), 0) AS BIGINT) FROM
+        |      (SELECT o_custkey AS k, count(*) AS ca
+        |         FROM orders GROUP BY 1) a
+        |      JOIN (SELECT c_custkey AS k, count(*) AS cb
+        |         FROM customer GROUP BY 1) b USING (k)) AS act_oc),
+        |fin AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |    CAST(sum(CAST(c_custkey AS BIGINT)) AS BIGINT) AS sum_cust
+        |  FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  WHERE l.l_orderkey % 2 = 1)
+        |SELECT 'l_orderkey_mod2_eq' AS pred_class,
+        |  'lineitem_orders_first' AS order_label,
+        |  co_raw = 'lineitem_orders_first' AS chosen_raw,
+        |  co_fb = 'lineitem_orders_first' AS chosen_fb,
+        |  co_raw <> co_fb AS flipped,
+        |  est_default, actual_train, correction_e6,
+        |  CAST(est_li_raw AS BIGINT) AS est_intermediate_raw,
+        |  CAST(est_li_fb AS BIGINT) AS est_intermediate_fb,
+        |  act_li AS actual_intermediate,
+        |  n_rows, sum_qty, sum_cust, TRUE AS orders_identical
+        |FROM ch, acts, fin
+        |UNION ALL
+        |SELECT 'l_orderkey_mod2_eq', 'orders_customer_first',
+        |  co_raw = 'orders_customer_first',
+        |  co_fb = 'orders_customer_first',
+        |  co_raw <> co_fb, est_default, actual_train, correction_e6,
+        |  CAST(est_oc AS BIGINT), CAST(est_oc AS BIGINT), act_oc,
+        |  n_rows, sum_qty, sum_cust, TRUE
+        |FROM ch, acts, fin""".stripMargin,
     // sufficient statistics, both estimators, and both errors re-derived
     // in integer SQL from the same deterministic key-partition sample
     "q242_sampled_analyze" ->

@@ -2160,7 +2160,7 @@ object Relational {
     }
   }
 
-  /** A58 [EXT] — CBO ESTIMATES FROM THE INCREMENTAL NDV STORE (q227):
+  /** A63 [EXT] — CBO ESTIMATES FROM THE INCREMENTAL NDV STORE (q227):
     * q225 maintains per-commit HLL sketches so NDV never needs a rescan;
     * this row is the consumer that was missing — q226's join-ORDER
     * estimates recomputed with ndv taken from the SKETCH FOLD instead of
@@ -2417,19 +2417,21 @@ object Relational {
       val ord8 = ord.filter(pmod(col("o_orderkey"), lit(8L)) === 0L)
       val sA = agg(liF8.join(ord8, onLi).join(cust, onCust))
       val sB = agg(liF8.join(ord8.join(cust, onCust), onLi))
-      require(sA == sB, s"order changed the answer on the key " +
-        s"partition: $sA vs $sB")
+      // emitted, not required: a broken cross-order identity must land
+      // as a RED oracle row (the q240 failure surface), never an
+      // exception with no row
+      val identical = sA == sB
       Seq(
         (label, pLo, pHi, estE6, "lineitem_orders_first",
           chosen == "lineitem_orders_first", estLiOrd, actLiOrd,
-          aggA._1, aggA._2, aggA._3),
+          aggA._1, aggA._2, aggA._3, identical),
         (label, pLo, pHi, estE6, "orders_customer_first",
           chosen == "orders_customer_first", estOrdCust, actOrdCust,
-          aggA._1, aggA._2, aggA._3))
+          aggA._1, aggA._2, aggA._3, identical))
     }
     out.toDF("pred_label", "p_lo", "p_hi", "est_filtered_e6",
       "order_label", "chosen", "est_intermediate", "actual_intermediate",
-      "n_rows", "sum_qty", "sum_cust")
+      "n_rows", "sum_qty", "sum_cust", "orders_identical")
   }
 
   /** One dynamic-programming cell of the Selinger chain enumeration:
@@ -3262,15 +3264,19 @@ object Relational {
     import spark.implicits._
     // divisor guarded: a corner whose marginal product truncates to 0
     // must yield a (huge) correction, not a crash — oracle guards the
-    // same way (greatest(est_a, 1))
+    // same way (greatest(est_a, 1)); products in BigInt so a degenerate
+    // estimate with warehouse-scale actuals truncates the way the
+    // oracle's 128-bit integer math does instead of wrapping a Long
     Seq(("id_ts_diag", estA, actualA,
-      actualA * 1000000L / math.max(1L, estA)))
+      (BigInt(actualA) * BigInt(1000000L) / BigInt(math.max(1L, estA)))
+        .toLong))
       .toDF("pred_class", "est", "actual", "correction_e6")
       .write.mode("overwrite").parquet(s"$root/fb")
     val corrE6 = spark.read.parquet(s"$root/fb")
       .filter(col("pred_class") === "id_ts_diag")
       .select(col("correction_e6")).head().getLong(0)
-    val estBCorrected = estB * corrE6 / 1000000L
+    val estBCorrected =
+      (BigInt(estB) * BigInt(corrE6) / BigInt(1000000L)).toLong
     def errPpm(est: Long, actual: Long): Long =
       if (actual > 0L) math.abs(est - actual) * 1000000L / actual
       else est * 1000000L
@@ -3281,5 +3287,155 @@ object Relational {
       .toDF("pred_class", "n_rows", "est_a", "actual_a", "correction_e6",
         "est_b_raw", "est_b_corrected", "actual_b", "raw_err_ppm",
         "corrected_err_ppm", "improved")
+  }
+
+  /** The optimizer fallback selectivity for a predicate NO statistic can
+    * price — equality on a derived expression (`l_orderkey % 2 = c`)
+    * has no histogram, no ndv, no group stat, so a System-R-style
+    * enumerator charges a fixed guess. 1/1000 on purpose: badly wrong
+    * on a half-selective predicate, which is exactly the gap the
+    * feedback loop (q243/q244) exists to repair. */
+  private[graft] val DefaultExprSelectivityDenom = 1000L
+
+  /** Apply a persisted LEO correction (millionths) to an estimate —
+    * BigInt product so warehouse-scale estimates truncate like the
+    * oracle's 128-bit math instead of wrapping. */
+  private[graft] def feedbackCorrected(est: Long, corrE6: Long): Long = {
+    require(est >= 0L && corrE6 >= 0L, s"need non-negative; got ($est, $corrE6)")
+    (BigInt(est) * BigInt(corrE6) / BigInt(1000000L)).toLong
+  }
+
+  /** J26 [EXT] — FEEDBACK-AWARE JOIN ORDERING: THE LEO LOOP CLOSED ON
+    * THE ENUMERATOR (q244). q243 learns a correction nobody consults;
+    * q226/q230/q232 price from raw statistics only. This row wires them
+    * together — the persisted cardinality-feedback store participates in
+    * the join-ORDER decision, and the correction alone flips the chosen
+    * order:
+    *
+    *  1. the predicate class is equality on a DERIVED expression
+    *     (`l_orderkey % 2 = c`) — no histogram or ndv can price it, so
+    *     the enumerator falls back to the declared default guess
+    *     n/[[DefaultExprSelectivityDenom]] (~0.1 %; the actual
+    *     selectivity is ~50 %, the mis-estimate LEO exists for);
+    *  2. the TRAINING query (c = 0) executes; its observed cardinality
+    *     becomes the correction q = actual·10⁶ div max(1, est),
+    *     persisted to the feedback store under the class
+    *     `l_orderkey_mod2_eq` and read BACK from the store (the
+    *     persistence is part of what green proves — q243 discipline);
+    *  3. a DIFFERENT query (c = 1, same class — LEO's generalization
+    *     unit) prices the filtered 3-table join BOTH ways: raw (default
+    *     guess → est(li′⋈ord) tiny → lineitem-first) and
+    *     feedback-corrected (≈ half of lineitem → est(li′⋈ord) >
+    *     est(ord⋈cust) → customer-first). The flip is caused by the
+    *     feedback row ALONE: every other input is identical between the
+    *     two pricings, and both choices are emitted;
+    *  4. the feedback-chosen order executes at FULL size (the
+    *     production plan; its aggregate is the emitted answer); both
+    *     orders additionally execute on the deterministic 1/8 key
+    *     partition (keys ≡ 1 mod 8 — closed under the join AND inside
+    *     the mod-2 predicate; the q235 sampled-arm discipline), with
+    *     cross-order identity EMITTED as `orders_identical` (never a
+    *     driver require — the q240 failure surface).
+    *
+    * The oracle re-derives everything in integer SQL: the default
+    * estimate, the training actual, the correction, both priced
+    * intermediates per order, both choices, the flip flag, the exact
+    * intermediates, and the filtered aggregate — a hash match proves the
+    * enumerator consulted the store and that consulting it flipped the
+    * plan the right way.
+    *
+    * Scale: the feedback row is ONE metadata row per (class) — the
+    * runtime already counted what it produced; consulting it is a store
+    * read. The training leg is a query the workload was running anyway;
+    * the audit arms cost 1/8 of one join. At 100 TB this is how derived
+    * predicates (mod-sharding, hash routes, UDF filters) get real
+    * cardinalities without anyone ANALYZEing an expression column. */
+  def cboFeedbackOrderAudit(spark: SparkSession, dir: String): DataFrame = {
+    val stats = ensureTableStats(spark, dir)
+      .select(col("table_name"), col("column_name"), col("n_rows"),
+        col("ndv")).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    val (nLi, _) = stats(("lineitem", "l_orderkey"))
+    val (nOrd, ndvOo) = stats(("orders", "o_orderkey"))
+    val (_, ndvOc) = stats(("orders", "o_custkey"))
+    val (nCust, ndvCc) = stats(("customer", "c_custkey"))
+    val li = Tables.lineitem(spark, dir)
+    val ord = Tables.orders(spark, dir)
+    val cust = Tables.customer(spark, dir)
+    val estDefault = math.max(1L, nLi / DefaultExprSelectivityDenom)
+    // training leg: the class's c=0 member executes; the runtime's own
+    // count is the observation
+    val actualTrain = li
+      .filter(pmod(col("l_orderkey").cast("long"), lit(2L)) === 0L).count()
+    val root = graft.sources.Sources.scratchDirUnique(spark, "fbord")
+    import spark.implicits._
+    Seq(("l_orderkey_mod2_eq", estDefault, actualTrain,
+      (BigInt(actualTrain) * BigInt(1000000L) /
+        BigInt(math.max(1L, estDefault))).toLong))
+      .toDF("pred_class", "est", "actual", "correction_e6")
+      .write.mode("overwrite").parquet(s"$root/fb")
+    val corrE6 = spark.read.parquet(s"$root/fb")
+      .filter(col("pred_class") === "l_orderkey_mod2_eq")
+      .select(col("correction_e6")).head().getLong(0)
+    // target query: c = 1, same class — priced both ways
+    val estRaw = estDefault
+    val estFb = feedbackCorrected(estRaw, corrE6)
+    def liOrdEst(estFiltered: Long): Long = estimateJoinRows(estFiltered,
+      math.max(1L, math.min(estFiltered, ndvOo)), nOrd, ndvOo)
+    val estLiRaw = liOrdEst(estRaw)
+    val estLiFb = liOrdEst(estFb)
+    val estOc = estimateJoinRows(nOrd, ndvOc, nCust, ndvCc)
+    val chosenRaw = chooseJoinOrder(estLiRaw, estOc)
+    val chosenFb = chooseJoinOrder(estLiFb, estOc)
+    val flipped = chosenRaw != chosenFb
+    val liF = li.filter(pmod(col("l_orderkey").cast("long"), lit(2L)) === 1L)
+    val actLiOrd = liF.groupBy(col("l_orderkey").cast("long").as("k"))
+      .agg(count(lit(1)).as("ca"))
+      .join(ord.groupBy(col("o_orderkey").cast("long").as("k"))
+        .agg(count(lit(1)).as("cb")), "k")
+      .agg(coalesce(sum(col("ca") * col("cb")), lit(0L))).head().getLong(0)
+    val actOc = ord.groupBy(col("o_custkey").cast("long").as("k"))
+      .agg(count(lit(1)).as("ca"))
+      .join(cust.groupBy(col("c_custkey").cast("long").as("k"))
+        .agg(count(lit(1)).as("cb")), "k")
+      .agg(coalesce(sum(col("ca") * col("cb")), lit(0L))).head().getLong(0)
+    def agg(full: DataFrame): (Long, Long, Long) = {
+      val r = full.agg(count(lit(1)), sum(col("l_quantity").cast("long")),
+        sum(col("c_custkey").cast("long"))).head()
+      (r.getLong(0),
+        if (r.isNullAt(1)) 0L else r.getLong(1),
+        if (r.isNullAt(2)) 0L else r.getLong(2))
+    }
+    val onLi = col("l_orderkey") === col("o_orderkey")
+    val onCust = col("o_custkey") === col("c_custkey")
+    val answer =
+      if (chosenFb == "lineitem_orders_first")
+        agg(liF.join(ord, onLi).join(cust, onCust))
+      else agg(liF.join(ord.join(cust, onCust), onLi))
+    // residue 1 mod 8 — k ≡ 1 (mod 8) implies k odd, so the sample sits
+    // INSIDE the mod-2 predicate; a key-residue class is closed under
+    // the equi-join (q235 discipline)
+    val liF8 = liF.filter(pmod(col("l_orderkey").cast("long"), lit(8L)) === 1L)
+    val ord8 = ord.filter(pmod(col("o_orderkey").cast("long"), lit(8L)) === 1L)
+    val sA = agg(liF8.join(ord8, onLi).join(cust, onCust))
+    val sB = agg(liF8.join(ord8.join(cust, onCust), onLi))
+    val identical = sA == sB
+    Seq(
+      ("l_orderkey_mod2_eq", "lineitem_orders_first",
+        chosenRaw == "lineitem_orders_first",
+        chosenFb == "lineitem_orders_first", flipped,
+        estDefault, actualTrain, corrE6, estLiRaw, estLiFb, actLiOrd,
+        answer._1, answer._2, answer._3, identical),
+      ("l_orderkey_mod2_eq", "orders_customer_first",
+        chosenRaw == "orders_customer_first",
+        chosenFb == "orders_customer_first", flipped,
+        estDefault, actualTrain, corrE6, estOc, estOc, actOc,
+        answer._1, answer._2, answer._3, identical))
+      .toDF("pred_class", "order_label", "chosen_raw", "chosen_fb",
+        "flipped", "est_default", "actual_train", "correction_e6",
+        "est_intermediate_raw", "est_intermediate_fb",
+        "actual_intermediate", "n_rows", "sum_qty", "sum_cust",
+        "orders_identical")
   }
 }

@@ -1386,4 +1386,57 @@ class RelationalSpec extends AnyFunSuite {
     // the correction is learned on A, scored on B — different rects
     assert(a._3 != a._6 || a._4 != a._8, "A and B must differ")
   }
+  test("feedbackCorrected: identity correction is a no-op, products run in BigInt") {
+    assert(Relational.feedbackCorrected(1234L, 1000000L) == 1234L)
+    assert(Relational.feedbackCorrected(60L, 500000000L) == 30000L)
+    assert(Relational.feedbackCorrected(0L, 7000000L) == 0L)
+    // a product that wraps a Long multiply must still divide exactly
+    val big = Long.MaxValue / 4L
+    assert(Relational.feedbackCorrected(big, 2000000L) == big * 2L)
+  }
+  test("q244 feedback-aware ordering: the persisted correction ALONE flips the enumerator's choice") {
+    val rows = Relational.cboFeedbackOrderAudit(spark, TestSpark.Sf0001)
+      .as[(String, String, Boolean, Boolean, Boolean, Long, Long, Long,
+        Long, Long, Long, Long, Long, Long, Boolean)].collect()
+    assert(rows.length == 2)
+    val byOrder = rows.map(r => r._2 -> r).toMap
+    val liArm = byOrder("lineitem_orders_first")
+    val ocArm = byOrder("orders_customer_first")
+    // exactly one chosen per pricing mode, and the two modes disagree
+    assert(rows.count(_._3) == 1, "one raw choice")
+    assert(rows.count(_._4) == 1, "one fb choice")
+    assert(rows.forall(_._5), "flipped flag on both rows")
+    assert(liArm._3 && !liArm._4,
+      "raw default guess must pick lineitem-first; feedback must not")
+    assert(ocArm._4 && !ocArm._3,
+      "feedback must pick customer-first")
+    // the flip is caused by the feedback row alone: identity correction
+    // keeps the raw choice (replayed through the same pure pricing)
+    val estIdentity = Relational.feedbackCorrected(liArm._6, 1000000L)
+    assert(estIdentity == liArm._6, "identity correction is a no-op")
+    // correction + application formulas replayed
+    assert(liArm._8 == liArm._7 * 1000000L / math.max(1L, liArm._6),
+      "correction formula")
+    val estFb = Relational.feedbackCorrected(liArm._6, liArm._8)
+    assert(liArm._10 == Relational.estimateJoinRows(estFb,
+      math.max(1L, math.min(estFb, 1500L)), 1500L, 1500L) ||
+      liArm._10 > liArm._9,
+      "fb estimate must come from the corrected cardinality")
+    // the corrected estimate prices the filtered intermediate well
+    // (within 2x of actual) while the default guess is >10x off
+    assert(math.abs(liArm._10 - liArm._11) * 2L <= liArm._11,
+      s"fb est ${liArm._10} should land near actual ${liArm._11}")
+    assert(liArm._9 * 10L < liArm._11,
+      s"raw est ${liArm._9} should be >10x under actual ${liArm._11}")
+    // cross-order identity on the sampled arm, emitted not required
+    assert(rows.forall(_._15), "orders_identical")
+    // the answer is the filtered 3-table join (replayed directly)
+    val li = graft.Tables.lineitem(spark, TestSpark.Sf0001)
+      .filter(pmod(col("l_orderkey").cast("long"), lit(2L)) === 1L)
+    val ord = graft.Tables.orders(spark, TestSpark.Sf0001)
+    val cust = graft.Tables.customer(spark, TestSpark.Sf0001)
+    val want = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey")).count()
+    assert(rows.forall(_._12 == want), "answer row count")
+  }
 }

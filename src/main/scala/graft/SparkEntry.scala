@@ -962,7 +962,15 @@ object SparkEntry {
     // corrected: customer-first); production plan full-size, both
     // orders on the 1/8 key partition, identity emitted as a column
     "q244_cbo_feedback_order" -> ((s: SparkSession, d: String) =>
-      Relational.cboFeedbackOrderAudit(s, d))
+      Relational.cboFeedbackOrderAudit(s, d)),
+    // the chain DP generalized to the warehouse's actual shape: csg-cmp
+    // Selinger enumeration over the 5-table STAR (lineitem⋈orders⋈
+    // customer + part + supplier), all stats from the persisted ANALYZE
+    // store — the full 17-row connected-subset DP table plus the
+    // executed chosen-tree-vs-left-deep proof; the natural fixture's
+    // winner is BUSHY, the shape no chain or left-deep enumerator finds
+    "q245_cbo_graph_enumeration" -> ((s: SparkSession, d: String) =>
+      Relational.cboGraphEnumerationAudit(s, d))
   )
 
   /** The session-shared `ensure*` leaves at the registry consumers'
@@ -2562,6 +2570,142 @@ object SparkEntry {
         |  CAST(est_oc AS BIGINT), CAST(est_oc AS BIGINT), act_oc,
         |  n_rows, sum_qty, sum_cust, TRUE
         |FROM ch, acts, fin""".stripMargin,
+    // the whole connected-subset DP re-derived: estimates as single-
+    // division integer products over induced edges, costs and plan
+    // strings through the same first-minimal-CUT-EDGE CASE chain the
+    // engine's minBy implements, the aggregate from the raw 5-way join
+    "q245_cbo_graph_enumeration" ->
+      """WITH st AS (
+        |  SELECT (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS nli,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM orders) AS nord,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM customer) AS ncust,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM part) AS npart,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM supplier) AS nsupp,
+        |    greatest(
+        |      (SELECT count(DISTINCT l_orderkey) FROM lineitem),
+        |      (SELECT count(DISTINCT o_orderkey) FROM orders)) AS d0,
+        |    greatest(
+        |      (SELECT count(DISTINCT o_custkey) FROM orders),
+        |      (SELECT count(DISTINCT c_custkey) FROM customer)) AS d1,
+        |    greatest(
+        |      (SELECT count(DISTINCT l_partkey) FROM lineitem),
+        |      (SELECT count(DISTINCT p_partkey) FROM part)) AS d2,
+        |    greatest(
+        |      (SELECT count(DISTINCT l_suppkey) FROM lineitem),
+        |      (SELECT count(DISTINCT s_suppkey) FROM supplier)) AS d3),
+        |e AS (
+        |  SELECT *,
+        |    CAST(nli * nord // d0 AS BIGINT) AS e_lo,
+        |    CAST(nord * ncust // d1 AS BIGINT) AS e_oc,
+        |    CAST(nli * npart // d2 AS BIGINT) AS e_lp,
+        |    CAST(nli * nsupp // d3 AS BIGINT) AS e_ls,
+        |    CAST(nli * nord * ncust // (d0 * d1) AS BIGINT) AS e_loc,
+        |    CAST(nli * nord * npart // (d0 * d2) AS BIGINT) AS e_lop,
+        |    CAST(nli * nord * nsupp // (d0 * d3) AS BIGINT) AS e_los,
+        |    CAST(nli * npart * nsupp // (d2 * d3) AS BIGINT) AS e_lps,
+        |    CAST(nli * nord * ncust * npart // (d0 * d1 * d2) AS BIGINT)
+        |      AS e_locp,
+        |    CAST(nli * nord * ncust * nsupp // (d0 * d1 * d3) AS BIGINT)
+        |      AS e_locs,
+        |    CAST(nli * nord * npart * nsupp // (d0 * d2 * d3) AS BIGINT)
+        |      AS e_lops,
+        |    CAST(nli * nord * ncust * npart * nsupp
+        |      // (d0 * d1 * d2 * d3) AS BIGINT) AS e_all
+        |  FROM st),
+        |c3 AS (
+        |  SELECT *,
+        |    CAST(e_loc + least(e_oc, e_lo) AS BIGINT) AS c_loc,
+        |    CASE WHEN e_oc <= e_lo THEN '(lineitem*(orders*customer))'
+        |      ELSE '((lineitem*orders)*customer)' END AS p_loc,
+        |    CAST(e_lop + least(e_lp, e_lo) AS BIGINT) AS c_lop,
+        |    CASE WHEN e_lp <= e_lo THEN '((lineitem*part)*orders)'
+        |      ELSE '((lineitem*orders)*part)' END AS p_lop,
+        |    CAST(e_los + least(e_ls, e_lo) AS BIGINT) AS c_los,
+        |    CASE WHEN e_ls <= e_lo THEN '((lineitem*supplier)*orders)'
+        |      ELSE '((lineitem*orders)*supplier)' END AS p_los,
+        |    CAST(e_lps + least(e_ls, e_lp) AS BIGINT) AS c_lps,
+        |    CASE WHEN e_ls <= e_lp THEN '((lineitem*supplier)*part)'
+        |      ELSE '((lineitem*part)*supplier)' END AS p_lps
+        |  FROM e),
+        |c4 AS (
+        |  SELECT *,
+        |    CAST(e_locp + least(e_lp + e_oc, c_lop, c_loc) AS BIGINT)
+        |      AS c_locp,
+        |    CASE
+        |      WHEN e_lp + e_oc <= c_lop AND e_lp + e_oc <= c_loc
+        |        THEN '((lineitem*part)*(orders*customer))'
+        |      WHEN c_lop <= c_loc THEN '(' || p_lop || '*customer)'
+        |      ELSE '(' || p_loc || '*part)' END AS p_locp,
+        |    CAST(e_locs + least(e_ls + e_oc, c_los, c_loc) AS BIGINT)
+        |      AS c_locs,
+        |    CASE
+        |      WHEN e_ls + e_oc <= c_los AND e_ls + e_oc <= c_loc
+        |        THEN '((lineitem*supplier)*(orders*customer))'
+        |      WHEN c_los <= c_loc THEN '(' || p_los || '*customer)'
+        |      ELSE '(' || p_loc || '*supplier)' END AS p_locs,
+        |    CAST(e_lops + least(c_lps, c_los, c_lop) AS BIGINT) AS c_lops,
+        |    CASE
+        |      WHEN c_lps <= c_los AND c_lps <= c_lop
+        |        THEN '(' || p_lps || '*orders)'
+        |      WHEN c_los <= c_lop THEN '(' || p_los || '*part)'
+        |      ELSE '(' || p_lop || '*supplier)' END AS p_lops
+        |  FROM c3),
+        |c5 AS (
+        |  SELECT *,
+        |    CAST(e_all + least(c_lps + e_oc, c_lops, c_locs, c_locp)
+        |      AS BIGINT) AS c_all,
+        |    CASE
+        |      WHEN c_lps + e_oc <= c_lops AND c_lps + e_oc <= c_locs
+        |        AND c_lps + e_oc <= c_locp
+        |        THEN '(' || p_lps || '*(orders*customer))'
+        |      WHEN c_lops <= c_locs AND c_lops <= c_locp
+        |        THEN '(' || p_lops || '*customer)'
+        |      WHEN c_locs <= c_locp THEN '(' || p_locs || '*part)'
+        |      ELSE '(' || p_locp || '*supplier)' END AS p_all
+        |  FROM c4),
+        |fin AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |    CAST(sum(CAST(s_suppkey AS BIGINT)) AS BIGINT) AS sum_supp
+        |  FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN part p ON l.l_partkey = p.p_partkey
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey)
+        |SELECT t.subset, t.n_tables, t.est_rows, t.best_cost, t.best_plan,
+        |  fin.n_rows, fin.sum_qty, fin.sum_supp, TRUE AS trees_identical
+        |FROM (
+        |  SELECT 'lineitem' AS subset, CAST(1 AS BIGINT) AS n_tables,
+        |    nli AS est_rows, CAST(0 AS BIGINT) AS best_cost,
+        |    'lineitem' AS best_plan FROM c5
+        |  UNION ALL SELECT 'orders', 1, nord, 0, 'orders' FROM c5
+        |  UNION ALL SELECT 'customer', 1, ncust, 0, 'customer' FROM c5
+        |  UNION ALL SELECT 'part', 1, npart, 0, 'part' FROM c5
+        |  UNION ALL SELECT 'supplier', 1, nsupp, 0, 'supplier' FROM c5
+        |  UNION ALL SELECT 'lineitem,orders', 2, e_lo, e_lo,
+        |    '(lineitem*orders)' FROM c5
+        |  UNION ALL SELECT 'orders,customer', 2, e_oc, e_oc,
+        |    '(orders*customer)' FROM c5
+        |  UNION ALL SELECT 'lineitem,part', 2, e_lp, e_lp,
+        |    '(lineitem*part)' FROM c5
+        |  UNION ALL SELECT 'lineitem,supplier', 2, e_ls, e_ls,
+        |    '(lineitem*supplier)' FROM c5
+        |  UNION ALL SELECT 'lineitem,orders,customer', 3, e_loc, c_loc,
+        |    p_loc FROM c5
+        |  UNION ALL SELECT 'lineitem,orders,part', 3, e_lop, c_lop,
+        |    p_lop FROM c5
+        |  UNION ALL SELECT 'lineitem,orders,supplier', 3, e_los, c_los,
+        |    p_los FROM c5
+        |  UNION ALL SELECT 'lineitem,part,supplier', 3, e_lps, c_lps,
+        |    p_lps FROM c5
+        |  UNION ALL SELECT 'lineitem,orders,customer,part', 4, e_locp,
+        |    c_locp, p_locp FROM c5
+        |  UNION ALL SELECT 'lineitem,orders,customer,supplier', 4, e_locs,
+        |    c_locs, p_locs FROM c5
+        |  UNION ALL SELECT 'lineitem,orders,part,supplier', 4, e_lops,
+        |    c_lops, p_lops FROM c5
+        |  UNION ALL SELECT 'lineitem,orders,customer,part,supplier', 5,
+        |    e_all, c_all, p_all FROM c5) t, fin""".stripMargin,
     // sufficient statistics, both estimators, and both errors re-derived
     // in integer SQL from the same deterministic key-partition sample
     "q242_sampled_analyze" ->
@@ -4622,7 +4766,8 @@ object SparkEntry {
       ("documents", "lang"), ("documents", "source"),
       ("customer", "c_mktsegment"), ("customer", "c_custkey"),
       ("customer", "c_nationkey"), ("nation", "n_nationkey"),
-      ("events", "event_type")).map {
+      ("events", "event_type"),
+      ("part", "p_partkey"), ("supplier", "s_suppkey")).map {
       case (t, c) =>
         s"""SELECT '$t' AS table_name, '$c' AS column_name,
            |  CAST(count(*) AS BIGINT) AS n_rows,

@@ -526,7 +526,11 @@ object Relational {
     "documents" -> Seq("lang", "source"),
     "customer" -> Seq("c_mktsegment", "c_custkey", "c_nationkey"),
     "nation" -> Seq("n_nationkey"),
-    "events" -> Seq("event_type"))
+    "events" -> Seq("event_type"),
+    // p_partkey / s_suppkey joined r18: the join-GRAPH enumerator (q245)
+    // prices the star's part/supplier edges from the store
+    "part" -> Seq("p_partkey"),
+    "supplier" -> Seq("s_suppkey"))
 
   def tableStats(spark: SparkSession, dir: String,
                  specs: Seq[(String, Seq[String])] = DefaultStatsSpecs): DataFrame = {
@@ -2558,6 +2562,203 @@ object Relational {
     }.toDF("subset", "n_tables", "est_rows", "best_cost", "best_plan",
       "n_rows", "sum_qty", "sum_nat")
   }
+
+  /** One cell of the join-GRAPH enumeration: estimated cardinality, best
+    * C_out cost, the winning cut edge (−1 for leaves), the two component
+    * bitmasks, and the parenthesized best plan. */
+  private[graft] case class GraphDpCell(est: Long, cost: Long, cutEdge: Int,
+                                        leftMask: Int, rightMask: Int,
+                                        plan: String)
+
+  /** Selinger DP over an ACYCLIC JOIN GRAPH (the csg-cmp generalization
+    * of [[selingerChainDp]], restricted to trees — the warehouse
+    * star/snowflake shape): tables are graph nodes, equi-join edges
+    * carry the q208 divisor, and the DP runs over every CONNECTED
+    * subset (enumerated by ascending bitmask, so sub-results always
+    * exist). For a tree, the csg-cmp pairs of a connected subset are
+    * exactly its induced-edge cuts: removing edge e splits the subset
+    * into the two connected components around e's endpoints — so
+    * candidate splits are enumerated by ascending CUT-EDGE index and
+    * ties break to the FIRST minimal edge, the deterministic order the
+    * oracle's CASE chain replays (a cyclic graph would need the full
+    * Moerkotte–Neumann csg-cmp enumeration; the acyclicity is
+    * `require`d, never assumed). est(S) = Π rows / Π induced-edge
+    * divisors, BigInt product divided ONCE (staged integer division
+    * truncates differently from the oracle's full-product division);
+    * cost = Selinger C_out. Plan strings put the component containing
+    * the smallest table index on the left. Exposed for the
+    * planted-stats flip spec. */
+  private[graft] def selingerGraphDp(tables: Seq[(String, Long)],
+                                     edges: Seq[(Int, Int, Long)])
+      : Map[Int, GraphDpCell] = {
+    val n = tables.length
+    require(n >= 2 && n <= 20, s"need 2..20 tables; got $n")
+    require(edges.nonEmpty && edges.forall { case (a, b, d) =>
+      a >= 0 && a < n && b >= 0 && b < n && a != b && d > 0
+    }, s"edges must connect distinct in-range tables with positive divisors")
+    // acyclicity: union-find over the edge list
+    val uf = Array.tabulate(n)(identity)
+    def find(x: Int): Int = if (uf(x) == x) x else { uf(x) = find(uf(x)); uf(x) }
+    edges.foreach { case (a, b, _) =>
+      val (ra, rb) = (find(a), find(b))
+      require(ra != rb, s"join graph must be acyclic (tree/forest); " +
+        s"edge ($a,$b) closes a cycle")
+      uf(ra) = rb
+    }
+    def inMask(i: Int, mask: Int): Boolean = (mask & (1 << i)) != 0
+    def induced(mask: Int): Seq[Int] = edges.indices.filter { e =>
+      inMask(edges(e)._1, mask) && inMask(edges(e)._2, mask)
+    }
+    // component of `from` inside `mask` with edge `cut` removed
+    def component(from: Int, mask: Int, cut: Int): Int = {
+      var comp = 1 << from
+      var frontier = List(from)
+      while (frontier.nonEmpty) {
+        val v = frontier.head; frontier = frontier.tail
+        edges.indices.foreach { e =>
+          if (e != cut) {
+            val (a, b, _) = edges(e)
+            val next = if (a == v) b else if (b == v) a else -1
+            if (next >= 0 && inMask(next, mask) && !inMask(next, comp)) {
+              comp |= 1 << next
+              frontier = next :: frontier
+            }
+          }
+        }
+      }
+      comp
+    }
+    def est(mask: Int): Long = {
+      val num = tables.indices.filter(inMask(_, mask))
+        .map(i => BigInt(tables(i)._2)).product
+      val den = induced(mask).map(e => BigInt(edges(e)._3)).product
+      (num / den).toLong
+    }
+    val memo = scala.collection.mutable.Map.empty[Int, GraphDpCell]
+    tables.indices.foreach { i =>
+      memo(1 << i) = GraphDpCell(tables(i)._2, 0L, -1, 0, 0, tables(i)._1)
+    }
+    // ascending mask order: every proper submask is numerically smaller,
+    // so component cells always exist when a composite is reached
+    (3 to (1 << n) - 1).foreach { mask =>
+      if (java.lang.Integer.bitCount(mask) >= 2) {
+        val cuts = induced(mask)
+        // connected ⇔ the induced tree has |S|−1 edges
+        if (cuts.length == java.lang.Integer.bitCount(mask) - 1) {
+          val candidates = cuts.map { e =>
+            val compA = component(edges(e)._1, mask, e)
+            val compB = mask & ~compA
+            val (l, r) =
+              if (java.lang.Integer.numberOfTrailingZeros(compA) <
+                  java.lang.Integer.numberOfTrailingZeros(compB))
+                (compA, compB)
+              else (compB, compA)
+            (memo(l).cost + memo(r).cost, e, l, r,
+              s"(${memo(l).plan}*${memo(r).plan})")
+          }
+          val (cost, e, l, r, plan) = candidates.minBy(_._1) // first min
+          val eMask = est(mask)
+          memo(mask) = GraphDpCell(eMask, cost + eMask, e, l, r, plan)
+        }
+      }
+    }
+    memo.toMap
+  }
+
+  /** J27 [EXT] — SELINGER ENUMERATION OVER A JOIN GRAPH (q245): q230's
+    * chain DP is an interval DP — correct for a chain, but the actual
+    * 100 TB warehouse query is a STAR (fact joined to several dims),
+    * whose connected subsets are not intervals. This row runs the
+    * csg-cmp generalization ([[selingerGraphDp]]) on the 5-table star
+    * lineitem ⋈ orders ⋈ customer + part + supplier (edges
+    * l_orderkey/o_custkey/l_partkey/l_suppkey — orders chains on to
+    * customer, making it a snowflake arm), every row count and all
+    * eight join-key ndv read from the persisted ANALYZE store (the
+    * q224/q226/q230 discipline — `DefaultStatsSpecs` gained
+    * p_partkey/s_suppkey for exactly this). Output: the ENTIRE DP table
+    * — one row per CONNECTED subset (17 of the 31 non-empty subsets;
+    * disconnected ones have no join without a cartesian product and are
+    * correctly absent) with estimated cardinality, best C_out cost, and
+    * the winning parenthesized tree — plus the executed proof: the
+    * engine BUILDS the chosen tree from the DP's cut edges, runs it AND
+    * the canonical left-deep tree, and emits both aggregates with
+    * `trees_identical` as a COLUMN (the q240 failure surface). On this
+    * fixture the winner is genuinely BUSHY —
+    * (((lineitem*supplier)*part)*(orders*customer)) — the shape no
+    * left-deep-only or chain-only enumerator can produce, found because
+    * the (orders*customer) arm prices below lineitem scale; the spec
+    * plants stats that flip the winner deep. The oracle re-derives the
+    * whole table: estimates as single-division integer products over
+    * induced edges, costs/plans through the same first-minimal-cut-edge
+    * CASE chain, the aggregate from the raw 5-way join. Scale: the DP
+    * is O(2ⁿ·n) on metadata (n = tables in ONE query, single digits);
+    * the two execution arms are the once-per-advisor-change audit
+    * price — hint-free, q226 owns operator shapes, this row owns the
+    * TREE. */
+  def cboGraphEnumerationAudit(spark: SparkSession, dir: String): DataFrame = {
+    val stats = ensureTableStats(spark, dir)
+      .select(col("table_name"), col("column_name"), col("n_rows"),
+        col("ndv")).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    def rowsOf(t: String, c: String): Long = stats((t, c))._1
+    def ndvOf(t: String, c: String): Long = stats((t, c))._2
+    val tables = Seq(
+      ("lineitem", rowsOf("lineitem", "l_orderkey")),
+      ("orders", rowsOf("orders", "o_orderkey")),
+      ("customer", rowsOf("customer", "c_custkey")),
+      ("part", rowsOf("part", "p_partkey")),
+      ("supplier", rowsOf("supplier", "s_suppkey")))
+    val edges = Seq(
+      (0, 1, math.max(ndvOf("lineitem", "l_orderkey"),
+        ndvOf("orders", "o_orderkey"))),
+      (1, 2, math.max(ndvOf("orders", "o_custkey"),
+        ndvOf("customer", "c_custkey"))),
+      (0, 3, math.max(ndvOf("lineitem", "l_partkey"),
+        ndvOf("part", "p_partkey"))),
+      (0, 4, math.max(ndvOf("lineitem", "l_suppkey"),
+        ndvOf("supplier", "s_suppkey"))))
+    val dp = selingerGraphDp(tables, edges)
+    val dfs = Seq(Tables.lineitem(spark, dir), Tables.orders(spark, dir),
+      Tables.customer(spark, dir), Tables.part(spark, dir),
+      Tables.supplier(spark, dir))
+    val conds = Seq(
+      col("l_orderkey") === col("o_orderkey"),
+      col("o_custkey") === col("c_custkey"),
+      col("l_partkey") === col("p_partkey"),
+      col("l_suppkey") === col("s_suppkey"))
+    def build(mask: Int): DataFrame = {
+      val cell = dp(mask)
+      if (cell.cutEdge < 0) dfs(java.lang.Integer.numberOfTrailingZeros(mask))
+      else build(cell.leftMask).join(build(cell.rightMask),
+        conds(cell.cutEdge))
+    }
+    def agg(full: DataFrame): (Long, Long, Long) = {
+      val r = full.agg(count(lit(1)), sum(col("l_quantity").cast("long")),
+        sum(col("s_suppkey").cast("long"))).head()
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    val fullMask = (1 << tables.length) - 1
+    val chosen = agg(build(fullMask))
+    val leftDeep = agg(
+      dfs.head.join(dfs(1), conds(0)).join(dfs(2), conds(1))
+        .join(dfs(3), conds(2)).join(dfs(4), conds(3)))
+    val identical = chosen == leftDeep
+    import spark.implicits._
+    dp.toSeq
+      .sortBy { case (mask, _) =>
+        (java.lang.Integer.bitCount(mask), mask)
+      }
+      .map { case (mask, cell) =>
+        val names = tables.indices.filter(i => (mask & (1 << i)) != 0)
+          .map(tables(_)._1).mkString(",")
+        (names, java.lang.Integer.bitCount(mask).toLong, cell.est,
+          cell.cost, cell.plan, chosen._1, chosen._2, chosen._3, identical)
+      }
+      .toDF("subset", "n_tables", "est_rows", "best_cost", "best_plan",
+        "n_rows", "sum_qty", "sum_supp", "trees_identical")
+  }
+
   /** J23 [EXT] — SAMPLED-ARM CBO AUDIT (q235): the scale form of the
     * both-arms discipline, discharging q221's standing commitment now
     * that the consumer family has grown to six both-arms rows. The

@@ -1439,4 +1439,75 @@ class RelationalSpec extends AnyFunSuite {
       .join(cust, col("o_custkey") === col("c_custkey")).count()
     assert(rows.forall(_._12 == want), "answer row count")
   }
+  test("selingerGraphDp: reduces to the chain DP on a path graph") {
+    val rows = Seq(("a", 600L), ("b", 150L), ("c", 15L), ("d", 3L))
+    val divs = Seq(150L, 15L, 3L)
+    val chain = Relational.selingerChainDp(rows, divs)
+    val graph = Relational.selingerGraphDp(rows,
+      Seq((0, 1, divs(0)), (1, 2, divs(1)), (2, 3, divs(2))))
+    for (i <- 0 until 4; j <- i until 4) {
+      val mask = (i to j).map(1 << _).sum
+      val (c, g) = (chain((i, j)), graph(mask))
+      assert(c.est == g.est && c.cost == g.cost && c.plan == g.plan,
+        s"[$i,$j]: chain $c vs graph $g")
+    }
+    // a path's connected subsets are exactly the intervals
+    assert(graph.size == 10)
+  }
+  test("selingerGraphDp: star shape, planted flip, disconnected subsets absent, cycles rejected") {
+    // the q245 shape: fact f joined to dims o (chaining to c), p, s
+    val tables = Seq(("f", 6000L), ("o", 1500L), ("c", 150L),
+      ("p", 200L), ("s", 10L))
+    val edges = Seq((0, 1, 1500L), (1, 2, 150L), (0, 3, 200L), (0, 4, 10L))
+    val dp = Relational.selingerGraphDp(tables, edges)
+    // 17 connected subsets of the 31 non-empty ones
+    assert(dp.size == 17)
+    assert(!dp.contains((1 << 1) | (1 << 3)), "o,p is disconnected")
+    assert(!dp.contains((1 << 2) | (1 << 4)), "c,s is disconnected")
+    val full = dp((1 << 5) - 1)
+    assert(full.plan == "(((f*s)*p)*(o*c))", s"bushy winner: ${full.plan}")
+    assert(full.cost == 6000L + 12000L + 1500L, s"C_out: ${full.cost}")
+    // planted stats: a worthless (o*c) arm (cross-product-like divisor)
+    // must push the winner off the bushy shape — the flip is computed
+    val planted = Relational.selingerGraphDp(
+      Seq(("f", 100L), ("o", 50L), ("c", 50L), ("p", 10L), ("s", 10L)),
+      Seq((0, 1, 50L), (1, 2, 1L), (0, 3, 10L), (0, 4, 10L)))
+    val pf = planted((1 << 5) - 1)
+    assert(!pf.plan.contains("(o*c)"), s"planted flip: ${pf.plan}")
+    // a cycle must be rejected loudly, never mis-enumerated
+    intercept[IllegalArgumentException] {
+      Relational.selingerGraphDp(tables, edges :+ ((2, 4, 5L)))
+    }
+  }
+  test("q245 graph enumeration: full DP table from the store, bushy winner, executed trees identical") {
+    val df = Relational.cboGraphEnumerationAudit(spark, TestSpark.Sf0001)
+      .as[(String, Long, Long, Long, String, Long, Long, Long, Boolean)]
+      .collect()
+    assert(df.length == 17)
+    val full = df.find(_._2 == 5L).get
+    assert(full._5 == "(((lineitem*supplier)*part)*(orders*customer))",
+      s"winner: ${full._5}")
+    assert(df.forall(_._9), "trees_identical on every row")
+    // the executed aggregate replayed directly from the raw 5-way join
+    val d = TestSpark.Sf0001
+    val want = graft.Tables.lineitem(spark, d)
+      .join(graft.Tables.orders(spark, d),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(graft.Tables.customer(spark, d),
+        col("o_custkey") === col("c_custkey"))
+      .join(graft.Tables.part(spark, d),
+        col("l_partkey") === col("p_partkey"))
+      .join(graft.Tables.supplier(spark, d),
+        col("l_suppkey") === col("s_suppkey")).count()
+    assert(df.forall(_._6 == want), "answer row count")
+    // every composite's cost = est + min over its cut alternatives —
+    // spot-check the bushy 4-subsets straddle the 3-subsets
+    val est = df.map(r => r._1 -> r._3).toMap
+    val cost = df.map(r => r._1 -> r._4).toMap
+    assert(cost("lineitem,orders,customer,part") ==
+      est("lineitem,orders,customer,part") +
+        math.min(est("lineitem,part") + est("orders,customer"),
+          math.min(cost("lineitem,orders,part"),
+            cost("lineitem,orders,customer"))))
+  }
 }

@@ -970,7 +970,16 @@ object SparkEntry {
     // executed chosen-tree-vs-left-deep proof; the natural fixture's
     // winner is BUSHY, the shape no chain or left-deep enumerator finds
     "q245_cbo_graph_enumeration" -> ((s: SparkSession, d: String) =>
-      Relational.cboGraphEnumerationAudit(s, d))
+      Relational.cboGraphEnumerationAudit(s, d)),
+    // the third statistic gains its sampled route: equi-depth histogram
+    // from the 1/8 key partition (counts ×8), measured vs the exact
+    // build per predicate (err_ppm), and CONSUMED by q232's join-order
+    // decision with the sample band propagated — margin_robust says
+    // when the ±3/√c band clears the margin; when it doesn't, the
+    // route falls back to the exact histogram; the routed choice's
+    // order executes full-size, predicate bounds from the ANALYZE store
+    "q246_sampled_histogram_route" -> ((s: SparkSession, d: String) =>
+      Relational.sampledHistogramRouteAudit(s, d))
   )
 
   /** The session-shared `ensure*` leaves at the registry consumers'
@@ -2706,6 +2715,126 @@ object SparkEntry {
         |    c_lops, p_lops FROM c5
         |  UNION ALL SELECT 'lineitem,orders,customer,part,supplier', 5,
         |    e_all, c_all, p_all FROM c5) t, fin""".stripMargin,
+    // both histograms (exact and 1/8-key-partition sampled ×8), both
+    // estimates and their err_ppm, the join-order choice per route, the
+    // squared-margin band check, the fallback route, and the routed
+    // order's filtered aggregate — all re-derived in integer SQL
+    "q246_sampled_histogram_route" ->
+      """WITH vals AS (
+        |  SELECT CAST(l_orderkey AS BIGINT) AS v, count(*) AS cnt
+        |  FROM lineitem GROUP BY 1),
+        |cum AS (
+        |  SELECT v, cnt, sum(cnt) OVER () AS n,
+        |         sum(cnt) OVER (ORDER BY v) AS cum
+        |  FROM vals),
+        |buckets AS (
+        |  SELECT ((cum - cnt) * 16) // n AS bucket,
+        |         min(v) AS b_lo, max(v) AS b_hi, sum(cnt) AS b_cnt
+        |  FROM cum GROUP BY 1),
+        |svals AS (
+        |  SELECT CAST(l_orderkey AS BIGINT) AS v, count(*) * 8 AS cnt
+        |  FROM lineitem WHERE l_orderkey % 8 = 0 GROUP BY 1),
+        |scum AS (
+        |  SELECT v, cnt, sum(cnt) OVER () AS n,
+        |         sum(cnt) OVER (ORDER BY v) AS cum
+        |  FROM svals),
+        |sbuckets AS (
+        |  SELECT ((cum - cnt) * 16) // n AS bucket,
+        |         min(v) AS b_lo, max(v) AS b_hi, sum(cnt) AS b_cnt
+        |  FROM scum GROUP BY 1),
+        |bounds AS (
+        |  SELECT CAST(min(l_orderkey) AS BIGINT) AS lo,
+        |         CAST(max(l_orderkey) AS BIGINT) AS hi
+        |  FROM lineitem),
+        |preds AS (
+        |  SELECT 'narrow' AS pred_label, lo AS p_lo,
+        |         lo + (hi - lo + 1) // 50 - 1 AS p_hi FROM bounds
+        |  UNION ALL
+        |  SELECT 'wide', lo, lo + (4 * (hi - lo + 1)) // 5 - 1 FROM bounds),
+        |este AS (
+        |  SELECT pred_label,
+        |         CAST(sum(b_cnt * (((least(p_hi, b_hi)
+        |           - greatest(p_lo, b_lo) + 1) * 1000000)
+        |           // (b_hi - b_lo + 1))) AS BIGINT) AS est_e6
+        |  FROM preds JOIN buckets ON b_hi >= p_lo AND b_lo <= p_hi
+        |  GROUP BY 1),
+        |ests AS (
+        |  SELECT pred_label,
+        |         CAST(sum(b_cnt * (((least(p_hi, b_hi)
+        |           - greatest(p_lo, b_lo) + 1) * 1000000)
+        |           // (b_hi - b_lo + 1))) AS BIGINT) AS est_s6
+        |  FROM preds JOIN sbuckets ON b_hi >= p_lo AND b_lo <= p_hi
+        |  GROUP BY 1),
+        |acts AS (
+        |  SELECT p.pred_label, CAST(count(*) AS BIGINT) AS act
+        |  FROM preds p JOIN lineitem l
+        |    ON CAST(l.l_orderkey AS BIGINT) BETWEEN p.p_lo AND p.p_hi
+        |  GROUP BY 1),
+        |st AS (
+        |  SELECT (SELECT CAST(count(*) AS BIGINT) FROM orders) AS nord,
+        |    (SELECT CAST(count(DISTINCT o_orderkey) AS BIGINT)
+        |       FROM orders) AS ndv_oo,
+        |    (SELECT CAST(count(DISTINCT o_custkey) AS BIGINT)
+        |       FROM orders) AS ndv_oc,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM customer) AS ncust,
+        |    (SELECT CAST(count(DISTINCT c_custkey) AS BIGINT)
+        |       FROM customer) AS ndv_cc),
+        |calc AS (
+        |  SELECT p.pred_label, p.p_lo, p.p_hi, e.est_e6, s.est_s6, a.act,
+        |    CAST((e.est_e6 // 1000000) * st.nord // st.ndv_oo AS BIGINT)
+        |      AS est_li_e,
+        |    CAST((s.est_s6 // 1000000) * st.nord // st.ndv_oo AS BIGINT)
+        |      AS est_li_s,
+        |    CAST((st.nord * st.ncust) // greatest(st.ndv_oc, st.ndv_cc)
+        |      AS BIGINT) AS est_oc,
+        |    greatest(s.est_s6 // 8000000, 1) AS cs
+        |  FROM preds p
+        |  JOIN este e USING (pred_label) JOIN ests s USING (pred_label)
+        |  JOIN acts a USING (pred_label), st),
+        |flags AS (
+        |  SELECT *,
+        |    CAST(est_li_s - est_oc AS HUGEINT)
+        |      * CAST(est_li_s - est_oc AS HUGEINT) * cs
+        |      > 9 * CAST(est_li_s AS HUGEINT) * CAST(est_li_s AS HUGEINT)
+        |      AS robust,
+        |    CASE WHEN est_oc <= est_li_e THEN 'orders_customer_first'
+        |      ELSE 'lineitem_orders_first' END AS chosen_e,
+        |    CASE WHEN est_oc <= est_li_s THEN 'orders_customer_first'
+        |      ELSE 'lineitem_orders_first' END AS chosen_s
+        |  FROM calc),
+        |rt AS (
+        |  SELECT *,
+        |    CASE WHEN robust THEN 'sampled' ELSE 'exact_fallback' END
+        |      AS route_used,
+        |    chosen_s = chosen_e AS agrees
+        |  FROM flags),
+        |fins AS (
+        |  SELECT p.pred_label, CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |    CAST(sum(CAST(c.c_custkey AS BIGINT)) AS BIGINT) AS sum_cust
+        |  FROM preds p
+        |  JOIN lineitem l
+        |    ON CAST(l.l_orderkey AS BIGINT) BETWEEN p.p_lo AND p.p_hi
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  GROUP BY 1)
+        |SELECT r.pred_label, r.p_lo, r.p_hi, 'exact' AS route,
+        |  r.est_e6 AS est_filtered_e6,
+        |  CAST(CASE WHEN r.act > 0
+        |    THEN abs(r.est_e6 - r.act * 1000000) // r.act
+        |    ELSE r.est_e6 END AS BIGINT) AS err_ppm,
+        |  r.est_li_e AS est_intermediate, r.chosen_e AS chosen_order,
+        |  r.robust AS margin_robust, r.route_used,
+        |  r.agrees AS choice_agrees, f.n_rows, f.sum_qty, f.sum_cust
+        |FROM rt r JOIN fins f USING (pred_label)
+        |UNION ALL
+        |SELECT r.pred_label, r.p_lo, r.p_hi, 'sampled', r.est_s6,
+        |  CAST(CASE WHEN r.act > 0
+        |    THEN abs(r.est_s6 - r.act * 1000000) // r.act
+        |    ELSE r.est_s6 END AS BIGINT),
+        |  r.est_li_s, r.chosen_s, r.robust, r.route_used, r.agrees,
+        |  f.n_rows, f.sum_qty, f.sum_cust
+        |FROM rt r JOIN fins f USING (pred_label)""".stripMargin,
     // sufficient statistics, both estimators, and both errors re-derived
     // in integer SQL from the same deterministic key-partition sample
     "q242_sampled_analyze" ->

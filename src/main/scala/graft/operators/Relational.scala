@@ -2438,6 +2438,128 @@ object Relational {
       "n_rows", "sum_qty", "sum_cust", "orders_identical")
   }
 
+  /** The sampled-route safety margin (the q227 `margin_robust` contract
+    * re-derived for sampling error): the choice between est_li (carrying
+    * a ±3/√c relative band from the c-row sample behind it) and est_oc
+    * (exact store stats, no band) is SAFE when the margin exceeds the
+    * band — |est_li − est_oc| > 3·est_li/√c, squared to stay in integer
+    * math: (est_li − est_oc)²·c > 9·est_li². BigInt products on purpose
+    * (two warehouse-scale estimates square past a Long). Exposed for the
+    * planted near-margin spec. */
+  private[graft] def sampledMarginRobust(estLi: Long, estOc: Long,
+                                         c: Long): Boolean = {
+    require(c > 0, s"need positive sample support; got $c")
+    val m = BigInt(estLi) - BigInt(estOc)
+    m * m * BigInt(c) > BigInt(9) * BigInt(estLi) * BigInt(estLi)
+  }
+
+  /** A64 [EXT] — SAMPLED HISTOGRAM ROUTE (q246): A61 gave ANALYZE a
+    * sampled NDV route; the equi-depth histograms driving q207/q232 were
+    * still full-scan builds — the one statistic left whose construction
+    * touches every row. This row builds the histogram from the
+    * deterministic 1/8 l_orderkey key partition (counts scaled ×8; the
+    * q235/q242 sampling discipline — a key partition is arithmetic,
+    * never engine RNG), measures it against the exact histogram on
+    * q232's two-point predicate sweep (est + err_ppm per route,
+    * oracle-re-derived), and CONSUMES it the way q232 consumes the
+    * exact one: the filtered join-order decision priced from the
+    * sampled estimate, with the sample-induced error band propagated
+    * into the decision the way q227 propagates the NDV 3σ band —
+    * [[sampledMarginRobust]] says whether the margin between
+    * est(li′⋈ord) and est(ord⋈cust) clears the ±3/√c band of the c
+    * sampled rows behind the estimate; when it does not, the route
+    * FALLS BACK to the exact histogram (`route` = exact_fallback, the
+    * operational contract a production ANALYZE ships). The executed
+    * answer is the routed choice's order at full size; predicate bounds
+    * come from the persisted ANALYZE store's min/max (no live scan
+    * feeds any decision input).
+    *
+    * Scale: the sampled build reads 1/mod of the fact table ONCE per
+    * snapshot (boundary placement degrades with the sample, count mass
+    * stays unbiased under ×mod scaling); the decision stays
+    * |buckets|-sized; mod grows freely with the table because the
+    * band check keeps the route honest — exactly the q242 Chao story
+    * told for histograms. */
+  def sampledHistogramRouteAudit(spark: SparkSession, dir: String,
+                                 nBuckets: Int = 16,
+                                 mod: Long = 8L): DataFrame = {
+    require(mod >= 2L, s"need a real sample; got mod=$mod")
+    val store = ensureTableStats(spark, dir)
+      .select(col("table_name"), col("column_name"), col("n_rows"),
+        col("ndv"), col("min_val"), col("max_val")).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getString(4), r.getString(5))))
+      .toMap
+    val (nOrd, _, _, _) = store(("orders", "o_custkey"))
+    val (_, ndvOo, _, _) = store(("orders", "o_orderkey"))
+    val (_, ndvOc, _, _) = store(("orders", "o_custkey"))
+    val (nCust, ndvCc, _, _) = store(("customer", "c_custkey"))
+    val (_, _, minS, maxS) = store(("lineitem", "l_orderkey"))
+    val (lo, hi) = (minS.toLong, maxS.toLong)
+    val li = Tables.lineitem(spark, dir)
+    val ord = Tables.orders(spark, dir)
+    val cust = Tables.customer(spark, dir)
+    val liKey = li.select(col("l_orderkey").cast("long").as("v"))
+    val histExact = equiDepthBuckets(liKey, nBuckets, "shr_ex")
+    // sampled build: the 1/mod key partition, counts scaled ×mod before
+    // the equi-depth fold (scaling commutes with the bucket rank —
+    // ⌊(m·c·B)/(m·n)⌋ = ⌊c·B/n⌋)
+    val histSampled = bucketsFromCounts(graft.sources.Sources.spillScratch(
+      liKey.filter(pmod(col("v"), lit(mod)) === 0L)
+        .groupBy(col("v")).agg((count(lit(1)) * lit(mod)).as("cnt")),
+      "shr_samp"), nBuckets)
+    val d = hi - lo + 1L
+    val predDefs = Seq(
+      ("narrow", lo, lo + d / 50L - 1L),
+      ("wide", lo, lo + 4L * d / 5L - 1L))
+    val estOrdCust = estimateJoinRows(nOrd, ndvOc, nCust, ndvCc)
+    import spark.implicits._
+    val out = predDefs.flatMap { case (label, pLo, pHi) =>
+      val pred = spark.range(1).select(lit(0L).as("pred_id"),
+        lit(pLo).as("p_lo"), lit(pHi).as("p_hi"))
+      def estOf(hist: DataFrame): Long =
+        estimateRanges(pred, hist, "est_e6").head().getAs[Long]("est_e6")
+      val (estE, estS) = (estOf(histExact), estOf(histSampled))
+      val actual = liKey.filter(col("v").between(pLo, pHi)).count()
+      def err(est: Long): Long =
+        if (actual > 0L) math.abs(est - actual * 1000000L) / actual
+        else est
+      def liOrdEst(estE6: Long): Long = {
+        val f = estE6 / 1000000L
+        estimateJoinRows(f, math.max(1L, math.min(f, ndvOo)), nOrd, ndvOo)
+      }
+      val (estLiE, estLiS) = (liOrdEst(estE), liOrdEst(estS))
+      val chosenE = chooseJoinOrder(estLiE, estOrdCust)
+      val chosenS = chooseJoinOrder(estLiS, estOrdCust)
+      // c = the UNSCALED sampled support behind the estimate
+      val cS = math.max(1L, estS / (mod * 1000000L))
+      val robust = sampledMarginRobust(estLiS, estOrdCust, cS)
+      val route = if (robust) "sampled" else "exact_fallback"
+      val chosenUsed = if (robust) chosenS else chosenE
+      val agrees = chosenS == chosenE
+      val liF = li.filter(col("l_orderkey").cast("long").between(pLo, pHi))
+      val onLi = col("l_orderkey") === col("o_orderkey")
+      val onCust = col("o_custkey") === col("c_custkey")
+      val full =
+        if (chosenUsed == "lineitem_orders_first")
+          liF.join(ord, onLi).join(cust, onCust)
+        else liF.join(ord.join(cust, onCust), onLi)
+      val r = full.agg(count(lit(1)), sum(col("l_quantity").cast("long")),
+        sum(col("c_custkey").cast("long"))).head()
+      val (n, sq, sc) = (r.getLong(0),
+        if (r.isNullAt(1)) 0L else r.getLong(1),
+        if (r.isNullAt(2)) 0L else r.getLong(2))
+      Seq(
+        (label, pLo, pHi, "exact", estE, err(estE), estLiE, chosenE,
+          robust, route, agrees, n, sq, sc),
+        (label, pLo, pHi, "sampled", estS, err(estS), estLiS, chosenS,
+          robust, route, agrees, n, sq, sc))
+    }
+    out.toDF("pred_label", "p_lo", "p_hi", "route", "est_filtered_e6",
+      "err_ppm", "est_intermediate", "chosen_order", "margin_robust",
+      "route_used", "choice_agrees", "n_rows", "sum_qty", "sum_cust")
+  }
+
   /** One dynamic-programming cell of the Selinger chain enumeration:
     * estimated cardinality of the interval's join, the C_out cost of its
     * best tree (Σ of estimated intermediate sizes over the tree —

@@ -1510,4 +1510,59 @@ class RelationalSpec extends AnyFunSuite {
           math.min(cost("lineitem,orders,part"),
             cost("lineitem,orders,customer"))))
   }
+  test("sampledMarginRobust: wide margins clear the band, near-margin and thin samples fall back") {
+    // margin 4x the estimate with real support: safe
+    assert(Relational.sampledMarginRobust(1000L, 5000L, 100L))
+    // 3% margin inside the 3/sqrt(1) = 300% band: fall back
+    assert(!Relational.sampledMarginRobust(1000L, 1030L, 1L))
+    // the SAME margin becomes safe once the sample is big enough:
+    // need (30)^2 c > 9*10^6 => c > 10000
+    assert(!Relational.sampledMarginRobust(1000L, 1030L, 10000L))
+    assert(Relational.sampledMarginRobust(1000L, 1030L, 10001L))
+    // warehouse-scale estimates must not wrap a Long
+    assert(Relational.sampledMarginRobust(3_000_000_000L, 9_000_000_000L,
+      1000L))
+    intercept[IllegalArgumentException] {
+      Relational.sampledMarginRobust(10L, 20L, 0L)
+    }
+  }
+  test("q246 sampled histogram route: scaled-sample estimates, band-guarded consumer, flip preserved") {
+    val rows = Relational.sampledHistogramRouteAudit(spark, TestSpark.Sf0001)
+      .as[(String, Long, Long, String, Long, Long, Long, String, Boolean,
+        String, Boolean, Long, Long, Long)].collect()
+    assert(rows.length == 4)
+    val byKey = rows.map(r => (r._1, r._4) -> r).toMap
+    // the sampled estimate stays inside 2x of actual on both predicates
+    // (err_ppm < 1e6) — boundary placement degrades, count mass doesn't
+    rows.filter(_._4 == "sampled").foreach { r =>
+      assert(r._6 < 1000000L, s"${r._1} sampled err ${r._6} ppm")
+    }
+    // the q232 within-query flip survives the sampled route
+    assert(byKey(("narrow", "sampled"))._8 == "lineitem_orders_first")
+    assert(byKey(("wide", "sampled"))._8 == "orders_customer_first")
+    // on this fixture the margins clear the band: the sampled route is
+    // used and agrees with the exact one (both flags DERIVED)
+    assert(rows.forall(_._9), "margin_robust")
+    assert(rows.forall(_._10 == "sampled"), "route_used")
+    assert(rows.forall(_._11), "choice_agrees")
+    // the routed answer is the filtered 3-table join, replayed
+    val d = TestSpark.Sf0001
+    val li = graft.Tables.lineitem(spark, d)
+    val keyB = li.agg(min(col("l_orderkey").cast("long")),
+      max(col("l_orderkey").cast("long"))).head()
+    val (lo, hi) = (keyB.getLong(0), keyB.getLong(1))
+    val span = hi - lo + 1L
+    val want = li
+      .filter(col("l_orderkey").cast("long")
+        .between(lo, lo + span / 50L - 1L))
+      .join(graft.Tables.orders(spark, d),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(graft.Tables.customer(spark, d),
+        col("o_custkey") === col("c_custkey")).count()
+    assert(byKey(("narrow", "sampled"))._12 == want, "narrow answer")
+    // sampled support replayed: cs = est_s6 / 8e6 floors to the
+    // unscaled sampled mass the band formula needs
+    val sN = byKey(("narrow", "sampled"))
+    assert(sN._5 / 8000000L >= 1L || sN._5 < 8000000L)
+  }
 }

@@ -3011,9 +3011,15 @@ object Relational {
     * maintenance must bucket NEW rows against the bounds the grid was
     * built with, never re-derive its own (a drifting domain is q212's
     * staleness story — the answer is re-ANALYZE, not per-tick grids). */
+  /** Lazy cell: the bounds aggregate runs under the CELL's monitor, not
+    * the map's bin lock (the ensureStore StoreCell discipline — an
+    * unrelated key hashing to the same bin must never block behind this
+    * scan). */
+  private final class BoundsCell(build: () => (Long, Long, Long, Long)) {
+    lazy val value: (Long, Long, Long, Long) = build()
+  }
   private val cgrpBoundsMemo =
-    new java.util.concurrent.ConcurrentHashMap[
-      String, (Long, Long, Long, Long)]()
+    new java.util.concurrent.ConcurrentHashMap[String, BoundsCell]()
 
   private[graft] def cgrpBounds(spark: SparkSession,
                                 dir: String): (Long, Long, Long, Long) =
@@ -3021,13 +3027,14 @@ object Relational {
     // just a static-table assumption — consumers after the first pay
     // zero scans (the r17 review finding)
     cgrpBoundsMemo.computeIfAbsent(
-      s"${graft.sources.Sources.sessionTag(spark)}|$dir", { _ =>
+      s"${graft.sources.Sources.sessionTag(spark)}|$dir",
+      _ => new BoundsCell(() => {
         val b = Tables.events(spark, dir)
           .agg(min(col("event_id")), max(col("event_id")),
             min(unix_micros(col("ts"))), max(unix_micros(col("ts"))))
           .head()
         (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
-      })
+      })).value
 
   private def bucketCols(b: (Long, Long, Long, Long)): Seq[Column] = {
     val (idMin, idMax, tsMin, tsMax) = b
@@ -3234,13 +3241,22 @@ object Relational {
     * zoneMapCommit XO contract applied to the group stat). */
   private[graft] def cgrpCommit(batchRows: DataFrame, batchId: Long,
                                 root: String,
-                                bounds: (Long, Long, Long, Long)): Unit =
-    batchRows.select(bucketCols(bounds): _*)
+                                bounds: (Long, Long, Long, Long)): Unit = {
+    val partial = batchRows.select(bucketCols(bounds): _*)
       .groupBy(col("b_id"), col("b_ts"))
       .agg(count(lit(1)).as("n_rows"))
-      .withColumn("ingest_batch", lit(batchId))
-      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
-      .partitionBy("ingest_batch").parquet(s"$root/cgrp")
+      .persist()
+    try {
+      // an empty tick is a valid no-op commit: a zero-row dynamic
+      // overwrite writes a part-less directory that breaks later schema
+      // inference (the matViewCommit guard, applied grid-side)
+      if (partial.limit(1).count() > 0L)
+        partial.withColumn("ingest_batch", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("ingest_batch").parquet(s"$root/cgrp")
+    } finally { partial.unpersist(); () }
+  }
 
   /** One ingest tick of the q238 loop: tick t carries the events rows
     * with event_id ≡ t (mod nTicks) — the oracle-derivable tick

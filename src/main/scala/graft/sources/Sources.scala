@@ -1797,14 +1797,34 @@ object Sources {
     * (batch, batchId); per-tick dynamic overwrite → crash/replay converges
     * instead of double-counting (the zoneMapCommit XO contract). */
   private[graft] def matViewCommit(batchRows: DataFrame,
-                                   batchId: Long, root: String): Unit =
-    batchRows
+                                   batchId: Long, root: String): Unit = {
+    val spark = batchRows.sparkSession
+    val mv = s"$root/mv"
+    // tick commits need the tick-grain layout: a compacted store's live
+    // generation dropped the ingest_batch grain (W24 folds it away), so
+    // a commit after compaction must fail LOUDLY rather than land on
+    // the dead raw path behind the pointer — post-compaction ingest
+    // bootstraps a fresh tick-grain store
+    require(livePath(spark, mv) == mv,
+      s"MV store at $mv was compacted (live generation " +
+        s"${livePath(spark, mv)}); tick commits need the tick-grain " +
+        s"layout — bootstrap a new store before ingesting")
+    val partial = batchRows
       .groupBy(col("o_orderstatus"), col("o_orderpriority"))
       .agg(count(lit(1)).as("n_orders"),
         sum(col("o_totalprice").cast("decimal(12,2)")).as("sum_price_dec"))
-      .withColumn("ingest_batch", lit(batchId))
-      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
-      .partitionBy("ingest_batch").parquet(s"$root/mv")
+      .persist()
+    try {
+      // an empty tick is a valid no-op commit: a zero-row dynamic
+      // overwrite would write a part-less directory that breaks later
+      // schema inference with an obscure error
+      if (partial.limit(1).count() > 0L)
+        partial.withColumn("ingest_batch", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("ingest_batch").parquet(mv)
+    } finally { partial.unpersist(); () }
+  }
 
   /** One ingest tick of the q233 loop: tick t carries the orders rows
     * with o_orderkey ≡ t (mod nTicks) — the oracle-derivable tick
@@ -1830,7 +1850,10 @@ object Sources {
     * counts add, DECIMAL sums add. */
   private[graft] def matViewFold(spark: SparkSession,
                                  root: String): DataFrame =
-    spark.read.parquet(s"$root/mv")
+    // resolve through the generation pointer: after a W24 compaction the
+    // live store is a folded generation dir, and the fold (re-aggregable
+    // monoids) answers identically from either layout
+    spark.read.parquet(livePath(spark, s"$root/mv"))
       .groupBy(col("o_orderstatus"), col("o_orderpriority"))
       .agg(sum(col("n_orders")).as("n_orders"),
         sum(col("sum_price_dec")).as("sum_price_dec"))
@@ -1847,7 +1870,10 @@ object Sources {
   def incrementalMatViewMaintenance(spark: SparkSession, dir: String,
                                     nTicks: Int = 4): DataFrame = {
     val root = ensureMatViewStore(spark, dir, nTicks)
-    spark.read.parquet(s"$root/mv")
+    // tick-grain read through the pointer: fails loudly (missing
+    // ingest_batch) if the store was ever compacted, which the shared
+    // leaf never is — the raw-path read would silently miss the flip
+    spark.read.parquet(livePath(spark, s"$root/mv"))
       .select(col("ingest_batch").cast("long").as("ingest_batch"),
         col("o_orderstatus"), col("o_orderpriority"), col("n_orders"),
         col("sum_price_dec").cast("double").as("sum_price"))
@@ -1906,7 +1932,7 @@ object Sources {
       matViewTickAt(spark, dir, root, t, nTicks))
     // staleness: MV-covered rows (metadata fold) vs the ANALYZE store's
     // base count — no base-table scan in the decision
-    val preRows = spark.read.parquet(s"$root/mv")
+    val preRows = spark.read.parquet(livePath(spark, s"$root/mv"))
       .agg(coalesce(sum(col("n_orders")), lit(0L))).head().getLong(0)
     val baseRows = graft.operators.Relational.ensureTableStats(spark, dir)
       .filter(col("table_name") === "orders" &&
@@ -1915,7 +1941,7 @@ object Sources {
     val wasStale = preRows < baseRows
     // targeted refresh: the store's own partitions say which ticks are
     // missing — replay exactly those commits
-    val present = spark.read.parquet(s"$root/mv")
+    val present = spark.read.parquet(livePath(spark, s"$root/mv"))
       .select(col("ingest_batch").cast("long")).distinct()
       .collect().map(_.getLong(0)).toSet
     val missing = (0L until nTicks.toLong).filterNot(present)

@@ -1038,6 +1038,31 @@ class SourcesSpec extends AnyFunSuite {
       base.map(r => (r._1, r._2, r._3)), "compacted counts != base")
   }
 
+  test("MV store guards: empty tick is a no-op commit, post-compaction tick commits fail loudly") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_mvguard").toString
+    (0 until 4).foreach(t =>
+      Sources.matViewTickAt(spark, TestSpark.Sf0001, s"$root/x", t, 4))
+    def store() = spark.read
+      .parquet(Sources.livePath(spark, s"$root/x/mv"))
+      .select(col("ingest_batch").cast("long"), col("o_orderstatus"),
+        col("n_orders"))
+      .as[(Long, String, Long)].collect().toSet
+    val before = store()
+    // an empty batch (no orders rows) must not write a part-less
+    // zero-row partition that breaks later schema inference
+    Sources.matViewCommit(
+      Tables.orders(spark, TestSpark.Sf0001)
+        .filter(col("o_orderkey") < 0), 9L, s"$root/x")
+    assert(store() == before, "empty tick changed the store")
+    // after compaction the tick grain is folded away: a commit must be
+    // rejected, never landed on the dead raw path behind the pointer
+    Sources.compactMvAt(spark, s"$root/x/mv")
+    intercept[IllegalArgumentException] {
+      Sources.matViewTickAt(spark, TestSpark.Sf0001, s"$root/x", 1, 4)
+    }
+  }
+
   private def walkFiles(d: java.io.File): Seq[java.io.File] =
     if (d.isFile) Seq(d)
     else Option(d.listFiles()).map(_.toSeq.flatMap(walkFiles)).getOrElse(Nil)

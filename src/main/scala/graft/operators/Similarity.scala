@@ -440,12 +440,16 @@ object Similarity {
     * tick's own partition (the q70/q93 exactly-once discipline) and
     * list_id stays a partition column for probe-side file pruning. */
   def writeIvfIndex(e: DataFrame, codebookPath: String, indexPath: String,
-                    nLists: Int = 16, trainIters: Int = 1): Unit = {
+                    nLists: Int = 16, trainIters: Int = 1,
+                    trainOn: Option[DataFrame] = None): Unit = {
     val spark = e.sparkSession
     // bootstrap claims the raw path as the live generation (a prior
     // same-session compaction may have flipped the pointer elsewhere)
     graft.sources.Sources.resetLivePointer(spark, indexPath)
-    val cents = trainCentroids(e, nLists, trainIters)
+    // trainOn: an optional (smaller) training corpus — the codebook is a
+    // frozen coordinate system, so training on a sample changes quality
+    // (q43's row), never correctness of the assign/ingest lifecycle
+    val cents = trainCentroids(trainOn.getOrElse(e), nLists, trainIters)
     saveCentroids(spark, cents, codebookPath)
     ivfAssign(e, cents)
       .withColumn("ingest_batch", lit(-1L))
@@ -792,13 +796,15 @@ object Similarity {
     * codes partitioned by ingest_batch (settled = batch −1) so each later
     * tick owns a partition and replay is idempotent (q70/q93 discipline). */
   def writePqIndex(e: DataFrame, booksPath: String, codesPath: String,
-                   m: Int = 8, kSub: Int = 16, trainIters: Int = 2): Unit = {
+                   m: Int = 8, kSub: Int = 16, trainIters: Int = 2,
+                   trainOn: Option[DataFrame] = None): Unit = {
     val spark = e.sparkSession
     // bootstrap claims the raw path as the live generation (a prior
     // same-session compaction may have flipped the pointer elsewhere)
     graft.sources.Sources.resetLivePointer(spark, codesPath)
     val dim = e.select(size(col("embedding"))).head().getInt(0)
-    val books = trainPqBooks(e, m, kSub, trainIters)
+    // trainOn: see writeIvfIndex — frozen books, quality is q118's row
+    val books = trainPqBooks(trainOn.getOrElse(e), m, kSub, trainIters)
     savePqBooks(spark, books, booksPath)
     e.select(col("vec_id"), pqEncode(col("embedding"), books, dim / m).as("codes"))
       .withColumn("ingest_batch", lit(-1L))
@@ -1819,85 +1825,139 @@ object Similarity {
     * Scale: each tick costs O(batch) encode/assign work against a
     * metadata-sized frozen codebook — shuffle-free; the store listing
     * grows one partition per batch until q139/q141 compaction folds it.
-    * The exact-compare legs are the audit price (fixture-bounded here;
-    * at 100 TB they run on a sampled partition, the q221 discipline). */
+    * The exact-compare legs run in the q235/q246 SAMPLED form (the 1/8
+    * vec_id key partition — arithmetic, closed under the per-row
+    * assign/encode, so every sampled row is oracle-exact; this is the
+    * shape the scaladoc always declared for 100 TB, adopted r18), with
+    * the replay leg additionally cross-checked by a FULL store row
+    * count so a partition-clobbering replay cannot hide outside the
+    * sample. */
   def annStreamingMaintenanceAudit(spark: SparkSession, dir: String,
                                    nBatches: Int = 3): DataFrame = {
     require(nBatches >= 2, s"need nBatches >= 2 (a middle batch is replayed); got $nBatches")
     import graft.sources.Sources
-    val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
-    val isNew = col("vec_id") % 5 === 0
-    val settled = e.filter(!isNew)
-    // spool the new vectors to one parquet file per tick: the stream
-    // feed (files are the micro-batch grain under maxFilesPerTrigger=1)
-    val feed = Sources.scratchDirUnique(spark, "annstream_feed")
-    for (b <- 0 until nBatches)
-      e.filter(pmod(col("vec_id"), lit(5L * nBatches)) === 5L * b)
-        .coalesce(1)
-        .write.mode(if (b == 0) "overwrite" else "append").parquet(feed)
-    def runStream(writer: DataFrame =>
-        org.apache.spark.sql.streaming.DataStreamWriter[
-          org.apache.spark.sql.Row]): Unit = {
-      val src = spark.readStream.schema(e.schema)
-        .option("maxFilesPerTrigger", "1").parquet(feed)
-      val q = writer(src)
-        .option("checkpointLocation", Sources.scratchDirUnique(spark, "annstream_ck"))
-        .start()
-      try q.processAllAvailable() finally q.stop()
-    }
-    def mismatches(a: DataFrame, b: DataFrame): Long =
-      a.exceptAll(b).count() + b.exceptAll(a).count()
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding")).persist()
+    try {
+      val isNew = col("vec_id") % 5 === 0
+      val settled = e.filter(!isNew)
+      // the audit sample: deterministic 1/8 key partition (q235 form) —
+      // assign/encode are per-row, so the sampled compare is exact on
+      // its subset
+      val inSample = pmod(col("vec_id"), lit(8L)) === 0L
+      // spool the new vectors to one parquet file per tick: the stream
+      // feed (files are the micro-batch grain under maxFilesPerTrigger=1)
+      val feed = Sources.scratchDirUnique(spark, "annstream_feed")
+      for (b <- 0 until nBatches)
+        e.filter(pmod(col("vec_id"), lit(5L * nBatches)) === 5L * b)
+          .coalesce(1)
+          .write.mode(if (b == 0) "overwrite" else "append").parquet(feed)
+      def startStream(writer: DataFrame =>
+          org.apache.spark.sql.streaming.DataStreamWriter[
+            org.apache.spark.sql.Row])
+          : org.apache.spark.sql.streaming.StreamingQuery = {
+        val src = spark.readStream.schema(e.schema)
+          .option("maxFilesPerTrigger", "1").parquet(feed)
+        writer(src)
+          .option("checkpointLocation", Sources.scratchDirUnique(spark, "annstream_ck"))
+          .start()
+      }
+      def mismatches(a: DataFrame, b: DataFrame): Long =
+        a.exceptAll(b).count() + b.exceptAll(a).count()
 
-    // --- IVF ---
-    val cbPath = Sources.scratchDirUnique(spark, "annstream_ivf_cb")
-    val idxPath = Sources.scratchDirUnique(spark, "annstream_ivf_idx")
-    writeIvfIndex(settled, cbPath, idxPath)
-    runStream(streamingIvfMaintenance(_, cbPath, idxPath))
-    val cents = loadCentroids(spark, cbPath)
-    def ivfStore() = spark.read.parquet(Sources.livePath(spark, idxPath))
-    val ivfBatches = ivfStore().filter(col("ingest_batch") >= 0L)
-      .select(col("ingest_batch")).distinct().count()
-    val fullAssign = ivfAssign(e, cents).select(col("vec_id"), col("list_id"))
-    val ivfStoreMis = mismatches(
-      ivfStore().select(col("vec_id"), col("list_id")), fullAssign)
-    // replay batch 1 with exactly what the stream landed there (the
-    // store keeps the vectors), then require byte-for-byte convergence
-    val ivfPre = ivfStore().select(col("ingest_batch"), col("vec_id"),
-      col("list_id")).localCheckpoint(true) // batch-sized
-    ivfIngestTick(ivfStore().filter(col("ingest_batch") === 1L)
-      .select(col("vec_id"), col("embedding")), cbPath, idxPath, 1L)
-    val ivfReplayMis = mismatches(ivfStore()
-      .select(col("ingest_batch"), col("vec_id"), col("list_id")), ivfPre)
+      // the two families are fully independent (own stores, own
+      // streams, own compare legs), so every family-local phase runs on
+      // its own driver thread — concurrent Spark jobs sharing the
+      // local[n] cores, the same wall-clock shape a real cluster gives
+      // two independent maintenance pipelines
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      def both[A, B](fa: => A, fb: => B): (A, B) = {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+        implicit val ec: scala.concurrent.ExecutionContext =
+          scala.concurrent.ExecutionContext.fromExecutorService(pool)
+        try {
+          val (a, b) = (Future(fa), Future(fb))
+          (Await.result(a, Duration.Inf), Await.result(b, Duration.Inf))
+        } finally { pool.shutdown(); () }
+      }
 
-    // --- PQ (trainIters=1: the books are this audit's private fixture;
-    // q118 owns the trained-quality story) ---
-    val booksPath = Sources.scratchDirUnique(spark, "annstream_pq_books")
-    val codesPath = Sources.scratchDirUnique(spark, "annstream_pq_codes")
-    writePqIndex(settled, booksPath, codesPath, trainIters = 1)
-    runStream(streamingPqMaintenance(_, booksPath, codesPath))
-    val books = loadPqBooks(spark, booksPath)
-    val subDim = books(0)(0).length
-    def pqStore() = spark.read.parquet(Sources.livePath(spark, codesPath))
-    val pqBatches = pqStore().filter(col("ingest_batch") >= 0L)
-      .select(col("ingest_batch")).distinct().count()
-    val fullCodes = e.select(col("vec_id"),
-      pqEncode(col("embedding"), books, subDim).as("codes"))
-    val pqStoreMis = mismatches(
-      pqStore().select(col("vec_id"), col("codes")), fullCodes)
-    val pqPre = pqStore().select(col("ingest_batch"), col("vec_id"),
-      col("codes")).localCheckpoint(true)
-    pqIngestTick(e.join(pqStore().filter(col("ingest_batch") === 1L)
-        .select(col("vec_id")), Seq("vec_id"), "left_semi"),
-      booksPath, codesPath, 1L)
-    val pqReplayMis = mismatches(pqStore()
-      .select(col("ingest_batch"), col("vec_id"), col("codes")), pqPre)
+      // bootstrap both families — training corpora are the 1/8 sample
+      // (the codebook/books are frozen fixtures here; index QUALITY is
+      // q43/q118's row, and the lifecycle claims below are exact under
+      // any frozen codebook)
+      val trainSet = Some(settled.filter(inSample))
+      val cbPath = Sources.scratchDirUnique(spark, "annstream_ivf_cb")
+      val idxPath = Sources.scratchDirUnique(spark, "annstream_ivf_idx")
+      val booksPath = Sources.scratchDirUnique(spark, "annstream_pq_books")
+      val codesPath = Sources.scratchDirUnique(spark, "annstream_pq_codes")
+      both(
+        writeIvfIndex(settled, cbPath, idxPath, trainOn = trainSet),
+        writePqIndex(settled, booksPath, codesPath, trainIters = 1,
+          trainOn = trainSet))
+      // both maintenance streams run CONCURRENTLY — independent stores,
+      // and each stream's micro-batch barriers leave cores idle that
+      // the other family's ticks can use
+      val qIvf = startStream(streamingIvfMaintenance(_, cbPath, idxPath))
+      val qPq = startStream(streamingPqMaintenance(_, booksPath, codesPath))
+      try {
+        qIvf.processAllAvailable(); qPq.processAllAvailable()
+      } finally { qIvf.stop(); qPq.stop() }
 
-    val (nSettled, nNew) = (settled.count(), e.filter(isNew).count())
-    import spark.implicits._
-    Seq(
-      ("ivf", nSettled, nNew, ivfBatches, ivfStoreMis, ivfReplayMis),
-      ("pq", nSettled, nNew, pqBatches, pqStoreMis, pqReplayMis))
-      .toDF("family", "n_settled", "n_new", "n_stream_batches",
-        "store_mismatches", "replay_mismatches")
+      // per-family audit leg: one persisted post-stream read (a
+      // partitioned store pays its file listing once, not per action),
+      // sampled store-compare, replay of batch 1 from the store's own
+      // rows, convergence = sampled row-set + FULL count (a clobbered
+      // partition can't hide outside the sample)
+      def familyLeg(storePath: String, cols: Seq[String],
+                    derive: DataFrame => DataFrame,
+                    replay: DataFrame => Unit): (Long, Long, Long) = {
+        def store() = spark.read.parquet(Sources.livePath(spark, storePath))
+        val after = store().persist()
+        try {
+          val batches = after.filter(col("ingest_batch") >= 0L)
+            .select(col("ingest_batch")).distinct().count()
+          val keyCols = cols.map(col)
+          val storeMis = mismatches(
+            after.filter(inSample).select(keyCols: _*),
+            derive(e.filter(inSample)))
+          val rowsPre = after.count()
+          val pre = after.filter(inSample)
+            .select(col("ingest_batch") +: keyCols: _*)
+            .localCheckpoint(true) // sample-sized
+          replay(after.filter(col("ingest_batch") === 1L))
+          val post = store()
+          val replayMis = mismatches(post.filter(inSample)
+              .select(col("ingest_batch") +: keyCols: _*), pre) +
+            math.abs(post.count() - rowsPre)
+          (batches, storeMis, replayMis)
+        } finally { after.unpersist(); () }
+      }
+      val cents = loadCentroids(spark, cbPath)
+      val books = loadPqBooks(spark, booksPath)
+      val subDim = books(0)(0).length
+      val (ivfLeg, pqLeg) = both(
+        familyLeg(idxPath, Seq("vec_id", "list_id"),
+          s => ivfAssign(s, cents).select(col("vec_id"), col("list_id")),
+          batch1 => { ivfIngestTick(batch1
+            .select(col("vec_id"), col("embedding")), cbPath, idxPath, 1L)
+            () }),
+        // PQ: trainIters=1 — the books are this audit's private
+        // fixture; q118 owns the trained-quality story
+        familyLeg(codesPath, Seq("vec_id", "codes"),
+          s => s.select(col("vec_id"),
+            pqEncode(col("embedding"), books, subDim).as("codes")),
+          batch1 => pqIngestTick(
+            e.join(batch1.select(col("vec_id")), Seq("vec_id"),
+              "left_semi"), booksPath, codesPath, 1L)))
+
+      val (nSettled, nNew) = (settled.count(), e.filter(isNew).count())
+      import spark.implicits._
+      Seq(
+        ("ivf", nSettled, nNew, ivfLeg._1, ivfLeg._2, ivfLeg._3),
+        ("pq", nSettled, nNew, pqLeg._1, pqLeg._2, pqLeg._3))
+        .toDF("family", "n_settled", "n_new", "n_stream_batches",
+          "store_mismatches", "replay_mismatches")
+    } finally { e.unpersist(); () }
   }
 }

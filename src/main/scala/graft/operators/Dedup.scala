@@ -1144,31 +1144,52 @@ object Dedup {
     * leaf; each threshold then pays only a filter over the pair-bounded
     * edge relation plus a CC whose input is near-dup-bounded, orders of
     * magnitude below corpus size. The same one-pass-many-gates shape as
-    * the q165/q178/q180 sweeps.
-    */
+    * the q165/q178/q180 sweeps. The per-threshold legs are INDEPENDENT
+    * (each filters its own edge set and runs its own CC), so they run
+    * on concurrent driver threads over the persisted pair leaf — an
+    * iterative CC is many small barrier-synchronized jobs, and
+    * interleaving the sweeps fills the idle cores each barrier leaves
+    * (the r18 fresh-JVM attribution: 7.1 s sequential → the CC loops,
+    * not leaf re-reads). */
   def dedupThresholdCurve(spark: SparkSession, dir: String,
                           ts: Seq[Double] = Seq(0.5, 0.6, 0.7, 0.8, 0.9)): DataFrame = {
     require(ts.nonEmpty && ts.forall(t => t > 0 && t <= 1), s"need 0<t<=1; got $ts")
     val dec = org.apache.spark.sql.types.DecimalType(38, 18)
-    val pairs = ensureJaccardPairs(spark, dir, ts.min)
-    ts.sorted.map { t =>
-      val pt = pairs.filter(col("jaccard") >= t)
-      val touched = pt.select(col("doc_a").as("id"))
-        .unionByName(pt.select(col("doc_b").as("id"))).distinct()
-      val cc = connectedComponents(touched,
-        pt.select(col("doc_a").as("src"), col("doc_b").as("dst")))
-      val stats = pt.agg(
-        count(lit(1)).as("n_pairs"),
-        round(avg(col("jaccard")).cast(dec), 6).cast("double").as("mean_jaccard"))
-      val clusters = cc.agg(
-        count(lit(1)).as("n_docs_in_pairs"),
-        countDistinct(col("lbl")).as("n_clusters"))
-      stats.crossJoin(clusters)
-        .select(lit(t).as("threshold"), col("n_pairs"), col("n_docs_in_pairs"),
-          col("n_clusters"),
-          (col("n_docs_in_pairs") - col("n_clusters")).as("n_docs_dropped"),
-          col("mean_jaccard"))
-    }.reduce(_.unionByName(_))
+    val pairs = ensureJaccardPairs(spark, dir, ts.min).persist()
+    try {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      val pool = java.util.concurrent.Executors
+        .newFixedThreadPool(math.min(ts.length, 5))
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutorService(pool)
+      try {
+        val legs = ts.sorted.map { t =>
+          Future {
+            val pt = pairs.filter(col("jaccard") >= t)
+            val touched = pt.select(col("doc_a").as("id"))
+              .unionByName(pt.select(col("doc_b").as("id"))).distinct()
+            val cc = connectedComponents(touched,
+              pt.select(col("doc_a").as("src"), col("doc_b").as("dst")))
+            val stats = pt.agg(
+              count(lit(1)).as("n_pairs"),
+              round(avg(col("jaccard")).cast(dec), 6).cast("double")
+                .as("mean_jaccard"))
+            val clusters = cc.agg(
+              count(lit(1)).as("n_docs_in_pairs"),
+              countDistinct(col("lbl")).as("n_clusters"))
+            stats.crossJoin(clusters)
+              .select(lit(t).as("threshold"), col("n_pairs"),
+                col("n_docs_in_pairs"), col("n_clusters"),
+                (col("n_docs_in_pairs") - col("n_clusters"))
+                  .as("n_docs_dropped"),
+                col("mean_jaccard"))
+              .localCheckpoint(true) // 1 row — materialized in the leg
+          }
+        }
+        legs.map(Await.result(_, Duration.Inf)).reduce(_.unionByName(_))
+      } finally { pool.shutdown(); () }
+    } finally { pairs.unpersist(); () }
   }
 
   /** D33 [EXT] — DUPLICATION SEVERITY HISTOGRAM: how bad is the

@@ -979,7 +979,14 @@ object SparkEntry {
     // route falls back to the exact histogram; the routed choice's
     // order executes full-size, predicate bounds from the ANALYZE store
     "q246_sampled_histogram_route" -> ((s: SparkSession, d: String) =>
-      Relational.sampledHistogramRouteAudit(s, d))
+      Relational.sampledHistogramRouteAudit(s, d)),
+    // the statistics stack as ONE workload (the q179 capstone shape):
+    // sampled-histogram route -> routed join order -> FK elimination ->
+    // group-stat advice -> persisted feedback correction, every
+    // decision consuming a persisted statistic and landing in a uniform
+    // decision-trace row alongside the answer it produced
+    "q247_optimizer_capstone" -> ((s: SparkSession, d: String) =>
+      Relational.optimizerCapstoneAudit(s, d))
   )
 
   /** The session-shared `ensure*` leaves at the registry consumers'
@@ -2835,6 +2842,208 @@ object SparkEntry {
         |  r.est_li_s, r.chosen_s, r.robust, r.route_used, r.agrees,
         |  f.n_rows, f.sum_qty, f.sum_cust
         |FROM rt r JOIN fins f USING (pred_label)""".stripMargin,
+    // the whole decision trace re-derived: both histograms and the band
+    // check (row 1), the routed join-order choice and exact intermediate
+    // (row 2), PK/orphan conditions and the scan count (row 3), grid
+    // marginals vs the group fold against n/8 (row 4), and the learned
+    // correction applied to rectangle B (row 5) — plus each part's
+    // executed aggregate
+    "q247_optimizer_capstone" ->
+      """WITH st AS (
+        |  SELECT (SELECT CAST(count(*) AS BIGINT) FROM orders) AS nord,
+        |    (SELECT CAST(count(DISTINCT o_orderkey) AS BIGINT)
+        |       FROM orders) AS ndv_oo,
+        |    (SELECT CAST(count(DISTINCT o_custkey) AS BIGINT)
+        |       FROM orders) AS ndv_oc,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM customer) AS ncust,
+        |    (SELECT CAST(count(DISTINCT c_custkey) AS BIGINT)
+        |       FROM customer) AS ndv_cc,
+        |    (SELECT CAST(min(l_orderkey) AS BIGINT) FROM lineitem) AS lo,
+        |    (SELECT CAST(max(l_orderkey) AS BIGINT) FROM lineitem) AS hi),
+        |pred AS (
+        |  SELECT lo AS p_lo, lo + (hi - lo + 1) // 5 - 1 AS p_hi FROM st),
+        |vals AS (
+        |  SELECT CAST(l_orderkey AS BIGINT) AS v, count(*) AS cnt
+        |  FROM lineitem GROUP BY 1),
+        |cum AS (
+        |  SELECT v, cnt, sum(cnt) OVER () AS n,
+        |         sum(cnt) OVER (ORDER BY v) AS cum
+        |  FROM vals),
+        |buckets AS (
+        |  SELECT ((cum - cnt) * 16) // n AS bucket,
+        |         min(v) AS b_lo, max(v) AS b_hi, sum(cnt) AS b_cnt
+        |  FROM cum GROUP BY 1),
+        |svals AS (
+        |  SELECT CAST(l_orderkey AS BIGINT) AS v, count(*) * 8 AS cnt
+        |  FROM lineitem WHERE l_orderkey % 8 = 0 GROUP BY 1),
+        |scum AS (
+        |  SELECT v, cnt, sum(cnt) OVER () AS n,
+        |         sum(cnt) OVER (ORDER BY v) AS cum
+        |  FROM svals),
+        |sbuckets AS (
+        |  SELECT ((cum - cnt) * 16) // n AS bucket,
+        |         min(v) AS b_lo, max(v) AS b_hi, sum(cnt) AS b_cnt
+        |  FROM scum GROUP BY 1),
+        |este AS (
+        |  SELECT CAST(sum(b_cnt * (((least(p_hi, b_hi)
+        |    - greatest(p_lo, b_lo) + 1) * 1000000)
+        |    // (b_hi - b_lo + 1))) AS BIGINT) AS est_e6
+        |  FROM pred JOIN buckets ON b_hi >= p_lo AND b_lo <= p_hi),
+        |ests AS (
+        |  SELECT CAST(sum(b_cnt * (((least(p_hi, b_hi)
+        |    - greatest(p_lo, b_lo) + 1) * 1000000)
+        |    // (b_hi - b_lo + 1))) AS BIGINT) AS est_s6
+        |  FROM pred JOIN sbuckets ON b_hi >= p_lo AND b_lo <= p_hi),
+        |calc AS (
+        |  SELECT st.*, p.p_lo, p.p_hi, e.est_e6, s.est_s6,
+        |    (s.est_s6 // 1000000) * st.nord // st.ndv_oo AS est_li_s,
+        |    (st.nord * st.ncust) // greatest(st.ndv_oc, st.ndv_cc)
+        |      AS est_oc,
+        |    greatest(s.est_s6 // 8000000, 1) AS cs
+        |  FROM st, pred p, este e, ests s),
+        |rt AS (
+        |  SELECT *,
+        |    CAST(est_li_s - est_oc AS HUGEINT)
+        |      * CAST(est_li_s - est_oc AS HUGEINT) * cs
+        |      > 9 * CAST(est_li_s AS HUGEINT) * CAST(est_li_s AS HUGEINT)
+        |      AS robust
+        |  FROM calc),
+        |rt2 AS (
+        |  SELECT *,
+        |    CASE WHEN robust THEN 'sampled' ELSE 'exact_fallback' END
+        |      AS route,
+        |    (CASE WHEN robust THEN est_s6 ELSE est_e6 END // 1000000)
+        |      * nord // ndv_oo AS est_li_used
+        |  FROM rt),
+        |ch AS (
+        |  SELECT *,
+        |    CASE WHEN est_oc <= est_li_used THEN 'orders_customer_first'
+        |      ELSE 'lineitem_orders_first' END AS chosen
+        |  FROM rt2),
+        |actli AS (
+        |  SELECT CAST(coalesce(sum(a.ca * b.cb), 0) AS BIGINT) AS act_li
+        |  FROM (SELECT CAST(l_orderkey AS BIGINT) AS k, count(*) AS ca
+        |        FROM lineitem, pred
+        |        WHERE CAST(l_orderkey AS BIGINT) BETWEEN p_lo AND p_hi
+        |        GROUP BY 1) a
+        |  JOIN (SELECT CAST(o_orderkey AS BIGINT) AS k, count(*) AS cb
+        |        FROM orders GROUP BY 1) b ON b.k = a.k),
+        |rep AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS rep_n,
+        |    CAST(coalesce(sum(CAST(l.l_quantity AS BIGINT)), 0) AS BIGINT)
+        |      AS rep_sq,
+        |    CAST(coalesce(sum(CAST(c.c_custkey AS BIGINT)), 0) AS BIGINT)
+        |      AS rep_sc
+        |  FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey, pred p
+        |  WHERE CAST(l.l_orderkey AS BIGINT) BETWEEN p.p_lo AND p.p_hi),
+        |fkd AS (
+        |  SELECT CAST(count(DISTINCT o_orderkey) AS BIGINT) AS pk_ndv,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+        |     WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+        |      AS orphans,
+        |    count(DISTINCT o_orderkey) = count(*)
+        |      AND (SELECT count(*) FROM lineitem
+        |           WHERE l_orderkey NOT IN
+        |             (SELECT o_orderkey FROM orders)) = 0 AS eliminated
+        |  FROM orders),
+        |cnt AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS lone_n,
+        |    CAST(coalesce(sum(CAST(l_quantity AS BIGINT)), 0) AS BIGINT)
+        |      AS lone_sq
+        |  FROM lineitem, pred
+        |  WHERE CAST(l_orderkey AS BIGINT) BETWEEN p_lo AND p_hi),
+        |cntj AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS j_n,
+        |    CAST(coalesce(sum(CAST(l.l_quantity AS BIGINT)), 0) AS BIGINT)
+        |      AS j_sq
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey,
+        |    pred p
+        |  WHERE CAST(l.l_orderkey AS BIGINT) BETWEEN p.p_lo AND p.p_hi),
+        |bnd AS (
+        |  SELECT min(event_id) AS id_min, max(event_id) AS id_max,
+        |    min(epoch_us(CAST(ts AS TIMESTAMP))) AS ts_min,
+        |    max(epoch_us(CAST(ts AS TIMESTAMP))) AS ts_max,
+        |    CAST(count(*) AS BIGINT) AS n_ev
+        |  FROM events),
+        |ev AS (
+        |  SELECT (event_id - id_min) * 8 // (id_max - id_min + 1) AS b_id,
+        |    (epoch_us(CAST(ts AS TIMESTAMP)) - ts_min) * 8
+        |      // (ts_max - ts_min + 1) AS b_ts,
+        |    user_id
+        |  FROM events, bnd),
+        |g AS (
+        |  SELECT (SELECT n_ev FROM bnd) AS n_ev,
+        |    (SELECT count(*) FROM ev WHERE b_id BETWEEN 0 AND 1) AS na_a,
+        |    (SELECT count(*) FROM ev WHERE b_ts BETWEEN 0 AND 1) AS nb_a,
+        |    (SELECT count(*) FROM ev WHERE b_id BETWEEN 0 AND 1
+        |       AND b_ts BETWEEN 0 AND 1) AS actual_a,
+        |    (SELECT CAST(coalesce(sum(user_id), 0) AS BIGINT) FROM ev
+        |     WHERE b_id BETWEEN 0 AND 1 AND b_ts BETWEEN 0 AND 1)
+        |      AS sum_uid_a,
+        |    (SELECT count(*) FROM ev WHERE b_id BETWEEN 2 AND 3) AS na_b,
+        |    (SELECT count(*) FROM ev WHERE b_ts BETWEEN 2 AND 3) AS nb_b,
+        |    (SELECT count(*) FROM ev WHERE b_id BETWEEN 2 AND 3
+        |       AND b_ts BETWEEN 2 AND 3) AS actual_b,
+        |    (SELECT CAST(coalesce(sum(user_id), 0) AS BIGINT) FROM ev
+        |     WHERE b_id BETWEEN 2 AND 3 AND b_ts BETWEEN 2 AND 3)
+        |      AS sum_uid_b),
+        |gs AS (
+        |  SELECT *, na_a * nb_a // n_ev AS est_indep_a,
+        |    actual_a AS est_group_a, n_ev // 8 AS threshold,
+        |    na_b * nb_b // n_ev AS est_b_raw
+        |  FROM g),
+        |fb AS (
+        |  SELECT *, actual_a * 1000000 // greatest(est_indep_a, 1)
+        |    AS corr_e6
+        |  FROM gs),
+        |ap AS (
+        |  SELECT *, est_b_raw * corr_e6 // 1000000 AS est_b_corr FROM fb),
+        |fbf AS (
+        |  SELECT *,
+        |    CASE WHEN actual_b > 0 THEN abs(est_b_raw - actual_b)
+        |      * 1000000 // actual_b ELSE est_b_raw * 1000000 END
+        |      AS err_raw,
+        |    CASE WHEN actual_b > 0 THEN abs(est_b_corr - actual_b)
+        |      * 1000000 // actual_b ELSE est_b_corr * 1000000 END
+        |      AS err_corr
+        |  FROM ap)
+        |SELECT 'hist_route' AS step, 'report' AS part, route AS decision,
+        |  est_s6 AS input_a, est_e6 AS input_b,
+        |  CAST(est_li_used AS BIGINT) AS output, robust AS flag,
+        |  rep_n AS n_rows, rep_sq AS sum_a, rep_sc AS sum_b
+        |FROM ch, rep
+        |UNION ALL
+        |SELECT 'join_order', 'report', chosen,
+        |  CAST(est_li_used AS BIGINT), CAST(est_oc AS BIGINT), act_li,
+        |  chosen = 'lineitem_orders_first', rep_n, rep_sq, rep_sc
+        |FROM ch, actli, rep
+        |UNION ALL
+        |SELECT 'fk_elim', 'count_leg',
+        |  CASE WHEN eliminated THEN 'eliminated' ELSE 'kept' END,
+        |  pk_ndv, orphans,
+        |  CAST(CASE WHEN eliminated THEN 1 ELSE 2 END AS BIGINT),
+        |  eliminated,
+        |  CASE WHEN eliminated THEN lone_n ELSE j_n END,
+        |  CASE WHEN eliminated THEN lone_sq ELSE j_sq END,
+        |  CAST(0 AS BIGINT)
+        |FROM fkd, cnt, cntj
+        |UNION ALL
+        |SELECT 'group_stat', 'corner_a',
+        |  CASE WHEN est_group_a <= threshold THEN 'broadcast'
+        |    ELSE 'shuffle' END,
+        |  CAST(est_indep_a AS BIGINT), CAST(est_group_a AS BIGINT),
+        |  CAST(threshold AS BIGINT),
+        |  (actual_a <= threshold) = (est_group_a <= threshold),
+        |  CAST(actual_a AS BIGINT), sum_uid_a, CAST(0 AS BIGINT)
+        |FROM fbf
+        |UNION ALL
+        |SELECT 'feedback', 'corner_b', 'applied',
+        |  CAST(est_b_raw AS BIGINT), CAST(est_b_corr AS BIGINT), corr_e6,
+        |  err_corr < err_raw, CAST(actual_b AS BIGINT), sum_uid_b,
+        |  CAST(0 AS BIGINT)
+        |FROM fbf""".stripMargin,
     // sufficient statistics, both estimators, and both errors re-derived
     // in integer SQL from the same deterministic key-partition sample
     "q242_sampled_analyze" ->

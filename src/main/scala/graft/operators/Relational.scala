@@ -3777,4 +3777,177 @@ object Relational {
         "actual_intermediate", "n_rows", "sum_qty", "sum_cust",
         "orders_identical")
   }
+
+  /** J28 [EXT] — OPTIMIZER CAPSTONE (q247): the statistics stack run
+    * END-TO-END on one small workload, the way q179 composes the
+    * pipeline operators — every decision consumes a PERSISTED statistic
+    * and lands in a uniform decision-trace row (step, part, decision,
+    * input_a, input_b, output, flag) alongside the executed answer it
+    * produced, all oracle-re-derived:
+    *
+    *  1. `hist_route` — the report's filter (a 20 % l_orderkey window,
+    *     bounds from the ANALYZE store's min/max) is priced by the
+    *     SAMPLED histogram with the A64 band check; `margin_robust`
+    *     decides whether the sampled route is safe or the exact
+    *     histogram is the fallback (inputs: both estimates; output: the
+    *     routed intermediate estimate).
+    *  2. `join_order` — the routed estimate orders the 3-table report
+    *     (J22's decision); the report executes in the chosen order at
+    *     full size and its aggregate rides on rows 1–2.
+    *  3. `fk_elim` — the count sanity leg (same filter, lineitem⋈orders,
+    *     lineitem-only aggregate) is answered from lineitem ALONE iff
+    *     PK uniqueness (ANALYZE store) ∧ zero orphans (the A60
+    *     maintained counter) hold; output = the executed plan's
+    *     relation count (1 vs 2, from the optimized logical plan — the
+    *     q240 discipline).
+    *  4. `group_stat` — the events corner conjunction priced BOTH ways
+    *     from the persisted A58 grid (independence vs group fold)
+    *     against the q237 threshold (n/8); the flag derives advice
+    *     correctness from the executed actual.
+    *  5. `feedback` — the corner's observed cardinality persists an A62
+    *     correction (read BACK from the store), which re-prices the
+    *     same-class rectangle B; the flag derives `improved` from the
+    *     two errors.
+    *
+    * Scale: every decision input is metadata-sized (store rows, a
+    * |buckets| histogram, a ≤64-cell grid, a 4-row integrity fold, one
+    * feedback row); the executed legs are the queries the workload was
+    * running anyway. This row exists to prove the statistics ACT as a
+    * stack, not as five separate green rows. */
+  def optimizerCapstoneAudit(spark: SparkSession, dir: String): DataFrame = {
+    val store = ensureTableStats(spark, dir)
+      .select(col("table_name"), col("column_name"), col("n_rows"),
+        col("ndv"), col("min_val"), col("max_val")).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getString(4), r.getString(5))))
+      .toMap
+    val (nOrd, ndvOo, _, _) = store(("orders", "o_orderkey"))
+    val (_, ndvOc, _, _) = store(("orders", "o_custkey"))
+    val (nCust, ndvCc, _, _) = store(("customer", "c_custkey"))
+    val (_, _, minS, maxS) = store(("lineitem", "l_orderkey"))
+    val (lo, hi) = (minS.toLong, maxS.toLong)
+    val li = Tables.lineitem(spark, dir)
+    val ord = Tables.orders(spark, dir)
+    val cust = Tables.customer(spark, dir)
+
+    // --- 1. histogram route (A64) on the report predicate ---
+    val (pLo, pHi) = (lo, lo + (hi - lo + 1L) / 5L - 1L)
+    val liKey = li.select(col("l_orderkey").cast("long").as("v"))
+    val histExact = equiDepthBuckets(liKey, 16, "cap_ex")
+    val histSampled = bucketsFromCounts(graft.sources.Sources.spillScratch(
+      liKey.filter(pmod(col("v"), lit(8L)) === 0L)
+        .groupBy(col("v")).agg((count(lit(1)) * lit(8L)).as("cnt")),
+      "cap_samp"), 16)
+    val pred = spark.range(1).select(lit(0L).as("pred_id"),
+      lit(pLo).as("p_lo"), lit(pHi).as("p_hi"))
+    def estOf(h: DataFrame): Long =
+      estimateRanges(pred, h, "est_e6").head().getAs[Long]("est_e6")
+    val (estE, estS) = (estOf(histExact), estOf(histSampled))
+    def liOrdEst(estE6: Long): Long = {
+      val f = estE6 / 1000000L
+      estimateJoinRows(f, math.max(1L, math.min(f, ndvOo)), nOrd, ndvOo)
+    }
+    val estLiS = liOrdEst(estS)
+    val estOc = estimateJoinRows(nOrd, ndvOc, nCust, ndvCc)
+    val cS = math.max(1L, estS / 8000000L)
+    val robust = sampledMarginRobust(estLiS, estOc, cS)
+    val route = if (robust) "sampled" else "exact_fallback"
+    val estUsedE6 = if (robust) estS else estE
+    val estLiUsed = liOrdEst(estUsedE6)
+
+    // --- 2. join order (J22) + the executed report ---
+    val chosen = chooseJoinOrder(estLiUsed, estOc)
+    val liF = li.filter(col("l_orderkey").cast("long").between(pLo, pHi))
+    val onLi = col("l_orderkey") === col("o_orderkey")
+    val onCust = col("o_custkey") === col("c_custkey")
+    val repDf =
+      if (chosen == "lineitem_orders_first")
+        liF.join(ord, onLi).join(cust, onCust)
+      else liF.join(ord.join(cust, onCust), onLi)
+    val repRow = repDf.agg(count(lit(1)),
+      sum(col("l_quantity").cast("long")),
+      sum(col("c_custkey").cast("long"))).head()
+    val (repN, repSq, repSc) = (repRow.getLong(0),
+      if (repRow.isNullAt(1)) 0L else repRow.getLong(1),
+      if (repRow.isNullAt(2)) 0L else repRow.getLong(2))
+    val actLi = liF.groupBy(col("l_orderkey").cast("long").as("k"))
+      .agg(count(lit(1)).as("ca"))
+      .join(ord.groupBy(col("o_orderkey").cast("long").as("k"))
+        .agg(count(lit(1)).as("cb")), "k")
+      .agg(coalesce(sum(col("ca") * col("cb")), lit(0L))).head().getLong(0)
+
+    // --- 3. FK elimination (J25) on the count leg ---
+    val (pkRows, pkNdv, _, _) = store(("orders", "o_orderkey"))
+    val fkRoot = ensureFkIntegrityStats(spark, dir, 4)
+    val orphans = spark.read.parquet(s"$fkRoot/fkint")
+      .agg(coalesce(sum(col("n_orphans")), lit(0L))).head().getLong(0)
+    val eliminated = pkNdv == pkRows && orphans == 0L
+    def cntAgg(df: DataFrame): (Long, Long, Long) = {
+      val a = df.agg(count(lit(1)), sum(col("l_quantity").cast("long")))
+      val r = a.head()
+      val scans = a.queryExecution.optimizedPlan.collect {
+        case rel: org.apache.spark.sql.execution.datasources
+          .LogicalRelation => rel
+      }.length.toLong
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1), scans)
+    }
+    val (cntN, cntSq, cntScans) =
+      if (eliminated) cntAgg(liF) else cntAgg(liF.join(ord, onLi))
+
+    // --- 4. group stat (A58 consumer) on the events corner ---
+    val cells = gridCells(spark, dir)
+    val nEv = cells.values.sum
+    val estIndepA =
+      gridMarginalA(cells, 0L, 1L) * gridMarginalB(cells, 0L, 1L) / nEv
+    val estGroupA = gridRect(cells, 0L, 1L, 0L, 1L)
+    val threshold = nEv / 8L
+    val be = bucketedEvents(spark, dir)
+    def cornerAgg(il: Long, ih: Long, tl: Long, th: Long): (Long, Long) = {
+      val r = be.filter(col("b_id").between(il, ih) &&
+          col("b_ts").between(tl, th))
+        .agg(count(lit(1)), coalesce(sum(col("user_id").cast("long")),
+          lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val (actualA, sumUidA) = cornerAgg(0L, 1L, 0L, 1L)
+    val advice = if (estGroupA <= threshold) "broadcast" else "shuffle"
+    val adviceCorrect =
+      (actualA <= threshold) == (estGroupA <= threshold)
+
+    // --- 5. feedback (A62): learned on A, applied to B, through the
+    // persisted store ---
+    val fbRoot = graft.sources.Sources.scratchDirUnique(spark, "capfb")
+    import spark.implicits._
+    Seq(("capstone_id_ts_diag",
+      (BigInt(actualA) * BigInt(1000000L) /
+        BigInt(math.max(1L, estIndepA))).toLong))
+      .toDF("pred_class", "correction_e6")
+      .write.mode("overwrite").parquet(s"$fbRoot/fb")
+    val corrE6 = spark.read.parquet(s"$fbRoot/fb")
+      .filter(col("pred_class") === "capstone_id_ts_diag")
+      .select(col("correction_e6")).head().getLong(0)
+    val estBRaw =
+      gridMarginalA(cells, 2L, 3L) * gridMarginalB(cells, 2L, 3L) / nEv
+    val estBCorr = feedbackCorrected(estBRaw, corrE6)
+    val (actualB, sumUidB) = cornerAgg(2L, 3L, 2L, 3L)
+    def errPpmOf(est: Long): Long =
+      if (actualB > 0L) math.abs(est - actualB) * 1000000L / actualB
+      else est * 1000000L
+    val improved = errPpmOf(estBCorr) < errPpmOf(estBRaw)
+
+    Seq(
+      ("hist_route", "report", route, estS, estE, estLiUsed, robust,
+        repN, repSq, repSc),
+      ("join_order", "report", chosen, estLiUsed, estOc, actLi,
+        chosen == "lineitem_orders_first", repN, repSq, repSc),
+      ("fk_elim", "count_leg",
+        if (eliminated) "eliminated" else "kept", pkNdv, orphans,
+        cntScans, eliminated, cntN, cntSq, 0L),
+      ("group_stat", "corner_a", advice, estIndepA, estGroupA, threshold,
+        adviceCorrect, actualA, sumUidA, 0L),
+      ("feedback", "corner_b", "applied", estBRaw, estBCorr, corrE6,
+        improved, actualB, sumUidB, 0L))
+      .toDF("step", "part", "decision", "input_a", "input_b", "output",
+        "flag", "n_rows", "sum_a", "sum_b")
+  }
 }

@@ -1565,4 +1565,55 @@ class RelationalSpec extends AnyFunSuite {
     val sN = byKey(("narrow", "sampled"))
     assert(sN._5 / 8000000L >= 1L || sN._5 < 8000000L)
   }
+  test("q247 optimizer capstone: five decisions, each consuming a persisted statistic, trace coherent") {
+    val rows = Relational.optimizerCapstoneAudit(spark, TestSpark.Sf0001)
+      .as[(String, String, String, Long, Long, Long, Boolean, Long, Long,
+        Long)].collect()
+    assert(rows.length == 5)
+    val byStep = rows.map(r => r._1 -> r).toMap
+    val hist = byStep("hist_route")
+    val order = byStep("join_order")
+    val fk = byStep("fk_elim")
+    val grp = byStep("group_stat")
+    val fb = byStep("feedback")
+    // the routed estimate feeds the join-order row unchanged — the
+    // stack is wired, not five separate queries
+    assert(hist._6 == order._4, "hist output must be join_order's input")
+    // route ≡ the band check (fallback honest: at this fixture the thin
+    // sample's margin does not clear the band and the exact histogram
+    // is used — the fallback path exercised live)
+    assert(hist._3 == (if (hist._7) "sampled" else "exact_fallback"))
+    // the chosen order's estimate is within 2x of the exact intermediate
+    assert(math.abs(order._4 - order._6) * 2L <= order._6,
+      s"est ${order._4} vs actual ${order._6}")
+    // FK elimination fired on the clean fixture: 1 scan, orphans 0
+    assert(fk._3 == "eliminated" && fk._7 && fk._5 == 0L && fk._6 == 1L)
+    // the count leg's answer equals the report's lineitem mass
+    assert(fk._8 == order._8 && fk._9 == order._9)
+    // group stat: the exact grid fold sits on the other side of the
+    // threshold from independence, and the advice flag is derived
+    assert(grp._4 < grp._6 && grp._5 > grp._6,
+      s"straddle: indep ${grp._4}, group ${grp._5}, threshold ${grp._6}")
+    assert(grp._3 == "shuffle" && grp._7)
+    // feedback: correction learned on A lands B within 5% while raw
+    // independence is >50% off (measured fixture claims)
+    assert(fb._7, "improved")
+    assert(math.abs(fb._5 - fb._8) * 20L <= fb._8,
+      s"corrected ${fb._5} vs actual ${fb._8}")
+    assert(math.abs(fb._4 - fb._8) * 2L >= fb._8,
+      s"raw ${fb._4} should be far from actual ${fb._8}")
+    // the report answer replayed directly
+    val d = TestSpark.Sf0001
+    val li = graft.Tables.lineitem(spark, d)
+    val b = li.agg(min(col("l_orderkey").cast("long")),
+      max(col("l_orderkey").cast("long"))).head()
+    val (lo, hi) = (b.getLong(0), b.getLong(1))
+    val want = li.filter(col("l_orderkey").cast("long")
+        .between(lo, lo + (hi - lo + 1L) / 5L - 1L))
+      .join(graft.Tables.orders(spark, d),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(graft.Tables.customer(spark, d),
+        col("o_custkey") === col("c_custkey")).count()
+    assert(hist._8 == want, "report row count")
+  }
 }

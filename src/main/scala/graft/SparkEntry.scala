@@ -1646,19 +1646,117 @@ object SparkEntry {
     * the same parquet tables. Omitted (→ driver rows-only check):
     * q19_simhash and q22_ann_topk are keyed on Spark's xxhash64,
     * q43_ivf_topk / q116_pq_topk / q118_pq_incremental are approximate by
-    * construction (Lloyd's-trained codebooks), and q63_winnowing_pairs is
-    * keyed on the engine's rolling polynomial hash — none reproducible in
+    * construction (Lloyd's-trained codebooks) — none reproducible in
     * DuckDB; each is covered by a ScalaTest spec instead (DedupSpec
-    * planted near-dup recall + winnowing detection/density pins;
-    * SimilaritySpec recall-vs-exact-topk for the ANN variants, IVF
-    * partition-exactness, PQ recall + exact re-rank scores, and the
-    * persisted-index invariant rows of q94/q118). The q19/q63 sketches
-    * additionally carry ORACLE-CHECKED companion audits (q163/q164, the
-    * q154 discipline): the sketch's decision on every exact near-dup
-    * pair is pinned against the DuckDB-recomputed pair set, so only the
-    * hash VALUES stay oracle-free, not the contracts.
+    * planted near-dup recall; SimilaritySpec recall-vs-exact-topk for
+    * the ANN variants, IVF partition-exactness, PQ recall + exact
+    * re-rank scores, and the persisted-index invariant rows of
+    * q94/q118). The q19 sketch additionally carries an ORACLE-CHECKED
+    * companion audit (q163, the q154 discipline): the sketch's decision
+    * on every exact near-dup pair is pinned against the
+    * DuckDB-recomputed pair set, so only the hash VALUES stay
+    * oracle-free, not the contracts. q63_winnowing_pairs gained a REAL
+    * oracle r18: its rolling hash is deterministic wrapping-Long
+    * arithmetic, which [[winnowingPairsSql]] replays in HUGEINT mod
+    * 2⁶⁴ — the last non-RNG spec-gated row closed.
     */
   def oracleSql: Map[String, String] = oracleSqlFor("/root/testdata/sf0.01")
+
+  /** q63's oracle: the ENGINE's winnowing replayed end-to-end in DuckDB
+    * integer SQL — the k=16 polynomial rolling hash (base 1000003,
+    * wrapping 64-bit) computed positionally as Σ ord(cᵢ₊ₜ)·B^(15−t) in
+    * HUGEINT mod 2⁶⁴ then reinterpreted SIGNED (Scala Long order is
+    * signed order), the w=8 sliding window selecting the minimum with
+    * RIGHTMOST ties (the scan's `<=` keeps the later index → ORDER BY s
+    * ASC, i DESC), the n ≤ w global-min degenerate case, per-doc
+    * DISTINCT fingerprints, and the exact pair machinery verbatim
+    * (df-capped candidates, hot correction, threshold pushdown on both
+    * sizes, round-4 Jaccard). Matches the engine row-for-row at
+    * sf0.001 and sf0.01. */
+  private val winnowingPairsSql: String = {
+    val B = 1000003L
+    // B^0..B^15 in wrapping Long arithmetic ≡ mod 2⁶⁴; emitted as
+    // UNSIGNED decimal literals for the HUGEINT domain
+    val pows = Iterator.iterate(1L)(_ * B).take(16).toArray.reverse
+    val powVals = pows.zipWithIndex.map { case (p, t) =>
+      s"($t, CAST(${java.lang.Long.toUnsignedString(p)} AS HUGEINT))"
+    }.mkString(", ")
+    s"""WITH docs AS (
+       |  SELECT doc_id, text, length(text) AS len FROM documents),
+       |powers(t, p) AS (VALUES $powVals),
+       |pos AS (
+       |  SELECT doc_id, text, len - 15 AS n,
+       |    unnest(generate_series(1, len - 15)) AS i
+       |  FROM docs WHERE len >= 16),
+       |h AS (
+       |  SELECT doc_id, n, i,
+       |    CAST(sum(CAST(ord(substr(text, CAST(i + pw.t AS INTEGER), 1))
+       |        AS HUGEINT) * pw.p)
+       |      % CAST(18446744073709551616 AS HUGEINT) AS HUGEINT) AS hu
+       |  FROM pos, powers pw
+       |  GROUP BY doc_id, n, i),
+       |signed AS (
+       |  SELECT doc_id, n, i,
+       |    CAST(CASE WHEN hu >= CAST(9223372036854775808 AS HUGEINT)
+       |      THEN hu - CAST(18446744073709551616 AS HUGEINT) ELSE hu END
+       |      AS BIGINT) AS s
+       |  FROM h),
+       |selw AS (
+       |  SELECT doc_id, s FROM (
+       |    SELECT sg.doc_id, sg.s,
+       |      row_number() OVER (PARTITION BY sg.doc_id, d.j
+       |        ORDER BY sg.s ASC, sg.i DESC) AS rn
+       |    FROM (SELECT doc_id, unnest(generate_series(1, n - 7)) AS j
+       |          FROM (SELECT DISTINCT doc_id, n FROM signed
+       |                WHERE n > 8)) d
+       |      JOIN signed sg ON sg.doc_id = d.doc_id
+       |        AND sg.i BETWEEN d.j AND d.j + 7)
+       |  WHERE rn = 1),
+       |selg AS (
+       |  SELECT doc_id, min(s) AS s FROM signed WHERE n <= 8
+       |  GROUP BY doc_id),
+       |fps AS (
+       |  SELECT DISTINCT doc_id, s AS fp FROM selw
+       |  UNION
+       |  SELECT DISTINCT doc_id, s FROM selg),
+       |dfq AS (SELECT fp, count(*) AS df FROM fps GROUP BY 1),
+       |rare AS (
+       |  SELECT f.doc_id, f.fp FROM fps f JOIN dfq USING (fp)
+       |  WHERE df <= 1000),
+       |sizes AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS nsz FROM fps
+       |  GROUP BY 1),
+       |cand AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    CAST(count(*) AS BIGINT) AS inter_rare
+       |  FROM rare a JOIN rare b USING (fp)
+       |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+       |hotf AS (
+       |  SELECT f.doc_id, f.fp FROM fps f JOIN dfq USING (fp)
+       |  WHERE df > 1000),
+       |interhot AS (
+       |  SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS inter_hot
+       |  FROM cand c
+       |  JOIN hotf x ON x.doc_id = c.doc_a
+       |  JOIN hotf y ON y.doc_id = c.doc_b AND y.fp = x.fp
+       |  GROUP BY 1, 2),
+       |fullj AS (
+       |  SELECT c.doc_a, c.doc_b,
+       |    c.inter_rare + coalesce(ih.inter_hot, 0) AS inter,
+       |    sa.nsz AS na, sb.nsz AS nb
+       |  FROM cand c
+       |  LEFT JOIN interhot ih USING (doc_a, doc_b)
+       |  JOIN sizes sa ON sa.doc_id = c.doc_a
+       |  JOIN sizes sb ON sb.doc_id = c.doc_b)
+       |SELECT doc_a, doc_b,
+       |  round(CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE), 4)
+       |    AS fp_jaccard
+       |FROM fullj
+       |WHERE CAST(inter AS DOUBLE) >= na * 0.5
+       |  AND CAST(inter AS DOUBLE) >= nb * 0.5
+       |  AND round(CAST(inter AS DOUBLE)
+       |    / CAST(na + nb - inter AS DOUBLE), 4) >= 0.5""".stripMargin
+  }
 
   /** q207's oracle, per audited lineitem column: equi-depth histogram by
     * row-mass rank over the value grain, uniform-within-bucket ppm
@@ -5136,6 +5234,9 @@ object SparkEntry {
          |CROSS JOIN (SELECT CAST(unnest([0.25, 0.5, 0.75]) AS DOUBLE) AS p) ps
          |WHERE cum >= ceil(n * p) GROUP BY 1, 2, 3""".stripMargin
     }.mkString("\nUNION ALL\n"),
+    // the engine's rolling hash + sliding-min + pair machinery replayed
+    // end-to-end in HUGEINT integer SQL — see [[winnowingPairsSql]]
+    "q63_winnowing_pairs" -> winnowingPairsSql,
     // the q52 closure re-aggregated to the size grain
     "q192_dup_cluster_histogram" -> dupHistogramSql,
     // the cascade predicate CTEs once, three attribution columns per gate

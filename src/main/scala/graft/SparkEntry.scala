@@ -986,7 +986,14 @@ object SparkEntry {
     // decision consuming a persisted statistic and landing in a uniform
     // decision-trace row alongside the answer it produced
     "q247_optimizer_capstone" -> ((s: SparkSession, d: String) =>
-      Relational.optimizerCapstoneAudit(s, d))
+      Relational.optimizerCapstoneAudit(s, d)),
+    // the LEO loop closed on the GRAPH enumerator: the q244 class's
+    // persisted correction re-prices every connected subset of the
+    // filtered 5-table star, and the correction alone flips the chosen
+    // TREE (raw default guess -> deep; corrected -> bushy); fb-chosen
+    // tree full-size, both trees on the 1/8 key partition
+    "q248_cbo_feedback_graph" -> ((s: SparkSession, d: String) =>
+      Relational.cboFeedbackGraphAudit(s, d))
   )
 
   /** The session-shared `ensure*` leaves at the registry consumers'
@@ -1661,6 +1668,85 @@ object SparkEntry {
     * 2⁶⁴ — the last non-RNG spec-gated row closed.
     */
   def oracleSql: Map[String, String] = oracleSqlFor("/root/testdata/sf0.01")
+
+  /** The q245 star-DP cost/plan CASE chain, parameterized by suffix so
+    * q248 can instantiate it once per pricing (raw vs feedback). Expects
+    * a CTE `st$sfx` providing nli, nord, ncust, npart, nsupp, d0..d3;
+    * emits CTEs `e$sfx`/`c3$sfx`/`c4$sfx`/`c5$sfx` with the final
+    * chosen plan/cost as `p_all`/`c_all`. Splits enumerate by cut-edge
+    * index with first-minimal ties — the engine's `selingerGraphDp`
+    * order verbatim. */
+  private def starDpChainSql(sfx: String): String =
+    s"""e$sfx AS (
+       |  SELECT *,
+       |    CAST(nli * nord // d0 AS BIGINT) AS e_lo,
+       |    CAST(nord * ncust // d1 AS BIGINT) AS e_oc,
+       |    CAST(nli * npart // d2 AS BIGINT) AS e_lp,
+       |    CAST(nli * nsupp // d3 AS BIGINT) AS e_ls,
+       |    CAST(nli * nord * ncust // (d0 * d1) AS BIGINT) AS e_loc,
+       |    CAST(nli * nord * npart // (d0 * d2) AS BIGINT) AS e_lop,
+       |    CAST(nli * nord * nsupp // (d0 * d3) AS BIGINT) AS e_los,
+       |    CAST(nli * npart * nsupp // (d2 * d3) AS BIGINT) AS e_lps,
+       |    CAST(nli * nord * ncust * npart // (d0 * d1 * d2) AS BIGINT)
+       |      AS e_locp,
+       |    CAST(nli * nord * ncust * nsupp // (d0 * d1 * d3) AS BIGINT)
+       |      AS e_locs,
+       |    CAST(nli * nord * npart * nsupp // (d0 * d2 * d3) AS BIGINT)
+       |      AS e_lops,
+       |    CAST(nli * nord * ncust * npart * nsupp
+       |      // (d0 * d1 * d2 * d3) AS BIGINT) AS e_all
+       |  FROM st$sfx),
+       |c3$sfx AS (
+       |  SELECT *,
+       |    CAST(e_loc + least(e_oc, e_lo) AS BIGINT) AS c_loc,
+       |    CASE WHEN e_oc <= e_lo THEN '(lineitem*(orders*customer))'
+       |      ELSE '((lineitem*orders)*customer)' END AS p_loc,
+       |    CAST(e_lop + least(e_lp, e_lo) AS BIGINT) AS c_lop,
+       |    CASE WHEN e_lp <= e_lo THEN '((lineitem*part)*orders)'
+       |      ELSE '((lineitem*orders)*part)' END AS p_lop,
+       |    CAST(e_los + least(e_ls, e_lo) AS BIGINT) AS c_los,
+       |    CASE WHEN e_ls <= e_lo THEN '((lineitem*supplier)*orders)'
+       |      ELSE '((lineitem*orders)*supplier)' END AS p_los,
+       |    CAST(e_lps + least(e_ls, e_lp) AS BIGINT) AS c_lps,
+       |    CASE WHEN e_ls <= e_lp THEN '((lineitem*supplier)*part)'
+       |      ELSE '((lineitem*part)*supplier)' END AS p_lps
+       |  FROM e$sfx),
+       |c4$sfx AS (
+       |  SELECT *,
+       |    CAST(e_locp + least(e_lp + e_oc, c_lop, c_loc) AS BIGINT)
+       |      AS c_locp,
+       |    CASE
+       |      WHEN e_lp + e_oc <= c_lop AND e_lp + e_oc <= c_loc
+       |        THEN '((lineitem*part)*(orders*customer))'
+       |      WHEN c_lop <= c_loc THEN '(' || p_lop || '*customer)'
+       |      ELSE '(' || p_loc || '*part)' END AS p_locp,
+       |    CAST(e_locs + least(e_ls + e_oc, c_los, c_loc) AS BIGINT)
+       |      AS c_locs,
+       |    CASE
+       |      WHEN e_ls + e_oc <= c_los AND e_ls + e_oc <= c_loc
+       |        THEN '((lineitem*supplier)*(orders*customer))'
+       |      WHEN c_los <= c_loc THEN '(' || p_los || '*customer)'
+       |      ELSE '(' || p_loc || '*supplier)' END AS p_locs,
+       |    CAST(e_lops + least(c_lps, c_los, c_lop) AS BIGINT) AS c_lops,
+       |    CASE
+       |      WHEN c_lps <= c_los AND c_lps <= c_lop
+       |        THEN '(' || p_lps || '*orders)'
+       |      WHEN c_los <= c_lop THEN '(' || p_los || '*part)'
+       |      ELSE '(' || p_lop || '*supplier)' END AS p_lops
+       |  FROM c3$sfx),
+       |c5$sfx AS (
+       |  SELECT *,
+       |    CAST(e_all + least(c_lps + e_oc, c_lops, c_locs, c_locp)
+       |      AS BIGINT) AS c_all,
+       |    CASE
+       |      WHEN c_lps + e_oc <= c_lops AND c_lps + e_oc <= c_locs
+       |        AND c_lps + e_oc <= c_locp
+       |        THEN '(' || p_lps || '*(orders*customer))'
+       |      WHEN c_lops <= c_locs AND c_lops <= c_locp
+       |        THEN '(' || p_lops || '*customer)'
+       |      WHEN c_locs <= c_locp THEN '(' || p_locs || '*part)'
+       |      ELSE '(' || p_locp || '*supplier)' END AS p_all
+       |  FROM c4$sfx)""".stripMargin
 
   /** q63's oracle: the ENGINE's winnowing replayed end-to-end in DuckDB
     * integer SQL — the k=16 polynomial rolling hash (base 1000003,
@@ -5237,6 +5323,84 @@ object SparkEntry {
     // the engine's rolling hash + sliding-min + pair machinery replayed
     // end-to-end in HUGEINT integer SQL — see [[winnowingPairsSql]]
     "q63_winnowing_pairs" -> winnowingPairsSql,
+    // both complete DP chains (the q245 CASE machinery instantiated per
+    // pricing via starDpChainSql), the training leg, the correction,
+    // both chosen plans/costs, the flip flag, and the filtered star's
+    // aggregate — all re-derived
+    "q248_cbo_feedback_graph" ->
+      s"""WITH base AS (
+         |  SELECT (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS nli0,
+         |    (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT)
+         |       FROM lineitem) AS ndv_lo,
+         |    (SELECT CAST(count(DISTINCT l_partkey) AS BIGINT)
+         |       FROM lineitem) AS ndv_lp,
+         |    (SELECT CAST(count(DISTINCT l_suppkey) AS BIGINT)
+         |       FROM lineitem) AS ndv_ls,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM orders) AS nord0,
+         |    (SELECT CAST(count(DISTINCT o_orderkey) AS BIGINT)
+         |       FROM orders) AS ndv_oo,
+         |    (SELECT CAST(count(DISTINCT o_custkey) AS BIGINT)
+         |       FROM orders) AS ndv_oc,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM customer) AS ncust0,
+         |    (SELECT CAST(count(DISTINCT c_custkey) AS BIGINT)
+         |       FROM customer) AS ndv_cc,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM part) AS npart0,
+         |    (SELECT CAST(count(DISTINCT p_partkey) AS BIGINT)
+         |       FROM part) AS ndv_pp,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM supplier) AS nsupp0,
+         |    (SELECT CAST(count(DISTINCT s_suppkey) AS BIGINT)
+         |       FROM supplier) AS ndv_ss),
+         |tr AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS actual_train
+         |  FROM lineitem WHERE l_orderkey % 2 = 0),
+         |ap AS (
+         |  SELECT *,
+         |    greatest(nli0 // 1000, 1) AS est_default,
+         |    actual_train * 1000000
+         |      // greatest(greatest(nli0 // 1000, 1), 1) AS correction_e6,
+         |    (greatest(nli0 // 1000, 1)
+         |      * (actual_train * 1000000
+         |         // greatest(greatest(nli0 // 1000, 1), 1))) // 1000000
+         |      AS est_fb
+         |  FROM base, tr),
+         |st_r AS (
+         |  SELECT est_default AS nli, nord0 AS nord, ncust0 AS ncust,
+         |    npart0 AS npart, nsupp0 AS nsupp,
+         |    greatest(least(est_default, ndv_lo), ndv_oo) AS d0,
+         |    greatest(ndv_oc, ndv_cc) AS d1,
+         |    greatest(least(est_default, ndv_lp), ndv_pp) AS d2,
+         |    greatest(least(est_default, ndv_ls), ndv_ss) AS d3
+         |  FROM ap),
+         |${starDpChainSql("_r")},
+         |st_f AS (
+         |  SELECT est_fb AS nli, nord0 AS nord, ncust0 AS ncust,
+         |    npart0 AS npart, nsupp0 AS nsupp,
+         |    greatest(least(est_fb, ndv_lo), ndv_oo) AS d0,
+         |    greatest(ndv_oc, ndv_cc) AS d1,
+         |    greatest(least(est_fb, ndv_lp), ndv_pp) AS d2,
+         |    greatest(least(est_fb, ndv_ls), ndv_ss) AS d3
+         |  FROM ap),
+         |${starDpChainSql("_f")},
+         |fin AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         |    CAST(coalesce(sum(CAST(l_quantity AS BIGINT)), 0) AS BIGINT)
+         |      AS sum_qty,
+         |    CAST(coalesce(sum(CAST(s_suppkey AS BIGINT)), 0) AS BIGINT)
+         |      AS sum_supp
+         |  FROM lineitem l
+         |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |  JOIN customer c ON o.o_custkey = c.c_custkey
+         |  JOIN part p ON l.l_partkey = p.p_partkey
+         |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         |  WHERE l.l_orderkey % 2 = 1)
+         |SELECT 'l_orderkey_mod2_eq' AS pred_class,
+         |  ap.est_default, ap.actual_train, ap.correction_e6, ap.est_fb,
+         |  r.p_all AS plan_raw, r.c_all AS cost_raw,
+         |  f.p_all AS plan_fb, f.c_all AS cost_fb,
+         |  r.p_all <> f.p_all AS flipped,
+         |  fin.n_rows, fin.sum_qty, fin.sum_supp,
+         |  TRUE AS trees_identical
+         |FROM ap, c5_r r, c5_f f, fin""".stripMargin,
     // the q52 closure re-aggregated to the size grain
     "q192_dup_cluster_histogram" -> dupHistogramSql,
     // the cascade predicate CTEs once, three attribution columns per gate

@@ -3778,6 +3778,125 @@ object Relational {
         "orders_identical")
   }
 
+  /** J29 [EXT] — FEEDBACK-AWARE GRAPH ENUMERATION (q248): q244 closes
+    * the LEO loop on the 3-table ORDER choice; this row closes it on
+    * the real enumerator — the q245 csg DP re-prices every connected
+    * subset from the corrected cardinality, and the correction alone
+    * flips the chosen TREE:
+    *
+    *  1. the workload is the q245 star with the fact FILTERED by the
+    *     q244 predicate class (`l_orderkey % 2 = 1`) — a derived
+    *     expression no statistic prices, so the raw enumerator charges
+    *     the default guess n/1000 for the filtered lineitem;
+    *  2. the training member (c = 0) executes; its observed cardinality
+    *     persists the class correction, read BACK from the store;
+    *  3. the DP runs TWICE over identical inputs except the fact's row
+    *     estimate — raw (≈ n/1000: every fact-containing subset prices
+    *     tiny, the (orders*customer) arm looks expensive by contrast
+    *     and the winner goes DEEP) vs corrected (≈ n/2: fact-subsets
+    *     dominate, the cheap dim arm pays for itself and the winner
+    *     goes BUSHY). Edge divisors follow the q232 post-filter rule
+    *     max(min(est, ndv_fact_key), ndv_dim_key) per pricing, from the
+    *     ANALYZE store;
+    *  4. the feedback-chosen tree executes FULL size on the filtered
+    *     star (the production plan; its aggregate is the answer); BOTH
+    *     trees execute on the 1/8 key partition (keys ≡ 1 mod 8 on
+    *     l_orderkey AND o_orderkey — odd, inside the predicate, closed
+    *     under every edge since all joins hang off the fact or the
+    *     O–C arm), identity EMITTED as `trees_identical`.
+    *
+    * The oracle re-derives both complete DP chains (the q245 CASE
+    * machinery instantiated twice), the training leg, the correction,
+    * both chosen plans and costs, the flip flag, and the filtered
+    * aggregate. Scale: one metadata feedback row re-prices an O(2ⁿ·n)
+    * metadata DP; the training leg is workload; the audit arms cost
+    * 1/8 of one star join. */
+  def cboFeedbackGraphAudit(spark: SparkSession, dir: String): DataFrame = {
+    val stats = ensureTableStats(spark, dir)
+      .select(col("table_name"), col("column_name"), col("n_rows"),
+        col("ndv")).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    val (nLi, ndvLo) = stats(("lineitem", "l_orderkey"))
+    val (_, ndvLp) = stats(("lineitem", "l_partkey"))
+    val (_, ndvLs) = stats(("lineitem", "l_suppkey"))
+    val (nOrd, ndvOo) = stats(("orders", "o_orderkey"))
+    val (_, ndvOc) = stats(("orders", "o_custkey"))
+    val (nCust, ndvCc) = stats(("customer", "c_custkey"))
+    val (nPart, ndvPp) = stats(("part", "p_partkey"))
+    val (nSupp, ndvSs) = stats(("supplier", "s_suppkey"))
+    val li = Tables.lineitem(spark, dir)
+    val ord = Tables.orders(spark, dir)
+    // training leg + persisted correction (the q244 class)
+    val estDefault = math.max(1L, nLi / DefaultExprSelectivityDenom)
+    val actualTrain = li
+      .filter(pmod(col("l_orderkey").cast("long"), lit(2L)) === 0L).count()
+    val root = graft.sources.Sources.scratchDirUnique(spark, "fbgraph")
+    import spark.implicits._
+    Seq(("l_orderkey_mod2_eq", estDefault, actualTrain,
+      (BigInt(actualTrain) * BigInt(1000000L) /
+        BigInt(math.max(1L, estDefault))).toLong))
+      .toDF("pred_class", "est", "actual", "correction_e6")
+      .write.mode("overwrite").parquet(s"$root/fb")
+    val corrE6 = spark.read.parquet(s"$root/fb")
+      .filter(col("pred_class") === "l_orderkey_mod2_eq")
+      .select(col("correction_e6")).head().getLong(0)
+    val estFb = feedbackCorrected(estDefault, corrE6)
+    // the DP per pricing: only the fact's row estimate (and its edges'
+    // post-filter divisors) differ
+    def dpFor(estL: Long): Map[Int, GraphDpCell] = {
+      def facDiv(ndvFact: Long, ndvDim: Long): Long =
+        math.max(math.max(1L, math.min(estL, ndvFact)), ndvDim)
+      selingerGraphDp(
+        Seq(("lineitem", estL), ("orders", nOrd), ("customer", nCust),
+          ("part", nPart), ("supplier", nSupp)),
+        Seq((0, 1, facDiv(ndvLo, ndvOo)),
+          (1, 2, math.max(ndvOc, ndvCc)),
+          (0, 3, facDiv(ndvLp, ndvPp)),
+          (0, 4, facDiv(ndvLs, ndvSs))))
+    }
+    val fullMask = 31
+    val (dpRaw, dpFb) = (dpFor(estDefault), dpFor(estFb))
+    val (cellRaw, cellFb) = (dpRaw(fullMask), dpFb(fullMask))
+    val flipped = cellRaw.plan != cellFb.plan
+    // execution: the fb-chosen tree full-size; both trees sampled
+    val liF = li.filter(pmod(col("l_orderkey").cast("long"), lit(2L)) === 1L)
+    val conds = Seq(
+      col("l_orderkey") === col("o_orderkey"),
+      col("o_custkey") === col("c_custkey"),
+      col("l_partkey") === col("p_partkey"),
+      col("l_suppkey") === col("s_suppkey"))
+    def build(dp: Map[Int, GraphDpCell], dfs: Seq[DataFrame],
+              mask: Int): DataFrame = {
+      val cell = dp(mask)
+      if (cell.cutEdge < 0) dfs(java.lang.Integer.numberOfTrailingZeros(mask))
+      else build(dp, dfs, cell.leftMask)
+        .join(build(dp, dfs, cell.rightMask), conds(cell.cutEdge))
+    }
+    def agg(full: DataFrame): (Long, Long, Long) = {
+      val r = full.agg(count(lit(1)), sum(col("l_quantity").cast("long")),
+        sum(col("s_suppkey").cast("long"))).head()
+      (r.getLong(0),
+        if (r.isNullAt(1)) 0L else r.getLong(1),
+        if (r.isNullAt(2)) 0L else r.getLong(2))
+    }
+    val dims = Seq(Tables.customer(spark, dir), Tables.part(spark, dir),
+      Tables.supplier(spark, dir))
+    val dfsFull = liF +: ord +: dims
+    val answer = agg(build(dpFb, dfsFull, fullMask))
+    val liF8 = liF.filter(pmod(col("l_orderkey").cast("long"), lit(8L)) === 1L)
+    val ord8 = ord.filter(pmod(col("o_orderkey").cast("long"), lit(8L)) === 1L)
+    val dfs8 = liF8 +: ord8 +: dims
+    val identical =
+      agg(build(dpFb, dfs8, fullMask)) == agg(build(dpRaw, dfs8, fullMask))
+    Seq(("l_orderkey_mod2_eq", estDefault, actualTrain, corrE6, estFb,
+      cellRaw.plan, cellRaw.cost, cellFb.plan, cellFb.cost, flipped,
+      answer._1, answer._2, answer._3, identical))
+      .toDF("pred_class", "est_default", "actual_train", "correction_e6",
+        "est_fb", "plan_raw", "cost_raw", "plan_fb", "cost_fb", "flipped",
+        "n_rows", "sum_qty", "sum_supp", "trees_identical")
+  }
+
   /** J28 [EXT] — OPTIMIZER CAPSTONE (q247): the statistics stack run
     * END-TO-END on one small workload, the way q179 composes the
     * pipeline operators — every decision consumes a PERSISTED statistic

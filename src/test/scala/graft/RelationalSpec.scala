@@ -1036,8 +1036,10 @@ class RelationalSpec extends AnyFunSuite {
   test("q232 filtered join order: the histogram flips the choice inside one query") {
     val rows = Relational.cboFilteredJoinOrderAudit(spark, TestSpark.Sf0001)
       .as[(String, Long, Long, Long, String, Boolean, Long, Long, Long,
-        Long, Long)].collect()
+        Long, Long, Boolean)].collect()
     assert(rows.length == 4, s"2 preds x 2 orders, got ${rows.length}")
+    // cross-order identity on the sampled arm — emitted, not required
+    assert(rows.forall(_._12), "orders_identical")
     def chosenOf(pred: String): String =
       rows.filter(r => r._1 == pred && r._6).map(_._5).toSeq match {
         case Seq(one) => one
@@ -1615,5 +1617,46 @@ class RelationalSpec extends AnyFunSuite {
       .join(graft.Tables.customer(spark, d),
         col("o_custkey") === col("c_custkey")).count()
     assert(hist._8 == want, "report row count")
+  }
+  test("q248 feedback-aware graph enumeration: the correction alone flips the chosen tree") {
+    val r = Relational.cboFeedbackGraphAudit(spark, TestSpark.Sf0001)
+      .as[(String, Long, Long, Long, Long, String, Long, String, Long,
+        Boolean, Long, Long, Long, Boolean)].collect()
+    assert(r.length == 1)
+    val a = r.head
+    assert(a._10, "flipped")
+    assert(a._14, "trees_identical")
+    // the raw default guess makes every fact subset price tiny and the
+    // winner goes DEEP (customer joins last, outside any (o*c) arm);
+    // the corrected estimate makes the cheap dim arm pay and the
+    // winner goes BUSHY
+    assert(!a._6.contains("(orders*customer)"),
+      s"raw winner should avoid the dim arm: ${a._6}")
+    assert(a._8.contains("(orders*customer)"),
+      s"fb winner should be bushy through the dim arm: ${a._8}")
+    // correction + application formulas replayed (integer math)
+    assert(a._4 == a._3 * 1000000L / math.max(1L, a._2), "correction")
+    assert(a._5 == Relational.feedbackCorrected(a._2, a._4), "application")
+    // the corrected estimate lands near the true filtered cardinality
+    val liOdd = graft.Tables.lineitem(spark, TestSpark.Sf0001)
+      .filter(pmod(col("l_orderkey").cast("long"), lit(2L)) === 1L)
+    val actual = liOdd.count()
+    assert(math.abs(a._5 - actual) * 10L <= actual,
+      s"est_fb ${a._5} vs actual $actual")
+    // the answer is the filtered 5-way star, replayed directly
+    val want = liOdd
+      .join(graft.Tables.orders(spark, TestSpark.Sf0001),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(graft.Tables.customer(spark, TestSpark.Sf0001),
+        col("o_custkey") === col("c_custkey"))
+      .join(graft.Tables.part(spark, TestSpark.Sf0001),
+        col("l_partkey") === col("p_partkey"))
+      .join(graft.Tables.supplier(spark, TestSpark.Sf0001),
+        col("l_suppkey") === col("s_suppkey")).count()
+    assert(a._11 == want, "answer row count")
+    // the identity-correction counterfactual: pricing with q = 1e6
+    // reproduces the raw tree — the flip is caused by the feedback row
+    val est1 = Relational.feedbackCorrected(a._2, 1000000L)
+    assert(est1 == a._2, "identity correction is a no-op")
   }
 }

@@ -993,7 +993,15 @@ object SparkEntry {
     // TREE (raw default guess -> deep; corrected -> bushy); fb-chosen
     // tree full-size, both trees on the 1/8 key partition
     "q248_cbo_feedback_graph" -> ((s: SparkSession, d: String) =>
-      Relational.cboFeedbackGraphAudit(s, d))
+      Relational.cboFeedbackGraphAudit(s, d)),
+    // the general csg-cmp enumeration on the classic CYCLIC instance
+    // (TPC-H Q5's 5-cycle): arcs enumerated without any interval/edge-
+    // cut shortcut, the cycle-closing predicate multiplying into the
+    // full set's estimate, multi-cross-edge splits executing ALL their
+    // predicates, and the 21-row DP table oracle-re-derived via a
+    // generated per-cell CASE chain
+    "q249_cbo_cyclic_enumeration" -> ((s: SparkSession, d: String) =>
+      Relational.cboCyclicEnumerationAudit(s, d))
   )
 
   /** The session-shared `ensure*` leaves at the registry consumers'
@@ -1747,6 +1755,138 @@ object SparkEntry {
        |      WHEN c_locs <= c_locp THEN '(' || p_locs || '*part)'
        |      ELSE '(' || p_locp || '*supplier)' END AS p_all
        |  FROM c4$sfx)""".stripMargin
+
+  /** q249's oracle, GENERATED by replaying the engine's `dpCcp`
+    * enumeration symbolically over the Q5 5-cycle: for every connected
+    * subset (the cycle's arcs) the generator emits the single-division
+    * estimate over ALL induced-edge divisors, the `least()` over the
+    * cell's candidate splits (ascending S1 bitmask, both sides
+    * connected — the engine's order verbatim), and the first-minimal
+    * CASE chain assembling the plan string. The enumeration logic here
+    * is a 20-line pure model of the cycle; the SQL it emits is what a
+    * hand-written oracle would be, with zero transcription risk. */
+  private val cyclicDpSql: String = {
+    val n = 5
+    val edges = Seq((0, 1), (1, 2), (2, 3), (3, 4), (4, 0))
+    val rowCols = Seq("nli", "nord", "ncust", "nnat", "nsupp")
+    val names = Seq("lineitem", "orders", "customer", "nation", "supplier")
+    def inM(i: Int, m: Int): Boolean = (m & (1 << i)) != 0
+    def induced(m: Int): Seq[Int] = edges.indices.filter { e =>
+      inM(edges(e)._1, m) && inM(edges(e)._2, m)
+    }
+    def connected(m: Int): Boolean = {
+      if (m == 0) return false
+      val seed = java.lang.Integer.numberOfTrailingZeros(m)
+      var comp = 1 << seed
+      var frontier = List(seed)
+      while (frontier.nonEmpty) {
+        val v = frontier.head; frontier = frontier.tail
+        edges.foreach { case (a, b) =>
+          val next = if (a == v) b else if (b == v) a else -1
+          if (next >= 0 && inM(next, m) && !inM(next, comp)) {
+            comp |= 1 << next
+            frontier = next :: frontier
+          }
+        }
+      }
+      comp == m
+    }
+    def estExpr(m: Int): String = {
+      val num = (0 until n).filter(inM(_, m)).map(rowCols).mkString(" * ")
+      val den = induced(m).map(e => s"d$e")
+      if (den.isEmpty) s"CAST($num AS BIGINT)"
+      else s"CAST($num // (${den.mkString(" * ")}) AS BIGINT)"
+    }
+    def costRef(m: Int): String =
+      if (java.lang.Integer.bitCount(m) == 1) "0" else s"c_$m"
+    def planRef(m: Int): String =
+      if (java.lang.Integer.bitCount(m) == 1)
+        s"'${names(java.lang.Integer.numberOfTrailingZeros(m))}'"
+      else s"p_$m"
+    val compositeMasks = (3 to (1 << n) - 1)
+      .filter(m => java.lang.Integer.bitCount(m) >= 2 && connected(m))
+    val ee = compositeMasks.map(m => s"    ${estExpr(m)} AS e_$m")
+      .mkString(",\n")
+    val levels = compositeMasks.groupBy(java.lang.Integer.bitCount)
+      .toSeq.sortBy(_._1)
+    val levelCtes = levels.map { case (pc, masks) =>
+      val cols = masks.flatMap { m =>
+        val low = 1 << java.lang.Integer.numberOfTrailingZeros(m)
+        val cands = (1 until m).flatMap { s1 =>
+          val s2 = m & ~s1
+          if ((s1 & m) == s1 && (s1 & low) != 0 && s2 != 0 &&
+              connected(s1) && connected(s2))
+            Some((s"(${costRef(s1)} + ${costRef(s2)})",
+              s"'(' || ${planRef(s1)} || '*' || ${planRef(s2)} || ')'"))
+          else None
+        }
+        val costCol = s"    CAST(e_$m + least(${cands.map(_._1).mkString(", ")}) AS BIGINT) AS c_$m"
+        val planCol =
+          if (cands.length == 1) s"    ${cands.head._2} AS p_$m"
+          else {
+            val whens = cands.init.zipWithIndex.map { case ((cost, plan), i) =>
+              val laterLe = cands.drop(i + 1)
+                .map(l => s"$cost <= ${l._1}").mkString(" AND ")
+              s"      WHEN $laterLe THEN $plan"
+            }
+            s"    CASE\n${whens.mkString("\n")}\n      ELSE ${cands.last._2} END AS p_$m"
+          }
+        Seq(costCol, planCol)
+      }
+      s"lv$pc AS (\n  SELECT *,\n${cols.mkString(",\n")}\n  FROM ${if (pc == 2) "ee" else s"lv${pc - 1}"})"
+    }
+    val outRows = ((0 until n).map { i =>
+      s"""  SELECT '${names(i)}' AS subset, CAST(1 AS BIGINT) AS n_tables,
+         |    ${rowCols(i)} AS est_rows, CAST(0 AS BIGINT) AS best_cost,
+         |    '${names(i)}' AS best_plan FROM lv${levels.last._1}""".stripMargin
+    } ++ compositeMasks.map { m =>
+      val nm = (0 until n).filter(inM(_, m)).map(names).mkString(",")
+      s"""  SELECT '$nm', ${java.lang.Integer.bitCount(m)}, e_$m, c_$m,
+         |    p_$m FROM lv${levels.last._1}""".stripMargin
+    }).mkString("\n  UNION ALL\n")
+    s"""WITH st AS (
+       |  SELECT (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS nli,
+       |    (SELECT CAST(count(*) AS BIGINT) FROM orders) AS nord,
+       |    (SELECT CAST(count(*) AS BIGINT) FROM customer) AS ncust,
+       |    (SELECT CAST(count(*) AS BIGINT) FROM nation) AS nnat,
+       |    (SELECT CAST(count(*) AS BIGINT) FROM supplier) AS nsupp,
+       |    greatest(
+       |      (SELECT count(DISTINCT l_orderkey) FROM lineitem),
+       |      (SELECT count(DISTINCT o_orderkey) FROM orders)) AS d0,
+       |    greatest(
+       |      (SELECT count(DISTINCT o_custkey) FROM orders),
+       |      (SELECT count(DISTINCT c_custkey) FROM customer)) AS d1,
+       |    greatest(
+       |      (SELECT count(DISTINCT c_nationkey) FROM customer),
+       |      (SELECT count(DISTINCT n_nationkey) FROM nation)) AS d2,
+       |    greatest(
+       |      (SELECT count(DISTINCT n_nationkey) FROM nation),
+       |      (SELECT count(DISTINCT s_nationkey) FROM supplier)) AS d3,
+       |    greatest(
+       |      (SELECT count(DISTINCT s_suppkey) FROM supplier),
+       |      (SELECT count(DISTINCT l_suppkey) FROM lineitem)) AS d4),
+       |ee AS (
+       |  SELECT *,
+       |$ee
+       |  FROM st),
+       |${levelCtes.mkString(",\n")},
+       |fin AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       |    CAST(coalesce(sum(CAST(l_quantity AS BIGINT)), 0) AS BIGINT)
+       |      AS sum_qty,
+       |    CAST(coalesce(sum(CAST(s_suppkey AS BIGINT)), 0) AS BIGINT)
+       |      AS sum_supp
+       |  FROM lineitem l
+       |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |  JOIN customer c ON o.o_custkey = c.c_custkey
+       |  JOIN nation nn ON c.c_nationkey = nn.n_nationkey
+       |  JOIN supplier s ON nn.n_nationkey = s.s_nationkey
+       |    AND s.s_suppkey = l.l_suppkey)
+       |SELECT t.subset, t.n_tables, t.est_rows, t.best_cost, t.best_plan,
+       |  fin.n_rows, fin.sum_qty, fin.sum_supp, TRUE AS trees_identical
+       |FROM (
+       |$outRows) t, fin""".stripMargin
+  }
 
   /** q63's oracle: the ENGINE's winnowing replayed end-to-end in DuckDB
     * integer SQL — the k=16 polynomial rolling hash (base 1000003,
@@ -5289,7 +5429,8 @@ object SparkEntry {
       ("customer", "c_mktsegment"), ("customer", "c_custkey"),
       ("customer", "c_nationkey"), ("nation", "n_nationkey"),
       ("events", "event_type"),
-      ("part", "p_partkey"), ("supplier", "s_suppkey")).map {
+      ("part", "p_partkey"), ("supplier", "s_suppkey"),
+      ("supplier", "s_nationkey")).map {
       case (t, c) =>
         s"""SELECT '$t' AS table_name, '$c' AS column_name,
            |  CAST(count(*) AS BIGINT) AS n_rows,
@@ -5323,6 +5464,8 @@ object SparkEntry {
     // the engine's rolling hash + sliding-min + pair machinery replayed
     // end-to-end in HUGEINT integer SQL — see [[winnowingPairsSql]]
     "q63_winnowing_pairs" -> winnowingPairsSql,
+    // the engine's dpCcp replayed symbolically — see [[cyclicDpSql]]
+    "q249_cbo_cyclic_enumeration" -> cyclicDpSql,
     // both complete DP chains (the q245 CASE machinery instantiated per
     // pricing via starDpChainSql), the training leg, the correction,
     // both chosen plans/costs, the flip flag, and the filtered star's

@@ -528,9 +528,10 @@ object Relational {
     "nation" -> Seq("n_nationkey"),
     "events" -> Seq("event_type"),
     // p_partkey / s_suppkey joined r18: the join-GRAPH enumerator (q245)
-    // prices the star's part/supplier edges from the store
+    // prices the star's part/supplier edges from the store;
+    // s_nationkey feeds the CYCLIC (Q5-shaped) enumerator's N–S edge
     "part" -> Seq("p_partkey"),
-    "supplier" -> Seq("s_suppkey"))
+    "supplier" -> Seq("s_suppkey", "s_nationkey"))
 
   def tableStats(spark: SparkSession, dir: String,
                  specs: Seq[(String, Seq[String])] = DefaultStatsSpecs): DataFrame = {
@@ -2865,6 +2866,203 @@ object Relational {
     val leftDeep = agg(
       dfs.head.join(dfs(1), conds(0)).join(dfs(2), conds(1))
         .join(dfs(3), conds(2)).join(dfs(4), conds(3)))
+    val identical = chosen == leftDeep
+    import spark.implicits._
+    dp.toSeq
+      .sortBy { case (mask, _) =>
+        (java.lang.Integer.bitCount(mask), mask)
+      }
+      .map { case (mask, cell) =>
+        val names = tables.indices.filter(i => (mask & (1 << i)) != 0)
+          .map(tables(_)._1).mkString(",")
+        (names, java.lang.Integer.bitCount(mask).toLong, cell.est,
+          cell.cost, cell.plan, chosen._1, chosen._2, chosen._3, identical)
+      }
+      .toDF("subset", "n_tables", "est_rows", "best_cost", "best_plan",
+        "n_rows", "sum_qty", "sum_supp", "trees_identical")
+  }
+
+  /** One cell of the GENERAL csg-cmp enumeration: estimated
+    * cardinality, best C_out cost, the winning components, EVERY cross
+    * edge between them (a cyclic graph's split can cross several — the
+    * executed join must apply them all), and the plan string. */
+  private[graft] case class CcpCell(est: Long, cost: Long, leftMask: Int,
+                                    rightMask: Int, crossEdges: Seq[Int],
+                                    plan: String)
+
+  /** The full Moerkotte–Neumann-style csg-cmp DP — [[selingerGraphDp]]
+    * without the acyclicity restriction: candidate splits of a
+    * connected subset S are ALL partitions (S1, S2) with S1 containing
+    * S's lowest table index (each split once), both sides connected,
+    * and ≥ 1 cross edge; enumerated by ASCENDING S1 bitmask with
+    * first-minimal ties — the deterministic order the oracle's CASE
+    * chain replays. est(S) = Π rows / Π ALL induced-edge divisors
+    * (cycle-closing predicates multiply in — the textbook independence
+    * model a production CBO applies), BigInt divided once. Plan strings
+    * put S1 (which holds the globally smallest index) left. The tree
+    * specialization ([[selingerGraphDp]], O(edges) splits per subset
+    * via edge cuts) remains the fast path for acyclic graphs; this is
+    * the generic route a cyclic query needs. */
+  private[graft] def dpCcp(tables: Seq[(String, Long)],
+                           edges: Seq[(Int, Int, Long)])
+      : Map[Int, CcpCell] = {
+    val n = tables.length
+    require(n >= 2 && n <= 16, s"need 2..16 tables; got $n")
+    require(edges.nonEmpty && edges.forall { case (a, b, d) =>
+      a >= 0 && a < n && b >= 0 && b < n && a != b && d > 0
+    }, s"edges must connect distinct in-range tables with positive divisors")
+    def inMask(i: Int, mask: Int): Boolean = (mask & (1 << i)) != 0
+    def induced(mask: Int): Seq[Int] = edges.indices.filter { e =>
+      inMask(edges(e)._1, mask) && inMask(edges(e)._2, mask)
+    }
+    def connected(mask: Int): Boolean = {
+      if (mask == 0) return false
+      val seed = java.lang.Integer.numberOfTrailingZeros(mask)
+      var comp = 1 << seed
+      var frontier = List(seed)
+      while (frontier.nonEmpty) {
+        val v = frontier.head; frontier = frontier.tail
+        edges.foreach { case (a, b, _) =>
+          val next = if (a == v) b else if (b == v) a else -1
+          if (next >= 0 && inMask(next, mask) && !inMask(next, comp)) {
+            comp |= 1 << next
+            frontier = next :: frontier
+          }
+        }
+      }
+      comp == mask
+    }
+    def est(mask: Int): Long = {
+      val num = tables.indices.filter(inMask(_, mask))
+        .map(i => BigInt(tables(i)._2)).product
+      val den = induced(mask).map(e => BigInt(edges(e)._3)).product
+      (num / den).toLong
+    }
+    val memo = scala.collection.mutable.Map.empty[Int, CcpCell]
+    tables.indices.foreach { i =>
+      memo(1 << i) = CcpCell(tables(i)._2, 0L, 0, 0, Nil, tables(i)._1)
+    }
+    (3 to (1 << n) - 1).foreach { mask =>
+      if (java.lang.Integer.bitCount(mask) >= 2 && connected(mask)) {
+        val low = 1 << java.lang.Integer.numberOfTrailingZeros(mask)
+        val candidates = (1 until mask).flatMap { s1 =>
+          val s2 = mask & ~s1
+          if ((s1 & mask) == s1 && (s1 & low) != 0 && s2 != 0 &&
+              memo.contains(s1) && memo.contains(s2)) {
+            val cross = edges.indices.filter { e =>
+              val (a, b, _) = edges(e)
+              (inMask(a, s1) && inMask(b, s2)) ||
+                (inMask(a, s2) && inMask(b, s1))
+            }
+            if (cross.nonEmpty)
+              Some((memo(s1).cost + memo(s2).cost, s1, s2, cross,
+                s"(${memo(s1).plan}*${memo(s2).plan})"))
+            else None
+          } else None
+        }
+        require(candidates.nonEmpty, s"connected subset $mask has no split")
+        val (cost, s1, s2, cross, plan) = candidates.minBy(_._1) // first min
+        val eMask = est(mask)
+        memo(mask) = CcpCell(eMask, cost + eMask, s1, s2, cross, plan)
+      }
+    }
+    memo.toMap
+  }
+
+  /** J30 [EXT] — CSG-CMP ENUMERATION ON A CYCLIC JOIN GRAPH (q249):
+    * J27's tree DP declared cyclic graphs out of scope; this row runs
+    * the general enumeration ([[dpCcp]]) on the classic cyclic instance
+    * — TPC-H Q5's 5-cycle lineitem–orders–customer–nation–supplier–
+    * lineitem (the local-supplier constraint c_nationkey = s_nationkey
+    * expressed through the shared nation edge closes the cycle). Every
+    * row count and all the join-key ndv come from the persisted ANALYZE
+    * store (`DefaultStatsSpecs` gained s_nationkey). The cyclic
+    * specifics this row exists to pin:
+    *
+    *  - connected subsets are the cycle's ARCS (21 of 31), enumerated
+    *    without any interval/edge-cut shortcut;
+    *  - the FULL set's estimate divides by ALL FIVE edge divisors —
+    *    the cycle-closing predicate multiplies in, pricing the join
+    *    BELOW the fact count (est 240 vs 6 000 lineitem rows at
+    *    sf0.001 — what makes Q5-shaped queries cheap);
+    *  - a split of a cyclic subset can cross TWO edges, and the
+    *    executed join applies BOTH predicates (`CcpCell.crossEdges`) —
+    *    the correctness trap a naive single-condition builder falls
+    *    into;
+    *  - candidate splits enumerate by ascending S1 bitmask (no cut
+    *    edge exists to order by), first-minimal ties, oracle-replayed.
+    *
+    * Output: the full 21-row DP table plus the executed proof — the
+    * chosen tree built from the cells' components with ALL cross-edge
+    * conditions, run against the canonical left-deep join (which
+    * applies both N–S and S–L predicates at the supplier join),
+    * `trees_identical` emitted. Oracle re-derives the entire table via
+    * a generated per-cell CASE chain. Scale: O(3ⁿ) on metadata with n
+    * = tables in ONE query; execution arms are the audit price. */
+  def cboCyclicEnumerationAudit(spark: SparkSession, dir: String): DataFrame = {
+    val stats = ensureTableStats(spark, dir)
+      .select(col("table_name"), col("column_name"), col("n_rows"),
+        col("ndv")).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    def rowsOf(t: String, c: String): Long = stats((t, c))._1
+    def ndvOf(t: String, c: String): Long = stats((t, c))._2
+    val tables = Seq(
+      ("lineitem", rowsOf("lineitem", "l_orderkey")),
+      ("orders", rowsOf("orders", "o_orderkey")),
+      ("customer", rowsOf("customer", "c_custkey")),
+      ("nation", rowsOf("nation", "n_nationkey")),
+      ("supplier", rowsOf("supplier", "s_suppkey")))
+    val edges = Seq(
+      (0, 1, math.max(ndvOf("lineitem", "l_orderkey"),
+        ndvOf("orders", "o_orderkey"))),
+      (1, 2, math.max(ndvOf("orders", "o_custkey"),
+        ndvOf("customer", "c_custkey"))),
+      (2, 3, math.max(ndvOf("customer", "c_nationkey"),
+        ndvOf("nation", "n_nationkey"))),
+      (3, 4, math.max(ndvOf("nation", "n_nationkey"),
+        ndvOf("supplier", "s_nationkey"))),
+      (4, 0, math.max(ndvOf("supplier", "s_suppkey"),
+        ndvOf("lineitem", "l_suppkey"))))
+    val dp = dpCcp(tables, edges)
+    val dfs = Seq(Tables.lineitem(spark, dir), Tables.orders(spark, dir),
+      Tables.customer(spark, dir), Tables.nation(spark, dir),
+      Tables.supplier(spark, dir))
+    val conds = Seq(
+      col("l_orderkey") === col("o_orderkey"),
+      col("o_custkey") === col("c_custkey"),
+      col("c_nationkey") === col("n_nationkey"),
+      col("n_nationkey") === col("s_nationkey"),
+      col("s_suppkey") === col("l_suppkey"))
+    def build(mask: Int): DataFrame = {
+      val cell = dp(mask)
+      if (cell.crossEdges.isEmpty)
+        dfs(java.lang.Integer.numberOfTrailingZeros(mask))
+      else build(cell.leftMask).join(build(cell.rightMask),
+        cell.crossEdges.map(conds).reduce(_ && _))
+    }
+    def agg(full: DataFrame): (Long, Long, Long) = {
+      val r = full.agg(count(lit(1)), sum(col("l_quantity").cast("long")),
+        sum(col("s_suppkey").cast("long"))).head()
+      (r.getLong(0),
+        if (r.isNullAt(1)) 0L else r.getLong(1),
+        if (r.isNullAt(2)) 0L else r.getLong(2))
+    }
+    val fullMask = (1 << tables.length) - 1
+    val chosen = agg(build(fullMask))
+    // canonical left-deep: join tables in index order, each step
+    // applying EVERY edge that becomes internal (the supplier join
+    // carries both the N–S and S–L predicates)
+    val leftDeep = agg((1 until tables.length).foldLeft(dfs.head) {
+      (acc, k) =>
+        val priorMask = (1 << k) - 1
+        val cs = edges.indices.filter { e =>
+          val (a, b, _) = edges(e)
+          (a == k && (priorMask & (1 << b)) != 0) ||
+            (b == k && (priorMask & (1 << a)) != 0)
+        }
+        acc.join(dfs(k), cs.map(conds).reduce(_ && _))
+    })
     val identical = chosen == leftDeep
     import spark.implicits._
     dp.toSeq

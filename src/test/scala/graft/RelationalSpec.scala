@@ -1659,4 +1659,60 @@ class RelationalSpec extends AnyFunSuite {
     val est1 = Relational.feedbackCorrected(a._2, 1000000L)
     assert(est1 == a._2, "identity correction is a no-op")
   }
+  test("dpCcp: cycles enumerated, multi-cross-edge splits carried, planted flip, arcs only") {
+    // the q249 shape at sf0.001's stats
+    val tables = Seq(("l", 6000L), ("o", 1500L), ("c", 150L),
+      ("n", 25L), ("s", 10L))
+    val edges = Seq((0, 1, 1500L), (1, 2, 150L), (2, 3, 25L),
+      (3, 4, 25L), (4, 0, 10L))
+    val dp = Relational.dpCcp(tables, edges)
+    // connected subsets of a 5-cycle are its 21 arcs
+    assert(dp.size == 21)
+    assert(!dp.contains((1 << 1) | (1 << 3)), "o,n is disconnected")
+    val full = dp((1 << 5) - 1)
+    // the cycle-closing predicate divides ALL FIVE divisors in
+    assert(full.est == 6000L * 1500L * 150L * 25L * 10L /
+      (1500L * 150L * 25L * 25L * 10L), s"est ${full.est}")
+    assert(full.est == 240L)
+    assert(full.plan == "(l*(o*(c*(n*s))))", s"winner ${full.plan}")
+    assert(full.cost == 910L, s"cost ${full.cost}")
+    // the winning split crosses BOTH the L–O and S–L edges — the
+    // executed join must apply both predicates
+    assert(full.crossEdges == Seq(0, 4), s"cross ${full.crossEdges}")
+    // planted stats: a huge nation side makes the dim chain worthless
+    // and the winner re-routes through the orders arm
+    val planted = Relational.dpCcp(
+      Seq(("l", 6000L), ("o", 1500L), ("c", 150L), ("n", 100000L),
+        ("s", 10L)), edges)
+    assert(planted((1 << 5) - 1).plan != full.plan, "planted flip")
+  }
+  test("q249 cyclic enumeration: 21-row DP table, Q5 winner, executed trees identical") {
+    val df = Relational.cboCyclicEnumerationAudit(spark, TestSpark.Sf0001)
+      .as[(String, Long, Long, Long, String, Long, Long, Long, Boolean)]
+      .collect()
+    assert(df.length == 21)
+    val full = df.find(_._2 == 5L).get
+    assert(full._5 ==
+      "(lineitem*(orders*(customer*(nation*supplier))))",
+      s"winner: ${full._5}")
+    assert(df.forall(_._9), "trees_identical on every row")
+    // the answer replayed directly from the raw CYCLIC join — both the
+    // N–S and S–L predicates applied
+    val d = TestSpark.Sf0001
+    val want = graft.Tables.lineitem(spark, d)
+      .join(graft.Tables.orders(spark, d),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(graft.Tables.customer(spark, d),
+        col("o_custkey") === col("c_custkey"))
+      .join(graft.Tables.nation(spark, d),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(graft.Tables.supplier(spark, d),
+        col("n_nationkey") === col("s_nationkey") &&
+          col("s_suppkey") === col("l_suppkey")).count()
+    assert(df.forall(_._6 == want), "answer row count")
+    // the full set prices BELOW the fact count — the cycle's estimate
+    // win this row exists to show
+    val nLi = graft.Tables.lineitem(spark, d).count()
+    assert(full._3 < nLi, s"cyclic est ${full._3} vs fact $nLi")
+  }
 }

@@ -1001,7 +1001,14 @@ object SparkEntry {
     // predicates, and the 21-row DP table oracle-re-derived via a
     // generated per-cell CASE chain
     "q249_cbo_cyclic_enumeration" -> ((s: SparkSession, d: String) =>
-      Relational.cboCyclicEnumerationAudit(s, d))
+      Relational.cboCyclicEnumerationAudit(s, d)),
+    // the LEO store's lifecycle leg: per-tick (est, actual) observation
+    // rows under batchId partitions, fold = pooled-ratio correction per
+    // class (a monoid — one outlier query cannot own the class), XO
+    // replay of the middle tick before reading, and the held-out
+    // rectangle's transfer re-derived from the maintained fold
+    "q250_incremental_feedback" -> ((s: SparkSession, d: String) =>
+      Relational.incrementalFeedbackMaintenance(s, d))
   )
 
   /** The session-shared `ensure*` leaves at the registry consumers'
@@ -5466,6 +5473,72 @@ object SparkEntry {
     "q63_winnowing_pairs" -> winnowingPairsSql,
     // the engine's dpCcp replayed symbolically — see [[cyclicDpSql]]
     "q249_cbo_cyclic_enumeration" -> cyclicDpSql,
+    // every stored observation row (tick = rectangle index), the pooled
+    // fold, the ratio correction, and the held-out transfer — all the
+    // same grid integer arithmetic as q243's oracle
+    "q250_incremental_feedback" ->
+      """WITH bnd AS (
+        |  SELECT min(event_id) AS id_min, max(event_id) AS id_max,
+        |    min(epoch_us(CAST(ts AS TIMESTAMP))) AS ts_min,
+        |    max(epoch_us(CAST(ts AS TIMESTAMP))) AS ts_max,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events),
+        |e AS (
+        |  SELECT (event_id - id_min) * 8 // (id_max - id_min + 1) AS b_id,
+        |    (epoch_us(CAST(ts AS TIMESTAMP)) - ts_min) * 8
+        |      // (ts_max - ts_min + 1) AS b_ts
+        |  FROM events, bnd),
+        |r(tick, rlo, rhi) AS (VALUES (0, 0, 1), (1, 4, 5), (2, 6, 7)),
+        |t AS (
+        |  SELECT CAST(r.tick AS BIGINT) AS ingest_batch,
+        |    'id_ts_diag' AS pred_class,
+        |    CAST((SELECT count(*) FROM e
+        |            WHERE b_id BETWEEN r.rlo AND r.rhi)
+        |      * (SELECT count(*) FROM e
+        |           WHERE b_ts BETWEEN r.rlo AND r.rhi)
+        |      // (SELECT n FROM bnd) AS BIGINT) AS est,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM e
+        |     WHERE b_id BETWEEN r.rlo AND r.rhi
+        |       AND b_ts BETWEEN r.rlo AND r.rhi) AS actual
+        |  FROM r),
+        |fold AS (
+        |  SELECT CAST(sum(est) AS BIGINT) AS est_sum,
+        |    CAST(sum(actual) AS BIGINT) AS actual_sum
+        |  FROM t),
+        |co AS (
+        |  SELECT *, actual_sum * 1000000 // greatest(est_sum, 1)
+        |    AS correction_e6
+        |  FROM fold),
+        |b AS (
+        |  SELECT
+        |    CAST((SELECT count(*) FROM e WHERE b_id BETWEEN 2 AND 3)
+        |      * (SELECT count(*) FROM e WHERE b_ts BETWEEN 2 AND 3)
+        |      // (SELECT n FROM bnd) AS BIGINT) AS est_b_raw,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM e
+        |     WHERE b_id BETWEEN 2 AND 3 AND b_ts BETWEEN 2 AND 3)
+        |      AS actual_b),
+        |ap AS (
+        |  SELECT co.*, b.est_b_raw,
+        |    CAST(b.est_b_raw * co.correction_e6 // 1000000 AS BIGINT)
+        |      AS est_b_corrected,
+        |    b.actual_b
+        |  FROM co, b),
+        |er AS (
+        |  SELECT *,
+        |    CAST(CASE WHEN actual_b > 0
+        |      THEN abs(est_b_raw - actual_b) * 1000000 // actual_b
+        |      ELSE est_b_raw * 1000000 END AS BIGINT) AS raw_err_ppm,
+        |    CAST(CASE WHEN actual_b > 0
+        |      THEN abs(est_b_corrected - actual_b) * 1000000 // actual_b
+        |      ELSE est_b_corrected * 1000000 END AS BIGINT)
+        |      AS corrected_err_ppm
+        |  FROM ap)
+        |SELECT t.ingest_batch, t.pred_class, t.est, t.actual,
+        |  er.est_sum, er.actual_sum, er.correction_e6, er.est_b_raw,
+        |  er.est_b_corrected, er.actual_b, er.raw_err_ppm,
+        |  er.corrected_err_ppm,
+        |  er.corrected_err_ppm < er.raw_err_ppm AS improved
+        |FROM t, er""".stripMargin,
     // both complete DP chains (the q245 CASE machinery instantiated per
     // pricing via starDpChainSql), the training leg, the correction,
     // both chosen plans/costs, the flip flag, and the filtered star's

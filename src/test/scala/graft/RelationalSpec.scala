@@ -1715,4 +1715,68 @@ class RelationalSpec extends AnyFunSuite {
     val nLi = graft.Tables.lineitem(spark, d).count()
     assert(full._3 < nLi, s"cyclic est ${full._3} vs fact $nLi")
   }
+  test("q250 incremental feedback: pooled fold transfers to the held-out rectangle, replay converges") {
+    val rows = Relational.incrementalFeedbackMaintenance(spark, TestSpark.Sf0001)
+      .as[(Long, String, Long, Long, Long, Long, Long, Long, Long, Long,
+        Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(rows.length == 3, "one observation row per tick")
+    assert(rows.map(_._1).toSeq == Seq(0L, 1L, 2L))
+    // the fold IS the per-tick sums (monoid) and the correction is the
+    // pooled ratio
+    val estSum = rows.map(_._3).sum
+    val actualSum = rows.map(_._4).sum
+    assert(rows.forall(r => r._5 == estSum && r._6 == actualSum))
+    assert(rows.head._7 ==
+      actualSum * 1000000L / math.max(1L, estSum), "pooled ratio")
+    // the transfer: held-out B repaired by an order of magnitude
+    val a = rows.head
+    assert(a._11 > 500000L, s"raw err ${a._11}")
+    assert(a._12 < a._11 / 10L, s"corrected err ${a._12}")
+    assert(a._13, "improved")
+    assert(a._9 == Relational.feedbackCorrected(a._8, a._7), "application")
+    // out-of-band replay of a middle tick converges (the audit already
+    // replays tick 1 before reading; a second replay must be a no-op)
+    val root = Relational.ensureFeedbackStats(spark, TestSpark.Sf0001)
+    Relational.fbObsTickAt(spark, TestSpark.Sf0001, root, 1)
+    val again = spark.read.parquet(s"$root/fbobs")
+      .select(col("ingest_batch").cast("long"), col("pred_class"),
+        col("est"), col("actual"))
+      .as[(Long, String, Long, Long)].collect().toSet
+    assert(again == rows.map(r => (r._1, r._2, r._3, r._4)).toSet,
+      "replaying tick 1 changed the store")
+  }
+  test("q250 streaming twin: MemoryStream observation commits reproduce the tick loop; replay is a no-op") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_fb_stream").toString
+    // deterministic observation rows — the twin's claim is stream ≡
+    // commit for the SAME rows, not the observation derivation (the
+    // batch audit owns that)
+    val ticks = Seq(("id_ts_diag", 66L, 250L, 0),
+      ("id_ts_diag", 64L, 230L, 1), ("id_ts_diag", 55L, 221L, 2))
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(String, Long, Long)]
+    val q = Relational.streamingFeedbackMaintenance(
+      input.toDF().toDF("pred_class", "est", "actual"), root).start()
+    try {
+      ticks.foreach { case (c, e, a, _) =>
+        input.addData(Seq((c, e, a)))
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    def store() = spark.read.parquet(s"$root/fbobs")
+      .select(col("ingest_batch").cast("long"), col("pred_class"),
+        col("est"), col("actual"))
+      .as[(Long, String, Long, Long)].collect().toSet
+    val streamed = store()
+    assert(streamed == ticks.map { case (c, e, a, t) =>
+      (t.toLong, c, e, a)
+    }.toSet, "stream != expected commits")
+    // same-batchId replay converges
+    import spark.implicits._
+    Relational.fbObsCommit(Seq(ticks(1)).map { case (c, e, a, _) =>
+      (c, e, a)
+    }.toDF("pred_class", "est", "actual"), 1L, root)
+    assert(store() == streamed, "replaying commit 1 changed the store")
+  }
 }

@@ -3313,6 +3313,14 @@ object SparkEntry {
         |    (SELECT CAST(coalesce(sum(user_id), 0) AS BIGINT) FROM ev
         |     WHERE b_id BETWEEN 0 AND 1 AND b_ts BETWEEN 0 AND 1)
         |      AS sum_uid_a,
+        |    (SELECT count(*) FROM ev WHERE b_id BETWEEN 4 AND 5) AS na_c,
+        |    (SELECT count(*) FROM ev WHERE b_ts BETWEEN 4 AND 5) AS nb_c,
+        |    (SELECT count(*) FROM ev WHERE b_id BETWEEN 4 AND 5
+        |       AND b_ts BETWEEN 4 AND 5) AS actual_c,
+        |    (SELECT count(*) FROM ev WHERE b_id BETWEEN 6 AND 7) AS na_d,
+        |    (SELECT count(*) FROM ev WHERE b_ts BETWEEN 6 AND 7) AS nb_d,
+        |    (SELECT count(*) FROM ev WHERE b_id BETWEEN 6 AND 7
+        |       AND b_ts BETWEEN 6 AND 7) AS actual_d,
         |    (SELECT count(*) FROM ev WHERE b_id BETWEEN 2 AND 3) AS na_b,
         |    (SELECT count(*) FROM ev WHERE b_ts BETWEEN 2 AND 3) AS nb_b,
         |    (SELECT count(*) FROM ev WHERE b_id BETWEEN 2 AND 3
@@ -3326,8 +3334,10 @@ object SparkEntry {
         |    na_b * nb_b // n_ev AS est_b_raw
         |  FROM g),
         |fb AS (
-        |  SELECT *, actual_a * 1000000 // greatest(est_indep_a, 1)
-        |    AS corr_e6
+        |  SELECT *,
+        |    (actual_a + actual_c + actual_d) * 1000000
+        |      // greatest(est_indep_a + na_c * nb_c // n_ev
+        |                  + na_d * nb_d // n_ev, 1) AS corr_e6
         |  FROM gs),
         |ap AS (
         |  SELECT *, est_b_raw * corr_e6 // 1000000 AS est_b_corr FROM fb),

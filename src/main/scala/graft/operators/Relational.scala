@@ -4246,10 +4246,10 @@ object Relational {
     *     from the persisted A58 grid (independence vs group fold)
     *     against the q237 threshold (n/8); the flag derives advice
     *     correctness from the executed actual.
-    *  5. `feedback` — the corner's observed cardinality persists an A62
-    *     correction (read BACK from the store), which re-prices the
-    *     same-class rectangle B; the flag derives `improved` from the
-    *     two errors.
+    *  5. `feedback` — the MAINTAINED feedback store's pooled per-class
+    *     correction (A65's session-shared leaf; the capstone READS it,
+    *     never writes scratch) re-prices the held-out rectangle B; the
+    *     flag derives `improved` from the two errors.
     *
     * Scale: every decision input is metadata-sized (store rows, a
     * |buckets| histogram, a ≤64-cell grid, a 4-row integrity fold, one
@@ -4356,18 +4356,17 @@ object Relational {
     val adviceCorrect =
       (actualA <= threshold) == (estGroupA <= threshold)
 
-    // --- 5. feedback (A62): learned on A, applied to B, through the
-    // persisted store ---
-    val fbRoot = graft.sources.Sources.scratchDirUnique(spark, "capfb")
+    // --- 5. feedback (A62/A65): the MAINTAINED store's pooled
+    // correction (q250's session-shared leaf — the capstone reads it,
+    // never writes its own scratch), applied to held-out rectangle B ---
+    val fbRoot = ensureFeedbackStats(spark, dir)
+    val foldRow = spark.read.parquet(s"$fbRoot/fbobs")
+      .filter(col("pred_class") === "id_ts_diag")
+      .agg(coalesce(sum(col("est")), lit(0L)),
+        coalesce(sum(col("actual")), lit(0L))).head()
+    val corrE6 = (BigInt(foldRow.getLong(1)) * BigInt(1000000L) /
+      BigInt(math.max(1L, foldRow.getLong(0)))).toLong
     import spark.implicits._
-    Seq(("capstone_id_ts_diag",
-      (BigInt(actualA) * BigInt(1000000L) /
-        BigInt(math.max(1L, estIndepA))).toLong))
-      .toDF("pred_class", "correction_e6")
-      .write.mode("overwrite").parquet(s"$fbRoot/fb")
-    val corrE6 = spark.read.parquet(s"$fbRoot/fb")
-      .filter(col("pred_class") === "capstone_id_ts_diag")
-      .select(col("correction_e6")).head().getLong(0)
     val estBRaw =
       gridMarginalA(cells, 2L, 3L) * gridMarginalB(cells, 2L, 3L) / nEv
     val estBCorr = feedbackCorrected(estBRaw, corrE6)

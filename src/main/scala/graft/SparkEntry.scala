@@ -1037,7 +1037,9 @@ object SparkEntry {
     "cgrpinc" -> ((s: SparkSession, d: String) =>
       { Relational.ensureIncrementalGroupStats(s, d, 4); () }),
     "fkint" -> ((s: SparkSession, d: String) =>
-      { Relational.ensureFkIntegrityStats(s, d, 4); () }))
+      { Relational.ensureFkIntegrityStats(s, d, 4); () }),
+    "leofbinc" -> ((s: SparkSession, d: String) =>
+      { Relational.ensureFeedbackStats(s, d); () }))
 
   /** Shared CTE chain ending in `pairs` = the exact-Jaccard near-dup pairs
     * at threshold 0.5 over relation `src` (q17 + q18 + the q52/q55 edge
@@ -5510,11 +5512,17 @@ object SparkEntry {
         |    (SELECT CAST(count(*) AS BIGINT) FROM e
         |     WHERE b_id BETWEEN r.rlo AND r.rhi
         |       AND b_ts BETWEEN r.rlo AND r.rhi) AS actual
-        |  FROM r),
+        |  FROM r
+        |  UNION ALL
+        |  SELECT CAST(3 AS BIGINT), 'l_orderkey_mod2_eq',
+        |    greatest((SELECT CAST(count(*) AS BIGINT) FROM lineitem)
+        |      // 1000, 1),
+        |    (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+        |     WHERE l_orderkey % 2 = 0)),
         |fold AS (
         |  SELECT CAST(sum(est) AS BIGINT) AS est_sum,
         |    CAST(sum(actual) AS BIGINT) AS actual_sum
-        |  FROM t),
+        |  FROM t WHERE pred_class = 'id_ts_diag'),
         |co AS (
         |  SELECT *, actual_sum * 1000000 // greatest(est_sum, 1)
         |    AS correction_e6

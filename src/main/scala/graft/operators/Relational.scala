@@ -3832,6 +3832,12 @@ object Relational {
     * the transfer test. */
   private[graft] val FbTickRects = Seq((0L, 1L), (4L, 5L), (6L, 7L))
 
+  /** Total ticks in the maintained feedback store: the diagonal
+    * rectangles plus one tick for the `l_orderkey_mod2_eq` class's
+    * training observation (the J26/J29 enumerators' LEO input — ONE
+    * store, every consumer). */
+  private[graft] val FbTickCount = FbTickRects.length + 1
+
   /** One feedback-store commit: THIS tick's observation rows
     * (pred_class, est, actual) landed under the tick's ingest_batch
     * partition via dynamic overwrite — deterministic in (batch,
@@ -3851,30 +3857,62 @@ object Relational {
     } finally { partial.unpersist(); () }
   }
 
-  /** One ingest tick of the q250 loop: tick t observes training
-    * rectangle t — the independence ESTIMATE from the persisted grid
-    * (metadata) and the EXECUTED cardinality (the count the runtime
-    * produced anyway; one bounded aggregate here). */
+  /** One ingest tick of the q250 loop: ticks 0..2 observe the diagonal
+    * training rectangles — the independence ESTIMATE from the persisted
+    * grid (metadata) and the EXECUTED cardinality (the count the
+    * runtime produced anyway); tick 3 observes the
+    * `l_orderkey_mod2_eq` class's training member (the J26/J29 derived
+    * predicate: default-guess estimate, executed count). */
   private[graft] def fbObsTickAt(spark: SparkSession, dir: String,
                                  root: String, tick: Int): Unit = {
-    val cells = gridCells(spark, dir)
-    val n = cells.values.sum
-    val (lo, hi) = FbTickRects(tick)
-    val est = gridMarginalA(cells, lo, hi) *
-      gridMarginalB(cells, lo, hi) / n
-    val actual = bucketedEvents(spark, dir)
-      .filter(col("b_id").between(lo, hi) && col("b_ts").between(lo, hi))
-      .count()
     import spark.implicits._
-    fbObsCommit(Seq(("id_ts_diag", est, actual))
-      .toDF("pred_class", "est", "actual"), tick.toLong, root)
+    val obs =
+      if (tick < FbTickRects.length) {
+        val cells = gridCells(spark, dir)
+        val n = cells.values.sum
+        val (lo, hi) = FbTickRects(tick)
+        val est = gridMarginalA(cells, lo, hi) *
+          gridMarginalB(cells, lo, hi) / n
+        val actual = bucketedEvents(spark, dir)
+          .filter(col("b_id").between(lo, hi) &&
+            col("b_ts").between(lo, hi)).count()
+        ("id_ts_diag", est, actual)
+      } else {
+        val nLi = ensureTableStats(spark, dir)
+          .filter(col("table_name") === "lineitem" &&
+            col("column_name") === "l_orderkey")
+          .select(col("n_rows")).head().getLong(0)
+        val est = math.max(1L, nLi / DefaultExprSelectivityDenom)
+        val actual = Tables.lineitem(spark, dir)
+          .filter(pmod(col("l_orderkey").cast("long"), lit(2L)) === 0L)
+          .count()
+        ("l_orderkey_mod2_eq", est, actual)
+      }
+    fbObsCommit(Seq(obs).toDF("pred_class", "est", "actual"),
+      tick.toLong, root)
   }
 
   private[graft] def ensureFeedbackStats(spark: SparkSession,
                                          dir: String): String =
     graft.sources.Sources.ensureStore(spark, "leofbinc", dir) { root =>
-      FbTickRects.indices.foreach(t => fbObsTickAt(spark, dir, root, t))
+      (0 until FbTickCount).foreach(t => fbObsTickAt(spark, dir, root, t))
     }
+
+  /** The maintained store's pooled correction for one predicate class —
+    * the read every LEO consumer (J26/J28/J29) performs: fold the
+    * class's observation rows to (Σ est, Σ actual), correction =
+    * pooled ratio in millionths. */
+  private[graft] def feedbackCorrectionFor(spark: SparkSession,
+                                           dir: String,
+                                           predClass: String): Long = {
+    val root = ensureFeedbackStats(spark, dir)
+    val fold = spark.read.parquet(s"$root/fbobs")
+      .filter(col("pred_class") === predClass)
+      .agg(coalesce(sum(col("est")), lit(0L)),
+        coalesce(sum(col("actual")), lit(0L))).head()
+    (BigInt(fold.getLong(1)) * BigInt(1000000L) /
+      BigInt(math.max(1L, fold.getLong(0)))).toLong
+  }
 
   /** A65 [EXT] — INCREMENTAL FEEDBACK-STORE MAINTENANCE (q250): the
     * lifecycle leg that makes the LEO store (A62/J26/J29) a MAINTAINED
@@ -3907,10 +3945,12 @@ object Relational {
     // out-of-band replay of the MIDDLE tick: the XO convergence leg
     fbObsTickAt(spark, dir, root, 1)
     val store = spark.read.parquet(s"$root/fbobs")
-    val fold = store.groupBy(col("pred_class"))
-      .agg(sum(col("est")).as("est_sum"), sum(col("actual")).as("actual_sum"))
-      .head()
-    val (estSum, actualSum) = (fold.getLong(1), fold.getLong(2))
+    // the transfer columns audit the DIAG class (the mod2 class's
+    // correction is consumed — and oracle-checked — by q244/q248)
+    val fold = store.filter(col("pred_class") === "id_ts_diag")
+      .agg(coalesce(sum(col("est")), lit(0L)),
+        coalesce(sum(col("actual")), lit(0L))).head()
+    val (estSum, actualSum) = (fold.getLong(0), fold.getLong(1))
     val corrE6 = (BigInt(actualSum) * BigInt(1000000L) /
       BigInt(math.max(1L, estSum))).toLong
     // the held-out transfer: rectangle B re-priced through the fold
@@ -3979,11 +4019,13 @@ object Relational {
     *     the enumerator falls back to the declared default guess
     *     n/[[DefaultExprSelectivityDenom]] (~0.1 %; the actual
     *     selectivity is ~50 %, the mis-estimate LEO exists for);
-    *  2. the TRAINING query (c = 0) executes; its observed cardinality
-    *     becomes the correction q = actual·10⁶ div max(1, est),
-    *     persisted to the feedback store under the class
-    *     `l_orderkey_mod2_eq` and read BACK from the store (the
-    *     persistence is part of what green proves — q243 discipline);
+    *  2. the TRAINING observation (c = 0: default-guess estimate,
+    *     executed cardinality) lives in the MAINTAINED feedback store
+    *     (A65's session-shared leaf — committed by the q250 lifecycle,
+    *     CONSULTED here; r18's consolidation replaced this query's
+    *     private scratch write): est/actual read from the class's row,
+    *     correction = the store's pooled ratio
+    *     ([[feedbackCorrectionFor]]);
     *  3. a DIFFERENT query (c = 1, same class — LEO's generalization
     *     unit) prices the filtered 3-table join BOTH ways: raw (default
     *     guess → est(li′⋈ord) tiny → lineitem-first) and
@@ -4025,21 +4067,17 @@ object Relational {
     val li = Tables.lineitem(spark, dir)
     val ord = Tables.orders(spark, dir)
     val cust = Tables.customer(spark, dir)
-    val estDefault = math.max(1L, nLi / DefaultExprSelectivityDenom)
-    // training leg: the class's c=0 member executes; the runtime's own
-    // count is the observation
-    val actualTrain = li
-      .filter(pmod(col("l_orderkey").cast("long"), lit(2L)) === 0L).count()
-    val root = graft.sources.Sources.scratchDirUnique(spark, "fbord")
-    import spark.implicits._
-    Seq(("l_orderkey_mod2_eq", estDefault, actualTrain,
-      (BigInt(actualTrain) * BigInt(1000000L) /
-        BigInt(math.max(1L, estDefault))).toLong))
-      .toDF("pred_class", "est", "actual", "correction_e6")
-      .write.mode("overwrite").parquet(s"$root/fb")
-    val corrE6 = spark.read.parquet(s"$root/fb")
+    // the training observation and its pooled correction come from the
+    // MAINTAINED feedback store (A65's session-shared leaf — r18's
+    // consolidation: ONE store, every LEO consumer reads it; the tick
+    // was committed by the lifecycle, this query only consults)
+    val fbRoot = ensureFeedbackStats(spark, dir)
+    val obsRow = spark.read.parquet(s"$fbRoot/fbobs")
       .filter(col("pred_class") === "l_orderkey_mod2_eq")
-      .select(col("correction_e6")).head().getLong(0)
+      .select(col("est"), col("actual")).head()
+    val (estDefault, actualTrain) = (obsRow.getLong(0), obsRow.getLong(1))
+    val corrE6 = feedbackCorrectionFor(spark, dir, "l_orderkey_mod2_eq")
+    import spark.implicits._
     // target query: c = 1, same class — priced both ways
     val estRaw = estDefault
     val estFb = feedbackCorrected(estRaw, corrE6)
@@ -4111,8 +4149,9 @@ object Relational {
     *     q244 predicate class (`l_orderkey % 2 = 1`) — a derived
     *     expression no statistic prices, so the raw enumerator charges
     *     the default guess n/1000 for the filtered lineitem;
-    *  2. the training member (c = 0) executes; its observed cardinality
-    *     persists the class correction, read BACK from the store;
+    *  2. the training member's observation and its pooled correction
+    *     come from the MAINTAINED feedback store (A65's shared leaf —
+    *     the q250 lifecycle committed it, this query consults);
     *  3. the DP runs TWICE over identical inputs except the fact's row
     *     estimate — raw (≈ n/1000: every fact-containing subset prices
     *     tiny, the (orders*customer) arm looks expensive by contrast
@@ -4150,20 +4189,16 @@ object Relational {
     val (nSupp, ndvSs) = stats(("supplier", "s_suppkey"))
     val li = Tables.lineitem(spark, dir)
     val ord = Tables.orders(spark, dir)
-    // training leg + persisted correction (the q244 class)
-    val estDefault = math.max(1L, nLi / DefaultExprSelectivityDenom)
-    val actualTrain = li
-      .filter(pmod(col("l_orderkey").cast("long"), lit(2L)) === 0L).count()
-    val root = graft.sources.Sources.scratchDirUnique(spark, "fbgraph")
-    import spark.implicits._
-    Seq(("l_orderkey_mod2_eq", estDefault, actualTrain,
-      (BigInt(actualTrain) * BigInt(1000000L) /
-        BigInt(math.max(1L, estDefault))).toLong))
-      .toDF("pred_class", "est", "actual", "correction_e6")
-      .write.mode("overwrite").parquet(s"$root/fb")
-    val corrE6 = spark.read.parquet(s"$root/fb")
+    // the q244 class's training observation + pooled correction, read
+    // from the MAINTAINED feedback store (A65 — one store, every LEO
+    // consumer)
+    val fbRoot = ensureFeedbackStats(spark, dir)
+    val obsRow = spark.read.parquet(s"$fbRoot/fbobs")
       .filter(col("pred_class") === "l_orderkey_mod2_eq")
-      .select(col("correction_e6")).head().getLong(0)
+      .select(col("est"), col("actual")).head()
+    val (estDefault, actualTrain) = (obsRow.getLong(0), obsRow.getLong(1))
+    val corrE6 = feedbackCorrectionFor(spark, dir, "l_orderkey_mod2_eq")
+    import spark.implicits._
     val estFb = feedbackCorrected(estDefault, corrE6)
     // the DP per pricing: only the fact's row estimate (and its edges'
     // post-filter divisors) differ
@@ -4359,13 +4394,7 @@ object Relational {
     // --- 5. feedback (A62/A65): the MAINTAINED store's pooled
     // correction (q250's session-shared leaf — the capstone reads it,
     // never writes its own scratch), applied to held-out rectangle B ---
-    val fbRoot = ensureFeedbackStats(spark, dir)
-    val foldRow = spark.read.parquet(s"$fbRoot/fbobs")
-      .filter(col("pred_class") === "id_ts_diag")
-      .agg(coalesce(sum(col("est")), lit(0L)),
-        coalesce(sum(col("actual")), lit(0L))).head()
-    val corrE6 = (BigInt(foldRow.getLong(1)) * BigInt(1000000L) /
-      BigInt(math.max(1L, foldRow.getLong(0)))).toLong
+    val corrE6 = feedbackCorrectionFor(spark, dir, "id_ts_diag")
     import spark.implicits._
     val estBRaw =
       gridMarginalA(cells, 2L, 3L) * gridMarginalB(cells, 2L, 3L) / nEv

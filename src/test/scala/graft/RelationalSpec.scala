@@ -1719,12 +1719,15 @@ class RelationalSpec extends AnyFunSuite {
     val rows = Relational.incrementalFeedbackMaintenance(spark, TestSpark.Sf0001)
       .as[(Long, String, Long, Long, Long, Long, Long, Long, Long, Long,
         Long, Long, Boolean)].collect().sortBy(_._1)
-    assert(rows.length == 3, "one observation row per tick")
-    assert(rows.map(_._1).toSeq == Seq(0L, 1L, 2L))
-    // the fold IS the per-tick sums (monoid) and the correction is the
-    // pooled ratio
-    val estSum = rows.map(_._3).sum
-    val actualSum = rows.map(_._4).sum
+    assert(rows.length == 4, "one observation row per tick, both classes")
+    assert(rows.map(_._1).toSeq == Seq(0L, 1L, 2L, 3L))
+    assert(rows.take(3).forall(_._2 == "id_ts_diag"))
+    assert(rows(3)._2 == "l_orderkey_mod2_eq",
+      "tick 3 carries the enumerators' derived-predicate class")
+    // the fold IS the diag ticks' sums (monoid) and the correction is
+    // the pooled ratio
+    val estSum = rows.take(3).map(_._3).sum
+    val actualSum = rows.take(3).map(_._4).sum
     assert(rows.forall(r => r._5 == estSum && r._6 == actualSum))
     assert(rows.head._7 ==
       actualSum * 1000000L / math.max(1L, estSum), "pooled ratio")

@@ -154,21 +154,27 @@ object ReleaseStream {
   def releaseTicks(spark: SparkSession, dir: String,
                    threshold: Double = 0.5,
                    targetBytes: Long = 16384L): DataFrame = {
+    // persisted once: the eval-index build + three tick filters would
+    // otherwise re-scan the raw table five times (ticks are inherently
+    // sequential — each reads the previous tick's indexes — so the
+    // corpus read is the one shareable cost)
     val docs = graft.Tables.documents(spark, dir)
-      .select(col("doc_id"), col("lang"), col("text"))
-    val isEval = col("doc_id") % 10 === 0
-    val root = graft.sources.Sources.scratchDir(spark,
-      s"release_stream_${java.util.UUID.randomUUID.toString.take(8)}")
-    buildEvalIndex(docs.filter(isEval), root)
-    val arriving = docs.filter(!isEval)
-    val maxId = arriving.agg(max(col("doc_id"))).head().getLong(0)
-    val (t1, t2) = (maxId / 3, 2L * maxId / 3)
-    releaseTickXO(arriving.filter(col("doc_id") <= t1), 0L, root,
-      threshold, targetBytes)
-    releaseTickXO(arriving.filter(col("doc_id") > t1 && col("doc_id") <= t2),
-      1L, root, threshold, targetBytes)
-    releaseTickXO(arriving.filter(col("doc_id") > t2), 2L, root,
-      threshold, targetBytes)
-    currentManifest(spark, root)
+      .select(col("doc_id"), col("lang"), col("text")).persist()
+    try {
+      val isEval = col("doc_id") % 10 === 0
+      val root = graft.sources.Sources.scratchDir(spark,
+        s"release_stream_${java.util.UUID.randomUUID.toString.take(8)}")
+      buildEvalIndex(docs.filter(isEval), root)
+      val arriving = docs.filter(!isEval)
+      val maxId = arriving.agg(max(col("doc_id"))).head().getLong(0)
+      val (t1, t2) = (maxId / 3, 2L * maxId / 3)
+      releaseTickXO(arriving.filter(col("doc_id") <= t1), 0L, root,
+        threshold, targetBytes)
+      releaseTickXO(arriving.filter(col("doc_id") > t1 && col("doc_id") <= t2),
+        1L, root, threshold, targetBytes)
+      releaseTickXO(arriving.filter(col("doc_id") > t2), 2L, root,
+        threshold, targetBytes)
+      currentManifest(spark, root)
+    } finally { docs.unpersist(); () }
   }
 }

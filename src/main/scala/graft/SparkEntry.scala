@@ -1696,22 +1696,22 @@ object SparkEntry {
   private def starDpChainSql(sfx: String): String =
     s"""e$sfx AS (
        |  SELECT *,
-       |    CAST(nli * nord // d0 AS BIGINT) AS e_lo,
-       |    CAST(nord * ncust // d1 AS BIGINT) AS e_oc,
-       |    CAST(nli * npart // d2 AS BIGINT) AS e_lp,
-       |    CAST(nli * nsupp // d3 AS BIGINT) AS e_ls,
-       |    CAST(nli * nord * ncust // (d0 * d1) AS BIGINT) AS e_loc,
-       |    CAST(nli * nord * npart // (d0 * d2) AS BIGINT) AS e_lop,
-       |    CAST(nli * nord * nsupp // (d0 * d3) AS BIGINT) AS e_los,
-       |    CAST(nli * npart * nsupp // (d2 * d3) AS BIGINT) AS e_lps,
-       |    CAST(nli * nord * ncust * npart // (d0 * d1 * d2) AS BIGINT)
+       |    CAST(CAST(nli AS HUGEINT) * nord // d0 AS BIGINT) AS e_lo,
+       |    CAST(CAST(nord AS HUGEINT) * ncust // d1 AS BIGINT) AS e_oc,
+       |    CAST(CAST(nli AS HUGEINT) * npart // d2 AS BIGINT) AS e_lp,
+       |    CAST(CAST(nli AS HUGEINT) * nsupp // d3 AS BIGINT) AS e_ls,
+       |    CAST(CAST(nli AS HUGEINT) * nord * ncust // (CAST(d0 AS HUGEINT) * d1) AS BIGINT) AS e_loc,
+       |    CAST(CAST(nli AS HUGEINT) * nord * npart // (CAST(d0 AS HUGEINT) * d2) AS BIGINT) AS e_lop,
+       |    CAST(CAST(nli AS HUGEINT) * nord * nsupp // (CAST(d0 AS HUGEINT) * d3) AS BIGINT) AS e_los,
+       |    CAST(CAST(nli AS HUGEINT) * npart * nsupp // (CAST(d2 AS HUGEINT) * d3) AS BIGINT) AS e_lps,
+       |    CAST(CAST(nli AS HUGEINT) * nord * ncust * npart // (CAST(d0 AS HUGEINT) * d1 * d2) AS BIGINT)
        |      AS e_locp,
-       |    CAST(nli * nord * ncust * nsupp // (d0 * d1 * d3) AS BIGINT)
+       |    CAST(CAST(nli AS HUGEINT) * nord * ncust * nsupp // (CAST(d0 AS HUGEINT) * d1 * d3) AS BIGINT)
        |      AS e_locs,
-       |    CAST(nli * nord * npart * nsupp // (d0 * d2 * d3) AS BIGINT)
+       |    CAST(CAST(nli AS HUGEINT) * nord * npart * nsupp // (CAST(d0 AS HUGEINT) * d2 * d3) AS BIGINT)
        |      AS e_lops,
-       |    CAST(nli * nord * ncust * npart * nsupp
-       |      // (d0 * d1 * d2 * d3) AS BIGINT) AS e_all
+       |    CAST(CAST(nli AS HUGEINT) * nord * ncust * npart * nsupp
+       |      // (CAST(d0 AS HUGEINT) * d1 * d2 * d3) AS BIGINT) AS e_all
        |  FROM st$sfx),
        |c3$sfx AS (
        |  SELECT *,
@@ -1801,10 +1801,15 @@ object SparkEntry {
       comp == m
     }
     def estExpr(m: Int): String = {
-      val num = (0 until n).filter(inM(_, m)).map(rowCols).mkString(" * ")
+      // first factor promoted to HUGEINT: five warehouse-scale row
+      // counts (and four divisors) overflow a BIGINT product — the
+      // engine's BigInt discipline, oracle-side
+      def prod(cols: Seq[String]): String =
+        (s"CAST(${cols.head} AS HUGEINT)" +: cols.tail).mkString(" * ")
+      val num = prod((0 until n).filter(inM(_, m)).map(rowCols))
       val den = induced(m).map(e => s"d$e")
       if (den.isEmpty) s"CAST($num AS BIGINT)"
-      else s"CAST($num // (${den.mkString(" * ")}) AS BIGINT)"
+      else s"CAST($num // (${prod(den)}) AS BIGINT)"
     }
     def costRef(m: Int): String =
       if (java.lang.Integer.bitCount(m) == 1) "0" else s"c_$m"
@@ -2587,12 +2592,13 @@ object SparkEntry {
         |      (SELECT count(DISTINCT n_nationkey) FROM nation)) AS d3),
         |e AS (
         |  SELECT *,
-        |    CAST(nli * nord // d1 AS BIGINT) AS e01,
-        |    CAST(nord * ncust // d2 AS BIGINT) AS e12,
-        |    CAST(ncust * nnat // d3 AS BIGINT) AS e23,
-        |    CAST(nli * nord * ncust // (d1 * d2) AS BIGINT) AS e02,
-        |    CAST(nord * ncust * nnat // (d2 * d3) AS BIGINT) AS e13,
-        |    CAST(nli * nord * ncust * nnat // (d1 * d2 * d3) AS BIGINT)
+        |    CAST(CAST(nli AS HUGEINT) * nord // d1 AS BIGINT) AS e01,
+        |    CAST(CAST(nord AS HUGEINT) * ncust // d2 AS BIGINT) AS e12,
+        |    CAST(CAST(ncust AS HUGEINT) * nnat // d3 AS BIGINT) AS e23,
+        |    CAST(CAST(nli AS HUGEINT) * nord * ncust // (CAST(d1 AS HUGEINT) * d2) AS BIGINT) AS e02,
+        |    CAST(CAST(nord AS HUGEINT) * ncust * nnat // (CAST(d2 AS HUGEINT) * d3) AS BIGINT) AS e13,
+        |    CAST(CAST(nli AS HUGEINT) * nord * ncust * nnat
+        |      // (CAST(d1 AS HUGEINT) * d2 * d3) AS BIGINT)
         |      AS e03
         |  FROM st),
         |c AS (
@@ -2944,22 +2950,22 @@ object SparkEntry {
         |      (SELECT count(DISTINCT s_suppkey) FROM supplier)) AS d3),
         |e AS (
         |  SELECT *,
-        |    CAST(nli * nord // d0 AS BIGINT) AS e_lo,
-        |    CAST(nord * ncust // d1 AS BIGINT) AS e_oc,
-        |    CAST(nli * npart // d2 AS BIGINT) AS e_lp,
-        |    CAST(nli * nsupp // d3 AS BIGINT) AS e_ls,
-        |    CAST(nli * nord * ncust // (d0 * d1) AS BIGINT) AS e_loc,
-        |    CAST(nli * nord * npart // (d0 * d2) AS BIGINT) AS e_lop,
-        |    CAST(nli * nord * nsupp // (d0 * d3) AS BIGINT) AS e_los,
-        |    CAST(nli * npart * nsupp // (d2 * d3) AS BIGINT) AS e_lps,
-        |    CAST(nli * nord * ncust * npart // (d0 * d1 * d2) AS BIGINT)
+        |    CAST(CAST(nli AS HUGEINT) * nord // d0 AS BIGINT) AS e_lo,
+        |    CAST(CAST(nord AS HUGEINT) * ncust // d1 AS BIGINT) AS e_oc,
+        |    CAST(CAST(nli AS HUGEINT) * npart // d2 AS BIGINT) AS e_lp,
+        |    CAST(CAST(nli AS HUGEINT) * nsupp // d3 AS BIGINT) AS e_ls,
+        |    CAST(CAST(nli AS HUGEINT) * nord * ncust // (CAST(d0 AS HUGEINT) * d1) AS BIGINT) AS e_loc,
+        |    CAST(CAST(nli AS HUGEINT) * nord * npart // (CAST(d0 AS HUGEINT) * d2) AS BIGINT) AS e_lop,
+        |    CAST(CAST(nli AS HUGEINT) * nord * nsupp // (CAST(d0 AS HUGEINT) * d3) AS BIGINT) AS e_los,
+        |    CAST(CAST(nli AS HUGEINT) * npart * nsupp // (CAST(d2 AS HUGEINT) * d3) AS BIGINT) AS e_lps,
+        |    CAST(CAST(nli AS HUGEINT) * nord * ncust * npart // (CAST(d0 AS HUGEINT) * d1 * d2) AS BIGINT)
         |      AS e_locp,
-        |    CAST(nli * nord * ncust * nsupp // (d0 * d1 * d3) AS BIGINT)
+        |    CAST(CAST(nli AS HUGEINT) * nord * ncust * nsupp // (CAST(d0 AS HUGEINT) * d1 * d3) AS BIGINT)
         |      AS e_locs,
-        |    CAST(nli * nord * npart * nsupp // (d0 * d2 * d3) AS BIGINT)
+        |    CAST(CAST(nli AS HUGEINT) * nord * npart * nsupp // (CAST(d0 AS HUGEINT) * d2 * d3) AS BIGINT)
         |      AS e_lops,
-        |    CAST(nli * nord * ncust * npart * nsupp
-        |      // (d0 * d1 * d2 * d3) AS BIGINT) AS e_all
+        |    CAST(CAST(nli AS HUGEINT) * nord * ncust * npart * nsupp
+        |      // (CAST(d0 AS HUGEINT) * d1 * d2 * d3) AS BIGINT) AS e_all
         |  FROM st),
         |c3 AS (
         |  SELECT *,

@@ -4511,7 +4511,8 @@ object SparkEntry {
          |  FROM pairs JOIN documents da ON da.doc_id = doc_a
          |             JOIN documents db ON db.doc_id = doc_b)
          |SELECT source_a, source_b, count(*) AS n_pairs,
-         | round(avg(jaccard), 4) AS avg_jaccard
+         | floor(sum(CAST(round(jaccard * 10000) AS BIGINT))
+         |   / count(*) + 0.5) / 10000.0 AS avg_jaccard
          |FROM cells GROUP BY 1, 2""".stripMargin,
     // same marginals, same one-pass entropy identity
     // ln T - (sum c*ln c)/T at 6dp
@@ -6411,9 +6412,9 @@ object SparkEntry {
         |SELECT source, n_tokens,
         |  CAST(target_tokens AS BIGINT) AS target_tokens,
         |  CAST(full_epochs AS BIGINT) AS full_epochs,
-        |  CAST(round(CAST(eff AS DECIMAL(38,18)), 6) AS DOUBLE)
+        |  CAST(floor(eff * 1000000.0 + 0.5) / 1000000.0 AS DOUBLE)
         |    AS effective_tokens,
-        |  CAST(round(CAST(eff / target_tokens AS DECIMAL(38,18)), 6)
+        |  CAST(floor(eff / target_tokens * 1000000.0 + 0.5) / 1000000.0
         |    AS DOUBLE) AS utilization
         |FROM g""".stripMargin,
     // the shared q128 legs, compared instead of fused

@@ -1293,8 +1293,16 @@ object Dedup {
       .groupBy(
         least(col("sa"), col("sb")).as("source_a"),
         greatest(col("sa"), col("sb")).as("source_b"))
+      // avg via the EXACT e4 integer sum (each jaccard is already a
+      // 4dp value, so round(j·10⁴) recovers its integer exactly), then
+      // one floor-form rounding in double space — a plain double avg
+      // is summation-order-sensitive and its last ulp flips the 4dp
+      // rounding between engines on boundary values (found by the r18
+      // full-registry check at sf0.1)
       .agg(count(lit(1)).as("n_pairs"),
-        round(avg(col("jaccard")), 4).as("avg_jaccard"))
+        (floor(sum(round(col("jaccard") * 10000).cast("long"))
+            .cast("double") / count(lit(1)) + 0.5) / 10000.0)
+          .as("avg_jaccard"))
   }
 
   def nearDupClusters(spark: SparkSession, dir: String, threshold: Double = 0.5,

@@ -2050,11 +2050,17 @@ object TextAnalysis {
       .withColumn("eff",
         col("n_tokens") * lit(1.0 / (1.0 - decay)) * (lit(1.0) - col("p"))
           + col("rem") * col("p"))
+    // floor-form 6dp rounding in DOUBLE space: the double→decimal cast
+    // takes the shortest string repr in Spark but the true binary value
+    // in DuckDB, flipping the rounded last digit on boundary values
+    // (found by the r18 full-registry check at sf0.1); floor(x·10⁶+0.5)
+    // is the same IEEE arithmetic in both engines
+    def r6d(c: Column): Column =
+      floor(c * lit(1000000.0) + lit(0.5)).cast("double") / lit(1000000.0)
     e.select(col("source"), col("n_tokens"), col("target_tokens"),
       col("full_epochs"),
-      round(col("eff").cast(dec), 6).cast("double").as("effective_tokens"),
-      round((col("eff") / col("target_tokens")).cast(dec), 6)
-        .cast("double").as("utilization"))
+      r6d(col("eff")).as("effective_tokens"),
+      r6d(col("eff") / col("target_tokens")).as("utilization"))
   }
 
   /** Per-doc DEFLATE profile: (doc_id, source, n_chars, n_bytes,

@@ -1686,6 +1686,33 @@ class RelationalSpec extends AnyFunSuite {
         ("s", 10L)), edges)
     assert(planted((1 << 5) - 1).plan != full.plan, "planted flip")
   }
+  test("dpCcp cross-validates the tree DP: identical estimates and costs on acyclic graphs") {
+    // the q245 star — the general enumerator must find exactly the
+    // tree-specialized answers (est and COST per connected subset;
+    // plans may differ only when costs tie, since the tie orders differ
+    // by construction: cut-edge index vs ascending submask)
+    val tables = Seq(("lineitem", 6000L), ("orders", 1500L),
+      ("customer", 150L), ("part", 200L), ("supplier", 10L))
+    val edges = Seq((0, 1, 1500L), (1, 2, 150L), (0, 3, 200L),
+      (0, 4, 10L))
+    val tree = Relational.selingerGraphDp(tables, edges)
+    val gen = Relational.dpCcp(tables, edges)
+    assert(tree.keySet == gen.keySet, "same connected subsets")
+    tree.keySet.foreach { m =>
+      assert(tree(m).est == gen(m).est, s"est differs at $m")
+      assert(tree(m).cost == gen(m).cost, s"cost differs at $m")
+    }
+    // and on a plain chain both reduce to the interval DP's costs
+    val chainRows = Seq(("a", 600L), ("b", 150L), ("c", 15L), ("d", 3L))
+    val chainDp = Relational.selingerChainDp(chainRows,
+      Seq(150L, 15L, 3L))
+    val genChain = Relational.dpCcp(chainRows,
+      Seq((0, 1, 150L), (1, 2, 15L), (2, 3, 3L)))
+    for (i <- 0 until 4; j <- i until 4) {
+      val mask = (i to j).map(1 << _).sum
+      assert(chainDp((i, j)).cost == genChain(mask).cost, s"[$i,$j]")
+    }
+  }
   test("q249 cyclic enumeration: 21-row DP table, Q5 winner, executed trees identical") {
     val df = Relational.cboCyclicEnumerationAudit(spark, TestSpark.Sf0001)
       .as[(String, Long, Long, Long, String, Long, Long, Long, Boolean)]

@@ -10,16 +10,32 @@ package graft
   *
   * Runs are BUDGET-GUARDED best-of-N (default N=2 since r17 — the r16
   * verdict's oldest open item): pass 1 times every query once, then later
-  * passes re-run queries in DESCENDING pass-1 cost order — the
-  * outlier-prone end first — while total bench wall clock stays under
-  * SPARK_GRAFT_BENCH_BUDGET_SEC (default 520 s ≈ the r15 driver run that
-  * fit the budget); the per-query best is kept. This adopts best-of-2
-  * without re-risking the r8 rc-124 wall-clock breach: on a loaded host
-  * pass 2 degrades gracefully to fewer re-runs (`n_pass2` in the artifact
-  * records how many ran) instead of blowing the driver budget. Failures
-  * are reported explicitly (negative time + an `errors` map), never
-  * recorded as fake sub-second successes, and never retried in later
-  * passes.
+  * passes re-run queries while total bench wall clock stays under
+  * SPARK_GRAFT_BENCH_BUDGET_SEC; the per-query best is kept. r19
+  * re-tuned the protocol after the r18 artifact shipped with
+  * `n_pass2: 0` — pass 1 alone (~535 s at 250 queries) exceeded the old
+  * 520 s default, so the artifact of record lost exactly the best-of-2
+  * outlier protection it adopted, and recorded 36–200× ambient-inflated
+  * rows (q245 49.06 s vs 1.37 fresh-JVM). Three changes:
+  *
+  *  1. the default budget is 900 s — sized so a 250-query pass 1 at
+  *     driver load leaves room for a full pass 2;
+  *  2. a GUARANTEED pass-2 slice: the top SPARK_GRAFT_BENCH_P2_MIN
+  *     (default 40) pass-1 outliers re-run even if the budget is already
+  *     spent — the registry outgrowing the budget can shrink pass 2, but
+  *     never again to zero;
+  *  3. the fresh-JVM divergence check rides the protocol: per-query
+  *     clean-local times are read from the newest committed
+  *     BENCH_LOCAL_r*.json (override: SPARK_GRAFT_BENCH_REF), and any
+  *     query whose pass-1 time exceeds 5× its clean-local twin re-runs
+  *     FIRST (descending inflation) — the rows the r18 judge had to
+  *     adjudicate by hand are now self-correcting in the artifact
+  *     (`n_divergent` records how many tripped).
+  *
+  * Later passes then continue in DESCENDING pass-1 cost order — the
+  * outlier-prone end first — under the budget. Failures are reported
+  * explicitly (negative time + an `errors` map), never recorded as fake
+  * sub-second successes, and never retried in later passes.
   *
   * Session-shared `ensure*` leaves are built BEFORE pass 1 as their own
   * timed `leaf_builds` artifact entries (r16 verdict task 4): per-query
@@ -53,7 +69,35 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val nRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt.max(1)
     val budgetSec =
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "520").toDouble
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "900").toDouble
+    val p2Min = sys.env.getOrElse("SPARK_GRAFT_BENCH_P2_MIN", "40").toInt
+    // clean-local per-query reference for the divergence check: the
+    // newest committed BENCH_LOCAL_r*.json in the working directory
+    // unless SPARK_GRAFT_BENCH_REF points elsewhere
+    val refPath: Option[String] = sys.env.get("SPARK_GRAFT_BENCH_REF")
+      .orElse(Option(new java.io.File(".").listFiles()).flatMap(fs =>
+        fs.map(_.getName)
+          .filter(n => n.startsWith("BENCH_LOCAL_r") && n.endsWith(".json"))
+          .sorted(Ordering.String).lastOption))
+    val refTimes: Map[String, Double] = refPath.flatMap { p =>
+      try {
+        val src = scala.io.Source.fromFile(p)
+        val txt = try src.mkString finally src.close()
+        val start = txt.indexOf("\"queries\":{")
+        if (start < 0) None
+        else {
+          val body = txt.substring(start + "\"queries\":{".length,
+            txt.indexOf('}', start))
+          Some("\"([A-Za-z0-9_]+)\":(-?[0-9.eE+]+)".r
+            .findAllMatchIn(body)
+            .map(m => m.group(1) -> m.group(2).toDouble)
+            .toMap.filter(_._2 > 0.0))
+        }
+      } catch { case _: Throwable => None }
+    }.getOrElse(Map.empty)
+    if (refTimes.nonEmpty)
+      System.err.println(
+        s"[bench] divergence reference: ${refPath.get} (${refTimes.size} queries)")
     // Optional subset filter (comma-separated name prefixes) for targeted
     // scaling sessions (e.g. the sf1 heavy-family runs): unset → full
     // registry, so the driver's per-round invocation is unchanged.
@@ -109,15 +153,31 @@ object Bench {
     // pass 1: every query once, registry order
     val best = scala.collection.mutable.LinkedHashMap[String, Double]()
     for ((name, fn) <- benched) best(name) = once(name, fn)
-    // passes 2..N: descending cost, while the wall-clock budget holds;
-    // failed queries are not retried (their first error is the report)
+    // passes 2..N: divergence-flagged queries first (pass-1 time > 5×
+    // the clean-local reference, worst inflation first), then the rest
+    // by descending pass-1 cost. The first max(p2Min, |divergent|)
+    // re-runs of pass 2 are GUARANTEED (they ignore the budget — the
+    // r18 n_pass2:0 fix); everything after respects the budget. Failed
+    // queries are not retried (their first error is the report).
     var nPass2 = 0
+    var nDivergent = 0
     for (pass <- 2 to nRuns) {
-      val order = best.toSeq.filter(_._2 > 0).sortBy(-_._2).map(_._1)
-      for (name <- order if elapsed() < budgetSec) {
-        val t = once(name, benched(name))
-        if (t > 0 && t < best(name)) best(name) = t
-        if (pass == 2) nPass2 += 1
+      val ok = best.toSeq.filter(_._2 > 0)
+      val divergent = ok
+        .filter { case (n, t) => refTimes.get(n).exists(r => t > 5.0 * r) }
+        .sortBy { case (n, t) => -(t / refTimes(n)) }.map(_._1)
+      val divSet = divergent.toSet
+      val rest = ok.filterNot(kv => divSet.contains(kv._1))
+        .sortBy(-_._2).map(_._1)
+      if (pass == 2) nDivergent = divergent.size
+      val guaranteedN =
+        if (pass == 2) math.max(p2Min, divergent.size) else 0
+      for ((name, idx) <- (divergent ++ rest).zipWithIndex) {
+        if (idx < guaranteedN || elapsed() < budgetSec) {
+          val t = once(name, benched(name))
+          if (t > 0 && t < best(name)) best(name) = t
+          if (pass == 2) nPass2 += 1
+        }
       }
     }
     // a kept success must not also sit in the errors map (late-run
@@ -139,7 +199,8 @@ object Bench {
       .mkString("{", ",", "}")
     val leafTotal = leafBuilds.map(_._2).sum
     val total = results.values.filter(_ > 0).sum
-    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"n_failed":${errors.size},"loads":$loadJson,"n_runs":$nRuns,"n_pass2":$nPass2,"leaf_builds":$leafJson,"leaf_sec":$leafTotal,"sf":"$sfDir"}"""
+    val refJson = refPath.map(p => "\"" + esc(p) + "\"").getOrElse("null")
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"n_failed":${errors.size},"loads":$loadJson,"n_runs":$nRuns,"n_pass2":$nPass2,"n_divergent":$nDivergent,"ref":$refJson,"leaf_builds":$leafJson,"leaf_sec":$leafTotal,"sf":"$sfDir"}"""
     // The driver keeps only the LAST ~2000 chars of stdout (BENCH_r11/r12
     // both landed `"parsed": null` because the full per-query JSON is ~10 kB
     // and was truncated from the FRONT). So the full artifact goes to a
@@ -166,7 +227,7 @@ object Bench {
       if (allLoads.isEmpty) -1.0 else allLoads(allLoads.size / 2)
     def summaryLine(k: Int): String = {
       val top = slow.take(k).map { case (n, v) => "\"" + n + f"\":$v%.2f" }.mkString("{", ",", "}")
-      f"""{"metric":"total","value":$total%.2f,"unit":"sec","n_queries":${results.size},"n_failed":${errors.size},"mean_sec":$mean%.4f,"n_runs":$nRuns,"n_pass2":$nPass2,"leaf_sec":$leafTotal%.2f,"load_median":$loadMedian%.2f,"sf":"$sfDir","full":"$fullPath","queries":$top}"""
+      f"""{"metric":"total","value":$total%.2f,"unit":"sec","n_queries":${results.size},"n_failed":${errors.size},"mean_sec":$mean%.4f,"n_runs":$nRuns,"n_pass2":$nPass2,"n_divergent":$nDivergent,"leaf_sec":$leafTotal%.2f,"load_median":$loadMedian%.2f,"sf":"$sfDir","full":"$fullPath","queries":$top}"""
     }
     // shrink the slowest-queries map until the line fits in ~1500 chars
     val line = (slow.size to 0 by -1).iterator.map(summaryLine).find(_.length <= 1500)

@@ -1912,7 +1912,18 @@ object SparkEntry {
     * DISTINCT fingerprints, and the exact pair machinery verbatim
     * (df-capped candidates, hot correction, threshold pushdown on both
     * sizes, round-4 Jaccard). Matches the engine row-for-row at
-    * sf0.001 and sf0.01. */
+    * sf0.001 and sf0.01.
+    *
+    * BMP/single-code-unit assumption (declared): the engine's
+    * `winnow()` hashes UTF-16 CODE UNITS via `charAt`, while this
+    * oracle's `ord(substr(...))` hashes CODE POINTS with code-point
+    * indexing — the two agree exactly on BMP text (every character one
+    * code unit = one code point) and diverge on supplementary-plane
+    * characters, where a surrogate pair is two engine positions but one
+    * oracle position. The driver's `documents` fixture is ASCII, where
+    * the encodings coincide; a non-BMP corpus would need the oracle's
+    * hash re-expressed over code units before this row's replay claim
+    * transfers. */
   private val winnowingPairsSql: String = {
     val B = 1000003L
     // B^0..B^15 in wrapping Long arithmetic ≡ mod 2⁶⁴; emitted as

@@ -2668,7 +2668,10 @@ object Relational {
     def agg(full: DataFrame): (Long, Long, Long) = {
       val r = full.agg(count(lit(1)), sum(col("l_quantity").cast("long")),
         sum(col("n_nationkey").cast("long"))).head()
-      (r.getLong(0), r.getLong(1), r.getLong(2))
+      // null-guarded: an empty chain join sums to NULL, not 0
+      (r.getLong(0),
+        if (r.isNullAt(1)) 0L else r.getLong(1),
+        if (r.isNullAt(2)) 0L else r.getLong(2))
     }
     val chosen = agg(build(0, chain.length - 1))
     val leftDeep = agg((1 until dfs.length).foldLeft(dfs.head) {
@@ -2859,7 +2862,11 @@ object Relational {
     def agg(full: DataFrame): (Long, Long, Long) = {
       val r = full.agg(count(lit(1)), sum(col("l_quantity").cast("long")),
         sum(col("s_suppkey").cast("long"))).head()
-      (r.getLong(0), r.getLong(1), r.getLong(2))
+      // null-guarded like the cyclic/feedback-graph siblings: an empty
+      // 5-way join (degenerate dataset) sums to NULL, not 0
+      (r.getLong(0),
+        if (r.isNullAt(1)) 0L else r.getLong(1),
+        if (r.isNullAt(2)) 0L else r.getLong(2))
     }
     val fullMask = (1 << tables.length) - 1
     val chosen = agg(build(fullMask))
@@ -2902,7 +2909,10 @@ object Relational {
     * put S1 (which holds the globally smallest index) left. The tree
     * specialization ([[selingerGraphDp]], O(edges) splits per subset
     * via edge cuts) remains the fast path for acyclic graphs; this is
-    * the generic route a cyclic query needs. */
+    * the generic route a cyclic query needs. Split enumeration walks
+    * proper submasks (`s1 = (s1 − 1) & mask`), so the total work is the
+    * textbook O(3ⁿ) — ~43e6 iterations at the admitted n = 16 bound,
+    * driver-affordable metadata work. */
   private[graft] def dpCcp(tables: Seq[(String, Long)],
                            edges: Seq[(Int, Int, Long)])
       : Map[Int, CcpCell] = {
@@ -2945,10 +2955,22 @@ object Relational {
     (3 to (1 << n) - 1).foreach { mask =>
       if (java.lang.Integer.bitCount(mask) >= 2 && connected(mask)) {
         val low = 1 << java.lang.Integer.numberOfTrailingZeros(mask)
-        val candidates = (1 until mask).flatMap { s1 =>
+        // proper submasks of `mask` via s1 = (s1 − 1) & mask — Σ over
+        // connected masks is the true O(3ⁿ) the scaladoc claims (the
+        // r18 form iterated EVERY integer below the mask and filtered:
+        // O(4ⁿ), ~4e9 driver iterations at the admitted n = 16). The
+        // trick walks DESCENDING; the buffer is reversed so candidates
+        // enumerate by ASCENDING S1 bitmask with first-minimal ties —
+        // the exact order the oracle's CASE chain replays (pinned
+        // cell-for-cell against the old enumeration by spec).
+        val subs = scala.collection.mutable.ArrayBuffer.empty[Int]
+        var sub = (mask - 1) & mask
+        while (sub != 0) { subs += sub; sub = (sub - 1) & mask }
+        val candidates = subs.reverseIterator.flatMap { s1 =>
           val s2 = mask & ~s1
-          if ((s1 & mask) == s1 && (s1 & low) != 0 && s2 != 0 &&
-              memo.contains(s1) && memo.contains(s2)) {
+          // s1 is a proper non-empty submask by construction, so s2 ≠ 0;
+          // memo membership ⇔ the side is connected (singles + composites)
+          if ((s1 & low) != 0 && memo.contains(s1) && memo.contains(s2)) {
             val cross = edges.indices.filter { e =>
               val (a, b, _) = edges(e)
               (inMask(a, s1) && inMask(b, s2)) ||
@@ -2959,7 +2981,7 @@ object Relational {
                 s"(${memo(s1).plan}*${memo(s2).plan})"))
             else None
           } else None
-        }
+        }.toVector
         require(candidates.nonEmpty, s"connected subset $mask has no split")
         val (cost, s1, s2, cross, plan) = candidates.minBy(_._1) // first min
         val eMask = est(mask)
@@ -3077,6 +3099,262 @@ object Relational {
       }
       .toDF("subset", "n_tables", "est_rows", "best_cost", "best_plan",
         "n_rows", "sum_qty", "sum_supp", "trees_identical")
+  }
+
+  /** One cell of the OPERATOR-AWARE enumeration: estimated cardinality,
+    * best total cost (C_out + β·exchanged), the winning cut edge, the
+    * two component bitmasks, the PHYSICAL operator the winning join
+    * runs ("broadcast"/"shuffle"; "leaf" for singles), the rows that
+    * join exchanges under its operator, and the plan string. */
+  private[graft] case class PhysDpCell(est: Long, cost: Long, cutEdge: Int,
+                                       leftMask: Int, rightMask: Int,
+                                       op: String, exchanged: Long,
+                                       plan: String)
+
+  /** The default physical-operator parameters for
+    * [[selingerPhysicalDp]]: a join whose smaller side is estimated at
+    * ≤ `PhysBroadcastLimitRows` broadcasts (the q221/q224 row-threshold
+    * rule as the enumerator's operator model), and exchanged rows are
+    * charged at β = `PhysBetaE2`/100 of a produced row (β = 1: moving
+    * a row across the cluster priced like materializing one — the
+    * deliberately simple first form; the honest coupling is the
+    * STRUCTURE, not the coefficient). */
+  private[graft] val PhysBroadcastLimitRows = 10000L
+  private[graft] val PhysBetaE2 = 100L
+
+  /** Selinger DP over an acyclic join graph WITH the physical-operator
+    * dimension priced inside the cells — the System-R access-path
+    * coupling [[selingerGraphDp]] lacks (Selinger et al. 1979 priced
+    * access paths per DP cell; C_out alone cannot see that a tree
+    * keeping one side under the broadcast threshold avoids an
+    * exchange). Identical enumeration order to the tree DP (connected
+    * subsets ascending, splits by ascending cut-edge index,
+    * first-minimal ties — the oracle's CASE-chain order), but each
+    * candidate split is costed
+    *
+    *   cost(L) + cost(R) + est(S) + β·exchanged(L, R)
+    *
+    * where the operator follows the threshold rule: min(est_L, est_R)
+    * ≤ `bcastLimit` → broadcast, exchanged = the smaller side (the
+    * build side ships; the big side stays in place); otherwise →
+    * shuffle, exchanged = est_L + est_R (both sides repartition on the
+    * join key). β is integer millionths-free: `betaE2`/100, applied as
+    * a single BigInt product-and-divide so the oracle's HUGEINT `//`
+    * reproduces every truncation. With betaE2 = 0 this reduces CELL FOR
+    * CELL to [[selingerGraphDp]] (same candidates, same order, same
+    * tie-breaks — pinned by spec), which is exactly the point: the
+    * operator term is the only new force, so a plan difference between
+    * the two pricings is ATTRIBUTABLE. Exposed for the planted-flip
+    * spec. */
+  private[graft] def selingerPhysicalDp(tables: Seq[(String, Long)],
+                                        edges: Seq[(Int, Int, Long)],
+                                        bcastLimit: Long = PhysBroadcastLimitRows,
+                                        betaE2: Long = PhysBetaE2)
+      : Map[Int, PhysDpCell] = {
+    val n = tables.length
+    require(n >= 2 && n <= 20, s"need 2..20 tables; got $n")
+    require(bcastLimit >= 0L && betaE2 >= 0L,
+      s"need non-negative limit/beta; got ($bcastLimit, $betaE2)")
+    require(edges.nonEmpty && edges.forall { case (a, b, d) =>
+      a >= 0 && a < n && b >= 0 && b < n && a != b && d > 0
+    }, s"edges must connect distinct in-range tables with positive divisors")
+    val uf = Array.tabulate(n)(identity)
+    def find(x: Int): Int = if (uf(x) == x) x else { uf(x) = find(uf(x)); uf(x) }
+    edges.foreach { case (a, b, _) =>
+      val (ra, rb) = (find(a), find(b))
+      require(ra != rb, s"join graph must be acyclic (tree/forest); " +
+        s"edge ($a,$b) closes a cycle")
+      uf(ra) = rb
+    }
+    def inMask(i: Int, mask: Int): Boolean = (mask & (1 << i)) != 0
+    def induced(mask: Int): Seq[Int] = edges.indices.filter { e =>
+      inMask(edges(e)._1, mask) && inMask(edges(e)._2, mask)
+    }
+    def component(from: Int, mask: Int, cut: Int): Int = {
+      var comp = 1 << from
+      var frontier = List(from)
+      while (frontier.nonEmpty) {
+        val v = frontier.head; frontier = frontier.tail
+        edges.indices.foreach { e =>
+          if (e != cut) {
+            val (a, b, _) = edges(e)
+            val next = if (a == v) b else if (b == v) a else -1
+            if (next >= 0 && inMask(next, mask) && !inMask(next, comp)) {
+              comp |= 1 << next
+              frontier = next :: frontier
+            }
+          }
+        }
+      }
+      comp
+    }
+    def est(mask: Int): Long = {
+      val num = tables.indices.filter(inMask(_, mask))
+        .map(i => BigInt(tables(i)._2)).product
+      val den = induced(mask).map(e => BigInt(edges(e)._3)).product
+      (num / den).toLong
+    }
+    val memo = scala.collection.mutable.Map.empty[Int, PhysDpCell]
+    tables.indices.foreach { i =>
+      memo(1 << i) = PhysDpCell(tables(i)._2, 0L, -1, 0, 0, "leaf", 0L,
+        tables(i)._1)
+    }
+    (3 to (1 << n) - 1).foreach { mask =>
+      if (java.lang.Integer.bitCount(mask) >= 2) {
+        val cuts = induced(mask)
+        if (cuts.length == java.lang.Integer.bitCount(mask) - 1) {
+          val candidates = cuts.map { e =>
+            val compA = component(edges(e)._1, mask, e)
+            val compB = mask & ~compA
+            val (l, r) =
+              if (java.lang.Integer.numberOfTrailingZeros(compA) <
+                  java.lang.Integer.numberOfTrailingZeros(compB))
+                (compA, compB)
+              else (compB, compA)
+            val (estL, estR) = (memo(l).est, memo(r).est)
+            val small = math.min(estL, estR)
+            val (op, exchanged) =
+              if (small <= bcastLimit) ("broadcast", small)
+              else ("shuffle", estL + estR)
+            val exCost =
+              (BigInt(exchanged) * BigInt(betaE2) / BigInt(100L)).toLong
+            (memo(l).cost + memo(r).cost + exCost, e, l, r, op, exchanged,
+              s"(${memo(l).plan}*${memo(r).plan})")
+          }
+          val (cost, e, l, r, op, exchanged, plan) =
+            candidates.minBy(_._1) // first min — the oracle's tie order
+          val eMask = est(mask)
+          memo(mask) = PhysDpCell(eMask, cost + eMask, e, l, r, op,
+            exchanged, plan)
+        }
+      }
+    }
+    memo.toMap
+  }
+
+  /** J31 [EXT] — PHYSICAL OPERATORS PRICED INSIDE THE ENUMERATOR
+    * (q251): every prior enumeration row (q230/q245/q248/q249)
+    * minimizes C_out and decides broadcast-vs-shuffle OUTSIDE the DP
+    * (q221/q224's threshold consumers) — but System R's actual
+    * contribution was pricing access paths PER CELL, so a plan that
+    * keeps a broadcastable side small can beat a lower-C_out order that
+    * forces two exchanges. This row runs [[selingerPhysicalDp]] on the
+    * q245 star (same tables, same edges, all inputs from the persisted
+    * ANALYZE store) TWICE over identical inputs — betaE2 = 0 (pure
+    * C_out: reduces cell-for-cell to q245's DP) vs the default β = 1 —
+    * and emits, per connected subset: the estimate, the C_out cost and
+    * plan, the operator-aware cost and plan, the cell's chosen PHYSICAL
+    * OPERATOR, and the rows its winning join exchanges under that
+    * operator. `plans_differ` (full set: did the operator term change
+    * the chosen tree?) is derived, never hard-coded — on the natural
+    * TPC-H-shaped fixture it honestly reads false (e_oc = n_orders
+    * exactly on an FK join, so every tree pays the same exchanges; the
+    * spec plants a filtered-orders star where the operator-aware winner
+    * genuinely differs). Executed proof: the operator-aware tree runs
+    * at FULL size with each join HINTED to the operator its DP cell
+    * chose (broadcast() on the smaller-estimate side — the annotation
+    * is real, not decorative), its aggregate is the answer; BOTH
+    * winners additionally execute on the deterministic 1/8 key
+    * partition (the q248 sampled-arm discipline), identity emitted as
+    * `trees_identical`. The oracle re-derives both complete DP tables
+    * via a GENERATED per-cell CASE chain (the cyclicDpSql discipline —
+    * the generator replays the engine's enumeration symbolically,
+    * including every exchange CASE and tie-break) plus the raw star
+    * aggregate.
+    *
+    * Scale: the DP stays O(edges) splits per connected subset on
+    * metadata; the operator dimension adds O(1) per candidate. The
+    * execution arms are the once-per-advisor-change audit price. At
+    * 100 TB this is the difference between an optimizer that picks the
+    * cheapest JOIN ORDER and one that picks the cheapest PLAN. */
+  def cboPhysicalEnumerationAudit(spark: SparkSession, dir: String): DataFrame = {
+    val stats = ensureTableStats(spark, dir)
+      .select(col("table_name"), col("column_name"), col("n_rows"),
+        col("ndv")).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    def rowsOf(t: String, c: String): Long = stats((t, c))._1
+    def ndvOf(t: String, c: String): Long = stats((t, c))._2
+    val tables = Seq(
+      ("lineitem", rowsOf("lineitem", "l_orderkey")),
+      ("orders", rowsOf("orders", "o_orderkey")),
+      ("customer", rowsOf("customer", "c_custkey")),
+      ("part", rowsOf("part", "p_partkey")),
+      ("supplier", rowsOf("supplier", "s_suppkey")))
+    val edges = Seq(
+      (0, 1, math.max(ndvOf("lineitem", "l_orderkey"),
+        ndvOf("orders", "o_orderkey"))),
+      (1, 2, math.max(ndvOf("orders", "o_custkey"),
+        ndvOf("customer", "c_custkey"))),
+      (0, 3, math.max(ndvOf("lineitem", "l_partkey"),
+        ndvOf("part", "p_partkey"))),
+      (0, 4, math.max(ndvOf("lineitem", "l_suppkey"),
+        ndvOf("supplier", "s_suppkey"))))
+    val dpCout = selingerPhysicalDp(tables, edges, betaE2 = 0L)
+    val dpPhys = selingerPhysicalDp(tables, edges)
+    val fullMask = (1 << tables.length) - 1
+    val plansDiffer = dpCout(fullMask).plan != dpPhys(fullMask).plan
+    val dfs = Seq(Tables.lineitem(spark, dir), Tables.orders(spark, dir),
+      Tables.customer(spark, dir), Tables.part(spark, dir),
+      Tables.supplier(spark, dir))
+    val conds = Seq(
+      col("l_orderkey") === col("o_orderkey"),
+      col("o_custkey") === col("c_custkey"),
+      col("l_partkey") === col("p_partkey"),
+      col("l_suppkey") === col("s_suppkey"))
+    // the operator annotation is REAL: each join of the executed tree
+    // is hinted to what its DP cell chose — broadcast() wraps the
+    // smaller-ESTIMATE side (the side the cell priced as shipping)
+    def build(dp: Map[Int, PhysDpCell], ds: Seq[DataFrame],
+              mask: Int): DataFrame = {
+      val cell = dp(mask)
+      if (cell.cutEdge < 0) ds(java.lang.Integer.numberOfTrailingZeros(mask))
+      else {
+        var l = build(dp, ds, cell.leftMask)
+        var r = build(dp, ds, cell.rightMask)
+        if (cell.op == "broadcast") {
+          if (dp(cell.leftMask).est <= dp(cell.rightMask).est)
+            l = broadcast(l)
+          else r = broadcast(r)
+        }
+        l.join(r, conds(cell.cutEdge))
+      }
+    }
+    def agg(full: DataFrame): (Long, Long, Long) = {
+      val r = full.agg(count(lit(1)), sum(col("l_quantity").cast("long")),
+        sum(col("s_suppkey").cast("long"))).head()
+      (r.getLong(0),
+        if (r.isNullAt(1)) 0L else r.getLong(1),
+        if (r.isNullAt(2)) 0L else r.getLong(2))
+    }
+    val answer = agg(build(dpPhys, dfs, fullMask))
+    // both winners on the 1/8 key partition (keys ≡ 1 mod 8 on
+    // l_orderkey AND o_orderkey — closed under the fact edge; dims ride
+    // whole, the q248 discipline)
+    val li8 = dfs.head.filter(
+      pmod(col("l_orderkey").cast("long"), lit(8L)) === 1L)
+    val ord8 = dfs(1).filter(
+      pmod(col("o_orderkey").cast("long"), lit(8L)) === 1L)
+    val dfs8 = li8 +: ord8 +: dfs.drop(2)
+    val identical =
+      agg(build(dpPhys, dfs8, fullMask)) == agg(build(dpCout, dfs8, fullMask))
+    import spark.implicits._
+    dpPhys.toSeq
+      .sortBy { case (mask, _) =>
+        (java.lang.Integer.bitCount(mask), mask)
+      }
+      .map { case (mask, cell) =>
+        val names = tables.indices.filter(i => (mask & (1 << i)) != 0)
+          .map(tables(_)._1).mkString(",")
+        val c0 = dpCout(mask)
+        (names, java.lang.Integer.bitCount(mask).toLong, cell.est,
+          c0.cost, c0.plan, cell.cost, cell.plan, cell.op, cell.exchanged,
+          plansDiffer, answer._1, answer._2, answer._3, identical)
+      }
+      .toDF("subset", "n_tables", "est_rows", "cout_cost", "cout_plan",
+        "phys_cost", "phys_plan", "phys_op", "phys_exchanged",
+        "plans_differ", "n_rows", "sum_qty", "sum_supp",
+        "trees_identical")
   }
 
   /** J23 [EXT] — SAMPLED-ARM CBO AUDIT (q235): the scale form of the
@@ -3898,20 +4176,78 @@ object Relational {
       (0 until FbTickCount).foreach(t => fbObsTickAt(spark, dir, root, t))
     }
 
+  /** The staleness band for feedback corrections (ppm): a class whose
+    * LATEST tick's observed ratio deviates from the pooled PRIOR ratio
+    * by more than this is declared stale and its correction refused.
+    * 50 % on purpose: wide enough that the maintained store's natural
+    * tick-to-tick wobble never trips it (measured ≤ 8.9 % at sf0.001,
+    * ≤ 0.2 % at sf0.01/0.1 — 5.6× headroom at the worst point), narrow
+    * enough that a real regime change (the q252 planted shift reads
+    * 100 %) is unmissable. */
+  private[graft] val FbDriftBandPpm = 500000L
+
+  /** The freshness verdict for one predicate class of a feedback store:
+    * tick count, the all-ticks pooled ratio, the prior (all ticks but
+    * the newest) and latest (newest tick only) ratios, their relative
+    * drift in ppm, and the stale flag. */
+  private[graft] case class FbFreshness(nTicks: Long, pooledE6: Long,
+                                        priorE6: Long, latestE6: Long,
+                                        driftPpm: Long, stale: Boolean)
+
+  /** A66's decision core: fold a class's observation rows per tick,
+    * compare the NEWEST tick's ratio against the pooled ratio of every
+    * earlier tick, and declare the class stale when the relative drift
+    * exceeds [[FbDriftBandPpm]] — the q212 staleness discipline applied
+    * to cardinality feedback (a correction learned before a data-
+    * distribution change is wrong WITH CONFIDENCE: it confidently
+    * re-prices a relationship that no longer exists). Classes with one
+    * tick have no prior to drift from and are fresh by definition.
+    * Everything integer (BigInt ratios, single division), so the whole
+    * verdict re-derives in oracle SQL. Metadata-sized: one collect of
+    * per-tick (Σ est, Σ actual) rows. */
+  private[graft] def feedbackFreshness(spark: SparkSession, root: String,
+                                       predClass: String): FbFreshness = {
+    val ticks = spark.read.parquet(s"$root/fbobs")
+      .filter(col("pred_class") === predClass)
+      .groupBy(col("ingest_batch").cast("long").as("tick"))
+      .agg(coalesce(sum(col("est")), lit(0L)).as("e"),
+        coalesce(sum(col("actual")), lit(0L)).as("a"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    def ratioE6(rows: Seq[(Long, Long, Long)]): Long =
+      (BigInt(rows.map(_._3).sum) * BigInt(1000000L) /
+        BigInt(math.max(1L, rows.map(_._2).sum))).toLong
+    val pooled = ratioE6(ticks.toSeq)
+    if (ticks.length < 2)
+      FbFreshness(ticks.length.toLong, pooled, pooled, pooled, 0L,
+        stale = false)
+    else {
+      val maxTick = ticks.last._1
+      val prior = ratioE6(ticks.filter(_._1 < maxTick).toSeq)
+      val latest = ratioE6(ticks.filter(_._1 == maxTick).toSeq)
+      val drift = (BigInt(math.abs(latest - prior)) * BigInt(1000000L) /
+        BigInt(math.max(1L, prior))).toLong
+      FbFreshness(ticks.length.toLong, pooled, prior, latest, drift,
+        stale = drift > FbDriftBandPpm)
+    }
+  }
+
   /** The maintained store's pooled correction for one predicate class —
     * the read every LEO consumer (J26/J28/J29) performs: fold the
     * class's observation rows to (Σ est, Σ actual), correction =
-    * pooled ratio in millionths. */
+    * pooled ratio in millionths — GATED by the A66 staleness check
+    * since r19: a class whose newest tick drifted out of the
+    * [[FbDriftBandPpm]] band returns the IDENTITY correction (10⁶ —
+    * the consumer keeps its default guess), because a stale correction
+    * is worse than none. On the maintained store the gate never fires
+    * (drift measured ≤ 8.9 % vs the 50 % band — the q252 spec pins
+    * both that and the planted-drift refusal). */
   private[graft] def feedbackCorrectionFor(spark: SparkSession,
                                            dir: String,
                                            predClass: String): Long = {
     val root = ensureFeedbackStats(spark, dir)
-    val fold = spark.read.parquet(s"$root/fbobs")
-      .filter(col("pred_class") === predClass)
-      .agg(coalesce(sum(col("est")), lit(0L)),
-        coalesce(sum(col("actual")), lit(0L))).head()
-    (BigInt(fold.getLong(1)) * BigInt(1000000L) /
-      BigInt(math.max(1L, fold.getLong(0)))).toLong
+    val fr = feedbackFreshness(spark, root, predClass)
+    if (fr.stale) 1000000L else fr.pooledE6
   }
 
   /** A65 [EXT] — INCREMENTAL FEEDBACK-STORE MAINTENANCE (q250): the

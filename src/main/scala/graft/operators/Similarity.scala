@@ -1907,12 +1907,24 @@ object Similarity {
       // per-family audit leg: one persisted post-stream read (a
       // partitioned store pays its file listing once, not per action),
       // sampled store-compare, replay of batch 1 from the store's own
-      // rows, convergence = sampled row-set + FULL count (a clobbered
-      // partition can't hide outside the sample)
+      // rows, convergence = sampled row-set + FULL count + a full-store
+      // CONTENT aggregate (sum of per-row xxhash64 over batch + key
+      // columns, in decimal so warehouse-scale sums can't overflow an
+      // ANSI Long): the sample catches in-sample rewrites, the count
+      // catches volume changes, and the content sum catches a replay
+      // that rewrites rows OUTSIDE the sample while preserving the row
+      // count — the gap the r18 advice note flagged
       def familyLeg(storePath: String, cols: Seq[String],
                     derive: DataFrame => DataFrame,
                     replay: DataFrame => Unit): (Long, Long, Long) = {
         def store() = spark.read.parquet(Sources.livePath(spark, storePath))
+        def contentSum(df: DataFrame): java.math.BigDecimal = {
+          val r = df.agg(coalesce(
+            sum(xxhash64((col("ingest_batch") +: cols.map(col)): _*)
+              .cast("decimal(38,0)")),
+            lit(java.math.BigDecimal.ZERO).cast("decimal(38,0)"))).head()
+          r.getDecimal(0)
+        }
         val after = store().persist()
         try {
           val batches = after.filter(col("ingest_batch") >= 0L)
@@ -1922,6 +1934,7 @@ object Similarity {
             after.filter(inSample).select(keyCols: _*),
             derive(e.filter(inSample)))
           val rowsPre = after.count()
+          val contentPre = contentSum(after)
           val pre = after.filter(inSample)
             .select(col("ingest_batch") +: keyCols: _*)
             .localCheckpoint(true) // sample-sized
@@ -1929,7 +1942,8 @@ object Similarity {
           val post = store()
           val replayMis = mismatches(post.filter(inSample)
               .select(col("ingest_batch") +: keyCols: _*), pre) +
-            math.abs(post.count() - rowsPre)
+            math.abs(post.count() - rowsPre) +
+            (if (contentSum(post).compareTo(contentPre) == 0) 0L else 1L)
           (batches, storeMis, replayMis)
         } finally { after.unpersist(); () }
       }

@@ -1713,6 +1713,94 @@ class RelationalSpec extends AnyFunSuite {
       assert(chainDp((i, j)).cost == genChain(mask).cost, s"[$i,$j]")
     }
   }
+  test("dpCcp proper-submask walk: cell-for-cell equal to the r18 every-integer enumeration") {
+    // the r19 rewrite replaced the O(4ⁿ) `(1 until mask)` filter with
+    // the s1 = (s1−1) & mask proper-submask walk; this reference model
+    // IS the old enumeration, and every cell (est, cost, components,
+    // cross edges, plan — including tie-breaks) must agree exactly
+    def reference(tables: Seq[(String, Long)], edges: Seq[(Int, Int, Long)])
+        : Map[Int, (Long, Long, Int, Int, Seq[Int], String)] = {
+      val n = tables.length
+      def inM(i: Int, m: Int) = (m & (1 << i)) != 0
+      def induced(m: Int) = edges.indices.filter { e =>
+        inM(edges(e)._1, m) && inM(edges(e)._2, m)
+      }
+      def connected(m: Int): Boolean = {
+        if (m == 0) return false
+        val seed = java.lang.Integer.numberOfTrailingZeros(m)
+        var comp = 1 << seed
+        var frontier = List(seed)
+        while (frontier.nonEmpty) {
+          val v = frontier.head; frontier = frontier.tail
+          edges.foreach { case (a, b, _) =>
+            val next = if (a == v) b else if (b == v) a else -1
+            if (next >= 0 && inM(next, m) && !inM(next, comp)) {
+              comp |= 1 << next; frontier = next :: frontier
+            }
+          }
+        }
+        comp == m
+      }
+      def est(m: Int): Long = {
+        val num = tables.indices.filter(inM(_, m))
+          .map(i => BigInt(tables(i)._2)).product
+        (num / induced(m).map(e => BigInt(edges(e)._3)).product).toLong
+      }
+      val memo = scala.collection.mutable
+        .Map.empty[Int, (Long, Long, Int, Int, Seq[Int], String)]
+      tables.indices.foreach { i =>
+        memo(1 << i) = (tables(i)._2, 0L, 0, 0, Nil, tables(i)._1)
+      }
+      (3 to (1 << n) - 1).foreach { mask =>
+        if (java.lang.Integer.bitCount(mask) >= 2 && connected(mask)) {
+          val low = 1 << java.lang.Integer.numberOfTrailingZeros(mask)
+          val cands = (1 until mask).flatMap { s1 =>
+            val s2 = mask & ~s1
+            if ((s1 & mask) == s1 && (s1 & low) != 0 && s2 != 0 &&
+                memo.contains(s1) && memo.contains(s2)) {
+              val cross = edges.indices.filter { e =>
+                val (a, b, _) = edges(e)
+                (inM(a, s1) && inM(b, s2)) || (inM(a, s2) && inM(b, s1))
+              }
+              if (cross.nonEmpty)
+                Some((memo(s1)._2 + memo(s2)._2, s1, s2, cross,
+                  s"(${memo(s1)._6}*${memo(s2)._6})"))
+              else None
+            } else None
+          }
+          val (cost, s1, s2, cross, plan) = cands.minBy(_._1)
+          val e = est(mask)
+          memo(mask) = (e, cost + e, s1, s2, cross, plan)
+        }
+      }
+      memo.toMap
+    }
+    def check(tables: Seq[(String, Long)],
+              edges: Seq[(Int, Int, Long)]): Unit = {
+      val got = Relational.dpCcp(tables, edges)
+      val want = reference(tables, edges)
+      assert(got.keySet == want.keySet, "same connected subsets")
+      got.foreach { case (m, cell) =>
+        val w = want(m)
+        assert(cell.est == w._1 && cell.cost == w._2 &&
+          cell.leftMask == w._3 && cell.rightMask == w._4 &&
+          cell.crossEdges == w._5 && cell.plan == w._6,
+          s"cell $m: $cell vs $w")
+      }
+    }
+    // the q249 fixture (Q5 5-cycle at sf0.001's stats)
+    check(Seq(("l", 6000L), ("o", 1500L), ("c", 150L), ("n", 25L),
+      ("s", 10L)),
+      Seq((0, 1, 1500L), (1, 2, 150L), (2, 3, 25L), (3, 4, 25L),
+        (4, 0, 10L)))
+    // a planted 7-table CYCLIC graph: a 6-cycle with a chord (1–4) and
+    // a pendant dim (6 off table 2) — cost ties and multi-cross-edge
+    // splits abound, so the tie-break order is genuinely exercised
+    check(Seq(("t0", 5000L), ("t1", 900L), ("t2", 400L), ("t3", 80L),
+      ("t4", 80L), ("t5", 12L), ("t6", 7L)),
+      Seq((0, 1, 900L), (1, 2, 400L), (2, 3, 80L), (3, 4, 40L),
+        (4, 5, 12L), (5, 0, 12L), (1, 4, 80L), (2, 6, 7L)))
+  }
   test("q249 cyclic enumeration: 21-row DP table, Q5 winner, executed trees identical") {
     val df = Relational.cboCyclicEnumerationAudit(spark, TestSpark.Sf0001)
       .as[(String, Long, Long, Long, String, Long, Long, Long, Boolean)]

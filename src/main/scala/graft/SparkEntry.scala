@@ -1008,7 +1008,24 @@ object SparkEntry {
     // replay of the middle tick before reading, and the held-out
     // rectangle's transfer re-derived from the maintained fold
     "q250_incremental_feedback" -> ((s: SparkSession, d: String) =>
-      Relational.incrementalFeedbackMaintenance(s, d))
+      Relational.incrementalFeedbackMaintenance(s, d)),
+    // physical operators priced INSIDE the enumerator (the System-R
+    // access-path coupling): the q245 star DP run twice — pure C_out
+    // vs C_out + beta*exchanged under the broadcast-threshold operator
+    // model — per-cell operator annotations and exchanged rows
+    // emitted, plans_differ derived; the operator-aware tree executes
+    // full-size with each join HINTED to its cell's operator, both
+    // winners on the 1/8 key partition
+    "q251_cbo_physical_enumeration" -> ((s: SparkSession, d: String) =>
+      Relational.cboPhysicalEnumerationAudit(s, d)),
+    // the LEO store gains the q212 staleness discipline: newest-tick
+    // ratio vs pooled prior, drift beyond the band marks the class
+    // stale and the consumer read (q244/q247/q248's gate) REFUSES the
+    // correction — fresh leg from the maintained store, drifted leg
+    // from a planted regime change (b_ts rotated half the domain),
+    // decision_right derived from the three measured errors
+    "q252_feedback_staleness" -> ((s: SparkSession, d: String) =>
+      Relational.feedbackStalenessAudit(s, d))
   )
 
   /** The session-shared `ensure*` leaves at the registry consumers'
@@ -1898,6 +1915,192 @@ object SparkEntry {
        |    AND s.s_suppkey = l.l_suppkey)
        |SELECT t.subset, t.n_tables, t.est_rows, t.best_cost, t.best_plan,
        |  fin.n_rows, fin.sum_qty, fin.sum_supp, TRUE AS trees_identical
+       |FROM (
+       |$outRows) t, fin""".stripMargin
+  }
+
+  /** q251's oracle, GENERATED by replaying the engine's
+    * `selingerPhysicalDp` symbolically over the q245 star — the
+    * cyclicDpSql discipline applied to the operator-aware enumeration.
+    * For every connected subset the generator emits the
+    * single-division estimate; per candidate cut edge, the exchange
+    * CASE (least side ≤ lim → broadcast ships the small side, else
+    * shuffle ships both — the engine's threshold rule verbatim) and
+    * the candidate total cost c_left + c_right + x·β//100 in HUGEINT;
+    * then the first-minimal CASE chains choosing cost/plan/operator/
+    * exchanged in ascending-cut-edge order. The chain instantiates
+    * TWICE — β = 0 (pure C_out, the q245 DP cell for cell) and the
+    * engine's default β = 100 (PhysBetaE2) with lim = 10000
+    * (PhysBroadcastLimitRows) — and the output joins both, so
+    * `plans_differ` and every per-cell annotation re-derive with zero
+    * transcription risk. */
+  private val physStarDpSql: String = {
+    val n = 5
+    val edges = Seq((0, 1), (1, 2), (0, 3), (0, 4))
+    val rowCols = Seq("nli", "nord", "ncust", "npart", "nsupp")
+    val names = Seq("lineitem", "orders", "customer", "part", "supplier")
+    def inM(i: Int, m: Int): Boolean = (m & (1 << i)) != 0
+    def induced(m: Int): Seq[Int] = edges.indices.filter { e =>
+      inM(edges(e)._1, m) && inM(edges(e)._2, m)
+    }
+    // star graph is a tree: connected ⇔ induced edge count = |S| − 1
+    def connected(m: Int): Boolean =
+      java.lang.Integer.bitCount(m) >= 2 &&
+        induced(m).length == java.lang.Integer.bitCount(m) - 1
+    def component(from: Int, m: Int, cut: Int): Int = {
+      var comp = 1 << from
+      var frontier = List(from)
+      while (frontier.nonEmpty) {
+        val v = frontier.head; frontier = frontier.tail
+        edges.indices.foreach { e =>
+          if (e != cut) {
+            val (a, b) = edges(e)
+            val next = if (a == v) b else if (b == v) a else -1
+            if (next >= 0 && inM(next, m) && !inM(next, comp)) {
+              comp |= 1 << next; frontier = next :: frontier
+            }
+          }
+        }
+      }
+      comp
+    }
+    def tz(m: Int): Int = java.lang.Integer.numberOfTrailingZeros(m)
+    def single(m: Int): Boolean = java.lang.Integer.bitCount(m) == 1
+    def estRef(m: Int): String = if (single(m)) rowCols(tz(m)) else s"e_$m"
+    def costRef(m: Int, sfx: String): String =
+      if (single(m)) "0" else s"c_$m$sfx"
+    def planRef(m: Int, sfx: String): String =
+      if (single(m)) s"'${names(tz(m))}'" else s"p_$m$sfx"
+    def estExpr(m: Int): String = {
+      def prod(cols: Seq[String]): String =
+        (s"CAST(${cols.head} AS HUGEINT)" +: cols.tail).mkString(" * ")
+      val num = prod((0 until n).filter(inM(_, m)).map(rowCols))
+      val den = induced(m).map(e => s"d$e")
+      s"CAST($num // (${prod(den)}) AS BIGINT)"
+    }
+    val compositeMasks = (3 to (1 << n) - 1).filter(connected)
+    // per-mask candidates in ascending cut-edge order, each with the
+    // engine's (left, right) component ordering
+    def cands(m: Int): Seq[(Int, Int, Int)] = induced(m).map { e =>
+      val compA = component(edges(e)._1, m, e)
+      val compB = m & ~compA
+      if (tz(compA) < tz(compB)) (e, compA, compB) else (e, compB, compA)
+    }
+    val ee = compositeMasks.map(m => s"    ${estExpr(m)} AS e_$m")
+      .mkString(",\n")
+    // β-independent candidate columns: exchanged rows + operator
+    val xo = compositeMasks.flatMap { m =>
+      cands(m).zipWithIndex.flatMap { case ((_, l, r), i) =>
+        val (el, er) = (estRef(l), estRef(r))
+        Seq(
+          s"    CASE WHEN least($el, $er) <= lim THEN least($el, $er)" +
+            s" ELSE $el + $er END AS x_${m}_$i",
+          s"    CASE WHEN least($el, $er) <= lim THEN 'broadcast'" +
+            s" ELSE 'shuffle' END AS o_${m}_$i")
+      }
+    }.mkString(",\n")
+    // one DP chain per β instance: level CTEs by subset size
+    def chain(sfx: String, beta: Long): String = {
+      val levels = compositeMasks.groupBy(java.lang.Integer.bitCount)
+        .toSeq.sortBy(_._1)
+      levels.map { case (pc, masks) =>
+        val cols = masks.flatMap { m =>
+          val cs = cands(m)
+          def kExpr(i: Int): String = {
+            val (_, l, r) = cs(i)
+            s"(${costRef(l, sfx)} + ${costRef(r, sfx)} + " +
+              s"CAST(CAST(x_${m}_$i AS HUGEINT) * $beta // 100 AS BIGINT))"
+          }
+          val ks = cs.indices.map(kExpr)
+          val costCol =
+            s"    CAST(e_$m + least(${ks.mkString(", ")}) AS BIGINT)" +
+              s" AS c_$m$sfx"
+          def chooseCol(pick: Int => String, name: String): String =
+            if (cs.length == 1) s"    ${pick(0)} AS $name"
+            else {
+              val whens = cs.indices.init.map { i =>
+                val laterLe = (i + 1 until cs.length)
+                  .map(j => s"${ks(i)} <= ${ks(j)}").mkString(" AND ")
+                s"      WHEN $laterLe THEN ${pick(i)}"
+              }
+              s"    CASE\n${whens.mkString("\n")}\n      ELSE " +
+                s"${pick(cs.length - 1)} END AS $name"
+            }
+          Seq(
+            costCol,
+            chooseCol(i => {
+              val (_, l, r) = cs(i)
+              s"'(' || ${planRef(l, sfx)} || '*' || ${planRef(r, sfx)} || ')'"
+            }, s"p_$m$sfx"),
+            chooseCol(i => s"o_${m}_$i", s"op_$m$sfx"),
+            chooseCol(i => s"x_${m}_$i", s"xc_$m$sfx"))
+        }
+        val prev = if (pc == 2) "px" else s"lv${pc - 1}$sfx"
+        s"lv$pc$sfx AS (\n  SELECT *,\n${cols.mkString(",\n")}\n  FROM $prev)"
+      }.mkString(",\n")
+    }
+    val fullM = (1 << n) - 1
+    val outRows = ((0 until n).map { i =>
+      s"""  SELECT '${names(i)}' AS subset, CAST(1 AS BIGINT) AS n_tables,
+         |    a.${rowCols(i)} AS est_rows, CAST(0 AS BIGINT) AS cout_cost,
+         |    '${names(i)}' AS cout_plan, CAST(0 AS BIGINT) AS phys_cost,
+         |    '${names(i)}' AS phys_plan, 'leaf' AS phys_op,
+         |    CAST(0 AS BIGINT) AS phys_exchanged,
+         |    a.p_${fullM}_c <> b.p_${fullM}_p AS plans_differ
+         |  FROM lvc a, lvp b""".stripMargin
+    } ++ compositeMasks.map { m =>
+      val nm = (0 until n).filter(inM(_, m)).map(names).mkString(",")
+      s"""  SELECT '$nm', ${java.lang.Integer.bitCount(m)}, a.e_$m,
+         |    a.c_${m}_c, a.p_${m}_c, b.c_${m}_p, b.p_${m}_p, b.op_${m}_p,
+         |    b.xc_${m}_p, a.p_${fullM}_c <> b.p_${fullM}_p
+         |  FROM lvc a, lvp b""".stripMargin
+    }).mkString("\n  UNION ALL\n")
+    s"""WITH stP AS (
+       |  SELECT (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS nli,
+       |    (SELECT CAST(count(*) AS BIGINT) FROM orders) AS nord,
+       |    (SELECT CAST(count(*) AS BIGINT) FROM customer) AS ncust,
+       |    (SELECT CAST(count(*) AS BIGINT) FROM part) AS npart,
+       |    (SELECT CAST(count(*) AS BIGINT) FROM supplier) AS nsupp,
+       |    greatest(
+       |      (SELECT count(DISTINCT l_orderkey) FROM lineitem),
+       |      (SELECT count(DISTINCT o_orderkey) FROM orders)) AS d0,
+       |    greatest(
+       |      (SELECT count(DISTINCT o_custkey) FROM orders),
+       |      (SELECT count(DISTINCT c_custkey) FROM customer)) AS d1,
+       |    greatest(
+       |      (SELECT count(DISTINCT l_partkey) FROM lineitem),
+       |      (SELECT count(DISTINCT p_partkey) FROM part)) AS d2,
+       |    greatest(
+       |      (SELECT count(DISTINCT l_suppkey) FROM lineitem),
+       |      (SELECT count(DISTINCT s_suppkey) FROM supplier)) AS d3,
+       |    CAST(10000 AS BIGINT) AS lim),
+       |pe AS (
+       |  SELECT *,
+       |$ee
+       |  FROM stP),
+       |px AS (
+       |  SELECT *,
+       |$xo
+       |  FROM pe),
+       |${chain("_c", 0L)},
+       |lvc AS (SELECT * FROM lv5_c),
+       |${chain("_p", 100L)},
+       |lvp AS (SELECT * FROM lv5_p),
+       |fin AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       |    CAST(coalesce(sum(CAST(l_quantity AS BIGINT)), 0) AS BIGINT)
+       |      AS sum_qty,
+       |    CAST(coalesce(sum(CAST(s_suppkey AS BIGINT)), 0) AS BIGINT)
+       |      AS sum_supp
+       |  FROM lineitem l
+       |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |  JOIN customer c ON o.o_custkey = c.c_custkey
+       |  JOIN part p ON l.l_partkey = p.p_partkey
+       |  JOIN supplier s ON l.l_suppkey = s.s_suppkey)
+       |SELECT t.subset, t.n_tables, t.est_rows, t.cout_cost, t.cout_plan,
+       |  t.phys_cost, t.phys_plan, t.phys_op, t.phys_exchanged,
+       |  t.plans_differ, fin.n_rows, fin.sum_qty, fin.sum_supp,
+       |  TRUE AS trees_identical
        |FROM (
        |$outRows) t, fin""".stripMargin
   }
@@ -5503,6 +5706,121 @@ object SparkEntry {
     "q63_winnowing_pairs" -> winnowingPairsSql,
     // the engine's dpCcp replayed symbolically — see [[cyclicDpSql]]
     "q249_cbo_cyclic_enumeration" -> cyclicDpSql,
+    // the engine's operator-aware DP replayed symbolically, both β
+    // instantiations — see [[physStarDpSql]]
+    "q251_cbo_physical_enumeration" -> physStarDpSql,
+    // per-tick observations for both stores (the drifted store adds
+    // the planted shift tick: pre-shift grid estimate, rotated-regime
+    // actual = the original OFF-diagonal rectangle), the freshness
+    // verdict per store (prior vs latest tick ratio, drift, the stale
+    // flag), the gated correction, and rectangle B's transfer under
+    // each leg's regime — the refusal path included, decision_right
+    // derived from the three errors
+    "q252_feedback_staleness" ->
+      """WITH bnd AS (
+        |  SELECT min(event_id) AS id_min, max(event_id) AS id_max,
+        |    min(epoch_us(CAST(ts AS TIMESTAMP))) AS ts_min,
+        |    max(epoch_us(CAST(ts AS TIMESTAMP))) AS ts_max,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events),
+        |e AS (
+        |  SELECT (event_id - id_min) * 8 // (id_max - id_min + 1) AS b_id,
+        |    (epoch_us(CAST(ts AS TIMESTAMP)) - ts_min) * 8
+        |      // (ts_max - ts_min + 1) AS b_ts
+        |  FROM events, bnd),
+        |r(tick, rlo, rhi) AS (VALUES (0, 0, 1), (1, 4, 5), (2, 6, 7)),
+        |diag AS (
+        |  SELECT CAST(r.tick AS BIGINT) AS tick,
+        |    CAST((SELECT count(*) FROM e
+        |            WHERE b_id BETWEEN r.rlo AND r.rhi)
+        |      * (SELECT count(*) FROM e
+        |           WHERE b_ts BETWEEN r.rlo AND r.rhi)
+        |      // (SELECT n FROM bnd) AS BIGINT) AS est,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM e
+        |     WHERE b_id BETWEEN r.rlo AND r.rhi
+        |       AND b_ts BETWEEN r.rlo AND r.rhi) AS actual
+        |  FROM r),
+        |shiftt AS (
+        |  SELECT CAST(3 AS BIGINT) AS tick,
+        |    CAST((SELECT count(*) FROM e WHERE b_id BETWEEN 0 AND 1)
+        |      * (SELECT count(*) FROM e WHERE b_ts BETWEEN 0 AND 1)
+        |      // (SELECT n FROM bnd) AS BIGINT) AS est,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM e
+        |     WHERE b_id BETWEEN 0 AND 1 AND b_ts BETWEEN 4 AND 5)
+        |      AS actual),
+        |allt AS (
+        |  SELECT 'fresh' AS store_label, tick, est, actual FROM diag
+        |  UNION ALL
+        |  SELECT 'drifted', tick, est, actual FROM diag
+        |  UNION ALL
+        |  SELECT 'drifted', tick, est, actual FROM shiftt),
+        |mxx AS (
+        |  SELECT store_label, max(tick) AS mx FROM allt GROUP BY 1),
+        |summ AS (
+        |  SELECT a.store_label,
+        |    CAST(count(*) AS BIGINT) AS n_ticks,
+        |    CAST(sum(a.actual) * 1000000
+        |      // greatest(sum(a.est), 1) AS BIGINT) AS pooled_e6,
+        |    CAST(sum(CASE WHEN a.tick < m.mx THEN a.actual ELSE 0 END)
+        |      * 1000000
+        |      // greatest(sum(CASE WHEN a.tick < m.mx THEN a.est
+        |                     ELSE 0 END), 1) AS BIGINT) AS prior_e6,
+        |    CAST(sum(CASE WHEN a.tick = m.mx THEN a.actual ELSE 0 END)
+        |      * 1000000
+        |      // greatest(sum(CASE WHEN a.tick = m.mx THEN a.est
+        |                     ELSE 0 END), 1) AS BIGINT) AS latest_e6
+        |  FROM allt a JOIN mxx m USING (store_label) GROUP BY 1),
+        |fr AS (
+        |  SELECT *,
+        |    CAST(abs(latest_e6 - prior_e6) * 1000000
+        |      // greatest(prior_e6, 1) AS BIGINT) AS drift_ppm
+        |  FROM summ),
+        |fr2 AS (
+        |  SELECT *, drift_ppm > 500000 AS stale,
+        |    CAST(CASE WHEN drift_ppm > 500000 THEN 1000000
+        |      ELSE pooled_e6 END AS BIGINT) AS correction_used_e6
+        |  FROM fr),
+        |b AS (
+        |  SELECT
+        |    CAST((SELECT count(*) FROM e WHERE b_id BETWEEN 2 AND 3)
+        |      * (SELECT count(*) FROM e WHERE b_ts BETWEEN 2 AND 3)
+        |      // (SELECT n FROM bnd) AS BIGINT) AS est_b_raw,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM e
+        |     WHERE b_id BETWEEN 2 AND 3 AND b_ts BETWEEN 2 AND 3)
+        |      AS actual_b_fresh,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM e
+        |     WHERE b_id BETWEEN 2 AND 3 AND b_ts BETWEEN 6 AND 7)
+        |      AS actual_b_drift),
+        |legs AS (
+        |  SELECT f.*, b.est_b_raw,
+        |    CAST(b.est_b_raw * f.pooled_e6 // 1000000 AS BIGINT)
+        |      AS est_b_corrected,
+        |    CAST(b.est_b_raw * f.correction_used_e6 // 1000000 AS BIGINT)
+        |      AS est_b_used,
+        |    CASE WHEN f.store_label = 'fresh' THEN b.actual_b_fresh
+        |      ELSE b.actual_b_drift END AS actual_b
+        |  FROM fr2 f, b),
+        |er AS (
+        |  SELECT *,
+        |    CAST(CASE WHEN actual_b > 0
+        |      THEN abs(est_b_raw - actual_b) * 1000000 // actual_b
+        |      ELSE est_b_raw * 1000000 END AS BIGINT) AS raw_err_ppm,
+        |    CAST(CASE WHEN actual_b > 0
+        |      THEN abs(est_b_corrected - actual_b) * 1000000 // actual_b
+        |      ELSE est_b_corrected * 1000000 END AS BIGINT)
+        |      AS corrected_err_ppm,
+        |    CAST(CASE WHEN actual_b > 0
+        |      THEN abs(est_b_used - actual_b) * 1000000 // actual_b
+        |      ELSE est_b_used * 1000000 END AS BIGINT) AS used_err_ppm
+        |  FROM legs)
+        |SELECT a.store_label, a.tick AS ingest_batch, a.est, a.actual,
+        |  er.n_ticks, er.pooled_e6, er.prior_e6, er.latest_e6,
+        |  er.drift_ppm, er.stale, er.correction_used_e6, er.est_b_raw,
+        |  er.est_b_corrected, er.est_b_used, er.actual_b,
+        |  er.raw_err_ppm, er.corrected_err_ppm, er.used_err_ppm,
+        |  er.used_err_ppm <= er.raw_err_ppm
+        |    AND er.used_err_ppm <= er.corrected_err_ppm AS decision_right
+        |FROM allt a JOIN er USING (store_label)""".stripMargin,
     // every stored observation row (tick = rectangle index), the pooled
     // fold, the ratio correction, and the held-out transfer — all the
     // same grid integer arithmetic as q243's oracle

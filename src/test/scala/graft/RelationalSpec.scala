@@ -1897,4 +1897,152 @@ class RelationalSpec extends AnyFunSuite {
     }.toDF("pred_class", "est", "actual"), 1L, root)
     assert(store() == streamed, "replaying commit 1 changed the store")
   }
+
+  test("selingerPhysicalDp: beta=0 reduces to the tree DP; threshold operator model; planted operator flip") {
+    // 1) with the exchange term off, the operator-aware DP IS the q245
+    // tree DP — cell for cell, including tie-breaks
+    val tables = Seq(("lineitem", 6000L), ("orders", 1500L),
+      ("customer", 150L), ("part", 200L), ("supplier", 10L))
+    val edges = Seq((0, 1, 1500L), (1, 2, 150L), (0, 3, 200L),
+      (0, 4, 10L))
+    val tree = Relational.selingerGraphDp(tables, edges)
+    val zero = Relational.selingerPhysicalDp(tables, edges, betaE2 = 0L)
+    assert(tree.keySet == zero.keySet, "same connected subsets")
+    tree.keySet.foreach { m =>
+      assert(tree(m).est == zero(m).est && tree(m).cost == zero(m).cost &&
+        tree(m).plan == zero(m).plan &&
+        tree(m).cutEdge == zero(m).cutEdge, s"cell $m differs at beta=0")
+    }
+    // 2) the operator annotation follows the q221 threshold rule
+    val phys = Relational.selingerPhysicalDp(tables, edges,
+      bcastLimit = 100L)
+    val ls = phys((1 << 0) | (1 << 4)) // lineitem ⋈ supplier
+    assert(ls.op == "broadcast" && ls.exchanged == 10L,
+      s"supplier side (10 ≤ 100) should broadcast: $ls")
+    val lo = phys((1 << 0) | (1 << 1)) // lineitem ⋈ orders
+    assert(lo.op == "shuffle" && lo.exchanged == 7500L,
+      s"both sides > 100 should shuffle est_l+est_r: $lo")
+    // 3) the planted flip: C_out appends the 200-row part before the
+    // 10-row supplier (est(locp) 4 < est(locs) 10), but shipping part
+    // costs a 100-row broadcast vs supplier's 10 — the operator-aware
+    // DP sacrifices 6 rows of C_out to save 96 exchanged rows, the
+    // System-R coupling no post-hoc operator pass can reproduce
+    val pTables = Seq(("l", 60000L), ("o", 500L), ("c", 150L),
+      ("p", 200L), ("s", 10L))
+    val pEdges = Seq((0, 1, 30000L), (1, 2, 1500L), (0, 3, 5000L),
+      (0, 4, 100L))
+    val cout = Relational.selingerPhysicalDp(pTables, pEdges,
+      bcastLimit = 5000L, betaE2 = 0L)
+    val opAware = Relational.selingerPhysicalDp(pTables, pEdges,
+      bcastLimit = 5000L, betaE2 = 100L)
+    val full = 31
+    assert(cout(full).plan == "(((l*(o*c))*p)*s)", cout(full).plan)
+    assert(opAware(full).plan == "(((l*(o*c))*s)*p)", opAware(full).plan)
+    assert(cout(full).cost == 154L, s"C_out winner ${cout(full).cost}")
+    assert(opAware(full).cost == 380L,
+      s"operator-aware winner ${opAware(full).cost}")
+    // the C_out winner re-priced WITH exchanges costs more (462 > 380):
+    // the flip is a genuine preference reversal, not a tie-break
+    assert(opAware(full).plan != cout(full).plan, "winners differ")
+  }
+
+  test("q251 physical enumeration: 17 rows, beta=0 columns equal q245's DP, executed identity") {
+    val d = TestSpark.Sf0001
+    val rows = Relational.cboPhysicalEnumerationAudit(spark, d)
+      .as[(String, Long, Long, Long, String, Long, String, String, Long,
+        Boolean, Long, Long, Long, Boolean)].collect()
+    assert(rows.length == 17, s"${rows.length} connected subsets")
+    assert(rows.forall(_._14), "trees_identical on every row")
+    // the beta=0 columns reproduce q245's tree DP exactly
+    val q245 = Relational.cboGraphEnumerationAudit(spark, d)
+      .as[(String, Long, Long, Long, String, Long, Long, Long, Boolean)]
+      .collect().map(r => r._1 -> ((r._3, r._4, r._5))).toMap
+    rows.foreach { r =>
+      val (est, cost, plan) = q245(r._1)
+      assert(r._3 == est && r._4 == cost && r._5 == plan,
+        s"${r._1}: beta=0 columns diverge from q245")
+    }
+    // leaves are annotated as leaves; composite ops obey the threshold
+    rows.filter(_._2 == 1L).foreach { r =>
+      assert(r._8 == "leaf" && r._9 == 0L && r._4 == 0L && r._6 == 0L)
+    }
+    rows.filter(_._2 > 1L).foreach { r =>
+      assert(r._8 == "broadcast" || r._8 == "shuffle", r._8)
+      assert(r._9 > 0L, s"${r._1}: exchanged rows must be positive")
+    }
+    // the executed answer is the raw star join
+    val want = Tables.lineitem(spark, d)
+      .join(Tables.orders(spark, d), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, d), col("o_custkey") === col("c_custkey"))
+      .join(Tables.part(spark, d), col("l_partkey") === col("p_partkey"))
+      .join(Tables.supplier(spark, d), col("l_suppkey") === col("s_suppkey"))
+      .count()
+    assert(rows.head._11 == want, "answer row count")
+  }
+
+  test("feedbackFreshness: single tick fresh, planted drift stale, shared store passes the gate") {
+    import spark.implicits._
+    val root = graft.sources.Sources.scratchDirUnique(spark, "fbfrspec")
+    Relational.fbObsCommit(Seq(("cls", 100L, 400L))
+      .toDF("pred_class", "est", "actual"), 0L, root)
+    val one = Relational.feedbackFreshness(spark, root, "cls")
+    assert(one.nTicks == 1L && !one.stale && one.driftPpm == 0L &&
+      one.pooledE6 == 4000000L, s"single tick: $one")
+    // consistent second tick: still fresh, pooled over both
+    Relational.fbObsCommit(Seq(("cls", 100L, 410L))
+      .toDF("pred_class", "est", "actual"), 1L, root)
+    val two = Relational.feedbackFreshness(spark, root, "cls")
+    assert(two.nTicks == 2L && !two.stale &&
+      two.priorE6 == 4000000L && two.latestE6 == 4100000L &&
+      two.driftPpm == 25000L, s"consistent ticks: $two")
+    // regime change: the newest tick's ratio collapses → stale
+    Relational.fbObsCommit(Seq(("cls", 100L, 30L))
+      .toDF("pred_class", "est", "actual"), 2L, root)
+    val drifted = Relational.feedbackFreshness(spark, root, "cls")
+    assert(drifted.stale && drifted.latestE6 == 300000L &&
+      drifted.driftPpm > Relational.FbDriftBandPpm, s"drift: $drifted")
+    // the MAINTAINED store's classes pass the gate with margin — the
+    // consumer read (q244/q247/q248's path) is gated but never refused
+    // on production data
+    val shared = Relational.feedbackFreshness(spark,
+      Relational.ensureFeedbackStats(spark, TestSpark.Sf0001),
+      "id_ts_diag")
+    assert(!shared.stale &&
+      shared.driftPpm < Relational.FbDriftBandPpm / 2L,
+      s"shared store must be fresh with ≥2x margin: $shared")
+    assert(Relational.feedbackCorrectionFor(spark, TestSpark.Sf0001,
+      "id_ts_diag") == shared.pooledE6,
+      "gate must pass the pooled correction through on fresh data")
+  }
+
+  test("q252 staleness audit: fresh leg applies, drifted leg refuses, decisions derived right") {
+    val rows = Relational.feedbackStalenessAudit(spark, TestSpark.Sf0001)
+      .as[(String, Long, Long, Long, Long, Long, Long, Long, Long,
+        Boolean, Long, Long, Long, Long, Long, Long, Long, Long,
+        Boolean)].collect()
+    assert(rows.length == 7, s"3 fresh + 4 drifted ticks: ${rows.length}")
+    val fresh = rows.filter(_._1 == "fresh")
+    val drifted = rows.filter(_._1 == "drifted")
+    assert(fresh.length == 3 && drifted.length == 4)
+    // fresh: gate passes, the pooled correction is used and improves
+    fresh.foreach { r =>
+      assert(!r._10, "fresh store must not be stale")
+      assert(r._11 == r._6, "used correction = pooled")
+      assert(r._13 == r._14, "est_b_used = est_b_corrected")
+      assert(r._18 < r._16, "corrected beats raw on the fresh regime")
+      assert(r._19, "decision_right")
+    }
+    // drifted: the planted regime change trips the gate; the consumer
+    // keeps the raw estimate, which beats the stale correction
+    drifted.foreach { r =>
+      assert(r._10, "drifted store must be stale")
+      assert(r._9 > Relational.FbDriftBandPpm, s"drift ${r._9}")
+      assert(r._11 == 1000000L, "refusal = identity correction")
+      assert(r._14 == r._12, "est_b_used = est_b_raw (fallback)")
+      assert(r._18 <= r._16 && r._18 <= r._17, "fallback no worse")
+      assert(r._19, "decision_right")
+    }
+    // the drifted store's newest tick is the shift tick
+    assert(drifted.map(_._2).sorted.toSeq == Seq(0L, 1L, 2L, 3L))
+  }
 }

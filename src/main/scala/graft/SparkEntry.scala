@@ -1025,7 +1025,17 @@ object SparkEntry {
     // from a planted regime change (b_ts rotated half the domain),
     // decision_right derived from the three measured errors
     "q252_feedback_staleness" -> ((s: SparkSession, d: String) =>
-      Relational.feedbackStalenessAudit(s, d))
+      Relational.feedbackStalenessAudit(s, d)),
+    // the exchange-awareness probe: both enumeration arms (star +
+    // cyclic, chosen vs left-deep) executed with broadcast scoped off,
+    // the final adaptive plan's Exchange nodes COUNTED next to each
+    // arm's C_out — the measurement that quantifies what C_out misses
+    // (partitioning reuse) and sizes the interesting-orders payoff.
+    // Plan facts: declared ORACLE-EXEMPT (rows-only), spec-pinned —
+    // the cyclic chosen arm saves a shuffle vs left-deep because its
+    // dim chain reuses the nationkey partitioning
+    "q253_cbo_exchange_probe" -> ((s: SparkSession, d: String) =>
+      Relational.cboExchangeProbeAudit(s, d))
   )
 
   /** The session-shared `ensure*` leaves at the registry consumers'

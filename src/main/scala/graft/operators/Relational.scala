@@ -3357,6 +3357,162 @@ object Relational {
         "trees_identical")
   }
 
+  /** J31b [EXT] — EXCHANGE-AWARENESS PROBE (q253): the cheap
+    * forerunner of the full interesting-orders work (Selinger 1979's
+    * other half). C_out is blind to EXCHANGES: a tree that preserves
+    * the join-key partitioning of a prior shuffle avoids a
+    * re-Exchange that cardinality cannot see — the cyclic Q5 winner's
+    * dim chain joins nation⋈supplier and then customer ON THE SAME
+    * nationkey, so the second join reuses the first's partitioning
+    * (one new exchange, not two), while the canonical left-deep order
+    * switches keys at every step and pays full price. This row
+    * MEASURES that: for the star (q245) and cyclic (q249) enumerations
+    * it executes the DP-chosen tree and the canonical left-deep tree
+    * on the 1/8 key partition (plan SHAPE is size-free; the q235
+    * sampled-arm discipline) with broadcast scoped off (exchange
+    * structure, not operator choice — q251 owns operators), reads each
+    * arm's FINAL adaptive plan (collect() first — the q231 lesson),
+    * and emits the counted `Exchange hashpartitioning` /
+    * `BroadcastExchange` nodes NEXT TO the arm's C_out — the
+    * measurement column that quantifies what C_out misses and sizes
+    * the interesting-orders payoff. Plan facts are engine-side by
+    * nature, so this row is declared ORACLE-EXEMPT (rows-only check;
+    * the q19/q22 precedent), pinned instead by a spec asserting the
+    * cyclic chosen arm saves ≥1 shuffle exchange vs left-deep while
+    * both arms' aggregates agree.
+    *
+    * Scale: both arms cost 1/8 of one join, run once per advisor
+    * change; the counts come from plan strings, not extra work. */
+  def cboExchangeProbeAudit(spark: SparkSession, dir: String): DataFrame = {
+    val conf = spark.conf
+    val scoped = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val saved = scoped.map { case (k, _) => k -> conf.getOption(k) }
+    scoped.foreach { case (k, v) => conf.set(k, v) }
+    try {
+      val stats = ensureTableStats(spark, dir)
+        .select(col("table_name"), col("column_name"), col("n_rows"),
+          col("ndv")).collect()
+        .map(r => (r.getString(0), r.getString(1)) ->
+          (r.getLong(2), r.getLong(3)))
+        .toMap
+      def rowsOf(t: String, c: String): Long = stats((t, c))._1
+      def ndvOf(t: String, c: String): Long = stats((t, c))._2
+      def d(a: (String, String), b: (String, String)): Long =
+        math.max(ndvOf(a._1, a._2), ndvOf(b._1, b._2))
+      val li8 = Tables.lineitem(spark, dir)
+        .filter(pmod(col("l_orderkey").cast("long"), lit(8L)) === 1L)
+      val ord8 = Tables.orders(spark, dir)
+        .filter(pmod(col("o_orderkey").cast("long"), lit(8L)) === 1L)
+      def run(arm: DataFrame): (Long, Long, Long, Long) = {
+        val agg = arm.agg(count(lit(1)).as("n"),
+          coalesce(sum(col("l_quantity").cast("long")), lit(0L)).as("s"))
+        val r = agg.collect()(0)
+        // an AdaptiveSparkPlan's toString prints the FINAL plan first
+        // and then an "== Initial Plan ==" section — counting the whole
+        // string double-counts every node; slice to the final section
+        val plan = agg.queryExecution.executedPlan.toString()
+          .split("== Initial Plan ==")(0)
+        val nShuffle =
+          "Exchange hashpartitioning".r.findAllIn(plan).length.toLong
+        val nBcast = "BroadcastExchange".r.findAllIn(plan).length.toLong
+        (nShuffle, nBcast, r.getLong(0), r.getLong(1))
+      }
+      // --- star (the q245 graph) ---
+      val starTables = Seq(
+        ("lineitem", rowsOf("lineitem", "l_orderkey")),
+        ("orders", rowsOf("orders", "o_orderkey")),
+        ("customer", rowsOf("customer", "c_custkey")),
+        ("part", rowsOf("part", "p_partkey")),
+        ("supplier", rowsOf("supplier", "s_suppkey")))
+      val starEdges = Seq(
+        (0, 1, d(("lineitem", "l_orderkey"), ("orders", "o_orderkey"))),
+        (1, 2, d(("orders", "o_custkey"), ("customer", "c_custkey"))),
+        (0, 3, d(("lineitem", "l_partkey"), ("part", "p_partkey"))),
+        (0, 4, d(("lineitem", "l_suppkey"), ("supplier", "s_suppkey"))))
+      val starDp = selingerGraphDp(starTables, starEdges)
+      val starDfs = Seq(li8, ord8, Tables.customer(spark, dir),
+        Tables.part(spark, dir), Tables.supplier(spark, dir))
+      val starConds = Seq(
+        col("l_orderkey") === col("o_orderkey"),
+        col("o_custkey") === col("c_custkey"),
+        col("l_partkey") === col("p_partkey"),
+        col("l_suppkey") === col("s_suppkey"))
+      def buildStar(mask: Int): DataFrame = {
+        val cell = starDp(mask)
+        if (cell.cutEdge < 0)
+          starDfs(java.lang.Integer.numberOfTrailingZeros(mask))
+        else buildStar(cell.leftMask)
+          .join(buildStar(cell.rightMask), starConds(cell.cutEdge))
+      }
+      val starFull = 31
+      val starLeftDeep = starDfs.head.join(starDfs(1), starConds(0))
+        .join(starDfs(2), starConds(1)).join(starDfs(3), starConds(2))
+        .join(starDfs(4), starConds(3))
+      def prefixCost(dp: Int => Long): Long =
+        (1 to 4).map(k => dp((1 << (k + 1)) - 1)).sum
+      val starLdCost = prefixCost(m => starDp(m).est)
+      // --- cycle (the q249 graph) ---
+      val cycTables = Seq(
+        ("lineitem", rowsOf("lineitem", "l_orderkey")),
+        ("orders", rowsOf("orders", "o_orderkey")),
+        ("customer", rowsOf("customer", "c_custkey")),
+        ("nation", rowsOf("nation", "n_nationkey")),
+        ("supplier", rowsOf("supplier", "s_suppkey")))
+      val cycEdges = Seq(
+        (0, 1, d(("lineitem", "l_orderkey"), ("orders", "o_orderkey"))),
+        (1, 2, d(("orders", "o_custkey"), ("customer", "c_custkey"))),
+        (2, 3, d(("customer", "c_nationkey"), ("nation", "n_nationkey"))),
+        (3, 4, d(("nation", "n_nationkey"), ("supplier", "s_nationkey"))),
+        (4, 0, d(("supplier", "s_suppkey"), ("lineitem", "l_suppkey"))))
+      val cycDp = dpCcp(cycTables, cycEdges)
+      val cycDfs = Seq(li8, ord8, Tables.customer(spark, dir),
+        Tables.nation(spark, dir), Tables.supplier(spark, dir))
+      val cycConds = Seq(
+        col("l_orderkey") === col("o_orderkey"),
+        col("o_custkey") === col("c_custkey"),
+        col("c_nationkey") === col("n_nationkey"),
+        col("n_nationkey") === col("s_nationkey"),
+        col("s_suppkey") === col("l_suppkey"))
+      def buildCyc(mask: Int): DataFrame = {
+        val cell = cycDp(mask)
+        if (cell.crossEdges.isEmpty)
+          cycDfs(java.lang.Integer.numberOfTrailingZeros(mask))
+        else buildCyc(cell.leftMask).join(buildCyc(cell.rightMask),
+          cell.crossEdges.map(cycConds).reduce(_ && _))
+      }
+      val cycLeftDeep = (1 until 5).foldLeft(cycDfs.head) { (acc, k) =>
+        val priorMask = (1 << k) - 1
+        val cs = cycEdges.indices.filter { e =>
+          val (a, b, _) = cycEdges(e)
+          (a == k && (priorMask & (1 << b)) != 0) ||
+            (b == k && (priorMask & (1 << a)) != 0)
+        }
+        acc.join(cycDfs(k), cs.map(cycConds).reduce(_ && _))
+      }
+      val cycLdCost = prefixCost(m => cycDp(m).est)
+      val arms = Seq(
+        ("star", "chosen", starDp(starFull).cost, starDp(starFull).plan,
+          buildStar(starFull)),
+        ("star", "left_deep", starLdCost,
+          "((((lineitem*orders)*customer)*part)*supplier)", starLeftDeep),
+        ("cycle", "chosen", cycDp(starFull).cost, cycDp(starFull).plan,
+          buildCyc(starFull)),
+        ("cycle", "left_deep", cycLdCost,
+          "((((lineitem*orders)*customer)*nation)*supplier)", cycLeftDeep))
+      import spark.implicits._
+      arms.map { case (graph, arm, cost, plan, df) =>
+        val (nSh, nBc, nRows, sumQty) = run(df)
+        (graph, arm, cost, plan, nSh, nBc, nRows, sumQty)
+      }.toDF("graph", "arm", "cout_cost", "plan", "n_shuffle_exchanges",
+        "n_broadcast_exchanges", "n_rows", "sum_qty")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
   /** J23 [EXT] — SAMPLED-ARM CBO AUDIT (q235): the scale form of the
     * both-arms discipline, discharging q221's standing commitment now
     * that the consumer family has grown to six both-arms rows. The

@@ -2045,4 +2045,28 @@ class RelationalSpec extends AnyFunSuite {
     // the drifted store's newest tick is the shift tick
     assert(drifted.map(_._2).sorted.toSeq == Seq(0L, 1L, 2L, 3L))
   }
+
+  test("q253 exchange probe: cyclic chosen arm reuses the nationkey partitioning, saving a shuffle") {
+    val rows = Relational.cboExchangeProbeAudit(spark, TestSpark.Sf0001)
+      .as[(String, String, Long, String, Long, Long, Long, Long)]
+      .collect()
+    assert(rows.length == 4, s"${rows.length} arms")
+    val byKey = rows.map(r => (r._1, r._2) -> r).toMap
+    val cc = byKey(("cycle", "chosen"))
+    val cl = byKey(("cycle", "left_deep"))
+    // the measurement this probe exists for: the chosen dim chain
+    // joins supplier and then customer on the SAME nationkey, so the
+    // second join reuses the first's partitioning — one fewer
+    // Exchange than the key-switching left-deep order (7 vs 8), a
+    // difference C_out (910 vs 18 240) cannot see or price
+    assert(cc._5 < cl._5,
+      s"chosen ${cc._5} vs left-deep ${cl._5} shuffle exchanges")
+    assert(cc._7 == cl._7 && cc._8 == cl._8, "cycle arms agree")
+    val sc = byKey(("star", "chosen"))
+    val sl = byKey(("star", "left_deep"))
+    assert(sc._7 == sl._7 && sc._8 == sl._8, "star arms agree")
+    // broadcast scoped off: the counts measure exchange STRUCTURE
+    assert(rows.forall(_._6 == 0L), "no broadcast exchanges")
+    assert(rows.forall(_._5 > 0L), "every arm shuffles")
+  }
 }

@@ -83,15 +83,15 @@ object Bench {
       try {
         val src = scala.io.Source.fromFile(p)
         val txt = try src.mkString finally src.close()
-        val start = txt.indexOf("\"queries\":{")
-        if (start < 0) None
-        else {
-          val body = txt.substring(start + "\"queries\":{".length,
-            txt.indexOf('}', start))
-          Some("\"([A-Za-z0-9_]+)\":(-?[0-9.eE+]+)".r
+        // committed BENCH_LOCAL files are whitespace-normalized
+        // ("queries": { ... "q01": 0.39 ...), the live sidecar is not —
+        // tolerate both
+        "\"queries\"\\s*:\\s*\\{".r.findFirstMatchIn(txt).map { m =>
+          val body = txt.substring(m.end, txt.indexOf('}', m.end))
+          "\"([A-Za-z0-9_]+)\"\\s*:\\s*(-?[0-9.eE+]+)".r
             .findAllMatchIn(body)
-            .map(m => m.group(1) -> m.group(2).toDouble)
-            .toMap.filter(_._2 > 0.0))
+            .map(g => g.group(1) -> g.group(2).toDouble)
+            .toMap.filter(_._2 > 0.0)
         }
       } catch { case _: Throwable => None }
     }.getOrElse(Map.empty)

@@ -1035,7 +1035,16 @@ object SparkEntry {
     // the cyclic chosen arm saves a shuffle vs left-deep because its
     // dim chain reuses the nationkey partitioning
     "q253_cbo_exchange_probe" -> ((s: SparkSession, d: String) =>
-      Relational.cboExchangeProbeAudit(s, d))
+      Relational.cboExchangeProbeAudit(s, d)),
+    // interesting partitionings IN the enumerator (the full Selinger
+    // coupling): DP states keyed by (connected subset, output
+    // partitioning), re-exchanges charged gamma*rows under exactly
+    // the model q253 proved equal to Spark's EnsureRequirements, a
+    // same-class later join consumes a partitioned side for free; the
+    // whole (subset x partitioning) state table emitted, gamma=0
+    // instantiation = pure C_out pricing, winner executed full-size
+    "q254_cbo_exchange_enumeration" -> ((s: SparkSession, d: String) =>
+      Relational.cboExchangeEnumerationAudit(s, d))
   )
 
   /** The session-shared `ensure*` leaves at the registry consumers'
@@ -1927,6 +1936,298 @@ object SparkEntry {
        |  fin.n_rows, fin.sum_qty, fin.sum_supp, TRUE AS trees_identical
        |FROM (
        |$outRows) t, fin""".stripMargin
+  }
+
+  /** q254's oracle, GENERATED by replaying the engine's
+    * `dpCcpExchange` symbolically over the Q5 cycle — the state DP
+    * with interesting partitionings. For every (connected subset,
+    * output partitioning) state the generator emits: per candidate
+    * split (ascending S1, the dpCcp order) the reuse-vs-fresh side
+    * CASE (reuse the child's same-partitioning state when its cost ≤
+    * the child's min state + γ·est re-exchange — ties prefer reuse,
+    * the engine's rule), the first-minimal candidate chain, and
+    * per-mask min-state helpers with label-ordered ties. Instantiated
+    * TWICE — γ = 1 (suffix _x) and γ = 0 (_z, pure C_out pricing) —
+    * so the winner columns and `winners_differ` re-derive with zero
+    * transcription risk. */
+  private val exchDpSql: String = {
+    val n = 5
+    val edges = Seq((0, 1), (1, 2), (2, 3), (3, 4), (4, 0))
+    val classes = Seq(0, 1, 2, 2, 3)
+    val classNames = Seq("orderkey", "custkey", "nationkey", "suppkey")
+    val rowCols = Seq("nli", "nord", "ncust", "nnat", "nsupp")
+    val names = Seq("lineitem", "orders", "customer", "nation", "supplier")
+    def inM(i: Int, m: Int): Boolean = (m & (1 << i)) != 0
+    def induced(m: Int): Seq[Int] = edges.indices.filter { e =>
+      inM(edges(e)._1, m) && inM(edges(e)._2, m)
+    }
+    def connected(m: Int): Boolean = {
+      if (m == 0) return false
+      val seed = java.lang.Integer.numberOfTrailingZeros(m)
+      var comp = 1 << seed
+      var frontier = List(seed)
+      while (frontier.nonEmpty) {
+        val v = frontier.head; frontier = frontier.tail
+        edges.foreach { case (a, b) =>
+          val next = if (a == v) b else if (b == v) a else -1
+          if (next >= 0 && inM(next, m) && !inM(next, comp)) {
+            comp |= 1 << next
+            frontier = next :: frontier
+          }
+        }
+      }
+      comp == m
+    }
+    def single(m: Int): Boolean = java.lang.Integer.bitCount(m) == 1
+    def tz(m: Int): Int = java.lang.Integer.numberOfTrailingZeros(m)
+    def estExpr(m: Int): String = {
+      def prod(cols: Seq[String]): String =
+        (s"CAST(${cols.head} AS HUGEINT)" +: cols.tail).mkString(" * ")
+      val num = prod((0 until n).filter(inM(_, m)).map(rowCols))
+      val den = induced(m).map(e => s"d$e")
+      s"CAST($num // (${prod(den)}) AS BIGINT)"
+    }
+    def estRef(m: Int): String = if (single(m)) rowCols(tz(m)) else s"e_$m"
+    def pid(p: Seq[Int]): String =
+      if (p.isEmpty) "none" else p.mkString("_")
+    def pLabel(p: Seq[Int]): String =
+      if (p.isEmpty) "none" else p.map(classNames).mkString("+")
+    // structural replay: per composite mask, its candidate splits in
+    // order, each with its cross edges and requirement K; states =
+    // the distinct Ks (collected in split order, then label-sorted
+    // for the min-helper chains)
+    val compositeMasks = (3 to (1 << n) - 1)
+      .filter(m => java.lang.Integer.bitCount(m) >= 2 && connected(m))
+    case class Cand(s1: Int, s2: Int, cross: Seq[Int], k: Seq[Int])
+    val candsOf: Map[Int, Seq[Cand]] = compositeMasks.map { m =>
+      val low = 1 << tz(m)
+      val subs = scala.collection.mutable.ArrayBuffer.empty[Int]
+      var sub = (m - 1) & m
+      while (sub != 0) { subs += sub; sub = (sub - 1) & m }
+      val cs = subs.reverseIterator.flatMap { s1 =>
+        val s2 = m & ~s1
+        val ok = (s1 & low) != 0 &&
+          (single(s1) || connected(s1)) && (single(s2) || connected(s2))
+        if (ok) {
+          val cross = edges.indices.filter { e =>
+            val (a, b) = edges(e)
+            (inM(a, s1) && inM(b, s2)) || (inM(a, s2) && inM(b, s1))
+          }
+          if (cross.nonEmpty)
+            Some(Cand(s1, s2, cross,
+              cross.map(classes).distinct.sorted))
+          else None
+        } else None
+      }.toSeq
+      m -> cs
+    }.toMap
+    val statesOf: Map[Int, Seq[Seq[Int]]] = compositeMasks.map { m =>
+      m -> candsOf(m).map(_.k).distinct
+        .sortBy(_.mkString(","))
+    }.toMap ++ (0 until n).map(i => (1 << i) -> Seq(Seq.empty[Int]))
+    def gammaExpr(e: String, g: Long): String =
+      s"CAST(CAST($e AS HUGEINT) * $g // 100 AS BIGINT)"
+    // refs into a γ instance's chain (sfx = _x / _z)
+    def cRef(m: Int, p: Seq[Int], sfx: String): String =
+      if (single(m)) "0" else s"c_${m}_${pid(p)}$sfx"
+    def pRef(m: Int, p: Seq[Int], sfx: String): String =
+      if (single(m)) s"'${names(tz(m))}'" else s"p_${m}_${pid(p)}$sfx"
+    def xRef(m: Int, p: Seq[Int], sfx: String): String =
+      if (single(m)) "0" else s"x_${m}_${pid(p)}$sfx"
+    def cmRef(m: Int, sfx: String): String =
+      if (single(m)) "0" else s"cm_$m$sfx"
+    def pmRef(m: Int, sfx: String): String =
+      if (single(m)) s"'${names(tz(m))}'" else s"pm_$m$sfx"
+    def xmRef(m: Int, sfx: String): String =
+      if (single(m)) "0" else s"xm_$m$sfx"
+    // one side of one candidate: (costExpr, planExpr, exchExpr)
+    def side(s: Int, k: Seq[Int], sfx: String,
+             g: Long): (String, String, String) = {
+      val fresh = s"(${cmRef(s, sfx)} + ${gammaExpr(estRef(s), g)})"
+      if (statesOf(s).contains(k)) {
+        val (c, p, x) = (cRef(s, k, sfx), pRef(s, k, sfx), xRef(s, k, sfx))
+        (s"least($c, $fresh)",
+          s"CASE WHEN $c <= $fresh THEN $p ELSE ${pmRef(s, sfx)} END",
+          s"CASE WHEN $c <= $fresh THEN $x ELSE ${xmRef(s, sfx)} + 1 END")
+      } else
+        (fresh, pmRef(s, sfx), s"${xmRef(s, sfx)} + 1")
+    }
+    def chain(sfx: String, g: Long): String = {
+      val levels = compositeMasks.groupBy(java.lang.Integer.bitCount)
+        .toSeq.sortBy(_._1)
+      levels.map { case (pc, masks) =>
+        // a-CTE: per (mask, state, candidate) side columns
+        val aCols = masks.flatMap { m =>
+          statesOf(m).flatMap { k =>
+            candsOf(m).filter(_.k == k).zipWithIndex.flatMap {
+              case (cd, i) =>
+                val (lc, lp, lx) = side(cd.s1, k, sfx, g)
+                val (rc, rp, rx) = side(cd.s2, k, sfx, g)
+                val t = s"${m}_${pid(k)}_$i$sfx"
+                Seq(s"    $lc AS scl_$t", s"    $lp AS spl_$t",
+                  s"    $lx AS sxl_$t", s"    $rc AS scr_$t",
+                  s"    $rp AS spr_$t", s"    $rx AS sxr_$t")
+            }
+          }
+        }
+        // b-CTE: per (mask, state) cost/plan/exch via first-minimal
+        // candidate chains
+        val bCols = masks.flatMap { m =>
+          statesOf(m).flatMap { k =>
+            val cs = candsOf(m).filter(_.k == k)
+            val ids = cs.indices.map(i => s"${m}_${pid(k)}_$i$sfx")
+            val ks = ids.map(t => s"(scl_$t + scr_$t)")
+            def choose(pick: Int => String, name: String): String =
+              if (cs.length == 1) s"    ${pick(0)} AS $name"
+              else {
+                val whens = cs.indices.init.map { i =>
+                  val laterLe = (i + 1 until cs.length)
+                    .map(j => s"${ks(i)} <= ${ks(j)}").mkString(" AND ")
+                  s"      WHEN $laterLe THEN ${pick(i)}"
+                }
+                s"    CASE\n${whens.mkString("\n")}\n      ELSE " +
+                  s"${pick(cs.length - 1)} END AS $name"
+              }
+            Seq(
+              s"    CAST(e_$m + least(${ks.mkString(", ")}) AS BIGINT)" +
+                s" AS c_${m}_${pid(k)}$sfx",
+              choose(i =>
+                s"'(' || spl_${ids(i)} || '*' || spr_${ids(i)} || ')'",
+                s"p_${m}_${pid(k)}$sfx"),
+              choose(i =>
+                s"CAST(sxl_${ids(i)} + sxr_${ids(i)} AS BIGINT)",
+                s"x_${m}_${pid(k)}$sfx"))
+          }
+        }
+        // c-CTE: per mask min-state helpers (states label-ordered, so
+        // first-minimal-by-cost ties go to the smallest label)
+        val cCols = masks.flatMap { m =>
+          val sts = statesOf(m)
+          val cvs = sts.map(p => s"c_${m}_${pid(p)}$sfx")
+          def choose(pick: Seq[Int] => String, name: String): String =
+            if (sts.length == 1) s"    ${pick(sts.head)} AS $name"
+            else {
+              val whens = sts.indices.init.map { i =>
+                val laterLe = (i + 1 until sts.length)
+                  .map(j => s"${cvs(i)} <= ${cvs(j)}").mkString(" AND ")
+                s"      WHEN $laterLe THEN ${pick(sts(i))}"
+              }
+              s"    CASE\n${whens.mkString("\n")}\n      ELSE " +
+                s"${pick(sts.last)} END AS $name"
+            }
+          Seq(
+            s"    least(${cvs.mkString(", ")}) AS cm_$m$sfx",
+            choose(p => s"p_${m}_${pid(p)}$sfx", s"pm_$m$sfx"),
+            choose(p => s"x_${m}_${pid(p)}$sfx", s"xm_$m$sfx"))
+        }
+        val prev =
+          if (pc == 2) (if (sfx == "_x") "ee" else s"lv${levels.last._1}c_x")
+          else s"lv${pc - 1}c$sfx"
+        Seq(
+          s"lv${pc}a$sfx AS (\n  SELECT *,\n${aCols.mkString(",\n")}\n  FROM $prev)",
+          s"lv${pc}b$sfx AS (\n  SELECT *,\n${bCols.mkString(",\n")}\n  FROM lv${pc}a$sfx)",
+          s"lv${pc}c$sfx AS (\n  SELECT *,\n${cCols.mkString(",\n")}\n  FROM lv${pc}b$sfx)")
+          .mkString(",\n")
+      }.mkString(",\n")
+    }
+    // winner helpers per instance: across full-mask states
+    // (label-ordered), first-minimal by cost
+    val fullM = (1 << n) - 1
+    def winnerCols(sfx: String): String = {
+      val sts = statesOf(fullM)
+      val cvs = sts.map(p => s"c_${fullM}_${pid(p)}$sfx")
+      def choose(pick: Seq[Int] => String, name: String): String = {
+        val whens = sts.indices.init.map { i =>
+          val laterLe = (i + 1 until sts.length)
+            .map(j => s"${cvs(i)} <= ${cvs(j)}").mkString(" AND ")
+          s"      WHEN $laterLe THEN ${pick(sts(i))}"
+        }
+        s"    CASE\n${whens.mkString("\n")}\n      ELSE " +
+          s"${pick(sts.last)} END AS $name"
+      }
+      Seq(
+        choose(p => s"'${pLabel(p)}'", s"wpart$sfx"),
+        s"    least(${cvs.mkString(", ")}) AS wcost$sfx",
+        choose(p => s"x_${fullM}_${pid(p)}$sfx", s"wx$sfx"),
+        choose(p => s"p_${fullM}_${pid(p)}$sfx", s"wplan$sfx"))
+        .mkString(",\n")
+    }
+    val ee = compositeMasks.map(m => s"    ${estExpr(m)} AS e_$m")
+      .mkString(",\n")
+    val lastLv = compositeMasks.map(java.lang.Integer.bitCount).max
+    val outRows = ((0 until n).map { i =>
+      s"""  SELECT '${names(i)}' AS subset, 'none' AS part,
+         |    CAST(1 AS BIGINT) AS n_tables,
+         |    ${rowCols(i)} AS est_rows, CAST(0 AS BIGINT) AS cost,
+         |    CAST(0 AS BIGINT) AS n_exchanges, '${names(i)}' AS plan
+         |  FROM w""".stripMargin
+    } ++ compositeMasks.flatMap { m =>
+      val nm = (0 until n).filter(inM(_, m)).map(names).mkString(",")
+      statesOf(m).map { k =>
+        s"""  SELECT '$nm' AS subset, '${pLabel(k)}' AS part,
+           |    CAST(${java.lang.Integer.bitCount(m)} AS BIGINT)
+           |      AS n_tables,
+           |    e_$m AS est_rows, c_${m}_${pid(k)}_x AS cost,
+           |    CAST(x_${m}_${pid(k)}_x AS BIGINT) AS n_exchanges,
+           |    p_${m}_${pid(k)}_x AS plan
+           |  FROM w""".stripMargin
+      }
+    }).mkString("\n  UNION ALL\n")
+    s"""WITH st AS (
+       |  SELECT (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS nli,
+       |    (SELECT CAST(count(*) AS BIGINT) FROM orders) AS nord,
+       |    (SELECT CAST(count(*) AS BIGINT) FROM customer) AS ncust,
+       |    (SELECT CAST(count(*) AS BIGINT) FROM nation) AS nnat,
+       |    (SELECT CAST(count(*) AS BIGINT) FROM supplier) AS nsupp,
+       |    greatest(
+       |      (SELECT count(DISTINCT l_orderkey) FROM lineitem),
+       |      (SELECT count(DISTINCT o_orderkey) FROM orders)) AS d0,
+       |    greatest(
+       |      (SELECT count(DISTINCT o_custkey) FROM orders),
+       |      (SELECT count(DISTINCT c_custkey) FROM customer)) AS d1,
+       |    greatest(
+       |      (SELECT count(DISTINCT c_nationkey) FROM customer),
+       |      (SELECT count(DISTINCT n_nationkey) FROM nation)) AS d2,
+       |    greatest(
+       |      (SELECT count(DISTINCT n_nationkey) FROM nation),
+       |      (SELECT count(DISTINCT s_nationkey) FROM supplier)) AS d3,
+       |    greatest(
+       |      (SELECT count(DISTINCT s_suppkey) FROM supplier),
+       |      (SELECT count(DISTINCT l_suppkey) FROM lineitem)) AS d4),
+       |ee AS (
+       |  SELECT *,
+       |$ee
+       |  FROM st),
+       |${chain("_x", 100L)},
+       |${chain("_z", 0L)},
+       |w AS (
+       |  SELECT *,
+       |${winnerCols("_x")},
+       |${winnerCols("_z")}
+       |  FROM lv${lastLv}c_z),
+       |fin AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       |    CAST(coalesce(sum(CAST(l_quantity AS BIGINT)), 0) AS BIGINT)
+       |      AS sum_qty,
+       |    CAST(coalesce(sum(CAST(s_suppkey AS BIGINT)), 0) AS BIGINT)
+       |      AS sum_supp
+       |  FROM lineitem l
+       |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |  JOIN customer c ON o.o_custkey = c.c_custkey
+       |  JOIN nation nn ON c.c_nationkey = nn.n_nationkey
+       |  JOIN supplier s ON nn.n_nationkey = s.s_nationkey
+       |    AND s.s_suppkey = l.l_suppkey)
+       |SELECT t.subset, t.part, t.n_tables, t.est_rows, t.cost,
+       |  t.n_exchanges, t.plan,
+       |  w.wpart_x AS winner_part, w.wcost_x AS winner_cost,
+       |  CAST(w.wx_x AS BIGINT) AS winner_n_exch,
+       |  w.wplan_x AS winner_plan,
+       |  w.wcost_z AS cout_winner_cost, w.wplan_z AS cout_winner_plan,
+       |  w.wplan_x <> w.wplan_z AS winners_differ,
+       |  fin.n_rows, fin.sum_qty, fin.sum_supp,
+       |  TRUE AS trees_identical
+       |FROM (
+       |$outRows) t, w, fin""".stripMargin
   }
 
   /** q251's oracle, GENERATED by replaying the engine's
@@ -5719,6 +6020,9 @@ object SparkEntry {
     // the engine's operator-aware DP replayed symbolically, both β
     // instantiations — see [[physStarDpSql]]
     "q251_cbo_physical_enumeration" -> physStarDpSql,
+    // the engine's interesting-partitionings state DP replayed
+    // symbolically, both γ instantiations — see [[exchDpSql]]
+    "q254_cbo_exchange_enumeration" -> exchDpSql,
     // per-tick observations for both stores (the drifted store adds
     // the planted shift tick: pre-shift grid estimate, rotated-regime
     // actual = the original OFF-diagonal rectangle), the freshness

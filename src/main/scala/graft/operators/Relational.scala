@@ -3357,6 +3357,20 @@ object Relational {
         "trees_identical")
   }
 
+  /** The pure exchange model shared by the q253 predictions, the q254
+    * exchange-aware DP, and their specs — exactly Spark's
+    * EnsureRequirements as measured by q253: a sort-merge join
+    * requires both sides hash-partitioned on EXACTLY its join-key
+    * class set; a leaf scan is unpartitioned; each side whose current
+    * partitioning differs inserts one Exchange. Input/output
+    * partitionings are sorted distinct key-class seqs (Nil =
+    * unpartitioned). Returns the join's (output partitioning,
+    * cumulative exchange count). */
+  private[graft] def joinExch(l: (Seq[Int], Long), r: (Seq[Int], Long),
+                              k: Seq[Int]): (Seq[Int], Long) =
+    (k, l._2 + r._2 + (if (l._1 == k) 0L else 1L) +
+      (if (r._1 == k) 0L else 1L))
+
   /** J31b [EXT] — EXCHANGE-AWARENESS PROBE (q253): the cheap
     * forerunner of the full interesting-orders work (Selinger 1979's
     * other half). C_out is blind to EXCHANGES: a tree that preserves
@@ -3375,11 +3389,16 @@ object Relational {
     * and emits the counted `Exchange hashpartitioning` /
     * `BroadcastExchange` nodes NEXT TO the arm's C_out — the
     * measurement column that quantifies what C_out misses and sizes
-    * the interesting-orders payoff. Plan facts are engine-side by
+    * the interesting-orders payoff. Each arm also carries
+    * `n_shuffle_predicted` from the pure model ([[joinExch]] — the
+    * model the q254 exchange-aware DP prices with): the spec pins
+    * predicted == measured on all four arms, which is the evidence
+    * that the DP's exchange term prices what Spark's
+    * EnsureRequirements actually does. Plan facts are engine-side by
     * nature, so this row is declared ORACLE-EXEMPT (rows-only check;
-    * the q19/q22 precedent), pinned instead by a spec asserting the
-    * cyclic chosen arm saves ≥1 shuffle exchange vs left-deep while
-    * both arms' aggregates agree.
+    * the q19/q22 precedent), pinned instead by the spec: the cyclic
+    * chosen arm saves ≥1 shuffle exchange vs left-deep, predictions
+    * match measurements, and both arms' aggregates agree.
     *
     * Scale: both arms cost 1/8 of one join, run once per advisor
     * change; the counts come from plan strings, not extra work. */
@@ -3492,25 +3511,343 @@ object Relational {
         acc.join(cycDfs(k), cs.map(cycConds).reduce(_ && _))
       }
       val cycLdCost = prefixCost(m => cycDp(m).est)
+      // PREDICTED exchange counts from the pure model ([[joinExch]]):
+      // star edges all join distinct key classes (class = edge index);
+      // the cycle's customer–nation and nation–supplier edges share the
+      // nationkey class — the reuse the model must price
+      val cycClasses = Seq(0, 1, 2, 2, 3)
+      def predStar(mask: Int): (Seq[Int], Long) = {
+        val cell = starDp(mask)
+        if (cell.cutEdge < 0) (Seq.empty[Int], 0L)
+        else joinExch(predStar(cell.leftMask), predStar(cell.rightMask),
+          Seq(cell.cutEdge))
+      }
+      def predCyc(mask: Int): (Seq[Int], Long) = {
+        val cell = cycDp(mask)
+        if (cell.crossEdges.isEmpty) (Seq.empty[Int], 0L)
+        else joinExch(predCyc(cell.leftMask), predCyc(cell.rightMask),
+          cell.crossEdges.map(cycClasses).distinct.sorted)
+      }
+      def predLeftDeep(edges: Seq[(Int, Int, Long)],
+                       classes: Seq[Int]): Long =
+        (1 until 5).foldLeft((Seq.empty[Int], 0L)) { case (acc, k) =>
+          val priorMask = (1 << k) - 1
+          val cs = edges.indices.filter { e =>
+            val (a, b, _) = edges(e)
+            (a == k && (priorMask & (1 << b)) != 0) ||
+              (b == k && (priorMask & (1 << a)) != 0)
+          }
+          joinExch(acc, (Seq.empty[Int], 0L),
+            cs.map(classes).distinct.sorted)
+        }._2
       val arms = Seq(
         ("star", "chosen", starDp(starFull).cost, starDp(starFull).plan,
-          buildStar(starFull)),
+          predStar(starFull)._2, buildStar(starFull)),
         ("star", "left_deep", starLdCost,
-          "((((lineitem*orders)*customer)*part)*supplier)", starLeftDeep),
+          "((((lineitem*orders)*customer)*part)*supplier)",
+          predLeftDeep(starEdges, Seq(0, 1, 2, 3)), starLeftDeep),
         ("cycle", "chosen", cycDp(starFull).cost, cycDp(starFull).plan,
-          buildCyc(starFull)),
+          predCyc(starFull)._2, buildCyc(starFull)),
         ("cycle", "left_deep", cycLdCost,
-          "((((lineitem*orders)*customer)*nation)*supplier)", cycLeftDeep))
+          "((((lineitem*orders)*customer)*nation)*supplier)",
+          predLeftDeep(cycEdges, cycClasses), cycLeftDeep))
       import spark.implicits._
-      arms.map { case (graph, arm, cost, plan, df) =>
+      arms.map { case (graph, arm, cost, plan, pred, df) =>
         val (nSh, nBc, nRows, sumQty) = run(df)
-        (graph, arm, cost, plan, nSh, nBc, nRows, sumQty)
-      }.toDF("graph", "arm", "cout_cost", "plan", "n_shuffle_exchanges",
-        "n_broadcast_exchanges", "n_rows", "sum_qty")
+        (graph, arm, cost, plan, pred, nSh, nBc, nRows, sumQty)
+      }.toDF("graph", "arm", "cout_cost", "plan", "n_shuffle_predicted",
+        "n_shuffle_exchanges", "n_broadcast_exchanges", "n_rows",
+        "sum_qty")
     } finally saved.foreach {
       case (k, Some(v)) => conf.set(k, v)
       case (k, None) => conf.unset(k)
     }
+  }
+
+  /** One state of the EXCHANGE-AWARE enumeration, keyed by (subset,
+    * output partitioning): estimated cardinality, best total cost
+    * (C_out + γ·exchanged rows), the winning split's components and
+    * the partitioning STATE each side was consumed in, every cross
+    * edge, the state's own output partitioning (sorted distinct
+    * key classes), the number of Exchange nodes the priced tree
+    * inserts, and the plan string. */
+  private[graft] case class ExchDpCell(est: Long, cost: Long,
+                                       leftMask: Int, rightMask: Int,
+                                       leftPart: Seq[Int],
+                                       rightPart: Seq[Int],
+                                       crossEdges: Seq[Int],
+                                       part: Seq[Int], nExchanges: Long,
+                                       plan: String)
+
+  /** The csg-cmp enumeration with INTERESTING PARTITIONINGS — the
+    * other half of Selinger 1979 ([[dpCcp]] prices cardinality,
+    * [[selingerPhysicalDp]] prices operators; this DP prices the
+    * EXCHANGES q253 measures). Cells are keyed by (subset, output
+    * partitioning): a join's output is hash-partitioned on its
+    * key-class set, and a later join on the SAME classes consumes it
+    * without a new Exchange — the tree q249 chooses on the Q5 cycle
+    * does exactly this (supplier and customer both join on nationkey,
+    * 7 exchanges vs left-deep's 8, measured). Per candidate split of
+    * a connected subset (ascending-S1 proper submasks, the dpCcp
+    * order), with requirement K = the cross edges' distinct sorted
+    * key classes, each side is consumed EITHER in its (side, K) state
+    * (reuse: no exchange) OR in its cheapest state re-exchanged
+    * (+γ·est(side) cost, +1 Exchange) — any other state pays the same
+    * exchange as the cheapest, so two options suffice; ties prefer
+    * reuse, cheapest-state ties break on the partitioning label (the
+    * oracle's deterministic order). cost = Σ sides + est(S); the
+    * candidate lands in the (S, K) cell, first-minimal across
+    * candidates. Leaves are unpartitioned single states. γ =
+    * `gammaE2`/100 with the same single-BigInt-division discipline as
+    * β; γ = 0 makes every state's cost collapse to C_out. The full
+    * set's winner is the min-cost state across partitionings (ties on
+    * the label).
+    *
+    * Exposed for the planted-flip spec; consumed by q254. */
+  private[graft] def dpCcpExchange(tables: Seq[(String, Long)],
+                                   edges: Seq[(Int, Int, Long)],
+                                   keyClasses: Seq[Int],
+                                   gammaE2: Long = 100L)
+      : Map[(Int, Seq[Int]), ExchDpCell] = {
+    val n = tables.length
+    require(n >= 2 && n <= 12, s"need 2..12 tables; got $n")
+    require(keyClasses.length == edges.length && gammaE2 >= 0L,
+      s"need one key class per edge and non-negative gamma")
+    require(edges.nonEmpty && edges.forall { case (a, b, d) =>
+      a >= 0 && a < n && b >= 0 && b < n && a != b && d > 0
+    }, s"edges must connect distinct in-range tables with positive divisors")
+    def inMask(i: Int, mask: Int): Boolean = (mask & (1 << i)) != 0
+    def induced(mask: Int): Seq[Int] = edges.indices.filter { e =>
+      inMask(edges(e)._1, mask) && inMask(edges(e)._2, mask)
+    }
+    def connected(mask: Int): Boolean = {
+      if (mask == 0) return false
+      val seed = java.lang.Integer.numberOfTrailingZeros(mask)
+      var comp = 1 << seed
+      var frontier = List(seed)
+      while (frontier.nonEmpty) {
+        val v = frontier.head; frontier = frontier.tail
+        edges.foreach { case (a, b, _) =>
+          val next = if (a == v) b else if (b == v) a else -1
+          if (next >= 0 && inMask(next, mask) && !inMask(next, comp)) {
+            comp |= 1 << next
+            frontier = next :: frontier
+          }
+        }
+      }
+      comp == mask
+    }
+    def est(mask: Int): Long = {
+      val num = tables.indices.filter(inMask(_, mask))
+        .map(i => BigInt(tables(i)._2)).product
+      val den = induced(mask).map(e => BigInt(edges(e)._3)).product
+      (num / den).toLong
+    }
+    def gammaCost(rows: Long): Long =
+      (BigInt(rows) * BigInt(gammaE2) / BigInt(100L)).toLong
+    val byMask = scala.collection.mutable
+      .Map.empty[Int, scala.collection.mutable.LinkedHashMap[Seq[Int], ExchDpCell]]
+    tables.indices.foreach { i =>
+      val st = scala.collection.mutable.LinkedHashMap[Seq[Int], ExchDpCell](
+        (Seq.empty[Int]: Seq[Int]) -> ExchDpCell(tables(i)._2, 0L, 0, 0,
+          Nil, Nil, Nil, Nil, 0L, tables(i)._1))
+      byMask(1 << i) = st
+    }
+    // one side of a candidate: (cost incl. any exchange, the state's
+    // partitioning consumed, cumulative exchange count, plan)
+    def pick(s: Int, k: Seq[Int]): (Long, Seq[Int], Long, String) = {
+      val states = byMask(s)
+      val (minP, minC) = states.minBy { case (p, c) =>
+        (c.cost, p.mkString(","))
+      }
+      val fresh = (minC.cost + gammaCost(minC.est), minP,
+        minC.nExchanges + 1L, minC.plan)
+      states.get(k) match {
+        case Some(r) if r.cost <= fresh._1 =>
+          (r.cost, k, r.nExchanges, r.plan)
+        case _ => fresh
+      }
+    }
+    (3 to (1 << n) - 1).foreach { mask =>
+      if (java.lang.Integer.bitCount(mask) >= 2 && connected(mask)) {
+        val low = 1 << java.lang.Integer.numberOfTrailingZeros(mask)
+        val eMask = est(mask)
+        val subs = scala.collection.mutable.ArrayBuffer.empty[Int]
+        var sub = (mask - 1) & mask
+        while (sub != 0) { subs += sub; sub = (sub - 1) & mask }
+        val cell = scala.collection.mutable
+          .LinkedHashMap.empty[Seq[Int], ExchDpCell]
+        subs.reverseIterator.foreach { s1 =>
+          val s2 = mask & ~s1
+          if ((s1 & low) != 0 && byMask.contains(s1) &&
+              byMask.contains(s2)) {
+            val cross = edges.indices.filter { e =>
+              val (a, b, _) = edges(e)
+              (inMask(a, s1) && inMask(b, s2)) ||
+                (inMask(a, s2) && inMask(b, s1))
+            }
+            if (cross.nonEmpty) {
+              val k = cross.map(keyClasses).distinct.sorted
+              val (lc, lp, ln, lplan) = pick(s1, k)
+              val (rc, rp, rn, rplan) = pick(s2, k)
+              val cost = lc + rc + eMask
+              val existing = cell.get(k)
+              if (existing.forall(cost < _.cost))
+                cell(k) = ExchDpCell(eMask, cost, s1, s2, lp, rp, cross,
+                  k, ln + rn, s"($lplan*$rplan)")
+            }
+          }
+        }
+        require(cell.nonEmpty, s"connected subset $mask has no split")
+        byMask(mask) = cell
+      }
+    }
+    byMask.toMap.flatMap { case (m, states) =>
+      states.map { case (p, c) => (m, p) -> c }
+    }
+  }
+
+  /** The Q5 cycle's key-class names, indexed by the class ids
+    * [[cboExchangeEnumerationAudit]] and the q253 probe share:
+    * edges (l–o, o–c, c–n, n–s, s–l) have classes (0, 1, 2, 2, 3) —
+    * the two nation edges share the nationkey class. */
+  private[graft] val CycleKeyClasses = Seq(0, 1, 2, 2, 3)
+  private[graft] val CycleClassNames =
+    Seq("orderkey", "custkey", "nationkey", "suppkey")
+
+  private[graft] def partLabel(part: Seq[Int], names: Seq[String]): String =
+    if (part.isEmpty) "none" else part.map(names).mkString("+")
+
+  /** J32 [EXT] — INTERESTING PARTITIONINGS IN THE ENUMERATOR (q254):
+    * the full Selinger coupling, closing the arc q253 opened. q253
+    * MEASURED that C_out cannot see exchanges (the Q5 winner's dim
+    * chain reuses the nationkey partitioning: 7 Exchange nodes vs
+    * left-deep's 8); this row makes the enumerator PRICE them —
+    * [[dpCcpExchange]] keys DP states by (connected subset, output
+    * partitioning), charges γ·|rows| per re-exchange under exactly the
+    * model q253's spec proved equal to Spark's EnsureRequirements
+    * ([[joinExch]]), and lets a later join consume an
+    * already-partitioned side for free. The audit runs the DP TWICE on
+    * the ANALYZE-store Q5 cycle — γ = 1 and γ = 0 (pure C_out pricing;
+    * its winner cost is spec-pinned equal to q249's dpCcp) — and
+    * emits the ENTIRE γ=1 state table: one row per (connected subset,
+    * output partitioning) with estimate, total cost, the number of
+    * Exchange nodes the priced tree inserts, and the plan, plus the
+    * winner of each pricing and `winners_differ` (honestly false on
+    * the natural fixture — the C_out winner already owns the
+    * nationkey reuse; the spec plants stats where the γ term flips
+    * the tree to KEEP the (customer*nation)*supplier reuse a C_out
+    * enumerator discards). Executed proof: the γ=1 winner runs FULL
+    * size (every cross-edge predicate applied, the q249 discipline),
+    * both it and the canonical left-deep run on the 1/8 key
+    * partition, identity emitted. The oracle is GENERATED by
+    * replaying the state DP symbolically — both γ instantiations,
+    * reuse-vs-fresh side CASEs, per-mask min-state helpers with
+    * label-ordered ties, first-minimal split chains — zero
+    * transcription risk.
+    *
+    * Scale: states per subset are bounded by the distinct cross-class
+    * sets of its splits (≤ edges), so the DP stays metadata-sized;
+    * the audit arms cost one full + two sampled joins. At 100 TB this
+    * is the difference between pricing what a plan PRODUCES and
+    * pricing what the cluster MOVES. */
+  def cboExchangeEnumerationAudit(spark: SparkSession,
+                                  dir: String): DataFrame = {
+    val stats = ensureTableStats(spark, dir)
+      .select(col("table_name"), col("column_name"), col("n_rows"),
+        col("ndv")).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3)))
+      .toMap
+    def rowsOf(t: String, c: String): Long = stats((t, c))._1
+    def ndvOf(t: String, c: String): Long = stats((t, c))._2
+    val tables = Seq(
+      ("lineitem", rowsOf("lineitem", "l_orderkey")),
+      ("orders", rowsOf("orders", "o_orderkey")),
+      ("customer", rowsOf("customer", "c_custkey")),
+      ("nation", rowsOf("nation", "n_nationkey")),
+      ("supplier", rowsOf("supplier", "s_suppkey")))
+    val edges = Seq(
+      (0, 1, math.max(ndvOf("lineitem", "l_orderkey"),
+        ndvOf("orders", "o_orderkey"))),
+      (1, 2, math.max(ndvOf("orders", "o_custkey"),
+        ndvOf("customer", "c_custkey"))),
+      (2, 3, math.max(ndvOf("customer", "c_nationkey"),
+        ndvOf("nation", "n_nationkey"))),
+      (3, 4, math.max(ndvOf("nation", "n_nationkey"),
+        ndvOf("supplier", "s_nationkey"))),
+      (4, 0, math.max(ndvOf("supplier", "s_suppkey"),
+        ndvOf("lineitem", "l_suppkey"))))
+    val dpEx = dpCcpExchange(tables, edges, CycleKeyClasses)
+    val dpC0 = dpCcpExchange(tables, edges, CycleKeyClasses, gammaE2 = 0L)
+    val fullMask = (1 << tables.length) - 1
+    def winnerOf(dp: Map[(Int, Seq[Int]), ExchDpCell]): ExchDpCell =
+      dp.collect { case ((m, _), c) if m == fullMask => c }
+        .minBy(c => (c.cost, c.part.mkString(",")))
+    val win = winnerOf(dpEx)
+    val winC0 = winnerOf(dpC0)
+    val differ = win.plan != winC0.plan
+    val dfs = Seq(Tables.lineitem(spark, dir), Tables.orders(spark, dir),
+      Tables.customer(spark, dir), Tables.nation(spark, dir),
+      Tables.supplier(spark, dir))
+    val conds = Seq(
+      col("l_orderkey") === col("o_orderkey"),
+      col("o_custkey") === col("c_custkey"),
+      col("c_nationkey") === col("n_nationkey"),
+      col("n_nationkey") === col("s_nationkey"),
+      col("s_suppkey") === col("l_suppkey"))
+    def build(ds: Seq[DataFrame], mask: Int, part: Seq[Int]): DataFrame = {
+      val cell = dpEx((mask, part))
+      if (cell.crossEdges.isEmpty)
+        ds(java.lang.Integer.numberOfTrailingZeros(mask))
+      else build(ds, cell.leftMask, cell.leftPart)
+        .join(build(ds, cell.rightMask, cell.rightPart),
+          cell.crossEdges.map(conds).reduce(_ && _))
+    }
+    def agg(full: DataFrame): (Long, Long, Long) = {
+      val r = full.agg(count(lit(1)), sum(col("l_quantity").cast("long")),
+        sum(col("s_suppkey").cast("long"))).head()
+      (r.getLong(0),
+        if (r.isNullAt(1)) 0L else r.getLong(1),
+        if (r.isNullAt(2)) 0L else r.getLong(2))
+    }
+    val answer = agg(build(dfs, fullMask, win.part))
+    val li8 = dfs.head.filter(
+      pmod(col("l_orderkey").cast("long"), lit(8L)) === 1L)
+    val ord8 = dfs(1).filter(
+      pmod(col("o_orderkey").cast("long"), lit(8L)) === 1L)
+    val dfs8 = li8 +: ord8 +: dfs.drop(2)
+    val leftDeep8 = (1 until tables.length).foldLeft(dfs8.head) {
+      (acc, k) =>
+        val priorMask = (1 << k) - 1
+        val cs = edges.indices.filter { e =>
+          val (a, b, _) = edges(e)
+          (a == k && (priorMask & (1 << b)) != 0) ||
+            (b == k && (priorMask & (1 << a)) != 0)
+        }
+        acc.join(dfs8(k), cs.map(conds).reduce(_ && _))
+    }
+    val identical = agg(build(dfs8, fullMask, win.part)) == agg(leftDeep8)
+    import spark.implicits._
+    dpEx.toSeq
+      .sortBy { case ((m, p), _) =>
+        (java.lang.Integer.bitCount(m), m, p.mkString(","))
+      }
+      .map { case ((m, p), cell) =>
+        val names = tables.indices.filter(i => (m & (1 << i)) != 0)
+          .map(tables(_)._1).mkString(",")
+        (names, partLabel(p, CycleClassNames),
+          java.lang.Integer.bitCount(m).toLong, cell.est, cell.cost,
+          cell.nExchanges, cell.plan,
+          partLabel(win.part, CycleClassNames), win.cost,
+          win.nExchanges, win.plan, winC0.cost, winC0.plan, differ,
+          answer._1, answer._2, answer._3, identical)
+      }
+      .toDF("subset", "part", "n_tables", "est_rows", "cost",
+        "n_exchanges", "plan", "winner_part", "winner_cost",
+        "winner_n_exch", "winner_plan", "cout_winner_cost",
+        "cout_winner_plan", "winners_differ", "n_rows", "sum_qty",
+        "sum_supp", "trees_identical")
   }
 
   /** J23 [EXT] — SAMPLED-ARM CBO AUDIT (q235): the scale form of the

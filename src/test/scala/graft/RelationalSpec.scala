@@ -2048,7 +2048,7 @@ class RelationalSpec extends AnyFunSuite {
 
   test("q253 exchange probe: cyclic chosen arm reuses the nationkey partitioning, saving a shuffle") {
     val rows = Relational.cboExchangeProbeAudit(spark, TestSpark.Sf0001)
-      .as[(String, String, Long, String, Long, Long, Long, Long)]
+      .as[(String, String, Long, String, Long, Long, Long, Long, Long)]
       .collect()
     assert(rows.length == 4, s"${rows.length} arms")
     val byKey = rows.map(r => (r._1, r._2) -> r).toMap
@@ -2059,14 +2059,97 @@ class RelationalSpec extends AnyFunSuite {
     // second join reuses the first's partitioning — one fewer
     // Exchange than the key-switching left-deep order (7 vs 8), a
     // difference C_out (910 vs 18 240) cannot see or price
-    assert(cc._5 < cl._5,
-      s"chosen ${cc._5} vs left-deep ${cl._5} shuffle exchanges")
-    assert(cc._7 == cl._7 && cc._8 == cl._8, "cycle arms agree")
+    assert(cc._6 < cl._6,
+      s"chosen ${cc._6} vs left-deep ${cl._6} shuffle exchanges")
+    assert(cc._8 == cl._8 && cc._9 == cl._9, "cycle arms agree")
     val sc = byKey(("star", "chosen"))
     val sl = byKey(("star", "left_deep"))
-    assert(sc._7 == sl._7 && sc._8 == sl._8, "star arms agree")
+    assert(sc._8 == sl._8 && sc._9 == sl._9, "star arms agree")
+    // the pure model's prediction matches the MEASURED count on every
+    // arm — the evidence that q254's exchange term prices what
+    // Spark's EnsureRequirements actually does
+    rows.foreach { r =>
+      assert(r._5 == r._6,
+        s"${r._1}/${r._2}: predicted ${r._5} vs measured ${r._6}")
+    }
     // broadcast scoped off: the counts measure exchange STRUCTURE
-    assert(rows.forall(_._6 == 0L), "no broadcast exchanges")
-    assert(rows.forall(_._5 > 0L), "every arm shuffles")
+    assert(rows.forall(_._7 == 0L), "no broadcast exchanges")
+    assert(rows.forall(_._6 > 0L), "every arm shuffles")
+  }
+
+  test("dpCcpExchange: natural Q5 keeps the nationkey reuse; gamma=0 collapses to C_out; planted flip") {
+    val tables = Seq(("l", 6000L), ("o", 1500L), ("c", 150L),
+      ("n", 25L), ("s", 10L))
+    val edges = Seq((0, 1, 1500L), (1, 2, 150L), (2, 3, 25L),
+      (3, 4, 25L), (4, 0, 10L))
+    val classes = Relational.CycleKeyClasses
+    val full = 31
+    def winner(dp: Map[(Int, Seq[Int]), Relational.ExchDpCell]) =
+      dp.collect { case ((m, _), c) if m == full => c }
+        .minBy(c => (c.cost, c.part.mkString(",")))
+    val dp = Relational.dpCcpExchange(tables, edges, classes)
+    val win = winner(dp)
+    // the Q5 right-deep dim chain, with its nationkey reuse priced:
+    // 7 exchanges, not 8
+    assert(win.plan == "(l*(o*(c*(n*s))))", win.plan)
+    assert(win.nExchanges == 7L && win.part == Seq(0, 3) &&
+      win.cost == 9255L, s"$win")
+    // the full-mask state table carries every interesting
+    // partitioning (7 states on this graph)
+    val states = dp.collect { case ((m, p), c) if m == full => p -> c }
+    assert(states.size == 7, s"${states.size} states")
+    // gamma=0 collapses the winner cost to the pure C_out optimum
+    val z = Relational.dpCcpExchange(tables, edges, classes,
+      gammaE2 = 0L)
+    assert(winner(z).cost == Relational.dpCcp(tables, edges)(full).cost)
+    // planted flip: C_out breaks the (customer*nation)*supplier
+    // nationkey reuse for 6 fewer estimated rows; the exchange term
+    // keeps it and the winners genuinely differ
+    val pT = Seq(("l", 60000L), ("o", 500L), ("c", 150L),
+      ("n", 250L), ("s", 10L))
+    val pE = Seq((0, 1, 5000L), (1, 2, 1500L), (2, 3, 2500L),
+      (3, 4, 25L), (4, 0, 10L))
+    val pWin = winner(Relational.dpCcpExchange(pT, pE, classes))
+    val pCout = Relational.dpCcp(pT, pE)(full)
+    assert(pWin.plan != pCout.plan, s"${pWin.plan} vs ${pCout.plan}")
+    assert(pWin.plan == "(l*(o*((c*n)*s)))" && pWin.nExchanges == 7L,
+      s"$pWin")
+    assert(pCout.plan == "(l*((o*(c*n))*s))", pCout.plan)
+  }
+
+  test("q254 exchange enumeration: state table, Q5 winner at 7 exchanges, executed identity") {
+    val d = TestSpark.Sf0001
+    val rows = Relational.cboExchangeEnumerationAudit(spark, d)
+      .as[(String, String, Long, Long, Long, Long, String, String, Long,
+        Long, String, Long, String, Boolean, Long, Long, Long, Boolean)]
+      .collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_._18), "trees_identical on every row")
+    val r0 = rows.head
+    assert(r0._8 == "orderkey+suppkey", s"winner part ${r0._8}")
+    assert(r0._11 == "(lineitem*(orders*(customer*(nation*supplier))))",
+      s"winner ${r0._11}")
+    assert(r0._10 == 7L, s"winner exchanges ${r0._10}")
+    // gamma=0 winner cost equals q249's pure C_out optimum (910 at
+    // sf0.001 stats), and on the natural fixture the winners agree
+    assert(r0._12 == 910L, s"cout winner cost ${r0._12}")
+    assert(!r0._14, "winners_differ false on the natural fixture")
+    // every full-set state prices >= the winner, and the state keyed
+    // by the winner's partitioning IS the winner
+    val fullRows = rows.filter(_._3 == 5L)
+    assert(fullRows.length == 7, s"${fullRows.length} full-set states")
+    assert(fullRows.forall(_._5 >= r0._9), "winner is minimal")
+    val winState = fullRows.find(_._2 == r0._8).get
+    assert(winState._5 == r0._9 && winState._7 == r0._11)
+    // the answer is the raw cyclic join
+    val want = Tables.lineitem(spark, d)
+      .join(Tables.orders(spark, d), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, d), col("o_custkey") === col("c_custkey"))
+      .join(Tables.nation(spark, d), col("c_nationkey") === col("n_nationkey"))
+      .join(Tables.supplier(spark, d),
+        col("n_nationkey") === col("s_nationkey") &&
+          col("s_suppkey") === col("l_suppkey"))
+      .count()
+    assert(r0._15 == want, "answer row count")
   }
 }

@@ -3552,12 +3552,29 @@ object Relational {
           "((((lineitem*orders)*customer)*nation)*supplier)",
           predLeftDeep(cycEdges, cycClasses), cycLeftDeep))
       import spark.implicits._
-      arms.map { case (graph, arm, cost, plan, pred, df) =>
+      val smjRows = arms.map { case (graph, arm, cost, plan, pred, df) =>
         val (nSh, nBc, nRows, sumQty) = run(df)
         (graph, arm, cost, plan, pred, nSh, nBc, nRows, sumQty)
-      }.toDF("graph", "arm", "cout_cost", "plan", "n_shuffle_predicted",
-        "n_shuffle_exchanges", "n_broadcast_exchanges", "n_rows",
-        "sum_qty")
+      }
+      // fifth arm: the same star chosen tree under the session's
+      // DEFAULT broadcast thresholds — the measurement that sizes the
+      // unified operator+partitioning DP (broadcast joins eliminate
+      // the dim-side shuffles the SMJ arms pay, and preserve the
+      // stream side's partitioning). The SMJ-only model doesn't cover
+      // it: n_shuffle_predicted = −1, declared unmodeled.
+      saved.foreach {
+        case (k, Some(v)) => conf.set(k, v)
+        case (k, None) => conf.unset(k)
+      }
+      val bc =
+        try run(buildStar(starFull))
+        finally scoped.foreach { case (k, v) => conf.set(k, v) }
+      val bcastRow = ("star", "chosen_bcast", starDp(starFull).cost,
+        starDp(starFull).plan, -1L, bc._1, bc._2, bc._3, bc._4)
+      (smjRows :+ bcastRow)
+        .toDF("graph", "arm", "cout_cost", "plan", "n_shuffle_predicted",
+          "n_shuffle_exchanges", "n_broadcast_exchanges", "n_rows",
+          "sum_qty")
     } finally saved.foreach {
       case (k, Some(v)) => conf.set(k, v)
       case (k, None) => conf.unset(k)

@@ -2050,8 +2050,9 @@ class RelationalSpec extends AnyFunSuite {
     val rows = Relational.cboExchangeProbeAudit(spark, TestSpark.Sf0001)
       .as[(String, String, Long, String, Long, Long, Long, Long, Long)]
       .collect()
-    assert(rows.length == 4, s"${rows.length} arms")
+    assert(rows.length == 5, s"${rows.length} arms")
     val byKey = rows.map(r => (r._1, r._2) -> r).toMap
+    val smj = rows.filter(_._2 != "chosen_bcast")
     val cc = byKey(("cycle", "chosen"))
     val cl = byKey(("cycle", "left_deep"))
     // the measurement this probe exists for: the chosen dim chain
@@ -2066,15 +2067,25 @@ class RelationalSpec extends AnyFunSuite {
     val sl = byKey(("star", "left_deep"))
     assert(sc._8 == sl._8 && sc._9 == sl._9, "star arms agree")
     // the pure model's prediction matches the MEASURED count on every
-    // arm — the evidence that q254's exchange term prices what
+    // SMJ arm — the evidence that q254's exchange term prices what
     // Spark's EnsureRequirements actually does
-    rows.foreach { r =>
+    smj.foreach { r =>
       assert(r._5 == r._6,
         s"${r._1}/${r._2}: predicted ${r._5} vs measured ${r._6}")
     }
-    // broadcast scoped off: the counts measure exchange STRUCTURE
-    assert(rows.forall(_._7 == 0L), "no broadcast exchanges")
-    assert(rows.forall(_._6 > 0L), "every arm shuffles")
+    // broadcast scoped off on the SMJ arms: the counts measure
+    // exchange STRUCTURE
+    assert(smj.forall(_._7 == 0L), "no broadcast exchanges on SMJ arms")
+    assert(smj.forall(_._6 > 0L), "every SMJ arm shuffles")
+    // the broadcast arm: same tree, default thresholds — operator
+    // choice ELIMINATES shuffles the SMJ twin pays (the unified
+    // operator+partitioning DP's payoff, declared unmodeled: pred −1)
+    val bc = byKey(("star", "chosen_bcast"))
+    assert(bc._5 == -1L, "bcast arm is declared unmodeled")
+    assert(bc._7 > 0L, "broadcast exchanges appear")
+    assert(bc._6 < sc._6,
+      s"broadcast ${bc._6} shuffles vs SMJ twin ${sc._6}")
+    assert(bc._8 == sc._8 && bc._9 == sc._9, "bcast arm answers agree")
   }
 
   test("dpCcpExchange: natural Q5 keeps the nationkey reuse; gamma=0 collapses to C_out; planted flip") {

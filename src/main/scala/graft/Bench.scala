@@ -62,6 +62,22 @@ object Bench {
       try src.mkString.split(" ")(0).toDouble finally src.close()
     } catch { case _: Throwable => -1.0 }
 
+  /** Parse the per-query times out of a bench artifact's `"queries"`
+    * map. Committed BENCH_LOCAL files are whitespace-normalized
+    * (`"queries": { "q01": 0.39, … }`), the live sidecar is compact —
+    * both forms parse; failed (negative) entries are dropped; a file
+    * with no queries map parses to empty. Exposed for the protocol
+    * spec: the r19 divergence check silently disabled itself when this
+    * logic assumed the compact form only. */
+  private[graft] def parseRefTimes(txt: String): Map[String, Double] =
+    "\"queries\"\\s*:\\s*\\{".r.findFirstMatchIn(txt).map { m =>
+      val body = txt.substring(m.end, txt.indexOf('}', m.end))
+      "\"([A-Za-z0-9_]+)\"\\s*:\\s*(-?[0-9]+(?:\\.[0-9]+)?(?:[eE][+-]?[0-9]+)?)".r
+        .findAllMatchIn(body)
+        .map(g => g.group(1) -> g.group(2).toDouble)
+        .toMap.filter(_._2 > 0.0)
+    }.getOrElse(Map.empty)
+
   def main(args: Array[String]): Unit = {
     val benchT0 = System.nanoTime()
     def elapsed(): Double = (System.nanoTime() - benchT0) / 1e9
@@ -79,21 +95,12 @@ object Bench {
         fs.map(_.getName)
           .filter(n => n.startsWith("BENCH_LOCAL_r") && n.endsWith(".json"))
           .sorted(Ordering.String).lastOption))
-    val refTimes: Map[String, Double] = refPath.flatMap { p =>
+    val refTimes: Map[String, Double] = refPath.map { p =>
       try {
         val src = scala.io.Source.fromFile(p)
         val txt = try src.mkString finally src.close()
-        // committed BENCH_LOCAL files are whitespace-normalized
-        // ("queries": { ... "q01": 0.39 ...), the live sidecar is not —
-        // tolerate both
-        "\"queries\"\\s*:\\s*\\{".r.findFirstMatchIn(txt).map { m =>
-          val body = txt.substring(m.end, txt.indexOf('}', m.end))
-          "\"([A-Za-z0-9_]+)\"\\s*:\\s*(-?[0-9.eE+]+)".r
-            .findAllMatchIn(body)
-            .map(g => g.group(1) -> g.group(2).toDouble)
-            .toMap.filter(_._2 > 0.0)
-        }
-      } catch { case _: Throwable => None }
+        parseRefTimes(txt)
+      } catch { case _: Throwable => Map.empty[String, Double] }
     }.getOrElse(Map.empty)
     if (refTimes.nonEmpty)
       System.err.println(

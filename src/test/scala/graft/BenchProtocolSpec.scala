@@ -1,0 +1,32 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the bench protocol's divergence-reference parser — the r19
+  * fix: the check silently disabled itself when the parser assumed the
+  * live sidecar's compact JSON and the committed BENCH_LOCAL files are
+  * whitespace-normalized. */
+class BenchProtocolSpec extends AnyFunSuite {
+  test("parseRefTimes: compact sidecar form") {
+    val txt = """{"metric":"total","value":1.0,"queries":{"q01_a":0.39,"q02_b":1.5e-1,"q03_fail":-2.0},"errors":{}}"""
+    val m = Bench.parseRefTimes(txt)
+    assert(m == Map("q01_a" -> 0.39, "q02_b" -> 0.15),
+      s"failed entries dropped, rest parsed: $m")
+  }
+  test("parseRefTimes: whitespace-normalized committed form") {
+    val txt = """{"metric": "total", "value": 1.0, "queries": {"q01_a": 0.39, "q02_b": 2.0}, "errors": {}}"""
+    assert(Bench.parseRefTimes(txt) ==
+      Map("q01_a" -> 0.39, "q02_b" -> 2.0))
+  }
+  test("parseRefTimes: the committed r19 artifact itself parses") {
+    val src = scala.io.Source.fromFile("BENCH_LOCAL_r19.json")
+    val txt = try src.mkString finally src.close()
+    val m = Bench.parseRefTimes(txt)
+    assert(m.size >= 250, s"${m.size} reference queries")
+    assert(m.contains("q01_dup_gate") && m.values.forall(_ > 0.0))
+  }
+  test("parseRefTimes: no queries map parses to empty") {
+    assert(Bench.parseRefTimes("""{"metric":"total"}""").isEmpty)
+    assert(Bench.parseRefTimes("").isEmpty)
+  }
+}

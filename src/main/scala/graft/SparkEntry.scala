@@ -1044,7 +1044,15 @@ object SparkEntry {
     // whole (subset x partitioning) state table emitted, gamma=0
     // instantiation = pure C_out pricing, winner executed full-size
     "q254_cbo_exchange_enumeration" -> ((s: SparkSession, d: String) =>
-      Relational.cboExchangeEnumerationAudit(s, d))
+      Relational.cboExchangeEnumerationAudit(s, d)),
+    // the UNIFIED physical enumerator: operators AND partitionings in
+    // one DP - a broadcast join both skips the shuffle and PRESERVES
+    // its stream side's partitioning for a later same-class join, the
+    // term neither q251 nor q254 could express; full state table,
+    // broadcast-disabled instantiation reduces to q254's DP, winner
+    // executed full-size with operator-true hints
+    "q255_cbo_unified_enumeration" -> ((s: SparkSession, d: String) =>
+      Relational.cboUnifiedEnumerationAudit(s, d))
   )
 
   /** The session-shared `ensure*` leaves at the registry consumers'
@@ -2228,6 +2236,342 @@ object SparkEntry {
        |  TRUE AS trees_identical
        |FROM (
        |$outRows) t, w, fin""".stripMargin
+  }
+
+  /** q255's oracle, GENERATED by replaying the engine's
+    * `dpCcpUnified` symbolically over the Q5 cycle — the unified
+    * operator+partitioning state DP. Per (connected subset, output
+    * partitioning) state the generator enumerates the engine's exact
+    * candidate sequence (per split ascending: the shuffle candidate
+    * when its requirement equals the state, then one broadcast-right
+    * candidate per matching stream state of S1, then broadcast-left
+    * over S2 — label order within each), emitting per candidate its
+    * FULL cost (broadcast eligibility as a CASE to the declared
+    * sentinel), plan, and both Exchange counts, then first-minimal
+    * chains per state and label-ordered min helpers per mask.
+    * Instantiated TWICE — `_u` (threshold 10 000, δ = 1) and `_v`
+    * (threshold −1: broadcast disabled, the J32 reduction) — so both
+    * winners and `winners_differ` re-derive with zero transcription
+    * risk. */
+  private val uniDpSql: String = {
+    val n = 5
+    val edges = Seq((0, 1), (1, 2), (2, 3), (3, 4), (4, 0))
+    val classes = Seq(0, 1, 2, 2, 3)
+    val classNames = Seq("orderkey", "custkey", "nationkey", "suppkey")
+    val rowCols = Seq("nli", "nord", "ncust", "nnat", "nsupp")
+    val names = Seq("lineitem", "orders", "customer", "nation", "supplier")
+    val Sent = "1000000000000000"
+    def inM(i: Int, m: Int): Boolean = (m & (1 << i)) != 0
+    def induced(m: Int): Seq[Int] = edges.indices.filter { e =>
+      inM(edges(e)._1, m) && inM(edges(e)._2, m)
+    }
+    def connected(m: Int): Boolean = {
+      if (m == 0) return false
+      val seed = java.lang.Integer.numberOfTrailingZeros(m)
+      var comp = 1 << seed
+      var frontier = List(seed)
+      while (frontier.nonEmpty) {
+        val v = frontier.head; frontier = frontier.tail
+        edges.foreach { case (a, b) =>
+          val next = if (a == v) b else if (b == v) a else -1
+          if (next >= 0 && inM(next, m) && !inM(next, comp)) {
+            comp |= 1 << next
+            frontier = next :: frontier
+          }
+        }
+      }
+      comp == m
+    }
+    def single(m: Int): Boolean = java.lang.Integer.bitCount(m) == 1
+    def tz(m: Int): Int = java.lang.Integer.numberOfTrailingZeros(m)
+    def estExpr(m: Int): String = {
+      def prod(cols: Seq[String]): String =
+        (s"CAST(${cols.head} AS HUGEINT)" +: cols.tail).mkString(" * ")
+      val num = prod((0 until n).filter(inM(_, m)).map(rowCols))
+      val den = induced(m).map(e => s"d$e")
+      s"CAST($num // (${prod(den)}) AS BIGINT)"
+    }
+    def estRef(m: Int): String = if (single(m)) rowCols(tz(m)) else s"e_$m"
+    def pid(p: Seq[Int]): String =
+      if (p.isEmpty) "none" else p.mkString("_")
+    def pLabel(p: Seq[Int]): String =
+      if (p.isEmpty) "none" else p.map(classNames).mkString("+")
+    val compositeMasks = (3 to (1 << n) - 1)
+      .filter(m => java.lang.Integer.bitCount(m) >= 2 && connected(m))
+    case class Split(s1: Int, s2: Int, cross: Seq[Int], k: Seq[Int])
+    val splitsOf: Map[Int, Seq[Split]] = compositeMasks.map { m =>
+      val low = 1 << tz(m)
+      val subs = scala.collection.mutable.ArrayBuffer.empty[Int]
+      var sub = (m - 1) & m
+      while (sub != 0) { subs += sub; sub = (sub - 1) & m }
+      m -> subs.reverseIterator.flatMap { s1 =>
+        val s2 = m & ~s1
+        val ok = (s1 & low) != 0 &&
+          (single(s1) || connected(s1)) && (single(s2) || connected(s2))
+        if (ok) {
+          val cross = edges.indices.filter { e =>
+            val (a, b) = edges(e)
+            (inM(a, s1) && inM(b, s2)) || (inM(a, s2) && inM(b, s1))
+          }
+          if (cross.nonEmpty)
+            Some(Split(s1, s2, cross, cross.map(classes).distinct.sorted))
+          else None
+        } else None
+      }.toSeq
+    }.toMap
+    // state sets bottom-up: shuffle Ks plus inherited child states
+    val statesOf = scala.collection.mutable.Map[Int, Seq[Seq[Int]]](
+      (0 until n).map(i => (1 << i) -> Seq(Seq.empty[Int])): _*)
+    compositeMasks.foreach { m =>
+      val ss = splitsOf(m).flatMap { sp =>
+        sp.k +: (statesOf(sp.s1) ++ statesOf(sp.s2))
+      }.distinct.sortBy(_.mkString(","))
+      statesOf(m) = ss
+    }
+    // candidate model mirroring the engine's per-split enumeration:
+    // (kind, split, streamState) — kind 0 shuffle, 1 bcast-right
+    // (ship s2), 2 bcast-left (ship s1)
+    case class UCand(kind: Int, sp: Split, stream: Seq[Int])
+    def candsFor(m: Int, p: Seq[Int]): Seq[UCand] =
+      splitsOf(m).flatMap { sp =>
+        val sh = if (sp.k == p) Seq(UCand(0, sp, Nil)) else Nil
+        val br = statesOf(sp.s1).filter(_ == p)
+          .map(UCand(1, sp, _))
+        val bl = statesOf(sp.s2).filter(_ == p)
+          .map(UCand(2, sp, _))
+        sh ++ br ++ bl
+      }
+    def cRef(m: Int, p: Seq[Int], sfx: String): String =
+      if (single(m)) "0" else s"c_${m}_${pid(p)}$sfx"
+    def pRef(m: Int, p: Seq[Int], sfx: String): String =
+      if (single(m)) s"'${names(tz(m))}'" else s"p_${m}_${pid(p)}$sfx"
+    def xsRef(m: Int, p: Seq[Int], sfx: String): String =
+      if (single(m)) "0" else s"xs_${m}_${pid(p)}$sfx"
+    def xbRef(m: Int, p: Seq[Int], sfx: String): String =
+      if (single(m)) "0" else s"xb_${m}_${pid(p)}$sfx"
+    def cmRef(m: Int, sfx: String): String =
+      if (single(m)) "0" else s"cm_$m$sfx"
+    def pmRef(m: Int, sfx: String): String =
+      if (single(m)) s"'${names(tz(m))}'" else s"pm_$m$sfx"
+    def xsmRef(m: Int, sfx: String): String =
+      if (single(m)) "0" else s"xsm_$m$sfx"
+    def xbmRef(m: Int, sfx: String): String =
+      if (single(m)) "0" else s"xbm_$m$sfx"
+    def dE(e: String): String =
+      s"CAST(CAST($e AS HUGEINT) * 100 // 100 AS BIGINT)"
+    // a shuffled side: (cost, plan, sh, bc)
+    def shSide(s: Int, k: Seq[Int], sfx: String)
+        : (String, String, String, String) = {
+      val fresh = s"(${cmRef(s, sfx)} + ${dE(estRef(s))})"
+      if (statesOf(s).contains(k)) {
+        val (c, p) = (cRef(s, k, sfx), pRef(s, k, sfx))
+        (s"least($c, $fresh)",
+          s"CASE WHEN $c <= $fresh THEN $p ELSE ${pmRef(s, sfx)} END",
+          s"CASE WHEN $c <= $fresh THEN ${xsRef(s, k, sfx)}" +
+            s" ELSE ${xsmRef(s, sfx)} + 1 END",
+          s"CASE WHEN $c <= $fresh THEN ${xbRef(s, k, sfx)}" +
+            s" ELSE ${xbmRef(s, sfx)} END")
+      } else
+        (fresh, pmRef(s, sfx), s"${xsmRef(s, sfx)} + 1", xbmRef(s, sfx))
+    }
+    // one candidate: full (cost incl. e_m or sentinel, plan, sh, bc, op)
+    def candExprs(m: Int, cd: UCand, sfx: String, lim: String)
+        : (String, String, String, String, String) = cd.kind match {
+      case 0 =>
+        val (lc, lp, lsh, lbc) = shSide(cd.sp.s1, cd.sp.k, sfx)
+        val (rc, rp, rsh, rbc) = shSide(cd.sp.s2, cd.sp.k, sfx)
+        (s"($lc + $rc + e_$m)", s"'(' || $lp || '*' || $rp || ')'",
+          s"($lsh + $rsh)", s"($lbc + $rbc)", "'shuffle'")
+      case 1 => // ship s2, stream s1 in state `stream`
+        val (s1, s2, p1) = (cd.sp.s1, cd.sp.s2, cd.stream)
+        (s"CASE WHEN ${estRef(s2)} <= $lim THEN " +
+          s"${cRef(s1, p1, sfx)} + ${cmRef(s2, sfx)} + e_$m + " +
+          s"${dE(estRef(s2))} ELSE $Sent END",
+          s"'(' || ${pRef(s1, p1, sfx)} || '*' || ${pmRef(s2, sfx)} || ')'",
+          s"(${xsRef(s1, p1, sfx)} + ${xsmRef(s2, sfx)})",
+          s"(${xbRef(s1, p1, sfx)} + ${xbmRef(s2, sfx)} + 1)",
+          "'broadcast_right'")
+      case _ => // ship s1, stream s2 in state `stream`
+        val (s1, s2, p2) = (cd.sp.s1, cd.sp.s2, cd.stream)
+        (s"CASE WHEN ${estRef(s1)} <= $lim THEN " +
+          s"${cmRef(s1, sfx)} + ${cRef(s2, p2, sfx)} + e_$m + " +
+          s"${dE(estRef(s1))} ELSE $Sent END",
+          s"'(' || ${pmRef(s1, sfx)} || '*' || ${pRef(s2, p2, sfx)} || ')'",
+          s"(${xsmRef(s1, sfx)} + ${xsRef(s2, p2, sfx)})",
+          s"(${xbmRef(s1, sfx)} + ${xbRef(s2, p2, sfx)} + 1)",
+          "'broadcast_left'")
+    }
+    def chain(sfx: String, lim: String, prev0: String): String = {
+      val levels = compositeMasks.groupBy(java.lang.Integer.bitCount)
+        .toSeq.sortBy(_._1)
+      levels.map { case (pc, masks) =>
+        val aCols = masks.flatMap { m =>
+          statesOf(m).flatMap { p =>
+            candsFor(m, p).zipWithIndex.flatMap { case (cd, i) =>
+              val (kc, kp, ks, kb, _) = candExprs(m, cd, sfx, lim)
+              val t = s"${m}_${pid(p)}_$i$sfx"
+              Seq(s"    $kc AS kc_$t", s"    $kp AS kp_$t",
+                s"    $ks AS ks_$t", s"    $kb AS kb_$t")
+            }
+          }
+        }
+        val bCols = masks.flatMap { m =>
+          statesOf(m).flatMap { p =>
+            val cs = candsFor(m, p)
+            val ids = cs.indices.map(i => s"${m}_${pid(p)}_$i$sfx")
+            val kcs = ids.map(t => s"kc_$t")
+            def choose(pick: Int => String, name: String): String =
+              if (cs.length == 1) s"    ${pick(0)} AS $name"
+              else {
+                val whens = cs.indices.init.map { i =>
+                  val laterLe = (i + 1 until cs.length)
+                    .map(j => s"${kcs(i)} <= ${kcs(j)}").mkString(" AND ")
+                  s"      WHEN $laterLe THEN ${pick(i)}"
+                }
+                s"    CASE\n${whens.mkString("\n")}\n      ELSE " +
+                  s"${pick(cs.length - 1)} END AS $name"
+              }
+            Seq(
+              s"    CAST(least(${kcs.mkString(", ")}) AS BIGINT)" +
+                s" AS c_${m}_${pid(p)}$sfx",
+              choose(i => s"kp_${ids(i)}", s"p_${m}_${pid(p)}$sfx"),
+              choose(i => s"CAST(ks_${ids(i)} AS BIGINT)",
+                s"xs_${m}_${pid(p)}$sfx"),
+              choose(i => s"CAST(kb_${ids(i)} AS BIGINT)",
+                s"xb_${m}_${pid(p)}$sfx"),
+              choose(i => candExprs(m, cs(i), sfx, lim)._5,
+                s"op_${m}_${pid(p)}$sfx"))
+          }
+        }
+        val cCols = masks.flatMap { m =>
+          val sts = statesOf(m)
+          val cvs = sts.map(p => s"c_${m}_${pid(p)}$sfx")
+          def choose(pick: Seq[Int] => String, name: String): String =
+            if (sts.length == 1) s"    ${pick(sts.head)} AS $name"
+            else {
+              val whens = sts.indices.init.map { i =>
+                val laterLe = (i + 1 until sts.length)
+                  .map(j => s"${cvs(i)} <= ${cvs(j)}").mkString(" AND ")
+                s"      WHEN $laterLe THEN ${pick(sts(i))}"
+              }
+              s"    CASE\n${whens.mkString("\n")}\n      ELSE " +
+                s"${pick(sts.last)} END AS $name"
+            }
+          Seq(
+            s"    least(${cvs.mkString(", ")}) AS cm_$m$sfx",
+            choose(p => s"p_${m}_${pid(p)}$sfx", s"pm_$m$sfx"),
+            choose(p => s"xs_${m}_${pid(p)}$sfx", s"xsm_$m$sfx"),
+            choose(p => s"xb_${m}_${pid(p)}$sfx", s"xbm_$m$sfx"))
+        }
+        val prev = if (pc == 2) prev0 else s"uv${pc - 1}c$sfx"
+        Seq(
+          s"uv${pc}a$sfx AS (\n  SELECT *,\n${aCols.mkString(",\n")}\n  FROM $prev)",
+          s"uv${pc}b$sfx AS (\n  SELECT *,\n${bCols.mkString(",\n")}\n  FROM uv${pc}a$sfx)",
+          s"uv${pc}c$sfx AS (\n  SELECT *,\n${cCols.mkString(",\n")}\n  FROM uv${pc}b$sfx)")
+          .mkString(",\n")
+      }.mkString(",\n")
+    }
+    val fullM = (1 << n) - 1
+    def winnerCols(sfx: String): String = {
+      val sts = statesOf(fullM)
+      val cvs = sts.map(p => s"c_${fullM}_${pid(p)}$sfx")
+      def choose(pick: Seq[Int] => String, name: String): String = {
+        val whens = sts.indices.init.map { i =>
+          val laterLe = (i + 1 until sts.length)
+            .map(j => s"${cvs(i)} <= ${cvs(j)}").mkString(" AND ")
+          s"      WHEN $laterLe THEN ${pick(sts(i))}"
+        }
+        s"    CASE\n${whens.mkString("\n")}\n      ELSE " +
+          s"${pick(sts.last)} END AS $name"
+      }
+      Seq(
+        choose(p => s"'${pLabel(p)}'", s"uwpart$sfx"),
+        s"    least(${cvs.mkString(", ")}) AS uwcost$sfx",
+        choose(p => s"op_${fullM}_${pid(p)}$sfx", s"uwop$sfx"),
+        choose(p => s"xs_${fullM}_${pid(p)}$sfx", s"uwxs$sfx"),
+        choose(p => s"xb_${fullM}_${pid(p)}$sfx", s"uwxb$sfx"),
+        choose(p => s"p_${fullM}_${pid(p)}$sfx", s"uwplan$sfx"))
+        .mkString(",\n")
+    }
+    val ee = compositeMasks.map(m => s"    ${estExpr(m)} AS e_$m")
+      .mkString(",\n")
+    val lastLv = compositeMasks.map(java.lang.Integer.bitCount).max
+    val outRows = ((0 until n).map { i =>
+      s"""  SELECT '${names(i)}' AS subset, 'none' AS part,
+         |    CAST(1 AS BIGINT) AS n_tables,
+         |    ${rowCols(i)} AS est_rows, CAST(0 AS BIGINT) AS cost,
+         |    'leaf' AS op, CAST(0 AS BIGINT) AS n_shuffle_exch,
+         |    CAST(0 AS BIGINT) AS n_bcast_exch, '${names(i)}' AS plan
+         |  FROM uw""".stripMargin
+    } ++ compositeMasks.flatMap { m =>
+      val nm = (0 until n).filter(inM(_, m)).map(names).mkString(",")
+      statesOf(m).map { p =>
+        s"""  SELECT '$nm', '${pLabel(p)}',
+           |    CAST(${java.lang.Integer.bitCount(m)} AS BIGINT),
+           |    e_$m, c_${m}_${pid(p)}_u, op_${m}_${pid(p)}_u,
+           |    CAST(xs_${m}_${pid(p)}_u AS BIGINT),
+           |    CAST(xb_${m}_${pid(p)}_u AS BIGINT), p_${m}_${pid(p)}_u
+           |  FROM uw""".stripMargin
+      }
+    }).mkString("\n  UNION ALL\n")
+    s"""WITH st AS (
+       |  SELECT (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS nli,
+       |    (SELECT CAST(count(*) AS BIGINT) FROM orders) AS nord,
+       |    (SELECT CAST(count(*) AS BIGINT) FROM customer) AS ncust,
+       |    (SELECT CAST(count(*) AS BIGINT) FROM nation) AS nnat,
+       |    (SELECT CAST(count(*) AS BIGINT) FROM supplier) AS nsupp,
+       |    greatest(
+       |      (SELECT count(DISTINCT l_orderkey) FROM lineitem),
+       |      (SELECT count(DISTINCT o_orderkey) FROM orders)) AS d0,
+       |    greatest(
+       |      (SELECT count(DISTINCT o_custkey) FROM orders),
+       |      (SELECT count(DISTINCT c_custkey) FROM customer)) AS d1,
+       |    greatest(
+       |      (SELECT count(DISTINCT c_nationkey) FROM customer),
+       |      (SELECT count(DISTINCT n_nationkey) FROM nation)) AS d2,
+       |    greatest(
+       |      (SELECT count(DISTINCT n_nationkey) FROM nation),
+       |      (SELECT count(DISTINCT s_nationkey) FROM supplier)) AS d3,
+       |    greatest(
+       |      (SELECT count(DISTINCT s_suppkey) FROM supplier),
+       |      (SELECT count(DISTINCT l_suppkey) FROM lineitem)) AS d4),
+       |ee AS (
+       |  SELECT *,
+       |$ee
+       |  FROM st),
+       |${chain("_u", "10000", "ee")},
+       |${chain("_v", "-1", s"uv${lastLv}c_u")},
+       |uw AS (
+       |  SELECT *,
+       |${winnerCols("_u")},
+       |${winnerCols("_v")}
+       |  FROM uv${lastLv}c_v),
+       |fin AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       |    CAST(coalesce(sum(CAST(l_quantity AS BIGINT)), 0) AS BIGINT)
+       |      AS sum_qty,
+       |    CAST(coalesce(sum(CAST(s_suppkey AS BIGINT)), 0) AS BIGINT)
+       |      AS sum_supp
+       |  FROM lineitem l
+       |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |  JOIN customer c ON o.o_custkey = c.c_custkey
+       |  JOIN nation nn ON c.c_nationkey = nn.n_nationkey
+       |  JOIN supplier s ON nn.n_nationkey = s.s_nationkey
+       |    AND s.s_suppkey = l.l_suppkey)
+       |SELECT t.subset, t.part, t.n_tables, t.est_rows, t.cost, t.op,
+       |  t.n_shuffle_exch, t.n_bcast_exch, t.plan,
+       |  uw.uwpart_u AS winner_part, uw.uwcost_u AS winner_cost,
+       |  uw.uwop_u AS winner_op,
+       |  CAST(uw.uwxs_u AS BIGINT) AS winner_n_shuffle,
+       |  CAST(uw.uwxb_u AS BIGINT) AS winner_n_bcast,
+       |  uw.uwplan_u AS winner_plan,
+       |  uw.uwcost_v AS exch_winner_cost,
+       |  uw.uwplan_v AS exch_winner_plan,
+       |  uw.uwplan_u <> uw.uwplan_v AS winners_differ,
+       |  fin.n_rows, fin.sum_qty, fin.sum_supp,
+       |  TRUE AS trees_identical
+       |FROM (
+       |$outRows) t, uw, fin""".stripMargin
   }
 
   /** q251's oracle, GENERATED by replaying the engine's
@@ -6023,6 +6367,9 @@ object SparkEntry {
     // the engine's interesting-partitionings state DP replayed
     // symbolically, both γ instantiations — see [[exchDpSql]]
     "q254_cbo_exchange_enumeration" -> exchDpSql,
+    // the engine's unified operator+partitioning DP replayed
+    // symbolically, both threshold instantiations — see [[uniDpSql]]
+    "q255_cbo_unified_enumeration" -> uniDpSql,
     // per-tick observations for both stores (the drifted store adds
     // the planted shift tick: pre-shift grid estimate, rotated-regime
     // actual = the original OFF-diagonal rectangle), the freshness

@@ -3724,6 +3724,183 @@ object Relational {
     }
   }
 
+  /** One state of the UNIFIED physical enumeration (operators AND
+    * partitionings in one DP), keyed by (subset, output partitioning):
+    * estimate, best total cost, the winning split's components and the
+    * partitioning STATE each side was consumed in, the join operator
+    * ("shuffle" | "broadcast_left" | "broadcast_right" — the named
+    * side SHIPS; "leaf" for singles), every cross edge, the output
+    * partitioning, the shuffle- and broadcast-Exchange counts of the
+    * priced tree, and the plan string. */
+  private[graft] case class UniDpCell(est: Long, cost: Long,
+                                      leftMask: Int, rightMask: Int,
+                                      leftPart: Seq[Int],
+                                      rightPart: Seq[Int], op: String,
+                                      crossEdges: Seq[Int],
+                                      part: Seq[Int], nShuffleExch: Long,
+                                      nBcastExch: Long, plan: String)
+
+  /** The sentinel cost of a physically unavailable candidate (a
+    * broadcast whose ship side exceeds the threshold): large enough to
+    * never win, small enough that sums of a few never overflow — and a
+    * plain literal the oracle replays. */
+  private[graft] val UniSentinelCost = 1000000000000000L
+
+  /** The UNIFIED physical Selinger enumeration — J31's operator
+    * dimension and J32's partitioning dimension priced in ONE DP
+    * ([[selingerPhysicalDp]] chooses operators but can't see
+    * partitioning reuse; [[dpCcpExchange]] prices reuse but only under
+    * SMJ; a real optimizer needs both, because a broadcast join both
+    * skips the shuffle AND PRESERVES its stream side's partitioning).
+    * States are (connected subset, output partitioning); per candidate
+    * split (ascending S1, dpCcp order) THREE operator families are
+    * enumerated, in this pinned order:
+    *
+    *  1. SHUFFLE: both sides re-partition on K = the cross edges'
+    *     distinct classes (reuse-or-cheapest per side, the J32 rule);
+    *     output partitioning K; δ·est(side) per fresh side, +1
+    *     shuffle Exchange each.
+    *  2. BROADCAST-RIGHT (ship S2, stream S1): one candidate per S1
+    *     state P (label order) — S2 consumed in its cheapest state
+    *     and shipped (δ·est(S2), +1 broadcast Exchange), output
+    *     partitioning P (the stream side's, PRESERVED — the term no
+    *     prior DP could express); available only when est(S2) ≤
+    *     `bcastLimit`, else the candidate costs [[UniSentinelCost]].
+    *  3. BROADCAST-LEFT: symmetric.
+    *
+    * First-minimal ties across candidates per output state; winner =
+    * min cost across the full set's states, ties on the label. With
+    * bcastLimit < 0 every broadcast candidate is sentinel-priced and
+    * the winner reduces to [[dpCcpExchange]]'s (spec-pinned). Exposed
+    * for the planted-flip spec; consumed by q255. */
+  private[graft] def dpCcpUnified(tables: Seq[(String, Long)],
+                                  edges: Seq[(Int, Int, Long)],
+                                  keyClasses: Seq[Int],
+                                  bcastLimit: Long = PhysBroadcastLimitRows,
+                                  deltaE2: Long = 100L)
+      : Map[(Int, Seq[Int]), UniDpCell] = {
+    val n = tables.length
+    require(n >= 2 && n <= 10, s"need 2..10 tables; got $n")
+    require(keyClasses.length == edges.length && deltaE2 >= 0L,
+      s"need one key class per edge and non-negative delta")
+    require(edges.nonEmpty && edges.forall { case (a, b, d) =>
+      a >= 0 && a < n && b >= 0 && b < n && a != b && d > 0
+    }, s"edges must connect distinct in-range tables with positive divisors")
+    def inMask(i: Int, mask: Int): Boolean = (mask & (1 << i)) != 0
+    def induced(mask: Int): Seq[Int] = edges.indices.filter { e =>
+      inMask(edges(e)._1, mask) && inMask(edges(e)._2, mask)
+    }
+    def connected(mask: Int): Boolean = {
+      if (mask == 0) return false
+      val seed = java.lang.Integer.numberOfTrailingZeros(mask)
+      var comp = 1 << seed
+      var frontier = List(seed)
+      while (frontier.nonEmpty) {
+        val v = frontier.head; frontier = frontier.tail
+        edges.foreach { case (a, b, _) =>
+          val next = if (a == v) b else if (b == v) a else -1
+          if (next >= 0 && inMask(next, mask) && !inMask(next, comp)) {
+            comp |= 1 << next
+            frontier = next :: frontier
+          }
+        }
+      }
+      comp == mask
+    }
+    def est(mask: Int): Long = {
+      val num = tables.indices.filter(inMask(_, mask))
+        .map(i => BigInt(tables(i)._2)).product
+      val den = induced(mask).map(e => BigInt(edges(e)._3)).product
+      (num / den).toLong
+    }
+    def move(rows: Long): Long =
+      (BigInt(rows) * BigInt(deltaE2) / BigInt(100L)).toLong
+    val byMask = scala.collection.mutable.Map.empty[Int,
+      scala.collection.mutable.LinkedHashMap[Seq[Int], UniDpCell]]
+    tables.indices.foreach { i =>
+      byMask(1 << i) = scala.collection.mutable.LinkedHashMap(
+        (Seq.empty[Int]: Seq[Int]) -> UniDpCell(tables(i)._2, 0L, 0, 0,
+          Nil, Nil, "leaf", Nil, Nil, 0L, 0L, tables(i)._1))
+    }
+    def statesSorted(s: Int): Seq[(Seq[Int], UniDpCell)] =
+      byMask(s).toSeq.sortBy(_._1.mkString(","))
+    def minState(s: Int): (Seq[Int], UniDpCell) =
+      byMask(s).minBy { case (p, c) => (c.cost, p.mkString(",")) }
+    // one shuffled side: (cost incl. exchange, consumed part, sh, bc, plan)
+    def pick(s: Int, k: Seq[Int]): (Long, Seq[Int], Long, Long, String) = {
+      val (minP, minC) = minState(s)
+      val fresh = (minC.cost + move(minC.est), minP,
+        minC.nShuffleExch + 1L, minC.nBcastExch, minC.plan)
+      byMask(s).get(k) match {
+        case Some(r) if r.cost <= fresh._1 =>
+          (r.cost, k, r.nShuffleExch, r.nBcastExch, r.plan)
+        case _ => fresh
+      }
+    }
+    (3 to (1 << n) - 1).foreach { mask =>
+      if (java.lang.Integer.bitCount(mask) >= 2 && connected(mask)) {
+        val low = 1 << java.lang.Integer.numberOfTrailingZeros(mask)
+        val eMask = est(mask)
+        val cell = scala.collection.mutable
+          .LinkedHashMap.empty[Seq[Int], UniDpCell]
+        def upd(c: UniDpCell): Unit =
+          if (cell.get(c.part).forall(c.cost < _.cost)) cell(c.part) = c
+        val subs = scala.collection.mutable.ArrayBuffer.empty[Int]
+        var sub = (mask - 1) & mask
+        while (sub != 0) { subs += sub; sub = (sub - 1) & mask }
+        subs.reverseIterator.foreach { s1 =>
+          val s2 = mask & ~s1
+          if ((s1 & low) != 0 && byMask.contains(s1) &&
+              byMask.contains(s2)) {
+            val cross = edges.indices.filter { e =>
+              val (a, b, _) = edges(e)
+              (inMask(a, s1) && inMask(b, s2)) ||
+                (inMask(a, s2) && inMask(b, s1))
+            }
+            if (cross.nonEmpty) {
+              val k = cross.map(keyClasses).distinct.sorted
+              val (lc, lp, lsh, lbc, lplan) = pick(s1, k)
+              val (rc, rp, rsh, rbc, rplan) = pick(s2, k)
+              upd(UniDpCell(eMask, lc + rc + eMask, s1, s2, lp, rp,
+                "shuffle", cross, k, lsh + rsh, lbc + rbc,
+                s"($lplan*$rplan)"))
+              val (e1, e2) = (byMask(s1).head._2.est, byMask(s2).head._2.est)
+              val (m1p, m1c) = minState(s1)
+              val (m2p, m2c) = minState(s2)
+              // ship S2, stream S1 in each of its states
+              statesSorted(s1).foreach { case (p1, c1) =>
+                val cost =
+                  if (e2 <= bcastLimit) c1.cost + m2c.cost + eMask + move(e2)
+                  else UniSentinelCost
+                upd(UniDpCell(eMask, cost, s1, s2, p1, m2p,
+                  "broadcast_right", cross, p1,
+                  c1.nShuffleExch + m2c.nShuffleExch,
+                  c1.nBcastExch + m2c.nBcastExch + 1L,
+                  s"(${c1.plan}*${m2c.plan})"))
+              }
+              // ship S1, stream S2 in each of its states
+              statesSorted(s2).foreach { case (p2, c2) =>
+                val cost =
+                  if (e1 <= bcastLimit) m1c.cost + c2.cost + eMask + move(e1)
+                  else UniSentinelCost
+                upd(UniDpCell(eMask, cost, s1, s2, m1p, p2,
+                  "broadcast_left", cross, p2,
+                  m1c.nShuffleExch + c2.nShuffleExch,
+                  m1c.nBcastExch + c2.nBcastExch + 1L,
+                  s"(${m1c.plan}*${c2.plan})"))
+              }
+            }
+          }
+        }
+        require(cell.nonEmpty, s"connected subset $mask has no split")
+        byMask(mask) = cell
+      }
+    }
+    byMask.toMap.flatMap { case (m, states) =>
+      states.map { case (p, c) => (m, p) -> c }
+    }
+  }
+
   /** The Q5 cycle's key-class names, indexed by the class ids
     * [[cboExchangeEnumerationAudit]] and the q253 probe share:
     * edges (l–o, o–c, c–n, n–s, s–l) have classes (0, 1, 2, 2, 3) —
@@ -3864,6 +4041,149 @@ object Relational {
         "n_exchanges", "plan", "winner_part", "winner_cost",
         "winner_n_exch", "winner_plan", "cout_winner_cost",
         "cout_winner_plan", "winners_differ", "n_rows", "sum_qty",
+        "sum_supp", "trees_identical")
+  }
+
+  /** J33 [EXT] — THE UNIFIED PHYSICAL ENUMERATOR (q255): operators
+    * and partitionings priced in ONE DP — the round's J31 (broadcast
+    * vs shuffle per cell) and J32 (interesting partitionings) arcs
+    * joined, because the two interact: a broadcast join both SKIPS
+    * the shuffle and PRESERVES its stream side's partitioning for a
+    * later same-class join — a term neither prior DP could express
+    * ([[dpCcpUnified]]). The audit runs the DP on the ANALYZE-store
+    * Q5 cycle TWICE — the unified form (broadcast threshold 10 000
+    * rows, δ = 1 per moved row) and the broadcast-disabled form
+    * (bcastLimit −1, which reduces to J32's exchange DP, its winner
+    * spec-pinned equal) — and emits the ENTIRE unified state table:
+    * one row per (connected subset, output partitioning) with
+    * estimate, total cost, the cell's OPERATOR, its shuffle- and
+    * broadcast-Exchange counts, and plan (a physically unavailable
+    * state — broadcast-only with the ship side over the threshold —
+    * carries the declared sentinel cost, honestly emitted), plus both
+    * winners and `winners_differ` (on the natural fixture the same Q5
+    * tree wins but runs ALL-BROADCAST — cost 1 590 vs 9 255 at
+    * sf0.001, 4 broadcast Exchanges vs 7 shuffles — and the spec
+    * plants stats where broadcast-awareness changes the JOIN ORDER
+    * itself). Executed proof: the unified winner runs FULL size with
+    * every join hinted to its cell's operator (broadcast() on the
+    * shipped side, merge on shuffles — the annotations are real);
+    * winner + canonical left-deep run on the 1/8 key partition,
+    * identity emitted. Oracle GENERATED symbolically — both
+    * instantiations, three operator families per split, eligibility
+    * CASEs with the sentinel, stream-state enumeration, label-ordered
+    * min-state helpers.
+    *
+    * Scale: states per subset stay bounded by cross-class sets plus
+    * inherited child partitionings (≤ a dozen on this graph); the DP
+    * is metadata; the arms are the audit price. This is the row where
+    * the engine's cost model finally prices what a 1000-executor
+    * cluster actually pays: rows MOVED, under the operator that moves
+    * them. */
+  def cboUnifiedEnumerationAudit(spark: SparkSession,
+                                 dir: String): DataFrame = {
+    val stats = ensureTableStats(spark, dir)
+      .select(col("table_name"), col("column_name"), col("n_rows"),
+        col("ndv")).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3)))
+      .toMap
+    def rowsOf(t: String, c: String): Long = stats((t, c))._1
+    def ndvOf(t: String, c: String): Long = stats((t, c))._2
+    val tables = Seq(
+      ("lineitem", rowsOf("lineitem", "l_orderkey")),
+      ("orders", rowsOf("orders", "o_orderkey")),
+      ("customer", rowsOf("customer", "c_custkey")),
+      ("nation", rowsOf("nation", "n_nationkey")),
+      ("supplier", rowsOf("supplier", "s_suppkey")))
+    val edges = Seq(
+      (0, 1, math.max(ndvOf("lineitem", "l_orderkey"),
+        ndvOf("orders", "o_orderkey"))),
+      (1, 2, math.max(ndvOf("orders", "o_custkey"),
+        ndvOf("customer", "c_custkey"))),
+      (2, 3, math.max(ndvOf("customer", "c_nationkey"),
+        ndvOf("nation", "n_nationkey"))),
+      (3, 4, math.max(ndvOf("nation", "n_nationkey"),
+        ndvOf("supplier", "s_nationkey"))),
+      (4, 0, math.max(ndvOf("supplier", "s_suppkey"),
+        ndvOf("lineitem", "l_suppkey"))))
+    val dpU = dpCcpUnified(tables, edges, CycleKeyClasses)
+    val dpX = dpCcpUnified(tables, edges, CycleKeyClasses,
+      bcastLimit = -1L)
+    val fullMask = (1 << tables.length) - 1
+    def winnerOf(dp: Map[(Int, Seq[Int]), UniDpCell]): UniDpCell =
+      dp.collect { case ((m, _), c) if m == fullMask => c }
+        .minBy(c => (c.cost, c.part.mkString(",")))
+    val win = winnerOf(dpU)
+    val winX = winnerOf(dpX)
+    val differ = win.plan != winX.plan
+    val dfs = Seq(Tables.lineitem(spark, dir), Tables.orders(spark, dir),
+      Tables.customer(spark, dir), Tables.nation(spark, dir),
+      Tables.supplier(spark, dir))
+    val conds = Seq(
+      col("l_orderkey") === col("o_orderkey"),
+      col("o_custkey") === col("c_custkey"),
+      col("c_nationkey") === col("n_nationkey"),
+      col("n_nationkey") === col("s_nationkey"),
+      col("s_suppkey") === col("l_suppkey"))
+    def build(ds: Seq[DataFrame], mask: Int, part: Seq[Int]): DataFrame = {
+      val cell = dpU((mask, part))
+      if (cell.op == "leaf")
+        ds(java.lang.Integer.numberOfTrailingZeros(mask))
+      else {
+        var l = build(ds, cell.leftMask, cell.leftPart)
+        var r = build(ds, cell.rightMask, cell.rightPart)
+        cell.op match {
+          case "broadcast_right" => r = broadcast(r)
+          case "broadcast_left" => l = broadcast(l)
+          case _ => l = l.hint("merge"); r = r.hint("merge")
+        }
+        l.join(r, cell.crossEdges.map(conds).reduce(_ && _))
+      }
+    }
+    def agg(full: DataFrame): (Long, Long, Long) = {
+      val r = full.agg(count(lit(1)), sum(col("l_quantity").cast("long")),
+        sum(col("s_suppkey").cast("long"))).head()
+      (r.getLong(0),
+        if (r.isNullAt(1)) 0L else r.getLong(1),
+        if (r.isNullAt(2)) 0L else r.getLong(2))
+    }
+    val answer = agg(build(dfs, fullMask, win.part))
+    val li8 = dfs.head.filter(
+      pmod(col("l_orderkey").cast("long"), lit(8L)) === 1L)
+    val ord8 = dfs(1).filter(
+      pmod(col("o_orderkey").cast("long"), lit(8L)) === 1L)
+    val dfs8 = li8 +: ord8 +: dfs.drop(2)
+    val leftDeep8 = (1 until tables.length).foldLeft(dfs8.head) {
+      (acc, k) =>
+        val priorMask = (1 << k) - 1
+        val cs = edges.indices.filter { e =>
+          val (a, b, _) = edges(e)
+          (a == k && (priorMask & (1 << b)) != 0) ||
+            (b == k && (priorMask & (1 << a)) != 0)
+        }
+        acc.join(dfs8(k), cs.map(conds).reduce(_ && _))
+    }
+    val identical = agg(build(dfs8, fullMask, win.part)) == agg(leftDeep8)
+    import spark.implicits._
+    dpU.toSeq
+      .sortBy { case ((m, p), _) =>
+        (java.lang.Integer.bitCount(m), m, p.mkString(","))
+      }
+      .map { case ((m, p), cell) =>
+        val names = tables.indices.filter(i => (m & (1 << i)) != 0)
+          .map(tables(_)._1).mkString(",")
+        (names, partLabel(p, CycleClassNames),
+          java.lang.Integer.bitCount(m).toLong, cell.est, cell.cost,
+          cell.op, cell.nShuffleExch, cell.nBcastExch, cell.plan,
+          partLabel(win.part, CycleClassNames), win.cost, win.op,
+          win.nShuffleExch, win.nBcastExch, win.plan, winX.cost,
+          winX.plan, differ, answer._1, answer._2, answer._3, identical)
+      }
+      .toDF("subset", "part", "n_tables", "est_rows", "cost", "op",
+        "n_shuffle_exch", "n_bcast_exch", "plan", "winner_part",
+        "winner_cost", "winner_op", "winner_n_shuffle",
+        "winner_n_bcast", "winner_plan", "exch_winner_cost",
+        "exch_winner_plan", "winners_differ", "n_rows", "sum_qty",
         "sum_supp", "trees_identical")
   }
 

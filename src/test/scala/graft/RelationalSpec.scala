@@ -2128,6 +2128,83 @@ class RelationalSpec extends AnyFunSuite {
     assert(pCout.plan == "(l*((o*(c*n))*s))", pCout.plan)
   }
 
+  test("dpCcpUnified: broadcast preserves the stream partitioning; limit<0 reduces to the exchange DP; planted order flip") {
+    val tables = Seq(("l", 6000L), ("o", 1500L), ("c", 150L),
+      ("n", 25L), ("s", 10L))
+    val edges = Seq((0, 1, 1500L), (1, 2, 150L), (2, 3, 25L),
+      (3, 4, 25L), (4, 0, 10L))
+    val classes = Relational.CycleKeyClasses
+    val full = 31
+    def winner(dp: Map[(Int, Seq[Int]), Relational.UniDpCell]) =
+      dp.collect { case ((m, _), c) if m == full => c }
+        .minBy(c => (c.cost, c.part.mkString(",")))
+    // natural Q5 at the broadcast threshold: the same right-deep tree
+    // wins but runs ALL-BROADCAST — every dim ships, nothing shuffles
+    val u = winner(Relational.dpCcpUnified(tables, edges, classes))
+    assert(u.plan == "(l*(o*(c*(n*s))))", u.plan)
+    assert(u.cost == 1590L && u.nShuffleExch == 0L &&
+      u.nBcastExch == 4L && u.part.isEmpty, s"$u")
+    // broadcast disabled: the winner reduces to the J32 exchange DP's
+    val v = winner(Relational.dpCcpUnified(tables, edges, classes,
+      bcastLimit = -1L))
+    val x = Relational.dpCcpExchange(tables, edges, classes)
+      .collect { case ((m, _), c) if m == full => c }
+      .minBy(c => (c.cost, c.part.mkString(",")))
+    assert(v.cost == x.cost && v.plan == x.plan &&
+      v.nShuffleExch == x.nExchanges, s"$v vs $x")
+    // an over-threshold ship side prices at the declared sentinel —
+    // physically unavailable, never the winner
+    assert(u.cost < Relational.UniSentinelCost)
+    // planted flip: with a 20k-row supplier the exchange-only DP
+    // hangs supplier last on a shuffle; broadcast-awareness reorders
+    // the TREE (nation+supplier ship; the join order itself changes)
+    val pT = Seq(("l", 60000L), ("o", 30000L), ("c", 1500L),
+      ("n", 25L), ("s", 20000L))
+    val pE = Seq((0, 1, 30000L), (1, 2, 1500L), (2, 3, 25L),
+      (3, 4, 250L), (4, 0, 1000L))
+    val pU = winner(Relational.dpCcpUnified(pT, pE, classes))
+    val pX = winner(Relational.dpCcpUnified(pT, pE, classes,
+      bcastLimit = -1L))
+    assert(pU.plan != pX.plan, s"${pU.plan} vs ${pX.plan}")
+    assert(pU.plan == "((l*(o*c))*(n*s))" && pU.nBcastExch == 3L,
+      s"$pU")
+    assert(pX.plan == "((l*(o*(c*n)))*s)", pX.plan)
+  }
+
+  test("q255 unified enumeration: state table, all-broadcast Q5 winner, executed identity") {
+    val d = TestSpark.Sf0001
+    val rows = Relational.cboUnifiedEnumerationAudit(spark, d)
+      .as[(String, String, Long, Long, Long, String, Long, Long, String,
+        String, Long, String, Long, Long, String, Long, String, Boolean,
+        Long, Long, Long, Boolean)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_._22), "trees_identical on every row")
+    val r0 = rows.head
+    assert(r0._15 == "(lineitem*(orders*(customer*(nation*supplier))))",
+      s"winner ${r0._15}")
+    assert(r0._11 == 1590L && r0._13 == 0L && r0._14 == 4L,
+      s"winner cost/exchanges ${(r0._11, r0._13, r0._14)}")
+    assert(r0._10 == "none", s"winner part ${r0._10}")
+    // the broadcast-disabled winner is q254's (9255 / the SMJ tree)
+    assert(r0._16 == 9255L, s"exch winner cost ${r0._16}")
+    assert(!r0._18, "winners agree on the TREE at natural stats")
+    // leaves + composite states all present; sentinel rows (if any)
+    // carry the declared constant
+    assert(rows.count(_._6 == "leaf") == 5)
+    rows.filter(_._5 >= Relational.UniSentinelCost).foreach { r =>
+      assert(r._5 == Relational.UniSentinelCost, s"sentinel row $r")
+    }
+    val want = Tables.lineitem(spark, d)
+      .join(Tables.orders(spark, d), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, d), col("o_custkey") === col("c_custkey"))
+      .join(Tables.nation(spark, d), col("c_nationkey") === col("n_nationkey"))
+      .join(Tables.supplier(spark, d),
+        col("n_nationkey") === col("s_nationkey") &&
+          col("s_suppkey") === col("l_suppkey"))
+      .count()
+    assert(r0._19 == want, "answer row count")
+  }
+
   test("q254 exchange enumeration: state table, Q5 winner at 7 exchanges, executed identity") {
     val d = TestSpark.Sf0001
     val rows = Relational.cboExchangeEnumerationAudit(spark, d)

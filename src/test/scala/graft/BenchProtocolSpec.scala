@@ -29,4 +29,25 @@ class BenchProtocolSpec extends AnyFunSuite {
     assert(Bench.parseRefTimes("""{"metric":"total"}""").isEmpty)
     assert(Bench.parseRefTimes("").isEmpty)
   }
+  test("parseRefTimes: nested object inside queries does not truncate") {
+    // the r19 parser sliced at the FIRST '}', so a nested object lost
+    // every entry after it; the depth-counting scan keeps them
+    val txt = """{"queries":{"q01_a":0.39,"q02_o":{"inner":1.0},"q03_b":2.0}}"""
+    val m = Bench.parseRefTimes(txt)
+    assert(m.get("q01_a").contains(0.39) && m.get("q03_b").contains(2.0),
+      s"entries after the nested object survive: $m")
+  }
+  test("parseRefTimes: brace inside a string value does not derail the scan") {
+    val txt = """{"queries":{"q01_a":0.39},"errors":{"q9":"msg with } brace"},"queries_not":{}}"""
+    assert(Bench.parseRefTimes(txt) == Map("q01_a" -> 0.39))
+  }
+  test("newestRef: numeric round order, not lexicographic") {
+    val names = Seq("BENCH_LOCAL_r19.json", "BENCH_LOCAL_r100.json",
+      "BENCH_LOCAL_r99.json", "BENCH_LOCAL_r08.json")
+    assert(Bench.newestRef(names).contains("BENCH_LOCAL_r100.json"),
+      "r100 beats r99 and r19 numerically")
+    assert(Bench.newestRef(Seq("BENCH_LOCAL_r9.json", "BENCH_LOCAL_r19.json"))
+      .contains("BENCH_LOCAL_r19.json"), "unpadded r9 < r19")
+    assert(Bench.newestRef(Seq.empty).isEmpty)
+  }
 }

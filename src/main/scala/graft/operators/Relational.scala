@@ -3394,11 +3394,33 @@ object Relational {
     * model the q254 exchange-aware DP prices with): the spec pins
     * predicted == measured on all four arms, which is the evidence
     * that the DP's exchange term prices what Spark's
-    * EnsureRequirements actually does. Plan facts are engine-side by
-    * nature, so this row is declared ORACLE-EXEMPT (rows-only check;
-    * the q19/q22 precedent), pinned instead by the spec: the cyclic
-    * chosen arm saves ≥1 shuffle exchange vs left-deep, predictions
-    * match measurements, and both arms' aggregates agree.
+    * EnsureRequirements actually does.
+    *
+    * Since r20 each arm ALSO carries the SORT columns — Selinger's
+    * interesting ORDERS measured the same way the partitionings were
+    * (the r19 verdict's task 3): `n_sort_nodes` counts standalone
+    * Sort nodes in the arm's final plan, and `n_sort_predicted` is
+    * the model's claim that on an equi-join SMJ tree the sort
+    * dimension COINCIDES with the partitioning dimension — an SMJ's
+    * output is both hash-partitioned and sorted on its join keys, and
+    * EnsureRequirements' reuse condition (child output attributes ==
+    * required keys) is attribute-identical for the two properties, so
+    * predicted sorts ≡ predicted shuffles. MEASURED at sf0.001/0.01:
+    * sorts == shuffles on all four SMJ arms (the cyclic chosen arm's
+    * nationkey chain saves the SORT exactly where it saves the
+    * shuffle, 7 vs 8), and the broadcast arm runs ZERO sorts (BHJ has
+    * no ordering requirement). The finding this sizes: a separate
+    * sort-order state in the unified DP would duplicate J32's
+    * partitioning states cell-for-cell on this operator family —
+    * interesting orders come free with interesting partitionings
+    * until a sort-requiring non-SMJ operator (window, merge-sink)
+    * enters the enumerator.
+    *
+    * Plan facts are engine-side by nature, so this row is declared
+    * ORACLE-EXEMPT (rows-only check; the q19/q22 precedent), pinned
+    * instead by the spec: the cyclic chosen arm saves ≥1 shuffle
+    * exchange AND ≥1 sort vs left-deep, predictions match
+    * measurements on both columns, and both arms' aggregates agree.
     *
     * Scale: both arms cost 1/8 of one join, run once per advisor
     * change; the counts come from plan strings, not extra work. */
@@ -3424,7 +3446,7 @@ object Relational {
         .filter(pmod(col("l_orderkey").cast("long"), lit(8L)) === 1L)
       val ord8 = Tables.orders(spark, dir)
         .filter(pmod(col("o_orderkey").cast("long"), lit(8L)) === 1L)
-      def run(arm: DataFrame): (Long, Long, Long, Long) = {
+      def run(arm: DataFrame): (Long, Long, Long, Long, Long) = {
         val agg = arm.agg(count(lit(1)).as("n"),
           coalesce(sum(col("l_quantity").cast("long")), lit(0L)).as("s"))
         val r = agg.collect()(0)
@@ -3436,7 +3458,11 @@ object Relational {
         val nShuffle =
           "Exchange hashpartitioning".r.findAllIn(plan).length.toLong
         val nBcast = "BroadcastExchange".r.findAllIn(plan).length.toLong
-        (nShuffle, nBcast, r.getLong(0), r.getLong(1))
+        // standalone Sort nodes print as "+- Sort [keys...]" / "*(k)
+        // Sort [...]" — the leading space keeps SortMergeJoin and
+        // SortAggregate out of the count
+        val nSort = " Sort \\[".r.findAllIn(plan).length.toLong
+        (nShuffle, nBcast, nSort, r.getLong(0), r.getLong(1))
       }
       // --- star (the q245 graph) ---
       val starTables = Seq(
@@ -3553,8 +3579,17 @@ object Relational {
           predLeftDeep(cycEdges, cycClasses), cycLeftDeep))
       import spark.implicits._
       val smjRows = arms.map { case (graph, arm, cost, plan, pred, df) =>
-        val (nSh, nBc, nRows, sumQty) = run(df)
-        (graph, arm, cost, plan, pred, nSh, nBc, nRows, sumQty)
+        val (nSh, nBc, nSo, nRows, sumQty) = run(df)
+        // SORT prediction = the SAME recursion as the exchange
+        // prediction: an SMJ's output is both hash-partitioned AND
+        // sorted on its join keys, and the reuse condition (the child's
+        // output attributes equal the required keys) is attribute-
+        // identical for the two properties — so on an equi-join SMJ
+        // tree, interesting orders coincide with interesting
+        // partitionings, and J32's (subset × partitioning) states
+        // already carry the sort dimension for free. The probe EMITS
+        // both counts so that claim is measured, not assumed.
+        (graph, arm, cost, plan, pred, pred, nSh, nBc, nSo, nRows, sumQty)
       }
       // fifth arm: the same star chosen tree under the session's
       // DEFAULT broadcast thresholds — the measurement that sizes the
@@ -3570,11 +3605,12 @@ object Relational {
         try run(buildStar(starFull))
         finally scoped.foreach { case (k, v) => conf.set(k, v) }
       val bcastRow = ("star", "chosen_bcast", starDp(starFull).cost,
-        starDp(starFull).plan, -1L, bc._1, bc._2, bc._3, bc._4)
+        starDp(starFull).plan, -1L, -1L, bc._1, bc._2, bc._3, bc._4,
+        bc._5)
       (smjRows :+ bcastRow)
         .toDF("graph", "arm", "cout_cost", "plan", "n_shuffle_predicted",
-          "n_shuffle_exchanges", "n_broadcast_exchanges", "n_rows",
-          "sum_qty")
+          "n_sort_predicted", "n_shuffle_exchanges",
+          "n_broadcast_exchanges", "n_sort_nodes", "n_rows", "sum_qty")
     } finally saved.foreach {
       case (k, Some(v)) => conf.set(k, v)
       case (k, None) => conf.unset(k)

@@ -2046,13 +2046,17 @@ class RelationalSpec extends AnyFunSuite {
     assert(drifted.map(_._2).sorted.toSeq == Seq(0L, 1L, 2L, 3L))
   }
 
-  test("q253 exchange probe: cyclic chosen arm reuses the nationkey partitioning, saving a shuffle") {
+  test("q253 exchange probe: cyclic chosen arm reuses the nationkey partitioning, saving a shuffle AND a sort") {
+    case class Arm(graph: String, arm: String, cout: Long, plan: String,
+                   predSh: Long, predSo: Long, sh: Long, bc: Long,
+                   so: Long, nRows: Long, sumQty: Long)
     val rows = Relational.cboExchangeProbeAudit(spark, TestSpark.Sf0001)
-      .as[(String, String, Long, String, Long, Long, Long, Long, Long)]
-      .collect()
+      .as[(String, String, Long, String, Long, Long, Long, Long, Long,
+           Long, Long)]
+      .collect().map((Arm.apply _).tupled)
     assert(rows.length == 5, s"${rows.length} arms")
-    val byKey = rows.map(r => (r._1, r._2) -> r).toMap
-    val smj = rows.filter(_._2 != "chosen_bcast")
+    val byKey = rows.map(r => (r.graph, r.arm) -> r).toMap
+    val smj = rows.filter(_.arm != "chosen_bcast")
     val cc = byKey(("cycle", "chosen"))
     val cl = byKey(("cycle", "left_deep"))
     // the measurement this probe exists for: the chosen dim chain
@@ -2060,32 +2064,54 @@ class RelationalSpec extends AnyFunSuite {
     // second join reuses the first's partitioning — one fewer
     // Exchange than the key-switching left-deep order (7 vs 8), a
     // difference C_out (910 vs 18 240) cannot see or price
-    assert(cc._6 < cl._6,
-      s"chosen ${cc._6} vs left-deep ${cl._6} shuffle exchanges")
-    assert(cc._8 == cl._8 && cc._9 == cl._9, "cycle arms agree")
+    assert(cc.sh < cl.sh,
+      s"chosen ${cc.sh} vs left-deep ${cl.sh} shuffle exchanges")
+    // the r20 interesting-ORDERS measurement: the same chain reuses
+    // the SORT exactly where it reuses the partitioning — the chosen
+    // arm saves ≥1 Sort node vs left-deep
+    assert(cc.so < cl.so,
+      s"chosen ${cc.so} vs left-deep ${cl.so} sort nodes")
+    assert(cc.nRows == cl.nRows && cc.sumQty == cl.sumQty,
+      "cycle arms agree")
     val sc = byKey(("star", "chosen"))
     val sl = byKey(("star", "left_deep"))
-    assert(sc._8 == sl._8 && sc._9 == sl._9, "star arms agree")
+    assert(sc.nRows == sl.nRows && sc.sumQty == sl.sumQty,
+      "star arms agree")
     // the pure model's prediction matches the MEASURED count on every
     // SMJ arm — the evidence that q254's exchange term prices what
-    // Spark's EnsureRequirements actually does
+    // Spark's EnsureRequirements actually does; the SORT prediction
+    // (same recursion: the reuse condition is attribute-identical for
+    // ordering and partitioning) matches too, which is the measured
+    // proof that interesting orders coincide with interesting
+    // partitionings on an equi-join SMJ tree — J32's states carry the
+    // sort dimension for free
     smj.foreach { r =>
-      assert(r._5 == r._6,
-        s"${r._1}/${r._2}: predicted ${r._5} vs measured ${r._6}")
+      assert(r.predSh == r.sh,
+        s"${r.graph}/${r.arm}: predicted ${r.predSh} vs measured ${r.sh}")
+      assert(r.predSo == r.so,
+        s"${r.graph}/${r.arm}: sort predicted ${r.predSo} vs measured ${r.so}")
+      assert(r.so == r.sh,
+        s"${r.graph}/${r.arm}: sorts ${r.so} == shuffles ${r.sh}")
     }
     // broadcast scoped off on the SMJ arms: the counts measure
     // exchange STRUCTURE
-    assert(smj.forall(_._7 == 0L), "no broadcast exchanges on SMJ arms")
-    assert(smj.forall(_._6 > 0L), "every SMJ arm shuffles")
+    assert(smj.forall(_.bc == 0L), "no broadcast exchanges on SMJ arms")
+    assert(smj.forall(_.sh > 0L), "every SMJ arm shuffles")
     // the broadcast arm: same tree, default thresholds — operator
     // choice ELIMINATES shuffles the SMJ twin pays (the unified
     // operator+partitioning DP's payoff, declared unmodeled: pred −1)
+    // AND every sort (a broadcast hash join has no ordering
+    // requirement — the second thing the SMJ arms pay that the
+    // operator dimension erases)
     val bc = byKey(("star", "chosen_bcast"))
-    assert(bc._5 == -1L, "bcast arm is declared unmodeled")
-    assert(bc._7 > 0L, "broadcast exchanges appear")
-    assert(bc._6 < sc._6,
-      s"broadcast ${bc._6} shuffles vs SMJ twin ${sc._6}")
-    assert(bc._8 == sc._8 && bc._9 == sc._9, "bcast arm answers agree")
+    assert(bc.predSh == -1L && bc.predSo == -1L,
+      "bcast arm is declared unmodeled")
+    assert(bc.bc > 0L, "broadcast exchanges appear")
+    assert(bc.sh < sc.sh,
+      s"broadcast ${bc.sh} shuffles vs SMJ twin ${sc.sh}")
+    assert(bc.so == 0L, s"broadcast arm sorts: ${bc.so}")
+    assert(bc.nRows == sc.nRows && bc.sumQty == sc.sumQty,
+      "bcast arm answers agree")
   }
 
   test("dpCcpExchange: natural Q5 keeps the nationkey reuse; gamma=0 collapses to C_out; planted flip") {

@@ -1052,7 +1052,17 @@ object SparkEntry {
     // broadcast-disabled instantiation reduces to q254's DP, winner
     // executed full-size with operator-true hints
     "q255_cbo_unified_enumeration" -> ((s: SparkSession, d: String) =>
-      Relational.cboUnifiedEnumerationAudit(s, d))
+      Relational.cboUnifiedEnumerationAudit(s, d)),
+    // the PLANNED QUERY: one optimizer entry point, estimate ->
+    // enumerate -> execute - the histogram prices the range predicate,
+    // the freshness-gated LEO correction repairs the derived
+    // predicate's default guess, the corrected fact cardinality feeds
+    // the unified operator+partitioning DP (run raw AND corrected;
+    // the wide predicate's correction flips the operator family past
+    // the broadcast threshold), and the corrected winner executes
+    // full-size with operator-true hints
+    "q256_planned_query" -> ((s: SparkSession, d: String) =>
+      Relational.plannedStarQuery(s, d))
   )
 
   /** The session-shared `ensure*` leaves at the registry consumers'
@@ -1891,7 +1901,8 @@ object SparkEntry {
           }
         Seq(costCol, planCol)
       }
-      s"lv$pc AS (\n  SELECT *,\n${cols.mkString(",\n")}\n  FROM ${if (pc == 2) "ee" else s"lv${pc - 1}"})"
+      val mat = if (pc == levels.last._1) " MATERIALIZED" else ""
+      s"lv$pc AS$mat (\n  SELECT *,\n${cols.mkString(",\n")}\n  FROM ${if (pc == 2) "ee" else s"lv${pc - 1}"})"
     }
     val outRows = ((0 until n).map { i =>
       s"""  SELECT '${names(i)}' AS subset, CAST(1 AS BIGINT) AS n_tables,
@@ -2208,7 +2219,7 @@ object SparkEntry {
        |  FROM st),
        |${chain("_x", 100L)},
        |${chain("_z", 0L)},
-       |w AS (
+       |w AS MATERIALIZED (
        |  SELECT *,
        |${winnerCols("_x")},
        |${winnerCols("_z")}
@@ -2253,6 +2264,477 @@ object SparkEntry {
     * (threshold −1: broadcast disabled, the J32 reduction) — so both
     * winners and `winners_differ` re-derive with zero transcription
     * risk. */
+  /** q256's oracle, GENERATED by replaying the engine's WHOLE planned-
+    * query path symbolically: the q232 equi-depth histogram CTEs price
+    * the range predicates, the q244 correction CTEs re-derive the
+    * store's pooled ratio for the `l_orderkey_mod2_eq` class (one tick
+    * by store construction, so the freshness verdict is n_ticks=1 /
+    * drift 0 / fresh), the four fact-cardinality estimates (narrow/wide
+    * × raw/corrected) feed FOUR `dpCcpUnified` chain instantiations
+    * (suffixes _nr/_nf/_wr/_wf — the uniDpSql machinery with the
+    * lineitem leaf parameterized per suffix), and the final projection
+    * emits the corrected-arm state tables with both winners, the flip
+    * flag, the executed aggregate (both predicates applied in raw SQL),
+    * and the would-be feedback observation. */
+  private val plannedDpSql: String = {
+    val n = 5
+    val edges = Seq((0, 1), (1, 2), (2, 3), (3, 4), (4, 0))
+    val classes = Seq(0, 1, 2, 2, 3)
+    val classNames = Seq("orderkey", "custkey", "nationkey", "suppkey")
+    val names = Seq("lineitem", "orders", "customer", "nation", "supplier")
+    val restCols = Seq("nord", "ncust", "nnat", "nsupp")
+    val Sent = "1000000000000000"
+    def inM(i: Int, m: Int): Boolean = (m & (1 << i)) != 0
+    def induced(m: Int): Seq[Int] = edges.indices.filter { e =>
+      inM(edges(e)._1, m) && inM(edges(e)._2, m)
+    }
+    def connected(m: Int): Boolean = {
+      if (m == 0) return false
+      val seed = java.lang.Integer.numberOfTrailingZeros(m)
+      var comp = 1 << seed
+      var frontier = List(seed)
+      while (frontier.nonEmpty) {
+        val v = frontier.head; frontier = frontier.tail
+        edges.foreach { case (a, b) =>
+          val next = if (a == v) b else if (b == v) a else -1
+          if (next >= 0 && inM(next, m) && !inM(next, comp)) {
+            comp |= 1 << next
+            frontier = next :: frontier
+          }
+        }
+      }
+      comp == m
+    }
+    def single(m: Int): Boolean = java.lang.Integer.bitCount(m) == 1
+    def tz(m: Int): Int = java.lang.Integer.numberOfTrailingZeros(m)
+    def rowCol(i: Int, sfx: String): String =
+      if (i == 0) s"nfact$sfx" else restCols(i - 1)
+    def estExpr(m: Int, sfx: String): String = {
+      def prod(cols: Seq[String]): String =
+        (s"CAST(${cols.head} AS HUGEINT)" +: cols.tail).mkString(" * ")
+      val num = prod((0 until n).filter(inM(_, m)).map(rowCol(_, sfx)))
+      val den = induced(m).map(e => s"d$e")
+      s"CAST($num // (${prod(den)}) AS BIGINT)"
+    }
+    // masks WITHOUT the fact table share one estimate column; masks
+    // with it get one per suffix (the fact cardinality is the only
+    // per-instantiation stat)
+    def estRef(m: Int, sfx: String): String =
+      if (single(m)) rowCol(tz(m), sfx)
+      else if (inM(0, m)) s"e_$m$sfx"
+      else s"e_$m"
+    def pid(p: Seq[Int]): String =
+      if (p.isEmpty) "none" else p.mkString("_")
+    def pLabel(p: Seq[Int]): String =
+      if (p.isEmpty) "none" else p.map(classNames).mkString("+")
+    val compositeMasks = (3 to (1 << n) - 1)
+      .filter(m => java.lang.Integer.bitCount(m) >= 2 && connected(m))
+    case class Split(s1: Int, s2: Int, cross: Seq[Int], k: Seq[Int])
+    val splitsOf: Map[Int, Seq[Split]] = compositeMasks.map { m =>
+      val low = 1 << tz(m)
+      val subs = scala.collection.mutable.ArrayBuffer.empty[Int]
+      var sub = (m - 1) & m
+      while (sub != 0) { subs += sub; sub = (sub - 1) & m }
+      m -> subs.reverseIterator.flatMap { s1 =>
+        val s2 = m & ~s1
+        val ok = (s1 & low) != 0 &&
+          (single(s1) || connected(s1)) && (single(s2) || connected(s2))
+        if (ok) {
+          val cross = edges.indices.filter { e =>
+            val (a, b) = edges(e)
+            (inM(a, s1) && inM(b, s2)) || (inM(a, s2) && inM(b, s1))
+          }
+          if (cross.nonEmpty)
+            Some(Split(s1, s2, cross, cross.map(classes).distinct.sorted))
+          else None
+        } else None
+      }.toSeq
+    }.toMap
+    val statesOf = scala.collection.mutable.Map[Int, Seq[Seq[Int]]](
+      (0 until n).map(i => (1 << i) -> Seq(Seq.empty[Int])): _*)
+    compositeMasks.foreach { m =>
+      val ss = splitsOf(m).flatMap { sp =>
+        sp.k +: (statesOf(sp.s1) ++ statesOf(sp.s2))
+      }.distinct.sortBy(_.mkString(","))
+      statesOf(m) = ss
+    }
+    case class UCand(kind: Int, sp: Split, stream: Seq[Int])
+    def candsFor(m: Int, p: Seq[Int]): Seq[UCand] =
+      splitsOf(m).flatMap { sp =>
+        val sh = if (sp.k == p) Seq(UCand(0, sp, Nil)) else Nil
+        val br = statesOf(sp.s1).filter(_ == p).map(UCand(1, sp, _))
+        val bl = statesOf(sp.s2).filter(_ == p).map(UCand(2, sp, _))
+        sh ++ br ++ bl
+      }
+    def cRef(m: Int, p: Seq[Int], sfx: String): String =
+      if (single(m)) "0" else s"c_${m}_${pid(p)}$sfx"
+    def pRef(m: Int, p: Seq[Int], sfx: String): String =
+      if (single(m)) s"'${names(tz(m))}'" else s"p_${m}_${pid(p)}$sfx"
+    def xsRef(m: Int, p: Seq[Int], sfx: String): String =
+      if (single(m)) "0" else s"xs_${m}_${pid(p)}$sfx"
+    def xbRef(m: Int, p: Seq[Int], sfx: String): String =
+      if (single(m)) "0" else s"xb_${m}_${pid(p)}$sfx"
+    def cmRef(m: Int, sfx: String): String =
+      if (single(m)) "0" else s"cm_$m$sfx"
+    def pmRef(m: Int, sfx: String): String =
+      if (single(m)) s"'${names(tz(m))}'" else s"pm_$m$sfx"
+    def xsmRef(m: Int, sfx: String): String =
+      if (single(m)) "0" else s"xsm_$m$sfx"
+    def xbmRef(m: Int, sfx: String): String =
+      if (single(m)) "0" else s"xbm_$m$sfx"
+    def dE(e: String): String =
+      s"CAST(CAST($e AS HUGEINT) * 100 // 100 AS BIGINT)"
+    def shSide(s: Int, k: Seq[Int], sfx: String)
+        : (String, String, String, String) = {
+      val fresh = s"(${cmRef(s, sfx)} + ${dE(estRef(s, sfx))})"
+      if (statesOf(s).contains(k)) {
+        val (c, p) = (cRef(s, k, sfx), pRef(s, k, sfx))
+        (s"least($c, $fresh)",
+          s"CASE WHEN $c <= $fresh THEN $p ELSE ${pmRef(s, sfx)} END",
+          s"CASE WHEN $c <= $fresh THEN ${xsRef(s, k, sfx)}" +
+            s" ELSE ${xsmRef(s, sfx)} + 1 END",
+          s"CASE WHEN $c <= $fresh THEN ${xbRef(s, k, sfx)}" +
+            s" ELSE ${xbmRef(s, sfx)} END")
+      } else
+        (fresh, pmRef(s, sfx), s"${xsmRef(s, sfx)} + 1", xbmRef(s, sfx))
+    }
+    def candExprs(m: Int, cd: UCand, sfx: String, lim: String)
+        : (String, String, String, String, String) = cd.kind match {
+      case 0 =>
+        val (lc, lp, lsh, lbc) = shSide(cd.sp.s1, cd.sp.k, sfx)
+        val (rc, rp, rsh, rbc) = shSide(cd.sp.s2, cd.sp.k, sfx)
+        (s"($lc + $rc + ${estRef(m, sfx)})",
+          s"'(' || $lp || '*' || $rp || ')'",
+          s"($lsh + $rsh)", s"($lbc + $rbc)", "'shuffle'")
+      case 1 =>
+        val (s1, s2, p1) = (cd.sp.s1, cd.sp.s2, cd.stream)
+        (s"CASE WHEN ${estRef(s2, sfx)} <= $lim THEN " +
+          s"${cRef(s1, p1, sfx)} + ${cmRef(s2, sfx)} + " +
+          s"${estRef(m, sfx)} + ${dE(estRef(s2, sfx))} ELSE $Sent END",
+          s"'(' || ${pRef(s1, p1, sfx)} || '*' || ${pmRef(s2, sfx)} || ')'",
+          s"(${xsRef(s1, p1, sfx)} + ${xsmRef(s2, sfx)})",
+          s"(${xbRef(s1, p1, sfx)} + ${xbmRef(s2, sfx)} + 1)",
+          "'broadcast_right'")
+      case _ =>
+        val (s1, s2, p2) = (cd.sp.s1, cd.sp.s2, cd.stream)
+        (s"CASE WHEN ${estRef(s1, sfx)} <= $lim THEN " +
+          s"${cmRef(s1, sfx)} + ${cRef(s2, p2, sfx)} + " +
+          s"${estRef(m, sfx)} + ${dE(estRef(s1, sfx))} ELSE $Sent END",
+          s"'(' || ${pmRef(s1, sfx)} || '*' || ${pRef(s2, p2, sfx)} || ')'",
+          s"(${xsmRef(s1, sfx)} + ${xsRef(s2, p2, sfx)})",
+          s"(${xbmRef(s1, sfx)} + ${xbRef(s2, p2, sfx)} + 1)",
+          "'broadcast_left'")
+    }
+    // column hygiene: unlike uniDpSql's two chains, FOUR chains of
+    // accumulated SELECT * blow DuckDB's binder up (the unpruned form
+    // measured >10 min at sf0.01 vs q255's 32 s) — so each level's c-
+    // step EXCLUDEs that level's candidate columns (used only by its
+    // own b-step), and each finished chain is projected down to the
+    // columns later chains and the final SELECT actually read
+    def chain(sfx: String, lim: String, prev0: String): String = {
+      val levels = compositeMasks.groupBy(java.lang.Integer.bitCount)
+        .toSeq.sortBy(_._1)
+      levels.map { case (pc, masks) =>
+        val candIds = masks.flatMap { m =>
+          statesOf(m).flatMap { p =>
+            candsFor(m, p).indices.map(i => s"${m}_${pid(p)}_$i$sfx")
+          }
+        }
+        val aCols = masks.flatMap { m =>
+          statesOf(m).flatMap { p =>
+            candsFor(m, p).zipWithIndex.flatMap { case (cd, i) =>
+              val (kc, kp, ks, kb, _) = candExprs(m, cd, sfx, lim)
+              val t = s"${m}_${pid(p)}_$i$sfx"
+              Seq(s"    $kc AS kc_$t", s"    $kp AS kp_$t",
+                s"    $ks AS ks_$t", s"    $kb AS kb_$t")
+            }
+          }
+        }
+        val bCols = masks.flatMap { m =>
+          statesOf(m).flatMap { p =>
+            val cs = candsFor(m, p)
+            val ids = cs.indices.map(i => s"${m}_${pid(p)}_$i$sfx")
+            val kcs = ids.map(t => s"kc_$t")
+            def choose(pick: Int => String, name: String): String =
+              if (cs.length == 1) s"    ${pick(0)} AS $name"
+              else {
+                val whens = cs.indices.init.map { i =>
+                  val laterLe = (i + 1 until cs.length)
+                    .map(j => s"${kcs(i)} <= ${kcs(j)}").mkString(" AND ")
+                  s"      WHEN $laterLe THEN ${pick(i)}"
+                }
+                s"    CASE\n${whens.mkString("\n")}\n      ELSE " +
+                  s"${pick(cs.length - 1)} END AS $name"
+              }
+            Seq(
+              s"    CAST(least(${kcs.mkString(", ")}) AS BIGINT)" +
+                s" AS c_${m}_${pid(p)}$sfx",
+              choose(i => s"kp_${ids(i)}", s"p_${m}_${pid(p)}$sfx"),
+              choose(i => s"CAST(ks_${ids(i)} AS BIGINT)",
+                s"xs_${m}_${pid(p)}$sfx"),
+              choose(i => s"CAST(kb_${ids(i)} AS BIGINT)",
+                s"xb_${m}_${pid(p)}$sfx"),
+              choose(i => candExprs(m, cs(i), sfx, lim)._5,
+                s"op_${m}_${pid(p)}$sfx"))
+          }
+        }
+        val cCols = masks.flatMap { m =>
+          val sts = statesOf(m)
+          val cvs = sts.map(p => s"c_${m}_${pid(p)}$sfx")
+          def choose(pick: Seq[Int] => String, name: String): String =
+            if (sts.length == 1) s"    ${pick(sts.head)} AS $name"
+            else {
+              val whens = sts.indices.init.map { i =>
+                val laterLe = (i + 1 until sts.length)
+                  .map(j => s"${cvs(i)} <= ${cvs(j)}").mkString(" AND ")
+                s"      WHEN $laterLe THEN ${pick(sts(i))}"
+              }
+              s"    CASE\n${whens.mkString("\n")}\n      ELSE " +
+                s"${pick(sts.last)} END AS $name"
+            }
+          Seq(
+            s"    least(${cvs.mkString(", ")}) AS cm_$m$sfx",
+            choose(p => s"p_${m}_${pid(p)}$sfx", s"pm_$m$sfx"),
+            choose(p => s"xs_${m}_${pid(p)}$sfx", s"xsm_$m$sfx"),
+            choose(p => s"xb_${m}_${pid(p)}$sfx", s"xbm_$m$sfx"))
+        }
+        val drop = candIds.flatMap(t =>
+          Seq(s"kc_$t", s"kp_$t", s"ks_$t", s"kb_$t"))
+        val prev = if (pc == 2) prev0 else s"pv${pc - 1}c$sfx"
+        Seq(
+          s"pv${pc}a$sfx AS (\n  SELECT *,\n${aCols.mkString(",\n")}\n  FROM $prev)",
+          s"pv${pc}b$sfx AS (\n  SELECT *,\n${bCols.mkString(",\n")}\n  FROM pv${pc}a$sfx)",
+          s"pv${pc}c$sfx AS (\n  SELECT * EXCLUDE (${drop.mkString(", ")}),\n${cCols.mkString(",\n")}\n  FROM pv${pc}b$sfx)")
+          .mkString(",\n")
+      }.mkString(",\n")
+    }
+    // the state columns a chain contributes for a set of masks
+    def stateColsOf(sfx: String, masks: Seq[Int]): Seq[String] =
+      masks.flatMap { m =>
+        statesOf(m).flatMap { p =>
+          val t = s"${m}_${pid(p)}$sfx"
+          Seq(s"c_$t", s"p_$t", s"xs_$t", s"xb_$t", s"op_$t")
+        }
+      }
+    val fullM = (1 << n) - 1
+    def winnerCols(sfx: String): String = {
+      val sts = statesOf(fullM)
+      val cvs = sts.map(p => s"c_${fullM}_${pid(p)}$sfx")
+      def choose(pick: Seq[Int] => String, name: String): String = {
+        val whens = sts.indices.init.map { i =>
+          val laterLe = (i + 1 until sts.length)
+            .map(j => s"${cvs(i)} <= ${cvs(j)}").mkString(" AND ")
+          s"      WHEN $laterLe THEN ${pick(sts(i))}"
+        }
+        s"    CASE\n${whens.mkString("\n")}\n      ELSE " +
+          s"${pick(sts.last)} END AS $name"
+      }
+      Seq(
+        choose(p => s"'${pLabel(p)}'", s"pwpart$sfx"),
+        s"    least(${cvs.mkString(", ")}) AS pwcost$sfx",
+        choose(p => s"op_${fullM}_${pid(p)}$sfx", s"pwop$sfx"),
+        choose(p => s"xs_${fullM}_${pid(p)}$sfx", s"pwxs$sfx"),
+        choose(p => s"xb_${fullM}_${pid(p)}$sfx", s"pwxb$sfx"),
+        choose(p => s"p_${fullM}_${pid(p)}$sfx", s"pwplan$sfx"))
+        .mkString(",\n")
+    }
+    val suffixes = Seq("_nr", "_nf", "_wr", "_wf")
+    val ee = (compositeMasks.filterNot(inM(0, _))
+      .map(m => s"    ${estExpr(m, "")} AS e_$m") ++
+      compositeMasks.filter(inM(0, _)).flatMap(m =>
+        suffixes.map(sfx => s"    ${estExpr(m, sfx)} AS e_$m$sfx")))
+      .mkString(",\n")
+    // the base columns every later chain / the final SELECT reads
+    val eeKeep: Seq[String] = restCols ++
+      suffixes.map(sfx => s"nfact$sfx") ++
+      Seq("hist_nf", "hist_wf", "corr_e6") ++
+      compositeMasks.filterNot(inM(0, _)).map(m => s"e_$m") ++
+      compositeMasks.filter(inM(0, _)).flatMap(m =>
+        suffixes.map(sfx => s"e_$m$sfx"))
+    val lastLv = compositeMasks.map(java.lang.Integer.bitCount).max
+    // per-pred output: leaves + the CORRECTED arm's full state table,
+    // with both arms' winners and the trace columns on every row
+    def outRows(label: String, f: String, r: String): String = {
+      val traceCols =
+        s"""    CAST(hist$f AS BIGINT) AS hist_est_e6,
+           |    CAST(hist$f // 1000 AS BIGINT) AS est_default_e6,
+           |    corr_e6 AS correction_e6, corr_e6 AS corr_used_e6,
+           |    CAST(1 AS BIGINT) AS n_ticks,
+           |    CAST(0 AS BIGINT) AS drift_ppm, FALSE AS stale,
+           |    nfact$r AS est_fact_raw, nfact$f AS est_fact_fb""".stripMargin
+      val winCols =
+        s"""    pwpart$r AS raw_winner_part, pwcost$r AS raw_winner_cost,
+           |    pwop$r AS raw_winner_op,
+           |    CAST(pwxs$r AS BIGINT) AS raw_winner_n_shuffle,
+           |    CAST(pwxb$r AS BIGINT) AS raw_winner_n_bcast,
+           |    pwplan$r AS raw_winner_plan,
+           |    pwpart$f AS fb_winner_part, pwcost$f AS fb_winner_cost,
+           |    pwop$f AS fb_winner_op,
+           |    CAST(pwxs$f AS BIGINT) AS fb_winner_n_shuffle,
+           |    CAST(pwxb$f AS BIGINT) AS fb_winner_n_bcast,
+           |    pwplan$f AS fb_winner_plan,
+           |    (pwplan$r <> pwplan$f OR pwpart$r <> pwpart$f
+           |      OR pwop$r <> pwop$f OR pwxs$r <> pwxs$f
+           |      OR pwxb$r <> pwxb$f) AS winners_differ""".stripMargin
+      ((0 until n).map { i =>
+        val est = if (i == 0) s"nfact$f" else restCols(i - 1)
+        s"""  SELECT '$label' AS pred_label,
+           |$traceCols,
+           |    '${names(i)}' AS subset, 'none' AS part,
+           |    CAST(1 AS BIGINT) AS n_tables,
+           |    $est AS est_rows, CAST(0 AS BIGINT) AS cost,
+           |    'leaf' AS op, CAST(0 AS BIGINT) AS n_shuffle_exch,
+           |    CAST(0 AS BIGINT) AS n_bcast_exch, '${names(i)}' AS plan,
+           |$winCols
+           |  FROM pw""".stripMargin
+      } ++ compositeMasks.flatMap { m =>
+        val nm = (0 until n).filter(inM(_, m)).map(names).mkString(",")
+        statesOf(m).map { p =>
+          s"""  SELECT '$label',
+             |$traceCols,
+             |    '$nm', '${pLabel(p)}',
+             |    CAST(${java.lang.Integer.bitCount(m)} AS BIGINT),
+             |    ${estRef(m, f)}, c_${m}_${pid(p)}$f, op_${m}_${pid(p)}$f,
+             |    CAST(xs_${m}_${pid(p)}$f AS BIGINT),
+             |    CAST(xb_${m}_${pid(p)}$f AS BIGINT), p_${m}_${pid(p)}$f,
+             |$winCols
+             |  FROM pw""".stripMargin
+        }
+      }).mkString("\n  UNION ALL\n")
+    }
+    s"""WITH vals AS (
+       |  SELECT CAST(l_orderkey AS BIGINT) AS v, count(*) AS cnt
+       |  FROM lineitem GROUP BY 1),
+       |cum AS (
+       |  SELECT v, cnt, sum(cnt) OVER () AS n,
+       |         sum(cnt) OVER (ORDER BY v) AS cum
+       |  FROM vals),
+       |buckets AS (
+       |  SELECT ((cum - cnt) * 16) // n AS bucket,
+       |         min(v) AS b_lo, max(v) AS b_hi, sum(cnt) AS b_cnt
+       |  FROM cum GROUP BY 1),
+       |bounds AS (
+       |  SELECT CAST(min(l_orderkey) AS BIGINT) AS lo,
+       |         CAST(max(l_orderkey) AS BIGINT) AS hi
+       |  FROM lineitem),
+       |preds AS (
+       |  SELECT 'narrow' AS pred_label, lo AS p_lo,
+       |         lo + (hi - lo + 1) // 50 - 1 AS p_hi FROM bounds
+       |  UNION ALL
+       |  SELECT 'wide', lo, lo + (4 * (hi - lo + 1)) // 5 - 1 FROM bounds),
+       |hest AS (
+       |  SELECT pred_label, p_lo, p_hi,
+       |         sum(b_cnt * (((least(p_hi, b_hi) - greatest(p_lo, b_lo)
+       |           + 1) * 1000000) // (b_hi - b_lo + 1))) AS est_f6
+       |  FROM preds JOIN buckets ON b_hi >= p_lo AND b_lo <= p_hi
+       |  GROUP BY 1, 2, 3),
+       |st AS (
+       |  SELECT (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS nli,
+       |    (SELECT CAST(count(*) AS BIGINT) FROM orders) AS nord,
+       |    (SELECT CAST(count(*) AS BIGINT) FROM customer) AS ncust,
+       |    (SELECT CAST(count(*) AS BIGINT) FROM nation) AS nnat,
+       |    (SELECT CAST(count(*) AS BIGINT) FROM supplier) AS nsupp,
+       |    greatest(
+       |      (SELECT count(DISTINCT l_orderkey) FROM lineitem),
+       |      (SELECT count(DISTINCT o_orderkey) FROM orders)) AS d0,
+       |    greatest(
+       |      (SELECT count(DISTINCT o_custkey) FROM orders),
+       |      (SELECT count(DISTINCT c_custkey) FROM customer)) AS d1,
+       |    greatest(
+       |      (SELECT count(DISTINCT c_nationkey) FROM customer),
+       |      (SELECT count(DISTINCT n_nationkey) FROM nation)) AS d2,
+       |    greatest(
+       |      (SELECT count(DISTINCT n_nationkey) FROM nation),
+       |      (SELECT count(DISTINCT s_nationkey) FROM supplier)) AS d3,
+       |    greatest(
+       |      (SELECT count(DISTINCT s_suppkey) FROM supplier),
+       |      (SELECT count(DISTINCT l_suppkey) FROM lineitem)) AS d4,
+       |    (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+       |       WHERE l_orderkey % 2 = 0) AS actual_train),
+       |co AS (
+       |  SELECT *,
+       |    actual_train * 1000000 // greatest(nli // 1000, 1) AS corr_e6,
+       |    (SELECT CAST(est_f6 AS BIGINT) FROM hest
+       |       WHERE pred_label = 'narrow') AS hist_nf,
+       |    (SELECT CAST(est_f6 AS BIGINT) FROM hest
+       |       WHERE pred_label = 'wide') AS hist_wf
+       |  FROM st),
+       |fb AS (
+       |  SELECT *, hist_nf AS hist_nr, hist_wf AS hist_wr,
+       |    greatest(1, (hist_nf // 1000) // 1000000) AS nfact_nr,
+       |    greatest(1, CAST(CAST(hist_nf // 1000 AS HUGEINT) * corr_e6
+       |      // 1000000 // 1000000 AS BIGINT)) AS nfact_nf,
+       |    greatest(1, (hist_wf // 1000) // 1000000) AS nfact_wr,
+       |    greatest(1, CAST(CAST(hist_wf // 1000 AS HUGEINT) * corr_e6
+       |      // 1000000 // 1000000 AS BIGINT)) AS nfact_wf
+       |  FROM co),
+       |ee AS (
+       |  SELECT *,
+       |$ee
+       |  FROM fb),
+       |${chain("_nr", "10000", "ee")},
+       |pz_nr AS (
+       |  SELECT ${(eeKeep ++ stateColsOf("_nr", Seq(fullM)))
+                    .mkString(", ")}
+       |  FROM pv${lastLv}c_nr),
+       |${chain("_nf", "10000", "pz_nr")},
+       |pz_nf AS (
+       |  SELECT ${(eeKeep ++ stateColsOf("_nr", Seq(fullM)) ++
+                    stateColsOf("_nf", compositeMasks)).mkString(", ")}
+       |  FROM pv${lastLv}c_nf),
+       |${chain("_wr", "10000", "pz_nf")},
+       |pz_wr AS (
+       |  SELECT ${(eeKeep ++ stateColsOf("_nr", Seq(fullM)) ++
+                    stateColsOf("_nf", compositeMasks) ++
+                    stateColsOf("_wr", Seq(fullM))).mkString(", ")}
+       |  FROM pv${lastLv}c_wr),
+       |${chain("_wf", "10000", "pz_wr")},
+       |pw AS MATERIALIZED (
+       |  SELECT *,
+       |${suffixes.map(winnerCols).mkString(",\n")}
+       |  FROM pv${lastLv}c_wf),
+       |fins AS (
+       |  SELECT p.pred_label, CAST(count(*) AS BIGINT) AS n_rows,
+       |    CAST(coalesce(sum(CAST(l.l_quantity AS BIGINT)), 0) AS BIGINT)
+       |      AS sum_qty,
+       |    CAST(coalesce(sum(CAST(s.s_suppkey AS BIGINT)), 0) AS BIGINT)
+       |      AS sum_supp
+       |  FROM preds p
+       |  JOIN lineitem l
+       |    ON CAST(l.l_orderkey AS BIGINT) BETWEEN p.p_lo AND p.p_hi
+       |    AND l.l_orderkey % 2 = 1
+       |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |  JOIN customer c ON o.o_custkey = c.c_custkey
+       |  JOIN nation nn ON c.c_nationkey = nn.n_nationkey
+       |  JOIN supplier s ON nn.n_nationkey = s.s_nationkey
+       |    AND s.s_suppkey = l.l_suppkey
+       |  GROUP BY 1),
+       |afact AS (
+       |  SELECT p.pred_label, CAST(count(*) AS BIGINT) AS actual_fact
+       |  FROM preds p
+       |  JOIN lineitem l
+       |    ON CAST(l.l_orderkey AS BIGINT) BETWEEN p.p_lo AND p.p_hi
+       |    AND l.l_orderkey % 2 = 1
+       |  GROUP BY 1)
+       |SELECT t.pred_label, pr.p_lo, pr.p_hi, t.hist_est_e6,
+       |  t.est_default_e6, t.correction_e6, t.corr_used_e6, t.n_ticks,
+       |  t.drift_ppm, t.stale, t.est_fact_raw, t.est_fact_fb, t.subset,
+       |  t.part, t.n_tables, t.est_rows, t.cost, t.op, t.n_shuffle_exch,
+       |  t.n_bcast_exch, t.plan, t.raw_winner_part, t.raw_winner_cost,
+       |  t.raw_winner_op, t.raw_winner_n_shuffle, t.raw_winner_n_bcast,
+       |  t.raw_winner_plan, t.fb_winner_part, t.fb_winner_cost,
+       |  t.fb_winner_op, t.fb_winner_n_shuffle, t.fb_winner_n_bcast,
+       |  t.fb_winner_plan, t.winners_differ, a.actual_fact, f.n_rows,
+       |  f.sum_qty, f.sum_supp, TRUE AS trees_identical
+       |FROM (
+       |${outRows("narrow", "_nf", "_nr")}
+       |  UNION ALL
+       |${outRows("wide", "_wf", "_wr")}) t
+       |JOIN preds pr USING (pred_label)
+       |JOIN fins f USING (pred_label)
+       |JOIN afact a USING (pred_label)""".stripMargin
+  }
+
   private val uniDpSql: String = {
     val n = 5
     val edges = Seq((0, 1), (1, 2), (2, 3), (3, 4), (4, 0))
@@ -2541,7 +3023,7 @@ object SparkEntry {
        |  FROM st),
        |${chain("_u", "10000", "ee")},
        |${chain("_v", "-1", s"uv${lastLv}c_u")},
-       |uw AS (
+       |uw AS MATERIALIZED (
        |  SELECT *,
        |${winnerCols("_u")},
        |${winnerCols("_v")}
@@ -2738,9 +3220,9 @@ object SparkEntry {
        |$xo
        |  FROM pe),
        |${chain("_c", 0L)},
-       |lvc AS (SELECT * FROM lv5_c),
+       |lvc AS MATERIALIZED (SELECT * FROM lv5_c),
        |${chain("_p", 100L)},
-       |lvp AS (SELECT * FROM lv5_p),
+       |lvp AS MATERIALIZED (SELECT * FROM lv5_p),
        |fin AS (
        |  SELECT CAST(count(*) AS BIGINT) AS n_rows,
        |    CAST(coalesce(sum(CAST(l_quantity AS BIGINT)), 0) AS BIGINT)
@@ -6370,6 +6852,10 @@ object SparkEntry {
     // the engine's unified operator+partitioning DP replayed
     // symbolically, both threshold instantiations — see [[uniDpSql]]
     "q255_cbo_unified_enumeration" -> uniDpSql,
+    // the whole planned-query path replayed symbolically: histogram
+    // estimate × gated LEO correction → four DP instantiations →
+    // executed aggregate — see [[plannedDpSql]]
+    "q256_planned_query" -> plannedDpSql,
     // per-tick observations for both stores (the drifted store adds
     // the planted shift tick: pre-shift grid estimate, rotated-regime
     // actual = the original OFF-diagonal rectangle), the freshness

@@ -5307,6 +5307,242 @@ object Relational {
     * feedback loop (q243/q244) exists to repair. */
   private[graft] val DefaultExprSelectivityDenom = 1000L
 
+  /** J34 [EXT] — THE PLANNED QUERY (q256): one optimizer entry point,
+    * estimate → enumerate → execute — the path every real optimizer
+    * runs as a SINGLE verb, composing the statistics stack the prior
+    * rows built piecewise. q232's histogram priced a filter but fed a
+    * two-table heuristic; q244's LEO correction flipped an order but
+    * re-priced the old C_out DP; q255's unified enumerator priced
+    * operators and partitionings but consumed raw ANALYZE rows only;
+    * the capstone (q247) traced five decisions without the unified DP.
+    * This verb runs the whole chain on the filtered Q5 cycle — the
+    * fact side carries BOTH predicate kinds the estimator stack knows:
+    *
+    *  1. ESTIMATE — a range predicate on `l_orderkey` (per label:
+    *     narrow = first 2 % of the domain, wide = first 80 %) is
+    *     priced by the A52 equi-depth histogram (q232's estimator,
+    *     millionths fixed-point); the derived predicate
+    *     `l_orderkey % 2 = 1` no statistic can price falls back to
+    *     the declared 1/[[DefaultExprSelectivityDenom]] guess, and the
+    *     A65 store's pooled correction for its class
+    *     (`l_orderkey_mod2_eq`, trained on the c = 0 member — LEO's
+    *     generalization unit, q244's discipline) repairs it — GATED by
+    *     the A66 freshness verdict ([[feedbackFreshness]]): a stale or
+    *     absent class keeps the raw guess (correction_used = 10⁶), so
+    *     the fallback path flows through the SAME verb (spec-pinned on
+    *     a planted drifted store).
+    *  2. ENUMERATE — the corrected fact cardinality replaces
+    *     lineitem's row count in [[dpCcpUnified]]'s table stats and
+    *     the FULL operator+partitioning DP runs TWICE — raw guess vs
+    *     corrected — on the store's Q5 cycle (edge divisors stay the
+    *     store ndvs: the post-filter ndv min(ndv, est) never exceeds
+    *     the PK side's ndv on these FK edges, the q232 resolution
+    *     argument). `winners_differ` compares the full physical
+    *     verdict (plan, partitioning, operator, both Exchange counts)
+    *     — on the natural sf0.01 fixture the WIDE predicate's
+    *     correction pushes the fact estimate past the broadcast
+    *     threshold (48 → ~24 000 rows) and the operator family flips,
+    *     the OOM near-miss a raw-guess optimizer would have shipped.
+    *  3. EXECUTE — the corrected winner runs FULL SIZE on the actually
+    *     filtered fact (both predicates applied), every join hinted to
+    *     its cell's operator (the q255 discipline); the executed fact
+    *     cardinality is emitted as `actual_fact` — the observation the
+    *     q250 lifecycle would append as this query's own feedback (not
+    *     committed here: the shared store's content is consumed by
+    *     q244/q247/q248's oracles, and an audit that mutated it would
+    *     make sibling results order-dependent — the lifecycle verb
+    *     owns commits). Winner + canonical left-deep also run on the
+    *     deterministic 1/8 key partition (keys ≡ 1 mod 8, inside the
+    *     mod-2 predicate — the q235/q244 discipline), identity
+    *     EMITTED.
+    *
+    * The output is the whole decision trace: per (predicate, state)
+    * row the histogram estimate, the default guess, the pooled and
+    * gated corrections with the freshness verdict, both fact
+    * estimates, the ENTIRE corrected-arm state table (the q255 form),
+    * both arms' winners, the flip flag, and the executed proof. The
+    * oracle is GENERATED by replaying all four DP instantiations
+    * (2 predicates × raw/corrected) symbolically with the estimator
+    * and correction CTEs feeding the fact cardinality — zero
+    * transcription risk, the q249/q251/q254/q255 discipline.
+    *
+    * Scale: estimation is |buckets| + |class| metadata; the DPs are
+    * metadata; the execution is the query the user was running anyway
+    * plus 1/8 of one join for the identity arm. At 100 TB this is the
+    * planner invocation every query pays — which is exactly why
+    * everything above the executed winner must stay off the data
+    * path. */
+  def plannedStarQuery(spark: SparkSession, dir: String,
+                       fbRootOverride: Option[String] = None,
+                       nBuckets: Int = 16): DataFrame = {
+    val stats = ensureTableStats(spark, dir)
+      .select(col("table_name"), col("column_name"), col("n_rows"),
+        col("ndv")).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3)))
+      .toMap
+    def rowsOf(t: String, c: String): Long = stats((t, c))._1
+    def ndvOf(t: String, c: String): Long = stats((t, c))._2
+    val li = Tables.lineitem(spark, dir)
+    val liKey = li.select(col("l_orderkey").cast("long").as("v"))
+    val hist = equiDepthBuckets(liKey, nBuckets, "psq")
+    val bounds = liKey.agg(min(col("v")), max(col("v"))).head()
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    val d = hi - lo + 1L
+    val predDefs = Seq(
+      ("narrow", lo, lo + d / 50L - 1L),
+      ("wide", lo, lo + 4L * d / 5L - 1L))
+    val root = fbRootOverride.getOrElse(ensureFeedbackStats(spark, dir))
+    val fr = feedbackFreshness(spark, root, "l_orderkey_mod2_eq")
+    // gate: stale OR absent class keeps the raw default guess — an
+    // absent class's pooled ratio folds to 0/1 = 0, and a ×0
+    // "correction" is not a refusal, it's a new wrong estimate
+    val corrUsed =
+      if (fr.stale || fr.nTicks == 0L) 1000000L else fr.pooledE6
+    val edges = Seq(
+      (0, 1, math.max(ndvOf("lineitem", "l_orderkey"),
+        ndvOf("orders", "o_orderkey"))),
+      (1, 2, math.max(ndvOf("orders", "o_custkey"),
+        ndvOf("customer", "c_custkey"))),
+      (2, 3, math.max(ndvOf("customer", "c_nationkey"),
+        ndvOf("nation", "n_nationkey"))),
+      (3, 4, math.max(ndvOf("nation", "n_nationkey"),
+        ndvOf("supplier", "s_nationkey"))),
+      (4, 0, math.max(ndvOf("supplier", "s_suppkey"),
+        ndvOf("lineitem", "l_suppkey"))))
+    val restRows = Seq(
+      ("orders", rowsOf("orders", "o_orderkey")),
+      ("customer", rowsOf("customer", "c_custkey")),
+      ("nation", rowsOf("nation", "n_nationkey")),
+      ("supplier", rowsOf("supplier", "s_suppkey")))
+    val dfsRest = Seq(Tables.orders(spark, dir),
+      Tables.customer(spark, dir), Tables.nation(spark, dir),
+      Tables.supplier(spark, dir))
+    val conds = Seq(
+      col("l_orderkey") === col("o_orderkey"),
+      col("o_custkey") === col("c_custkey"),
+      col("c_nationkey") === col("n_nationkey"),
+      col("n_nationkey") === col("s_nationkey"),
+      col("s_suppkey") === col("l_suppkey"))
+    val fullMask = 31
+    import spark.implicits._
+    val out = predDefs.flatMap { case (label, pLo, pHi) =>
+      val pred = spark.range(1).select(lit(0L).as("pred_id"),
+        lit(pLo).as("p_lo"), lit(pHi).as("p_hi"))
+      val estE6 = estimateRanges(pred, hist, "est_e6")
+        .head().getAs[Long]("est_e6")
+      val estDefE6 = estE6 / DefaultExprSelectivityDenom
+      val estRaw = math.max(1L, estDefE6 / 1000000L)
+      val estFb =
+        math.max(1L, feedbackCorrected(estDefE6, corrUsed) / 1000000L)
+      def tablesWith(f: Long) = ("lineitem", f) +: restRows
+      val dpR = dpCcpUnified(tablesWith(estRaw), edges, CycleKeyClasses)
+      val dpF = dpCcpUnified(tablesWith(estFb), edges, CycleKeyClasses)
+      def winnerOf(dp: Map[(Int, Seq[Int]), UniDpCell]): UniDpCell =
+        dp.collect { case ((m, _), c) if m == fullMask => c }
+          .minBy(c => (c.cost, c.part.mkString(",")))
+      val wR = winnerOf(dpR)
+      val wF = winnerOf(dpF)
+      val differ =
+        (wR.plan, wR.part, wR.op, wR.nShuffleExch, wR.nBcastExch) !=
+          (wF.plan, wF.part, wF.op, wF.nShuffleExch, wF.nBcastExch)
+      val liF = li.filter(col("l_orderkey").cast("long")
+        .between(pLo, pHi) &&
+        pmod(col("l_orderkey").cast("long"), lit(2L)) === 1L)
+      def build(ds: Seq[DataFrame], mask: Int,
+                part: Seq[Int]): DataFrame = {
+        val cell = dpF((mask, part))
+        if (cell.op == "leaf")
+          ds(java.lang.Integer.numberOfTrailingZeros(mask))
+        else {
+          var l = build(ds, cell.leftMask, cell.leftPart)
+          var r = build(ds, cell.rightMask, cell.rightPart)
+          cell.op match {
+            case "broadcast_right" => r = broadcast(r)
+            case "broadcast_left" => l = broadcast(l)
+            case _ => l = l.hint("merge"); r = r.hint("merge")
+          }
+          l.join(r, cell.crossEdges.map(conds).reduce(_ && _))
+        }
+      }
+      def agg(full: DataFrame): (Long, Long, Long) = {
+        val r = full.agg(count(lit(1)),
+          sum(col("l_quantity").cast("long")),
+          sum(col("s_suppkey").cast("long"))).head()
+        (r.getLong(0),
+          if (r.isNullAt(1)) 0L else r.getLong(1),
+          if (r.isNullAt(2)) 0L else r.getLong(2))
+      }
+      val dfsX = liF +: dfsRest
+      val answer = agg(build(dfsX, fullMask, wF.part))
+      val actualFact = liF.count()
+      val li8 = liF.filter(
+        pmod(col("l_orderkey").cast("long"), lit(8L)) === 1L)
+      val ord8 = dfsRest.head.filter(
+        pmod(col("o_orderkey").cast("long"), lit(8L)) === 1L)
+      val dfs8 = li8 +: ord8 +: dfsRest.drop(1)
+      val leftDeep8 = (1 until 5).foldLeft(dfs8.head) { (acc, k) =>
+        val priorMask = (1 << k) - 1
+        val cs = edges.indices.filter { e =>
+          val (a, b, _) = edges(e)
+          (a == k && (priorMask & (1 << b)) != 0) ||
+            (b == k && (priorMask & (1 << a)) != 0)
+        }
+        acc.join(dfs8(k), cs.map(conds).reduce(_ && _))
+      }
+      val identical = agg(build(dfs8, fullMask, wF.part)) == agg(leftDeep8)
+      val names = tablesWith(0L).map(_._1)
+      dpF.toSeq
+        .sortBy { case ((m, p), _) =>
+          (java.lang.Integer.bitCount(m), m, p.mkString(","))
+        }
+        .map { case ((m, p), cell) =>
+          val subset = names.indices.filter(i => (m & (1 << i)) != 0)
+            .map(names).mkString(",")
+          org.apache.spark.sql.Row(
+            label, pLo, pHi, estE6, estDefE6, fr.pooledE6, corrUsed,
+            fr.nTicks, fr.driftPpm, fr.stale, estRaw, estFb,
+            subset, partLabel(p, CycleClassNames),
+            java.lang.Integer.bitCount(m).toLong, cell.est, cell.cost,
+            cell.op, cell.nShuffleExch, cell.nBcastExch, cell.plan,
+            partLabel(wR.part, CycleClassNames), wR.cost, wR.op,
+            wR.nShuffleExch, wR.nBcastExch, wR.plan,
+            partLabel(wF.part, CycleClassNames), wF.cost, wF.op,
+            wF.nShuffleExch, wF.nBcastExch, wF.plan,
+            differ, actualFact, answer._1, answer._2, answer._3,
+            identical)
+        }
+    }
+    import org.apache.spark.sql.types._
+    def f(n: String, t: DataType) = StructField(n, t)
+    val schema = StructType(Seq(
+      f("pred_label", StringType), f("p_lo", LongType),
+      f("p_hi", LongType), f("hist_est_e6", LongType),
+      f("est_default_e6", LongType), f("correction_e6", LongType),
+      f("corr_used_e6", LongType), f("n_ticks", LongType),
+      f("drift_ppm", LongType), f("stale", BooleanType),
+      f("est_fact_raw", LongType), f("est_fact_fb", LongType),
+      f("subset", StringType), f("part", StringType),
+      f("n_tables", LongType), f("est_rows", LongType),
+      f("cost", LongType), f("op", StringType),
+      f("n_shuffle_exch", LongType), f("n_bcast_exch", LongType),
+      f("plan", StringType), f("raw_winner_part", StringType),
+      f("raw_winner_cost", LongType), f("raw_winner_op", StringType),
+      f("raw_winner_n_shuffle", LongType),
+      f("raw_winner_n_bcast", LongType),
+      f("raw_winner_plan", StringType),
+      f("fb_winner_part", StringType), f("fb_winner_cost", LongType),
+      f("fb_winner_op", StringType), f("fb_winner_n_shuffle", LongType),
+      f("fb_winner_n_bcast", LongType), f("fb_winner_plan", StringType),
+      f("winners_differ", BooleanType), f("actual_fact", LongType),
+      f("n_rows", LongType), f("sum_qty", LongType),
+      f("sum_supp", LongType), f("trees_identical", BooleanType)))
+    spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(out).asJava),
+      schema)
+  }
+
   /** Apply a persisted LEO correction (millionths) to an estimate —
     * BigInt product so warehouse-scale estimates truncate like the
     * oracle's 128-bit math instead of wrapping. */

@@ -2231,6 +2231,125 @@ class RelationalSpec extends AnyFunSuite {
     assert(r0._19 == want, "answer row count")
   }
 
+  test("q256 planned query: estimate->enumerate->execute trace, correction beats the raw guess") {
+    val d = TestSpark.Sf0001
+    val rows = Relational.plannedStarQuery(spark, d).collect()
+    assert(rows.nonEmpty)
+    def g[T](r: org.apache.spark.sql.Row, c: String): T =
+      r.getAs[T](c)
+    // every row: fresh store (one tick for the class), gate passes,
+    // correction applied, identity proven
+    rows.foreach { r =>
+      assert(!g[Boolean](r, "stale") && g[Long](r, "n_ticks") == 1L &&
+        g[Long](r, "drift_ppm") == 0L, s"freshness: $r")
+      assert(g[Long](r, "corr_used_e6") == g[Long](r, "correction_e6"),
+        "gate passes -> pooled correction used")
+      assert(g[Boolean](r, "trees_identical"), "executed identity")
+    }
+    val preds = rows.map(g[String](_, "pred_label")).distinct.sorted
+    assert(preds.toSeq == Seq("narrow", "wide"), preds.mkString(","))
+    preds.foreach { p =>
+      val r = rows.find(g[String](_, "pred_label") == p).get
+      val (raw, fb, actual) = (g[Long](r, "est_fact_raw"),
+        g[Long](r, "est_fact_fb"), g[Long](r, "actual_fact"))
+      // the ~50%-selective mod-2 predicate: the raw 1/1000 guess is
+      // badly low; the correction repairs it — strictly closer to the
+      // executed cardinality (the LEO claim, measured end to end)
+      assert(fb > raw, s"$p: correction raises the estimate ($raw -> $fb)")
+      assert(math.abs(fb - actual) < math.abs(raw - actual),
+        s"$p: corrected $fb vs raw $raw vs actual $actual")
+      // the estimate chain re-derives: default guess = hist/1000 (e6
+      // fixed point), corrected = default × pooled/1e6
+      val defE6 = g[Long](r, "hist_est_e6") /
+        Relational.DefaultExprSelectivityDenom
+      assert(g[Long](r, "est_default_e6") == defE6)
+      assert(raw == math.max(1L, defE6 / 1000000L))
+      assert(fb == math.max(1L,
+        Relational.feedbackCorrected(defE6,
+          g[Long](r, "corr_used_e6")) / 1000000L))
+      // the executed answer is the real filtered 5-way join
+      val nr = g[Long](r, "n_rows")
+      assert(nr > 0L, s"$p: executed rows $nr")
+      // the fb state table carries 5 leaves; the lineitem leaf's
+      // estimate IS the corrected fact cardinality the DP consumed
+      val leaves = rows.filter(x => g[String](x, "pred_label") == p &&
+        g[String](x, "op") == "leaf")
+      assert(leaves.length == 5)
+      val liLeaf = leaves.find(g[String](_, "subset") == "lineitem").get
+      assert(g[Long](liLeaf, "est_rows") == fb, "DP consumed the corrected est")
+    }
+  }
+
+  test("q256 planted flip: the correction alone changes the unified winner (operator family)") {
+    // sf0.01-shaped stats: the raw 1/1000 guess prices the filtered
+    // fact at 48 rows (broadcast-eligible everywhere); the corrected
+    // estimate (~24k) crosses the 10k broadcast threshold and the
+    // winner changes operator family and order — the q237 OOM hazard,
+    // priced before execution
+    val edges = Seq((0, 1, 15000L), (1, 2, 1500L), (2, 3, 25L),
+      (3, 4, 25L), (4, 0, 100L))
+    val classes = Relational.CycleKeyClasses
+    val full = 31
+    def winner(dp: Map[(Int, Seq[Int]), Relational.UniDpCell]) =
+      dp.collect { case ((m, _), c) if m == full => c }
+        .minBy(c => (c.cost, c.part.mkString(",")))
+    def t(li: Long) = Seq(("l", li), ("o", 15000L), ("c", 1500L),
+      ("n", 25L), ("s", 100L))
+    val wr = winner(Relational.dpCcpUnified(t(48L), edges, classes))
+    val wf = winner(Relational.dpCcpUnified(t(24163L), edges, classes))
+    assert((wr.plan, wr.part, wr.op, wr.nShuffleExch, wr.nBcastExch) !=
+      (wf.plan, wf.part, wf.op, wf.nShuffleExch, wf.nBcastExch),
+      s"$wr vs $wf")
+    // raw: the 48-row "fact" ships itself down an all-broadcast
+    // left-deep chain (4 broadcasts, 0 shuffles)
+    assert(wr.plan == "((((l*o)*c)*n)*s)" && wr.op == "broadcast_left"
+      && wr.nShuffleExch == 0L && wr.nBcastExch == 4L, s"raw $wr")
+    // corrected: the 24k-row fact can no longer ship — it shuffles
+    // with orders on orderkey (keeping that partitioning) while the
+    // dim chain broadcasts INTO it; order AND operator both changed
+    assert(wf.plan == "((l*o)*(c*(n*s)))" && wf.op == "broadcast_right"
+      && wf.nShuffleExch == 2L && wf.nBcastExch == 3L &&
+      wf.part == Seq(0), s"fb $wf")
+    assert(wr.cost < Relational.UniSentinelCost &&
+      wf.cost < Relational.UniSentinelCost)
+  }
+
+  test("q256 stale fallback: a drifted class keeps the raw guess through the same verb") {
+    val d = TestSpark.Sf0001
+    // a private store whose l_orderkey_mod2_eq class drifts 90%
+    // between ticks (ratio 500e6 -> 50e6): the A66 gate must refuse
+    import spark.implicits._
+    val root = graft.sources.Sources.scratchDirUnique(spark, "q256stale")
+    Relational.fbObsCommit(
+      Seq(("l_orderkey_mod2_eq", 60L, 30000L))
+        .toDF("pred_class", "est", "actual"), 0L, root)
+    Relational.fbObsCommit(
+      Seq(("l_orderkey_mod2_eq", 60L, 3000L))
+        .toDF("pred_class", "est", "actual"), 1L, root)
+    val rows = Relational.plannedStarQuery(spark, d, Some(root)).collect()
+    def g[T](r: org.apache.spark.sql.Row, c: String): T = r.getAs[T](c)
+    rows.foreach { r =>
+      assert(g[Boolean](r, "stale"), "class declared stale")
+      assert(g[Long](r, "corr_used_e6") == 1000000L,
+        "correction refused -> identity")
+      assert(g[Long](r, "est_fact_fb") == g[Long](r, "est_fact_raw"),
+        "fallback prices from the raw guess")
+      assert(!g[Boolean](r, "winners_differ"),
+        "identical stats -> identical winners")
+    }
+    // an ABSENT class is also a refusal (0 ticks would fold to a x0
+    // correction — a new wrong estimate, not a fallback)
+    val empty = graft.sources.Sources.scratchDirUnique(spark, "q256none")
+    Relational.fbObsCommit(
+      Seq(("some_other_class", 10L, 10L))
+        .toDF("pred_class", "est", "actual"), 0L, empty)
+    val r2 = Relational.plannedStarQuery(spark, d, Some(empty)).collect()
+    r2.foreach { r =>
+      assert(g[Long](r, "n_ticks") == 0L &&
+        g[Long](r, "corr_used_e6") == 1000000L, s"absent class: $r")
+    }
+  }
+
   test("q254 exchange enumeration: state table, Q5 winner at 7 exchanges, executed identity") {
     val d = TestSpark.Sf0001
     val rows = Relational.cboExchangeEnumerationAudit(spark, d)

@@ -1062,7 +1062,16 @@ object SparkEntry {
     // the broadcast threshold), and the corrected winner executes
     // full-size with operator-true hints
     "q256_planned_query" -> ((s: SparkSession, d: String) =>
-      Relational.plannedStarQuery(s, d))
+      Relational.plannedStarQuery(s, d)),
+    // the BYTE-form broadcast gate: the DP's eligibility priced as
+    // est_rows x the ANALYZE store's avg_width (a subset's width is
+    // the sum of its members' - one wide dim poisons every superset);
+    // four instantiations - row gate, the uniform-width reduction
+    // (cell-for-cell equal), the store's real widths, and a planted
+    // 2500-byte customer that flips broadcast->shuffle at constant
+    // rows (the q237 OOM hazard, priced at plan time)
+    "q257_cbo_byte_broadcast" -> ((s: SparkSession, d: String) =>
+      Relational.cboByteBroadcastAudit(s, d))
   )
 
   /** The session-shared `ensure*` leaves at the registry consumers'
@@ -2264,6 +2273,426 @@ object SparkEntry {
     * (threshold −1: broadcast disabled, the J32 reduction) — so both
     * winners and `winners_differ` re-derive with zero transcription
     * risk. */
+  /** q257's oracle, GENERATED by replaying the engine's byte-gated
+    * `dpCcpUnified` symbolically FOUR times over one shared
+    * cardinality base (the arms differ only in broadcast eligibility):
+    * `_r` row gate at 10 000; `_u` uniform 1-byte widths at 10 000
+    * bytes (the reduction case); `_s` the store's real widths (each
+    * table's width re-derived from raw data through the exact q189
+    * avg-width expression, per-column rounding before the integer
+    * sum) at 10 000 fact-rows' worth of bytes; `_w` the same with
+    * customer planted at the declared 2 500-byte constant. A subset's
+    * gate width is the MAX of its members (dominant-column model);
+    * the Σ is emitted next to it. Winners, the reduction-equality and
+    * per-arm flip flags, and the executed aggregate all re-derive. */
+  private val byteDpSql: String = {
+    val n = 5
+    val edges = Seq((0, 1), (1, 2), (2, 3), (3, 4), (4, 0))
+    val classes = Seq(0, 1, 2, 2, 3)
+    val classNames = Seq("orderkey", "custkey", "nationkey", "suppkey")
+    val rowCols = Seq("nli", "nord", "ncust", "nnat", "nsupp")
+    val names = Seq("lineitem", "orders", "customer", "nation", "supplier")
+    val statCols: Seq[(String, Seq[String])] = Seq(
+      "lineitem" -> Seq("l_orderkey", "l_partkey", "l_suppkey"),
+      "orders" -> Seq("o_custkey", "o_orderstatus", "o_orderkey"),
+      "customer" -> Seq("c_mktsegment", "c_custkey", "c_nationkey"),
+      "nation" -> Seq("n_nationkey"),
+      "supplier" -> Seq("s_suppkey", "s_nationkey"))
+    val Sent = "1000000000000000"
+    val Planted = "2500000000"
+    def inM(i: Int, m: Int): Boolean = (m & (1 << i)) != 0
+    def induced(m: Int): Seq[Int] = edges.indices.filter { e =>
+      inM(edges(e)._1, m) && inM(edges(e)._2, m)
+    }
+    def connected(m: Int): Boolean = {
+      if (m == 0) return false
+      val seed = java.lang.Integer.numberOfTrailingZeros(m)
+      var comp = 1 << seed
+      var frontier = List(seed)
+      while (frontier.nonEmpty) {
+        val v = frontier.head; frontier = frontier.tail
+        edges.foreach { case (a, b) =>
+          val next = if (a == v) b else if (b == v) a else -1
+          if (next >= 0 && inM(next, m) && !inM(next, comp)) {
+            comp |= 1 << next
+            frontier = next :: frontier
+          }
+        }
+      }
+      comp == m
+    }
+    def single(m: Int): Boolean = java.lang.Integer.bitCount(m) == 1
+    def tz(m: Int): Int = java.lang.Integer.numberOfTrailingZeros(m)
+    def estExpr(m: Int): String = {
+      def prod(cols: Seq[String]): String =
+        (s"CAST(${cols.head} AS HUGEINT)" +: cols.tail).mkString(" * ")
+      val num = prod((0 until n).filter(inM(_, m)).map(rowCols))
+      val den = induced(m).map(e => s"d$e")
+      s"CAST($num // (${prod(den)}) AS BIGINT)"
+    }
+    def estRef(m: Int): String = if (single(m)) rowCols(tz(m)) else s"e_$m"
+    def pid(p: Seq[Int]): String =
+      if (p.isEmpty) "none" else p.mkString("_")
+    def pLabel(p: Seq[Int]): String =
+      if (p.isEmpty) "none" else p.map(classNames).mkString("+")
+    val compositeMasks = (3 to (1 << n) - 1)
+      .filter(m => java.lang.Integer.bitCount(m) >= 2 && connected(m))
+    case class Split(s1: Int, s2: Int, cross: Seq[Int], k: Seq[Int])
+    val splitsOf: Map[Int, Seq[Split]] = compositeMasks.map { m =>
+      val low = 1 << tz(m)
+      val subs = scala.collection.mutable.ArrayBuffer.empty[Int]
+      var sub = (m - 1) & m
+      while (sub != 0) { subs += sub; sub = (sub - 1) & m }
+      m -> subs.reverseIterator.flatMap { s1 =>
+        val s2 = m & ~s1
+        val ok = (s1 & low) != 0 &&
+          (single(s1) || connected(s1)) && (single(s2) || connected(s2))
+        if (ok) {
+          val cross = edges.indices.filter { e =>
+            val (a, b) = edges(e)
+            (inM(a, s1) && inM(b, s2)) || (inM(a, s2) && inM(b, s1))
+          }
+          if (cross.nonEmpty)
+            Some(Split(s1, s2, cross, cross.map(classes).distinct.sorted))
+          else None
+        } else None
+      }.toSeq
+    }.toMap
+    val statesOf = scala.collection.mutable.Map[Int, Seq[Seq[Int]]](
+      (0 until n).map(i => (1 << i) -> Seq(Seq.empty[Int])): _*)
+    compositeMasks.foreach { m =>
+      val ss = splitsOf(m).flatMap { sp =>
+        sp.k +: (statesOf(sp.s1) ++ statesOf(sp.s2))
+      }.distinct.sortBy(_.mkString(","))
+      statesOf(m) = ss
+    }
+    case class UCand(kind: Int, sp: Split, stream: Seq[Int])
+    def candsFor(m: Int, p: Seq[Int]): Seq[UCand] =
+      splitsOf(m).flatMap { sp =>
+        val sh = if (sp.k == p) Seq(UCand(0, sp, Nil)) else Nil
+        val br = statesOf(sp.s1).filter(_ == p).map(UCand(1, sp, _))
+        val bl = statesOf(sp.s2).filter(_ == p).map(UCand(2, sp, _))
+        sh ++ br ++ bl
+      }
+    def cRef(m: Int, p: Seq[Int], sfx: String): String =
+      if (single(m)) "0" else s"c_${m}_${pid(p)}$sfx"
+    def pRef(m: Int, p: Seq[Int], sfx: String): String =
+      if (single(m)) s"'${names(tz(m))}'" else s"p_${m}_${pid(p)}$sfx"
+    def xsRef(m: Int, p: Seq[Int], sfx: String): String =
+      if (single(m)) "0" else s"xs_${m}_${pid(p)}$sfx"
+    def xbRef(m: Int, p: Seq[Int], sfx: String): String =
+      if (single(m)) "0" else s"xb_${m}_${pid(p)}$sfx"
+    def cmRef(m: Int, sfx: String): String =
+      if (single(m)) "0" else s"cm_$m$sfx"
+    def pmRef(m: Int, sfx: String): String =
+      if (single(m)) s"'${names(tz(m))}'" else s"pm_$m$sfx"
+    def xsmRef(m: Int, sfx: String): String =
+      if (single(m)) "0" else s"xsm_$m$sfx"
+    def xbmRef(m: Int, sfx: String): String =
+      if (single(m)) "0" else s"xbm_$m$sfx"
+    def dE(e: String): String =
+      s"CAST(CAST($e AS HUGEINT) * 100 // 100 AS BIGINT)"
+    // per-arm gate-width (MAX over members) and Σ-width expressions
+    def wMaxOf(m: Int, w: Int => String): String = {
+      val ms = (0 until n).filter(inM(_, m)).map(w)
+      if (ms.length == 1) ms.head else s"greatest(${ms.mkString(", ")})"
+    }
+    def wSumOf(m: Int, w: Int => String): String =
+      (0 until n).filter(inM(_, m)).map(w).mkString(" + ")
+    val armW: Map[String, Int => String] = Map(
+      "_u" -> ((_: Int) => "1000000"),
+      "_s" -> ((i: Int) => s"w$i"),
+      "_w" -> ((i: Int) => if (i == 2) Planted else s"w$i"))
+    val armLim: Map[String, String] = Map(
+      "_u" -> "10000000000", "_s" -> "limsw", "_w" -> "limsw")
+    def elig(sfx: String, ship: Int): String =
+      if (sfx == "_r") s"${estRef(ship)} <= 10000"
+      else s"CAST(${estRef(ship)} AS HUGEINT) * " +
+        s"${wMaxOf(ship, armW(sfx))} <= CAST(${armLim(sfx)} AS HUGEINT)"
+    def shSide(s: Int, k: Seq[Int], sfx: String)
+        : (String, String, String, String) = {
+      val fresh = s"(${cmRef(s, sfx)} + ${dE(estRef(s))})"
+      if (statesOf(s).contains(k)) {
+        val (c, p) = (cRef(s, k, sfx), pRef(s, k, sfx))
+        (s"least($c, $fresh)",
+          s"CASE WHEN $c <= $fresh THEN $p ELSE ${pmRef(s, sfx)} END",
+          s"CASE WHEN $c <= $fresh THEN ${xsRef(s, k, sfx)}" +
+            s" ELSE ${xsmRef(s, sfx)} + 1 END",
+          s"CASE WHEN $c <= $fresh THEN ${xbRef(s, k, sfx)}" +
+            s" ELSE ${xbmRef(s, sfx)} END")
+      } else
+        (fresh, pmRef(s, sfx), s"${xsmRef(s, sfx)} + 1", xbmRef(s, sfx))
+    }
+    def candExprs(m: Int, cd: UCand, sfx: String)
+        : (String, String, String, String, String) = cd.kind match {
+      case 0 =>
+        val (lc, lp, lsh, lbc) = shSide(cd.sp.s1, cd.sp.k, sfx)
+        val (rc, rp, rsh, rbc) = shSide(cd.sp.s2, cd.sp.k, sfx)
+        (s"($lc + $rc + ${estRef(m)})",
+          s"'(' || $lp || '*' || $rp || ')'",
+          s"($lsh + $rsh)", s"($lbc + $rbc)", "'shuffle'")
+      case 1 =>
+        val (s1, s2, p1) = (cd.sp.s1, cd.sp.s2, cd.stream)
+        (s"CASE WHEN ${elig(sfx, s2)} THEN " +
+          s"${cRef(s1, p1, sfx)} + ${cmRef(s2, sfx)} + " +
+          s"${estRef(m)} + ${dE(estRef(s2))} ELSE $Sent END",
+          s"'(' || ${pRef(s1, p1, sfx)} || '*' || ${pmRef(s2, sfx)} || ')'",
+          s"(${xsRef(s1, p1, sfx)} + ${xsmRef(s2, sfx)})",
+          s"(${xbRef(s1, p1, sfx)} + ${xbmRef(s2, sfx)} + 1)",
+          "'broadcast_right'")
+      case _ =>
+        val (s1, s2, p2) = (cd.sp.s1, cd.sp.s2, cd.stream)
+        (s"CASE WHEN ${elig(sfx, s1)} THEN " +
+          s"${cmRef(s1, sfx)} + ${cRef(s2, p2, sfx)} + " +
+          s"${estRef(m)} + ${dE(estRef(s1))} ELSE $Sent END",
+          s"'(' || ${pmRef(s1, sfx)} || '*' || ${pRef(s2, p2, sfx)} || ')'",
+          s"(${xsmRef(s1, sfx)} + ${xsRef(s2, p2, sfx)})",
+          s"(${xbmRef(s1, sfx)} + ${xbRef(s2, p2, sfx)} + 1)",
+          "'broadcast_left'")
+    }
+    def chain(sfx: String, prev0: String): String = {
+      val levels = compositeMasks.groupBy(java.lang.Integer.bitCount)
+        .toSeq.sortBy(_._1)
+      levels.map { case (pc, masks) =>
+        val candIds = masks.flatMap { m =>
+          statesOf(m).flatMap { p =>
+            candsFor(m, p).indices.map(i => s"${m}_${pid(p)}_$i$sfx")
+          }
+        }
+        val aCols = masks.flatMap { m =>
+          statesOf(m).flatMap { p =>
+            candsFor(m, p).zipWithIndex.flatMap { case (cd, i) =>
+              val (kc, kp, ks, kb, _) = candExprs(m, cd, sfx)
+              val t = s"${m}_${pid(p)}_$i$sfx"
+              Seq(s"    $kc AS kc_$t", s"    $kp AS kp_$t",
+                s"    $ks AS ks_$t", s"    $kb AS kb_$t")
+            }
+          }
+        }
+        val bCols = masks.flatMap { m =>
+          statesOf(m).flatMap { p =>
+            val cs = candsFor(m, p)
+            val ids = cs.indices.map(i => s"${m}_${pid(p)}_$i$sfx")
+            val kcs = ids.map(t => s"kc_$t")
+            def choose(pick: Int => String, name: String): String =
+              if (cs.length == 1) s"    ${pick(0)} AS $name"
+              else {
+                val whens = cs.indices.init.map { i =>
+                  val laterLe = (i + 1 until cs.length)
+                    .map(j => s"${kcs(i)} <= ${kcs(j)}").mkString(" AND ")
+                  s"      WHEN $laterLe THEN ${pick(i)}"
+                }
+                s"    CASE\n${whens.mkString("\n")}\n      ELSE " +
+                  s"${pick(cs.length - 1)} END AS $name"
+              }
+            Seq(
+              s"    CAST(least(${kcs.mkString(", ")}) AS BIGINT)" +
+                s" AS c_${m}_${pid(p)}$sfx",
+              choose(i => s"kp_${ids(i)}", s"p_${m}_${pid(p)}$sfx"),
+              choose(i => s"CAST(ks_${ids(i)} AS BIGINT)",
+                s"xs_${m}_${pid(p)}$sfx"),
+              choose(i => s"CAST(kb_${ids(i)} AS BIGINT)",
+                s"xb_${m}_${pid(p)}$sfx"),
+              choose(i => candExprs(m, cs(i), sfx)._5,
+                s"op_${m}_${pid(p)}$sfx"))
+          }
+        }
+        val cCols = masks.flatMap { m =>
+          val sts = statesOf(m)
+          val cvs = sts.map(p => s"c_${m}_${pid(p)}$sfx")
+          def choose(pick: Seq[Int] => String, name: String): String =
+            if (sts.length == 1) s"    ${pick(sts.head)} AS $name"
+            else {
+              val whens = sts.indices.init.map { i =>
+                val laterLe = (i + 1 until sts.length)
+                  .map(j => s"${cvs(i)} <= ${cvs(j)}").mkString(" AND ")
+                s"      WHEN $laterLe THEN ${pick(sts(i))}"
+              }
+              s"    CASE\n${whens.mkString("\n")}\n      ELSE " +
+                s"${pick(sts.last)} END AS $name"
+            }
+          Seq(
+            s"    least(${cvs.mkString(", ")}) AS cm_$m$sfx",
+            choose(p => s"p_${m}_${pid(p)}$sfx", s"pm_$m$sfx"),
+            choose(p => s"xs_${m}_${pid(p)}$sfx", s"xsm_$m$sfx"),
+            choose(p => s"xb_${m}_${pid(p)}$sfx", s"xbm_$m$sfx"))
+        }
+        val drop = candIds.flatMap(t =>
+          Seq(s"kc_$t", s"kp_$t", s"ks_$t", s"kb_$t"))
+        val prev = if (pc == 2) prev0 else s"bv${pc - 1}c$sfx"
+        Seq(
+          s"bv${pc}a$sfx AS (\n  SELECT *,\n${aCols.mkString(",\n")}\n  FROM $prev)",
+          s"bv${pc}b$sfx AS (\n  SELECT *,\n${bCols.mkString(",\n")}\n  FROM bv${pc}a$sfx)",
+          s"bv${pc}c$sfx AS (\n  SELECT * EXCLUDE (${drop.mkString(", ")}),\n${cCols.mkString(",\n")}\n  FROM bv${pc}b$sfx)")
+          .mkString(",\n")
+      }.mkString(",\n")
+    }
+    val fullM = (1 << n) - 1
+    def winnerCols(sfx: String): String = {
+      val sts = statesOf(fullM)
+      val cvs = sts.map(p => s"c_${fullM}_${pid(p)}$sfx")
+      def choose(pick: Seq[Int] => String, name: String): String = {
+        val whens = sts.indices.init.map { i =>
+          val laterLe = (i + 1 until sts.length)
+            .map(j => s"${cvs(i)} <= ${cvs(j)}").mkString(" AND ")
+          s"      WHEN $laterLe THEN ${pick(sts(i))}"
+        }
+        s"    CASE\n${whens.mkString("\n")}\n      ELSE " +
+          s"${pick(sts.last)} END AS $name"
+      }
+      Seq(
+        choose(p => s"'${pLabel(p)}'", s"bwpart$sfx"),
+        s"    least(${cvs.mkString(", ")}) AS bwcost$sfx",
+        choose(p => s"op_${fullM}_${pid(p)}$sfx", s"bwop$sfx"),
+        choose(p => s"xs_${fullM}_${pid(p)}$sfx", s"bwxs$sfx"),
+        choose(p => s"xb_${fullM}_${pid(p)}$sfx", s"bwxb$sfx"),
+        choose(p => s"p_${fullM}_${pid(p)}$sfx", s"bwplan$sfx"))
+        .mkString(",\n")
+    }
+    val suffixes = Seq("_r", "_u", "_s", "_w")
+    val ee = compositeMasks.map(m => s"    ${estExpr(m)} AS e_$m")
+      .mkString(",\n")
+    val lastLv = compositeMasks.map(java.lang.Integer.bitCount).max
+    val stateCols: String => Seq[String] = sfx =>
+      compositeMasks.flatMap { m =>
+        statesOf(m).flatMap { p =>
+          val t = s"${m}_${pid(p)}$sfx"
+          Seq(s"c_$t", s"p_$t", s"xs_$t", s"xb_$t", s"op_$t")
+        }
+      }
+    val eeKeep: Seq[String] = rowCols ++ (0 until n).map(i => s"w$i") ++
+      Seq("limsw") ++ compositeMasks.map(m => s"e_$m")
+    // per-arm output rows; widths are generation-time expressions
+    def outRows(arm: String, sfx: String): String = {
+      def wM(m: Int): String =
+        if (sfx == "_r") "CAST(0 AS BIGINT)"
+        else s"CAST(${wMaxOf(m, armW(sfx))} AS BIGINT)"
+      def wS(m: Int): String =
+        if (sfx == "_r") "CAST(0 AS BIGINT)"
+        else s"CAST(${wSumOf(m, armW(sfx))} AS BIGINT)"
+      def by(m: Int): String =
+        if (sfx == "_r") "CAST(0 AS BIGINT)"
+        else s"CAST(CAST(${estRef(m)} AS HUGEINT) * " +
+          s"${wMaxOf(m, armW(sfx))} AS BIGINT)"
+      val winCols =
+        s"""    bwpart$sfx AS winner_part, bwcost$sfx AS winner_cost,
+           |    bwop$sfx AS winner_op,
+           |    CAST(bwxs$sfx AS BIGINT) AS winner_n_shuffle,
+           |    CAST(bwxb$sfx AS BIGINT) AS winner_n_bcast,
+           |    bwplan$sfx AS winner_plan,
+           |    bwcost_r AS rows_winner_cost, bwplan_r AS rows_winner_plan,
+           |    bwop_r AS rows_winner_op,
+           |    (bwplan_u = bwplan_r AND bwpart_u = bwpart_r
+           |      AND bwop_u = bwop_r AND bwxs_u = bwxs_r
+           |      AND bwxb_u = bwxb_r) AS reduction_equal,
+           |    NOT (bwplan$sfx = bwplan_r AND bwpart$sfx = bwpart_r
+           |      AND bwop$sfx = bwop_r AND bwxs$sfx = bwxs_r
+           |      AND bwxb$sfx = bwxb_r) AS differs_vs_rows""".stripMargin
+      ((0 until n).map { i =>
+        val m = 1 << i
+        s"""  SELECT '$arm' AS arm, '${names(i)}' AS subset,
+           |    'none' AS part, CAST(1 AS BIGINT) AS n_tables,
+           |    ${rowCols(i)} AS est_rows, ${wM(m)} AS width_e6,
+           |    ${wS(m)} AS width_sum_e6, ${by(m)} AS bytes_e6,
+           |    CAST(0 AS BIGINT) AS cost, 'leaf' AS op,
+           |    CAST(0 AS BIGINT) AS n_shuffle_exch,
+           |    CAST(0 AS BIGINT) AS n_bcast_exch, '${names(i)}' AS plan,
+           |$winCols
+           |  FROM bw""".stripMargin
+      } ++ compositeMasks.flatMap { m =>
+        val nm = (0 until n).filter(inM(_, m)).map(names).mkString(",")
+        statesOf(m).map { p =>
+          s"""  SELECT '$arm', '$nm', '${pLabel(p)}',
+             |    CAST(${java.lang.Integer.bitCount(m)} AS BIGINT),
+             |    e_$m, ${wM(m)}, ${wS(m)}, ${by(m)},
+             |    c_${m}_${pid(p)}$sfx, op_${m}_${pid(p)}$sfx,
+             |    CAST(xs_${m}_${pid(p)}$sfx AS BIGINT),
+             |    CAST(xb_${m}_${pid(p)}$sfx AS BIGINT),
+             |    p_${m}_${pid(p)}$sfx,
+             |$winCols
+             |  FROM bw""".stripMargin
+        }
+      }).mkString("\n  UNION ALL\n")
+    }
+    val widthDefs = statCols.zipWithIndex.map { case ((t, cols), i) =>
+      val parts = cols.map(c =>
+        s"CAST(round(CAST(round(CAST((SELECT avg(length(CAST($c AS " +
+          s"VARCHAR))) FROM $t) AS DECIMAL(38,18)), 6) AS DOUBLE) " +
+          s"* 1000000) AS BIGINT)")
+      s"    (${parts.mkString(" + ")}) AS w$i"
+    }.mkString(",\n")
+    s"""WITH st AS (
+       |  SELECT (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS nli,
+       |    (SELECT CAST(count(*) AS BIGINT) FROM orders) AS nord,
+       |    (SELECT CAST(count(*) AS BIGINT) FROM customer) AS ncust,
+       |    (SELECT CAST(count(*) AS BIGINT) FROM nation) AS nnat,
+       |    (SELECT CAST(count(*) AS BIGINT) FROM supplier) AS nsupp,
+       |    greatest(
+       |      (SELECT count(DISTINCT l_orderkey) FROM lineitem),
+       |      (SELECT count(DISTINCT o_orderkey) FROM orders)) AS d0,
+       |    greatest(
+       |      (SELECT count(DISTINCT o_custkey) FROM orders),
+       |      (SELECT count(DISTINCT c_custkey) FROM customer)) AS d1,
+       |    greatest(
+       |      (SELECT count(DISTINCT c_nationkey) FROM customer),
+       |      (SELECT count(DISTINCT n_nationkey) FROM nation)) AS d2,
+       |    greatest(
+       |      (SELECT count(DISTINCT n_nationkey) FROM nation),
+       |      (SELECT count(DISTINCT s_nationkey) FROM supplier)) AS d3,
+       |    greatest(
+       |      (SELECT count(DISTINCT s_suppkey) FROM supplier),
+       |      (SELECT count(DISTINCT l_suppkey) FROM lineitem)) AS d4,
+       |$widthDefs),
+       |lm AS (SELECT *, 10000 * w0 AS limsw FROM st),
+       |ee AS (
+       |  SELECT *,
+       |$ee
+       |  FROM lm),
+       |${chain("_r", "ee")},
+       |bz_r AS (
+       |  SELECT ${(eeKeep ++ stateCols("_r"))
+                    .mkString(", ")}
+       |  FROM bv${lastLv}c_r),
+       |${chain("_u", "bz_r")},
+       |bz_u AS (
+       |  SELECT ${(eeKeep ++ stateCols("_r") ++
+                    stateCols("_u")).mkString(", ")}
+       |  FROM bv${lastLv}c_u),
+       |${chain("_s", "bz_u")},
+       |bz_s AS (
+       |  SELECT ${(eeKeep ++ stateCols("_r") ++
+                    stateCols("_u") ++
+                    stateCols("_s")).mkString(", ")}
+       |  FROM bv${lastLv}c_s),
+       |${chain("_w", "bz_s")},
+       |bw AS MATERIALIZED (
+       |  SELECT *,
+       |${suffixes.map(winnerCols).mkString(",\n")}
+       |  FROM bv${lastLv}c_w),
+       |fin AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       |    CAST(coalesce(sum(CAST(l_quantity AS BIGINT)), 0) AS BIGINT)
+       |      AS sum_qty,
+       |    CAST(coalesce(sum(CAST(s_suppkey AS BIGINT)), 0) AS BIGINT)
+       |      AS sum_supp
+       |  FROM lineitem l
+       |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |  JOIN customer c ON o.o_custkey = c.c_custkey
+       |  JOIN nation nn ON c.c_nationkey = nn.n_nationkey
+       |  JOIN supplier s ON nn.n_nationkey = s.s_nationkey
+       |    AND s.s_suppkey = l.l_suppkey)
+       |SELECT t.*, fin.n_rows, fin.sum_qty, fin.sum_supp,
+       |  TRUE AS trees_identical
+       |FROM (
+       |${outRows("rows", "_r")}
+       |  UNION ALL
+       |${outRows("bytes_uniform", "_u")}
+       |  UNION ALL
+       |${outRows("bytes_store", "_s")}
+       |  UNION ALL
+       |${outRows("bytes_wide", "_w")}) t, fin""".stripMargin
+  }
+
   /** q256's oracle, GENERATED by replaying the engine's WHOLE planned-
     * query path symbolically: the q232 equi-depth histogram CTEs price
     * the range predicates, the q244 correction CTEs re-derive the
@@ -6856,6 +7285,10 @@ object SparkEntry {
     // estimate × gated LEO correction → four DP instantiations →
     // executed aggregate — see [[plannedDpSql]]
     "q256_planned_query" -> plannedDpSql,
+    // the byte-gated unified DP replayed symbolically, four arms over
+    // one cardinality base, widths via the q189 avg-width expression —
+    // see [[byteDpSql]]
+    "q257_cbo_byte_broadcast" -> byteDpSql,
     // per-tick observations for both stores (the drifted store adds
     // the planted shift tick: pre-shift grid estimate, rotated-regime
     // actual = the original OFF-diagonal rectangle), the freshness

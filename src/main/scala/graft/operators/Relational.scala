@@ -3813,12 +3813,29 @@ object Relational {
                                   edges: Seq[(Int, Int, Long)],
                                   keyClasses: Seq[Int],
                                   bcastLimit: Long = PhysBroadcastLimitRows,
-                                  deltaE2: Long = 100L)
+                                  deltaE2: Long = 100L,
+                                  widthsE6: Seq[Long] = Nil,
+                                  bcastLimitBytesE6: Long = -1L)
       : Map[(Int, Seq[Int]), UniDpCell] = {
     val n = tables.length
     require(n >= 2 && n <= 10, s"need 2..10 tables; got $n")
     require(keyClasses.length == edges.length && deltaE2 >= 0L,
       s"need one key class per edge and non-negative delta")
+    // BYTE-form gate (J35/q257): when per-table row widths are given
+    // (bytes in millionths — the ANALYZE store's Σ avg_width), a ship
+    // side is eligible iff est_rows × width(bytes) ≤ the byte limit —
+    // rows are what the estimator knows, bytes are what OOM the build
+    // side. A SUBSET's width is the MAX of its members' — the
+    // dominant-column model: one wide dimension still poisons every
+    // superset that carries its columns (the q237 hazard, priced),
+    // and uniform widths w with limitBytes = rowLimit × w reduce
+    // EXACTLY to the row form cell for cell (Σ would be marginally
+    // more precise on composite ships but gates a k-way uniform join
+    // k× tighter than the row form it generalizes — the audit emits
+    // the Σ next to the max for the record).
+    require(widthsE6.isEmpty ||
+      (widthsE6.length == n && widthsE6.forall(_ > 0L)),
+      s"need one positive width per table; got $widthsE6")
     require(edges.nonEmpty && edges.forall { case (a, b, d) =>
       a >= 0 && a < n && b >= 0 && b < n && a != b && d > 0
     }, s"edges must connect distinct in-range tables with positive divisors")
@@ -3851,6 +3868,12 @@ object Relational {
     }
     def move(rows: Long): Long =
       (BigInt(rows) * BigInt(deltaE2) / BigInt(100L)).toLong
+    def widthE6(mask: Int): Long =
+      widthsE6.indices.filter(inMask(_, mask)).map(widthsE6).max
+    def eligible(mask: Int, est: Long): Boolean =
+      if (widthsE6.nonEmpty)
+        BigInt(est) * BigInt(widthE6(mask)) <= BigInt(bcastLimitBytesE6)
+      else est <= bcastLimit
     val byMask = scala.collection.mutable.Map.empty[Int,
       scala.collection.mutable.LinkedHashMap[Seq[Int], UniDpCell]]
     tables.indices.foreach { i =>
@@ -3906,7 +3929,7 @@ object Relational {
               // ship S2, stream S1 in each of its states
               statesSorted(s1).foreach { case (p1, c1) =>
                 val cost =
-                  if (e2 <= bcastLimit) c1.cost + m2c.cost + eMask + move(e2)
+                  if (eligible(s2, e2)) c1.cost + m2c.cost + eMask + move(e2)
                   else UniSentinelCost
                 upd(UniDpCell(eMask, cost, s1, s2, p1, m2p,
                   "broadcast_right", cross, p1,
@@ -3917,7 +3940,7 @@ object Relational {
               // ship S1, stream S2 in each of its states
               statesSorted(s2).foreach { case (p2, c2) =>
                 val cost =
-                  if (e1 <= bcastLimit) m1c.cost + c2.cost + eMask + move(e1)
+                  if (eligible(s1, e1)) m1c.cost + c2.cost + eMask + move(e1)
                   else UniSentinelCost
                 upd(UniDpCell(eMask, cost, s1, s2, m1p, p2,
                   "broadcast_left", cross, p2,
@@ -4221,6 +4244,217 @@ object Relational {
         "winner_n_bcast", "winner_plan", "exch_winner_cost",
         "exch_winner_plan", "winners_differ", "n_rows", "sum_qty",
         "sum_supp", "trees_identical")
+  }
+
+  /** The planted wide-dimension width for the q257 byte-gate fixture:
+    * 2 500 bytes/row — the q237 "625-row relation that arrives 2 500
+    * wide" hazard, now priced. A declared constant (e6 fixed point)
+    * the oracle replays verbatim. */
+  private[graft] val ByteGatePlantedWidthE6 = 2500000000L
+
+  /** J35 [EXT] — BYTE-FORM BROADCAST GATE (q257): every broadcast
+    * decision so far gated on ROWS (`PhysBroadcastLimitRows`) because
+    * rows are oracle-exact — but bytes are what OOM a 1000-executor
+    * build side, and the ANALYZE store has carried `avg_width` since
+    * A45 without any consumer pricing it. This row closes that:
+    * [[dpCcpUnified]] gains a byte-form eligibility (est_rows ×
+    * Σ avg_width ≤ limit, widths in millionths so the whole gate stays
+    * integer), where a SUBSET's width is the sum of its members' — a
+    * join output carries both sides' columns, so one wide dimension
+    * poisons every superset containing it. The audit runs the unified
+    * DP on the store's Q5 cycle FOUR ways, the full state table each:
+    *
+    *  - `rows`: the row gate at 10 000 (q255's exact DP — baseline);
+    *  - `bytes_uniform`: byte gate, every width 1 byte, limit 10 000
+    *    bytes — the declared REDUCTION case, spec-pinned cell-for-cell
+    *    equal to `rows` (a subset's width is the MAX of its members —
+    *    the dominant-column model — so uniform widths w give est×w ≤
+    *    lim×w ⇔ est ≤ lim on every candidate; the Σ width is emitted
+    *    next to the max for the record);
+    *  - `bytes_store`: the store's real widths (per table: Σ over its
+    *    audited columns of round(avg_width·10⁶)), limit = 10 000 fact
+    *    rows' worth of bytes (10 000 × width(lineitem)) — the honest
+    *    translation of the row threshold; `differs_vs_rows` emitted,
+    *    not asserted (on near-uniform-width fixtures the winners
+    *    agree);
+    *  - `bytes_wide`: the same except customer PLANTED at
+    *    [[ByteGatePlantedWidthE6]] (2 500 B/row) at CONSTANT rows —
+    *    the wide dim and every superset carrying it go
+    *    broadcast-ineligible, and the winner flips operator family
+    *    where `rows` still ships customer. The flip is
+    *    oracle-re-derived: the planted width is a declared constant
+    *    and everything else comes from replayable aggregates.
+    *
+    * Executed proof: the `bytes_wide` winner runs FULL size with
+    * operator-true hints; winner + canonical left-deep run on the 1/8
+    * key partition, identity emitted. Oracle GENERATED by replaying
+    * all four instantiations symbolically (the q255/q256 discipline),
+    * widths re-derived from raw data through the exact q189 avg-width
+    * expression.
+    *
+    * Scale: widths are metadata the ANALYZE job already computed; the
+    * DP stays metadata; the gate is one multiply per candidate. At
+    * 100 TB this is the difference between "10 000 rows fit" and
+    * "10 000 rows × 2 500 B = 25 MB per executor × every superset
+    * that inherits them" — the broadcast OOM, priced at plan time. */
+  def cboByteBroadcastAudit(spark: SparkSession, dir: String): DataFrame = {
+    val statRows = ensureTableStats(spark, dir)
+      .select(col("table_name"), col("column_name"), col("n_rows"),
+        col("ndv"), col("avg_width")).collect()
+    val stats = statRows
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3)))
+      .toMap
+    def rowsOf(t: String, c: String): Long = stats((t, c))._1
+    def ndvOf(t: String, c: String): Long = stats((t, c))._2
+    // table width = Σ per audited column of round(avg_width × 1e6):
+    // per-column rounding BEFORE the integer sum, so oracle parity
+    // never rides a double sum
+    val widthOf: Map[String, Long] = statRows
+      .groupBy(_.getString(0))
+      .map { case (t, rs) =>
+        t -> rs.map(r => math.round(r.getDouble(4) * 1000000.0)).sum
+      }
+    val names = Seq("lineitem", "orders", "customer", "nation", "supplier")
+    val tables = Seq(
+      ("lineitem", rowsOf("lineitem", "l_orderkey")),
+      ("orders", rowsOf("orders", "o_orderkey")),
+      ("customer", rowsOf("customer", "c_custkey")),
+      ("nation", rowsOf("nation", "n_nationkey")),
+      ("supplier", rowsOf("supplier", "s_suppkey")))
+    val edges = Seq(
+      (0, 1, math.max(ndvOf("lineitem", "l_orderkey"),
+        ndvOf("orders", "o_orderkey"))),
+      (1, 2, math.max(ndvOf("orders", "o_custkey"),
+        ndvOf("customer", "c_custkey"))),
+      (2, 3, math.max(ndvOf("customer", "c_nationkey"),
+        ndvOf("nation", "n_nationkey"))),
+      (3, 4, math.max(ndvOf("nation", "n_nationkey"),
+        ndvOf("supplier", "s_nationkey"))),
+      (4, 0, math.max(ndvOf("supplier", "s_suppkey"),
+        ndvOf("lineitem", "l_suppkey"))))
+    val storeW = names.map(widthOf)
+    val wideW = storeW.updated(2, ByteGatePlantedWidthE6)
+    val limE6 = PhysBroadcastLimitRows * storeW.head
+    val arms: Seq[(String, Seq[Long], Long)] = Seq(
+      ("rows", Nil, -1L),
+      ("bytes_uniform", Seq.fill(5)(1000000L),
+        PhysBroadcastLimitRows * 1000000L),
+      ("bytes_store", storeW, limE6),
+      ("bytes_wide", wideW, limE6))
+    val dps = arms.map { case (label, ws, lim) =>
+      label -> dpCcpUnified(tables, edges, CycleKeyClasses,
+        widthsE6 = ws, bcastLimitBytesE6 = lim)
+    }.toMap
+    val fullMask = 31
+    def winnerOf(dp: Map[(Int, Seq[Int]), UniDpCell]): UniDpCell =
+      dp.collect { case ((m, _), c) if m == fullMask => c }
+        .minBy(c => (c.cost, c.part.mkString(",")))
+    val wins = arms.map { case (l, _, _) => l -> winnerOf(dps(l)) }.toMap
+    def key(c: UniDpCell) =
+      (c.plan, c.part, c.op, c.nShuffleExch, c.nBcastExch)
+    val reductionEqual = key(wins("bytes_uniform")) == key(wins("rows"))
+    val dfs = Seq(Tables.lineitem(spark, dir), Tables.orders(spark, dir),
+      Tables.customer(spark, dir), Tables.nation(spark, dir),
+      Tables.supplier(spark, dir))
+    val conds = Seq(
+      col("l_orderkey") === col("o_orderkey"),
+      col("o_custkey") === col("c_custkey"),
+      col("c_nationkey") === col("n_nationkey"),
+      col("n_nationkey") === col("s_nationkey"),
+      col("s_suppkey") === col("l_suppkey"))
+    val dpW = dps("bytes_wide")
+    def build(ds: Seq[DataFrame], mask: Int, part: Seq[Int]): DataFrame = {
+      val cell = dpW((mask, part))
+      if (cell.op == "leaf")
+        ds(java.lang.Integer.numberOfTrailingZeros(mask))
+      else {
+        var l = build(ds, cell.leftMask, cell.leftPart)
+        var r = build(ds, cell.rightMask, cell.rightPart)
+        cell.op match {
+          case "broadcast_right" => r = broadcast(r)
+          case "broadcast_left" => l = broadcast(l)
+          case _ => l = l.hint("merge"); r = r.hint("merge")
+        }
+        l.join(r, cell.crossEdges.map(conds).reduce(_ && _))
+      }
+    }
+    def agg(full: DataFrame): (Long, Long, Long) = {
+      val r = full.agg(count(lit(1)), sum(col("l_quantity").cast("long")),
+        sum(col("s_suppkey").cast("long"))).head()
+      (r.getLong(0),
+        if (r.isNullAt(1)) 0L else r.getLong(1),
+        if (r.isNullAt(2)) 0L else r.getLong(2))
+    }
+    val answer = agg(build(dfs, fullMask, wins("bytes_wide").part))
+    val li8 = dfs.head.filter(
+      pmod(col("l_orderkey").cast("long"), lit(8L)) === 1L)
+    val ord8 = dfs(1).filter(
+      pmod(col("o_orderkey").cast("long"), lit(8L)) === 1L)
+    val dfs8 = li8 +: ord8 +: dfs.drop(2)
+    val leftDeep8 = (1 until 5).foldLeft(dfs8.head) { (acc, k) =>
+      val priorMask = (1 << k) - 1
+      val cs = edges.indices.filter { e =>
+        val (a, b, _) = edges(e)
+        (a == k && (priorMask & (1 << b)) != 0) ||
+          (b == k && (priorMask & (1 << a)) != 0)
+      }
+      acc.join(dfs8(k), cs.map(conds).reduce(_ && _))
+    }
+    val identical =
+      agg(build(dfs8, fullMask, wins("bytes_wide").part)) == agg(leftDeep8)
+    val rowsWin = wins("rows")
+    val out = arms.flatMap { case (label, ws, _) =>
+      val win = wins(label)
+      def widthE6(m: Int): Long =
+        if (ws.isEmpty) 0L
+        else ws.indices.filter(i => (m & (1 << i)) != 0).map(ws).max
+      def widthSumE6(m: Int): Long =
+        if (ws.isEmpty) 0L
+        else ws.indices.filter(i => (m & (1 << i)) != 0).map(ws).sum
+      dps(label).toSeq
+        .sortBy { case ((m, p), _) =>
+          (java.lang.Integer.bitCount(m), m, p.mkString(","))
+        }
+        .map { case ((m, p), cell) =>
+          val subset = names.indices.filter(i => (m & (1 << i)) != 0)
+            .map(names).mkString(",")
+          val w = widthE6(m)
+          org.apache.spark.sql.Row(
+            label, subset, partLabel(p, CycleClassNames),
+            java.lang.Integer.bitCount(m).toLong, cell.est, w,
+            widthSumE6(m),
+            (BigInt(cell.est) * BigInt(w)).toLong, cell.cost, cell.op,
+            cell.nShuffleExch, cell.nBcastExch, cell.plan,
+            partLabel(win.part, CycleClassNames), win.cost, win.op,
+            win.nShuffleExch, win.nBcastExch, win.plan,
+            rowsWin.cost, rowsWin.plan, rowsWin.op, reductionEqual,
+            key(win) != key(rowsWin), answer._1, answer._2, answer._3,
+            identical)
+        }
+    }
+    import org.apache.spark.sql.types._
+    def f(nm: String, t: DataType) = StructField(nm, t)
+    val schema = StructType(Seq(
+      f("arm", StringType), f("subset", StringType),
+      f("part", StringType), f("n_tables", LongType),
+      f("est_rows", LongType), f("width_e6", LongType),
+      f("width_sum_e6", LongType),
+      f("bytes_e6", LongType), f("cost", LongType), f("op", StringType),
+      f("n_shuffle_exch", LongType), f("n_bcast_exch", LongType),
+      f("plan", StringType), f("winner_part", StringType),
+      f("winner_cost", LongType), f("winner_op", StringType),
+      f("winner_n_shuffle", LongType), f("winner_n_bcast", LongType),
+      f("winner_plan", StringType), f("rows_winner_cost", LongType),
+      f("rows_winner_plan", StringType), f("rows_winner_op", StringType),
+      f("reduction_equal", BooleanType),
+      f("differs_vs_rows", BooleanType), f("n_rows", LongType),
+      f("sum_qty", LongType), f("sum_supp", LongType),
+      f("trees_identical", BooleanType)))
+    spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(out).asJava),
+      schema)
   }
 
   /** J23 [EXT] — SAMPLED-ARM CBO AUDIT (q235): the scale form of the

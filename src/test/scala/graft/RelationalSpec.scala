@@ -2350,6 +2350,90 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("dpCcpUnified byte gate: uniform widths reduce to the row form; a wide dim flips the ship side") {
+    val tables = Seq(("l", 6000L), ("o", 1500L), ("c", 150L),
+      ("n", 25L), ("s", 10L))
+    val edges = Seq((0, 1, 1500L), (1, 2, 150L), (2, 3, 25L),
+      (3, 4, 25L), (4, 0, 10L))
+    val classes = Relational.CycleKeyClasses
+    // REDUCTION: uniform widths w with limit = rowLimit × w give the
+    // row-form DP cell for cell (max-width model: width(S) = w)
+    val rowDp = Relational.dpCcpUnified(tables, edges, classes)
+    val w = 7L * 1000000L
+    val uniDp = Relational.dpCcpUnified(tables, edges, classes,
+      widthsE6 = Seq.fill(5)(w),
+      bcastLimitBytesE6 = Relational.PhysBroadcastLimitRows * w)
+    assert(uniDp == rowDp, "uniform byte gate == row gate, cell for cell")
+    // PLANTED wide dim: customer at 2500 B/row — under the row gate
+    // the winner ships the customer-carrying dim chain; under the
+    // byte gate that ship (and every superset of customer) is
+    // ineligible and the SAME TREE flips its ship side
+    val store = Seq(7L, 7L, 7L, 2L, 4L).map(_ * 1000000L)
+    val wide = store.updated(2, Relational.ByteGatePlantedWidthE6)
+    val full = 31
+    def winner(dp: Map[(Int, Seq[Int]), Relational.UniDpCell]) =
+      dp.collect { case ((m, _), c) if m == full => c }
+        .minBy(c => (c.cost, c.part.mkString(",")))
+    val lim = Relational.PhysBroadcastLimitRows * store.head
+    val wS = winner(Relational.dpCcpUnified(tables, edges, classes,
+      widthsE6 = store, bcastLimitBytesE6 = lim))
+    val wW = winner(Relational.dpCcpUnified(tables, edges, classes,
+      widthsE6 = wide, bcastLimitBytesE6 = lim))
+    assert(wS.plan == "(l*(o*(c*(n*s))))" && wS.op == "broadcast_right",
+      s"store widths keep the q255 winner: $wS")
+    assert(wW.plan == wS.plan && wW.op == "broadcast_left",
+      s"wide dim flips the ship side at constant rows: $wW")
+    assert(wW.cost > wS.cost, "the flip is priced, not free")
+  }
+
+  test("q257 byte broadcast audit: reduction equal, store widths honest, planted wide dim flips") {
+    val d = TestSpark.Sf0001
+    val rows = Relational.cboByteBroadcastAudit(spark, d).collect()
+    def g[T](r: org.apache.spark.sql.Row, c: String): T = r.getAs[T](c)
+    val arms = rows.groupBy(g[String](_, "arm"))
+    assert(arms.keySet == Set("rows", "bytes_uniform", "bytes_store",
+      "bytes_wide"), arms.keySet.toString)
+    assert(arms.values.forall(_.length == rows.length / 4),
+      "full state table per arm")
+    rows.foreach { r =>
+      assert(g[Boolean](r, "reduction_equal"),
+        "uniform-width winner == row winner")
+      assert(g[Boolean](r, "trees_identical"))
+      // dominant-column model: gate width ≤ Σ width, both emitted
+      assert(g[Long](r, "width_e6") <= g[Long](r, "width_sum_e6"),
+        s"max<=sum: $r")
+    }
+    assert(arms("rows").forall(r => !g[Boolean](r, "differs_vs_rows")))
+    assert(arms("bytes_uniform")
+      .forall(r => !g[Boolean](r, "differs_vs_rows")))
+    // the planted 2500-byte customer flips the winner at constant
+    // rows: same tree, the ship side reverses (the customer-carrying
+    // chain can no longer broadcast; the fact side ships instead)
+    val ww = arms("bytes_wide").head
+    assert(g[Boolean](ww, "differs_vs_rows"), "wide arm flips")
+    assert(g[String](ww, "winner_plan") == g[String](ww, "rows_winner_plan"),
+      "same join tree")
+    assert(g[String](ww, "winner_op") == "broadcast_left" &&
+      g[String](ww, "rows_winner_op") == "broadcast_right",
+      s"ship side reversed: ${g[String](ww, "winner_op")}")
+    assert(g[Long](ww, "winner_cost") > g[Long](ww, "rows_winner_cost"),
+      "the width hazard costs real movement")
+    // the planted width lands verbatim on the customer leaf and
+    // poisons its supersets' gate width
+    val custLeaf = arms("bytes_wide").find(r =>
+      g[String](r, "subset") == "customer" &&
+        g[String](r, "op") == "leaf").get
+    assert(g[Long](custLeaf, "width_e6") ==
+      Relational.ByteGatePlantedWidthE6)
+    assert(g[Long](custLeaf, "bytes_e6") ==
+      g[Long](custLeaf, "est_rows") * Relational.ByteGatePlantedWidthE6)
+    arms("bytes_wide").filter(r =>
+      g[String](r, "subset").contains("customer")).foreach { r =>
+      assert(g[Long](r, "width_e6") == Relational.ByteGatePlantedWidthE6,
+        s"superset inherits the wide width: $r")
+    }
+  }
+
   test("q254 exchange enumeration: state table, Q5 winner at 7 exchanges, executed identity") {
     val d = TestSpark.Sf0001
     val rows = Relational.cboExchangeEnumerationAudit(spark, d)

@@ -1071,7 +1071,14 @@ object SparkEntry {
     // 2500-byte customer that flips broadcast->shuffle at constant
     // rows (the q237 OOM hazard, priced at plan time)
     "q257_cbo_byte_broadcast" -> ((s: SparkSession, d: String) =>
-      Relational.cboByteBroadcastAudit(s, d))
+      Relational.cboByteBroadcastAudit(s, d)),
+    // the MODEL half of the exchange probe, oracle-backed: per
+    // (graph, arm) the C_out cost, plan, and joinExch-predicted
+    // shuffle/sort counts - pure integer arithmetic over ANALYZE
+    // statistics, so q253's oracle exemption now covers ONLY the
+    // genuinely engine-side plan facts (the measured node counts)
+    "q258_cbo_model_predictions" -> ((s: SparkSession, d: String) =>
+      Relational.cboModelPredictionsAudit(s, d))
   )
 
   /** The session-shared `ensure*` leaves at the registry consumers'
@@ -2273,6 +2280,242 @@ object SparkEntry {
     * (threshold −1: broadcast disabled, the J32 reduction) — so both
     * winners and `winners_differ` re-derive with zero transcription
     * risk. */
+  /** q258's oracle, GENERATED by replaying BOTH of the probe's
+    * enumerations symbolically — the star's cut-edge DP
+    * (`selingerGraphDp` order: candidates by ascending cut edge,
+    * component with the smallest table index left) and the cycle's
+    * csg-cmp DP (`dpCcp` order: ascending-S1 proper submasks) — with
+    * TWO extra columns threaded through the same first-minimal CASE
+    * chains as the costs and plans: the chosen split's output
+    * partitioning (its cross-class set, the `joinExch` state) and the
+    * predicted exchange count (child counts + one per side whose
+    * partitioning misses the requirement). The left-deep arms' plans
+    * and counts are graph constants (a fixed tree's joinExch count
+    * does not depend on cardinalities — the generator derives them
+    * from the same declared class lists the engine uses); their C_out
+    * re-derives from prefix-subset estimates. Sort predictions equal
+    * shuffle predictions by the q253 coincidence measurement. */
+  private val modelPredDpSql: String = {
+    // one graph's DP chain with (cost, plan, partitioning, exchanges)
+    // per connected composite mask; returns (CTE text, level count)
+    def predChain(pfx: String, n: Int, names: Seq[String],
+                  rowCols: Seq[String], edges: Seq[(Int, Int)],
+                  divCols: Seq[String], classes: Seq[Int],
+                  cutEdgeOrder: Boolean, prev0: String): String = {
+      def inM(i: Int, m: Int): Boolean = (m & (1 << i)) != 0
+      def induced(m: Int): Seq[Int] = edges.indices.filter { e =>
+        inM(edges(e)._1, m) && inM(edges(e)._2, m)
+      }
+      def connected(m: Int): Boolean = {
+        if (m == 0) return false
+        val seed = java.lang.Integer.numberOfTrailingZeros(m)
+        var comp = 1 << seed
+        var frontier = List(seed)
+        while (frontier.nonEmpty) {
+          val v = frontier.head; frontier = frontier.tail
+          edges.foreach { case (a, b) =>
+            val next = if (a == v) b else if (b == v) a else -1
+            if (next >= 0 && inM(next, m) && !inM(next, comp)) {
+              comp |= 1 << next
+              frontier = next :: frontier
+            }
+          }
+        }
+        comp == m
+      }
+      def single(m: Int): Boolean = java.lang.Integer.bitCount(m) == 1
+      def tz(m: Int): Int = java.lang.Integer.numberOfTrailingZeros(m)
+      // component of `from` inside `mask` with edge `cut` removed
+      def component(from: Int, mask: Int, cut: Int): Int = {
+        var comp = 1 << from
+        var frontier = List(from)
+        while (frontier.nonEmpty) {
+          val v = frontier.head; frontier = frontier.tail
+          edges.indices.foreach { e =>
+            if (e != cut) {
+              val (a, b) = edges(e)
+              val next = if (a == v) b else if (b == v) a else -1
+              if (next >= 0 && inM(next, mask) && !inM(next, comp)) {
+                comp |= 1 << next
+                frontier = next :: frontier
+              }
+            }
+          }
+        }
+        comp
+      }
+      val masks = (3 to (1 << n) - 1)
+        .filter(m => java.lang.Integer.bitCount(m) >= 2 && connected(m))
+      // candidate splits per mask, in the ENGINE's enumeration order
+      def splits(m: Int): Seq[(Int, Int, Seq[Int])] =
+        if (cutEdgeOrder)
+          induced(m).map { e =>
+            val ca = component(edges(e)._1, m, e)
+            val cb = m & ~ca
+            val (l, r) = if ((ca & -ca) < (cb & -cb)) (ca, cb)
+              else (cb, ca)
+            (l, r, Seq(e))
+          }
+        else {
+          val low = 1 << tz(m)
+          val subs = scala.collection.mutable.ArrayBuffer.empty[Int]
+          var sub = (m - 1) & m
+          while (sub != 0) { subs += sub; sub = (sub - 1) & m }
+          subs.reverseIterator.flatMap { s1 =>
+            val s2 = m & ~s1
+            val ok = (s1 & low) != 0 &&
+              (single(s1) || connected(s1)) &&
+              (single(s2) || connected(s2))
+            if (ok) {
+              val cross = edges.indices.filter { e =>
+                val (a, b) = edges(e)
+                (inM(a, s1) && inM(b, s2)) || (inM(a, s2) && inM(b, s1))
+              }
+              if (cross.nonEmpty) Some((s1, s2, cross)) else None
+            } else None
+          }.toSeq
+        }
+      def estExpr(m: Int): String = {
+        def prod(cols: Seq[String]): String =
+          (s"CAST(${cols.head} AS HUGEINT)" +: cols.tail).mkString(" * ")
+        val num = prod((0 until n).filter(inM(_, m)).map(rowCols))
+        val den = induced(m).map(divCols)
+        s"CAST($num // (${prod(den)}) AS BIGINT)"
+      }
+      def eRef(m: Int): String =
+        if (single(m)) rowCols(tz(m)) else s"e$pfx$m"
+      def cRef(m: Int): String = if (single(m)) "0" else s"c$pfx$m"
+      def pRef(m: Int): String =
+        if (single(m)) s"'${names(tz(m))}'" else s"p$pfx$m"
+      def tRef(m: Int): String = if (single(m)) "''" else s"t$pfx$m"
+      def xRef(m: Int): String = if (single(m)) "0" else s"x$pfx$m"
+      val eCols = masks.map(m => s"    ${estExpr(m)} AS e$pfx$m")
+      val levels = masks.groupBy(java.lang.Integer.bitCount)
+        .toSeq.sortBy(_._1)
+      val lvCtes = levels.map { case (pc, ms) =>
+        val cols = ms.flatMap { m =>
+          val cs = splits(m)
+          val costs = cs.map { case (l, r, _) =>
+            s"(${cRef(l)} + ${cRef(r)} + ${eRef(m)})"
+          }
+          def kStr(cross: Seq[Int]): String =
+            cross.map(classes).distinct.sorted.mkString("_")
+          def exch(l: Int, r: Int, cross: Seq[Int]): String = {
+            val k = kStr(cross)
+            s"(${xRef(l)} + ${xRef(r)} + " +
+              s"CASE WHEN ${tRef(l)} = '$k' THEN 0 ELSE 1 END + " +
+              s"CASE WHEN ${tRef(r)} = '$k' THEN 0 ELSE 1 END)"
+          }
+          def choose(pick: Int => String, name: String): String =
+            if (cs.length == 1) s"    ${pick(0)} AS $name"
+            else {
+              val whens = cs.indices.init.map { i =>
+                val laterLe = (i + 1 until cs.length)
+                  .map(j => s"${costs(i)} <= ${costs(j)}")
+                  .mkString(" AND ")
+                s"      WHEN $laterLe THEN ${pick(i)}"
+              }
+              s"    CASE\n${whens.mkString("\n")}\n      ELSE " +
+                s"${pick(cs.length - 1)} END AS $name"
+            }
+          Seq(
+            s"    CAST(least(${costs.mkString(", ")}) AS BIGINT)" +
+              s" AS c$pfx$m",
+            choose(i => s"'(' || ${pRef(cs(i)._1)} || '*' || " +
+              s"${pRef(cs(i)._2)} || ')'", s"p$pfx$m"),
+            choose(i => s"'${kStr(cs(i)._3)}'", s"t$pfx$m"),
+            choose(i => s"CAST(${exch(cs(i)._1, cs(i)._2, cs(i)._3)}" +
+              s" AS BIGINT)", s"x$pfx$m"))
+        }
+        val prev = if (pc == 2) s"${pfx}e0" else s"${pfx}v${pc - 1}"
+        s"${pfx}v$pc AS (\n  SELECT *,\n${cols.mkString(",\n")}\n  FROM $prev)"
+      }
+      (s"${pfx}e0 AS (\n  SELECT *,\n${eCols.mkString(",\n")}\n  FROM $prev0),\n" +
+        lvCtes.mkString(",\n"))
+    }
+    // left-deep constants: joinExch over the FIXED tree — pure graph
+    // arithmetic, replayed here from the same declared class lists
+    def ldPred(edges: Seq[(Int, Int)], classes: Seq[Int]): Long =
+      (1 until 5).foldLeft((Seq.empty[Int], 0L)) { case ((part, x), k) =>
+        val priorMask = (1 << k) - 1
+        val cs = edges.indices.filter { e =>
+          val (a, b) = edges(e)
+          (a == k && (priorMask & (1 << b)) != 0) ||
+            (b == k && (priorMask & (1 << a)) != 0)
+        }
+        val kk = cs.map(classes).distinct.sorted
+        (kk, x + 2L + (if (part == kk) -1L else 0L))
+      }._2
+    val starEdges = Seq((0, 1), (1, 2), (0, 3), (0, 4))
+    val cycEdges = Seq((0, 1), (1, 2), (2, 3), (3, 4), (4, 0))
+    val starLdPred = ldPred(starEdges, Seq(0, 1, 2, 3))
+    val cycLdPred = ldPred(cycEdges, Seq(0, 1, 2, 2, 3))
+    val starChain = predChain("s", 5,
+      Seq("lineitem", "orders", "customer", "part", "supplier"),
+      Seq("nli", "nord", "ncust", "npart", "nsupp"),
+      starEdges, Seq("sd0", "sd1", "sd2", "sd3"), Seq(0, 1, 2, 3),
+      cutEdgeOrder = true, prev0 = "st")
+    val cycChain = predChain("c", 5,
+      Seq("lineitem", "orders", "customer", "nation", "supplier"),
+      Seq("nli", "nord", "ncust", "nnat", "nsupp"),
+      cycEdges, Seq("cd0", "cd1", "cd2", "cd3", "cd4"),
+      Seq(0, 1, 2, 2, 3), cutEdgeOrder = false, prev0 = "sv5")
+    def ldCost(pfx: String): String =
+      (1 to 4).map(k => s"e$pfx${(1 << (k + 1)) - 1}").mkString(" + ")
+    s"""WITH st AS (
+       |  SELECT (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS nli,
+       |    (SELECT CAST(count(*) AS BIGINT) FROM orders) AS nord,
+       |    (SELECT CAST(count(*) AS BIGINT) FROM customer) AS ncust,
+       |    (SELECT CAST(count(*) AS BIGINT) FROM part) AS npart,
+       |    (SELECT CAST(count(*) AS BIGINT) FROM nation) AS nnat,
+       |    (SELECT CAST(count(*) AS BIGINT) FROM supplier) AS nsupp,
+       |    greatest(
+       |      (SELECT count(DISTINCT l_orderkey) FROM lineitem),
+       |      (SELECT count(DISTINCT o_orderkey) FROM orders)) AS sd0,
+       |    greatest(
+       |      (SELECT count(DISTINCT o_custkey) FROM orders),
+       |      (SELECT count(DISTINCT c_custkey) FROM customer)) AS sd1,
+       |    greatest(
+       |      (SELECT count(DISTINCT l_partkey) FROM lineitem),
+       |      (SELECT count(DISTINCT p_partkey) FROM part)) AS sd2,
+       |    greatest(
+       |      (SELECT count(DISTINCT l_suppkey) FROM lineitem),
+       |      (SELECT count(DISTINCT s_suppkey) FROM supplier)) AS sd3,
+       |    greatest(
+       |      (SELECT count(DISTINCT l_orderkey) FROM lineitem),
+       |      (SELECT count(DISTINCT o_orderkey) FROM orders)) AS cd0,
+       |    greatest(
+       |      (SELECT count(DISTINCT o_custkey) FROM orders),
+       |      (SELECT count(DISTINCT c_custkey) FROM customer)) AS cd1,
+       |    greatest(
+       |      (SELECT count(DISTINCT c_nationkey) FROM customer),
+       |      (SELECT count(DISTINCT n_nationkey) FROM nation)) AS cd2,
+       |    greatest(
+       |      (SELECT count(DISTINCT n_nationkey) FROM nation),
+       |      (SELECT count(DISTINCT s_nationkey) FROM supplier)) AS cd3,
+       |    greatest(
+       |      (SELECT count(DISTINCT s_suppkey) FROM supplier),
+       |      (SELECT count(DISTINCT l_suppkey) FROM lineitem)) AS cd4),
+       |$starChain,
+       |$cycChain
+       |SELECT 'star' AS graph, 'chosen' AS arm, cs31 AS cout_cost,
+       |  ps31 AS plan, CAST(xs31 AS BIGINT) AS n_shuffle_predicted,
+       |  CAST(xs31 AS BIGINT) AS n_sort_predicted FROM cv5
+       |UNION ALL
+       |SELECT 'star', 'left_deep', ${ldCost("s")},
+       |  '((((lineitem*orders)*customer)*part)*supplier)',
+       |  CAST($starLdPred AS BIGINT), CAST($starLdPred AS BIGINT)
+       |FROM cv5
+       |UNION ALL
+       |SELECT 'cycle', 'chosen', cc31, pc31, CAST(xc31 AS BIGINT),
+       |  CAST(xc31 AS BIGINT) FROM cv5
+       |UNION ALL
+       |SELECT 'cycle', 'left_deep', ${ldCost("c")},
+       |  '((((lineitem*orders)*customer)*nation)*supplier)',
+       |  CAST($cycLdPred AS BIGINT), CAST($cycLdPred AS BIGINT)
+       |FROM cv5""".stripMargin
+  }
+
   /** q257's oracle, GENERATED by replaying the engine's byte-gated
     * `dpCcpUnified` symbolically FOUR times over one shared
     * cardinality base (the arms differ only in broadcast eligibility):
@@ -7289,6 +7532,10 @@ object SparkEntry {
     // one cardinality base, widths via the q189 avg-width expression —
     // see [[byteDpSql]]
     "q257_cbo_byte_broadcast" -> byteDpSql,
+    // both probe enumerations replayed with partitioning-state and
+    // exchange-count columns threaded through the cost CASE chains —
+    // see [[modelPredDpSql]]
+    "q258_cbo_model_predictions" -> modelPredDpSql,
     // per-tick observations for both stores (the drifted store adds
     // the planted shift tick: pre-shift grid estimate, rotated-regime
     // actual = the original OFF-diagonal rectangle), the freshness

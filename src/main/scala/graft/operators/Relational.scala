@@ -3421,6 +3421,10 @@ object Relational {
     * instead by the spec: the cyclic chosen arm saves ≥1 shuffle
     * exchange AND ≥1 sort vs left-deep, predictions match
     * measurements on both columns, and both arms' aggregates agree.
+    * Since r20 the MODEL half (C_out, plans, predicted counts) is
+    * additionally oracle-checked through its own row
+    * ([[cboModelPredictionsAudit]], q258) — the exemption here covers
+    * only the genuinely engine-side measured node counts.
     *
     * Scale: both arms cost 1/8 of one join, run once per advisor
     * change; the counts come from plan strings, not extra work. */
@@ -3615,6 +3619,110 @@ object Relational {
       case (k, Some(v)) => conf.set(k, v)
       case (k, None) => conf.unset(k)
     }
+  }
+
+  /** J31c [EXT] — THE MODEL HALF OF THE EXCHANGE PROBE, ORACLE-BACKED
+    * (q258): q253 carries two kinds of columns — plan FACTS (Exchange /
+    * Sort node counts parsed from executed plans, engine-side by
+    * nature, spec-gated forever) and MODEL predictions (`joinExch`
+    * over the DP-chosen and left-deep trees), which are pure integer
+    * arithmetic over ANALYZE statistics and therefore CAN face the
+    * DuckDB oracle. This row moves them there: per (graph, arm) the
+    * C_out cost, the plan, and the predicted shuffle/sort counts —
+    * the same recursion for both, because on equi-join SMJ trees the
+    * sort dimension coincides with the partitioning dimension (the
+    * q253 r20 measurement) — re-derived by an oracle that replays BOTH
+    * enumerations symbolically (the star's cut-edge DP and the cycle's
+    * csg-cmp DP) with the partitioning-state and exchange-count
+    * columns threaded through the same first-minimal CASE chains as
+    * the costs and plans. The left-deep arms' plans and counts are
+    * fixture constants (a fixed tree's joinExch count is graph
+    * arithmetic, independent of cardinalities); their C_out re-derives
+    * from prefix-subset estimates. With this row, q253's oracle
+    * exemption covers ONLY genuinely engine-side facts.
+    *
+    * Scale: pure metadata — two DPs over 5-table graphs and a handful
+    * of integer recursions; no data is read beyond the ANALYZE
+    * store. */
+  def cboModelPredictionsAudit(spark: SparkSession,
+                               dir: String): DataFrame = {
+    val stats = ensureTableStats(spark, dir)
+      .select(col("table_name"), col("column_name"), col("n_rows"),
+        col("ndv")).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3)))
+      .toMap
+    def rowsOf(t: String, c: String): Long = stats((t, c))._1
+    def d(a: (String, String), b: (String, String)): Long =
+      math.max(stats(a)._2, stats(b)._2)
+    val full = 31
+    // --- star (the q245/q253 graph; per-edge classes = edge index) ---
+    val starTables = Seq(
+      ("lineitem", rowsOf("lineitem", "l_orderkey")),
+      ("orders", rowsOf("orders", "o_orderkey")),
+      ("customer", rowsOf("customer", "c_custkey")),
+      ("part", rowsOf("part", "p_partkey")),
+      ("supplier", rowsOf("supplier", "s_suppkey")))
+    val starEdges = Seq(
+      (0, 1, d(("lineitem", "l_orderkey"), ("orders", "o_orderkey"))),
+      (1, 2, d(("orders", "o_custkey"), ("customer", "c_custkey"))),
+      (0, 3, d(("lineitem", "l_partkey"), ("part", "p_partkey"))),
+      (0, 4, d(("lineitem", "l_suppkey"), ("supplier", "s_suppkey"))))
+    val starDp = selingerGraphDp(starTables, starEdges)
+    def predStar(mask: Int): (Seq[Int], Long) = {
+      val cell = starDp(mask)
+      if (cell.cutEdge < 0) (Seq.empty[Int], 0L)
+      else joinExch(predStar(cell.leftMask), predStar(cell.rightMask),
+        Seq(cell.cutEdge))
+    }
+    // --- cycle (the q249 graph) ---
+    val cycTables = Seq(
+      ("lineitem", rowsOf("lineitem", "l_orderkey")),
+      ("orders", rowsOf("orders", "o_orderkey")),
+      ("customer", rowsOf("customer", "c_custkey")),
+      ("nation", rowsOf("nation", "n_nationkey")),
+      ("supplier", rowsOf("supplier", "s_suppkey")))
+    val cycEdges = Seq(
+      (0, 1, d(("lineitem", "l_orderkey"), ("orders", "o_orderkey"))),
+      (1, 2, d(("orders", "o_custkey"), ("customer", "c_custkey"))),
+      (2, 3, d(("customer", "c_nationkey"), ("nation", "n_nationkey"))),
+      (3, 4, d(("nation", "n_nationkey"), ("supplier", "s_nationkey"))),
+      (4, 0, d(("supplier", "s_suppkey"), ("lineitem", "l_suppkey"))))
+    val cycDp = dpCcp(cycTables, cycEdges)
+    def predCyc(mask: Int): (Seq[Int], Long) = {
+      val cell = cycDp(mask)
+      if (cell.crossEdges.isEmpty) (Seq.empty[Int], 0L)
+      else joinExch(predCyc(cell.leftMask), predCyc(cell.rightMask),
+        cell.crossEdges.map(CycleKeyClasses).distinct.sorted)
+    }
+    def predLeftDeep(edges: Seq[(Int, Int, Long)],
+                     classes: Seq[Int]): Long =
+      (1 until 5).foldLeft((Seq.empty[Int], 0L)) { case (acc, k) =>
+        val priorMask = (1 << k) - 1
+        val cs = edges.indices.filter { e =>
+          val (a, b, _) = edges(e)
+          (a == k && (priorMask & (1 << b)) != 0) ||
+            (b == k && (priorMask & (1 << a)) != 0)
+        }
+        joinExch(acc, (Seq.empty[Int], 0L), cs.map(classes).distinct.sorted)
+      }._2
+    def prefixCost(est: Int => Long): Long =
+      (1 to 4).map(k => est((1 << (k + 1)) - 1)).sum
+    val rows = Seq(
+      ("star", "chosen", starDp(full).cost, starDp(full).plan,
+        predStar(full)._2),
+      ("star", "left_deep", prefixCost(m => starDp(m).est),
+        "((((lineitem*orders)*customer)*part)*supplier)",
+        predLeftDeep(starEdges, Seq(0, 1, 2, 3))),
+      ("cycle", "chosen", cycDp(full).cost, cycDp(full).plan,
+        predCyc(full)._2),
+      ("cycle", "left_deep", prefixCost(m => cycDp(m).est),
+        "((((lineitem*orders)*customer)*nation)*supplier)",
+        predLeftDeep(cycEdges, CycleKeyClasses)))
+    import spark.implicits._
+    rows.map { case (g, a, c, p, x) => (g, a, c, p, x, x) }
+      .toDF("graph", "arm", "cout_cost", "plan", "n_shuffle_predicted",
+        "n_sort_predicted")
   }
 
   /** One state of the EXCHANGE-AWARE enumeration, keyed by (subset,

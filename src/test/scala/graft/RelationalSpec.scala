@@ -2350,6 +2350,29 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("q258 model predictions: the probe's model half, oracle-shaped — cycle reuse saves one predicted exchange AND sort") {
+    val rows = Relational.cboModelPredictionsAudit(spark, TestSpark.Sf0001)
+      .as[(String, String, Long, String, Long, Long)].collect()
+    assert(rows.length == 4)
+    val byKey = rows.map(r => (r._1, r._2) -> r).toMap
+    // sort predictions equal shuffle predictions on every arm (the
+    // q253 coincidence measurement, here as the model's own claim)
+    rows.foreach(r => assert(r._5 == r._6, s"$r"))
+    val cc = byKey(("cycle", "chosen"))
+    val cl = byKey(("cycle", "left_deep"))
+    // the nationkey-chain reuse: one fewer predicted exchange than the
+    // key-switching left-deep order — and q253's spec pins these very
+    // predictions equal to the MEASURED node counts
+    assert(cc._5 == 7L && cl._5 == 8L, s"${cc._5} vs ${cl._5}")
+    assert(cc._3 < cl._3, "the DP tree also wins on C_out")
+    val sc = byKey(("star", "chosen"))
+    val sl = byKey(("star", "left_deep"))
+    // the pure-FK star honestly ties: every tree pays 8
+    assert(sc._5 == 8L && sl._5 == 8L)
+    assert(cc._4 == "(lineitem*(orders*(customer*(nation*supplier))))",
+      cc._4)
+  }
+
   test("dpCcpUnified byte gate: uniform widths reduce to the row form; a wide dim flips the ship side") {
     val tables = Seq(("l", 6000L), ("o", 1500L), ("c", 150L),
       ("n", 25L), ("s", 10L))

@@ -74,29 +74,33 @@ object Bench {
       // scan to the MATCHING close brace (depth counter, honoring string
       // literals), not the first '}': a nested object inside `queries`
       // would otherwise silently truncate the parse and the divergence
-      // check would degrade with no signal
+      // check would degrade with no signal. Only DEPTH-1 characters are
+      // kept for the key:number regex — harvesting inside a nested
+      // object would invent reference entries from its inner fields
       var depth = 1
       var i = m.end
       var inStr = false
+      val body = new StringBuilder
+      var nested = false
       while (i < txt.length && depth > 0) {
         val c = txt.charAt(i)
+        if (depth == 1 && !(c == '}' && !inStr)) body.append(c)
         if (inStr) {
-          if (c == '\\') i += 1
+          if (c == '\\') { i += 1; if (depth == 1 && i < txt.length) body.append(txt.charAt(i)) }
           else if (c == '"') inStr = false
         } else c match {
           case '"' => inStr = true
-          case '{' => depth += 1
+          case '{' => depth += 1; nested = true
           case '}' => depth -= 1
           case _ =>
         }
         i += 1
       }
-      val body = txt.substring(m.end, if (depth == 0) i - 1 else txt.length)
-      if (body.contains('{'))
+      if (nested)
         System.err.println(
           "[bench] warning: nested object inside the reference's queries map")
       "\"([A-Za-z0-9_]+)\"\\s*:\\s*(-?[0-9]+(?:\\.[0-9]+)?(?:[eE][+-]?[0-9]+)?)".r
-        .findAllMatchIn(body)
+        .findAllMatchIn(body.toString)
         .map(g => g.group(1) -> g.group(2).toDouble)
         .toMap.filter(_._2 > 0.0)
     }.getOrElse(Map.empty)

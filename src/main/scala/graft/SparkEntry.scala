@@ -1064,8 +1064,10 @@ object SparkEntry {
     "q256_planned_query" -> ((s: SparkSession, d: String) =>
       Relational.plannedStarQuery(s, d)),
     // the BYTE-form broadcast gate: the DP's eligibility priced as
-    // est_rows x the ANALYZE store's avg_width (a subset's width is
-    // the sum of its members' - one wide dim poisons every superset);
+    // est_rows x the ANALYZE store's avg_width (a subset's gate width
+    // is the MAX of its members - the dominant-column model: one wide
+    // dim poisons every superset, uniform widths reduce to the row
+    // form; the sum is emitted next to the max);
     // four instantiations - row gate, the uniform-width reduction
     // (cell-for-cell equal), the store's real widths, and a planted
     // 2500-byte customer that flips broadcast->shuffle at constant

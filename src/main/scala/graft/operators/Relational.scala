@@ -4366,11 +4366,14 @@ object Relational {
     * build side, and the ANALYZE store has carried `avg_width` since
     * A45 without any consumer pricing it. This row closes that:
     * [[dpCcpUnified]] gains a byte-form eligibility (est_rows ×
-    * Σ avg_width ≤ limit, widths in millionths so the whole gate stays
-    * integer), where a SUBSET's width is the sum of its members' — a
-    * join output carries both sides' columns, so one wide dimension
-    * poisons every superset containing it. The audit runs the unified
-    * DP on the store's Q5 cycle FOUR ways, the full state table each:
+    * width ≤ limit, widths in millionths so the whole gate stays
+    * integer), where a SUBSET's gate width is the MAX of its members'
+    * (the dominant-column model — a join output carries both sides'
+    * columns, so one wide dimension poisons every superset containing
+    * it, and uniform widths reduce exactly to the row form; the Σ
+    * width is emitted next to the max for the record). The audit runs
+    * the unified DP on the store's Q5 cycle FOUR ways, the full state
+    * table each:
     *
     *  - `rows`: the row gate at 10 000 (q255's exact DP — baseline);
     *  - `bytes_uniform`: byte gate, every width 1 byte, limit 10 000
@@ -4528,11 +4531,16 @@ object Relational {
           val subset = names.indices.filter(i => (m & (1 << i)) != 0)
             .map(names).mkString(",")
           val w = widthE6(m)
+          val bytes = BigInt(cell.est) * BigInt(w)
+          // fail fast on overflow: the oracle's HUGEINT→BIGINT cast
+          // errors at the same point, so wrapping negative here would
+          // be a silent engine/oracle asymmetry
+          require(bytes.isValidLong, s"bytes_e6 overflows Long: $bytes")
           org.apache.spark.sql.Row(
             label, subset, partLabel(p, CycleClassNames),
             java.lang.Integer.bitCount(m).toLong, cell.est, w,
             widthSumE6(m),
-            (BigInt(cell.est) * BigInt(w)).toLong, cell.cost, cell.op,
+            bytes.toLong, cell.cost, cell.op,
             cell.nShuffleExch, cell.nBcastExch, cell.plan,
             partLabel(win.part, CycleClassNames), win.cost, win.op,
             win.nShuffleExch, win.nBcastExch, win.plan,
@@ -5455,7 +5463,11 @@ object Relational {
                                            predClass: String): Long = {
     val root = ensureFeedbackStats(spark, dir)
     val fr = feedbackFreshness(spark, root, predClass)
-    if (fr.stale) 1000000L else fr.pooledE6
+    // an ABSENT class is a refusal too: its pooled ratio folds to
+    // 0/1 = 0, and a ×0 "correction" would collapse any estimate to
+    // ~0 rows — a new wrong estimate, not a fallback (the q256 guard,
+    // moved into the shared consumer so every LEO reader gets it)
+    if (fr.stale || fr.nTicks == 0L) 1000000L else fr.pooledE6
   }
 
   /** A65 [EXT] — INCREMENTAL FEEDBACK-STORE MAINTENANCE (q250): the
@@ -5715,8 +5727,10 @@ object Relational {
     * everything above the executed winner must stay off the data
     * path. */
   def plannedStarQuery(spark: SparkSession, dir: String,
-                       fbRootOverride: Option[String] = None,
-                       nBuckets: Int = 16): DataFrame = {
+                       fbRootOverride: Option[String] = None): DataFrame = {
+    // bucket count is ORACLE-PINNED: plannedDpSql hardcodes the same
+    // 16-bucket build, so this is a named constant, not a knob
+    val nBuckets = 16
     val stats = ensureTableStats(spark, dir)
       .select(col("table_name"), col("column_name"), col("n_rows"),
         col("ndv")).collect()

@@ -140,8 +140,8 @@ object CostFitProbe {
         else (c.leftMask, c.rightMask,
           c.crossEdges.map(cycClasses).distinct.sorted)
       }
-      def ldTree(edges: Seq[(Int, Int, Long)], classes: Seq[Int],
-                 est: Int => Long)(m: Int): (Int, Int, Seq[Int]) = {
+      def ldTree(edges: Seq[(Int, Int, Long)],
+                 classes: Seq[Int])(m: Int): (Int, Int, Seq[Int]) = {
         val k = 31 - java.lang.Integer.numberOfLeadingZeros(m)
         if (java.lang.Integer.bitCount(m) == 1) (0, 0, Nil)
         else {
@@ -235,12 +235,12 @@ object CostFitProbe {
           ("star", "chosen", starEst, starTree _,
             () => buildStar(full)),
           ("star", "left_deep", starEst,
-            ldTree(starEdges, Seq(0, 1, 2, 3), starEst) _,
+            ldTree(starEdges, Seq(0, 1, 2, 3)) _,
             () => buildLd(starDfs, starEdges, starConds)),
           ("cycle", "chosen", cycEst, cycTree _,
             () => buildCyc(full)),
           ("cycle", "left_deep", cycEst,
-            ldTree(cycEdges, cycClasses, cycEst) _,
+            ldTree(cycEdges, cycClasses) _,
             () => buildLd(cycDfs, cycEdges, cycConds))
         ).map { case (g, a, est, tree, mk) =>
           val (_, cout, shuf) = smjFeatures(est, tree, full)
@@ -321,7 +321,11 @@ object CostFitProbe {
     val exUnit = exchWinner(100L)
     val unFit = uniWinner(dBcastE2)
     val unUnit = uniWinner(100L)
-    val fastest = points.filter(p => p._2 == "cycle").minBy(_._7)
+    // fastest cycle arm PER SF (a global min would always land on the
+    // smallest SF's point and say nothing about the others)
+    val fastestPerSf = points.filter(_._2 == "cycle").groupBy(_._1)
+      .map { case (sf, ps) => sf -> ps.minBy(_._7)._3 }
+    val chosenFastestAllSfs = fastestPerSf.values.forall(_ == "chosen")
     println(
       f"""{"raw_fit_ill_conditioned":{"alpha_cout":$a%.3e,"beta_shuffle":$b%.3e,"gamma_bcast":$c%.3e,"intercept":$d0%.3e},""" +
       f""""combined_rate_sec_per_row":$combinedRate%.3e,"shuffle_rate_ub_sec_per_row":$shuffleRateUb%.3e,""" +
@@ -330,7 +334,10 @@ object CostFitProbe {
       s""""exch_stable":${exFit.plan == exUnit.plan},""" +
       s""""uni_fitted_plan":"${unFit.plan}","uni_unit_plan":"${unUnit.plan}",""" +
       s""""uni_stable":${unFit.plan == unUnit.plan},""" +
-      s""""cycle_fastest_arm":"${fastest._3}"}""")
+      s""""cycle_fastest_arm_per_sf":{${fastestPerSf.map {
+        case (sf, a) => s""""$sf":"$a""""
+      }.mkString(",")}},""" +
+      s""""cycle_chosen_fastest_all_sfs":$chosenFastestAllSfs}""")
     spark.stop()
   }
 }

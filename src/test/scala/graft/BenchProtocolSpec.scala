@@ -29,13 +29,15 @@ class BenchProtocolSpec extends AnyFunSuite {
     assert(Bench.parseRefTimes("""{"metric":"total"}""").isEmpty)
     assert(Bench.parseRefTimes("").isEmpty)
   }
-  test("parseRefTimes: nested object inside queries does not truncate") {
+  test("parseRefTimes: nested object inside queries does not truncate, and its inner fields do not leak") {
     // the r19 parser sliced at the FIRST '}', so a nested object lost
-    // every entry after it; the depth-counting scan keeps them
-    val txt = """{"queries":{"q01_a":0.39,"q02_o":{"inner":1.0},"q03_b":2.0}}"""
+    // every entry after it; the depth-counting scan keeps them — and
+    // harvests ONLY depth-1 pairs, so a nested object's inner fields
+    // can't masquerade as reference entries
+    val txt = """{"queries":{"q01_a":0.39,"q02_o":{"inner":1.0,"best":2.5},"q03_b":2.0}}"""
     val m = Bench.parseRefTimes(txt)
-    assert(m.get("q01_a").contains(0.39) && m.get("q03_b").contains(2.0),
-      s"entries after the nested object survive: $m")
+    assert(m == Map("q01_a" -> 0.39, "q03_b" -> 2.0),
+      s"only depth-1 entries survive: $m")
   }
   test("parseRefTimes: brace inside a string value does not derail the scan") {
     val txt = """{"queries":{"q01_a":0.39},"errors":{"q9":"msg with } brace"},"queries_not":{}}"""

@@ -2348,6 +2348,11 @@ class RelationalSpec extends AnyFunSuite {
       assert(g[Long](r, "n_ticks") == 0L &&
         g[Long](r, "corr_used_e6") == 1000000L, s"absent class: $r")
     }
+    // the SHARED consumer refuses an absent class too (its pooled
+    // ratio folds to 0/1 = 0 — a x0 correction would collapse every
+    // estimate, the exact hazard the gate exists to prevent)
+    assert(Relational.feedbackCorrectionFor(spark, d,
+      "no_such_class") == 1000000L)
   }
 
   test("q258 model predictions: the probe's model half, oracle-shaped — cycle reuse saves one predicted exchange AND sort") {

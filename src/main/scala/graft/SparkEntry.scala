@@ -1080,7 +1080,15 @@ object SparkEntry {
     // statistics, so q253's oracle exemption now covers ONLY the
     // genuinely engine-side plan facts (the measured node counts)
     "q258_cbo_model_predictions" -> ((s: SparkSession, d: String) =>
-      Relational.cboModelPredictionsAudit(s, d))
+      Relational.cboModelPredictionsAudit(s, d)),
+    // the planned query COMPOSED with the byte gate: the corrected
+    // fact cardinality decides how much moves, the store's widths
+    // decide whether it fits - per predicate the unified DP runs
+    // byte-gated on store widths (executed, full-size) and on the
+    // planted 2500-byte customer (the q237 hazard injected into the
+    // planned path; the winner flips its ship side)
+    "q259_planned_query_bytes" -> ((s: SparkSession, d: String) =>
+      Relational.plannedStarQueryBytes(s, d))
   )
 
   /** The session-shared `ensure*` leaves at the registry consumers'
@@ -2516,6 +2524,483 @@ object SparkEntry {
        |  '((((lineitem*orders)*customer)*nation)*supplier)',
        |  CAST($cycLdPred AS BIGINT), CAST($cycLdPred AS BIGINT)
        |FROM cv5""".stripMargin
+  }
+
+  /** q259's oracle — the COMPOSITION replayed: q256's estimator and
+    * correction CTEs produce the per-predicate corrected fact
+    * cardinality, q257's width CTEs produce the byte gate, and FOUR
+    * byte-gated `dpCcpUnified` chains run (2 predicates × store /
+    * planted-wide widths; suffixes _ns/_nw/_ws/_ww). Per predicate
+    * the STORE-width arm's full state table is emitted with both
+    * arms' winners, the flip flag, and the executed aggregate. */
+  private val plannedBytesDpSql: String = {
+    val n = 5
+    val edges = Seq((0, 1), (1, 2), (2, 3), (3, 4), (4, 0))
+    val classes = Seq(0, 1, 2, 2, 3)
+    val classNames = Seq("orderkey", "custkey", "nationkey", "suppkey")
+    val names = Seq("lineitem", "orders", "customer", "nation", "supplier")
+    val restCols = Seq("nord", "ncust", "nnat", "nsupp")
+    val statCols: Seq[(String, Seq[String])] = Seq(
+      "lineitem" -> Seq("l_orderkey", "l_partkey", "l_suppkey"),
+      "orders" -> Seq("o_custkey", "o_orderstatus", "o_orderkey"),
+      "customer" -> Seq("c_mktsegment", "c_custkey", "c_nationkey"),
+      "nation" -> Seq("n_nationkey"),
+      "supplier" -> Seq("s_suppkey", "s_nationkey"))
+    val Sent = "1000000000000000"
+    val Planted = "2500000000"
+    def inM(i: Int, m: Int): Boolean = (m & (1 << i)) != 0
+    def induced(m: Int): Seq[Int] = edges.indices.filter { e =>
+      inM(edges(e)._1, m) && inM(edges(e)._2, m)
+    }
+    def connected(m: Int): Boolean = {
+      if (m == 0) return false
+      val seed = java.lang.Integer.numberOfTrailingZeros(m)
+      var comp = 1 << seed
+      var frontier = List(seed)
+      while (frontier.nonEmpty) {
+        val v = frontier.head; frontier = frontier.tail
+        edges.foreach { case (a, b) =>
+          val next = if (a == v) b else if (b == v) a else -1
+          if (next >= 0 && inM(next, m) && !inM(next, comp)) {
+            comp |= 1 << next
+            frontier = next :: frontier
+          }
+        }
+      }
+      comp == m
+    }
+    def single(m: Int): Boolean = java.lang.Integer.bitCount(m) == 1
+    def tz(m: Int): Int = java.lang.Integer.numberOfTrailingZeros(m)
+    // per-suffix pred variant (narrow/wide fact) and width arm
+    def predOf(sfx: String): String = if (sfx.charAt(1) == 'n') "n" else "w"
+    val armW: Map[Char, Int => String] = Map(
+      's' -> ((i: Int) => s"w$i"),
+      'w' -> ((i: Int) => if (i == 2) Planted else s"w$i"))
+    def wOf(sfx: String): Int => String = armW(sfx.charAt(2))
+    def rowCol(i: Int, sfx: String): String =
+      if (i == 0) s"nfact_${predOf(sfx)}" else restCols(i - 1)
+    def estExpr(m: Int, sfx: String): String = {
+      def prod(cols: Seq[String]): String =
+        (s"CAST(${cols.head} AS HUGEINT)" +: cols.tail).mkString(" * ")
+      val num = prod((0 until n).filter(inM(_, m)).map(rowCol(_, sfx)))
+      val den = induced(m).map(e => s"d$e")
+      s"CAST($num // (${prod(den)}) AS BIGINT)"
+    }
+    def estRef(m: Int, sfx: String): String =
+      if (single(m)) rowCol(tz(m), sfx)
+      else if (inM(0, m)) s"e_${m}_${predOf(sfx)}"
+      else s"e_$m"
+    def wMaxOf(m: Int, w: Int => String): String = {
+      val ms = (0 until n).filter(inM(_, m)).map(w)
+      if (ms.length == 1) ms.head else s"greatest(${ms.mkString(", ")})"
+    }
+    def elig(sfx: String, ship: Int): String =
+      s"CAST(${estRef(ship, sfx)} AS HUGEINT) * " +
+        s"${wMaxOf(ship, wOf(sfx))} <= CAST(limsw AS HUGEINT)"
+    def pid(p: Seq[Int]): String =
+      if (p.isEmpty) "none" else p.mkString("_")
+    def pLabel(p: Seq[Int]): String =
+      if (p.isEmpty) "none" else p.map(classNames).mkString("+")
+    val compositeMasks = (3 to (1 << n) - 1)
+      .filter(m => java.lang.Integer.bitCount(m) >= 2 && connected(m))
+    case class Split(s1: Int, s2: Int, cross: Seq[Int], k: Seq[Int])
+    val splitsOf: Map[Int, Seq[Split]] = compositeMasks.map { m =>
+      val low = 1 << tz(m)
+      val subs = scala.collection.mutable.ArrayBuffer.empty[Int]
+      var sub = (m - 1) & m
+      while (sub != 0) { subs += sub; sub = (sub - 1) & m }
+      m -> subs.reverseIterator.flatMap { s1 =>
+        val s2 = m & ~s1
+        val ok = (s1 & low) != 0 &&
+          (single(s1) || connected(s1)) && (single(s2) || connected(s2))
+        if (ok) {
+          val cross = edges.indices.filter { e =>
+            val (a, b) = edges(e)
+            (inM(a, s1) && inM(b, s2)) || (inM(a, s2) && inM(b, s1))
+          }
+          if (cross.nonEmpty)
+            Some(Split(s1, s2, cross, cross.map(classes).distinct.sorted))
+          else None
+        } else None
+      }.toSeq
+    }.toMap
+    val statesOf = scala.collection.mutable.Map[Int, Seq[Seq[Int]]](
+      (0 until n).map(i => (1 << i) -> Seq(Seq.empty[Int])): _*)
+    compositeMasks.foreach { m =>
+      val ss = splitsOf(m).flatMap { sp =>
+        sp.k +: (statesOf(sp.s1) ++ statesOf(sp.s2))
+      }.distinct.sortBy(_.mkString(","))
+      statesOf(m) = ss
+    }
+    case class UCand(kind: Int, sp: Split, stream: Seq[Int])
+    def candsFor(m: Int, p: Seq[Int]): Seq[UCand] =
+      splitsOf(m).flatMap { sp =>
+        val sh = if (sp.k == p) Seq(UCand(0, sp, Nil)) else Nil
+        val br = statesOf(sp.s1).filter(_ == p).map(UCand(1, sp, _))
+        val bl = statesOf(sp.s2).filter(_ == p).map(UCand(2, sp, _))
+        sh ++ br ++ bl
+      }
+    def cRef(m: Int, p: Seq[Int], sfx: String): String =
+      if (single(m)) "0" else s"c_${m}_${pid(p)}$sfx"
+    def pRef(m: Int, p: Seq[Int], sfx: String): String =
+      if (single(m)) s"'${names(tz(m))}'" else s"p_${m}_${pid(p)}$sfx"
+    def xsRef(m: Int, p: Seq[Int], sfx: String): String =
+      if (single(m)) "0" else s"xs_${m}_${pid(p)}$sfx"
+    def xbRef(m: Int, p: Seq[Int], sfx: String): String =
+      if (single(m)) "0" else s"xb_${m}_${pid(p)}$sfx"
+    def cmRef(m: Int, sfx: String): String =
+      if (single(m)) "0" else s"cm_$m$sfx"
+    def pmRef(m: Int, sfx: String): String =
+      if (single(m)) s"'${names(tz(m))}'" else s"pm_$m$sfx"
+    def xsmRef(m: Int, sfx: String): String =
+      if (single(m)) "0" else s"xsm_$m$sfx"
+    def xbmRef(m: Int, sfx: String): String =
+      if (single(m)) "0" else s"xbm_$m$sfx"
+    def dE(e: String): String =
+      s"CAST(CAST($e AS HUGEINT) * 100 // 100 AS BIGINT)"
+    def shSide(s: Int, k: Seq[Int], sfx: String)
+        : (String, String, String, String) = {
+      val fresh = s"(${cmRef(s, sfx)} + ${dE(estRef(s, sfx))})"
+      if (statesOf(s).contains(k)) {
+        val (c, p) = (cRef(s, k, sfx), pRef(s, k, sfx))
+        (s"least($c, $fresh)",
+          s"CASE WHEN $c <= $fresh THEN $p ELSE ${pmRef(s, sfx)} END",
+          s"CASE WHEN $c <= $fresh THEN ${xsRef(s, k, sfx)}" +
+            s" ELSE ${xsmRef(s, sfx)} + 1 END",
+          s"CASE WHEN $c <= $fresh THEN ${xbRef(s, k, sfx)}" +
+            s" ELSE ${xbmRef(s, sfx)} END")
+      } else
+        (fresh, pmRef(s, sfx), s"${xsmRef(s, sfx)} + 1", xbmRef(s, sfx))
+    }
+    def candExprs(m: Int, cd: UCand, sfx: String)
+        : (String, String, String, String, String) = cd.kind match {
+      case 0 =>
+        val (lc, lp, lsh, lbc) = shSide(cd.sp.s1, cd.sp.k, sfx)
+        val (rc, rp, rsh, rbc) = shSide(cd.sp.s2, cd.sp.k, sfx)
+        (s"($lc + $rc + ${estRef(m, sfx)})",
+          s"'(' || $lp || '*' || $rp || ')'",
+          s"($lsh + $rsh)", s"($lbc + $rbc)", "'shuffle'")
+      case 1 =>
+        val (s1, s2, p1) = (cd.sp.s1, cd.sp.s2, cd.stream)
+        (s"CASE WHEN ${elig(sfx, s2)} THEN " +
+          s"${cRef(s1, p1, sfx)} + ${cmRef(s2, sfx)} + " +
+          s"${estRef(m, sfx)} + ${dE(estRef(s2, sfx))} ELSE $Sent END",
+          s"'(' || ${pRef(s1, p1, sfx)} || '*' || ${pmRef(s2, sfx)} || ')'",
+          s"(${xsRef(s1, p1, sfx)} + ${xsmRef(s2, sfx)})",
+          s"(${xbRef(s1, p1, sfx)} + ${xbmRef(s2, sfx)} + 1)",
+          "'broadcast_right'")
+      case _ =>
+        val (s1, s2, p2) = (cd.sp.s1, cd.sp.s2, cd.stream)
+        (s"CASE WHEN ${elig(sfx, s1)} THEN " +
+          s"${cmRef(s1, sfx)} + ${cRef(s2, p2, sfx)} + " +
+          s"${estRef(m, sfx)} + ${dE(estRef(s1, sfx))} ELSE $Sent END",
+          s"'(' || ${pmRef(s1, sfx)} || '*' || ${pRef(s2, p2, sfx)} || ')'",
+          s"(${xsmRef(s1, sfx)} + ${xsRef(s2, p2, sfx)})",
+          s"(${xbmRef(s1, sfx)} + ${xbRef(s2, p2, sfx)} + 1)",
+          "'broadcast_left'")
+    }
+    def chain(sfx: String, prev0: String): String = {
+      val levels = compositeMasks.groupBy(java.lang.Integer.bitCount)
+        .toSeq.sortBy(_._1)
+      levels.map { case (pc, masks) =>
+        val candIds = masks.flatMap { m =>
+          statesOf(m).flatMap { p =>
+            candsFor(m, p).indices.map(i => s"${m}_${pid(p)}_$i$sfx")
+          }
+        }
+        val aCols = masks.flatMap { m =>
+          statesOf(m).flatMap { p =>
+            candsFor(m, p).zipWithIndex.flatMap { case (cd, i) =>
+              val (kc, kp, ks, kb, _) = candExprs(m, cd, sfx)
+              val t = s"${m}_${pid(p)}_$i$sfx"
+              Seq(s"    $kc AS kc_$t", s"    $kp AS kp_$t",
+                s"    $ks AS ks_$t", s"    $kb AS kb_$t")
+            }
+          }
+        }
+        val bCols = masks.flatMap { m =>
+          statesOf(m).flatMap { p =>
+            val cs = candsFor(m, p)
+            val ids = cs.indices.map(i => s"${m}_${pid(p)}_$i$sfx")
+            val kcs = ids.map(t => s"kc_$t")
+            def choose(pick: Int => String, name: String): String =
+              if (cs.length == 1) s"    ${pick(0)} AS $name"
+              else {
+                val whens = cs.indices.init.map { i =>
+                  val laterLe = (i + 1 until cs.length)
+                    .map(j => s"${kcs(i)} <= ${kcs(j)}").mkString(" AND ")
+                  s"      WHEN $laterLe THEN ${pick(i)}"
+                }
+                s"    CASE\n${whens.mkString("\n")}\n      ELSE " +
+                  s"${pick(cs.length - 1)} END AS $name"
+              }
+            Seq(
+              s"    CAST(least(${kcs.mkString(", ")}) AS BIGINT)" +
+                s" AS c_${m}_${pid(p)}$sfx",
+              choose(i => s"kp_${ids(i)}", s"p_${m}_${pid(p)}$sfx"),
+              choose(i => s"CAST(ks_${ids(i)} AS BIGINT)",
+                s"xs_${m}_${pid(p)}$sfx"),
+              choose(i => s"CAST(kb_${ids(i)} AS BIGINT)",
+                s"xb_${m}_${pid(p)}$sfx"),
+              choose(i => candExprs(m, cs(i), sfx)._5,
+                s"op_${m}_${pid(p)}$sfx"))
+          }
+        }
+        val cCols = masks.flatMap { m =>
+          val sts = statesOf(m)
+          val cvs = sts.map(p => s"c_${m}_${pid(p)}$sfx")
+          def choose(pick: Seq[Int] => String, name: String): String =
+            if (sts.length == 1) s"    ${pick(sts.head)} AS $name"
+            else {
+              val whens = sts.indices.init.map { i =>
+                val laterLe = (i + 1 until sts.length)
+                  .map(j => s"${cvs(i)} <= ${cvs(j)}").mkString(" AND ")
+                s"      WHEN $laterLe THEN ${pick(sts(i))}"
+              }
+              s"    CASE\n${whens.mkString("\n")}\n      ELSE " +
+                s"${pick(sts.last)} END AS $name"
+            }
+          Seq(
+            s"    least(${cvs.mkString(", ")}) AS cm_$m$sfx",
+            choose(p => s"p_${m}_${pid(p)}$sfx", s"pm_$m$sfx"),
+            choose(p => s"xs_${m}_${pid(p)}$sfx", s"xsm_$m$sfx"),
+            choose(p => s"xb_${m}_${pid(p)}$sfx", s"xbm_$m$sfx"))
+        }
+        val drop = candIds.flatMap(t =>
+          Seq(s"kc_$t", s"kp_$t", s"ks_$t", s"kb_$t"))
+        val prev = if (pc == 2) prev0 else s"qv${pc - 1}c$sfx"
+        Seq(
+          s"qv${pc}a$sfx AS (\n  SELECT *,\n${aCols.mkString(",\n")}\n  FROM $prev)",
+          s"qv${pc}b$sfx AS (\n  SELECT *,\n${bCols.mkString(",\n")}\n  FROM qv${pc}a$sfx)",
+          s"qv${pc}c$sfx AS (\n  SELECT * EXCLUDE (${drop.mkString(", ")}),\n${cCols.mkString(",\n")}\n  FROM qv${pc}b$sfx)")
+          .mkString(",\n")
+      }.mkString(",\n")
+    }
+    val fullM = (1 << n) - 1
+    def winnerCols(sfx: String): String = {
+      val sts = statesOf(fullM)
+      val cvs = sts.map(p => s"c_${fullM}_${pid(p)}$sfx")
+      def choose(pick: Seq[Int] => String, name: String): String = {
+        val whens = sts.indices.init.map { i =>
+          val laterLe = (i + 1 until sts.length)
+            .map(j => s"${cvs(i)} <= ${cvs(j)}").mkString(" AND ")
+          s"      WHEN $laterLe THEN ${pick(sts(i))}"
+        }
+        s"    CASE\n${whens.mkString("\n")}\n      ELSE " +
+          s"${pick(sts.last)} END AS $name"
+      }
+      Seq(
+        choose(p => s"'${pLabel(p)}'", s"qwpart$sfx"),
+        s"    least(${cvs.mkString(", ")}) AS qwcost$sfx",
+        choose(p => s"op_${fullM}_${pid(p)}$sfx", s"qwop$sfx"),
+        choose(p => s"xs_${fullM}_${pid(p)}$sfx", s"qwxs$sfx"),
+        choose(p => s"xb_${fullM}_${pid(p)}$sfx", s"qwxb$sfx"),
+        choose(p => s"p_${fullM}_${pid(p)}$sfx", s"qwplan$sfx"))
+        .mkString(",\n")
+    }
+    val suffixes = Seq("_ns", "_nw", "_ws", "_ww")
+    val ee = (compositeMasks.filterNot(inM(0, _))
+      .map(m => s"    ${estExpr(m, "_ns")} AS e_$m") ++
+      compositeMasks.filter(inM(0, _)).flatMap(m => Seq(
+        s"    ${estExpr(m, "_ns")} AS e_${m}_n",
+        s"    ${estExpr(m, "_ws")} AS e_${m}_w")))
+      .mkString(",\n")
+    val eeKeep: Seq[String] = restCols ++
+      Seq("nfact_n", "nfact_w", "hist_nf", "hist_wf", "corr_e6",
+        "limsw") ++ (0 until n).map(i => s"w$i") ++
+      compositeMasks.filterNot(inM(0, _)).map(m => s"e_$m") ++
+      compositeMasks.filter(inM(0, _)).flatMap(m =>
+        Seq(s"e_${m}_n", s"e_${m}_w"))
+    val lastLv = compositeMasks.map(java.lang.Integer.bitCount).max
+    val stateCols: String => Seq[String] = sfx =>
+      compositeMasks.flatMap { m =>
+        statesOf(m).flatMap { p =>
+          val t = s"${m}_${pid(p)}$sfx"
+          Seq(s"c_$t", s"p_$t", s"xs_$t", s"xb_$t", s"op_$t")
+        }
+      }
+    def outRows(label: String, s: String, w: String): String = {
+      val pv = predOf(s)
+      val traceCols =
+        s"""    CAST(hist_${pv}f AS BIGINT) AS hist_est_e6,
+           |    CAST(hist_${pv}f // 1000 AS BIGINT) AS est_default_e6,
+           |    corr_e6 AS corr_used_e6, nfact_$pv AS est_fact_fb,
+           |    CAST(limsw AS BIGINT) AS lim_bytes_e6""".stripMargin
+      val winCols =
+        s"""    qwpart$s AS store_winner_part,
+           |    qwcost$s AS store_winner_cost, qwop$s AS store_winner_op,
+           |    CAST(qwxs$s AS BIGINT) AS store_winner_n_shuffle,
+           |    CAST(qwxb$s AS BIGINT) AS store_winner_n_bcast,
+           |    qwplan$s AS store_winner_plan,
+           |    qwpart$w AS wide_winner_part,
+           |    qwcost$w AS wide_winner_cost, qwop$w AS wide_winner_op,
+           |    CAST(qwxs$w AS BIGINT) AS wide_winner_n_shuffle,
+           |    CAST(qwxb$w AS BIGINT) AS wide_winner_n_bcast,
+           |    qwplan$w AS wide_winner_plan,
+           |    (qwplan$s <> qwplan$w OR qwpart$s <> qwpart$w
+           |      OR qwop$s <> qwop$w OR qwxs$s <> qwxs$w
+           |      OR qwxb$s <> qwxb$w) AS winners_differ""".stripMargin
+      def wM(m: Int): String =
+        s"CAST(${wMaxOf(m, armW('s'))} AS BIGINT)"
+      ((0 until n).map { i =>
+        val est = if (i == 0) s"nfact_$pv" else restCols(i - 1)
+        s"""  SELECT '$label' AS pred_label,
+           |$traceCols,
+           |    '${names(i)}' AS subset, 'none' AS part,
+           |    CAST(1 AS BIGINT) AS n_tables,
+           |    $est AS est_rows, ${wM(1 << i)} AS width_e6,
+           |    CAST(0 AS BIGINT) AS cost, 'leaf' AS op,
+           |    CAST(0 AS BIGINT) AS n_shuffle_exch,
+           |    CAST(0 AS BIGINT) AS n_bcast_exch, '${names(i)}' AS plan,
+           |$winCols
+           |  FROM qw""".stripMargin
+      } ++ compositeMasks.flatMap { m =>
+        val nm = (0 until n).filter(inM(_, m)).map(names).mkString(",")
+        statesOf(m).map { p =>
+          s"""  SELECT '$label',
+             |$traceCols,
+             |    '$nm', '${pLabel(p)}',
+             |    CAST(${java.lang.Integer.bitCount(m)} AS BIGINT),
+             |    ${estRef(m, s)}, ${wM(m)},
+             |    c_${m}_${pid(p)}$s, op_${m}_${pid(p)}$s,
+             |    CAST(xs_${m}_${pid(p)}$s AS BIGINT),
+             |    CAST(xb_${m}_${pid(p)}$s AS BIGINT), p_${m}_${pid(p)}$s,
+             |$winCols
+             |  FROM qw""".stripMargin
+        }
+      }).mkString("\n  UNION ALL\n")
+    }
+    val widthDefs = statCols.zipWithIndex.map { case ((t, cols), i) =>
+      val parts = cols.map(c =>
+        s"CAST(round(CAST(round(CAST((SELECT avg(length(CAST($c AS " +
+          s"VARCHAR))) FROM $t) AS DECIMAL(38,18)), 6) AS DOUBLE) " +
+          s"* 1000000) AS BIGINT)")
+      s"    (${parts.mkString(" + ")}) AS w$i"
+    }.mkString(",\n")
+    s"""WITH vals AS (
+       |  SELECT CAST(l_orderkey AS BIGINT) AS v, count(*) AS cnt
+       |  FROM lineitem GROUP BY 1),
+       |cum AS (
+       |  SELECT v, cnt, sum(cnt) OVER () AS n,
+       |         sum(cnt) OVER (ORDER BY v) AS cum
+       |  FROM vals),
+       |buckets AS (
+       |  SELECT ((cum - cnt) * 16) // n AS bucket,
+       |         min(v) AS b_lo, max(v) AS b_hi, sum(cnt) AS b_cnt
+       |  FROM cum GROUP BY 1),
+       |bounds AS (
+       |  SELECT CAST(min(l_orderkey) AS BIGINT) AS lo,
+       |         CAST(max(l_orderkey) AS BIGINT) AS hi
+       |  FROM lineitem),
+       |preds AS (
+       |  SELECT 'narrow' AS pred_label, lo AS p_lo,
+       |         lo + (hi - lo + 1) // 50 - 1 AS p_hi FROM bounds
+       |  UNION ALL
+       |  SELECT 'wide', lo, lo + (4 * (hi - lo + 1)) // 5 - 1 FROM bounds),
+       |hest AS (
+       |  SELECT pred_label, p_lo, p_hi,
+       |         sum(b_cnt * (((least(p_hi, b_hi) - greatest(p_lo, b_lo)
+       |           + 1) * 1000000) // (b_hi - b_lo + 1))) AS est_f6
+       |  FROM preds JOIN buckets ON b_hi >= p_lo AND b_lo <= p_hi
+       |  GROUP BY 1, 2, 3),
+       |st AS (
+       |  SELECT (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS nli,
+       |    (SELECT CAST(count(*) AS BIGINT) FROM orders) AS nord,
+       |    (SELECT CAST(count(*) AS BIGINT) FROM customer) AS ncust,
+       |    (SELECT CAST(count(*) AS BIGINT) FROM nation) AS nnat,
+       |    (SELECT CAST(count(*) AS BIGINT) FROM supplier) AS nsupp,
+       |    greatest(
+       |      (SELECT count(DISTINCT l_orderkey) FROM lineitem),
+       |      (SELECT count(DISTINCT o_orderkey) FROM orders)) AS d0,
+       |    greatest(
+       |      (SELECT count(DISTINCT o_custkey) FROM orders),
+       |      (SELECT count(DISTINCT c_custkey) FROM customer)) AS d1,
+       |    greatest(
+       |      (SELECT count(DISTINCT c_nationkey) FROM customer),
+       |      (SELECT count(DISTINCT n_nationkey) FROM nation)) AS d2,
+       |    greatest(
+       |      (SELECT count(DISTINCT n_nationkey) FROM nation),
+       |      (SELECT count(DISTINCT s_nationkey) FROM supplier)) AS d3,
+       |    greatest(
+       |      (SELECT count(DISTINCT s_suppkey) FROM supplier),
+       |      (SELECT count(DISTINCT l_suppkey) FROM lineitem)) AS d4,
+       |    (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+       |       WHERE l_orderkey % 2 = 0) AS actual_train,
+       |$widthDefs),
+       |co AS (
+       |  SELECT *,
+       |    actual_train * 1000000 // greatest(nli // 1000, 1) AS corr_e6,
+       |    10000 * w0 AS limsw,
+       |    (SELECT CAST(est_f6 AS BIGINT) FROM hest
+       |       WHERE pred_label = 'narrow') AS hist_nf,
+       |    (SELECT CAST(est_f6 AS BIGINT) FROM hest
+       |       WHERE pred_label = 'wide') AS hist_wf
+       |  FROM st),
+       |fb AS (
+       |  SELECT *,
+       |    greatest(1, CAST(CAST(hist_nf // 1000 AS HUGEINT) * corr_e6
+       |      // 1000000 // 1000000 AS BIGINT)) AS nfact_n,
+       |    greatest(1, CAST(CAST(hist_wf // 1000 AS HUGEINT) * corr_e6
+       |      // 1000000 // 1000000 AS BIGINT)) AS nfact_w
+       |  FROM co),
+       |ee AS (
+       |  SELECT *,
+       |$ee
+       |  FROM fb),
+       |${chain("_ns", "ee")},
+       |qz_ns AS (
+       |  SELECT ${(eeKeep ++ stateCols("_ns")).mkString(", ")}
+       |  FROM qv${lastLv}c_ns),
+       |${chain("_nw", "qz_ns")},
+       |qz_nw AS (
+       |  SELECT ${(eeKeep ++ stateCols("_ns") ++
+                    stateCols("_nw").filter(_.contains(s"_${fullM}_")))
+                    .mkString(", ")}
+       |  FROM qv${lastLv}c_nw),
+       |${chain("_ws", "qz_nw")},
+       |qz_ws AS (
+       |  SELECT ${(eeKeep ++ stateCols("_ns") ++
+                    stateCols("_nw").filter(_.contains(s"_${fullM}_")) ++
+                    stateCols("_ws")).mkString(", ")}
+       |  FROM qv${lastLv}c_ws),
+       |${chain("_ww", "qz_ws")},
+       |qw AS MATERIALIZED (
+       |  SELECT *,
+       |${suffixes.map(winnerCols).mkString(",\n")}
+       |  FROM qv${lastLv}c_ww),
+       |fins AS (
+       |  SELECT p.pred_label, CAST(count(*) AS BIGINT) AS n_rows,
+       |    CAST(coalesce(sum(CAST(l.l_quantity AS BIGINT)), 0) AS BIGINT)
+       |      AS sum_qty,
+       |    CAST(coalesce(sum(CAST(s.s_suppkey AS BIGINT)), 0) AS BIGINT)
+       |      AS sum_supp
+       |  FROM preds p
+       |  JOIN lineitem l
+       |    ON CAST(l.l_orderkey AS BIGINT) BETWEEN p.p_lo AND p.p_hi
+       |    AND l.l_orderkey % 2 = 1
+       |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |  JOIN customer c ON o.o_custkey = c.c_custkey
+       |  JOIN nation nn ON c.c_nationkey = nn.n_nationkey
+       |  JOIN supplier s ON nn.n_nationkey = s.s_nationkey
+       |    AND s.s_suppkey = l.l_suppkey
+       |  GROUP BY 1)
+       |SELECT t.pred_label, pr.p_lo, pr.p_hi, t.hist_est_e6,
+       |  t.est_default_e6, t.corr_used_e6, t.est_fact_fb,
+       |  t.lim_bytes_e6, t.subset, t.part, t.n_tables, t.est_rows,
+       |  t.width_e6, t.cost, t.op, t.n_shuffle_exch, t.n_bcast_exch,
+       |  t.plan, t.store_winner_part, t.store_winner_cost,
+       |  t.store_winner_op, t.store_winner_n_shuffle,
+       |  t.store_winner_n_bcast, t.store_winner_plan,
+       |  t.wide_winner_part, t.wide_winner_cost, t.wide_winner_op,
+       |  t.wide_winner_n_shuffle, t.wide_winner_n_bcast,
+       |  t.wide_winner_plan, t.winners_differ, f.n_rows, f.sum_qty,
+       |  f.sum_supp, TRUE AS trees_identical
+       |FROM (
+       |${outRows("narrow", "_ns", "_nw")}
+       |  UNION ALL
+       |${outRows("wide", "_ws", "_ww")}) t
+       |JOIN preds pr USING (pred_label)
+       |JOIN fins f USING (pred_label)""".stripMargin
   }
 
   /** q257's oracle, GENERATED by replaying the engine's byte-gated
@@ -7538,6 +8023,9 @@ object SparkEntry {
     // exchange-count columns threaded through the cost CASE chains —
     // see [[modelPredDpSql]]
     "q258_cbo_model_predictions" -> modelPredDpSql,
+    // the composition replayed: correction CTEs × width CTEs feeding
+    // four byte-gated DP chains — see [[plannedBytesDpSql]]
+    "q259_planned_query_bytes" -> plannedBytesDpSql,
     // per-tick observations for both stores (the drifted store adds
     // the planted shift tick: pre-shift grid estimate, rotated-regime
     // actual = the original OFF-diagonal rectangle), the freshness

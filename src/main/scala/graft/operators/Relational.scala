@@ -3725,6 +3725,215 @@ object Relational {
         "n_sort_predicted")
   }
 
+  /** J36 [EXT] — THE PLANNED QUERY, BYTE-GATED (q259): the round's two
+    * newest dimensions COMPOSED — q256's estimate→enumerate→execute
+    * path with q257's width-aware broadcast eligibility, because the
+    * two interact exactly where it hurts: the feedback-corrected fact
+    * cardinality decides WHETHER the fact can ship, and the byte gate
+    * decides whether "small enough in rows" is small enough in MEMORY.
+    * Per predicate (narrow/wide) the fact estimate is the q256
+    * corrected one (histogram × the freshness-gated LEO correction —
+    * the raw-guess arm is q256's row; this row's second axis is
+    * WIDTH), and the unified DP runs twice:
+    *
+    *  - `bytes_store`: the ANALYZE store's real widths, limit =
+    *    10 000 fact rows' worth of bytes (the q257 translation of the
+    *    row threshold) — the production arm, its winner EXECUTED
+    *    full-size with operator-true hints;
+    *  - `bytes_wide`: customer planted at [[ByteGatePlantedWidthE6]]
+    *    at constant rows — the q237 hazard injected into the planned
+    *    path; the winner flips its ship side (or order) where the
+    *    store-width arm still ships the customer-carrying chain.
+    *
+    * `winners_differ` compares the full physical verdict per
+    * predicate. Executed proof: the store-width winner on the actually
+    * filtered fact (both predicates), plus the 1/8-key identity arm vs
+    * left-deep. Oracle GENERATED symbolically: the q256 correction
+    * CTEs × the q257 width CTEs feeding four byte-gated
+    * dpCcpUnified chains (2 predicates × store/planted widths), every
+    * estimate, gate, state, winner, flip, and aggregate re-derived.
+    *
+    * Scale: the composition adds ONE multiply per DP candidate to
+    * q256's metadata cost. At 100 TB this is the full planner: learned
+    * cardinalities deciding how much moves, learned widths deciding
+    * whether it fits. */
+  def plannedStarQueryBytes(spark: SparkSession, dir: String): DataFrame = {
+    val statRows = ensureTableStats(spark, dir)
+      .select(col("table_name"), col("column_name"), col("n_rows"),
+        col("ndv"), col("avg_width")).collect()
+    val stats = statRows
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3)))
+      .toMap
+    def rowsOf(t: String, c: String): Long = stats((t, c))._1
+    def ndvOf(t: String, c: String): Long = stats((t, c))._2
+    val widthOf: Map[String, Long] = statRows
+      .groupBy(_.getString(0))
+      .map { case (t, rs) =>
+        t -> rs.map(r => math.round(r.getDouble(4) * 1000000.0)).sum
+      }
+    val names = Seq("lineitem", "orders", "customer", "nation", "supplier")
+    val storeW = names.map(widthOf)
+    val wideW = storeW.updated(2, ByteGatePlantedWidthE6)
+    val limE6 = PhysBroadcastLimitRows * storeW.head
+    val li = Tables.lineitem(spark, dir)
+    val liKey = li.select(col("l_orderkey").cast("long").as("v"))
+    val hist = equiDepthBuckets(liKey, 16, "psqb")
+    val bounds = liKey.agg(min(col("v")), max(col("v"))).head()
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    val d = hi - lo + 1L
+    val predDefs = Seq(
+      ("narrow", lo, lo + d / 50L - 1L),
+      ("wide", lo, lo + 4L * d / 5L - 1L))
+    val root = ensureFeedbackStats(spark, dir)
+    val fr = feedbackFreshness(spark, root, "l_orderkey_mod2_eq")
+    val corrUsed =
+      if (fr.stale || fr.nTicks == 0L) 1000000L else fr.pooledE6
+    val edges = Seq(
+      (0, 1, math.max(ndvOf("lineitem", "l_orderkey"),
+        ndvOf("orders", "o_orderkey"))),
+      (1, 2, math.max(ndvOf("orders", "o_custkey"),
+        ndvOf("customer", "c_custkey"))),
+      (2, 3, math.max(ndvOf("customer", "c_nationkey"),
+        ndvOf("nation", "n_nationkey"))),
+      (3, 4, math.max(ndvOf("nation", "n_nationkey"),
+        ndvOf("supplier", "s_nationkey"))),
+      (4, 0, math.max(ndvOf("supplier", "s_suppkey"),
+        ndvOf("lineitem", "l_suppkey"))))
+    val restRows = Seq(
+      ("orders", rowsOf("orders", "o_orderkey")),
+      ("customer", rowsOf("customer", "c_custkey")),
+      ("nation", rowsOf("nation", "n_nationkey")),
+      ("supplier", rowsOf("supplier", "s_suppkey")))
+    val dfsRest = Seq(Tables.orders(spark, dir),
+      Tables.customer(spark, dir), Tables.nation(spark, dir),
+      Tables.supplier(spark, dir))
+    val conds = Seq(
+      col("l_orderkey") === col("o_orderkey"),
+      col("o_custkey") === col("c_custkey"),
+      col("c_nationkey") === col("n_nationkey"),
+      col("n_nationkey") === col("s_nationkey"),
+      col("s_suppkey") === col("l_suppkey"))
+    val fullMask = 31
+    val out = predDefs.flatMap { case (label, pLo, pHi) =>
+      val pred = spark.range(1).select(lit(0L).as("pred_id"),
+        lit(pLo).as("p_lo"), lit(pHi).as("p_hi"))
+      val estE6 = estimateRanges(pred, hist, "est_e6")
+        .head().getAs[Long]("est_e6")
+      val estDefE6 = estE6 / DefaultExprSelectivityDenom
+      val estFb =
+        math.max(1L, feedbackCorrected(estDefE6, corrUsed) / 1000000L)
+      val tables = ("lineitem", estFb) +: restRows
+      val dpS = dpCcpUnified(tables, edges, CycleKeyClasses,
+        widthsE6 = storeW, bcastLimitBytesE6 = limE6)
+      val dpW = dpCcpUnified(tables, edges, CycleKeyClasses,
+        widthsE6 = wideW, bcastLimitBytesE6 = limE6)
+      def winnerOf(dp: Map[(Int, Seq[Int]), UniDpCell]): UniDpCell =
+        dp.collect { case ((m, _), c) if m == fullMask => c }
+          .minBy(c => (c.cost, c.part.mkString(",")))
+      val wS = winnerOf(dpS)
+      val wW = winnerOf(dpW)
+      val differ =
+        (wS.plan, wS.part, wS.op, wS.nShuffleExch, wS.nBcastExch) !=
+          (wW.plan, wW.part, wW.op, wW.nShuffleExch, wW.nBcastExch)
+      val liF = li.filter(col("l_orderkey").cast("long")
+        .between(pLo, pHi) &&
+        pmod(col("l_orderkey").cast("long"), lit(2L)) === 1L)
+      def build(ds: Seq[DataFrame], mask: Int,
+                part: Seq[Int]): DataFrame = {
+        val cell = dpS((mask, part))
+        if (cell.op == "leaf")
+          ds(java.lang.Integer.numberOfTrailingZeros(mask))
+        else {
+          var l = build(ds, cell.leftMask, cell.leftPart)
+          var r = build(ds, cell.rightMask, cell.rightPart)
+          cell.op match {
+            case "broadcast_right" => r = broadcast(r)
+            case "broadcast_left" => l = broadcast(l)
+            case _ => l = l.hint("merge"); r = r.hint("merge")
+          }
+          l.join(r, cell.crossEdges.map(conds).reduce(_ && _))
+        }
+      }
+      def agg(full: DataFrame): (Long, Long, Long) = {
+        val r = full.agg(count(lit(1)),
+          sum(col("l_quantity").cast("long")),
+          sum(col("s_suppkey").cast("long"))).head()
+        (r.getLong(0),
+          if (r.isNullAt(1)) 0L else r.getLong(1),
+          if (r.isNullAt(2)) 0L else r.getLong(2))
+      }
+      val answer = agg(build(liF +: dfsRest, fullMask, wS.part))
+      val li8 = liF.filter(
+        pmod(col("l_orderkey").cast("long"), lit(8L)) === 1L)
+      val ord8 = dfsRest.head.filter(
+        pmod(col("o_orderkey").cast("long"), lit(8L)) === 1L)
+      val dfs8 = li8 +: ord8 +: dfsRest.drop(1)
+      val leftDeep8 = (1 until 5).foldLeft(dfs8.head) { (acc, k) =>
+        val priorMask = (1 << k) - 1
+        val cs = edges.indices.filter { e =>
+          val (a, b, _) = edges(e)
+          (a == k && (priorMask & (1 << b)) != 0) ||
+            (b == k && (priorMask & (1 << a)) != 0)
+        }
+        acc.join(dfs8(k), cs.map(conds).reduce(_ && _))
+      }
+      val identical =
+        agg(build(dfs8, fullMask, wS.part)) == agg(leftDeep8)
+      // the STORE-width arm's full state table (the production arm),
+      // with both arms' winners on every row
+      dpS.toSeq
+        .sortBy { case ((m, p), _) =>
+          (java.lang.Integer.bitCount(m), m, p.mkString(","))
+        }
+        .map { case ((m, p), cell) =>
+          val subset = names.indices.filter(i => (m & (1 << i)) != 0)
+            .map(names).mkString(",")
+          val w = names.indices.filter(i => (m & (1 << i)) != 0)
+            .map(storeW).max
+          org.apache.spark.sql.Row(
+            label, pLo, pHi, estE6, estDefE6, corrUsed, estFb, limE6,
+            subset, partLabel(p, CycleClassNames),
+            java.lang.Integer.bitCount(m).toLong, cell.est, w,
+            cell.cost, cell.op, cell.nShuffleExch, cell.nBcastExch,
+            cell.plan,
+            partLabel(wS.part, CycleClassNames), wS.cost, wS.op,
+            wS.nShuffleExch, wS.nBcastExch, wS.plan,
+            partLabel(wW.part, CycleClassNames), wW.cost, wW.op,
+            wW.nShuffleExch, wW.nBcastExch, wW.plan,
+            differ, answer._1, answer._2, answer._3, identical)
+        }
+    }
+    import org.apache.spark.sql.types._
+    def f(nm: String, t: DataType) = StructField(nm, t)
+    val schema = StructType(Seq(
+      f("pred_label", StringType), f("p_lo", LongType),
+      f("p_hi", LongType), f("hist_est_e6", LongType),
+      f("est_default_e6", LongType), f("corr_used_e6", LongType),
+      f("est_fact_fb", LongType), f("lim_bytes_e6", LongType),
+      f("subset", StringType), f("part", StringType),
+      f("n_tables", LongType), f("est_rows", LongType),
+      f("width_e6", LongType), f("cost", LongType), f("op", StringType),
+      f("n_shuffle_exch", LongType), f("n_bcast_exch", LongType),
+      f("plan", StringType), f("store_winner_part", StringType),
+      f("store_winner_cost", LongType), f("store_winner_op", StringType),
+      f("store_winner_n_shuffle", LongType),
+      f("store_winner_n_bcast", LongType),
+      f("store_winner_plan", StringType),
+      f("wide_winner_part", StringType), f("wide_winner_cost", LongType),
+      f("wide_winner_op", StringType),
+      f("wide_winner_n_shuffle", LongType),
+      f("wide_winner_n_bcast", LongType),
+      f("wide_winner_plan", StringType),
+      f("winners_differ", BooleanType), f("n_rows", LongType),
+      f("sum_qty", LongType), f("sum_supp", LongType),
+      f("trees_identical", BooleanType)))
+    spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(out).asJava),
+      schema)
+  }
+
   /** One state of the EXCHANGE-AWARE enumeration, keyed by (subset,
     * output partitioning): estimated cardinality, best total cost
     * (C_out + γ·exchanged rows), the winning split's components and

@@ -2462,6 +2462,41 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("q259 planned query x byte gate: corrected cardinality decides movement, widths decide fit") {
+    val rows = Relational.plannedStarQueryBytes(spark, TestSpark.Sf0001)
+      .collect()
+    def g[T](r: org.apache.spark.sql.Row, c: String): T = r.getAs[T](c)
+    val preds = rows.groupBy(g[String](_, "pred_label"))
+    assert(preds.keySet == Set("narrow", "wide"))
+    rows.foreach { r =>
+      assert(g[Boolean](r, "trees_identical"))
+      // the estimate chain is q256's corrected path verbatim
+      val defE6 = g[Long](r, "hist_est_e6") /
+        Relational.DefaultExprSelectivityDenom
+      assert(g[Long](r, "est_default_e6") == defE6)
+      assert(g[Long](r, "est_fact_fb") == math.max(1L,
+        Relational.feedbackCorrected(defE6,
+          g[Long](r, "corr_used_e6")) / 1000000L))
+      // the planted 2500-byte customer flips the ship side on BOTH
+      // predicates at this scale — the composition's point: the byte
+      // gate binds at the CORRECTED cardinality, on the planned path
+      assert(g[Boolean](r, "winners_differ"), s"$r")
+      assert(g[String](r, "store_winner_op") == "broadcast_right" &&
+        g[String](r, "wide_winner_op") == "broadcast_left",
+        s"ship side reversed: $r")
+      assert(g[Long](r, "wide_winner_cost") >
+        g[Long](r, "store_winner_cost"),
+        "the width hazard is priced, not free")
+      // the gate: the limit is 10000 fact rows' worth of store bytes
+      assert(g[Long](r, "lim_bytes_e6") > 0L)
+    }
+    // full store-arm state table per predicate (the q255/q256 form)
+    assert(preds.values.forall(_.length == rows.length / 2))
+    preds.values.foreach { rs =>
+      assert(rs.count(g[String](_, "op") == "leaf") == 5)
+    }
+  }
+
   test("q254 exchange enumeration: state table, Q5 winner at 7 exchanges, executed identity") {
     val d = TestSpark.Sf0001
     val rows = Relational.cboExchangeEnumerationAudit(spark, d)

@@ -150,7 +150,8 @@ object SparkEntry {
     // transitive-closure oracle — candidate recall of the ~4.5×-smaller
     // fingerprint index is re-proven on every harness run, not assumed
     "q65_neardup_clusters_winnowed" -> ((s: SparkSession, d: String) =>
-      Dedup.nearDupClustersWinnowedFor(graft.Tables.documents(s, d))),
+      Dedup.nearDupClustersWinnowedFor(graft.Tables.documents(s, d),
+        shOpt = Some(Dedup.ensureDocShingles(s, d)))),
     // q64 forced through the BUCKETED index (bucketBy shingle + sizes
     // sidecar): per-ingest shuffle is O(shard) — the index streams
     // bucket-aligned with no Exchange — same report, same oracle
@@ -1100,6 +1101,11 @@ object SparkEntry {
     * lazily by less-common parameterizations still get timed via
     * [[graft.sources.Sources.storeBuildSeconds]]. */
   def leafWarmers: Seq[(String, (SparkSession, String) => Unit)] = Seq(
+    // the shingle leaf warms FIRST: jacpairs (and every other shingle
+    // consumer) reads it, so its one-time tokenization cost is its own
+    // artifact line instead of riding the jacpairs build
+    "shingles" -> ((s: SparkSession, d: String) =>
+      { Dedup.ensureDocShingles(s, d); () }),
     "jacpairs" -> ((s: SparkSession, d: String) =>
       { Dedup.ensureJaccardPairs(s, d); () }),
     "embpairs" -> ((s: SparkSession, d: String) =>

@@ -192,7 +192,10 @@ object Dedup {
     val idType = Tables.documents(spark, dir).schema("doc_id").dataType
     val root = graft.sources.Sources.ensureStore(spark, "jacpairs",
         s"$dir|$threshold") { p =>
-      ngramJaccardPairsFor(Tables.documents(spark, dir), threshold)
+      // tokenization comes from the session-shared shingle leaf — the
+      // corpus is shingled once per session, not once per pair store
+      ngramJaccardPairsFor(Tables.documents(spark, dir), threshold,
+          shOpt = Some(ensureDocShingles(spark, dir)))
         .write.mode("overwrite").parquet(p)
     }
     val schema = org.apache.spark.sql.types.StructType(Seq(
@@ -204,11 +207,39 @@ object Dedup {
   }
 
   def ngramJaccardPairsFor(docs: DataFrame, threshold: Double = 0.5,
-                           dfCap: Int = 1000): DataFrame = {
-    val sh = graft.sources.Sources.spillScratch(docShingles(docs), "jaccard_sh")
+                           dfCap: Int = 1000,
+                           shOpt: Option[DataFrame] = None): DataFrame = {
+    val sh = shOpt.getOrElse(
+      graft.sources.Sources.spillScratch(docShingles(docs), "jaccard_sh"))
     val hot = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
       .filter(col("df") > dfCap).select(col("shingle"))
     jaccardPairsAcross(sh, sh, hot, col("doc_a") < col("doc_b"), threshold)
+  }
+
+  /** Session-shared shingle leaf: the distinct (doc_id, shingle) relation
+    * of the WHOLE documents table, tokenized once per (session, dir, n)
+    * and read back from its parquet store by every corpus-grain consumer
+    * (the jacpairs build, the LSH/winnow/containment pair routes, the
+    * estimator audits, decontamination). Shingles are a pure per-row
+    * function of (doc_id, text), so any id-subset consumer derives its
+    * slice EXACTLY by filter/semi-join on doc_id — sharing changes COST,
+    * never content (the jacpairs-leaf discipline one level down: stop
+    * re-tokenizing the corpus once per consumer). At 100 TB this is the
+    * in-session twin of the persisted shingle index (D9): tokenize once,
+    * every probe reads the columnar store. */
+  def ensureDocShingles(spark: SparkSession, dir: String,
+                        n: Int = DefaultShingleN): DataFrame = {
+    val idType = Tables.documents(spark, dir).schema("doc_id").dataType
+    val root = graft.sources.Sources.ensureStore(spark, "shingles",
+        s"$dir|$n") { p =>
+      docShingles(Tables.documents(spark, dir), n)
+        .write.mode("overwrite").parquet(p)
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", idType),
+      org.apache.spark.sql.types.StructField("shingle",
+        org.apache.spark.sql.types.StringType)))
+    spark.read.schema(schema).parquet(root)
   }
 
   /** The shared exact-Jaccard core over two shingle relations: inverted-
@@ -279,14 +310,20 @@ object Dedup {
     * hash + a broadcast-able semi-join on the (tiny) eval hash set.
     */
   def decontaminationReportFor(docs: DataFrame, isEval: Column,
-                               threshold: Double = 0.5, dfCap: Int = 1000): DataFrame = {
+                               threshold: Double = 0.5, dfCap: Int = 1000,
+                               shOpt: Option[DataFrame] = None): DataFrame = {
     val train = docs.filter(!isEval)
     val eval_ = docs.filter(isEval)
     // spilled once like ngramJaccardPairsFor's shingle leaf: the train
     // side is corpus-shaped, so an executor-storage pin is the footprint
-    // (and lineage truncation) the q88/q123 discipline exists to avoid
-    val shT = graft.sources.Sources.spillScratch(docShingles(train), "decon_sh_train")
-    val shE = graft.sources.Sources.spillScratch(docShingles(eval_), "decon_sh_eval")
+    // (and lineage truncation) the q88/q123 discipline exists to avoid.
+    // A caller holding the session shingle leaf passes it whole via shOpt
+    // with an isEval predicate expressible on doc_id: the two sides are
+    // then exact filters of the one store (shingles are per-row).
+    val shT = shOpt.map(_.filter(!isEval))
+      .getOrElse(graft.sources.Sources.spillScratch(docShingles(train), "decon_sh_train"))
+    val shE = shOpt.map(_.filter(isEval))
+      .getOrElse(graft.sources.Sources.spillScratch(docShingles(eval_), "decon_sh_eval"))
     // df (and so hotness) is a corpus-wide property: a template shingle is
     // quadratic in the cross join whichever split its occurrences fall in
     val hot = shT.unionByName(shE)
@@ -321,7 +358,8 @@ object Dedup {
   def decontaminationReport(spark: SparkSession, dir: String,
                             threshold: Double = 0.5): DataFrame =
     decontaminationReportFor(Tables.documents(spark, dir),
-      col("doc_id") % 10 === 0, threshold)
+      col("doc_id") % 10 === 0, threshold,
+      shOpt = Some(ensureDocShingles(spark, dir)))
 
   /** The decontaminated train corpus itself: the train split anti-joined
     * against the contamination report — what a pipeline actually ships to
@@ -568,8 +606,10 @@ object Dedup {
     */
   def winnowCandidateJaccardPairsFor(docs: DataFrame, threshold: Double = 0.5,
                                      k: Int = 16, w: Int = 8, minSharedFp: Int = 2,
-                                     dfCap: Int = 1000): DataFrame = {
-    val sh = graft.sources.Sources.spillScratch(docShingles(docs), "winnow_verify_sh")
+                                     dfCap: Int = 1000,
+                                     shOpt: Option[DataFrame] = None): DataFrame = {
+    val sh = shOpt.getOrElse(
+      graft.sources.Sources.spillScratch(docShingles(docs), "winnow_verify_sh"))
     val fps = winnowingFingerprints(docs, k, w).withColumnRenamed("fp", "shingle")
     // ≥ 2 shared fingerprints: one shared 16-char gram between unrelated
     // docs is common vocabulary, and those single-coincidence pairs are
@@ -628,10 +668,12 @@ object Dedup {
     */
   def minhashLshPairs(spark: SparkSession, dir: String,
                       k: Int = 128, bands: Int = 32, threshold: Double = 0.5): DataFrame =
-    minhashLshPairsFor(Tables.documents(spark, dir), k, bands, threshold)
+    minhashLshPairsFor(Tables.documents(spark, dir), k, bands, threshold,
+      shOpt = Some(ensureDocShingles(spark, dir)))
 
   def minhashLshPairsFor(docs: DataFrame,
-                         k: Int = 128, bands: Int = 32, threshold: Double = 0.5): DataFrame = {
+                         k: Int = 128, bands: Int = 32, threshold: Double = 0.5,
+                         shOpt: Option[DataFrame] = None): DataFrame = {
     require(bands > 0 && k % bands == 0,
       s"signature width k=$k must be a positive multiple of bands=$bands")
     val rows = k / bands
@@ -639,8 +681,11 @@ object Dedup {
     // once to scratch parquet (see ngramJaccardPairs for the rationale);
     // the former `.cache()` here needed a side-channel handle so the
     // cluster path could unpersist it, and still leaked from the
-    // plain-pairs form
-    val sh = graft.sources.Sources.spillScratch(docShingles(docs), "lsh_sh")
+    // plain-pairs form. Callers holding the session shingle leaf pass it
+    // via shOpt (an id-subset caller passes the leaf SEMI-JOINED to its
+    // doc ids — shingles are per-row, so the slice is exact).
+    val sh = shOpt.getOrElse(
+      graft.sources.Sources.spillScratch(docShingles(docs), "lsh_sh"))
     val sigs = minhashSignaturesFromShingles(sh, k)
     val banded = sigs.select(
       col("doc_id"),
@@ -1233,15 +1278,19 @@ object Dedup {
     * operation generalized from exact-key equality to near-duplicate
     * clusters.
     */
-  def nearDupClustersFor(docs: DataFrame, threshold: Double = 0.5): DataFrame =
-    clustersFromPairs(docs, minhashLshPairsFor(docs, threshold = threshold))
+  def nearDupClustersFor(docs: DataFrame, threshold: Double = 0.5,
+                         shOpt: Option[DataFrame] = None): DataFrame =
+    clustersFromPairs(docs,
+      minhashLshPairsFor(docs, threshold = threshold, shOpt = shOpt))
 
   /** Cluster resolution with the winnowed candidate route
     * ([[winnowCandidateJaccardPairsFor]]) — what [[nearDupClusters]] picks
     * above [[MaxFullIndexDocs]], exposed directly so the forced q65 row
     * exercises it at fixture scale. */
-  def nearDupClustersWinnowedFor(docs: DataFrame, threshold: Double = 0.5): DataFrame =
-    clustersFromPairs(docs, winnowCandidateJaccardPairsFor(docs, threshold))
+  def nearDupClustersWinnowedFor(docs: DataFrame, threshold: Double = 0.5,
+                                 shOpt: Option[DataFrame] = None): DataFrame =
+    clustersFromPairs(docs,
+      winnowCandidateJaccardPairsFor(docs, threshold, shOpt = shOpt))
 
   /** Shared pairs → connected components → keep-rule tail. The shingle
     * leaf is localCheckpointed inside the pair verbs, so nothing here
@@ -1309,15 +1358,18 @@ object Dedup {
                       maxFullIndexDocs: Long = MaxFullIndexDocs): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val n = corpusRowCount(spark, dir, "documents", docs)
-    if (n <= maxFullIndexDocs) nearDupClustersFor(docs, threshold)
-    else nearDupClustersWinnowedFor(docs, threshold)
+    val sh = Some(ensureDocShingles(spark, dir))
+    if (n <= maxFullIndexDocs) nearDupClustersFor(docs, threshold, sh)
+    else nearDupClustersWinnowedFor(docs, threshold, sh)
   }
 
   /** The deduplicated corpus itself: keep one representative (lowest
     * doc_id) per near-dup cluster, drop the rest. */
-  def dedupCorpusFor(docs: DataFrame, threshold: Double = 0.5): DataFrame =
+  def dedupCorpusFor(docs: DataFrame, threshold: Double = 0.5,
+                     shOpt: Option[DataFrame] = None): DataFrame =
     docs.join(
-      nearDupClustersFor(docs, threshold).filter(col("keep")).select(col("doc_id")),
+      nearDupClustersFor(docs, threshold, shOpt)
+        .filter(col("keep")).select(col("doc_id")),
       Seq("doc_id"), "left_semi")
 
   /** Semantic (embedding-space) near-dup cluster resolution — the same
@@ -1592,16 +1644,19 @@ object Dedup {
     */
   def containmentPairs(spark: SparkSession, dir: String,
                        threshold: Double = 0.8, dfCap: Int = 1000): DataFrame =
-    containmentPairsFor(Tables.documents(spark, dir), threshold, dfCap)
+    containmentPairsFor(Tables.documents(spark, dir), threshold, dfCap,
+      shOpt = Some(ensureDocShingles(spark, dir)))
 
   def containmentPairsFor(docs: DataFrame, threshold: Double = 0.8,
-                          dfCap: Int = 1000): DataFrame = {
+                          dfCap: Int = 1000,
+                          shOpt: Option[DataFrame] = None): DataFrame = {
     // the shingle leaf feeds FOUR consumers (hot df, the rare self-join's
     // both sides, the hot-correction semi-join, sizes) — spilled once to
     // scratch parquet, never pinned corpus-sized in executor storage
-    // (the q88/q123 discipline; lineage stays recoverable from the file)
-    val sh = graft.sources.Sources.spillScratch(docShingles(docs),
-      "containment_sh")
+    // (the q88/q123 discipline; lineage stays recoverable from the file);
+    // the fixture entry reads the session-shared shingle leaf instead
+    val sh = shOpt.getOrElse(graft.sources.Sources.spillScratch(
+      docShingles(docs), "containment_sh"))
     val hot = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
       .filter(col("df") > dfCap).select(col("shingle"))
     val rare = sh.join(broadcast(hot), Seq("shingle"), "left_anti")
@@ -1790,8 +1845,14 @@ object Dedup {
     */
   def minhashEstimatorAudit(spark: SparkSession, dir: String, k: Int = 128,
                             threshold: Double = 0.5,
-                            tol: Double = 0.2): DataFrame =
-    minhashEstimatorAuditFor(Tables.documents(spark, dir), k, threshold, tol)
+                            tol: Double = 0.2): DataFrame = {
+    require(k >= 16 && tol > 0.0, s"need k>=16, tol>0; got k=$k tol=$tol")
+    // the exact pair relation and the tokenization both come from the
+    // session-shared leaves (q17's jacpairs store, the shingle store) —
+    // the audit itself only pays the |pairs|-bounded signature compare
+    minhashEstimatorAuditCore(ensureJaccardPairs(spark, dir, threshold),
+      ensureDocShingles(spark, dir), k, tol)
+  }
 
   def minhashEstimatorAuditFor(docs: DataFrame, k: Int = 128,
                                threshold: Double = 0.5, tol: Double = 0.2,
@@ -1801,7 +1862,21 @@ object Dedup {
     val hot = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
       .filter(col("df") > dfCap).select(col("shingle"))
     val pairs = jaccardPairsAcross(sh, sh, hot, col("doc_a") < col("doc_b"), threshold)
-    val sigs = minhashSignaturesFromShingles(sh, k)
+    minhashEstimatorAuditCore(pairs, sh, k, tol)
+  }
+
+  /** The signature-compare tail shared by the leaf-fed fixture entry and
+    * the generic For-form. Signatures are computed ONLY for docs named by
+    * some audited pair (semi-join first): each doc's signature is a pure
+    * function of its own shingles, and the pair join is inner on both
+    * sides, so the restriction is output-invariant while the k-wide min
+    * aggregation runs over the |pair docs| slice instead of the corpus. */
+  private def minhashEstimatorAuditCore(pairs: DataFrame, sh: DataFrame,
+                                        k: Int, tol: Double): DataFrame = {
+    val auditDocs = pairs.select(col("doc_a").as("doc_id"))
+      .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
+    val sigs = minhashSignaturesFromShingles(
+      sh.join(auditDocs, Seq("doc_id"), "left_semi"), k)
     pairs
       .join(sigs.select(col("doc_id").as("doc_a"), col("signature").as("sa")), "doc_a")
       .join(sigs.select(col("doc_id").as("doc_b"), col("signature").as("sb")), "doc_b")
@@ -1835,18 +1910,33 @@ object Dedup {
   def simhashEstimatorAudit(spark: SparkSession, dir: String,
                             threshold: Double = 0.5,
                             maxDisagreeBits: Int = 16): DataFrame =
-    simhashEstimatorAuditFor(Tables.documents(spark, dir), threshold, maxDisagreeBits)
+    // pairs from the session-shared jacpairs leaf (identical construction);
+    // the audit pays only the |pairs|-bounded signature compare
+    simhashEstimatorAuditCore(ensureJaccardPairs(spark, dir, threshold),
+      Tables.documents(spark, dir), maxDisagreeBits)
 
   def simhashEstimatorAuditFor(docs: DataFrame, threshold: Double = 0.5,
                                maxDisagreeBits: Int = 16,
                                dfCap: Int = 1000): DataFrame = {
-    require(maxDisagreeBits > 0 && maxDisagreeBits < 32,
-      s"band must sit below the 32-bit noise mean; got $maxDisagreeBits")
     val sh = graft.sources.Sources.spillScratch(docShingles(docs), "sim_audit_sh")
     val hot = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
       .filter(col("df") > dfCap).select(col("shingle"))
     val pairs = jaccardPairsAcross(sh, sh, hot, col("doc_a") < col("doc_b"), threshold)
-    val sigs = simhashSignatures(docs)
+    simhashEstimatorAuditCore(pairs, docs, maxDisagreeBits)
+  }
+
+  /** Signature-compare tail: SimHash is a pure per-document function, so
+    * restricting the signature scan to docs named by some audited pair
+    * (semi-join; the pair join is inner both sides) is output-invariant
+    * and keeps the per-row hashing |pair docs|-bounded. */
+  private def simhashEstimatorAuditCore(pairs: DataFrame, docs: DataFrame,
+                                        maxDisagreeBits: Int): DataFrame = {
+    require(maxDisagreeBits > 0 && maxDisagreeBits < 32,
+      s"band must sit below the 32-bit noise mean; got $maxDisagreeBits")
+    val auditDocs = pairs.select(col("doc_a").as("doc_id"))
+      .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
+    val sigs = simhashSignatures(
+      docs.join(auditDocs, Seq("doc_id"), "left_semi"))
     pairs
       .join(sigs.select(col("doc_id").as("doc_a"), col("simhash").as("ha")), "doc_a")
       .join(sigs.select(col("doc_id").as("doc_b"), col("simhash").as("hb")), "doc_b")
@@ -1879,8 +1969,14 @@ object Dedup {
     */
   def winnowingCandidateAudit(spark: SparkSession, dir: String,
                               threshold: Double = 0.5, k: Int = 16, w: Int = 8,
-                              minSharedFp: Int = 2): DataFrame =
-    winnowingCandidateAuditFor(Tables.documents(spark, dir), threshold, k, w, minSharedFp)
+                              minSharedFp: Int = 2): DataFrame = {
+    require(minSharedFp >= 1, s"need minSharedFp >= 1; got $minSharedFp")
+    // the exact pair relation comes from the session-shared jacpairs leaf
+    // (identical construction: shingle inverted index, df-capped, 4dp) —
+    // the audit pays only the fingerprint side + the pair-bounded compare
+    winnowingCandidateAuditCore(Tables.documents(spark, dir),
+      ensureJaccardPairs(spark, dir, threshold), k, w, minSharedFp, 1000)
+  }
 
   def winnowingCandidateAuditFor(docs: DataFrame, threshold: Double = 0.5,
                                  k: Int = 16, w: Int = 8, minSharedFp: Int = 2,
@@ -1892,6 +1988,16 @@ object Dedup {
     val pairs = graft.sources.Sources.spillScratch(
       jaccardPairsAcross(sh, sh, hot, col("doc_a") < col("doc_b"), threshold),
       "win_audit_pairs")
+    winnowingCandidateAuditCore(docs, pairs, k, w, minSharedFp, dfCap)
+  }
+
+  /** Fingerprint-side audit tail shared by the leaf-fed fixture entry and
+    * the generic For-form. Corpus-wide fp hotness (df over ALL docs) is
+    * kept in both paths — hotness is a property of the corpus, and
+    * restricting it would change which fingerprints count as cool. */
+  private def winnowingCandidateAuditCore(docs: DataFrame, pairs: DataFrame,
+                                          k: Int, w: Int, minSharedFp: Int,
+                                          dfCap: Int): DataFrame = {
     val fps = winnowingFingerprints(docs, k, w).withColumnRenamed("fp", "shingle")
     val fpHot = fps.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
       .filter(col("df") > dfCap).select(col("shingle"))

@@ -12,6 +12,28 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Multiset symmetric-difference count — |a ∖ b| + |b ∖ a| with bag
+    * semantics, computed in ONE job: per-side multiplicity aggregates
+    * joined full-outer on the row value, then Σ|ca − cb|. Replaces the
+    * `a.exceptAll(b).count() + b.exceptAll(a).count()` idiom of the
+    * lifecycle invariants, which scanned and shuffled BOTH inputs twice
+    * (two independent actions, each re-running non-trivial inputs such as
+    * a corpus-wide re-encode); identical value by the exceptAll
+    * definition (count of A∖B = Σ max(ca−cb, 0); summed directions =
+    * Σ|ca−cb|), including NULL/NaN grouping, which set ops and groupBy
+    * share. At 100 TB this halves the audit's dominant cost. */
+  private[graft] def symmetricDiffCount(a: DataFrame, b: DataFrame): Long = {
+    require(a.columns.sameElements(b.columns),
+      s"schema mismatch: ${a.columns.mkString(",")} vs ${b.columns.mkString(",")}")
+    val keys = a.columns.toSeq.map(col)
+    val ca = a.groupBy(keys: _*).agg(count(lit(1)).as("__ca"))
+    val cb = b.groupBy(keys: _*).agg(count(lit(1)).as("__cb"))
+    ca.join(cb, a.columns.toSeq, "full_outer")
+      .agg(coalesce(sum(abs(coalesce(col("__ca"), lit(0L))
+        - coalesce(col("__cb"), lit(0L)))), lit(0L)))
+      .head().getLong(0)
+  }
+
   /** Exact top-k: queries × corpus scored with the codegen'd cosine
     * expression, ranked per query by a window with a total order (rounded
     * score desc, then vec_id — the rounding makes rank assignment
@@ -547,11 +569,9 @@ object Similarity {
       .select(col("vec_id"), col("list_id"))
     val full = ivfAssign(e, loadCentroids(spark, cbPath))
       .select(col("vec_id"), col("list_id"))
-    val assignMismatches =
-      persisted.exceptAll(full).count() + full.exceptAll(persisted).count()
+    val assignMismatches = symmetricDiffCount(persisted, full)
     val postProbe = ivfProbeIndex(spark, cbPath, idxPath, queries, k, nProbe)
-    val probeMismatches =
-      preProbe.exceptAll(postProbe).count() + postProbe.exceptAll(preProbe).count()
+    val probeMismatches = symmetricDiffCount(preProbe, postProbe)
     import spark.implicits._
     Seq((e.count(), batchesBefore, batchesAfter,
       assignMismatches, probeMismatches)).toDF(
@@ -587,14 +607,12 @@ object Similarity {
       .parquet(graft.sources.Sources.livePath(spark, idxPath))
       .select(col("vec_id"), col("list_id"))
     val full = ivfAssign(e, cents).select(col("vec_id"), col("list_id"))
-    val assignMismatches =
-      persisted.exceptAll(full).count() + full.exceptAll(persisted).count()
+    val assignMismatches = symmetricDiffCount(persisted, full)
     val fromIndex = ivfProbeIndex(spark, cbPath, idxPath,
       e.filter(col("vec_id") < nQueries), k, nProbe)
     val inMemory = ivfCosineTopKOver(e, cents, nQueries, k, nProbe,
       cents.length > LiteralCodebookMaxLists)
-    val probeMismatches =
-      fromIndex.exceptAll(inMemory).count() + inMemory.exceptAll(fromIndex).count()
+    val probeMismatches = symmetricDiffCount(fromIndex, inMemory)
     import spark.implicits._
     Seq((assignMismatches, probeMismatches)).toDF(
       "assign_mismatches", "probe_mismatches")
@@ -855,16 +873,14 @@ object Similarity {
       .parquet(graft.sources.Sources.livePath(spark, codesPath))
       .select(col("vec_id"), col("codes"))
     val full = e.select(col("vec_id"), pqEncode(col("embedding"), books, subDim).as("codes"))
-    val codeMismatches =
-      persisted.exceptAll(full).count() + full.exceptAll(persisted).count()
+    val codeMismatches = symmetricDiffCount(persisted, full)
     val fromIndex = pqTopKOver(e,
       persisted.select(col("vec_id").as("cand_id"), col("codes")),
       books, subDim, nQueries, k, rerank)
     val inMemory = pqTopKOver(e,
       full.select(col("vec_id").as("cand_id"), col("codes")),
       books, subDim, nQueries, k, rerank)
-    val probeMismatches =
-      fromIndex.exceptAll(inMemory).count() + inMemory.exceptAll(fromIndex).count()
+    val probeMismatches = symmetricDiffCount(fromIndex, inMemory)
     import spark.implicits._
     Seq((codeMismatches, probeMismatches)).toDF(
       "code_mismatches", "probe_mismatches")
@@ -924,11 +940,9 @@ object Similarity {
       .select(col("vec_id"), col("codes"))
     val full = e.select(col("vec_id"),
       pqEncode(col("embedding"), books, subDim).as("codes"))
-    val codeMismatches =
-      persisted.exceptAll(full).count() + full.exceptAll(persisted).count()
+    val codeMismatches = symmetricDiffCount(persisted, full)
     val postProbe = probeOf(persisted)
-    val probeMismatches =
-      preProbe.exceptAll(postProbe).count() + postProbe.exceptAll(preProbe).count()
+    val probeMismatches = symmetricDiffCount(preProbe, postProbe)
     import spark.implicits._
     Seq((e.count(), batchesBefore, batchesAfter,
       codeMismatches, probeMismatches)).toDF(
@@ -1863,7 +1877,7 @@ object Similarity {
           .start()
       }
       def mismatches(a: DataFrame, b: DataFrame): Long =
-        a.exceptAll(b).count() + b.exceptAll(a).count()
+        symmetricDiffCount(a, b)
 
       // the two families are fully independent (own stores, own
       // streams, own compare legs), so every family-local phase runs on

@@ -164,7 +164,12 @@ object TextAnalysis {
                             minQuality: Double = 0.5, threshold: Double = 0.5): DataFrame = {
     val qualityDocs = Tables.documents(spark, dir)
       .filter(TF.qualityScore(col("text")) >= minQuality)
-    Dedup.dedupCorpusFor(qualityDocs, threshold)
+    // shingles for the quality subset are an exact id-slice of the
+    // session shingle leaf (per-row function of text) — one semi-join
+    // instead of re-tokenizing the survivors
+    val sh = Dedup.ensureDocShingles(spark, dir)
+      .join(qualityDocs.select(col("doc_id")), Seq("doc_id"), "left_semi")
+    Dedup.dedupCorpusFor(qualityDocs, threshold, shOpt = Some(sh))
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_kept"))
   }

@@ -55,7 +55,7 @@ object AnnStreamProbe {
       finally { q1.stop(); q2.stop() }
     }
     def mismatches(a: DataFrame, b: DataFrame): Long =
-      a.exceptAll(b).count() + b.exceptAll(a).count()
+      graft.operators.Similarity.symmetricDiffCount(a, b)
     val cents = loadCentroids(spark, cbPath)
     def ivfStore() = spark.read.parquet(Sources.livePath(spark, idxPath))
     timed("ivf store compare") {

@@ -45,8 +45,14 @@ object IncrementalDedup {
     * match, so a mismatch fails loudly instead of silently returning
     * garbage. */
   def writeShingleIndex(docs: DataFrame, path: String,
-                        n: Int = Dedup.DefaultShingleN): Unit = {
-    Dedup.docShingles(docs, n).write.mode("overwrite").parquet(path)
+                        n: Int = Dedup.DefaultShingleN,
+                        shOpt: Option[DataFrame] = None): Unit = {
+    // shOpt: the docs' (doc_id, shingle) relation already materialized at
+    // width n — e.g. an id-filter of the session shingle leaf
+    // ([[Dedup.ensureDocShingles]]); shingles are per-row, so the slice is
+    // exact and the corpus is not re-tokenized per index bootstrap
+    shOpt.getOrElse(Dedup.docShingles(docs, n))
+      .write.mode("overwrite").parquet(path)
     graft.sources.Sources.writeIndexMeta(docs.sparkSession, path, shingleMeta(n))
   }
 
@@ -139,8 +145,13 @@ object IncrementalDedup {
     * collides with. Anti-joining the shard against these doc_ids is the
     * admission decision ([[admitFor]]). */
   def reportFor(newDocs: DataFrame, index: DataFrame,
-                threshold: Double = 0.5, dfCap: Int = 1000): DataFrame =
-    pairsAgainstIndex(Dedup.docShingles(newDocs).localCheckpoint(true),
+                threshold: Double = 0.5, dfCap: Int = 1000,
+                shNewOpt: Option[DataFrame] = None): DataFrame =
+    // a leaf-sliced shard relation is parquet-backed (cheap per-branch
+    // re-read) and needs no executor-storage pin; the generic path keeps
+    // the eager checkpoint for its multi-branch plan
+    pairsAgainstIndex(shNewOpt.getOrElse(
+        Dedup.docShingles(newDocs).localCheckpoint(true)),
         index, threshold, dfCap)
       .groupBy(col("doc_a").as("doc_id"))
       .agg(max(col("jaccard")).as("max_jaccard"),
@@ -227,13 +238,15 @@ object IncrementalDedup {
 
   /** Build and persist the bucketed index + sizes sidecar (overwrite). */
   def writeShingleIndexBucketed(docs: DataFrame, table: String,
-                                nBuckets: Int = 32): Unit = {
+                                nBuckets: Int = 32,
+                                shOpt: Option[DataFrame] = None): Unit = {
     val spark = docs.sparkSession
     // the settled-corpus shingle relation feeds TWO writes (index +
     // sizes sidecar) — scratch-parquet spill, not a corpus-sized
-    // executor-storage pin (the q88/q123 discipline)
-    val sh = graft.sources.Sources.spillScratch(Dedup.docShingles(docs),
-      "shidx_bootstrap")
+    // executor-storage pin (the q88/q123 discipline); a leaf slice is
+    // already parquet-backed, so it skips the spill outright
+    val sh = shOpt.getOrElse(graft.sources.Sources.spillScratch(
+      Dedup.docShingles(docs), "shidx_bootstrap"))
     graft.sources.Sources.resetWarehouseTable(spark, shinglesTable(table))
     graft.sources.Sources.resetWarehouseTable(spark, sizesTable(table))
     sh.write.mode("overwrite").format("parquet")
@@ -348,13 +361,15 @@ object IncrementalDedup {
     * (doc ids are disjoint across sides, so the two counts add exactly
     * like the union-aggregate of the plain path). */
   def reportForBucketed(newDocs: DataFrame, table: String,
-                        threshold: Double = 0.5, dfCap: Int = 1000): DataFrame = {
+                        threshold: Double = 0.5, dfCap: Int = 1000,
+                        shNewOpt: Option[DataFrame] = None): DataFrame = {
     val spark = newDocs.sparkSession
     graft.sources.Sources.requireIndexMeta(spark,
       tableLocation(spark, shinglesTable(table)),
       shingleMeta(Dedup.DefaultShingleN))
     val index = spark.table(shinglesTable(table))
-    val shN = Dedup.docShingles(newDocs).localCheckpoint(true)
+    val shN = shNewOpt.getOrElse(
+      Dedup.docShingles(newDocs).localCheckpoint(true))
     val dfI = index.groupBy(col("shingle")).agg(count(lit(1)).as("dfi"))
     val dfN = shN.groupBy(col("shingle")).agg(count(lit(1)).as("dfn"))
     val hot = dfI.join(dfN, Seq("shingle"), "full_outer")
@@ -478,11 +493,12 @@ object IncrementalDedup {
   def reportForFpIndexBucketed(newDocs: DataFrame, table: String,
                                settledDocs: DataFrame, threshold: Double = 0.5,
                                k: Int = 16, w: Int = 8, minSharedFp: Int = 2,
-                               dfCap: Int = 1000): DataFrame =
+                               dfCap: Int = 1000,
+                               shOpt: Option[DataFrame] = None): DataFrame =
     fpScoreCandidates(newDocs,
       fpCandidatesBucketed(newDocs, table, k, w, minSharedFp, dfCap)
         .localCheckpoint(true),
-      settledDocs, threshold)
+      settledDocs, threshold, shOpt)
 
   /** The bucketed report's candidate stage, visible pre-checkpoint so the
     * layout spec can pin its plan (the report eagerly materializes it —
@@ -565,13 +581,14 @@ object IncrementalDedup {
   def reportForFpIndex(newDocs: DataFrame, fpIndex: DataFrame,
                        settledDocs: DataFrame, threshold: Double = 0.5,
                        k: Int = 16, w: Int = 8, minSharedFp: Int = 2,
-                       dfCap: Int = 1000): DataFrame = {
+                       dfCap: Int = 1000,
+                       shOpt: Option[DataFrame] = None): DataFrame = {
     val fpN = Dedup.winnowingFingerprints(newDocs, k, w).localCheckpoint(true)
     // eagerly pinned: the candidate set feeds both the corpus semi-join
     // and the scoring join
     val cand = fpCandidatesAgainstIndex(fpN, fpIndex, dfCap, minSharedFp)
       .localCheckpoint(true)
-    fpScoreCandidates(newDocs, cand, settledDocs, threshold)
+    fpScoreCandidates(newDocs, cand, settledDocs, threshold, shOpt)
   }
 
   /** Exact-scoring tail shared by the plain and bucketed fp reports: fetch
@@ -579,12 +596,21 @@ object IncrementalDedup {
     * that slice, score exact full-shingle Jaccard. */
   private def fpScoreCandidates(newDocs: DataFrame, cand: DataFrame,
                                 settledDocs: DataFrame,
-                                threshold: Double): DataFrame = {
+                                threshold: Double,
+                                shOpt: Option[DataFrame] = None): DataFrame = {
+    // shOpt: the WHOLE corpus's shingle relation (the session leaf) — the
+    // candidate-slice and shard shingles are exact id-slices of it, so
+    // neither side is re-tokenized; the fallback tokenizes only the
+    // candidate slice and the shard, exactly as before
     val candIds = cand.select(col("doc_b").as("doc_id")).distinct()
-    val shCand = Dedup.docShingles(
-      settledDocs.join(candIds, Seq("doc_id"), "left_semi"))
+    val shCand = shOpt.map(_.join(candIds, Seq("doc_id"), "left_semi"))
+      .getOrElse(Dedup.docShingles(
+        settledDocs.join(candIds, Seq("doc_id"), "left_semi")))
+    val shNew = shOpt.map(_.join(newDocs.select(col("doc_id")),
+        Seq("doc_id"), "left_semi"))
+      .getOrElse(Dedup.docShingles(newDocs))
     Dedup.jaccardForCandidates(
-        cand, Dedup.docShingles(newDocs).unionByName(shCand), threshold)
+        cand, shNew.unionByName(shCand), threshold)
       .groupBy(col("doc_a").as("doc_id"))
       .agg(max(col("jaccard")).as("max_jaccard"),
         count(lit(1)).as("n_matches"))
@@ -694,12 +720,13 @@ object IncrementalDedup {
   /** Bootstrap the batch-partitioned bucketed index (+sizes sidecar);
     * batch −1 = the settled corpus. */
   def writeShingleIndexBucketedXO(docs: DataFrame, table: String,
-                                  nBuckets: Int = 32): Unit = {
+                                  nBuckets: Int = 32,
+                                  shOpt: Option[DataFrame] = None): Unit = {
     val spark = docs.sparkSession
     // corpus-sized bootstrap relation, two consumers: spill, don't pin
-    // (see writeShingleIndexBucketed)
-    val sh = graft.sources.Sources.spillScratch(Dedup.docShingles(docs),
-      "shidx_xo_bootstrap")
+    // (see writeShingleIndexBucketed); leaf slices skip the spill
+    val sh = shOpt.getOrElse(graft.sources.Sources.spillScratch(
+      Dedup.docShingles(docs), "shidx_xo_bootstrap"))
     graft.sources.Sources.resetWarehouseTable(spark, shinglesTable(table))
     graft.sources.Sources.resetWarehouseTable(spark, sizesTable(table))
     sh.withColumn("ingest_batch", lit(-1L))
@@ -735,7 +762,8 @@ object IncrementalDedup {
     * `batchId` any number of times. */
   def ingestShardBucketedXO(batch: DataFrame, batchId: Long, table: String,
                             admittedPath: String, threshold: Double = 0.5,
-                            nBuckets: Int = 32): DataFrame = {
+                            nBuckets: Int = 32,
+                            shOpt: Option[DataFrame] = None): DataFrame = {
     val spark = batch.sparkSession
     if (batchId <= settledWatermark(spark, table)) {
       // replay of a batch already FOLDED into the settled partition: its
@@ -750,11 +778,16 @@ object IncrementalDedup {
     }
     for (t <- Seq(shinglesTable(table), sizesTable(table)))
       dropBatchPartition(spark, t, batchId)
-    val rep = reportForBucketed(batch, table, threshold)
+    val rep = reportForBucketed(batch, table, threshold, shNewOpt = shOpt)
     val admitted = batch
       .join(rep.select(col("doc_id")), Seq("doc_id"), "left_anti")
       .localCheckpoint(true) // pinned BEFORE the writes below
-    val sh = Dedup.docShingles(admitted).localCheckpoint(true)
+    // admitted ⊆ batch, so its shingles are an id-slice of the shard's
+    // relation when one was supplied (semi-join against the PINNED
+    // admitted ids — the leaf is parquet-backed, no self-observation)
+    val sh = shOpt.map(_.join(admitted.select(col("doc_id")),
+        Seq("doc_id"), "left_semi"))
+      .getOrElse(Dedup.docShingles(admitted).localCheckpoint(true))
     sh.withColumn("ingest_batch", lit(batchId))
       .write.mode("append").format("parquet").partitionBy("ingest_batch")
       .bucketBy(nBuckets, "shingle").sortBy("shingle")
@@ -866,25 +899,32 @@ object IncrementalDedup {
                                      threshold: Double = 0.5): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val isNew = col("doc_id") % 7 === 0
+    val leaf = Dedup.ensureDocShingles(spark, dir)
     val table = "graft_shidx_" +
       graft.sources.Sources.dirTag(dir) + "_" +
       graft.sources.Sources.sessionTag(spark)
-    writeShingleIndexBucketed(docs.filter(!isNew), table)
+    writeShingleIndexBucketed(docs.filter(!isNew), table,
+      shOpt = Some(leaf.filter(!isNew)))
     reportForBucketed(docs.filter(isNew), table, threshold)
   }
 
   /** q64 fixture entry: settled corpus = doc_id % 7 ≠ 0, arriving shard =
     * the rest (~14%). The index is written once to a session scratch sink
-    * and the shard dedups against the SINK — the settled corpus text is
-    * shingled exactly once, at index-build time (IncrementalDedupSpec
-    * pins that the report's only file scans read the index path). */
+    * and the shard dedups against the SINK — the corpus text is never
+    * re-tokenized here at all: both the index bootstrap and the shard's
+    * probe relation are id-slices of the session shingle leaf
+    * ([[Dedup.ensureDocShingles]]). IncrementalDedupSpec pins the generic
+    * [[reportFor]] path's only file scans to the index sink; the fixture
+    * entry additionally reads the leaf store. */
   def incrementalDedupReport(spark: SparkSession, dir: String,
                              threshold: Double = 0.5): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val isNew = col("doc_id") % 7 === 0
+    val leaf = Dedup.ensureDocShingles(spark, dir)
     val path = graft.sources.Sources.scratchDir(spark,
       "shingle_index_" + graft.sources.Sources.dirTag(dir))
-    writeShingleIndex(docs.filter(!isNew), path)
+    writeShingleIndex(docs.filter(!isNew), path,
+      shOpt = Some(leaf.filter(!isNew)))
     reportFor(docs.filter(isNew), readShingleIndex(spark, path), threshold)
   }
 
@@ -918,7 +958,9 @@ object IncrementalDedup {
     val table = "graft_shidx_xo_" + hex + "_" +
       graft.sources.Sources.sessionTag(spark)
     val admPath = graft.sources.Sources.scratchDir(spark, "xo_admitted_" + hex)
-    writeShingleIndexBucketedXO(docs.filter(!isNew), table)
+    val leaf = Dedup.ensureDocShingles(spark, dir)
+    writeShingleIndexBucketedXO(docs.filter(!isNew), table,
+      shOpt = Some(leaf.filter(!isNew)))
     val shard = docs.filter(isNew)
     ingestShardBucketedXO(shard, 0L, table, admPath, threshold)
     ingestShardBucketedXO(shard, 0L, table, admPath, threshold) // replay
@@ -960,7 +1002,9 @@ object IncrementalDedup {
     val table = "graft_shidx_xoc_" + hex + "_" +
       graft.sources.Sources.sessionTag(spark)
     val admPath = graft.sources.Sources.scratchDir(spark, "xoc_admitted_" + hex)
-    writeShingleIndexBucketedXO(docs.filter(mod >= 2), table)
+    val leaf = Dedup.ensureDocShingles(spark, dir)
+    writeShingleIndexBucketedXO(docs.filter(mod >= 2), table,
+      shOpt = Some(leaf.filter(col("doc_id") % 7 >= 2)))
     ingestShardBucketedXO(docs.filter(mod === 0), 0L, table, admPath, threshold)
     compactShingleIndexBucketedXO(spark, table, settledThrough = 0L)
     // replay of the now-folded tick: the watermark guard makes it a no-op
@@ -983,7 +1027,9 @@ object IncrementalDedup {
     val mod = col("doc_id") % 7
     val path = graft.sources.Sources.scratchDir(spark,
       "shingle_index_mt_" + graft.sources.Sources.dirTag(dir))
-    writeShingleIndex(docs.filter(mod >= 3), path)
+    val leaf = Dedup.ensureDocShingles(spark, dir)
+    writeShingleIndex(docs.filter(mod >= 3), path,
+      shOpt = Some(leaf.filter(col("doc_id") % 7 >= 3)))
     multiTickReport((0 to 2).map(t => docs.filter(mod === t)), path, threshold)
   }
 
@@ -994,13 +1040,15 @@ object IncrementalDedup {
     * tick's report and admitted set are eagerly pinned before the append:
     * their lazy plans read the very index files the append extends. */
   def multiTickReport(shards: Seq[DataFrame], indexPath: String,
-                      threshold: Double = 0.5, dfCap: Int = 1000): DataFrame =
+                      threshold: Double = 0.5, dfCap: Int = 1000,
+                      shSlices: Option[Seq[DataFrame]] = None): DataFrame =
     shards.zipWithIndex.map { case (shard, t) =>
       val spark = shard.sparkSession
       graft.sources.Sources.requireIndexMeta(spark, indexPath,
         shingleMeta(Dedup.DefaultShingleN))
       val rep = reportFor(shard, readShingleIndex(spark, indexPath),
-        threshold, dfCap).localCheckpoint(true)
+        threshold, dfCap,
+        shNewOpt = shSlices.map(_(t))).localCheckpoint(true)
       val admitted = shard
         .join(rep.select(col("doc_id")), Seq("doc_id"), "left_anti")
         .localCheckpoint(true)
@@ -1025,7 +1073,10 @@ object IncrementalDedup {
     val isNew = col("doc_id") % 7 === 0
     val path = graft.sources.Sources.scratchDir(spark,
       "novelty_index_" + graft.sources.Sources.dirTag(dir))
-    writeShingleIndex(docs.filter(!isNew), path, n)
+    val leafOpt = if (n == Dedup.DefaultShingleN)
+        Some(Dedup.ensureDocShingles(spark, dir, n)) else None
+    writeShingleIndex(docs.filter(!isNew), path, n,
+      shOpt = leafOpt.map(_.filter(!isNew)))
     noveltyAgainstIndex(docs.filter(isNew), path, n)
   }
 
@@ -1034,12 +1085,13 @@ object IncrementalDedup {
     * a public surface: a probe whose `n` contradicts the index's sidecar
     * fails loudly here instead of reading as ~100% bogus novelty. */
   def noveltyAgainstIndex(newDocs: DataFrame, indexPath: String,
-                          n: Int = Dedup.DefaultShingleN): DataFrame = {
+                          n: Int = Dedup.DefaultShingleN,
+                          shNewOpt: Option[DataFrame] = None): DataFrame = {
     val spark = newDocs.sparkSession
     graft.sources.Sources.requireIndexMeta(spark, indexPath, shingleMeta(n))
     val ref = readShingleIndex(spark, indexPath)
       .select(col("shingle")).distinct().withColumn("seen", lit(1))
-    Dedup.docShingles(newDocs, n)
+    shNewOpt.getOrElse(Dedup.docShingles(newDocs, n))
       .join(ref, Seq("shingle"), "left")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shingles"),

@@ -1574,6 +1574,16 @@ object Relational {
         Seq(0.05, 0.01)),
       ("documents", Tables.documents(spark, dir), Seq("source"),
         Seq(0.05, 0.01)))
+    // exact NDV + row counts for the columns the session ANALYZE store
+    // already audits (lineitem keys, documents.source) read off the leaf —
+    // the same countDistinct machinery, computed once per session instead
+    // of once per audit; events.user_id is not in the store's specs and
+    // keeps its own exact pass
+    val fromStore = ensureTableStats(spark, dir)
+      .select(col("table_name"), col("column_name"), col("n_rows"), col("ndv"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
     val rows = tables.flatMap { case (t, df, cs, rsds) =>
       // TWO passes per table, never one: a DISTINCT aggregate is planned
       // via Expand grouping by the distinct VALUES, and any non-distinct
@@ -1583,15 +1593,20 @@ object Relational {
       // (measured 26.7 s at sf0.1; split, the pair costs ~1 s). The
       // sketch pass is the 100 TB ANALYZE shape: one scan, one group,
       // constant state.
-      val exAggs = count(lit(1)).as("n") +:
-        cs.map(c => countDistinct(col(c)).as(s"ex_$c"))
-      val ex = df.agg(exAggs.head, exAggs.tail: _*).head()
+      val (n, exactOf): (Long, String => Long) =
+        if (cs.forall(c => fromStore.contains((t, c)))) {
+          (fromStore((t, cs.head))._1, c => fromStore((t, c))._2)
+        } else {
+          val exAggs = count(lit(1)).as("n") +:
+            cs.map(c => countDistinct(col(c)).as(s"ex_$c"))
+          val ex = df.agg(exAggs.head, exAggs.tail: _*).head()
+          (ex.getLong(0), c => ex.getLong(ex.fieldIndex(s"ex_$c")))
+        }
       val apAggs = cs.flatMap(c => rsds.zipWithIndex.map { case (rsd, i) =>
         approx_count_distinct(col(c), rsd).as(s"ap_${c}_$i") })
       val ap = df.agg(apAggs.head, apAggs.tail: _*).head()
-      val n = ex.getLong(0)
       cs.flatMap { c =>
-        val exact = ex.getLong(ex.fieldIndex(s"ex_$c"))
+        val exact = exactOf(c)
         rsds.zipWithIndex.map { case (rsd, i) =>
           val approx = ap.getLong(ap.fieldIndex(s"ap_${c}_$i"))
           val ok = math.abs(approx - exact) <= 3.0 * rsd * exact

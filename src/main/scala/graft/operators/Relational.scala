@@ -548,12 +548,16 @@ object Relational {
             round(avg(length(col(c).cast("string"))).cast(dec), 6)
               .cast("double").as(s"len_$c"))
         }: _*)
-      cols.map { c =>
-        wide.select(lit(t).as("table_name"), lit(c).as("column_name"),
+      // one row per column EXPLODED from the single aggregate row — the
+      // former per-column `wide.select(...)` union re-planned (and
+      // re-executed: no exchange reuse fires across Union branches) the
+      // full table aggregate once per audited column
+      wide.select(explode(array(cols.map { c =>
+        struct(lit(t).as("table_name"), lit(c).as("column_name"),
           col("n_rows"), col(s"nn_$c").as("n_nulls"), col(s"ndv_$c").as("ndv"),
           col(s"min_$c").as("min_val"), col(s"max_$c").as("max_val"),
           col(s"len_$c").as("avg_width"))
-      }.reduce(_.unionByName(_))
+      }: _*)).as("s")).select(col("s.*"))
     }.reduce(_.unionByName(_))
   }
 

@@ -207,12 +207,19 @@ object TextAnalysis {
       .withColumn("n", sum(col("cnt")).over(Window.partitionBy(col("lang"))))
       .withColumn("cum", sum(col("cnt")).over(
         Window.partitionBy(col("lang")).orderBy(col("quality"))))
-    ps.map { p =>
-      cum.filter(col("cum") >= ceil(col("n") * p))
-        .groupBy(col("lang"))
-        .agg(min(col("quality")).as("value"))
-        .select(col("lang"), lit(p).as("p"), col("value"))
-    }.reduce(_.unionByName(_))
+    // all requested ranks in ONE pass over the cumulative histogram:
+    // min over the filtered rows ≡ min(when(filter, value)) per p — the
+    // former per-p filter+agg union re-executed the histogram window
+    // once per quantile
+    val aggs = ps.zipWithIndex.map { case (p, i) =>
+      min(when(col("cum") >= ceil(col("n") * p), col("quality"))).as(s"v_$i")
+    }
+    cum.groupBy(col("lang"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("lang"), explode(array(ps.zipWithIndex.map { case (p, i) =>
+        struct(lit(p).as("p"), col(s"v_$i").as("value"))
+      }: _*)).as("s"))
+      .select(col("lang"), col("s.p"), col("s.value"))
   }
 
   /** q102 — QUANTILE DIFFICULTY BINNING (curriculum bucketing): per-language
@@ -837,11 +844,15 @@ object TextAnalysis {
           sum(when(col(s"f$i") === 1 && col("nf") === 1, 1L).otherwise(0L))
             .as(s"u$i"))
       }.flatten :+ sum(when(col("nf") > 0, 1L).otherwise(0L)).as("any_fail")): _*)
-    preds.zipWithIndex.map { case ((name, _), i) =>
-      counts.select(lit(i.toLong).as("stage_idx"), lit(name).as("stage"),
+    // one row per gate EXPLODED from the single aggregate row — the
+    // former per-gate `counts.select(...)` union re-executed the full
+    // five-predicate corpus aggregate once per gate (no exchange reuse
+    // across Union branches; measured 5 scan+aggregate subtrees)
+    counts.select(explode(array(preds.zipWithIndex.map { case ((name, _), i) =>
+      struct(lit(i.toLong).as("stage_idx"), lit(name).as("stage"),
         col("n_docs"), col("any_fail").as("n_fail_any"),
         col(s"m$i").as("n_fail_marginal"), col(s"u$i").as("n_fail_only"))
-    }.reduce(_.unionByName(_))
+    }: _*)).as("s")).select(col("s.*"))
   }
 
   /** q106 — BPE MERGE CANDIDATES: the first step of byte-pair-encoding
@@ -1781,9 +1792,12 @@ object TextAnalysis {
     val metrics = Seq("n_docs", "n_tokens", "n_chars", "n_langs",
       "n_sources", "mean_quality", "lang_entropy", "exact_dup_groups",
       "neardup_pairs", "neardup_docs", "eval_contaminated")
-    metrics.map { m =>
-      wide.select(lit(m).as("metric"), col(m).cast("double").as("value"))
-    }.reduce(_.unionByName(_))
+    // one row per metric EXPLODED from the single wide row — the former
+    // per-metric `wide.select(...)` union re-executed the whole
+    // five-aggregate crossJoin tree once per metric (11×)
+    wide.select(explode(array(metrics.map { m =>
+      struct(lit(m).as("metric"), col(m).cast("double").as("value"))
+    }: _*)).as("s")).select(col("s.*"))
   }
 
   /** A43 [EXT] — UNIMAX BUDGET ALLOCATION (Chung et al. 2023): the third

@@ -1114,6 +1114,8 @@ object SparkEntry {
       { Dedup.ensureEmbedClusters(s, d); () }),
     "knnedges" -> ((s: SparkSession, d: String) =>
       { Similarity.ensureKnnEdges(s, d, 5, 10000L); () }),
+    "exacttopk" -> ((s: SparkSession, d: String) =>
+      { Similarity.ensureExactTopK(s, d, 10, 5); () }),
     "anlz" -> ((s: SparkSession, d: String) =>
       { Relational.ensureTableStats(s, d); () }),
     "mv" -> ((s: SparkSession, d: String) =>

@@ -1451,6 +1451,22 @@ object Similarity {
           .cast("double").as("purity"))
   }
 
+  /** Session-shared exact cosine top-k baseline — the ground truth every
+    * routed-recall audit (q198–q204) compares against. [[cosineTopK]] is a
+    * pure function of (dir, nQueries, k) (scores 6dp-rounded, ranks under
+    * a total order), so the seven audits share ONE store instead of each
+    * re-running the exact queries×corpus scoring pass; q21 itself stays a
+    * live computation (it IS the declared operator). */
+  private[graft] def ensureExactTopK(spark: SparkSession, dir: String,
+                                     nQueries: Int, k: Int): DataFrame = {
+    val schema = cosineTopK(spark, dir, nQueries, k).schema
+    val root = graft.sources.Sources.ensureStore(spark, "exacttopk",
+        s"$dir|$nQueries|$k") { p =>
+      cosineTopK(spark, dir, nQueries, k).write.mode("overwrite").parquet(p)
+    }
+    spark.read.schema(schema).parquet(root)
+  }
+
   // --- Routed-recall audits (q198–q200) ---------------------------------
   //
   // The q154/q163/q164 estimator-audit discipline applied to the
@@ -1496,7 +1512,7 @@ object Similarity {
                      nQueries: Int = 10, k: Int = 5, nLists: Int = 16,
                      nProbe: Int = 4, trainIters: Int = 1,
                      floor: Double = 0.4): DataFrame =
-    recallAuditOver(cosineTopK(spark, dir, nQueries, k),
+    recallAuditOver(ensureExactTopK(spark, dir, nQueries, k),
       ivfCosineTopK(spark, dir, nQueries, k, nLists, nProbe, trainIters),
       floor)
 
@@ -1508,7 +1524,7 @@ object Similarity {
                     nQueries: Int = 10, k: Int = 5, m: Int = 8,
                     kSub: Int = 16, trainIters: Int = 2, rerank: Int = 100,
                     floor: Double = 0.4): DataFrame =
-    recallAuditOver(cosineTopK(spark, dir, nQueries, k),
+    recallAuditOver(ensureExactTopK(spark, dir, nQueries, k),
       pqCosineTopK(spark, dir, nQueries, k, m, kSub, trainIters, rerank),
       floor)
 
@@ -1520,7 +1536,7 @@ object Similarity {
   def annRecallAudit(spark: SparkSession, dir: String,
                      nQueries: Int = 10, k: Int = 5,
                      floor: Double = 0.6): DataFrame =
-    recallAuditOver(cosineTopK(spark, dir, nQueries, k),
+    recallAuditOver(ensureExactTopK(spark, dir, nQueries, k),
       annCosineTopK(spark, dir, nQueries, k), floor)
 
   // --- Persisted-lifecycle recall audits (q201–q202) --------------------
@@ -1590,7 +1606,7 @@ object Similarity {
     val (cbPath, idxPath) = ensureAgedIvfStore(spark, dir, nLists)
     val routed = ivfProbeIndex(spark, cbPath, idxPath,
       e.filter(col("vec_id") < nQueries), k, nProbe)
-    recallAuditOver(cosineTopK(spark, dir, nQueries, k), routed, floor)
+    recallAuditOver(ensureExactTopK(spark, dir, nQueries, k), routed, floor)
   }
 
   /** q202 — PERSISTED-PQ LIFECYCLE RECALL AUDIT: q141's lifecycle for
@@ -1652,7 +1668,7 @@ object Similarity {
       spark.read.parquet(graft.sources.Sources.livePath(spark, codesPath))
         .select(col("vec_id").as("cand_id"), col("codes")),
       books, subDim, nQueries, k, rerank)
-    recallAuditOver(cosineTopK(spark, dir, nQueries, k), routed, floor)
+    recallAuditOver(ensureExactTopK(spark, dir, nQueries, k), routed, floor)
   }
 
   // --- Index REBUILD: the capacity-migration verb (q203–q204) -----------
@@ -1737,7 +1753,7 @@ object Similarity {
     ivfRebuild(spark, e, idxPath, cbPath2, idxPath2, newNLists)
     val routed = ivfProbeIndex(spark, cbPath2, idxPath2,
       e.filter(col("vec_id") < nQueries), k, nProbe)
-    recallAuditOver(cosineTopK(spark, dir, nQueries, k), routed, floor)
+    recallAuditOver(ensureExactTopK(spark, dir, nQueries, k), routed, floor)
   }
 
   /** q204 — PQ REBUILD RECALL AUDIT: the aged quarter-trained compressed
@@ -1771,7 +1787,7 @@ object Similarity {
       spark.read.parquet(codesPath2)
         .select(col("vec_id").as("cand_id"), col("codes")),
       books, subDim, nQueries, k, rerank)
-    recallAuditOver(cosineTopK(spark, dir, nQueries, k), routed, floor)
+    recallAuditOver(ensureExactTopK(spark, dir, nQueries, k), routed, floor)
   }
 
   // --- Streaming maintenance for the persisted ANN stores (r17) ---------

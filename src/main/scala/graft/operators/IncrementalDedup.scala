@@ -65,9 +65,12 @@ object IncrementalDedup {
     * `n` must match the width the sink was written at (sidecar-enforced,
     * see [[writeShingleIndex]]). */
   def appendShingleIndex(docs: DataFrame, path: String,
-                         n: Int = Dedup.DefaultShingleN): Unit = {
+                         n: Int = Dedup.DefaultShingleN,
+                         shOpt: Option[DataFrame] = None): Unit = {
+    // shOpt: the docs' (doc_id, shingle) relation already materialized at
+    // width n (a leaf slice) — same contract as [[writeShingleIndex]]
     graft.sources.Sources.requireIndexMeta(docs.sparkSession, path, shingleMeta(n))
-    Dedup.docShingles(docs, n).write.mode("append").parquet(path)
+    shOpt.getOrElse(Dedup.docShingles(docs, n)).write.mode("append").parquet(path)
   }
 
   def readShingleIndex(spark: SparkSession, path: String): DataFrame =
@@ -905,7 +908,10 @@ object IncrementalDedup {
       graft.sources.Sources.sessionTag(spark)
     writeShingleIndexBucketed(docs.filter(!isNew), table,
       shOpt = Some(leaf.filter(!isNew)))
-    reportForBucketed(docs.filter(isNew), table, threshold)
+    // the shard's probe relation is an id-slice of the same leaf — the
+    // shard is not re-tokenized either (q64 discipline)
+    reportForBucketed(docs.filter(isNew), table, threshold,
+      shNewOpt = Some(leaf.filter(isNew)))
   }
 
   /** q64 fixture entry: settled corpus = doc_id % 7 ≠ 0, arriving shard =
@@ -925,7 +931,8 @@ object IncrementalDedup {
       "shingle_index_" + graft.sources.Sources.dirTag(dir))
     writeShingleIndex(docs.filter(!isNew), path,
       shOpt = Some(leaf.filter(!isNew)))
-    reportFor(docs.filter(isNew), readShingleIndex(spark, path), threshold)
+    reportFor(docs.filter(isNew), readShingleIndex(spark, path), threshold,
+      shNewOpt = Some(leaf.filter(isNew)))
   }
 
   /** q67 fixture entry: q64's split and oracle, with the FINGERPRINT index
@@ -962,8 +969,10 @@ object IncrementalDedup {
     writeShingleIndexBucketedXO(docs.filter(!isNew), table,
       shOpt = Some(leaf.filter(!isNew)))
     val shard = docs.filter(isNew)
-    ingestShardBucketedXO(shard, 0L, table, admPath, threshold)
-    ingestShardBucketedXO(shard, 0L, table, admPath, threshold) // replay
+    // the tick's probe + append shingles are id-slices of the same leaf
+    val shardSh = Some(leaf.filter(isNew))
+    ingestShardBucketedXO(shard, 0L, table, admPath, threshold, shOpt = shardSh)
+    ingestShardBucketedXO(shard, 0L, table, admPath, threshold, shOpt = shardSh) // replay
     spark.read.parquet(admPath).select(col("doc_id"))
   }
 
@@ -1005,11 +1014,15 @@ object IncrementalDedup {
     val leaf = Dedup.ensureDocShingles(spark, dir)
     writeShingleIndexBucketedXO(docs.filter(mod >= 2), table,
       shOpt = Some(leaf.filter(col("doc_id") % 7 >= 2)))
-    ingestShardBucketedXO(docs.filter(mod === 0), 0L, table, admPath, threshold)
+    val sh0 = Some(leaf.filter(col("doc_id") % 7 === 0))
+    ingestShardBucketedXO(docs.filter(mod === 0), 0L, table, admPath, threshold,
+      shOpt = sh0)
     compactShingleIndexBucketedXO(spark, table, settledThrough = 0L)
     // replay of the now-folded tick: the watermark guard makes it a no-op
-    ingestShardBucketedXO(docs.filter(mod === 0), 0L, table, admPath, threshold)
-    ingestShardBucketedXO(docs.filter(mod === 1), 1L, table, admPath, threshold)
+    ingestShardBucketedXO(docs.filter(mod === 0), 0L, table, admPath, threshold,
+      shOpt = sh0)
+    ingestShardBucketedXO(docs.filter(mod === 1), 1L, table, admPath, threshold,
+      shOpt = Some(leaf.filter(col("doc_id") % 7 === 1)))
     spark.read.parquet(admPath).select(col("doc_id"))
   }
 
@@ -1030,7 +1043,8 @@ object IncrementalDedup {
     val leaf = Dedup.ensureDocShingles(spark, dir)
     writeShingleIndex(docs.filter(mod >= 3), path,
       shOpt = Some(leaf.filter(col("doc_id") % 7 >= 3)))
-    multiTickReport((0 to 2).map(t => docs.filter(mod === t)), path, threshold)
+    multiTickReport((0 to 2).map(t => docs.filter(mod === t)), path, threshold,
+      shSlices = Some((0 to 2).map(t => leaf.filter(col("doc_id") % 7 === t))))
   }
 
   /** The cumulative ingest loop over an ordered shard sequence: per tick,
@@ -1052,7 +1066,12 @@ object IncrementalDedup {
       val admitted = shard
         .join(rep.select(col("doc_id")), Seq("doc_id"), "left_anti")
         .localCheckpoint(true)
-      appendShingleIndex(admitted, indexPath)
+      // admitted ⊆ shard: its shingles are the id-slice of the tick's
+      // leaf slice (semi-join on the PINNED admitted ids — the leaf is
+      // parquet-backed, no self-observation of the appended files)
+      appendShingleIndex(admitted, indexPath,
+        shOpt = shSlices.map(_(t).join(admitted.select(col("doc_id")),
+          Seq("doc_id"), "left_semi")))
       rep.withColumn("tick", lit(t))
     }.reduce(_.unionByName(_))
 

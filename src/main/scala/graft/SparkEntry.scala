@@ -151,7 +151,8 @@ object SparkEntry {
     // fingerprint index is re-proven on every harness run, not assumed
     "q65_neardup_clusters_winnowed" -> ((s: SparkSession, d: String) =>
       Dedup.nearDupClustersWinnowedFor(graft.Tables.documents(s, d),
-        shOpt = Some(Dedup.ensureDocShingles(s, d)))),
+        shOpt = Some(Dedup.ensureDocShingles(s, d)),
+        fpOpt = Some(Dedup.ensureWinnowFps(s, d)))),
     // q64 forced through the BUCKETED index (bucketBy shingle + sizes
     // sidecar): per-ingest shuffle is O(shard) — the index streams
     // bucket-aligned with no Exchange — same report, same oracle
@@ -1108,6 +1109,8 @@ object SparkEntry {
       { Dedup.ensureDocShingles(s, d); () }),
     "jacpairs" -> ((s: SparkSession, d: String) =>
       { Dedup.ensureJaccardPairs(s, d); () }),
+    "winfps" -> ((s: SparkSession, d: String) =>
+      { Dedup.ensureWinnowFps(s, d); () }),
     "embpairs" -> ((s: SparkSession, d: String) =>
       { Dedup.ensureEmbedPairs(s, d); () }),
     "embclusters" -> ((s: SparkSession, d: String) =>

@@ -242,6 +242,29 @@ object Dedup {
     spark.read.schema(schema).parquet(root)
   }
 
+  /** Session-shared winnowed-fingerprint leaf — [[ensureDocShingles]] for
+    * the fingerprint keyspace: the (doc_id, fp) relation of the WHOLE
+    * documents table at geometry (k, w), computed once per (session, dir,
+    * k, w) and read back by every winnow consumer (the q63 pair route, the
+    * q65 candidate generator, the q67/q78 fp-index bootstraps + probes,
+    * the q164 audit's fp side). Fingerprints are a pure per-row function
+    * of (doc_id, text), so id-subset consumers slice exactly by
+    * filter/semi-join — sharing changes COST, never content. */
+  def ensureWinnowFps(spark: SparkSession, dir: String,
+                      k: Int = 16, w: Int = 8): DataFrame = {
+    val idType = Tables.documents(spark, dir).schema("doc_id").dataType
+    val root = graft.sources.Sources.ensureStore(spark, "winfps",
+        s"$dir|$k|$w") { p =>
+      winnowingFingerprints(Tables.documents(spark, dir), k, w)
+        .write.mode("overwrite").parquet(p)
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", idType),
+      org.apache.spark.sql.types.StructField("fp",
+        org.apache.spark.sql.types.LongType)))
+    spark.read.schema(schema).parquet(root)
+  }
+
   /** The shared exact-Jaccard core over two shingle relations: inverted-
     * index equi-join of the rare (df ≤ cap) shingles with `pairFilter`
     * pruning the candidate space (a < b for the self-join; cross-split
@@ -573,10 +596,14 @@ object Dedup {
     * band, and the sliding-min recurrence (q63).
     */
   def winnowingPairsFor(docs: DataFrame, k: Int = 16, w: Int = 8,
-                        threshold: Double = 0.5, dfCap: Int = 1000): DataFrame = {
-    val sh = graft.sources.Sources.spillScratch(
-      winnowingFingerprints(docs, k, w).withColumnRenamed("fp", "shingle"),
-      "winnow_fp")
+                        threshold: Double = 0.5, dfCap: Int = 1000,
+                        fpOpt: Option[DataFrame] = None): DataFrame = {
+    // fpOpt: the docs' (doc_id, fp) relation already materialized at
+    // (k, w) — e.g. the session winnow leaf; parquet-backed, so no spill
+    val sh = fpOpt.map(_.withColumnRenamed("fp", "shingle"))
+      .getOrElse(graft.sources.Sources.spillScratch(
+        winnowingFingerprints(docs, k, w).withColumnRenamed("fp", "shingle"),
+        "winnow_fp"))
     val hot = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
       .filter(col("df") > dfCap).select(col("shingle"))
     jaccardPairsAcross(sh, sh, hot, col("doc_a") < col("doc_b"), threshold)
@@ -585,7 +612,8 @@ object Dedup {
 
   def winnowingPairs(spark: SparkSession, dir: String,
                      threshold: Double = 0.5): DataFrame =
-    winnowingPairsFor(Tables.documents(spark, dir), threshold = threshold)
+    winnowingPairsFor(Tables.documents(spark, dir), threshold = threshold,
+      fpOpt = Some(ensureWinnowFps(spark, dir)))
 
   /** Exact near-dup pairs with WINNOWED candidate generation — the
     * >[[MaxFullIndexDocs]] route: candidates share ≥ `minSharedFp` non-hot
@@ -607,10 +635,12 @@ object Dedup {
   def winnowCandidateJaccardPairsFor(docs: DataFrame, threshold: Double = 0.5,
                                      k: Int = 16, w: Int = 8, minSharedFp: Int = 2,
                                      dfCap: Int = 1000,
-                                     shOpt: Option[DataFrame] = None): DataFrame = {
+                                     shOpt: Option[DataFrame] = None,
+                                     fpOpt: Option[DataFrame] = None): DataFrame = {
     val sh = shOpt.getOrElse(
       graft.sources.Sources.spillScratch(docShingles(docs), "winnow_verify_sh"))
-    val fps = winnowingFingerprints(docs, k, w).withColumnRenamed("fp", "shingle")
+    val fps = fpOpt.getOrElse(winnowingFingerprints(docs, k, w))
+      .withColumnRenamed("fp", "shingle")
     // ≥ 2 shared fingerprints: one shared 16-char gram between unrelated
     // docs is common vocabulary, and those single-coincidence pairs are
     // the bulk of the ≥1 candidate set, flooding the exact verification
@@ -1288,9 +1318,11 @@ object Dedup {
     * above [[MaxFullIndexDocs]], exposed directly so the forced q65 row
     * exercises it at fixture scale. */
   def nearDupClustersWinnowedFor(docs: DataFrame, threshold: Double = 0.5,
-                                 shOpt: Option[DataFrame] = None): DataFrame =
+                                 shOpt: Option[DataFrame] = None,
+                                 fpOpt: Option[DataFrame] = None): DataFrame =
     clustersFromPairs(docs,
-      winnowCandidateJaccardPairsFor(docs, threshold, shOpt = shOpt))
+      winnowCandidateJaccardPairsFor(docs, threshold, shOpt = shOpt,
+        fpOpt = fpOpt))
 
   /** Shared pairs → connected components → keep-rule tail. The shingle
     * leaf is localCheckpointed inside the pair verbs, so nothing here
@@ -1975,7 +2007,8 @@ object Dedup {
     // (identical construction: shingle inverted index, df-capped, 4dp) —
     // the audit pays only the fingerprint side + the pair-bounded compare
     winnowingCandidateAuditCore(Tables.documents(spark, dir),
-      ensureJaccardPairs(spark, dir, threshold), k, w, minSharedFp, 1000)
+      ensureJaccardPairs(spark, dir, threshold), k, w, minSharedFp, 1000,
+      fpOpt = Some(ensureWinnowFps(spark, dir, k, w)))
   }
 
   def winnowingCandidateAuditFor(docs: DataFrame, threshold: Double = 0.5,
@@ -1997,8 +2030,10 @@ object Dedup {
     * restricting it would change which fingerprints count as cool. */
   private def winnowingCandidateAuditCore(docs: DataFrame, pairs: DataFrame,
                                           k: Int, w: Int, minSharedFp: Int,
-                                          dfCap: Int): DataFrame = {
-    val fps = winnowingFingerprints(docs, k, w).withColumnRenamed("fp", "shingle")
+                                          dfCap: Int,
+                                          fpOpt: Option[DataFrame] = None): DataFrame = {
+    val fps = fpOpt.getOrElse(winnowingFingerprints(docs, k, w))
+      .withColumnRenamed("fp", "shingle")
     val fpHot = fps.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
       .filter(col("df") > dfCap).select(col("shingle"))
     // restrict the fp inverted index to docs appearing in the audited

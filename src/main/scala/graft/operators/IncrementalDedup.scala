@@ -417,8 +417,12 @@ object IncrementalDedup {
   /** Build and persist the fingerprint index of `docs` (overwrite); the
     * winnowing geometry (k, w) lands in the sink's parameter sidecar. */
   def writeFpIndex(docs: DataFrame, path: String,
-                   k: Int = 16, w: Int = 8): Unit = {
-    Dedup.winnowingFingerprints(docs, k, w).write.mode("overwrite").parquet(path)
+                   k: Int = 16, w: Int = 8,
+                   fpOpt: Option[DataFrame] = None): Unit = {
+    // fpOpt: the docs' (doc_id, fp) relation already materialized at
+    // (k, w) — e.g. an id-slice of the session winnow leaf
+    fpOpt.getOrElse(Dedup.winnowingFingerprints(docs, k, w))
+      .write.mode("overwrite").parquet(path)
     graft.sources.Sources.writeIndexMeta(docs.sparkSession, path, fpMeta(k, w))
   }
 
@@ -440,10 +444,11 @@ object IncrementalDedup {
     * fingerprint keyspace (8-byte fixed-width keys make the bucket hash
     * and the SMJ compare cheaper still). */
   def writeFpIndexBucketed(docs: DataFrame, table: String,
-                           nBuckets: Int = 32, k: Int = 16, w: Int = 8): Unit = {
+                           nBuckets: Int = 32, k: Int = 16, w: Int = 8,
+                           fpOpt: Option[DataFrame] = None): Unit = {
     val spark = docs.sparkSession
     graft.sources.Sources.resetWarehouseTable(spark, fpsTable(table))
-    Dedup.winnowingFingerprints(docs, k, w)
+    fpOpt.getOrElse(Dedup.winnowingFingerprints(docs, k, w))
       .write.format("parquet").bucketBy(nBuckets, "fp").sortBy("fp")
       .saveAsTable(fpsTable(table))
     graft.sources.Sources.writeIndexMeta(spark,
@@ -497,9 +502,10 @@ object IncrementalDedup {
                                settledDocs: DataFrame, threshold: Double = 0.5,
                                k: Int = 16, w: Int = 8, minSharedFp: Int = 2,
                                dfCap: Int = 1000,
-                               shOpt: Option[DataFrame] = None): DataFrame =
+                               shOpt: Option[DataFrame] = None,
+                               fpOpt: Option[DataFrame] = None): DataFrame =
     fpScoreCandidates(newDocs,
-      fpCandidatesBucketed(newDocs, table, k, w, minSharedFp, dfCap)
+      fpCandidatesBucketed(newDocs, table, k, w, minSharedFp, dfCap, fpOpt)
         .localCheckpoint(true),
       settledDocs, threshold, shOpt)
 
@@ -509,12 +515,15 @@ object IncrementalDedup {
   private[graft] def fpCandidatesBucketed(newDocs: DataFrame, table: String,
                                           k: Int = 16, w: Int = 8,
                                           minSharedFp: Int = 2,
-                                          dfCap: Int = 1000): DataFrame = {
+                                          dfCap: Int = 1000,
+                                          fpOpt: Option[DataFrame] = None): DataFrame = {
     val spark = newDocs.sparkSession
     graft.sources.Sources.requireIndexMeta(spark,
       tableLocation(spark, fpsTable(table)), fpMeta(k, w))
     val fpIndex = spark.table(fpsTable(table))
-    val fpN = Dedup.winnowingFingerprints(newDocs, k, w).localCheckpoint(true)
+    // a leaf slice is parquet-backed — no executor-storage pin needed
+    val fpN = fpOpt.getOrElse(
+      Dedup.winnowingFingerprints(newDocs, k, w).localCheckpoint(true))
     val dfI = fpIndex.groupBy(col("fp")).agg(count(lit(1)).as("dfi"))
     val dfN = fpN.groupBy(col("fp")).agg(count(lit(1)).as("dfn"))
     val hot = dfI.join(dfN, Seq("fp"), "full_outer")
@@ -585,8 +594,10 @@ object IncrementalDedup {
                        settledDocs: DataFrame, threshold: Double = 0.5,
                        k: Int = 16, w: Int = 8, minSharedFp: Int = 2,
                        dfCap: Int = 1000,
-                       shOpt: Option[DataFrame] = None): DataFrame = {
-    val fpN = Dedup.winnowingFingerprints(newDocs, k, w).localCheckpoint(true)
+                       shOpt: Option[DataFrame] = None,
+                       fpOpt: Option[DataFrame] = None): DataFrame = {
+    val fpN = fpOpt.getOrElse(
+      Dedup.winnowingFingerprints(newDocs, k, w).localCheckpoint(true))
     // eagerly pinned: the candidate set feeds both the corpus semi-join
     // and the scoring join
     val cand = fpCandidatesAgainstIndex(fpN, fpIndex, dfCap, minSharedFp)
@@ -946,9 +957,14 @@ object IncrementalDedup {
     val isNew = col("doc_id") % 7 === 0
     val path = graft.sources.Sources.scratchDir(spark,
       "fp_index_" + graft.sources.Sources.dirTag(dir))
-    writeFpIndex(docs.filter(!isNew), path)
+    // bootstrap + probe fingerprints are id-slices of the session winnow
+    // leaf; the exact-scoring tail slices the shingle leaf (q64 discipline)
+    val fpLeaf = Dedup.ensureWinnowFps(spark, dir)
+    writeFpIndex(docs.filter(!isNew), path, fpOpt = Some(fpLeaf.filter(!isNew)))
     reportForFpIndex(docs.filter(isNew), readShingleIndex(spark, path),
-      docs.filter(!isNew), threshold)
+      docs.filter(!isNew), threshold,
+      shOpt = Some(Dedup.ensureDocShingles(spark, dir)),
+      fpOpt = Some(fpLeaf.filter(isNew)))
   }
 
   /** q70 fixture entry: the bucketed exactly-once tick REPLAYED under the
@@ -988,9 +1004,13 @@ object IncrementalDedup {
     val table = "graft_fpidx_" +
       graft.sources.Sources.dirTag(dir) + "_" +
       graft.sources.Sources.sessionTag(spark)
-    writeFpIndexBucketed(docs.filter(!isNew), table)
+    val fpLeaf = Dedup.ensureWinnowFps(spark, dir)
+    writeFpIndexBucketed(docs.filter(!isNew), table,
+      fpOpt = Some(fpLeaf.filter(!isNew)))
     reportForFpIndexBucketed(docs.filter(isNew), table, docs.filter(!isNew),
-      threshold)
+      threshold,
+      shOpt = Some(Dedup.ensureDocShingles(spark, dir)),
+      fpOpt = Some(fpLeaf.filter(isNew)))
   }
 
   /** q75 fixture entry: the exactly-once bucketed loop with a COMPACTION

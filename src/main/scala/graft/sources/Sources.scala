@@ -117,6 +117,23 @@ object Sources {
   private[graft] def scratchDirUnique(spark: SparkSession, tag: String): String =
     scratchDir(spark, s"${tag}_${spillSeq.incrementAndGet()}")
 
+  /** Recursive file copy of a store directory — how a MUTATING lifecycle
+    * audit gets its private working copy of a session-shared leaf without
+    * re-running the leaf's build (the store content is a pure function of
+    * its key, so the copy is byte-identical state; the audit's own
+    * mutations then land on the copy). `dst` must not exist yet. */
+  private[graft] def cloneStoreDir(spark: SparkSession, src: String,
+                                   dst: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val srcP = new org.apache.hadoop.fs.Path(src)
+    val dstP = new org.apache.hadoop.fs.Path(dst)
+    val fs = srcP.getFileSystem(conf)
+    require(!fs.exists(dstP), s"clone destination already exists: $dst")
+    if (dstP.getParent != null) fs.mkdirs(dstP.getParent)
+    org.apache.hadoop.fs.FileUtil.copy(fs, srcP, fs, dstP,
+      false /* deleteSource */, true /* overwrite */, conf): Unit
+  }
+
   private[graft] def spillScratch(df: DataFrame, name: String): DataFrame = {
     val spark = df.sparkSession
     val p = scratchDir(spark, s"spill_${name}_${spillSeq.incrementAndGet()}")
@@ -1658,34 +1675,32 @@ object Sources {
     val zZone = concat(lit("z"), shiftright(
       mortonCode(bucket(col("pk"), pmin, pmax),
         bucket(col("sk"), smin, smax), bits), 2 * bits - fileBits))
-    def commit(rows: DataFrame, zone: Column, gen: String,
-               first: Boolean, statsPrefix: String): Unit = {
-      val tagged = rows.withColumn("zone", zone)
-      tagged.repartition(col("zone"))
-        .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
-        .partitionBy("zone").parquet(s"$gen/data")
-      // stats from the files READ BACK, commit-bounded (zone is the
-      // partition col, so the prefix filter prunes to this commit)
-      spark.read.parquet(s"$gen/data")
-        .filter(col("zone").startsWith(statsPrefix))
-        .groupBy(col("zone"))
-        .agg(count(lit(1)).as("n_rows"),
-          min(col("pk")).as("pk_lo"), max(col("pk")).as("pk_hi"),
-          min(col("sk")).as("sk_lo"), max(col("sk")).as("sk_hi"))
-        .write.mode(if (first) "overwrite" else "append")
-        .parquet(s"$gen/stats")
-    }
-    // settled: Morton-clustered; tail: nTicks ingest-order commits
-    commit(li.filter(pmod(col("ok"), lit(5L)) < 3L), zZone, store,
-      first = true, statsPrefix = "z")
-    (0 until nTicks).foreach { t =>
-      commit(li.filter(pmod(col("ok"), lit(5L)) >= 3L &&
-          pmod(col("ok"), lit(nTicks.toLong)) === t),
-        concat(lit(s"t${t}_"), call_function("div",
-          (col("ok") - lit(omin)) * lit(tailFiles.toLong),
-          lit(omax - omin + 1L))),
-        store, first = false, statsPrefix = s"t${t}_")
-    }
+    // Degraded-state fixture build in ONE pass: the settled Morton
+    // commit and the nTicks ingest-order tail commits land disjoint zone
+    // partitions ("z*" vs "t{t}_*"), so tagging every row with its
+    // commit's zone expression and writing once produces the identical
+    // (row, zone) store — and ONE read-back groupBy(zone) equals the
+    // union of the per-commit prefix-bounded stats appends — at 1
+    // lineitem scan + 1 shuffle instead of nTicks+1 of each. The
+    // per-commit XO discipline itself is owned (and spec-pinned) by the
+    // q209 zoneMapCommit lifecycle; this verb audits OPTIMIZE.
+    val tailZone = concat(lit("t"),
+      pmod(col("ok"), lit(nTicks.toLong)).cast("string"), lit("_"),
+      call_function("div",
+        (col("ok") - lit(omin)) * lit(tailFiles.toLong),
+        lit(omax - omin + 1L)))
+    li.withColumn("zone",
+        when(pmod(col("ok"), lit(5L)) < 3L, zZone).otherwise(tailZone))
+      .repartition(col("zone"))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("zone").parquet(s"$store/data")
+    // stats from the files READ BACK (unchanged contract)
+    spark.read.parquet(s"$store/data")
+      .groupBy(col("zone"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("pk")).as("pk_lo"), max(col("pk")).as("pk_hi"),
+        min(col("sk")).as("sk_lo"), max(col("sk")).as("sk_hi"))
+      .write.mode("overwrite").parquet(s"$store/stats")
     val (plo, phi) = (pmin + (pmax - pmin + 1L) / 4L,
       pmin + (pmax - pmin + 1L) / 2L)
     val (slo, shi) = (smin + (smax - smin + 1L) / 4L,
@@ -1928,8 +1943,14 @@ object Sources {
     // read and the path fails obscurely instead of meaningfully
     require(nTicks >= 2, s"rewrite audit needs >= 2 ticks, got $nTicks")
     val root = scratchDirUnique(spark, "mvrw")
+    // the stale store (ticks 0..nTicks−2 landed, the last didn't) is a
+    // partition-subset of the shared complete leaf — clone exactly those
+    // partitions instead of re-scanning orders once per tick; the
+    // REFRESH below stays a real commit (it is the audited behavior)
+    val leafMv = s"${ensureMatViewStore(spark, dir, nTicks)}/mv"
     (0 until nTicks - 1).foreach(t =>
-      matViewTickAt(spark, dir, root, t, nTicks))
+      cloneStoreDir(spark, s"$leafMv/ingest_batch=$t",
+        s"$root/mv/ingest_batch=$t"))
     // staleness: MV-covered rows (metadata fold) vs the ANALYZE store's
     // base count — no base-table scan in the decision
     val preRows = spark.read.parquet(livePath(spark, s"$root/mv"))
@@ -2015,7 +2036,13 @@ object Sources {
   def matViewCompaction(spark: SparkSession, dir: String,
                         nTicks: Int = 4): DataFrame = {
     val root = scratchDirUnique(spark, "mvcmp")
-    (0 until nTicks).foreach(t => matViewTickAt(spark, dir, root, t, nTicks))
+    // private working copy CLONED from the shared complete leaf: the
+    // tick-grain store is a pure function of (dir, nTicks) and ~|groups|·
+    // |ticks| rows of metadata, so the clone is byte-identical state at
+    // file-copy cost instead of nTicks orders scans; the compaction then
+    // mutates only the copy (the shared q233 leaf is never compacted)
+    cloneStoreDir(spark, s"${ensureMatViewStore(spark, dir, nTicks)}/mv",
+      s"$root/mv")
     val mvPath = s"$root/mv"
     val nBefore = spark.read.parquet(mvPath).count()
     val gen = compactMvAt(spark, mvPath)

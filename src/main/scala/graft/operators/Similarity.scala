@@ -547,13 +547,26 @@ object Similarity {
                              nLists: Int = 16, nProbe: Int = 4,
                              nQueries: Int = 10, k: Int = 5): DataFrame = {
     val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
-    val hex = graft.sources.Sources.dirTag(dir)
-    val cbPath = graft.sources.Sources.scratchDir(spark, "ivfc_codebook_" + hex)
-    val idxPath = graft.sources.Sources.scratchDir(spark, "ivfc_index_" + hex)
-    writeIvfIndex(e.filter(col("vec_id") % 4 === 0), cbPath, idxPath, nLists)
-    ivfIngestTick(e.filter(col("vec_id") % 4 === 1), cbPath, idxPath, 0L)
-    ivfIngestTick(e.filter(col("vec_id") % 4 === 2), cbPath, idxPath, 1L)
-    ivfIngestTick(e.filter(col("vec_id") % 4 === 3), cbPath, idxPath, 2L)
+    // the PRE-compaction store (bootstrap + 3 ingest ticks) is a pure
+    // function of (dir, nLists): build it once per session, clone the
+    // index per invocation (the compaction under audit mutates it via the
+    // pointer flip — the q239 clone discipline); the codebook is
+    // read-only, so it reads straight from the leaf. The tick verbs
+    // themselves stay audited by q94's live lifecycle.
+    val preRoot = graft.sources.Sources.ensureStore(spark, "ivfcpre",
+        s"$dir|$nLists") { root =>
+      writeIvfIndex(e.filter(col("vec_id") % 4 === 0), s"$root/cb",
+        s"$root/idx", nLists)
+      ivfIngestTick(e.filter(col("vec_id") % 4 === 1), s"$root/cb", s"$root/idx", 0L)
+      ivfIngestTick(e.filter(col("vec_id") % 4 === 2), s"$root/cb", s"$root/idx", 1L)
+      ivfIngestTick(e.filter(col("vec_id") % 4 === 3), s"$root/cb", s"$root/idx", 2L)
+    }
+    val cbPath = s"$preRoot/cb"
+    // session-stable clone destination: the spec pins the compacted
+    // layout at this path (one file per list, generations flipped)
+    val idxPath = graft.sources.Sources.scratchDir(spark,
+      "ivfc_index_" + graft.sources.Sources.dirTag(dir))
+    graft.sources.Sources.cloneStoreDirOver(spark, s"$preRoot/idx", idxPath)
     val queries = e.filter(col("vec_id") < nQueries)
     val batchesBefore = spark.read
       .parquet(graft.sources.Sources.livePath(spark, idxPath))
@@ -913,13 +926,21 @@ object Similarity {
                             nQueries: Int = 10, k: Int = 5,
                             rerank: Int = 100): DataFrame = {
     val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
-    val hex = graft.sources.Sources.dirTag(dir)
-    val booksPath = graft.sources.Sources.scratchDir(spark, "pqc_books_" + hex)
-    val codesPath = graft.sources.Sources.scratchDir(spark, "pqc_codes_" + hex)
-    writePqIndex(e.filter(col("vec_id") % 4 === 0), booksPath, codesPath)
-    pqIngestTick(e.filter(col("vec_id") % 4 === 1), booksPath, codesPath, 0L)
-    pqIngestTick(e.filter(col("vec_id") % 4 === 2), booksPath, codesPath, 1L)
-    pqIngestTick(e.filter(col("vec_id") % 4 === 3), booksPath, codesPath, 2L)
+    // pre-compaction store shared per session, codes cloned per
+    // invocation — the q139 clone discipline for the compressed store
+    val preRoot = graft.sources.Sources.ensureStore(spark, "pqcpre", dir) {
+      root =>
+        writePqIndex(e.filter(col("vec_id") % 4 === 0), s"$root/books",
+          s"$root/codes")
+        pqIngestTick(e.filter(col("vec_id") % 4 === 1), s"$root/books", s"$root/codes", 0L)
+        pqIngestTick(e.filter(col("vec_id") % 4 === 2), s"$root/books", s"$root/codes", 1L)
+        pqIngestTick(e.filter(col("vec_id") % 4 === 3), s"$root/books", s"$root/codes", 2L)
+    }
+    val booksPath = s"$preRoot/books"
+    // session-stable clone destination (spec pins the folded layout here)
+    val codesPath = graft.sources.Sources.scratchDir(spark,
+      "pqc_codes_" + graft.sources.Sources.dirTag(dir))
+    graft.sources.Sources.cloneStoreDirOver(spark, s"$preRoot/codes", codesPath)
     val books = loadPqBooks(spark, booksPath)
     val subDim = books(0)(0).length
     val batchesBefore = spark.read
@@ -1875,25 +1896,6 @@ object Similarity {
       // assign/encode are per-row, so the sampled compare is exact on
       // its subset
       val inSample = pmod(col("vec_id"), lit(8L)) === 0L
-      // spool the new vectors to one parquet file per tick: the stream
-      // feed (files are the micro-batch grain under maxFilesPerTrigger=1)
-      val feed = Sources.scratchDirUnique(spark, "annstream_feed")
-      for (b <- 0 until nBatches)
-        e.filter(pmod(col("vec_id"), lit(5L * nBatches)) === 5L * b)
-          .coalesce(1)
-          .write.mode(if (b == 0) "overwrite" else "append").parquet(feed)
-      def startStream(writer: DataFrame =>
-          org.apache.spark.sql.streaming.DataStreamWriter[
-            org.apache.spark.sql.Row])
-          : org.apache.spark.sql.streaming.StreamingQuery = {
-        val src = spark.readStream.schema(e.schema)
-          .option("maxFilesPerTrigger", "1").parquet(feed)
-        writer(src)
-          .option("checkpointLocation", Sources.scratchDirUnique(spark, "annstream_ck"))
-          .start()
-      }
-      def mismatches(a: DataFrame, b: DataFrame): Long =
-        symmetricDiffCount(a, b)
 
       // the two families are fully independent (own stores, own
       // streams, own compare legs), so every family-local phase runs on
@@ -1912,19 +1914,57 @@ object Similarity {
         } finally { pool.shutdown(); () }
       }
 
-      // bootstrap both families — training corpora are the 1/8 sample
-      // (the codebook/books are frozen fixtures here; index QUALITY is
-      // q43/q118's row, and the lifecycle claims below are exact under
-      // any frozen codebook)
-      val trainSet = Some(settled.filter(inSample))
-      val cbPath = Sources.scratchDirUnique(spark, "annstream_ivf_cb")
-      val idxPath = Sources.scratchDirUnique(spark, "annstream_ivf_idx")
-      val booksPath = Sources.scratchDirUnique(spark, "annstream_pq_books")
-      val codesPath = Sources.scratchDirUnique(spark, "annstream_pq_codes")
+      // the STREAM-INDEPENDENT fixture state — the spooled feed files and
+      // both families' bootstrap stores — is a pure function of
+      // (dir, nBatches): built once per session; the stores the streams
+      // MUTATE (assignments, codes) are cloned per invocation (q239
+      // discipline), the read-only halves (feed, codebook, books) read
+      // straight from the leaf. Bootstrap training corpora are the 1/8
+      // sample (the codebook/books are frozen fixtures here; index
+      // QUALITY is q43/q118's row, and the lifecycle claims below are
+      // exact under any frozen codebook). Bootstrap verbs stay
+      // live-audited by q94/q118; this audit's subject is the STREAMS
+      // and replay.
+      val boot = Sources.ensureStore(spark, "annboot", s"$dir|$nBatches") {
+        root =>
+          // one parquet file per tick: the micro-batch grain under
+          // maxFilesPerTrigger=1
+          for (b <- 0 until nBatches)
+            e.filter(pmod(col("vec_id"), lit(5L * nBatches)) === 5L * b)
+              .coalesce(1)
+              .write.mode(if (b == 0) "overwrite" else "append")
+              .parquet(s"$root/feed")
+          val trainSet = Some(e.filter(!isNew).filter(inSample))
+          both(
+            writeIvfIndex(e.filter(!isNew), s"$root/ivf_cb", s"$root/ivf_idx",
+              trainOn = trainSet),
+            writePqIndex(e.filter(!isNew), s"$root/pq_books", s"$root/pq_codes",
+              trainIters = 1, trainOn = trainSet))
+          ()
+      }
+      val feed = s"$boot/feed"
+      def startStream(writer: DataFrame =>
+          org.apache.spark.sql.streaming.DataStreamWriter[
+            org.apache.spark.sql.Row])
+          : org.apache.spark.sql.streaming.StreamingQuery = {
+        val src = spark.readStream.schema(e.schema)
+          .option("maxFilesPerTrigger", "1").parquet(feed)
+        writer(src)
+          .option("checkpointLocation", Sources.scratchDirUnique(spark, "annstream_ck"))
+          .start()
+      }
+      def mismatches(a: DataFrame, b: DataFrame): Long =
+        symmetricDiffCount(a, b)
+
+      // private working copies of the two MUTATED stores (cloned files,
+      // byte-identical bootstrap state); codebook/books read from the leaf
+      val cbPath = s"$boot/ivf_cb"
+      val booksPath = s"$boot/pq_books"
+      val idxPath = Sources.scratchDirUnique(spark, "annstream_ivf") + "/idx"
+      val codesPath = Sources.scratchDirUnique(spark, "annstream_pq") + "/codes"
       both(
-        writeIvfIndex(settled, cbPath, idxPath, trainOn = trainSet),
-        writePqIndex(settled, booksPath, codesPath, trainIters = 1,
-          trainOn = trainSet))
+        Sources.cloneStoreDir(spark, s"$boot/ivf_idx", idxPath),
+        Sources.cloneStoreDir(spark, s"$boot/pq_codes", codesPath))
       // both maintenance streams run CONCURRENTLY — independent stores,
       // and each stream's micro-batch barriers leave cores idle that
       // the other family's ticks can use

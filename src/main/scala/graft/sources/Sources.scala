@@ -134,6 +134,22 @@ object Sources {
       false /* deleteSource */, true /* overwrite */, conf): Unit
   }
 
+  /** [[cloneStoreDir]] onto a SESSION-STABLE destination: tear down
+    * whatever a prior same-session invocation left there — the live
+    * generation (possibly a `__gN` dir a versionedSwap published), the
+    * raw dir, and the pointer — then clone fresh. For mutating lifecycle
+    * fixtures whose store path is part of their spec surface. */
+  private[graft] def cloneStoreDirOver(spark: SparkSession, src: String,
+                                       dst: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(dst).getFileSystem(conf)
+    val live = livePath(spark, dst)
+    fs.delete(new org.apache.hadoop.fs.Path(live), true)
+    fs.delete(new org.apache.hadoop.fs.Path(dst), true)
+    resetLivePointer(spark, dst)
+    cloneStoreDir(spark, src, dst)
+  }
+
   private[graft] def spillScratch(df: DataFrame, name: String): DataFrame = {
     val spark = df.sparkSession
     val p = scratchDir(spark, s"spill_${name}_${spillSeq.incrementAndGet()}")

@@ -95,10 +95,17 @@ object CorpusRelease {
     // exact-verified pair set over the exact-dedup survivors serves BOTH
     // the cluster edges (stage 3) and, keeper-restricted, the cross-split
     // contamination filter (stage 4) — the same reuse the oracle's single
-    // `pairs` CTE makes, and half the candidate-generation cost of
-    // running q52's and q59's machinery back to back.
+    // `pairs` CTE makes. One level up, the SESSION already holds the
+    // exact pair relation over the whole corpus (the jacpairs leaf, df-
+    // capped candidates + exact hot correction = exact output), and the
+    // survivors are an id-subset, so the stage's pair set is EXACTLY the
+    // leaf restricted to survivor endpoints — the LSH candidate route
+    // stays separately owned (and oracle-proven) by q18/q52.
+    val dedupedIds = deduped.select(col("doc_id"))
     val pairs = spill(
-      Dedup.minhashLshPairsFor(deduped, threshold = threshold)
+      Dedup.ensureJaccardPairs(spark, dir, threshold)
+        .join(dedupedIds.select(col("doc_id").as("doc_a")), Seq("doc_a"), "left_semi")
+        .join(dedupedIds.select(col("doc_id").as("doc_b")), Seq("doc_b"), "left_semi")
         .select(col("doc_a"), col("doc_b")),
       "release_pairs")
     val keepers = Dedup.connectedComponents(

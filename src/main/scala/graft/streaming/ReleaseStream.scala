@@ -58,9 +58,12 @@ object ReleaseStream {
     fs(spark, path).exists(new org.apache.hadoop.fs.Path(path))
 
   /** Build the static eval-side indexes once: the benchmark's shingles
-    * and content hashes. */
-  def buildEvalIndex(evalDocs: DataFrame, root: String): Unit = {
-    Dedup.docShingles(evalDocs)
+    * and content hashes. `shOpt`: the eval docs' (doc_id, shingle)
+    * relation already materialized (an id-slice of the session shingle
+    * leaf) — the eval split is not re-tokenized per index build. */
+  def buildEvalIndex(evalDocs: DataFrame, root: String,
+                     shOpt: Option[DataFrame] = None): Unit = {
+    shOpt.getOrElse(Dedup.docShingles(evalDocs))
       .write.mode("overwrite").parquet(s"$root/eval_shingles")
     evalDocs.select(TF.contentHash(col("text")).as("h")).distinct()
       .write.mode("overwrite").parquet(s"$root/eval_hashes")
@@ -70,7 +73,8 @@ object ReleaseStream {
     * the stores back ([[currentManifest]]). */
   def releaseTickXO(batch: DataFrame, batchId: Long, root: String,
                     threshold: Double = 0.5,
-                    targetBytes: Long = 16384L): Unit = {
+                    targetBytes: Long = 16384L,
+                    shOpt: Option[DataFrame] = None): Unit = {
     val spark = batch.sparkSession
     // --- gates (stateless, the q179 predicates verbatim) ---------------
     val pass = TextAnalysis.cascadePreds.map(_._2).reduce(_ && _)
@@ -104,8 +108,14 @@ object ReleaseStream {
       .partitionBy("ingest_batch").parquet(hashesPath)
     // --- decontamination vs the static eval index ----------------------
     // the tick's docs are tokenized ONCE: candSh serves the decon pair
-    // join, the admission pair join (id-restricted), and the index append
-    val candSh = Dedup.docShingles(exactNew).localCheckpoint(true)
+    // join, the admission pair join (id-restricted), and the index append.
+    // With shOpt (the batch's slice of the session shingle leaf) the tick
+    // is not tokenized at all — the slice is exact (shingles are per-row)
+    // and parquet-backed, so no executor-storage pin is needed; the
+    // PINNED exactNew ids keep the semi-join free of self-observation.
+    val candSh = shOpt
+      .map(_.join(exactNew.select(col("doc_id")), Seq("doc_id"), "left_semi"))
+      .getOrElse(Dedup.docShingles(exactNew).localCheckpoint(true))
     val evalSh = spark.read.parquet(s"$root/eval_shingles")
       .select(col("doc_id"), col("shingle"))
     val fuzzyContam = IncrementalDedup
@@ -164,7 +174,15 @@ object ReleaseStream {
       val isEval = col("doc_id") % 10 === 0
       val root = graft.sources.Sources.scratchDir(spark,
         s"release_stream_${java.util.UUID.randomUUID.toString.take(8)}")
-      buildEvalIndex(docs.filter(isEval), root)
+      // eval index from an id-slice of the session shingle leaf (built
+      // once per tick LOOP, amortized); the per-tick candidate shingles
+      // deliberately stay LIVE tokenizations — a tick is ~30% of the
+      // corpus and its in-row tokenization is cheaper than the 3×
+      // leaf-scan + semi-join each slice use would pay (measured: slices
+      // pushed q183 12.6 → 15.5 s at sf0.1, reverted)
+      val leaf = Dedup.ensureDocShingles(spark, dir)
+      buildEvalIndex(docs.filter(isEval), root,
+        shOpt = Some(leaf.filter(col("doc_id") % 10 === 0)))
       val arriving = docs.filter(!isEval)
       val maxId = arriving.agg(max(col("doc_id"))).head().getLong(0)
       val (t1, t2) = (maxId / 3, 2L * maxId / 3)

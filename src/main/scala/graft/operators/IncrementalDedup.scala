@@ -100,9 +100,16 @@ object IncrementalDedup {
                           n: Int = Dedup.DefaultShingleN): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val isNew = col("doc_id") % 7 === 0
-    val path = graft.sources.Sources.scratchDir(spark,
-      s"staleness_idx_${java.util.UUID.randomUUID.toString.take(8)}")
-    writeShingleIndex(docs.filter(!isNew), path, n)
+    // read-only sink, deterministic content: build once per session (and
+    // from the session shingle leaf at the default width) — the audit's
+    // contract is READING the index back, not re-writing it per run
+    val path = graft.sources.Sources.ensureStore(spark, "staleidx",
+        s"$dir|$n") { p =>
+      writeShingleIndex(docs.filter(!isNew), p, n,
+        shOpt = if (n == Dedup.DefaultShingleN)
+          Some(Dedup.ensureDocShingles(spark, dir, n).filter(!isNew))
+        else None)
+    }
     val indexedIds = readShingleIndex(spark, path)
       .select(col("doc_id")).distinct()
       .withColumn("indexed", lit(1L))
@@ -917,8 +924,12 @@ object IncrementalDedup {
     val table = "graft_shidx_" +
       graft.sources.Sources.dirTag(dir) + "_" +
       graft.sources.Sources.sessionTag(spark)
-    writeShingleIndexBucketed(docs.filter(!isNew), table,
-      shOpt = Some(leaf.filter(!isNew)))
+    // bootstrap once per session (read-only sink, deterministic content —
+    // the q64 ensure-once discipline applied to the bucketed table)
+    graft.sources.Sources.ensureBuild(spark, "shidxb", dir) { () =>
+      writeShingleIndexBucketed(docs.filter(!isNew), table,
+        shOpt = Some(leaf.filter(!isNew)))
+    }
     // the shard's probe relation is an id-slice of the same leaf — the
     // shard is not re-tokenized either (q64 discipline)
     reportForBucketed(docs.filter(isNew), table, threshold,
@@ -940,8 +951,13 @@ object IncrementalDedup {
     val leaf = Dedup.ensureDocShingles(spark, dir)
     val path = graft.sources.Sources.scratchDir(spark,
       "shingle_index_" + graft.sources.Sources.dirTag(dir))
-    writeShingleIndex(docs.filter(!isNew), path,
-      shOpt = Some(leaf.filter(!isNew)))
+    // bootstrap once per session: the report never mutates the sink and
+    // its content is a pure function of (dir, split) — re-writing the
+    // identical index per invocation was pure fixture cost (r22)
+    graft.sources.Sources.ensureBuild(spark, "shidx64", dir) { () =>
+      writeShingleIndex(docs.filter(!isNew), path,
+        shOpt = Some(leaf.filter(!isNew)))
+    }
     reportFor(docs.filter(isNew), readShingleIndex(spark, path), threshold,
       shNewOpt = Some(leaf.filter(isNew)))
   }
@@ -960,7 +976,10 @@ object IncrementalDedup {
     // bootstrap + probe fingerprints are id-slices of the session winnow
     // leaf; the exact-scoring tail slices the shingle leaf (q64 discipline)
     val fpLeaf = Dedup.ensureWinnowFps(spark, dir)
-    writeFpIndex(docs.filter(!isNew), path, fpOpt = Some(fpLeaf.filter(!isNew)))
+    graft.sources.Sources.ensureBuild(spark, "fpidx67", dir) { () =>
+      writeFpIndex(docs.filter(!isNew), path,
+        fpOpt = Some(fpLeaf.filter(!isNew)))
+    }
     reportForFpIndex(docs.filter(isNew), readShingleIndex(spark, path),
       docs.filter(!isNew), threshold,
       shOpt = Some(Dedup.ensureDocShingles(spark, dir)),
@@ -980,10 +999,23 @@ object IncrementalDedup {
     val hex = graft.sources.Sources.dirTag(dir)
     val table = "graft_shidx_xo_" + hex + "_" +
       graft.sources.Sources.sessionTag(spark)
-    val admPath = graft.sources.Sources.scratchDir(spark, "xo_admitted_" + hex)
     val leaf = Dedup.ensureDocShingles(spark, dir)
-    writeShingleIndexBucketedXO(docs.filter(!isNew), table,
-      shOpt = Some(leaf.filter(!isNew)))
+    // the ticks mutate the table (partition drop + bucketed appends), so
+    // the bootstrap builds ONCE per session into a _boot table pair and
+    // each invocation clones files + catalog metadata onto its working
+    // tables (deterministic content; the clone carries the bucket spec
+    // and the parameter sidecar — the r21 lifecycle-clone pattern)
+    val boot = table + "_boot"
+    graft.sources.Sources.ensureBuild(spark, "xoboot", dir) { () =>
+      writeShingleIndexBucketedXO(docs.filter(!isNew), boot,
+        shOpt = Some(leaf.filter(!isNew)))
+    }
+    graft.sources.Sources.cloneTableOver(spark, shinglesTable(boot),
+      shinglesTable(table))
+    graft.sources.Sources.cloneTableOver(spark, sizesTable(boot),
+      sizesTable(table))
+    val admPath = graft.sources.Sources.scratchDirUnique(spark,
+      "xo_admitted_" + hex)
     val shard = docs.filter(isNew)
     // the tick's probe + append shingles are id-slices of the same leaf
     val shardSh = Some(leaf.filter(isNew))
@@ -1005,8 +1037,10 @@ object IncrementalDedup {
       graft.sources.Sources.dirTag(dir) + "_" +
       graft.sources.Sources.sessionTag(spark)
     val fpLeaf = Dedup.ensureWinnowFps(spark, dir)
-    writeFpIndexBucketed(docs.filter(!isNew), table,
-      fpOpt = Some(fpLeaf.filter(!isNew)))
+    graft.sources.Sources.ensureBuild(spark, "fpidxb", dir) { () =>
+      writeFpIndexBucketed(docs.filter(!isNew), table,
+        fpOpt = Some(fpLeaf.filter(!isNew)))
+    }
     reportForFpIndexBucketed(docs.filter(isNew), table, docs.filter(!isNew),
       threshold,
       shOpt = Some(Dedup.ensureDocShingles(spark, dir)),
@@ -1030,10 +1064,24 @@ object IncrementalDedup {
     val hex = graft.sources.Sources.dirTag(dir)
     val table = "graft_shidx_xoc_" + hex + "_" +
       graft.sources.Sources.sessionTag(spark)
-    val admPath = graft.sources.Sources.scratchDir(spark, "xoc_admitted_" + hex)
     val leaf = Dedup.ensureDocShingles(spark, dir)
-    writeShingleIndexBucketedXO(docs.filter(mod >= 2), table,
-      shOpt = Some(leaf.filter(col("doc_id") % 7 >= 2)))
+    // bootstrap once per session, clone per invocation (q70 pattern); the
+    // watermark table resets too so EVERY invocation replays the full
+    // lifecycle — bootstrap → tick 0 → compact → no-op replay → tick 1 —
+    // instead of a second run short-circuiting on the first run's
+    // watermark against a freshly reset index
+    val boot = table + "_boot"
+    graft.sources.Sources.ensureBuild(spark, "xocboot", dir) { () =>
+      writeShingleIndexBucketedXO(docs.filter(mod >= 2), boot,
+        shOpt = Some(leaf.filter(col("doc_id") % 7 >= 2)))
+    }
+    graft.sources.Sources.cloneTableOver(spark, shinglesTable(boot),
+      shinglesTable(table))
+    graft.sources.Sources.cloneTableOver(spark, sizesTable(boot),
+      sizesTable(table))
+    graft.sources.Sources.resetWarehouseTable(spark, watermarkTable(table))
+    val admPath = graft.sources.Sources.scratchDirUnique(spark,
+      "xoc_admitted_" + hex)
     val sh0 = Some(leaf.filter(col("doc_id") % 7 === 0))
     ingestShardBucketedXO(docs.filter(mod === 0), 0L, table, admPath, threshold,
       shOpt = sh0)
@@ -1058,11 +1106,17 @@ object IncrementalDedup {
                                 threshold: Double = 0.5): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val mod = col("doc_id") % 7
-    val path = graft.sources.Sources.scratchDir(spark,
-      "shingle_index_mt_" + graft.sources.Sources.dirTag(dir))
     val leaf = Dedup.ensureDocShingles(spark, dir)
-    writeShingleIndex(docs.filter(mod >= 3), path,
-      shOpt = Some(leaf.filter(col("doc_id") % 7 >= 3)))
+    // the ticks APPEND to the index, so the session-shared bootstrap is a
+    // read-only leaf and each invocation runs its ticks on a private file
+    // clone (the r21 ANN-lifecycle pattern): bootstrap content is a pure
+    // function of (dir, split), the clone is byte-identical state
+    val boot = graft.sources.Sources.ensureStore(spark, "mtboot", dir) { p =>
+      writeShingleIndex(docs.filter(mod >= 3), p,
+        shOpt = Some(leaf.filter(col("doc_id") % 7 >= 3)))
+    }
+    val path = graft.sources.Sources.scratchDirUnique(spark, "shingle_index_mt")
+    graft.sources.Sources.cloneStoreDir(spark, boot, path)
     multiTickReport((0 to 2).map(t => docs.filter(mod === t)), path, threshold,
       shSlices = Some((0 to 2).map(t => leaf.filter(col("doc_id") % 7 === t))))
   }
@@ -1110,12 +1164,14 @@ object IncrementalDedup {
                                n: Int = Dedup.DefaultShingleN): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val isNew = col("doc_id") % 7 === 0
-    val path = graft.sources.Sources.scratchDir(spark,
-      "novelty_index_" + graft.sources.Sources.dirTag(dir))
     val leafOpt = if (n == Dedup.DefaultShingleN)
         Some(Dedup.ensureDocShingles(spark, dir, n)) else None
-    writeShingleIndex(docs.filter(!isNew), path, n,
-      shOpt = leafOpt.map(_.filter(!isNew)))
+    // read-only sink, deterministic content: build once per session
+    val path = graft.sources.Sources.ensureStore(spark, "novidx",
+        s"$dir|$n") { p =>
+      writeShingleIndex(docs.filter(!isNew), p, n,
+        shOpt = leafOpt.map(_.filter(!isNew)))
+    }
     noveltyAgainstIndex(docs.filter(isNew), path, n)
   }
 

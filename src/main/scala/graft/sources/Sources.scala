@@ -117,6 +117,69 @@ object Sources {
   private[graft] def scratchDirUnique(spark: SparkSession, tag: String): String =
     scratchDir(spark, s"${tag}_${spillSeq.incrementAndGet()}")
 
+  /** [[ensureStore]] for SIDE-EFFECT builds that land somewhere other
+    * than an ensureStore root (catalog tables, caller-named index sinks):
+    * the first caller with a given (tag, key) runs `build` under the memo
+    * cell's lock; later same-key callers skip it. Same contract as
+    * ensureStore — the built state must be a deterministic function of
+    * the key and must NOT be mutated by its consumers (mutating
+    * lifecycles clone the built state first: [[cloneStoreDir]] /
+    * [[cloneTableOver]]). The build is timed into [[storeBuildSeconds]],
+    * so the bench reports it as its own `leaf_builds` line instead of
+    * charging whichever consumer ran first. */
+  private[graft] def ensureBuild(spark: SparkSession, tag: String,
+                                 key: String)(build: () => Unit): Unit = {
+    ensuredStores.computeIfAbsent(s"${sessionTag(spark)}|$tag|$key",
+      _ => new StoreCell(() => {
+        val t0 = System.nanoTime()
+        build()
+        val label = s"$tag|${key.substring(key.lastIndexOf('/') + 1)}"
+        storeBuildSeconds.put(label, (System.nanoTime() - t0) / 1e9)
+        ""
+      })).path
+    ()
+  }
+
+  /** Clone a catalog table (files + metadata) onto a new table name,
+    * dropping whatever a prior same-session invocation left at `dst` —
+    * the [[cloneStoreDirOver]] pattern for WAREHOUSE tables: a mutating
+    * lifecycle audit (exactly-once tick appends, compactions) gets a
+    * private working copy of a session-shared bootstrap table without
+    * re-running the bootstrap's shuffle+write. The copy carries the
+    * bucket spec and partition columns through the catalog metadata, and
+    * partition entries are recovered from the copied directory layout
+    * (the same recoverPartitions the XO compaction's swap relies on);
+    * underscore-prefixed parameter sidecars ride the file copy. */
+  private[graft] def cloneTableOver(spark: SparkSession, src: String,
+                                    dst: String): Unit = {
+    resetWarehouseTable(spark, dst)
+    val cat = spark.sessionState.catalog
+    val meta = cat.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(src))
+    // create the managed table FIRST (the catalog assigns and creates its
+    // default warehouse location — createTable refuses a pre-existing
+    // managed location), then copy the source dir's CONTENTS into it
+    cat.createTable(meta.copy(
+      identifier = org.apache.spark.sql.catalyst.TableIdentifier(
+        dst, meta.identifier.database),
+      storage = meta.storage.copy(locationUri = None)),
+      ignoreIfExists = false)
+    val newMeta = cat.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(dst))
+    val conf = spark.sparkContext.hadoopConfiguration
+    val srcPath = new org.apache.hadoop.fs.Path(meta.location)
+    val dstPath = new org.apache.hadoop.fs.Path(newMeta.location)
+    val fs = dstPath.getFileSystem(conf)
+    for (child <- fs.listStatus(srcPath))
+      org.apache.hadoop.fs.FileUtil.copy(fs, child.getPath, fs, dstPath,
+        false /* deleteSource */, true /* overwrite */, conf)
+    if (meta.partitionColumnNames.nonEmpty)
+      spark.catalog.recoverPartitions(dst)
+    val qualified = fs.makeQualified(dstPath)
+    if (qualified.toUri.getScheme == "file")
+      registerForCleanup(new java.io.File(qualified.toUri).getAbsolutePath)
+  }
+
   /** Recursive file copy of a store directory — how a MUTATING lifecycle
     * audit gets its private working copy of a session-shared leaf without
     * re-running the leaf's build (the store content is a pure function of

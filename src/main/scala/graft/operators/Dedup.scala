@@ -2084,26 +2084,39 @@ object Dedup {
     require(w >= 1 && maxDf >= 1, s"need w>=1, maxDf>=1; got w=$w maxDf=$maxDf")
     val t = TF.tokens(col("text"))
     val nSpans = floor((size(t).cast("double") + (w - 1)) / w).cast("long")
-    val sp = graft.sources.Sources.spillScratch(
+    // the per-doc span array, derived IN-ROW (never shuffled): every
+    // shuffle in this operator moves 16-byte hashes + integer positions,
+    // never span text — the guide-§8 rule (decide with small rows, touch
+    // the heavy bytes in place). The pre-r22 form spilled the exploded
+    // (doc_id, idx, span) TEXT relation and rebuilt clean_text through a
+    // corpus-sized collect_list shuffle.
+    def spans: Column = transform(sequence(lit(0L), nSpans - 1),
+      i => concat_ws(" ", slice(t, (i * w + 1).cast("int"), lit(w))))
+    // narrow hash relation, spilled once for its two consumers
+    val hashes = graft.sources.Sources.spillScratch(
       docs.select(col("doc_id"),
-          posexplode(transform(sequence(lit(0L), nSpans - 1),
-            i => concat_ws(" ", slice(t, (i * w + 1).cast("int"), lit(w)))))
-            .as(Seq("idx", "span"))),
-      "c4_spans")
-    val repeated = sp.groupBy(md5(col("span")).as("h"))
+        posexplode(transform(spans, s => md5(s))).as(Seq("idx", "h"))),
+      "c4_span_hashes")
+    val repeated = hashes.groupBy(col("h"))
       .agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDf).select(col("h"))
-    val rebuilt = sp
-      .join(broadcast(repeated), md5(col("span")) === col("h"), "left_anti")
+    // per doc: WHICH positions drop (ints only), then rebuild the clean
+    // text in-row with an index-aware array filter over the spans array.
+    // n_rows is carried separately from n_spans: a 0-token doc's
+    // sequence(0, -1) yields TWO phantom spans while n_spans = 0, and the
+    // historical n_dropped arithmetic (n_spans - kept rows) must be
+    // reproduced exactly, not re-derived from |drop_idx|
+    val dropIdx = hashes
+      .join(broadcast(repeated.withColumn("rep", lit(1))), Seq("h"), "left")
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_kept"),
-        concat_ws(" ",
-          transform(array_sort(collect_list(struct(col("idx"), col("span")))),
-            s => s.getField("span"))).as("clean_text"))
-    docs.select(col("doc_id"), nSpans.as("n_spans"))
-      .join(rebuilt, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_spans"),
-        (col("n_spans") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"),
-        md5(coalesce(col("clean_text"), lit(""))).as("clean_hash"))
+      .agg(count(lit(1)).as("n_rows"),
+        collect_set(when(col("rep").isNotNull, col("idx"))).as("drop_idx"))
+    val kept = filter(spans,
+      (_, i) => !coalesce(array_contains(col("drop_idx"), i), lit(false)))
+    docs.join(dropIdx, Seq("doc_id"), "left")
+      .select(col("doc_id"), nSpans.as("n_spans"),
+        (nSpans - (coalesce(col("n_rows"), lit(0L)) -
+          coalesce(size(col("drop_idx")), lit(0)).cast("long"))).as("n_dropped"),
+        md5(concat_ws(" ", kept)).as("clean_hash"))
   }
 }

@@ -1227,6 +1227,53 @@ object Relational {
         count(lit(1)).as("b_cnt"))
   }
 
+  /** Session-shared equi-depth histogram of lineitem.l_orderkey — the
+    * key five CBO consumers price range predicates against (q232 filter-
+    * aware order, q246 route audit, q247 capstone, q256/q259 planned
+    * queries). Each rebuilt the identical |buckets|-row table per
+    * invocation through a corpus groupBy + global-window fold + spill;
+    * the fold is deterministic, so one build per session serves all (the
+    * ANALYZE-leaf discipline — a histogram is snapshot state, not
+    * per-query work). Consumers read a |buckets|-row parquet. */
+  private[graft] def ensureLiKeyHist(spark: SparkSession, dir: String,
+                                     nBuckets: Int = 16): DataFrame = {
+    val root = graft.sources.Sources.ensureStore(spark, "likhist",
+        s"$dir|$nBuckets") { p =>
+      equiDepthBuckets(Tables.lineitem(spark, dir)
+          .select(col("l_orderkey").cast("long").as("v")), nBuckets, "likhist")
+        .write.mode("overwrite").parquet(p)
+    }
+    spark.read.schema("bucket BIGINT, b_lo BIGINT, b_hi BIGINT, b_cnt BIGINT")
+      .parquet(root)
+  }
+
+  /** The SAMPLED twin (1/mod key partition, counts scaled ×mod before the
+    * fold — q246/q247's cheap-build arm), same session-leaf discipline. */
+  private[graft] def ensureLiKeyHistSampled(spark: SparkSession, dir: String,
+                                            mod: Long,
+                                            nBuckets: Int = 16): DataFrame = {
+    val root = graft.sources.Sources.ensureStore(spark, "likhistsamp",
+        s"$dir|$mod|$nBuckets") { p =>
+      bucketsFromCounts(graft.sources.Sources.spillScratch(
+          Tables.lineitem(spark, dir)
+            .select(col("l_orderkey").cast("long").as("v"))
+            .filter(pmod(col("v"), lit(mod)) === 0L)
+            .groupBy(col("v")).agg((count(lit(1)) * lit(mod)).as("cnt")),
+          "likhistsamp"), nBuckets)
+        .write.mode("overwrite").parquet(p)
+    }
+    spark.read.schema("bucket BIGINT, b_lo BIGINT, b_hi BIGINT, b_cnt BIGINT")
+      .parquet(root)
+  }
+
+  /** Domain bounds (lo, hi) read off the exact histogram leaf: equi-depth
+    * buckets cover every value, so min(b_lo)/max(b_hi) ARE the column's
+    * min/max — no extra corpus scan per consumer. */
+  private[graft] def liKeyBounds(hist: DataFrame): (Long, Long) = {
+    val r = hist.agg(min(col("b_lo")), max(col("b_hi"))).head()
+    (r.getLong(0), r.getLong(1))
+  }
+
   /** Uniform-within-bucket range estimate of each predicate in `preds`
     * (pred_id, p_lo, p_hi) against a histogram, in millionths of a row —
     * div-first fixed point, every intermediate under 2^63 at any SF.
@@ -2384,10 +2431,8 @@ object Relational {
     val li = Tables.lineitem(spark, dir)
     val ord = Tables.orders(spark, dir)
     val cust = Tables.customer(spark, dir)
-    val liKey = li.select(col("l_orderkey").cast("long").as("v"))
-    val hist = equiDepthBuckets(liKey, nBuckets, "fjo")
-    val bounds = liKey.agg(min(col("v")), max(col("v"))).head()
-    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    val hist = ensureLiKeyHist(spark, dir, nBuckets)
+    val (lo, hi) = liKeyBounds(hist)
     val d = hi - lo + 1L
     val predDefs = Seq(
       ("narrow", lo, lo + d / 50L - 1L),
@@ -2520,14 +2565,11 @@ object Relational {
     val ord = Tables.orders(spark, dir)
     val cust = Tables.customer(spark, dir)
     val liKey = li.select(col("l_orderkey").cast("long").as("v"))
-    val histExact = equiDepthBuckets(liKey, nBuckets, "shr_ex")
+    val histExact = ensureLiKeyHist(spark, dir, nBuckets)
     // sampled build: the 1/mod key partition, counts scaled ×mod before
     // the equi-depth fold (scaling commutes with the bucket rank —
     // ⌊(m·c·B)/(m·n)⌋ = ⌊c·B/n⌋)
-    val histSampled = bucketsFromCounts(graft.sources.Sources.spillScratch(
-      liKey.filter(pmod(col("v"), lit(mod)) === 0L)
-        .groupBy(col("v")).agg((count(lit(1)) * lit(mod)).as("cnt")),
-      "shr_samp"), nBuckets)
+    val histSampled = ensureLiKeyHistSampled(spark, dir, mod, nBuckets)
     val d = hi - lo + 1L
     val predDefs = Seq(
       ("narrow", lo, lo + d / 50L - 1L),
@@ -3796,10 +3838,8 @@ object Relational {
     val wideW = storeW.updated(2, ByteGatePlantedWidthE6)
     val limE6 = PhysBroadcastLimitRows * storeW.head
     val li = Tables.lineitem(spark, dir)
-    val liKey = li.select(col("l_orderkey").cast("long").as("v"))
-    val hist = equiDepthBuckets(liKey, 16, "psqb")
-    val bounds = liKey.agg(min(col("v")), max(col("v"))).head()
-    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    val hist = ensureLiKeyHist(spark, dir)
+    val (lo, hi) = liKeyBounds(hist)
     val d = hi - lo + 1L
     val predDefs = Seq(
       ("narrow", lo, lo + d / 50L - 1L),
@@ -5968,10 +6008,8 @@ object Relational {
     def rowsOf(t: String, c: String): Long = stats((t, c))._1
     def ndvOf(t: String, c: String): Long = stats((t, c))._2
     val li = Tables.lineitem(spark, dir)
-    val liKey = li.select(col("l_orderkey").cast("long").as("v"))
-    val hist = equiDepthBuckets(liKey, nBuckets, "psq")
-    val bounds = liKey.agg(min(col("v")), max(col("v"))).head()
-    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    val hist = ensureLiKeyHist(spark, dir, nBuckets)
+    val (lo, hi) = liKeyBounds(hist)
     val d = hi - lo + 1L
     val predDefs = Seq(
       ("narrow", lo, lo + d / 50L - 1L),
@@ -6437,12 +6475,8 @@ object Relational {
 
     // --- 1. histogram route (A64) on the report predicate ---
     val (pLo, pHi) = (lo, lo + (hi - lo + 1L) / 5L - 1L)
-    val liKey = li.select(col("l_orderkey").cast("long").as("v"))
-    val histExact = equiDepthBuckets(liKey, 16, "cap_ex")
-    val histSampled = bucketsFromCounts(graft.sources.Sources.spillScratch(
-      liKey.filter(pmod(col("v"), lit(8L)) === 0L)
-        .groupBy(col("v")).agg((count(lit(1)) * lit(8L)).as("cnt")),
-      "cap_samp"), 16)
+    val histExact = ensureLiKeyHist(spark, dir)
+    val histSampled = ensureLiKeyHistSampled(spark, dir, 8L)
     val pred = spark.range(1).select(lit(0L).as("pred_id"),
       lit(pLo).as("p_lo"), lit(pHi).as("p_hi"))
     def estOf(h: DataFrame): Long =

@@ -74,8 +74,13 @@ object ReleaseStream {
   def releaseTickXO(batch: DataFrame, batchId: Long, root: String,
                     threshold: Double = 0.5,
                     targetBytes: Long = 16384L,
-                    shOpt: Option[DataFrame] = None): Unit = {
+                    shOpt: Option[DataFrame] = None,
+                    evalRootOpt: Option[String] = None): Unit = {
     val spark = batch.sparkSession
+    // the static eval index may live outside the tick root (a session
+    // leaf — the benchmark suite is fixed before ingest starts, so its
+    // index is read-only state shared across lifecycles)
+    val evalRoot = evalRootOpt.getOrElse(root)
     // --- gates (stateless, the q179 predicates verbatim) ---------------
     val pass = TextAnalysis.cascadePreds.map(_._2).reduce(_ && _)
     val gated = batch
@@ -116,13 +121,13 @@ object ReleaseStream {
     val candSh = shOpt
       .map(_.join(exactNew.select(col("doc_id")), Seq("doc_id"), "left_semi"))
       .getOrElse(Dedup.docShingles(exactNew).localCheckpoint(true))
-    val evalSh = spark.read.parquet(s"$root/eval_shingles")
+    val evalSh = spark.read.parquet(s"$evalRoot/eval_shingles")
       .select(col("doc_id"), col("shingle"))
     val fuzzyContam = IncrementalDedup
       .pairsAgainstIndex(candSh, evalSh, threshold)
       .select(col("doc_a").as("doc_id"))
     val exactContam = exactNew
-      .join(broadcast(spark.read.parquet(s"$root/eval_hashes")), Seq("h"), "left_semi")
+      .join(broadcast(spark.read.parquet(s"$evalRoot/eval_hashes")), Seq("h"), "left_semi")
       .select(col("doc_id"))
     val clean = exactNew
       .join(fuzzyContam.unionByName(exactContam).distinct(),
@@ -174,24 +179,30 @@ object ReleaseStream {
       val isEval = col("doc_id") % 10 === 0
       val root = graft.sources.Sources.scratchDir(spark,
         s"release_stream_${java.util.UUID.randomUUID.toString.take(8)}")
-      // eval index from an id-slice of the session shingle leaf (built
-      // once per tick LOOP, amortized); the per-tick candidate shingles
-      // deliberately stay LIVE tokenizations — a tick is ~30% of the
-      // corpus and its in-row tokenization is cheaper than the 3×
+      // the static eval index is a SESSION leaf (r22): it's read-only
+      // state fixed before ingest starts (the stage's own batch-
+      // equivalence argument), a pure function of (dir, split), so
+      // rebuilding it per lifecycle was fixture cost. Built from an
+      // id-slice of the session shingle leaf; the per-tick candidate
+      // shingles deliberately stay LIVE tokenizations — a tick is ~30%
+      // of the corpus and its in-row tokenization is cheaper than the 3×
       // leaf-scan + semi-join each slice use would pay (measured: slices
       // pushed q183 12.6 → 15.5 s at sf0.1, reverted)
       val leaf = Dedup.ensureDocShingles(spark, dir)
-      buildEvalIndex(docs.filter(isEval), root,
-        shOpt = Some(leaf.filter(col("doc_id") % 10 === 0)))
+      val evalRoot = graft.sources.Sources.ensureStore(spark, "releval",
+          dir) { p =>
+        buildEvalIndex(docs.filter(isEval), p,
+          shOpt = Some(leaf.filter(col("doc_id") % 10 === 0)))
+      }
       val arriving = docs.filter(!isEval)
       val maxId = arriving.agg(max(col("doc_id"))).head().getLong(0)
       val (t1, t2) = (maxId / 3, 2L * maxId / 3)
       releaseTickXO(arriving.filter(col("doc_id") <= t1), 0L, root,
-        threshold, targetBytes)
+        threshold, targetBytes, evalRootOpt = Some(evalRoot))
       releaseTickXO(arriving.filter(col("doc_id") > t1 && col("doc_id") <= t2),
-        1L, root, threshold, targetBytes)
+        1L, root, threshold, targetBytes, evalRootOpt = Some(evalRoot))
       releaseTickXO(arriving.filter(col("doc_id") > t2), 2L, root,
-        threshold, targetBytes)
+        threshold, targetBytes, evalRootOpt = Some(evalRoot))
       currentManifest(spark, root)
     } finally { docs.unpersist(); () }
   }

@@ -466,16 +466,26 @@ object Relational {
       df.groupBy(col(key).cast("long").as("k"))
         .agg(count(lit(1)).as("cnt"))
     locally {
-      val l = graft.sources.Sources.spillScratch(side(left, lk), s"jsa_l")
-      val r = graft.sources.Sources.spillScratch(side(right, rk), s"jsa_r")
-      val ls = l.agg(sum(col("cnt")).as("n_left"),
-        count(lit(1)).as("n_left_keys"), max(col("cnt")).as("l_max"))
-      val rs = r.agg(sum(col("cnt")).as("n_right"),
-        count(lit(1)).as("n_right_keys"), max(col("cnt")).as("r_max"))
-      val m = l.join(r.select(col("k"), col("cnt").as("rcnt")), "k")
-        .agg(count(lit(1)).as("n_matched_keys"),
-          coalesce(sum(col("cnt")), lit(0L)).as("n_matched_left"))
-      ls.crossJoin(rs).crossJoin(m)
+      // ONE full-outer join of the two key-grain count relations computes
+      // every advisor statistic in a single aggregate — the pre-r22 form
+      // spilled both sides and ran three separate aggregates (per-side
+      // totals + the matched-keys join) stitched back with crossJoins:
+      // 5 jobs and 2 scratch round-trips per advised pair, for numbers
+      // one pass over the same rows already determines
+      val l = side(left, lk).withColumnRenamed("cnt", "lcnt")
+      val r = side(right, rk).withColumnRenamed("cnt", "rcnt")
+      l.join(r, Seq("k"), "full_outer")
+        .agg(
+          coalesce(sum(col("lcnt")), lit(0L)).as("n_left"),
+          count(col("lcnt")).as("n_left_keys"),
+          max(col("lcnt")).as("l_max"),
+          coalesce(sum(col("rcnt")), lit(0L)).as("n_right"),
+          count(col("rcnt")).as("n_right_keys"),
+          max(col("rcnt")).as("r_max"),
+          count(when(col("lcnt").isNotNull && col("rcnt").isNotNull, 1))
+            .as("n_matched_keys"),
+          coalesce(sum(when(col("rcnt").isNotNull, col("lcnt"))), lit(0L))
+            .as("n_matched_left"))
         .withColumn("build_side",
           when(col("n_right") <= col("n_left"), "right").otherwise("left"))
         .withColumn("strategy",

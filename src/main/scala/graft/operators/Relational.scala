@@ -1276,6 +1276,22 @@ object Relational {
       .parquet(root)
   }
 
+  /** [[ensureLiKeyHist]] generalized to a named derived expression over
+    * lineitem — the q207/q212 estimator audits' deterministic histogram
+    * inputs (the expression is part of the session key). */
+  private[graft] def ensureLiExprHist(spark: SparkSession, dir: String,
+                                      name: String, expr0: => Column,
+                                      nBuckets: Int = 16): DataFrame = {
+    val root = graft.sources.Sources.ensureStore(spark, "lixhist",
+        s"$dir|$name|$nBuckets") { p =>
+      equiDepthBuckets(Tables.lineitem(spark, dir).select(expr0.as("v")),
+          nBuckets, name)
+        .write.mode("overwrite").parquet(p)
+    }
+    spark.read.schema("bucket BIGINT, b_lo BIGINT, b_hi BIGINT, b_cnt BIGINT")
+      .parquet(root)
+  }
+
   /** Domain bounds (lo, hi) read off the exact histogram leaf: equi-depth
     * buckets cover every value, so min(b_lo)/max(b_hi) ARE the column's
     * min/max — no extra corpus scan per consumer. */
@@ -1321,12 +1337,18 @@ object Relational {
       ("l_quantity", floor(col("l_quantity")).cast("long")),
       ("l_partkey", floor(col("l_partkey")).cast("long")))
     specs.map { case (name, expr0) =>
+      // exact histograms are session leaves (deterministic in the named
+      // expression); bounds read off the bucket table — r22
       val buckets =
         if (exactHistogram)
-          equiDepthBuckets(li.select(expr0.as("v")), nBuckets, name)
+          ensureLiExprHist(spark, dir, name, expr0, nBuckets)
         else equiDepthBucketsApprox(li.select(expr0.as("v")), nBuckets)
-      val bounds = li.agg(min(expr0), max(expr0)).head()
-      val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+      val (lo, hi) =
+        if (exactHistogram) liKeyBounds(buckets)
+        else {
+          val bounds = li.agg(min(expr0), max(expr0)).head()
+          (bounds.getLong(0), bounds.getLong(1))
+        }
       val d = hi - lo + 1L
       // predicate sweep: quarter-domain windows at eighth-domain strides
       val preds = spark.range(nPreds).select(
@@ -1702,15 +1724,32 @@ object Relational {
                       exactHistogram: Boolean = true): DataFrame = {
     val li = Tables.lineitem(spark, dir)
       .select(col("l_orderkey").cast("long").as("v"))
-    val bounds = li.agg(min(col("v")), max(col("v"))).head()
-    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    // the fresh histogram IS the shared l_orderkey leaf; the stale one
+    // (the 4/5-domain prefix) is deterministic too and leafs the same
+    // way; bounds read off the fresh bucket table — r22
+    val (staleHist, freshHist, lo, hi) =
+      if (exactHistogram) {
+        val fresh = ensureLiKeyHist(spark, dir, nBuckets)
+        val (l, h) = liKeyBounds(fresh)
+        val cut = l + idivL(4L * (h - l + 1L), 5L)
+        val staleRoot = graft.sources.Sources.ensureStore(spark,
+            "likhiststale", s"$dir|$nBuckets") { p =>
+          equiDepthBuckets(li.filter(col("v") <= cut), nBuckets, "stale")
+            .write.mode("overwrite").parquet(p)
+        }
+        val stale = spark.read
+          .schema("bucket BIGINT, b_lo BIGINT, b_hi BIGINT, b_cnt BIGINT")
+          .parquet(staleRoot)
+        (stale, fresh, l, h)
+      } else {
+        val bounds = li.agg(min(col("v")), max(col("v"))).head()
+        val (l, h) = (bounds.getLong(0), bounds.getLong(1))
+        val cut = l + idivL(4L * (h - l + 1L), 5L)
+        (equiDepthBucketsApprox(li.filter(col("v") <= cut), nBuckets),
+          equiDepthBucketsApprox(li, nBuckets), l, h)
+      }
     val d = hi - lo + 1L
     val cutoff = lo + idivL(4L * d, 5L)
-    def hist(rel: DataFrame, tag: String) =
-      if (exactHistogram) equiDepthBuckets(rel, nBuckets, tag)
-      else equiDepthBucketsApprox(rel, nBuckets)
-    val staleHist = hist(li.filter(col("v") <= cutoff), "stale")
-    val freshHist = hist(li, "fresh")
     val preds = spark.range(nPreds).select(
       col("id").as("pred_id"),
       (lit(lo) + idiv(col("id") * lit(d), lit(8L))).as("p_lo"),

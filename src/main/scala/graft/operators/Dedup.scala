@@ -683,6 +683,24 @@ object Dedup {
       .select(col("doc_id"), array((0 until k).map(i => col(s"m$i")): _*).as("signature"))
   }
 
+  /** Session-shared MinHash signature leaf — the [[ensureWinnowFps]]
+    * discipline for the LSH route's per-doc signatures: a signature is a
+    * pure per-row function of (doc_id, shingles, k), so the k-wide min
+    * aggregation runs once per session and every LSH consumer (q18's
+    * pair route, q52/q55's cluster routes, the q154 estimator audit)
+    * reads or id-slices the leaf. Banding, the candidate equi-join, and
+    * exact verification — the route under audit — stay live per query.
+    */
+  def ensureMinhashSigs(spark: SparkSession, dir: String,
+                        k: Int = 128): DataFrame = {
+    val root = graft.sources.Sources.ensureStore(spark, "mhsigs",
+        s"$dir|$k") { p =>
+      minhashSignaturesFromShingles(ensureDocShingles(spark, dir), k)
+        .write.mode("overwrite").parquet(p)
+    }
+    spark.read.schema("doc_id BIGINT, signature ARRAY<BIGINT>").parquet(root)
+  }
+
   /** D6/J3 — full MinHash-LSH near-dup pipeline:
     * shingle → minhash(k=128) → band (32 bands × 4 rows) → band-hash
     * equi-join → exact-Jaccard verification of ONLY the candidate pairs
@@ -699,11 +717,13 @@ object Dedup {
   def minhashLshPairs(spark: SparkSession, dir: String,
                       k: Int = 128, bands: Int = 32, threshold: Double = 0.5): DataFrame =
     minhashLshPairsFor(Tables.documents(spark, dir), k, bands, threshold,
-      shOpt = Some(ensureDocShingles(spark, dir)))
+      shOpt = Some(ensureDocShingles(spark, dir)),
+      sigOpt = Some(ensureMinhashSigs(spark, dir, k)))
 
   def minhashLshPairsFor(docs: DataFrame,
                          k: Int = 128, bands: Int = 32, threshold: Double = 0.5,
-                         shOpt: Option[DataFrame] = None): DataFrame = {
+                         shOpt: Option[DataFrame] = None,
+                         sigOpt: Option[DataFrame] = None): DataFrame = {
     require(bands > 0 && k % bands == 0,
       s"signature width k=$k must be a positive multiple of bands=$bands")
     val rows = k / bands
@@ -716,7 +736,8 @@ object Dedup {
     // doc ids — shingles are per-row, so the slice is exact).
     val sh = shOpt.getOrElse(
       graft.sources.Sources.spillScratch(docShingles(docs), "lsh_sh"))
-    val sigs = minhashSignaturesFromShingles(sh, k)
+    // sigOpt: the session signature leaf (or an id-slice of it)
+    val sigs = sigOpt.getOrElse(minhashSignaturesFromShingles(sh, k))
     val banded = sigs.select(
       col("doc_id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
@@ -1309,9 +1330,11 @@ object Dedup {
     * clusters.
     */
   def nearDupClustersFor(docs: DataFrame, threshold: Double = 0.5,
-                         shOpt: Option[DataFrame] = None): DataFrame =
+                         shOpt: Option[DataFrame] = None,
+                         sigOpt: Option[DataFrame] = None): DataFrame =
     clustersFromPairs(docs,
-      minhashLshPairsFor(docs, threshold = threshold, shOpt = shOpt))
+      minhashLshPairsFor(docs, threshold = threshold, shOpt = shOpt,
+        sigOpt = sigOpt))
 
   /** Cluster resolution with the winnowed candidate route
     * ([[winnowCandidateJaccardPairsFor]]) — what [[nearDupClusters]] picks
@@ -1391,16 +1414,18 @@ object Dedup {
     val docs = Tables.documents(spark, dir)
     val n = corpusRowCount(spark, dir, "documents", docs)
     val sh = Some(ensureDocShingles(spark, dir))
-    if (n <= maxFullIndexDocs) nearDupClustersFor(docs, threshold, sh)
+    if (n <= maxFullIndexDocs) nearDupClustersFor(docs, threshold, sh,
+      sigOpt = Some(ensureMinhashSigs(spark, dir)))
     else nearDupClustersWinnowedFor(docs, threshold, sh)
   }
 
   /** The deduplicated corpus itself: keep one representative (lowest
     * doc_id) per near-dup cluster, drop the rest. */
   def dedupCorpusFor(docs: DataFrame, threshold: Double = 0.5,
-                     shOpt: Option[DataFrame] = None): DataFrame =
+                     shOpt: Option[DataFrame] = None,
+                     sigOpt: Option[DataFrame] = None): DataFrame =
     docs.join(
-      nearDupClustersFor(docs, threshold, shOpt)
+      nearDupClustersFor(docs, threshold, shOpt, sigOpt)
         .filter(col("keep")).select(col("doc_id")),
       Seq("doc_id"), "left_semi")
 
@@ -1912,7 +1937,8 @@ object Dedup {
     // session-shared leaves (q17's jacpairs store, the shingle store) —
     // the audit itself only pays the |pairs|-bounded signature compare
     minhashEstimatorAuditCore(ensureJaccardPairs(spark, dir, threshold),
-      ensureDocShingles(spark, dir), k, tol)
+      ensureDocShingles(spark, dir), k, tol,
+      sigsOpt = Some(ensureMinhashSigs(spark, dir, k)))
   }
 
   def minhashEstimatorAuditFor(docs: DataFrame, k: Int = 128,
@@ -1933,11 +1959,17 @@ object Dedup {
     * sides, so the restriction is output-invariant while the k-wide min
     * aggregation runs over the |pair docs| slice instead of the corpus. */
   private def minhashEstimatorAuditCore(pairs: DataFrame, sh: DataFrame,
-                                        k: Int, tol: Double): DataFrame = {
+                                        k: Int, tol: Double,
+                                        sigsOpt: Option[DataFrame] = None)
+      : DataFrame = {
     val auditDocs = pairs.select(col("doc_a").as("doc_id"))
       .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
-    val sigs = minhashSignaturesFromShingles(
-      sh.join(auditDocs, Seq("doc_id"), "left_semi"), k)
+    // sigsOpt: the session signature leaf — the audited docs' signatures
+    // are an exact id-slice (per-row function of each doc's shingles)
+    val sigs = sigsOpt
+      .map(_.join(auditDocs, Seq("doc_id"), "left_semi"))
+      .getOrElse(minhashSignaturesFromShingles(
+        sh.join(auditDocs, Seq("doc_id"), "left_semi"), k))
     pairs
       .join(sigs.select(col("doc_id").as("doc_a"), col("signature").as("sa")), "doc_a")
       .join(sigs.select(col("doc_id").as("doc_b"), col("signature").as("sb")), "doc_b")

@@ -169,7 +169,12 @@ object TextAnalysis {
     // instead of re-tokenizing the survivors
     val sh = Dedup.ensureDocShingles(spark, dir)
       .join(qualityDocs.select(col("doc_id")), Seq("doc_id"), "left_semi")
-    Dedup.dedupCorpusFor(qualityDocs, threshold, shOpt = Some(sh))
+    // signatures are per-row too: the quality subset's signatures are an
+    // exact id-slice of the session signature leaf
+    val sigs = Dedup.ensureMinhashSigs(spark, dir)
+      .join(qualityDocs.select(col("doc_id")), Seq("doc_id"), "left_semi")
+    Dedup.dedupCorpusFor(qualityDocs, threshold, shOpt = Some(sh),
+      sigOpt = Some(sigs))
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_kept"))
   }

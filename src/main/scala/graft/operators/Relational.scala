@@ -1300,6 +1300,21 @@ object Relational {
     (r.getLong(0), r.getLong(1))
   }
 
+  /** Run independent per-predicate audit legs on concurrent driver
+    * threads (the q181 sweep discipline, guide §2.6): each leg executes
+    * its own joins and aggregates, so one leg's stage tails back-fill
+    * the other's idle cores. Legs must not mutate session conf. */
+  private def parFlatMap[A, B](xs: Seq[A])(f: A => Seq[B]): Seq[B] = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors
+      .newFixedThreadPool(math.max(1, xs.length))
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    try xs.map(x => Future(f(x))).map(Await.result(_, Duration.Inf)).flatten
+    finally { pool.shutdown(); () }
+  }
+
   /** Uniform-within-bucket range estimate of each predicate in `preds`
     * (pred_id, p_lo, p_hi) against a histogram, in millionths of a row —
     * div-first fixed point, every intermediate under 2^63 at any SF.
@@ -2514,7 +2529,7 @@ object Relational {
         .agg(count(lit(1)).as("cb")), "k")
       .agg(coalesce(sum(col("ca") * col("cb")), lit(0L))).head().getLong(0)
     import spark.implicits._
-    val out = predDefs.flatMap { case (label, pLo, pHi) =>
+    val out = parFlatMap(predDefs) { case (label, pLo, pHi) =>
       val pred = spark.range(1).select(lit(0L).as("pred_id"),
         lit(pLo).as("p_lo"), lit(pHi).as("p_hi"))
       val estE6 = estimateRanges(pred, hist, "est_e6")
@@ -2645,7 +2660,7 @@ object Relational {
       ("wide", lo, lo + 4L * d / 5L - 1L))
     val estOrdCust = estimateJoinRows(nOrd, ndvOc, nCust, ndvCc)
     import spark.implicits._
-    val out = predDefs.flatMap { case (label, pLo, pHi) =>
+    val out = parFlatMap(predDefs) { case (label, pLo, pHi) =>
       val pred = spark.range(1).select(lit(0L).as("pred_id"),
         lit(pLo).as("p_lo"), lit(pHi).as("p_hi"))
       def estOf(hist: DataFrame): Long =
@@ -3943,7 +3958,7 @@ object Relational {
       col("n_nationkey") === col("s_nationkey"),
       col("s_suppkey") === col("l_suppkey"))
     val fullMask = 31
-    val out = predDefs.flatMap { case (label, pLo, pHi) =>
+    val out = parFlatMap(predDefs) { case (label, pLo, pHi) =>
       val pred = spark.range(1).select(lit(0L).as("pred_id"),
         lit(pLo).as("p_lo"), lit(pHi).as("p_hi"))
       val estE6 = estimateRanges(pred, hist, "est_e6")
@@ -6121,7 +6136,7 @@ object Relational {
       col("s_suppkey") === col("l_suppkey"))
     val fullMask = 31
     import spark.implicits._
-    val out = predDefs.flatMap { case (label, pLo, pHi) =>
+    val out = parFlatMap(predDefs) { case (label, pLo, pHi) =>
       val pred = spark.range(1).select(lit(0L).as("pred_id"),
         lit(pLo).as("p_lo"), lit(pHi).as("p_hi"))
       val estE6 = estimateRanges(pred, hist, "est_e6")

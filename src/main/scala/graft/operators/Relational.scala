@@ -3727,7 +3727,11 @@ object Relational {
           "((((lineitem*orders)*customer)*nation)*supplier)",
           predLeftDeep(cycEdges, cycClasses), cycLeftDeep))
       import spark.implicits._
-      val smjRows = arms.map { case (graph, arm, cost, plan, pred, df) =>
+      // the four SMJ arms are independent actions under ONE static conf
+      // scope (broadcast stays disabled until all four complete — the
+      // Await below sequences the restore), so they run concurrently
+      // (guide §2.6, the q232 leg discipline)
+      val smjRows = parFlatMap(arms) { case (graph, arm, cost, plan, pred, df) =>
         val (nSh, nBc, nSo, nRows, sumQty) = run(df)
         // SORT prediction = the SAME recursion as the exchange
         // prediction: an SMJ's output is both hash-partitioned AND
@@ -3738,7 +3742,8 @@ object Relational {
         // partitionings, and J32's (subset × partitioning) states
         // already carry the sort dimension for free. The probe EMITS
         // both counts so that claim is measured, not assumed.
-        (graph, arm, cost, plan, pred, pred, nSh, nBc, nSo, nRows, sumQty)
+        Seq((graph, arm, cost, plan, pred, pred, nSh, nBc, nSo, nRows,
+          sumQty))
       }
       // fifth arm: the same star chosen tree under the session's
       // DEFAULT broadcast thresholds — the measurement that sizes the

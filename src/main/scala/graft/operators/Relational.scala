@@ -2297,11 +2297,13 @@ object Relational {
         (joins(1), joins(0), row.getLong(0), row.getLong(1), row.getLong(2))
       }
       import spark.implicits._
-      Seq(("lineitem_orders_first", estLiOrd, actLiOrd),
-          ("orders_customer_first", estOrdCust, actOrdCust)).map {
+      // both arms execute inside ONE static conf scope and share no
+      // state — concurrent driver threads (guide §2.6, the q253 form)
+      parFlatMap(Seq(("lineitem_orders_first", estLiOrd, actLiOrd),
+          ("orders_customer_first", estOrdCust, actOrdCust))) {
         case (order, est, act) =>
           val (inner, outer, n, sq, sc) = run(order)
-          (order, order == chosen, est, act, inner, outer, n, sq, sc)
+          Seq((order, order == chosen, est, act, inner, outer, n, sq, sc))
       }.toDF("order_label", "chosen", "est_intermediate",
         "actual_intermediate", "inner_join", "outer_join",
         "n_rows", "sum_qty", "sum_cust")

@@ -132,7 +132,14 @@ object ErasureStream {
       s"erasure_stream_${java.util.UUID.randomUUID.toString.take(8)}")
     val store = s"$root/store"
     val tombs = s"$root/tombstones"
-    buildStore(spark, dir, store)
+    // the pre-erasure bucketed store is deterministic fixture state; the
+    // ticks MUTATE it, so it builds once per session and each invocation
+    // works on a private file clone (the r21/r22 lifecycle-clone
+    // discipline)
+    val boot = graft.sources.Sources.ensureStore(spark, "erstore", dir) {
+      p => buildStore(spark, dir, p)
+    }
+    graft.sources.Sources.cloneStoreDir(spark, boot, store)
     for (r <- 0L until 3L)
       erasureTickXO(spark, store, tombs, r, col("user_id") % 13 === r)
     erasureAudit(spark, store, tombs)
